@@ -1,0 +1,254 @@
+"""Integer-stream codecs: plain, bit-pack, frame-of-reference, RLE,
+dictionary (+bit-packed codes), general-purpose snappy fallback.
+
+Selection is greedy min-estimated-bytes — the same spirit as the
+reference's explicit byte-cost comparison between dictionary layouts
+(src/writer.cpp:132-160), generalized per SURVEY.md §2.2: estimates are
+exact closed-form byte counts (sample-based only for snappy), the
+minimum wins, and the reference's distinct-ratio gate for dictionaries
+(> 0.80 -> no dict, src/writer.cpp:63) carries over as
+``PLAIN_DISTINCT_RATIO``.
+
+All values travel as int64 (see streams.py); ``tag`` carries the
+original arrow type so plain encoding uses the native width.
+Arithmetic is done in uint64 with two's-complement wraparound so any
+int64 min/max range is handled without overflow.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..bitpack import bits_needed, pack_bits, packed_nbytes, unpack_bits
+from ..constants import ESTIMATE_SAMPLE_BYTES, PLAIN_DISTINCT_RATIO
+from ..profile import IntProfile
+
+_MASK = 0xFFFFFFFFFFFFFFFF
+
+_ITEMSIZE = {"i8": 1, "i16": 2, "i32": 4, "i64": 8, "u32": 4, "u64": 8,
+             "ts_us": 8, "ts_ns": 8, "date32": 4, "f32": 4, "f64": 8}
+
+_NP_OF_TAG = {"i8": np.int8, "i16": np.int16, "i32": np.int32, "i64": np.int64,
+              "u32": np.uint32, "u64": np.uint64, "ts_us": np.int64,
+              "ts_ns": np.int64, "date32": np.int32, "f32": np.uint32,
+              "f64": np.uint64}
+
+
+def _u(vals: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(vals, dtype=np.int64).view(np.uint64)
+
+
+def _sub(vals: np.ndarray, ref: int) -> np.ndarray:
+    """(vals - ref) in uint64 wraparound; exact for any int64 ref."""
+    return _u(vals) - np.uint64(ref & _MASK)
+
+
+def _add(offs: np.ndarray, ref: int) -> np.ndarray:
+    return (offs + np.uint64(ref & _MASK)).view(np.int64)
+
+
+# --- plain ------------------------------------------------------------------
+
+def _plain_est(p: IntProfile, tag: str) -> int:
+    return p.n * _ITEMSIZE[tag]
+
+
+def _plain_enc(vals: np.ndarray, p: IntProfile, tag: str):
+    np_t = _NP_OF_TAG[tag]
+    v = np.ascontiguousarray(vals, dtype=np.int64)
+    if np.dtype(np_t).itemsize == 8:
+        payload = v.tobytes()  # same bytes regardless of signedness
+    else:
+        payload = v.view(np.uint64).astype(np_t, casting="unsafe").tobytes() \
+            if np.dtype(np_t).kind == "u" else v.astype(np_t, casting="unsafe").tobytes()
+    return payload, {"t": tag}
+
+
+def _plain_dec(payload: bytes, meta: dict, n: int) -> np.ndarray:
+    np_t = _NP_OF_TAG[meta["t"]]
+    raw = np.frombuffer(payload, dtype=np_t, count=n)
+    if np.dtype(np_t).itemsize == 8:
+        return raw.view(np.int64)
+    return raw.astype(np.int64)
+
+
+# --- bit-pack (non-negative values, width from max) -------------------------
+
+def _bitpack_est(p: IntProfile, tag: str):
+    if p.n == 0 or p.vmin < 0:
+        return None
+    return packed_nbytes(p.n, bits_needed(p.vmax))
+
+
+def _bitpack_enc(vals: np.ndarray, p: IntProfile, tag: str):
+    w = bits_needed(p.vmax)
+    return pack_bits(_u(vals), w), {"w": w}
+
+
+def _bitpack_dec(payload: bytes, meta: dict, n: int) -> np.ndarray:
+    return unpack_bits(payload, meta["w"], n).view(np.int64)
+
+
+# --- frame-of-reference -----------------------------------------------------
+
+def _for_est(p: IntProfile, tag: str):
+    if p.n == 0:
+        return None
+    return packed_nbytes(p.n, bits_needed(p.vmax - p.vmin)) + 8
+
+
+def _for_enc(vals: np.ndarray, p: IntProfile, tag: str):
+    w = bits_needed(p.vmax - p.vmin)
+    return pack_bits(_sub(vals, p.vmin), w), {"ref": p.vmin, "w": w}
+
+
+def _for_dec(payload: bytes, meta: dict, n: int) -> np.ndarray:
+    return _add(unpack_bits(payload, meta["w"], n), meta["ref"])
+
+
+# --- RLE --------------------------------------------------------------------
+
+def _rle_widths(p: IntProfile) -> tuple[int, int, int]:
+    r = p.n_runs
+    wv = bits_needed(p.vmax - p.vmin)
+    # longest run - 1 <= n - r; exact max computed at encode
+    wl = bits_needed(max(p.n - r, 0))
+    return r, wv, wl
+
+
+def _rle_est(p: IntProfile, tag: str):
+    if p.n == 0:
+        return None
+    r, wv, wl = _rle_widths(p)
+    return packed_nbytes(r, wv) + packed_nbytes(r, wl) + 16
+
+
+def _rle_enc(vals: np.ndarray, p: IntProfile, tag: str):
+    starts = p.run_starts
+    run_vals = vals[starts]
+    run_lens = np.diff(np.append(starts, p.n))
+    wv = bits_needed(p.vmax - p.vmin)
+    wl = bits_needed(int(run_lens.max()) - 1) if len(run_lens) else 0
+    payload = pack_bits(_sub(run_vals, p.vmin), wv) + pack_bits(
+        (run_lens - 1).astype(np.uint64), wl
+    )
+    return payload, {"ref": p.vmin, "wv": wv, "wl": wl, "r": int(p.n_runs)}
+
+
+def _rle_dec(payload: bytes, meta: dict, n: int) -> np.ndarray:
+    r, wv, wl = meta["r"], meta["wv"], meta["wl"]
+    vb = packed_nbytes(r, wv)
+    run_vals = _add(unpack_bits(payload[:vb], wv, r), meta["ref"])
+    run_lens = unpack_bits(payload[vb:], wl, r).astype(np.int64) + 1
+    return np.repeat(run_vals, run_lens)
+
+
+# --- dictionary (sorted dict stored delta+bit-packed; codes bit-packed) -----
+
+def _dict_deltas(uvals: np.ndarray) -> np.ndarray:
+    """Deltas of the sorted dict in uint64 wraparound (exact even when
+    the value range exceeds int64)."""
+    u = np.ascontiguousarray(uvals, dtype=np.int64).view(np.uint64)
+    return u[1:] - u[:-1]
+
+
+def _dict_est(p: IntProfile, tag: str):
+    if p.n == 0 or p.n_distinct == 0:
+        return None
+    if p.distinct_ratio > PLAIN_DISTINCT_RATIO:  # reference gate src/writer.cpp:63
+        return None
+    d = p.n_distinct
+    deltas = _dict_deltas(p.unique) if d > 1 else np.empty(0, np.uint64)
+    wd = bits_needed(int(deltas.max())) if len(deltas) else 0
+    wc = bits_needed(d - 1)
+    return packed_nbytes(d - 1, wd) + packed_nbytes(p.n, wc) + 24
+
+
+def _dict_enc(vals: np.ndarray, p: IntProfile, tag: str):
+    uvals = p.unique
+    d = len(uvals)
+    codes = np.searchsorted(uvals, vals).astype(np.uint64)
+    deltas = _dict_deltas(uvals) if d > 1 else np.empty(0, np.uint64)
+    wd = bits_needed(int(deltas.max())) if len(deltas) else 0
+    wc = bits_needed(d - 1)
+    payload = pack_bits(deltas, wd) + pack_bits(codes, wc)
+    return payload, {"first": int(uvals[0]), "wd": wd, "wc": wc, "d": d}
+
+
+def _dict_dec(payload: bytes, meta: dict, n: int) -> np.ndarray:
+    d, wd, wc = meta["d"], meta["wd"], meta["wc"]
+    db = packed_nbytes(d - 1, wd)
+    deltas = unpack_bits(payload[:db], wd, d - 1)
+    uvals = np.empty(d, dtype=np.uint64)
+    uvals[0] = np.uint64(meta["first"] & _MASK)
+    if d > 1:
+        np.cumsum(deltas, out=uvals[1:])
+        uvals[1:] += uvals[0]
+    codes = unpack_bits(payload[db:], wc, n).astype(np.int64)
+    return uvals.view(np.int64)[codes]
+
+
+# --- general-purpose snappy fallback over plain bytes -----------------------
+
+_snappy = pa.Codec("snappy")
+
+
+def _gp_est(p: IntProfile, tag: str):
+    if p.n == 0:
+        return None
+    # sample-based ratio over the plain representation
+    itemsize = _ITEMSIZE[tag]
+    total = p.n * itemsize
+    if total < 1024:
+        return None
+    return None  # estimated lazily in choose_int_codec (needs values)
+
+
+def _gp_enc(vals: np.ndarray, p: IntProfile, tag: str):
+    plain, _ = _plain_enc(vals, p, tag)
+    return _snappy.compress(plain).to_pybytes(), {"t": tag, "n0": len(plain)}
+
+
+def _gp_dec(payload: bytes, meta: dict, n: int) -> np.ndarray:
+    plain = _snappy.decompress(payload, meta["n0"])
+    return _plain_dec(plain, meta, n)
+
+
+INT_CODECS = {
+    "plain": (_plain_est, _plain_enc, _plain_dec),
+    "bitpack": (_bitpack_est, _bitpack_enc, _bitpack_dec),
+    "for": (_for_est, _for_enc, _for_dec),
+    "rle": (_rle_est, _rle_enc, _rle_dec),
+    "dict": (_dict_est, _dict_enc, _dict_dec),
+    "gp": (_gp_est, _gp_enc, _gp_dec),
+}
+
+
+def choose_int_codec(vals: np.ndarray, p: IntProfile, tag: str,
+                     try_gp: bool = True) -> tuple[str, bytes, dict]:
+    """Greedy min-estimated-bytes selection over the int palette."""
+    best_name, best_est = "plain", _plain_est(p, tag)
+    for name in ("bitpack", "for", "rle", "dict"):
+        est = INT_CODECS[name][0](p, tag)
+        if est is not None and est < best_est:
+            best_name, best_est = name, est
+    if try_gp and p.n * _ITEMSIZE[tag] >= 4096:
+        # sample-compress to estimate snappy on the plain bytes
+        plain_sample = vals[: max(1, ESTIMATE_SAMPLE_BYTES // 8)]
+        sp, _ = _plain_enc(plain_sample, p, tag)
+        ratio = len(_snappy.compress(sp)) / max(1, len(sp))
+        gp_est = int(ratio * p.n * _ITEMSIZE[tag]) + 16
+        if gp_est < best_est:
+            best_name, best_est = "gp", gp_est
+    payload, meta = INT_CODECS[best_name][1](vals, p, tag)
+    # estimates are exact for the closed-form codecs; snappy may
+    # disappoint on the full stream — fall back if it actually lost.
+    if best_name == "gp" and len(payload) >= _plain_est(p, tag):
+        best_name = "plain"
+        payload, meta = _plain_enc(vals, p, tag)
+    return best_name, payload, meta
+
+
+def decode_int(codec: str, payload: bytes, meta: dict, n: int) -> np.ndarray:
+    return INT_CODECS[codec][2](payload, meta, n)

@@ -1,0 +1,198 @@
+"""Codec round-trip and cost-model tests (no Ray needed).
+
+Covers SURVEY.md §5.2 items 1-2: bit-identical round trips on edge
+shapes including the reference's dictionary-width bug zone
+(255/256/65535/65536/65537 distincts, src/writer.cpp:198-252), and
+constructed inputs whose winning codec is known analytically.
+"""
+
+import numpy as np
+import pytest
+
+from arcade_ray.codecs import fsst
+from arcade_ray.codecs.int_codecs import INT_CODECS, choose_int_codec, decode_int
+from arcade_ray.codecs.str_codecs import choose_str_codec, decode_str
+from arcade_ray.profile import profile_int, profile_str
+from arcade_ray.streams import str_stream_from_arrow, str_stream_to_arrow
+
+RNG = np.random.default_rng(42)
+
+
+def roundtrip_int(vals, tag="i64", expect=None):
+    vals = np.asarray(vals, dtype=np.int64)
+    p = profile_int(vals)
+    name, payload, meta = choose_int_codec(vals, p, tag)
+    out = decode_int(name, payload, meta, len(vals))
+    np.testing.assert_array_equal(out, vals)
+    if expect is not None:
+        assert name == expect, f"expected {expect}, cost model chose {name}"
+    return name, len(payload)
+
+
+INT_CASES = [
+    np.array([], dtype=np.int64),
+    np.array([7]),
+    np.zeros(1000, dtype=np.int64),
+    np.full(1000, -5),
+    np.arange(65537),
+    np.array([0, 2**31 - 1, -(2**31), 1, 1, 1]),
+    np.array([-(2**63), 2**63 - 1, 0]),          # full int64 range
+    RNG.integers(0, 256, 5000),
+    RNG.integers(50_000, 51_024, 5000),
+    np.repeat(RNG.integers(0, 100, 50), RNG.integers(1, 64, 50)),
+]
+
+
+@pytest.mark.parametrize("vals", INT_CASES, ids=range(len(INT_CASES)))
+def test_int_roundtrip_all_codecs(vals):
+    vals = np.asarray(vals, dtype=np.int64)
+    p = profile_int(vals)
+    for name, (est, enc, dec) in INT_CODECS.items():
+        if name == "gp" and len(vals) == 0:
+            continue
+        if name in ("bitpack",) and len(vals) and vals.min() < 0:
+            continue
+        if name == "dict" and len(vals) == 0:
+            continue
+        payload, meta = enc(vals, p, "i64")
+        out = dec(payload, meta, len(vals))
+        np.testing.assert_array_equal(out, vals)
+
+
+def test_int_estimates_exact():
+    """Closed-form estimates equal actual payload bytes (snappy exempt)."""
+    for vals in INT_CASES:
+        vals = np.asarray(vals, dtype=np.int64)
+        if not len(vals):
+            continue
+        p = profile_int(vals)
+        for name in ("plain", "bitpack", "for", "rle", "dict"):
+            est_fn, enc_fn, _ = INT_CODECS[name]
+            est = est_fn(p, "i64")
+            if est is None:
+                continue
+            payload, _ = enc_fn(vals, p, "i64")
+            assert len(payload) <= est, (name, len(payload), est)
+
+
+class TestCostModel:
+    def test_all_equal_constant(self):
+        # all-equal: FoR degenerates to a width-0 constant chunk (the
+        # reference's broken constant path src/process.cpp:472-478 done
+        # properly) — 0 payload bytes beats RLE's one run.
+        name, nbytes = roundtrip_int(np.full(10_000, 123456))
+        assert name in ("for", "rle")
+        assert nbytes <= 16
+
+    def test_runs_rle(self):
+        vals = np.repeat(RNG.integers(0, 1000, 200), 50)
+        roundtrip_int(vals, expect="rle")
+
+    def test_narrow_bitpack(self):
+        vals = RNG.integers(0, 256, 65535)
+        name, nbytes = roundtrip_int(vals)
+        assert name in ("bitpack", "for")
+        assert nbytes <= 65535  # 8 bits/value
+
+    def test_clustered_for(self):
+        vals = RNG.integers(5_000_000, 5_000_000 + 1024, 65535)
+        name, nbytes = roundtrip_int(vals, expect="for")
+        assert nbytes <= 65535 * 10 // 8 + 16
+
+    def test_zipf_dict(self):
+        # values sparse over a huge range, few distincts -> dict
+        base = RNG.integers(0, 2**60, 300)
+        vals = base[RNG.integers(0, 300, 65535)]
+        roundtrip_int(vals, expect="dict")
+
+    def test_random_wide(self):
+        vals = RNG.integers(0, 2**31, 65535).astype(np.int64)
+        name, nbytes = roundtrip_int(vals, "i32")
+        assert nbytes <= 65535 * 4  # never worse than plain int32
+
+    def test_plain_gate_mirrors_reference(self):
+        """distinct/rows > 0.80 -> dict not considered (src/writer.cpp:63)."""
+        from arcade_ray.codecs.int_codecs import _dict_est
+
+        vals = np.arange(1000) * 1000  # all distinct
+        assert _dict_est(profile_int(vals), "i64") is None
+
+
+# --- string codecs ----------------------------------------------------------
+
+def mkstr(values):
+    import pyarrow as pa
+
+    arr = pa.array(values, type=pa.string())
+    lengths, data, _ = str_stream_from_arrow(arr)
+    return lengths, data
+
+
+def roundtrip_str(values, expect=None):
+    lengths, data = mkstr(values)
+    name, payload, meta = choose_str_codec(lengths, data)
+    out_lengths, out_data = decode_str(name, payload, meta, len(lengths))
+    arr = str_stream_to_arrow(out_lengths, out_data, "str")
+    assert arr.to_pylist() == values
+    if expect:
+        assert name == expect, f"expected {expect}, got {name}"
+    return name, len(payload)
+
+
+STR_CASES = [
+    [],
+    [""],
+    ["", "", ""],
+    ["a"],
+    ["hello world"] * 1000,
+    [f"src-{i % 7:03d}" for i in range(5000)],
+    [f"doc:{i:012d}" for i in range(2000)],          # all distinct, shared prefix
+    ["α", "β", "ΑΒΓαβγ", "", "x" * 10000],
+    [chr(i % 1114000) for i in range(0, 5000, 7)],
+]
+
+
+@pytest.mark.parametrize("vals", STR_CASES, ids=range(len(STR_CASES)))
+def test_str_roundtrip(vals):
+    roundtrip_str(vals)
+
+
+@pytest.mark.parametrize("d", [255, 256, 65535, 65536, 65537])
+def test_dict_width_boundaries(d):
+    """The reference mis-handles ==65536 dict entries
+    (src/writer.cpp:198,217,235 — no branch); we must be exact. Forces
+    the dict codec (the cost model may legitimately prefer snappy on
+    this synthetic shape)."""
+    from arcade_ray.codecs.str_codecs import _dict_dec, _dict_enc
+
+    values = [f"v{i:06d}" for i in range(d)] * 2
+    lengths, data = mkstr(values)
+    p = profile_str(lengths, data)
+    payload, meta = _dict_enc(lengths, data, p)
+    out_lengths, out_data = _dict_dec(payload, meta, len(lengths))
+    arr = str_stream_to_arrow(out_lengths, out_data, "str")
+    assert arr.to_pylist() == values
+
+
+def test_low_cardinality_dict_rle():
+    values = ["R"] * 30000 + ["A"] * 20000 + ["N"] * 10000
+    name, nbytes = roundtrip_str(values, expect="dict")
+    assert nbytes < 200  # runs collapse
+
+
+def test_fsst_roundtrip_direct():
+    data = ("the quick brown fox jumps over the lazy dog " * 500).encode()
+    tbl, enc = fsst.compress(data)
+    assert fsst.decompress(tbl, enc) == data
+    assert len(enc) + len(tbl) < len(data) * 0.55
+
+
+def test_fsst_binary_safe():
+    data = bytes(RNG.integers(0, 256, 4096, dtype=np.uint8))
+    tbl, enc = fsst.compress(data)
+    assert fsst.decompress(tbl, enc) == data
+
+
+def test_fsst_empty():
+    tbl, enc = fsst.compress(b"")
+    assert fsst.decompress(tbl, enc) == b""
