@@ -1,0 +1,68 @@
+"""Deterministic vectorized hashes for bucketing and fingerprints.
+
+Stable across runs and processes (pure arithmetic, no PYTHONHASHSEED),
+which is what makes hash-bucketed partition keys resumable
+(SURVEY.md §4.2 "checkpoint/resume").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+_FNV = np.uint64(0x100000001B3)
+_SEED = np.uint64(0x9E3779B97F4A7C15)
+
+
+def hash_ints(vals: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over int64/uint64 values."""
+    z = np.ascontiguousarray(vals, dtype=np.int64).view(np.uint64) + _SEED
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def hash_strings(lengths: np.ndarray, data: bytes) -> np.ndarray:
+    """Vectorized polynomial hash (base 31, mod 2^64) per string."""
+    n = len(lengths)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    offsets = np.empty(n + 1, dtype=np.int64)
+    offsets[0] = 0
+    np.cumsum(lengths, out=offsets[1:])
+    total = int(offsets[-1])
+    if total == 0:
+        return hash_ints(lengths)
+    bytes_u = np.frombuffer(data, dtype=np.uint8, count=total).astype(np.uint64)
+    # local position of each byte within its string
+    starts = offsets[:-1]
+    local = np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
+    max_len = int(lengths.max())
+    pow31 = np.empty(max_len, dtype=np.uint64)
+    pow31[0] = 1
+    np.multiply.accumulate(np.full(max_len - 1, 31, dtype=np.uint64), out=pow31[1:])
+    weights = pow31[local]
+    terms = bytes_u * weights
+    # reduceat: pad so an empty string at the end doesn't index OOB;
+    # rows with start==end get a bogus terms[start] — overwritten below.
+    terms_p = np.append(terms, np.uint64(0))
+    safe_starts = np.minimum(starts, total)
+    sums = np.add.reduceat(terms_p, safe_starts)
+    empty = lengths == 0
+    if empty.any():
+        sums = np.where(empty, np.uint64(0), sums)
+    return (sums * _FNV) ^ hash_ints(lengths)
+
+
+def hash_column(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Hash any supported id column (string or integer)."""
+    from .streams import int_stream_from_arrow, str_stream_from_arrow
+
+    t = arr.type if isinstance(arr, pa.Array) else arr.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t):
+        lengths, data, _ = str_stream_from_arrow(arr)
+        return hash_strings(lengths, data)
+    vals, _ = int_stream_from_arrow(arr)
+    return hash_ints(vals)

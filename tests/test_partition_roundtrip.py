@@ -1,0 +1,117 @@
+"""Partition-level encode -> decode bit-identical round trip (no Ray).
+
+SURVEY.md §5.2 item 3: the per-row invariant from BASELINE.json is
+token-array equality after round trip, plus doc_id/source/n_tok
+equality; also exercises multi-chunk shared-dict (diff) state across
+chunk boundaries (SURVEY.md §7.3 item 3).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from arcade_ray.corpus import generate_corpus
+from arcade_ray.format import chunk_boundaries, decode_partition, encode_partition
+
+
+def roundtrip(table: pa.Table, tmp_path, key="p0", **_):
+    blob, manifest = encode_partition(table, key)
+    path = str(tmp_path / f"{key}.arcr")
+    with open(path, "wb") as f:
+        f.write(blob)
+    out = decode_partition(path)
+    assert out.schema == table.schema
+    assert out.num_rows == table.num_rows
+    for name in table.schema.names:
+        assert out[name].combine_chunks().equals(table[name].combine_chunks()), name
+    return manifest, path
+
+
+def test_corpus_roundtrip_small(tmp_path):
+    table = generate_corpus(2000, 8, seed=42)
+    manifest, _ = roundtrip(table, tmp_path)
+    assert manifest["rows"] == 2000
+    assert manifest["enc_bytes"] < manifest["raw_bytes"]
+
+
+def test_corpus_roundtrip_multichunk(tmp_path):
+    """Force several chunks so the shared-dict diff path crosses chunk
+    boundaries (reference diff-dict chain, src/writer.cpp:167-253)."""
+    import arcade_ray.format as fmt
+
+    table = generate_corpus(5000, 4, seed=7)
+    bounds = chunk_boundaries(table, rows_per_chunk=512)
+    assert len(bounds) > 5
+    blob, manifest = encode_partition_chunked(table, rows_per_chunk=512)
+    path = str(tmp_path / "mc.arcr")
+    with open(path, "wb") as f:
+        f.write(blob)
+    out = decode_partition(path)
+    for name in table.schema.names:
+        assert out[name].combine_chunks().equals(table[name].combine_chunks()), name
+
+
+def encode_partition_chunked(table, rows_per_chunk):
+    import arcade_ray.format as fmt
+    from arcade_ray.constants import BLOCK_ROWS
+
+    orig = fmt.chunk_boundaries
+    fmt_chunk = lambda t, rows_per_chunk=rows_per_chunk, values_per_chunk=fmt.DEFAULT_VALUES_PER_CHUNK: orig(
+        t, rows_per_chunk, values_per_chunk
+    )
+    fmt.chunk_boundaries, saved = fmt_chunk, orig
+    try:
+        return fmt.encode_partition(table, "mc")
+    finally:
+        fmt.chunk_boundaries = saved
+
+
+def test_empty_partition(tmp_path):
+    table = generate_corpus(10, 2).slice(0, 0)
+    blob, manifest = encode_partition(table, "empty")
+    path = str(tmp_path / "empty.arcr")
+    with open(path, "wb") as f:
+        f.write(blob)
+    out = decode_partition(path)
+    assert out.num_rows == 0
+    assert out.schema == table.schema
+
+
+def test_testdata_tables_roundtrip(tmp_path):
+    """Every /root/testdata table type round-trips (int64, double,
+    timestamp, string, list<float>)."""
+    import pyarrow.parquet as pq
+
+    for name in ("documents", "lineitem", "events", "embeddings", "orders"):
+        table = pq.read_table(f"/root/testdata/sf0.001/{name}.parquet")
+        roundtrip(table, tmp_path, key=name)
+
+
+def test_projection_decode(tmp_path):
+    table = generate_corpus(1000, 4)
+    _, path = roundtrip(table, tmp_path, key="proj")
+    out = decode_partition(path, columns=["source", "n_tok"])
+    assert out.column_names == ["source", "n_tok"]
+    assert out["source"].combine_chunks().equals(table["source"].combine_chunks())
+
+
+def test_chunk_mask_decode(tmp_path):
+    table = generate_corpus(3000, 4)
+    blob, _ = encode_partition_chunked(table, rows_per_chunk=1000)
+    path = str(tmp_path / "mask.arcr")
+    with open(path, "wb") as f:
+        f.write(blob)
+    out = decode_partition(path, chunk_mask=[False, True, False])
+    expect = table.slice(1000, 1000)
+    for name in table.schema.names:
+        assert out[name].combine_chunks().equals(expect[name].combine_chunks()), name
+
+
+def test_zone_maps_in_manifest(tmp_path):
+    import json
+
+    table = generate_corpus(2000, 8)
+    manifest, _ = roundtrip(table, tmp_path, key="zm")
+    stats = json.loads(manifest["col_stats"])
+    assert "source" in stats and stats["source"]["min"] == "src-000"
+    assert stats["n_tok"]["min"] >= 1
