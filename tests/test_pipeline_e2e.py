@@ -1,0 +1,113 @@
+"""End-to-end Ray pipeline: encode -> decode -> bit-identical verify
+(SURVEY.md §5.2 item 3), skew-aware planning, and resume from the
+partition checkpoint (§5.2 item 6)."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from arcade_ray.corpus import generate_corpus
+from arcade_ray.pipeline import decode_dataset, encode_dataset, load_manifest
+
+
+@pytest.fixture(scope="module")
+def corpus_parquet(tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    path = tmp_path_factory.mktemp("corpus") / "corpus.parquet"
+    pq.write_table(generate_corpus(20_000, 8, seed=42), str(path))
+    return str(path)
+
+
+def sorted_by_doc(table: pa.Table) -> pa.Table:
+    return table.take(pc.sort_indices(table["doc_id"]))
+
+
+def assert_tables_equal(a: pa.Table, b: pa.Table):
+    a, b = sorted_by_doc(a), sorted_by_doc(b)
+    assert a.num_rows == b.num_rows
+    for name in a.column_names:
+        ca = a[name].combine_chunks()
+        cb = b[name].combine_chunks().cast(ca.type)
+        assert ca.equals(cb), f"column {name} differs"
+
+
+def test_encode_decode_roundtrip(ray_session, corpus_parquet, tmp_path):
+    import ray.data as rd
+
+    out_dir = str(tmp_path / "enc")
+    ds = rd.read_parquet(corpus_parquet)
+    manifest = encode_dataset(ds, out_dir, weight_cap=500_000)
+    assert manifest.num_rows >= 8  # at least one part per source
+    # skew fan-out: the zipf-dominant source must be split
+    parts = manifest["part_key"].to_pylist()
+    assert sum(p.startswith("src-000#") for p in parts) > 1
+
+    # compression actually compresses
+    enc = sum(manifest["enc_bytes"].to_pylist())
+    raw = sum(manifest["raw_bytes"].to_pylist())
+    assert enc < raw * 0.8
+
+    decoded = decode_dataset(out_dir).to_arrow_refs()
+    import ray
+
+    out = pa.concat_tables(ray.get(decoded))
+    orig = rd.read_parquet(corpus_parquet).to_arrow_refs()
+    orig = pa.concat_tables(ray.get(orig))
+    assert_tables_equal(out, orig)
+
+
+def test_resume_skips_committed(ray_session, corpus_parquet, tmp_path):
+    """Kill-and-resume semantics: pre-commit some partitions, rerun,
+    assert they are not re-encoded and output is identical."""
+    import ray.data as rd
+
+    out_dir = str(tmp_path / "enc")
+    ds = rd.read_parquet(corpus_parquet)
+    manifest1 = encode_dataset(ds, out_dir, weight_cap=500_000)
+
+    # simulate a crash that lost all but 3 partitions
+    keep = set(manifest1["part_key"].to_pylist()[:3])
+    for row_path in glob.glob(os.path.join(out_dir, "manifest", "*.json")):
+        with open(row_path) as f:
+            row = json.load(f)
+        if row["part_key"] not in keep:
+            os.remove(row_path)
+            os.remove(row["path"])
+    os.remove(os.path.join(out_dir, "manifest.parquet"))
+
+    mtimes_before = {
+        p: os.path.getmtime(p) for p in glob.glob(os.path.join(out_dir, "parts", "*.arcr"))
+    }
+    manifest2 = encode_dataset(ds, out_dir, weight_cap=500_000)
+    assert sorted(manifest2["part_key"].to_pylist()) == sorted(
+        manifest1["part_key"].to_pylist()
+    )
+    # surviving partitions were skipped (file untouched)
+    for p, t in mtimes_before.items():
+        assert os.path.getmtime(p) == t, f"{p} was re-encoded"
+
+    import ray
+
+    out = pa.concat_tables(ray.get(decode_dataset(out_dir).to_arrow_refs()))
+    orig = pa.concat_tables(ray.get(rd.read_parquet(corpus_parquet).to_arrow_refs()))
+    assert_tables_equal(out, orig)
+
+
+def test_manifest_lineage_fields(ray_session, corpus_parquet, tmp_path):
+    import ray.data as rd
+
+    out_dir = str(tmp_path / "enc")
+    encode_dataset(rd.read_parquet(corpus_parquet), out_dir, weight_cap=500_000)
+    m = load_manifest(out_dir)
+    row = m.to_pylist()[0]
+    for field in ("part_key", "path", "rows", "raw_bytes", "enc_bytes",
+                  "encode_s", "crc32", "col_stats"):
+        assert row[field] is not None
+    stats = json.loads(row["col_stats"])
+    assert set(stats) == {"doc_id", "tokens", "n_tok", "source"}
