@@ -34,35 +34,31 @@ def encode_str_values(lengths: np.ndarray, data: bytes) -> tuple[str, bytes, dic
     choose among plain / gp(snappy) / fsst by estimated bytes."""
     wl = bits_needed(int(lengths.max())) if len(lengths) else 0
     len_payload = pack_bits(lengths.view(np.uint64), wl)
-    plain_est = len(len_payload) + len(data)
 
-    best = ("plain", plain_est)
+    comp = None
     if len(data) >= 512:
-        sample = data[:ESTIMATE_SAMPLE_BYTES]
-        snappy_est = len(len_payload) + int(
-            len(_snappy.compress(sample)) / max(1, len(sample)) * len(data)
-        ) + 8
-        if snappy_est < best[1]:
-            best = ("gp", snappy_est)
-        ratio, tbl_bytes = fsst.estimate_ratio(data)
-        fsst_est = len(len_payload) + int(ratio * len(data)) + tbl_bytes
-        if fsst_est < best[1] * FSST_WIN_FACTOR:
-            best = ("fsst", fsst_est)
-
-    name = best[0]
-    if name == "plain":
-        return "plain", len_payload + data, {"wl": wl, "n": len(lengths)}
-    if name == "gp":
+        # snappy is ~GB/s — measure the real size, no sampling error
         comp = _snappy.compress(data).to_pybytes()
         if len(comp) >= len(data):
-            return "plain", len_payload + data, {"wl": wl, "n": len(lengths)}
+            comp = None
+    best_data_bytes = len(comp) if comp is not None else len(data)
+
+    snappy_struggled = comp is None or len(comp) > 0.4 * len(data)
+    if len(data) >= 512 and snappy_struggled:
+        # FSST encode is ~MB/s — only contest when snappy left room,
+        # sample-estimate, and require a clear win before paying for
+        # the full encode
+        ratio, tbl_bytes = fsst.estimate_ratio(data)
+        fsst_est = int(ratio * len(data)) + tbl_bytes
+        if fsst_est < best_data_bytes * FSST_WIN_FACTOR:
+            tbl, stream = fsst.compress(data)
+            if len(tbl) + len(stream) < best_data_bytes:
+                return "fsst", len_payload + tbl + stream, {
+                    "wl": wl, "n": len(lengths), "tl": len(tbl)
+                }
+    if comp is not None:
         return "gp", len_payload + comp, {"wl": wl, "n": len(lengths), "n0": len(data)}
-    tbl, stream = fsst.compress(data)
-    if len(tbl) + len(stream) >= len(data):
-        return "plain", len_payload + data, {"wl": wl, "n": len(lengths)}
-    return "fsst", len_payload + tbl + stream, {
-        "wl": wl, "n": len(lengths), "tl": len(tbl)
-    }
+    return "plain", len_payload + data, {"wl": wl, "n": len(lengths)}
 
 
 def decode_str_values(codec: str, payload: bytes, meta: dict) -> tuple[np.ndarray, bytes]:
