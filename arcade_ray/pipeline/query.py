@@ -1,0 +1,347 @@
+"""Query operators over the encoded format: scan with projection,
+equi-filter on compressed data, random access.
+
+Ray Data translations of the reference's three read operators
+(SURVEY.md §2.1 rows 8-11):
+
+- ``scan``          <- ArcadeReader::scan (src/reader.cpp:146-195)
+- ``equi_filter``   <- ArcadeReader::equi_filter + filter_page
+                       (src/reader.cpp:7-66, src/process.cpp:182-422):
+                       manifest + chunk zone-map pruning, literal
+                       resolved to a dictionary code once per dict
+                       epoch, comparison runs on fixed-width codes
+                       without materializing strings, filter column
+                       backfilled from the literal
+                       (src/process.cpp:406-413).
+- ``random_access`` <- ArcadeReader::random_access
+                       (src/reader.cpp:69-143): global row-id ->
+                       (partition, chunk, offset) via manifest prefix
+                       sums + header chunk_rows; only touched chunks
+                       decode.
+- ``lookup``        — id-value point lookup (doc_id IN set) with
+                       zone-map partition/chunk pruning.
+
+Each partition is processed by one stateless Ray task; results stream.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..codecs.str_codecs import decode_codes
+from ..column import make_column_decoder
+from ..format import decode_partition, read_header
+from .encode import load_manifest
+
+
+def _manifest_paths(out_dir: str) -> list[dict]:
+    m = load_manifest(out_dir)
+    return m.to_pylist()
+
+
+def scan(out_dir: str, columns: list[str] | None = None):
+    """Full scan with projection -> ray.data.Dataset (streaming)."""
+    from .decode import decode_dataset
+
+    return decode_dataset(out_dir, columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# equi-filter on compressed data
+# ---------------------------------------------------------------------------
+
+def _zone_skip(desc: dict, literal) -> bool:
+    lo, hi = desc.get("min"), desc.get("max")
+    if lo is not None and literal < lo:
+        return True
+    if hi is not None and literal > hi:
+        return True
+    return False
+
+
+def filter_partition(path: str, col: str, literal, project: list[str]) -> pa.Table:
+    """Filter one encoded partition on ``col == literal`` without
+    decoding the filter column's values (dictionary chunks compare
+    bit-unpacked codes against the literal's code, resolved once per
+    dictionary epoch — reference src/process.cpp:241-299,361-400)."""
+    header, base = read_header(path)
+    cm = header["columns"][col]
+    chunks = cm["chunks"]
+    n_chunks = len(chunks)
+    match_idx: list[np.ndarray | None] = [None] * n_chunks
+
+    with open(path, "rb") as f:
+        if cm["kind"] == "str":
+            dec = make_column_decoder(cm)
+            sdec = dec._str
+            lit_code = -1
+            lit_code_dict_size = 0  # dict size when lit_code was resolved
+            for i, ch in enumerate(chunks):
+                mode = ch.get("mode")
+                if _zone_skip(ch, literal):
+                    lo, hi = dec.advance_range(ch)
+                    if hi > lo:
+                        f.seek(base + ch["off"] + lo)
+                        dec.advance(ch, f.read(hi - lo))
+                        lit_code, lit_code_dict_size = -1, 0
+                    continue
+                f.seek(base + ch["off"])
+                payload = f.read(ch["nb"])
+                if mode == "plain":
+                    arr = sdec.decode_chunk(ch, payload)
+                    mask = pc.equal(arr, literal)
+                    match_idx[i] = np.flatnonzero(
+                        mask.to_numpy(zero_copy_only=False)
+                    )
+                    lit_code, lit_code_dict_size = -1, 0
+                    continue
+                # dict chunk: advance dict, resolve literal once per
+                # epoch/dict growth (memoized like reference `offset`,
+                # src/reader.cpp:22)
+                sdec.advance_dict(ch, payload)
+                d_total = ch["d_total"]
+                if mode == "local":
+                    lit_code, lit_code_dict_size = -1, 0
+                if lit_code < 0 and d_total > lit_code_dict_size:
+                    pool = _dict_pool(sdec)
+                    lit_bytes = literal.encode() if isinstance(literal, str) else bytes(literal)
+                    found = pc.index_in(
+                        pa.array([lit_bytes], type=pa.large_binary()),
+                        value_set=pool,
+                    )[0].as_py()
+                    lit_code = -1 if found is None else int(found)
+                    lit_code_dict_size = d_total
+                if lit_code < 0:
+                    continue
+                codes = decode_codes(
+                    ch["ccodec"], payload[ch["vlen"]:], ch["cmeta"]
+                )
+                match_idx[i] = np.flatnonzero(codes == lit_code)
+        else:
+            # int-family column: decode per chunk (cheap fixed-width
+            # kernels) with zone-map skipping
+            dec = make_column_decoder(cm)
+            # float zone maps hold IEEE bit patterns — not ordered like
+            # the values; skip pruning for floats
+            prunable = cm["tag"] not in ("f32", "f64") and cm["kind"] != "list"
+            lit_val = _int_literal(literal, cm["tag"]) if prunable else None
+            for i, ch in enumerate(chunks):
+                if prunable and ch.get("min") is not None and not (
+                    ch["min"] <= lit_val <= ch["max"]
+                ):
+                    continue
+                f.seek(base + ch["off"])
+                arr = dec.decode(ch, f.read(ch["nb"]))
+                mask = pc.equal(arr, literal)
+                match_idx[i] = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+
+    touched = [m is not None and len(m) > 0 for m in match_idx]
+    if not any(touched):
+        return _empty_projection(header, project, col)
+    # decode projected companion columns only for touched chunks, then
+    # take matching rows (reference get_column_value materialization,
+    # src/process.cpp:4-180 — ours is a vectorized Arrow take)
+    other = [c for c in project if c != col]
+    take_pos = []
+    offset = 0
+    for i in range(n_chunks):
+        if touched[i]:
+            take_pos.append(match_idx[i] + offset)
+            offset += _chunk_rows(header, i)
+    take = np.concatenate(take_pos)
+    cols: dict[str, pa.Array] = {}
+    if other:
+        sub = decode_partition(path, columns=other, chunk_mask=touched)
+        sub = sub.take(pa.array(take, type=pa.int64()))
+        for name in other:
+            cols[name] = sub[name].combine_chunks()
+    n_match = len(take)
+    if col in project:
+        # backfill the filter column from the literal (constant):
+        # reference src/process.cpp:406-413
+        cols[col] = pa.array([literal] * n_match).cast(_col_type(cm))
+    return pa.table({name: cols[name] for name in project})
+
+
+def _chunk_rows(header: dict, i: int) -> int:
+    return header["chunk_rows"][i][1]
+
+
+def _dict_pool(sdec) -> pa.Array:
+    u_offsets = np.empty(len(sdec.u_lengths) + 1, dtype=np.int64)
+    u_offsets[0] = 0
+    np.cumsum(sdec.u_lengths, out=u_offsets[1:])
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), len(sdec.u_lengths),
+        [None, pa.py_buffer(u_offsets.tobytes()), pa.py_buffer(sdec.u_data)],
+    )
+
+
+def _int_literal(literal, tag: str):
+    if tag in ("f32", "f64"):
+        return literal
+    return int(literal)
+
+
+def _col_type(cm: dict) -> pa.DataType:
+    from ..streams import tag_type
+
+    if cm["kind"] == "list":
+        return pa.list_(tag_type(cm["elem_tag"]))
+    return tag_type(cm["tag"])
+
+
+def _empty_projection(header: dict, project: list[str], col: str) -> pa.Table:
+    cols = {}
+    for name in project:
+        cm = header["columns"][name]
+        cols[name] = pa.array([], type=_col_type(cm))
+    return pa.table(cols)
+
+
+def equi_filter(out_dir: str, col: str, literal, project: list[str]):
+    """-> ray.data.Dataset of projected matching rows. Partitions whose
+    manifest zone map excludes the literal never spawn a task
+    (reference minmax block skipping, src/process.cpp:256-263)."""
+    import ray.data as rd
+
+    rows = _manifest_paths(out_dir)
+    survivors = []
+    for r in rows:
+        stats = json.loads(r["col_stats"]).get(col, {})
+        lo, hi = stats.get("min"), stats.get("max")
+        if lo is not None and hi is not None and not (lo <= literal <= hi):
+            continue
+        survivors.append({"path": r["path"]})
+    if not survivors:
+        # produce an empty, correctly-typed dataset from any partition
+        header, _ = read_header(rows[0]["path"])
+        return rd.from_arrow(_empty_projection(header, project, col))
+    ds = rd.from_items(survivors)
+
+    def run(batch: pa.Table) -> pa.Table:
+        tables = [
+            filter_partition(p.as_py(), col, literal, project)
+            for p in batch["path"]
+        ]
+        return pa.concat_tables(tables)
+
+    return ds.map_batches(run, batch_format="pyarrow", batch_size=1)
+
+
+# ---------------------------------------------------------------------------
+# random access
+# ---------------------------------------------------------------------------
+
+def random_access(out_dir: str, row_ids: list[int],
+                  columns: list[str] | None = None) -> pa.Table:
+    """Global row-id lookup. Row ids index the concatenation of
+    partitions in manifest (part_key-sorted) order — the analogue of the
+    reference's global row-id over sequential blocks
+    (src/reader.cpp:113-128). Only touched chunks are decoded; shared
+    dictionaries of untouched chunks are advanced from their dict
+    segments only. Returns rows in ascending row_id order with a
+    ``row_id`` column."""
+    rows = _manifest_paths(out_dir)
+    counts = np.array([r["rows"] for r in rows], dtype=np.int64)
+    prefix = np.zeros(len(rows) + 1, dtype=np.int64)
+    np.cumsum(counts, out=prefix[1:])
+    ids = np.unique(np.asarray(row_ids, dtype=np.int64))
+    if len(ids) and (ids[0] < 0 or ids[-1] >= prefix[-1]):
+        raise IndexError("row id out of range")
+    part_of = np.searchsorted(prefix, ids, side="right") - 1
+    out_tables = []
+    for pi in np.unique(part_of):
+        local = ids[part_of == pi] - prefix[pi]
+        path = rows[pi]["path"]
+        header, _ = read_header(path)
+        chunk_rows = header["chunk_rows"]
+        starts = np.array([c[0] for c in chunk_rows], dtype=np.int64)
+        ends = starts + np.array([c[1] for c in chunk_rows], dtype=np.int64)
+        mask = [bool(((local >= s) & (local < e)).any())
+                for s, e in zip(starts, ends)]
+        sub = decode_partition(path, columns=columns, chunk_mask=mask)
+        # map local row positions into the concatenated kept-chunk space
+        kept_offsets = np.cumsum([0] + [chunk_rows[i][1] for i, k in enumerate(mask) if k])
+        kept_idx = np.flatnonzero(mask)
+        chunk_of = np.searchsorted(ends, local, side="right")
+        pos_in_kept = np.searchsorted(kept_idx, chunk_of)
+        take = local - starts[chunk_of] + kept_offsets[pos_in_kept]
+        sub = sub.take(pa.array(take, type=pa.int64()))
+        sub = sub.append_column("row_id", pa.array(local + prefix[pi], type=pa.int64()))
+        out_tables.append(sub)
+    if not out_tables:
+        header, _ = read_header(rows[0]["path"])
+        empty = _empty_projection(header, columns or list(header["columns"]), "")
+        return empty.append_column("row_id", pa.array([], type=pa.int64()))
+    return pa.concat_tables(out_tables)
+
+
+def lookup(out_dir: str, id_col: str, values: list,
+           columns: list[str] | None = None):
+    """Point lookup by id values (``id_col IN values``) with manifest +
+    chunk zone-map pruning -> ray.data.Dataset."""
+    import ray.data as rd
+
+    rows = _manifest_paths(out_dir)
+    vmin, vmax = min(values), max(values)
+    survivors = []
+    for r in rows:
+        stats = json.loads(r["col_stats"]).get(id_col, {})
+        lo, hi = stats.get("min"), stats.get("max")
+        if lo is not None and hi is not None and (vmax < lo or vmin > hi):
+            continue
+        survivors.append({"path": r["path"]})
+    if not survivors:
+        header, _ = read_header(rows[0]["path"])
+        return rd.from_arrow(
+            _empty_projection(header, columns or list(header["columns"]), "")
+        )
+    ds = rd.from_items(survivors)
+    want = columns
+    value_arr = pa.array(values)
+
+    def run(batch: pa.Table) -> pa.Table:
+        tables = []
+        for p in batch["path"]:
+            t = _lookup_partition(p.as_py(), id_col, value_arr, want)
+            tables.append(t)
+        return pa.concat_tables(tables)
+
+    return ds.map_batches(run, batch_format="pyarrow", batch_size=1)
+
+
+def _lookup_partition(path: str, id_col: str, value_arr: pa.Array,
+                      columns: list[str] | None) -> pa.Table:
+    header, base = read_header(path)
+    cm = header["columns"][id_col]
+    chunks = cm["chunks"]
+    # chunk zone prune on the id column
+    values_sorted = value_arr.sort() if len(value_arr) else value_arr
+    vmin = values_sorted[0].as_py() if len(value_arr) else None
+    vmax = values_sorted[-1].as_py() if len(value_arr) else None
+    mask = []
+    for ch in chunks:
+        clo, chi = ch.get("min"), ch.get("max")
+        if clo is not None and chi is not None and vmin is not None and (
+            vmax < clo or vmin > chi
+        ):
+            mask.append(False)
+        else:
+            mask.append(True)
+    if not any(mask):
+        return _empty_projection(header, columns or list(header["columns"]), "")
+    id_tab = decode_partition(path, columns=[id_col], chunk_mask=mask)
+    hit = pc.is_in(id_tab[id_col].combine_chunks(),
+                   value_set=value_arr.cast(id_tab[id_col].type))
+    idx = np.flatnonzero(hit.to_numpy(zero_copy_only=False))
+    want = columns or list(header["columns"])
+    if not len(idx):
+        return _empty_projection(header, want, "")
+    full = decode_partition(path, columns=want, chunk_mask=mask)
+    return full.take(pa.array(idx, type=pa.int64()))

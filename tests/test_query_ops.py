@@ -1,0 +1,131 @@
+"""Query operators over encoded data: scan w/ projection, equi-filter on
+compressed codes with zone-map skipping, random access, id lookup
+(SURVEY.md §2.1 rows 8-11)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from arcade_ray.corpus import generate_corpus
+from arcade_ray.pipeline import encode_dataset
+from arcade_ray.pipeline.query import (
+    equi_filter,
+    filter_partition,
+    lookup,
+    random_access,
+    scan,
+)
+
+
+@pytest.fixture(scope="module")
+def encoded(ray_session, tmp_path_factory):
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    base = tmp_path_factory.mktemp("qops")
+    corpus = str(base / "corpus.parquet")
+    table = generate_corpus(10_000, 8, seed=42)
+    pq.write_table(table, corpus)
+    out_dir = str(base / "enc")
+    encode_dataset(rd.read_parquet(corpus), out_dir, weight_cap=200_000)
+    return out_dir, table
+
+
+def collect(ds) -> pa.Table:
+    import ray
+
+    return pa.concat_tables(ray.get(ds.to_arrow_refs()))
+
+
+def test_scan_projection(encoded):
+    out_dir, table = encoded
+    out = collect(scan(out_dir, columns=["doc_id", "n_tok"]))
+    assert out.column_names == ["doc_id", "n_tok"]
+    assert out.num_rows == table.num_rows
+    a = out.take(pc.sort_indices(out["doc_id"]))
+    b = table.select(["doc_id", "n_tok"])
+    b = b.take(pc.sort_indices(b["doc_id"]))
+    assert a["n_tok"].combine_chunks().equals(b["n_tok"].combine_chunks())
+
+
+def test_equi_filter_string(encoded):
+    out_dir, table = encoded
+    out = collect(equi_filter(out_dir, "source", "src-002",
+                              project=["source", "doc_id", "n_tok"]))
+    mask = pc.equal(table["source"], "src-002")
+    expect = table.filter(mask)
+    assert out.num_rows == expect.num_rows
+    assert set(out["doc_id"].to_pylist()) == set(expect["doc_id"].to_pylist())
+    assert pc.all(pc.equal(out["source"], "src-002")).as_py()
+    a = out.take(pc.sort_indices(out["doc_id"]))
+    b = expect.take(pc.sort_indices(expect["doc_id"]))
+    assert a["n_tok"].combine_chunks().equals(
+        b["n_tok"].combine_chunks().cast(a["n_tok"].type))
+
+
+def test_equi_filter_no_match(encoded):
+    out_dir, _ = encoded
+    out = collect(equi_filter(out_dir, "source", "src-999",
+                              project=["source", "doc_id"]))
+    assert out.num_rows == 0
+    assert out.column_names == ["source", "doc_id"]
+
+
+def test_equi_filter_int(encoded):
+    out_dir, table = encoded
+    out = collect(equi_filter(out_dir, "n_tok", 1, project=["n_tok", "doc_id"]))
+    expect = table.filter(pc.equal(table["n_tok"], 1))
+    assert out.num_rows == expect.num_rows
+    assert set(out["doc_id"].to_pylist()) == set(expect["doc_id"].to_pylist())
+
+
+def test_equi_filter_doc_id_unique(encoded):
+    """Filter on the (plain/gp-encoded, all-distinct) doc_id column."""
+    out_dir, table = encoded
+    target = table["doc_id"][123].as_py()
+    out = collect(equi_filter(out_dir, "doc_id", target,
+                              project=["doc_id", "source", "n_tok"]))
+    assert out.num_rows == 1
+    assert out["doc_id"][0].as_py() == target
+
+
+def test_random_access(encoded):
+    out_dir, table = encoded
+    from arcade_ray.pipeline.encode import load_manifest
+
+    ids = [0, 1, 57, 4999, 9999]
+    out = random_access(out_dir, ids, columns=["doc_id", "tokens", "source"])
+    assert out.num_rows == len(ids)
+    assert sorted(out["row_id"].to_pylist()) == ids
+    # row ids index partition-concatenated order: verify tokens match the
+    # doc looked up by its id string
+    decoded_all = collect(scan(out_dir))
+    for i in range(out.num_rows):
+        did = out["doc_id"][i].as_py()
+        row = decoded_all.filter(pc.equal(decoded_all["doc_id"], did))
+        assert row["tokens"][0].as_py() == out["tokens"][i].as_py()
+
+
+def test_random_access_out_of_range(encoded):
+    out_dir, _ = encoded
+    with pytest.raises(IndexError):
+        random_access(out_dir, [10**9])
+
+
+def test_lookup_by_doc_id(encoded):
+    out_dir, table = encoded
+    wanted = [table["doc_id"][i].as_py() for i in (5, 500, 7777)] + ["nope:000"]
+    out = collect(lookup(out_dir, "doc_id", wanted,
+                         columns=["doc_id", "n_tok", "source"]))
+    assert out.num_rows == 3
+    assert set(out["doc_id"].to_pylist()) == set(wanted[:3])
+
+
+def test_filter_partition_zone_skip_counts(encoded):
+    """Partition-level pruning: a literal below every doc_id prunes all
+    partitions at the manifest (no tasks)."""
+    out_dir, _ = encoded
+    ds = equi_filter(out_dir, "doc_id", "aaa", project=["doc_id"])
+    assert collect(ds).num_rows == 0
