@@ -67,6 +67,8 @@ def assign_part_keys(batch: pa.Table, plan: Plan) -> pa.Table:
     """Stateless map_batches stage: add the deterministic ``_part``
     column ``{source}#{hash(id) % n_buckets:04d}``."""
     src = batch[plan.key_col].combine_chunks()
+    if not pa.types.is_string(src.type):
+        src = src.cast(pa.string())
     denc = src.dictionary_encode()
     uniq = denc.dictionary.to_pylist()  # small: one entry per source in batch
     nb_map = np.array([plan.buckets_per_source.get(u, 1) for u in uniq],
