@@ -28,8 +28,9 @@ MAGIC = b"ARCR1\n"
 FORMAT_VERSION = 1
 
 # Partition sizing: cap an encode partition by token count (list payload),
-# not rows — bounds encoder-task memory (SURVEY.md §7.3 item 5).
-DEFAULT_PART_TOKEN_CAP = 32_000_000
+# not rows — bounds encoder-task memory and the encode-straggler tail
+# (SURVEY.md §7.3 item 5). 8M tokens ≈ 32 MB of raw int32 payload.
+DEFAULT_PART_TOKEN_CAP = 8_000_000
 # Fallback row cap for tables without a token/list column.
 DEFAULT_PART_ROW_CAP = 2_000_000
 

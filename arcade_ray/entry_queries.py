@@ -43,11 +43,11 @@ def encoded_dir(sf_dir: str, table: str) -> str:
     tag = hashlib.md5(f"{sf_dir}|{table}|{_CACHE_SALT}".encode()).hexdigest()[:10]
     out = os.path.join(CACHE_ROOT, f"{table}-{tag}")
     if not os.path.exists(os.path.join(out, "manifest.parquet")):
-        import ray.data as rd
+        from .pipeline.encode import encode_parquet
 
-        ds = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
-        encode_dataset(
-            ds, out, key_col=key_col, id_col=id_col, weight_col=weight_col,
+        encode_parquet(
+            os.path.join(sf_dir, f"{table}.parquet"), out,
+            key_col=key_col, id_col=id_col, weight_col=weight_col,
             weight_cap=WEIGHT_CAPS.get(table),
         )
     return out

@@ -77,13 +77,18 @@ def commit_partition(out_dir: str, part_key: str, blob: bytes,
     return manifest_row
 
 
-def encode_group(group: pa.Table, out_dir: str, sort_by: str | None) -> pa.Table:
+def encode_group(group: pa.Table, out_dir: str, sort_by: str | None,
+                 pid_keys: list[str] | None = None) -> pa.Table:
     """Encode one shuffled partition group; runs as a Ray task inside
-    groupby(_part).map_groups."""
+    groupby(_pid).map_groups."""
     if group.num_rows == 0:
         return _manifest_schema_table([])
-    part_key = group["_part"][0].as_py()
-    table = group.drop_columns(["_part"])
+    if "_pid" in group.column_names:
+        part_key = pid_keys[group["_pid"][0].as_py()]
+        table = group.drop_columns(["_pid"])
+    else:  # direct string key (tests / ad-hoc callers)
+        part_key = group["_part"][0].as_py()
+        table = group.drop_columns(["_part"])
     if sort_by is not None and sort_by in table.column_names:
         # deterministic row order inside the partition -> stable output
         table = table.take(pc.sort_indices(table[sort_by]))
@@ -110,39 +115,66 @@ def _manifest_schema_table(rows: list[dict]) -> pa.Table:
 def encode_dataset(ds, out_dir: str, key_col: str = "source",
                    id_col: str = "doc_id", weight_col: str | None = "n_tok",
                    weight_cap: int | None = None, resume: bool = True,
-                   sort_partitions_by: str | None = None) -> pa.Table:
+                   sort_partitions_by: str | None = None,
+                   exchange: str = "direct") -> pa.Table:
     """Run the full encode pipeline; returns the consolidated manifest
     table (one row per partition, including previously committed ones).
 
     ``sort_partitions_by`` defaults to ``id_col`` for deterministic,
-    resume-stable partition contents."""
+    resume-stable partition contents.
+
+    ``exchange`` selects the rebalance-shuffle implementation:
+
+    - ``"direct"`` (default): explicit partitioned hash exchange with
+      raw Ray tasks — one split task per input block fans rows out to
+      one object per (block, partition); one encode task per partition
+      fetches exactly its fragments. No sort comparisons, one
+      materialization round, encode parallelism = #partitions. This is
+      the documented drop-to-Ray-core case: Dataset's groupby shuffle
+      is a SORT exchange whose post-shuffle blocks coalesce many
+      groups per task, serializing the encode stage.
+    - ``"groupby"``: idiomatic ``groupby(_pid).map_groups`` — same
+      semantics, kept for parity/tests.
+    """
     os.makedirs(os.path.join(out_dir, PARTS_DIR), exist_ok=True)
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
     sort_by = id_col if sort_partitions_by is None else sort_partitions_by
 
     done = committed_parts(out_dir) if resume else {}
-    plan = build_plan(ds, key_col, id_col, weight_col, weight_cap)
-    done_keys = pa.array(sorted(done.keys()), type=pa.string())
+    # planning pass reads only key+weight columns (projection pushdown
+    # into the parquet read — never drag the token payload through the
+    # planning aggregate)
+    plan_cols = [key_col] + ([weight_col] if weight_col and weight_col != key_col else [])
+    plan = build_plan(ds.select_columns(plan_cols), key_col, id_col,
+                      weight_col, weight_cap)
+    pid_keys = plan.part_keys()
+    done_pids = pa.array(
+        [i for i, k in enumerate(pid_keys) if k in done], type=pa.int64()
+    )
 
     def assign(batch: pa.Table) -> pa.Table:
         out = assign_part_keys(batch, plan)
-        if len(done_keys):
-            keep = pc.invert(pc.is_in(out["_part"], value_set=done_keys))
+        if len(done_pids):
+            keep = pc.invert(pc.is_in(out["_pid"], value_set=done_pids))
             out = out.filter(keep)
         return out
 
-    encoded = (
-        ds.map_batches(assign, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(
-            lambda g: encode_group(g, out_dir, sort_by),
-            batch_format="pyarrow",
-        )
-    )
-    new_rows = encoded.to_arrow_refs()
     import ray
 
-    tables = [t for t in ray.get(new_rows)]
+    if exchange == "direct":
+        tables = _direct_exchange_encode(
+            ds, assign, plan, pid_keys, set(done), out_dir, sort_by
+        )
+    else:
+        encoded = (
+            ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("_pid")
+            .map_groups(
+                lambda g: encode_group(g, out_dir, sort_by, pid_keys),
+                batch_format="pyarrow",
+            )
+        )
+        tables = list(ray.get(encoded.to_arrow_refs()))
     all_rows = list(done.values())
     for t in tables:
         all_rows.extend(t.to_pylist())
@@ -151,12 +183,273 @@ def encode_dataset(ds, out_dir: str, key_col: str = "source",
     return manifest
 
 
+def _pin_arrow_threads() -> None:
+    """One Arrow compute thread per Ray task: each worker otherwise
+    spins up a hardware-concurrency-sized pool, and N workers x N
+    threads thrashes the node (measured 2-3x slowdown at 32 workers)."""
+    try:
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(2)
+    except Exception:
+        pass
+
+
+def _split_block(table: pa.Table, bucket_of_pid):
+    """Split one assigned block into per-BUCKET fragments; a bucket
+    bundles several partitions destined for one encode task. Returns a
+    list of ObjectRefs (None for empty buckets): fragments are
+    ``ray.put`` from inside the task — measured ~16x faster than the
+    task-return path for large payloads — and only the tiny ref list
+    travels back."""
+    import numpy as np
+    import ray
+
+    _pin_arrow_threads()
+    n_buckets = int(max(bucket_of_pid)) + 1 if len(bucket_of_pid) else 1
+    pids = table["_pid"].to_numpy(zero_copy_only=False)
+    buckets = np.asarray(bucket_of_pid)[pids]
+    out = [None] * n_buckets
+    order = np.argsort(buckets, kind="stable")
+    sorted_buckets = buckets[order]
+    bounds = np.searchsorted(sorted_buckets, np.arange(n_buckets + 1))
+    for b in range(n_buckets):
+        lo, hi = int(bounds[b]), int(bounds[b + 1])
+        if hi > lo:
+            # per-fragment take -> each fragment owns compact buffers
+            # (a slice view would serialize its whole parent block)
+            out[b] = ray.put(table.take(pa.array(order[lo:hi], type=pa.int64())))
+    return out
+
+
+def _encode_bucket(pid_keys: list[str], out_dir: str, sort_by: str | None,
+                   frag_refs) -> list[dict]:
+    """Encode every partition present in this bucket\'s fragments.
+    Fetches its fragments itself (refs passed as a plain list) so the
+    raylet resolves one dependency per task, not #splits."""
+    import numpy as np
+    import ray
+
+    _pin_arrow_threads()
+    frags = ray.get(list(frag_refs))
+    tables = [f for f in frags if f is not None]
+    if not tables:
+        return []
+    table = pa.concat_tables(tables).combine_chunks()
+    pids = table["_pid"].to_numpy(zero_copy_only=False)
+    rows = []
+    order = np.argsort(pids, kind="stable")
+    sorted_pids = pids[order]
+    uniq = np.unique(sorted_pids)
+    bounds = np.searchsorted(sorted_pids, uniq)
+    bounds = np.append(bounds, len(sorted_pids))
+    for i, pid in enumerate(uniq):
+        idx = order[bounds[i]: bounds[i + 1]]
+        part = table.take(pa.array(idx, type=pa.int64())).drop_columns(["_pid"])
+        if sort_by is not None and sort_by in part.column_names:
+            part = part.take(pc.sort_indices(part[sort_by]))
+        blob, row = encode_partition(part, pid_keys[int(pid)])
+        rows.append(commit_partition(out_dir, pid_keys[int(pid)], blob, row))
+    return rows
+
+
+def _split_many(refs_or_paths, bucket_of_pid, assign, columns=None):
+    """Split task body: fetch/read several input blocks or parquet
+    files, assign partition ids, emit one compact fragment per bucket.
+    Coarse inputs + bucketed outputs keep the object count at
+    #split_tasks x #buckets (~O(cores^2)) — the local object store is
+    the serial resource a fan-out must respect."""
+    import ray
+
+    _pin_arrow_threads()
+    tables = []
+    for item in refs_or_paths:
+        if isinstance(item, str):
+            import pyarrow.parquet as pq
+
+            tables.append(pq.read_table(item, columns=columns))
+        else:
+            tables.append(ray.get(item) if isinstance(item, ray.ObjectRef) else item)
+    table = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+    table = assign(table)
+    return _split_block(table, bucket_of_pid)
+
+
+def _group(items: list, n_groups: int) -> list[list]:
+    n_groups = max(1, min(n_groups, len(items)))
+    per = -(-len(items) // n_groups)
+    return [items[i: i + per] for i in range(0, len(items), per)]
+
+
+def _lpt_buckets(weights: list[int], n_buckets: int):
+    """Longest-processing-time assignment of partitions to encode
+    buckets -> (bucket_of_pid int64 array, n_buckets)."""
+    import heapq
+
+    import numpy as np
+
+    n = len(weights)
+    n_buckets = max(1, min(n_buckets, n))
+    heap = [(0, b) for b in range(n_buckets)]
+    heapq.heapify(heap)
+    bucket_of = np.zeros(n, dtype=np.int64)
+    for pid in sorted(range(n), key=lambda p: -weights[p]):
+        load, b = heapq.heappop(heap)
+        bucket_of[pid] = b
+        heapq.heappush(heap, (load + weights[pid], b))
+    return bucket_of, n_buckets
+
+
+def _run_direct_exchange(split_inputs: list[list], pid_keys: list[str],
+                         pid_weights: list[int], done: set, out_dir: str,
+                         sort_by: str | None, assign,
+                         columns=None) -> list[pa.Table]:
+    """Explicit partitioned hash exchange (see encode_dataset docstring).
+    On a multi-node cluster the same code runs unchanged: fragments are
+    plain object-store objects and Ray fetches them to wherever the
+    encode task is scheduled."""
+    import ray
+
+    if all(k in done for k in pid_keys):
+        return []
+    # encode-bucket count: >= 32 for balance, scaling with the cluster.
+    # Over-granular fan-out (buckets >> cores) measurably HURTS: the
+    # per-object store/scheduler overhead outweighs the parallelism.
+    bucket_of_pid, n_buckets = _lpt_buckets(
+        pid_weights, max(32, _avail_cpus())
+    )
+    split = ray.remote(_split_many)
+    split_refs = [
+        split.remote(group, bucket_of_pid, assign, columns)
+        for group in split_inputs
+    ]
+    # barrier: every bucket needs a fragment ref from every split task
+    frag_lists = ray.get(split_refs)
+    frag_cols = [
+        [fl[b] for fl in frag_lists if fl[b] is not None]
+        for b in range(n_buckets)
+    ]
+
+    enc = ray.remote(_encode_bucket)
+    result_refs = [
+        enc.remote(pid_keys, out_dir, sort_by, frag_cols[b])
+        for b in range(n_buckets)
+        if frag_cols[b]
+    ]
+    rows = [r for rs in ray.get(result_refs) for r in rs]
+    return [_manifest_schema_table(rows)]
+
+
+def _avail_cpus() -> int:
+    import ray
+
+    try:
+        return int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        return 8
+
+
+def _direct_exchange_encode(ds, assign, plan, pid_keys: list[str], done: set,
+                            out_dir: str, sort_by: str | None) -> list[pa.Table]:
+    block_refs = list(ds.to_arrow_refs())
+    groups = _group(block_refs, max(16, _avail_cpus() // 2))
+    return _run_direct_exchange(groups, pid_keys, plan.pid_weights(), done,
+                                out_dir, sort_by, assign)
+
+
 def _write_consolidated(out_dir: str, manifest: pa.Table) -> None:
     import pyarrow.parquet as pq
 
     tmp = os.path.join(out_dir, f"manifest.parquet.tmp.{os.getpid()}")
     pq.write_table(manifest, tmp)
     os.replace(tmp, os.path.join(out_dir, "manifest.parquet"))
+
+
+def encode_parquet(paths: list[str] | str, out_dir: str,
+                   key_col: str = "source", id_col: str = "doc_id",
+                   weight_col: str | None = "n_tok",
+                   weight_cap: int | None = None, resume: bool = True,
+                   sort_partitions_by: str | None = None) -> pa.Table:
+    """Parquet-source fast path of :func:`encode_dataset`: split tasks
+    read the shards directly (no intermediate block materialization),
+    and the planning pass reads only the key/weight columns per shard.
+    One split task per file group, one encode task per partition."""
+    import glob as _glob
+
+    import ray
+
+    if isinstance(paths, str):
+        if os.path.isdir(paths):
+            files = sorted(_glob.glob(os.path.join(paths, "*.parquet")))
+        else:
+            files = [paths]
+    else:
+        files = list(paths)
+    if not files:
+        raise FileNotFoundError(paths)
+
+    os.makedirs(os.path.join(out_dir, PARTS_DIR), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    sort_by = id_col if sort_partitions_by is None else sort_partitions_by
+    done = committed_parts(out_dir) if resume else {}
+
+    # planning pass: per-file partial aggregates over pruned columns
+    plan_cols = [key_col] + ([weight_col] if weight_col and weight_col != key_col else [])
+
+    @ray.remote
+    def file_partial(fs: list[str]) -> dict:
+        import pyarrow.parquet as pq
+
+        _pin_arrow_threads()
+        totals: dict[str, int] = {}
+        for f in fs:
+            t = pq.read_table(f, columns=plan_cols)
+            keys = t[key_col]
+            if not pa.types.is_string(keys.type):
+                keys = keys.cast(pa.string())
+            if weight_col is not None:
+                g = pa.table({"k": keys, "w": t[weight_col].cast(pa.int64())}) \
+                    .group_by("k").aggregate([("w", "sum")])
+                ks, ws = g["k"].to_pylist(), g["w_sum"].to_pylist()
+            else:
+                g = pa.table({"k": keys}).group_by("k").aggregate([("k", "count")])
+                ks, ws = g["k"].to_pylist(), g["k_count"].to_pylist()
+            for k, w in zip(ks, ws):
+                totals[k] = totals.get(k, 0) + int(w)
+        return totals
+
+    from ..constants import DEFAULT_PART_ROW_CAP, DEFAULT_PART_TOKEN_CAP
+
+    cap = weight_cap or (
+        DEFAULT_PART_TOKEN_CAP if weight_col is not None else DEFAULT_PART_ROW_CAP
+    )
+    groups = _group(files, max(16, _avail_cpus() // 2))
+    totals: dict[str, int] = {}
+    for part in ray.get([file_partial.remote(g) for g in groups]):
+        for k, w in part.items():
+            totals[k] = totals.get(k, 0) + w
+    plan = Plan({k: max(1, -(-w // cap)) for k, w in totals.items()},
+                key_col, id_col, cap, source_weights=totals)
+    pid_keys = plan.part_keys()
+    done_pids = pa.array(
+        [i for i, k in enumerate(pid_keys) if k in done], type=pa.int64()
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        out = assign_part_keys(batch, plan)
+        if len(done_pids):
+            keep = pc.invert(pc.is_in(out["_pid"], value_set=done_pids))
+            out = out.filter(keep)
+        return out
+
+    tables = _run_direct_exchange(groups, pid_keys, plan.pid_weights(),
+                                  set(done), out_dir, sort_by, assign)
+    all_rows = list(done.values())
+    for t in tables:
+        all_rows.extend(t.to_pylist())
+    manifest = _manifest_schema_table(sorted(all_rows, key=lambda r: r["part_key"]))
+    _write_consolidated(out_dir, manifest)
+    return manifest
 
 
 def load_manifest(out_dir: str) -> pa.Table:

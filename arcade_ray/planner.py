@@ -31,6 +31,16 @@ class Plan:
     key_col: str            # e.g. "source"
     id_col: str             # bucket-hash column, e.g. "doc_id"
     weight_cap: int
+    source_weights: dict[str, int] | None = None
+
+    def pid_weights(self) -> list[int]:
+        """Estimated weight per partition id (source weight spread over
+        its hash buckets) — drives LPT packing of encode buckets."""
+        out = []
+        for src, nb in sorted(self.buckets_per_source.items()):
+            w = (self.source_weights or {}).get(src, 1)
+            out.extend([max(1, w // nb)] * nb)
+        return out
 
     def part_keys(self) -> list[str]:
         return [
@@ -39,33 +49,54 @@ class Plan:
             for b in range(nb)
         ]
 
+    def pid_base(self) -> dict[str, int]:
+        """source -> first integer partition id (pids are dense ints —
+        the shuffle key is an int64, far cheaper to sort/exchange than
+        the composite string key)."""
+        base, out = 0, {}
+        for src, nb in sorted(self.buckets_per_source.items()):
+            out[src] = base
+            base += nb
+        return out
+
+    def pid_to_key(self) -> list[str]:
+        return self.part_keys()
+
 
 def build_plan(ds, key_col: str, id_col: str, weight_col: str | None = None,
                weight_cap: int | None = None) -> Plan:
-    """Planning aggregate: per-source row count + weight sum (the one
-    small barrier), collected to the driver.
+    """Planning aggregate: per-source row count + weight sum, computed
+    as per-batch PARTIAL aggregates merged on the driver — one streaming
+    pass, no shuffle (pre-aggregation pattern; the partial output is one
+    row per source per batch, tiny). ``ds`` is a ray.data.Dataset."""
+    cap = weight_cap or (
+        DEFAULT_PART_TOKEN_CAP if weight_col is not None else DEFAULT_PART_ROW_CAP
+    )
 
-    ``ds`` is a ray.data.Dataset. The aggregate output is tiny (one row
-    per source) — safe to materialize."""
-    from ray.data.aggregate import Count, Sum
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col]
+        if not pa.types.is_string(keys.type):
+            keys = keys.cast(pa.string())
+        if weight_col is not None:
+            g = pa.table({"k": keys, "w": batch[weight_col].cast(pa.int64())}) \
+                .group_by("k").aggregate([("w", "sum")])
+            return pa.table({"k": g["k"], "w": g["w_sum"]})
+        g = pa.table({"k": keys}).group_by("k").aggregate([("k", "count")])
+        return pa.table({"k": g["k"], "w": g["k_count"].cast(pa.int64())})
 
-    aggs = [Count(alias_name="n_rows")]
-    if weight_col is not None:
-        aggs.append(Sum(weight_col, alias_name="weight"))
-        cap = weight_cap or DEFAULT_PART_TOKEN_CAP
-    else:
-        cap = weight_cap or DEFAULT_PART_ROW_CAP
-    stats = ds.groupby(key_col).aggregate(*aggs).to_pandas()
-    buckets = {}
-    for _, row in stats.iterrows():
-        weight = int(row["weight"]) if weight_col is not None else int(row["n_rows"])
-        buckets[str(row[key_col])] = max(1, -(-weight // cap))
-    return Plan(buckets, key_col, id_col, cap)
+    partials = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    totals: dict[str, int] = {}
+    for row in partials:
+        totals[row["k"]] = totals.get(row["k"], 0) + int(row["w"])
+    buckets = {k: max(1, -(-w // cap)) for k, w in totals.items()}
+    return Plan(buckets, key_col, id_col, cap, source_weights=totals)
 
 
 def assign_part_keys(batch: pa.Table, plan: Plan) -> pa.Table:
-    """Stateless map_batches stage: add the deterministic ``_part``
-    column ``{source}#{hash(id) % n_buckets:04d}``."""
+    """Stateless map_batches stage: add the deterministic ``_pid``
+    int64 column (dense partition id = pid_base[source] +
+    hash(id) % n_buckets). Partition ids, not strings, travel through
+    the shuffle."""
     src = batch[plan.key_col].combine_chunks()
     if not pa.types.is_string(src.type):
         src = src.cast(pa.string())
@@ -73,9 +104,10 @@ def assign_part_keys(batch: pa.Table, plan: Plan) -> pa.Table:
     uniq = denc.dictionary.to_pylist()  # small: one entry per source in batch
     nb_map = np.array([plan.buckets_per_source.get(u, 1) for u in uniq],
                       dtype=np.uint64)
+    base = plan.pid_base()
+    base_map = np.array([base.get(u, 0) for u in uniq], dtype=np.int64)
     codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     h = hash_column(batch[plan.id_col])
     bucket = (h % nb_map[codes]).astype(np.int64)
-    padded = pc.utf8_lpad(pc.cast(pa.array(bucket), pa.string()), 4, "0")
-    part = pc.binary_join_element_wise(src, padded, "#")
-    return batch.append_column("_part", part)
+    pid = base_map[codes] + bucket
+    return batch.append_column("_pid", pa.array(pid, type=pa.int64()))

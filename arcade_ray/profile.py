@@ -35,15 +35,22 @@ def profile_int(vals: np.ndarray) -> IntProfile:
     n = len(vals)
     if n == 0:
         return IntProfile(0, 0, 0, 0, 0, np.empty(0, np.int64), np.empty(0, np.int64))
-    unique = np.unique(vals)
+    vmin, vmax = int(vals.min()), int(vals.max())
+    span = vmax - vmin
+    if span <= max(65536, 4 * n):
+        # narrow range: distinct set via bincount — O(n + span), no sort
+        counts = np.bincount((vals - vmin).astype(np.int64), minlength=span + 1)
+        unique = (np.flatnonzero(counts) + vmin).astype(np.int64)
+    else:
+        unique = np.unique(vals)
     change = np.empty(n, dtype=bool)
     change[0] = True
     np.not_equal(vals[1:], vals[:-1], out=change[1:])
     run_starts = np.flatnonzero(change)
     return IntProfile(
         n=n,
-        vmin=int(unique[0]),
-        vmax=int(unique[-1]),
+        vmin=vmin,
+        vmax=vmax,
         n_distinct=len(unique),
         n_runs=len(run_starts),
         unique=unique,

@@ -1,0 +1,199 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + BASELINE.md procedure).
+
+Headline: encode throughput (tokens/sec) and compressed bytes/token on
+the pre-tokenized synthetic corpus (FIXTURES.md 'bench' scale) through
+the full pipeline (read parquet -> plan -> rebalance shuffle ->
+adaptive encode -> atomic commit). Secondary queries time the decode
+round trip and the operator surface over $GRAFT_SF_DIR tables.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N,
+   "tokens_per_s": ..., "bytes_per_token": ...}
+
+--scaling: runs the headline twice in fresh processes at
+RAY_GRAFT_CPUS=8 and 32 (the sandbox stand-in for N vs 4N nodes,
+BASELINE.md §3) and reports throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_DIR = "/tmp/arcade_bench"
+CORPUS_ROWS = int(os.environ.get("ARCADE_BENCH_ROWS", "500000"))
+CORPUS_SOURCES = 64
+
+
+CORPUS_FILES = 32  # parallel read shards — one read task per file
+
+
+def ensure_corpus() -> tuple[str, int]:
+    """Deterministic bench corpus (seed 42) as a directory of parquet
+    shards (parallel read); cached."""
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    path = os.path.join(BENCH_DIR, f"corpus-{CORPUS_ROWS}")
+    meta = path + ".meta.json"
+    if os.path.isdir(path) and os.path.exists(meta):
+        with open(meta) as f:
+            return path, json.load(f)["n_tokens"]
+    import pyarrow.parquet as pq
+
+    from arcade_ray.corpus import generate_corpus
+
+    table = generate_corpus(CORPUS_ROWS, CORPUS_SOURCES, seed=42)
+    n_tokens = int(sum(table["n_tok"].to_pandas()))
+    tmp = path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    per = -(-table.num_rows // CORPUS_FILES)
+    for i in range(CORPUS_FILES):
+        part = table.slice(i * per, per)
+        if part.num_rows:
+            pq.write_table(part, os.path.join(tmp, f"part-{i:04d}.parquet"),
+                           row_group_size=16384)
+    os.replace(tmp, path)
+    with open(meta, "w") as f:
+        json.dump({"n_tokens": n_tokens, "rows": CORPUS_ROWS}, f)
+    return path, n_tokens
+
+
+def run_bench(num_cpus: int, sf_dir: str) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    import pyarrow as pa
+
+    from arcade_ray.pipeline import decode_dataset, encode_dataset
+    from arcade_ray.pipeline.encode import encode_parquet
+    from arcade_ray.pipeline.query import equi_filter, scan
+
+    corpus_path, n_tokens = ensure_corpus()
+    # warm page cache AND workers (untimed full mini-run) so we measure
+    # compute+exchange, not cold disk or worker startup
+    rd.read_parquet(corpus_path).count()
+    enc_dir = os.path.join(BENCH_DIR, f"enc-{num_cpus}")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    encode_parquet(sorted(__import__("glob").glob(os.path.join(corpus_path, "*.parquet")))[:2],
+                   enc_dir)
+
+    queries: dict[str, float] = {}
+
+    # headline: full encode pipeline, fresh output dir
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    manifest = encode_parquet(corpus_path, enc_dir)
+    t_encode = time.perf_counter() - t0
+    enc_bytes = sum(manifest["enc_bytes"].to_pylist())
+    raw_bytes = sum(manifest["raw_bytes"].to_pylist())
+    queries["encode_corpus"] = round(t_encode, 3)
+
+    # decode round trip (streaming consume)
+    t0 = time.perf_counter()
+    n = decode_dataset(enc_dir).count()
+    queries["decode_corpus"] = round(time.perf_counter() - t0, 3)
+    assert n == CORPUS_ROWS, (n, CORPUS_ROWS)
+
+    # equi-filter on encoded corpus (code-domain compare + zone maps)
+    t0 = time.perf_counter()
+    flt = equi_filter(enc_dir, "source", "src-003",
+                      project=["source", "doc_id", "n_tok"]).count()
+    queries["equi_filter_encoded"] = round(time.perf_counter() - t0, 3)
+
+    # operator surface over $GRAFT_SF_DIR tables
+    if os.path.isdir(sf_dir):
+        from ray.data.aggregate import Count, Sum
+
+        t0 = time.perf_counter()
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["source", "n_chars"]) \
+            .groupby("source").aggregate(
+                Count(alias_name="n_rows"), Sum("n_chars", alias_name="sum_chars")
+            ).to_pandas()
+        queries["plan_stats"] = round(time.perf_counter() - t0, 3)
+
+        doc_enc = os.path.join(BENCH_DIR, f"docs-{num_cpus}")
+        shutil.rmtree(doc_enc, ignore_errors=True)
+        t0 = time.perf_counter()
+        m2 = encode_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            doc_enc, key_col="source", id_col="doc_id", weight_col="n_chars",
+            weight_cap=2_000_000,
+        )
+        queries["encode_documents"] = round(time.perf_counter() - t0, 3)
+
+    return {
+        "metric": "corpus encode wall-clock (tokens/s headline)",
+        "value": round(t_encode, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "rows": CORPUS_ROWS,
+        "n_tokens": n_tokens,
+        "tokens_per_s": round(n_tokens / t_encode),
+        "bytes_per_token": round(enc_bytes / n_tokens, 4),
+        "raw_bytes": raw_bytes,
+        "enc_bytes": enc_bytes,
+        "compression_ratio": round(enc_bytes / raw_bytes, 4),
+        "filter_matches": flt,
+    }
+
+
+def run_child(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)], env=env,
+        capture_output=True, text=True, check=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        ensure_corpus()  # generate once, outside both timed runs
+        # N vs 4N CPUs in fresh processes (BASELINE.md §3). Default 2/8:
+        # the sandbox host is multi-tenant and >8-worker runs see
+        # bimodal CPU steal; 2 vs 8 isolates OUR scaling behavior.
+        lo = int(os.environ.get("ARCADE_SCALE_LO", "2"))
+        hi = int(os.environ.get("ARCADE_SCALE_HI", str(4 * lo)))
+        r_lo = run_child(lo)
+        time.sleep(6)  # let the previous Ray cluster fully tear down
+        r_hi = run_child(hi)
+        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        print(json.dumps({
+            f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
+            f"tokens_per_s_{lo}": r_lo["tokens_per_s"],
+            f"tokens_per_s_{hi}": r_hi["tokens_per_s"],
+            "cpus_lo": lo, "cpus_hi": hi,
+            "scaling_efficiency": round(eff, 3),
+            "n_tokens": r_lo["n_tokens"],
+        }))
+        return
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    result = run_bench(num_cpus, sf_dir)
+    print(json.dumps(result))
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
