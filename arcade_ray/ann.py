@@ -1,0 +1,198 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``topk_cosine``   — brute-force cosine top-k: per-batch numpy matmul
+  against a broadcast query matrix (``ray.put`` once, fetched per
+  actor), per-batch partial top-k rows, tiny driver merge. The exact
+  baseline.
+- ``lsh_topk_cosine`` — random-hyperplane LSH variant: vectors hash to
+  sign-pattern buckets (one map_batches pass); only bucket-colliding
+  (and near-colliding, multi-probe) vectors are scored. The scale path:
+  candidate scoring cost drops from O(N x Q) to O(bucket x Q).
+
+Scale notes: the query matrix is broadcast via ``ray.put`` (read once
+per actor via __init__, never re-shipped per batch); partial top-k per
+batch means the driver merge handles #batches x Q x k tiny rows, never
+the embeddings.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+
+def _pool_size(concurrency: int | None) -> int:
+    """Actor-pool size leaving >=1 CPU for the upstream read stage — a
+    pool reserving every CPU deadlocks the pipeline."""
+    if concurrency is not None:
+        return concurrency
+    import ray
+
+    avail = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(1, min(8, avail - 1))
+
+
+def _to_matrix(col: pa.ChunkedArray) -> np.ndarray:
+    arr = col.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class _ScoreBatch:
+    """Actor: fetches the broadcast query matrix once (__init__)."""
+
+    def __init__(self, query_ref, id_col: str, vec_col: str, k: int):
+        import ray
+
+        q = ray.get(query_ref)
+        self.qids = q["ids"]
+        self.qmat = _normalize(q["mat"])
+        self.id_col, self.vec_col, self.k = id_col, vec_col, k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(_to_matrix(batch[self.vec_col]))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        scores = mat @ self.qmat.T  # (n, Q)
+        k = min(self.k, len(ids))
+        out = {"query_id": [], self.id_col: [], "cos": []}
+        if k:
+            top = np.argpartition(-scores, k - 1, axis=0)[:k]
+            for qi in range(scores.shape[1]):
+                rows = top[:, qi]
+                out["query_id"].extend([self.qids[qi]] * len(rows))
+                out[self.id_col].extend(ids[rows].tolist())
+                out["cos"].extend(scores[rows, qi].tolist())
+        return pa.table({
+            "query_id": pa.array(out["query_id"], type=pa.int64()),
+            self.id_col: pa.array(out[self.id_col], type=pa.int64()),
+            "cos": pa.array(out["cos"], type=pa.float64()),
+        })
+
+
+def topk_cosine(ds, queries_ids: list[int], queries_mat: np.ndarray,
+                k: int = 10, id_col: str = "vec_id",
+                vec_col: str = "embedding",
+                concurrency: int | None = None) -> pa.Table:
+    """Exact cosine top-k of each query over the dataset. Returns an
+    Arrow table (query_id, id_col, cos) with exactly k rows per query,
+    ties broken by ascending id (deterministic)."""
+    import ray
+
+    query_ref = ray.put({"ids": list(queries_ids), "mat": queries_mat})
+    partials = ds.map_batches(
+        _ScoreBatch, batch_format="pyarrow",
+        fn_constructor_args=(query_ref, id_col, vec_col, k),
+        concurrency=_pool_size(concurrency),
+    )
+    merged = pa.concat_tables(ray.get(partials.to_arrow_refs()))
+    # driver merge: tiny (#batches x Q x k rows)
+    out = {"query_id": [], id_col: [], "cos": []}
+    qids = merged["query_id"].to_numpy(zero_copy_only=False)
+    vids = merged[id_col].to_numpy(zero_copy_only=False)
+    cos = merged["cos"].to_numpy(zero_copy_only=False)
+    for q in sorted(set(queries_ids)):
+        mask = qids == q
+        # sort by (-cos, id) for deterministic ties
+        order = np.lexsort((vids[mask], -cos[mask]))[:k]
+        out["query_id"].extend([q] * len(order))
+        out[id_col].extend(vids[mask][order].tolist())
+        out["cos"].extend(cos[mask][order].tolist())
+    return pa.table({
+        "query_id": pa.array(out["query_id"], type=pa.int64()),
+        id_col: pa.array(out[id_col], type=pa.int64()),
+        "cos": pa.array(out["cos"], type=pa.float64()),
+    })
+
+
+def lsh_topk_cosine(ds, queries_ids: list[int], queries_mat: np.ndarray,
+                    k: int = 10, n_planes: int = 12, probe_bits: int = 2,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    seed: int = 42, concurrency: int | None = None) -> pa.Table:
+    """Approximate top-k: random-hyperplane signatures; score only
+    vectors whose signature is within ``probe_bits`` of a query's
+    (multi-probe). Recall measured against topk_cosine in tests."""
+    import ray
+
+    qmat = _normalize(np.asarray(queries_mat, dtype=np.float64))
+    dim = qmat.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    qsig = (qmat @ planes.T > 0).astype(np.uint32)
+    qsig = (qsig << np.arange(n_planes, dtype=np.uint32)).sum(axis=1)
+    # expand each query signature to all signatures within probe_bits
+    probe_sets = []
+    for s in qsig:
+        sigs = {int(s)}
+        frontier = {int(s)}
+        for _ in range(probe_bits):
+            nxt = set()
+            for f in frontier:
+                for b in range(n_planes):
+                    nxt.add(f ^ (1 << b))
+            sigs |= nxt
+            frontier = nxt
+        probe_sets.append(sigs)
+    allowed = sorted(set().union(*probe_sets)) if probe_sets else []
+    allowed_arr = np.array(allowed, dtype=np.uint32)
+
+    query_ref = ray.put({
+        "ids": list(queries_ids), "mat": qmat, "planes": planes,
+        "allowed": allowed_arr,
+    })
+
+    class ScoreLSH:
+        def __init__(self):
+            q = ray.get(query_ref)
+            self.qids, self.qmat = q["ids"], q["mat"]
+            self.planes, self.allowed = q["planes"], q["allowed"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _normalize(_to_matrix(batch[vec_col]))
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            sig = (mat @ self.planes.T > 0).astype(np.uint32)
+            sig = (sig << np.arange(self.planes.shape[0], dtype=np.uint32)).sum(axis=1)
+            cand = np.isin(sig, self.allowed)
+            mat, ids = mat[cand], ids[cand]
+            out = {"query_id": [], id_col: [], "cos": []}
+            if len(ids):
+                scores = mat @ self.qmat.T
+                kk = min(k, len(ids))
+                top = np.argpartition(-scores, kk - 1, axis=0)[:kk]
+                for qi in range(scores.shape[1]):
+                    rows = top[:, qi]
+                    out["query_id"].extend([self.qids[qi]] * len(rows))
+                    out[id_col].extend(ids[rows].tolist())
+                    out["cos"].extend(scores[rows, qi].tolist())
+            return pa.table({
+                "query_id": pa.array(out["query_id"], type=pa.int64()),
+                id_col: pa.array(out[id_col], type=pa.int64()),
+                "cos": pa.array(out["cos"], type=pa.float64()),
+            })
+
+    partials = ds.map_batches(ScoreLSH, batch_format="pyarrow",
+                              concurrency=_pool_size(concurrency))
+    merged = pa.concat_tables(ray.get(partials.to_arrow_refs()))
+    out = {"query_id": [], id_col: [], "cos": []}
+    qids = merged["query_id"].to_numpy(zero_copy_only=False)
+    vids = merged[id_col].to_numpy(zero_copy_only=False)
+    cos = merged["cos"].to_numpy(zero_copy_only=False)
+    for q in sorted(set(queries_ids)):
+        mask = qids == q
+        order = np.lexsort((vids[mask], -cos[mask]))[:k]
+        out["query_id"].extend([q] * len(order))
+        out[id_col].extend(vids[mask][order].tolist())
+        out["cos"].extend(cos[mask][order].tolist())
+    return pa.table({
+        "query_id": pa.array(out["query_id"], type=pa.int64()),
+        id_col: pa.array(out[id_col], type=pa.int64()),
+        "cos": pa.array(out["cos"], type=pa.float64()),
+    })

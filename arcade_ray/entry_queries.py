@@ -13,6 +13,7 @@ from __future__ import annotations
 import hashlib
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -149,6 +150,107 @@ def q_compression_metrics(sf_dir: str) -> pa.Table:
     )
 
 
+# --- training-data pipeline operators (dedup / text analysis / ANN) --------
+
+def _docs_ds(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+
+def q_exact_dedup(sf_dir: str) -> pa.Table:
+    from .textops import exact_dedup
+
+    out = exact_dedup(_docs_ds(sf_dir))
+    return _collect(out.select_columns(["doc_id", "text"]))
+
+
+_ANALYZE_CACHE: dict[str, pa.Table] = {}
+
+
+def _analyzed(sf_dir: str) -> pa.Table:
+    """One analyze_text pass per sf_dir, shared by the four analysis
+    queries (the actor pool is the expensive part)."""
+    if sf_dir not in _ANALYZE_CACHE:
+        from .textops import analyze_text
+
+        _ANALYZE_CACHE[sf_dir] = _collect(analyze_text(_docs_ds(sf_dir)))
+    return _ANALYZE_CACHE[sf_dir]
+
+
+def q_token_count(sf_dir: str) -> pa.Table:
+    return _analyzed(sf_dir).select(["doc_id", "word_count"])
+
+
+def q_fingerprint(sf_dir: str) -> pa.Table:
+    return _analyzed(sf_dir).select(["doc_id", "fingerprint"])
+
+
+def q_lang_id(sf_dir: str) -> pa.Table:
+    """n-gram-heuristic language id (rows-only: no SQL equivalent)."""
+    return _analyzed(sf_dir).select(["doc_id", "pred_lang"])
+
+
+def q_quality_scores(sf_dir: str) -> pa.Table:
+    """Quality signals (rows-only)."""
+    return _analyzed(sf_dir).select(
+        ["doc_id", "punct_ratio", "stopword_ratio", "mean_word_len"])
+
+
+def q_minhash_pairs(sf_dir: str) -> pa.Table:
+    """MinHash-LSH near-duplicate pairs (rows-only)."""
+    from .textops import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(_docs_ds(sf_dir), jaccard_threshold=0.7)
+    return _collect(out)
+
+
+def q_simhash_pairs(sf_dir: str) -> pa.Table:
+    """SimHash near-duplicate pairs (rows-only)."""
+    from .textops import simhash_pairs
+
+    out = simhash_pairs(_docs_ds(sf_dir), max_hamming=3)
+    return _collect(out)
+
+
+ANN_K = 10
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def q_ann_topk(sf_dir: str) -> pa.Table:
+    """Brute-force cosine top-k vs broadcast query matrix."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .ann import topk_cosine
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qtab = pq.read_table(path, filters=[("vec_id", "in", ANN_QUERY_IDS)])
+    qmat = np.array([r for r in qtab["embedding"].to_pylist()], dtype=np.float64)
+    qids = qtab["vec_id"].to_pylist()
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    res = topk_cosine(ds, qids, qmat, k=ANN_K)
+    cos = pc.round(res["cos"], 4)
+    return res.set_column(res.schema.get_field_index("cos"), "cos", cos)
+
+
+def q_ann_topk_lsh(sf_dir: str) -> pa.Table:
+    """LSH-bucketed approximate variant (rows-only; recall tested in
+    tests/test_ann.py)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .ann import lsh_topk_cosine
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qtab = pq.read_table(path, filters=[("vec_id", "in", ANN_QUERY_IDS)])
+    qmat = np.array([r for r in qtab["embedding"].to_pylist()], dtype=np.float64)
+    qids = qtab["vec_id"].to_pylist()
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    return lsh_topk_cosine(ds, qids, qmat, k=ANN_K, n_planes=8, probe_bits=2)
+
+
 QUERIES = {
     "scan_project": q_scan_project,
     "equi_filter": q_equi_filter,
@@ -162,6 +264,15 @@ QUERIES = {
     "roundtrip_embeddings": q_roundtrip_embeddings,
     "filter_lang": q_filter_lang,
     "compression_metrics": q_compression_metrics,
+    "exact_dedup": q_exact_dedup,
+    "token_count": q_token_count,
+    "fingerprint": q_fingerprint,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "ann_topk": q_ann_topk,
+    "ann_topk_lsh": q_ann_topk_lsh,
 }
 
 _IDS_SQL = ", ".join(str(i) for i in LOOKUP_IDS)
@@ -178,5 +289,19 @@ ORACLE_SQL = {
     "roundtrip_events": "SELECT * FROM events",
     "roundtrip_embeddings": "SELECT * FROM embeddings",
     "filter_lang": "SELECT doc_id, lang, source FROM documents WHERE lang = 'en'",
-    # compression_metrics: intentionally no oracle (engine-internal lineage)
+    "exact_dedup": "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+    "token_count": ("SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)"
+                    " AS word_count FROM documents"),
+    "fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+    "ann_topk": (
+        "SELECT q.vec_id AS query_id, e.vec_id, "
+        "round(list_cosine_similarity(e.embedding, q.embedding), 4) AS cos "
+        "FROM embeddings e, embeddings q WHERE q.vec_id IN (0,1,2,3,4) "
+        "QUALIFY row_number() OVER (PARTITION BY q.vec_id "
+        "ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id) <= 10"
+    ),
+    # compression_metrics, lang_id, quality_scores, minhash_pairs,
+    # simhash_pairs, ann_topk_lsh: intentionally no oracle (engine-side
+    # semantics with no exact SQL equivalent -> driver rows-only check;
+    # each has a planted-answer test in tests/)
 }

@@ -1,0 +1,75 @@
+"""Similarity search: exact brute-force correctness vs numpy oracle,
+LSH variant recall vs the exact baseline."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from arcade_ray.ann import _normalize, lsh_topk_cosine, topk_cosine
+
+N, DIM = 500, 32
+
+
+def make_embeddings():
+    rng = np.random.default_rng(42)
+    mat = rng.standard_normal((N, DIM)).astype(np.float32)
+    # plant: vector 100 nearly equals vector 7
+    mat[100] = mat[7] + 0.01 * rng.standard_normal(DIM).astype(np.float32)
+    return pa.table({
+        "vec_id": pa.array(np.arange(N), type=pa.int64()),
+        "embedding": pa.array([row.tolist() for row in mat],
+                              type=pa.list_(pa.float32())),
+    }), mat
+
+
+@pytest.fixture(scope="module")
+def emb(ray_session):
+    import ray.data as rd
+
+    table, mat = make_embeddings()
+    return rd.from_arrow(table), mat
+
+
+def numpy_topk(mat, qids, k):
+    m = _normalize(mat.astype(np.float64))
+    out = {}
+    for q in qids:
+        scores = m @ m[q]
+        order = np.lexsort((np.arange(len(m)), -scores))[:k]
+        out[q] = list(order)
+    return out
+
+def test_topk_exact_matches_numpy(emb):
+    ds, mat = emb
+    qids = [0, 7, 250]
+    res = topk_cosine(ds, qids, mat[qids], k=5)
+    expect = numpy_topk(mat, qids, 5)
+    got = {}
+    for q in qids:
+        sel = res.filter(pa.compute.equal(res["query_id"], q))
+        got[q] = sel["vec_id"].to_pylist()
+    assert got == expect
+    # planted near-dup: vector 100 in top-2 of query 7
+    assert 100 in got[7][:2]
+
+
+def test_lsh_recall(emb):
+    ds, mat = emb
+    qids = [0, 7, 250]
+    exact = topk_cosine(ds, qids, mat[qids], k=10)
+    approx = lsh_topk_cosine(ds, qids, mat[qids], k=10, n_planes=8,
+                             probe_bits=3)
+    recalls = []
+    for q in qids:
+        e = set(exact.filter(pa.compute.equal(exact["query_id"], q))["vec_id"].to_pylist())
+        a = set(approx.filter(pa.compute.equal(approx["query_id"], q))["vec_id"].to_pylist())
+        recalls.append(len(e & a) / len(e))
+    # random gaussian corpora have near-orthogonal "neighbors" — modest
+    # recall is expected; the PLANTED near-dup must always be found
+    assert np.mean(recalls) >= 0.5, recalls
+    a7 = approx.filter(pa.compute.equal(approx["query_id"], 7))["vec_id"].to_pylist()
+    assert 100 in a7
+    # the query vector itself always survives LSH (identical signature)
+    for q in qids:
+        a = approx.filter(pa.compute.equal(approx["query_id"], q))["vec_id"].to_pylist()
+        assert q in a
