@@ -1,0 +1,81 @@
+"""Streaming encoder actor pool + cached decoder actor."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from arcade_ray.corpus import generate_corpus
+from arcade_ray.pipeline.decode import decode_dataset
+from arcade_ray.pipeline.streaming import (
+    CachedDecoderActor,
+    _StreamingEncoderState,
+    encode_streaming,
+    lookup_service,
+)
+
+
+def test_streaming_state_unit(tmp_path):
+    """Actor body without Ray: buffering, cap-triggered commits, flush."""
+    import os
+
+    out = str(tmp_path / "enc")
+    os.makedirs(out + "/parts"), os.makedirs(out + "/manifest")
+    st = _StreamingEncoderState(out, 0, weight_cap=50_000)
+    table = generate_corpus(3000, 4, seed=3)
+    for lo in range(0, 3000, 500):
+        st.add(table.slice(lo, 500))
+    rows = st.flush()
+    assert sum(r["rows"] for r in rows) == 3000
+    # cap forced multiple partitions for the hot source
+    keys = [r["part_key"] for r in rows]
+    assert len(keys) == len(set(keys))
+    assert any("#0001" in k for k in keys)
+
+
+def test_streaming_roundtrip(ray_session, tmp_path):
+    import ray
+    import ray.data as rd
+
+    table = generate_corpus(8000, 6, seed=11)
+    out_dir = str(tmp_path / "enc")
+    manifest = encode_streaming(rd.from_arrow(table), out_dir,
+                                weight_cap=100_000, n_actors=3)
+    assert sum(manifest["rows"].to_pylist()) == 8000
+    decoded = pa.concat_tables(ray.get(decode_dataset(out_dir).to_arrow_refs()))
+    a = decoded.take(pc.sort_indices(decoded["doc_id"]))
+    b = table.take(pc.sort_indices(table["doc_id"]))
+    for name in table.schema.names:
+        assert a[name].combine_chunks().equals(
+            b[name].combine_chunks().cast(a[name].type)), name
+
+
+def test_cached_decoder_lru(ray_session, tmp_path):
+    import ray
+    import ray.data as rd
+
+    from arcade_ray.pipeline import encode_dataset
+
+    table = generate_corpus(5000, 4, seed=5)
+    out_dir = str(tmp_path / "enc")
+    encode_dataset(rd.from_arrow(table), out_dir, weight_cap=100_000)
+
+    dec = CachedDecoderActor(out_dir, columns=["doc_id", "source"],
+                             max_cached=64)
+    ids = [table["doc_id"][i].as_py() for i in (0, 10, 4999)]
+    out1 = dec(pa.table({"id": pa.array(ids)}))
+    assert set(out1["doc_id"].to_pylist()) == set(ids)
+    m0 = dec.misses
+    out2 = dec(pa.table({"id": pa.array(ids)}))
+    assert dec.misses == m0  # second call fully cache-served
+    assert dec.hits > 0
+
+    # bounded LRU actually evicts
+    small = CachedDecoderActor(out_dir, columns=["doc_id"], max_cached=2)
+    small(pa.table({"id": pa.array(ids)}))
+    assert len(small.cache) <= 2
+
+    # pool-served variant
+    qds = rd.from_items([{"id": i} for i in ids])
+    res = lookup_service(out_dir, qds, columns=["doc_id", "n_tok"]).to_pandas()
+    assert set(res["doc_id"]) == set(ids)
