@@ -1,0 +1,185 @@
+"""CLI — the Ray-native counterpart of the reference runner's
+C/F/S/R commands (src/runner.cpp:151-178, README.md:101-108):
+
+    python -m arcade_ray.cli compress  IN.parquet|dir OUT_DIR [opts]
+    python -m arcade_ray.cli scan      OUT_DIR [--columns a,b] [--out d]
+    python -m arcade_ray.cli filter    OUT_DIR COL VALUE [--project a,b]
+    python -m arcade_ray.cli random-access OUT_DIR 1,5,99 [--columns a,b]
+    python -m arcade_ray.cli stats     OUT_DIR
+
+The CLI owns the Ray session (library code never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def _cols(s: str | None) -> list[str] | None:
+    return s.split(",") if s else None
+
+
+def cmd_compress(args) -> None:
+    from .pipeline.encode import encode_parquet
+
+    t0 = time.perf_counter()
+    manifest = encode_parquet(
+        args.input, args.out_dir, key_col=args.key_col, id_col=args.id_col,
+        weight_col=args.weight_col or None, weight_cap=args.cap,
+        resume=not args.no_resume,
+    )
+    dt = time.perf_counter() - t0
+    rows = sum(manifest["rows"].to_pylist())
+    enc = sum(manifest["enc_bytes"].to_pylist())
+    raw = sum(manifest["raw_bytes"].to_pylist())
+    print(f"Compressed {rows} rows into {manifest.num_rows} partitions "
+          f"({enc} B, ratio {enc / max(raw, 1):.3f}) in {dt:.2f} s")
+
+
+def cmd_scan(args) -> None:
+    from .pipeline.query import scan
+
+    t0 = time.perf_counter()
+    ds = scan(args.out_dir, columns=_cols(args.columns))
+    if args.out:
+        ds.write_parquet(args.out)
+        print(f"Scanned -> {args.out} in {time.perf_counter() - t0:.2f} s")
+    else:
+        n = 0
+        for batch in ds.iter_batches(batch_format="pyarrow"):
+            n += batch.num_rows
+            if args.show and n <= args.show:
+                print(batch.slice(0, min(args.show, batch.num_rows)).to_pandas())
+        print(f"Returned {n} rows in {time.perf_counter() - t0:.2f} s")
+
+
+def cmd_filter(args) -> None:
+    from .pipeline.query import equi_filter
+
+    value: object = args.value
+    try:
+        value = int(args.value)
+    except ValueError:
+        pass
+    project = _cols(args.project) or [args.column]
+    t0 = time.perf_counter()
+    ds = equi_filter(args.out_dir, args.column, value, project=project)
+    import pyarrow as pa
+    import ray
+
+    out = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+    print(f"Returned {out.num_rows} rows in {time.perf_counter() - t0:.2f} s")
+    if args.show:
+        print(out.slice(0, args.show).to_pandas())
+
+
+def cmd_random_access(args) -> None:
+    from .pipeline.query import random_access
+
+    ids = [int(x) for x in args.row_ids.split(",")]
+    t0 = time.perf_counter()
+    out = random_access(args.out_dir, ids, columns=_cols(args.columns))
+    print(f"Returned {out.num_rows} rows in {time.perf_counter() - t0:.2f} s")
+    if args.show:
+        print(out.slice(0, args.show).to_pandas())
+
+
+def cmd_stats(args) -> None:
+    from .pipeline.encode import load_manifest
+
+    m = load_manifest(args.out_dir)
+    rows = sum(m["rows"].to_pylist())
+    enc = sum(m["enc_bytes"].to_pylist())
+    raw = sum(m["raw_bytes"].to_pylist())
+    print(json.dumps({
+        "partitions": m.num_rows, "rows": rows, "enc_bytes": enc,
+        "raw_bytes": raw, "ratio": round(enc / max(raw, 1), 4),
+        "codecs": _codec_histogram(m),
+    }, indent=2))
+
+
+def _codec_histogram(manifest) -> dict:
+    out: dict[str, int] = {}
+    for s in manifest["col_stats"].to_pylist():
+        for col, st in json.loads(s).items():
+            for codec, n in st["codecs"].items():
+                out[codec] = out.get(codec, 0) + n
+    return out
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="arcade_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("compress")
+    c.add_argument("input")
+    c.add_argument("out_dir")
+    c.add_argument("--key-col", default="source")
+    c.add_argument("--id-col", default="doc_id")
+    c.add_argument("--weight-col", default="n_tok")
+    c.add_argument("--cap", type=int, default=None)
+    c.add_argument("--no-resume", action="store_true")
+    c.set_defaults(fn=cmd_compress)
+
+    s = sub.add_parser("scan")
+    s.add_argument("out_dir")
+    s.add_argument("--columns")
+    s.add_argument("--out")
+    s.add_argument("--show", type=int, default=0)
+    s.set_defaults(fn=cmd_scan)
+
+    f = sub.add_parser("filter")
+    f.add_argument("out_dir")
+    f.add_argument("column")
+    f.add_argument("value")
+    f.add_argument("--project")
+    f.add_argument("--show", type=int, default=0)
+    f.set_defaults(fn=cmd_filter)
+
+    r = sub.add_parser("random-access")
+    r.add_argument("out_dir")
+    r.add_argument("row_ids")
+    r.add_argument("--columns")
+    r.add_argument("--show", type=int, default=0)
+    r.set_defaults(fn=cmd_random_access)
+
+    st = sub.add_parser("stats")
+    st.add_argument("out_dir")
+    st.set_defaults(fn=cmd_stats)
+
+    args = p.parse_args(argv)
+    needs_ray = args.cmd != "stats"
+    if needs_ray:
+        _init_ray(args.num_cpus)
+    try:
+        args.fn(args)
+    finally:
+        if needs_ray:
+            import ray
+
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

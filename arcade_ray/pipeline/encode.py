@@ -268,6 +268,12 @@ def _split_many(refs_or_paths, bucket_of_pid, assign, columns=None):
             import pyarrow.parquet as pq
 
             tables.append(pq.read_table(item, columns=columns))
+        elif isinstance(item, tuple):  # (path, row_group_lo, row_group_hi)
+            import pyarrow.parquet as pq
+
+            path, lo, hi = item
+            pf = pq.ParquetFile(path)
+            tables.append(pf.read_row_groups(list(range(lo, hi)), columns=columns))
         else:
             tables.append(ray.get(item) if isinstance(item, ray.ObjectRef) else item)
     table = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
@@ -397,13 +403,18 @@ def encode_parquet(paths: list[str] | str, out_dir: str,
     plan_cols = [key_col] + ([weight_col] if weight_col and weight_col != key_col else [])
 
     @ray.remote
-    def file_partial(fs: list[str]) -> dict:
+    def file_partial(fs: list) -> dict:
         import pyarrow.parquet as pq
 
         _pin_arrow_threads()
         totals: dict[str, int] = {}
         for f in fs:
-            t = pq.read_table(f, columns=plan_cols)
+            if isinstance(f, tuple):
+                path, lo, hi = f
+                t = pq.ParquetFile(path).read_row_groups(
+                    list(range(lo, hi)), columns=plan_cols)
+            else:
+                t = pq.read_table(f, columns=plan_cols)
             keys = t[key_col]
             if not pa.types.is_string(keys.type):
                 keys = keys.cast(pa.string())
@@ -423,7 +434,21 @@ def encode_parquet(paths: list[str] | str, out_dir: str,
     cap = weight_cap or (
         DEFAULT_PART_TOKEN_CAP if weight_col is not None else DEFAULT_PART_ROW_CAP
     )
-    groups = _group(files, max(16, _avail_cpus() // 2))
+    n_splits = max(16, _avail_cpus() // 2)
+    if len(files) < n_splits:
+        # few big files: split by parquet row-group ranges so the read
+        # still parallelizes (one split task per range)
+        import pyarrow.parquet as pq
+
+        items: list = []
+        for f in files:
+            n_rg = pq.ParquetFile(f).metadata.num_row_groups
+            per_file = max(1, n_splits // len(files))
+            step = max(1, -(-n_rg // per_file))
+            for lo in range(0, n_rg, step):
+                items.append((f, lo, min(n_rg, lo + step)))
+        files = items
+    groups = _group(files, n_splits)
     totals: dict[str, int] = {}
     for part in ray.get([file_partial.remote(g) for g in groups]):
         for k, w in part.items():
