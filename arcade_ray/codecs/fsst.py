@@ -69,11 +69,11 @@ def build_symbol_table(sample: bytes) -> list[bytes]:
     sample = sample[:FSST_SAMPLE_BYTES]
     if not sample:
         return []
+    from .fsst_vec import encode_stream
+
     symbols: list[bytes] = [bytes([b]) for b, _ in Counter(sample).most_common(FSST_MAX_SYMBOLS)]
     for _ in range(FSST_GENERATIONS):
-        table = {s: i for i, s in enumerate(symbols)}
-        maxlen = _maxlen_table(symbols)
-        encoded = _encode_with(table, maxlen, sample)
+        encoded = encode_stream(sample, symbols)
         # walk the encoded stream, tally symbol gains and adjacent-pair
         # concatenation gains
         gains: Counter[bytes] = Counter()
@@ -114,7 +114,17 @@ def deserialize_table(blob: bytes) -> tuple[list[bytes], int]:
 
 
 def compress(data: bytes, symbols: list[bytes] | None = None) -> tuple[bytes, bytes]:
-    """-> (serialized symbol table, compressed stream)."""
+    """-> (serialized symbol table, compressed stream). The encode is
+    the vectorized block-parallel greedy walk (fsst_vec.py)."""
+    from .fsst_vec import encode_stream
+
+    if symbols is None:
+        symbols = build_symbol_table(data)
+    return serialize_table(symbols), encode_stream(data, symbols)
+
+
+def compress_scalar(data: bytes, symbols: list[bytes] | None = None) -> tuple[bytes, bytes]:
+    """Reference per-byte encoder (used to cross-check fsst_vec)."""
     if symbols is None:
         symbols = build_symbol_table(data)
     table = {s: i for i, s in enumerate(symbols)}
