@@ -42,4 +42,4 @@ FSST_MAX_SYMBOLS = 255
 FSST_MAX_SYMBOL_LEN = 8
 FSST_ESCAPE = 255
 FSST_GENERATIONS = 5
-FSST_SAMPLE_BYTES = 1 << 14
+FSST_SAMPLE_BYTES = 1 << 15
