@@ -83,7 +83,10 @@ def cmd_filter(args) -> None:
         pass
     project = _cols(args.project) or [args.column]
     t0 = time.perf_counter()
-    ds = equi_filter(args.out_dir, args.column, value, project=project)
+    try:
+        ds = equi_filter(args.out_dir, args.column, value, project=project)
+    except KeyError as e:
+        sys.exit(f"error: {e.args[0]}")
     import pyarrow as pa
     import ray
 
@@ -96,7 +99,10 @@ def cmd_filter(args) -> None:
 def cmd_random_access(args) -> None:
     from .pipeline.query import random_access
 
-    ids = [int(x) for x in args.row_ids.split(",")]
+    try:
+        ids = [int(x) for x in args.row_ids.split(",")]
+    except ValueError:
+        sys.exit(f"error: row ids must be comma-separated integers, got {args.row_ids!r}")
     t0 = time.perf_counter()
     out = random_access(args.out_dir, ids, columns=_cols(args.columns))
     print(f"Returned {out.num_rows} rows in {time.perf_counter() - t0:.2f} s")

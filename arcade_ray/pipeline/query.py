@@ -211,6 +211,13 @@ def equi_filter(out_dir: str, col: str, literal, project: list[str]):
     import ray.data as rd
 
     rows = _manifest_paths(out_dir)
+    header0, _ = read_header(rows[0]["path"])
+    known = list(header0["columns"])
+    for c in [col, *project]:
+        if c not in known:
+            raise KeyError(
+                f"column {c!r} not in encoded dataset (columns: {known})"
+            )
     survivors = []
     for r in rows:
         stats = json.loads(r["col_stats"]).get(col, {})
