@@ -139,6 +139,23 @@ def q_filter_lang(sf_dir: str) -> pa.Table:
     )
 
 
+def q_range_filter(sf_dir: str) -> pa.Table:
+    from .pipeline.query import range_filter
+
+    out = encoded_dir(sf_dir, "documents")
+    return _collect(range_filter(out, "n_chars", 100, 200,
+                                 project=["doc_id", "n_chars"]))
+
+
+def q_group_count_encoded(sf_dir: str) -> pa.Table:
+    """GROUP BY source counted from dictionary codes only (decode-free
+    aggregation over the encoded files)."""
+    from .pipeline.query import dict_value_counts
+
+    out = encoded_dir(sf_dir, "documents")
+    return dict_value_counts(out, "source")
+
+
 def q_compression_metrics(sf_dir: str) -> pa.Table:
     """Lineage/metrics surface: per-partition encoded sizes (rows-only
     check; not SQL-expressible)."""
@@ -263,6 +280,8 @@ QUERIES = {
     "roundtrip_events": q_roundtrip_events,
     "roundtrip_embeddings": q_roundtrip_embeddings,
     "filter_lang": q_filter_lang,
+    "range_filter": q_range_filter,
+    "group_count_encoded": q_group_count_encoded,
     "compression_metrics": q_compression_metrics,
     "exact_dedup": q_exact_dedup,
     "token_count": q_token_count,
@@ -289,6 +308,8 @@ ORACLE_SQL = {
     "roundtrip_events": "SELECT * FROM events",
     "roundtrip_embeddings": "SELECT * FROM embeddings",
     "filter_lang": "SELECT doc_id, lang, source FROM documents WHERE lang = 'en'",
+    "range_filter": "SELECT doc_id, n_chars FROM documents WHERE n_chars BETWEEN 100 AND 200",
+    "group_count_encoded": "SELECT source, COUNT(*) AS n_rows FROM documents GROUP BY source",
     "exact_dedup": "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
     "token_count": ("SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)"
                     " AS word_count FROM documents"),

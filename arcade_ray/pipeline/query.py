@@ -241,6 +241,146 @@ def equi_filter(out_dir: str, col: str, literal, project: list[str]):
     return ds.map_batches(run, batch_format="pyarrow", batch_size=1)
 
 
+def range_filter(out_dir: str, col: str, lo, hi, project: list[str]):
+    """``lo <= col <= hi`` with manifest + chunk zone-map pruning (the
+    reference lists range predicates as roadmap, README.md:129; our
+    sorted dictionaries + zone maps make them natural). Fully-inside
+    chunks skip the per-row compare entirely."""
+    import ray.data as rd
+
+    rows = _manifest_paths(out_dir)
+    header0, _ = read_header(rows[0]["path"])
+    known = list(header0["columns"])
+    for c in [col, *project]:
+        if c not in known:
+            raise KeyError(f"column {c!r} not in encoded dataset (columns: {known})")
+    survivors = []
+    for r in rows:
+        stats = json.loads(r["col_stats"]).get(col, {})
+        zlo, zhi = stats.get("min"), stats.get("max")
+        if zlo is not None and zhi is not None and (hi < zlo or lo > zhi):
+            continue
+        survivors.append({"path": r["path"]})
+    if not survivors:
+        return rd.from_arrow(_empty_projection(header0, project, col))
+    ds = rd.from_items(survivors)
+
+    def run(batch: pa.Table) -> pa.Table:
+        tables = []
+        for p in batch["path"]:
+            tables.append(_range_filter_partition(p.as_py(), col, lo, hi, project))
+        return pa.concat_tables(tables)
+
+    return ds.map_batches(run, batch_format="pyarrow", batch_size=1)
+
+
+def _range_filter_partition(path: str, col: str, lo, hi,
+                            project: list[str]) -> pa.Table:
+    header, base = read_header(path)
+    cm = header["columns"][col]
+    chunks = cm["chunks"]
+    prunable = cm["kind"] != "list" and cm.get("tag") not in ("f32", "f64")
+    dec = make_column_decoder(cm)
+    match_idx: list[np.ndarray | None] = [None] * len(chunks)
+    with open(path, "rb") as f:
+        for i, ch in enumerate(chunks):
+            zlo, zhi = ch.get("min"), ch.get("max")
+            if prunable and zlo is not None and zhi is not None and (
+                hi < zlo or lo > zhi
+            ):
+                rlo, rhi = dec.advance_range(ch)
+                if rhi > rlo:
+                    f.seek(base + ch["off"] + rlo)
+                    dec.advance(ch, f.read(rhi - rlo))
+                continue
+            f.seek(base + ch["off"])
+            arr = dec.decode(ch, f.read(ch["nb"]))
+            if prunable and zlo is not None and zhi is not None and lo <= zlo and zhi <= hi:
+                # chunk fully inside the range: no per-row compare
+                match_idx[i] = np.arange(len(arr))
+                continue
+            mask = pc.and_(pc.greater_equal(arr, lo), pc.less_equal(arr, hi))
+            match_idx[i] = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+    touched = [m is not None and len(m) > 0 for m in match_idx]
+    if not any(touched):
+        return _empty_projection(header, project, col)
+    take_pos, offset = [], 0
+    for i in range(len(chunks)):
+        if touched[i]:
+            take_pos.append(match_idx[i] + offset)
+            offset += _chunk_rows(header, i)
+    take = np.concatenate(take_pos)
+    sub = decode_partition(path, columns=project, chunk_mask=touched)
+    return sub.take(pa.array(take, type=pa.int64()))
+
+
+def dict_value_counts(out_dir: str, col: str) -> pa.Table:
+    """GROUP BY ``col`` -> COUNT(*) computed WITHOUT materializing the
+    column's values for any row: per chunk, bit-unpacked dictionary
+    codes are bincounted and mapped through the (shared) dictionary;
+    plain chunks fall back to value counts. The decode-free aggregation
+    the reference roadmap promises (README.md:130-131). One Ray task
+    per partition emits its value->count partial; the driver merges the
+    tiny partials."""
+    import ray.data as rd
+
+    paths = rd.from_items([{"path": r["path"]} for r in _manifest_paths(out_dir)])
+
+    def run(batch: pa.Table) -> pa.Table:
+        totals: dict[str, int] = {}
+        for p in batch["path"]:
+            _dict_counts_partition(p.as_py(), col, totals)
+        keys = sorted(totals)
+        return pa.table({
+            col: pa.array(keys, type=pa.string()),
+            "n_rows": pa.array([totals[k] for k in keys], type=pa.int64()),
+        })
+
+    partials = paths.map_batches(run, batch_format="pyarrow", batch_size=1)
+    totals: dict[str, int] = {}
+    for row in partials.take_all():
+        totals[row[col]] = totals.get(row[col], 0) + int(row["n_rows"])
+    keys = sorted(totals)
+    return pa.table({
+        col: pa.array(keys, type=pa.string()),
+        "n_rows": pa.array([totals[k] for k in keys], type=pa.int64()),
+    })
+
+
+def _dict_counts_partition(path: str, col: str, totals: dict[str, int]) -> None:
+    from ..codecs.str_codecs import decode_codes, decode_str_values
+    from ..column import StringColumnDecoder
+    from ..streams import str_stream_to_arrow
+
+    header, base = read_header(path)
+    cm = header["columns"][col]
+    if cm["kind"] != "str":
+        raise TypeError("dict_value_counts is for string columns")
+    sdec = StringColumnDecoder(cm["tag"])
+    with open(path, "rb") as f:
+        for ch in cm["chunks"]:
+            f.seek(base + ch["off"])
+            payload = f.read(ch["nb"])
+            if ch["mode"] == "plain":
+                sdec.advance_dict(ch, payload)
+                lengths, data = decode_str_values(ch["codec"], payload, ch["meta"])
+                arr = str_stream_to_arrow(lengths, data, "str")
+                for item in arr.value_counts():
+                    v = item["values"].as_py()
+                    totals[v] = totals.get(v, 0) + item["counts"].as_py()
+                continue
+            sdec.advance_dict(ch, payload)
+            codes = decode_codes(ch["ccodec"], payload[ch["vlen"]:], ch["cmeta"])
+            counts = np.bincount(codes, minlength=ch["d_total"])
+            nz = np.flatnonzero(counts)
+            u_offsets = np.empty(len(sdec.u_lengths) + 1, dtype=np.int64)
+            u_offsets[0] = 0
+            np.cumsum(sdec.u_lengths, out=u_offsets[1:])
+            for code in nz:
+                s = sdec.u_data[u_offsets[code]: u_offsets[code + 1]].decode("utf-8")
+                totals[s] = totals.get(s, 0) + int(counts[code])
+
+
 # ---------------------------------------------------------------------------
 # random access
 # ---------------------------------------------------------------------------

@@ -71,6 +71,34 @@ def test_random_access_across_chunks(chunked_partition):
         assert got["tokens"][0].as_py() == table["tokens"][rid].as_py()
 
 
+def test_range_filter_multichunk(chunked_partition, ray_session):
+    import ray
+
+    from arcade_ray.pipeline.query import range_filter
+
+    out_dir, path, table = chunked_partition
+    ds = range_filter(out_dir, "n_tok", 50, 200, ["doc_id", "n_tok"])
+    got = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+    mask = pc.and_(pc.greater_equal(table["n_tok"], 50),
+                   pc.less_equal(table["n_tok"], 200))
+    expect = table.filter(mask)
+    assert got.num_rows == expect.num_rows
+    assert set(got["doc_id"].to_pylist()) == set(expect["doc_id"].to_pylist())
+    assert pc.min(got["n_tok"]).as_py() >= 50
+    assert pc.max(got["n_tok"]).as_py() <= 200
+
+
+def test_dict_value_counts_multichunk(chunked_partition, ray_session):
+    from arcade_ray.pipeline.query import dict_value_counts
+
+    out_dir, path, table = chunked_partition
+    got = dict_value_counts(out_dir, "source")
+    expect = table["source"].combine_chunks().value_counts()
+    want = {i["values"].as_py(): i["counts"].as_py() for i in expect}
+    have = dict(zip(got["source"].to_pylist(), got["n_rows"].to_pylist()))
+    assert have == want
+
+
 def test_filter_unique_column_multichunk(chunked_partition):
     """doc_id is all-distinct -> plain/gp chunks; filter still exact."""
     out_dir, path, table = chunked_partition
