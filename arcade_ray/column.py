@@ -313,16 +313,71 @@ def make_column_encoder(t: pa.DataType) -> ColumnEncoderState:
     return ColumnEncoderState(kind, tag, enc=IntColumnEncoder(tag))
 
 
+def _ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    if not len(starts):
+        return np.empty(0, dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    out = np.ones(total, dtype=np.int64)
+    ends = np.cumsum(lens)
+    out[0] = starts[0]
+    out[ends[:-1]] = starts[1:] - (starts[:-1] + lens[:-1]) + 1
+    return np.cumsum(out)
+
+
+def _strip_nulls(state: ColumnEncoderState, arr: pa.Array) -> tuple[pa.Array, bytes, int]:
+    """-> (null-free filled array, validity bitmap bytes, n_nulls).
+    Nulls travel as an LSB-first packed validity bitmap appended to the
+    chunk payload; codecs always see defined (zero/empty) values."""
+    n_nulls = arr.null_count
+    if not n_nulls:
+        return arr, b"", 0
+    valid = arr.is_valid().to_numpy(zero_copy_only=False)
+    vbytes = np.packbits(valid, bitorder="little").tobytes()
+    if state.kind == "str":
+        filled = pc.fill_null(arr, "")
+    elif state.kind == "list":
+        larr = arr.cast(pa.large_list(arr.type.value_type)) \
+            if not pa.types.is_large_list(arr.type) else arr
+        child = larr.values
+        offsets = np.frombuffer(larr.buffers()[1], dtype=np.int64,
+                                count=len(larr) + 1, offset=larr.offset * 8)
+        lengths = np.where(valid, np.diff(offsets), 0).astype(np.int64)
+        pos = _ranges(offsets[:-1][valid & (lengths > 0)],
+                      lengths[valid & (lengths > 0)])
+        new_vals = child.take(pa.array(pos, type=pa.int64()))
+        new_offsets = np.empty(len(larr) + 1, dtype=np.int64)
+        new_offsets[0] = 0
+        np.cumsum(lengths, out=new_offsets[1:])
+        filled = pa.LargeListArray.from_arrays(
+            pa.array(new_offsets, type=pa.int64()), new_vals
+        ).cast(arr.type if pa.types.is_list(arr.type) else larr.type)
+    else:
+        filled = pc.fill_null(arr, pa.scalar(0, type=arr.type))
+    return filled, vbytes, n_nulls
+
+
 def encode_column_chunk(state: ColumnEncoderState, arr: pa.Array) -> None:
-    """Encode one row-chunk of a column; appends descriptor + payload."""
+    """Encode one row-chunk of a column; appends descriptor + payload.
+    Null slots are carried as a validity bitmap appended to the chunk
+    payload (desc keys ``vb``/``nulls``)."""
+    arr, vbytes, n_nulls = _strip_nulls(state, arr)
+    _encode_column_chunk_nonnull(state, arr)
+    if n_nulls:
+        desc = state.chunks[-1]
+        desc["vb"] = len(vbytes)
+        desc["nulls"] = int(n_nulls)
+        state.payloads[-1] = state.payloads[-1] + vbytes
+
+
+def _encode_column_chunk_nonnull(state: ColumnEncoderState, arr: pa.Array) -> None:
     if state.kind == "str":
         seg = state.enc.encode_chunk(arr)
         state.chunks.append(seg.desc)
         state.payloads.append(seg.payload)
         return
     if state.kind == "list":
-        if arr.null_count:
-            raise ValueError("nulls not supported in v1")
         larr = arr.cast(pa.large_list(arr.type.value_type)) \
             if not pa.types.is_large_list(arr.type) else arr
         offsets = np.frombuffer(
@@ -367,6 +422,16 @@ class ColumnDecoder:
             self._str.advance_dict(desc, dict_payload)
 
     def decode(self, desc: dict, payload: bytes) -> pa.Array:
+        vb = desc.get("vb", 0)
+        validity = payload[-vb:] if vb else b""
+        if vb:
+            payload = payload[:-vb]
+        arr = self._decode_nonnull(desc, payload)
+        if not vb:
+            return arr
+        return _apply_validity(arr, validity, desc["nulls"])
+
+    def _decode_nonnull(self, desc: dict, payload: bytes) -> pa.Array:
         if self.kind == "str":
             return self._str.decode_chunk(desc, payload)
         if self.kind == "list":
@@ -384,6 +449,28 @@ class ColumnDecoder:
 
             return out.cast(pa.list_(tag_type(self.elem_tag)))
         return int_stream_to_arrow(decode_int_chunk(desc, payload), self.tag)
+
+
+def _apply_validity(arr: pa.Array, validity: bytes, n_nulls: int) -> pa.Array:
+    """Rebuild ``arr`` with the LSB-first validity bitmap attached."""
+    n = len(arr)
+    vbuf = pa.py_buffer(validity)
+    t = arr.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        larr = arr.cast(pa.large_list(t.value_type)) \
+            if not pa.types.is_large_list(t) else arr
+        rebuilt = pa.LargeListArray.from_buffers(
+            larr.type, n, [vbuf, larr.buffers()[1]],
+            null_count=n_nulls, children=[larr.values],
+        )
+        return rebuilt.cast(t)
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or \
+            pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        bufs = arr.buffers()
+        return pa.Array.from_buffers(t, n, [vbuf, bufs[1], bufs[2]],
+                                     null_count=n_nulls)
+    bufs = arr.buffers()
+    return pa.Array.from_buffers(t, n, [vbuf, bufs[1]], null_count=n_nulls)
 
 
 def make_column_decoder(col_meta: dict) -> ColumnDecoder:

@@ -55,8 +55,8 @@ def chunk_boundaries(table: pa.Table, rows_per_chunk: int = BLOCK_ROWS,
 
     tot = np.zeros(n, dtype=np.int64)
     for c in list_cols:
-        tot += pc.list_value_length(table[c]).combine_chunks().to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        lv = pc.fill_null(pc.list_value_length(table[c]), 0)
+        tot += lv.combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
     csum = np.cumsum(tot)
     bounds = []
     start = 0

@@ -94,7 +94,7 @@ def filter_partition(path: str, col: str, literal, project: list[str]) -> pa.Tab
                 payload = f.read(ch["nb"])
                 if mode == "plain":
                     arr = sdec.decode_chunk(ch, payload)
-                    mask = pc.equal(arr, literal)
+                    mask = pc.fill_null(pc.equal(arr, literal), False)
                     match_idx[i] = np.flatnonzero(
                         mask.to_numpy(zero_copy_only=False)
                     )
@@ -137,7 +137,7 @@ def filter_partition(path: str, col: str, literal, project: list[str]) -> pa.Tab
                     continue
                 f.seek(base + ch["off"])
                 arr = dec.decode(ch, f.read(ch["nb"]))
-                mask = pc.equal(arr, literal)
+                mask = pc.fill_null(pc.equal(arr, literal), False)
                 match_idx[i] = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
 
     touched = [m is not None and len(m) > 0 for m in match_idx]
@@ -299,7 +299,8 @@ def _range_filter_partition(path: str, col: str, lo, hi,
                 # chunk fully inside the range: no per-row compare
                 match_idx[i] = np.arange(len(arr))
                 continue
-            mask = pc.and_(pc.greater_equal(arr, lo), pc.less_equal(arr, hi))
+            mask = pc.fill_null(
+                pc.and_(pc.greater_equal(arr, lo), pc.less_equal(arr, hi)), False)
             match_idx[i] = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
     touched = [m is not None and len(m) > 0 for m in match_idx]
     if not any(touched):

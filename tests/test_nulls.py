@@ -1,0 +1,89 @@
+"""Null/validity-bitmap round trips across every column kind, plus
+null-safe query behavior."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from arcade_ray.format import decode_partition, encode_partition
+
+
+def make_nullable_table(n=2000, seed=4):
+    rng = np.random.default_rng(seed)
+    null_at = rng.random(n) < 0.15
+
+    doc_id = [None if null_at[i] and i % 3 == 0 else f"d{i:06d}" for i in range(n)]
+    source = [None if null_at[i] else f"s{i % 5}" for i in range(n)]
+    n_tok = [None if null_at[i] and i % 2 == 0 else int(rng.integers(0, 1000))
+             for i in range(n)]
+    value = [None if null_at[i] else float(rng.standard_normal()) for i in range(n)]
+    tokens = [None if null_at[i] and i % 4 == 0
+              else rng.integers(0, 100, int(rng.integers(0, 8))).tolist()
+              for i in range(n)]
+    return pa.table({
+        "doc_id": pa.array(doc_id, type=pa.string()),
+        "source": pa.array(source, type=pa.string()),
+        "n_tok": pa.array(n_tok, type=pa.int32()),
+        "value": pa.array(value, type=pa.float64()),
+        "tokens": pa.array(tokens, type=pa.list_(pa.int32())),
+    })
+
+
+def roundtrip(table, tmp_path, name="p"):
+    blob, manifest = encode_partition(table, name)
+    path = str(tmp_path / f"{name}.arcr")
+    with open(path, "wb") as f:
+        f.write(blob)
+    out = decode_partition(path)
+    for col in table.schema.names:
+        a = out[col].combine_chunks()
+        b = table[col].combine_chunks()
+        assert a.null_count == b.null_count, col
+        assert a.equals(b), col
+    return path
+
+
+def test_nullable_roundtrip(tmp_path):
+    roundtrip(make_nullable_table(), tmp_path)
+
+
+def test_all_null_column(tmp_path):
+    t = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(50)]),
+        "x": pa.array([None] * 50, type=pa.int64()),
+        "s": pa.array([None] * 50, type=pa.string()),
+    })
+    roundtrip(t, tmp_path, "allnull")
+
+
+def test_null_filter_semantics(tmp_path):
+    """Equality filter never matches null slots (SQL semantics)."""
+    from arcade_ray.pipeline.query import filter_partition
+
+    t = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(100)]),
+        "k": pa.array([None if i % 7 == 0 else i % 3 for i in range(100)],
+                      type=pa.int64()),
+        "s": pa.array([None if i % 5 == 0 else f"v{i % 4}" for i in range(100)],
+                      type=pa.string()),
+    })
+    path = roundtrip(t, tmp_path, "nf")
+    got = filter_partition(path, "k", 0, ["k", "doc_id"])
+    expect = t.filter(pc.fill_null(pc.equal(t["k"], 0), False))
+    assert got.num_rows == expect.num_rows
+    got_s = filter_partition(path, "s", "v0", ["s", "doc_id"])
+    expect_s = t.filter(pc.fill_null(pc.equal(t["s"], "v0"), False))
+    assert set(got_s["doc_id"].to_pylist()) == set(expect_s["doc_id"].to_pylist())
+
+
+def test_nulls_multichunk(tmp_path, monkeypatch):
+    import arcade_ray.format as fmt
+
+    orig = fmt.chunk_boundaries
+    monkeypatch.setattr(
+        fmt, "chunk_boundaries",
+        lambda t, rows_per_chunk=300, values_per_chunk=fmt.DEFAULT_VALUES_PER_CHUNK:
+        orig(t, 300, values_per_chunk),
+    )
+    roundtrip(make_nullable_table(1500, seed=9), tmp_path, "mc")
