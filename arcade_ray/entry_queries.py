@@ -31,6 +31,8 @@ TABLE_KEYS = {
     "events": ("event_type", "event_id", None),
     "embeddings": ("label", "vec_id", None),
     "orders": ("o_orderpriority", "o_orderkey", None),
+    "customer": ("c_mktsegment", "c_custkey", None),
+    "part": ("p_brand", "p_partkey", None),
 }
 
 # documents.n_chars is ~characters not tokens; cap chosen so sf0.01
@@ -130,6 +132,18 @@ def q_roundtrip_events(sf_dir: str) -> pa.Table:
 
 def q_roundtrip_embeddings(sf_dir: str) -> pa.Table:
     return _roundtrip(sf_dir, "embeddings")
+
+
+def q_roundtrip_orders(sf_dir: str) -> pa.Table:
+    return _roundtrip(sf_dir, "orders")
+
+
+def q_roundtrip_customer(sf_dir: str) -> pa.Table:
+    return _roundtrip(sf_dir, "customer")
+
+
+def q_roundtrip_part(sf_dir: str) -> pa.Table:
+    return _roundtrip(sf_dir, "part")
 
 
 def q_filter_lang(sf_dir: str) -> pa.Table:
@@ -279,6 +293,9 @@ QUERIES = {
     "roundtrip_lineitem": q_roundtrip_lineitem,
     "roundtrip_events": q_roundtrip_events,
     "roundtrip_embeddings": q_roundtrip_embeddings,
+    "roundtrip_orders": q_roundtrip_orders,
+    "roundtrip_customer": q_roundtrip_customer,
+    "roundtrip_part": q_roundtrip_part,
     "filter_lang": q_filter_lang,
     "range_filter": q_range_filter,
     "group_count_encoded": q_group_count_encoded,
@@ -307,6 +324,9 @@ ORACLE_SQL = {
     "roundtrip_lineitem": "SELECT * FROM lineitem",
     "roundtrip_events": "SELECT * FROM events",
     "roundtrip_embeddings": "SELECT * FROM embeddings",
+    "roundtrip_orders": "SELECT * FROM orders",
+    "roundtrip_customer": "SELECT * FROM customer",
+    "roundtrip_part": "SELECT * FROM part",
     "filter_lang": "SELECT doc_id, lang, source FROM documents WHERE lang = 'en'",
     "range_filter": "SELECT doc_id, n_chars FROM documents WHERE n_chars BETWEEN 100 AND 200",
     "group_count_encoded": "SELECT source, COUNT(*) AS n_rows FROM documents GROUP BY source",
