@@ -21,6 +21,7 @@ import heapq
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _pool_size(concurrency: int | None) -> int:
@@ -111,6 +112,48 @@ def topk_cosine(ds, queries_ids: list[int], queries_mat: np.ndarray,
         id_col: pa.array(out[id_col], type=pa.int64()),
         "cos": pa.array(out["cos"], type=pa.float64()),
     })
+
+
+def near_dup_pairs(ds, all_ids: np.ndarray, all_mat: np.ndarray,
+                   threshold: float = 0.95, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   concurrency: int | None = None) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >=
+    threshold): the full normalized matrix is broadcast once
+    (``ray.put``); each batch computes batch x all scores and emits
+    only above-threshold pairs. For corpora too large to broadcast, use
+    the LSH-bucketed variant's signatures to shard the comparison."""
+    import ray
+
+    ref = ray.put({"ids": np.asarray(all_ids),
+                   "mat": _normalize(np.asarray(all_mat, dtype=np.float64))})
+
+    class PairFinder:
+        def __init__(self):
+            q = ray.get(ref)
+            self.all_ids, self.all_mat = q["ids"], q["mat"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _normalize(_to_matrix(batch[vec_col]))
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            scores = mat @ self.all_mat.T
+            bi, aj = np.nonzero(scores >= threshold)
+            id_a = ids[bi]
+            id_b = self.all_ids[aj]
+            keep = id_a < id_b  # dedupe mirror + self pairs
+            return pa.table({
+                "id_a": pa.array(id_a[keep], type=pa.int64()),
+                "id_b": pa.array(id_b[keep], type=pa.int64()),
+                "cos": pa.array(np.round(scores[bi, aj][keep], 4),
+                                type=pa.float64()),
+            })
+
+    parts = ds.map_batches(PairFinder, batch_format="pyarrow",
+                           concurrency=_pool_size(concurrency))
+    out = pa.concat_tables(ray.get(parts.to_arrow_refs()))
+    order = pc.sort_indices(out, sort_keys=[("id_a", "ascending"),
+                                            ("id_b", "ascending")])
+    return out.take(order)
 
 
 def lsh_topk_cosine(ds, queries_ids: list[int], queries_mat: np.ndarray,

@@ -266,6 +266,21 @@ def q_ann_topk(sf_dir: str) -> pa.Table:
     return res.set_column(res.schema.get_field_index("cos"), "cos", cos)
 
 
+def q_embedding_near_dup(sf_dir: str) -> pa.Table:
+    """Embedding-cosine near-dup pairs (cos >= 0.9)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .ann import near_dup_pairs
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    tab = pq.read_table(path, columns=["vec_id", "embedding"])
+    mat = np.array(tab["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.array(tab["vec_id"].to_pylist(), dtype=np.int64)
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    return near_dup_pairs(ds, ids, mat, threshold=0.9)
+
+
 def q_ann_topk_lsh(sf_dir: str) -> pa.Table:
     """LSH-bucketed approximate variant (rows-only; recall tested in
     tests/test_ann.py)."""
@@ -309,6 +324,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "embedding_near_dup": q_embedding_near_dup,
 }
 
 _IDS_SQL = ", ".join(str(i) for i in LOOKUP_IDS)
@@ -340,6 +356,13 @@ ORACLE_SQL = {
         "FROM embeddings e, embeddings q WHERE q.vec_id IN (0,1,2,3,4) "
         "QUALIFY row_number() OVER (PARTITION BY q.vec_id "
         "ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id) <= 10"
+    ),
+    "embedding_near_dup": (
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos "
+        "FROM embeddings a, embeddings b "
+        "WHERE a.vec_id < b.vec_id "
+        "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9"
     ),
     # compression_metrics, lang_id, quality_scores, minhash_pairs,
     # simhash_pairs, ann_topk_lsh: intentionally no oracle (engine-side

@@ -53,6 +53,19 @@ def test_topk_exact_matches_numpy(emb):
     assert 100 in got[7][:2]
 
 
+def test_near_dup_pairs(emb):
+    from arcade_ray.ann import near_dup_pairs
+
+    ds, mat = emb
+    ids = np.arange(N, dtype=np.int64)
+    out = near_dup_pairs(ds, ids, mat, threshold=0.95)
+    pairs = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+    assert (7, 100) in pairs  # the planted near-identical pair
+    # random gaussians in 32 dims essentially never reach cos 0.95
+    assert len(pairs) <= 3
+    assert all(a < b for a, b in pairs)
+
+
 def test_lsh_recall(emb):
     ds, mat = emb
     qids = [0, 7, 250]
