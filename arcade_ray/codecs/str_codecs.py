@@ -21,6 +21,8 @@ from ..profile import StrProfile, profile_str
 from . import fsst
 
 _snappy = pa.Codec("snappy")
+_zstd = pa.Codec("zstd", 1)  # gp codec: strictly better ratio than snappy
+_GP = {"snappy": _snappy, "zstd": _zstd}
 
 # FSST must beat snappy by this factor to be chosen (it is ~100x slower
 # to encode in pure Python; a near-tie is not worth it).
@@ -37,14 +39,14 @@ def encode_str_values(lengths: np.ndarray, data: bytes) -> tuple[str, bytes, dic
 
     comp = None
     if len(data) >= 512:
-        # snappy is ~GB/s — measure the real size, no sampling error
-        comp = _snappy.compress(data).to_pybytes()
+        # zstd-1 runs at hundreds of MB/s — measure the real size
+        comp = _zstd.compress(data).to_pybytes()
         if len(comp) >= len(data):
             comp = None
     best_data_bytes = len(comp) if comp is not None else len(data)
 
-    snappy_struggled = comp is None or len(comp) > 0.4 * len(data)
-    if len(data) >= 512 and snappy_struggled:
+    gp_struggled = comp is None or len(comp) > 0.4 * len(data)
+    if len(data) >= 512 and gp_struggled:
         # FSST encode is ~MB/s — only contest when snappy left room,
         # sample-estimate, and require a clear win before paying for
         # the full encode
@@ -57,7 +59,8 @@ def encode_str_values(lengths: np.ndarray, data: bytes) -> tuple[str, bytes, dic
                     "wl": wl, "n": len(lengths), "tl": len(tbl)
                 }
     if comp is not None:
-        return "gp", len_payload + comp, {"wl": wl, "n": len(lengths), "n0": len(data)}
+        return "gp", len_payload + comp, {"wl": wl, "n": len(lengths),
+                                          "n0": len(data), "c": "zstd"}
     return "plain", len_payload + data, {"wl": wl, "n": len(lengths)}
 
 
@@ -69,7 +72,8 @@ def decode_str_values(codec: str, payload: bytes, meta: dict) -> tuple[np.ndarra
     if codec == "plain":
         return lengths, rest
     if codec == "gp":
-        return lengths, _snappy.decompress(rest, meta["n0"]).to_pybytes()
+        gp = _GP[meta.get("c", "snappy")]
+        return lengths, gp.decompress(rest, meta["n0"]).to_pybytes()
     if codec == "fsst":
         tl = meta["tl"]
         return lengths, fsst.decompress(rest[:tl], rest[tl:])
