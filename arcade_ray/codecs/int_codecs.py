@@ -237,8 +237,10 @@ def choose_int_codec(vals: np.ndarray, p: IntProfile, tag: str,
                      try_gp: bool = True) -> tuple[str, bytes, dict]:
     """Greedy min-estimated-bytes selection over the int palette."""
     best_name, best_est = "plain", _plain_est(p, tag)
-    for name in ("bitpack", "for", "rle", "dict"):
-        est = INT_CODECS[name][0](p, tag)
+    for name, (est_fn, _, _) in INT_CODECS.items():
+        if name in ("plain", "gp"):
+            continue  # plain is the baseline; gp is sample-estimated below
+        est = est_fn(p, tag)
         if est is not None and est < best_est:
             best_name, best_est = name, est
     if try_gp and p.n * _ITEMSIZE[tag] >= 4096:

@@ -82,9 +82,15 @@ class SegmentOut:
 class IntColumnEncoder:
     def __init__(self, tag: str):
         self.tag = tag
+        self.sketch = np.empty(0, dtype=np.uint64)  # KMV of value hashes
 
     def encode_chunk(self, vals: np.ndarray) -> SegmentOut:
         p = profile_int(vals)
+        from .hashing import hash_ints
+        from .sketches import kmv_merge
+
+        if p.n_distinct:
+            self.sketch = kmv_merge(self.sketch, hash_ints(p.unique), k=64)
         codec, payload, meta = choose_int_codec(vals, p, self.tag)
         desc = {
             "codec": codec,
@@ -116,6 +122,14 @@ class StringColumnEncoder:
         self.dict_bytes = 0
         self.epoch = 0          # chunk index where the current dict epoch began
         self.chunk_idx = 0
+        self.sketch = np.empty(0, dtype=np.uint64)  # KMV of value hashes
+
+    def _update_sketch(self, distinct: pa.Array) -> None:
+        from .hashing import hash_strings
+        from .sketches import kmv_merge
+
+        lengths, data, _ = str_stream_from_arrow(distinct)
+        self.sketch = kmv_merge(self.sketch, hash_strings(lengths, data), k=64)
 
     def _reset(self, at_chunk: int) -> None:
         self.dict_arr = None
@@ -131,6 +145,8 @@ class StringColumnEncoder:
         bin_arr = arr.cast(pa.large_binary())
         distinct = pc.unique(bin_arr)
         d_chunk = len(distinct)
+        if d_chunk:
+            self._update_sketch(distinct)
         zmin = zmax = None
         if n:
             mm = pc.min_max(bin_arr)

@@ -89,6 +89,15 @@ def encode_partition(table: pa.Table, part_key: str) -> tuple[bytes, dict[str, A
     payload_parts: list[bytes] = []
     offset = 0
     columns_meta: dict[str, Any] = {}
+    sketches: dict[str, Any] = {}
+    for name, st in states.items():
+        enc = st.enc
+        sk = getattr(enc, "sketch", None)
+        if sk is not None and len(sk):
+            from .sketches import kmv_estimate, serialize
+
+            sketches[name] = {"kmv": serialize(sk),
+                              "distinct_est": kmv_estimate(sk, 64)}
     for name, st in states.items():
         chunk_descs = []
         for desc, payload in zip(st.chunks, st.payloads):
@@ -123,13 +132,15 @@ def encode_partition(table: pa.Table, part_key: str) -> tuple[bytes, dict[str, A
         "n_chunks": len(bounds),
         "encode_s": round(time.perf_counter() - t0, 4),
         "crc32": zlib.crc32(payload) & 0xFFFFFFFF,
-        "col_stats": json.dumps(_column_stats(columns_meta)),
+        "col_stats": json.dumps(_column_stats(columns_meta, sketches)),
     }
     return blob, manifest
 
 
-def _column_stats(columns_meta: dict) -> dict:
-    """Per-column codec histogram + global zone map for the manifest."""
+def _column_stats(columns_meta: dict, sketches: dict | None = None) -> dict:
+    """Per-column codec histogram + global zone map + KMV distinct
+    sketch for the manifest (sketches merge across partitions for
+    planning — shared-dictionary overlap tests without a shuffle)."""
     out = {}
     for name, cm in columns_meta.items():
         codecs: dict[str, int] = {}
@@ -150,6 +161,8 @@ def _column_stats(columns_meta: dict) -> dict:
             if hi is not None:
                 vmax = hi if vmax is None else max(vmax, hi)
         out[name] = {"codecs": codecs, "min": vmin, "max": vmax}
+        if sketches and name in sketches:
+            out[name].update(sketches[name])
     return out
 
 
