@@ -55,7 +55,7 @@ def committed_parts(out_dir: str) -> dict[str, dict]:
                 with open(os.path.join(mdir, fn)) as f:
                     row = json.load(f)
                 out[row["part_key"]] = row
-    return out
+    return _drop_replaced(out)
 
 
 def commit_partition(out_dir: str, part_key: str, blob: bytes,
@@ -102,7 +102,7 @@ _MANIFEST_FIELDS = [
     ("raw_bytes", pa.int64()), ("enc_bytes", pa.int64()),
     ("header_bytes", pa.int64()), ("n_chunks", pa.int64()),
     ("encode_s", pa.float64()), ("crc32", pa.int64()),
-    ("col_stats", pa.string()),
+    ("col_stats", pa.string()), ("replaces", pa.list_(pa.string())),
 ]
 
 
@@ -110,6 +110,18 @@ def _manifest_schema_table(rows: list[dict]) -> pa.Table:
     schema = pa.schema(_MANIFEST_FIELDS)
     cols = {name: [r.get(name) for r in rows] for name, _ in _MANIFEST_FIELDS}
     return pa.table(cols, schema=schema)
+
+
+def _drop_replaced(rows: dict[str, dict]) -> dict[str, dict]:
+    """Compaction crash-safety: a partition superseded by a surviving
+    row's ``replaces`` list is not part of the dataset even if its own
+    manifest row still exists (see pipeline/compact.py)."""
+    replaced: set[str] = set()
+    for r in rows.values():
+        replaced.update(r.get("replaces") or [])
+    if not replaced:
+        return rows
+    return {k: r for k, r in rows.items() if k not in replaced}
 
 
 def encode_dataset(ds, out_dir: str, key_col: str = "source",

@@ -1,0 +1,82 @@
+"""Compaction: merge small partitions, crash-safe lineage via
+``replaces`` rows."""
+
+import glob
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from arcade_ray.corpus import generate_corpus
+from arcade_ray.pipeline import decode_dataset, encode_dataset
+from arcade_ray.pipeline.compact import compact
+from arcade_ray.pipeline.encode import load_manifest
+
+
+@pytest.fixture()
+def fragmented(ray_session, tmp_path):
+    """Encode with a tiny cap -> many small partitions per source."""
+    import ray.data as rd
+
+    table = generate_corpus(6000, 4, seed=31)
+    out_dir = str(tmp_path / "enc")
+    encode_dataset(rd.from_arrow(table), out_dir, weight_cap=60_000)
+    return out_dir, table
+
+
+def collect(out_dir):
+    import ray
+
+    return pa.concat_tables(ray.get(decode_dataset(out_dir).to_arrow_refs()))
+
+
+def test_compact_merges_and_preserves_data(fragmented):
+    out_dir, table = fragmented
+    before = load_manifest(out_dir)
+    m = compact(out_dir, weight_cap=10_000_000)
+    assert m.num_rows < before.num_rows
+    out = collect(out_dir)
+    assert out.num_rows == table.num_rows
+    a = out.take(pc.sort_indices(out["doc_id"]))
+    b = table.take(pc.sort_indices(table["doc_id"]))
+    for name in table.schema.names:
+        assert a[name].combine_chunks().equals(
+            b[name].combine_chunks().cast(a[name].type)), name
+    # no orphan segment files
+    part_files = set(glob.glob(os.path.join(out_dir, "parts", "*.arcr")))
+    assert part_files == set(m["path"].to_pylist())
+
+
+def test_replaces_filter_crash_window(fragmented):
+    """Simulate a crash after the new compacted row committed but
+    before old rows were deleted: load_manifest must hide the old
+    rows and row counts must stay exact."""
+    out_dir, table = fragmented
+    before = load_manifest(out_dir).to_pylist()
+    # hand-craft: compact two partitions of the same source, keeping
+    # the old manifest rows in place
+    from arcade_ray.pipeline.compact import _compact_group, _source_of
+
+    by_src = {}
+    for r in before:
+        by_src.setdefault(_source_of(r["part_key"]), []).append(r)
+    src, parts = next((s, p) for s, p in by_src.items() if len(p) >= 2)
+    _compact_group(parts[:2], out_dir, f"{src}#crash", "doc_id")
+    # old rows still on disk; manifest must drop them via `replaces`
+    m = load_manifest(out_dir)
+    keys = set(m["part_key"].to_pylist())
+    assert f"{src}#crash" in keys
+    assert parts[0]["part_key"] not in keys
+    assert parts[1]["part_key"] not in keys
+    assert sum(m["rows"].to_pylist()) == table.num_rows
+
+
+def test_compact_idempotent(fragmented):
+    out_dir, table = fragmented
+    compact(out_dir, weight_cap=10_000_000)
+    m1 = load_manifest(out_dir)
+    m2 = compact(out_dir, weight_cap=10_000_000)
+    # second pass may still merge leftovers, but must preserve rows
+    assert sum(m2["rows"].to_pylist()) == table.num_rows
