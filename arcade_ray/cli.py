@@ -110,6 +110,17 @@ def cmd_random_access(args) -> None:
         print(out.slice(0, args.show).to_pandas())
 
 
+def cmd_compact(args) -> None:
+    from .pipeline.compact import compact
+    from .pipeline.encode import load_manifest
+
+    before = load_manifest(args.out_dir).num_rows
+    t0 = time.perf_counter()
+    m = compact(args.out_dir, weight_cap=args.cap)
+    print(f"Compacted {before} -> {m.num_rows} partitions "
+          f"in {time.perf_counter() - t0:.2f} s")
+
+
 def cmd_stats(args) -> None:
     from .pipeline.encode import load_manifest
 
@@ -173,6 +184,12 @@ def main(argv=None) -> None:
     st = sub.add_parser("stats")
     st.add_argument("out_dir")
     st.set_defaults(fn=cmd_stats)
+
+    cp = sub.add_parser("compact")
+    cp.add_argument("out_dir")
+    cp.add_argument("--cap", type=int, default=None,
+                    help="target raw bytes per compacted partition")
+    cp.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     needs_ray = args.cmd != "stats"

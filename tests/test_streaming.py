@@ -50,6 +50,26 @@ def test_streaming_roundtrip(ray_session, tmp_path):
             b[name].combine_chunks().cast(a[name].type)), name
 
 
+def test_query_over_streaming_encode(ray_session, tmp_path):
+    """Queries run unchanged over actor-chain partitions (keys with
+    '@aNNN#seq' and diff-dict chunks from the streaming path)."""
+    import ray
+    import ray.data as rd
+
+    from arcade_ray.pipeline.query import equi_filter
+
+    table = generate_corpus(6000, 5, seed=17)
+    out_dir = str(tmp_path / "enc")
+    encode_streaming(rd.from_arrow(table), out_dir,
+                     weight_cap=60_000, n_actors=2)
+    got = pa.concat_tables(ray.get(
+        equi_filter(out_dir, "source", "src-001",
+                    project=["source", "doc_id"]).to_arrow_refs()))
+    expect = table.filter(pc.equal(table["source"], "src-001"))
+    assert got.num_rows == expect.num_rows
+    assert set(got["doc_id"].to_pylist()) == set(expect["doc_id"].to_pylist())
+
+
 def test_cached_decoder_lru(ray_session, tmp_path):
     import ray
     import ray.data as rd
