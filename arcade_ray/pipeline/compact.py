@@ -89,12 +89,20 @@ def compact(out_dir: str, weight_cap: int | None = None,
     if not jobs:
         return load_manifest(out_dir)
 
+    import hashlib
+
     import ray
 
     task = ray.remote(_compact_group)
     refs = []
     for i, (source, group) in enumerate(jobs):
-        new_key = f"{source}#c{i:04d}"
+        # key derived from the replaced set: unique across compaction
+        # generations (an index would collide with earlier '#cNNNN'
+        # parts) and stable across retries of the same group
+        digest = hashlib.md5(
+            ",".join(sorted(p["part_key"] for p in group)).encode()
+        ).hexdigest()[:8]
+        new_key = f"{source}#c{digest}"
         if run_remote:
             refs.append(task.remote(group, out_dir, new_key, sort_by))
         else:

@@ -80,3 +80,24 @@ def test_compact_idempotent(fragmented):
     m2 = compact(out_dir, weight_cap=10_000_000)
     # second pass may still merge leftovers, but must preserve rows
     assert sum(m2["rows"].to_pylist()) == table.num_rows
+
+
+def test_recompaction_generations(fragmented):
+    """A second compaction that merges previously-compacted parts must
+    not collide with their keys (keys are derived from the replaced
+    set, unique per generation)."""
+    out_dir, table = fragmented
+    compact(out_dir, weight_cap=300_000)   # small target -> several c-parts
+    m1 = load_manifest(out_dir)
+    gen1 = {k for k in m1["part_key"].to_pylist() if "#c" in k}
+    m2 = compact(out_dir, weight_cap=50_000_000)  # merge everything per source
+    gen2 = {k for k in m2["part_key"].to_pylist() if "#c" in k}
+    assert sum(m2["rows"].to_pylist()) == table.num_rows
+    out = collect(out_dir)
+    assert out.num_rows == table.num_rows
+    assert len(set(out["doc_id"].to_pylist())) == table.num_rows
+    # any re-merged gen1 part is gone, and no key was reused for
+    # different contents
+    assert not (gen1 & gen2) or all(
+        k in gen1 for k in (gen1 & gen2)
+    )
