@@ -92,13 +92,20 @@ def filter_partition(path: str, col: str, literal, project: list[str]) -> pa.Tab
                     continue
                 f.seek(base + ch["off"])
                 payload = f.read(ch["nb"])
-                if mode == "plain":
-                    arr = sdec.decode_chunk(ch, payload)
+                if mode == "plain" or ch.get("vb"):
+                    # plain chunks, and any null-bearing chunk (nulls
+                    # encode as "" in the dictionary — a code compare
+                    # would wrongly match empty-string literals), go
+                    # through the full decode with validity applied
+                    arr = dec.decode(ch, payload)
                     mask = pc.fill_null(pc.equal(arr, literal), False)
                     match_idx[i] = np.flatnonzero(
                         mask.to_numpy(zero_copy_only=False)
                     )
-                    lit_code, lit_code_dict_size = -1, 0
+                    if mode == "plain":
+                        lit_code, lit_code_dict_size = -1, 0
+                    elif mode == "local":
+                        lit_code, lit_code_dict_size = -1, 0
                     continue
                 # dict chunk: advance dict, resolve literal once per
                 # epoch/dict growth (memoized like reference `offset`,
@@ -357,6 +364,11 @@ def _dict_counts_partition(path: str, col: str, totals: dict[str, int]) -> None:
     cm = header["columns"][col]
     if cm["kind"] != "str":
         raise TypeError("dict_value_counts is for string columns")
+    if any(ch.get("nulls") for ch in cm["chunks"]):
+        raise NotImplementedError(
+            "dict_value_counts over a null-bearing column: null slots "
+            "encode as '' in the dictionary — decode the column instead"
+        )
     sdec = StringColumnDecoder(cm["tag"])
     with open(path, "rb") as f:
         for ch in cm["chunks"]:

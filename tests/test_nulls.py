@@ -77,6 +77,34 @@ def test_null_filter_semantics(tmp_path):
     assert set(got_s["doc_id"].to_pylist()) == set(expect_s["doc_id"].to_pylist())
 
 
+def test_null_filter_plain_mode_and_empty_literal(tmp_path):
+    """(a) high-cardinality (plain-encoded) string column with nulls:
+    equality filter must not match null slots; (b) dict-mode column:
+    filtering for '' must not match nulls (nulls encode as '' in the
+    dictionary — the decode path must win)."""
+    from arcade_ray.pipeline.query import filter_partition
+
+    n = 1000
+    plain_col = [None if i % 9 == 0 else f"unique-{i:05d}" for i in range(n)]
+    dict_col = [None if i % 7 == 0 else ("" if i % 5 == 0 else f"v{i % 3}")
+                for i in range(n)]
+    t = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(n)]),
+        "p": pa.array(plain_col, type=pa.string()),
+        "k": pa.array(dict_col, type=pa.string()),
+    })
+    path = roundtrip(t, tmp_path, "pm")
+    got = filter_partition(path, "p", "unique-00018", ["p", "doc_id"])
+    assert got.num_rows == 0  # index 18 is a null slot (18 % 9 == 0)
+    got2 = filter_partition(path, "p", "unique-00017", ["p", "doc_id"])
+    assert got2.num_rows == 1
+    # empty-string literal on the null-bearing dict column
+    got3 = filter_partition(path, "k", "", ["k", "doc_id"])
+    expect3 = t.filter(pc.fill_null(pc.equal(t["k"], ""), False))
+    assert got3.num_rows == expect3.num_rows
+    assert set(got3["doc_id"].to_pylist()) == set(expect3["doc_id"].to_pylist())
+
+
 def test_nulls_multichunk(tmp_path, monkeypatch):
     import arcade_ray.format as fmt
 
