@@ -81,8 +81,9 @@ class _StreamingEncoderState:
         keys = table[self.key_col]
         if not pa.types.is_string(keys.type):
             keys = keys.cast(pa.string())
-        for src in pc.unique(keys.combine_chunks()).to_pylist():
-            sub = table.filter(pc.equal(table[self.key_col], src))
+        keys = pc.fill_null(keys.combine_chunks(), "")  # null keys -> "" group
+        for src in pc.unique(keys).to_pylist():
+            sub = table.filter(pc.equal(keys, src))
             self.pending[src].append(sub)
             self.pending_weight[src] += self._weight(sub)
             if self.pending_weight[src] >= self.weight_cap:

@@ -77,6 +77,7 @@ def build_plan(ds, key_col: str, id_col: str, weight_col: str | None = None,
         keys = batch[key_col]
         if not pa.types.is_string(keys.type):
             keys = keys.cast(pa.string())
+        keys = pc.fill_null(keys, "")  # null keys group under ""
         if weight_col is not None:
             g = pa.table({"k": keys, "w": batch[weight_col].cast(pa.int64())}) \
                 .group_by("k").aggregate([("w", "sum")])
@@ -100,6 +101,7 @@ def assign_part_keys(batch: pa.Table, plan: Plan) -> pa.Table:
     src = batch[plan.key_col].combine_chunks()
     if not pa.types.is_string(src.type):
         src = src.cast(pa.string())
+    src = pc.fill_null(src, "")  # null keys group under "" (plan partial agrees)
     denc = src.dictionary_encode()
     uniq = denc.dictionary.to_pylist()  # small: one entry per source in batch
     nb_map = np.array([plan.buckets_per_source.get(u, 1) for u in uniq],

@@ -105,6 +105,31 @@ def test_null_filter_plain_mode_and_empty_literal(tmp_path):
     assert set(got3["doc_id"].to_pylist()) == set(expect3["doc_id"].to_pylist())
 
 
+def test_null_partition_key_not_dropped(ray_session, tmp_path):
+    """Rows with a NULL partition key must survive the exchange
+    (grouped under the '' partition) and round-trip with their null."""
+    import ray
+    import ray.data as rd
+
+    from arcade_ray.pipeline import decode_dataset, encode_dataset
+
+    n = 400
+    t = pa.table({
+        "doc_id": pa.array([f"d{i:04d}" for i in range(n)]),
+        "source": pa.array(
+            [None if i % 10 == 0 else f"s{i % 3}" for i in range(n)],
+            type=pa.string()),
+        "n_tok": pa.array([1] * n, type=pa.int32()),
+        "tokens": pa.array([[j] for j in range(n)], type=pa.list_(pa.int32())),
+    })
+    out_dir = str(tmp_path / "enc")
+    manifest = encode_dataset(rd.from_arrow(t), out_dir)
+    assert sum(manifest["rows"].to_pylist()) == n
+    out = pa.concat_tables(ray.get(decode_dataset(out_dir).to_arrow_refs()))
+    assert out.num_rows == n
+    assert out["source"].combine_chunks().null_count == n // 10
+
+
 def test_nulls_multichunk(tmp_path, monkeypatch):
     import arcade_ray.format as fmt
 
