@@ -175,7 +175,7 @@ def main() -> None:
     if "--scaling" in sys.argv:
         # scaling runs use a larger corpus by default so compute
         # dominates fixed pipeline latency (BASELINE.md §3)
-        os.environ.setdefault("ARCADE_BENCH_ROWS", "1000000")
+        os.environ.setdefault("ARCADE_BENCH_ROWS", "2000000")
         global CORPUS_ROWS
         CORPUS_ROWS = int(os.environ["ARCADE_BENCH_ROWS"])
         ensure_corpus()  # generate once, outside both timed runs
