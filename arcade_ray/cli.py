@@ -121,6 +121,22 @@ def cmd_compact(args) -> None:
           f"in {time.perf_counter() - t0:.2f} s")
 
 
+def cmd_verify(args) -> None:
+    from .pipeline.verify import verify_roundtrip
+
+    t0 = time.perf_counter()
+    report = verify_roundtrip(args.out_dir, args.input)
+    status = "MATCH" if report["match"] else "MISMATCH"
+    print(f"{status}: {report['rows_encoded']} encoded rows vs "
+          f"{report['rows_input']} input rows "
+          f"(fingerprints {report['fingerprint_encoded']:#x} / "
+          f"{report['fingerprint_input']:#x}) in {time.perf_counter() - t0:.2f} s")
+    for e in report.get("errors", []):
+        print(f"  partition error: {e['path']}: {e['error']}")
+    if not report["match"]:
+        sys.exit(1)
+
+
 def cmd_stats(args) -> None:
     from .pipeline.encode import load_manifest
 
@@ -184,6 +200,11 @@ def main(argv=None) -> None:
     st = sub.add_parser("stats")
     st.add_argument("out_dir")
     st.set_defaults(fn=cmd_stats)
+
+    vf = sub.add_parser("verify")
+    vf.add_argument("out_dir")
+    vf.add_argument("input", help="original parquet file/dir to compare against")
+    vf.set_defaults(fn=cmd_verify)
 
     cp = sub.add_parser("compact")
     cp.add_argument("out_dir")
