@@ -229,6 +229,19 @@ def q_quality_scores(sf_dir: str) -> pa.Table:
         ["doc_id", "punct_ratio", "stopword_ratio", "mean_word_len"])
 
 
+def q_bpe_token_count(sf_dir: str) -> pa.Table:
+    """BPE-style pre-tokenizer counts (rows-only: regex class approx
+    has no exact SQL equivalent)."""
+    return _analyzed(sf_dir).select(["doc_id", "bpe_token_count"])
+
+
+def q_winnow_fingerprints(sf_dir: str) -> pa.Table:
+    """Winnowing rolling-hash document fingerprints (rows-only)."""
+    from .textops import winnow_table
+
+    return _collect(winnow_table(_docs_ds(sf_dir)))
+
+
 def q_minhash_pairs(sf_dir: str) -> pa.Table:
     """MinHash-LSH near-duplicate pairs (rows-only)."""
     from .textops import minhash_lsh_pairs
@@ -320,6 +333,8 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
+    "bpe_token_count": q_bpe_token_count,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "ann_topk": q_ann_topk,

@@ -265,6 +265,17 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 # --- text analysis ----------------------------------------------------------
 
 _WORD_RE = re.compile(r"[A-Za-z0-9]+")
+# BPE-style pre-tokenizer (GPT-2 pattern shape, ASCII approximation of
+# \p{L}/\p{N} since the stdlib re lacks unicode property classes):
+# contractions | optional-space letters | optional-space digits |
+# optional-space punctuation run | whitespace
+_BPE_RE = re.compile(
+    r"'(?:[sdmt]|ll|ve|re)"
+    r"| ?[A-Za-zÀ-ÖØ-öø-ÿ]+"
+    r"| ?[0-9]+"
+    r"| ?[^\sA-Za-zÀ-ÖØ-öø-ÿ0-9]+"
+    r"|\s+"
+)
 _STOPWORDS = frozenset(
     "the and of a to in is it that for on as with was at by an be this have "
     "from or had not are but what all were when we there can".split()
@@ -321,7 +332,54 @@ class TextAnalyzer:
         batch["fingerprint"] = text.map(
             lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()
         )
+        batch["bpe_token_count"] = text.map(
+            lambda t: sum(1 for m in _BPE_RE.finditer(t) if not m.group().isspace())
+        ).astype("int64")
         return batch
+
+
+def winnow_fingerprints(text: str, k: int = 8, window: int = 4) -> list[int]:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003): rolling k-gram hashes, minimum per sliding window,
+    deduplicated in order. Robust to local edits — the rolling-hash
+    fingerprinting of FIXTURES/prompt."""
+    if not text:
+        return []
+    sh = _char_shingles(text, k)
+    n = len(sh)
+    if n == 0:
+        return []
+    if n <= window:
+        return [int(sh.min())]
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    wins = sliding_window_view(sh, window)
+    mins = wins.min(axis=1)
+    # keep first occurrence positions (classic winnowing selects the
+    # rightmost min; any deterministic tie rule works for matching)
+    out, prev = [], None
+    for v in mins.tolist():
+        if v != prev:
+            out.append(int(v))
+            prev = v
+    return out
+
+
+def winnow_table(ds, text_col: str = "text", id_col: str = "doc_id",
+                 k: int = 8, window: int = 4):
+    """Per-doc winnowing fingerprints -> Dataset[(id, fingerprints)]."""
+
+    def run(batch: pa.Table) -> pa.Table:
+        fps = [winnow_fingerprints(t, k, window)
+               for t in batch[text_col].to_pylist()]
+        return pa.table({
+            id_col: batch[id_col],
+            "fingerprints": pa.array(
+                [[f - (1 << 63) for f in fp] for fp in fps],
+                type=pa.list_(pa.int64())),
+        })
+
+    return ds.map_batches(run, batch_format="pyarrow")
 
 
 def analyze_text(ds, concurrency: int | None = None, batch_size: int = 4096):

@@ -118,6 +118,39 @@ def test_lang_id_heuristic():
     assert an.lang_of(BASE_DOCS[3]) == "fr"
 
 
+def test_bpe_token_count():
+    an = TextAnalyzer()
+    df = pd.DataFrame({"text": ["I'll see 42 cats, won't you?", ""]})
+    out = an(df.copy())
+    # I |'ll| see| 42| cats|,| won|'t| you|? -> 10 non-space tokens
+    assert out["bpe_token_count"].tolist() == [10, 0]
+
+
+def test_winnow_fingerprints():
+    from arcade_ray.textops import winnow_fingerprints
+
+    a = BASE_DOCS[0]
+    b = a.replace("lazy", "calm")  # local edit
+    c = BASE_DOCS[2]
+    fa, fb, fc = (set(winnow_fingerprints(t)) for t in (a, b, c))
+    sim_ab = len(fa & fb) / len(fa | fb)
+    sim_ac = len(fa & fc) / max(1, len(fa | fc))
+    assert sim_ab > 0.5 > sim_ac
+    assert winnow_fingerprints("") == []
+    assert len(winnow_fingerprints("abc")) == 1  # shorter than k
+
+
+def test_winnow_table(docs_ds):
+    from arcade_ray.textops import winnow_table
+
+    out = winnow_table(docs_ds).to_pandas()
+    assert len(out) == make_docs_table().num_rows
+    # exact dups share identical fingerprint sets
+    f0 = set(out[out["doc_id"] == 0]["fingerprints"].iloc[0])
+    f1 = set(out[out["doc_id"] == 1]["fingerprints"].iloc[0])
+    assert f0 == f1
+
+
 def test_analyze_text_pipeline(docs_ds):
     out = analyze_text(docs_ds).to_pandas()
     assert {"word_count", "punct_ratio", "stopword_ratio", "pred_lang",
