@@ -38,6 +38,10 @@ def pack_bits(values: np.ndarray, width: int) -> bytes:
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if width < 64 and len(v) and int(v.max()) >> width:
         raise ValueError("value does not fit in width")
+    if width in (8, 16, 32, 64):
+        # byte-aligned fast path: a narrowing cast IS the packing
+        np_t = {8: np.uint8, 16: np.uint16, 32: np.uint32, 64: np.uint64}[width]
+        return v.astype(np_t).tobytes()
     shifts = np.arange(width, dtype=np.uint64)
     parts = []
     for s in range(0, len(v), _CHUNK):
@@ -51,6 +55,9 @@ def unpack_bits(data: bytes, width: int, count: int) -> np.ndarray:
     """Inverse of :func:`pack_bits`; returns uint64 array of ``count``."""
     if width == 0:
         return np.zeros(count, dtype=np.uint64)
+    if width in (8, 16, 32, 64):
+        np_t = {8: np.uint8, 16: np.uint16, 32: np.uint32, 64: np.uint64}[width]
+        return np.frombuffer(data, dtype=np_t, count=count).astype(np.uint64)
     raw = np.frombuffer(data, dtype=np.uint8)
     out = np.empty(count, dtype=np.uint64)
     for s in range(0, count, _CHUNK):

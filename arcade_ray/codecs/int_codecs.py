@@ -236,13 +236,18 @@ INT_CODECS = {
 def choose_int_codec(vals: np.ndarray, p: IntProfile, tag: str,
                      try_gp: bool = True) -> tuple[str, bytes, dict]:
     """Greedy min-estimated-bytes selection over the int palette."""
-    best_name, best_est = "plain", _plain_est(p, tag)
+    plain_est = _plain_est(p, tag)
+    best_name, best_est = "plain", plain_est
     for name, (est_fn, _, _) in INT_CODECS.items():
         if name in ("plain", "gp"):
             continue  # plain is the baseline; gp is sample-estimated below
         est = est_fn(p, tag)
         if est is not None and est < best_est:
             best_name, best_est = name, est
+    # speed tiebreak: non-byte-aligned bit-packing pays a heavy
+    # pack/unpack cost — not worth it for < 5% size over plain
+    if best_name in ("bitpack", "for") and best_est > 0.95 * plain_est:
+        best_name, best_est = "plain", plain_est
     if try_gp and p.n * _ITEMSIZE[tag] >= 4096:
         # sample-compress to estimate zstd on the plain bytes
         plain_sample = vals[: max(1, ESTIMATE_SAMPLE_BYTES // 8)]
