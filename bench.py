@@ -184,15 +184,25 @@ def main() -> None:
         # bimodal CPU steal; 2 vs 8 isolates OUR scaling behavior.
         lo = int(os.environ.get("ARCADE_SCALE_LO", "2"))
         hi = int(os.environ.get("ARCADE_SCALE_HI", str(4 * lo)))
-        r_lo = run_child(lo)
-        time.sleep(6)  # let the previous Ray cluster fully tear down
-        r_hi = run_child(hi)
-        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        reps = int(os.environ.get("ARCADE_SCALE_REPS", "1"))
+        lo_times, hi_times = [], []
+        r_lo = r_hi = None
+        for _ in range(reps):
+            # interleaved lo/hi runs: multi-tenant host noise hits both
+            # configs alike; min-per-config approximates the quiet host
+            r_lo = run_child(lo)
+            lo_times.append(r_lo["value"])
+            time.sleep(6)  # let the previous Ray cluster fully tear down
+            r_hi = run_child(hi)
+            hi_times.append(r_hi["value"])
+            time.sleep(6)
+        t_lo, t_hi = min(lo_times), min(hi_times)
+        eff = (t_lo / t_hi) / (hi / lo)
         print(json.dumps({
-            f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
-            f"tokens_per_s_{lo}": r_lo["tokens_per_s"],
-            f"tokens_per_s_{hi}": r_hi["tokens_per_s"],
-            "cpus_lo": lo, "cpus_hi": hi,
+            f"sec_{lo}": t_lo, f"sec_{hi}": t_hi,
+            f"tokens_per_s_{lo}": round(r_lo["n_tokens"] / t_lo),
+            f"tokens_per_s_{hi}": round(r_hi["n_tokens"] / t_hi),
+            "cpus_lo": lo, "cpus_hi": hi, "reps": reps,
             "scaling_efficiency": round(eff, 3),
             "n_tokens": r_lo["n_tokens"],
         }))
