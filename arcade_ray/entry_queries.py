@@ -170,6 +170,31 @@ def q_group_count_encoded(sf_dir: str) -> pa.Table:
     return dict_value_counts(out, "source")
 
 
+def q_window_agg(sf_dir: str) -> pa.Table:
+    """Tumbling 1-hour window aggregate over the events stream table
+    (stream-shaped workload: windows = groupby on truncated event
+    time; guide 'Streaming-shaped workloads')."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts", "value"])
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(batch["ts"], unit="hour")
+        return batch.append_column("w", w).drop_columns(["ts"])
+
+    out = _collect(
+        ds.map_batches(add_window, batch_format="pyarrow")
+        .groupby(["event_type", "w"])
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("value", alias_name="sum_value"))
+    )
+    sv = pc.round(out["sum_value"], 3)
+    return out.set_column(out.schema.get_field_index("sum_value"),
+                          "sum_value", sv)
+
+
 def q_compression_metrics(sf_dir: str) -> pa.Table:
     """Lineage/metrics surface: per-partition encoded sizes (rows-only
     check; not SQL-expressible)."""
@@ -327,6 +352,7 @@ QUERIES = {
     "filter_lang": q_filter_lang,
     "range_filter": q_range_filter,
     "group_count_encoded": q_group_count_encoded,
+    "window_agg": q_window_agg,
     "compression_metrics": q_compression_metrics,
     "exact_dedup": q_exact_dedup,
     "token_count": q_token_count,
@@ -361,6 +387,9 @@ ORACLE_SQL = {
     "filter_lang": "SELECT doc_id, lang, source FROM documents WHERE lang = 'en'",
     "range_filter": "SELECT doc_id, n_chars FROM documents WHERE n_chars BETWEEN 100 AND 200",
     "group_count_encoded": "SELECT source, COUNT(*) AS n_rows FROM documents GROUP BY source",
+    "window_agg": ("SELECT event_type, date_trunc('hour', ts) AS w, "
+                   "COUNT(*) AS n_events, round(SUM(value), 3) AS sum_value "
+                   "FROM events GROUP BY event_type, date_trunc('hour', ts)"),
     "exact_dedup": "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
     "token_count": ("SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)"
                     " AS word_count FROM documents"),
