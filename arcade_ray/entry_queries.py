@@ -195,6 +195,19 @@ def q_window_agg(sf_dir: str) -> pa.Table:
                           "sum_value", sv)
 
 
+def q_session_windows(sf_dir: str) -> pa.Table:
+    """Gap-based (30 min) session windows per user over events."""
+    import ray.data as rd
+
+    from .windows import session_windows
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    out = _collect(session_windows(ds, key_col="user_id", ts_col="ts",
+                                   gap_s=1800.0))
+    return out.select(["user_id", "session_start", "session_end", "n_events"])
+
+
 def q_compression_metrics(sf_dir: str) -> pa.Table:
     """Lineage/metrics surface: per-partition encoded sizes (rows-only
     check; not SQL-expressible)."""
@@ -353,6 +366,7 @@ QUERIES = {
     "range_filter": q_range_filter,
     "group_count_encoded": q_group_count_encoded,
     "window_agg": q_window_agg,
+    "session_windows": q_session_windows,
     "compression_metrics": q_compression_metrics,
     "exact_dedup": q_exact_dedup,
     "token_count": q_token_count,
@@ -390,6 +404,15 @@ ORACLE_SQL = {
     "window_agg": ("SELECT event_type, date_trunc('hour', ts) AS w, "
                    "COUNT(*) AS n_events, round(SUM(value), 3) AS sum_value "
                    "FROM events GROUP BY event_type, date_trunc('hour', ts)"),
+    "session_windows": (
+        "WITH g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+        "OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS brk "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+        "s AS (SELECT user_id, ts, SUM(brk) OVER "
+        "(PARTITION BY user_id ORDER BY ts) AS sid FROM g) "
+        "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, "
+        "CAST(count(*) AS BIGINT) AS n_events FROM s GROUP BY user_id, sid"
+    ),
     "exact_dedup": "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
     "token_count": ("SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)"
                     " AS word_count FROM documents"),
