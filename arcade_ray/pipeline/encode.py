@@ -153,6 +153,7 @@ def encode_dataset(ds, out_dir: str, key_col: str = "source",
     sort_by = id_col if sort_partitions_by is None else sort_partitions_by
 
     done = committed_parts(out_dir) if resume else {}
+    _validate_columns(set(ds.schema().names), key_col, id_col, weight_col)
     # planning pass reads only key+weight columns (projection pushdown
     # into the parquet read — never drag the token payload through the
     # planning aggregate)
@@ -358,6 +359,18 @@ def _run_direct_exchange(split_inputs: list[list], pid_keys: list[str],
     return [_manifest_schema_table(rows)]
 
 
+def _validate_columns(schema_names: set, key_col: str, id_col: str,
+                      weight_col: str | None) -> None:
+    missing = [c for c in (key_col, id_col, weight_col)
+               if c and c not in schema_names]
+    if missing:
+        raise ValueError(
+            f"column(s) {missing} not in input schema "
+            f"(columns: {sorted(schema_names)}); pass key_col/id_col/"
+            f"weight_col matching your table"
+        )
+
+
 def _avail_cpus() -> int:
     import ray
 
@@ -410,6 +423,11 @@ def encode_parquet(paths: list[str] | str, out_dir: str,
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
     sort_by = id_col if sort_partitions_by is None else sort_partitions_by
     done = committed_parts(out_dir) if resume else {}
+
+    import pyarrow.parquet as _pq
+
+    schema_names = set(_pq.read_schema(files[0]).names)
+    _validate_columns(schema_names, key_col, id_col, weight_col)
 
     # planning pass: per-file partial aggregates over pruned columns
     plan_cols = [key_col] + ([weight_col] if weight_col and weight_col != key_col else [])

@@ -111,3 +111,16 @@ def test_manifest_lineage_fields(ray_session, corpus_parquet, tmp_path):
         assert row[field] is not None
     stats = json.loads(row["col_stats"])
     assert set(stats) == {"doc_id", "tokens", "n_tok", "source"}
+
+
+def test_bad_column_validation(ray_session, corpus_parquet, tmp_path):
+    import pytest as _pytest
+    import ray.data as rd
+
+    from arcade_ray.pipeline.encode import encode_parquet
+
+    with _pytest.raises(ValueError, match="not in input schema"):
+        encode_parquet(corpus_parquet, str(tmp_path / "x"), key_col="nope")
+    with _pytest.raises(ValueError, match="not in input schema"):
+        encode_dataset(rd.read_parquet(corpus_parquet), str(tmp_path / "y"),
+                       weight_col="missing_col")
