@@ -195,6 +195,21 @@ def q_window_agg(sf_dir: str) -> pa.Table:
                           "sum_value", sv)
 
 
+def q_topk(sf_dir: str) -> pa.Table:
+    from .pipeline.query import topk
+
+    out = encoded_dir(sf_dir, "documents")
+    return topk(out, "n_chars", 50, descending=True)
+
+
+def q_sample(sf_dir: str) -> pa.Table:
+    from .pipeline.query import sample_ids
+
+    out = encoded_dir(sf_dir, "documents")
+    return _collect(sample_ids(out, "doc_id", 20, 3,
+                               columns=["doc_id", "source"]))
+
+
 def q_session_windows(sf_dir: str) -> pa.Table:
     """Gap-based (30 min) session windows per user over events."""
     import ray.data as rd
@@ -367,6 +382,8 @@ QUERIES = {
     "group_count_encoded": q_group_count_encoded,
     "window_agg": q_window_agg,
     "session_windows": q_session_windows,
+    "topk": q_topk,
+    "sample": q_sample,
     "compression_metrics": q_compression_metrics,
     "exact_dedup": q_exact_dedup,
     "token_count": q_token_count,
@@ -424,6 +441,8 @@ ORACLE_SQL = {
         "QUALIFY row_number() OVER (PARTITION BY q.vec_id "
         "ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id) <= 10"
     ),
+    "topk": "SELECT n_chars FROM documents ORDER BY n_chars DESC LIMIT 50",
+    "sample": "SELECT doc_id, source FROM documents WHERE doc_id % 20 = 3",
     "embedding_near_dup": (
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
         "round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos "

@@ -394,6 +394,60 @@ def _dict_counts_partition(path: str, col: str, totals: dict[str, int]) -> None:
                 totals[s] = totals.get(s, 0) + int(counts[code])
 
 
+def topk(out_dir: str, col: str, k: int, descending: bool = True) -> pa.Table:
+    """Top-k values of a column: per-partition partial top-k tasks,
+    tiny driver merge of #partitions x k values. The reference lists
+    sort/top-k as roadmap (README.md:129)."""
+    import ray
+
+    rows = _manifest_paths(out_dir)
+
+    @ray.remote
+    def part_topk(path: str):
+        from .encode import _pin_arrow_threads
+
+        _pin_arrow_threads()
+        t = decode_partition(path, columns=[col])
+        arr = t[col].combine_chunks()
+        idx = pc.array_sort_indices(
+            arr, order="descending" if descending else "ascending")
+        return arr.take(idx[: min(k, len(arr))])
+
+    refs = [part_topk.remote(r["path"]) for r in rows]
+    parts = [p for p in ray.get(refs) if len(p)]
+    merged = pa.concat_arrays([p.cast(parts[0].type) for p in parts])
+    order = pc.array_sort_indices(
+        merged, order="descending" if descending else "ascending")
+    return pa.table({col: merged.take(order[:k])})
+
+
+def sample_ids(out_dir: str, id_col: str, modulus: int, residue: int,
+               columns: list[str] | None = None):
+    """Deterministic systematic sample: rows where id % modulus ==
+    residue (reproducible sampling the reference lacks; SQL-checkable).
+    -> ray.data.Dataset."""
+    import ray.data as rd
+
+    rows = _manifest_paths(out_dir)
+    ds = rd.from_items([{"path": r["path"]} for r in rows])
+    want = columns
+
+    def run(batch: pa.Table) -> pa.Table:
+        outs = []
+        for p in batch["path"]:
+            header, _ = read_header(p.as_py())
+            cols = want or list(header["columns"])
+            need = cols if id_col in cols else [id_col] + cols
+            t = decode_partition(p.as_py(), columns=need)
+            ids = t[id_col].combine_chunks().cast(pa.int64())
+            ids_np = ids.to_numpy(zero_copy_only=False)
+            mask = pa.array((ids_np % modulus) == residue)
+            outs.append(t.filter(mask).select(cols))
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(run, batch_format="pyarrow", batch_size=1)
+
+
 # ---------------------------------------------------------------------------
 # random access
 # ---------------------------------------------------------------------------
