@@ -49,12 +49,13 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 class _ScoreBatch:
-    """Actor: fetches the broadcast query matrix once (__init__)."""
+    """Actor: receives the query matrix once (__init__). Queries are
+    small (Q x dim); they ship by value in the actor spec — an
+    ObjectRef constructor arg would make actor RESTART fail if the ref
+    is lost (ray#53727), which surfaced as rare flakes. For huge query
+    sets, switch to `ray.put` + fetch-in-init."""
 
-    def __init__(self, query_ref, id_col: str, vec_col: str, k: int):
-        import ray
-
-        q = ray.get(query_ref)
+    def __init__(self, q, id_col: str, vec_col: str, k: int):
         self.qids = q["ids"]
         self.qmat = _normalize(q["mat"])
         self.id_col, self.vec_col, self.k = id_col, vec_col, k
@@ -88,10 +89,10 @@ def topk_cosine(ds, queries_ids: list[int], queries_mat: np.ndarray,
     ties broken by ascending id (deterministic)."""
     import ray
 
-    query_ref = ray.put({"ids": list(queries_ids), "mat": queries_mat})
+    q = {"ids": list(queries_ids), "mat": np.asarray(queries_mat)}
     partials = ds.map_batches(
         _ScoreBatch, batch_format="pyarrow",
-        fn_constructor_args=(query_ref, id_col, vec_col, k),
+        fn_constructor_args=(q, id_col, vec_col, k),
         concurrency=_pool_size(concurrency),
     )
     merged = pa.concat_tables(ray.get(partials.to_arrow_refs()))
@@ -125,13 +126,14 @@ def near_dup_pairs(ds, all_ids: np.ndarray, all_mat: np.ndarray,
     the LSH-bucketed variant's signatures to shard the comparison."""
     import ray
 
-    ref = ray.put({"ids": np.asarray(all_ids),
-                   "mat": _normalize(np.asarray(all_mat, dtype=np.float64))})
+    pack = {"ids": np.asarray(all_ids),
+            "mat": _normalize(np.asarray(all_mat, dtype=np.float64))}
 
     class PairFinder:
         def __init__(self):
-            q = ray.get(ref)
-            self.all_ids, self.all_mat = q["ids"], q["mat"]
+            # by-value capture: fine at <~100 MB; at corpus scale use
+            # ray.put + fetch-in-call (NOT a ctor ObjectRef, ray#53727)
+            self.all_ids, self.all_mat = pack["ids"], pack["mat"]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             mat = _normalize(_to_matrix(batch[vec_col]))
@@ -187,14 +189,14 @@ def lsh_topk_cosine(ds, queries_ids: list[int], queries_mat: np.ndarray,
     allowed = sorted(set().union(*probe_sets)) if probe_sets else []
     allowed_arr = np.array(allowed, dtype=np.uint32)
 
-    query_ref = ray.put({
+    qpack = {
         "ids": list(queries_ids), "mat": qmat, "planes": planes,
         "allowed": allowed_arr,
-    })
+    }
 
     class ScoreLSH:
         def __init__(self):
-            q = ray.get(query_ref)
+            q = qpack  # small; shipped by value in the actor spec
             self.qids, self.qmat = q["ids"], q["mat"]
             self.planes, self.allowed = q["planes"], q["allowed"]
 
