@@ -184,6 +184,17 @@ def read_header(blob_or_path) -> tuple[dict, int]:
     return header, len(MAGIC) + 4 + hlen
 
 
+def read_exact(f, n: int, what: str = "chunk") -> bytes:
+    """Strict read: a short read means a truncated/corrupt segment —
+    fail loudly instead of silently decoding partial data."""
+    data = f.read(n)
+    if len(data) != n:
+        raise ValueError(
+            f"truncated segment: expected {n} bytes for {what}, got {len(data)}"
+        )
+    return data
+
+
 def decode_partition(path: str, columns: list[str] | None = None,
                      chunk_mask: list[bool] | None = None) -> pa.Table:
     """Decode a partition file back to an Arrow table.
@@ -204,13 +215,13 @@ def decode_partition(path: str, columns: list[str] | None = None,
             for i, ch in enumerate(cm["chunks"]):
                 if chunk_mask is None or chunk_mask[i]:
                     f.seek(base + ch["off"])
-                    arr = dec.decode(ch, f.read(ch["nb"]))
+                    arr = dec.decode(ch, read_exact(f, ch["nb"], name))
                     parts.append(arr)
                 else:
                     lo, hi = dec.advance_range(ch)
                     if hi > lo:
                         f.seek(base + ch["off"] + lo)
-                        dec.advance(ch, f.read(hi - lo))
+                        dec.advance(ch, read_exact(f, hi - lo, name))
             arrays[name] = (
                 pa.concat_arrays([p.cast(parts[0].type) for p in parts])
                 if parts else _empty_array(cm)

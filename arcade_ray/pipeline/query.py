@@ -35,7 +35,7 @@ import pyarrow.compute as pc
 
 from ..codecs.str_codecs import decode_codes
 from ..column import make_column_decoder
-from ..format import decode_partition, read_header
+from ..format import decode_partition, read_exact, read_header
 from .encode import load_manifest
 
 
@@ -87,11 +87,11 @@ def filter_partition(path: str, col: str, literal, project: list[str]) -> pa.Tab
                     lo, hi = dec.advance_range(ch)
                     if hi > lo:
                         f.seek(base + ch["off"] + lo)
-                        dec.advance(ch, f.read(hi - lo))
+                        dec.advance(ch, read_exact(f, hi - lo, col))
                         lit_code, lit_code_dict_size = -1, 0
                     continue
                 f.seek(base + ch["off"])
-                payload = f.read(ch["nb"])
+                payload = read_exact(f, ch["nb"], col)
                 if mode == "plain" or ch.get("vb"):
                     # plain chunks, and any null-bearing chunk (nulls
                     # encode as "" in the dictionary — a code compare
@@ -143,7 +143,7 @@ def filter_partition(path: str, col: str, literal, project: list[str]) -> pa.Tab
                 ):
                     continue
                 f.seek(base + ch["off"])
-                arr = dec.decode(ch, f.read(ch["nb"]))
+                arr = dec.decode(ch, read_exact(f, ch["nb"], col))
                 mask = pc.fill_null(pc.equal(arr, literal), False)
                 match_idx[i] = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
 
@@ -298,10 +298,10 @@ def _range_filter_partition(path: str, col: str, lo, hi,
                 rlo, rhi = dec.advance_range(ch)
                 if rhi > rlo:
                     f.seek(base + ch["off"] + rlo)
-                    dec.advance(ch, f.read(rhi - rlo))
+                    dec.advance(ch, read_exact(f, rhi - rlo, col))
                 continue
             f.seek(base + ch["off"])
-            arr = dec.decode(ch, f.read(ch["nb"]))
+            arr = dec.decode(ch, read_exact(f, ch["nb"], col))
             if prunable and zlo is not None and zhi is not None and lo <= zlo and zhi <= hi:
                 # chunk fully inside the range: no per-row compare
                 match_idx[i] = np.arange(len(arr))
@@ -373,7 +373,7 @@ def _dict_counts_partition(path: str, col: str, totals: dict[str, int]) -> None:
     with open(path, "rb") as f:
         for ch in cm["chunks"]:
             f.seek(base + ch["off"])
-            payload = f.read(ch["nb"])
+            payload = read_exact(f, ch["nb"], col)
             if ch["mode"] == "plain":
                 sdec.advance_dict(ch, payload)
                 lengths, data = decode_str_values(ch["codec"], payload, ch["meta"])
