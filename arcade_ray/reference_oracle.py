@@ -149,6 +149,33 @@ def reference_scan(arcade_path: str, columns: list[int]) -> list[list[str]]:
     return rows
 
 
+def reference_filter_count(arcade_path: str, col_num: int, value: str,
+                           retcols: list[int]) -> int:
+    """Run the reference `F` command (equi-filter on compressed data);
+    returns its match count (the runner prints counts only,
+    src/runner.cpp:60-70)."""
+    cols = ",".join(str(c) for c in retcols)
+    out = _run(f"F {arcade_path} {col_num} {value} {cols}")
+    m = re.search(r"Returned (\d+) rows", out)
+    return int(m.group(1)) if m else -1
+
+
+def reference_random_access(arcade_path: str, row_ids: list[int],
+                            retcols: list[int]) -> list[list[str]]:
+    """Run the reference `R` command; returns the decoded rows."""
+    cols = ",".join(str(c) for c in retcols)
+    rids = ",".join(str(r) for r in row_ids)
+    out = _run(f"R {arcade_path} {rids} {cols}")
+    rows = []
+    for line in out.splitlines():
+        if (not line or line.startswith("Returned ")
+                or line.startswith("The file is not")
+                or line.startswith("exiting")):
+            continue
+        rows.append(_ANSI.sub("", line).split("|"))
+    return rows
+
+
 def export_csv(columns: list[list[str]], path: str) -> int:
     """Write columns as a reference-ingestible CSV. Every line gets a
     trailing comma so the reference's last-character truncation bug

@@ -92,6 +92,54 @@ def test_tokens_column_size(fixture_cols, tmp_path):
     assert len(blob) <= ref_size, f"ours {len(blob)} > reference {ref_size}"
 
 
+def test_read_side_parity_filter_and_random_access(fixture_cols, tmp_path):
+    """The reference's own F (equi-filter) and R (random access) on its
+    own compressed file must agree with OUR operators on our encoded
+    file — read-side semantic parity, not just scan."""
+    import pyarrow as pa
+
+    from arcade_ray.pipeline.query import filter_partition, random_access
+    from arcade_ray.reference_oracle import (
+        reference_filter_count,
+        reference_random_access,
+    )
+
+    table, doc_id, source = fixture_cols
+    csv = str(tmp_path / "p.csv")
+    arcade = str(tmp_path / "p.arcade")
+    export_csv([doc_id, source], csv)
+    reference_compress(csv, arcade, ROWS, [0, 1])
+
+    sub = pa.table({"doc_id": table["doc_id"], "source": table["source"]})
+    blob, row = encode_partition(sub, "parity")
+    from arcade_ray.pipeline.encode import commit_partition
+    import os
+
+    out_dir = str(tmp_path / "enc")
+    os.makedirs(out_dir + "/parts"), os.makedirs(out_dir + "/manifest")
+    row = commit_partition(out_dir, "parity", blob, row)
+
+    # equi-filter parity: match counts agree for several literals
+    for literal in ("src-002", "src-007", "zzz-none"):
+        ref_n = reference_filter_count(arcade, 1, literal, [0, 1])
+        ours = filter_partition(row["path"], "source", literal,
+                                ["source", "doc_id"])
+        assert ours.num_rows == ref_n, literal
+        expect = sum(1 for s in source if s == literal)
+        assert ref_n == expect
+
+    # random-access parity: same rows by global row id (our partition
+    # preserves input order: single unsorted partition)
+    ids = [0, 1, 57, ROWS - 1]
+    ref_rows = reference_random_access(arcade, ids, [0, 1])
+    ours = random_access(out_dir, ids, columns=["doc_id", "source"])
+    ours_sorted = {r["row_id"]: (r["doc_id"], r["source"])
+                   for r in ours.to_pylist()}
+    assert len(ref_rows) == len(ids)
+    for rid, rr in zip(ids, ref_rows):
+        assert ours_sorted[rid] == (rr[0], rr[1]), rid
+
+
 def test_low_cardinality_column_size(fixture_cols, tmp_path):
     """source alone — ARCADE's best case (small shared dict, 1-byte
     codes). Our bit-packed codes must still be <= its byte-aligned
