@@ -1,0 +1,47 @@
+"""End-to-end CLI drive in one subprocess (own Ray session)."""
+
+import json
+import subprocess
+import sys
+
+import pyarrow.parquet as pq
+import pytest
+
+from arcade_ray.corpus import generate_corpus
+
+SCRIPT = """
+import sys
+from arcade_ray.cli import main
+corpus, enc = sys.argv[1], sys.argv[2]
+main(["--num-cpus", "4", "compress", corpus, enc])
+main(["stats", enc])
+main(["--num-cpus", "4", "filter", enc, "source", "src-001", "--project", "source,doc_id"])
+main(["--num-cpus", "4", "random-access", enc, "0,4999", "--columns", "doc_id"])
+main(["--num-cpus", "4", "verify", enc, corpus])
+"""
+
+
+def test_cli_end_to_end(tmp_path):
+    corpus = str(tmp_path / "c.parquet")
+    pq.write_table(generate_corpus(5000, 6, seed=71), corpus)
+    enc = str(tmp_path / "enc")
+    out = subprocess.run(
+        [sys.executable, "-c", SCRIPT, corpus, enc],
+        capture_output=True, text=True, timeout=240, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = out.stdout
+    assert "Compressed 5000 rows" in lines
+    assert '"rows": 5000' in lines
+    assert "MATCH: 5000 encoded rows vs 5000 input rows" in lines
+    assert "Returned 2 rows" in lines  # random access
+
+
+def test_cli_errors(tmp_path):
+    out = subprocess.run(
+        [sys.executable, "-m", "arcade_ray.cli", "stats", str(tmp_path / "nope")],
+        capture_output=True, text=True, timeout=60, cwd="/root/repo",
+    )
+    # empty manifest -> zero partitions, not a crash
+    assert out.returncode == 0
+    assert '"partitions": 0' in out.stdout
