@@ -115,3 +115,21 @@ def test_zone_maps_in_manifest(tmp_path):
     stats = json.loads(manifest["col_stats"])
     assert "source" in stats and stats["source"]["min"] == "src-000"
     assert stats["n_tok"]["min"] >= 1
+
+
+def test_all_supported_type_tags(tmp_path):
+    """Every declared type tag round-trips (date32, ts_ns, i16, u32
+    have no testdata column — covered here)."""
+    import datetime
+
+    t = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(100)]),
+        "d32": pa.array([datetime.date(2020, 1, 1 + i % 28) for i in range(100)],
+                        type=pa.date32()),
+        "tns": pa.array(np.arange(100) * 1_000_000_007, type=pa.timestamp("ns")),
+        "i16": pa.array(np.arange(100, dtype=np.int16), type=pa.int16()),
+        "u32": pa.array(np.arange(100, dtype=np.uint32) * 40_000_000,
+                        type=pa.uint32()),
+        "f32": pa.array(np.arange(100, dtype=np.float32) / 7, type=pa.float32()),
+    })
+    roundtrip(t, tmp_path, key="tags")
