@@ -5,6 +5,18 @@ sf0.001 documents table through the adaptive columnar compression
 engine). ``queries()``/``oracle_sql()`` — per-operator surface checked
 against DuckDB at sf0.01 (see arcade_ray/entry_queries.py).
 
+Query inventory (33; SQL-oracled unless marked rows-only):
+
+- engine core: scan_project, equi_filter, equi_filter_int, filter_lang,
+  range_filter, random_access, distinct_sources, plan_stats,
+  group_count_encoded (decode-free GROUP BY), topk, sample, window_agg,
+  session_windows, roundtrip_{documents,lineitem,events,embeddings,
+  orders,customer,part}, compression_metrics (rows-only lineage)
+- dedup/text: exact_dedup, token_count, fingerprint; rows-only:
+  lang_id, quality_scores, bpe_token_count, winnow_fingerprints,
+  minhash_pairs, simhash_pairs
+- similarity: ann_topk, embedding_near_dup; rows-only: ann_topk_lsh
+
 Ray is initialised by the driver BEFORE this module is imported: no
 ray.init()/ray.shutdown() here or in the library (arcade_ray never
 owns a session).
