@@ -23,6 +23,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .collect import collect_arrow
+
 
 def _pool_size(concurrency: int | None) -> int:
     """Actor-pool size leaving >=1 CPU for the upstream read stage — a
@@ -33,6 +35,21 @@ def _pool_size(concurrency: int | None) -> int:
 
     avail = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     return max(1, min(8, avail - 1))
+
+
+def _partial_topk_rows(neg_scores: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Row indices of the batch-local top-k under the total order
+    (score desc, id asc) — the same order the driver merge and the SQL
+    oracle use, so boundary ties never drop the wrong row (a bare
+    argpartition keeps an arbitrary subset of tied rows)."""
+    n = len(neg_scores)
+    if k >= n:
+        sel = np.arange(n)
+    else:
+        kth = np.partition(neg_scores, k - 1)[k - 1]
+        sel = np.flatnonzero(neg_scores <= kth)  # top-k plus boundary ties
+    order = np.lexsort((ids[sel], neg_scores[sel]))[:k]
+    return sel[order]
 
 
 def _to_matrix(col: pa.ChunkedArray) -> np.ndarray:
@@ -67,9 +84,8 @@ class _ScoreBatch:
         k = min(self.k, len(ids))
         out = {"query_id": [], self.id_col: [], "cos": []}
         if k:
-            top = np.argpartition(-scores, k - 1, axis=0)[:k]
             for qi in range(scores.shape[1]):
-                rows = top[:, qi]
+                rows = _partial_topk_rows(-scores[:, qi], ids, k)
                 out["query_id"].extend([self.qids[qi]] * len(rows))
                 out[self.id_col].extend(ids[rows].tolist())
                 out["cos"].extend(scores[rows, qi].tolist())
@@ -95,7 +111,7 @@ def topk_cosine(ds, queries_ids: list[int], queries_mat: np.ndarray,
         fn_constructor_args=(q, id_col, vec_col, k),
         concurrency=_pool_size(concurrency),
     )
-    merged = pa.concat_tables(ray.get(partials.to_arrow_refs()))
+    merged = collect_arrow(partials)
     # driver merge: tiny (#batches x Q x k rows)
     out = {"query_id": [], id_col: [], "cos": []}
     qids = merged["query_id"].to_numpy(zero_copy_only=False)
@@ -152,7 +168,7 @@ def near_dup_pairs(ds, all_ids: np.ndarray, all_mat: np.ndarray,
 
     parts = ds.map_batches(PairFinder, batch_format="pyarrow",
                            concurrency=_pool_size(concurrency))
-    out = pa.concat_tables(ray.get(parts.to_arrow_refs()))
+    out = collect_arrow(parts)
     order = pc.sort_indices(out, sort_keys=[("id_a", "ascending"),
                                             ("id_b", "ascending")])
     return out.take(order)
@@ -211,9 +227,8 @@ def lsh_topk_cosine(ds, queries_ids: list[int], queries_mat: np.ndarray,
             if len(ids):
                 scores = mat @ self.qmat.T
                 kk = min(k, len(ids))
-                top = np.argpartition(-scores, kk - 1, axis=0)[:kk]
                 for qi in range(scores.shape[1]):
-                    rows = top[:, qi]
+                    rows = _partial_topk_rows(-scores[:, qi], ids, kk)
                     out["query_id"].extend([self.qids[qi]] * len(rows))
                     out[id_col].extend(ids[rows].tolist())
                     out["cos"].extend(scores[rows, qi].tolist())
@@ -225,7 +240,7 @@ def lsh_topk_cosine(ds, queries_ids: list[int], queries_mat: np.ndarray,
 
     partials = ds.map_batches(ScoreLSH, batch_format="pyarrow",
                               concurrency=_pool_size(concurrency))
-    merged = pa.concat_tables(ray.get(partials.to_arrow_refs()))
+    merged = collect_arrow(partials)
     out = {"query_id": [], id_col: [], "cos": []}
     qids = merged["query_id"].to_numpy(zero_copy_only=False)
     vids = merged[id_col].to_numpy(zero_copy_only=False)

@@ -73,24 +73,42 @@ def cmd_scan(args) -> None:
         print(f"Returned {n} rows in {time.perf_counter() - t0:.2f} s")
 
 
+def _coerce_literal(out_dir: str, column: str, raw: str):
+    """Coerce the CLI literal using the target column's type tag from
+    the encoded header (a bare int() try left float columns compared as
+    strings)."""
+    from .format import read_header
+    from .pipeline.encode import load_manifest
+
+    m = load_manifest(out_dir)
+    if not m.num_rows:
+        return raw
+    header, _ = read_header(m["path"][0].as_py())
+    cm = header["columns"].get(column)
+    if cm is None or cm["kind"] == "str":
+        return raw  # unknown columns error helpfully in equi_filter
+    if cm.get("tag") in ("f32", "f64"):
+        return float(raw)
+    return int(raw)
+
+
 def cmd_filter(args) -> None:
     from .pipeline.query import equi_filter
 
-    value: object = args.value
     try:
-        value = int(args.value)
+        value: object = _coerce_literal(args.out_dir, args.column, args.value)
     except ValueError:
-        pass
+        sys.exit(f"error: literal {args.value!r} does not parse as the "
+                 f"type of column {args.column!r}")
     project = _cols(args.project) or [args.column]
     t0 = time.perf_counter()
     try:
         ds = equi_filter(args.out_dir, args.column, value, project=project)
     except KeyError as e:
         sys.exit(f"error: {e.args[0]}")
-    import pyarrow as pa
-    import ray
+    from .collect import collect_arrow
 
-    out = pa.concat_tables(ray.get(ds.to_arrow_refs()))
+    out = collect_arrow(ds)
     print(f"Returned {out.num_rows} rows in {time.perf_counter() - t0:.2f} s")
     if args.show:
         print(out.slice(0, args.show).to_pandas())

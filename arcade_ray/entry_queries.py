@@ -22,7 +22,7 @@ from .pipeline import encode_dataset
 from .pipeline.query import equi_filter, lookup, scan
 
 CACHE_ROOT = os.environ.get("ARCADE_RAY_CACHE", "/tmp/arcade_ray_cache")
-_CACHE_SALT = f"v{FORMAT_VERSION}.4"
+_CACHE_SALT = f"v{FORMAT_VERSION}.5"
 
 # table -> (key_col, id_col, weight_col)
 TABLE_KEYS = {
@@ -57,9 +57,9 @@ def encoded_dir(sf_dir: str, table: str) -> str:
 
 
 def _collect(ds) -> pa.Table:
-    import ray
+    from .collect import collect_arrow
 
-    return pa.concat_tables(ray.get(ds.to_arrow_refs()))
+    return collect_arrow(ds)
 
 
 # --- queries ----------------------------------------------------------------

@@ -145,21 +145,34 @@ def _column_stats(columns_meta: dict, sketches: dict | None = None) -> dict:
     for name, cm in columns_meta.items():
         codecs: dict[str, int] = {}
         vmin = vmax = None
+        unbounded = False  # any non-empty chunk without zone values
         for ch in cm["chunks"]:
             if cm["kind"] == "list":
                 cid = ch["values"]["codec"]
                 lo, hi = ch["values"].get("min"), ch["values"].get("max")
+                n = ch["values"].get("n", 0)
             elif cm["kind"] == "str":
                 cid = ch["mode"] if ch["mode"] != "plain" else ch.get("codec", "plain")
                 lo, hi = ch.get("min"), ch.get("max")
+                n = ch.get("n", 0)
             else:
                 cid = ch["codec"]
                 lo, hi = ch.get("min"), ch.get("max")
+                n = ch.get("n", 0)
             codecs[cid] = codecs.get(cid, 0) + 1
+            # a non-empty chunk with a missing bound (e.g. a string
+            # longer than MAX_ZONE_STR, or non-UTF-8) makes the whole
+            # partition unbounded on that side — aggregating only the
+            # bounded chunks would let the manifest wrongly prune rows
+            # living in the unbounded ones
+            if n and (lo is None or hi is None):
+                unbounded = True
             if lo is not None:
                 vmin = lo if vmin is None else min(vmin, lo)
             if hi is not None:
                 vmax = hi if vmax is None else max(vmax, hi)
+        if unbounded:
+            vmin = vmax = None
         out[name] = {"codecs": codecs, "min": vmin, "max": vmax}
         if sketches and name in sketches:
             out[name].update(sketches[name])

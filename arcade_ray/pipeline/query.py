@@ -44,6 +44,15 @@ def _manifest_paths(out_dir: str) -> list[dict]:
     return m.to_pylist()
 
 
+def _manifest_prunable(header: dict, col: str) -> bool:
+    """Whether manifest min/max zone stats can prune on this column:
+    float columns store IEEE-754 bit patterns (not value order) and
+    list columns store flattened element bounds — neither orders like
+    the query literal, mirroring the chunk-level ``prunable`` guard."""
+    cm = header["columns"][col]
+    return cm["kind"] != "list" and cm.get("tag") not in ("f32", "f64")
+
+
 def scan(out_dir: str, columns: list[str] | None = None):
     """Full scan with projection -> ray.data.Dataset (streaming)."""
     from .decode import decode_dataset
@@ -225,11 +234,13 @@ def equi_filter(out_dir: str, col: str, literal, project: list[str]):
             raise KeyError(
                 f"column {c!r} not in encoded dataset (columns: {known})"
             )
+    prunable = _manifest_prunable(header0, col)
     survivors = []
     for r in rows:
         stats = json.loads(r["col_stats"]).get(col, {})
         lo, hi = stats.get("min"), stats.get("max")
-        if lo is not None and hi is not None and not (lo <= literal <= hi):
+        if prunable and lo is not None and hi is not None \
+                and not (lo <= literal <= hi):
             continue
         survivors.append({"path": r["path"]})
     if not survivors:
@@ -261,11 +272,13 @@ def range_filter(out_dir: str, col: str, lo, hi, project: list[str]):
     for c in [col, *project]:
         if c not in known:
             raise KeyError(f"column {c!r} not in encoded dataset (columns: {known})")
+    prunable = _manifest_prunable(header0, col)
     survivors = []
     for r in rows:
         stats = json.loads(r["col_stats"]).get(col, {})
         zlo, zhi = stats.get("min"), stats.get("max")
-        if zlo is not None and zhi is not None and (hi < zlo or lo > zhi):
+        if prunable and zlo is not None and zhi is not None \
+                and (hi < zlo or lo > zhi):
             continue
         survivors.append({"path": r["path"]})
     if not survivors:
@@ -503,12 +516,15 @@ def lookup(out_dir: str, id_col: str, values: list,
     import ray.data as rd
 
     rows = _manifest_paths(out_dir)
+    header0, _ = read_header(rows[0]["path"])
+    prunable = _manifest_prunable(header0, id_col)
     vmin, vmax = min(values), max(values)
     survivors = []
     for r in rows:
         stats = json.loads(r["col_stats"]).get(id_col, {})
         lo, hi = stats.get("min"), stats.get("max")
-        if lo is not None and hi is not None and (vmax < lo or vmin > hi):
+        if prunable and lo is not None and hi is not None \
+                and (vmax < lo or vmin > hi):
             continue
         survivors.append({"path": r["path"]})
     if not survivors:
@@ -539,10 +555,12 @@ def _lookup_partition(path: str, id_col: str, value_arr: pa.Array,
     values_sorted = value_arr.sort() if len(value_arr) else value_arr
     vmin = values_sorted[0].as_py() if len(value_arr) else None
     vmax = values_sorted[-1].as_py() if len(value_arr) else None
+    chunk_prunable = cm["kind"] != "list" and cm.get("tag") not in ("f32", "f64")
     mask = []
     for ch in chunks:
         clo, chi = ch.get("min"), ch.get("max")
-        if clo is not None and chi is not None and vmin is not None and (
+        if chunk_prunable and clo is not None and chi is not None \
+                and vmin is not None and (
             vmax < clo or vmin > chi
         ):
             mask.append(False)

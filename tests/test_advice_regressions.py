@@ -1,0 +1,134 @@
+"""Regressions for round-1 review findings (VERDICT.md / ADVICE.md):
+
+- manifest-level zone-map pruning on float columns compared IEEE-754
+  bit patterns against the value-domain literal and silently pruned
+  every partition (ADVICE high #1);
+- partition col_stats aggregated min/max over only the chunks that HAD
+  zone values, so one long (>MAX_ZONE_STR) string made the manifest
+  bounds wrongly tight and equi_filter pruned matching rows (ADVICE
+  high #2);
+- collect over groupby/map_groups output crashed on Ray's schemaless
+  zero-row blocks (VERDICT "What's wrong" #1).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from arcade_ray.collect import collect_arrow
+from arcade_ray.column import MAX_ZONE_STR
+from arcade_ray.pipeline import encode_dataset
+from arcade_ray.pipeline.query import equi_filter, lookup, range_filter
+
+
+def _encode(tmp_path, table, key_col="source", id_col="doc_id",
+            weight_col=None):
+    import ray.data as rd
+
+    out = str(tmp_path / "enc")
+    encode_dataset(rd.from_arrow(table), out, key_col=key_col,
+                   id_col=id_col, weight_col=weight_col)
+    return out
+
+
+@pytest.fixture(scope="module")
+def float_encoded(ray_session, tmp_path_factory):
+    base = tmp_path_factory.mktemp("floatzone")
+    n = 4000
+    table = pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "source": pa.array([f"s{i % 4}" for i in range(n)]),
+        "score": pa.array(np.linspace(0.1, 10.0, n - 1).tolist() + [1.5],
+                          type=pa.float64()),
+    })
+    return _encode(base, table), table
+
+
+def test_float_equi_filter_not_pruned(float_encoded):
+    out_dir, table = float_encoded
+    got = collect_arrow(
+        equi_filter(out_dir, "score", 1.5, project=["doc_id", "score"]))
+    expect = table.filter(pc.equal(table["score"], 1.5))
+    assert got.num_rows == expect.num_rows > 0
+    assert set(got["doc_id"].to_pylist()) == set(expect["doc_id"].to_pylist())
+
+
+def test_float_range_filter_not_pruned(float_encoded):
+    out_dir, table = float_encoded
+    got = collect_arrow(
+        range_filter(out_dir, "score", 2.0, 3.0, project=["doc_id", "score"]))
+    mask = pc.and_(pc.greater_equal(table["score"], 2.0),
+                   pc.less_equal(table["score"], 3.0))
+    expect = table.filter(mask)
+    assert got.num_rows == expect.num_rows > 0
+
+
+def test_float_lookup_not_pruned(float_encoded):
+    out_dir, table = float_encoded
+    got = collect_arrow(
+        lookup(out_dir, "score", [1.5], columns=["doc_id", "score"]))
+    expect = table.filter(pc.equal(table["score"], 1.5))
+    assert got.num_rows == expect.num_rows > 0
+
+
+def test_long_string_unbounds_partition_stats(ray_session, tmp_path,
+                                              monkeypatch):
+    """A chunk whose max is a >MAX_ZONE_STR string has no zone values;
+    the partition's manifest bounds must become None (unbounded), not
+    the bounds of the short-string chunks — otherwise equi_filter on a
+    value above those bounds wrongly prunes the partition."""
+    import json
+    import os
+
+    import arcade_ray.format as fmt
+    from arcade_ray.pipeline.encode import (
+        MANIFEST_DIR,
+        PARTS_DIR,
+        commit_partition,
+        load_manifest,
+    )
+
+    orig = fmt.chunk_boundaries
+    monkeypatch.setattr(
+        fmt, "chunk_boundaries",
+        lambda t, rows_per_chunk=10, values_per_chunk=fmt.DEFAULT_VALUES_PER_CHUNK:
+        orig(t, 10, values_per_chunk),
+    )
+    long_str = "z" * (MAX_ZONE_STR + 64)  # sorts above 'zz' -> chunk max
+    vals = [f"m{i:05d}" for i in range(10)] + ["zz", long_str]
+    n = len(vals)
+    table = pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "val": pa.array(vals),
+    })
+    out_dir = str(tmp_path / "enc")
+    os.makedirs(os.path.join(out_dir, PARTS_DIR))
+    os.makedirs(os.path.join(out_dir, MANIFEST_DIR))
+    blob, row = fmt.encode_partition(table, "p0")
+    commit_partition(out_dir, "p0", blob, row)
+
+    m = load_manifest(out_dir)
+    stats = json.loads(m["col_stats"][0].as_py())["val"]
+    assert stats["min"] is None and stats["max"] is None
+
+    got = collect_arrow(equi_filter(out_dir, "val", "zz",
+                                    project=["doc_id", "val"]))
+    assert got.num_rows == 1
+    assert got["val"][0].as_py() == "zz"
+
+
+def test_collect_arrow_tolerates_schemaless_empty_blocks(ray_session):
+    """groupby().map_groups() emits zero-row, zero-column blocks; the
+    collect helper must drop them instead of failing concat."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.from_items([{"k": i % 3, "v": i} for i in range(30)])
+    out = ds.groupby("k").map_groups(
+        lambda g: pd.DataFrame({"k": [g["k"].iloc[0]], "n": [len(g)]}),
+        batch_format="pandas",
+    )
+    t = collect_arrow(out)
+    assert t.num_rows == 3
+    assert set(t.column_names) == {"k", "n"}
