@@ -9,6 +9,11 @@
   (and near-colliding, multi-probe) vectors are scored. The scale path:
   candidate scoring cost drops from O(N x Q) to O(bucket x Q).
 
+- ``near_dup_pairs`` — LSH-banded near-duplicate pairs: the shuffle
+  carries (band, key, id) rows only; candidate pairs verified exactly
+  on a second keyed fetch of just the candidate vectors. Never
+  all-pairs, never a full-matrix broadcast.
+
 Scale notes: the query matrix is broadcast via ``ray.put`` (read once
 per actor via __init__, never re-shipped per batch); partial top-k per
 batch means the driver merge handles #batches x Q x k tiny rows, never
@@ -131,44 +136,102 @@ def topk_cosine(ds, queries_ids: list[int], queries_mat: np.ndarray,
     })
 
 
-def near_dup_pairs(ds, all_ids: np.ndarray, all_mat: np.ndarray,
-                   threshold: float = 0.95, id_col: str = "vec_id",
-                   vec_col: str = "embedding",
-                   concurrency: int | None = None) -> pa.Table:
+def _band_planes(dim: int, n_bands: int, band_planes: int,
+                 seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bands * band_planes, dim))
+
+
+def near_dup_band_rows(batch: pa.Table, planes: np.ndarray, n_bands: int,
+                       band_planes: int, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> pa.Table:
+    """(band, sign-pattern key, id) rows — the ONLY thing embedding
+    near-dup ever shuffles (fixed width; the vectors stay put)."""
+    mat = _normalize(_to_matrix(batch[vec_col]))
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    n = len(ids)
+    bits = (mat @ planes.T > 0).astype(np.int64)  # (n, n_bands*band_planes)
+    bits = bits.reshape(n, n_bands, band_planes)
+    keys = (bits << np.arange(band_planes, dtype=np.int64)).sum(axis=2)  # (n, n_bands)
+    return pa.table({
+        "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n)),
+        "key": pa.array(keys.reshape(-1)),
+        id_col: pa.array(np.repeat(ids, n_bands)),
+    })
+
+
+def near_dup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
+                   vec_col: str = "embedding", n_bands: int = 16,
+                   band_planes: int = 4, seed: int = 42,
+                   max_bucket: int = 4096) -> pa.Table:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >=
-    threshold): the full normalized matrix is broadcast once
-    (``ray.put``); each batch computes batch x all scores and emits
-    only above-threshold pairs. For corpora too large to broadcast, use
-    the LSH-bucketed variant's signatures to shard the comparison."""
-    import ray
+    threshold) via random-hyperplane LSH banding — never all-pairs and
+    never a full-matrix broadcast:
 
-    pack = {"ids": np.asarray(all_ids),
-            "mat": _normalize(np.asarray(all_mat, dtype=np.float64))}
+    1. map: per vector, ``n_bands`` sign-pattern keys of
+       ``band_planes`` hyperplanes each; shuffle carries
+       (band, key, id) rows only.
+    2. groupby (band, key): in-bucket id pairs are candidates; deduped
+       across bands. Oversized buckets (degenerate, e.g. zero vectors)
+       are dropped at ``max_bucket``.
+    3. exact verify: embeddings for the small candidate id set are
+       fetched map-side (second keyed fetch) and exact cosine keeps
+       pairs >= threshold.
 
-    class PairFinder:
-        def __init__(self):
-            # by-value capture: fine at <~100 MB; at corpus scale use
-            # ray.put + fetch-in-call (NOT a ctor ObjectRef, ray#53727)
-            self.all_ids, self.all_mat = pack["ids"], pack["mat"]
+    A true pair at cosine t collides in one band with prob p^b,
+    p = 1 - arccos(t)/pi; miss prob = (1-p^b)^L. Defaults (b=4, L=16)
+    give ~4e-6 at t=0.9, ~5e-8 at t=0.95."""
+    import ray.data as rd
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mat = _normalize(_to_matrix(batch[vec_col]))
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            scores = mat @ self.all_mat.T
-            bi, aj = np.nonzero(scores >= threshold)
-            id_a = ids[bi]
-            id_b = self.all_ids[aj]
-            keep = id_a < id_b  # dedupe mirror + self pairs
-            return pa.table({
-                "id_a": pa.array(id_a[keep], type=pa.int64()),
-                "id_b": pa.array(id_b[keep], type=pa.int64()),
-                "cos": pa.array(np.round(scores[bi, aj][keep], 4),
-                                type=pa.float64()),
-            })
+    from .collect import fetch_by_ids
 
-    parts = ds.map_batches(PairFinder, batch_format="pyarrow",
-                           concurrency=_pool_size(concurrency))
-    out = collect_arrow(parts)
+    # dim from the dataset schema (list<float> fixed dim assumed)
+    first = ds.take_batch(1, batch_format="pyarrow")
+    dim = len(first[vec_col][0])
+    planes = _band_planes(dim, n_bands, band_planes, seed)
+
+    def bucket_pairs(group):
+        import pandas as pd
+
+        ids = np.unique(group[id_col].to_numpy())
+        m = len(ids)
+        if m < 2 or m > max_bucket:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        iu, ju = np.triu_indices(m, k=1)
+        return pd.DataFrame({"id_a": ids[iu], "id_b": ids[ju]})
+
+    cand = (
+        ds.map_batches(
+            lambda b: near_dup_band_rows(b, planes, n_bands, band_planes,
+                                         id_col, vec_col),
+            batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    cand_tab = collect_arrow(cand)
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "cos": pa.array([], pa.float64())})
+    if cand_tab.num_rows == 0 or "id_a" not in cand_tab.column_names:
+        return empty
+    import pandas as pd
+
+    cand_df = cand_tab.to_pandas().drop_duplicates(["id_a", "id_b"])
+    need = pd.unique(pd.concat([cand_df["id_a"], cand_df["id_b"]]))
+    vec_tab = fetch_by_ids(ds, id_col, need.tolist(),
+                           columns=[id_col, vec_col])
+    vmat = _normalize(_to_matrix(vec_tab[vec_col]))
+    row_of = {v: i for i, v in enumerate(vec_tab[id_col].to_pylist())}
+    ai = np.array([row_of[a] for a in cand_df["id_a"]], dtype=np.int64)
+    bi = np.array([row_of[b] for b in cand_df["id_b"]], dtype=np.int64)
+    cos = np.einsum("ij,ij->i", vmat[ai], vmat[bi])
+    keep = cos >= threshold
+    out = pa.table({
+        "id_a": pa.array(cand_df["id_a"].to_numpy()[keep], type=pa.int64()),
+        "id_b": pa.array(cand_df["id_b"].to_numpy()[keep], type=pa.int64()),
+        "cos": pa.array(np.round(cos[keep], 4), type=pa.float64()),
+    })
     order = pc.sort_indices(out, sort_keys=[("id_a", "ascending"),
                                             ("id_b", "ascending")])
     return out.take(order)

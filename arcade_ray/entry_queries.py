@@ -333,18 +333,15 @@ def q_ann_topk(sf_dir: str) -> pa.Table:
 
 
 def q_embedding_near_dup(sf_dir: str) -> pa.Table:
-    """Embedding-cosine near-dup pairs (cos >= 0.9)."""
-    import pyarrow.parquet as pq
+    """Embedding-cosine near-dup pairs (cos >= 0.9), LSH-banded — no
+    full-matrix broadcast, no driver-side materialization."""
     import ray.data as rd
 
     from .ann import near_dup_pairs
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    tab = pq.read_table(path, columns=["vec_id", "embedding"])
-    mat = np.array(tab["embedding"].to_pylist(), dtype=np.float64)
-    ids = np.array(tab["vec_id"].to_pylist(), dtype=np.int64)
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
-    return near_dup_pairs(ds, ids, mat, threshold=0.9)
+    return near_dup_pairs(ds, threshold=0.9)
 
 
 def q_ann_topk_lsh(sf_dir: str) -> pa.Table:

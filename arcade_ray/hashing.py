@@ -23,8 +23,12 @@ def hash_ints(vals: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
-def hash_strings(lengths: np.ndarray, data: bytes) -> np.ndarray:
-    """Vectorized polynomial hash (base 31, mod 2^64) per string."""
+def hash_strings(lengths: np.ndarray, data: bytes,
+                 base: int = 31) -> np.ndarray:
+    """Vectorized polynomial hash (mod 2^64) per string. Two calls with
+    different odd ``base`` values give (near-)independent 64-bit hashes
+    — combined they form the 128-bit content identity used by exact
+    dedup (collision odds ~2^-64 per pair)."""
     n = len(lengths)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
@@ -42,7 +46,7 @@ def hash_strings(lengths: np.ndarray, data: bytes) -> np.ndarray:
     max_len = int(lengths.max())
     pow31 = np.empty(max_len, dtype=np.uint64)
     pow31[0] = 1
-    np.multiply.accumulate(np.full(max_len - 1, 31, dtype=np.uint64), out=pow31[1:])
+    np.multiply.accumulate(np.full(max_len - 1, base, dtype=np.uint64), out=pow31[1:])
     weights = pow31[local]
     terms = bytes_u * weights
     # reduceat: pad so an empty string at the end doesn't index OOB;

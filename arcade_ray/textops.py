@@ -4,19 +4,20 @@ Beyond the reference's operator set (it has none of these — README.md
 roadmap), these are the operations a large-scale training-data pipeline
 needs, expressed Ray-Data-first:
 
-- exact dedup:      content-hash in map_batches -> per-batch partial
-                    dedup -> groupby(hash).map_groups keep-first.
-- MinHash-LSH:      shingle -> minhash -> band rows (flat) ->
-                    groupby(band) candidate pairs -> Jaccard verify.
+- exact dedup:      128-bit content hash in map_batches ->
+                    groupby(hash) loser ids -> map-side anti-join.
+- MinHash-LSH:      shingle -> minhash -> (band, hash, id) rows ->
+                    groupby(band) candidate pairs -> keyed text fetch
+                    -> exact Jaccard verify.
 - SimHash:          64-bit simhash + banded buckets -> Hamming verify.
 - text analysis:    word counts, punctuation/stopword/upper ratios,
                     language id (n-gram heuristic), md5 fingerprint —
                     one vectorized map_batches pass.
 
 Scale notes: every pairwise stage is confined to an LSH/band bucket
-(never all-pairs); partials are per-batch so the groupby shuffles one
-row per (hash|band) per batch, not full text payloads, when only ids
-are needed downstream.
+(never all-pairs), and NO shuffle carries text — only fixed-width
+(hash, id) rows move in the exchanges; texts are re-read map-side for
+the small survivor/candidate sets (second keyed fetch).
 """
 
 from __future__ import annotations
@@ -33,37 +34,68 @@ from .hashing import hash_strings
 # --- exact dedup ------------------------------------------------------------
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """One survivor (min id) per distinct text. The shuffle carries
-    (hash, id, text); per-batch pre-dedup shrinks it first."""
+def dedup_signatures(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """(h1, h2, id) rows — the ONLY thing exact dedup ever shuffles.
+    h1‖h2 is a 128-bit content identity (two independent polynomial
+    bases); text never leaves the map side."""
+    from .streams import str_stream_from_arrow
 
-    def partial(batch: pa.Table) -> pa.Table:
-        from .streams import str_stream_from_arrow
+    lengths, data, _ = str_stream_from_arrow(batch[text_col])
+    h1 = hash_strings(lengths, data).view(np.int64)
+    h2 = hash_strings(lengths, data, base=131).view(np.int64)
+    return pa.table({
+        "_h": pa.array(h1, type=pa.int64()),
+        "_h2": pa.array(h2, type=pa.int64()),
+        id_col: batch[id_col],
+    })
 
-        lengths, data, _ = str_stream_from_arrow(batch[text_col])
-        h = hash_strings(lengths, data).view(np.int64)
-        t = pa.table({
-            "_h": pa.array(h, type=pa.int64()),
-            id_col: batch[id_col],
-            text_col: batch[text_col],
-        })
-        # keep min id per hash within the batch
-        g = t.group_by("_h").aggregate([(id_col, "min")])
-        keep = pc.is_in(t[id_col], value_set=g[f"{id_col}_min"].combine_chunks())
-        return t.filter(keep)
 
-    def keep_first(group):
+def dedup_loser_ids(ds, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Ids dropped by exact dedup: everything but the min id per
+    128-bit content hash. The shuffle moves 24 B/row (hash pair + id)
+    regardless of document size; duplicate identity is the hash pair
+    (collisions ~2^-64 per pair, accepted by design)."""
+
+    def losers(group):
         import pandas as pd
 
-        # verify on the actual text (hash collisions), min id per text
-        return (group.sort_values(id_col).drop_duplicates(subset=[text_col])
-                [[id_col, text_col]])
+        min_ids = group.groupby("_h2")[id_col].transform("min")
+        return group.loc[group[id_col] != min_ids, [id_col]]
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
+    out = (
+        ds.map_batches(lambda b: dedup_signatures(b, text_col, id_col),
+                       batch_format="pyarrow")
         .groupby("_h")
-        .map_groups(keep_first, batch_format="pandas")
+        .map_groups(losers, batch_format="pandas")
     )
+    from .collect import collect_arrow
+
+    return collect_arrow(out)
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """One survivor (min id) per distinct text.
+
+    Scale design: phase 1 shuffles (hash128, id) only and emits the
+    LOSER id set (the duplicates — small when duplication is modest);
+    phase 2 anti-joins it map-side against the source, so surviving
+    rows (with their text) stream straight from the input and no text
+    payload ever crosses the exchange. For corpora where the loser set
+    itself is huge (extreme duplication), swap phase 2 for a
+    hash-partitioned anti-join keyed on id."""
+    losers = dedup_loser_ids(ds, text_col, id_col)
+    lose_arr = losers[id_col].combine_chunks()
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if not len(lose_arr):
+            return batch
+        mask = pc.invert(
+            pc.is_in(batch[id_col], value_set=lose_arr.cast(batch[id_col].type))
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 # --- shingles + MinHash -----------------------------------------------------
@@ -96,95 +128,108 @@ def minhash_signature(shingles: np.ndarray, n_perm: int = 64,
     return vals.min(axis=1)
 
 
+def minhash_band_rows(batch: pa.Table, text_col: str = "text",
+                      id_col: str = "doc_id", n_perm: int = 64,
+                      bands: int = 16, shingle_k: int = 5) -> pa.Table:
+    """(band, band_hash, id) rows — the ONLY thing MinHash-LSH ever
+    shuffles (~20 B/row x bands). Neither text nor the full signature
+    travels; row assembly is numpy repeat/tile, no per-row lists."""
+    texts = batch[text_col].to_pylist()
+    n = len(texts)
+    rows_per_band = n_perm // bands
+    sigs = np.empty((n, n_perm), dtype=np.uint64)
+    for i, t in enumerate(texts):  # signature math vectorized per doc
+        sigs[i] = minhash_signature(_char_shingles(t, shingle_k), n_perm)
+    bh = (sigs.reshape(n, bands, rows_per_band)
+          * np.uint64(0x9E3779B97F4A7C15)).sum(axis=2)  # (n, bands)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+        "bh": pa.array(bh.reshape(-1).view(np.int64)),
+        id_col: pa.array(np.repeat(ids, bands)),
+    })
+
+
 def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       n_perm: int = 64, bands: int = 16,
-                      jaccard_threshold: float = 0.7, shingle_k: int = 5):
+                      jaccard_threshold: float = 0.7, shingle_k: int = 5,
+                      max_bucket: int = 4096):
     """Near-duplicate pairs via MinHash + LSH banding.
 
-    shingle->minhash per batch (vectorized per doc); explode to one row
-    per (band, band_hash); groupby band bucket; verify candidate pairs
-    with exact shingle Jaccard inside the bucket's group. Only
-    (id, signature-band) rows travel through the shuffle. Returns
-    Dataset[(id_a, id_b, jaccard)] with id_a < id_b."""
-    rows_per_band = n_perm // bands
+    Scale design, three phases:
 
-    def sig_rows(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        ids = batch[id_col].to_pylist()
-        out_band, out_bh, out_id, out_text, out_sig = [], [], [], [], []
-        for i, t in enumerate(texts):
-            sh = _char_shingles(t, shingle_k)
-            sig = minhash_signature(sh, n_perm)
-            bh = sig.reshape(bands, rows_per_band)
-            bh = (bh * np.uint64(0x9E3779B97F4A7C15)).sum(axis=1)
-            sig_l = sig.view(np.int64).tolist()
-            for band in range(bands):
-                out_band.append(band)
-                out_bh.append(int(bh[band]) - (1 << 63))
-                out_id.append(ids[i])
-                out_text.append(t)
-                out_sig.append(sig_l)
-        return pa.table({
-            "band": pa.array(out_band, type=pa.int32()),
-            "bh": pa.array(out_bh, type=pa.int64()),
-            id_col: pa.array(out_id),
-            text_col: pa.array(out_text),
-            "sig": pa.array(out_sig, type=pa.list_(pa.int64())),
-        })
+    1. map: shingle -> minhash -> (band, band_hash, id) rows; the
+       shuffle payload is fixed-width ids and hashes — never text.
+    2. groupby (band, band_hash): every in-bucket id pair is a
+       candidate (the LSH contract); pairs are deduped across bands.
+       Buckets larger than ``max_bucket`` are degenerate collisions
+       (empty/near-empty docs) and are dropped rather than exploding
+       O(m^2).
+    3. exact verify: texts for the (small) candidate id set are
+       fetched map-side from the source (second keyed fetch — the
+       corpus streams, only matching rows move) and exact shingle
+       Jaccard keeps pairs >= threshold.
 
-    def verify(group):
+    Returns Dataset[(id_a, id_b, jaccard)] with id_a < id_b."""
+    import ray.data as rd
+
+    def bucket_pairs(group):
         import pandas as pd
 
-        empty = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-        if len(group) < 2:
-            return empty
-        group = group.sort_values(id_col).drop_duplicates(subset=[id_col])
-        m = len(group)
-        if m < 2:
-            return empty
-        ids = group[id_col].tolist()
-        texts = group[text_col].tolist()
-        # vectorized candidate filter: minhash-estimated jaccard over
-        # all in-bucket pairs (m x m x n_perm bools), exact shingle
-        # jaccard only for survivors — keeps hot buckets O(m^2) cheap
-        sigs = np.array(group["sig"].tolist(), dtype=np.int64)
-        est = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
-        cand_i, cand_j = np.nonzero(np.triu(est >= jaccard_threshold - 0.15, k=1))
-        if not len(cand_i):
-            return empty
-        sets: dict[int, set] = {}
+        ids = np.unique(group[id_col].to_numpy())
+        m = len(ids)
+        if m < 2 or m > max_bucket:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        iu, ju = np.triu_indices(m, k=1)
+        return pd.DataFrame({"id_a": ids[iu], "id_b": ids[ju]})
 
-        def shingle_set(i):
-            if i not in sets:
-                sets[i] = set(_char_shingles(texts[i], shingle_k).tolist())
-            return sets[i]
-
-        a_out, b_out, j_out = [], [], []
-        for i, j in zip(cand_i.tolist(), cand_j.tolist()):
-            si, sj = shingle_set(i), shingle_set(j)
-            union = len(si | sj)
-            jac = len(si & sj) / union if union else 1.0
-            if jac >= jaccard_threshold:
-                a_out.append(ids[i])
-                b_out.append(ids[j])
-                j_out.append(jac)
-        return pd.DataFrame({"id_a": a_out, "id_b": b_out, "jaccard": j_out})
-
-    pairs = (
-        ds.map_batches(sig_rows, batch_format="pyarrow")
+    cand = (
+        ds.map_batches(
+            lambda b: minhash_band_rows(b, text_col, id_col, n_perm,
+                                        bands, shingle_k),
+            batch_format="pyarrow")
         .groupby(["band", "bh"])
-        .map_groups(verify, batch_format="pandas")
+        .map_groups(bucket_pairs, batch_format="pandas")
     )
+    from .collect import collect_arrow, fetch_by_ids
 
-    def dedup_pairs(batch):
-        import pandas as pd
+    cand_tab = collect_arrow(cand)
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+    if cand_tab.num_rows == 0 or "id_a" not in cand_tab.column_names:
+        return rd.from_arrow(empty)
+    # dedup pairs surfaced by several bands (tiny driver-side table)
+    import pandas as pd
 
-        return batch.drop_duplicates(subset=["id_a", "id_b"])
+    cand_df = cand_tab.to_pandas().drop_duplicates(["id_a", "id_b"])
+    need = pd.unique(pd.concat([cand_df["id_a"], cand_df["id_b"]]))
+    texts_tab = fetch_by_ids(ds, id_col, need.tolist(),
+                             columns=[id_col, text_col])
+    text_of = dict(zip(texts_tab[id_col].to_pylist(),
+                       texts_tab[text_col].to_pylist()))
+    sets: dict = {}
 
-    # a pair can surface from several bands: final light dedup
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    def shingle_set(i):
+        if i not in sets:
+            sets[i] = set(_char_shingles(text_of[i], shingle_k).tolist())
+        return sets[i]
+
+    a_out, b_out, j_out = [], [], []
+    for a, b in zip(cand_df["id_a"].tolist(), cand_df["id_b"].tolist()):
+        sa, sb = shingle_set(a), shingle_set(b)
+        union = len(sa | sb)
+        jac = len(sa & sb) / union if union else 1.0
+        if jac >= jaccard_threshold:
+            a_out.append(a)
+            b_out.append(b)
+            j_out.append(jac)
+    out = pa.table({"id_a": pa.array(a_out, pa.int64()),
+                    "id_b": pa.array(b_out, pa.int64()),
+                    "jaccard": pa.array(j_out, pa.float64())})
+    return rd.from_arrow(out.take(pc.sort_indices(
+        out, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")])))
 
 
 # --- SimHash ----------------------------------------------------------------
@@ -217,19 +262,17 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     def sig(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
         h = simhash64(texts)
-        rows = {"band": [], "key": [], id_col: [], "sh": []}
-        ids = batch[id_col].to_pylist()
-        for band in range(4):
-            key = ((h >> np.uint64(16 * band)) & np.uint64(0xFFFF)).astype(np.int64)
-            rows["band"].extend([band] * len(ids))
-            rows["key"].extend(key.tolist())
-            rows[id_col].extend(ids)
-            rows["sh"].extend(h.view(np.int64).tolist())
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        # numpy repeat/tile row assembly — shuffle carries
+        # (band, 16-bit key, id, 8-byte hash) only, never text
+        shifts = (np.uint64(16) * np.arange(4, dtype=np.uint64))[:, None]
+        keys = ((h[None, :] >> shifts) & np.uint64(0xFFFF)).astype(np.int64)
         return pa.table({
-            "band": pa.array(rows["band"], type=pa.int32()),
-            "key": pa.array(rows["key"], type=pa.int64()),
-            id_col: pa.array(rows[id_col]),
-            "sh": pa.array(rows["sh"], type=pa.int64()),
+            "band": pa.array(np.repeat(np.arange(4, dtype=np.int32), n)),
+            "key": pa.array(keys.reshape(-1)),
+            id_col: pa.array(np.tile(ids, 4)),
+            "sh": pa.array(np.tile(h.view(np.int64), 4)),
         })
 
     def verify(group):

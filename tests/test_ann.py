@@ -57,8 +57,7 @@ def test_near_dup_pairs(emb):
     from arcade_ray.ann import near_dup_pairs
 
     ds, mat = emb
-    ids = np.arange(N, dtype=np.int64)
-    out = near_dup_pairs(ds, ids, mat, threshold=0.95)
+    out = near_dup_pairs(ds, threshold=0.95)
     pairs = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
     assert (7, 100) in pairs  # the planted near-identical pair
     # random gaussians in 32 dims essentially never reach cos 0.95

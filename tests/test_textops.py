@@ -156,3 +156,52 @@ def test_analyze_text_pipeline(docs_ds):
     assert {"word_count", "punct_ratio", "stopword_ratio", "pred_lang",
             "fingerprint", "mean_word_len"} <= set(out.columns)
     assert len(out) == make_docs_table().num_rows
+
+
+def test_dedup_shuffle_carries_no_text():
+    """The exact-dedup exchange payload is (hash128, id) only — the
+    round-1 review flagged text riding the shuffle as the scale
+    killer."""
+    from arcade_ray.textops import dedup_signatures
+
+    batch = make_docs_table()
+    sig = dedup_signatures(batch)
+    assert sig.column_names == ["_h", "_h2", "doc_id"]
+    assert "text" not in sig.column_names
+
+
+def test_minhash_shuffle_carries_no_text():
+    """MinHash-LSH shuffles (band, band_hash, id) rows only — neither
+    text nor the full signature."""
+    from arcade_ray.textops import minhash_band_rows
+
+    batch = make_docs_table()
+    rows = minhash_band_rows(batch)
+    assert rows.column_names == ["band", "bh", "doc_id"]
+    assert rows.num_rows == batch.num_rows * 16
+
+
+def test_near_dup_shuffle_carries_no_embedding():
+    """Embedding near-dup shuffles (band, key, id) rows only."""
+    import numpy as np
+
+    from arcade_ray.ann import _band_planes, near_dup_band_rows
+
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((20, 16))
+    batch = pa.table({
+        "vec_id": pa.array(np.arange(20), type=pa.int64()),
+        "embedding": pa.array([r.tolist() for r in mat],
+                              type=pa.list_(pa.float32())),
+    })
+    rows = near_dup_band_rows(batch, _band_planes(16, 8, 4, 42), 8, 4)
+    assert rows.column_names == ["band", "key", "vec_id"]
+    assert rows.num_rows == 20 * 8
+
+
+def test_dedup_loser_ids(docs_ds):
+    from arcade_ray.textops import dedup_loser_ids
+
+    losers = dedup_loser_ids(docs_ds)
+    # ids 1,2 are exact copies of id 0 — and nothing else is dropped
+    assert sorted(losers["doc_id"].to_pylist()) == [1, 2]
