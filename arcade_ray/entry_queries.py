@@ -234,6 +234,71 @@ def q_compression_metrics(sf_dir: str) -> pa.Table:
     )
 
 
+def q_join_orders_customer(sf_dir: str) -> pa.Table:
+    """Broadcast hash join over two ENCODED tables: orders (probe,
+    streamed per partition) x customer (build, decoded once and
+    ray.put) — the reference's top unchecked roadmap item ("Joins
+    between compressed files")."""
+    from .pipeline.join import broadcast_join
+
+    o_dir = encoded_dir(sf_dir, "orders")
+    c_dir = encoded_dir(sf_dir, "customer")
+    out = broadcast_join(
+        o_dir, c_dir, probe_key="o_custkey", build_key="c_custkey",
+        probe_cols=["o_orderkey", "o_custkey"], build_cols=["c_mktsegment"],
+    )
+    return _collect(out)
+
+
+def q_compound_filter(sf_dir: str) -> pa.Table:
+    """AND of an equality and a range predicate over encoded data
+    (composes the zone maps the reference's single-filter limit never
+    did)."""
+    from .pipeline.query import compound_filter
+
+    out = encoded_dir(sf_dir, "documents")
+    return _collect(compound_filter(
+        out,
+        [("eq", "lang", "en"), ("between", "n_chars", 100, 200)],
+        project=["doc_id", "lang", "n_chars"],
+    ))
+
+
+def q_expr_filter(sf_dir: str) -> pa.Table:
+    """Decoded-side expression surface: plain ds.filter(expr) on a
+    scan of the encoded data (SURVEY §2.1 row 9's promised dual)."""
+    out = encoded_dir(sf_dir, "documents")
+    ds = scan(out, columns=["doc_id", "n_chars"])
+    return _collect(ds.filter(expr="n_chars > 450"))
+
+
+def q_ann_lsh_recall(sf_dir: str) -> pa.Table:
+    """Driver-checkable LSH contract: recall of the LSH top-k vs the
+    exact top-k, computed in-query; returns (query_id, recall_ok) with
+    recall_ok = recall >= 0.8. The oracle asserts all-true."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .ann import lsh_topk_cosine, topk_cosine
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qtab = pq.read_table(path, filters=[("vec_id", "in", ANN_QUERY_IDS)])
+    qmat = np.array([r for r in qtab["embedding"].to_pylist()], dtype=np.float64)
+    qids = qtab["vec_id"].to_pylist()
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    exact = topk_cosine(ds, qids, qmat, k=ANN_K)
+    approx = lsh_topk_cosine(ds, qids, qmat, k=ANN_K, n_planes=8,
+                             probe_bits=3)
+    rows_q, rows_ok = [], []
+    for q in sorted(qids):
+        e = set(exact.filter(pc.equal(exact["query_id"], q))["vec_id"].to_pylist())
+        a = set(approx.filter(pc.equal(approx["query_id"], q))["vec_id"].to_pylist())
+        rows_q.append(q)
+        rows_ok.append(len(e & a) / max(1, len(e)) >= 0.8)
+    return pa.table({"query_id": pa.array(rows_q, type=pa.int64()),
+                     "recall_ok": pa.array(rows_ok, type=pa.bool_())})
+
+
 # --- training-data pipeline operators (dedup / text analysis / ANN) --------
 
 def _docs_ds(sf_dir: str):
@@ -382,6 +447,10 @@ QUERIES = {
     "topk": q_topk,
     "sample": q_sample,
     "compression_metrics": q_compression_metrics,
+    "join_orders_customer": q_join_orders_customer,
+    "compound_filter": q_compound_filter,
+    "expr_filter": q_expr_filter,
+    "ann_lsh_recall": q_ann_lsh_recall,
     "exact_dedup": q_exact_dedup,
     "token_count": q_token_count,
     "fingerprint": q_fingerprint,
@@ -426,6 +495,19 @@ ORACLE_SQL = {
         "(PARTITION BY user_id ORDER BY ts) AS sid FROM g) "
         "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, "
         "CAST(count(*) AS BIGINT) AS n_events FROM s GROUP BY user_id, sid"
+    ),
+    "join_orders_customer": (
+        "SELECT o_orderkey, o_custkey, c_mktsegment FROM orders "
+        "JOIN customer ON o_custkey = c_custkey"
+    ),
+    "compound_filter": (
+        "SELECT doc_id, lang, n_chars FROM documents "
+        "WHERE lang = 'en' AND n_chars BETWEEN 100 AND 200"
+    ),
+    "expr_filter": "SELECT doc_id, n_chars FROM documents WHERE n_chars > 450",
+    "ann_lsh_recall": (
+        "SELECT vec_id AS query_id, CAST(1 AS BOOLEAN) AS recall_ok "
+        "FROM embeddings WHERE vec_id IN (0,1,2,3,4)"
     ),
     "exact_dedup": "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
     "token_count": ("SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)"

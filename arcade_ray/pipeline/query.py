@@ -73,12 +73,11 @@ def _zone_skip(desc: dict, literal) -> bool:
     return False
 
 
-def filter_partition(path: str, col: str, literal, project: list[str]) -> pa.Table:
-    """Filter one encoded partition on ``col == literal`` without
-    decoding the filter column's values (dictionary chunks compare
-    bit-unpacked codes against the literal's code, resolved once per
-    dictionary epoch — reference src/process.cpp:241-299,361-400)."""
-    header, base = read_header(path)
+def _equi_match_idx(path: str, header: dict, base: int, col: str,
+                    literal) -> list:
+    """Per-chunk row indices matching ``col == literal`` (None = chunk
+    zone-skipped), computed without decoding dictionary chunk values
+    (code-domain compare, reference src/process.cpp:241-299,361-400)."""
     cm = header["columns"][col]
     chunks = cm["chunks"]
     n_chunks = len(chunks)
@@ -155,17 +154,27 @@ def filter_partition(path: str, col: str, literal, project: list[str]) -> pa.Tab
                 arr = dec.decode(ch, read_exact(f, ch["nb"], col))
                 mask = pc.fill_null(pc.equal(arr, literal), False)
                 match_idx[i] = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+    return match_idx
 
+
+def _project_matches(path: str, header: dict, match_idx: list,
+                     project: list[str],
+                     backfill: dict | None = None) -> pa.Table:
+    """Materialize the projected columns for per-chunk match indices:
+    only touched chunks decode; equality-predicate columns in
+    ``backfill`` are filled from the literal constant instead of
+    decoding (reference src/process.cpp:406-413)."""
+    backfill = backfill or {}
     touched = [m is not None and len(m) > 0 for m in match_idx]
     if not any(touched):
-        return _empty_projection(header, project, col)
+        return _empty_projection(header, project, "")
     # decode projected companion columns only for touched chunks, then
     # take matching rows (reference get_column_value materialization,
     # src/process.cpp:4-180 — ours is a vectorized Arrow take)
-    other = [c for c in project if c != col]
+    other = [c for c in project if c not in backfill]
     take_pos = []
     offset = 0
-    for i in range(n_chunks):
+    for i in range(len(match_idx)):
         if touched[i]:
             take_pos.append(match_idx[i] + offset)
             offset += _chunk_rows(header, i)
@@ -177,11 +186,22 @@ def filter_partition(path: str, col: str, literal, project: list[str]) -> pa.Tab
         for name in other:
             cols[name] = sub[name].combine_chunks()
     n_match = len(take)
-    if col in project:
-        # backfill the filter column from the literal (constant):
-        # reference src/process.cpp:406-413
-        cols[col] = pa.array([literal] * n_match).cast(_col_type(cm))
+    for col, literal in backfill.items():
+        if col in project:
+            cm = header["columns"][col]
+            cols[col] = pa.array([literal] * n_match).cast(_col_type(cm))
     return pa.table({name: cols[name] for name in project})
+
+
+def filter_partition(path: str, col: str, literal, project: list[str]) -> pa.Table:
+    """Filter one encoded partition on ``col == literal`` without
+    decoding the filter column's values (dictionary chunks compare
+    bit-unpacked codes against the literal's code, resolved once per
+    dictionary epoch — reference src/process.cpp:241-299,361-400)."""
+    header, base = read_header(path)
+    match_idx = _equi_match_idx(path, header, base, col, literal)
+    return _project_matches(path, header, match_idx, project,
+                            backfill={col: literal})
 
 
 def _chunk_rows(header: dict, i: int) -> int:
@@ -294,9 +314,10 @@ def range_filter(out_dir: str, col: str, lo, hi, project: list[str]):
     return ds.map_batches(run, batch_format="pyarrow", batch_size=1)
 
 
-def _range_filter_partition(path: str, col: str, lo, hi,
-                            project: list[str]) -> pa.Table:
-    header, base = read_header(path)
+def _range_match_idx(path: str, header: dict, base: int, col: str,
+                     lo, hi) -> list:
+    """Per-chunk row indices with ``lo <= col <= hi`` (None = chunk
+    zone-excluded); fully-inside chunks skip the per-row compare."""
     cm = header["columns"][col]
     chunks = cm["chunks"]
     prunable = cm["kind"] != "list" and cm.get("tag") not in ("f32", "f64")
@@ -322,17 +343,96 @@ def _range_filter_partition(path: str, col: str, lo, hi,
             mask = pc.fill_null(
                 pc.and_(pc.greater_equal(arr, lo), pc.less_equal(arr, hi)), False)
             match_idx[i] = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
-    touched = [m is not None and len(m) > 0 for m in match_idx]
-    if not any(touched):
-        return _empty_projection(header, project, col)
-    take_pos, offset = [], 0
-    for i in range(len(chunks)):
-        if touched[i]:
-            take_pos.append(match_idx[i] + offset)
-            offset += _chunk_rows(header, i)
-    take = np.concatenate(take_pos)
-    sub = decode_partition(path, columns=project, chunk_mask=touched)
-    return sub.take(pa.array(take, type=pa.int64()))
+    return match_idx
+
+
+def _range_filter_partition(path: str, col: str, lo, hi,
+                            project: list[str]) -> pa.Table:
+    header, base = read_header(path)
+    match_idx = _range_match_idx(path, header, base, col, lo, hi)
+    return _project_matches(path, header, match_idx, project)
+
+
+def compound_filter(out_dir: str, preds: list[tuple], project: list[str]):
+    """AND of equality and range predicates over encoded data — the
+    composition the reference never shipped ("single equi filter at a
+    time", README.md:122); its zone maps compose trivially.
+
+    ``preds``: list of ``("eq", col, literal)`` and
+    ``("between", col, lo, hi)`` tuples. Manifest zone maps prune
+    partitions per predicate before any task spawns; within a
+    partition, each predicate's per-chunk match indices (code-domain
+    compare for dictionary equality, zone shortcuts for ranges) are
+    intersected, and only surviving chunks decode the projection.
+    -> ray.data.Dataset of projected matching rows."""
+    import ray.data as rd
+
+    if not preds:
+        raise ValueError("compound_filter needs at least one predicate")
+    for p in preds:
+        if p[0] not in ("eq", "between"):
+            raise ValueError(f"unknown predicate kind {p[0]!r}")
+    rows = _manifest_paths(out_dir)
+    header0, _ = read_header(rows[0]["path"])
+    known = list(header0["columns"])
+    for c in [p[1] for p in preds] + list(project):
+        if c not in known:
+            raise KeyError(f"column {c!r} not in encoded dataset (columns: {known})")
+
+    def excluded(stats: dict, pred: tuple) -> bool:
+        if not _manifest_prunable(header0, pred[1]):
+            return False
+        s = stats.get(pred[1], {})
+        zlo, zhi = s.get("min"), s.get("max")
+        if zlo is None or zhi is None:
+            return False
+        if pred[0] == "eq":
+            return not (zlo <= pred[2] <= zhi)
+        return pred[3] < zlo or pred[2] > zhi
+
+    survivors = []
+    for r in rows:
+        stats = json.loads(r["col_stats"])
+        if any(excluded(stats, p) for p in preds):
+            continue
+        survivors.append({"path": r["path"]})
+    if not survivors:
+        return rd.from_arrow(_empty_projection(header0, project, ""))
+    ds = rd.from_items(survivors)
+
+    def run(batch: pa.Table) -> pa.Table:
+        tables = []
+        for p in batch["path"]:
+            tables.append(_compound_filter_partition(p.as_py(), preds, project))
+        return pa.concat_tables(tables)
+
+    return ds.map_batches(run, batch_format="pyarrow", batch_size=1)
+
+
+def _compound_filter_partition(path: str, preds: list[tuple],
+                               project: list[str]) -> pa.Table:
+    header, base = read_header(path)
+    combined: list | None = None
+    backfill = {p[1]: p[2] for p in preds if p[0] == "eq"}
+    for p in preds:
+        if combined is not None and all(
+            m is None or len(m) == 0 for m in combined
+        ):
+            break  # already empty; skip remaining predicate scans
+        if p[0] == "eq":
+            mi = _equi_match_idx(path, header, base, p[1], p[2])
+        else:
+            mi = _range_match_idx(path, header, base, p[1], p[2], p[3])
+        if combined is None:
+            combined = mi
+        else:
+            combined = [
+                None if (a is None or b is None)
+                else np.intersect1d(a, b, assume_unique=True)
+                for a, b in zip(combined, mi)
+            ]
+    return _project_matches(path, header, combined, project,
+                            backfill=backfill)
 
 
 def dict_value_counts(out_dir: str, col: str) -> pa.Table:

@@ -1,0 +1,119 @@
+"""Broadcast hash join over encoded tables + compound predicates."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from arcade_ray.collect import collect_arrow
+from arcade_ray.pipeline import encode_dataset
+from arcade_ray.pipeline.join import broadcast_join
+from arcade_ray.pipeline.query import compound_filter
+
+
+@pytest.fixture(scope="module")
+def two_tables(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    base = tmp_path_factory.mktemp("join")
+    rng = np.random.default_rng(11)
+    n_cust, n_ord = 200, 5000
+    cust = pa.table({
+        "c_custkey": pa.array(np.arange(n_cust), type=pa.int64()),
+        "c_seg": pa.array([f"seg-{i % 5}" for i in range(n_cust)]),
+    })
+    orders = pa.table({
+        "o_orderkey": pa.array(np.arange(n_ord), type=pa.int64()),
+        "o_custkey": pa.array(
+            rng.integers(0, n_cust + 20, n_ord), type=pa.int64()),  # some misses
+        "o_flag": pa.array([f"f{i % 3}" for i in range(n_ord)]),
+        "o_total": pa.array(rng.integers(1, 1000, n_ord), type=pa.int64()),
+    })
+    c_dir, o_dir = str(base / "cust"), str(base / "ord")
+    encode_dataset(rd.from_arrow(cust), c_dir, key_col="c_seg",
+                   id_col="c_custkey", weight_col=None)
+    encode_dataset(rd.from_arrow(orders), o_dir, key_col="o_flag",
+                   id_col="o_orderkey", weight_col=None)
+    return o_dir, c_dir, orders, cust
+
+
+def test_broadcast_join_inner(two_tables):
+    o_dir, c_dir, orders, cust = two_tables
+    out = collect_arrow(broadcast_join(
+        o_dir, c_dir, probe_key="o_custkey", build_key="c_custkey",
+        probe_cols=["o_orderkey", "o_custkey"], build_cols=["c_seg"]))
+    # oracle: pandas merge
+    exp = orders.to_pandas().merge(cust.to_pandas(), left_on="o_custkey",
+                                   right_on="c_custkey")
+    assert out.num_rows == len(exp)
+    got = out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    exp = exp[["o_orderkey", "o_custkey", "c_seg"]] \
+        .sort_values("o_orderkey").reset_index(drop=True)
+    assert got.equals(exp)
+
+
+def test_broadcast_join_left(two_tables):
+    o_dir, c_dir, orders, cust = two_tables
+    out = collect_arrow(broadcast_join(
+        o_dir, c_dir, probe_key="o_custkey", build_key="c_custkey",
+        probe_cols=["o_orderkey"], build_cols=["c_seg"], how="left"))
+    assert out.num_rows == orders.num_rows
+    n_miss = out.filter(pc.is_null(out["c_seg"])).num_rows
+    exp_miss = len([v for v in orders["o_custkey"].to_pylist() if v >= 200])
+    assert n_miss == exp_miss > 0
+
+
+def test_broadcast_join_rejects_dup_build_key(two_tables, tmp_path,
+                                              ray_session):
+    import ray.data as rd
+
+    from arcade_ray.pipeline import encode_dataset as enc
+
+    o_dir, _, _, _ = two_tables
+    dup = pa.table({
+        "c_custkey": pa.array([1, 1, 2], type=pa.int64()),
+        "c_seg": pa.array(["a", "b", "c"]),
+    })
+    d_dir = str(tmp_path / "dup")
+    enc(rd.from_arrow(dup), d_dir, key_col="c_seg", id_col="c_custkey",
+        weight_col=None)
+    with pytest.raises(ValueError, match="not unique"):
+        broadcast_join(o_dir, d_dir, probe_key="o_custkey",
+                       build_key="c_custkey", probe_cols=["o_orderkey"],
+                       build_cols=["c_seg"])
+
+
+def test_compound_filter_matches_oracle(two_tables):
+    o_dir, _, orders, _ = two_tables
+    out = collect_arrow(compound_filter(
+        o_dir,
+        [("eq", "o_flag", "f1"), ("between", "o_total", 100, 400)],
+        project=["o_orderkey", "o_flag", "o_total"],
+    ))
+    df = orders.to_pandas()
+    exp = df[(df["o_flag"] == "f1") & df["o_total"].between(100, 400)]
+    assert out.num_rows == len(exp)
+    assert set(out["o_orderkey"].to_pylist()) == set(exp["o_orderkey"])
+    # equality column is backfilled from the literal
+    assert set(out["o_flag"].to_pylist()) == {"f1"}
+
+
+def test_compound_filter_three_preds(two_tables):
+    o_dir, _, orders, _ = two_tables
+    out = collect_arrow(compound_filter(
+        o_dir,
+        [("eq", "o_flag", "f2"), ("between", "o_total", 1, 999),
+         ("between", "o_orderkey", 0, 1000)],
+        project=["o_orderkey"],
+    ))
+    df = orders.to_pandas()
+    exp = df[(df["o_flag"] == "f2") & (df["o_orderkey"] <= 1000)]
+    assert set(out["o_orderkey"].to_pylist()) == set(exp["o_orderkey"])
+
+
+def test_compound_filter_empty_result(two_tables):
+    o_dir, _, _, _ = two_tables
+    out = collect_arrow(compound_filter(
+        o_dir, [("eq", "o_flag", "no-such"), ("between", "o_total", 0, 9)],
+        project=["o_orderkey"]))
+    assert out.num_rows == 0
