@@ -145,17 +145,18 @@ def _band_planes(dim: int, n_bands: int, band_planes: int,
 def near_dup_band_rows(batch: pa.Table, planes: np.ndarray, n_bands: int,
                        band_planes: int, id_col: str = "vec_id",
                        vec_col: str = "embedding") -> pa.Table:
-    """(band, sign-pattern key, id) rows — the ONLY thing embedding
-    near-dup ever shuffles (fixed width; the vectors stay put)."""
+    """(bucket key, id) rows — the ONLY thing embedding near-dup ever
+    shuffles (fixed width; the vectors stay put). The key packs the
+    band index above the band's sign-pattern bits."""
     mat = _normalize(_to_matrix(batch[vec_col]))
     ids = batch[id_col].to_numpy(zero_copy_only=False)
     n = len(ids)
     bits = (mat @ planes.T > 0).astype(np.int64)  # (n, n_bands*band_planes)
     bits = bits.reshape(n, n_bands, band_planes)
     keys = (bits << np.arange(band_planes, dtype=np.int64)).sum(axis=2)  # (n, n_bands)
+    keys |= np.arange(n_bands, dtype=np.int64)[None, :] << band_planes
     return pa.table({
-        "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int32), n)),
-        "key": pa.array(keys.reshape(-1)),
+        "bk": pa.array(keys.reshape(-1)),
         id_col: pa.array(np.repeat(ids, n_bands)),
     })
 
@@ -170,10 +171,11 @@ def near_dup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
 
     1. map: per vector, ``n_bands`` sign-pattern keys of
        ``band_planes`` hyperplanes each; shuffle carries
-       (band, key, id) rows only.
-    2. groupby (band, key): in-bucket id pairs are candidates; deduped
-       across bands. Oversized buckets (degenerate, e.g. zero vectors)
-       are dropped at ``max_bucket``.
+       (bucket key, id) rows only.
+    2. hot-bucket candidate generation (collect.bucket_candidate_pairs):
+       vectorized groupby().count() finds buckets with >= 2 members —
+       no per-group Python. Oversized buckets (degenerate, e.g. zero
+       vectors) are dropped at ``max_bucket``.
     3. exact verify: embeddings for the small candidate id set are
        fetched map-side (second keyed fetch) and exact cosine keeps
        pairs >= threshold.
@@ -181,43 +183,27 @@ def near_dup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
     A true pair at cosine t collides in one band with prob p^b,
     p = 1 - arccos(t)/pi; miss prob = (1-p^b)^L. Defaults (b=4, L=16)
     give ~4e-6 at t=0.9, ~5e-8 at t=0.95."""
-    import ray.data as rd
-
-    from .collect import fetch_by_ids
+    from .collect import bucket_candidate_pairs, fetch_by_ids
 
     # dim from the dataset schema (list<float> fixed dim assumed)
     first = ds.take_batch(1, batch_format="pyarrow")
     dim = len(first[vec_col][0])
     planes = _band_planes(dim, n_bands, band_planes, seed)
 
-    def bucket_pairs(group):
-        import pandas as pd
-
-        ids = np.unique(group[id_col].to_numpy())
-        m = len(ids)
-        if m < 2 or m > max_bucket:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64")})
-        iu, ju = np.triu_indices(m, k=1)
-        return pd.DataFrame({"id_a": ids[iu], "id_b": ids[ju]})
-
-    cand = (
-        ds.map_batches(
-            lambda b: near_dup_band_rows(b, planes, n_bands, band_planes,
-                                         id_col, vec_col),
-            batch_format="pyarrow")
-        .groupby(["band", "key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-    )
-    cand_tab = collect_arrow(cand)
+    sig_ds = ds.map_batches(
+        lambda b: near_dup_band_rows(b, planes, n_bands, band_planes,
+                                     id_col, vec_col),
+        batch_format="pyarrow")
+    cand_tab, _ = bucket_candidate_pairs(sig_ds, id_col,
+                                         max_bucket=max_bucket)
     empty = pa.table({"id_a": pa.array([], pa.int64()),
                       "id_b": pa.array([], pa.int64()),
                       "cos": pa.array([], pa.float64())})
-    if cand_tab.num_rows == 0 or "id_a" not in cand_tab.column_names:
+    if cand_tab.num_rows == 0:
         return empty
     import pandas as pd
 
-    cand_df = cand_tab.to_pandas().drop_duplicates(["id_a", "id_b"])
+    cand_df = cand_tab.to_pandas()
     need = pd.unique(pd.concat([cand_df["id_a"], cand_df["id_b"]]))
     vec_tab = fetch_by_ids(ds, id_col, need.tolist(),
                            columns=[id_col, vec_col])

@@ -10,6 +10,75 @@ from __future__ import annotations
 import pyarrow as pa
 
 
+def bucket_candidate_pairs(sig_ds, id_col: str, key_col: str = "bk",
+                           max_bucket: int = 4096,
+                           attr_cols: list[str] | None = None):
+    """Candidate (id_a, id_b) pairs from LSH bucket co-occurrence,
+    without a per-group map_groups pass (which costs a Python call per
+    bucket — ruinous when almost every bucket has one member).
+
+    1. ``groupby(key).count()`` — a vectorized hash aggregate — finds
+       the HOT buckets (>= 2 rows); almost all buckets are cold and
+       never touch Python.
+    2. hot keys semi-join (map-side ``is_in``) back onto the signature
+       rows; only hot rows are collected (small by the LSH design).
+    3. run-boundary scan over the sorted hot rows emits in-bucket
+       pairs; buckets above ``max_bucket`` are degenerate collisions
+       and are dropped rather than exploding O(m^2).
+
+    Returns (pairs table with id_a < id_b deduped, dict of id ->
+    attr value for each ``attr_cols`` taken from the hot rows)."""
+    import numpy as np
+
+    sig_ds = sig_ds.materialize()
+    counts = sig_ds.groupby(key_col).count()
+
+    def hot_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.compute.greater_equal(batch["count()"], 2))
+
+    hot = collect_arrow(counts.map_batches(hot_only, batch_format="pyarrow"))
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64())})
+    if hot.num_rows == 0:
+        return empty, {c: {} for c in (attr_cols or [])}
+    hot_keys = hot[key_col].combine_chunks()
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pa.compute.is_in(batch[key_col], value_set=hot_keys))
+
+    rows = collect_arrow(sig_ds.map_batches(pick, batch_format="pyarrow"))
+    bk = rows[key_col].to_numpy(zero_copy_only=False)
+    ids = rows[id_col].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, bk))
+    bk_s, ids_s = bk[order], ids[order]
+    bounds = np.flatnonzero(np.diff(bk_s)) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(bk_s)]])
+    a_out, b_out = [], []
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        u = np.unique(ids_s[s:e])
+        m = len(u)
+        if m < 2 or m > max_bucket:
+            continue
+        iu, ju = np.triu_indices(m, k=1)
+        a_out.append(u[iu])
+        b_out.append(u[ju])
+    if not a_out:
+        pairs = empty
+    else:
+        a = np.concatenate(a_out)
+        b = np.concatenate(b_out)
+        uniq = np.unique(np.stack([a, b], axis=1), axis=0)
+        pairs = pa.table({"id_a": pa.array(uniq[:, 0], type=pa.int64()),
+                          "id_b": pa.array(uniq[:, 1], type=pa.int64())})
+    attrs = {}
+    for c in (attr_cols or []):
+        vals = rows[c].to_numpy(zero_copy_only=False)
+        attrs[c] = dict(zip(ids.tolist(), vals.tolist()))
+    return pairs, attrs
+
+
 def fetch_by_ids(ds, id_col: str, ids, columns: list[str] | None = None) -> pa.Table:
     """Map-side semi-join: stream the dataset, keep rows whose id is in
     ``ids`` (a small candidate set), collect the survivors. The id set
@@ -40,4 +109,6 @@ def collect_arrow(ds) -> pa.Table:
     typed = [t for t in tables if t.num_columns > 0]
     if not typed:
         return tables[0] if tables else pa.table({})
-    return pa.concat_tables(typed)
+    # empty pandas group outputs arrive null-typed (object dtype);
+    # permissive promotion folds them into the real column types
+    return pa.concat_tables(typed, promote_options="permissive")

@@ -360,6 +360,40 @@ def q_winnow_fingerprints(sf_dir: str) -> pa.Table:
     return _collect(winnow_table(_docs_ds(sf_dir)))
 
 
+def q_image_features(sf_dir: str) -> pa.Table:
+    """Multimodal plumbing through the driver surface (rows-only): a
+    deterministic fake-image binary column synthesized per document
+    (media_id = doc_id, dims from n_chars), pushed through the
+    actor-pool feature extractor (decode kernel is the documented
+    sandbox fake; schema/batching/output layout are the real
+    pipeline)."""
+    import ray.data as rd
+
+    from .mediaops import extract_image_features, make_fake_image
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "n_chars"])
+
+    def to_images(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        sizes = batch["n_chars"].to_pylist()
+        imgs = [make_fake_image(16 + (s % 16), 16 + (s % 8), seed=i)
+                for i, s in zip(ids, sizes)]
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "image": pa.array(imgs, type=pa.binary()),
+        })
+
+    out = extract_image_features(
+        ds.map_batches(to_images, batch_format="pyarrow"), batch_size=64)
+    t = _collect(out)
+    mi = pc.round(t["mean_intensity"], 3)
+    t = t.set_column(t.schema.get_field_index("mean_intensity"),
+                     "mean_intensity", mi)
+    return t.select(["media_id", "mean_intensity", "decoded"]) \
+        .sort_by([("media_id", "ascending")])
+
+
 def q_minhash_pairs(sf_dir: str) -> pa.Table:
     """MinHash-LSH near-duplicate pairs (rows-only)."""
     from .textops import minhash_lsh_pairs
@@ -458,6 +492,7 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "bpe_token_count": q_bpe_token_count,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "image_features": q_image_features,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "ann_topk": q_ann_topk,

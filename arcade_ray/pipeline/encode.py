@@ -145,6 +145,11 @@ def encode_dataset(ds, out_dir: str, key_col: str = "source",
       the documented drop-to-Ray-core case: Dataset's groupby shuffle
       is a SORT exchange whose post-shuffle blocks coalesce many
       groups per task, serializing the encode stage.
+    - ``"disk"``: the direct exchange with disk-staged fragments and
+      bounded in-flight splits — peak object-store usage is
+      O(in-flight split tasks) instead of O(dataset); input blocks are
+      consumed as the streaming executor produces them. The scale path
+      for inputs far beyond store capacity.
     - ``"groupby"``: idiomatic ``groupby(_pid).map_groups`` — same
       semantics, kept for parity/tests.
     """
@@ -174,9 +179,10 @@ def encode_dataset(ds, out_dir: str, key_col: str = "source",
 
     import ray
 
-    if exchange == "direct":
+    if exchange in ("direct", "disk"):
         tables = _direct_exchange_encode(
-            ds, assign, plan, pid_keys, set(done), out_dir, sort_by
+            ds, assign, plan, pid_keys, set(done), out_dir, sort_by,
+            mode="disk" if exchange == "disk" else "objects",
         )
     else:
         encoded = (
@@ -235,17 +241,12 @@ def _split_block(table: pa.Table, bucket_of_pid):
     return out
 
 
-def _encode_bucket(pid_keys: list[str], out_dir: str, sort_by: str | None,
-                   frag_refs) -> list[dict]:
-    """Encode every partition present in this bucket\'s fragments.
-    Fetches its fragments itself (refs passed as a plain list) so the
-    raylet resolves one dependency per task, not #splits."""
+def _encode_bucket_tables(tables: list[pa.Table], pid_keys: list[str],
+                          out_dir: str, sort_by: str | None) -> list[dict]:
+    """Encode+commit every partition present in the fragment tables of
+    one bucket (shared by the object-store and disk exchanges)."""
     import numpy as np
-    import ray
 
-    _pin_arrow_threads()
-    frags = ray.get(list(frag_refs))
-    tables = [f for f in frags if f is not None]
     if not tables:
         return []
     table = pa.concat_tables(tables).combine_chunks()
@@ -264,6 +265,19 @@ def _encode_bucket(pid_keys: list[str], out_dir: str, sort_by: str | None,
         blob, row = encode_partition(part, pid_keys[int(pid)])
         rows.append(commit_partition(out_dir, pid_keys[int(pid)], blob, row))
     return rows
+
+
+def _encode_bucket(pid_keys: list[str], out_dir: str, sort_by: str | None,
+                   frag_refs) -> list[dict]:
+    """Encode every partition present in this bucket\'s fragments.
+    Fetches its fragments itself (refs passed as a plain list) so the
+    raylet resolves one dependency per task, not #splits."""
+    import ray
+
+    _pin_arrow_threads()
+    frags = ray.get(list(frag_refs))
+    tables = [f for f in frags if f is not None]
+    return _encode_bucket_tables(tables, pid_keys, out_dir, sort_by)
 
 
 def _split_many(refs_or_paths, bucket_of_pid, assign, columns=None):
@@ -294,6 +308,78 @@ def _split_many(refs_or_paths, bucket_of_pid, assign, columns=None):
     return _split_block(table, bucket_of_pid)
 
 
+SHUFFLE_DIR = "_shuffle"
+
+
+def _bucket_dir(shuffle_dir: str, b: int) -> str:
+    return os.path.join(shuffle_dir, f"b{b:05d}")
+
+
+def _split_to_disk(refs_or_paths, bucket_of_pid, assign, columns,
+                   shuffle_dir: str, split_id: int) -> int:
+    """Disk-staged split: like _split_many, but fragments land as
+    Arrow IPC files under shuffle_dir/b{bucket}/s{split}.arrow instead
+    of the object store — the Spark-shuffle-file pattern. Peak
+    object-store usage stays O(in-flight splits); the exchange itself
+    lives on disk (shared storage on a multi-node cluster). Returns
+    rows written (tiny)."""
+    import numpy as np
+    import ray
+
+    _pin_arrow_threads()
+    tables = []
+    for item in refs_or_paths:
+        if isinstance(item, str):
+            import pyarrow.parquet as pq
+
+            tables.append(pq.read_table(item, columns=columns))
+        elif isinstance(item, tuple):
+            import pyarrow.parquet as pq
+
+            path, lo, hi = item
+            pf = pq.ParquetFile(path)
+            tables.append(pf.read_row_groups(list(range(lo, hi)), columns=columns))
+        else:
+            tables.append(ray.get(item) if isinstance(item, ray.ObjectRef) else item)
+    table = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+    table = assign(table)
+    n_buckets = int(max(bucket_of_pid)) + 1 if len(bucket_of_pid) else 1
+    pids = table["_pid"].to_numpy(zero_copy_only=False)
+    buckets = np.asarray(bucket_of_pid)[pids]
+    order = np.argsort(buckets, kind="stable")
+    sorted_buckets = buckets[order]
+    bounds = np.searchsorted(sorted_buckets, np.arange(n_buckets + 1))
+    written = 0
+    for b in range(n_buckets):
+        lo, hi = int(bounds[b]), int(bounds[b + 1])
+        if hi <= lo:
+            continue
+        frag = table.take(pa.array(order[lo:hi], type=pa.int64()))
+        d = _bucket_dir(shuffle_dir, b)
+        os.makedirs(d, exist_ok=True)
+        final = os.path.join(d, f"s{split_id:05d}.arrow")
+        tmp = final + f".tmp.{os.getpid()}"
+        with pa.OSFile(tmp, "wb") as sink:
+            with pa.ipc.new_file(sink, frag.schema) as w:
+                w.write_table(frag)
+        os.replace(tmp, final)
+        written += frag.num_rows
+    return written
+
+
+def _encode_bucket_from_disk(pid_keys: list[str], out_dir: str,
+                             sort_by: str | None,
+                             bucket_dir: str) -> list[dict]:
+    _pin_arrow_threads()
+    tables = []
+    if os.path.isdir(bucket_dir):
+        for fn in sorted(os.listdir(bucket_dir)):
+            if fn.endswith(".arrow"):
+                with pa.memory_map(os.path.join(bucket_dir, fn)) as src:
+                    tables.append(pa.ipc.open_file(src).read_all())
+    return _encode_bucket_tables(tables, pid_keys, out_dir, sort_by)
+
+
 def _group(items: list, n_groups: int) -> list[list]:
     n_groups = max(1, min(n_groups, len(items)))
     per = -(-len(items) // n_groups)
@@ -319,14 +405,30 @@ def _lpt_buckets(weights: list[int], n_buckets: int):
     return bucket_of, n_buckets
 
 
-def _run_direct_exchange(split_inputs: list[list], pid_keys: list[str],
+def _run_direct_exchange(split_inputs, pid_keys: list[str],
                          pid_weights: list[int], done: set, out_dir: str,
                          sort_by: str | None, assign,
-                         columns=None) -> list[pa.Table]:
+                         columns=None, mode: str = "objects") -> list[pa.Table]:
     """Explicit partitioned hash exchange (see encode_dataset docstring).
     On a multi-node cluster the same code runs unchanged: fragments are
     plain object-store objects and Ray fetches them to wherever the
-    encode task is scheduled."""
+    encode task is scheduled.
+
+    ``mode``:
+
+    - ``"objects"``: fragments live in the object store between the
+      split and encode phases — fastest, but the whole (assigned)
+      input is live at the barrier; Ray spills past store capacity.
+    - ``"disk"``: split tasks write fragments as Arrow IPC files under
+      ``out_dir/_shuffle/`` (Spark-shuffle-file pattern) and in-flight
+      split tasks are bounded, so peak object-store usage is
+      O(in-flight splits) regardless of input size. Auto-selected by
+      encode_parquet for inputs above ARCADE_DISK_EXCHANGE_BYTES.
+
+    ``split_inputs`` may be a generator (disk mode consumes it
+    incrementally — streaming inputs never all materialize)."""
+    import shutil as _shutil
+
     import ray
 
     if all(k in done for k in pid_keys):
@@ -337,6 +439,29 @@ def _run_direct_exchange(split_inputs: list[list], pid_keys: list[str],
     bucket_of_pid, n_buckets = _lpt_buckets(
         pid_weights, max(32, _avail_cpus())
     )
+    if mode == "disk":
+        shuffle_dir = os.path.join(out_dir, SHUFFLE_DIR)
+        _shutil.rmtree(shuffle_dir, ignore_errors=True)
+        os.makedirs(shuffle_dir, exist_ok=True)
+        split = ray.remote(_split_to_disk)
+        max_inflight = max(4, _avail_cpus())
+        pending: list = []
+        for si, group in enumerate(split_inputs):
+            pending.append(split.remote(group, bucket_of_pid, assign,
+                                        columns, shuffle_dir, si))
+            if len(pending) >= max_inflight:
+                _, pending = ray.wait(pending, num_returns=1)
+        ray.get(pending)  # drain: all fragments on disk
+        enc = ray.remote(_encode_bucket_from_disk)
+        result_refs = [
+            enc.remote(pid_keys, out_dir, sort_by, _bucket_dir(shuffle_dir, b))
+            for b in range(n_buckets)
+            if os.path.isdir(_bucket_dir(shuffle_dir, b))
+        ]
+        rows = [r for rs in ray.get(result_refs) for r in rs]
+        _shutil.rmtree(shuffle_dir, ignore_errors=True)
+        return [_manifest_schema_table(rows)]
+
     split = ray.remote(_split_many)
     split_refs = [
         split.remote(group, bucket_of_pid, assign, columns)
@@ -381,7 +506,24 @@ def _avail_cpus() -> int:
 
 
 def _direct_exchange_encode(ds, assign, plan, pid_keys: list[str], done: set,
-                            out_dir: str, sort_by: str | None) -> list[pa.Table]:
+                            out_dir: str, sort_by: str | None,
+                            mode: str = "objects") -> list[pa.Table]:
+    if mode == "disk":
+        # stream block refs straight off the executor in small groups —
+        # the input never materializes in the object store all at once
+        def bundle_groups():
+            group: list = []
+            for bundle in ds.iter_internal_ref_bundles():
+                group.extend(bundle.block_refs)
+                if len(group) >= 4:
+                    yield group
+                    group = []
+            if group:
+                yield group
+
+        return _run_direct_exchange(bundle_groups(), pid_keys,
+                                    plan.pid_weights(), done, out_dir,
+                                    sort_by, assign, mode="disk")
     block_refs = list(ds.to_arrow_refs())
     groups = _group(block_refs, max(16, _avail_cpus() // 2))
     return _run_direct_exchange(groups, pid_keys, plan.pid_weights(), done,
@@ -396,15 +538,26 @@ def _write_consolidated(out_dir: str, manifest: pa.Table) -> None:
     os.replace(tmp, os.path.join(out_dir, "manifest.parquet"))
 
 
+DISK_EXCHANGE_BYTES = int(os.environ.get(
+    "ARCADE_DISK_EXCHANGE_BYTES", 8 * 1024 ** 3))
+
+
 def encode_parquet(paths: list[str] | str, out_dir: str,
                    key_col: str = "source", id_col: str = "doc_id",
                    weight_col: str | None = "n_tok",
                    weight_cap: int | None = None, resume: bool = True,
-                   sort_partitions_by: str | None = None) -> pa.Table:
+                   sort_partitions_by: str | None = None,
+                   exchange: str | None = None) -> pa.Table:
     """Parquet-source fast path of :func:`encode_dataset`: split tasks
     read the shards directly (no intermediate block materialization),
     and the planning pass reads only the key/weight columns per shard.
-    One split task per file group, one encode task per partition."""
+    One split task per file group, one encode task per partition.
+
+    ``exchange``: None (auto) picks the object-store exchange for
+    inputs under ARCADE_DISK_EXCHANGE_BYTES on-disk bytes and the
+    disk-staged, bounded-in-flight exchange above it — uncompressed
+    fragments of a giant input would otherwise only be survivable via
+    object-store spilling."""
     import glob as _glob
 
     import ray
@@ -497,8 +650,13 @@ def encode_parquet(paths: list[str] | str, out_dir: str,
             out = out.filter(keep)
         return out
 
+    if exchange is None:
+        uniq_paths = {(f[0] if isinstance(f, tuple) else f) for f in files}
+        on_disk = sum(os.path.getsize(p) for p in uniq_paths)
+        exchange = "disk" if on_disk > DISK_EXCHANGE_BYTES else "direct"
     tables = _run_direct_exchange(groups, pid_keys, plan.pid_weights(),
-                                  set(done), out_dir, sort_by, assign)
+                                  set(done), out_dir, sort_by, assign,
+                                  mode="disk" if exchange == "disk" else "objects")
     all_rows = list(done.values())
     for t in tables:
         all_rows.extend(t.to_pylist())

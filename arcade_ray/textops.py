@@ -61,7 +61,10 @@ def dedup_loser_ids(ds, text_col: str = "text", id_col: str = "doc_id") -> pa.Ta
         import pandas as pd
 
         min_ids = group.groupby("_h2")[id_col].transform("min")
-        return group.loc[group[id_col] != min_ids, [id_col]]
+        out = group.loc[group[id_col] != min_ids, [id_col]]
+        # keep the dtype on empty groups (pandas->Arrow turns an empty
+        # object column into null type, poisoning the concat)
+        return out.astype({id_col: group[id_col].dtype})
 
     out = (
         ds.map_batches(lambda b: dedup_signatures(b, text_col, id_col),
@@ -131,9 +134,10 @@ def minhash_signature(shingles: np.ndarray, n_perm: int = 64,
 def minhash_band_rows(batch: pa.Table, text_col: str = "text",
                       id_col: str = "doc_id", n_perm: int = 64,
                       bands: int = 16, shingle_k: int = 5) -> pa.Table:
-    """(band, band_hash, id) rows — the ONLY thing MinHash-LSH ever
-    shuffles (~20 B/row x bands). Neither text nor the full signature
-    travels; row assembly is numpy repeat/tile, no per-row lists."""
+    """(bucket key, id) rows — the ONLY thing MinHash-LSH ever shuffles
+    (16 B/row x bands). The key mixes the band index into the band's
+    signature hash; neither text nor the full signature travels, and
+    row assembly is numpy repeat/tile, no per-row lists."""
     texts = batch[text_col].to_pylist()
     n = len(texts)
     rows_per_band = n_perm // bands
@@ -142,10 +146,10 @@ def minhash_band_rows(batch: pa.Table, text_col: str = "text",
         sigs[i] = minhash_signature(_char_shingles(t, shingle_k), n_perm)
     bh = (sigs.reshape(n, bands, rows_per_band)
           * np.uint64(0x9E3779B97F4A7C15)).sum(axis=2)  # (n, bands)
+    bh += np.arange(bands, dtype=np.uint64)[None, :] * np.uint64(0xD1B54A32D192ED03)
     ids = batch[id_col].to_numpy(zero_copy_only=False)
     return pa.table({
-        "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
-        "bh": pa.array(bh.reshape(-1).view(np.int64)),
+        "bk": pa.array(bh.reshape(-1).view(np.int64)),
         id_col: pa.array(np.repeat(ids, bands)),
     })
 
@@ -158,10 +162,11 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     Scale design, three phases:
 
-    1. map: shingle -> minhash -> (band, band_hash, id) rows; the
-       shuffle payload is fixed-width ids and hashes — never text.
-    2. groupby (band, band_hash): every in-bucket id pair is a
-       candidate (the LSH contract); pairs are deduped across bands.
+    1. map: shingle -> minhash -> (bucket key, id) rows; the shuffle
+       payload is fixed-width ids and hashes — never text.
+    2. hot-bucket candidate generation (collect.bucket_candidate_pairs):
+       a vectorized groupby().count() finds buckets with >= 2 members;
+       only those rows are pulled and paired — no per-group Python.
        Buckets larger than ``max_bucket`` are degenerate collisions
        (empty/near-empty docs) and are dropped rather than exploding
        O(m^2).
@@ -173,42 +178,43 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     Returns Dataset[(id_a, id_b, jaccard)] with id_a < id_b."""
     import ray.data as rd
 
-    def bucket_pairs(group):
-        import pandas as pd
+    from .collect import bucket_candidate_pairs, fetch_by_ids
 
-        ids = np.unique(group[id_col].to_numpy())
-        m = len(ids)
-        if m < 2 or m > max_bucket:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64")})
-        iu, ju = np.triu_indices(m, k=1)
-        return pd.DataFrame({"id_a": ids[iu], "id_b": ids[ju]})
-
-    cand = (
-        ds.map_batches(
-            lambda b: minhash_band_rows(b, text_col, id_col, n_perm,
-                                        bands, shingle_k),
-            batch_format="pyarrow")
-        .groupby(["band", "bh"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-    )
-    from .collect import collect_arrow, fetch_by_ids
-
-    cand_tab = collect_arrow(cand)
+    sig_ds = ds.map_batches(
+        lambda b: minhash_band_rows(b, text_col, id_col, n_perm,
+                                    bands, shingle_k),
+        batch_format="pyarrow")
+    cand_tab, _ = bucket_candidate_pairs(sig_ds, id_col,
+                                         max_bucket=max_bucket)
     empty = pa.table({"id_a": pa.array([], pa.int64()),
                       "id_b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
-    if cand_tab.num_rows == 0 or "id_a" not in cand_tab.column_names:
+    if cand_tab.num_rows == 0:
         return rd.from_arrow(empty)
-    # dedup pairs surfaced by several bands (tiny driver-side table)
     import pandas as pd
 
-    cand_df = cand_tab.to_pandas().drop_duplicates(["id_a", "id_b"])
+    cand_df = cand_tab.to_pandas()
     need = pd.unique(pd.concat([cand_df["id_a"], cand_df["id_b"]]))
     texts_tab = fetch_by_ids(ds, id_col, need.tolist(),
                              columns=[id_col, text_col])
-    text_of = dict(zip(texts_tab[id_col].to_pylist(),
-                       texts_tab[text_col].to_pylist()))
+    ids_f = texts_tab[id_col].to_pylist()
+    texts_f = texts_tab[text_col].to_pylist()
+    text_of = dict(zip(ids_f, texts_f))
+    # bucket co-occurrence over-generates when the corpus has big
+    # clusters of templated near-identical docs (one 1k-member bucket
+    # -> 500k candidate pairs): cull with the vectorized
+    # minhash-estimated jaccard first, exact-verify only survivors
+    row_of = {v: i for i, v in enumerate(ids_f)}
+    sig_mat = np.empty((len(ids_f), n_perm), dtype=np.uint64)
+    for i, t in enumerate(texts_f):
+        sig_mat[i] = minhash_signature(_char_shingles(t, shingle_k), n_perm)
+    ai = np.array([row_of[a] for a in cand_df["id_a"]], dtype=np.int64)
+    bi = np.array([row_of[b] for b in cand_df["id_b"]], dtype=np.int64)
+    est = np.empty(len(ai), dtype=np.float64)
+    for s in range(0, len(ai), 200_000):  # chunked: bound peak memory
+        e = min(s + 200_000, len(ai))
+        est[s:e] = (sig_mat[ai[s:e]] == sig_mat[bi[s:e]]).mean(axis=1)
+    keep = est >= jaccard_threshold - 0.15
     sets: dict = {}
 
     def shingle_set(i):
@@ -217,7 +223,8 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         return sets[i]
 
     a_out, b_out, j_out = [], [], []
-    for a, b in zip(cand_df["id_a"].tolist(), cand_df["id_b"].tolist()):
+    for a, b in zip(cand_df["id_a"].to_numpy()[keep].tolist(),
+                    cand_df["id_b"].to_numpy()[keep].tolist()):
         sa, sb = shingle_set(a), shingle_set(b)
         union = len(sa | sb)
         jac = len(sa & sb) / union if union else 1.0

@@ -143,6 +143,44 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         )
         queries["encode_documents"] = round(time.perf_counter() - t0, 3)
 
+        # broadcast hash join over two encoded tables
+        from arcade_ray.pipeline.join import broadcast_join
+
+        o_enc = os.path.join(BENCH_DIR, f"ord-{num_cpus}")
+        c_enc = os.path.join(BENCH_DIR, f"cust-{num_cpus}")
+        for d, tbl, key, idc in ((o_enc, "orders", "o_orderpriority", "o_orderkey"),
+                                 (c_enc, "customer", "c_mktsegment", "c_custkey")):
+            shutil.rmtree(d, ignore_errors=True)
+            encode_parquet(os.path.join(sf_dir, f"{tbl}.parquet"), d,
+                           key_col=key, id_col=idc, weight_col=None)
+        t0 = time.perf_counter()
+        broadcast_join(o_enc, c_enc, probe_key="o_custkey",
+                       build_key="c_custkey",
+                       probe_cols=["o_orderkey", "o_custkey"],
+                       build_cols=["c_mktsegment"]).count()
+        queries["join_encoded"] = round(time.perf_counter() - t0, 3)
+
+        # compound predicate over encoded documents
+        from arcade_ray.pipeline.query import compound_filter
+
+        t0 = time.perf_counter()
+        compound_filter(doc_enc, [("eq", "lang", "en"),
+                                  ("between", "n_chars", 100, 200)],
+                        project=["doc_id", "lang", "n_chars"]).count()
+        queries["compound_filter"] = round(time.perf_counter() - t0, 3)
+
+        # dedup operators over raw documents (hash-only shuffles)
+        from arcade_ray.textops import exact_dedup, minhash_lsh_pairs
+
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+        t0 = time.perf_counter()
+        exact_dedup(docs).count()
+        queries["exact_dedup"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        minhash_lsh_pairs(docs, jaccard_threshold=0.7).count()
+        queries["minhash_pairs"] = round(time.perf_counter() - t0, 3)
+
     return {
         "metric": "corpus encode wall-clock (tokens/s headline)",
         "value": round(t_encode, 3),

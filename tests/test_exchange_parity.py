@@ -9,7 +9,7 @@ from arcade_ray.corpus import generate_corpus
 from arcade_ray.pipeline import decode_dataset, encode_dataset
 
 
-@pytest.mark.parametrize("exchange", ["direct", "groupby"])
+@pytest.mark.parametrize("exchange", ["direct", "groupby", "disk"])
 def test_exchange_roundtrip(ray_session, tmp_path, exchange):
     import ray
     import ray.data as rd
@@ -37,10 +37,49 @@ def test_exchanges_identical_bytes(ray_session, tmp_path):
                         weight_cap=100_000, exchange="direct")
     m2 = encode_dataset(rd.from_arrow(table), str(tmp_path / "g"),
                         weight_cap=100_000, exchange="groupby")
+    m3 = encode_dataset(rd.from_arrow(table), str(tmp_path / "k"),
+                        weight_cap=100_000, exchange="disk")
     a = {k: (s, c) for k, s, c in zip(m1["part_key"].to_pylist(),
                                       m1["enc_bytes"].to_pylist(),
                                       m1["crc32"].to_pylist())}
     b = {k: (s, c) for k, s, c in zip(m2["part_key"].to_pylist(),
                                       m2["enc_bytes"].to_pylist(),
                                       m2["crc32"].to_pylist())}
+    c = {k: (s, c) for k, s, c in zip(m3["part_key"].to_pylist(),
+                                      m3["enc_bytes"].to_pylist(),
+                                      m3["crc32"].to_pylist())}
+    assert a == b
+    assert a == c
+
+
+def test_disk_exchange_cleans_shuffle_dir(ray_session, tmp_path):
+    import os
+
+    import ray.data as rd
+
+    table = generate_corpus(2000, 3, seed=23)
+    out = str(tmp_path / "disk")
+    encode_dataset(rd.from_arrow(table), out, weight_cap=80_000,
+                   exchange="disk")
+    assert not os.path.exists(os.path.join(out, "_shuffle"))
+
+
+def test_parquet_disk_exchange_parity(ray_session, tmp_path):
+    """encode_parquet's disk-staged exchange matches the object-store
+    exchange byte for byte."""
+    import pyarrow.parquet as pq
+
+    from arcade_ray.pipeline.encode import encode_parquet
+
+    table = generate_corpus(5000, 4, seed=24)
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    per = 1250
+    for i in range(4):
+        pq.write_table(table.slice(i * per, per),
+                       str(src_dir / f"p{i}.parquet"))
+    m1 = encode_parquet(str(src_dir), str(tmp_path / "a"), exchange="direct")
+    m2 = encode_parquet(str(src_dir), str(tmp_path / "b"), exchange="disk")
+    a = dict(zip(m1["part_key"].to_pylist(), m1["crc32"].to_pylist()))
+    b = dict(zip(m2["part_key"].to_pylist(), m2["crc32"].to_pylist()))
     assert a == b

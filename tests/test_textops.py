@@ -177,7 +177,7 @@ def test_minhash_shuffle_carries_no_text():
 
     batch = make_docs_table()
     rows = minhash_band_rows(batch)
-    assert rows.column_names == ["band", "bh", "doc_id"]
+    assert rows.column_names == ["bk", "doc_id"]
     assert rows.num_rows == batch.num_rows * 16
 
 
@@ -195,7 +195,7 @@ def test_near_dup_shuffle_carries_no_embedding():
                               type=pa.list_(pa.float32())),
     })
     rows = near_dup_band_rows(batch, _band_planes(16, 8, 4, 42), 8, 4)
-    assert rows.column_names == ["band", "key", "vec_id"]
+    assert rows.column_names == ["bk", "vec_id"]
     assert rows.num_rows == 20 * 8
 
 
