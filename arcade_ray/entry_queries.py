@@ -170,6 +170,39 @@ def q_group_count_encoded(sf_dir: str) -> pa.Table:
     return dict_value_counts(out, "source")
 
 
+def q_group_agg_encoded(sf_dir: str) -> pa.Table:
+    """GROUP BY source -> SUM/MIN/MAX/COUNT(n_chars) computed with the
+    key column never materialized per row (bincount over dictionary
+    codes; only the value column decodes)."""
+    from .pipeline.query import dict_group_aggregate
+
+    out = encoded_dir(sf_dir, "documents")
+    t = dict_group_aggregate(out, "source", "n_chars")
+    return pa.table({
+        "source": t["source"],
+        "sum_chars": t["sum_v"].cast(pa.int64()),
+        "min_chars": t["min_v"].cast(pa.int64()),
+        "max_chars": t["max_v"].cast(pa.int64()),
+        "n_rows": t["n_rows"],
+    })
+
+
+def q_near_dedup(sf_dir: str) -> pa.Table:
+    """Near-duplicate removal: MinHash-LSH pairs -> union-find -> keep
+    min id per cluster (rows-only: LSH has no SQL equivalent)."""
+    from .textops import near_dedup
+
+    out = near_dedup(_docs_ds_early(sf_dir), jaccard_threshold=0.7)
+    return _collect(out.select_columns(["doc_id"]))
+
+
+def _docs_ds_early(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+
 def q_window_agg(sf_dir: str) -> pa.Table:
     """Tumbling 1-hour window aggregate over the events stream table
     (stream-shaped workload: windows = groupby on truncated event
@@ -476,6 +509,8 @@ QUERIES = {
     "filter_lang": q_filter_lang,
     "range_filter": q_range_filter,
     "group_count_encoded": q_group_count_encoded,
+    "group_agg_encoded": q_group_agg_encoded,
+    "near_dedup": q_near_dedup,
     "window_agg": q_window_agg,
     "session_windows": q_session_windows,
     "topk": q_topk,
@@ -519,6 +554,10 @@ ORACLE_SQL = {
     "filter_lang": "SELECT doc_id, lang, source FROM documents WHERE lang = 'en'",
     "range_filter": "SELECT doc_id, n_chars FROM documents WHERE n_chars BETWEEN 100 AND 200",
     "group_count_encoded": "SELECT source, COUNT(*) AS n_rows FROM documents GROUP BY source",
+    "group_agg_encoded": (
+        "SELECT source, SUM(n_chars) AS sum_chars, MIN(n_chars) AS min_chars, "
+        "MAX(n_chars) AS max_chars, COUNT(*) AS n_rows FROM documents GROUP BY source"
+    ),
     "window_agg": ("SELECT event_type, date_trunc('hour', ts) AS w, "
                    "COUNT(*) AS n_events, round(SUM(value), 3) AS sum_value "
                    "FROM events GROUP BY event_type, date_trunc('hour', ts)"),

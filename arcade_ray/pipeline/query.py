@@ -507,6 +507,120 @@ def _dict_counts_partition(path: str, col: str, totals: dict[str, int]) -> None:
                 totals[s] = totals.get(s, 0) + int(counts[code])
 
 
+def dict_group_aggregate(out_dir: str, key_col: str, value_col: str) -> pa.Table:
+    """GROUP BY ``key_col`` -> SUM/MIN/MAX/COUNT(``value_col``) with
+    the KEY column never materialized per row: group membership comes
+    straight from the bit-unpacked dictionary codes (np.bincount with
+    weights); only the value column decodes. Extends the decode-free
+    aggregation family (dict_value_counts) to real aggregates. One Ray
+    task per partition emits key->partial rows; the driver merges the
+    tiny partials."""
+    import ray.data as rd
+
+    paths = rd.from_items([{"path": r["path"]} for r in _manifest_paths(out_dir)])
+
+    def run(batch: pa.Table) -> pa.Table:
+        sums: dict[str, float] = {}
+        mins: dict[str, float] = {}
+        maxs: dict[str, float] = {}
+        counts: dict[str, int] = {}
+        for p in batch["path"]:
+            _dict_group_agg_partition(p.as_py(), key_col, value_col,
+                                      sums, mins, maxs, counts)
+        keys = sorted(sums)
+        return pa.table({
+            key_col: pa.array(keys, type=pa.string()),
+            "sum_v": pa.array([sums[k] for k in keys], type=pa.float64()),
+            "min_v": pa.array([mins[k] for k in keys], type=pa.float64()),
+            "max_v": pa.array([maxs[k] for k in keys], type=pa.float64()),
+            "n_rows": pa.array([counts[k] for k in keys], type=pa.int64()),
+        })
+
+    partials = paths.map_batches(run, batch_format="pyarrow", batch_size=1)
+    sums: dict[str, float] = {}
+    mins: dict[str, float] = {}
+    maxs: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    for row in partials.take_all():
+        k = row[key_col]
+        sums[k] = sums.get(k, 0.0) + row["sum_v"]
+        mins[k] = min(mins.get(k, row["min_v"]), row["min_v"])
+        maxs[k] = max(maxs.get(k, row["max_v"]), row["max_v"])
+        counts[k] = counts.get(k, 0) + row["n_rows"]
+    keys = sorted(sums)
+    return pa.table({
+        key_col: pa.array(keys, type=pa.string()),
+        "sum_v": pa.array([sums[k] for k in keys], type=pa.float64()),
+        "min_v": pa.array([mins[k] for k in keys], type=pa.float64()),
+        "max_v": pa.array([maxs[k] for k in keys], type=pa.float64()),
+        "n_rows": pa.array([counts[k] for k in keys], type=pa.int64()),
+    })
+
+
+def _dict_group_agg_partition(path: str, key_col: str, value_col: str,
+                              sums: dict, mins: dict, maxs: dict,
+                              counts: dict) -> None:
+    from ..codecs.str_codecs import decode_codes
+    from ..column import StringColumnDecoder
+
+    header, base = read_header(path)
+    cm = header["columns"][key_col]
+    if cm["kind"] != "str":
+        raise TypeError("dict_group_aggregate groups on string columns")
+    if any(ch.get("nulls") for ch in cm["chunks"]):
+        raise NotImplementedError("null-bearing group keys: decode instead")
+    vcm = header["columns"][value_col]
+    if any(ch.get("nulls") for ch in vcm["chunks"]):
+        raise NotImplementedError("null-bearing aggregate values: decode instead")
+    vdec = make_column_decoder(vcm)
+    sdec = StringColumnDecoder(cm["tag"])
+    with open(path, "rb") as f:
+        for ci, ch in enumerate(cm["chunks"]):
+            f.seek(base + ch["off"])
+            payload = read_exact(f, ch["nb"], key_col)
+            vch = vcm["chunks"][ci]
+            f.seek(base + vch["off"])
+            vals_arr = vdec.decode(vch, read_exact(f, vch["nb"], value_col))
+            vals = vals_arr.to_numpy(zero_copy_only=False).astype(np.float64)
+            if ch["mode"] == "plain":
+                sdec.advance_dict(ch, payload)
+                from ..codecs.str_codecs import decode_str_values
+                from ..streams import str_stream_to_arrow
+
+                lengths, data = decode_str_values(ch["codec"], payload, ch["meta"])
+                keys_arr = str_stream_to_arrow(lengths, data, "str")
+                # plain chunk: local dictionary-encode then bincount
+                d = pc.dictionary_encode(keys_arr)
+                codes = d.indices.to_numpy(zero_copy_only=False)
+                pool = d.dictionary.to_pylist()
+            else:
+                sdec.advance_dict(ch, payload)
+                codes = decode_codes(ch["ccodec"], payload[ch["vlen"]:], ch["cmeta"])
+                u_offsets = np.empty(len(sdec.u_lengths) + 1, dtype=np.int64)
+                u_offsets[0] = 0
+                np.cumsum(sdec.u_lengths, out=u_offsets[1:])
+                pool = None  # resolved lazily below for touched codes only
+            minlength = (len(pool) if pool is not None else ch["d_total"])
+            s = np.bincount(codes, weights=vals, minlength=minlength)
+            n = np.bincount(codes, minlength=minlength)
+            nz = np.flatnonzero(n)
+            order = np.argsort(codes, kind="stable")
+            cs = codes[order]
+            vs = vals[order]
+            bounds = np.searchsorted(cs, nz)
+            bounds = np.append(bounds, len(cs))
+            for j, code in enumerate(nz.tolist()):
+                if pool is not None:
+                    key = pool[code]
+                else:
+                    key = sdec.u_data[u_offsets[code]: u_offsets[code + 1]].decode("utf-8")
+                seg = vs[bounds[j]: bounds[j + 1]]
+                sums[key] = sums.get(key, 0.0) + float(s[code])
+                mins[key] = min(mins.get(key, float(seg.min())), float(seg.min()))
+                maxs[key] = max(maxs.get(key, float(seg.max())), float(seg.max()))
+                counts[key] = counts.get(key, 0) + int(n[code])
+
+
 def topk(out_dir: str, col: str, k: int, descending: bool = True) -> pa.Table:
     """Top-k values of a column: per-partition partial top-k tasks,
     tiny driver merge of #partitions x k values. The reference lists

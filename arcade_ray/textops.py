@@ -239,6 +239,49 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         out, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")])))
 
 
+def near_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+               n_perm: int = 64, bands: int = 16,
+               jaccard_threshold: float = 0.7, shingle_k: int = 5):
+    """Remove near-duplicates: MinHash-LSH pairs -> union-find
+    clusters -> keep the min id per cluster; everything else is
+    dropped. The loser set (duplicates) is small by assumption and is
+    anti-joined map-side, so survivors (with text) stream straight
+    from the source — the same no-text-through-the-shuffle shape as
+    exact_dedup."""
+    from .collect import collect_arrow
+
+    pairs = collect_arrow(minhash_lsh_pairs(
+        ds, text_col, id_col, n_perm, bands, jaccard_threshold, shingle_k))
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id -> the cluster root IS the survivor
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    losers = [x for x in parent if find(x) != x]
+    lose_arr = pa.array(losers, type=pa.int64())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if not len(lose_arr):
+            return batch
+        mask = pc.invert(
+            pc.is_in(batch[id_col], value_set=lose_arr.cast(batch[id_col].type)))
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 # --- SimHash ----------------------------------------------------------------
 
 

@@ -129,3 +129,18 @@ def test_filter_partition_zone_skip_counts(encoded):
     out_dir, _ = encoded
     ds = equi_filter(out_dir, "doc_id", "aaa", project=["doc_id"])
     assert collect(ds).num_rows == 0
+
+
+def test_dict_group_aggregate(encoded):
+    from arcade_ray.pipeline.query import dict_group_aggregate
+
+    out_dir, table = encoded
+    got = dict_group_aggregate(out_dir, "source", "n_tok")
+    df = table.select(["source", "n_tok"]).to_pandas()
+    exp = df.groupby("source")["n_tok"].agg(["sum", "min", "max", "count"])
+    for i, src in enumerate(got["source"].to_pylist()):
+        assert got["sum_v"][i].as_py() == exp.loc[src, "sum"]
+        assert got["min_v"][i].as_py() == exp.loc[src, "min"]
+        assert got["max_v"][i].as_py() == exp.loc[src, "max"]
+        assert got["n_rows"][i].as_py() == exp.loc[src, "count"]
+    assert got.num_rows == exp.shape[0]

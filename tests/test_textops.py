@@ -205,3 +205,15 @@ def test_dedup_loser_ids(docs_ds):
     losers = dedup_loser_ids(docs_ds)
     # ids 1,2 are exact copies of id 0 — and nothing else is dropped
     assert sorted(losers["doc_id"].to_pylist()) == [1, 2]
+
+
+def test_near_dedup_removes_planted_cluster(docs_ds):
+    """ids 0,1,2 are exact copies and 3,4 near-dups: near_dedup keeps
+    the min id of each cluster and drops the rest."""
+    from arcade_ray.textops import near_dedup
+
+    out = near_dedup(docs_ds, jaccard_threshold=0.6).to_pandas()
+    ids = set(out["doc_id"])
+    assert 0 in ids and 3 in ids
+    assert {1, 2, 4}.isdisjoint(ids)
+    assert len(out) == make_docs_table().num_rows - 3
