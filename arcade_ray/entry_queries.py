@@ -283,6 +283,20 @@ def q_join_orders_customer(sf_dir: str) -> pa.Table:
     return _collect(out)
 
 
+def q_join_lineitem_orders(sf_dir: str) -> pa.Table:
+    """Hash-shuffle join over two encoded tables when BOTH sides are
+    large (Ray Data hash-partitioned join over the decoded scans)."""
+    from .pipeline.join import shuffle_join
+
+    li = encoded_dir(sf_dir, "lineitem")
+    od = encoded_dir(sf_dir, "orders")
+    return _collect(shuffle_join(
+        li, od, left_key="l_orderkey", right_key="o_orderkey",
+        left_cols=["l_orderkey", "l_quantity"],
+        right_cols=["o_orderpriority"],
+    ))
+
+
 def q_compound_filter(sf_dir: str) -> pa.Table:
     """AND of an equality and a range predicate over encoded data
     (composes the zone maps the reference's single-filter limit never
@@ -328,6 +342,51 @@ def q_ann_lsh_recall(sf_dir: str) -> pa.Table:
         a = set(approx.filter(pc.equal(approx["query_id"], q))["vec_id"].to_pylist())
         rows_q.append(q)
         rows_ok.append(len(e & a) / max(1, len(e)) >= 0.8)
+    return pa.table({"query_id": pa.array(rows_q, type=pa.int64()),
+                     "recall_ok": pa.array(rows_ok, type=pa.bool_())})
+
+
+def q_ann_topk_ivf(sf_dir: str) -> pa.Table:
+    """IVF (coarse-quantizer) approximate top-k (rows-only; recall
+    measured in tests and by ann_ivf_recall)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .ann import ivf_topk_cosine
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qtab = pq.read_table(path, filters=[("vec_id", "in", ANN_QUERY_IDS)])
+    qmat = np.array([r for r in qtab["embedding"].to_pylist()], dtype=np.float64)
+    qids = qtab["vec_id"].to_pylist()
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    return ivf_topk_cosine(ds, qids, qmat, k=ANN_K, n_centroids=32,
+                           n_probe=16, sample_size=4000)
+
+
+def q_ann_ivf_recall(sf_dir: str) -> pa.Table:
+    """Driver-checkable IVF contract: recall vs the exact top-k,
+    computed in-query; recall_ok = recall >= 0.6 (gaussian test
+    corpora have near-orthogonal neighbors, so the bar is laxer than
+    the LSH multi-probe one). The oracle asserts all-true."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .ann import ivf_topk_cosine, topk_cosine
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qtab = pq.read_table(path, filters=[("vec_id", "in", ANN_QUERY_IDS)])
+    qmat = np.array([r for r in qtab["embedding"].to_pylist()], dtype=np.float64)
+    qids = qtab["vec_id"].to_pylist()
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    exact = topk_cosine(ds, qids, qmat, k=ANN_K)
+    approx = ivf_topk_cosine(ds, qids, qmat, k=ANN_K, n_centroids=32,
+                             n_probe=16, sample_size=4000)
+    rows_q, rows_ok = [], []
+    for q in sorted(qids):
+        e = set(exact.filter(pc.equal(exact["query_id"], q))["vec_id"].to_pylist())
+        a = set(approx.filter(pc.equal(approx["query_id"], q))["vec_id"].to_pylist())
+        rows_q.append(q)
+        rows_ok.append(len(e & a) / max(1, len(e)) >= 0.6)
     return pa.table({"query_id": pa.array(rows_q, type=pa.int64()),
                      "recall_ok": pa.array(rows_ok, type=pa.bool_())})
 
@@ -517,9 +576,12 @@ QUERIES = {
     "sample": q_sample,
     "compression_metrics": q_compression_metrics,
     "join_orders_customer": q_join_orders_customer,
+    "join_lineitem_orders": q_join_lineitem_orders,
     "compound_filter": q_compound_filter,
     "expr_filter": q_expr_filter,
     "ann_lsh_recall": q_ann_lsh_recall,
+    "ann_topk_ivf": q_ann_topk_ivf,
+    "ann_ivf_recall": q_ann_ivf_recall,
     "exact_dedup": q_exact_dedup,
     "token_count": q_token_count,
     "fingerprint": q_fingerprint,
@@ -574,12 +636,20 @@ ORACLE_SQL = {
         "SELECT o_orderkey, o_custkey, c_mktsegment FROM orders "
         "JOIN customer ON o_custkey = c_custkey"
     ),
+    "join_lineitem_orders": (
+        "SELECT l_orderkey, l_quantity, o_orderpriority FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey"
+    ),
     "compound_filter": (
         "SELECT doc_id, lang, n_chars FROM documents "
         "WHERE lang = 'en' AND n_chars BETWEEN 100 AND 200"
     ),
     "expr_filter": "SELECT doc_id, n_chars FROM documents WHERE n_chars > 450",
     "ann_lsh_recall": (
+        "SELECT vec_id AS query_id, CAST(1 AS BOOLEAN) AS recall_ok "
+        "FROM embeddings WHERE vec_id IN (0,1,2,3,4)"
+    ),
+    "ann_ivf_recall": (
         "SELECT vec_id AS query_id, CAST(1 AS BOOLEAN) AS recall_ok "
         "FROM embeddings WHERE vec_id IN (0,1,2,3,4)"
     ),

@@ -34,6 +34,35 @@ from .encode import load_manifest
 DEFAULT_MAX_BUILD_ROWS = 50_000_000  # ~hundreds of MB of keys; guardrail
 
 
+def shuffle_join(left_dir: str, right_dir: str, left_key: str,
+                 right_key: str, left_cols: list[str],
+                 right_cols: list[str], join_type: str = "inner",
+                 num_partitions: int | None = None):
+    """Hash-shuffle join of two ENCODED datasets when BOTH sides are
+    large: each side's decoded scan streams into Ray Data's
+    hash-partitioned join (both sides shuffled by key hash, joined
+    partition-wise). Use :func:`broadcast_join` when one side fits a
+    worker heap — it avoids the shuffle entirely.
+
+    Returns a streaming Dataset with columns left_cols + right_cols."""
+    import ray
+
+    from .query import scan
+
+    left_need = list(dict.fromkeys(left_cols + [left_key]))
+    right_need = list(dict.fromkeys(right_cols + [right_key]))
+    lds = scan(left_dir, columns=left_need)
+    rds = scan(right_dir, columns=right_need)
+    if num_partitions is None:
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    out = lds.join(
+        rds, join_type=join_type, num_partitions=num_partitions,
+        on=(left_key,), right_on=(right_key,),
+    )
+    keep = list(dict.fromkeys(left_cols + right_cols))
+    return out.map_batches(lambda b: b.select(keep), batch_format="pyarrow")
+
+
 def _decode_all(out_dir: str, columns: list[str]) -> pa.Table:
     """Decode a (small) encoded dataset to one driver-side table via
     parallel per-partition tasks."""

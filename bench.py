@@ -109,20 +109,23 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     raw_bytes = sum(manifest["raw_bytes"].to_pylist())
     queries["encode_corpus"] = round(t_encode, 3)
 
-    # decode round trip (streaming consume)
-    t0 = time.perf_counter()
-    n = decode_dataset(enc_dir).count()
-    queries["decode_corpus"] = round(time.perf_counter() - t0, 3)
-    assert n == CORPUS_ROWS, (n, CORPUS_ROWS)
+    flt = None
+    if not os.environ.get("ARCADE_BENCH_HEADLINE_ONLY"):
+        # decode round trip (streaming consume)
+        t0 = time.perf_counter()
+        n = decode_dataset(enc_dir).count()
+        queries["decode_corpus"] = round(time.perf_counter() - t0, 3)
+        assert n == CORPUS_ROWS, (n, CORPUS_ROWS)
 
-    # equi-filter on encoded corpus (code-domain compare + zone maps)
-    t0 = time.perf_counter()
-    flt = equi_filter(enc_dir, "source", "src-003",
-                      project=["source", "doc_id", "n_tok"]).count()
-    queries["equi_filter_encoded"] = round(time.perf_counter() - t0, 3)
+        # equi-filter on encoded corpus (code-domain compare + zone maps)
+        t0 = time.perf_counter()
+        flt = equi_filter(enc_dir, "source", "src-003",
+                          project=["source", "doc_id", "n_tok"]).count()
+        queries["equi_filter_encoded"] = round(time.perf_counter() - t0, 3)
 
-    # operator surface over $GRAFT_SF_DIR tables
-    if os.path.isdir(sf_dir):
+    # operator surface over $GRAFT_SF_DIR tables (skipped in --scaling
+    # children: the scaling criterion measures the headline pipeline)
+    if os.path.isdir(sf_dir) and not os.environ.get("ARCADE_BENCH_HEADLINE_ONLY"):
         from ray.data.aggregate import Count, Sum
 
         t0 = time.perf_counter()
@@ -200,7 +203,8 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
 
 
 def run_child(ncpu: int) -> dict:
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+               ARCADE_BENCH_HEADLINE_ONLY="1")
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__)], env=env,
         capture_output=True, text=True, check=True, cwd=os.path.dirname(os.path.abspath(__file__)),

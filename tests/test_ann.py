@@ -85,3 +85,34 @@ def test_lsh_recall(emb):
     for q in qids:
         a = approx.filter(pa.compute.equal(approx["query_id"], q))["vec_id"].to_pylist()
         assert q in a
+
+
+def test_ivf_recall(emb):
+    from arcade_ray.ann import ivf_topk_cosine
+
+    ds, mat = emb
+    qids = [0, 7, 250]
+    exact = topk_cosine(ds, qids, mat[qids], k=10)
+    approx = ivf_topk_cosine(ds, qids, mat[qids], k=10, n_centroids=16,
+                             n_probe=8, sample_size=N)
+    recalls = []
+    for q in qids:
+        e = set(exact.filter(pa.compute.equal(exact["query_id"], q))["vec_id"].to_pylist())
+        a = set(approx.filter(pa.compute.equal(approx["query_id"], q))["vec_id"].to_pylist())
+        recalls.append(len(e & a) / len(e))
+    # probing half the codebook: strong recall expected even on
+    # near-orthogonal gaussian corpora
+    assert min(recalls) >= 0.5 and sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+def test_kmeans_lite_clusters():
+    from arcade_ray.ann import _kmeans_lite, _normalize
+
+    rng = np.random.default_rng(5)
+    base = _normalize(rng.standard_normal((4, 16)))
+    pts = np.concatenate([
+        _normalize(b + 0.05 * rng.standard_normal((50, 16))) for b in base])
+    cents = _kmeans_lite(pts, 4, seed=1)
+    # every point close to some centroid
+    sims = (pts @ cents.T).max(axis=1)
+    assert sims.min() > 0.9
