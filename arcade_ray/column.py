@@ -271,15 +271,23 @@ class StringColumnDecoder:
             self.u_lengths = np.concatenate([self.u_lengths, dl])
             self.u_data = self.u_data + dd
 
-    def decode_chunk(self, desc: dict, payload: bytes) -> pa.Array:
+    def decode_chunk(self, desc: dict, payload: bytes,
+                     sel: np.ndarray | None = None) -> pa.Array:
+        """``sel``: optional ascending in-chunk row indices — only
+        those rows materialize (dictionary chunks gather exactly the
+        selected codes; the reference's partial materialization,
+        src/process.cpp:4-180, done vectorized)."""
         n = desc["n"]
         if desc["mode"] == "plain":
             self.u_lengths, self.u_data = None, b""
             lengths, data = decode_str_values(desc["codec"], payload, desc["meta"])
-            return str_stream_to_arrow(lengths, data, self.tag)
+            arr = str_stream_to_arrow(lengths, data, self.tag)
+            return arr.take(pa.array(sel, type=pa.int64())) if sel is not None else arr
         vlen = desc["vlen"]
         self.advance_dict(desc, payload)
         codes = decode_codes(desc["ccodec"], payload[vlen:], desc["cmeta"])
+        if sel is not None:
+            codes = codes[sel]
         u_offsets = np.empty(len(self.u_lengths) + 1, dtype=np.int64)
         u_offsets[0] = 0
         np.cumsum(self.u_lengths, out=u_offsets[1:])
@@ -437,19 +445,28 @@ class ColumnDecoder:
         if self.kind == "str":
             self._str.advance_dict(desc, dict_payload)
 
-    def decode(self, desc: dict, payload: bytes) -> pa.Array:
+    def decode(self, desc: dict, payload: bytes,
+               sel: "np.ndarray | None" = None) -> pa.Array:
+        """``sel``: ascending in-chunk row indices to materialize
+        (None = all rows). Null-bearing chunks decode fully then take
+        (validity bitmaps don't subset cheaply); dictionary string
+        chunks gather only the selected codes."""
         vb = desc.get("vb", 0)
         validity = payload[-vb:] if vb else b""
         if vb:
             payload = payload[:-vb]
-        arr = self._decode_nonnull(desc, payload)
-        if not vb:
-            return arr
-        return _apply_validity(arr, validity, desc["nulls"])
+            arr = self._decode_nonnull(desc, payload)
+            arr = _apply_validity(arr, validity, desc["nulls"])
+            return arr.take(pa.array(sel, type=pa.int64())) if sel is not None else arr
+        return self._decode_nonnull(desc, payload, sel)
 
-    def _decode_nonnull(self, desc: dict, payload: bytes) -> pa.Array:
+    def _decode_nonnull(self, desc: dict, payload: bytes,
+                        sel: "np.ndarray | None" = None) -> pa.Array:
         if self.kind == "str":
-            return self._str.decode_chunk(desc, payload)
+            return self._str.decode_chunk(desc, payload, sel)
+        if sel is not None:
+            arr = self._decode_nonnull(desc, payload)
+            return arr.take(pa.array(sel, type=pa.int64()))
         if self.kind == "list":
             vlen = desc["vlen"]
             lengths = decode_int_chunk(desc["lengths"], payload[:vlen])

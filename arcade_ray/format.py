@@ -209,14 +209,17 @@ def read_exact(f, n: int, what: str = "chunk") -> bytes:
 
 
 def decode_partition(path: str, columns: list[str] | None = None,
-                     chunk_mask: list[bool] | None = None) -> pa.Table:
+                     chunk_mask: list[bool] | None = None,
+                     row_sel: list | None = None) -> pa.Table:
     """Decode a partition file back to an Arrow table.
 
     ``columns`` prunes decode to the projection (reference retcols,
     src/reader.cpp:151); ``chunk_mask`` skips chunks (zone-map pruning)
     — shared-dict columns still consume the *dict segments* of skipped
     chunks (cheap, range-read only), mirroring the reference's lazy
-    previndex dict walk (src/process.cpp:88-131)."""
+    previndex dict walk (src/process.cpp:88-131). ``row_sel`` (per
+    chunk, ascending in-chunk indices or None) materializes only the
+    selected rows of kept chunks — the fused filter-projection gather."""
     header, base = read_header(path)
     want = columns or list(header["columns"].keys())
     arrays: dict[str, pa.Array] = {}
@@ -228,7 +231,9 @@ def decode_partition(path: str, columns: list[str] | None = None,
             for i, ch in enumerate(cm["chunks"]):
                 if chunk_mask is None or chunk_mask[i]:
                     f.seek(base + ch["off"])
-                    arr = dec.decode(ch, read_exact(f, ch["nb"], name))
+                    sel = None if row_sel is None else row_sel[i]
+                    arr = dec.decode(ch, read_exact(f, ch["nb"], name),
+                                     sel=sel)
                     parts.append(arr)
                 else:
                     lo, hi = dec.advance_range(ch)

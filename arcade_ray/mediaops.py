@@ -99,3 +99,163 @@ def extract_image_features(ds, concurrency: int | None = None,
         ImageFeatureExtractor, batch_format="pyarrow",
         batch_size=batch_size, concurrency=concurrency,
     )
+
+
+# --- audio ------------------------------------------------------------------
+
+FAKE_AUDIO_MAGIC = b"FAKEPCM1"
+
+
+def make_fake_audio(n_samples: int, sample_rate: int, seed: int) -> bytes:
+    """Deterministic audio fixture: 8-byte magic, u32 sample_rate,
+    u32 n_samples, then n_samples of i16 little-endian 'PCM'."""
+    rng = np.random.default_rng(seed)
+    header = (FAKE_AUDIO_MAGIC
+              + int(sample_rate).to_bytes(4, "little")
+              + int(n_samples).to_bytes(4, "little"))
+    pcm = rng.integers(-32768, 32767, n_samples, dtype=np.int16)
+    return header + pcm.tobytes()
+
+
+def _decode_fake_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    if payload[:8] != FAKE_AUDIO_MAGIC:
+        raise ValueError("not a fake audio payload")
+    rate = int.from_bytes(payload[8:12], "little")
+    n = int.from_bytes(payload[12:16], "little")
+    pcm = np.frombuffer(payload, dtype=np.int16, count=n, offset=16)
+    return pcm.astype(np.float32) / 32768.0, rate
+
+
+class AudioFeatureExtractor:
+    """Actor-pool stage: decode -> frame -> per-frame energy + zero
+    crossings + spectral-band energies (numpy FFT — a real kernel over
+    the fake PCM). __init__ is the codec/model load point; strict=True
+    marks where soundfile/librosa would plug in."""
+
+    def __init__(self, n_frames: int = 16, n_bands: int = 8,
+                 strict: bool = False):
+        if strict:
+            raise NotImplementedError(
+                "real audio decode requires soundfile/librosa — not in "
+                "this container; swap _decode_fake_audio here"
+            )
+        self.n_frames = n_frames
+        self.n_bands = n_bands
+        self.decode = _decode_fake_audio
+
+    def _features(self, pcm: np.ndarray) -> np.ndarray:
+        f = self.n_frames
+        n = len(pcm)
+        if n < f:
+            pcm = np.pad(pcm, (0, f - n))
+            n = f
+        frames = pcm[: (n // f) * f].reshape(f, -1)
+        energy = np.sqrt((frames ** 2).mean(axis=1))
+        zc = (np.diff(np.signbit(frames), axis=1) != 0).mean(axis=1)
+        spec = np.abs(np.fft.rfft(frames, axis=1))
+        # pool the spectrum into n_bands log-ish band energies
+        bands = np.array_split(spec, self.n_bands, axis=1)
+        band_e = np.stack([b.mean(axis=1) for b in bands], axis=1)  # (f, n_bands)
+        return np.concatenate([energy, zc, band_e.mean(axis=0)])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, rates, ok = [], [], []
+        dim = 2 * self.n_frames + self.n_bands
+        for payload in batch["audio"]:
+            try:
+                pcm, rate = self.decode(payload.as_py())
+                feats.append(self._features(pcm).astype(np.float32).tolist())
+                rates.append(rate)
+                ok.append(True)
+            except Exception:
+                feats.append([0.0] * dim)
+                rates.append(0)
+                ok.append(False)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "feature": pa.array(feats, type=pa.list_(pa.float32())),
+            "sample_rate": pa.array(rates, type=pa.int32()),
+            "decoded": pa.array(ok, type=pa.bool_()),
+        })
+
+
+def extract_audio_features(ds, concurrency: int | None = None,
+                           batch_size: int = 64):
+    if concurrency is None:
+        import ray
+
+        avail = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = max(1, min(8, avail - 1))
+    return ds.map_batches(
+        AudioFeatureExtractor, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency,
+    )
+
+
+# --- video ------------------------------------------------------------------
+
+FAKE_VIDEO_MAGIC = b"FAKEVID1"
+
+
+def make_fake_video(width: int, height: int, n_frames: int,
+                    seed: int) -> bytes:
+    """Deterministic video fixture: 8-byte magic, u16 w/h, u16
+    n_frames, then n_frames fake images back to back."""
+    header = (FAKE_VIDEO_MAGIC + int(width).to_bytes(2, "little")
+              + int(height).to_bytes(2, "little")
+              + int(n_frames).to_bytes(2, "little"))
+    frames = b"".join(make_fake_image(width, height, seed + i)
+                      for i in range(n_frames))
+    return header + frames
+
+
+def sample_video_frames(payload: bytes, every: int = 4) -> list[bytes]:
+    """Frame sampling: return every ``every``-th frame as a standalone
+    fake-image payload (the decode-container step a real pipeline does
+    with pyav/ffmpeg)."""
+    if payload[:8] != FAKE_VIDEO_MAGIC:
+        raise ValueError("not a fake video payload")
+    w = int.from_bytes(payload[8:10], "little")
+    h = int.from_bytes(payload[10:12], "little")
+    n = int.from_bytes(payload[12:14], "little")
+    frame_nb = 12 + w * h  # fake-image header + pixels
+    out = []
+    base = 14
+    for i in range(0, n, every):
+        off = base + i * frame_nb
+        out.append(payload[off: off + frame_nb])
+    return out
+
+
+def sample_frames(ds, every: int = 4, concurrency: int | None = None,
+                  batch_size: int = 16):
+    """Video -> sampled frame rows (one row per kept frame, fake-image
+    payloads ready for ImageFeatureExtractor). flat_map-shaped:
+    map_batches emits more rows than it consumes. VERY small
+    batch_size: video payloads are the largest objects in the
+    pipeline."""
+
+    def run(batch: pa.Table) -> pa.Table:
+        ids, frame_idx, frames = [], [], []
+        for mid, payload in zip(batch["media_id"], batch["video"]):
+            try:
+                fr = sample_video_frames(payload.as_py(), every)
+            except ValueError:
+                continue
+            for j, f in enumerate(fr):
+                ids.append(mid.as_py())
+                frame_idx.append(j * every)
+                frames.append(f)
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "frame_idx": pa.array(frame_idx, type=pa.int32()),
+            "image": pa.array(frames, type=pa.binary()),
+        })
+
+    if concurrency is None:
+        import ray
+
+        avail = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = max(1, min(8, avail - 1))
+    return ds.map_batches(run, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)

@@ -168,24 +168,17 @@ def _project_matches(path: str, header: dict, match_idx: list,
     touched = [m is not None and len(m) > 0 for m in match_idx]
     if not any(touched):
         return _empty_projection(header, project, "")
-    # decode projected companion columns only for touched chunks, then
-    # take matching rows (reference get_column_value materialization,
-    # src/process.cpp:4-180 — ours is a vectorized Arrow take)
+    # fused filter-projection gather: only touched chunks decode, and
+    # within them only the matching rows materialize (reference
+    # get_column_value, src/process.cpp:4-180 — vectorized)
     other = [c for c in project if c not in backfill]
-    take_pos = []
-    offset = 0
-    for i in range(len(match_idx)):
-        if touched[i]:
-            take_pos.append(match_idx[i] + offset)
-            offset += _chunk_rows(header, i)
-    take = np.concatenate(take_pos)
+    n_match = int(sum(len(m) for m in match_idx if m is not None))
     cols: dict[str, pa.Array] = {}
     if other:
-        sub = decode_partition(path, columns=other, chunk_mask=touched)
-        sub = sub.take(pa.array(take, type=pa.int64()))
+        sub = decode_partition(path, columns=other, chunk_mask=touched,
+                               row_sel=match_idx)
         for name in other:
             cols[name] = sub[name].combine_chunks()
-    n_match = len(take)
     for col, literal in backfill.items():
         if col in project:
             cm = header["columns"][col]
@@ -789,5 +782,18 @@ def _lookup_partition(path: str, id_col: str, value_arr: pa.Array,
     want = columns or list(header["columns"])
     if not len(idx):
         return _empty_projection(header, want, "")
-    full = decode_partition(path, columns=want, chunk_mask=mask)
-    return full.take(pa.array(idx, type=pa.int64()))
+    # map kept-chunk-space hit positions back to per-chunk selections
+    # so the projection decodes only the hit rows (fused gather)
+    kept = np.flatnonzero(mask)
+    kept_rows = [header["chunk_rows"][i][1] for i in kept]
+    offs = np.concatenate([[0], np.cumsum(kept_rows)])
+    row_sel: list = [None] * len(chunks)
+    keep_mask = list(mask)
+    for j, ci in enumerate(kept.tolist()):
+        local = idx[(idx >= offs[j]) & (idx < offs[j + 1])] - offs[j]
+        if len(local):
+            row_sel[ci] = local
+        else:
+            keep_mask[ci] = False  # no hits: skip the chunk entirely
+    return decode_partition(path, columns=want, chunk_mask=keep_mask,
+                            row_sel=row_sel)

@@ -53,3 +53,53 @@ def test_pipeline(ray_session):
     a = out.sort_values("media_id").reset_index(drop=True)
     b = out2.sort_values("media_id").reset_index(drop=True)
     assert (a["mean_intensity"] == b["mean_intensity"]).all()
+
+
+def test_audio_extractor_unit():
+    from arcade_ray.mediaops import AudioFeatureExtractor, make_fake_audio
+
+    n = 6
+    tab = pa.table({
+        "media_id": pa.array(np.arange(n), type=pa.int64()),
+        "audio": pa.array(
+            [make_fake_audio(4000 + 100 * i, 16000, seed=i) for i in range(n - 1)]
+            + [b"junk"], type=pa.binary()),
+    })
+    ex = AudioFeatureExtractor(n_frames=8, n_bands=4)
+    out = ex(tab)
+    assert len(out["feature"][0].as_py()) == 2 * 8 + 4
+    assert out["decoded"].to_pylist() == [True] * (n - 1) + [False]
+    assert out["sample_rate"].to_pylist()[0] == 16000
+
+
+def test_audio_strict_marks_integration_point():
+    from arcade_ray.mediaops import AudioFeatureExtractor
+
+    with pytest.raises(NotImplementedError):
+        AudioFeatureExtractor(strict=True)
+
+
+def test_video_frame_sampling_to_image_features(ray_session):
+    """Video container -> sampled frames -> image features: the full
+    multimodal chain through actor pools."""
+    import ray.data as rd
+
+    from arcade_ray.mediaops import (
+        extract_image_features,
+        make_fake_video,
+        sample_frames,
+    )
+
+    n = 6
+    tab = pa.table({
+        "media_id": pa.array(np.arange(n), type=pa.int64()),
+        "video": pa.array(
+            [make_fake_video(16, 12, n_frames=8, seed=i * 10) for i in range(n)],
+            type=pa.binary()),
+    })
+    ds = rd.from_arrow(tab)
+    frames = sample_frames(ds, every=4, concurrency=2)
+    feats = extract_image_features(frames, concurrency=2)
+    out = feats.to_pandas()
+    assert len(out) == n * 2  # frames 0 and 4 kept per video
+    assert out["decoded"].all()
