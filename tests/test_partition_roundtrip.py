@@ -133,3 +133,53 @@ def test_all_supported_type_tags(tmp_path):
         "f32": pa.array(np.arange(100, dtype=np.float32) / 7, type=pa.float32()),
     })
     roundtrip(t, tmp_path, key="tags")
+
+
+def test_row_selective_decode_matches_full_take():
+    """decode(sel=idx) must equal full decode + take for every column
+    kind (str dict/plain, ints, floats, lists, nulls)."""
+    import numpy as np
+
+    from arcade_ray.corpus import generate_corpus
+    from arcade_ray.format import decode_partition, encode_partition
+    import arcade_ray.format as fmt
+
+    table = generate_corpus(3000, 5, seed=31)
+    # add a null-bearing column; force many small chunks
+    import pyarrow as pa
+
+    mask = np.arange(3000) % 11 == 0
+    vals = np.arange(3000, dtype=np.int64)
+    nullable = pa.array([None if m else int(v) for m, v in zip(mask, vals)],
+                        type=pa.int64())
+    table = table.append_column("nullable", nullable)
+    orig = fmt.chunk_boundaries
+    fmt.chunk_boundaries = (
+        lambda t, rows_per_chunk=500, values_per_chunk=fmt.DEFAULT_VALUES_PER_CHUNK:
+        orig(t, 500, values_per_chunk))
+    try:
+        blob, _ = encode_partition(table, "p0")
+    finally:
+        fmt.chunk_boundaries = orig
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".arcr", delete=False) as f:
+        f.write(blob)
+        path = f.name
+    header, _ = fmt.read_header(path)
+    n_chunks = len(header["chunk_rows"])
+    rng = np.random.default_rng(7)
+    row_sel = []
+    for _, nrows in header["chunk_rows"]:
+        k = max(1, nrows // 7)
+        row_sel.append(np.sort(rng.choice(nrows, size=k, replace=False)))
+    full = decode_partition(path)
+    sel_tab = decode_partition(path, row_sel=row_sel)
+    offs = np.concatenate([[0], np.cumsum([r for _, r in header["chunk_rows"]])])
+    take = np.concatenate([s + offs[i] for i, s in enumerate(row_sel)])
+    import pyarrow as pa
+
+    expect = full.take(pa.array(take, type=pa.int64()))  # noqa
+    for name in full.column_names:
+        assert sel_tab[name].combine_chunks().equals(
+            expect[name].combine_chunks()), name
