@@ -228,6 +228,81 @@ def q_window_agg(sf_dir: str) -> pa.Table:
                           "sum_value", sv)
 
 
+def q_json_extract_agg(sf_dir: str) -> pa.Table:
+    """Scalar-function family: vectorized JSON field extraction
+    (pc.extract_regex on the props column — no per-row json.loads)
+    feeding a grouped aggregate."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"], r'"k":\s*(?P<k>\d+)')
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        return pa.table({"event_type": batch["event_type"], "k": k})
+
+    out = _collect(
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("k", alias_name="sum_k"))
+    )
+    return out
+
+
+def q_sliding_window_agg(sf_dir: str) -> pa.Table:
+    """Sliding (hopping) windows: width 1 h, hop 30 min — each event
+    lands in exactly two windows (flat-map assignment in map_batches,
+    then one grouped aggregate)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts", "value"])
+    hop = pa.scalar(1_800_000_000, type=pa.duration("us"))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        w0 = pc.floor_temporal(batch["ts"], multiple=30, unit="minute")
+        w1 = pc.subtract(w0, hop)
+        base = batch.drop_columns(["ts"])
+        return pa.concat_tables([
+            base.append_column("w", w0),
+            base.append_column("w", w1),
+        ])
+
+    out = _collect(
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby(["event_type", "w"])
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("value", alias_name="sum_value"))
+    )
+    sv = pc.round(out["sum_value"], 3)
+    return out.set_column(out.schema.get_field_index("sum_value"),
+                          "sum_value", sv)
+
+
+def q_distinct_sketch_sources(sf_dir: str) -> pa.Table:
+    """Distinct count from the manifest's mergeable KMV sketches alone
+    — no data scan, no shuffle (the reference's bloom-overlap intent,
+    live). Exact below the sketch size k, so oracle-comparable here."""
+    import json as _json
+
+    from .pipeline.encode import load_manifest
+    from .sketches import deserialize, kmv_estimate, kmv_merge
+
+    out = encoded_dir(sf_dir, "documents")
+    merged = None
+    for s in load_manifest(out)["col_stats"].to_pylist():
+        sk = _json.loads(s).get("source", {}).get("kmv")
+        if sk is None:
+            continue
+        arr = deserialize(sk)
+        merged = arr if merged is None else kmv_merge(merged, arr, k=64)
+    est = kmv_estimate(merged, k=64) if merged is not None else 0
+    return pa.table({"n_distinct": pa.array([est], type=pa.int64())})
+
+
 def q_topk(sf_dir: str) -> pa.Table:
     from .pipeline.query import topk
 
@@ -571,6 +646,9 @@ QUERIES = {
     "group_agg_encoded": q_group_agg_encoded,
     "near_dedup": q_near_dedup,
     "window_agg": q_window_agg,
+    "sliding_window_agg": q_sliding_window_agg,
+    "json_extract_agg": q_json_extract_agg,
+    "distinct_sketch_sources": q_distinct_sketch_sources,
     "session_windows": q_session_windows,
     "topk": q_topk,
     "sample": q_sample,
@@ -623,6 +701,21 @@ ORACLE_SQL = {
     "window_agg": ("SELECT event_type, date_trunc('hour', ts) AS w, "
                    "COUNT(*) AS n_events, round(SUM(value), 3) AS sum_value "
                    "FROM events GROUP BY event_type, date_trunc('hour', ts)"),
+    "sliding_window_agg": (
+        "WITH e2 AS ("
+        "SELECT event_type, value, time_bucket(INTERVAL '30 minutes', ts) AS w FROM events "
+        "UNION ALL "
+        "SELECT event_type, value, time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS w FROM events) "
+        "SELECT event_type, w, COUNT(*) AS n_events, round(SUM(value), 3) AS sum_value "
+        "FROM e2 GROUP BY event_type, w"
+    ),
+    "json_extract_agg": (
+        "SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+        "AS sum_k FROM events GROUP BY event_type"
+    ),
+    "distinct_sketch_sources": (
+        "SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_distinct FROM documents"
+    ),
     "session_windows": (
         "WITH g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
         "OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS brk "
