@@ -30,11 +30,31 @@ _API = {
     "random_access": "arcade_ray.pipeline.query",
     "lookup": "arcade_ray.pipeline.query",
     "dict_value_counts": "arcade_ray.pipeline.query",
+    "dict_group_aggregate": "arcade_ray.pipeline.query",
+    "compound_filter": "arcade_ray.pipeline.query",
+    "topk": "arcade_ray.pipeline.query",
+    "sample_ids": "arcade_ray.pipeline.query",
+    "broadcast_join": "arcade_ray.pipeline.join",
+    "shuffle_join": "arcade_ray.pipeline.join",
     "compact": "arcade_ray.pipeline.compact",
     "verify_roundtrip": "arcade_ray.pipeline.verify",
     "encode_partition": "arcade_ray.format",
     "decode_partition": "arcade_ray.format",
     "generate_corpus": "arcade_ray.corpus",
+    # training-data pipeline operators
+    "exact_dedup": "arcade_ray.textops",
+    "near_dedup": "arcade_ray.textops",
+    "minhash_lsh_pairs": "arcade_ray.textops",
+    "simhash_pairs": "arcade_ray.textops",
+    "analyze_text": "arcade_ray.textops",
+    "winnow_table": "arcade_ray.textops",
+    "topk_cosine": "arcade_ray.ann",
+    "lsh_topk_cosine": "arcade_ray.ann",
+    "ivf_topk_cosine": "arcade_ray.ann",
+    "near_dup_pairs": "arcade_ray.ann",
+    "extract_image_features": "arcade_ray.mediaops",
+    "extract_audio_features": "arcade_ray.mediaops",
+    "sample_frames": "arcade_ray.mediaops",
 }
 
 

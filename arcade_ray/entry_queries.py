@@ -581,6 +581,27 @@ ANN_K = 10
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
 
+def q_vector_norms(sf_dir: str) -> pa.Table:
+    """Array-function family: per-row L2 norm of the embedding column,
+    vectorized (flatten -> square -> segment-sum via reshape; fixed
+    dim) — no per-row Python."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+
+    def norms(batch: pa.Table) -> pa.Table:
+        arr = batch["embedding"].combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(arr)
+        mat = flat.reshape(n, -1)
+        nrm = np.round(np.sqrt((mat * mat).sum(axis=1)), 4)
+        return pa.table({"vec_id": batch["vec_id"],
+                         "l2_norm": pa.array(nrm, type=pa.float64())})
+
+    return _collect(ds.map_batches(norms, batch_format="pyarrow"))
+
+
 def q_ann_topk(sf_dir: str) -> pa.Table:
     """Brute-force cosine top-k vs broadcast query matrix."""
     import pyarrow.parquet as pq
@@ -670,6 +691,7 @@ QUERIES = {
     "image_features": q_image_features,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
+    "vector_norms": q_vector_norms,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
     "embedding_near_dup": q_embedding_near_dup,
@@ -750,6 +772,10 @@ ORACLE_SQL = {
     "token_count": ("SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)"
                     " AS word_count FROM documents"),
     "fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+    "vector_norms": (
+        "SELECT vec_id, round(sqrt(list_sum(list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE) * x))), 4) AS l2_norm FROM embeddings"
+    ),
     "ann_topk": (
         "SELECT q.vec_id AS query_id, e.vec_id, "
         "round(list_cosine_similarity(e.embedding, q.embedding), 4) AS cos "
