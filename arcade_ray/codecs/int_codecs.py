@@ -107,6 +107,47 @@ def _for_dec(payload: bytes, meta: dict, n: int) -> np.ndarray:
     return _add(unpack_bits(payload, meta["w"], n), meta["ref"])
 
 
+# --- delta (FoR over successive diffs) --------------------------------------
+# Sorted/near-sorted streams (ids, timestamps) have tiny diffs even when
+# the absolute range is wide — FoR/bitpack can't see that. Classic
+# columnar delta encoding: first value + bit-packed (diff - dmin).
+
+def _delta_est(p: IntProfile, tag: str):
+    if p.n < 2 or p.dmin is None:
+        return None
+    return packed_nbytes(p.n - 1, bits_needed(p.dmax - p.dmin)) + 16
+
+
+def _delta_enc(vals: np.ndarray, p: IntProfile, tag: str):
+    if p.n < 2:  # degenerate: header-only payload
+        first = int(vals[0]) if p.n else 0
+        return b"", {"f": first, "ref": 0, "w": 0}
+    u = _u(vals)
+    d = u[1:] - u[:-1]  # uint64 wraparound diffs: exact mod 2^64
+    if p.dmin is None:
+        # extreme span (profile skipped diff stats): full-width diffs —
+        # never chosen by the cost model (est None) but must round-trip
+        # when invoked directly
+        return pack_bits(d, 64), {"f": int(vals[0]), "ref": 0, "w": 64}
+    w = bits_needed(p.dmax - p.dmin)
+    return pack_bits(d - np.uint64(p.dmin & _MASK), w), {
+        "f": int(vals[0]), "ref": p.dmin, "w": w,
+    }
+
+
+def _delta_dec(payload: bytes, meta: dict, n: int) -> np.ndarray:
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out.view(np.int64)
+    first = np.uint64(meta["f"] & _MASK)
+    out[0] = first
+    if n > 1:
+        d = unpack_bits(payload, meta["w"], n - 1) + np.uint64(meta["ref"] & _MASK)
+        np.cumsum(d, out=out[1:])  # uint64 wraparound: exact mod 2^64
+        out[1:] += first
+    return out.view(np.int64)
+
+
 # --- RLE --------------------------------------------------------------------
 
 def _rle_widths(p: IntProfile) -> tuple[int, int, int]:
@@ -227,6 +268,7 @@ INT_CODECS = {
     "plain": (_plain_est, _plain_enc, _plain_dec),
     "bitpack": (_bitpack_est, _bitpack_enc, _bitpack_dec),
     "for": (_for_est, _for_enc, _for_dec),
+    "delta": (_delta_est, _delta_enc, _delta_dec),
     "rle": (_rle_est, _rle_enc, _rle_dec),
     "dict": (_dict_est, _dict_enc, _dict_dec),
     "gp": (_gp_est, _gp_enc, _gp_dec),
@@ -246,7 +288,7 @@ def choose_int_codec(vals: np.ndarray, p: IntProfile, tag: str,
             best_name, best_est = name, est
     # speed tiebreak: non-byte-aligned bit-packing pays a heavy
     # pack/unpack cost — not worth it for < 5% size over plain
-    if best_name in ("bitpack", "for") and best_est > 0.95 * plain_est:
+    if best_name in ("bitpack", "for", "delta") and best_est > 0.95 * plain_est:
         best_name, best_est = "plain", plain_est
     if try_gp and p.n * _ITEMSIZE[tag] >= 4096:
         # sample-compress to estimate zstd on the plain bytes

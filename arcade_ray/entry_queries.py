@@ -22,7 +22,7 @@ from .pipeline import encode_dataset
 from .pipeline.query import equi_filter, lookup, scan
 
 CACHE_ROOT = os.environ.get("ARCADE_RAY_CACHE", "/tmp/arcade_ray_cache")
-_CACHE_SALT = f"v{FORMAT_VERSION}.5"
+_CACHE_SALT = f"v{FORMAT_VERSION}.6"
 
 # table -> (key_col, id_col, weight_col)
 TABLE_KEYS = {

@@ -25,6 +25,8 @@ class IntProfile:
     n_runs: int
     unique: np.ndarray          # sorted distinct values (int64)
     run_starts: np.ndarray      # indices where a new run begins (incl. 0)
+    dmin: int | None = None     # min/max of successive diffs (None when
+    dmax: int | None = None     # n < 2 or the span risks int64 overflow)
 
     @property
     def distinct_ratio(self) -> float:
@@ -47,6 +49,12 @@ def profile_int(vals: np.ndarray) -> IntProfile:
     change[0] = True
     np.not_equal(vals[1:], vals[:-1], out=change[1:])
     run_starts = np.flatnonzero(change)
+    dmin = dmax = None
+    if n >= 2 and span < (1 << 62):
+        # diff stats for the delta codec; skipped when the span could
+        # overflow int64 diffs (e.g. float64 bit patterns)
+        d = np.diff(vals)
+        dmin, dmax = int(d.min()), int(d.max())
     return IntProfile(
         n=n,
         vmin=vmin,
@@ -55,6 +63,8 @@ def profile_int(vals: np.ndarray) -> IntProfile:
         n_runs=len(run_starts),
         unique=unique,
         run_starts=run_starts,
+        dmin=dmin,
+        dmax=dmax,
     )
 
 

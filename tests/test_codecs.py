@@ -196,3 +196,43 @@ def test_fsst_binary_safe():
 def test_fsst_empty():
     tbl, enc = fsst.compress(b"")
     assert fsst.decompress(tbl, enc) == b""
+
+
+class TestDeltaCodec:
+    def test_sorted_ids_choose_delta(self):
+        import numpy as np
+
+        from arcade_ray.codecs.int_codecs import choose_int_codec, decode_int
+        from arcade_ray.profile import profile_int
+
+        vals = (10**10 + np.cumsum(
+            np.random.default_rng(1).integers(0, 4, 50_000))).astype(np.int64)
+        p = profile_int(vals)
+        codec, payload, meta = choose_int_codec(vals, p, "i64")
+        assert codec == "delta"
+        assert len(payload) < 0.05 * 8 * len(vals)  # 2-bit diffs vs 8 B plain
+        assert np.array_equal(decode_int(codec, payload, meta, len(vals)), vals)
+
+    def test_random_values_reject_delta(self):
+        import numpy as np
+
+        from arcade_ray.codecs.int_codecs import choose_int_codec
+        from arcade_ray.profile import profile_int
+
+        vals = np.random.default_rng(2).integers(0, 2**40, 10_000).astype(np.int64)
+        p = profile_int(vals)
+        codec, _, _ = choose_int_codec(vals, p, "i64")
+        assert codec != "delta"
+
+    def test_delta_extreme_span_roundtrip(self):
+        import numpy as np
+
+        from arcade_ray.codecs.int_codecs import INT_CODECS
+        from arcade_ray.profile import profile_int
+
+        vals = np.array([-(2**63), 2**63 - 1, 0, -1], dtype=np.int64)
+        p = profile_int(vals)
+        assert p.dmin is None  # span too wide for diff stats
+        _, enc, dec = INT_CODECS["delta"]
+        payload, meta = enc(vals, p, "i64")
+        assert np.array_equal(dec(payload, meta, len(vals)), vals)
