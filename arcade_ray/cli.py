@@ -178,6 +178,67 @@ def _codec_histogram(manifest) -> dict:
     return out
 
 
+def cmd_join(args) -> None:
+    from .collect import collect_arrow
+    from .pipeline.join import broadcast_join, shuffle_join
+
+    probe_key, build_key = args.on.split("=", 1)
+    probe_cols = _cols(args.probe_cols)
+    build_cols = _cols(args.build_cols)
+    t0 = time.perf_counter()
+    if args.shuffle:
+        ds = shuffle_join(args.probe_dir, args.build_dir, probe_key,
+                          build_key, probe_cols, build_cols,
+                          join_type=args.how)
+    else:
+        ds = broadcast_join(args.probe_dir, args.build_dir, probe_key,
+                            build_key, probe_cols, build_cols, how=args.how)
+    if args.out:
+        ds.write_parquet(args.out)
+        print(f"Joined -> {args.out} in {time.perf_counter() - t0:.2f} s")
+        return
+    out = collect_arrow(ds)
+    print(f"Returned {out.num_rows} rows in {time.perf_counter() - t0:.2f} s")
+    if args.show:
+        print(out.slice(0, args.show).to_pandas())
+
+
+def cmd_compound_filter(args) -> None:
+    from .collect import collect_arrow
+    from .pipeline.query import compound_filter
+
+    preds: list[tuple] = []
+    for spec in args.eq:
+        col, val = spec.split("=", 1)
+        preds.append(("eq", col, _coerce_literal(args.out_dir, col, val)))
+    for spec in args.between:
+        col, rng = spec.split("=", 1)
+        lo, hi = rng.split(",", 1)
+        preds.append(("between", col,
+                      _coerce_literal(args.out_dir, col, lo),
+                      _coerce_literal(args.out_dir, col, hi)))
+    if not preds:
+        sys.exit("error: pass at least one --eq or --between predicate")
+    t0 = time.perf_counter()
+    try:
+        out = collect_arrow(compound_filter(args.out_dir, preds,
+                                            project=_cols(args.project)))
+    except KeyError as e:
+        sys.exit(f"error: {e.args[0]}")
+    print(f"Returned {out.num_rows} rows in {time.perf_counter() - t0:.2f} s")
+    if args.show:
+        print(out.slice(0, args.show).to_pandas())
+
+
+def cmd_group_agg(args) -> None:
+    from .pipeline.query import dict_group_aggregate
+
+    t0 = time.perf_counter()
+    out = dict_group_aggregate(args.out_dir, args.key_col, args.value_col)
+    print(f"{out.num_rows} groups in {time.perf_counter() - t0:.2f} s")
+    print(out.to_pandas())
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="arcade_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -229,6 +290,38 @@ def main(argv=None) -> None:
     cp.add_argument("--cap", type=int, default=None,
                     help="target raw bytes per compacted partition")
     cp.set_defaults(fn=cmd_compact)
+
+    jn = sub.add_parser("join", help="broadcast hash join of two encoded dirs")
+    jn.add_argument("probe_dir")
+    jn.add_argument("build_dir")
+    jn.add_argument("--on", required=True,
+                    help="probe_key=build_key, e.g. o_custkey=c_custkey")
+    jn.add_argument("--probe-cols", required=True)
+    jn.add_argument("--build-cols", required=True)
+    jn.add_argument("--how", default="inner", choices=["inner", "left"])
+    jn.add_argument("--shuffle", action="store_true",
+                    help="hash-shuffle join (both sides large)")
+    jn.add_argument("--out")
+    jn.add_argument("--show", type=int, default=0)
+    jn.set_defaults(fn=cmd_join)
+
+    cf = sub.add_parser("compound-filter",
+                        help="AND of eq/range predicates over encoded data")
+    cf.add_argument("out_dir")
+    cf.add_argument("--eq", action="append", default=[],
+                    help="col=value (repeatable)")
+    cf.add_argument("--between", action="append", default=[],
+                    help="col=lo,hi (repeatable)")
+    cf.add_argument("--project", required=True)
+    cf.add_argument("--show", type=int, default=0)
+    cf.set_defaults(fn=cmd_compound_filter)
+
+    ga = sub.add_parser("group-agg",
+                        help="decode-free GROUP BY key -> sum/min/max/count")
+    ga.add_argument("out_dir")
+    ga.add_argument("key_col")
+    ga.add_argument("value_col")
+    ga.set_defaults(fn=cmd_group_agg)
 
     args = p.parse_args(argv)
     needs_ray = args.cmd != "stats"

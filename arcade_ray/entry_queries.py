@@ -310,6 +310,16 @@ def q_topk(sf_dir: str) -> pa.Table:
     return topk(out, "n_chars", 50, descending=True)
 
 
+def q_topk_rows(sf_dir: str) -> pa.Table:
+    """Projected top-k: 25 longest documents with id + source, ties by
+    ascending doc_id (deterministic, matches the oracle's ORDER BY)."""
+    from .pipeline.query import topk_rows
+
+    out = encoded_dir(sf_dir, "documents")
+    return topk_rows(out, "n_chars", 25, id_col="doc_id",
+                     columns=["doc_id", "n_chars", "source"])
+
+
 def q_sample(sf_dir: str) -> pa.Table:
     from .pipeline.query import sample_ids
 
@@ -672,6 +682,7 @@ QUERIES = {
     "distinct_sketch_sources": q_distinct_sketch_sources,
     "session_windows": q_session_windows,
     "topk": q_topk,
+    "topk_rows": q_topk_rows,
     "sample": q_sample,
     "compression_metrics": q_compression_metrics,
     "join_orders_customer": q_join_orders_customer,
@@ -784,6 +795,8 @@ ORACLE_SQL = {
         "ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id) <= 10"
     ),
     "topk": "SELECT n_chars FROM documents ORDER BY n_chars DESC LIMIT 50",
+    "topk_rows": ("SELECT doc_id, n_chars, source FROM documents "
+                  "ORDER BY n_chars DESC, doc_id LIMIT 25"),
     "sample": "SELECT doc_id, source FROM documents WHERE doc_id % 20 = 3",
     "embedding_near_dup": (
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "

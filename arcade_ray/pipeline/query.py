@@ -641,6 +641,54 @@ def topk(out_dir: str, col: str, k: int, descending: bool = True) -> pa.Table:
     return pa.table({col: merged.take(order[:k])})
 
 
+def topk_rows(out_dir: str, col: str, k: int, id_col: str,
+              columns: list[str] | None = None,
+              descending: bool = True) -> pa.Table:
+    """Projected top-k: the k rows with the largest (or smallest)
+    ``col``, ties broken by ascending ``id_col`` — per-partition
+    partial top-k tasks decode only the order/id columns, the tiny
+    driver merge fetches the projection for just the k winners via the
+    existing point lookup."""
+    import ray
+
+    rows = _manifest_paths(out_dir)
+    order_cols = [col, id_col]
+
+    @ray.remote
+    def part_topk(path: str) -> pa.Table:
+        from .encode import _pin_arrow_threads
+
+        _pin_arrow_threads()
+        t = decode_partition(path, columns=order_cols)
+        vals = t[col].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        neg = -vals if descending else vals
+        order = np.lexsort((ids, neg))[: min(k, len(vals))]
+        return t.take(pa.array(order, type=pa.int64()))
+
+    parts = [p for p in ray.get([part_topk.remote(r["path"]) for r in rows])
+             if p.num_rows]
+    merged = pa.concat_tables(parts)
+    vals = merged[col].combine_chunks().to_numpy(zero_copy_only=False)
+    ids = merged[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+    neg = -vals if descending else vals
+    win = np.lexsort((ids, neg))[:k]
+    winners = merged.take(pa.array(win, type=pa.int64()))
+    want = columns or order_cols
+    extra = [c for c in want if c not in order_cols]
+    if not extra:
+        return winners.select([c for c in want])
+    from ..collect import collect_arrow
+
+    fetched = collect_arrow(lookup(out_dir, id_col,
+                                   winners[id_col].to_pylist(),
+                                   columns=want))
+    # restore top-k order (lookup returns partition order)
+    pos = {v: i for i, v in enumerate(winners[id_col].to_pylist())}
+    order = np.argsort([pos[v] for v in fetched[id_col].to_pylist()])
+    return fetched.take(pa.array(order, type=pa.int64()))
+
+
 def sample_ids(out_dir: str, id_col: str, modulus: int, residue: int,
                columns: list[str] | None = None):
     """Deterministic systematic sample: rows where id % modulus ==

@@ -18,6 +18,11 @@ main(["stats", enc])
 main(["--num-cpus", "4", "filter", enc, "source", "src-001", "--project", "source,doc_id"])
 main(["--num-cpus", "4", "random-access", enc, "0,4999", "--columns", "doc_id"])
 main(["--num-cpus", "4", "verify", enc, corpus])
+main(["--num-cpus", "4", "compound-filter", enc, "--eq", "source=src-001",
+      "--between", "n_tok=1,100000", "--project", "doc_id,source"])
+main(["--num-cpus", "4", "group-agg", enc, "source", "n_tok"])
+main(["--num-cpus", "4", "join", enc, enc, "--on", "doc_id=doc_id",
+      "--probe-cols", "doc_id,n_tok", "--build-cols", "source"])
 """
 
 
@@ -35,6 +40,8 @@ def test_cli_end_to_end(tmp_path):
     assert '"rows": 5000' in lines
     assert "MATCH: 5000 encoded rows vs 5000 input rows" in lines
     assert "Returned 2 rows" in lines  # random access
+    assert "8 groups" in lines or "6 groups" in lines  # group-agg
+    assert "Joined" in lines or "Returned 5000 rows" in lines  # self-join
 
 
 def test_cli_errors(tmp_path):

@@ -144,3 +144,16 @@ def test_dict_group_aggregate(encoded):
         assert got["max_v"][i].as_py() == exp.loc[src, "max"]
         assert got["n_rows"][i].as_py() == exp.loc[src, "count"]
     assert got.num_rows == exp.shape[0]
+
+
+def test_topk_rows_projection(encoded):
+    from arcade_ray.pipeline.query import topk_rows
+
+    out_dir, table = encoded
+    got = topk_rows(out_dir, "n_tok", 20, id_col="doc_id",
+                    columns=["doc_id", "n_tok", "source"])
+    df = table.select(["doc_id", "n_tok", "source"]).to_pandas()
+    exp = df.sort_values(["n_tok", "doc_id"],
+                         ascending=[False, True]).head(20).reset_index(drop=True)
+    assert got.column_names == ["doc_id", "n_tok", "source"]
+    assert got.to_pandas().equals(exp)
