@@ -258,21 +258,12 @@ def q_sliding_window_agg(sf_dir: str) -> pa.Table:
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
+    from .windows import sliding_windows
+
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_type", "ts", "value"])
-    hop = pa.scalar(1_800_000_000, type=pa.duration("us"))
-
-    def assign(batch: pa.Table) -> pa.Table:
-        w0 = pc.floor_temporal(batch["ts"], multiple=30, unit="minute")
-        w1 = pc.subtract(w0, hop)
-        base = batch.drop_columns(["ts"])
-        return pa.concat_tables([
-            base.append_column("w", w0),
-            base.append_column("w", w1),
-        ])
-
     out = _collect(
-        ds.map_batches(assign, batch_format="pyarrow")
+        sliding_windows(ds, ts_col="ts", width_s=3600, hop_s=1800)
         .groupby(["event_type", "w"])
         .aggregate(Count(alias_name="n_events"),
                    Sum("value", alias_name="sum_value"))

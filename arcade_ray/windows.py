@@ -36,3 +36,39 @@ def session_windows(ds, key_col: str = "user_id", ts_col: str = "ts",
     return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
 
 
+
+
+def sliding_windows(ds, ts_col: str = "ts", width_s: float = 3600.0,
+                    hop_s: float = 1800.0, keep: list[str] | None = None):
+    """Assign each row to every sliding (hopping) window containing its
+    timestamp: width ``width_s``, hop ``hop_s`` (width must be an
+    integer multiple of the hop). Flat-map shaped: one output row per
+    (row, window) — width/hop windows per row — with a ``w`` window
+    start column; aggregate downstream with ``groupby([... , "w"])``.
+    Stays vectorized (arrow temporal kernels + table concat)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n_hops = int(round(width_s / hop_s))
+    if abs(n_hops * hop_s - width_s) > 1e-9 or n_hops < 1:
+        raise ValueError("width_s must be a positive multiple of hop_s")
+    hop_us = int(hop_s * 1_000_000)
+    hop = pa.scalar(hop_us, type=pa.duration("us"))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        base_cols = keep or [c for c in batch.column_names if c != ts_col]
+        w0 = pc.floor_temporal(batch[ts_col], multiple=int(hop_s // 60),
+                               unit="minute") if hop_s % 60 == 0 else None
+        if w0 is None:
+            # sub-minute hops: floor via integer arithmetic on epoch us
+            us = batch[ts_col].cast(pa.int64())
+            w0 = pc.multiply(pc.divide(us, hop_us), hop_us).cast(batch[ts_col].type)
+        base = batch.select(base_cols)
+        outs = []
+        w = w0
+        for _ in range(n_hops):
+            outs.append(base.append_column("w", w))
+            w = pc.subtract(w, hop)
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(assign, batch_format="pyarrow")

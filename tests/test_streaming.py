@@ -99,3 +99,24 @@ def test_cached_decoder_lru(ray_session, tmp_path):
     qds = rd.from_items([{"id": i} for i in ids])
     res = lookup_service(out_dir, qds, columns=["doc_id", "n_tok"]).to_pandas()
     assert set(res["doc_id"]) == set(ids)
+
+
+def test_sliding_windows_assignment(ray_session):
+    import datetime
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from arcade_ray.windows import sliding_windows
+
+    ts = [datetime.datetime(2025, 1, 1, 10, 17), datetime.datetime(2025, 1, 1, 10, 47)]
+    tab = pa.table({"ts": pa.array(ts, type=pa.timestamp("us")),
+                    "v": pa.array([1, 2], type=pa.int64())})
+    out = sliding_windows(rd.from_arrow(tab), width_s=3600, hop_s=1800).to_pandas()
+    # each event in exactly 2 windows
+    assert len(out) == 4
+    got = sorted((r.v, str(r.w)) for r in out.itertuples())
+    assert got == [
+        (1, "2025-01-01 09:30:00"), (1, "2025-01-01 10:00:00"),
+        (2, "2025-01-01 10:00:00"), (2, "2025-01-01 10:30:00"),
+    ]
