@@ -62,8 +62,13 @@ def cmd_scan(args) -> None:
     t0 = time.perf_counter()
     ds = scan(args.out_dir, columns=_cols(args.columns))
     if args.out:
-        ds.write_parquet(args.out)
+        # --partition-by: hive-partitioned output dirs (one directory
+        # per key value) so a downstream consumer can skip finished
+        # partitions on its own resume
+        ds.write_parquet(args.out, partition_cols=_cols(args.partition_by))
         print(f"Scanned -> {args.out} in {time.perf_counter() - t0:.2f} s")
+        if args.stats:
+            print(ds.stats())
     else:
         n = 0
         for batch in ds.iter_batches(batch_format="pyarrow"):
@@ -71,6 +76,8 @@ def cmd_scan(args) -> None:
             if args.show and n <= args.show:
                 print(batch.slice(0, min(args.show, batch.num_rows)).to_pandas())
         print(f"Returned {n} rows in {time.perf_counter() - t0:.2f} s")
+        if args.stats:
+            print(ds.stats())
 
 
 def _coerce_literal(out_dir: str, column: str, raw: str):
@@ -258,6 +265,9 @@ def main(argv=None) -> None:
     s.add_argument("out_dir")
     s.add_argument("--columns")
     s.add_argument("--out")
+    s.add_argument("--partition-by", help="hive-partition output by these columns")
+    s.add_argument("--stats", action="store_true",
+                   help="print ds.stats() after the scan")
     s.add_argument("--show", type=int, default=0)
     s.set_defaults(fn=cmd_scan)
 
