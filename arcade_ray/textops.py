@@ -55,26 +55,45 @@ def dedup_loser_ids(ds, text_col: str = "text", id_col: str = "doc_id") -> pa.Ta
     """Ids dropped by exact dedup: everything but the min id per
     128-bit content hash. The shuffle moves 24 B/row (hash pair + id)
     regardless of document size; duplicate identity is the hash pair
-    (collisions ~2^-64 per pair, accepted by design)."""
+    (collisions ~2^-64 per pair, accepted by design).
 
-    def losers(group):
-        import pandas as pd
+    Hot-bucket shape (no per-group Python over N singleton groups): a
+    vectorized groupby(_h).count() finds hashes seen >= 2 times; only
+    those rows are pulled and resolved — unique documents never touch
+    anything but the count aggregate."""
+    import numpy as np
 
-        min_ids = group.groupby("_h2")[id_col].transform("min")
-        out = group.loc[group[id_col] != min_ids, [id_col]]
-        # keep the dtype on empty groups (pandas->Arrow turns an empty
-        # object column into null type, poisoning the concat)
-        return out.astype({id_col: group[id_col].dtype})
-
-    out = (
-        ds.map_batches(lambda b: dedup_signatures(b, text_col, id_col),
-                       batch_format="pyarrow")
-        .groupby("_h")
-        .map_groups(losers, batch_format="pandas")
-    )
     from .collect import collect_arrow
 
-    return collect_arrow(out)
+    sig_ds = ds.map_batches(lambda b: dedup_signatures(b, text_col, id_col),
+                            batch_format="pyarrow").materialize()
+    counts = sig_ds.groupby("_h").count()
+
+    def hot_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["count()"], 2))
+
+    hot = collect_arrow(counts.map_batches(hot_only, batch_format="pyarrow"))
+    empty = pa.table({id_col: pa.array([], pa.int64())})
+    if hot.num_rows == 0:
+        return empty
+    hot_keys = hot["_h"].combine_chunks()
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["_h"], value_set=hot_keys))
+
+    rows = collect_arrow(sig_ds.map_batches(pick, batch_format="pyarrow"))
+    h1 = rows["_h"].to_numpy(zero_copy_only=False)
+    h2 = rows["_h2"].to_numpy(zero_copy_only=False)
+    ids = rows[id_col].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, h2, h1))
+    h1s, h2s, ids_s = h1[order], h2[order], ids[order]
+    # run starts per (h1, h2): the first id of each run (ascending) is
+    # the survivor, the rest are losers
+    new_group = np.empty(len(ids_s), dtype=bool)
+    new_group[0] = True
+    new_group[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+    losers = ids_s[~new_group]
+    return pa.table({id_col: pa.array(losers, type=pa.int64())})
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
