@@ -65,23 +65,32 @@ def dedup_loser_ids(ds, text_col: str = "text", id_col: str = "doc_id") -> pa.Ta
 
     from .collect import collect_arrow
 
+    from .collect import SMALL_SIG_ROWS
+
     sig_ds = ds.map_batches(lambda b: dedup_signatures(b, text_col, id_col),
                             batch_format="pyarrow").materialize()
-    counts = sig_ds.groupby("_h").count()
-
-    def hot_only(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.greater_equal(batch["count()"], 2))
-
-    hot = collect_arrow(counts.map_batches(hot_only, batch_format="pyarrow"))
     empty = pa.table({id_col: pa.array([], pa.int64())})
-    if hot.num_rows == 0:
+    if sig_ds.count() <= SMALL_SIG_ROWS:
+        # small corpus: the Ray aggregate's fixed all-to-all cost
+        # dwarfs the work — count driver-side (fixed-width rows only)
+        rows = collect_arrow(sig_ds)
+    else:
+        counts = sig_ds.groupby("_h").count()
+
+        def hot_only(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.greater_equal(batch["count()"], 2))
+
+        hot = collect_arrow(counts.map_batches(hot_only, batch_format="pyarrow"))
+        if hot.num_rows == 0:
+            return empty
+        hot_keys = hot["_h"].combine_chunks()
+
+        def pick(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch["_h"], value_set=hot_keys))
+
+        rows = collect_arrow(sig_ds.map_batches(pick, batch_format="pyarrow"))
+    if rows.num_rows == 0:
         return empty
-    hot_keys = hot["_h"].combine_chunks()
-
-    def pick(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_in(batch["_h"], value_set=hot_keys))
-
-    rows = collect_arrow(sig_ds.map_batches(pick, batch_format="pyarrow"))
     h1 = rows["_h"].to_numpy(zero_copy_only=False)
     h2 = rows["_h2"].to_numpy(zero_copy_only=False)
     ids = rows[id_col].to_numpy(zero_copy_only=False)
