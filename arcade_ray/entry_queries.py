@@ -108,9 +108,11 @@ def q_plan_stats(sf_dir: str) -> pa.Table:
 
 
 def q_distinct_sources(sf_dir: str) -> pa.Table:
+    """DISTINCT from dictionary segments only — no row ever decodes."""
+    from .pipeline.query import dict_distinct_values
+
     out = encoded_dir(sf_dir, "documents")
-    t = _collect(scan(out, columns=["source"]))
-    return pa.table({"source": pc.unique(t["source"].combine_chunks())})
+    return dict_distinct_values(out, "source")
 
 
 def _roundtrip(sf_dir: str, table: str) -> pa.Table:

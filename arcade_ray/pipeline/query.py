@@ -346,6 +346,62 @@ def _range_filter_partition(path: str, col: str, lo, hi,
     return _project_matches(path, header, match_idx, project)
 
 
+def dict_distinct_values(out_dir: str, col: str) -> pa.Table:
+    """DISTINCT values of a string column WITHOUT decoding any row:
+    dictionary chunks contribute their dict segments only (codes are
+    never unpacked); plain chunks fall back to a value scan. One task
+    per partition emits its distinct set; the driver unions the tiny
+    sets."""
+    import ray
+
+    rows = _manifest_paths(out_dir)
+
+    @ray.remote
+    def part_distinct(path: str) -> set:
+        from ..codecs.str_codecs import decode_str_values
+        from .encode import _pin_arrow_threads
+
+        _pin_arrow_threads()
+        header, base = read_header(path)
+        cm = header["columns"][col]
+        if cm["kind"] != "str":
+            raise TypeError("dict_distinct_values is for string columns")
+        if any(ch.get("nulls") for ch in cm["chunks"]):
+            raise NotImplementedError(
+                "dict_distinct_values over a null-bearing column: null "
+                "slots encode as '' in the dictionary — decode instead"
+            )
+        out: set = set()
+        with open(path, "rb") as f:
+            for ch in cm["chunks"]:
+                if ch["mode"] == "plain":
+                    f.seek(base + ch["off"])
+                    payload = read_exact(f, ch["nb"], col)
+                    vb = ch.get("vb", 0)
+                    if vb:
+                        payload = payload[:-vb]
+                    lengths, data = decode_str_values(
+                        ch["codec"], payload, ch["meta"])
+                else:
+                    # dict segment only: first vlen bytes of the chunk
+                    f.seek(base + ch["off"])
+                    payload = read_exact(f, ch["vlen"], col)
+                    lengths, data = decode_str_values(
+                        ch["vcodec"], payload, ch["vmeta"])
+                offs = np.empty(len(lengths) + 1, dtype=np.int64)
+                offs[0] = 0
+                np.cumsum(lengths, out=offs[1:])
+                for i in range(len(lengths)):
+                    out.add(data[offs[i]: offs[i + 1]].decode("utf-8"))
+        return out
+
+    union: set = set()
+    for s in ray.get([part_distinct.remote(r["path"]) for r in rows]):
+        union |= s
+    vals = sorted(union)
+    return pa.table({col: pa.array(vals, type=pa.string())})
+
+
 def compound_filter(out_dir: str, preds: list[tuple], project: list[str]):
     """AND of equality and range predicates over encoded data — the
     composition the reference never shipped ("single equi filter at a

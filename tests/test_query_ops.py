@@ -157,3 +157,14 @@ def test_topk_rows_projection(encoded):
                          ascending=[False, True]).head(20).reset_index(drop=True)
     assert got.column_names == ["doc_id", "n_tok", "source"]
     assert got.to_pandas().equals(exp)
+
+
+def test_dict_distinct_values(encoded):
+    from arcade_ray.pipeline.query import dict_distinct_values
+
+    out_dir, table = encoded
+    got = dict_distinct_values(out_dir, "source")
+    import pyarrow.compute as pc
+
+    exp = sorted(pc.unique(table["source"].combine_chunks()).to_pylist())
+    assert got["source"].to_pylist() == exp
