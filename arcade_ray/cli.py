@@ -80,23 +80,31 @@ def cmd_scan(args) -> None:
             print(ds.stats())
 
 
-def _coerce_literal(out_dir: str, column: str, raw: str):
-    """Coerce the CLI literal using the target column's type tag from
-    the encoded header (a bare int() try left float columns compared as
-    strings)."""
+def _load_header(out_dir: str) -> dict | None:
     from .format import read_header
     from .pipeline.encode import load_manifest
 
     m = load_manifest(out_dir)
     if not m.num_rows:
-        return raw
+        return None
     header, _ = read_header(m["path"][0].as_py())
-    cm = header["columns"].get(column)
+    return header
+
+
+def _coerce_with_header(header: dict | None, column: str, raw: str):
+    """Coerce a CLI literal using the target column's type tag from
+    the encoded header (a bare int() try left float columns compared as
+    strings)."""
+    cm = (header or {}).get("columns", {}).get(column)
     if cm is None or cm["kind"] == "str":
         return raw  # unknown columns error helpfully in equi_filter
     if cm.get("tag") in ("f32", "f64"):
         return float(raw)
     return int(raw)
+
+
+def _coerce_literal(out_dir: str, column: str, raw: str):
+    return _coerce_with_header(_load_header(out_dir), column, raw)
 
 
 def cmd_filter(args) -> None:
@@ -214,16 +222,17 @@ def cmd_compound_filter(args) -> None:
     from .collect import collect_arrow
     from .pipeline.query import compound_filter
 
+    header = _load_header(args.out_dir)  # once, not per predicate bound
     preds: list[tuple] = []
     for spec in args.eq:
         col, val = spec.split("=", 1)
-        preds.append(("eq", col, _coerce_literal(args.out_dir, col, val)))
+        preds.append(("eq", col, _coerce_with_header(header, col, val)))
     for spec in args.between:
         col, rng = spec.split("=", 1)
         lo, hi = rng.split(",", 1)
         preds.append(("between", col,
-                      _coerce_literal(args.out_dir, col, lo),
-                      _coerce_literal(args.out_dir, col, hi)))
+                      _coerce_with_header(header, col, lo),
+                      _coerce_with_header(header, col, hi)))
     if not preds:
         sys.exit("error: pass at least one --eq or --between predicate")
     t0 = time.perf_counter()

@@ -13,6 +13,38 @@ import pyarrow as pa
 SMALL_SIG_ROWS = 2_000_000  # below this, skip the Ray aggregate entirely
 
 
+def hot_bucket_rows(sig_ds, key_col: str) -> pa.Table:
+    """Signature rows living in buckets with >= 2 members, without a
+    per-group map_groups pass (one Python call per bucket is ruinous
+    when almost every bucket is a singleton).
+
+    Size-adaptive: small signature sets (< SMALL_SIG_ROWS fixed-width
+    rows) are collected whole — the Ray aggregate's all-to-all fixed
+    cost dwarfs the work (the broadcast-vs-shuffle tradeoff joins
+    make); the caller's run-boundary scan ignores the singleton rows.
+    Large sets go through a vectorized groupby(key).count() and a
+    map-side hot-key semi-join, so only hot rows ever collect.
+    ``sig_ds`` must already be materialized (it is read twice)."""
+    n = sig_ds.count()
+    if n <= SMALL_SIG_ROWS:
+        return collect_arrow(sig_ds)
+    counts = sig_ds.groupby(key_col).count()
+
+    def hot_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.compute.greater_equal(batch["count()"], 2))
+
+    hot = collect_arrow(counts.map_batches(hot_only, batch_format="pyarrow"))
+    if hot.num_rows == 0:
+        return sig_ds.schema().base_schema.empty_table()
+    hot_keys = hot[key_col].combine_chunks()
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pa.compute.is_in(batch[key_col], value_set=hot_keys))
+
+    return collect_arrow(sig_ds.map_batches(pick, batch_format="pyarrow"))
+
+
 def bucket_candidate_pairs(sig_ds, id_col: str, key_col: str = "bk",
                            max_bucket: int = 4096,
                            attr_cols: list[str] | None = None):
@@ -29,11 +61,6 @@ def bucket_candidate_pairs(sig_ds, id_col: str, key_col: str = "bk",
        pairs; buckets above ``max_bucket`` are degenerate collisions
        and are dropped rather than exploding O(m^2).
 
-    Size-adaptive: when the signature set is small (< SMALL_SIG_ROWS,
-    fixed-width rows), the Ray aggregate's all-to-all fixed cost
-    dwarfs the work — the rows are collected and counted with numpy
-    directly (the same broadcast-vs-shuffle tradeoff as joins).
-
     Returns (pairs table with id_a < id_b deduped, dict of id ->
     attr value for each ``attr_cols`` taken from the hot rows)."""
     import numpy as np
@@ -41,24 +68,7 @@ def bucket_candidate_pairs(sig_ds, id_col: str, key_col: str = "bk",
     sig_ds = sig_ds.materialize()
     empty = pa.table({"id_a": pa.array([], pa.int64()),
                       "id_b": pa.array([], pa.int64())})
-    if sig_ds.count() <= SMALL_SIG_ROWS:
-        rows = collect_arrow(sig_ds)
-    else:
-        counts = sig_ds.groupby(key_col).count()
-
-        def hot_only(batch: pa.Table) -> pa.Table:
-            return batch.filter(pa.compute.greater_equal(batch["count()"], 2))
-
-        hot = collect_arrow(counts.map_batches(hot_only, batch_format="pyarrow"))
-        if hot.num_rows == 0:
-            return empty, {c: {} for c in (attr_cols or [])}
-        hot_keys = hot[key_col].combine_chunks()
-
-        def pick(batch: pa.Table) -> pa.Table:
-            return batch.filter(
-                pa.compute.is_in(batch[key_col], value_set=hot_keys))
-
-        rows = collect_arrow(sig_ds.map_batches(pick, batch_format="pyarrow"))
+    rows = hot_bucket_rows(sig_ds, key_col)
     if rows.num_rows == 0:
         return empty, {c: {} for c in (attr_cols or [])}
     bk = rows[key_col].to_numpy(zero_copy_only=False)

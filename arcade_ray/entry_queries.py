@@ -194,15 +194,8 @@ def q_near_dedup(sf_dir: str) -> pa.Table:
     min id per cluster (rows-only: LSH has no SQL equivalent)."""
     from .textops import near_dedup
 
-    out = near_dedup(_docs_ds_early(sf_dir), jaccard_threshold=0.7)
+    out = near_dedup(_docs_ds(sf_dir), jaccard_threshold=0.7)
     return _collect(out.select_columns(["doc_id"]))
-
-
-def _docs_ds_early(sf_dir: str):
-    import ray.data as rd
-
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                           columns=["doc_id", "text"])
 
 
 def q_window_agg(sf_dir: str) -> pa.Table:

@@ -280,15 +280,12 @@ def _encode_bucket(pid_keys: list[str], out_dir: str, sort_by: str | None,
     return _encode_bucket_tables(tables, pid_keys, out_dir, sort_by)
 
 
-def _split_many(refs_or_paths, bucket_of_pid, assign, columns=None):
-    """Split task body: fetch/read several input blocks or parquet
-    files, assign partition ids, emit one compact fragment per bucket.
-    Coarse inputs + bucketed outputs keep the object count at
-    #split_tasks x #buckets (~O(cores^2)) — the local object store is
-    the serial resource a fan-out must respect."""
+def _read_split_inputs(refs_or_paths, columns=None) -> pa.Table:
+    """Resolve one split task's inputs — parquet paths, (path, lo, hi)
+    row-group ranges, object refs, or in-line tables — to one Arrow
+    table (shared by the object-store and disk split bodies)."""
     import ray
 
-    _pin_arrow_threads()
     tables = []
     for item in refs_or_paths:
         if isinstance(item, str):
@@ -303,8 +300,17 @@ def _split_many(refs_or_paths, bucket_of_pid, assign, columns=None):
             tables.append(pf.read_row_groups(list(range(lo, hi)), columns=columns))
         else:
             tables.append(ray.get(item) if isinstance(item, ray.ObjectRef) else item)
-    table = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
-    table = assign(table)
+    return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
+
+
+def _split_many(refs_or_paths, bucket_of_pid, assign, columns=None):
+    """Split task body: fetch/read several input blocks or parquet
+    files, assign partition ids, emit one compact fragment per bucket.
+    Coarse inputs + bucketed outputs keep the object count at
+    #split_tasks x #buckets (~O(cores^2)) — the local object store is
+    the serial resource a fan-out must respect."""
+    _pin_arrow_threads()
+    table = assign(_read_split_inputs(refs_or_paths, columns))
     return _split_block(table, bucket_of_pid)
 
 
@@ -324,25 +330,9 @@ def _split_to_disk(refs_or_paths, bucket_of_pid, assign, columns,
     lives on disk (shared storage on a multi-node cluster). Returns
     rows written (tiny)."""
     import numpy as np
-    import ray
 
     _pin_arrow_threads()
-    tables = []
-    for item in refs_or_paths:
-        if isinstance(item, str):
-            import pyarrow.parquet as pq
-
-            tables.append(pq.read_table(item, columns=columns))
-        elif isinstance(item, tuple):
-            import pyarrow.parquet as pq
-
-            path, lo, hi = item
-            pf = pq.ParquetFile(path)
-            tables.append(pf.read_row_groups(list(range(lo, hi)), columns=columns))
-        else:
-            tables.append(ray.get(item) if isinstance(item, ray.ObjectRef) else item)
-    table = pa.concat_tables(tables) if len(tables) > 1 else tables[0]
-    table = assign(table)
+    table = assign(_read_split_inputs(refs_or_paths, columns))
     n_buckets = int(max(bucket_of_pid)) + 1 if len(bucket_of_pid) else 1
     pids = table["_pid"].to_numpy(zero_copy_only=False)
     buckets = np.asarray(bucket_of_pid)[pids]
@@ -450,7 +440,10 @@ def _run_direct_exchange(split_inputs, pid_keys: list[str],
             pending.append(split.remote(group, bucket_of_pid, assign,
                                         columns, shuffle_dir, si))
             if len(pending) >= max_inflight:
-                _, pending = ray.wait(pending, num_returns=1)
+                ready, pending = ray.wait(pending, num_returns=1)
+                ray.get(ready)  # surface split failures NOW — a
+                # swallowed error would commit a manifest with the
+                # failed split's rows silently missing
         ray.get(pending)  # drain: all fragments on disk
         enc = ray.remote(_encode_bucket_from_disk)
         result_refs = [

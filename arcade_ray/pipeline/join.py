@@ -49,6 +49,10 @@ def shuffle_join(left_dir: str, right_dir: str, left_key: str,
 
     from .query import scan
 
+    # accept the same names broadcast_join uses; Ray's enum wants
+    # *_outer forms
+    join_type = {"left": "left_outer", "right": "right_outer",
+                 "full": "full_outer"}.get(join_type, join_type)
     left_need = list(dict.fromkeys(left_cols + [left_key]))
     right_need = list(dict.fromkeys(right_cols + [right_key]))
     lds = scan(left_dir, columns=left_need)

@@ -329,8 +329,12 @@ def _range_match_idx(path: str, header: dict, base: int, col: str,
                 continue
             f.seek(base + ch["off"])
             arr = dec.decode(ch, read_exact(f, ch["nb"], col))
-            if prunable and zlo is not None and zhi is not None and lo <= zlo and zhi <= hi:
-                # chunk fully inside the range: no per-row compare
+            if prunable and not ch.get("vb") and zlo is not None \
+                    and zhi is not None and lo <= zlo and zhi <= hi:
+                # chunk fully inside the range: no per-row compare.
+                # Null-bearing chunks are excluded — null slots are
+                # zero-filled before zone stats, so "fully inside"
+                # would wrongly return NULL rows as matches.
                 match_idx[i] = np.arange(len(arr))
                 continue
             mask = pc.fill_null(

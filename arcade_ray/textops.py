@@ -63,32 +63,12 @@ def dedup_loser_ids(ds, text_col: str = "text", id_col: str = "doc_id") -> pa.Ta
     anything but the count aggregate."""
     import numpy as np
 
-    from .collect import collect_arrow
-
-    from .collect import SMALL_SIG_ROWS
+    from .collect import hot_bucket_rows
 
     sig_ds = ds.map_batches(lambda b: dedup_signatures(b, text_col, id_col),
                             batch_format="pyarrow").materialize()
     empty = pa.table({id_col: pa.array([], pa.int64())})
-    if sig_ds.count() <= SMALL_SIG_ROWS:
-        # small corpus: the Ray aggregate's fixed all-to-all cost
-        # dwarfs the work — count driver-side (fixed-width rows only)
-        rows = collect_arrow(sig_ds)
-    else:
-        counts = sig_ds.groupby("_h").count()
-
-        def hot_only(batch: pa.Table) -> pa.Table:
-            return batch.filter(pc.greater_equal(batch["count()"], 2))
-
-        hot = collect_arrow(counts.map_batches(hot_only, batch_format="pyarrow"))
-        if hot.num_rows == 0:
-            return empty
-        hot_keys = hot["_h"].combine_chunks()
-
-        def pick(batch: pa.Table) -> pa.Table:
-            return batch.filter(pc.is_in(batch["_h"], value_set=hot_keys))
-
-        rows = collect_arrow(sig_ds.map_batches(pick, batch_format="pyarrow"))
+    rows = hot_bucket_rows(sig_ds, "_h")
     if rows.num_rows == 0:
         return empty
     h1 = rows["_h"].to_numpy(zero_copy_only=False)

@@ -132,3 +132,47 @@ def test_collect_arrow_tolerates_schemaless_empty_blocks(ray_session):
     t = collect_arrow(out)
     assert t.num_rows == 3
     assert set(t.column_names) == {"k", "n"}
+
+
+def test_range_fully_inside_shortcut_excludes_nulls(ray_session, tmp_path):
+    """Round-2 review: null slots are zero-filled before zone stats, so
+    the 'chunk fully inside the range' shortcut must not fire on
+    null-bearing chunks (it returned NULL rows as matches)."""
+    n = 50
+    vals = [None if i % 10 == 0 else i for i in range(n)]
+    table = pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "source": pa.array(["s0"] * n),
+        "v": pa.array(vals, type=pa.int64()),
+    })
+    out_dir = _encode(tmp_path, table)
+    got = collect_arrow(range_filter(out_dir, "v", 0, 100,
+                                     project=["doc_id", "v"]))
+    expect = [i for i in range(n) if i % 10 != 0]
+    assert sorted(got["doc_id"].to_pylist()) == expect
+    assert got["v"].null_count == 0
+
+
+def test_shuffle_join_left_alias(ray_session, tmp_path):
+    """'left' must map to Ray's 'left_outer' instead of crashing."""
+    import ray.data as rd
+
+    from arcade_ray.pipeline.join import shuffle_join
+
+    left = pa.table({"k": pa.array([1, 2, 3], type=pa.int64()),
+                     "a": pa.array(["x", "y", "z"])})
+    right = pa.table({"k": pa.array([1, 2], type=pa.int64()),
+                      "b": pa.array(["p", "q"])})
+    l_dir, r_dir = str(tmp_path / "l"), str(tmp_path / "r")
+    import ray.data as rd
+
+    from arcade_ray.pipeline import encode_dataset
+
+    encode_dataset(rd.from_arrow(left), l_dir, key_col="a", id_col="k",
+                   weight_col=None)
+    encode_dataset(rd.from_arrow(right), r_dir, key_col="b", id_col="k",
+                   weight_col=None)
+    out = collect_arrow(shuffle_join(l_dir, r_dir, "k", "k",
+                                     ["k", "a"], ["b"], join_type="left"))
+    assert out.num_rows == 3
+    assert out.filter(pa.compute.is_null(out["b"])).num_rows == 1
