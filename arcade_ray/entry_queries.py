@@ -701,7 +701,7 @@ ORACLE_SQL = {
     "equi_filter": "SELECT l_returnflag, l_orderkey FROM lineitem WHERE l_returnflag = 'R'",
     "equi_filter_int": "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_linenumber = 3",
     "random_access": f"SELECT doc_id, source, n_chars FROM documents WHERE doc_id IN ({_IDS_SQL})",
-    "plan_stats": "SELECT source, COUNT(*) AS n_rows, SUM(n_chars) AS sum_chars FROM documents GROUP BY source",
+    "plan_stats": "SELECT source, COUNT(*) AS n_rows, CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY source",
     "distinct_sources": "SELECT DISTINCT source FROM documents",
     "roundtrip_documents": "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "roundtrip_lineitem": "SELECT * FROM lineitem",
@@ -714,7 +714,7 @@ ORACLE_SQL = {
     "range_filter": "SELECT doc_id, n_chars FROM documents WHERE n_chars BETWEEN 100 AND 200",
     "group_count_encoded": "SELECT source, COUNT(*) AS n_rows FROM documents GROUP BY source",
     "group_agg_encoded": (
-        "SELECT source, SUM(n_chars) AS sum_chars, MIN(n_chars) AS min_chars, "
+        "SELECT source, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MIN(n_chars) AS min_chars, "
         "MAX(n_chars) AS max_chars, COUNT(*) AS n_rows FROM documents GROUP BY source"
     ),
     "window_agg": ("SELECT event_type, date_trunc('hour', ts) AS w, "
@@ -729,7 +729,7 @@ ORACLE_SQL = {
         "FROM e2 GROUP BY event_type, w"
     ),
     "json_extract_agg": (
-        "SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+        "SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) "
         "AS sum_k FROM events GROUP BY event_type"
     ),
     "distinct_sketch_sources": (

@@ -86,6 +86,18 @@ def test_oracle_parity_all_queries(entry_mod, ddb):
         if len(ours) != len(theirs):
             failures.append((name, "rows", len(ours), len(theirs)))
             continue
+        # The driver's value-hash is dtype-sensitive: an int64 engine column
+        # vs a float64 oracle column (e.g. un-cast DuckDB HUGEINT SUM)
+        # hash-mismatches even when values are equal. Catch kind skew here.
+        kind_skew = [
+            (c, str(ours[c].dtype), str(theirs[c].dtype))
+            for c in ours.columns
+            if ours[c].dtype.kind != theirs[c].dtype.kind
+            and {ours[c].dtype.kind, theirs[c].dtype.kind} & {"i", "u", "f"}
+        ]
+        if kind_skew:
+            failures.append((name, "dtype-kind", kind_skew))
+            continue
         try:
             pd.testing.assert_frame_equal(
                 ours.reset_index(drop=True),
