@@ -224,15 +224,19 @@ def cmd_compound_filter(args) -> None:
 
     header = _load_header(args.out_dir)  # once, not per predicate bound
     preds: list[tuple] = []
-    for spec in args.eq:
-        col, val = spec.split("=", 1)
-        preds.append(("eq", col, _coerce_with_header(header, col, val)))
-    for spec in args.between:
-        col, rng = spec.split("=", 1)
-        lo, hi = rng.split(",", 1)
-        preds.append(("between", col,
-                      _coerce_with_header(header, col, lo),
-                      _coerce_with_header(header, col, hi)))
+    try:
+        for spec in args.eq:
+            col, val = spec.split("=", 1)
+            preds.append(("eq", col, _coerce_with_header(header, col, val)))
+        for spec in args.between:
+            col, rng = spec.split("=", 1)
+            lo, hi = rng.split(",", 1)
+            preds.append(("between", col,
+                          _coerce_with_header(header, col, lo),
+                          _coerce_with_header(header, col, hi)))
+    except ValueError:
+        sys.exit("error: a predicate literal does not parse as the type "
+                 "of its column")
     if not preds:
         sys.exit("error: pass at least one --eq or --between predicate")
     t0 = time.perf_counter()

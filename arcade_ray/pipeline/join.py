@@ -98,6 +98,9 @@ def broadcast_join(probe_dir: str, build_dir: str, probe_key: str,
     import ray
     import ray.data as rd
 
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+
     build = _decode_all(build_dir, columns=[build_key] + build_cols)
     if build.num_rows > max_build_rows:
         raise ValueError(

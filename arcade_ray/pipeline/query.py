@@ -743,6 +743,13 @@ def topk_rows(out_dir: str, col: str, k: int, id_col: str,
     fetched = collect_arrow(lookup(out_dir, id_col,
                                    winners[id_col].to_pylist(),
                                    columns=want))
+    if fetched.num_rows != winners.num_rows:
+        raise ValueError(
+            f"id column {id_col!r} is not unique: the winner fetch "
+            f"returned {fetched.num_rows} rows for {winners.num_rows} "
+            "winners — point lookup cannot identify which duplicate row "
+            "won; use a unique id column"
+        )
     # restore top-k order (lookup returns partition order)
     pos = {v: i for i, v in enumerate(winners[id_col].to_pylist())}
     order = np.argsort([pos[v] for v in fetched[id_col].to_pylist()])

@@ -53,9 +53,11 @@ def dedup_signatures(batch: pa.Table, text_col: str = "text",
 
 def dedup_loser_ids(ds, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """Ids dropped by exact dedup: everything but the min id per
-    128-bit content hash. The shuffle moves 24 B/row (hash pair + id)
-    regardless of document size; duplicate identity is the hash pair
-    (collisions ~2^-64 per pair, accepted by design).
+    distinct TEXT. The shuffle moves 24 B/row (hash pair + id)
+    regardless of document size; the hash pair only nominates
+    candidate groups — actual texts of the (small) hot-bucket set are
+    re-fetched and compared, so a polynomial-hash collision (random or
+    adversarially constructed) never silently drops a document.
 
     Hot-bucket shape (no per-group Python over N singleton groups): a
     vectorized groupby(_h).count() finds hashes seen >= 2 times; only
@@ -63,7 +65,7 @@ def dedup_loser_ids(ds, text_col: str = "text", id_col: str = "doc_id") -> pa.Ta
     anything but the count aggregate."""
     import numpy as np
 
-    from .collect import hot_bucket_rows
+    from .collect import fetch_by_ids, hot_bucket_rows
 
     sig_ds = ds.map_batches(lambda b: dedup_signatures(b, text_col, id_col),
                             batch_format="pyarrow").materialize()
@@ -76,13 +78,49 @@ def dedup_loser_ids(ds, text_col: str = "text", id_col: str = "doc_id") -> pa.Ta
     ids = rows[id_col].to_numpy(zero_copy_only=False)
     order = np.lexsort((ids, h2, h1))
     h1s, h2s, ids_s = h1[order], h2[order], ids[order]
-    # run starts per (h1, h2): the first id of each run (ascending) is
-    # the survivor, the rest are losers
+    # run starts per (h1, h2): candidate duplicate groups
     new_group = np.empty(len(ids_s), dtype=bool)
     new_group[0] = True
     new_group[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
-    losers = ids_s[~new_group]
-    return pa.table({id_col: pa.array(losers, type=pa.int64())})
+    # member of any >=2 run (hot_bucket_rows keys on _h only, so a
+    # singleton (_h,_h2) run can appear here; it is never a loser)
+    run_id = np.cumsum(new_group) - 1
+    run_sizes = np.bincount(run_id)
+    in_dup_run = run_sizes[run_id] >= 2
+    cand_ids = ids_s[in_dup_run]
+    if len(cand_ids) == 0:
+        return empty
+    # verify on actual text: within a hash group, one survivor (min
+    # id) per DISTINCT text — colliding-but-different texts all survive
+    texts = fetch_by_ids(ds, id_col, cand_ids.tolist(),
+                         columns=[id_col, text_col])
+    key = pa.table({
+        "_h": pa.array(h1s[in_dup_run]),
+        "_h2": pa.array(h2s[in_dup_run]),
+        id_col: pa.array(ids_s[in_dup_run], type=texts[id_col].type),
+    })
+    t = key.join(texts, keys=id_col, join_type="inner")
+    idx = pc.sort_indices(t, sort_keys=[("_h", "ascending"),
+                                        ("_h2", "ascending"),
+                                        (text_col, "ascending"),
+                                        (id_col, "ascending")])
+    t = t.take(idx)
+    txt = t[text_col].combine_chunks()
+    n = t.num_rows
+    same_hash = np.empty(n, dtype=bool)
+    same_hash[0] = False
+    for c in ("_h", "_h2"):
+        a = t[c].to_numpy(zero_copy_only=False)
+        if c == "_h":
+            same_hash[1:] = a[1:] == a[:-1]
+        else:
+            same_hash[1:] &= a[1:] == a[:-1]
+    same_text = np.zeros(n, dtype=bool)
+    if n > 1:
+        same_text[1:] = pc.equal(txt.slice(1), txt.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False)
+    losers = t[id_col].to_numpy(zero_copy_only=False)[same_hash & same_text]
+    return pa.table({id_col: pa.array(np.sort(losers), type=pa.int64())})
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):

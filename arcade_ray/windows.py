@@ -56,13 +56,24 @@ def sliding_windows(ds, ts_col: str = "ts", width_s: float = 3600.0,
     hop = pa.scalar(hop_us, type=pa.duration("us"))
 
     def assign(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         base_cols = keep or [c for c in batch.column_names if c != ts_col]
-        w0 = pc.floor_temporal(batch[ts_col], multiple=int(hop_s // 60),
-                               unit="minute") if hop_s % 60 == 0 else None
-        if w0 is None:
-            # sub-minute hops: floor via integer arithmetic on epoch us
-            us = batch[ts_col].cast(pa.int64())
-            w0 = pc.multiply(pc.divide(us, hop_us), hop_us).cast(batch[ts_col].type)
+        # floor_temporal is hour-anchored: only safe when the hop
+        # divides an hour (30/20/15/... min). Other hops fall through
+        # to the epoch-anchored integer floor below (the origin for
+        # those is epoch 1970-01-01, documented behavior).
+        if hop_s % 60 == 0 and 3600 % int(hop_s) == 0:
+            w0 = pc.floor_temporal(batch[ts_col], multiple=int(hop_s // 60),
+                                   unit="minute")
+        else:
+            # epoch-anchored floor; numpy // floors toward -inf so
+            # pre-1970 (negative) timestamps land in the right window
+            us = batch[ts_col].cast(pa.int64()).combine_chunks()
+            us_np = us.to_numpy(zero_copy_only=False)
+            w0 = pa.chunked_array(
+                [pa.array((us_np // hop_us) * hop_us)]
+            ).cast(batch[ts_col].type)
         base = batch.select(base_cols)
         outs = []
         w = w0

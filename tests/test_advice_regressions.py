@@ -176,3 +176,95 @@ def test_shuffle_join_left_alias(ray_session, tmp_path):
                                      ["k", "a"], ["b"], join_type="left"))
     assert out.num_rows == 3
     assert out.filter(pa.compute.is_null(out["b"])).num_rows == 1
+
+
+# --- round-2 ADVICE fixes ---------------------------------------------------
+
+
+def test_broadcast_join_rejects_unknown_how(ray_session, tmp_path):
+    """ADVICE r2 #1: how='right' (or a typo) must error, not silently
+    run left-outer semantics."""
+    from arcade_ray.pipeline.join import broadcast_join
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "source": ["a", "b"],
+                  "k": pa.array([1, 2], pa.int64())})
+    enc = _encode(tmp_path, t)
+    with pytest.raises(ValueError, match="how"):
+        broadcast_join(enc, enc, "k", "k", ["doc_id"], ["source"],
+                       how="right")
+
+
+def test_topk_rows_duplicate_ids_raise(ray_session, tmp_path):
+    """ADVICE r2 #2: non-unique id col makes the winner fetch
+    unidentifiable — raise instead of returning >k misordered rows."""
+    from arcade_ray.pipeline.query import topk_rows
+
+    n = 100
+    t = pa.table({
+        "doc_id": pa.array([i // 2 for i in range(n)], pa.int64()),
+        "source": pa.array([f"s{i % 3}" for i in range(n)]),
+        "score": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    enc = _encode(tmp_path, t)
+    with pytest.raises(ValueError, match="not unique"):
+        topk_rows(enc, "score", k=5, id_col="doc_id",
+                  columns=["doc_id", "score", "source"])
+
+
+def test_sliding_windows_negative_timestamps(ray_session):
+    """ADVICE r2 #3: pre-1970 timestamps must floor toward -inf in the
+    sub-hour epoch-anchored path, not truncate toward zero."""
+    import ray.data as rd
+
+    from arcade_ray.windows import sliding_windows
+
+    ts = pa.array([-10_000_000, -1, 0, 10_000_000],
+                  type=pa.timestamp("us"))
+    t = pa.table({"ts": ts, "v": pa.array([1, 2, 3, 4], pa.int64())})
+    # 7s hop (does not divide a minute) forces the integer path
+    out = collect_arrow(
+        sliding_windows(rd.from_arrow(t), ts_col="ts", width_s=14.0,
+                        hop_s=7.0, keep=["v"]))
+    got = {(r["v"], r["w"].timestamp()) for r in out.to_pylist()}
+    # row v=1 at t=-10s: windows starting at floor(-10/7)*7=-14 and -21
+    assert (1, -14.0) in got and (1, -21.0) in got
+    # row v=2 at t=-1us: windows at -7 and -14 (NOT 0: trunc-toward-zero bug)
+    assert (2, -7.0) in got and (2, -14.0) in got
+    assert (2, 0.0) not in got
+
+
+def test_cli_compound_filter_bad_literal_exits_clean(ray_session, tmp_path,
+                                                     capsys):
+    """ADVICE r2 #4: --eq n_chars=abc exits with a message, no traceback."""
+    from arcade_ray import cli
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "source": ["a", "b"],
+                  "n_chars": pa.array([10, 20], pa.int64())})
+    enc = _encode(tmp_path, t)
+    with pytest.raises(SystemExit):
+        cli.main(["compound-filter", enc, "--eq", "n_chars=abc"])
+
+
+def test_exact_dedup_survives_hash_collision(ray_session, monkeypatch):
+    """ADVICE r2 #5: colliding-but-different texts must all survive —
+    the loser set is verified against actual text, not trusted to the
+    polynomial hash pair. Forces a universal collision by stubbing the
+    hash and checks only true duplicates drop."""
+    import ray.data as rd
+
+    from arcade_ray import textops
+
+    def const_hash(lengths, data, base=31):
+        return np.zeros(len(lengths), dtype=np.uint64)
+
+    monkeypatch.setattr(textops, "hash_strings", const_hash)
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": ["alpha", "beta", "alpha", "gamma", "beta"],
+    })
+    losers = textops.dedup_loser_ids(rd.from_arrow(t))
+    assert losers["doc_id"].to_pylist() == [3, 5]
+    kept = collect_arrow(textops.exact_dedup(rd.from_arrow(t)))
+    assert sorted(kept["doc_id"].to_pylist()) == [1, 2, 4]
