@@ -176,14 +176,16 @@ def near_dup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
        vectorized groupby().count() finds buckets with >= 2 members —
        no per-group Python. Oversized buckets (degenerate, e.g. zero
        vectors) are dropped at ``max_bucket``.
-    3. exact verify: embeddings for the small candidate id set are
-       fetched map-side (second keyed fetch) and exact cosine keeps
-       pairs >= threshold.
+    3. exact verify, DISTRIBUTED (collect.distributed_pair_verify):
+       pairs are bucketed by hash(id_a); one streaming pass routes
+       each candidate vector to the buckets needing it (vectors move
+       once per needing bucket, never through the driver); per
+       bucket, a vectorized einsum cosine keeps pairs >= threshold.
 
     A true pair at cosine t collides in one band with prob p^b,
     p = 1 - arccos(t)/pi; miss prob = (1-p^b)^L. Defaults (b=4, L=16)
     give ~4e-6 at t=0.9, ~5e-8 at t=0.95."""
-    from .collect import bucket_candidate_pairs, fetch_by_ids
+    from .collect import bucket_candidate_pairs, distributed_pair_verify
 
     # dim from the dataset schema (list<float> fixed dim assumed)
     first = ds.take_batch(1, batch_format="pyarrow")
@@ -201,23 +203,30 @@ def near_dup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
                       "cos": pa.array([], pa.float64())})
     if cand_tab.num_rows == 0:
         return empty
-    import pandas as pd
 
-    cand_df = cand_tab.to_pandas()
-    need = pd.unique(pd.concat([cand_df["id_a"], cand_df["id_b"]]))
-    vec_tab = fetch_by_ids(ds, id_col, need.tolist(),
-                           columns=[id_col, vec_col])
-    vmat = _normalize(_to_matrix(vec_tab[vec_col]))
-    row_of = {v: i for i, v in enumerate(vec_tab[id_col].to_pylist())}
-    ai = np.array([row_of[a] for a in cand_df["id_a"]], dtype=np.int64)
-    bi = np.array([row_of[b] for b in cand_df["id_b"]], dtype=np.int64)
-    cos = np.einsum("ij,ij->i", vmat[ai], vmat[bi])
-    keep = cos >= threshold
-    out = pa.table({
-        "id_a": pa.array(cand_df["id_a"].to_numpy()[keep], type=pa.int64()),
-        "id_b": pa.array(cand_df["id_b"].to_numpy()[keep], type=pa.int64()),
-        "cos": pa.array(np.round(cos[keep], 4), type=pa.float64()),
-    })
+    def verify(pairs: pa.Table, payload: pa.Table) -> pa.Table:
+        ids_f = payload[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids_f)
+        vmat = _normalize(_to_matrix(payload[vec_col]))
+        ai = order[np.searchsorted(
+            ids_f[order], pairs["id_a"].to_numpy(zero_copy_only=False))]
+        bi = order[np.searchsorted(
+            ids_f[order], pairs["id_b"].to_numpy(zero_copy_only=False))]
+        cos = np.einsum("ij,ij->i", vmat[ai], vmat[bi])
+        keep = cos >= threshold
+        return pa.table({
+            "id_a": pa.array(
+                pairs["id_a"].to_numpy(zero_copy_only=False)[keep],
+                type=pa.int64()),
+            "id_b": pa.array(
+                pairs["id_b"].to_numpy(zero_copy_only=False)[keep],
+                type=pa.int64()),
+            "cos": pa.array(np.round(cos[keep], 4), type=pa.float64()),
+        })
+
+    out = distributed_pair_verify(ds, cand_tab, id_col, [vec_col], verify)
+    if out.num_rows == 0:
+        return empty
     order = pc.sort_indices(out, sort_keys=[("id_a", "ascending"),
                                             ("id_b", "ascending")])
     return out.take(order)

@@ -102,6 +102,83 @@ def bucket_candidate_pairs(sig_ds, id_col: str, key_col: str = "bk",
     return pairs, attrs
 
 
+def distributed_pair_verify(ds, cand_tab: pa.Table, id_col: str,
+                            payload_cols: list[str], verify_fn,
+                            n_buckets: int | None = None) -> pa.Table:
+    """Exact-verify candidate (id_a, id_b) pairs WITHOUT materializing
+    candidate payloads (texts/vectors) on the driver.
+
+    1. pairs are bucketed by hash(id_a) into ~n_buckets verify buckets
+       (driver-side work on fixed-width ids only; the pair table itself
+       is small by LSH selectivity and ships once via ray.put);
+    2. ONE streaming pass over the source routes each candidate row's
+       payload to every bucket that needs it (payloads move once per
+       needing bucket — bounded by the candidate set, never the
+       corpus; non-candidate rows never leave the map side);
+    3. groupby(bucket).map_groups runs ``verify_fn(pairs, payload)``
+       once per bucket — few, large buckets, so the per-group Python
+       call cost is O(n_buckets), not O(pairs).
+
+    ``verify_fn``: (pairs: Table[id_a, id_b], payload: Table[id_col,
+    *payload_cols]) -> Table. Returns the concatenated verify outputs
+    (small — the surviving pair rows)."""
+    import ray
+
+    from .hashing import hash_ints
+
+    if n_buckets is None:
+        avail = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        n_buckets = max(1, min(64, avail))
+    ids_a = cand_tab["id_a"].to_numpy(zero_copy_only=False)
+    ids_b = cand_tab["id_b"].to_numpy(zero_copy_only=False)
+    import numpy as np
+
+    bucket = (hash_ints(ids_a) % np.uint64(n_buckets)).astype(np.int64)
+    pairs_ref = ray.put(cand_tab.append_column("_vb", pa.array(bucket)))
+    # (id, bucket) need-list, sorted by id: an id's payload may serve
+    # several buckets; the route pass replicates it per needing bucket
+    need = np.unique(
+        np.stack([np.concatenate([ids_a, ids_b]),
+                  np.concatenate([bucket, bucket])], axis=1), axis=0)
+    need_ref = ray.put(need)
+
+    def route(batch: pa.Table) -> pa.Table:
+        nd = ray.get(need_ref)
+        nids, nbks = nd[:, 0], nd[:, 1]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(nids, ids, side="left")
+        hi = np.searchsorted(nids, ids, side="right")
+        cnt = hi - lo
+        rows = np.flatnonzero(cnt)
+        sub = batch.select([id_col] + payload_cols)
+        if len(rows) == 0:
+            return sub.slice(0, 0).append_column(
+                "_vb", pa.array([], pa.int64()))
+        reps = cnt[rows]
+        total = int(reps.sum())
+        compact = np.concatenate([[0], np.cumsum(reps[:-1])]).astype(np.int64)
+        pos = (np.arange(total, dtype=np.int64)
+               - np.repeat(compact, reps) + np.repeat(lo[rows], reps))
+        out = sub.take(pa.array(np.repeat(rows, reps), type=pa.int64()))
+        return out.append_column("_vb", pa.array(nbks[pos], type=pa.int64()))
+
+    routed = ds.map_batches(route, batch_format="pyarrow")
+
+    def verify_group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        b = t["_vb"][0].as_py()
+        pairs = ray.get(pairs_ref)
+        mine = pairs.filter(
+            pa.compute.equal(pairs["_vb"], b)).drop_columns(["_vb"])
+        return verify_fn(mine, t.drop_columns(["_vb"]))
+
+    out = routed.groupby("_vb").map_groups(verify_group,
+                                           batch_format="pyarrow")
+    return collect_arrow(out)
+
+
 def fetch_by_ids(ds, id_col: str, ids, columns: list[str] | None = None) -> pa.Table:
     """Map-side semi-join: stream the dataset, keep rows whose id is in
     ``ids`` (a small candidate set), collect the survivors. The id set

@@ -177,6 +177,104 @@ def minhash_signature(shingles: np.ndarray, n_perm: int = 64,
     return vals.min(axis=1)
 
 
+_INV257 = np.uint64(pow(257, -1, 1 << 64))  # 257 is odd -> invertible mod 2^64
+
+
+def _batch_shingle_stream(lengths: np.ndarray, data: bytes,
+                          k: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """Shingle hashes for EVERY document in one vectorized pass (no
+    per-document Python): rolling k-gram polynomial hashes over the
+    concatenated UTF-8 byte stream via prefix sums.
+
+    shingle(p) = sum_j b[p+j] * 257^j mod 2^64
+               = (S[p+k] - S[p]) * inv(257)^local(p)   with
+    S = prefix sum of b[i] * 257^local(i) — all arithmetic wraps mod
+    2^64, where 257 is invertible. Values are bit-identical to
+    :func:`_char_shingles` per document. Documents shorter than k
+    contribute one hash_strings value (empty docs: 0), matching the
+    per-doc fallback.
+
+    Returns (shingles concatenated uint64, doc offsets int64[n+1])."""
+    n = len(lengths)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    offsets = np.empty(n + 1, dtype=np.int64)
+    offsets[0] = 0
+    np.cumsum(lengths, out=offsets[1:])
+    total = int(offsets[-1])
+    counts = np.where(lengths >= k, lengths - k + 1, 1)
+    out_offsets = np.empty(n + 1, dtype=np.int64)
+    out_offsets[0] = 0
+    np.cumsum(counts, out=out_offsets[1:])
+    out = np.zeros(int(out_offsets[-1]), dtype=np.uint64)
+    if n == 0:
+        return out, out_offsets
+    b = np.frombuffer(data, dtype=np.uint8, count=total).astype(np.uint64)
+    starts = offsets[:-1]
+    local = np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
+    max_len = max(int(lengths.max()), 1)
+    pow257 = np.empty(max_len, dtype=np.uint64)
+    pow257[0] = 1
+    if max_len > 1:
+        np.multiply.accumulate(
+            np.full(max_len - 1, 257, dtype=np.uint64), out=pow257[1:])
+    inv257 = np.empty(max_len, dtype=np.uint64)
+    inv257[0] = 1
+    if max_len > 1:
+        np.multiply.accumulate(
+            np.full(max_len - 1, _INV257, dtype=np.uint64), out=inv257[1:])
+    S = np.empty(total + 1, dtype=np.uint64)
+    S[0] = 0
+    np.cumsum(b * pow257[local], out=S[1:])
+    long = lengths >= k
+    if long.any():
+        cnt_l = counts[long]
+        starts_l = starts[long]
+        n_out_l = int(cnt_l.sum())
+        # per-shingle local position within its doc, then global byte pos
+        compact_starts = np.concatenate(
+            [[0], np.cumsum(cnt_l[:-1])]).astype(np.int64)
+        pos_local = (np.arange(n_out_l, dtype=np.int64)
+                     - np.repeat(compact_starts, cnt_l))
+        gpos = np.repeat(starts_l, cnt_l) + pos_local
+        vals = (S[gpos + k] - S[gpos]) * inv257[pos_local]
+        np.place(out, np.repeat(long, counts), vals)
+    short = (~long) & (lengths > 0)
+    if short.any():
+        # gather the short docs' bytes and hash each whole string
+        sel = np.flatnonzero(short)
+        lens_s = lengths[sel]
+        chunks = b"".join(
+            data[int(offsets[i]): int(offsets[i + 1])] for i in sel.tolist())
+        hs = hash_strings(lens_s, chunks)
+        out[out_offsets[:-1][sel]] = hs
+    return out, out_offsets
+
+
+def batch_minhash_signatures(lengths: np.ndarray, data: bytes,
+                             n_perm: int = 64, shingle_k: int = 5,
+                             seed: int = 42) -> np.ndarray:
+    """(n_docs, n_perm) minhash signature matrix, bit-identical to
+    per-doc ``minhash_signature(_char_shingles(t))`` but computed with
+    ONE vectorized pass over all documents: batched rolling-hash
+    shingles (see _batch_shingle_stream) + per-permutation
+    ``np.minimum.reduceat`` over doc boundaries (duplicate shingles
+    can't change a min, so the per-doc np.unique is unnecessary)."""
+    sh, out_offsets = _batch_shingle_stream(lengths, data, shingle_k)
+    n = len(out_offsets) - 1
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, n_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, n_perm, dtype=np.uint64)
+    x = sh % np.uint64(_MERSENNE)
+    sigs = np.empty((n, n_perm), dtype=np.uint64)
+    if n == 0:
+        return sigs
+    starts = out_offsets[:-1]
+    for p in range(n_perm):
+        vals = (x * a[p] + b[p]) % np.uint64(_MERSENNE)
+        sigs[:, p] = np.minimum.reduceat(vals, starts)
+    return sigs
+
+
 def minhash_band_rows(batch: pa.Table, text_col: str = "text",
                       id_col: str = "doc_id", n_perm: int = 64,
                       bands: int = 16, shingle_k: int = 5) -> pa.Table:
@@ -184,12 +282,12 @@ def minhash_band_rows(batch: pa.Table, text_col: str = "text",
     (16 B/row x bands). The key mixes the band index into the band's
     signature hash; neither text nor the full signature travels, and
     row assembly is numpy repeat/tile, no per-row lists."""
-    texts = batch[text_col].to_pylist()
-    n = len(texts)
+    from .streams import str_stream_from_arrow
+
+    lengths, data, _ = str_stream_from_arrow(batch[text_col])
+    n = len(lengths)
     rows_per_band = n_perm // bands
-    sigs = np.empty((n, n_perm), dtype=np.uint64)
-    for i, t in enumerate(texts):  # signature math vectorized per doc
-        sigs[i] = minhash_signature(_char_shingles(t, shingle_k), n_perm)
+    sigs = batch_minhash_signatures(lengths, data, n_perm, shingle_k)
     bh = (sigs.reshape(n, bands, rows_per_band)
           * np.uint64(0x9E3779B97F4A7C15)).sum(axis=2)  # (n, bands)
     bh += np.arange(bands, dtype=np.uint64)[None, :] * np.uint64(0xD1B54A32D192ED03)
@@ -216,15 +314,19 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
        Buckets larger than ``max_bucket`` are degenerate collisions
        (empty/near-empty docs) and are dropped rather than exploding
        O(m^2).
-    3. exact verify: texts for the (small) candidate id set are
-       fetched map-side from the source (second keyed fetch — the
-       corpus streams, only matching rows move) and exact shingle
-       Jaccard keeps pairs >= threshold.
+    3. exact verify, DISTRIBUTED (collect.distributed_pair_verify):
+       pairs are bucketed by hash(id_a); one streaming pass routes
+       each candidate text to the buckets that need it (texts move
+       once per needing bucket — bounded by the candidate set, never
+       the corpus, and never through the driver); per bucket, a
+       vectorized minhash-estimated-jaccard cull drops the bulk of
+       templated-cluster over-generation, then exact shingle Jaccard
+       keeps pairs >= threshold.
 
     Returns Dataset[(id_a, id_b, jaccard)] with id_a < id_b."""
     import ray.data as rd
 
-    from .collect import bucket_candidate_pairs, fetch_by_ids
+    from .collect import bucket_candidate_pairs, distributed_pair_verify
 
     sig_ds = ds.map_batches(
         lambda b: minhash_band_rows(b, text_col, id_col, n_perm,
@@ -237,50 +339,51 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       "jaccard": pa.array([], pa.float64())})
     if cand_tab.num_rows == 0:
         return rd.from_arrow(empty)
-    import pandas as pd
 
-    cand_df = cand_tab.to_pandas()
-    need = pd.unique(pd.concat([cand_df["id_a"], cand_df["id_b"]]))
-    texts_tab = fetch_by_ids(ds, id_col, need.tolist(),
-                             columns=[id_col, text_col])
-    ids_f = texts_tab[id_col].to_pylist()
-    texts_f = texts_tab[text_col].to_pylist()
-    text_of = dict(zip(ids_f, texts_f))
-    # bucket co-occurrence over-generates when the corpus has big
-    # clusters of templated near-identical docs (one 1k-member bucket
-    # -> 500k candidate pairs): cull with the vectorized
-    # minhash-estimated jaccard first, exact-verify only survivors
-    row_of = {v: i for i, v in enumerate(ids_f)}
-    sig_mat = np.empty((len(ids_f), n_perm), dtype=np.uint64)
-    for i, t in enumerate(texts_f):
-        sig_mat[i] = minhash_signature(_char_shingles(t, shingle_k), n_perm)
-    ai = np.array([row_of[a] for a in cand_df["id_a"]], dtype=np.int64)
-    bi = np.array([row_of[b] for b in cand_df["id_b"]], dtype=np.int64)
-    est = np.empty(len(ai), dtype=np.float64)
-    for s in range(0, len(ai), 200_000):  # chunked: bound peak memory
-        e = min(s + 200_000, len(ai))
-        est[s:e] = (sig_mat[ai[s:e]] == sig_mat[bi[s:e]]).mean(axis=1)
-    keep = est >= jaccard_threshold - 0.15
-    sets: dict = {}
+    def verify(pairs: pa.Table, payload: pa.Table) -> pa.Table:
+        from .streams import str_stream_from_arrow
 
-    def shingle_set(i):
-        if i not in sets:
-            sets[i] = set(_char_shingles(text_of[i], shingle_k).tolist())
-        return sets[i]
+        ids_f = payload[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids_f)
+        ids_sorted = ids_f[order]
+        lengths, data, _ = str_stream_from_arrow(payload[text_col])
+        sig_mat = batch_minhash_signatures(lengths, data, n_perm, shingle_k)
+        ai = order[np.searchsorted(
+            ids_sorted, pairs["id_a"].to_numpy(zero_copy_only=False))]
+        bi = order[np.searchsorted(
+            ids_sorted, pairs["id_b"].to_numpy(zero_copy_only=False))]
+        est = np.empty(len(ai), dtype=np.float64)
+        for s in range(0, len(ai), 200_000):  # chunked: bound peak memory
+            e = min(s + 200_000, len(ai))
+            est[s:e] = (sig_mat[ai[s:e]] == sig_mat[bi[s:e]]).mean(axis=1)
+        keep = est >= jaccard_threshold - 0.15
+        sh, offs = _batch_shingle_stream(lengths, data, shingle_k)
+        sets: dict = {}
 
-    a_out, b_out, j_out = [], [], []
-    for a, b in zip(cand_df["id_a"].to_numpy()[keep].tolist(),
-                    cand_df["id_b"].to_numpy()[keep].tolist()):
-        sa, sb = shingle_set(a), shingle_set(b)
-        union = len(sa | sb)
-        jac = len(sa & sb) / union if union else 1.0
-        if jac >= jaccard_threshold:
-            a_out.append(a)
-            b_out.append(b)
-            j_out.append(jac)
-    out = pa.table({"id_a": pa.array(a_out, pa.int64()),
-                    "id_b": pa.array(b_out, pa.int64()),
-                    "jaccard": pa.array(j_out, pa.float64())})
+        def shingle_set(i):
+            if i not in sets:
+                sets[i] = set(sh[offs[i]: offs[i + 1]].tolist())
+            return sets[i]
+
+        a_ids = pairs["id_a"].to_numpy(zero_copy_only=False)[keep]
+        b_ids = pairs["id_b"].to_numpy(zero_copy_only=False)[keep]
+        a_out, b_out, j_out = [], [], []
+        for a, b, ia, ib in zip(a_ids.tolist(), b_ids.tolist(),
+                                ai[keep].tolist(), bi[keep].tolist()):
+            sa, sb = shingle_set(ia), shingle_set(ib)
+            union = len(sa | sb)
+            jac = len(sa & sb) / union if union else 1.0
+            if jac >= jaccard_threshold:
+                a_out.append(a)
+                b_out.append(b)
+                j_out.append(jac)
+        return pa.table({"id_a": pa.array(a_out, pa.int64()),
+                         "id_b": pa.array(b_out, pa.int64()),
+                         "jaccard": pa.array(j_out, pa.float64())})
+
+    out = distributed_pair_verify(ds, cand_tab, id_col, [text_col], verify)
+    if out.num_rows == 0:
+        return rd.from_arrow(empty)
     return rd.from_arrow(out.take(pc.sort_indices(
         out, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")])))
 

@@ -217,3 +217,71 @@ def test_near_dedup_removes_planted_cluster(docs_ds):
     assert 0 in ids and 3 in ids
     assert {1, 2, 4}.isdisjoint(ids)
     assert len(out) == make_docs_table().num_rows - 3
+
+
+def test_minhash_verify_is_distributed(ray_session, monkeypatch):
+    """The exact-verify stage must NOT materialize candidate texts on
+    the driver (round-2 scale flag): a planted mega-cluster of 60
+    templated near-identical docs goes through minhash_lsh_pairs with
+    the driver-side fetch path poisoned — correctness must come from
+    the distributed pair-verify alone."""
+    import ray.data as rd
+
+    import arcade_ray.collect as collect
+
+    texts, ids = [], []
+    base = ("template document number %d with a very long shared body "
+            "that repeats across the cluster " + "filler words " * 10)
+    for i in range(60):  # one mega-cluster: all near-identical
+        texts.append(base % 0)
+        ids.append(i)
+    for i in range(60, 80):  # distinct tail
+        texts.append(f"unique document {i} " + " ".join(
+            f"tok{i}_{j}" for j in range(15)))
+        ids.append(i)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    }))
+
+    def poisoned(*a, **k):
+        raise AssertionError(
+            "fetch_by_ids called from the minhash verify path — "
+            "candidate payloads materialized on the driver")
+
+    monkeypatch.setattr(collect, "fetch_by_ids", poisoned)
+    pairs = minhash_lsh_pairs(ds, jaccard_threshold=0.7).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    # the mega-cluster produces all-pairs among ids 0..59
+    assert (0, 1) in got and (0, 59) in got and (58, 59) in got
+    assert len(got) == 60 * 59 // 2
+    assert all(a < 60 and b < 60 for a, b in got)
+
+
+def test_embedding_verify_is_distributed(ray_session, monkeypatch):
+    """Same contract for the embedding near-dup verify stage."""
+    import ray.data as rd
+
+    import arcade_ray.collect as collect
+    from arcade_ray.ann import near_dup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(16)
+    mat = rng.standard_normal((40, 16))
+    for i in range(10):  # planted cluster: ids 0..9 near-identical
+        mat[i] = base + rng.standard_normal(16) * 0.01
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(40), type=pa.int64()),
+        "embedding": pa.array([r.tolist() for r in mat],
+                              type=pa.list_(pa.float32())),
+    }))
+
+    def poisoned(*a, **k):
+        raise AssertionError("fetch_by_ids called from the embedding "
+                             "verify path")
+
+    monkeypatch.setattr(collect, "fetch_by_ids", poisoned)
+    out = near_dup_pairs(ds, threshold=0.95)
+    got = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+    assert (0, 1) in got and (0, 9) in got and (8, 9) in got
+    assert all(a < 10 and b < 10 for a, b in got)
