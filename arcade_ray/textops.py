@@ -434,74 +434,126 @@ def near_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 # --- SimHash ----------------------------------------------------------------
 
 
-def simhash64(texts: list[str], seed: int = 42) -> np.ndarray:
-    """64-bit SimHash over word features (vectorized per doc)."""
-    out = np.zeros(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        words = t.lower().split()
-        if not words:
-            continue
-        lens = np.array([len(w.encode("utf-8", "ignore")) for w in words], dtype=np.int64)
-        data = b"".join(w.encode("utf-8", "ignore") for w in words)
-        h = hash_strings(lens, data)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-        votes = (2 * bits - 1).sum(axis=0)
-        out[i] = np.sum(
-            (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
-        )
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (byte-table lookup; numpy<2 has no
+    bitwise_count)."""
+    return _POP8[np.ascontiguousarray(x).view(np.uint8).reshape(-1, 8)] \
+        .sum(axis=1).astype(np.int64)
+
+
+def simhash64(texts) -> np.ndarray:
+    """64-bit SimHash over lowercase word features, vectorized across
+    ALL documents: one arrow lower+split pass, one hash_strings call
+    over the flattened word stream, per-doc bit votes via
+    np.add.reduceat over doc boundaries — no per-document Python."""
+    arr = pa.array(texts) if isinstance(texts, list) else texts
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    from .streams import str_stream_from_arrow
+
+    words = pc.utf8_split_whitespace(pc.utf8_lower(arr))
+    word_counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(words.combine_chunks()
+                           if isinstance(words, pa.ChunkedArray) else words)
+    lengths, data, _ = str_stream_from_arrow(flat)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), word_counts)
+    h = hash_strings(lengths, data)
+    nonempty = lengths > 0  # regex split emits empties at string edges
+    doc_of, h = doc_of[nonempty], h[nonempty]
+    if len(h) == 0:
+        return out
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64))
+            & np.uint64(1)).astype(np.int32)
+    contrib = 2 * bits - 1
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(doc_of)) + 1])
+    votes = np.add.reduceat(contrib, starts, axis=0)
+    sigs = ((votes > 0).astype(np.uint64)
+            << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
+    out[doc_of[starts]] = sigs
     return out
 
 
+def simhash_band_rows(batch: pa.Table, text_col: str = "text",
+                      id_col: str = "doc_id") -> pa.Table:
+    """(bucket key, id, simhash) rows — all SimHash ever shuffles
+    (24 B/row x 4 bands, never text). The key packs the band index
+    above the band's 16-bit slice (any pair within Hamming<=3 shares
+    at least one of the 4 bands)."""
+    h = simhash64(batch[text_col])
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    shifts = (np.uint64(16) * np.arange(4, dtype=np.uint64))[:, None]
+    keys = ((h[None, :] >> shifts) & np.uint64(0xFFFF)).astype(np.int64)
+    bk = (np.arange(4, dtype=np.int64)[:, None] << 16) | keys  # (4, n)
+    return pa.table({
+        "bk": pa.array(bk.reshape(-1)),
+        id_col: pa.array(np.tile(ids, 4)),
+        "sh": pa.array(np.tile(h.view(np.int64), 4)),
+    })
+
+
 def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3):
-    """Near-dup pairs via SimHash: band the 64-bit hash into 4 x 16-bit
-    keys (any pair within Hamming<=3 shares at least one band), bucket
-    by band value, verify Hamming distance in-bucket."""
+                  max_hamming: int = 3, max_bucket: int = 4096):
+    """Near-dup pairs via SimHash banding, fully vectorized (the
+    round-2 review flagged the per-group map_groups verify and the
+    per-pair dedup): hot_bucket_rows pulls only buckets with >= 2
+    members (vectorized count aggregate — singleton buckets never
+    touch Python), in-bucket pairs come from a run-boundary scan, the
+    Hamming verify is one XOR + byte-table popcount over all candidate
+    pairs at once, and the cross-band dedup is a single np.unique.
 
-    def sig(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        h = simhash64(texts)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        n = len(ids)
-        # numpy repeat/tile row assembly — shuffle carries
-        # (band, 16-bit key, id, 8-byte hash) only, never text
-        shifts = (np.uint64(16) * np.arange(4, dtype=np.uint64))[:, None]
-        keys = ((h[None, :] >> shifts) & np.uint64(0xFFFF)).astype(np.int64)
-        return pa.table({
-            "band": pa.array(np.repeat(np.arange(4, dtype=np.int32), n)),
-            "key": pa.array(keys.reshape(-1)),
-            id_col: pa.array(np.tile(ids, 4)),
-            "sh": pa.array(np.tile(h.view(np.int64), 4)),
-        })
+    Returns Dataset[(id_a, id_b, hamming)] with id_a < id_b."""
+    import ray.data as rd
 
-    def verify(group):
-        import pandas as pd
+    from .collect import hot_bucket_rows
 
-        group = group.sort_values(id_col).drop_duplicates(subset=[id_col])
-        ids = group[id_col].tolist()
-        hs = group["sh"].to_numpy().astype(np.int64).view(np.uint64)
-        a_out, b_out, d_out = [], [], []
-        for i in range(len(ids)):
-            dist = np.zeros(len(ids) - i - 1, dtype=np.int64)
-            x = hs[i + 1:] ^ hs[i]
-            for _ in range(64):
-                dist += (x & np.uint64(1)).astype(np.int64)
-                x = x >> np.uint64(1)
-            hits = np.flatnonzero(dist <= max_hamming)
-            for j in hits:
-                a_out.append(ids[i])
-                b_out.append(ids[i + 1 + j])
-                d_out.append(int(dist[j]))
-        return pd.DataFrame({"id_a": a_out, "id_b": b_out, "hamming": d_out})
-
-    pairs = (
-        ds.map_batches(sig, batch_format="pyarrow")
-        .groupby(["band", "key"])
-        .map_groups(verify, batch_format="pandas")
-    )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    sig_ds = ds.map_batches(
+        lambda b: simhash_band_rows(b, text_col, id_col),
+        batch_format="pyarrow").materialize()
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int64())})
+    rows = hot_bucket_rows(sig_ds, "bk")
+    if rows.num_rows == 0:
+        return rd.from_arrow(empty)
+    bk = rows["bk"].to_numpy(zero_copy_only=False)
+    ids = rows[id_col].to_numpy(zero_copy_only=False)
+    sh = rows["sh"].to_numpy(zero_copy_only=False)
+    # unique (bk, id) — duplicated input rows would self-pair otherwise
+    key = np.stack([bk, ids], axis=1)
+    _, uidx = np.unique(key, axis=0, return_index=True)
+    order = uidx[np.lexsort((ids[uidx], bk[uidx]))]
+    bk_s, ids_s, sh_s = bk[order], ids[order], sh[order]
+    bounds = np.flatnonzero(np.diff(bk_s)) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(bk_s)]])
+    ia_out, ib_out = [], []
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        m = e - s
+        if m < 2 or m > max_bucket:
+            continue
+        iu, ju = np.triu_indices(m, k=1)
+        ia_out.append(s + iu)
+        ib_out.append(s + ju)
+    if not ia_out:
+        return rd.from_arrow(empty)
+    ia = np.concatenate(ia_out)
+    ib = np.concatenate(ib_out)
+    dist = _popcount64(sh_s[ia].view(np.uint64) ^ sh_s[ib].view(np.uint64))
+    keep = dist <= max_hamming
+    trip = np.stack([ids_s[ia[keep]], ids_s[ib[keep]], dist[keep]], axis=1)
+    trip = np.unique(trip, axis=0)  # cross-band dedup (same pair -> same dist)
+    return rd.from_arrow(pa.table({
+        "id_a": pa.array(trip[:, 0], type=pa.int64()),
+        "id_b": pa.array(trip[:, 1], type=pa.int64()),
+        "hamming": pa.array(trip[:, 2], type=pa.int64()),
+    }))
 
 
 # --- text analysis ----------------------------------------------------------
