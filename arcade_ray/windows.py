@@ -10,30 +10,65 @@ from __future__ import annotations
 
 
 def session_windows(ds, key_col: str = "user_id", ts_col: str = "ts",
-                    gap_s: float = 1800.0):
-    """Gap-based session windows over a stream-shaped table: partition
-    by key, sort by timestamp within the group, close a session when
-    the gap to the previous event exceeds ``gap_s`` (guide
-    'Streaming-shaped workloads': windowing inside
-    groupby(key).map_groups over the sorted group). Returns one row per
-    session: (key, session_start, session_end, n_events)."""
+                    gap_s: float = 1800.0, n_buckets: int | None = None):
+    """Gap-based session windows over a stream-shaped table. Returns
+    one row per session: (key, session_start, session_end, n_events).
 
-    def sessions(group):
-        import pandas as pd
+    Scale shape (the round-2 review flagged one pandas call per KEY):
+    rows are hash-bucketed by key into ~2x-CPU coarse buckets, so the
+    groupby shuffle co-locates each key's rows while the per-group
+    Python cost is O(n_buckets), not O(keys). Inside a bucket,
+    everything is one vectorized pass: arrow sort by (key, ts),
+    session breaks from a key-change/gap diff, per-session aggregates
+    from run boundaries — no per-key pandas groups."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-        g = group.sort_values(ts_col)
-        ts = pd.to_datetime(g[ts_col])
-        gaps = ts.diff().dt.total_seconds().fillna(float("inf"))
-        session_id = (gaps > gap_s).cumsum()
-        agg = g.assign(_sid=session_id, _ts=ts).groupby("_sid").agg(
-            **{key_col: (key_col, "first"),
-               "session_start": ("_ts", "min"),
-               "session_end": ("_ts", "max")}
-        )
-        agg["n_events"] = g.groupby(session_id).size().values
-        return agg.reset_index(drop=True)
+    from .hashing import hash_column
 
-    return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
+    if n_buckets is None:
+        import ray
+
+        avail = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        n_buckets = max(8, 2 * avail)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        b = (hash_column(batch[key_col]) % np.uint64(n_buckets)).astype(np.int64)
+        return batch.append_column("_sb", pa.array(b))
+
+    def sessions(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[(key_col, "ascending"), (ts_col, "ascending")]))
+        ts = t[ts_col].combine_chunks()
+        unit = ts.type.unit if pa.types.is_timestamp(ts.type) else "us"
+        per_s = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+        ts_i = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keys = t[key_col].combine_chunks()
+        n = len(ts_i)
+        new_sess = np.ones(n, dtype=bool)
+        if n > 1:
+            key_change = pc.invert(pc.equal(
+                keys.slice(1), keys.slice(0, n - 1))).to_numpy(
+                    zero_copy_only=False).astype(bool)
+            gap = (ts_i[1:] - ts_i[:-1]) > gap_s * per_s
+            new_sess[1:] = key_change | gap
+        starts = np.flatnonzero(new_sess)
+        ends = np.concatenate([starts[1:], [n]])
+        take_starts = pa.array(starts, type=pa.int64())
+        return pa.table({
+            key_col: keys.take(take_starts),
+            "session_start": ts.take(take_starts),
+            "session_end": ts.take(pa.array(ends - 1, type=pa.int64())),
+            "n_events": pa.array(ends - starts, type=pa.int64()),
+        })
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("_sb")
+            .map_groups(sessions, batch_format="pyarrow"))
 
 
 
