@@ -563,56 +563,65 @@ def _dict_counts_partition(path: str, col: str, totals: dict[str, int]) -> None:
 def dict_group_aggregate(out_dir: str, key_col: str, value_col: str) -> pa.Table:
     """GROUP BY ``key_col`` -> SUM/MIN/MAX/COUNT(``value_col``) with
     the KEY column never materialized per row: group membership comes
-    straight from the bit-unpacked dictionary codes (np.bincount with
-    weights); only the value column decodes. Extends the decode-free
-    aggregation family (dict_value_counts) to real aggregates. One Ray
-    task per partition emits key->partial rows; the driver merges the
-    tiny partials."""
+    straight from the bit-unpacked dictionary codes; only the value
+    column decodes. Extends the decode-free aggregation family
+    (dict_value_counts) to real aggregates. One Ray task per partition
+    emits key->partial rows; the driver merges the tiny partials.
+
+    Integer value columns accumulate in int64 (per-chunk reduceat) and
+    merge as Python ints — EXACT at any scale, where a float64
+    accumulator silently loses low bits past 2^53 (round-2 review
+    finding). Float columns keep the float64 path."""
     import ray.data as rd
 
-    paths = rd.from_items([{"path": r["path"]} for r in _manifest_paths(out_dir)])
+    rows = _manifest_paths(out_dir)
+    header0, _ = read_header(rows[0]["path"])
+    integral = header0["columns"][value_col].get("tag") not in ("f32", "f64")
+    agg_t = pa.int64() if integral else pa.float64()
+
+    paths = rd.from_items([{"path": r["path"]} for r in rows])
 
     def run(batch: pa.Table) -> pa.Table:
-        sums: dict[str, float] = {}
-        mins: dict[str, float] = {}
-        maxs: dict[str, float] = {}
+        sums: dict = {}
+        mins: dict = {}
+        maxs: dict = {}
         counts: dict[str, int] = {}
         for p in batch["path"]:
             _dict_group_agg_partition(p.as_py(), key_col, value_col,
-                                      sums, mins, maxs, counts)
+                                      sums, mins, maxs, counts, integral)
         keys = sorted(sums)
         return pa.table({
             key_col: pa.array(keys, type=pa.string()),
-            "sum_v": pa.array([sums[k] for k in keys], type=pa.float64()),
-            "min_v": pa.array([mins[k] for k in keys], type=pa.float64()),
-            "max_v": pa.array([maxs[k] for k in keys], type=pa.float64()),
+            "sum_v": pa.array([sums[k] for k in keys], type=agg_t),
+            "min_v": pa.array([mins[k] for k in keys], type=agg_t),
+            "max_v": pa.array([maxs[k] for k in keys], type=agg_t),
             "n_rows": pa.array([counts[k] for k in keys], type=pa.int64()),
         })
 
     partials = paths.map_batches(run, batch_format="pyarrow", batch_size=1)
-    sums: dict[str, float] = {}
-    mins: dict[str, float] = {}
-    maxs: dict[str, float] = {}
+    sums: dict = {}
+    mins: dict = {}
+    maxs: dict = {}
     counts: dict[str, int] = {}
     for row in partials.take_all():
         k = row[key_col]
-        sums[k] = sums.get(k, 0.0) + row["sum_v"]
+        sums[k] = sums.get(k, 0) + row["sum_v"]
         mins[k] = min(mins.get(k, row["min_v"]), row["min_v"])
         maxs[k] = max(maxs.get(k, row["max_v"]), row["max_v"])
         counts[k] = counts.get(k, 0) + row["n_rows"]
     keys = sorted(sums)
     return pa.table({
         key_col: pa.array(keys, type=pa.string()),
-        "sum_v": pa.array([sums[k] for k in keys], type=pa.float64()),
-        "min_v": pa.array([mins[k] for k in keys], type=pa.float64()),
-        "max_v": pa.array([maxs[k] for k in keys], type=pa.float64()),
+        "sum_v": pa.array([sums[k] for k in keys], type=agg_t),
+        "min_v": pa.array([mins[k] for k in keys], type=agg_t),
+        "max_v": pa.array([maxs[k] for k in keys], type=agg_t),
         "n_rows": pa.array([counts[k] for k in keys], type=pa.int64()),
     })
 
 
 def _dict_group_agg_partition(path: str, key_col: str, value_col: str,
                               sums: dict, mins: dict, maxs: dict,
-                              counts: dict) -> None:
+                              counts: dict, integral: bool = False) -> None:
     from ..codecs.str_codecs import decode_codes
     from ..column import StringColumnDecoder
 
@@ -634,7 +643,11 @@ def _dict_group_agg_partition(path: str, key_col: str, value_col: str,
             vch = vcm["chunks"][ci]
             f.seek(base + vch["off"])
             vals_arr = vdec.decode(vch, read_exact(f, vch["nb"], value_col))
-            vals = vals_arr.to_numpy(zero_copy_only=False).astype(np.float64)
+            vals_np = vals_arr.to_numpy(zero_copy_only=False)
+            # int64 chunk accumulator + Python-int cross-chunk merge is
+            # exact; a float64 accumulator loses low bits past 2^53
+            vals = vals_np.astype(np.int64, copy=False) if integral \
+                else vals_np.astype(np.float64)
             if ch["mode"] == "plain":
                 sdec.advance_dict(ch, payload)
                 from ..codecs.str_codecs import decode_str_values
@@ -654,7 +667,6 @@ def _dict_group_agg_partition(path: str, key_col: str, value_col: str,
                 np.cumsum(sdec.u_lengths, out=u_offsets[1:])
                 pool = None  # resolved lazily below for touched codes only
             minlength = (len(pool) if pool is not None else ch["d_total"])
-            s = np.bincount(codes, weights=vals, minlength=minlength)
             n = np.bincount(codes, minlength=minlength)
             nz = np.flatnonzero(n)
             order = np.argsort(codes, kind="stable")
@@ -662,15 +674,16 @@ def _dict_group_agg_partition(path: str, key_col: str, value_col: str,
             vs = vals[order]
             bounds = np.searchsorted(cs, nz)
             bounds = np.append(bounds, len(cs))
+            box = int if integral else float
             for j, code in enumerate(nz.tolist()):
                 if pool is not None:
                     key = pool[code]
                 else:
                     key = sdec.u_data[u_offsets[code]: u_offsets[code + 1]].decode("utf-8")
                 seg = vs[bounds[j]: bounds[j + 1]]
-                sums[key] = sums.get(key, 0.0) + float(s[code])
-                mins[key] = min(mins.get(key, float(seg.min())), float(seg.min()))
-                maxs[key] = max(maxs.get(key, float(seg.max())), float(seg.max()))
+                sums[key] = sums.get(key, 0) + box(seg.sum())
+                mins[key] = min(mins.get(key, box(seg.min())), box(seg.min()))
+                maxs[key] = max(maxs.get(key, box(seg.max())), box(seg.max()))
                 counts[key] = counts.get(key, 0) + int(n[code])
 
 

@@ -168,3 +168,30 @@ def test_dict_distinct_values(encoded):
 
     exp = sorted(pc.unique(table["source"].combine_chunks()).to_pylist())
     assert got["source"].to_pylist() == exp
+
+
+def test_dict_group_aggregate_exact_past_2_53(ray_session, tmp_path):
+    """Integer grouped sums must be EXACT above 2^53 — a float64
+    accumulator silently loses low bits there (round-2 review). The
+    odd low bits of these values vanish under float64 summation."""
+    import ray.data as rd
+
+    from arcade_ray.pipeline.query import dict_group_aggregate
+
+    big = (1 << 53) + 1  # not representable in float64
+    vals = [big, big + 2, big + 4, 3, 5]
+    srcs = ["a", "a", "a", "b", "b"]
+    t = pa.table({
+        "doc_id": pa.array(range(5), type=pa.int64()),
+        "source": pa.array(srcs),
+        "v": pa.array(vals, type=pa.int64()),
+    })
+    out_dir = str(tmp_path / "enc")
+    encode_dataset(rd.from_arrow(t), out_dir, key_col="source",
+                   weight_col=None)
+    got = dict_group_aggregate(out_dir, "source", "v")
+    assert got["sum_v"].type == pa.int64()
+    by = dict(zip(got["source"].to_pylist(), got["sum_v"].to_pylist()))
+    assert by["a"] == 3 * big + 6  # float64 would round this
+    assert by["b"] == 8
+    assert float(3 * big + 6) != 3 * big + 6  # the trap is real
