@@ -234,14 +234,19 @@ def cmd_compound_filter(args) -> None:
             preds.append(("between", col,
                           _coerce_with_header(header, col, lo),
                           _coerce_with_header(header, col, hi)))
+        for spec in args.neq:
+            col, val = spec.split("=", 1)
+            preds.append(("not",
+                          ("eq", col, _coerce_with_header(header, col, val))))
     except ValueError:
         sys.exit("error: a predicate literal does not parse as the type "
                  "of its column")
     if not preds:
-        sys.exit("error: pass at least one --eq or --between predicate")
+        sys.exit("error: pass at least one --eq/--neq/--between predicate")
+    tree = ("or", preds) if args.any else preds
     t0 = time.perf_counter()
     try:
-        out = collect_arrow(compound_filter(args.out_dir, preds,
+        out = collect_arrow(compound_filter(args.out_dir, tree,
                                             project=_cols(args.project)))
     except KeyError as e:
         sys.exit(f"error: {e.args[0]}")
@@ -329,12 +334,17 @@ def main(argv=None) -> None:
     jn.set_defaults(fn=cmd_join)
 
     cf = sub.add_parser("compound-filter",
-                        help="AND of eq/range predicates over encoded data")
+                        help="AND/OR/NOT of eq/range predicates over "
+                             "encoded data")
     cf.add_argument("out_dir")
     cf.add_argument("--eq", action="append", default=[],
                     help="col=value (repeatable)")
+    cf.add_argument("--neq", action="append", default=[],
+                    help="col=value negated equality (repeatable)")
     cf.add_argument("--between", action="append", default=[],
                     help="col=lo,hi (repeatable)")
+    cf.add_argument("--any", action="store_true",
+                    help="OR the predicates instead of ANDing them")
     cf.add_argument("--project", required=True)
     cf.add_argument("--show", type=int, default=0)
     cf.set_defaults(fn=cmd_compound_filter)

@@ -382,6 +382,34 @@ def q_compound_filter(sf_dir: str) -> pa.Table:
     ))
 
 
+def q_compound_or_filter(sf_dir: str) -> pa.Table:
+    """OR across predicates over encoded data (per-chunk match-index
+    union; manifest prunes only when every branch excludes)."""
+    from .pipeline.query import compound_filter
+
+    out = encoded_dir(sf_dir, "documents")
+    return _collect(compound_filter(
+        out,
+        ("or", [("eq", "lang", "en"),
+                ("between", "n_chars", 451, 1 << 40)]),
+        project=["doc_id", "lang", "n_chars"],
+    ))
+
+
+def q_negation_filter(sf_dir: str) -> pa.Table:
+    """NOT over an equality predicate (per-chunk complement against
+    the chunk row count), composed under an AND."""
+    from .pipeline.query import compound_filter
+
+    out = encoded_dir(sf_dir, "documents")
+    return _collect(compound_filter(
+        out,
+        ("and", [("not", ("eq", "lang", "en")),
+                 ("between", "n_chars", 100, 200)]),
+        project=["doc_id", "lang", "n_chars"],
+    ))
+
+
 def q_expr_filter(sf_dir: str) -> pa.Table:
     """Decoded-side expression surface: plain ds.filter(expr) on a
     scan of the encoded data (SURVEY §2.1 row 9's promised dual)."""
@@ -674,6 +702,8 @@ QUERIES = {
     "join_orders_customer": q_join_orders_customer,
     "join_lineitem_orders": q_join_lineitem_orders,
     "compound_filter": q_compound_filter,
+    "compound_or_filter": q_compound_or_filter,
+    "negation_filter": q_negation_filter,
     "expr_filter": q_expr_filter,
     "ann_lsh_recall": q_ann_lsh_recall,
     "ann_topk_ivf": q_ann_topk_ivf,
@@ -755,6 +785,14 @@ ORACLE_SQL = {
     "compound_filter": (
         "SELECT doc_id, lang, n_chars FROM documents "
         "WHERE lang = 'en' AND n_chars BETWEEN 100 AND 200"
+    ),
+    "compound_or_filter": (
+        "SELECT doc_id, lang, n_chars FROM documents "
+        "WHERE lang = 'en' OR n_chars > 450"
+    ),
+    "negation_filter": (
+        "SELECT doc_id, lang, n_chars FROM documents "
+        "WHERE lang <> 'en' AND n_chars BETWEEN 100 AND 200"
     ),
     "expr_filter": "SELECT doc_id, n_chars FROM documents WHERE n_chars > 450",
     "ann_lsh_recall": (

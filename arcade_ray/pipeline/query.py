@@ -406,47 +406,89 @@ def dict_distinct_values(out_dir: str, col: str) -> pa.Table:
     return pa.table({col: pa.array(vals, type=pa.string())})
 
 
-def compound_filter(out_dir: str, preds: list[tuple], project: list[str]):
-    """AND of equality and range predicates over encoded data — the
-    composition the reference never shipped ("single equi filter at a
-    time", README.md:122); its zone maps compose trivially.
+def _normalize_pred(preds):
+    """Accept a flat leaf list (implicit AND — the original API) or a
+    nested tree of ("and", [..]) / ("or", [..]) / ("not", child) over
+    ("eq", col, lit) / ("between", col, lo, hi) leaves."""
+    if isinstance(preds, list):
+        if not preds:
+            raise ValueError("compound_filter needs at least one predicate")
+        return ("and", [_normalize_pred(p) for p in preds])
+    op = preds[0]
+    if op in ("eq", "between"):
+        return preds
+    if op == "not":
+        return ("not", _normalize_pred(preds[1]))
+    if op in ("and", "or"):
+        if not preds[1]:
+            raise ValueError(f"empty {op!r} predicate")
+        return (op, [_normalize_pred(c) for c in preds[1]])
+    raise ValueError(f"unknown predicate kind {op!r}")
 
-    ``preds``: list of ``("eq", col, literal)`` and
-    ``("between", col, lo, hi)`` tuples. Manifest zone maps prune
-    partitions per predicate before any task spawns; within a
-    partition, each predicate's per-chunk match indices (code-domain
-    compare for dictionary equality, zone shortcuts for ranges) are
-    intersected, and only surviving chunks decode the projection.
-    -> ray.data.Dataset of projected matching rows."""
+
+def _pred_columns(node) -> list[str]:
+    if node[0] in ("eq", "between"):
+        return [node[1]]
+    if node[0] == "not":
+        return _pred_columns(node[1])
+    return [c for ch in node[1] for c in _pred_columns(ch)]
+
+
+def _zone_excluded(header0: dict, stats: dict, node) -> bool:
+    """Whether the manifest zone stats PROVE this partition matches no
+    rows: leaves use min/max containment, AND prunes if any child is
+    excluded, OR only if every child is, NOT never prunes (zone maps
+    bound presence, not absence — the complement can always match)."""
+    op = node[0]
+    if op == "and":
+        return any(_zone_excluded(header0, stats, c) for c in node[1])
+    if op == "or":
+        return all(_zone_excluded(header0, stats, c) for c in node[1])
+    if op == "not":
+        return False
+    if not _manifest_prunable(header0, node[1]):
+        return False
+    s = stats.get(node[1], {})
+    zlo, zhi = s.get("min"), s.get("max")
+    if zlo is None or zhi is None:
+        return False
+    if op == "eq":
+        return not (zlo <= node[2] <= zhi)
+    return node[3] < zlo or node[2] > zhi
+
+
+def compound_filter(out_dir: str, preds, project: list[str]):
+    """Boolean combination of equality/range predicates over encoded
+    data — the composition the reference never shipped ("single equi
+    filter at a time", README.md:122); its zone maps compose trivially.
+
+    ``preds``: a flat list of ``("eq", col, literal)`` /
+    ``("between", col, lo, hi)`` leaves (implicit AND) or a nested
+    ``("and", [...])`` / ``("or", [...])`` / ``("not", child)`` tree.
+    Manifest zone maps prune partitions before any task spawns (AND:
+    any excluded child; OR: all excluded; NOT: no pruning); within a
+    partition, per-chunk match indices (code-domain compare for
+    dictionary equality, zone shortcuts for ranges) are intersected /
+    unioned / complemented, and only surviving chunks decode the
+    projection. -> ray.data.Dataset of projected matching rows.
+
+    NOT is a SET complement: over a null-bearing column it returns the
+    null rows too (SQL three-valued logic would drop them); the v1
+    format is null-free so the distinction is theoretical here."""
     import ray.data as rd
 
-    if not preds:
-        raise ValueError("compound_filter needs at least one predicate")
-    for p in preds:
-        if p[0] not in ("eq", "between"):
-            raise ValueError(f"unknown predicate kind {p[0]!r}")
+    tree = _normalize_pred(preds)
     rows = _manifest_paths(out_dir)
     header0, _ = read_header(rows[0]["path"])
     known = list(header0["columns"])
-    for c in [p[1] for p in preds] + list(project):
+    for c in _pred_columns(tree) + list(project):
         if c not in known:
             raise KeyError(f"column {c!r} not in encoded dataset (columns: {known})")
-
-    def excluded(stats: dict, pred: tuple) -> bool:
-        if not _manifest_prunable(header0, pred[1]):
-            return False
-        s = stats.get(pred[1], {})
-        zlo, zhi = s.get("min"), s.get("max")
-        if zlo is None or zhi is None:
-            return False
-        if pred[0] == "eq":
-            return not (zlo <= pred[2] <= zhi)
-        return pred[3] < zlo or pred[2] > zhi
 
     survivors = []
     for r in rows:
         stats = json.loads(r["col_stats"])
-        if any(excluded(stats, p) for p in preds):
+        if _zone_excluded(header0, stats, tree):
             continue
         survivors.append({"path": r["path"]})
     if not survivors:
@@ -456,34 +498,72 @@ def compound_filter(out_dir: str, preds: list[tuple], project: list[str]):
     def run(batch: pa.Table) -> pa.Table:
         tables = []
         for p in batch["path"]:
-            tables.append(_compound_filter_partition(p.as_py(), preds, project))
+            tables.append(_compound_filter_partition(p.as_py(), tree, project))
         return pa.concat_tables(tables)
 
     return ds.map_batches(run, batch_format="pyarrow", batch_size=1)
 
 
-def _compound_filter_partition(path: str, preds: list[tuple],
-                               project: list[str]) -> pa.Table:
-    header, base = read_header(path)
-    combined: list | None = None
-    backfill = {p[1]: p[2] for p in preds if p[0] == "eq"}
-    for p in preds:
-        if combined is not None and all(
-            m is None or len(m) == 0 for m in combined
-        ):
-            break  # already empty; skip remaining predicate scans
-        if p[0] == "eq":
-            mi = _equi_match_idx(path, header, base, p[1], p[2])
-        else:
-            mi = _range_match_idx(path, header, base, p[1], p[2], p[3])
-        if combined is None:
-            combined = mi
-        else:
-            combined = [
+def _eval_match_idx(path: str, header: dict, base: int, node) -> list:
+    """Per-chunk match indices for a predicate tree (None == provably
+    empty chunk). Leaves run the zone-pruned code-domain scans; AND
+    intersects, OR unions, NOT complements against the chunk row
+    count."""
+    op = node[0]
+    if op == "eq":
+        return _equi_match_idx(path, header, base, node[1], node[2])
+    if op == "between":
+        return _range_match_idx(path, header, base, node[1], node[2], node[3])
+    if op == "and":
+        combined = None
+        for ch in node[1]:
+            if combined is not None and all(
+                m is None or len(m) == 0 for m in combined
+            ):
+                break  # already empty; skip remaining predicate scans
+            mi = _eval_match_idx(path, header, base, ch)
+            combined = mi if combined is None else [
                 None if (a is None or b is None)
                 else np.intersect1d(a, b, assume_unique=True)
                 for a, b in zip(combined, mi)
             ]
+        return combined
+    if op == "or":
+        combined = None
+        for ch in node[1]:
+            mi = _eval_match_idx(path, header, base, ch)
+            if combined is None:
+                combined = mi
+            else:
+                combined = [
+                    b if a is None else a if b is None
+                    else np.union1d(a, b)
+                    for a, b in zip(combined, mi)
+                ]
+        return combined
+    if op == "not":
+        child = _eval_match_idx(path, header, base, node[1])
+        out = []
+        for i, m in enumerate(child):
+            nrows = _chunk_rows(header, i)
+            if m is None or len(m) == 0:
+                out.append(np.arange(nrows))
+            elif len(m) == nrows:
+                out.append(None)
+            else:
+                out.append(np.setdiff1d(np.arange(nrows), m,
+                                        assume_unique=True))
+        return out
+    raise ValueError(f"unknown predicate kind {op!r}")
+
+
+def _compound_filter_partition(path: str, tree, project: list[str]) -> pa.Table:
+    header, base = read_header(path)
+    # literal backfill is only sound for eq leaves ASSERTED by the root
+    # AND — under OR/NOT a matching row may not satisfy the eq leaf
+    backfill = {c[1]: c[2] for c in tree[1] if c[0] == "eq"} \
+        if tree[0] == "and" else {}
+    combined = _eval_match_idx(path, header, base, tree)
     return _project_matches(path, header, combined, project,
                             backfill=backfill)
 

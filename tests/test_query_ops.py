@@ -195,3 +195,39 @@ def test_dict_group_aggregate_exact_past_2_53(ray_session, tmp_path):
     assert by["a"] == 3 * big + 6  # float64 would round this
     assert by["b"] == 8
     assert float(3 * big + 6) != 3 * big + 6  # the trap is real
+
+
+def test_compound_filter_or_not(encoded):
+    """OR unions per-chunk match indices; NOT complements against the
+    chunk row count; both verified against an arrow-side recompute."""
+    from arcade_ray.pipeline.query import compound_filter
+
+    out_dir, table = encoded
+    lo = int(pc.min(table["n_tok"]).as_py())
+    # OR: source == src-001 OR n_tok <= lo+2
+    got = collect(compound_filter(
+        out_dir,
+        ("or", [("eq", "source", "src-001"),
+                ("between", "n_tok", lo, lo + 2)]),
+        project=["doc_id", "source", "n_tok"]))
+    mask = pc.or_(pc.equal(table["source"], "src-001"),
+                  pc.less_equal(table["n_tok"], lo + 2))
+    expect = table.filter(mask)
+    assert got.num_rows == expect.num_rows
+    assert set(got["doc_id"].to_pylist()) == set(expect["doc_id"].to_pylist())
+    # NOT: everything except one source, AND a range
+    got = collect(compound_filter(
+        out_dir,
+        ("and", [("not", ("eq", "source", "src-001")),
+                 ("between", "n_tok", lo, lo + 5)]),
+        project=["doc_id", "source", "n_tok"]))
+    mask = pc.and_(pc.invert(pc.equal(table["source"], "src-001")),
+                   pc.less_equal(table["n_tok"], lo + 5))
+    expect = table.filter(mask)
+    assert got.num_rows == expect.num_rows
+    assert set(got["doc_id"].to_pylist()) == set(expect["doc_id"].to_pylist())
+    assert "src-001" not in set(got["source"].to_pylist())
+    # pure NOT of a never-matching literal == full table
+    got = collect(compound_filter(
+        out_dir, ("not", ("eq", "source", "src-999")), project=["doc_id"]))
+    assert got.num_rows == table.num_rows
