@@ -195,13 +195,17 @@ def _codec_histogram(manifest) -> dict:
 
 def cmd_join(args) -> None:
     from .collect import collect_arrow
-    from .pipeline.join import broadcast_join, shuffle_join
+    from .pipeline.join import broadcast_join, copartition_join, shuffle_join
 
     probe_key, build_key = args.on.split("=", 1)
     probe_cols = _cols(args.probe_cols)
     build_cols = _cols(args.build_cols)
     t0 = time.perf_counter()
-    if args.shuffle:
+    if args.copartition:
+        ds = copartition_join(args.probe_dir, args.build_dir, probe_key,
+                              build_key, probe_cols, build_cols,
+                              join_type=args.how)
+    elif args.shuffle:
         ds = shuffle_join(args.probe_dir, args.build_dir, probe_key,
                           build_key, probe_cols, build_cols,
                           join_type=args.how)
@@ -329,6 +333,9 @@ def main(argv=None) -> None:
     jn.add_argument("--how", default="inner", choices=["inner", "left"])
     jn.add_argument("--shuffle", action="store_true",
                     help="hash-shuffle join (both sides large)")
+    jn.add_argument("--copartition", action="store_true",
+                    help="co-partitioned exchange join (both sides "
+                         "large; no sort shuffle)")
     jn.add_argument("--out")
     jn.add_argument("--show", type=int, default=0)
     jn.set_defaults(fn=cmd_join)

@@ -355,13 +355,15 @@ def q_join_orders_customer(sf_dir: str) -> pa.Table:
 
 
 def q_join_lineitem_orders(sf_dir: str) -> pa.Table:
-    """Hash-shuffle join over two encoded tables when BOTH sides are
-    large (Ray Data hash-partitioned join over the decoded scans)."""
-    from .pipeline.join import shuffle_join
+    """Join of two encoded tables when BOTH sides are large: hash
+    CO-PARTITIONED via the exchange pattern (one decode+fan-out per
+    partition per side, one Arrow hash join per bucket — no sort
+    shuffle, no re-shuffle of already-decoded blocks)."""
+    from .pipeline.join import copartition_join
 
     li = encoded_dir(sf_dir, "lineitem")
     od = encoded_dir(sf_dir, "orders")
-    return _collect(shuffle_join(
+    return _collect(copartition_join(
         li, od, left_key="l_orderkey", right_key="o_orderkey",
         left_cols=["l_orderkey", "l_quantity"],
         right_cols=["o_orderpriority"],

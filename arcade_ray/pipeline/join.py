@@ -67,6 +67,119 @@ def shuffle_join(left_dir: str, right_dir: str, left_key: str,
     return out.map_batches(lambda b: b.select(keep), batch_format="pyarrow")
 
 
+def copartition_join(left_dir: str, right_dir: str, left_key: str,
+                     right_key: str, left_cols: list[str],
+                     right_cols: list[str], join_type: str = "inner",
+                     n_buckets: int | None = None):
+    """Hash CO-PARTITIONED join of two large ENCODED datasets — the
+    round-2 gap (join.py's own promise): instead of decoding both
+    sides into Ray Data's sort-based join shuffle, reuse the encode
+    exchange's shape directly.
+
+    - SPLIT: one task per encoded partition per side decodes only
+      key+projection columns and fans its rows out to one compact
+      fragment per hash bucket (``ray.put`` from inside the task; only
+      the tiny ref lists travel — the pattern of encode's direct
+      exchange, encode.py:217).
+    - JOIN: one task per bucket fetches exactly its fragments from
+      both sides and joins them with Arrow's vectorized hash join.
+      Both sides are partitioned by the same key hash, so bucket b of
+      the left can ONLY match bucket b of the right.
+
+    One data movement per side (partition -> bucket fragment), no sort
+    comparisons, join parallelism = n_buckets. On a multi-node
+    cluster the fragments are plain object-store objects and Ray
+    fetches them to wherever the join task lands.
+
+    Returns a streaming Dataset with columns left_cols + right_cols."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from ..hashing import hash_column
+    from .encode import _pin_arrow_threads
+
+    arrow_how = {"inner": "inner", "left": "left outer",
+                 "right": "right outer", "full": "full outer"}.get(join_type)
+    if arrow_how is None:
+        raise ValueError(f"join_type must be inner/left/right/full, "
+                         f"got {join_type!r}")
+    if n_buckets is None:
+        n_buckets = max(16, int(ray.cluster_resources().get("CPU", 8)))
+
+    @ray.remote
+    def split(path: str, key: str, cols: list[str]):
+        _pin_arrow_threads()
+        t = decode_partition(path, columns=cols)
+        h = (hash_column(t[key]) % np.uint64(n_buckets)).astype(np.int64)
+        order = np.argsort(h, kind="stable")
+        bounds = np.searchsorted(h[order], np.arange(n_buckets + 1))
+        out = [None] * n_buckets
+        for b in range(n_buckets):
+            lo, hi = int(bounds[b]), int(bounds[b + 1])
+            if hi > lo:
+                # per-fragment take -> compact buffers (a slice view
+                # would serialize its whole parent block)
+                out[b] = ray.put(t.take(pa.array(order[lo:hi],
+                                                 type=pa.int64())))
+        return out
+
+    left_need = list(dict.fromkeys([left_key] + left_cols))
+    right_need = list(dict.fromkeys([right_key] + right_cols))
+    l_paths = [r["path"] for r in load_manifest(left_dir).to_pylist()]
+    r_paths = [r["path"] for r in load_manifest(right_dir).to_pylist()]
+    l_lists = ray.get([split.remote(p, left_key, left_need) for p in l_paths])
+    r_lists = ray.get([split.remote(p, right_key, right_need) for p in r_paths])
+    l_frags = [[fl[b] for fl in l_lists if fl[b] is not None]
+               for b in range(n_buckets)]
+    r_frags = [[fl[b] for fl in r_lists if fl[b] is not None]
+               for b in range(n_buckets)]
+    keep = list(dict.fromkeys(left_cols + right_cols))
+    l_empty = _typed_empty(l_paths[0], left_need)
+    r_empty = _typed_empty(r_paths[0], right_need)
+
+    if arrow_how == "inner":
+        live = [b for b in range(n_buckets) if l_frags[b] and r_frags[b]]
+    elif arrow_how == "left outer":
+        live = [b for b in range(n_buckets) if l_frags[b]]
+    elif arrow_how == "right outer":
+        live = [b for b in range(n_buckets) if r_frags[b]]
+    else:
+        live = [b for b in range(n_buckets) if l_frags[b] or r_frags[b]]
+    if not live:
+        return rd.from_arrow(l_empty.join(
+            r_empty, keys=[left_key], right_keys=[right_key],
+            join_type=arrow_how).select(keep))
+    ds = rd.from_items([{"bucket": b} for b in live])
+
+    def join_bucket(batch: pa.Table) -> pa.Table:
+        _pin_arrow_threads()
+        outs = []
+        for bv in batch["bucket"]:
+            b = bv.as_py()
+            lt = [ray.get(r) for r in l_frags[b]]
+            rt = [ray.get(r) for r in r_frags[b]]
+            left = pa.concat_tables(lt).combine_chunks() if lt else l_empty
+            right = pa.concat_tables(rt).combine_chunks() if rt else r_empty
+            j = left.join(right, keys=[left_key], right_keys=[right_key],
+                          join_type=arrow_how)
+            outs.append(j.select(keep))
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(join_bucket, batch_format="pyarrow", batch_size=1)
+
+
+def _typed_empty(path: str, columns: list[str]) -> pa.Table:
+    """Zero-row table with the encoded dataset's column types (from
+    the partition header) — the missing side of an outer-join bucket."""
+    from ..format import read_header
+    from .query import _col_type
+
+    header, _ = read_header(path)
+    return pa.table({c: pa.array([], type=_col_type(header["columns"][c]))
+                     for c in columns})
+
+
 def _decode_all(out_dir: str, columns: list[str]) -> pa.Table:
     """Decode a (small) encoded dataset to one driver-side table via
     parallel per-partition tasks."""

@@ -117,3 +117,61 @@ def test_compound_filter_empty_result(two_tables):
         o_dir, [("eq", "o_flag", "no-such"), ("between", "o_total", 0, 9)],
         project=["o_orderkey"]))
     assert out.num_rows == 0
+
+
+def test_copartition_join_inner(two_tables):
+    from arcade_ray.pipeline.join import copartition_join
+
+    o_dir, c_dir, orders, cust = two_tables
+    out = collect_arrow(copartition_join(
+        o_dir, c_dir, left_key="o_custkey", right_key="c_custkey",
+        left_cols=["o_orderkey", "o_custkey"], right_cols=["c_seg"]))
+    exp = orders.to_pandas().merge(cust.to_pandas(), left_on="o_custkey",
+                                   right_on="c_custkey")
+    assert out.num_rows == len(exp)
+    got = out.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    exp = exp[["o_orderkey", "o_custkey", "c_seg"]] \
+        .sort_values("o_orderkey").reset_index(drop=True)
+    assert got.equals(exp)
+
+
+def test_copartition_join_left(two_tables):
+    from arcade_ray.pipeline.join import copartition_join
+
+    o_dir, c_dir, orders, cust = two_tables
+    out = collect_arrow(copartition_join(
+        o_dir, c_dir, left_key="o_custkey", right_key="c_custkey",
+        left_cols=["o_orderkey"], right_cols=["c_seg"], join_type="left"))
+    assert out.num_rows == orders.num_rows
+    n_miss = out.filter(pc.is_null(out["c_seg"])).num_rows
+    exp_miss = len([v for v in orders["o_custkey"].to_pylist() if v >= 200])
+    assert n_miss == exp_miss > 0
+
+
+def test_copartition_join_mn_duplicates(two_tables, tmp_path, ray_session):
+    """m:n key multiplicity on BOTH sides — the case broadcast_join
+    rejects — must produce the full cross product per key."""
+    import ray.data as rd
+
+    left = pa.table({
+        "k": pa.array([1, 1, 2, 3], type=pa.int64()),
+        "lv": pa.array(["a", "b", "c", "d"]),
+        "lg": pa.array(["g"] * 4),
+    })
+    right = pa.table({
+        "k": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "rv": pa.array(["x", "y", "z", "w"]),
+        "rg": pa.array(["g"] * 4),
+    })
+    l_dir, r_dir = str(tmp_path / "l"), str(tmp_path / "r")
+    encode_dataset(rd.from_arrow(left), l_dir, key_col="lg", id_col="k",
+                   weight_col=None)
+    encode_dataset(rd.from_arrow(right), r_dir, key_col="rg", id_col="k",
+                   weight_col=None)
+    from arcade_ray.pipeline.join import copartition_join
+
+    out = collect_arrow(copartition_join(
+        l_dir, r_dir, left_key="k", right_key="k",
+        left_cols=["k", "lv"], right_cols=["rv"]))
+    exp = left.to_pandas().merge(right.to_pandas(), on="k")
+    assert out.num_rows == len(exp) == 2 * 3 + 1
