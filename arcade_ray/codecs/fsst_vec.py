@@ -5,12 +5,23 @@ byte 255) but the greedy walk is vectorized: the stream is cut into
 independent blocks of ``BLOCK`` bytes, and ONE cursor per block
 advances in lock-step numpy iterations (cursor count = #blocks, not
 #bytes). A symbol never spans a block boundary — a negligible
-compression loss (< 8 bytes per 4 KiB) that makes the walk data-parallel.
-Decode is unchanged: the emitted stream is a valid FSST stream.
+compression loss (a couple of bytes per block) that makes the walk
+data-parallel. Decode is unchanged: the emitted stream is a valid
+FSST stream.
 
-Match tables: the 8-byte big-endian window at every position is
-compared against per-length sorted symbol-prefix integers via
-searchsorted — longest length wins, all positions at once.
+Matching is LAZY — computed only at the cursor positions each
+iteration, never precomputed per byte: the greedy walk skips ~symbol
+length bytes per step, so a full-stream match table does ~5x the
+necessary work (measured; the round-2 known gap). Per iteration the
+8-byte big-endian window is packed at the live cursors (8 gathers),
+then matched longest-first: lengths >= 3 binary-search per-length
+sorted symbol-prefix integers on the still-unmatched subset; lengths
+2/1 resolve through direct 65536/256-entry LUT gathers.
+
+BLOCK is small (512) on purpose: the walk runs one numpy iteration
+per emitted unit of the LONGEST block (worst case BLOCK iterations);
+a small block keeps the iteration count low while widening the
+(cheap) per-iteration cursor vectors.
 """
 
 from __future__ import annotations
@@ -19,53 +30,80 @@ import numpy as np
 
 from ..constants import FSST_ESCAPE
 
-BLOCK = 4096
+BLOCK = 512
 
 
-def _window64(data: np.ndarray) -> np.ndarray:
-    """Big-endian uint64 of data[pos:pos+8] for every pos (zero-padded)."""
-    n = len(data)
-    padded = np.concatenate([data, np.zeros(8, dtype=np.uint8)])
-    w = np.zeros(n, dtype=np.uint64)
-    for b in range(8):
-        w |= padded[b: b + n].astype(np.uint64) << np.uint64(8 * (7 - b))
-    return w
+class _Matcher:
+    """Greedy longest-match lookup vectorized over cursor positions."""
 
+    def __init__(self, symbols: list[bytes]):
+        self.lut1 = np.full(256, -1, dtype=np.int16)
+        self.lut2 = np.full(65536, -1, dtype=np.int16)
+        by_len: dict[int, list[tuple[bytes, int]]] = {}
+        for code, s in enumerate(symbols):
+            if len(s) == 1:
+                self.lut1[s[0]] = code
+            elif len(s) == 2:
+                self.lut2[(s[0] << 8) | s[1]] = code
+            else:
+                by_len.setdefault(len(s), []).append((s, code))
+        self.has2 = bool((self.lut2 >= 0).any())
+        self.tiers = []
+        for L in sorted(by_len, reverse=True):
+            pairs = sorted((int.from_bytes(s, "big"), c)
+                           for s, c in by_len[L])
+            self.tiers.append((
+                L,
+                np.array([p[0] for p in pairs], dtype=np.uint64),
+                np.array([p[1] for p in pairs], dtype=np.uint8),
+            ))
 
-def _match_tables(data: np.ndarray, symbols: list[bytes]):
-    """-> (match_len, match_code) per position (0 len = escape)."""
-    n = len(data)
-    match_len = np.zeros(n, dtype=np.int8)
-    match_code = np.zeros(n, dtype=np.uint8)
-    if not symbols or n == 0:
-        return match_len, match_code
-    w = _window64(data)
-    by_len: dict[int, list[tuple[int, int]]] = {}
-    for code, s in enumerate(symbols):
-        v = int.from_bytes(s.ljust(8, b"\0"), "big") >> (8 * (8 - len(s)))
-        by_len.setdefault(len(s), []).append((v, code))
-    for L in sorted(by_len.keys(), reverse=True):
-        vals = np.array(sorted(v for v, _ in by_len[L]), dtype=np.uint64)
-        codes = np.array([c for _, c in sorted(by_len[L])], dtype=np.uint8)
-        wL = w >> np.uint64(8 * (8 - L))
-        idx = np.searchsorted(vals, wL)
-        idx_c = np.minimum(idx, len(vals) - 1)
-        hit = (vals[idx_c] == wL) & (match_len == 0)
-        if L > 1:
-            # a symbol of length L must not run past the data end
-            hit[n - L + 1:] = False
-        match_len[hit] = L
-        match_code[hit] = codes[idx_c[hit]]
-    return match_len, match_code
+    def match(self, padded: np.ndarray, c: np.ndarray, n: int):
+        """Longest match at positions ``c`` ignoring block bounds
+        (callers clamp): -> (match_len int64, match_code uint8)."""
+        m = len(c)
+        ml = np.zeros(m, dtype=np.int64)
+        mc = np.zeros(m, dtype=np.uint8)
+        if self.tiers:
+            v8 = np.zeros(m, dtype=np.uint64)
+            for b in range(8):
+                v8 = (v8 << np.uint64(8)) | padded[c + b]
+            for L, vals, codes in self.tiers:
+                un = np.flatnonzero(ml == 0)
+                if len(un) == 0:
+                    return ml, mc
+                vL = v8[un] >> np.uint64(8 * (8 - L))
+                idx = np.minimum(np.searchsorted(vals, vL), len(vals) - 1)
+                hit = (vals[idx] == vL) & (c[un] + L <= n)
+                pos = un[hit]
+                ml[pos] = L
+                mc[pos] = codes[idx[hit]]
+        if self.has2:
+            un = np.flatnonzero(ml == 0)
+            cu = c[un]
+            w2 = (padded[cu].astype(np.int32) << 8) | padded[cu + 1]
+            got = self.lut2[w2]
+            hit = (got >= 0) & (cu + 2 <= n)
+            pos = un[hit]
+            ml[pos] = 2
+            mc[pos] = got[hit].astype(np.uint8)
+        un = np.flatnonzero(ml == 0)
+        got = self.lut1[padded[c[un]]]
+        hit = got >= 0
+        pos = un[hit]
+        ml[pos] = 1
+        mc[pos] = got[hit].astype(np.uint8)
+        return ml, mc
 
 
 def encode_stream(data: bytes, symbols: list[bytes]) -> bytes:
-    """Vectorized greedy encode (block-parallel cursors)."""
+    """Vectorized greedy encode (block-parallel cursors, lazy match)."""
     arr = np.frombuffer(data, dtype=np.uint8)
     n = len(arr)
     if n == 0:
         return b""
-    match_len, match_code = _match_tables(arr, symbols)
+    matcher = _Matcher(symbols)
+    padded = np.concatenate([arr, np.zeros(8, dtype=np.uint8)])
     starts = np.arange(0, n, BLOCK, dtype=np.int64)
     ends = np.minimum(starts + BLOCK, n)
     n_blocks = len(starts)
@@ -81,14 +119,14 @@ def encode_stream(data: bytes, symbols: list[bytes]) -> bytes:
     alive = cur < ends
     while alive.any():
         c = cur[alive]
-        ml = match_len[c].astype(np.int64)
+        ml, mc = matcher.match(padded, c, n)
         # clamp matches that would cross this block's end -> escape
         over = c + ml > ends[alive]
         ml = np.where(over, 0, ml)
         esc = ml == 0
-        code = np.where(esc, FSST_ESCAPE, match_code[c]).astype(np.uint8)
+        code = np.where(esc, FSST_ESCAPE, mc).astype(np.uint8)
         em_block.append(blk[alive])
-        em_iter.append(np.full(int(alive.sum()), it, dtype=np.int64))
+        em_iter.append(np.full(len(c), it, dtype=np.int64))
         em_code.append(code)
         em_second.append(arr[c])
         em_esc.append(esc)

