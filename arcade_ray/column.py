@@ -326,9 +326,17 @@ def make_column_encoder(t: pa.DataType) -> ColumnEncoderState:
     if kind == "list":
         elem = t.value_type
         elem_kind = column_kind(elem)
-        if elem_kind == "str":
-            raise TypeError("list<string> not supported in v1")
         elem_tag = type_tag(elem)
+        if elem_kind == "str":
+            # list<string> (multi-tag metadata): lengths int stream +
+            # flattened values through the adaptive string encoder —
+            # the dictionary state machine applies unchanged to the
+            # flattened element stream
+            return ColumnEncoderState(
+                kind, "list", elem_tag=elem_tag,
+                enc=StringColumnEncoder(elem_tag),
+                len_enc=IntColumnEncoder("i64"),
+            )
         return ColumnEncoderState(
             kind, "list", elem_tag=elem_tag,
             enc=IntColumnEncoder(elem_tag), len_enc=IntColumnEncoder("i64"),
@@ -410,9 +418,12 @@ def _encode_column_chunk_nonnull(state: ColumnEncoderState, arr: pa.Array) -> No
         )
         lengths = np.diff(offsets).astype(np.int64)
         flat = larr.flatten()
-        vals, _ = int_stream_from_arrow(flat)
         len_seg = state.len_enc.encode_chunk(lengths)
-        val_seg = state.enc.encode_chunk(vals)
+        if isinstance(state.enc, StringColumnEncoder):
+            val_seg = state.enc.encode_chunk(flat)
+        else:
+            vals, _ = int_stream_from_arrow(flat)
+            val_seg = state.enc.encode_chunk(vals)
         state.chunks.append({"lengths": len_seg.desc, "values": val_seg.desc,
                              "vlen": len(len_seg.payload)})
         state.payloads.append(len_seg.payload + val_seg.payload)
@@ -434,16 +445,29 @@ class ColumnDecoder:
         self.kind = col_meta["kind"]
         self.tag = col_meta["tag"]
         self.elem_tag = col_meta.get("elem_tag")
-        self._str = StringColumnDecoder(self.tag) if self.kind == "str" else None
+        self.list_str = (self.kind == "list" and self.elem_tag in
+                         ("str", "large_str", "bin", "large_bin"))
+        if self.kind == "str":
+            self._str = StringColumnDecoder(self.tag)
+        elif self.list_str:
+            self._str = StringColumnDecoder(self.elem_tag)
+        else:
+            self._str = None
 
     def advance_range(self, desc: dict) -> tuple[int, int]:
         if self.kind == "str" and desc["mode"] in ("local", "diff"):
             return 0, desc["vlen"]
+        if self.list_str and desc["values"]["mode"] in ("local", "diff"):
+            # values stream starts after the lengths payload; its dict
+            # segment is its first vlen bytes
+            return desc["vlen"], desc["vlen"] + desc["values"]["vlen"]
         return 0, 0
 
     def advance(self, desc: dict, dict_payload: bytes) -> None:
         if self.kind == "str":
             self._str.advance_dict(desc, dict_payload)
+        elif self.list_str:
+            self._str.advance_dict(desc["values"], dict_payload)
 
     def decode(self, desc: dict, payload: bytes,
                sel: "np.ndarray | None" = None) -> pa.Array:
@@ -470,8 +494,11 @@ class ColumnDecoder:
         if self.kind == "list":
             vlen = desc["vlen"]
             lengths = decode_int_chunk(desc["lengths"], payload[:vlen])
-            vals = decode_int_chunk(desc["values"], payload[vlen:])
-            elem = int_stream_to_arrow(vals, self.elem_tag)
+            if self.list_str:
+                elem = self._str.decode_chunk(desc["values"], payload[vlen:])
+            else:
+                vals = decode_int_chunk(desc["values"], payload[vlen:])
+                elem = int_stream_to_arrow(vals, self.elem_tag)
             offsets = np.empty(len(lengths) + 1, dtype=np.int64)
             offsets[0] = 0
             np.cumsum(lengths, out=offsets[1:])

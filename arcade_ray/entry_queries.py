@@ -148,6 +148,31 @@ def q_roundtrip_part(sf_dir: str) -> pa.Table:
     return _roundtrip(sf_dir, "part")
 
 
+def q_roundtrip_list_strings(sf_dir: str) -> pa.Table:
+    """list<string> through the encoded format (round-2 typed hole):
+    derive a tags column by splitting documents.source, encode it
+    (lengths int stream + flattened values through the adaptive string
+    encoder), decode, and return — the oracle recomputes the split in
+    SQL, so the hash compare proves the list<string> roundtrip."""
+    import ray.data as rd
+
+    key_col, id_col, _ = TABLE_KEYS["documents"]
+    tag = hashlib.md5(
+        f"{sf_dir}|documents-tags|{_CACHE_SALT}".encode()).hexdigest()[:10]
+    out = os.path.join(CACHE_ROOT, f"documents-tags-{tag}")
+    if not os.path.exists(os.path.join(out, "manifest.parquet")):
+        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "source"])
+
+        def add_tags(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "tags", pc.split_pattern(batch["source"], "-"))
+
+        encode_dataset(ds.map_batches(add_tags, batch_format="pyarrow"),
+                       out, key_col=key_col, id_col=id_col, weight_col=None)
+    return _collect(scan(out, columns=["doc_id", "tags"]))
+
+
 def q_filter_lang(sf_dir: str) -> pa.Table:
     out = encoded_dir(sf_dir, "documents")
     return _collect(
@@ -687,6 +712,7 @@ QUERIES = {
     "roundtrip_orders": q_roundtrip_orders,
     "roundtrip_customer": q_roundtrip_customer,
     "roundtrip_part": q_roundtrip_part,
+    "roundtrip_list_strings": q_roundtrip_list_strings,
     "filter_lang": q_filter_lang,
     "range_filter": q_range_filter,
     "group_count_encoded": q_group_count_encoded,
@@ -742,6 +768,9 @@ ORACLE_SQL = {
     "roundtrip_orders": "SELECT * FROM orders",
     "roundtrip_customer": "SELECT * FROM customer",
     "roundtrip_part": "SELECT * FROM part",
+    "roundtrip_list_strings": (
+        "SELECT doc_id, string_split(source, '-') AS tags FROM documents"
+    ),
     "filter_lang": "SELECT doc_id, lang, source FROM documents WHERE lang = 'en'",
     "range_filter": "SELECT doc_id, n_chars FROM documents WHERE n_chars BETWEEN 100 AND 200",
     "group_count_encoded": "SELECT source, COUNT(*) AS n_rows FROM documents GROUP BY source",

@@ -148,9 +148,14 @@ def _column_stats(columns_meta: dict, sketches: dict | None = None) -> dict:
         unbounded = False  # any non-empty chunk without zone values
         for ch in cm["chunks"]:
             if cm["kind"] == "list":
-                cid = ch["values"]["codec"]
-                lo, hi = ch["values"].get("min"), ch["values"].get("max")
-                n = ch["values"].get("n", 0)
+                v = ch["values"]
+                # string values streams carry mode (local/diff) instead
+                # of a codec id outside plain chunks
+                cid = v.get("codec") if v.get("mode") in (None, "plain") \
+                    else v["mode"]
+                cid = cid if cid is not None else v.get("mode", "plain")
+                lo, hi = v.get("min"), v.get("max")
+                n = v.get("n", 0)
             elif cm["kind"] == "str":
                 cid = ch["mode"] if ch["mode"] != "plain" else ch.get("codec", "plain")
                 lo, hi = ch.get("min"), ch.get("max")

@@ -183,3 +183,83 @@ def test_row_selective_decode_matches_full_take():
     for name in full.column_names:
         assert sel_tab[name].combine_chunks().equals(
             expect[name].combine_chunks()), name
+
+
+def test_list_string_roundtrip():
+    """list<string> columns (multi-tag metadata — the round-2 typed
+    hole): lengths int stream + flattened values through the adaptive
+    string encoder, dict state shared across chunks."""
+    import numpy as np
+
+    from arcade_ray.format import decode_partition, encode_partition
+
+    rng = np.random.default_rng(5)
+    tags = ["news", "web", "code", "wiki", "forum", "paper"]
+    n = 3000
+    col = [[tags[t] for t in rng.integers(0, len(tags),
+                                          rng.integers(0, 5))]
+           for _ in range(n)]
+    col[17] = []  # empty list
+    t = pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "tags": pa.array(col, type=pa.list_(pa.string())),
+    })
+    blob, row = encode_partition(t, "p0")
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".arcr", delete=False) as f:
+        f.write(blob)
+        path = f.name
+    out = decode_partition(path)
+    assert out["tags"].combine_chunks().equals(t["tags"].combine_chunks())
+    assert out["doc_id"].combine_chunks().equals(t["doc_id"].combine_chunks())
+    # projection decode of the list column alone
+    only = decode_partition(path, columns=["tags"])
+    assert only["tags"].combine_chunks().equals(t["tags"].combine_chunks())
+
+
+def test_list_string_roundtrip_with_nulls():
+    from arcade_ray.format import decode_partition, encode_partition
+    import tempfile
+
+    col = [["a", "b"], None, [], ["b", "c", "a"], None, ["z"]]
+    t = pa.table({
+        "id": pa.array(range(6), type=pa.int64()),
+        "tags": pa.array(col, type=pa.list_(pa.string())),
+    })
+    blob, _ = encode_partition(t, "p0")
+    with tempfile.NamedTemporaryFile(suffix=".arcr", delete=False) as f:
+        f.write(blob)
+        path = f.name
+    out = decode_partition(path)
+    assert out["tags"].combine_chunks().equals(t["tags"].combine_chunks())
+
+
+def test_list_string_multichunk_shared_dict():
+    """Values dict must persist across chunks exactly as the encoder
+    built it (diff mode over chunk boundaries)."""
+    import numpy as np
+
+    from arcade_ray.constants import BLOCK_ROWS
+    from arcade_ray.format import decode_partition, encode_partition
+    import tempfile
+
+    rng = np.random.default_rng(6)
+    vocab = [f"tag{v:03d}" for v in range(50)]
+    n = BLOCK_ROWS + 500  # forces at least two chunks
+    col = [[vocab[t] for t in rng.integers(0, len(vocab), 3)]
+           for _ in range(n)]
+    t = pa.table({
+        "id": pa.array(range(n), type=pa.int64()),
+        "tags": pa.array(col, type=pa.list_(pa.string())),
+    })
+    blob, _ = encode_partition(t, "p0")
+    with tempfile.NamedTemporaryFile(suffix=".arcr", delete=False) as f:
+        f.write(blob)
+        path = f.name
+    from arcade_ray.format import read_header
+
+    header, _ = read_header(path)
+    assert len(header["columns"]["tags"]["chunks"]) >= 2
+    out = decode_partition(path)
+    assert out["tags"].combine_chunks().equals(t["tags"].combine_chunks())
