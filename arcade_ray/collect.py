@@ -13,6 +13,20 @@ import pyarrow as pa
 SMALL_SIG_ROWS = 2_000_000  # below this, skip the Ray aggregate entirely
 
 
+def unique_rows2(a, b):
+    """Deduplicate (a[i], b[i]) pairs, returned sorted by (a, b) —
+    lexsort + run-boundary mask. np.unique(axis=0) hits numpy's
+    structured-void sort and measured ~10x slower at 10^6 pairs."""
+    import numpy as np
+
+    order = np.lexsort((b, a))
+    a_s, b_s = a[order], b[order]
+    keep = np.ones(len(a_s), dtype=bool)
+    if len(a_s) > 1:
+        keep[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+    return a_s[keep], b_s[keep]
+
+
 def hot_bucket_rows(sig_ds, key_col: str) -> pa.Table:
     """Signature rows living in buckets with >= 2 members, without a
     per-group map_groups pass (one Python call per bucket is ruinous
@@ -90,11 +104,9 @@ def bucket_candidate_pairs(sig_ds, id_col: str, key_col: str = "bk",
     if not a_out:
         pairs = empty
     else:
-        a = np.concatenate(a_out)
-        b = np.concatenate(b_out)
-        uniq = np.unique(np.stack([a, b], axis=1), axis=0)
-        pairs = pa.table({"id_a": pa.array(uniq[:, 0], type=pa.int64()),
-                          "id_b": pa.array(uniq[:, 1], type=pa.int64())})
+        ua, ub = unique_rows2(np.concatenate(a_out), np.concatenate(b_out))
+        pairs = pa.table({"id_a": pa.array(ua, type=pa.int64()),
+                          "id_b": pa.array(ub, type=pa.int64())})
     attrs = {}
     for c in (attr_cols or []):
         vals = rows[c].to_numpy(zero_copy_only=False)
@@ -115,9 +127,12 @@ def distributed_pair_verify(ds, cand_tab: pa.Table, id_col: str,
        payload to every bucket that needs it (payloads move once per
        needing bucket — bounded by the candidate set, never the
        corpus; non-candidate rows never leave the map side);
-    3. groupby(bucket).map_groups runs ``verify_fn(pairs, payload)``
-       once per bucket — few, large buckets, so the per-group Python
-       call cost is O(n_buckets), not O(pairs).
+    3. a DIRECT exchange (not Ray Data's sort-based groupby — a sort
+       is wasted on ~cpu-count buckets and measured ~5 s of fixed cost
+       at sf0.1): each routed block splits into per-bucket fragments
+       ray.put in-task, then one verify task per bucket fetches its
+       fragments and runs ``verify_fn(pairs, payload)`` — per-group
+       Python cost is O(n_buckets), not O(pairs).
 
     ``verify_fn``: (pairs: Table[id_a, id_b], payload: Table[id_col,
     *payload_cols]) -> Table. Returns the concatenated verify outputs
@@ -138,14 +153,12 @@ def distributed_pair_verify(ds, cand_tab: pa.Table, id_col: str,
     pairs_ref = ray.put(cand_tab.append_column("_vb", pa.array(bucket)))
     # (id, bucket) need-list, sorted by id: an id's payload may serve
     # several buckets; the route pass replicates it per needing bucket
-    need = np.unique(
-        np.stack([np.concatenate([ids_a, ids_b]),
-                  np.concatenate([bucket, bucket])], axis=1), axis=0)
-    need_ref = ray.put(need)
+    need_ids, need_bks = unique_rows2(
+        np.concatenate([ids_a, ids_b]), np.concatenate([bucket, bucket]))
+    need_ref = ray.put((need_ids, need_bks))
 
     def route(batch: pa.Table) -> pa.Table:
-        nd = ray.get(need_ref)
-        nids, nbks = nd[:, 0], nd[:, 1]
+        nids, nbks = ray.get(need_ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         lo = np.searchsorted(nids, ids, side="left")
         hi = np.searchsorted(nids, ids, side="right")
@@ -165,18 +178,38 @@ def distributed_pair_verify(ds, cand_tab: pa.Table, id_col: str,
 
     routed = ds.map_batches(route, batch_format="pyarrow")
 
-    def verify_group(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t
-        b = t["_vb"][0].as_py()
+    @ray.remote
+    def split(tbl: pa.Table):
+        vb = tbl["_vb"].to_numpy(zero_copy_only=False)
+        order = np.argsort(vb, kind="stable")
+        bounds = np.searchsorted(vb[order], np.arange(n_buckets + 1))
+        out = [None] * n_buckets
+        for b in range(n_buckets):
+            lo, hi = int(bounds[b]), int(bounds[b + 1])
+            if hi > lo:
+                out[b] = ray.put(tbl.take(
+                    pa.array(order[lo:hi], type=pa.int64())))
+        return out
+
+    @ray.remote
+    def verify_bucket(b: int, frag_refs):
+        tabs = [ray.get(r) for r in frag_refs]
+        t = pa.concat_tables(tabs).combine_chunks()
         pairs = ray.get(pairs_ref)
         mine = pairs.filter(
             pa.compute.equal(pairs["_vb"], b)).drop_columns(["_vb"])
         return verify_fn(mine, t.drop_columns(["_vb"]))
 
-    out = routed.groupby("_vb").map_groups(verify_group,
-                                           batch_format="pyarrow")
-    return collect_arrow(out)
+    frag_lists = ray.get([split.remote(r)
+                          for r in routed.to_arrow_refs()])
+    frags = [[fl[b] for fl in frag_lists if fl[b] is not None]
+             for b in range(n_buckets)]
+    outs = ray.get([verify_bucket.remote(b, frags[b])
+                    for b in range(n_buckets) if frags[b]])
+    typed = [t for t in outs if t.num_columns > 0]
+    if not typed:
+        return outs[0] if outs else pa.table({})
+    return pa.concat_tables(typed, promote_options="permissive")
 
 
 def fetch_by_ids(ds, id_col: str, ids, columns: list[str] | None = None) -> pa.Table:

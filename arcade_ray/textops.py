@@ -16,8 +16,11 @@ needs, expressed Ray-Data-first:
 
 Scale notes: every pairwise stage is confined to an LSH/band bucket
 (never all-pairs), and NO shuffle carries text — only fixed-width
-(hash, id) rows move in the exchanges; texts are re-read map-side for
-the small survivor/candidate sets (second keyed fetch).
+(hash, id) rows move in the candidate exchanges. Exact-verify stages
+run DISTRIBUTED (collect.distributed_pair_verify): candidate payloads
+are routed to hash-bucketed verify tasks and never materialize on the
+driver; exact dedup's loser resolution re-reads only the (small)
+hot-bucket set map-side.
 """
 
 from __future__ import annotations
@@ -547,12 +550,18 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     ib = np.concatenate(ib_out)
     dist = _popcount64(sh_s[ia].view(np.uint64) ^ sh_s[ib].view(np.uint64))
     keep = dist <= max_hamming
-    trip = np.stack([ids_s[ia[keep]], ids_s[ib[keep]], dist[keep]], axis=1)
-    trip = np.unique(trip, axis=0)  # cross-band dedup (same pair -> same dist)
+    a, b, d = ids_s[ia[keep]], ids_s[ib[keep]], dist[keep]
+    # cross-band dedup (same pair -> same dist): lexsort run-boundary
+    # mask, not np.unique(axis=0)'s slow structured sort
+    order = np.lexsort((b, a))
+    a, b, d = a[order], b[order], d[order]
+    first = np.ones(len(a), dtype=bool)
+    if len(a) > 1:
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
     return rd.from_arrow(pa.table({
-        "id_a": pa.array(trip[:, 0], type=pa.int64()),
-        "id_b": pa.array(trip[:, 1], type=pa.int64()),
-        "hamming": pa.array(trip[:, 2], type=pa.int64()),
+        "id_a": pa.array(a[first], type=pa.int64()),
+        "id_b": pa.array(b[first], type=pa.int64()),
+        "hamming": pa.array(d[first], type=pa.int64()),
     }))
 
 

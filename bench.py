@@ -173,7 +173,8 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         queries["compound_filter"] = round(time.perf_counter() - t0, 3)
 
         # dedup operators over raw documents (hash-only shuffles)
-        from arcade_ray.textops import exact_dedup, minhash_lsh_pairs
+        from arcade_ray.textops import (exact_dedup, minhash_lsh_pairs,
+                                        simhash_pairs)
 
         docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
@@ -183,6 +184,38 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         t0 = time.perf_counter()
         minhash_lsh_pairs(docs, jaccard_threshold=0.7).count()
         queries["minhash_pairs"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        simhash_pairs(docs, max_hamming=3).count()
+        queries["simhash_pairs"] = round(time.perf_counter() - t0, 3)
+
+        # gap-based session windows over the events stream table
+        from arcade_ray.windows import session_windows
+
+        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["user_id", "ts"])
+        t0 = time.perf_counter()
+        session_windows(ev, key_col="user_id", ts_col="ts",
+                        gap_s=1800.0).count()
+        queries["session_windows"] = round(time.perf_counter() - t0, 3)
+
+        # co-partitioned exchange join, both sides large (lineitem x
+        # orders) — vs the Ray Data sort-shuffle join on the same input
+        from arcade_ray.pipeline.join import copartition_join, shuffle_join
+
+        li_enc = os.path.join(BENCH_DIR, f"li-{num_cpus}")
+        shutil.rmtree(li_enc, ignore_errors=True)
+        encode_parquet(os.path.join(sf_dir, "lineitem.parquet"), li_enc,
+                       key_col="l_returnflag", id_col="l_orderkey",
+                       weight_col=None)
+        jkw = dict(left_key="l_orderkey", right_key="o_orderkey",
+                   left_cols=["l_orderkey", "l_quantity"],
+                   right_cols=["o_orderpriority"])
+        t0 = time.perf_counter()
+        copartition_join(li_enc, o_enc, **jkw).count()
+        queries["copartition_join"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        shuffle_join(li_enc, o_enc, **jkw).count()
+        queries["shuffle_join"] = round(time.perf_counter() - t0, 3)
 
     return {
         "metric": "corpus encode wall-clock (tokens/s headline)",
