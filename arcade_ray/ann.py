@@ -163,7 +163,7 @@ def near_dup_band_rows(batch: pa.Table, planes: np.ndarray, n_bands: int,
 
 def near_dup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
                    vec_col: str = "embedding", n_bands: int = 16,
-                   band_planes: int = 4, seed: int = 42,
+                   band_planes: int = 8, seed: int = 42,
                    max_bucket: int = 4096) -> pa.Table:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >=
     threshold) via random-hyperplane LSH banding — never all-pairs and
@@ -183,8 +183,12 @@ def near_dup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
        bucket, a vectorized einsum cosine keeps pairs >= threshold.
 
     A true pair at cosine t collides in one band with prob p^b,
-    p = 1 - arccos(t)/pi; miss prob = (1-p^b)^L. Defaults (b=4, L=16)
-    give ~4e-6 at t=0.9, ~5e-8 at t=0.95."""
+    p = 1 - arccos(t)/pi; miss prob = (1-p^b)^L. Defaults (b=8, L=16)
+    give ~0.4% at t=0.9, ~1e-4 at t=0.95 — while an UNRELATED
+    (orthogonal) pair becomes a candidate with prob 1-(1-2^-8)^16 ~ 6%
+    (b=4 measured 64% on gaussian data: over a million candidate pairs
+    from 2000 vectors). Raise ``band_planes`` further for corpora with
+    high ambient similarity; ``max_bucket`` caps degenerate buckets."""
     from .collect import bucket_candidate_pairs, distributed_pair_verify
 
     # dim from the dataset schema (list<float> fixed dim assumed)
