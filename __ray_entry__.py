@@ -5,18 +5,21 @@ sf0.001 documents table through the adaptive columnar compression
 engine). ``queries()``/``oracle_sql()`` — per-operator surface checked
 against DuckDB at sf0.01 (see arcade_ray/entry_queries.py).
 
-Query inventory (48; SQL-oracled unless marked rows-only):
+Query inventory (51; SQL-oracled unless marked rows-only):
 
 - engine core: scan_project, equi_filter, equi_filter_int, filter_lang,
-  range_filter, compound_filter, expr_filter, random_access,
+  range_filter, compound_filter, compound_or_filter, negation_filter,
+  expr_filter, random_access,
   distinct_sources (dict-segment DISTINCT), distinct_sketch_sources
   (KMV, no scan), plan_stats, group_count_encoded + group_agg_encoded
-  (decode-free GROUP BY), topk, topk_rows, sample, window_agg,
-  sliding_window_agg, session_windows, json_extract_agg, vector_norms,
+  (decode-free GROUP BY, exact int sums), topk, topk_rows, sample,
+  window_agg, sliding_window_agg, session_windows, json_extract_agg,
+  vector_norms,
   roundtrip_{documents,lineitem,events,embeddings,orders,customer,
-  part}, compression_metrics (rows-only lineage)
+  part}, roundtrip_list_strings (list<string> through the format),
+  compression_metrics (rows-only lineage)
 - joins: join_orders_customer (broadcast), join_lineitem_orders
-  (shuffle, both sides large)
+  (co-partitioned exchange join, both sides large)
 - dedup/text: exact_dedup, token_count, fingerprint; rows-only:
   lang_id, quality_scores, bpe_token_count, winnow_fingerprints,
   minhash_pairs, simhash_pairs, near_dedup, image_features

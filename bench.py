@@ -273,12 +273,17 @@ def main() -> None:
             time.sleep(6)
         t_lo, t_hi = min(lo_times), min(hi_times)
         eff = (t_lo / t_hi) / (hi / lo)
+        per_rep = [round((tl / th) / (hi / lo), 3)
+                   for tl, th in zip(lo_times, hi_times)]
         print(json.dumps({
             f"sec_{lo}": t_lo, f"sec_{hi}": t_hi,
             f"tokens_per_s_{lo}": round(r_lo["n_tokens"] / t_lo),
             f"tokens_per_s_{hi}": round(r_hi["n_tokens"] / t_hi),
             "cpus_lo": lo, "cpus_hi": hi, "reps": reps,
             "scaling_efficiency": round(eff, 3),
+            "per_rep_efficiency": per_rep,
+            f"times_{lo}": [round(t, 2) for t in lo_times],
+            f"times_{hi}": [round(t, 2) for t in hi_times],
             "n_tokens": r_lo["n_tokens"],
         }))
         return
