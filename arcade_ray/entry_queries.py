@@ -843,8 +843,13 @@ ORACLE_SQL = {
         "x -> CAST(x AS DOUBLE) * x))), 4) AS l2_norm FROM embeddings"
     ),
     "ann_topk": (
+        # CAST ... AS DOUBLE before round: list_cosine_similarity on a
+        # float[] returns FLOAT, and rounding in float32 then widening
+        # yields 0.24009999632835388 where the engine's float64 math
+        # yields 0.2401 — a spurious hash mismatch
         "SELECT q.vec_id AS query_id, e.vec_id, "
-        "round(list_cosine_similarity(e.embedding, q.embedding), 4) AS cos "
+        "round(CAST(list_cosine_similarity(e.embedding, q.embedding) "
+        "AS DOUBLE), 4) AS cos "
         "FROM embeddings e, embeddings q WHERE q.vec_id IN (0,1,2,3,4) "
         "QUALIFY row_number() OVER (PARTITION BY q.vec_id "
         "ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id) <= 10"
@@ -855,7 +860,8 @@ ORACLE_SQL = {
     "sample": "SELECT doc_id, source FROM documents WHERE doc_id % 20 = 3",
     "embedding_near_dup": (
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
-        "round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos "
+        "round(CAST(list_cosine_similarity(a.embedding, b.embedding) "
+        "AS DOUBLE), 4) AS cos "
         "FROM embeddings a, embeddings b "
         "WHERE a.vec_id < b.vec_id "
         "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9"
