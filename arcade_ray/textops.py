@@ -133,15 +133,20 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     LOSER id set (the duplicates — small when duplication is modest);
     phase 2 anti-joins it map-side against the source, so surviving
     rows (with their text) stream straight from the input and no text
-    payload ever crosses the exchange. For corpora where the loser set
-    itself is huge (extreme duplication), swap phase 2 for a
+    payload ever crosses the exchange. The loser id set is broadcast
+    via ``ray.put`` — one zero-copy Arrow array per NODE (not a pickled
+    closure copy per worker heap). For corpora where the loser set
+    exceeds node memory (extreme duplication), swap phase 2 for a
     hash-partitioned anti-join keyed on id."""
+    import ray
+
     losers = dedup_loser_ids(ds, text_col, id_col)
-    lose_arr = losers[id_col].combine_chunks()
+    if losers.num_rows == 0:
+        return ds
+    lose_ref = ray.put(losers[id_col].combine_chunks())
 
     def keep(batch: pa.Table) -> pa.Table:
-        if not len(lose_arr):
-            return batch
+        lose_arr = ray.get(lose_ref)  # shared-memory fetch, once per task
         mask = pc.invert(
             pc.is_in(batch[id_col], value_set=lose_arr.cast(batch[id_col].type))
         )
@@ -421,12 +426,15 @@ def near_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
 
+    import ray
+
     losers = [x for x in parent if find(x) != x]
-    lose_arr = pa.array(losers, type=pa.int64())
+    if not losers:
+        return ds
+    lose_ref = ray.put(pa.array(sorted(losers), type=pa.int64()))
 
     def keep(batch: pa.Table) -> pa.Table:
-        if not len(lose_arr):
-            return batch
+        lose_arr = ray.get(lose_ref)  # shared-memory fetch, once per task
         mask = pc.invert(
             pc.is_in(batch[id_col], value_set=lose_arr.cast(batch[id_col].type)))
         return batch.filter(mask)
