@@ -676,19 +676,81 @@ def winnow_fingerprints(text: str, k: int = 8, window: int = 4) -> list[int]:
     return out
 
 
+def batch_winnow(lengths: np.ndarray, data: bytes, k: int = 8,
+                 window: int = 4) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowing fingerprints for EVERY document in one vectorized
+    pass (no per-document Python), value-identical to
+    :func:`winnow_fingerprints`: batched k-gram rolling hashes,
+    sliding-window minima masked at document boundaries, consecutive
+    duplicates dropped per document.
+
+    Returns (fingerprints concatenated uint64, doc offsets int64)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    n = len(lengths)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    sh, offs = _batch_shingle_stream(lengths, data, k)
+    sh_counts = np.diff(offs)
+    empty_doc = lengths == 0          # -> no fingerprints at all
+    short_doc = (~empty_doc) & (sh_counts <= window)  # -> [min(shingles)]
+    long_doc = (~empty_doc) & (sh_counts > window)
+    out_parts: list[np.ndarray] = []
+    counts = np.zeros(n, dtype=np.int64)
+    if long_doc.any() and len(sh) >= window:
+        wins = sliding_window_view(sh, window)
+        mins = wins.min(axis=1)
+        # window at global pos p belongs to doc d iff it lies fully
+        # inside d's shingle range
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), sh_counts)
+        valid = np.zeros(len(mins), dtype=bool)
+        starts_l = offs[:-1][long_doc]
+        cnt_l = (sh_counts - window + 1)[long_doc]
+        compact = np.concatenate([[0], np.cumsum(cnt_l[:-1])]).astype(np.int64)
+        pos = (np.arange(int(cnt_l.sum()), dtype=np.int64)
+               - np.repeat(compact, cnt_l) + np.repeat(starts_l, cnt_l))
+        valid[pos] = True
+        vmins = mins[pos]
+        vdocs = doc_of[pos]
+        keep = np.ones(len(vmins), dtype=bool)
+        if len(vmins) > 1:
+            keep[1:] = (vmins[1:] != vmins[:-1]) | (vdocs[1:] != vdocs[:-1])
+        kmins, kdocs = vmins[keep], vdocs[keep]
+        np.add.at(counts, kdocs, 1)
+        out_parts.append((kmins, kdocs))
+    if short_doc.any():
+        sel = np.flatnonzero(short_doc)
+        smins = np.minimum.reduceat(sh, offs[:-1])[sel]
+        counts[sel] += 1
+        out_parts.append((smins, sel))
+    if not out_parts:
+        return np.empty(0, dtype=np.uint64), np.zeros(n + 1, dtype=np.int64)
+    all_v = np.concatenate([p[0] for p in out_parts])
+    all_d = np.concatenate([p[1] for p in out_parts])
+    order = np.argsort(all_d, kind="stable")
+    out_offsets = np.empty(n + 1, dtype=np.int64)
+    out_offsets[0] = 0
+    np.cumsum(counts, out=out_offsets[1:])
+    return all_v[order], out_offsets
+
+
 def winnow_table(ds, text_col: str = "text", id_col: str = "doc_id",
                  k: int = 8, window: int = 4):
-    """Per-doc winnowing fingerprints -> Dataset[(id, fingerprints)]."""
+    """Per-doc winnowing fingerprints -> Dataset[(id, fingerprints)],
+    computed by the batched vectorized pass (batch_winnow)."""
 
     def run(batch: pa.Table) -> pa.Table:
-        fps = [winnow_fingerprints(t, k, window)
-               for t in batch[text_col].to_pylist()]
-        return pa.table({
-            id_col: batch[id_col],
-            "fingerprints": pa.array(
-                [[f - (1 << 63) for f in fp] for fp in fps],
-                type=pa.list_(pa.int64())),
-        })
+        from .streams import str_stream_from_arrow
+
+        lengths, data, _ = str_stream_from_arrow(batch[text_col])
+        vals, offsets = batch_winnow(lengths, data, k, window)
+        # same int64 mapping as the per-doc path: f - 2^63 (wrapping
+        # subtraction + reinterpret == exact arithmetic shift)
+        shifted = (vals - np.uint64(1 << 63)).view(np.int64)
+        fp = pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()),
+            pa.array(shifted, type=pa.int64()),
+        ).cast(pa.list_(pa.int64()))
+        return pa.table({id_col: batch[id_col], "fingerprints": fp})
 
     return ds.map_batches(run, batch_format="pyarrow")
 

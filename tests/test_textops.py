@@ -285,3 +285,26 @@ def test_embedding_verify_is_distributed(ray_session, monkeypatch):
     got = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
     assert (0, 1) in got and (0, 9) in got and (8, 9) in got
     assert all(a < 10 and b < 10 for a, b in got)
+
+
+def test_batch_winnow_matches_per_doc():
+    """batch_winnow must be value-identical to the per-doc
+    winnow_fingerprints across lengths (empty, < k, <= window, long)."""
+    import numpy as np
+
+    from arcade_ray.streams import str_stream_from_arrow
+    from arcade_ray.textops import batch_winnow, winnow_fingerprints
+
+    rng = np.random.default_rng(9)
+    texts = ["", "abc", "abcdefgh", "abcdefghijk", BASE_DOCS[0],
+             BASE_DOCS[1] * 3, "x" * 200]
+    for _ in range(30):
+        n = int(rng.integers(0, 60))
+        texts.append("".join(chr(97 + int(c)) for c in rng.integers(0, 6, n)))
+    arr = pa.array(texts)
+    lengths, data, _ = str_stream_from_arrow(arr)
+    vals, offs = batch_winnow(lengths, data, k=8, window=4)
+    for i, t in enumerate(texts):
+        got = vals[offs[i]: offs[i + 1]].tolist()
+        exp = winnow_fingerprints(t, k=8, window=4)
+        assert got == exp, (i, repr(t[:30]), got[:5], exp[:5])
