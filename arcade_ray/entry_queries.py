@@ -352,6 +352,34 @@ def q_session_windows(sf_dir: str) -> pa.Table:
     return out.select(["user_id", "session_start", "session_end", "n_events"])
 
 
+def q_asof_join_events(sf_dir: str) -> pa.Table:
+    """Backward AS-OF join per user over the events stream: each click
+    picks up the value of the latest preceding view (one co-partitioned
+    union shuffle + a vectorized segment-reset running-max merge per
+    bucket — windows.asof_join). Oracle: DuckDB ASOF LEFT JOIN."""
+    import ray.data as rd
+
+    from .windows import asof_join
+
+    path = os.path.join(sf_dir, "events.parquet")
+
+    def only(kind):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch["event_type"], kind))
+        return f
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    clicks = rd.read_parquet(path, columns=cols).map_batches(
+        only("click"), batch_format="pyarrow")
+    views = rd.read_parquet(path, columns=cols).map_batches(
+        only("view"), batch_format="pyarrow")
+    out = _collect(asof_join(clicks, views, on="ts", by="user_id",
+                             left_cols=["event_id"], right_cols=["value"]))
+    v = pc.round(out["value"], 3)
+    out = out.set_column(out.schema.get_field_index("value"), "value", v)
+    return out
+
+
 def q_compression_metrics(sf_dir: str) -> pa.Table:
     """Lineage/metrics surface: per-partition encoded sizes (rows-only
     check; not SQL-expressible)."""
@@ -723,6 +751,7 @@ QUERIES = {
     "json_extract_agg": q_json_extract_agg,
     "distinct_sketch_sources": q_distinct_sketch_sources,
     "session_windows": q_session_windows,
+    "asof_join_events": q_asof_join_events,
     "topk": q_topk,
     "topk_rows": q_topk_rows,
     "sample": q_sample,
@@ -804,6 +833,12 @@ ORACLE_SQL = {
         "(PARTITION BY user_id ORDER BY ts) AS sid FROM g) "
         "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, "
         "CAST(count(*) AS BIGINT) AS n_events FROM s GROUP BY user_id, sid"
+    ),
+    "asof_join_events": (
+        "SELECT l.event_id, l.user_id, l.ts, round(r.value, 3) AS value "
+        "FROM (SELECT * FROM events WHERE event_type='click') l "
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') r "
+        "ON l.user_id = r.user_id AND l.ts >= r.ts"
     ),
     "join_orders_customer": (
         "SELECT o_orderkey, o_custkey, c_mktsegment FROM orders "

@@ -73,6 +73,117 @@ def session_windows(ds, key_col: str = "user_id", ts_col: str = "ts",
 
 
 
+def asof_join(left_ds, right_ds, on: str = "ts", by: str = "user_id",
+              left_cols: list[str] | None = None,
+              right_cols: list[str] | None = None,
+              suffix: str = "_r", n_buckets: int | None = None):
+    """AS-OF join (backward): attach to each left row the LATEST right
+    row with ``right.on <= left.on`` within the same ``by`` key; left
+    rows with no earlier right row keep nulls (ASOF LEFT JOIN).
+
+    Scale shape — ONE shuffle, both sides co-located: rows are tagged
+    with a side flag, unified to one schema, and hash-bucketed by key
+    into ~2x-CPU coarse buckets (the same co-partitioning trick the
+    exchange join uses, expressed as a single union + groupby).
+    Inside a bucket everything is one vectorized pass: lexsort by
+    (key, ts, side) with right-before-left at ties, then a
+    segment-reset running maximum carries each key's latest right row
+    index forward onto the left rows — no per-key Python.
+
+    ``right_cols`` columns are renamed with ``suffix`` when they
+    collide with left columns. Returns a Dataset of left_cols +
+    matched right columns."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .hashing import hash_column
+
+    if n_buckets is None:
+        import ray
+
+        avail = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        n_buckets = max(8, 2 * avail)
+    left_cols = list(left_cols or [])
+    right_cols = list(right_cols or [])
+    if by not in left_cols:
+        left_cols = [by] + left_cols
+    if on not in left_cols:
+        left_cols = left_cols + [on]
+    r_out = {c: (c + suffix if c in left_cols else c) for c in right_cols}
+
+    # both sides must present the SAME unified schema to union: each
+    # side fills the other side's columns with typed nulls
+    l_schema = {f.name: f.type for f in left_ds.schema().base_schema}
+    r_schema = {f.name: f.type for f in right_ds.schema().base_schema}
+
+    def _tag(batch: pa.Table, side: int) -> pa.Table:
+        n = batch.num_rows
+        b = (hash_column(batch[by]) % np.uint64(n_buckets)).astype(np.int64)
+        cols = {
+            "_ab": pa.array(b),
+            "_side": pa.array(np.full(n, side, dtype=np.int8)),
+            by: batch[by],
+            on: batch[on],
+        }
+        for c in left_cols:
+            if c not in (by, on):
+                cols[c] = batch[c] if side == 1 else pa.nulls(n, l_schema[c])
+        for c, oc in r_out.items():
+            cols[oc] = batch[c] if side == 0 else pa.nulls(n, r_schema[c])
+        return pa.table(cols)
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        return _tag(batch, 1)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        return _tag(batch, 0)
+
+    unified = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow"))
+
+    out_cols = [c for c in left_cols] + [r_out[c] for c in right_cols]
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        keys = t[by].combine_chunks()
+        kc = keys if pa.types.is_dictionary(keys.type) \
+            else pc.dictionary_encode(keys)
+        key_codes = kc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t[on].combine_chunks()
+        ts_i = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        n = len(ts_i)
+        order = np.lexsort((side, ts_i, key_codes))  # right (0) first at ties
+        s_key = key_codes[order]
+        s_side = side[order]
+        # running index of the latest right row, reset per key segment
+        base = s_key.astype(np.int64) * np.int64(n + 1)
+        carry = np.where(s_side == 0,
+                         np.arange(n, dtype=np.int64) + 1, 0)
+        enc = np.maximum.accumulate(base + carry)
+        match_sorted = enc - base  # 0 = no right row yet in this key
+        left_pos = np.flatnonzero(s_side == 1)
+        lmatch = match_sorted[left_pos] - 1  # sorted-pos of right row
+        has = lmatch >= 0
+        left_orig = order[left_pos]
+        right_orig = np.full(len(left_pos), -1, dtype=np.int64)
+        right_orig[has] = order[lmatch[has]]
+        cols = {}
+        take_l = pa.array(left_orig, type=pa.int64())
+        for c in left_cols:
+            cols[c] = t[c].combine_chunks().take(take_l)
+        ridx = pa.array(np.where(has, right_orig, -1), type=pa.int64())
+        ridx = pc.if_else(pa.array(has), ridx, pa.nulls(len(has), pa.int64()))
+        for c in right_cols:
+            cols[r_out[c]] = t[r_out[c]].combine_chunks().take(ridx)
+        return pa.table({c: cols[c] for c in out_cols})
+
+    return unified.groupby("_ab").map_groups(merge, batch_format="pyarrow")
+
+
 def sliding_windows(ds, ts_col: str = "ts", width_s: float = 3600.0,
                     hop_s: float = 1800.0, keep: list[str] | None = None):
     """Assign each row to every sliding (hopping) window containing its

@@ -120,3 +120,45 @@ def test_sliding_windows_assignment(ray_session):
         (1, "2025-01-01 09:30:00"), (1, "2025-01-01 10:00:00"),
         (2, "2025-01-01 10:00:00"), (2, "2025-01-01 10:30:00"),
     ]
+
+
+def test_asof_join_matches_pandas(ray_session):
+    """Backward as-of join per key vs pandas merge_asof (the oracle
+    shape DuckDB's ASOF JOIN also implements)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from arcade_ray.windows import asof_join
+
+    rng = np.random.default_rng(13)
+    n_l, n_r = 600, 400
+    left = pd.DataFrame({
+        "user_id": rng.integers(0, 12, n_l),
+        "ts": pd.to_datetime(rng.integers(0, 10_000, n_l), unit="s"),
+        "lval": np.arange(n_l, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "user_id": rng.integers(0, 12, n_r),
+        "ts": pd.to_datetime(rng.integers(0, 10_000, n_r), unit="s"),
+        "rval": np.arange(n_r, dtype=np.float64),
+    })
+    # merge_asof requires globally sorted on; dedupe (user, ts) on the
+    # right so "latest at equal ts" has a unique answer
+    right = right.drop_duplicates(["user_id", "ts"])
+    out = asof_join(
+        rd.from_arrow(pa.Table.from_pandas(left)),
+        rd.from_arrow(pa.Table.from_pandas(right)),
+        on="ts", by="user_id", left_cols=["lval"], right_cols=["rval", "ts"],
+    ).to_pandas()
+    exp = pd.merge_asof(left.sort_values("ts"), right.sort_values("ts"),
+                        on="ts", by="user_id", direction="backward",
+                        suffixes=("", "_r"))
+    got = out.sort_values("lval").reset_index(drop=True)
+    exp = exp.sort_values("lval").reset_index(drop=True)
+    assert len(got) == len(exp) == n_l
+    assert got["rval"].fillna(-1).tolist() == exp["rval"].fillna(-1).tolist()
+    # matched right timestamp must be <= left ts
+    m = got["ts_r"].notna()
+    assert (got.loc[m, "ts_r"] <= got.loc[m, "ts"]).all()
