@@ -214,6 +214,23 @@ def q_group_agg_encoded(sf_dir: str) -> pa.Table:
     })
 
 
+def q_group_agg_multi(sf_dir: str) -> pa.Table:
+    """Composite GROUP BY (source, lang) -> SUM/COUNT computed with
+    NEITHER key column materialized per row: per-row mixed-radix
+    combination of the two columns' dictionary codes; only the value
+    column decodes."""
+    from .pipeline.query import dict_group_aggregate
+
+    out = encoded_dir(sf_dir, "documents")
+    t = dict_group_aggregate(out, ["source", "lang"], "n_chars")
+    return pa.table({
+        "source": t["source"],
+        "lang": t["lang"],
+        "sum_chars": t["sum_v"],
+        "n_rows": t["n_rows"],
+    })
+
+
 def q_near_dedup(sf_dir: str) -> pa.Table:
     """Near-duplicate removal: MinHash-LSH pairs -> union-find -> keep
     min id per cluster (rows-only: LSH has no SQL equivalent)."""
@@ -745,6 +762,7 @@ QUERIES = {
     "range_filter": q_range_filter,
     "group_count_encoded": q_group_count_encoded,
     "group_agg_encoded": q_group_agg_encoded,
+    "group_agg_multi": q_group_agg_multi,
     "near_dedup": q_near_dedup,
     "window_agg": q_window_agg,
     "sliding_window_agg": q_sliding_window_agg,
@@ -806,6 +824,10 @@ ORACLE_SQL = {
     "group_agg_encoded": (
         "SELECT source, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MIN(n_chars) AS min_chars, "
         "MAX(n_chars) AS max_chars, COUNT(*) AS n_rows FROM documents GROUP BY source"
+    ),
+    "group_agg_multi": (
+        "SELECT source, lang, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+        "COUNT(*) AS n_rows FROM documents GROUP BY source, lang"
     ),
     "window_agg": ("SELECT event_type, date_trunc('hour', ts) AS w, "
                    "COUNT(*) AS n_events, round(SUM(value), 3) AS sum_value "

@@ -640,20 +640,23 @@ def _dict_counts_partition(path: str, col: str, totals: dict[str, int]) -> None:
                 totals[s] = totals.get(s, 0) + int(counts[code])
 
 
-def dict_group_aggregate(out_dir: str, key_col: str, value_col: str) -> pa.Table:
-    """GROUP BY ``key_col`` -> SUM/MIN/MAX/COUNT(``value_col``) with
-    the KEY column never materialized per row: group membership comes
-    straight from the bit-unpacked dictionary codes; only the value
-    column decodes. Extends the decode-free aggregation family
+def dict_group_aggregate(out_dir: str, key_col, value_col: str) -> pa.Table:
+    """GROUP BY key column(s) -> SUM/MIN/MAX/COUNT(``value_col``) with
+    the KEY columns never materialized per row: group membership comes
+    straight from the bit-unpacked dictionary codes (multiple keys
+    combine into one mixed-radix code per row); only the value column
+    decodes. Extends the decode-free aggregation family
     (dict_value_counts) to real aggregates. One Ray task per partition
     emits key->partial rows; the driver merges the tiny partials.
 
-    Integer value columns accumulate in int64 (per-chunk reduceat) and
-    merge as Python ints — EXACT at any scale, where a float64
-    accumulator silently loses low bits past 2^53 (round-2 review
-    finding). Float columns keep the float64 path."""
+    ``key_col``: a string column name or a list of them (composite
+    GROUP BY). Integer value columns accumulate in int64 (per-chunk
+    reduceat) and merge as Python ints — EXACT at any scale, where a
+    float64 accumulator silently loses low bits past 2^53 (round-2
+    review finding). Float columns keep the float64 path."""
     import ray.data as rd
 
+    key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
     rows = _manifest_paths(out_dir)
     header0, _ = read_header(rows[0]["path"])
     integral = header0["columns"][value_col].get("tag") not in ("f32", "f64")
@@ -661,65 +664,64 @@ def dict_group_aggregate(out_dir: str, key_col: str, value_col: str) -> pa.Table
 
     paths = rd.from_items([{"path": r["path"]} for r in rows])
 
+    def to_table(sums, mins, maxs, counts) -> pa.Table:
+        keys = sorted(sums)
+        cols = {}
+        for i, kc in enumerate(key_cols):
+            cols[kc] = pa.array([k[i] for k in keys], type=pa.string())
+        cols["sum_v"] = pa.array([sums[k] for k in keys], type=agg_t)
+        cols["min_v"] = pa.array([mins[k] for k in keys], type=agg_t)
+        cols["max_v"] = pa.array([maxs[k] for k in keys], type=agg_t)
+        cols["n_rows"] = pa.array([counts[k] for k in keys], type=pa.int64())
+        return pa.table(cols)
+
     def run(batch: pa.Table) -> pa.Table:
         sums: dict = {}
         mins: dict = {}
         maxs: dict = {}
-        counts: dict[str, int] = {}
+        counts: dict = {}
         for p in batch["path"]:
-            _dict_group_agg_partition(p.as_py(), key_col, value_col,
+            _dict_group_agg_partition(p.as_py(), key_cols, value_col,
                                       sums, mins, maxs, counts, integral)
-        keys = sorted(sums)
-        return pa.table({
-            key_col: pa.array(keys, type=pa.string()),
-            "sum_v": pa.array([sums[k] for k in keys], type=agg_t),
-            "min_v": pa.array([mins[k] for k in keys], type=agg_t),
-            "max_v": pa.array([maxs[k] for k in keys], type=agg_t),
-            "n_rows": pa.array([counts[k] for k in keys], type=pa.int64()),
-        })
+        return to_table(sums, mins, maxs, counts)
 
     partials = paths.map_batches(run, batch_format="pyarrow", batch_size=1)
     sums: dict = {}
     mins: dict = {}
     maxs: dict = {}
-    counts: dict[str, int] = {}
+    counts: dict = {}
     for row in partials.take_all():
-        k = row[key_col]
+        k = tuple(row[kc] for kc in key_cols)
         sums[k] = sums.get(k, 0) + row["sum_v"]
         mins[k] = min(mins.get(k, row["min_v"]), row["min_v"])
         maxs[k] = max(maxs.get(k, row["max_v"]), row["max_v"])
         counts[k] = counts.get(k, 0) + row["n_rows"]
-    keys = sorted(sums)
-    return pa.table({
-        key_col: pa.array(keys, type=pa.string()),
-        "sum_v": pa.array([sums[k] for k in keys], type=agg_t),
-        "min_v": pa.array([mins[k] for k in keys], type=agg_t),
-        "max_v": pa.array([maxs[k] for k in keys], type=agg_t),
-        "n_rows": pa.array([counts[k] for k in keys], type=pa.int64()),
-    })
+    return to_table(sums, mins, maxs, counts)
 
 
-def _dict_group_agg_partition(path: str, key_col: str, value_col: str,
+def _dict_group_agg_partition(path: str, key_cols: list[str], value_col: str,
                               sums: dict, mins: dict, maxs: dict,
                               counts: dict, integral: bool = False) -> None:
-    from ..codecs.str_codecs import decode_codes
+    from ..codecs.str_codecs import decode_codes, decode_str_values
     from ..column import StringColumnDecoder
+    from ..streams import str_stream_to_arrow
 
     header, base = read_header(path)
-    cm = header["columns"][key_col]
-    if cm["kind"] != "str":
-        raise TypeError("dict_group_aggregate groups on string columns")
-    if any(ch.get("nulls") for ch in cm["chunks"]):
-        raise NotImplementedError("null-bearing group keys: decode instead")
+    kcms = [header["columns"][kc] for kc in key_cols]
+    for kc, cm in zip(key_cols, kcms):
+        if cm["kind"] != "str":
+            raise TypeError("dict_group_aggregate groups on string columns")
+        if any(ch.get("nulls") for ch in cm["chunks"]):
+            raise NotImplementedError("null-bearing group keys: decode instead")
     vcm = header["columns"][value_col]
     if any(ch.get("nulls") for ch in vcm["chunks"]):
         raise NotImplementedError("null-bearing aggregate values: decode instead")
     vdec = make_column_decoder(vcm)
-    sdec = StringColumnDecoder(cm["tag"])
+    sdecs = [StringColumnDecoder(cm["tag"]) for cm in kcms]
+    n_chunks = len(kcms[0]["chunks"])
+    box = int if integral else float
     with open(path, "rb") as f:
-        for ci, ch in enumerate(cm["chunks"]):
-            f.seek(base + ch["off"])
-            payload = read_exact(f, ch["nb"], key_col)
+        for ci in range(n_chunks):
             vch = vcm["chunks"][ci]
             f.seek(base + vch["off"])
             vals_arr = vdec.decode(vch, read_exact(f, vch["nb"], value_col))
@@ -728,43 +730,61 @@ def _dict_group_agg_partition(path: str, key_col: str, value_col: str,
             # exact; a float64 accumulator loses low bits past 2^53
             vals = vals_np.astype(np.int64, copy=False) if integral \
                 else vals_np.astype(np.float64)
-            if ch["mode"] == "plain":
+            # per key column: per-row codes + a code->string resolver;
+            # composite keys combine into one mixed-radix code per row
+            codes_list: list[tuple[np.ndarray, int]] = []
+            resolvers = []
+            for kc, cm, sdec in zip(key_cols, kcms, sdecs):
+                ch = cm["chunks"][ci]
+                f.seek(base + ch["off"])
+                payload = read_exact(f, ch["nb"], kc)
                 sdec.advance_dict(ch, payload)
-                from ..codecs.str_codecs import decode_str_values
-                from ..streams import str_stream_to_arrow
-
-                lengths, data = decode_str_values(ch["codec"], payload, ch["meta"])
-                keys_arr = str_stream_to_arrow(lengths, data, "str")
-                # plain chunk: local dictionary-encode then bincount
-                d = pc.dictionary_encode(keys_arr)
-                codes = d.indices.to_numpy(zero_copy_only=False)
-                pool = d.dictionary.to_pylist()
-            else:
-                sdec.advance_dict(ch, payload)
-                codes = decode_codes(ch["ccodec"], payload[ch["vlen"]:], ch["cmeta"])
-                u_offsets = np.empty(len(sdec.u_lengths) + 1, dtype=np.int64)
-                u_offsets[0] = 0
-                np.cumsum(sdec.u_lengths, out=u_offsets[1:])
-                pool = None  # resolved lazily below for touched codes only
-            minlength = (len(pool) if pool is not None else ch["d_total"])
-            n = np.bincount(codes, minlength=minlength)
-            nz = np.flatnonzero(n)
-            order = np.argsort(codes, kind="stable")
-            cs = codes[order]
-            vs = vals[order]
-            bounds = np.searchsorted(cs, nz)
-            bounds = np.append(bounds, len(cs))
-            box = int if integral else float
-            for j, code in enumerate(nz.tolist()):
-                if pool is not None:
-                    key = pool[code]
+                if ch["mode"] == "plain":
+                    lengths, data = decode_str_values(ch["codec"], payload,
+                                                      ch["meta"])
+                    d = pc.dictionary_encode(
+                        str_stream_to_arrow(lengths, data, "str"))
+                    codes = d.indices.to_numpy(
+                        zero_copy_only=False).astype(np.int64)
+                    pool = d.dictionary.to_pylist()
+                    resolvers.append(lambda code, pool=pool: pool[code])
+                    m = max(len(pool), 1)
                 else:
-                    key = sdec.u_data[u_offsets[code]: u_offsets[code + 1]].decode("utf-8")
-                seg = vs[bounds[j]: bounds[j + 1]]
+                    codes = decode_codes(ch["ccodec"], payload[ch["vlen"]:],
+                                         ch["cmeta"]).astype(np.int64)
+                    u = np.empty(len(sdec.u_lengths) + 1, dtype=np.int64)
+                    u[0] = 0
+                    np.cumsum(sdec.u_lengths, out=u[1:])
+                    resolvers.append(
+                        lambda code, sdec=sdec, u=u:
+                        sdec.u_data[u[code]: u[code + 1]].decode("utf-8"))
+                    m = max(ch["d_total"], 1)
+                codes_list.append((codes, m))
+            combined = codes_list[0][0]
+            for codes, m in codes_list[1:]:
+                combined = combined * m + codes
+            if len(combined) == 0:
+                continue
+            order = np.argsort(combined, kind="stable")
+            cs = combined[order]
+            vs = vals[order]
+            bounds = np.concatenate(
+                [[0], np.flatnonzero(np.diff(cs)) + 1, [len(cs)]])
+            for j in range(len(bounds) - 1):
+                lo, hi = int(bounds[j]), int(bounds[j + 1])
+                code = int(cs[lo])
+                parts = []
+                for codes, m in reversed(codes_list[1:]):
+                    code, rem = divmod(code, m)
+                    parts.append(rem)
+                parts.append(code)
+                key = tuple(res(c) for res, c in
+                            zip(resolvers, reversed(parts)))
+                seg = vs[lo:hi]
                 sums[key] = sums.get(key, 0) + box(seg.sum())
                 mins[key] = min(mins.get(key, box(seg.min())), box(seg.min()))
                 maxs[key] = max(maxs.get(key, box(seg.max())), box(seg.max()))
-                counts[key] = counts.get(key, 0) + int(n[code])
+                counts[key] = counts.get(key, 0) + (hi - lo)
 
 
 def topk(out_dir: str, col: str, k: int, descending: bool = True) -> pa.Table:

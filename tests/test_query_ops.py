@@ -231,3 +231,37 @@ def test_compound_filter_or_not(encoded):
     got = collect(compound_filter(
         out_dir, ("not", ("eq", "source", "src-999")), project=["doc_id"]))
     assert got.num_rows == table.num_rows
+
+
+def test_dict_group_aggregate_composite_keys(ray_session, tmp_path):
+    """Composite GROUP BY (two key columns) via mixed-radix code
+    combination — neither key column materializes per row."""
+    import ray.data as rd
+
+    from arcade_ray.pipeline.query import dict_group_aggregate
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    src = [f"s{v}" for v in rng.integers(0, 6, n)]
+    lang = [["en", "de", "fr"][v] for v in rng.integers(0, 3, n)]
+    vals = rng.integers(0, 1000, n)
+    t = pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "source": pa.array(src),
+        "lang": pa.array(lang),
+        "v": pa.array(vals, type=pa.int64()),
+    })
+    out_dir = str(tmp_path / "enc")
+    encode_dataset(rd.from_arrow(t), out_dir, key_col="source",
+                   weight_col=None)
+    got = dict_group_aggregate(out_dir, ["source", "lang"], "v")
+    df = t.to_pandas()
+    exp = df.groupby(["source", "lang"])["v"].agg(["sum", "min", "max",
+                                                   "count"])
+    assert got.num_rows == exp.shape[0]
+    for i in range(got.num_rows):
+        key = (got["source"][i].as_py(), got["lang"][i].as_py())
+        assert got["sum_v"][i].as_py() == exp.loc[key, "sum"]
+        assert got["min_v"][i].as_py() == exp.loc[key, "min"]
+        assert got["max_v"][i].as_py() == exp.loc[key, "max"]
+        assert got["n_rows"][i].as_py() == exp.loc[key, "count"]
