@@ -5,7 +5,7 @@ sf0.001 documents table through the adaptive columnar compression
 engine). ``queries()``/``oracle_sql()`` — per-operator surface checked
 against DuckDB at sf0.01 (see arcade_ray/entry_queries.py).
 
-Query inventory (53; SQL-oracled unless marked rows-only):
+Query inventory (54; SQL-oracled unless marked rows-only):
 
 - engine core: scan_project, equi_filter, equi_filter_int, filter_lang,
   range_filter, compound_filter, compound_or_filter, negation_filter,
@@ -15,6 +15,7 @@ Query inventory (53; SQL-oracled unless marked rows-only):
   (decode-free GROUP BY, exact int sums), group_agg_multi (composite keys), topk, topk_rows, sample,
   window_agg, sliding_window_agg, session_windows, json_extract_agg,
   vector_norms, asof_join_events (DuckDB ASOF JOIN oracle),
+  range_join_sessions (events joined to session intervals),
   roundtrip_{documents,lineitem,events,embeddings,orders,customer,
   part}, roundtrip_list_strings (list<string> through the format),
   compression_metrics (rows-only lineage)

@@ -397,6 +397,27 @@ def q_asof_join_events(sf_dir: str) -> pa.Table:
     return out
 
 
+def q_range_join_sessions(sf_dir: str) -> pa.Table:
+    """Range (interval-containment) join: every event joined to its
+    gap-session interval per user — session_windows output as the
+    interval side, windows.range_join (as-of on interval start +
+    containment filter; sessions are non-overlapping per key by
+    construction). Oracle: the session CTE + a BETWEEN join."""
+    import ray.data as rd
+
+    from .windows import range_join, session_windows
+
+    path = os.path.join(sf_dir, "events.parquet")
+    events = rd.read_parquet(path, columns=["event_id", "user_id", "ts"])
+    sess = session_windows(
+        rd.read_parquet(path, columns=["user_id", "ts"]),
+        key_col="user_id", ts_col="ts", gap_s=1800.0)
+    out = range_join(events, sess, on="ts", lo_col="session_start",
+                     hi_col="session_end", by="user_id",
+                     left_cols=["event_id"])
+    return _collect(out)
+
+
 def q_compression_metrics(sf_dir: str) -> pa.Table:
     """Lineage/metrics surface: per-partition encoded sizes (rows-only
     check; not SQL-expressible)."""
@@ -770,6 +791,7 @@ QUERIES = {
     "distinct_sketch_sources": q_distinct_sketch_sources,
     "session_windows": q_session_windows,
     "asof_join_events": q_asof_join_events,
+    "range_join_sessions": q_range_join_sessions,
     "topk": q_topk,
     "topk_rows": q_topk_rows,
     "sample": q_sample,
@@ -861,6 +883,19 @@ ORACLE_SQL = {
         "FROM (SELECT * FROM events WHERE event_type='click') l "
         "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') r "
         "ON l.user_id = r.user_id AND l.ts >= r.ts"
+    ),
+    "range_join_sessions": (
+        "WITH g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+        "OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS brk "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+        "s AS (SELECT user_id, ts, SUM(brk) OVER "
+        "(PARTITION BY user_id ORDER BY ts) AS sid FROM g), "
+        "sess AS (SELECT user_id, min(ts) AS session_start, "
+        "max(ts) AS session_end FROM s GROUP BY user_id, sid) "
+        "SELECT e.event_id, e.user_id, e.ts, sess.session_start, "
+        "sess.session_end FROM events e JOIN sess "
+        "ON e.user_id = sess.user_id "
+        "AND e.ts BETWEEN sess.session_start AND sess.session_end"
     ),
     "join_orders_customer": (
         "SELECT o_orderkey, o_custkey, c_mktsegment FROM orders "

@@ -76,7 +76,8 @@ def session_windows(ds, key_col: str = "user_id", ts_col: str = "ts",
 def asof_join(left_ds, right_ds, on: str = "ts", by: str = "user_id",
               left_cols: list[str] | None = None,
               right_cols: list[str] | None = None,
-              suffix: str = "_r", n_buckets: int | None = None):
+              suffix: str = "_r", n_buckets: int | None = None,
+              right_on: str | None = None):
     """AS-OF join (backward): attach to each left row the LATEST right
     row with ``right.on <= left.on`` within the same ``by`` key; left
     rows with no earlier right row keep nulls (ASOF LEFT JOIN).
@@ -91,8 +92,9 @@ def asof_join(left_ds, right_ds, on: str = "ts", by: str = "user_id",
     index forward onto the left rows — no per-key Python.
 
     ``right_cols`` columns are renamed with ``suffix`` when they
-    collide with left columns. Returns a Dataset of left_cols +
-    matched right columns."""
+    collide with left columns. ``right_on`` names the right side's
+    ordering column when it differs from ``on`` (e.g. an interval's
+    start). Returns a Dataset of left_cols + matched right columns."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -118,6 +120,8 @@ def asof_join(left_ds, right_ds, on: str = "ts", by: str = "user_id",
     l_schema = {f.name: f.type for f in left_ds.schema().base_schema}
     r_schema = {f.name: f.type for f in right_ds.schema().base_schema}
 
+    r_on = right_on or on
+
     def _tag(batch: pa.Table, side: int) -> pa.Table:
         n = batch.num_rows
         b = (hash_column(batch[by]) % np.uint64(n_buckets)).astype(np.int64)
@@ -125,7 +129,8 @@ def asof_join(left_ds, right_ds, on: str = "ts", by: str = "user_id",
             "_ab": pa.array(b),
             "_side": pa.array(np.full(n, side, dtype=np.int8)),
             by: batch[by],
-            on: batch[on],
+            on: batch[on] if side == 1 else batch[r_on].cast(
+                l_schema[on]),
         }
         for c in left_cols:
             if c not in (by, on):
@@ -182,6 +187,39 @@ def asof_join(left_ds, right_ds, on: str = "ts", by: str = "user_id",
         return pa.table({c: cols[c] for c in out_cols})
 
     return unified.groupby("_ab").map_groups(merge, batch_format="pyarrow")
+
+
+def range_join(left_ds, right_ds, on: str = "ts",
+               lo_col: str = "session_start", hi_col: str = "session_end",
+               by: str = "user_id", left_cols: list[str] | None = None,
+               right_cols: list[str] | None = None,
+               n_buckets: int | None = None):
+    """Interval-containment join: attach to each left row the right
+    interval (per ``by`` key) with ``lo <= left.on <= hi``; left rows
+    inside no interval are dropped (inner semantics).
+
+    Partitioning assumption (documented per the custom-operator
+    contract): intervals are NON-OVERLAPPING per key — then the
+    containing interval is exactly the as-of match on the interval
+    start, post-filtered by ``hi >= on``. Session/tumbling windows
+    satisfy this by construction; overlapping intervals need an
+    interval-tree variant. One co-partitioned shuffle, vectorized
+    merge (see asof_join)."""
+    import pyarrow.compute as pc
+
+    rc = [lo_col, hi_col] + [c for c in (right_cols or [])
+                             if c not in (lo_col, hi_col)]
+    out = asof_join(left_ds, right_ds, on=on, by=by, left_cols=left_cols,
+                    right_cols=rc, n_buckets=n_buckets, right_on=lo_col)
+
+    def inside(batch: pa.Table) -> pa.Table:
+        hi = batch[hi_col]
+        keep = pc.and_kleene(pc.is_valid(hi),
+                             pc.greater_equal(hi.cast(batch[on].type),
+                                              batch[on]))
+        return batch.filter(pc.fill_null(keep, False))
+
+    return out.map_batches(inside, batch_format="pyarrow")
 
 
 def sliding_windows(ds, ts_col: str = "ts", width_s: float = 3600.0,

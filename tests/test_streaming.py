@@ -162,3 +162,42 @@ def test_asof_join_matches_pandas(ray_session):
     # matched right timestamp must be <= left ts
     m = got["ts_r"].notna()
     assert (got.loc[m, "ts_r"] <= got.loc[m, "ts"]).all()
+
+
+def test_range_join_containment(ray_session):
+    """Interval-containment join vs a pandas recompute; intervals
+    non-overlapping per key (the documented partitioning assumption)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from arcade_ray.windows import range_join
+
+    rng = np.random.default_rng(7)
+    ivs = []
+    for u in range(6):
+        t = 0
+        for _ in range(5):
+            lo = t + int(rng.integers(1, 50))
+            hi = lo + int(rng.integers(1, 30))
+            ivs.append((u, lo, hi))
+            t = hi
+    right = pd.DataFrame(ivs, columns=["user_id", "lo", "hi"])
+    left = pd.DataFrame({
+        "user_id": rng.integers(0, 6, 500),
+        "ts": rng.integers(0, 500, 500),
+        "eid": np.arange(500, dtype=np.int64),
+    })
+    out = range_join(
+        rd.from_arrow(pa.Table.from_pandas(left)),
+        rd.from_arrow(pa.Table.from_pandas(right)),
+        on="ts", lo_col="lo", hi_col="hi", by="user_id",
+        left_cols=["eid"],
+    ).to_pandas()
+    exp = left.merge(right, on="user_id")
+    exp = exp[(exp["ts"] >= exp["lo"]) & (exp["ts"] <= exp["hi"])]
+    assert len(out) == len(exp)
+    got = set(zip(out["eid"], out["lo"]))
+    want = set(zip(exp["eid"], exp["lo"]))
+    assert got == want
