@@ -348,6 +348,16 @@ def q_topk_rows(sf_dir: str) -> pa.Table:
                      columns=["doc_id", "n_chars", "source"])
 
 
+def q_group_topk(sf_dir: str) -> pa.Table:
+    """Top-3 longest documents PER SOURCE over encoded data: group
+    membership from dictionary codes, key strings resolved only for
+    the winners (decode-free grouped top-k)."""
+    from .pipeline.query import dict_group_topk
+
+    out = encoded_dir(sf_dir, "documents")
+    return dict_group_topk(out, "source", "n_chars", "doc_id", 3)
+
+
 def q_sample(sf_dir: str) -> pa.Table:
     from .pipeline.query import sample_ids
 
@@ -794,6 +804,7 @@ QUERIES = {
     "range_join_sessions": q_range_join_sessions,
     "topk": q_topk,
     "topk_rows": q_topk_rows,
+    "group_topk": q_group_topk,
     "sample": q_sample,
     "compression_metrics": q_compression_metrics,
     "join_orders_customer": q_join_orders_customer,
@@ -949,6 +960,11 @@ ORACLE_SQL = {
     "topk": "SELECT n_chars FROM documents ORDER BY n_chars DESC LIMIT 50",
     "topk_rows": ("SELECT doc_id, n_chars, source FROM documents "
                   "ORDER BY n_chars DESC, doc_id LIMIT 25"),
+    "group_topk": (
+        "SELECT source, doc_id, n_chars FROM documents "
+        "QUALIFY row_number() OVER (PARTITION BY source "
+        "ORDER BY n_chars DESC, doc_id) <= 3"
+    ),
     "sample": "SELECT doc_id, source FROM documents WHERE doc_id % 20 = 3",
     "embedding_near_dup": (
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "

@@ -787,6 +787,119 @@ def _dict_group_agg_partition(path: str, key_cols: list[str], value_col: str,
                 counts[key] = counts.get(key, 0) + (hi - lo)
 
 
+def dict_group_topk(out_dir: str, key_col: str, value_col: str,
+                    id_col: str, k: int) -> pa.Table:
+    """Top-k rows PER GROUP (largest ``value_col``, ties broken by
+    ascending ``id_col``) with the key column resolved only for the
+    <= groups x k winners: group membership comes from the
+    bit-unpacked dictionary codes; per chunk a single lexsort + run
+    scan keeps k candidates per key, so partition partials are tiny
+    and the driver merge is groups x k x partitions rows."""
+    import ray.data as rd
+
+    rows = _manifest_paths(out_dir)
+    header0, _ = read_header(rows[0]["path"])
+    vt = _col_type(header0["columns"][value_col])
+    it = _col_type(header0["columns"][id_col])
+
+    paths = rd.from_items([{"path": r["path"]} for r in rows])
+
+    def run(batch: pa.Table) -> pa.Table:
+        parts = [_group_topk_partition(p.as_py(), key_col, value_col,
+                                       id_col, k) for p in batch["path"]]
+        return pa.concat_tables(parts)
+
+    from ..collect import collect_arrow
+
+    partials = collect_arrow(
+        paths.map_batches(run, batch_format="pyarrow", batch_size=1))
+    if partials.num_rows == 0:
+        return pa.table({key_col: pa.array([], pa.string()),
+                         id_col: pa.array([], it),
+                         value_col: pa.array([], vt)})
+    order = pc.sort_indices(partials, sort_keys=[
+        (key_col, "ascending"), (value_col, "descending"),
+        (id_col, "ascending")])
+    t = partials.take(order)
+    keys = t[key_col].to_numpy(zero_copy_only=False)
+    starts = np.concatenate(
+        [[0], np.flatnonzero(keys[1:] != keys[:-1]) + 1])
+    rank = np.arange(len(keys)) - np.repeat(
+        starts, np.diff(np.append(starts, len(keys))))
+    return t.filter(pa.array(rank < k))
+
+
+def _group_topk_partition(path: str, key_col: str, value_col: str,
+                          id_col: str, k: int) -> pa.Table:
+    from ..codecs.str_codecs import decode_codes, decode_str_values
+    from ..column import StringColumnDecoder
+    from ..streams import str_stream_to_arrow
+
+    header, base = read_header(path)
+    cm = header["columns"][key_col]
+    if cm["kind"] != "str":
+        raise TypeError("dict_group_topk groups on string columns")
+    if any(ch.get("nulls") for ch in cm["chunks"]):
+        raise NotImplementedError("null-bearing group keys: decode instead")
+    vcm = header["columns"][value_col]
+    icm = header["columns"][id_col]
+    vdec = make_column_decoder(vcm)
+    idec = make_column_decoder(icm)
+    sdec = StringColumnDecoder(cm["tag"])
+    out_keys: list[str] = []
+    out_vals: list = []
+    out_ids: list = []
+    with open(path, "rb") as f:
+        for ci, ch in enumerate(cm["chunks"]):
+            f.seek(base + ch["off"])
+            payload = read_exact(f, ch["nb"], key_col)
+            sdec.advance_dict(ch, payload)
+            if ch["mode"] == "plain":
+                lengths, data = decode_str_values(ch["codec"], payload,
+                                                  ch["meta"])
+                d = pc.dictionary_encode(
+                    str_stream_to_arrow(lengths, data, "str"))
+                codes = d.indices.to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                pool = d.dictionary.to_pylist()
+                resolve = pool.__getitem__
+            else:
+                codes = decode_codes(ch["ccodec"], payload[ch["vlen"]:],
+                                     ch["cmeta"]).astype(np.int64)
+                u = np.empty(len(sdec.u_lengths) + 1, dtype=np.int64)
+                u[0] = 0
+                np.cumsum(sdec.u_lengths, out=u[1:])
+
+                def resolve(code, sdec=sdec, u=u):
+                    return sdec.u_data[u[code]: u[code + 1]].decode("utf-8")
+            vch = vcm["chunks"][ci]
+            f.seek(base + vch["off"])
+            vals = vdec.decode(vch, read_exact(f, vch["nb"], value_col)) \
+                .to_numpy(zero_copy_only=False)
+            ich = icm["chunks"][ci]
+            f.seek(base + ich["off"])
+            ids = idec.decode(ich, read_exact(f, ich["nb"], id_col)) \
+                .to_numpy(zero_copy_only=False)
+            if len(codes) == 0:
+                continue
+            order = np.lexsort((ids, -vals, codes))
+            cs = codes[order]
+            starts = np.concatenate(
+                [[0], np.flatnonzero(cs[1:] != cs[:-1]) + 1])
+            rank = np.arange(len(cs)) - np.repeat(
+                starts, np.diff(np.append(starts, len(cs))))
+            keep = order[rank < k]
+            for i in keep.tolist():
+                out_keys.append(resolve(int(codes[i])))
+                out_vals.append(vals[i])
+                out_ids.append(ids[i])
+    return pa.table({
+        key_col: pa.array(out_keys, type=pa.string()),
+        id_col: pa.array(out_ids, type=_col_type(icm)),
+        value_col: pa.array(out_vals, type=_col_type(vcm)),
+    })
+
+
 def topk(out_dir: str, col: str, k: int, descending: bool = True) -> pa.Table:
     """Top-k values of a column: per-partition partial top-k tasks,
     tiny driver merge of #partitions x k values. The reference lists

@@ -265,3 +265,16 @@ def test_dict_group_aggregate_composite_keys(ray_session, tmp_path):
         assert got["min_v"][i].as_py() == exp.loc[key, "min"]
         assert got["max_v"][i].as_py() == exp.loc[key, "max"]
         assert got["n_rows"][i].as_py() == exp.loc[key, "count"]
+
+
+def test_dict_group_topk(encoded):
+    from arcade_ray.pipeline.query import dict_group_topk
+
+    out_dir, table = encoded
+    got = dict_group_topk(out_dir, "source", "n_tok", "doc_id", 5)
+    df = table.select(["source", "n_tok", "doc_id"]).to_pandas()
+    df = df.sort_values(["source", "n_tok", "doc_id"],
+                        ascending=[True, False, True])
+    exp = df.groupby("source").head(5).reset_index(drop=True)
+    g = got.to_pandas()[["source", "n_tok", "doc_id"]].reset_index(drop=True)
+    assert g.equals(exp[["source", "n_tok", "doc_id"]].reset_index(drop=True))
