@@ -5,14 +5,14 @@ sf0.001 documents table through the adaptive columnar compression
 engine). ``queries()``/``oracle_sql()`` — per-operator surface checked
 against DuckDB at sf0.01 (see arcade_ray/entry_queries.py).
 
-Query inventory (55; SQL-oracled unless marked rows-only):
+Query inventory (56; SQL-oracled unless marked rows-only):
 
 - engine core: scan_project, equi_filter, equi_filter_int, filter_lang,
   range_filter, compound_filter, compound_or_filter, negation_filter,
   expr_filter, random_access,
   distinct_sources (dict-segment DISTINCT), distinct_sketch_sources
   (KMV, no scan), plan_stats, group_count_encoded + group_agg_encoded
-  (decode-free GROUP BY, exact int sums), group_agg_multi (composite keys), topk, topk_rows, group_topk, sample,
+  (decode-free GROUP BY, exact int sums), group_agg_multi (composite keys), topk, topk_rows, group_topk, percentiles, sample,
   window_agg, sliding_window_agg, session_windows, json_extract_agg,
   vector_norms, asof_join_events (DuckDB ASOF JOIN oracle),
   range_join_sessions (events joined to session intervals),

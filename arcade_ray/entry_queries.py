@@ -358,6 +358,15 @@ def q_group_topk(sf_dir: str) -> pa.Table:
     return dict_group_topk(out, "source", "n_chars", "doc_id", 3)
 
 
+def q_percentiles(sf_dir: str) -> pa.Table:
+    """Exact p50/p90/p99 of n_chars from mergeable per-partition
+    histograms (no sort, no shuffle)."""
+    from .pipeline.query import int_percentiles
+
+    out = encoded_dir(sf_dir, "documents")
+    return int_percentiles(out, "n_chars", [0.5, 0.9, 0.99])
+
+
 def q_sample(sf_dir: str) -> pa.Table:
     from .pipeline.query import sample_ids
 
@@ -805,6 +814,7 @@ QUERIES = {
     "topk": q_topk,
     "topk_rows": q_topk_rows,
     "group_topk": q_group_topk,
+    "percentiles": q_percentiles,
     "sample": q_sample,
     "compression_metrics": q_compression_metrics,
     "join_orders_customer": q_join_orders_customer,
@@ -964,6 +974,15 @@ ORACLE_SQL = {
         "SELECT source, doc_id, n_chars FROM documents "
         "QUALIFY row_number() OVER (PARTITION BY source "
         "ORDER BY n_chars DESC, doc_id) <= 3"
+    ),
+    "percentiles": (
+        "SELECT CAST(0.5 AS DOUBLE) AS p, "
+        "CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS n_chars "
+        "FROM documents UNION ALL "
+        "SELECT CAST(0.9 AS DOUBLE), "
+        "CAST(quantile_disc(n_chars, 0.9) AS BIGINT) FROM documents "
+        "UNION ALL SELECT CAST(0.99 AS DOUBLE), "
+        "CAST(quantile_disc(n_chars, 0.99) AS BIGINT) FROM documents"
     ),
     "sample": "SELECT doc_id, source FROM documents WHERE doc_id % 20 = 3",
     "embedding_near_dup": (

@@ -787,6 +787,64 @@ def _dict_group_agg_partition(path: str, key_cols: list[str], value_col: str,
                 counts[key] = counts.get(key, 0) + (hi - lo)
 
 
+def int_percentiles(out_dir: str, col: str, ps: list[float]) -> pa.Table:
+    """EXACT percentiles of an integer column over encoded data via
+    mergeable per-partition histograms: each task decodes only ``col``,
+    bincounts it against the partition's zone-map min, and ships a
+    (value offset, counts) pair; the driver merges the tiny histograms
+    and reads the quantiles off the cumulative sum. Selection rule
+    matches SQL ``quantile_disc``: element at floor((n-1) * p) of the
+    sorted multiset. No sort, no shuffle — one pass, O(value range)
+    driver state (suits bounded int domains like lengths/counts)."""
+    import ray
+
+    rows = _manifest_paths(out_dir)
+    header0, _ = read_header(rows[0]["path"])
+    cm0 = header0["columns"][col]
+    if cm0["kind"] != "int" or cm0.get("tag") in ("f32", "f64"):
+        raise TypeError("int_percentiles needs an integer column")
+
+    @ray.remote
+    def part_hist(path: str):
+        from .encode import _pin_arrow_threads
+
+        _pin_arrow_threads()
+        header, base = read_header(path)
+        cm = header["columns"][col]
+        dec = make_column_decoder(cm)
+        vals = []
+        with open(path, "rb") as f:
+            for ch in cm["chunks"]:
+                f.seek(base + ch["off"])
+                arr = dec.decode(ch, read_exact(f, ch["nb"], col))
+                v = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+                vals.append(v)
+        if not vals:
+            return 0, np.zeros(0, dtype=np.int64)
+        v = np.concatenate(vals)
+        lo = int(v.min())
+        return lo, np.bincount(v - lo)
+
+    hists = ray.get([part_hist.remote(r["path"]) for r in rows])
+    lo = min(h[0] for h in hists if len(h[1]))
+    hi = max(h[0] + len(h[1]) for h in hists if len(h[1]))
+    total = np.zeros(max(hi - lo, 1), dtype=np.int64)
+    for off, cnt in hists:
+        if len(cnt):
+            total[off - lo: off - lo + len(cnt)] += cnt
+    csum = np.cumsum(total)
+    n = int(csum[-1])
+    out_p, out_v = [], []
+    for p in ps:
+        idx = int(np.floor((n - 1) * p))
+        out_p.append(float(p))
+        out_v.append(lo + int(np.searchsorted(csum, idx + 1)))
+    return pa.table({
+        "p": pa.array(out_p, type=pa.float64()),
+        col: pa.array(out_v, type=pa.int64()),
+    })
+
+
 def dict_group_topk(out_dir: str, key_col: str, value_col: str,
                     id_col: str, k: int) -> pa.Table:
     """Top-k rows PER GROUP (largest ``value_col``, ties broken by

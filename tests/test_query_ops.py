@@ -278,3 +278,15 @@ def test_dict_group_topk(encoded):
     exp = df.groupby("source").head(5).reset_index(drop=True)
     g = got.to_pandas()[["source", "n_tok", "doc_id"]].reset_index(drop=True)
     assert g.equals(exp[["source", "n_tok", "doc_id"]].reset_index(drop=True))
+
+
+def test_int_percentiles(encoded):
+    from arcade_ray.pipeline.query import int_percentiles
+
+    out_dir, table = encoded
+    got = int_percentiles(out_dir, "n_tok", [0.0, 0.25, 0.5, 0.75, 1.0])
+    vals = np.sort(table["n_tok"].to_numpy())
+    n = len(vals)
+    for i, p in enumerate([0.0, 0.25, 0.5, 0.75, 1.0]):
+        exp = int(vals[int(np.floor((n - 1) * p))])
+        assert got["n_tok"][i].as_py() == exp, (p, got["n_tok"][i], exp)
