@@ -228,23 +228,39 @@ def cmd_compound_filter(args) -> None:
 
     header = _load_header(args.out_dir)  # once, not per predicate bound
     preds: list[tuple] = []
-    try:
-        for spec in args.eq:
-            col, val = spec.split("=", 1)
+
+    def _bad(kind: str, spec: str, why: str) -> None:
+        sys.exit(f"error: --{kind} {spec!r}: {why}")
+
+    for spec in args.eq:
+        col, sep, val = spec.partition("=")
+        if not sep:
+            _bad("eq", spec, "expected col=value")
+        try:
             preds.append(("eq", col, _coerce_with_header(header, col, val)))
-        for spec in args.between:
-            col, rng = spec.split("=", 1)
-            lo, hi = rng.split(",", 1)
+        except ValueError:
+            _bad("eq", spec, "literal does not parse as the column's type")
+    for spec in args.between:
+        col, sep, rng = spec.partition("=")
+        if not sep or "," not in rng:
+            _bad("between", spec, "expected col=lo,hi")
+        lo, hi = rng.split(",", 1)
+        try:
             preds.append(("between", col,
                           _coerce_with_header(header, col, lo),
                           _coerce_with_header(header, col, hi)))
-        for spec in args.neq:
-            col, val = spec.split("=", 1)
+        except ValueError:
+            _bad("between", spec,
+                 "a bound does not parse as the column's type")
+    for spec in args.neq:
+        col, sep, val = spec.partition("=")
+        if not sep:
+            _bad("neq", spec, "expected col=value")
+        try:
             preds.append(("not",
                           ("eq", col, _coerce_with_header(header, col, val))))
-    except ValueError:
-        sys.exit("error: a predicate literal does not parse as the type "
-                 "of its column")
+        except ValueError:
+            _bad("neq", spec, "literal does not parse as the column's type")
     if not preds:
         sys.exit("error: pass at least one --eq/--neq/--between predicate")
     tree = ("or", preds) if args.any else preds

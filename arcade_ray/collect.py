@@ -13,6 +13,28 @@ import pyarrow as pa
 SMALL_SIG_ROWS = 2_000_000  # below this, skip the Ray aggregate entirely
 
 
+def split_by_bucket(table: pa.Table, buckets, n_buckets: int) -> list:
+    """Fan one table out into per-bucket compact fragments placed in
+    the object store from INSIDE the calling task (measured ~16x
+    faster than task-return for large payloads; a slice view would
+    serialize its whole parent block). Returns a list of ObjectRefs
+    (None for empty buckets). Shared by the pair-verify exchange and
+    the co-partitioned join."""
+    import numpy as np
+    import ray
+
+    buckets = np.ascontiguousarray(buckets)
+    order = np.argsort(buckets, kind="stable")
+    bounds = np.searchsorted(buckets[order], np.arange(n_buckets + 1))
+    out = [None] * n_buckets
+    for b in range(n_buckets):
+        lo, hi = int(bounds[b]), int(bounds[b + 1])
+        if hi > lo:
+            out[b] = ray.put(table.take(
+                pa.array(order[lo:hi], type=pa.int64())))
+    return out
+
+
 def unique_rows2(a, b):
     """Deduplicate (a[i], b[i]) pairs, returned sorted by (a, b) —
     lexsort + run-boundary mask. np.unique(axis=0) hits numpy's
@@ -180,16 +202,8 @@ def distributed_pair_verify(ds, cand_tab: pa.Table, id_col: str,
 
     @ray.remote
     def split(tbl: pa.Table):
-        vb = tbl["_vb"].to_numpy(zero_copy_only=False)
-        order = np.argsort(vb, kind="stable")
-        bounds = np.searchsorted(vb[order], np.arange(n_buckets + 1))
-        out = [None] * n_buckets
-        for b in range(n_buckets):
-            lo, hi = int(bounds[b]), int(bounds[b + 1])
-            if hi > lo:
-                out[b] = ray.put(tbl.take(
-                    pa.array(order[lo:hi], type=pa.int64())))
-        return out
+        return split_by_bucket(
+            tbl, tbl["_vb"].to_numpy(zero_copy_only=False), n_buckets)
 
     @ray.remote
     def verify_bucket(b: int, frag_refs):

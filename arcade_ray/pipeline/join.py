@@ -107,22 +107,14 @@ def copartition_join(left_dir: str, right_dir: str, left_key: str,
     if n_buckets is None:
         n_buckets = max(16, int(ray.cluster_resources().get("CPU", 8)))
 
+    from ..collect import split_by_bucket
+
     @ray.remote
     def split(path: str, key: str, cols: list[str]):
         _pin_arrow_threads()
         t = decode_partition(path, columns=cols)
         h = (hash_column(t[key]) % np.uint64(n_buckets)).astype(np.int64)
-        order = np.argsort(h, kind="stable")
-        bounds = np.searchsorted(h[order], np.arange(n_buckets + 1))
-        out = [None] * n_buckets
-        for b in range(n_buckets):
-            lo, hi = int(bounds[b]), int(bounds[b + 1])
-            if hi > lo:
-                # per-fragment take -> compact buffers (a slice view
-                # would serialize its whole parent block)
-                out[b] = ray.put(t.take(pa.array(order[lo:hi],
-                                                 type=pa.int64())))
-        return out
+        return split_by_bucket(t, h, n_buckets)
 
     left_need = list(dict.fromkeys([left_key] + left_cols))
     right_need = list(dict.fromkeys([right_key] + right_cols))

@@ -542,6 +542,15 @@ def _eval_match_idx(path: str, header: dict, base: int, node) -> list:
                 ]
         return combined
     if op == "not":
+        # SQL three-valued logic drops null rows from NOT(expr); the
+        # set complement below would return them — refuse loudly on
+        # null-bearing operands instead of silently diverging
+        for c in _pred_columns(node[1]):
+            if any(ch.get("nulls") for ch in header["columns"][c]["chunks"]):
+                raise NotImplementedError(
+                    f"NOT over null-bearing column {c!r}: the set "
+                    "complement would return NULL rows (SQL excludes "
+                    "them) — decode and filter instead")
         child = _eval_match_idx(path, header, base, node[1])
         out = []
         for i, m in enumerate(child):
@@ -787,6 +796,9 @@ def _dict_group_agg_partition(path: str, key_cols: list[str], value_col: str,
                 counts[key] = counts.get(key, 0) + (hi - lo)
 
 
+PERCENTILE_MAX_RANGE = 1 << 24  # dense-histogram bin cap (~128 MB int64)
+
+
 def int_percentiles(out_dir: str, col: str, ps: list[float]) -> pa.Table:
     """EXACT percentiles of an integer column over encoded data via
     mergeable per-partition histograms: each task decodes only ``col``,
@@ -803,6 +815,18 @@ def int_percentiles(out_dir: str, col: str, ps: list[float]) -> pa.Table:
     cm0 = header0["columns"][col]
     if cm0["kind"] != "int" or cm0.get("tag") in ("f32", "f64"):
         raise TypeError("int_percentiles needs an integer column")
+    # dense histograms only suit bounded domains (lengths, counts);
+    # wide domains (ids, epoch timestamps) would allocate the value
+    # RANGE in bins — check against the manifest zone maps up front
+    for r in rows:
+        s = json.loads(r["col_stats"]).get(col, {})
+        lo_z, hi_z = s.get("min"), s.get("max")
+        if lo_z is not None and hi_z is not None \
+                and hi_z - lo_z > PERCENTILE_MAX_RANGE:
+            raise ValueError(
+                f"value range of {col!r} ({hi_z - lo_z}) exceeds the "
+                f"dense-histogram cap ({PERCENTILE_MAX_RANGE}); use a "
+                "sort/sketch-based quantile for wide domains")
 
     @ray.remote
     def part_hist(path: str):
@@ -823,11 +847,18 @@ def int_percentiles(out_dir: str, col: str, ps: list[float]) -> pa.Table:
             return 0, np.zeros(0, dtype=np.int64)
         v = np.concatenate(vals)
         lo = int(v.min())
+        if int(v.max()) - lo > PERCENTILE_MAX_RANGE:
+            raise ValueError(f"value range of {col!r} exceeds the "
+                             f"dense-histogram cap in {path}")
         return lo, np.bincount(v - lo)
 
     hists = ray.get([part_hist.remote(r["path"]) for r in rows])
     lo = min(h[0] for h in hists if len(h[1]))
     hi = max(h[0] + len(h[1]) for h in hists if len(h[1]))
+    if hi - lo > PERCENTILE_MAX_RANGE:  # zone maps may have been absent
+        raise ValueError(
+            f"value range of {col!r} ({hi - lo}) exceeds the "
+            f"dense-histogram cap ({PERCENTILE_MAX_RANGE})")
     total = np.zeros(max(hi - lo, 1), dtype=np.int64)
     for off, cnt in hists:
         if len(cnt):
@@ -887,6 +918,21 @@ def dict_group_topk(out_dir: str, key_col: str, value_col: str,
     return t.filter(pa.array(rank < k))
 
 
+def _desc_sort_key(v: np.ndarray) -> np.ndarray:
+    """Order-REVERSING uint64 key for any numeric dtype — plain
+    negation wraps for unsigned values (0 would sort largest) and
+    overflows at INT64_MIN."""
+    if v.dtype.kind == "u":
+        u = v.astype(np.uint64)
+    elif v.dtype.kind in "iM":
+        u = v.astype(np.int64).view(np.uint64) ^ np.uint64(1 << 63)
+    else:  # float: IEEE-754 total-order transform
+        b = np.ascontiguousarray(v.astype(np.float64)).view(np.uint64)
+        u = np.where(b >> np.uint64(63) == 0,
+                     b ^ np.uint64(1 << 63), ~b)
+    return ~u
+
+
 def _group_topk_partition(path: str, key_col: str, value_col: str,
                           id_col: str, k: int) -> pa.Table:
     from ..codecs.str_codecs import decode_codes, decode_str_values
@@ -901,6 +947,10 @@ def _group_topk_partition(path: str, key_col: str, value_col: str,
         raise NotImplementedError("null-bearing group keys: decode instead")
     vcm = header["columns"][value_col]
     icm = header["columns"][id_col]
+    for nm, c in ((value_col, vcm), (id_col, icm)):
+        if any(ch.get("nulls") for ch in c["chunks"]):
+            raise NotImplementedError(
+                f"null-bearing column {nm!r}: decode instead")
     vdec = make_column_decoder(vcm)
     idec = make_column_decoder(icm)
     sdec = StringColumnDecoder(cm["tag"])
@@ -940,7 +990,7 @@ def _group_topk_partition(path: str, key_col: str, value_col: str,
                 .to_numpy(zero_copy_only=False)
             if len(codes) == 0:
                 continue
-            order = np.lexsort((ids, -vals, codes))
+            order = np.lexsort((ids, _desc_sort_key(vals), codes))
             cs = codes[order]
             starts = np.concatenate(
                 [[0], np.flatnonzero(cs[1:] != cs[:-1]) + 1])

@@ -480,13 +480,19 @@ def simhash64(texts) -> np.ndarray:
     doc_of, h = doc_of[nonempty], h[nonempty]
     if len(h) == 0:
         return out
-    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64))
-            & np.uint64(1)).astype(np.int32)
-    contrib = 2 * bits - 1
     starts = np.concatenate([[0], np.flatnonzero(np.diff(doc_of)) + 1])
-    votes = np.add.reduceat(contrib, starts, axis=0)
-    sigs = ((votes > 0).astype(np.uint64)
-            << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
+    n_docs = len(starts)
+    sigs = np.zeros(n_docs, dtype=np.uint64)
+    # 8 bits per slice bounds the transient bit matrix at 8 int32
+    # columns per word (a full 64-wide matrix peaks at ~0.5 KB/word —
+    # worker-OOM territory on long-document batches)
+    for j in range(8):
+        shifts = np.arange(8 * j, 8 * j + 8, dtype=np.uint64)
+        bits = ((h[:, None] >> shifts[None, :])
+                & np.uint64(1)).astype(np.int32)
+        votes = np.add.reduceat(2 * bits - 1, starts, axis=0)
+        sigs |= ((votes > 0).astype(np.uint64)
+                 << shifts[None, :]).sum(axis=1, dtype=np.uint64)
     out[doc_of[starts]] = sigs
     return out
 
@@ -536,10 +542,15 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     bk = rows["bk"].to_numpy(zero_copy_only=False)
     ids = rows[id_col].to_numpy(zero_copy_only=False)
     sh = rows["sh"].to_numpy(zero_copy_only=False)
-    # unique (bk, id) — duplicated input rows would self-pair otherwise
-    key = np.stack([bk, ids], axis=1)
-    _, uidx = np.unique(key, axis=0, return_index=True)
-    order = uidx[np.lexsort((ids[uidx], bk[uidx]))]
+    # unique (bk, id) — duplicated input rows would self-pair
+    # otherwise; lexsort + run-boundary mask, not np.unique(axis=0)'s
+    # slow structured sort
+    order0 = np.lexsort((ids, bk))
+    bk0, ids0 = bk[order0], ids[order0]
+    first = np.ones(len(bk0), dtype=bool)
+    if len(bk0) > 1:
+        first[1:] = (bk0[1:] != bk0[:-1]) | (ids0[1:] != ids0[:-1])
+    order = order0[first]
     bk_s, ids_s, sh_s = bk[order], ids[order], sh[order]
     bounds = np.flatnonzero(np.diff(bk_s)) + 1
     starts = np.concatenate([[0], bounds])

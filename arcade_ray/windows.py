@@ -40,7 +40,14 @@ def session_windows(ds, key_col: str = "user_id", ts_col: str = "ts",
 
     def sessions(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return t
+            if {key_col, ts_col} <= set(t.column_names):
+                return pa.table({
+                    key_col: t[key_col],
+                    "session_start": t[ts_col],
+                    "session_end": t[ts_col],
+                    "n_events": pa.array([], type=pa.int64()),
+                })
+            return pa.table({})
         t = t.take(pc.sort_indices(
             t, sort_keys=[(key_col, "ascending"), (ts_col, "ascending")]))
         ts = t[ts_col].combine_chunks()
@@ -152,7 +159,12 @@ def asof_join(left_ds, right_ds, on: str = "ts", by: str = "user_id",
 
     def merge(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return t
+            # typed empty in the OUTPUT schema — returning the raw
+            # group block would leak _ab/_side and diverge from
+            # non-empty groups' schema
+            if set(out_cols) <= set(t.column_names):
+                return t.select(out_cols)
+            return pa.table({})
         keys = t[by].combine_chunks()
         kc = keys if pa.types.is_dictionary(keys.type) \
             else pc.dictionary_encode(keys)
