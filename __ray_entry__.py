@@ -5,7 +5,7 @@ sf0.001 documents table through the adaptive columnar compression
 engine). ``queries()``/``oracle_sql()`` — per-operator surface checked
 against DuckDB at sf0.01 (see arcade_ray/entry_queries.py).
 
-Query inventory (56; SQL-oracled unless marked rows-only):
+Query inventory (57; SQL-oracled unless marked rows-only):
 
 - engine core: scan_project, equi_filter, equi_filter_int, filter_lang,
   range_filter, compound_filter, compound_or_filter, negation_filter,
@@ -21,7 +21,8 @@ Query inventory (56; SQL-oracled unless marked rows-only):
   compression_metrics (rows-only lineage)
 - joins: join_orders_customer (broadcast), join_lineitem_orders
   (co-partitioned exchange join, both sides large)
-- dedup/text: exact_dedup, token_count, fingerprint; rows-only:
+- dedup/text: exact_dedup, token_count, fingerprint, top_words;
+  rows-only:
   lang_id, quality_scores, bpe_token_count, winnow_fingerprints,
   minhash_pairs, simhash_pairs, near_dedup, image_features
 - similarity: ann_topk, embedding_near_dup, ann_lsh_recall,

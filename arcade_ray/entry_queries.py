@@ -656,6 +656,15 @@ def q_bpe_token_count(sf_dir: str) -> pa.Table:
     return _analyzed(sf_dir).select(["doc_id", "bpe_token_count"])
 
 
+def q_top_words(sf_dir: str) -> pa.Table:
+    """Corpus-wide 20 most frequent words: per-batch partial counts
+    (map-side pre-aggregation), one vocabulary-sized groupby, driver
+    sort."""
+    from .textops import top_words
+
+    return top_words(_docs_ds(sf_dir), k=20)
+
+
 def q_winnow_fingerprints(sf_dir: str) -> pa.Table:
     """Winnowing rolling-hash document fingerprints (rows-only)."""
     from .textops import winnow_table
@@ -832,6 +841,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
     "bpe_token_count": q_bpe_token_count,
+    "top_words": q_top_words,
     "winnow_fingerprints": q_winnow_fingerprints,
     "image_features": q_image_features,
     "minhash_pairs": q_minhash_pairs,
@@ -951,6 +961,11 @@ ORACLE_SQL = {
     "token_count": ("SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)"
                     " AS word_count FROM documents"),
     "fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+    "top_words": (
+        "SELECT word, CAST(count(*) AS BIGINT) AS n FROM ("
+        "SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word "
+        "FROM documents) GROUP BY word ORDER BY n DESC, word LIMIT 20"
+    ),
     "vector_norms": (
         "SELECT vec_id, round(sqrt(list_sum(list_transform(embedding, "
         "x -> CAST(x AS DOUBLE) * x))), 4) AS l2_norm FROM embeddings"

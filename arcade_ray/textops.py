@@ -766,6 +766,38 @@ def winnow_table(ds, text_col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(run, batch_format="pyarrow")
 
 
+def top_words(ds, k: int = 20, text_col: str = "text"):
+    """Corpus-wide top-k most frequent lowercase [a-z0-9]+ words,
+    ties broken by ascending word.
+
+    Scale shape — pre-aggregate inside map_batches BEFORE the wide
+    step: each batch emits its own (word, n) partial via one arrow
+    lower/split/value_counts pass (vocabulary-sized, not corpus-
+    sized), the groupby shuffle moves only those partials, and the
+    driver sorts the final vocabulary-sized aggregate."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .collect import collect_arrow
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col]), "[^a-z0-9]+"))
+        words = words.filter(pc.greater(pc.utf8_length(words), 0))
+        vc = words.value_counts()
+        return pa.table({
+            "word": vc.field("values"),
+            "n": vc.field("counts").cast(pa.int64()),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("n", alias_name="n"))
+    t = collect_arrow(agg)
+    order = pc.sort_indices(t, sort_keys=[("n", "descending"),
+                                          ("word", "ascending")])
+    return t.take(order).slice(0, k)
+
+
 def analyze_text(ds, concurrency: int | None = None, batch_size: int = 4096):
     if concurrency is None:
         # leave headroom for the read stage — an actor pool that

@@ -308,3 +308,22 @@ def test_batch_winnow_matches_per_doc():
         got = vals[offs[i]: offs[i + 1]].tolist()
         exp = winnow_fingerprints(t, k=8, window=4)
         assert got == exp, (i, repr(t[:30]), got[:5], exp[:5])
+
+
+def test_top_words(docs_ds):
+    from arcade_ray.textops import top_words
+
+    out = top_words(docs_ds, k=5)
+    assert out.num_rows == 5
+    assert out.column_names == ["word", "n"]
+    # counts descending, ties word-ascending
+    ns = out["n"].to_pylist()
+    assert ns == sorted(ns, reverse=True)
+    # "the" appears in the repeated doc 0 (3 copies) and others
+    import re
+    from collections import Counter
+    c = Counter()
+    for t in make_docs_table()["text"].to_pylist():
+        c.update(re.findall(r"[a-z0-9]+", t.lower()))
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(zip(out["word"].to_pylist(), ns)) == top
