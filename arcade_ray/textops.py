@@ -21,6 +21,12 @@ run DISTRIBUTED (collect.distributed_pair_verify): candidate payloads
 are routed to hash-bucketed verify tasks and never materialize on the
 driver; exact dedup's loser resolution re-reads only the (small)
 hot-bucket set map-side.
+
+Documented driver bound: the CANDIDATE PAIR LIST (16 B/pair of ids)
+is generated and bucketed on the driver — fine up to ~10^8 pairs
+(max_bucket caps per-bucket blowup); a corpus whose LSH candidates
+exceed that needs the pair generation pushed into per-band tasks
+(the hot-bucket rows are already co-located by band key).
 """
 
 from __future__ import annotations
