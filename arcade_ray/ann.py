@@ -189,7 +189,7 @@ def near_dup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
     (b=4 measured 64% on gaussian data: over a million candidate pairs
     from 2000 vectors). Raise ``band_planes`` further for corpora with
     high ambient similarity; ``max_bucket`` caps degenerate buckets."""
-    from .collect import bucket_candidate_pairs, distributed_pair_verify
+    from .collect import lsh_pairs_verify
 
     # dim from the dataset schema (list<float> fixed dim assumed)
     first = ds.take_batch(1, batch_format="pyarrow")
@@ -200,13 +200,9 @@ def near_dup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
         lambda b: near_dup_band_rows(b, planes, n_bands, band_planes,
                                      id_col, vec_col),
         batch_format="pyarrow")
-    cand_tab, _ = bucket_candidate_pairs(sig_ds, id_col,
-                                         max_bucket=max_bucket)
     empty = pa.table({"id_a": pa.array([], pa.int64()),
                       "id_b": pa.array([], pa.int64()),
                       "cos": pa.array([], pa.float64())})
-    if cand_tab.num_rows == 0:
-        return empty
 
     def verify(pairs: pa.Table, payload: pa.Table) -> pa.Table:
         ids_f = payload[id_col].to_numpy(zero_copy_only=False)
@@ -228,8 +224,9 @@ def near_dup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
             "cos": pa.array(np.round(cos[keep], 4), type=pa.float64()),
         })
 
-    out = distributed_pair_verify(ds, cand_tab, id_col, [vec_col], verify)
-    if out.num_rows == 0:
+    out = lsh_pairs_verify(ds, sig_ds, id_col, [vec_col], verify,
+                           max_bucket=max_bucket)
+    if out.num_rows == 0 or out.num_columns == 0:
         return empty
     order = pc.sort_indices(out, sort_keys=[("id_a", "ascending"),
                                             ("id_b", "ascending")])

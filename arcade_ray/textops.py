@@ -22,11 +22,10 @@ are routed to hash-bucketed verify tasks and never materialize on the
 driver; exact dedup's loser resolution re-reads only the (small)
 hot-bucket set map-side.
 
-Documented driver bound: the CANDIDATE PAIR LIST (16 B/pair of ids)
-is generated and bucketed on the driver — fine up to ~10^8 pairs
-(max_bucket caps per-bucket blowup); a corpus whose LSH candidates
-exceed that needs the pair generation pushed into per-band tasks
-(the hot-bucket rows are already co-located by band key).
+Above SMALL_SIG_ROWS the candidate PAIRS themselves are generated,
+bucketed and verified inside tasks (collect.lsh_pairs_verify scale
+path) — the driver holds only the hot key set and the
+(id, verify-bucket) need list, never a pair list.
 """
 
 from __future__ import annotations
@@ -340,19 +339,15 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     Returns Dataset[(id_a, id_b, jaccard)] with id_a < id_b."""
     import ray.data as rd
 
-    from .collect import bucket_candidate_pairs, distributed_pair_verify
+    from .collect import lsh_pairs_verify
 
     sig_ds = ds.map_batches(
         lambda b: minhash_band_rows(b, text_col, id_col, n_perm,
                                     bands, shingle_k),
         batch_format="pyarrow")
-    cand_tab, _ = bucket_candidate_pairs(sig_ds, id_col,
-                                         max_bucket=max_bucket)
     empty = pa.table({"id_a": pa.array([], pa.int64()),
                       "id_b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
-    if cand_tab.num_rows == 0:
-        return rd.from_arrow(empty)
 
     def verify(pairs: pa.Table, payload: pa.Table) -> pa.Table:
         from .streams import str_stream_from_arrow
@@ -395,8 +390,9 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                          "id_b": pa.array(b_out, pa.int64()),
                          "jaccard": pa.array(j_out, pa.float64())})
 
-    out = distributed_pair_verify(ds, cand_tab, id_col, [text_col], verify)
-    if out.num_rows == 0:
+    out = lsh_pairs_verify(ds, sig_ds, id_col, [text_col], verify,
+                           max_bucket=max_bucket)
+    if out.num_rows == 0 or out.num_columns == 0:
         return rd.from_arrow(empty)
     return rd.from_arrow(out.take(pc.sort_indices(
         out, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")])))

@@ -327,3 +327,50 @@ def test_top_words(docs_ds):
         c.update(re.findall(r"[a-z0-9]+", t.lower()))
     top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert list(zip(out["word"].to_pylist(), ns)) == top
+
+
+def test_minhash_distributed_candidate_path(ray_session, monkeypatch):
+    """Force the fully distributed candidate-generation path (the
+    scale path above SMALL_SIG_ROWS) and assert identical pairs to the
+    small driver path on the planted fixture."""
+    import ray.data as rd
+
+    import arcade_ray.collect as collect
+
+    ds = rd.from_arrow(make_docs_table())
+    small = minhash_lsh_pairs(ds, jaccard_threshold=0.6).to_pandas()
+    monkeypatch.setattr(collect, "SMALL_SIG_ROWS", 0)
+
+    def poisoned(*a, **k):
+        raise AssertionError("driver-side candidate path used")
+
+    monkeypatch.setattr(collect, "bucket_candidate_pairs", poisoned)
+    big = minhash_lsh_pairs(ds, jaccard_threshold=0.6).to_pandas()
+    assert set(zip(small["id_a"], small["id_b"])) == \
+        set(zip(big["id_a"], big["id_b"]))
+    assert len(big) == len(small)
+
+
+def test_embedding_distributed_candidate_path(ray_session, monkeypatch):
+    import numpy as np
+    import ray.data as rd
+
+    import arcade_ray.collect as collect
+    from arcade_ray.ann import near_dup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(16)
+    mat = rng.standard_normal((40, 16))
+    for i in range(6):
+        mat[i] = base + rng.standard_normal(16) * 0.01
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(40), type=pa.int64()),
+        "embedding": pa.array([r.tolist() for r in mat],
+                              type=pa.list_(pa.float32())),
+    }))
+    small = near_dup_pairs(ds, threshold=0.95)
+    monkeypatch.setattr(collect, "SMALL_SIG_ROWS", 0)
+    big = near_dup_pairs(ds, threshold=0.95)
+    assert set(zip(small["id_a"].to_pylist(), small["id_b"].to_pylist())) \
+        == set(zip(big["id_a"].to_pylist(), big["id_b"].to_pylist()))
+    assert big.num_rows == small.num_rows > 0
