@@ -22,7 +22,7 @@ from .pipeline import encode_dataset
 from .pipeline.query import equi_filter, lookup, scan
 
 CACHE_ROOT = os.environ.get("ARCADE_RAY_CACHE", "/tmp/arcade_ray_cache")
-_CACHE_SALT = f"v{FORMAT_VERSION}.6"
+_CACHE_SALT = f"v{FORMAT_VERSION}.7"
 
 # table -> (key_col, id_col, weight_col)
 TABLE_KEYS = {
@@ -522,6 +522,92 @@ def q_negation_filter(sf_dir: str) -> pa.Table:
     ))
 
 
+def q_in_filter(sf_dir: str) -> pa.Table:
+    """IN-list over a dictionary column: the whole list resolves to
+    codes once per dict segment; rows match in the code domain."""
+    from .pipeline.query import in_filter
+
+    out = encoded_dir(sf_dir, "documents")
+    return _collect(in_filter(
+        out, "source", ["src3", "src7", "src12"],
+        project=["doc_id", "source", "n_chars"],
+    ))
+
+
+def q_in_filter_int(sf_dir: str) -> pa.Table:
+    """IN-list over an int column with per-chunk zone pruning (chunk
+    skipped when every member is outside its min/max)."""
+    from .pipeline.query import in_filter
+
+    out = encoded_dir(sf_dir, "lineitem")
+    return _collect(in_filter(
+        out, "l_linenumber", [2, 5, 7],
+        project=["l_orderkey", "l_linenumber"],
+    ))
+
+
+def q_prefix_filter(sf_dir: str) -> pa.Table:
+    """LIKE 'src1%' decode-free: zone maps prune partitions/chunks
+    against [prefix, upper-bound); dictionary segments evaluate
+    starts_with once per entry, rows match on codes."""
+    from .pipeline.query import prefix_filter
+
+    out = encoded_dir(sf_dir, "documents")
+    return _collect(prefix_filter(
+        out, "source", "src1", project=["doc_id", "source"],
+    ))
+
+
+def q_contains_filter(sf_dir: str) -> pa.Table:
+    """LIKE '%ED%' with the substring match run on dictionary entries
+    only — row values never materialize for the predicate."""
+    from .pipeline.query import contains_filter
+
+    out = encoded_dir(sf_dir, "orders")
+    return _collect(contains_filter(
+        out, "o_orderpriority", "ED",
+        project=["o_orderkey", "o_orderpriority"],
+    ))
+
+
+def q_group_avg_encoded(sf_dir: str) -> pa.Table:
+    """Decode-free grouped AVG: exact integer SUM + COUNT from the
+    code-domain aggregate, one float division per group at the end."""
+    from .pipeline.query import dict_group_aggregate
+
+    out = encoded_dir(sf_dir, "documents")
+    t = dict_group_aggregate(out, "source", "n_chars")
+    avg = pc.divide(t["sum_v"].cast(pa.float64()),
+                    t["n_rows"].cast(pa.float64()))
+    return pa.table({"source": t["source"],
+                     "avg_chars": pc.round(avg, ndigits=3)})
+
+
+def q_stats_meta(sf_dir: str) -> pa.Table:
+    """MIN/MAX/COUNT(*) answered from the manifest alone — zero data
+    bytes read (exact zone maps merged on the driver)."""
+    from .pipeline.query import stats_meta
+
+    out = encoded_dir(sf_dir, "documents")
+    s = stats_meta(out, ["n_chars", "source"])
+    return pa.table({
+        "n_rows": pa.array([s["rows"]], type=pa.int64()),
+        "min_chars": pa.array([s["n_chars"]["min"]], type=pa.int64()),
+        "max_chars": pa.array([s["n_chars"]["max"]], type=pa.int64()),
+        "min_source": pa.array([s["source"]["min"]], type=pa.string()),
+        "max_source": pa.array([s["source"]["max"]], type=pa.string()),
+    })
+
+
+def q_group_distinct_langs(sf_dir: str) -> pa.Table:
+    """GROUP BY source -> COUNT(DISTINCT lang), decode-free (distinct
+    pairs from np.unique over combined dictionary codes)."""
+    from .pipeline.query import dict_group_distinct
+
+    out = encoded_dir(sf_dir, "documents")
+    return dict_group_distinct(out, "source", "lang")
+
+
 def q_expr_filter(sf_dir: str) -> pa.Table:
     """Decoded-side expression surface: plain ds.filter(expr) on a
     scan of the encoded data (SURVEY §2.1 row 9's promised dual)."""
@@ -831,6 +917,13 @@ QUERIES = {
     "compound_filter": q_compound_filter,
     "compound_or_filter": q_compound_or_filter,
     "negation_filter": q_negation_filter,
+    "in_filter": q_in_filter,
+    "in_filter_int": q_in_filter_int,
+    "prefix_filter": q_prefix_filter,
+    "contains_filter": q_contains_filter,
+    "group_avg_encoded": q_group_avg_encoded,
+    "stats_meta": q_stats_meta,
+    "group_distinct_langs": q_group_distinct_langs,
     "expr_filter": q_expr_filter,
     "ann_lsh_recall": q_ann_lsh_recall,
     "ann_topk_ivf": q_ann_topk_ivf,
@@ -947,6 +1040,36 @@ ORACLE_SQL = {
     "negation_filter": (
         "SELECT doc_id, lang, n_chars FROM documents "
         "WHERE lang <> 'en' AND n_chars BETWEEN 100 AND 200"
+    ),
+    "in_filter": (
+        "SELECT doc_id, source, n_chars FROM documents "
+        "WHERE source IN ('src3', 'src7', 'src12')"
+    ),
+    "in_filter_int": (
+        "SELECT l_orderkey, l_linenumber FROM lineitem "
+        "WHERE l_linenumber IN (2, 5, 7)"
+    ),
+    "prefix_filter": (
+        "SELECT doc_id, source FROM documents WHERE source LIKE 'src1%'"
+    ),
+    "contains_filter": (
+        "SELECT o_orderkey, o_orderpriority FROM orders "
+        "WHERE o_orderpriority LIKE '%ED%'"
+    ),
+    "group_avg_encoded": (
+        "SELECT source, round(AVG(n_chars), 3) AS avg_chars "
+        "FROM documents GROUP BY source"
+    ),
+    "stats_meta": (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(MIN(n_chars) AS BIGINT) AS min_chars, "
+        "CAST(MAX(n_chars) AS BIGINT) AS max_chars, "
+        "MIN(source) AS min_source, MAX(source) AS max_source "
+        "FROM documents"
+    ),
+    "group_distinct_langs": (
+        "SELECT source, CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_distinct "
+        "FROM documents GROUP BY source"
     ),
     "expr_filter": "SELECT doc_id, n_chars FROM documents WHERE n_chars > 450",
     "ann_lsh_recall": (

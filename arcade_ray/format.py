@@ -145,8 +145,10 @@ def _column_stats(columns_meta: dict, sketches: dict | None = None) -> dict:
     for name, cm in columns_meta.items():
         codecs: dict[str, int] = {}
         vmin = vmax = None
+        nulls = 0
         unbounded = False  # any non-empty chunk without zone values
         for ch in cm["chunks"]:
+            nulls += int(ch.get("nulls") or 0)
             if cm["kind"] == "list":
                 v = ch["values"]
                 # string values streams carry mode (local/diff) instead
@@ -178,7 +180,8 @@ def _column_stats(columns_meta: dict, sketches: dict | None = None) -> dict:
                 vmax = hi if vmax is None else max(vmax, hi)
         if unbounded:
             vmin = vmax = None
-        out[name] = {"codecs": codecs, "min": vmin, "max": vmax}
+        out[name] = {"codecs": codecs, "min": vmin, "max": vmax,
+                     "nulls": nulls}
         if sketches and name in sketches:
             out[name].update(sketches[name])
     return out

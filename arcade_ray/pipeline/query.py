@@ -350,6 +350,157 @@ def _range_filter_partition(path: str, col: str, lo, hi,
     return _project_matches(path, header, match_idx, project)
 
 
+def _member_match_idx(path: str, header: dict, base: int, node) -> list:
+    """Per-chunk row indices for set/pattern membership leaves —
+    ``("in", col, values)`` / ``("prefix", col, p)`` /
+    ``("contains", col, needle)`` — computed without decoding
+    dictionary chunk values: the predicate runs ONCE over each new
+    dictionary segment (each dict entry is tested exactly once per
+    partition, incrementally as the shared dict grows), and rows match
+    via ``np.isin`` on the bit-unpacked codes. Extends the reference's
+    code-domain equality compare (src/process.cpp:241-299) to IN-lists
+    and LIKE 'p%' / LIKE '%s%' patterns."""
+    op, col = node[0], node[1]
+    cm = header["columns"][col]
+    chunks = cm["chunks"]
+    match_idx: list[np.ndarray | None] = [None] * len(chunks)
+
+    if cm["kind"] == "list":
+        raise TypeError(f"{op!r} predicate over list column {col!r}")
+    if cm["kind"] != "str":
+        if op != "in":
+            raise TypeError(f"{op!r} predicate needs a string column, "
+                            f"got {col!r} ({cm['tag']})")
+        values = node[2]
+        dec = make_column_decoder(cm)
+        prunable = cm["tag"] not in ("f32", "f64")
+        lit_vals = [_int_literal(v, cm["tag"]) for v in values] \
+            if prunable else None
+        with open(path, "rb") as f:
+            for i, ch in enumerate(chunks):
+                if prunable and ch.get("min") is not None and all(
+                    v < ch["min"] or v > ch["max"] for v in lit_vals
+                ):
+                    continue
+                f.seek(base + ch["off"])
+                arr = dec.decode(ch, read_exact(f, ch["nb"], col))
+                vset = pa.array(values).cast(arr.type)
+                mask = pc.fill_null(pc.is_in(arr, value_set=vset), False)
+                match_idx[i] = np.flatnonzero(
+                    mask.to_numpy(zero_copy_only=False))
+        return match_idx
+
+    # string column: dict-segment predicate + code-domain membership
+    if op == "in":
+        lit_set = pa.array(
+            sorted({v.encode() if isinstance(v, str) else bytes(v)
+                    for v in node[2]}), type=pa.large_binary())
+
+        def pool_match(tail: pa.Array) -> pa.Array:
+            return pc.is_in(tail, value_set=lit_set)
+
+        def arr_match(arr: pa.Array) -> pa.Array:
+            return pc.is_in(arr, value_set=lit_set.cast(arr.type))
+
+        def chunk_skip(ch: dict) -> bool:
+            return all(_zone_skip(ch, v) for v in node[2])
+    elif op == "prefix":
+        p, upper = node[2], _prefix_upper(node[2])
+
+        def pool_match(tail: pa.Array) -> pa.Array:
+            return pc.starts_with(tail.cast(pa.large_utf8()), pattern=p)
+
+        def arr_match(arr: pa.Array) -> pa.Array:
+            return pc.starts_with(arr, pattern=p)
+
+        def chunk_skip(ch: dict) -> bool:
+            lo, hi = ch.get("min"), ch.get("max")
+            if lo is None or hi is None:
+                return False
+            return hi < p or (upper is not None and lo >= upper)
+    else:  # contains
+        needle = node[2]
+
+        def pool_match(tail: pa.Array) -> pa.Array:
+            return pc.match_substring(tail.cast(pa.large_utf8()),
+                                      pattern=needle)
+
+        def arr_match(arr: pa.Array) -> pa.Array:
+            return pc.match_substring(arr, pattern=needle)
+
+        def chunk_skip(ch: dict) -> bool:
+            return False
+
+    dec = make_column_decoder(cm)
+    sdec = dec._str
+    codes_set: np.ndarray | None = np.empty(0, dtype=np.int64)
+    resolved = 0  # dict entries already tested (codes are append-stable)
+    with open(path, "rb") as f:
+        for i, ch in enumerate(chunks):
+            mode = ch.get("mode")
+            if chunk_skip(ch):
+                lo, hi = dec.advance_range(ch)
+                if hi > lo:
+                    f.seek(base + ch["off"] + lo)
+                    dec.advance(ch, read_exact(f, hi - lo, col))
+                    codes_set, resolved = None, 0  # dict moved under us
+                continue
+            f.seek(base + ch["off"])
+            payload = read_exact(f, ch["nb"], col)
+            if mode == "plain" or ch.get("vb"):
+                # plain chunks and null-bearing chunks (nulls encode as
+                # "" in the dictionary) take the full-decode path
+                arr = dec.decode(ch, payload)
+                mask = pc.fill_null(arr_match(arr), False)
+                match_idx[i] = np.flatnonzero(
+                    mask.to_numpy(zero_copy_only=False))
+                if mode in ("plain", "local"):
+                    codes_set, resolved = None, 0
+                continue
+            sdec.advance_dict(ch, payload)
+            if mode == "local":
+                codes_set, resolved = None, 0
+            if codes_set is None:
+                codes_set, resolved = np.empty(0, dtype=np.int64), 0
+            d_total = ch["d_total"]
+            if d_total > resolved:
+                pool = _dict_pool(sdec)
+                tail_mask = pool_match(pool.slice(resolved))
+                new = np.flatnonzero(
+                    tail_mask.to_numpy(zero_copy_only=False)) + resolved
+                codes_set = np.concatenate([codes_set, new])
+                resolved = d_total
+            if len(codes_set) == 0:
+                continue
+            codes = decode_codes(ch["ccodec"], payload[ch["vlen"]:],
+                                 ch["cmeta"])
+            match_idx[i] = np.flatnonzero(np.isin(codes, codes_set))
+    return match_idx
+
+
+def in_filter(out_dir: str, col: str, values, project: list[str]):
+    """``col IN (values)`` over encoded data -> ray.data.Dataset.
+    Dictionary columns resolve the whole IN-list against each dict
+    segment once and compare codes; int columns prune chunks whose
+    zone excludes every member."""
+    return compound_filter(out_dir, ("in", col, list(values)), project)
+
+
+def prefix_filter(out_dir: str, col: str, prefix: str, project: list[str]):
+    """``col LIKE 'prefix%'`` over encoded data -> ray.data.Dataset.
+    Partitions/chunks prune via zone maps against [prefix, upper);
+    dictionary chunks match the dict segment, never row values."""
+    return compound_filter(out_dir, ("prefix", col, prefix), project)
+
+
+def contains_filter(out_dir: str, col: str, needle: str,
+                    project: list[str]):
+    """``col LIKE '%needle%'`` over encoded data -> ray.data.Dataset.
+    No zone pruning is possible, but dictionary chunks still evaluate
+    the substring match on dict entries only (decode-free)."""
+    return compound_filter(out_dir, ("contains", col, needle), project)
+
+
 def dict_distinct_values(out_dir: str, col: str) -> pa.Table:
     """DISTINCT values of a string column WITHOUT decoding any row:
     dictionary chunks contribute their dict segments only (codes are
@@ -406,6 +557,149 @@ def dict_distinct_values(out_dir: str, col: str) -> pa.Table:
     return pa.table({col: pa.array(vals, type=pa.string())})
 
 
+def stats_meta(out_dir: str, cols: list[str]) -> dict:
+    """Exact global MIN/MAX per column plus COUNT(*) computed from the
+    MANIFEST ALONE — no partition data bytes are read. The zone maps
+    are exact (built from the values at encode time), so for prunable
+    columns the merged manifest bounds ARE the answer; at 100-TB scale
+    this is a driver-only O(#partitions) metadata walk.
+
+    Refuses (raises) when exactness can't be proven: float columns
+    (zones hold IEEE bit patterns), unbounded partitions (strings past
+    the zone-length cap), or null-bearing columns (zone stats are
+    null-blind; SQL MIN/MAX skip nulls). Older manifests without null
+    counts fall back to a per-partition HEADER read (still no data).
+
+    -> {"rows": int, col: {"min": v, "max": v}, ...}
+    """
+    rows = _manifest_paths(out_dir)
+    header0, _ = read_header(rows[0]["path"])
+    known = list(header0["columns"])
+    for c in cols:
+        if c not in known:
+            raise KeyError(f"column {c!r} not in encoded dataset (columns: {known})")
+        if not _manifest_prunable(header0, c):
+            raise TypeError(
+                f"stats_meta over column {c!r}: float/list zone maps do "
+                "not order like values — scan instead")
+    out: dict = {"rows": 0}
+    headers: dict[str, tuple] = {}  # path -> header (nulls fallback)
+    for r in rows:
+        out["rows"] += int(r["rows"])
+        stats = json.loads(r["col_stats"])
+        for c in cols:
+            s = stats.get(c, {})
+            lo, hi = s.get("min"), s.get("max")
+            if r["rows"] and (lo is None or hi is None):
+                raise ValueError(
+                    f"stats_meta: partition {r['path']} is unbounded on "
+                    f"{c!r} (zone-length cap) — scan instead")
+            nn = s.get("nulls")
+            if nn is None:  # pre-nulls-stat manifest: read the header
+                if r["path"] not in headers:
+                    headers[r["path"]] = read_header(r["path"])
+                h, _ = headers[r["path"]]
+                nn = sum(int(ch.get("nulls") or 0)
+                         for ch in h["columns"][c]["chunks"])
+            if nn:
+                raise NotImplementedError(
+                    f"stats_meta over null-bearing column {c!r}: zone "
+                    "stats are null-blind — scan instead")
+            cur = out.get(c)
+            if lo is not None:
+                if cur is None:
+                    out[c] = {"min": lo, "max": hi}
+                else:
+                    cur["min"] = min(cur["min"], lo)
+                    cur["max"] = max(cur["max"], hi)
+    return out
+
+
+def dict_group_distinct(out_dir: str, key_col: str, value_col: str) -> pa.Table:
+    """GROUP BY ``key_col`` -> COUNT(DISTINCT ``value_col``) for two
+    low-cardinality string columns, decode-free: per chunk the distinct
+    (key, value) PAIRS come from ``np.unique`` over a combined per-row
+    code vector (codes bit-unpack; only the distinct pairs resolve
+    through the dictionaries — no row value ever materializes). One Ray
+    task per partition emits its tiny pair set; the driver unions them
+    and counts. Extends the decode-free family (dict_value_counts,
+    dict_group_aggregate) to distinct aggregation."""
+    import ray
+
+    rows = _manifest_paths(out_dir)
+
+    @ray.remote
+    def part_pairs(path: str) -> set:
+        from ..codecs.str_codecs import decode_codes, decode_str_values
+        from ..column import StringColumnDecoder
+        from ..streams import str_stream_to_arrow
+        from .encode import _pin_arrow_threads
+
+        _pin_arrow_threads()
+        header, base = read_header(path)
+        cms = [header["columns"][c] for c in (key_col, value_col)]
+        for c, cm in zip((key_col, value_col), cms):
+            if cm["kind"] != "str":
+                raise TypeError("dict_group_distinct is for string columns")
+            if any(ch.get("nulls") for ch in cm["chunks"]):
+                raise NotImplementedError(
+                    f"null-bearing column {c!r}: decode instead")
+        sdecs = [StringColumnDecoder(cm["tag"]) for cm in cms]
+        pairs: set = set()
+        n_chunks = len(cms[0]["chunks"])
+        with open(path, "rb") as f:
+            for ci in range(n_chunks):
+                codes_list: list[tuple[np.ndarray, int]] = []
+                resolvers = []
+                for cname, cm, sdec in zip((key_col, value_col), cms, sdecs):
+                    ch = cm["chunks"][ci]
+                    f.seek(base + ch["off"])
+                    payload = read_exact(f, ch["nb"], cname)
+                    sdec.advance_dict(ch, payload)
+                    if ch["mode"] == "plain":
+                        lengths, data = decode_str_values(
+                            ch["codec"], payload, ch["meta"])
+                        d = pc.dictionary_encode(
+                            str_stream_to_arrow(lengths, data, "str"))
+                        codes = d.indices.to_numpy(
+                            zero_copy_only=False).astype(np.int64)
+                        pool = d.dictionary.to_pylist()
+                        resolvers.append(lambda code, pool=pool: pool[code])
+                        m = max(len(pool), 1)
+                    else:
+                        codes = decode_codes(
+                            ch["ccodec"], payload[ch["vlen"]:],
+                            ch["cmeta"]).astype(np.int64)
+                        u = np.empty(len(sdec.u_lengths) + 1, dtype=np.int64)
+                        u[0] = 0
+                        np.cumsum(sdec.u_lengths, out=u[1:])
+                        resolvers.append(
+                            lambda code, sdec=sdec, u=u:
+                            sdec.u_data[u[code]: u[code + 1]].decode("utf-8"))
+                        m = max(ch["d_total"], 1)
+                    codes_list.append((codes, m))
+                if len(codes_list[0][0]) == 0:
+                    continue
+                mv = codes_list[1][1]
+                combined = codes_list[0][0] * mv + codes_list[1][0]
+                for c in np.unique(combined):
+                    k, v = divmod(int(c), mv)
+                    pairs.add((resolvers[0](k), resolvers[1](v)))
+        return pairs
+
+    union: set = set()
+    for s in ray.get([part_pairs.remote(r["path"]) for r in rows]):
+        union |= s
+    counts: dict[str, int] = {}
+    for k, _v in union:
+        counts[k] = counts.get(k, 0) + 1
+    keys = sorted(counts)
+    return pa.table({
+        key_col: pa.array(keys, type=pa.string()),
+        "n_distinct": pa.array([counts[k] for k in keys], type=pa.int64()),
+    })
+
+
 def _normalize_pred(preds):
     """Accept a flat leaf list (implicit AND — the original API) or a
     nested tree of ("and", [..]) / ("or", [..]) / ("not", child) over
@@ -415,7 +709,11 @@ def _normalize_pred(preds):
             raise ValueError("compound_filter needs at least one predicate")
         return ("and", [_normalize_pred(p) for p in preds])
     op = preds[0]
-    if op in ("eq", "between"):
+    if op == "in":
+        if not preds[2]:
+            raise ValueError("empty IN-list predicate")
+        return ("in", preds[1], list(preds[2]))
+    if op in ("eq", "between", "prefix", "contains"):
         return preds
     if op == "not":
         return ("not", _normalize_pred(preds[1]))
@@ -427,24 +725,38 @@ def _normalize_pred(preds):
 
 
 def _pred_columns(node) -> list[str]:
-    if node[0] in ("eq", "between"):
+    if node[0] in ("eq", "between", "in", "prefix", "contains"):
         return [node[1]]
     if node[0] == "not":
         return _pred_columns(node[1])
     return [c for ch in node[1] for c in _pred_columns(ch)]
 
 
+def _prefix_upper(p: str) -> str | None:
+    """Smallest string greater than every string with prefix ``p``
+    (codepoint order): bump the last char, dropping maxed-out tails.
+    None == no upper bound (empty prefix / all-0x10FFFF)."""
+    while p:
+        last = ord(p[-1])
+        if last < 0x10FFFF:
+            return p[:-1] + chr(last + 1)
+        p = p[:-1]
+    return None
+
+
 def _zone_excluded(header0: dict, stats: dict, node) -> bool:
     """Whether the manifest zone stats PROVE this partition matches no
-    rows: leaves use min/max containment, AND prunes if any child is
-    excluded, OR only if every child is, NOT never prunes (zone maps
-    bound presence, not absence — the complement can always match)."""
+    rows: leaves use min/max containment (IN: every member outside;
+    prefix: [p, upper(p)) disjoint from the zone; contains: never),
+    AND prunes if any child is excluded, OR only if every child is,
+    NOT never prunes (zone maps bound presence, not absence — the
+    complement can always match)."""
     op = node[0]
     if op == "and":
         return any(_zone_excluded(header0, stats, c) for c in node[1])
     if op == "or":
         return all(_zone_excluded(header0, stats, c) for c in node[1])
-    if op == "not":
+    if op in ("not", "contains"):
         return False
     if not _manifest_prunable(header0, node[1]):
         return False
@@ -454,6 +766,11 @@ def _zone_excluded(header0: dict, stats: dict, node) -> bool:
         return False
     if op == "eq":
         return not (zlo <= node[2] <= zhi)
+    if op == "in":
+        return all(not (zlo <= v <= zhi) for v in node[2])
+    if op == "prefix":
+        upper = _prefix_upper(node[2])
+        return zhi < node[2] or (upper is not None and zlo >= upper)
     return node[3] < zlo or node[2] > zhi
 
 
@@ -514,6 +831,8 @@ def _eval_match_idx(path: str, header: dict, base: int, node) -> list:
         return _equi_match_idx(path, header, base, node[1], node[2])
     if op == "between":
         return _range_match_idx(path, header, base, node[1], node[2], node[3])
+    if op in ("in", "prefix", "contains"):
+        return _member_match_idx(path, header, base, node)
     if op == "and":
         combined = None
         for ch in node[1]:

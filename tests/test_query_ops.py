@@ -290,3 +290,117 @@ def test_int_percentiles(encoded):
     for i, p in enumerate([0.0, 0.25, 0.5, 0.75, 1.0]):
         exp = int(vals[int(np.floor((n - 1) * p))])
         assert got["n_tok"][i].as_py() == exp, (p, got["n_tok"][i], exp)
+
+
+def test_in_filter_string(encoded):
+    from arcade_ray.pipeline.query import in_filter
+
+    out_dir, table = encoded
+    vals = ["src-001", "src-005", "src-999"]  # one absent member
+    out = collect(in_filter(out_dir, "source", vals,
+                            project=["doc_id", "source"]))
+    expect = table.filter(
+        pc.is_in(table["source"], value_set=pa.array(vals)))
+    assert out.num_rows == expect.num_rows
+    assert set(out["doc_id"].to_pylist()) == set(expect["doc_id"].to_pylist())
+    assert set(out["source"].to_pylist()) <= set(vals)
+
+
+def test_in_filter_int(encoded):
+    from arcade_ray.pipeline.query import in_filter
+
+    out_dir, table = encoded
+    vals = [1, 3, 200, 10**9]
+    out = collect(in_filter(out_dir, "n_tok", vals,
+                            project=["doc_id", "n_tok"]))
+    expect = table.filter(
+        pc.is_in(table["n_tok"], value_set=pa.array(vals).cast(pa.int32())))
+    assert out.num_rows == expect.num_rows
+    assert set(out["doc_id"].to_pylist()) == set(expect["doc_id"].to_pylist())
+
+
+def test_in_filter_empty_list_rejected(encoded):
+    from arcade_ray.pipeline.query import in_filter
+
+    out_dir, _ = encoded
+    with pytest.raises(ValueError):
+        in_filter(out_dir, "source", [], project=["doc_id"])
+
+
+def test_prefix_filter(encoded):
+    from arcade_ray.pipeline.query import prefix_filter
+
+    out_dir, table = encoded
+    # doc_id = "<source>:<rownum>" — prefix selects one source's docs
+    out = collect(prefix_filter(out_dir, "doc_id", "src-002:",
+                                project=["doc_id", "source"]))
+    expect = table.filter(pc.starts_with(table["doc_id"],
+                                         pattern="src-002:"))
+    assert out.num_rows == expect.num_rows
+    assert set(out["doc_id"].to_pylist()) == set(expect["doc_id"].to_pylist())
+    # non-matching prefix -> empty with the right schema
+    none = collect(prefix_filter(out_dir, "doc_id", "zzz",
+                                 project=["doc_id"]))
+    assert none.num_rows == 0 and none.column_names == ["doc_id"]
+
+
+def test_contains_filter(encoded):
+    from arcade_ray.pipeline.query import contains_filter
+
+    out_dir, table = encoded
+    out = collect(contains_filter(out_dir, "source", "-00",
+                                  project=["doc_id", "source"]))
+    expect = table.filter(pc.match_substring(table["source"],
+                                             pattern="-00"))
+    assert out.num_rows == expect.num_rows
+
+
+def test_membership_composes_with_range(encoded):
+    from arcade_ray.pipeline.query import compound_filter
+
+    out_dir, table = encoded
+    out = collect(compound_filter(
+        out_dir,
+        [("in", "source", ["src-001", "src-002"]),
+         ("between", "n_tok", 50, 500)],
+        project=["doc_id", "source", "n_tok"],
+    ))
+    mask = pc.and_(
+        pc.is_in(table["source"],
+                 value_set=pa.array(["src-001", "src-002"])),
+        pc.and_(pc.greater_equal(table["n_tok"], 50),
+                pc.less_equal(table["n_tok"], 500)))
+    expect = table.filter(mask)
+    assert out.num_rows == expect.num_rows
+    assert set(out["doc_id"].to_pylist()) == set(expect["doc_id"].to_pylist())
+
+
+def test_stats_meta(encoded):
+    from arcade_ray.pipeline.query import stats_meta
+
+    out_dir, table = encoded
+    s = stats_meta(out_dir, ["n_tok", "source", "doc_id"])
+    assert s["rows"] == table.num_rows
+    assert s["n_tok"]["min"] == pc.min(table["n_tok"]).as_py()
+    assert s["n_tok"]["max"] == pc.max(table["n_tok"]).as_py()
+    assert s["source"]["min"] == pc.min(table["source"]).as_py()
+    assert s["source"]["max"] == pc.max(table["source"]).as_py()
+    assert s["doc_id"]["min"] == pc.min(table["doc_id"]).as_py()
+    # float/list columns refuse (zone maps don't order like values)
+    with pytest.raises(TypeError):
+        stats_meta(out_dir, ["tokens"])
+
+
+def test_dict_group_distinct(encoded):
+    from arcade_ray.pipeline.query import dict_group_distinct
+
+    out_dir, table = encoded
+    # distinct doc_id prefixes per source is degenerate; group source
+    # by itself gives 1 per key — use doc_id as value for a real count
+    got = dict_group_distinct(out_dir, "source", "doc_id")
+    df = table.select(["source", "doc_id"]).to_pandas()
+    exp = df.groupby("source")["doc_id"].nunique()
+    assert got.num_rows == len(exp)
+    for i in range(got.num_rows):
+        k = got["source"][i].as_py()
+        assert got["n_distinct"][i].as_py() == int(exp[k]), k
