@@ -137,9 +137,50 @@ def bucket_candidate_pairs(sig_ds, id_col: str, key_col: str = "bk",
     return pairs, attrs
 
 
+def _make_router(need_ref, id_col: str, payload_cols: list[str],
+                 derive_fn=None):
+    """Route pass shared by both verify paths: for each batch row that
+    any verify bucket needs, optionally compute derived columns ONCE
+    (``derive_fn`` on the unique candidate rows — e.g. a MinHash
+    signature, so verify buckets never recompute it per replica), then
+    replicate the row to every needing bucket with a ``_vb`` tag."""
+    import ray
+
+    def route(batch: pa.Table) -> pa.Table:
+        nids, nbks = ray.get(need_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(nids, ids, side="left")
+        hi = np.searchsorted(nids, ids, side="right")
+        cnt = hi - lo
+        rows = np.flatnonzero(cnt)
+        sub = batch.select([id_col] + payload_cols)
+        if len(rows) == 0:
+            empty = sub.slice(0, 0)
+            if derive_fn is not None:
+                empty = derive_fn(empty)
+            return empty.append_column("_vb", pa.array([], pa.int64()))
+        # derived columns compute on the UNIQUE candidate rows, before
+        # per-bucket replication
+        u_tab = sub.take(pa.array(rows, type=pa.int64()))
+        if derive_fn is not None:
+            u_tab = derive_fn(u_tab)
+        reps = cnt[rows]
+        total = int(reps.sum())
+        compact = np.concatenate([[0], np.cumsum(reps[:-1])]).astype(np.int64)
+        pos = (np.arange(total, dtype=np.int64)
+               - np.repeat(compact, reps) + np.repeat(lo[rows], reps))
+        out = u_tab.take(pa.array(
+            np.repeat(np.arange(len(rows), dtype=np.int64), reps),
+            type=pa.int64()))
+        return out.append_column("_vb", pa.array(nbks[pos], type=pa.int64()))
+
+    return route
+
+
 def distributed_pair_verify(ds, cand_tab: pa.Table, id_col: str,
                             payload_cols: list[str], verify_fn,
-                            n_buckets: int | None = None) -> pa.Table:
+                            n_buckets: int | None = None,
+                            derive_fn=None) -> pa.Table:
     """Exact-verify candidate (id_a, id_b) pairs WITHOUT materializing
     candidate payloads (texts/vectors) on the driver.
 
@@ -179,27 +220,9 @@ def distributed_pair_verify(ds, cand_tab: pa.Table, id_col: str,
     need_ids, need_bks = unique_rows2(
         np.concatenate([ids_a, ids_b]), np.concatenate([bucket, bucket]))
     need_ref = ray.put((need_ids, need_bks))
-
-    def route(batch: pa.Table) -> pa.Table:
-        nids, nbks = ray.get(need_ref)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        lo = np.searchsorted(nids, ids, side="left")
-        hi = np.searchsorted(nids, ids, side="right")
-        cnt = hi - lo
-        rows = np.flatnonzero(cnt)
-        sub = batch.select([id_col] + payload_cols)
-        if len(rows) == 0:
-            return sub.slice(0, 0).append_column(
-                "_vb", pa.array([], pa.int64()))
-        reps = cnt[rows]
-        total = int(reps.sum())
-        compact = np.concatenate([[0], np.cumsum(reps[:-1])]).astype(np.int64)
-        pos = (np.arange(total, dtype=np.int64)
-               - np.repeat(compact, reps) + np.repeat(lo[rows], reps))
-        out = sub.take(pa.array(np.repeat(rows, reps), type=pa.int64()))
-        return out.append_column("_vb", pa.array(nbks[pos], type=pa.int64()))
-
-    routed = ds.map_batches(route, batch_format="pyarrow")
+    routed = ds.map_batches(
+        _make_router(need_ref, id_col, payload_cols, derive_fn),
+        batch_format="pyarrow")
 
     @ray.remote
     def split(tbl: pa.Table):
@@ -230,7 +253,8 @@ def distributed_pair_verify(ds, cand_tab: pa.Table, id_col: str,
 def lsh_pairs_verify(ds, sig_ds, id_col: str, payload_cols: list[str],
                      verify_fn, key_col: str = "bk",
                      max_bucket: int = 4096,
-                     n_buckets: int | None = None) -> pa.Table:
+                     n_buckets: int | None = None,
+                     derive_fn=None) -> pa.Table:
     """Candidate generation + exact verify for an LSH signature
     dataset, size-adaptive:
 
@@ -250,16 +274,18 @@ def lsh_pairs_verify(ds, sig_ds, id_col: str, payload_cols: list[str],
         if cand.num_rows == 0:
             return pa.table({})
         return distributed_pair_verify(ds, cand, id_col, payload_cols,
-                                       verify_fn, n_buckets=n_buckets)
+                                       verify_fn, n_buckets=n_buckets,
+                                       derive_fn=derive_fn)
     return _distributed_candidate_verify(ds, sig_ds, id_col, payload_cols,
                                          verify_fn, key_col, max_bucket,
-                                         n_buckets)
+                                         n_buckets, derive_fn)
 
 
 def _distributed_candidate_verify(ds, sig_ds, id_col: str,
                                   payload_cols: list[str], verify_fn,
                                   key_col: str, max_bucket: int,
-                                  n_buckets: int | None) -> pa.Table:
+                                  n_buckets: int | None,
+                                  derive_fn=None) -> pa.Table:
     """The scale path of :func:`lsh_pairs_verify`:
 
     1. hot keys from a vectorized groupby(key).count() (the only
@@ -359,27 +385,9 @@ def _distributed_candidate_verify(ds, sig_ds, id_col: str,
     if len(need_ids) == 0:
         return pa.table({})
     need_ref = ray.put((need_ids, need_bks))
-
-    def route(batch: pa.Table) -> pa.Table:
-        nids, nbks = ray.get(need_ref)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        lo = np.searchsorted(nids, ids, side="left")
-        hi = np.searchsorted(nids, ids, side="right")
-        cnt = hi - lo
-        rows = np.flatnonzero(cnt)
-        sub = batch.select([id_col] + payload_cols)
-        if len(rows) == 0:
-            return sub.slice(0, 0).append_column(
-                "_vb", pa.array([], pa.int64()))
-        reps = cnt[rows]
-        total = int(reps.sum())
-        compact = np.concatenate([[0], np.cumsum(reps[:-1])]).astype(np.int64)
-        pos = (np.arange(total, dtype=np.int64)
-               - np.repeat(compact, reps) + np.repeat(lo[rows], reps))
-        out = sub.take(pa.array(np.repeat(rows, reps), type=pa.int64()))
-        return out.append_column("_vb", pa.array(nbks[pos], type=pa.int64()))
-
-    routed = ds.map_batches(route, batch_format="pyarrow")
+    routed = ds.map_batches(
+        _make_router(need_ref, id_col, payload_cols, derive_fn),
+        batch_format="pyarrow")
 
     @ray.remote
     def vsplit(tbl: pa.Table):

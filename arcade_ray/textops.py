@@ -349,14 +349,31 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       "id_b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
 
+    def derive(sub: pa.Table) -> pa.Table:
+        """Signature column computed ONCE per routed doc (route pass),
+        so verify buckets never recompute it per payload replica —
+        ships n_perm*8 B alongside the text."""
+        from .streams import str_stream_from_arrow
+
+        lengths, data, _ = str_stream_from_arrow(sub[text_col])
+        sigs = np.ascontiguousarray(
+            batch_minhash_signatures(lengths, data, n_perm, shingle_k))
+        arr = pa.Array.from_buffers(
+            pa.binary(n_perm * 8), len(lengths),
+            [None, pa.py_buffer(sigs.tobytes())])
+        return sub.append_column("_sig", arr)
+
     def verify(pairs: pa.Table, payload: pa.Table) -> pa.Table:
         from .streams import str_stream_from_arrow
 
         ids_f = payload[id_col].to_numpy(zero_copy_only=False)
         order = np.argsort(ids_f)
         ids_sorted = ids_f[order]
-        lengths, data, _ = str_stream_from_arrow(payload[text_col])
-        sig_mat = batch_minhash_signatures(lengths, data, n_perm, shingle_k)
+        sig_arr = payload["_sig"].combine_chunks()
+        sig_mat = np.frombuffer(
+            sig_arr.buffers()[1], dtype=np.uint64,
+            count=(sig_arr.offset + len(sig_arr)) * n_perm,
+        ).reshape(-1, n_perm)[sig_arr.offset:]
         ai = order[np.searchsorted(
             ids_sorted, pairs["id_a"].to_numpy(zero_copy_only=False))]
         bi = order[np.searchsorted(
@@ -366,19 +383,28 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             e = min(s + 200_000, len(ai))
             est[s:e] = (sig_mat[ai[s:e]] == sig_mat[bi[s:e]]).mean(axis=1)
         keep = est >= jaccard_threshold - 0.15
+        # exact shingle sets ONLY for docs referenced by surviving
+        # pairs (the est-cull drops the bulk of candidates)
+        used = np.unique(np.concatenate([ai[keep], bi[keep]])) \
+            if keep.any() else np.empty(0, np.int64)
+        sub_pay = payload.select([text_col]).take(
+            pa.array(used, type=pa.int64()))
+        lengths, data, _ = str_stream_from_arrow(sub_pay[text_col])
         sh, offs = _batch_shingle_stream(lengths, data, shingle_k)
         sets: dict = {}
 
-        def shingle_set(i):
-            if i not in sets:
-                sets[i] = set(sh[offs[i]: offs[i + 1]].tolist())
-            return sets[i]
+        def shingle_set(u):
+            if u not in sets:
+                sets[u] = set(sh[offs[u]: offs[u + 1]].tolist())
+            return sets[u]
 
         a_ids = pairs["id_a"].to_numpy(zero_copy_only=False)[keep]
         b_ids = pairs["id_b"].to_numpy(zero_copy_only=False)[keep]
+        ua = np.searchsorted(used, ai[keep])
+        ub = np.searchsorted(used, bi[keep])
         a_out, b_out, j_out = [], [], []
         for a, b, ia, ib in zip(a_ids.tolist(), b_ids.tolist(),
-                                ai[keep].tolist(), bi[keep].tolist()):
+                                ua.tolist(), ub.tolist()):
             sa, sb = shingle_set(ia), shingle_set(ib)
             union = len(sa | sb)
             jac = len(sa & sb) / union if union else 1.0
@@ -391,7 +417,7 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                          "jaccard": pa.array(j_out, pa.float64())})
 
     out = lsh_pairs_verify(ds, sig_ds, id_col, [text_col], verify,
-                           max_bucket=max_bucket)
+                           max_bucket=max_bucket, derive_fn=derive)
     if out.num_rows == 0 or out.num_columns == 0:
         return rd.from_arrow(empty)
     return rd.from_arrow(out.take(pc.sort_indices(
