@@ -437,6 +437,39 @@ def q_range_join_sessions(sf_dir: str) -> pa.Table:
     return _collect(out)
 
 
+def q_interval_join_events(sf_dir: str) -> pa.Table:
+    """OVERLAPPING-interval join: each click joined to EVERY 30-minute
+    window opened by a preceding view of the same user (windows
+    overlap whenever views are <30 min apart — the case range_join's
+    non-overlap assumption excludes; windows.interval_join's banded
+    rank-composite stabbing pass). Oracle: BETWEEN self-join."""
+    import ray.data as rd
+
+    from .windows import interval_join
+
+    path = os.path.join(sf_dir, "events.parquet")
+
+    def clicks_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["event_type"], "click")) \
+            .select(["event_id", "user_id", "ts"])
+
+    def view_windows(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["event_type"], "view"))
+        w_end = pc.add(b["ts"], pa.scalar(1_800_000_000,
+                                          type=pa.duration("us")))
+        return pa.table({"user_id": b["user_id"], "w_start": b["ts"],
+                         "w_end": w_end})
+
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    clicks = rd.read_parquet(path, columns=cols).map_batches(
+        clicks_only, batch_format="pyarrow")
+    wins = rd.read_parquet(path, columns=["ts", "user_id", "event_type"]) \
+        .map_batches(view_windows, batch_format="pyarrow")
+    return _collect(interval_join(
+        clicks, wins, on="ts", lo_col="w_start", hi_col="w_end",
+        by="user_id", left_cols=["event_id"]))
+
+
 def q_compression_metrics(sf_dir: str) -> pa.Table:
     """Lineage/metrics surface: per-partition encoded sizes (rows-only
     check; not SQL-expressible)."""
@@ -906,6 +939,7 @@ QUERIES = {
     "session_windows": q_session_windows,
     "asof_join_events": q_asof_join_events,
     "range_join_sessions": q_range_join_sessions,
+    "interval_join_events": q_interval_join_events,
     "topk": q_topk,
     "topk_rows": q_topk_rows,
     "group_topk": q_group_topk,
@@ -1020,6 +1054,14 @@ ORACLE_SQL = {
         "sess.session_end FROM events e JOIN sess "
         "ON e.user_id = sess.user_id "
         "AND e.ts BETWEEN sess.session_start AND sess.session_end"
+    ),
+    "interval_join_events": (
+        "SELECT c.event_id, c.user_id, c.ts, v.ts AS w_start, "
+        "v.ts + INTERVAL '30 minutes' AS w_end "
+        "FROM (SELECT * FROM events WHERE event_type='click') c "
+        "JOIN (SELECT * FROM events WHERE event_type='view') v "
+        "ON c.user_id = v.user_id "
+        "AND c.ts BETWEEN v.ts AND v.ts + INTERVAL '30 minutes'"
     ),
     "join_orders_customer": (
         "SELECT o_orderkey, o_custkey, c_mktsegment FROM orders "

@@ -80,31 +80,18 @@ def session_windows(ds, key_col: str = "user_id", ts_col: str = "ts",
 
 
 
-def asof_join(left_ds, right_ds, on: str = "ts", by: str = "user_id",
-              left_cols: list[str] | None = None,
-              right_cols: list[str] | None = None,
-              suffix: str = "_r", n_buckets: int | None = None,
-              right_on: str | None = None):
-    """AS-OF join (backward): attach to each left row the LATEST right
-    row with ``right.on <= left.on`` within the same ``by`` key; left
-    rows with no earlier right row keep nulls (ASOF LEFT JOIN).
-
-    Scale shape — ONE shuffle, both sides co-located: rows are tagged
-    with a side flag, unified to one schema, and hash-bucketed by key
-    into ~2x-CPU coarse buckets (the same co-partitioning trick the
-    exchange join uses, expressed as a single union + groupby).
-    Inside a bucket everything is one vectorized pass: lexsort by
-    (key, ts, side) with right-before-left at ties, then a
-    segment-reset running maximum carries each key's latest right row
-    index forward onto the left rows — no per-key Python.
-
-    ``right_cols`` columns are renamed with ``suffix`` when they
-    collide with left columns. ``right_on`` names the right side's
-    ordering column when it differs from ``on`` (e.g. an interval's
-    start). Returns a Dataset of left_cols + matched right columns."""
+def _tagged_union(left_ds, right_ds, on: str, by: str,
+                  left_cols: list[str] | None, right_cols: list[str] | None,
+                  suffix: str, n_buckets: int | None,
+                  right_on: str | None):
+    """Shared co-partitioning scaffold for the join-by-time operators
+    (asof_join, interval_join): rows are tagged with a side flag,
+    unified to one schema (each side fills the other's columns with
+    typed nulls), and hash-bucketed by key into ~2x-CPU coarse buckets
+    — ONE shuffle co-locates both sides. Returns
+    (unified_ds, left_cols, right_cols, r_out, out_cols)."""
     import numpy as np
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     from .hashing import hash_column
 
@@ -122,8 +109,6 @@ def asof_join(left_ds, right_ds, on: str = "ts", by: str = "user_id",
         left_cols = left_cols + [on]
     r_out = {c: (c + suffix if c in left_cols else c) for c in right_cols}
 
-    # both sides must present the SAME unified schema to union: each
-    # side fills the other side's columns with typed nulls
     l_schema = {f.name: f.type for f in left_ds.schema().base_schema}
     r_schema = {f.name: f.type for f in right_ds.schema().base_schema}
 
@@ -154,8 +139,41 @@ def asof_join(left_ds, right_ds, on: str = "ts", by: str = "user_id",
 
     unified = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
         right_ds.map_batches(tag_right, batch_format="pyarrow"))
-
     out_cols = [c for c in left_cols] + [r_out[c] for c in right_cols]
+    return unified, left_cols, right_cols, r_out, out_cols
+
+
+def asof_join(left_ds, right_ds, on: str = "ts", by: str = "user_id",
+              left_cols: list[str] | None = None,
+              right_cols: list[str] | None = None,
+              suffix: str = "_r", n_buckets: int | None = None,
+              right_on: str | None = None):
+    """AS-OF join (backward): attach to each left row the LATEST right
+    row with ``right.on <= left.on`` within the same ``by`` key; left
+    rows with no earlier right row keep nulls (ASOF LEFT JOIN).
+
+    Scale shape — ONE shuffle, both sides co-located: rows are tagged
+    with a side flag, unified to one schema, and hash-bucketed by key
+    into ~2x-CPU coarse buckets (the same co-partitioning trick the
+    exchange join uses, expressed as a single union + groupby).
+    Inside a bucket everything is one vectorized pass: lexsort by
+    (key, ts, side) with right-before-left at ties, then a
+    segment-reset running maximum carries each key's latest right row
+    index forward onto the left rows — no per-key Python.
+
+    ``right_cols`` columns are renamed with ``suffix`` when they
+    collide with left columns. ``right_on`` names the right side's
+    ordering column when it differs from ``on`` (e.g. an interval's
+    start). Returns a Dataset of left_cols + matched right columns."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .hashing import hash_column
+
+    unified, left_cols, right_cols, r_out, out_cols = _tagged_union(
+        left_ds, right_ds, on, by, left_cols, right_cols, suffix,
+        n_buckets, right_on)
 
     def merge(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -214,9 +232,9 @@ def range_join(left_ds, right_ds, on: str = "ts",
     contract): intervals are NON-OVERLAPPING per key — then the
     containing interval is exactly the as-of match on the interval
     start, post-filtered by ``hi >= on``. Session/tumbling windows
-    satisfy this by construction; overlapping intervals need an
-    interval-tree variant. One co-partitioned shuffle, vectorized
-    merge (see asof_join)."""
+    satisfy this by construction; for OVERLAPPING intervals use
+    :func:`interval_join` (one row per containing interval). One
+    co-partitioned shuffle, vectorized merge (see asof_join)."""
     import pyarrow.compute as pc
 
     rc = [lo_col, hi_col] + [c for c in (right_cols or [])
@@ -232,6 +250,119 @@ def range_join(left_ds, right_ds, on: str = "ts",
         return batch.filter(pc.fill_null(keep, False))
 
     return out.map_batches(inside, batch_format="pyarrow")
+
+
+def interval_join(left_ds, right_ds, on: str = "ts",
+                  lo_col: str = "w_start", hi_col: str = "w_end",
+                  by: str = "user_id", left_cols: list[str] | None = None,
+                  right_cols: list[str] | None = None, suffix: str = "_r",
+                  n_buckets: int | None = None):
+    """Interval join with OVERLAPPING intervals: one output row per
+    (left row, containing interval) pair — ``lo <= left.on <= hi``
+    within the same ``by`` key (inner semantics; the general case
+    range_join's non-overlap assumption excludes).
+
+    Scale shape: the same single co-partitioning shuffle as asof_join,
+    then one fully vectorized stabbing pass per bucket — no per-key
+    Python and no interval tree:
+
+    - right rows sort by (key, lo); per key segment the max interval
+      LENGTH bounds how far left of ``t`` a containing interval can
+      start (the banded range-join trick);
+    - candidate windows come from two ``np.searchsorted`` calls over a
+      rank-composite (key * (n+1) + rank-of-value) that makes the
+      per-key segments globally ordered — equal values keep equal
+      ranks, so the bounds are exact;
+    - candidates expand with repeat/arange and filter on ``hi >= t``.
+
+    Cost is O(output + n log n) per bucket; a single giant interval in
+    a key widens that key's candidate band (documented skew caveat).
+    Returns a Dataset of left_cols + matched right columns."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    rc = [lo_col, hi_col] + [c for c in (right_cols or [])
+                             if c not in (lo_col, hi_col)]
+    unified, left_cols, right_cols, r_out, out_cols = _tagged_union(
+        left_ds, right_ds, on, by, left_cols, rc, suffix,
+        n_buckets, lo_col)
+    hi_out = r_out[hi_col]
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            if set(out_cols) <= set(t.column_names):
+                return t.select(out_cols)
+            return pa.table({})
+        keys = t[by].combine_chunks()
+        kc = keys if pa.types.is_dictionary(keys.type) \
+            else pc.dictionary_encode(keys)
+        key_codes = kc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[on].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        hi_i = pc.fill_null(
+            t[hi_out].combine_chunks().cast(pa.int64()), 0,
+        ).to_numpy(zero_copy_only=False)
+        n = len(v)
+        empty = t.select(out_cols).slice(0, 0)
+
+        r_idx = np.flatnonzero(side == 0)
+        l_idx = np.flatnonzero(side == 1)
+        if len(r_idx) == 0 or len(l_idx) == 0:
+            return empty
+        rk, rlo = key_codes[r_idx], v[r_idx]
+        r_ord = np.lexsort((rlo, rk))
+        rk_s, rlo_s = rk[r_ord], rlo[r_ord]
+        rlen_s = hi_i[r_idx][r_ord] - rlo_s
+        seg_starts = np.concatenate(
+            [[0], np.flatnonzero(np.diff(rk_s)) + 1])
+        seg_keys = rk_s[seg_starts]
+        seg_maxlen = np.maximum.reduceat(rlen_s, seg_starts)
+
+        # rank-composite: equal values share a rank, so per-key
+        # searchsorted bounds are exact across the whole bucket
+        sv = np.sort(v)
+        B = np.int64(n + 1)
+        comp_right = rk_s * B + np.searchsorted(sv, rlo_s, side="left")
+
+        lk, lt = key_codes[l_idx], v[l_idx]
+        pos = np.searchsorted(seg_keys, lk)
+        valid = pos < len(seg_keys)
+        pos_c = np.minimum(pos, len(seg_keys) - 1)
+        valid &= seg_keys[pos_c] == lk
+        # upper bound: right rows with lo <= t in this key
+        j_hi = np.searchsorted(
+            comp_right, lk * B + np.searchsorted(sv, lt, side="left"),
+            side="right")
+        # lower bound: lo >= t - maxlen(key), clamped to the segment
+        tl = lt - seg_maxlen[pos_c]
+        j_lo = np.searchsorted(
+            comp_right, lk * B + np.searchsorted(sv, tl, side="left"),
+            side="left")
+        j_lo = np.maximum(j_lo, seg_starts[pos_c])
+        cnt = np.where(valid, np.maximum(j_hi - j_lo, 0), 0)
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        row_rep = np.repeat(np.arange(len(l_idx), dtype=np.int64), cnt)
+        offs = np.concatenate([[0], np.cumsum(cnt[:-1])]).astype(np.int64)
+        cand_pos = (np.arange(total, dtype=np.int64)
+                    - np.repeat(offs, cnt) + np.repeat(j_lo, cnt))
+        cand_r = r_idx[r_ord[cand_pos]]
+        lrow = l_idx[row_rep]
+        keep = hi_i[cand_r] >= v[lrow]
+        lrow, cand_r = lrow[keep], cand_r[keep]
+        cols = {}
+        take_l = pa.array(lrow, type=pa.int64())
+        take_r = pa.array(cand_r, type=pa.int64())
+        for c in left_cols:
+            cols[c] = t[c].combine_chunks().take(take_l)
+        for c in right_cols:
+            cols[r_out[c]] = t[r_out[c]].combine_chunks().take(take_r)
+        return pa.table({c: cols[c] for c in out_cols})
+
+    return unified.groupby("_ab").map_groups(merge, batch_format="pyarrow")
 
 
 def sliding_windows(ds, ts_col: str = "ts", width_s: float = 3600.0,

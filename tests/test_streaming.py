@@ -201,3 +201,74 @@ def test_range_join_containment(ray_session):
     got = set(zip(out["eid"], out["lo"]))
     want = set(zip(exp["eid"], exp["lo"]))
     assert got == want
+
+
+def test_interval_join_overlapping_matches_bruteforce(ray_session):
+    """Overlapping-interval join (one row per containing interval) vs
+    a brute-force pandas cross-join — the case range_join's
+    non-overlap assumption excludes."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from arcade_ray.windows import interval_join
+
+    rng = np.random.default_rng(29)
+    n_l, n_r = 500, 300
+    left = pd.DataFrame({
+        "user_id": rng.integers(0, 10, n_l),
+        "ts": rng.integers(0, 10_000, n_l).astype(np.int64),
+        "lval": np.arange(n_l, dtype=np.int64),
+    })
+    starts = rng.integers(0, 10_000, n_r).astype(np.int64)
+    lens = rng.integers(0, 2_000, n_r).astype(np.int64)  # heavy overlap
+    right = pd.DataFrame({
+        "user_id": rng.integers(0, 10, n_r),
+        "lo": starts,
+        "hi": starts + lens,
+        "rval": np.arange(n_r, dtype=np.int64),
+    })
+    out = interval_join(
+        rd.from_arrow(pa.Table.from_pandas(left)),
+        rd.from_arrow(pa.Table.from_pandas(right)),
+        on="ts", lo_col="lo", hi_col="hi", by="user_id",
+        left_cols=["lval"], right_cols=["rval"],
+    ).to_pandas()
+    exp = left.merge(right, on="user_id")
+    exp = exp[(exp.lo <= exp.ts) & (exp.ts <= exp.hi)]
+    assert len(out) == len(exp)
+    got_pairs = set(zip(out.lval, out.rval))
+    exp_pairs = set(zip(exp.lval, exp.rval))
+    assert got_pairs == exp_pairs
+    assert ((out.lo <= out.ts) & (out.ts <= out.hi)).all()
+
+
+def test_interval_join_giant_interval_and_empty_sides(ray_session):
+    """A single whole-range interval (worst-case candidate band) still
+    yields exact results; empty left/right produce empty output."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from arcade_ray.windows import interval_join
+
+    left = pd.DataFrame({"user_id": [1, 1, 2], "ts": [5, 500, 7],
+                         "lval": [0, 1, 2]})
+    right = pd.DataFrame({"user_id": [1, 1], "lo": [0, 499],
+                          "hi": [10_000, 501], "rval": [0, 1]})
+    out = interval_join(
+        rd.from_arrow(pa.Table.from_pandas(left)),
+        rd.from_arrow(pa.Table.from_pandas(right)),
+        on="ts", lo_col="lo", hi_col="hi", by="user_id",
+        left_cols=["lval"], right_cols=["rval"],
+    ).to_pandas()
+    pairs = set(zip(out.lval, out.rval))
+    assert pairs == {(0, 0), (1, 0), (1, 1)}  # user 2 matches nothing
+    none = interval_join(
+        rd.from_arrow(pa.Table.from_pandas(left)),
+        rd.from_arrow(pa.Table.from_pandas(right.iloc[0:0])),
+        on="ts", lo_col="lo", hi_col="hi", by="user_id",
+        left_cols=["lval"], right_cols=["rval"],
+    ).to_pandas()
+    assert len(none) == 0
