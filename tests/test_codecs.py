@@ -241,7 +241,8 @@ class TestDeltaCodec:
 def test_fsst_vec_throughput_microbench():
     """Guard the lazy-match walk's throughput (round-2 known gap: the
     old full-stream match precompute measured ~5 MB/s on this corpus
-    shape; the lazy walk measures 15-23 MB/s on an idle host). The
+    shape; the lazy walk with sort-assembled emission 15-23 MB/s; the
+    scatter-emission rewrite ~5x that on the same noisy host). The
     floor is deliberately far below measurement — the host is
     multi-tenant — but catches an accidental return to per-byte or
     full-precompute behavior."""
