@@ -10,6 +10,7 @@ No ray.init()/ray.shutdown() here — sessions are owned by the caller.
 
 from __future__ import annotations
 
+import datetime
 import hashlib
 import os
 
@@ -497,6 +498,99 @@ def q_join_orders_customer(sf_dir: str) -> pa.Table:
     return _collect(out)
 
 
+def q_semi_join_orders(sf_dir: str) -> pa.Table:
+    """SEMI join over encoded tables: orders rows whose customer is in
+    the BUILDING segment. The key set comes from an equi-filter over
+    the encoded customer table (zone-map pruned), broadcast once; the
+    probe side streams partition-wise with pc.is_in and never decodes
+    build columns."""
+    from .pipeline.join import semi_join
+    from .pipeline.query import equi_filter
+
+    o_dir = encoded_dir(sf_dir, "orders")
+    c_dir = encoded_dir(sf_dir, "customer")
+    keys = equi_filter(c_dir, "c_mktsegment", "BUILDING",
+                       project=["c_custkey"])
+    return _collect(semi_join(
+        o_dir, "o_custkey", ["o_orderkey", "o_custkey"], keys))
+
+
+def q_anti_join_orders(sf_dir: str) -> pa.Table:
+    """ANTI join (NOT EXISTS): orders whose customer is NOT in the
+    BUILDING segment — same broadcast key set, inverted membership."""
+    from .pipeline.join import semi_join
+    from .pipeline.query import equi_filter
+
+    o_dir = encoded_dir(sf_dir, "orders")
+    c_dir = encoded_dir(sf_dir, "customer")
+    keys = equi_filter(c_dir, "c_mktsegment", "BUILDING",
+                       project=["c_custkey"])
+    return _collect(semi_join(
+        o_dir, "o_custkey", ["o_orderkey", "o_custkey"], keys, anti=True))
+
+
+def q_q3_revenue_topk(sf_dir: str) -> pa.Table:
+    """TPC-H Q3-style composed pipeline over THREE encoded tables:
+    customer segment filter (zone-pruned equi-filter) -> broadcast
+    semi-join into orders -> streamed date filter -> broadcast
+    semi-join into lineitem -> map-side partial revenue sums per batch
+    -> one small groupby -> per-batch partial top-k, merged on the
+    driver. Nothing materializes beyond key sets + per-batch partials;
+    ties break on l_orderkey for a deterministic top-20."""
+    import ray.data  # noqa: F401  (ensure ray.data registered)
+
+    from .pipeline.join import semi_join
+    from .pipeline.query import equi_filter
+
+    o_dir = encoded_dir(sf_dir, "orders")
+    c_dir = encoded_dir(sf_dir, "customer")
+    l_dir = encoded_dir(sf_dir, "lineitem")
+
+    bkeys = equi_filter(c_dir, "c_mktsegment", "BUILDING",
+                        project=["c_custkey"])
+    orders_sel = semi_join(
+        o_dir, "o_custkey", ["o_orderkey", "o_orderdate"], bkeys)
+
+    def date_filter(b: pa.Table) -> pa.Table:
+        cutoff = pa.scalar(datetime.datetime(1998, 1, 1)).cast(
+            b["o_orderdate"].type)
+        return b.filter(pc.less(b["o_orderdate"], cutoff)) \
+            .select(["o_orderkey"])
+
+    okeys = orders_sel.map_batches(date_filter, batch_format="pyarrow")
+    li = semi_join(
+        l_dir, "l_orderkey",
+        ["l_orderkey", "l_extendedprice", "l_discount"], okeys)
+
+    def partial_rev(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        t = pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
+        g = t.group_by("l_orderkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["l_orderkey", "rev"])
+
+    agg = li.map_batches(partial_rev, batch_format="pyarrow") \
+        .groupby("l_orderkey").sum("rev")
+
+    K = 20
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(["l_orderkey", "rev"])
+        idx = pc.sort_indices(b, sort_keys=[
+            ("rev", "descending"), ("l_orderkey", "ascending")])
+        return b.take(idx.slice(0, K))
+
+    parts = _collect(agg.map_batches(partial_topk, batch_format="pyarrow"))
+    idx = pc.sort_indices(parts, sort_keys=[
+        ("rev", "descending"), ("l_orderkey", "ascending")])
+    top = parts.take(idx.slice(0, K))
+    return pa.table({
+        "l_orderkey": top["l_orderkey"],
+        "revenue": pc.round(top["rev"], ndigits=2),
+    })
+
+
 def q_join_lineitem_orders(sf_dir: str) -> pa.Table:
     """Join of two encoded tables when BOTH sides are large: hash
     CO-PARTITIONED via the exchange pattern (one decode+fan-out per
@@ -940,6 +1034,9 @@ QUERIES = {
     "asof_join_events": q_asof_join_events,
     "range_join_sessions": q_range_join_sessions,
     "interval_join_events": q_interval_join_events,
+    "semi_join_orders": q_semi_join_orders,
+    "anti_join_orders": q_anti_join_orders,
+    "q3_revenue_topk": q_q3_revenue_topk,
     "topk": q_topk,
     "topk_rows": q_topk_rows,
     "group_topk": q_group_topk,
@@ -1066,6 +1163,31 @@ ORACLE_SQL = {
     "join_orders_customer": (
         "SELECT o_orderkey, o_custkey, c_mktsegment FROM orders "
         "JOIN customer ON o_custkey = c_custkey"
+    ),
+    "semi_join_orders": (
+        "SELECT o_orderkey, o_custkey FROM orders "
+        "WHERE o_custkey IN (SELECT c_custkey FROM customer "
+        "WHERE c_mktsegment = 'BUILDING')"
+    ),
+    "anti_join_orders": (
+        "SELECT o_orderkey, o_custkey FROM orders o "
+        "WHERE NOT EXISTS (SELECT 1 FROM customer c "
+        "WHERE c.c_custkey = o.o_custkey "
+        "AND c.c_mktsegment = 'BUILDING')"
+    ),
+    "q3_revenue_topk": (
+        # rank by the UNROUNDED sum (like the engine), round only the
+        # projected value — rounding-induced ties must not change the
+        # selected top-20 set
+        "SELECT l_orderkey, round(revenue, 2) AS revenue FROM ("
+        "SELECT l_orderkey, "
+        "SUM(l_extendedprice * (1 - l_discount)) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY l_orderkey "
+        "ORDER BY revenue DESC, l_orderkey LIMIT 20)"
     ),
     "join_lineitem_orders": (
         "SELECT l_orderkey, l_quantity, o_orderpriority FROM lineitem "

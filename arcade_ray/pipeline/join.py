@@ -244,3 +244,106 @@ def broadcast_join(probe_dir: str, build_dir: str, probe_key: str,
         return pa.concat_tables(outs)
 
     return ds.map_batches(probe, batch_format="pyarrow", batch_size=1)
+
+
+def _as_key_array(keys) -> pa.ChunkedArray:
+    """Coerce a key set (pa.Array/ChunkedArray, single-column pa.Table,
+    or ray Dataset) to a deduplicated, null-free ChunkedArray."""
+    import ray
+
+    if hasattr(keys, "to_arrow_refs"):  # ray.data.Dataset
+        keys = pa.concat_tables(ray.get(keys.to_arrow_refs()))
+    if isinstance(keys, pa.Table):
+        if keys.num_columns != 1:
+            raise ValueError(
+                f"key table must have exactly one column, got "
+                f"{keys.column_names}"
+            )
+        keys = keys.column(0)
+    if isinstance(keys, pa.Array):
+        keys = pa.chunked_array([keys])
+    return pa.chunked_array([pc.unique(pc.drop_null(keys.combine_chunks()))])
+
+
+def semi_join(probe_dir: str, probe_key: str, probe_cols: list[str],
+              keys, anti: bool = False,
+              max_keys: int = DEFAULT_MAX_BUILD_ROWS):
+    """SEMI (``anti=False``) / ANTI (``anti=True``) join: keep probe
+    rows whose ``probe_key`` is / is not in the broadcast key set.
+    Reference roadmap "Joins between compressed files" — the
+    existence-only form, which never materializes build columns.
+
+    ``keys`` may be a pa.Array/ChunkedArray, a one-column pa.Table, or
+    a (small) ray Dataset — e.g. the output of ``equi_filter`` over
+    the build table. It is deduplicated, broadcast once with
+    ``ray.put``, and probed per partition with a vectorized
+    ``pc.is_in`` — no shuffle, no build-column decode. For integer
+    keys, SEMI prunes partitions whose manifest zone map cannot
+    contain any key before any task spawns (ANTI reads everything by
+    definition: non-matching rows survive). Scale assumption: the
+    DISTINCT key set fits a worker heap (``max_keys`` guardrail); for
+    large-large semi joins co-partition both sides instead.
+
+    ANTI semantics are NOT EXISTS (null-safe): probe rows with a null
+    key survive ANTI and never match SEMI."""
+    import json
+
+    import ray
+    import ray.data as rd
+
+    from ..format import read_header
+    from .query import _manifest_prunable
+
+    keyset = _as_key_array(keys)
+    if len(keyset) > max_keys:
+        raise ValueError(
+            f"key set has {len(keyset)} entries (> {max_keys}); "
+            "broadcast semi join needs a small key side — co-partition "
+            "both tables on the key instead"
+        )
+
+    rows = load_manifest(probe_dir).to_pylist()
+    header0, _ = read_header(rows[0]["path"])
+    known = list(header0["columns"])
+    for c in [probe_key, *probe_cols]:
+        if c not in known:
+            raise KeyError(
+                f"column {c!r} not in encoded dataset (columns: {known})"
+            )
+
+    survivors = rows
+    if not anti and len(keyset) and _manifest_prunable(header0, probe_key) \
+            and pa.types.is_integer(keyset.type):
+        import bisect
+
+        sorted_keys = sorted(keyset.to_pylist())
+        survivors = []
+        for r in rows:
+            stats = json.loads(r["col_stats"]).get(probe_key, {})
+            lo, hi = stats.get("min"), stats.get("max")
+            if lo is not None and hi is not None:
+                i = bisect.bisect_left(sorted_keys, lo)
+                if i == len(sorted_keys) or sorted_keys[i] > hi:
+                    continue  # no key can fall inside this partition
+            survivors.append(r)
+
+    need = list(dict.fromkeys(probe_cols + [probe_key]))
+    if not survivors:
+        return rd.from_arrow(_typed_empty(rows[0]["path"], probe_cols))
+    keys_ref = ray.put(keyset)
+    ds = rd.from_items([{"path": r["path"]} for r in survivors])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref).combine_chunks()
+        outs = []
+        for p in batch["path"]:
+            t = decode_partition(p.as_py(), columns=need)
+            col = t[probe_key].combine_chunks().cast(ks.type)
+            hit = pc.is_in(col, value_set=ks)
+            if anti:
+                # NOT EXISTS: nulls survive (is_in yields false there)
+                hit = pc.invert(hit)
+            outs.append(t.filter(hit).select(probe_cols))
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(probe, batch_format="pyarrow", batch_size=1)

@@ -175,3 +175,60 @@ def test_copartition_join_mn_duplicates(two_tables, tmp_path, ray_session):
         left_cols=["k", "lv"], right_cols=["rv"]))
     exp = left.to_pandas().merge(right.to_pandas(), on="k")
     assert out.num_rows == len(exp) == 2 * 3 + 1
+
+
+def test_semi_join(two_tables):
+    from arcade_ray.pipeline.join import semi_join
+
+    o_dir, c_dir, orders, cust = two_tables
+    keys = cust.filter(pc.equal(cust["c_seg"], "seg-2"))["c_custkey"]
+    out = collect_arrow(semi_join(
+        o_dir, "o_custkey", ["o_orderkey", "o_custkey"], keys))
+    keyset = set(keys.to_pylist())
+    exp = orders.filter(pa.array(
+        [k in keyset for k in orders["o_custkey"].to_pylist()]))
+    assert sorted(out["o_orderkey"].to_pylist()) == \
+        sorted(exp["o_orderkey"].to_pylist())
+    assert set(out.column_names) == {"o_orderkey", "o_custkey"}
+
+
+def test_anti_join(two_tables):
+    from arcade_ray.pipeline.join import semi_join
+
+    o_dir, c_dir, orders, cust = two_tables
+    keys = cust.filter(pc.equal(cust["c_seg"], "seg-2"))["c_custkey"]
+    out = collect_arrow(semi_join(
+        o_dir, "o_custkey", ["o_orderkey"], keys, anti=True))
+    keyset = set(keys.to_pylist())
+    exp = orders.filter(pa.array(
+        [k not in keyset for k in orders["o_custkey"].to_pylist()]))
+    assert sorted(out["o_orderkey"].to_pylist()) == \
+        sorted(exp["o_orderkey"].to_pylist())
+
+
+def test_semi_join_accepts_dataset_and_prunes(two_tables, ray_session):
+    """Key set as a ray Dataset; disjoint keys -> zone pruning leaves
+    an empty, correctly-typed result."""
+    import ray.data as rd
+
+    from arcade_ray.pipeline.join import semi_join
+
+    o_dir, _, orders, _ = two_tables
+    ds_keys = rd.from_arrow(pa.table(
+        {"k": pa.array([10**9, 10**9 + 1], type=pa.int64())}))
+    out = collect_arrow(semi_join(o_dir, "o_custkey", ["o_orderkey"], ds_keys))
+    assert out.num_rows == 0
+    assert out.schema.field("o_orderkey").type == pa.int64()
+
+
+def test_semi_join_key_guardrails(two_tables):
+    from arcade_ray.pipeline.join import semi_join
+
+    o_dir, _, _, cust = two_tables
+    with pytest.raises(ValueError, match="one column"):
+        semi_join(o_dir, "o_custkey", ["o_orderkey"], cust)
+    with pytest.raises(ValueError, match="key set"):
+        semi_join(o_dir, "o_custkey", ["o_orderkey"],
+                  cust["c_custkey"], max_keys=10)
+    with pytest.raises(KeyError):
+        semi_join(o_dir, "nope", ["o_orderkey"], cust["c_custkey"])
