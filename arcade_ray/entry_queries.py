@@ -471,6 +471,22 @@ def q_interval_join_events(sf_dir: str) -> pa.Table:
         by="user_id", left_cols=["event_id"]))
 
 
+def q_ranked_gaps(sf_dir: str) -> pa.Table:
+    """Per-key window functions: ROW_NUMBER + LAG-gap per user over
+    the events stream (windows.ranked_gaps — one hash shuffle, one
+    vectorized segment pass per bucket, zero per-key Python). Oracle:
+    SQL window functions."""
+    import ray.data as rd
+
+    from .windows import ranked_gaps
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ds = rd.read_parquet(path, columns=["event_id", "user_id", "ts"])
+    return _collect(ranked_gaps(
+        ds, key_col="user_id", ts_col="ts", tie_col="event_id",
+        keep=["event_id", "user_id", "ts"]))
+
+
 def q_compression_metrics(sf_dir: str) -> pa.Table:
     """Lineage/metrics surface: per-partition encoded sizes (rows-only
     check; not SQL-expressible)."""
@@ -1037,6 +1053,7 @@ QUERIES = {
     "semi_join_orders": q_semi_join_orders,
     "anti_join_orders": q_anti_join_orders,
     "q3_revenue_topk": q_q3_revenue_topk,
+    "ranked_gaps": q_ranked_gaps,
     "topk": q_topk,
     "topk_rows": q_topk_rows,
     "group_topk": q_group_topk,
@@ -1151,6 +1168,13 @@ ORACLE_SQL = {
         "sess.session_end FROM events e JOIN sess "
         "ON e.user_id = sess.user_id "
         "AND e.ts BETWEEN sess.session_start AND sess.session_end"
+    ),
+    "ranked_gaps": (
+        "SELECT event_id, user_id, ts, "
+        "ROW_NUMBER() OVER w AS rn, "
+        "CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS BIGINT) AS gap_us "
+        "FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
     ),
     "interval_join_events": (
         "SELECT c.event_id, c.user_id, c.ts, v.ts AS w_start, "

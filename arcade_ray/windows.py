@@ -410,3 +410,76 @@ def sliding_windows(ds, ts_col: str = "ts", width_s: float = 3600.0,
         return pa.concat_tables(outs)
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def ranked_gaps(ds, key_col: str = "user_id", ts_col: str = "ts",
+                tie_col: str | None = None, keep: list[str] | None = None,
+                n_buckets: int | None = None):
+    """Per-key window functions without per-key Python: ROW_NUMBER()
+    OVER (PARTITION BY key ORDER BY ts[, tie]) and the LAG gap to the
+    previous row's ts (null on each key's first row), the two
+    primitives sessionization/feature pipelines reach for first.
+
+    Scale shape (same as session_windows): one hash shuffle into
+    ~2x-CPU coarse buckets co-locates each key's rows; inside a bucket
+    one arrow sort + segment arithmetic computes every key's ranks and
+    gaps at once — Python cost is O(buckets), not O(keys). ``tie_col``
+    makes the in-key order (and thus ranks) deterministic under ts
+    ties. Returns keep + rn (int64, 1-based) + gap_us (int64 epoch
+    microseconds, null at key starts)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .hashing import hash_column
+
+    if keep is None:
+        keep = [key_col, ts_col]
+    if n_buckets is None:
+        import ray
+
+        avail = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        n_buckets = max(8, 2 * avail)
+    out_cols = list(keep) + ["rn", "gap_us"]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        b = (hash_column(batch[key_col]) % np.uint64(n_buckets)).astype(np.int64)
+        return batch.append_column("_rb", pa.array(b))
+
+    def rank(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            cols = {c: t[c] for c in keep if c in t.column_names}
+            cols["rn"] = pa.array([], type=pa.int64())
+            cols["gap_us"] = pa.array([], type=pa.int64())
+            return pa.table(cols) if len(cols) == len(out_cols) \
+                else pa.table({})
+        sort_keys = [(key_col, "ascending"), (ts_col, "ascending")]
+        if tie_col is not None:
+            sort_keys.append((tie_col, "ascending"))
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        keys = t[key_col].combine_chunks()
+        kc = keys if pa.types.is_dictionary(keys.type) \
+            else pc.dictionary_encode(keys)
+        codes = kc.indices.to_numpy(zero_copy_only=False)
+        ts = t[ts_col].combine_chunks()
+        ts_i = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(codes)
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(new_key)
+        lens = np.diff(np.concatenate([starts, [n]]))
+        rn = np.arange(n, dtype=np.int64) - np.repeat(starts, lens) + 1
+        gap = np.empty(n, dtype=np.int64)
+        gap[1:] = ts_i[1:] - ts_i[:-1]
+        gap[0] = 0
+        cols = {c: t[c] for c in keep}
+        cols["rn"] = pa.array(rn)
+        # LAG over each key's first row is null
+        cols["gap_us"] = pc.if_else(pa.array(~new_key), pa.array(gap),
+                                    pa.scalar(None, type=pa.int64()))
+        return pa.table({c: cols[c] for c in out_cols})
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("_rb")
+            .map_groups(rank, batch_format="pyarrow"))

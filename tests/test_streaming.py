@@ -272,3 +272,39 @@ def test_interval_join_giant_interval_and_empty_sides(ray_session):
         left_cols=["lval"], right_cols=["rval"],
     ).to_pandas()
     assert len(none) == 0
+
+
+def test_ranked_gaps_vs_pandas(ray_session):
+    """ROW_NUMBER + LAG gap per key vs a pandas groupby oracle,
+    including ts ties broken by the tie column."""
+    import ray.data as rd
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.windows import ranked_gaps
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    users = rng.integers(0, 60, n)
+    base = np.datetime64("2024-01-01", "us")
+    ts = base + rng.integers(0, 10_000, n).astype("timedelta64[s]")  # ties
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "user_id": pa.array([f"u{u}" for u in users]),
+        "ts": pa.array(ts),
+    })
+    out = collect_arrow(ranked_gaps(
+        rd.from_arrow(t), key_col="user_id", ts_col="ts",
+        tie_col="event_id", keep=["event_id", "user_id", "ts"],
+        n_buckets=5)).to_pandas().sort_values("event_id",
+                                              ignore_index=True)
+
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"],
+                                   ignore_index=True)
+    df["rn"] = df.groupby("user_id").cumcount() + 1
+    prev = df.groupby("user_id")["ts"].shift()
+    df["gap_us"] = (df["ts"] - prev).dt.total_seconds() * 1e6
+    exp = df.sort_values("event_id", ignore_index=True)
+    assert out["rn"].tolist() == exp["rn"].tolist()
+    got_gap = out["gap_us"].astype("float64")
+    assert ((got_gap.isna() == exp["gap_us"].isna()).all()
+            and np.allclose(got_gap.dropna(), exp["gap_us"].dropna()))
