@@ -993,13 +993,16 @@ def dict_group_aggregate(out_dir: str, key_col, value_col: str) -> pa.Table:
     paths = rd.from_items([{"path": r["path"]} for r in rows])
 
     def to_table(sums, mins, maxs, counts) -> pa.Table:
-        keys = sorted(sums)
+        # counts carries every group (incl. all-null-value groups and
+        # null keys; None sorts after strings for determinism)
+        keys = sorted(counts, key=lambda k: tuple(
+            (x is None, x or "") for x in k))
         cols = {}
         for i, kc in enumerate(key_cols):
             cols[kc] = pa.array([k[i] for k in keys], type=pa.string())
-        cols["sum_v"] = pa.array([sums[k] for k in keys], type=agg_t)
-        cols["min_v"] = pa.array([mins[k] for k in keys], type=agg_t)
-        cols["max_v"] = pa.array([maxs[k] for k in keys], type=agg_t)
+        cols["sum_v"] = pa.array([sums.get(k) for k in keys], type=agg_t)
+        cols["min_v"] = pa.array([mins.get(k) for k in keys], type=agg_t)
+        cols["max_v"] = pa.array([maxs.get(k) for k in keys], type=agg_t)
         cols["n_rows"] = pa.array([counts[k] for k in keys], type=pa.int64())
         return pa.table(cols)
 
@@ -1020,9 +1023,10 @@ def dict_group_aggregate(out_dir: str, key_col, value_col: str) -> pa.Table:
     counts: dict = {}
     for row in partials.take_all():
         k = tuple(row[kc] for kc in key_cols)
-        sums[k] = sums.get(k, 0) + row["sum_v"]
-        mins[k] = min(mins.get(k, row["min_v"]), row["min_v"])
-        maxs[k] = max(maxs.get(k, row["max_v"]), row["max_v"])
+        if row["sum_v"] is not None:  # group had >=1 non-null value
+            sums[k] = sums.get(k, 0) + row["sum_v"]
+            mins[k] = min(mins.get(k, row["min_v"]), row["min_v"])
+            maxs[k] = max(maxs.get(k, row["max_v"]), row["max_v"])
         counts[k] = counts.get(k, 0) + row["n_rows"]
     return to_table(sums, mins, maxs, counts)
 
@@ -1039,11 +1043,7 @@ def _dict_group_agg_partition(path: str, key_cols: list[str], value_col: str,
     for kc, cm in zip(key_cols, kcms):
         if cm["kind"] != "str":
             raise TypeError("dict_group_aggregate groups on string columns")
-        if any(ch.get("nulls") for ch in cm["chunks"]):
-            raise NotImplementedError("null-bearing group keys: decode instead")
     vcm = header["columns"][value_col]
-    if any(ch.get("nulls") for ch in vcm["chunks"]):
-        raise NotImplementedError("null-bearing aggregate values: decode instead")
     vdec = make_column_decoder(vcm)
     sdecs = [StringColumnDecoder(cm["tag"]) for cm in kcms]
     n_chunks = len(kcms[0]["chunks"])
@@ -1053,19 +1053,33 @@ def _dict_group_agg_partition(path: str, key_cols: list[str], value_col: str,
             vch = vcm["chunks"][ci]
             f.seek(base + vch["off"])
             vals_arr = vdec.decode(vch, read_exact(f, vch["nb"], value_col))
+            v_valid = None
+            if vch.get("nulls"):
+                v_valid = vals_arr.is_valid().to_numpy(zero_copy_only=False)
+                vals_arr = vals_arr.fill_null(0)
             vals_np = vals_arr.to_numpy(zero_copy_only=False)
             # int64 chunk accumulator + Python-int cross-chunk merge is
             # exact; a float64 accumulator loses low bits past 2^53
             vals = vals_np.astype(np.int64, copy=False) if integral \
                 else vals_np.astype(np.float64)
             # per key column: per-row codes + a code->string resolver;
-            # composite keys combine into one mixed-radix code per row
+            # composite keys combine into one mixed-radix code per row.
+            # Null keys get the radix slot past the dictionary (their
+            # own group, as SQL GROUP BY does); resolvers map it back
+            # to None.
             codes_list: list[tuple[np.ndarray, int]] = []
             resolvers = []
             for kc, cm, sdec in zip(key_cols, kcms, sdecs):
                 ch = cm["chunks"][ci]
                 f.seek(base + ch["off"])
                 payload = read_exact(f, ch["nb"], kc)
+                vb = ch.get("vb", 0)
+                k_valid = None
+                if vb:
+                    k_valid = np.unpackbits(
+                        np.frombuffer(payload[-vb:], dtype=np.uint8),
+                        bitorder="little")[:ch["n"]].astype(bool)
+                    payload = payload[:-vb]
                 sdec.advance_dict(ch, payload)
                 if ch["mode"] == "plain":
                     lengths, data = decode_str_values(ch["codec"], payload,
@@ -1075,19 +1089,24 @@ def _dict_group_agg_partition(path: str, key_cols: list[str], value_col: str,
                     codes = d.indices.to_numpy(
                         zero_copy_only=False).astype(np.int64)
                     pool = d.dictionary.to_pylist()
-                    resolvers.append(lambda code, pool=pool: pool[code])
-                    m = max(len(pool), 1)
+                    m0 = max(len(pool), 1)
+                    resolvers.append(
+                        lambda code, pool=pool, m0=m0:
+                        None if code == m0 else pool[code])
                 else:
                     codes = decode_codes(ch["ccodec"], payload[ch["vlen"]:],
                                          ch["cmeta"]).astype(np.int64)
                     u = np.empty(len(sdec.u_lengths) + 1, dtype=np.int64)
                     u[0] = 0
                     np.cumsum(sdec.u_lengths, out=u[1:])
+                    m0 = max(ch["d_total"], 1)
                     resolvers.append(
-                        lambda code, sdec=sdec, u=u:
-                        sdec.u_data[u[code]: u[code + 1]].decode("utf-8"))
-                    m = max(ch["d_total"], 1)
-                codes_list.append((codes, m))
+                        lambda code, sdec=sdec, u=u, m0=m0:
+                        None if code == m0
+                        else sdec.u_data[u[code]: u[code + 1]].decode("utf-8"))
+                if k_valid is not None:
+                    codes = np.where(k_valid, codes, m0)
+                codes_list.append((codes, m0 + 1))
             combined = codes_list[0][0]
             for codes, m in codes_list[1:]:
                 combined = combined * m + codes
@@ -1096,6 +1115,7 @@ def _dict_group_agg_partition(path: str, key_cols: list[str], value_col: str,
             order = np.argsort(combined, kind="stable")
             cs = combined[order]
             vs = vals[order]
+            vv = v_valid[order] if v_valid is not None else None
             bounds = np.concatenate(
                 [[0], np.flatnonzero(np.diff(cs)) + 1, [len(cs)]])
             for j in range(len(bounds) - 1):
@@ -1109,10 +1129,14 @@ def _dict_group_agg_partition(path: str, key_cols: list[str], value_col: str,
                 key = tuple(res(c) for res, c in
                             zip(resolvers, reversed(parts)))
                 seg = vs[lo:hi]
+                if vv is not None:
+                    seg = seg[vv[lo:hi]]  # SUM/MIN/MAX skip null values
+                counts[key] = counts.get(key, 0) + (hi - lo)
+                if len(seg) == 0:
+                    continue
                 sums[key] = sums.get(key, 0) + box(seg.sum())
                 mins[key] = min(mins.get(key, box(seg.min())), box(seg.min()))
                 maxs[key] = max(maxs.get(key, box(seg.max())), box(seg.max()))
-                counts[key] = counts.get(key, 0) + (hi - lo)
 
 
 PERCENTILE_MAX_RANGE = 1 << 24  # dense-histogram bin cap (~128 MB int64)

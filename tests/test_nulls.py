@@ -140,3 +140,46 @@ def test_nulls_multichunk(tmp_path, monkeypatch):
         orig(t, 300, values_per_chunk),
     )
     roundtrip(make_nullable_table(1500, seed=9), tmp_path, "mc")
+
+
+def test_dict_group_aggregate_nulls_vs_duckdb(ray_session, tmp_path):
+    """Decode-free grouped aggregates over NULL-bearing key and value
+    columns: null keys form their own group (SQL GROUP BY), null
+    values are skipped by SUM/MIN/MAX (NULL when a group has no valid
+    value), n_rows is COUNT(*). Oracle: DuckDB over the same rows."""
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from arcade_ray.pipeline import encode_dataset
+    from arcade_ray.pipeline.query import dict_group_aggregate
+
+    rng = np.random.default_rng(9)
+    n = 3000
+    src = [None if rng.random() < 0.1 else f"s{int(i) % 4}"
+           for i in rng.integers(0, 4, n)]
+    val = [None if rng.random() < 0.15 else int(v)
+           for v in rng.integers(-50, 1000, n)]
+    # one group whose values are ALL null -> SUM/MIN/MAX must be NULL
+    src += ["only-nulls"] * 3
+    val += [None] * 3
+    t = pa.table({
+        "doc_id": pa.array(range(len(src)), type=pa.int64()),
+        "source": pa.array(src, type=pa.string()),
+        "v": pa.array(val, type=pa.int64()),
+    })
+    out_dir = str(tmp_path / "enc")
+    encode_dataset(rd.from_arrow(t), out_dir, key_col="doc_id",
+                   weight_col=None)
+    got = dict_group_aggregate(out_dir, "source", "v").to_pandas()
+    got = got.sort_values("source", ignore_index=True, na_position="last")
+
+    pq.write_table(t, str(tmp_path / "t.parquet"))
+    exp = duckdb.sql(
+        f"SELECT source, CAST(SUM(v) AS BIGINT) AS sum_v, "
+        f"MIN(v) AS min_v, MAX(v) AS max_v, COUNT(*) AS n_rows "
+        f"FROM read_parquet('{tmp_path}/t.parquet') GROUP BY source "
+        f"ORDER BY source NULLS LAST"
+    ).fetchdf()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
