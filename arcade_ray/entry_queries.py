@@ -349,6 +349,18 @@ def q_topk_rows(sf_dir: str) -> pa.Table:
                      columns=["doc_id", "n_chars", "source"])
 
 
+def q_order_slice(sf_dir: str) -> pa.Table:
+    """Pagination over encoded data: ORDER BY n_chars DESC, doc_id
+    LIMIT 15 OFFSET 40 via per-partition partial top-(offset+k) — no
+    global sort, no shuffle; only the 15 winners' projections are
+    fetched (point lookup)."""
+    from .pipeline.query import topk_rows
+
+    out = encoded_dir(sf_dir, "documents")
+    return topk_rows(out, "n_chars", 15, id_col="doc_id",
+                     columns=["doc_id", "n_chars", "lang"], offset=40)
+
+
 def q_group_topk(sf_dir: str) -> pa.Table:
     """Top-3 longest documents PER SOURCE over encoded data: group
     membership from dictionary codes, key strings resolved only for
@@ -1056,6 +1068,7 @@ QUERIES = {
     "ranked_gaps": q_ranked_gaps,
     "topk": q_topk,
     "topk_rows": q_topk_rows,
+    "order_slice": q_order_slice,
     "group_topk": q_group_topk,
     "percentiles": q_percentiles,
     "sample": q_sample,
@@ -1296,6 +1309,8 @@ ORACLE_SQL = {
     "topk": "SELECT n_chars FROM documents ORDER BY n_chars DESC LIMIT 50",
     "topk_rows": ("SELECT doc_id, n_chars, source FROM documents "
                   "ORDER BY n_chars DESC, doc_id LIMIT 25"),
+    "order_slice": ("SELECT doc_id, n_chars, lang FROM documents "
+                    "ORDER BY n_chars DESC, doc_id LIMIT 15 OFFSET 40"),
     "group_topk": (
         "SELECT source, doc_id, n_chars FROM documents "
         "QUALIFY row_number() OVER (PARTITION BY source "

@@ -60,6 +60,18 @@ def scan(out_dir: str, columns: list[str] | None = None):
     return decode_dataset(out_dir, columns=columns)
 
 
+def sorted_scan(out_dir: str, by, columns: list[str] | None = None,
+                descending: bool = False):
+    """Globally ORDERED scan: decode-stream the projection, then Ray
+    Data's distributed sort (sample -> range-partition shuffle ->
+    per-range sort; one all-to-all exchange, blocks emitted in key
+    order). Use :func:`topk_rows` when only the head/a page is needed
+    — it never shuffles. ``by``: column name or list of names.
+    Reference roadmap item "sort" (/root/reference/README.md Features
+    list)."""
+    return scan(out_dir, columns=columns).sort(by, descending=descending)
+
+
 # ---------------------------------------------------------------------------
 # equi-filter on compressed data
 # ---------------------------------------------------------------------------
@@ -1380,16 +1392,20 @@ def topk(out_dir: str, col: str, k: int, descending: bool = True) -> pa.Table:
 
 def topk_rows(out_dir: str, col: str, k: int, id_col: str,
               columns: list[str] | None = None,
-              descending: bool = True) -> pa.Table:
-    """Projected top-k: the k rows with the largest (or smallest)
-    ``col``, ties broken by ascending ``id_col`` — per-partition
-    partial top-k tasks decode only the order/id columns, the tiny
-    driver merge fetches the projection for just the k winners via the
-    existing point lookup."""
+              descending: bool = True, offset: int = 0) -> pa.Table:
+    """Projected ORDER BY ``col`` LIMIT ``k`` OFFSET ``offset``: the k
+    rows ranked [offset, offset+k) by ``col`` (ties broken by
+    ascending ``id_col``) — per-partition partial top-(offset+k) tasks
+    decode only the order/id columns, the tiny driver merge fetches
+    the projection for just the k winners via the existing point
+    lookup. Pagination over encoded data without a global sort; scale
+    assumption: offset+k stays driver-small (#partitions x (offset+k)
+    order pairs merge on the driver)."""
     import ray
 
     rows = _manifest_paths(out_dir)
     order_cols = [col, id_col]
+    need = offset + k
 
     @ray.remote
     def part_topk(path: str) -> pa.Table:
@@ -1399,8 +1415,8 @@ def topk_rows(out_dir: str, col: str, k: int, id_col: str,
         t = decode_partition(path, columns=order_cols)
         vals = t[col].combine_chunks().to_numpy(zero_copy_only=False)
         ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
-        neg = -vals if descending else vals
-        order = np.lexsort((ids, neg))[: min(k, len(vals))]
+        key = _desc_sort_key(vals) if descending else vals
+        order = np.lexsort((ids, key))[: min(need, len(vals))]
         return t.take(pa.array(order, type=pa.int64()))
 
     parts = [p for p in ray.get([part_topk.remote(r["path"]) for r in rows])
@@ -1408,8 +1424,8 @@ def topk_rows(out_dir: str, col: str, k: int, id_col: str,
     merged = pa.concat_tables(parts)
     vals = merged[col].combine_chunks().to_numpy(zero_copy_only=False)
     ids = merged[id_col].combine_chunks().to_numpy(zero_copy_only=False)
-    neg = -vals if descending else vals
-    win = np.lexsort((ids, neg))[:k]
+    key = _desc_sort_key(vals) if descending else vals
+    win = np.lexsort((ids, key))[offset:need]
     winners = merged.take(pa.array(win, type=pa.int64()))
     want = columns or order_cols
     extra = [c for c in want if c not in order_cols]

@@ -404,3 +404,30 @@ def test_dict_group_distinct(encoded):
     for i in range(got.num_rows):
         k = got["source"][i].as_py()
         assert got["n_distinct"][i].as_py() == int(exp[k]), k
+
+
+def test_topk_rows_offset(encoded):
+    """Pagination: ranks [offset, offset+k) match a full sort."""
+    from arcade_ray.pipeline.query import topk_rows
+
+    out_dir, table = encoded
+    got = topk_rows(out_dir, "n_tok", 10, id_col="doc_id",
+                    columns=["doc_id", "n_tok"], offset=25)
+    df = table.select(["doc_id", "n_tok"]).to_pandas().sort_values(
+        ["n_tok", "doc_id"], ascending=[False, True],
+        ignore_index=True).iloc[25:35]
+    assert got["doc_id"].to_pylist() == df["doc_id"].tolist()
+    assert got["n_tok"].to_pylist() == df["n_tok"].tolist()
+
+
+def test_sorted_scan_global_order(encoded):
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.pipeline.query import sorted_scan
+
+    out_dir, table = encoded
+    got = collect_arrow(sorted_scan(out_dir, "n_tok",
+                                    columns=["doc_id", "n_tok"]))
+    vals = got["n_tok"].to_pylist()
+    assert vals == sorted(vals)
+    assert sorted(got["doc_id"].to_pylist()) == \
+        sorted(table["doc_id"].to_pylist())
