@@ -499,6 +499,32 @@ def q_ranked_gaps(sf_dir: str) -> pa.Table:
         keep=["event_id", "user_id", "ts"]))
 
 
+def q_frame_aggs(sf_dir: str) -> pa.Table:
+    """Per-key window FRAMES: running SUM + 4-row moving AVG per user
+    (windows.frame_aggs — one shuffle, one cumsum pass per bucket).
+    Both sides round to 6 dp: the engine's prefix-sum addition order
+    differs from the oracle's incremental window, so last-ulp float64
+    skew is expected and immaterial."""
+    import ray.data as rd
+
+    from .windows import frame_aggs
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ds = rd.read_parquet(path, columns=["event_id", "user_id", "ts",
+                                        "value"])
+    out = _collect(frame_aggs(
+        ds, key_col="user_id", ts_col="ts", val_col="value",
+        tie_col="event_id", keep=["event_id", "user_id", "value"],
+        window=4))
+    return pa.table({
+        "event_id": out["event_id"],
+        "user_id": out["user_id"],
+        "value": out["value"],
+        "running_sum": pc.round(out["running_sum"], ndigits=6),
+        "moving_avg": pc.round(out["moving_avg"], ndigits=6),
+    })
+
+
 def q_compression_metrics(sf_dir: str) -> pa.Table:
     """Lineage/metrics surface: per-partition encoded sizes (rows-only
     check; not SQL-expressible)."""
@@ -1066,6 +1092,7 @@ QUERIES = {
     "anti_join_orders": q_anti_join_orders,
     "q3_revenue_topk": q_q3_revenue_topk,
     "ranked_gaps": q_ranked_gaps,
+    "frame_aggs": q_frame_aggs,
     "topk": q_topk,
     "topk_rows": q_topk_rows,
     "order_slice": q_order_slice,
@@ -1181,6 +1208,15 @@ ORACLE_SQL = {
         "sess.session_end FROM events e JOIN sess "
         "ON e.user_id = sess.user_id "
         "AND e.ts BETWEEN sess.session_start AND sess.session_end"
+    ),
+    "frame_aggs": (
+        "SELECT event_id, user_id, value, "
+        "round(SUM(value) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 6) "
+        "AS running_sum, "
+        "round(AVG(value) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT "
+        "ROW), 6) AS moving_avg FROM events"
     ),
     "ranked_gaps": (
         "SELECT event_id, user_id, ts, "

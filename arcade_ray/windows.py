@@ -483,3 +483,81 @@ def ranked_gaps(ds, key_col: str = "user_id", ts_col: str = "ts",
     return (ds.map_batches(assign, batch_format="pyarrow")
             .groupby("_rb")
             .map_groups(rank, batch_format="pyarrow"))
+
+
+def frame_aggs(ds, key_col: str = "user_id", ts_col: str = "ts",
+               val_col: str = "value", tie_col: str | None = None,
+               keep: list[str] | None = None, window: int = 4,
+               n_buckets: int | None = None):
+    """Per-key window FRAME aggregates, vectorized: running_sum (SUM
+    OVER ... ROWS UNBOUNDED PRECEDING) and moving_avg (AVG OVER the
+    last ``window`` rows incl. current) for each row, ordered by
+    (ts[, tie]) within the key.
+
+    Same scale shape as ranked_gaps: one hash shuffle into coarse
+    buckets, then ONE pass per bucket — key-segment cumulative sums
+    with segment reset, and the moving window from cumsum differences
+    clamped at segment starts. Python cost O(buckets)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .hashing import hash_column
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if keep is None:
+        keep = [key_col, ts_col, val_col]
+    if n_buckets is None:
+        import ray
+
+        avail = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        n_buckets = max(8, 2 * avail)
+    out_cols = list(keep) + ["running_sum", "moving_avg"]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        b = (hash_column(batch[key_col]) % np.uint64(n_buckets)).astype(np.int64)
+        return batch.append_column("_fb", pa.array(b))
+
+    def frames(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            cols = {c: t[c] for c in keep if c in t.column_names}
+            cols["running_sum"] = pa.array([], type=pa.float64())
+            cols["moving_avg"] = pa.array([], type=pa.float64())
+            return pa.table(cols) if len(cols) == len(out_cols) \
+                else pa.table({})
+        sort_keys = [(key_col, "ascending"), (ts_col, "ascending")]
+        if tie_col is not None:
+            sort_keys.append((tie_col, "ascending"))
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        keys = t[key_col].combine_chunks()
+        kc = keys if pa.types.is_dictionary(keys.type) \
+            else pc.dictionary_encode(keys)
+        codes = kc.indices.to_numpy(zero_copy_only=False)
+        v = t[val_col].combine_chunks().cast(pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        n = len(codes)
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(new_key)
+        lens = np.diff(np.concatenate([starts, [n]]))
+        seg_start = np.repeat(starts, lens)  # each row's segment start
+        # prefix[i] = sum of v[:i]; per-key running sum by subtracting
+        # the prefix at the segment start
+        prefix = np.concatenate([[0.0], np.cumsum(v)])
+        running = prefix[1:] - prefix[seg_start]
+        # moving window of the last `window` rows, clamped to the
+        # segment start
+        idx = np.arange(n, dtype=np.int64)
+        w_lo = np.maximum(idx - window + 1, seg_start)
+        w_n = idx - w_lo + 1
+        moving = (prefix[idx + 1] - prefix[w_lo]) / w_n
+        cols = {c: t[c] for c in keep}
+        cols["running_sum"] = pa.array(running, type=pa.float64())
+        cols["moving_avg"] = pa.array(moving, type=pa.float64())
+        return pa.table({c: cols[c] for c in out_cols})
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("_fb")
+            .map_groups(frames, batch_format="pyarrow"))

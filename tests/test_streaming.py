@@ -308,3 +308,36 @@ def test_ranked_gaps_vs_pandas(ray_session):
     got_gap = out["gap_us"].astype("float64")
     assert ((got_gap.isna() == exp["gap_us"].isna()).all()
             and np.allclose(got_gap.dropna(), exp["gap_us"].dropna()))
+
+
+def test_frame_aggs_vs_pandas(ray_session):
+    """Running sum + moving average per key vs pandas rolling/cumsum."""
+    import ray.data as rd
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.windows import frame_aggs
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "user_id": pa.array([f"u{u}" for u in rng.integers(0, 40, n)]),
+        "ts": pa.array(np.datetime64("2024-01-01", "us")
+                       + rng.integers(0, 5_000, n).astype("timedelta64[s]")),
+        "value": pa.array(rng.standard_normal(n) * 10),
+    })
+    out = collect_arrow(frame_aggs(
+        rd.from_arrow(t), key_col="user_id", ts_col="ts",
+        val_col="value", tie_col="event_id",
+        keep=["event_id", "user_id", "value"], window=3,
+        n_buckets=6)).to_pandas().sort_values("event_id",
+                                              ignore_index=True)
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"],
+                                   ignore_index=True)
+    g = df.groupby("user_id")["value"]
+    df["running_sum"] = g.cumsum()
+    df["moving_avg"] = g.rolling(3, min_periods=1).mean() \
+        .reset_index(level=0, drop=True)
+    exp = df.sort_values("event_id", ignore_index=True)
+    assert np.allclose(out["running_sum"], exp["running_sum"])
+    assert np.allclose(out["moving_avg"], exp["moving_avg"])
