@@ -380,6 +380,17 @@ def q_percentiles(sf_dir: str) -> pa.Table:
     return int_percentiles(out, "n_chars", [0.5, 0.9, 0.99])
 
 
+def q_group_percentiles(sf_dir: str) -> pa.Table:
+    """Exact per-SOURCE p50/p90/p99 of n_chars from per-group mergeable
+    histograms (no sort, no shuffle; group cardinality bounded by the
+    key dictionary)."""
+    from .pipeline.query import group_int_percentiles
+
+    out = encoded_dir(sf_dir, "documents")
+    return group_int_percentiles(out, "source", "n_chars",
+                                 [0.5, 0.9, 0.99])
+
+
 def q_sample(sf_dir: str) -> pa.Table:
     from .pipeline.query import sample_ids
 
@@ -1096,6 +1107,7 @@ QUERIES = {
     "topk": q_topk,
     "topk_rows": q_topk_rows,
     "order_slice": q_order_slice,
+    "group_percentiles": q_group_percentiles,
     "group_topk": q_group_topk,
     "percentiles": q_percentiles,
     "sample": q_sample,
@@ -1351,6 +1363,13 @@ ORACLE_SQL = {
         "SELECT source, doc_id, n_chars FROM documents "
         "QUALIFY row_number() OVER (PARTITION BY source "
         "ORDER BY n_chars DESC, doc_id) <= 3"
+    ),
+    "group_percentiles": (
+        "SELECT source, "
+        "CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50, "
+        "CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90, "
+        "CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99 "
+        "FROM documents GROUP BY source"
     ),
     "percentiles": (
         "SELECT CAST(0.5 AS DOUBLE) AS p, "

@@ -1160,8 +1160,9 @@ def int_percentiles(out_dir: str, col: str, ps: list[float]) -> pa.Table:
     bincounts it against the partition's zone-map min, and ships a
     (value offset, counts) pair; the driver merges the tiny histograms
     and reads the quantiles off the cumulative sum. Selection rule
-    matches SQL ``quantile_disc``: element at floor((n-1) * p) of the
-    sorted multiset. No sort, no shuffle — one pass, O(value range)
+    matches SQL-standard PERCENTILE_DISC (and DuckDB quantile_disc):
+    the smallest element whose cumulative distribution >= p, i.e. the
+    1-based ceil(p * n)-th of the sorted multiset. No sort, no shuffle — one pass, O(value range)
     driver state (suits bounded int domains like lengths/counts)."""
     import ray
 
@@ -1222,13 +1223,100 @@ def int_percentiles(out_dir: str, col: str, ps: list[float]) -> pa.Table:
     n = int(csum[-1])
     out_p, out_v = [], []
     for p in ps:
-        idx = int(np.floor((n - 1) * p))
+        idx = max(int(np.ceil(p * n)) - 1, 0)
         out_p.append(float(p))
         out_v.append(lo + int(np.searchsorted(csum, idx + 1)))
     return pa.table({
         "p": pa.array(out_p, type=pa.float64()),
         col: pa.array(out_v, type=pa.int64()),
     })
+
+
+def group_int_percentiles(out_dir: str, key_col: str, value_col: str,
+                          ps: list[float]) -> pa.Table:
+    """EXACT per-GROUP percentiles of an integer column: each task
+    decodes (key, value), dictionary-encodes the key and bincounts
+    each group's values against the partition zone-map min; the driver
+    merges per-key histograms (tiny: #groups x value range) and reads
+    every group's quantiles off cumulative sums. Same
+    PERCENTILE_DISC selection as :func:`int_percentiles`; same
+    bounded-domain cap. No sort, no shuffle —
+    group cardinality is bounded by the key dictionary."""
+    import ray
+
+    rows = _manifest_paths(out_dir)
+    header0, _ = read_header(rows[0]["path"])
+    if header0["columns"][key_col]["kind"] != "str":
+        raise TypeError("group_int_percentiles groups on a string column")
+    vcm0 = header0["columns"][value_col]
+    if vcm0["kind"] != "int" or vcm0.get("tag") in ("f32", "f64"):
+        raise TypeError("group_int_percentiles needs an integer column")
+    for r in rows:
+        s = json.loads(r["col_stats"]).get(value_col, {})
+        lo_z, hi_z = s.get("min"), s.get("max")
+        if lo_z is not None and hi_z is not None \
+                and hi_z - lo_z > PERCENTILE_MAX_RANGE:
+            raise ValueError(
+                f"value range of {value_col!r} ({hi_z - lo_z}) exceeds "
+                f"the dense-histogram cap ({PERCENTILE_MAX_RANGE})")
+
+    @ray.remote
+    def part_hists(path: str):
+        from .encode import _pin_arrow_threads
+
+        _pin_arrow_threads()
+        t = decode_partition(path, columns=[key_col, value_col])
+        if t.num_rows == 0:
+            return {}
+        d = pc.dictionary_encode(t[key_col].combine_chunks())
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        pool = d.dictionary.to_pylist()
+        v = t[value_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lo = int(v.min())
+        if int(v.max()) - lo > PERCENTILE_MAX_RANGE:
+            raise ValueError(f"value range of {value_col!r} exceeds the "
+                             f"dense-histogram cap in {path}")
+        out = {}
+        order = np.argsort(codes, kind="stable")
+        cs, vs = codes[order], v[order]
+        bounds = np.concatenate(
+            [[0], np.flatnonzero(np.diff(cs)) + 1, [len(cs)]])
+        for j in range(len(bounds) - 1):
+            seg = vs[bounds[j]: bounds[j + 1]]
+            out[pool[int(cs[bounds[j]])]] = (lo, np.bincount(seg - lo))
+        return out
+
+    merged: dict = {}
+    for part in ray.get([part_hists.remote(r["path"]) for r in rows]):
+        for key, (lo, cnt) in part.items():
+            if key not in merged:
+                merged[key] = (lo, cnt.copy())
+                continue
+            mlo, mcnt = merged[key]
+            nlo = min(mlo, lo)
+            nhi = max(mlo + len(mcnt), lo + len(cnt))
+            if nhi - nlo > PERCENTILE_MAX_RANGE:
+                raise ValueError(
+                    f"merged value range of {value_col!r} exceeds the "
+                    f"dense-histogram cap ({PERCENTILE_MAX_RANGE})")
+            ncnt = np.zeros(nhi - nlo, dtype=np.int64)
+            ncnt[mlo - nlo: mlo - nlo + len(mcnt)] += mcnt
+            ncnt[lo - nlo: lo - nlo + len(cnt)] += cnt
+            merged[key] = (nlo, ncnt)
+
+    keys = sorted(merged)
+    cols: dict = {key_col: pa.array(keys, type=pa.string())}
+    for p in ps:
+        vals = []
+        for key in keys:
+            lo, cnt = merged[key]
+            csum = np.cumsum(cnt)
+            n = int(csum[-1])
+            idx = max(int(np.ceil(p * n)) - 1, 0)
+            vals.append(lo + int(np.searchsorted(csum, idx + 1)))
+        cols[f"p{int(round(p * 100)):02d}"] = pa.array(vals, type=pa.int64())
+    return pa.table(cols)
 
 
 def dict_group_topk(out_dir: str, key_col: str, value_col: str,

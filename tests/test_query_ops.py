@@ -288,7 +288,7 @@ def test_int_percentiles(encoded):
     vals = np.sort(table["n_tok"].to_numpy())
     n = len(vals)
     for i, p in enumerate([0.0, 0.25, 0.5, 0.75, 1.0]):
-        exp = int(vals[int(np.floor((n - 1) * p))])
+        exp = int(vals[max(int(np.ceil(p * n)) - 1, 0)])
         assert got["n_tok"][i].as_py() == exp, (p, got["n_tok"][i], exp)
 
 
@@ -431,3 +431,18 @@ def test_sorted_scan_global_order(encoded):
     assert vals == sorted(vals)
     assert sorted(got["doc_id"].to_pylist()) == \
         sorted(table["doc_id"].to_pylist())
+
+
+def test_group_int_percentiles(encoded):
+    """Per-group exact percentiles vs a numpy multiset oracle."""
+    from arcade_ray.pipeline.query import group_int_percentiles
+
+    out_dir, table = encoded
+    got = group_int_percentiles(out_dir, "source", "n_tok",
+                                [0.5, 0.9, 0.99])
+    df = table.select(["source", "n_tok"]).to_pandas()
+    for i, src in enumerate(got["source"].to_pylist()):
+        vals = np.sort(df.loc[df["source"] == src, "n_tok"].to_numpy())
+        for p, cn in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            exp = int(vals[max(int(np.ceil(p * len(vals))) - 1, 0)])
+            assert got[cn][i].as_py() == exp, (src, p)
