@@ -415,3 +415,79 @@ def lsh_topk_cosine(ds, queries_ids: list[int], queries_mat: np.ndarray,
         id_col: pa.array(out[id_col], type=pa.int64()),
         "cos": pa.array(out["cos"], type=pa.float64()),
     })
+
+
+def kmeans_fit(ds, k: int = 16, iters: int = 10, id_col: str = "vec_id",
+               vec_col: str = "embedding", sample_size: int = 2000,
+               seed: int = 42):
+    """Distributed spherical k-means (Lloyd's) over an embedding
+    column — the iterative-algorithm representative next to the
+    one-shot IVF codebook (:func:`_kmeans_lite` trains on a sample;
+    this refines over the FULL dataset).
+
+    Scale shape: the (id, vec) projection is materialized once into
+    the object store (each iteration is a full pass; re-decoding the
+    source per iteration would multiply ingest cost by ``iters``).
+    Per iteration the centroid matrix (k x dim, tiny) is broadcast via
+    ``ray.put``; each batch computes one vectorized partial —
+    per-centroid vector sums (np.add.at), member counts, and inertia
+    (sum of 1-cosine to the assigned centroid) — so the driver merge
+    is O(#blocks x k x dim). Empty clusters keep their previous
+    centroid. Returns (centroids ndarray, assignments Dataset of
+    (id, cluster), inertia_per_iter list)."""
+    import ray
+
+    proj = ds.map_batches(
+        lambda b: b.select([id_col, vec_col]),
+        batch_format="pyarrow").materialize()
+    sample_tab = proj.limit(sample_size).take_batch(
+        sample_size, batch_format="pyarrow")
+    cents = _kmeans_lite(_to_matrix(sample_tab[vec_col]), k, seed=seed)
+    k_eff, dim = cents.shape
+
+    inertia_hist: list[float] = []
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            x = _normalize(_to_matrix(batch[vec_col]))
+            sims = x @ c.T
+            assign = np.argmax(sims, axis=1)
+            sums = np.zeros((k_eff, dim), dtype=np.float64)
+            np.add.at(sums, assign, x)
+            counts = np.bincount(assign, minlength=k_eff)
+            inertia = float(np.sum(1.0 - sims[np.arange(len(x)), assign]))
+            return pa.table({
+                "sums": pa.array([sums.ravel().tolist()],
+                                 type=pa.list_(pa.float64())),
+                "counts": pa.array([counts.tolist()],
+                                   type=pa.list_(pa.int64())),
+                "inertia": pa.array([inertia], type=pa.float64()),
+            })
+
+        sums = np.zeros((k_eff, dim), dtype=np.float64)
+        counts = np.zeros(k_eff, dtype=np.int64)
+        inertia = 0.0
+        for row in proj.map_batches(
+                partial, batch_format="pyarrow").take_all():
+            sums += np.asarray(row["sums"]).reshape(k_eff, dim)
+            counts += np.asarray(row["counts"])
+            inertia += row["inertia"]
+        nonempty = counts > 0
+        cents = np.where(nonempty[:, None],
+                         sums / np.maximum(counts, 1)[:, None], cents)
+        cents = _normalize(cents)
+        inertia_hist.append(inertia)
+
+    cref = ray.put(cents)
+
+    def assign_final(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        x = _normalize(_to_matrix(batch[vec_col]))
+        a = np.argmax(x @ c.T, axis=1)
+        return pa.table({id_col: batch[id_col],
+                         "cluster": pa.array(a, type=pa.int64())})
+
+    assignments = proj.map_batches(assign_final, batch_format="pyarrow")
+    return cents, assignments, inertia_hist

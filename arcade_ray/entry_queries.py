@@ -1004,6 +1004,29 @@ ANN_K = 10
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
 
+def q_kmeans_clusters(sf_dir: str) -> pa.Table:
+    """Distributed spherical k-means over the embeddings table
+    (ann.kmeans_fit: sample-seeded, Lloyd refinement over the FULL
+    dataset with per-batch partial sums). Iterative — not
+    SQL-expressible; deterministic seed makes the per-cluster sizes a
+    stable rows-only signature, and the in-query assertion checks the
+    monotone-inertia invariant the algorithm guarantees."""
+    import ray.data as rd
+
+    from .ann import kmeans_fit
+    from .collect import collect_arrow
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    _, assign_ds, hist = kmeans_fit(ds, k=8, iters=5, sample_size=2000)
+    assert all(b <= a + 1e-9 for a, b in zip(hist, hist[1:])), \
+        f"k-means inertia rose: {hist}"
+    out = collect_arrow(assign_ds)
+    t = out.group_by("cluster").aggregate([("vec_id", "count")])
+    t = t.rename_columns(["cluster", "n_vecs"])
+    return t.take(pc.sort_indices(t, sort_keys=[("cluster", "ascending")]))
+
+
 def q_vector_norms(sf_dir: str) -> pa.Table:
     """Array-function family: per-row L2 norm of the embedding column,
     vectorized (flatten -> square -> segment-sum via reshape; fixed
@@ -1140,6 +1163,7 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "vector_norms": q_vector_norms,
+    "kmeans_clusters": q_kmeans_clusters,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
     "embedding_near_dup": q_embedding_near_dup,

@@ -116,3 +116,35 @@ def test_kmeans_lite_clusters():
     # every point close to some centroid
     sims = (pts @ cents.T).max(axis=1)
     assert sims.min() > 0.9
+
+
+def test_kmeans_fit_recovers_planted_clusters(ray_session):
+    """Three well-separated planted blobs: assignments must match the
+    planted partition (up to relabeling) and inertia must not rise."""
+    import ray.data as rd
+
+    from arcade_ray.ann import kmeans_fit
+    from arcade_ray.collect import collect_arrow
+
+    rng = np.random.default_rng(3)
+    dim, per = 16, 300
+    centers = rng.standard_normal((3, dim)) * 8
+    vecs = np.concatenate(
+        [c + rng.standard_normal((per, dim)) * 0.3 for c in centers])
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(vecs)), type=pa.int64()),
+        "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float64())),
+    })
+    cents, assign_ds, hist = kmeans_fit(
+        rd.from_arrow(t), k=3, iters=6, sample_size=900)
+    out = collect_arrow(assign_ds).to_pandas().sort_values(
+        "vec_id", ignore_index=True)
+    planted = np.repeat(np.arange(3), per)
+    # every planted cluster maps to exactly one learned label
+    mapping = {}
+    for p in range(3):
+        labels = set(out.loc[planted == p, "cluster"])
+        assert len(labels) == 1, f"planted cluster {p} split: {labels}"
+        mapping[p] = labels.pop()
+    assert len(set(mapping.values())) == 3
+    assert all(b <= a + 1e-9 for a, b in zip(hist, hist[1:])), hist
