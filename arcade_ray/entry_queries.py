@@ -896,6 +896,48 @@ def q_exact_dedup(sf_dir: str) -> pa.Table:
     return _collect(out.select_columns(["doc_id", "text"]))
 
 
+def q_exact_dedup_best(sf_dir: str) -> pa.Table:
+    """Keep-the-BEST-duplicate policy: exact dedup where the survivor
+    per distinct text is the max-priority row (ties by min id), not
+    the min id — what a quality-scored corpus keeps. Duplicates are
+    planted deterministically (every doc_id % 50 == 0 doc gets a copy
+    at id+10M) and priority is a deterministic id hash, so the oracle
+    can mirror both in SQL."""
+    import ray.data as rd
+
+    from .textops import exact_dedup
+
+    docs = _docs_ds(sf_dir)
+
+    def dup_copy(b: pa.Table) -> pa.Table:
+        d = b.filter(pc.equal(
+            pc.subtract(b["doc_id"],
+                        pc.multiply(pc.divide(b["doc_id"], 50), 50)), 0))
+        return pa.table({
+            "doc_id": pc.add(d["doc_id"], 10_000_000),
+            "text": d["text"],
+        })
+
+    unioned = docs.union(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+        .map_batches(dup_copy, batch_format="pyarrow"))
+
+    def score(b: pa.Table) -> pa.Table:
+        prio = pc.subtract(
+            pc.multiply(b["doc_id"], 37),
+            pc.multiply(pc.divide(pc.multiply(b["doc_id"], 37), 101), 101))
+        return b.append_column("prio", prio)
+
+    out = exact_dedup(unioned.map_batches(score, batch_format="pyarrow"),
+                      priority_col="prio")
+    # project via map_batches, not Dataset.select_columns: on a
+    # union-containing DAG Ray's Project operator was observed to skip
+    # a minority of blocks (3 of 26 here kept the prio column)
+    return _collect(out.map_batches(
+        lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow"))
+
+
 _ANALYZE_CACHE: dict[str, pa.Table] = {}
 
 
@@ -1152,6 +1194,7 @@ QUERIES = {
     "ann_topk_ivf": q_ann_topk_ivf,
     "ann_ivf_recall": q_ann_ivf_recall,
     "exact_dedup": q_exact_dedup,
+    "exact_dedup_best": q_exact_dedup_best,
     "token_count": q_token_count,
     "fingerprint": q_fingerprint,
     "lang_id": q_lang_id,
@@ -1354,6 +1397,16 @@ ORACLE_SQL = {
         "FROM embeddings WHERE vec_id IN (0,1,2,3,4)"
     ),
     "exact_dedup": "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+    "exact_dedup_best": (
+        "WITH base AS (SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 10000000, text FROM documents "
+        "WHERE doc_id % 50 = 0), "
+        "scored AS (SELECT doc_id, text, (doc_id * 37) % 101 AS prio "
+        "FROM base) "
+        "SELECT doc_id, text FROM scored "
+        "QUALIFY row_number() OVER (PARTITION BY text "
+        "ORDER BY prio DESC, doc_id) = 1"
+    ),
     "token_count": ("SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)"
                     " AS word_count FROM documents"),
     "fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",

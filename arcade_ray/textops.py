@@ -59,9 +59,12 @@ def dedup_signatures(batch: pa.Table, text_col: str = "text",
     })
 
 
-def dedup_loser_ids(ds, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
-    """Ids dropped by exact dedup: everything but the min id per
-    distinct TEXT. The shuffle moves 24 B/row (hash pair + id)
+def dedup_loser_ids(ds, text_col: str = "text", id_col: str = "doc_id",
+                    priority_col: str | None = None) -> pa.Table:
+    """Ids dropped by exact dedup: everything but the survivor per
+    distinct TEXT — the min id, or with ``priority_col`` the row with
+    the LARGEST priority (ties by min id), the keep-the-best-duplicate
+    policy a quality-scored training corpus wants. The shuffle moves 24 B/row (hash pair + id)
     regardless of document size; the hash pair only nominates
     candidate groups — actual texts of the (small) hot-bucket set are
     re-fetched and compared, so a polynomial-hash collision (random or
@@ -100,18 +103,21 @@ def dedup_loser_ids(ds, text_col: str = "text", id_col: str = "doc_id") -> pa.Ta
         return empty
     # verify on actual text: within a hash group, one survivor (min
     # id) per DISTINCT text — colliding-but-different texts all survive
-    texts = fetch_by_ids(ds, id_col, cand_ids.tolist(),
-                         columns=[id_col, text_col])
+    fetch_cols = [id_col, text_col] + (
+        [priority_col] if priority_col else [])
+    texts = fetch_by_ids(ds, id_col, cand_ids.tolist(), columns=fetch_cols)
     key = pa.table({
         "_h": pa.array(h1s[in_dup_run]),
         "_h2": pa.array(h2s[in_dup_run]),
         id_col: pa.array(ids_s[in_dup_run], type=texts[id_col].type),
     })
     t = key.join(texts, keys=id_col, join_type="inner")
-    idx = pc.sort_indices(t, sort_keys=[("_h", "ascending"),
-                                        ("_h2", "ascending"),
-                                        (text_col, "ascending"),
-                                        (id_col, "ascending")])
+    sort_keys = [("_h", "ascending"), ("_h2", "ascending"),
+                 (text_col, "ascending")]
+    if priority_col:
+        sort_keys.append((priority_col, "descending"))
+    sort_keys.append((id_col, "ascending"))
+    idx = pc.sort_indices(t, sort_keys=sort_keys)
     t = t.take(idx)
     txt = t[text_col].combine_chunks()
     n = t.num_rows
@@ -131,8 +137,10 @@ def dedup_loser_ids(ds, text_col: str = "text", id_col: str = "doc_id") -> pa.Ta
     return pa.table({id_col: pa.array(np.sort(losers), type=pa.int64())})
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """One survivor (min id) per distinct text.
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                priority_col: str | None = None):
+    """One survivor per distinct text: the min id, or with
+    ``priority_col`` the max-priority row (keep-the-best-duplicate).
 
     Scale design: phase 1 shuffles (hash128, id) only and emits the
     LOSER id set (the duplicates — small when duplication is modest);
@@ -145,7 +153,8 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     hash-partitioned anti-join keyed on id."""
     import ray
 
-    losers = dedup_loser_ids(ds, text_col, id_col)
+    losers = dedup_loser_ids(ds, text_col, id_col,
+                             priority_col=priority_col)
     if losers.num_rows == 0:
         return ds
     lose_ref = ray.put(losers[id_col].combine_chunks())

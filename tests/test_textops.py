@@ -374,3 +374,23 @@ def test_embedding_distributed_candidate_path(ray_session, monkeypatch):
     assert set(zip(small["id_a"].to_pylist(), small["id_b"].to_pylist())) \
         == set(zip(big["id_a"].to_pylist(), big["id_b"].to_pylist()))
     assert big.num_rows == small.num_rows > 0
+
+
+def test_exact_dedup_priority_keeps_best(ray_session):
+    """priority_col survivor: max priority wins, ties fall back to min
+    id; losers are the rest of each duplicate group."""
+    import ray.data as rd
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.textops import exact_dedup
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6, 7], type=pa.int64()),
+        "text": pa.array(["aa", "aa", "aa", "bb", "bb", "cc", "dd"]),
+        "prio": pa.array([5, 9, 9, 1, 1, 0, 3], type=pa.int64()),
+    })
+    out = collect_arrow(exact_dedup(
+        rd.from_arrow(t), priority_col="prio")).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    # aa: max prio 9 at ids {2,3} -> min id 2; bb: tie prio -> id 4
+    assert out["doc_id"].tolist() == [2, 4, 6, 7]
