@@ -1069,6 +1069,24 @@ def q_kmeans_clusters(sf_dir: str) -> pa.Table:
     return t.take(pc.sort_indices(t, sort_keys=[("cluster", "ascending")]))
 
 
+def q_explode_embeddings(sf_dir: str) -> pa.Table:
+    """UNNEST parity: explode the embedding list column to one row per
+    element with its 0-based position (transforms.explode_list — one
+    vectorized flatten + np.repeat per batch)."""
+    import ray.data as rd
+
+    from .transforms import explode_list
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    out = _collect(explode_list(ds, "embedding", keep=["vec_id"]))
+    return pa.table({
+        "vec_id": out["vec_id"],
+        "pos": out["pos"],
+        "val": pc.round(out["val"].cast(pa.float64()), ndigits=5),
+    })
+
+
 def q_vector_norms(sf_dir: str) -> pa.Table:
     """Array-function family: per-row L2 norm of the embedding column,
     vectorized (flatten -> square -> segment-sum via reshape; fixed
@@ -1207,6 +1225,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "vector_norms": q_vector_norms,
     "kmeans_clusters": q_kmeans_clusters,
+    "explode_embeddings": q_explode_embeddings,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1414,6 +1433,13 @@ ORACLE_SQL = {
         "SELECT word, CAST(count(*) AS BIGINT) AS n FROM ("
         "SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word "
         "FROM documents) GROUP BY word ORDER BY n DESC, word LIMIT 20"
+    ),
+    "explode_embeddings": (
+        "SELECT vec_id, CAST(t.pos1 AS BIGINT) - 1 AS pos, "
+        "round(CAST(t.val AS DOUBLE), 5) AS val "
+        "FROM (SELECT vec_id, unnest(embedding) AS val, "
+        "generate_subscripts(embedding, 1) AS pos1 "
+        "FROM embeddings) t(vec_id, val, pos1)"
     ),
     "vector_norms": (
         "SELECT vec_id, round(sqrt(list_sum(list_transform(embedding, "

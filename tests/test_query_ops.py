@@ -446,3 +446,24 @@ def test_group_int_percentiles(encoded):
         for p, cn in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
             exp = int(vals[max(int(np.ceil(p * len(vals))) - 1, 0)])
             assert got[cn][i].as_py() == exp, (src, p)
+
+
+def test_explode_list_nulls_and_empties(ray_session):
+    """explode_list: null lists emit nothing, empty lists emit
+    nothing, positions restart per row, keep columns replicate."""
+    import ray.data as rd
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.transforms import explode_list
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "xs": pa.array([[10, 11], None, [], [7]],
+                       type=pa.list_(pa.int32())),
+    })
+    out = collect_arrow(explode_list(
+        rd.from_arrow(t), "xs", keep=["id"])).to_pandas() \
+        .sort_values(["id", "pos"], ignore_index=True)
+    assert out["id"].tolist() == [1, 1, 4]
+    assert out["pos"].tolist() == [0, 1, 0]
+    assert out["val"].tolist() == [10, 11, 7]
