@@ -1069,6 +1069,28 @@ def q_kmeans_clusters(sf_dir: str) -> pa.Table:
     return t.take(pc.sort_indices(t, sort_keys=[("cluster", "ascending")]))
 
 
+def q_group_stats(sf_dir: str) -> pa.Table:
+    """Grouped moment aggregates (COUNT/AVG/VAR_POP/STDDEV_POP of
+    event value per event_type) with map-side partials — the shuffle
+    moves O(groups) moment rows per block, never data rows. 6-dp
+    rounding absorbs summation-order ulps vs DuckDB's one-pass
+    variance."""
+    import ray.data as rd
+
+    from .transforms import group_stats
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+    out = group_stats(ds, "event_type", "value")
+    return pa.table({
+        "event_type": out["event_type"],
+        "n": out["n"],
+        "avg_v": pc.round(out["avg_v"], ndigits=6),
+        "var_v": pc.round(out["var_v"], ndigits=6),
+        "std_v": pc.round(out["std_v"], ndigits=6),
+    })
+
+
 def q_explode_embeddings(sf_dir: str) -> pa.Table:
     """UNNEST parity: explode the embedding list column to one row per
     element with its 0-based position (transforms.explode_list — one
@@ -1226,6 +1248,7 @@ QUERIES = {
     "vector_norms": q_vector_norms,
     "kmeans_clusters": q_kmeans_clusters,
     "explode_embeddings": q_explode_embeddings,
+    "group_stats": q_group_stats,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1433,6 +1456,13 @@ ORACLE_SQL = {
         "SELECT word, CAST(count(*) AS BIGINT) AS n FROM ("
         "SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word "
         "FROM documents) GROUP BY word ORDER BY n DESC, word LIMIT 20"
+    ),
+    "group_stats": (
+        "SELECT event_type, COUNT(value) AS n, "
+        "round(AVG(value), 6) AS avg_v, "
+        "round(VAR_POP(value), 6) AS var_v, "
+        "round(STDDEV_POP(value), 6) AS std_v "
+        "FROM events GROUP BY event_type"
     ),
     "explode_embeddings": (
         "SELECT vec_id, CAST(t.pos1 AS BIGINT) - 1 AS pos, "

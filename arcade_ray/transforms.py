@@ -50,3 +50,60 @@ def explode_list(ds, list_col: str, keep: list[str] | None = None,
         return pa.table(cols)
 
     return ds.map_batches(ex, batch_format="pyarrow")
+
+
+def group_stats(ds, key_col: str, val_col: str):
+    """GROUP BY ``key_col`` -> COUNT/AVG/VAR_POP/STDDEV_POP of
+    ``val_col`` with map-side pre-aggregation: each batch reduces to
+    one tiny (key, n, sum, sumsq) partial via an in-batch Arrow
+    group_by, so the groupby shuffle moves O(groups) rows per block,
+    never data rows. The driver merges partials (moment sums are
+    associative) and finishes the moments. Returns a pa.Table
+    (key, n, avg_v, var_v, std_v) sorted by key.
+
+    Nulls follow SQL: null values are excluded from every aggregate
+    and n counts only non-null values (COUNT(val))."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[val_col].combine_chunks().cast(pa.float64())
+        t = pa.table({
+            key_col: batch[key_col],
+            "_v": v,
+            "_v2": pc.multiply(v, v),
+        })
+        g = t.group_by(key_col).aggregate(
+            [("_v", "count"), ("_v", "sum"), ("_v2", "sum")])
+        return g.rename_columns([key_col, "n", "s1", "s2"])
+
+    merged: dict = {}
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    for row in partials.take_all():
+        k = row[key_col]
+        n0, s10, s20 = merged.get(k, (0, 0.0, 0.0))
+        merged[k] = (n0 + row["n"], s10 + (row["s1"] or 0.0),
+                     s20 + (row["s2"] or 0.0))
+
+    keys = sorted(merged, key=lambda x: (x is None, x))
+    out = {key_col: [], "n": [], "avg_v": [], "var_v": [], "std_v": []}
+    for k in keys:
+        n, s1, s2 = merged[k]
+        out[key_col].append(k)
+        out["n"].append(n)
+        if n == 0:
+            out["avg_v"].append(None)
+            out["var_v"].append(None)
+            out["std_v"].append(None)
+            continue
+        mean = s1 / n
+        var = max(s2 / n - mean * mean, 0.0)
+        out["avg_v"].append(mean)
+        out["var_v"].append(var)
+        out["std_v"].append(var ** 0.5)
+    return pa.table({
+        key_col: pa.array(out[key_col]),
+        "n": pa.array(out["n"], type=pa.int64()),
+        "avg_v": pa.array(out["avg_v"], type=pa.float64()),
+        "var_v": pa.array(out["var_v"], type=pa.float64()),
+        "std_v": pa.array(out["std_v"], type=pa.float64()),
+    })

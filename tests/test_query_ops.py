@@ -467,3 +467,19 @@ def test_explode_list_nulls_and_empties(ray_session):
     assert out["id"].tolist() == [1, 1, 4]
     assert out["pos"].tolist() == [0, 1, 0]
     assert out["val"].tolist() == [10, 11, 7]
+
+
+def test_group_stats_nulls(ray_session):
+    """group_stats: null values excluded, n = COUNT(val)."""
+    import ray.data as rd
+
+    from arcade_ray.transforms import group_stats
+
+    t = pa.table({
+        "k": pa.array(["a", "a", "a", "b", "b"]),
+        "v": pa.array([1.0, 3.0, None, 10.0, None]),
+    })
+    out = group_stats(rd.from_arrow(t), "k", "v")
+    assert out["n"].to_pylist() == [2, 1]
+    assert out["avg_v"].to_pylist() == [2.0, 10.0]
+    assert out["var_v"].to_pylist() == [1.0, 0.0]
