@@ -222,11 +222,7 @@ def cmd_join(args) -> None:
         print(out.slice(0, args.show).to_pandas())
 
 
-def cmd_compound_filter(args) -> None:
-    from .collect import collect_arrow
-    from .pipeline.query import compound_filter
-
-    header = _load_header(args.out_dir)  # once, not per predicate bound
+def _build_preds(args, header) -> list[tuple]:
     preds: list[tuple] = []
 
     def _bad(kind: str, spec: str, why: str) -> None:
@@ -263,6 +259,15 @@ def cmd_compound_filter(args) -> None:
             _bad("neq", spec, "literal does not parse as the column's type")
     if not preds:
         sys.exit("error: pass at least one --eq/--neq/--between predicate")
+    return preds
+
+
+def cmd_compound_filter(args) -> None:
+    from .collect import collect_arrow
+    from .pipeline.query import compound_filter
+
+    header = _load_header(args.out_dir)  # once, not per predicate bound
+    preds = _build_preds(args, header)
     tree = ("or", preds) if args.any else preds
     t0 = time.perf_counter()
     try:
@@ -273,6 +278,34 @@ def cmd_compound_filter(args) -> None:
     print(f"Returned {out.num_rows} rows in {time.perf_counter() - t0:.2f} s")
     if args.show:
         print(out.slice(0, args.show).to_pandas())
+
+
+def cmd_delete(args) -> None:
+    from .collect import collect_arrow
+    from .pipeline.compact import delete_rows
+    from .pipeline.query import compound_filter
+
+    header = _load_header(args.out_dir)
+    preds = _build_preds(args, header)
+    tree = ("or", preds) if args.any else preds
+    if not args.force:
+        cols = sorted({p[1] if p[0] != "not" else p[1][1] for p in preds})
+        try:
+            n = collect_arrow(compound_filter(
+                args.out_dir, tree, project=cols[:1])).num_rows
+        except KeyError as e:
+            sys.exit(f"error: {e.args[0]}")
+        print(f"DRY RUN: {n} rows match; pass --force to delete them")
+        return
+    t0 = time.perf_counter()
+    try:
+        info = delete_rows(args.out_dir, tree)
+    except KeyError as e:
+        sys.exit(f"error: {e.args[0]}")
+    print(f"Deleted {info['rows_deleted']} rows in "
+          f"{time.perf_counter() - t0:.2f} s "
+          f"({info['rewritten']} partitions rewritten, "
+          f"{info['dropped']} dropped, {info['pruned']} zone-pruned)")
 
 
 def cmd_group_agg(args) -> None:
@@ -371,6 +404,22 @@ def main(argv=None) -> None:
     cf.add_argument("--project", required=True)
     cf.add_argument("--show", type=int, default=0)
     cf.set_defaults(fn=cmd_compound_filter)
+
+    dl = sub.add_parser("delete",
+                        help="predicate DELETE with partition rewrite + "
+                             "lineage (dry run unless --force)")
+    dl.add_argument("out_dir")
+    dl.add_argument("--eq", action="append", default=[],
+                    help="col=value (repeatable)")
+    dl.add_argument("--neq", action="append", default=[],
+                    help="col=value negated equality (repeatable)")
+    dl.add_argument("--between", action="append", default=[],
+                    help="col=lo,hi (repeatable)")
+    dl.add_argument("--any", action="store_true",
+                    help="OR the predicates instead of ANDing them")
+    dl.add_argument("--force", action="store_true",
+                    help="actually delete (default: dry-run count)")
+    dl.set_defaults(fn=cmd_delete)
 
     ga = sub.add_parser("group-agg",
                         help="decode-free GROUP BY key -> sum/min/max/count")

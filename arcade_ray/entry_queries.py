@@ -13,6 +13,7 @@ from __future__ import annotations
 import datetime
 import hashlib
 import os
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -1069,6 +1070,38 @@ def q_kmeans_clusters(sf_dir: str) -> pa.Table:
     return t.take(pc.sort_indices(t, sort_keys=[("cluster", "ascending")]))
 
 
+def q_pack_sequences(sf_dir: str) -> pa.Table:
+    """LLM training-example packing (transforms.pack_sequences):
+    word-hash token ids from each document pack into fixed 256-token
+    examples (one flatten + reshape per batch). The oracle checks the
+    end-to-end CONSERVATION invariant — packed token total == corpus
+    word total — which is block-structure-independent; example counts
+    are asserted in-query (every example full except per-batch
+    tails)."""
+    import ray.data as rd
+
+    from .transforms import pack_sequences
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+    word_re = re.compile(r"[A-Za-z0-9]+")
+
+    def tokenize(b: pa.Table) -> pa.Table:
+        toks = [[hash(w) & 0x7FFFFFFF for w in word_re.findall(t)]
+                for t in b["text"].to_pylist()]
+        return pa.table({"tokens": pa.array(toks, type=pa.list_(pa.int32()))})
+
+    packed = _collect(pack_sequences(
+        ds.map_batches(tokenize, batch_format="pyarrow"), max_len=256))
+    n_filled = packed["n_filled"].to_numpy()
+    lens = pc.list_value_length(packed["input_ids"]).to_numpy(
+        zero_copy_only=False)
+    assert (lens == n_filled).all(), "unpadded examples must be exact"
+    assert (n_filled <= 256).all()
+    return pa.table({"total_tokens": pa.array(
+        [int(n_filled.sum())], type=pa.int64())})
+
+
 def q_group_stats(sf_dir: str) -> pa.Table:
     """Grouped moment aggregates (COUNT/AVG/VAR_POP/STDDEV_POP of
     event value per event_type) with map-side partials — the shuffle
@@ -1249,6 +1282,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "explode_embeddings": q_explode_embeddings,
     "group_stats": q_group_stats,
+    "pack_sequences": q_pack_sequences,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1456,6 +1490,10 @@ ORACLE_SQL = {
         "SELECT word, CAST(count(*) AS BIGINT) AS n FROM ("
         "SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word "
         "FROM documents) GROUP BY word ORDER BY n DESC, word LIMIT 20"
+    ),
+    "pack_sequences": (
+        "SELECT CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) "
+        "AS BIGINT) AS total_tokens FROM documents"
     ),
     "group_stats": (
         "SELECT event_type, COUNT(value) AS n, "

@@ -129,3 +129,106 @@ def compact(out_dir: str, weight_cap: int | None = None,
     manifest = load_manifest(out_dir)
     _write_consolidated(out_dir, manifest)
     return manifest
+
+
+def delete_rows(out_dir: str, preds, run_remote: bool = True) -> dict:
+    """Predicate DELETE with partition rewrite + lineage — the
+    right-to-be-forgotten / decontamination path a training corpus
+    needs (drop every row matching a compound predicate tree, same
+    grammar as ``compound_filter``).
+
+    Scale shape: manifest zone maps prune partitions that provably
+    contain NO match (untouched, no task spawns). Each candidate
+    partition runs one task: the decode-free per-chunk match indices
+    decide; a no-match partition is left byte-identical, an all-match
+    partition is retired outright, and a partial-match partition
+    decodes once, filters, and re-encodes under a ``#dNNN`` key whose
+    manifest row ``replaces`` the original — the same crash-safe
+    commit order as compaction (new row committed before old row/file
+    removal), so a crash mid-delete never loses surviving rows; at
+    worst the delete re-runs on the original partition.
+
+    Returns {"partitions": n, "pruned": n, "rewritten": n,
+    "dropped": n, "rows_deleted": n}."""
+    import hashlib
+
+    import numpy as np
+
+    from ..format import read_header
+    from .query import _eval_match_idx, _normalize_pred, _zone_excluded
+
+    tree = _normalize_pred(preds)
+    rows = load_manifest(out_dir).to_pylist()
+    header0, _ = read_header(rows[0]["path"])
+
+    candidates = []
+    pruned = 0
+    for r in rows:
+        stats = json.loads(r["col_stats"])
+        if _zone_excluded(header0, stats, tree):
+            pruned += 1
+            continue
+        candidates.append(r)
+
+    def _delete_one(row: dict):
+        _pin_arrow_threads()
+        header, base = read_header(row["path"])
+        match_idx = _eval_match_idx(row["path"], header, base, tree)
+        chunk_rows = [ch["n"] for ch in
+                      next(iter(header["columns"].values()))["chunks"]]
+        n_match = sum(0 if m is None else len(m) for m in match_idx)
+        total = sum(chunk_rows)
+        if n_match == 0:
+            return ("untouched", row["part_key"], 0, None)
+        if n_match == total:
+            return ("dropped", row["part_key"], total, None)
+        table = decode_partition(row["path"])
+        keep = np.ones(total, dtype=bool)
+        off = 0
+        for nrows, m in zip(chunk_rows, match_idx):
+            if m is not None and len(m):
+                keep[off + np.asarray(m, dtype=np.int64)] = False
+            off += nrows
+        survivors = table.filter(pa.array(keep))
+        digest = hashlib.md5(row["part_key"].encode()).hexdigest()[:8]
+        new_key = f"{_source_of(row['part_key'])}#d{digest}"
+        blob, new_row = encode_partition(survivors, new_key)
+        new_row["replaces"] = [row["part_key"]]
+        commit_partition(out_dir, new_key, blob, new_row)
+        return ("rewritten", row["part_key"], n_match, new_key)
+
+    if run_remote and candidates:
+        import ray
+
+        task = ray.remote(_delete_one)
+        results = ray.get([task.remote(r) for r in candidates])
+    else:
+        results = [_delete_one(r) for r in candidates]
+
+    from .encode import _manifest_row_path
+
+    by_key = {r["part_key"]: r for r in rows}
+    rows_deleted = 0
+    rewritten = dropped = 0
+    for status, key, n_del, _new in results:
+        rows_deleted += n_del
+        if status == "untouched":
+            continue
+        if status == "rewritten":
+            rewritten += 1
+        else:
+            dropped += 1
+        try:
+            os.remove(_manifest_row_path(out_dir, key))
+        except FileNotFoundError:
+            pass
+        try:
+            os.remove(by_key[key]["path"])
+        except FileNotFoundError:
+            pass
+
+    manifest = load_manifest(out_dir)
+    _write_consolidated(out_dir, manifest)
+    return {"partitions": len(rows), "pruned": pruned,
+            "rewritten": rewritten, "dropped": dropped,
+            "rows_deleted": rows_deleted}

@@ -107,3 +107,68 @@ def group_stats(ds, key_col: str, val_col: str):
         "var_v": pa.array(out["var_v"], type=pa.float64()),
         "std_v": pa.array(out["std_v"], type=pa.float64()),
     })
+
+
+def pack_sequences(ds, tokens_col: str = "tokens", max_len: int = 2048,
+                   pad_id: int | None = None, seq_col: str = "input_ids",
+                   drop_last: bool = False):
+    """Pack variable-length token sequences into fixed-length training
+    examples: concatenate each batch's sequences and slice at
+    ``max_len`` boundaries — the standard LLM pretraining packing
+    step. Fully vectorized: one flatten + one reshape per batch, no
+    per-document Python.
+
+    Packing is per BATCH (each batch's tail chunk is shorter than
+    ``max_len`` unless ``pad_id`` fills it, or is dropped with
+    ``drop_last=True``): cross-batch carry would need a stateful
+    serial actor — one packer per shard is the distributed-training
+    convention anyway, and per-batch tails bound the waste at
+    (max_len-1) tokens per block. Emits (seq_col list<int>, n_filled
+    int64 — real tokens in the example, < max_len only on an unpadded
+    or padded tail)."""
+    if max_len < 1:
+        raise ValueError(f"max_len must be >= 1, got {max_len}")
+
+    def pack(batch: pa.Table) -> pa.Table:
+        arr = batch[tokens_col].combine_chunks()
+        larr = arr.cast(pa.large_list(arr.type.value_type)) \
+            if not pa.types.is_large_list(arr.type) else arr
+        offsets = np.frombuffer(larr.buffers()[1], dtype=np.int64,
+                                count=len(larr) + 1, offset=larr.offset * 8)
+        flat = larr.values.slice(
+            offsets[0], offsets[-1] - offsets[0]).to_numpy(
+            zero_copy_only=False)
+        total = len(flat)
+        n_full, tail = divmod(total, max_len)
+        n_out = n_full + (1 if tail and not drop_last else 0)
+        out_t = pa.large_list(larr.type.value_type)
+        if n_out == 0:
+            return pa.table({
+                seq_col: pa.array([], type=out_t),
+                "n_filled": pa.array([], type=pa.int64()),
+            })
+        n_filled = np.full(n_out, max_len, dtype=np.int64)
+        if tail and not drop_last:
+            n_filled[-1] = tail
+            if pad_id is not None:
+                flat = np.concatenate([
+                    flat[: n_out * max_len - (max_len - tail)],
+                    np.full(max_len - tail, pad_id, dtype=flat.dtype)])
+            else:
+                flat = flat[: n_full * max_len + tail]
+        else:
+            flat = flat[: n_full * max_len]
+        if pad_id is not None or not tail or drop_last:
+            out_offsets = np.arange(n_out + 1, dtype=np.int64) * max_len
+        else:
+            out_offsets = np.minimum(
+                np.arange(n_out + 1, dtype=np.int64) * max_len, total)
+        vals = pa.array(flat, type=larr.type.value_type)
+        seqs = pa.LargeListArray.from_arrays(
+            pa.array(out_offsets, type=pa.int64()), vals)
+        return pa.table({
+            seq_col: seqs,
+            "n_filled": pa.array(n_filled, type=pa.int64()),
+        })
+
+    return ds.map_batches(pack, batch_format="pyarrow")

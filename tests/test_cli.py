@@ -23,6 +23,9 @@ main(["--num-cpus", "4", "compound-filter", enc, "--eq", "source=src-001",
 main(["--num-cpus", "4", "group-agg", enc, "source", "n_tok"])
 main(["--num-cpus", "4", "join", enc, enc, "--on", "doc_id=doc_id",
       "--probe-cols", "doc_id,n_tok", "--build-cols", "source"])
+main(["--num-cpus", "4", "delete", enc, "--eq", "source=src-001"])
+main(["--num-cpus", "4", "delete", enc, "--eq", "source=src-001", "--force"])
+main(["--num-cpus", "4", "delete", enc, "--eq", "source=src-001", "--force"])
 """
 
 
@@ -42,6 +45,8 @@ def test_cli_end_to_end(tmp_path):
     assert "Returned 2 rows" in lines  # random access
     assert "8 groups" in lines or "6 groups" in lines  # group-agg
     assert "Joined" in lines or "Returned 5000 rows" in lines  # self-join
+    assert "DRY RUN:" in lines and "pass --force" in lines
+    assert "Deleted 0 rows" in lines  # idempotent second --force run
 
 
 def test_cli_errors(tmp_path):

@@ -101,3 +101,46 @@ def test_recompaction_generations(fragmented):
     assert not (gen1 & gen2) or all(
         k in gen1 for k in (gen1 & gen2)
     )
+
+
+def test_delete_rows_predicate(ray_session, tmp_path):
+    """Predicate delete: zone-pruned untouched partitions, all-match
+    partitions dropped, partial-match partitions rewritten with
+    lineage; survivors match a pandas oracle; idempotent on re-run."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.corpus import generate_corpus
+    from arcade_ray.pipeline import encode_dataset
+    from arcade_ray.pipeline.compact import delete_rows
+    from arcade_ray.pipeline.query import scan
+
+    table = generate_corpus(6000, 6, seed=21)
+    out_dir = str(tmp_path / "enc")
+    encode_dataset(rd.from_arrow(table), out_dir, weight_cap=150_000)
+
+    # partial-match predicate: long docs of one source + ALL of another
+    preds = ("or", [
+        ("and", [("eq", "source", "src-001"),
+                 ("between", "n_tok", 200, 10**9)]),
+        ("eq", "source", "src-003"),
+    ])
+    info = delete_rows(out_dir, preds)
+    df = table.to_pandas()
+    kill = (((df["source"] == "src-001") & (df["n_tok"] >= 200))
+            | (df["source"] == "src-003"))
+    assert info["rows_deleted"] == int(kill.sum())
+    assert info["dropped"] >= 1      # src-003 partitions are all-match
+    assert info["rewritten"] >= 1    # src-001 partitions are partial
+    assert info["pruned"] >= 1       # other sources zone-pruned
+
+    got = collect_arrow(scan(out_dir, columns=["doc_id"]))
+    exp_ids = sorted(df.loc[~kill, "doc_id"])
+    assert sorted(got["doc_id"].to_pylist()) == exp_ids
+
+    again = delete_rows(out_dir, preds)
+    assert again["rows_deleted"] == 0
+    assert again["rewritten"] == 0 and again["dropped"] == 0

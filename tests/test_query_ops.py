@@ -483,3 +483,37 @@ def test_group_stats_nulls(ray_session):
     assert out["n"].to_pylist() == [2, 1]
     assert out["avg_v"].to_pylist() == [2.0, 10.0]
     assert out["var_v"].to_pylist() == [1.0, 0.0]
+
+
+def test_pack_sequences_conserves_tokens(ray_session):
+    """Packing: every token survives in order within a batch; all
+    examples are max_len except the per-batch tail; pad/drop modes."""
+    import ray.data as rd
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.transforms import pack_sequences
+
+    rng = np.random.default_rng(5)
+    seqs = [rng.integers(0, 1000, int(n)).tolist()
+            for n in rng.integers(1, 90, 200)]
+    t = pa.table({"tokens": pa.array(seqs, type=pa.list_(pa.int32()))})
+    total = sum(len(s) for s in seqs)
+    ds = rd.from_arrow(t)
+
+    out = collect_arrow(pack_sequences(ds, max_len=128)).to_pandas()
+    assert out["n_filled"].sum() == total
+    flat_in = [x for s in seqs for x in s]
+    flat_out = [x for s, n in zip(out["input_ids"], out["n_filled"])
+                for x in list(s)[:n]]
+    # single-block input -> one batch -> exact order conservation
+    assert flat_out == flat_in
+    assert (out["n_filled"][:-1] == 128).all()
+
+    padded = collect_arrow(pack_sequences(
+        ds, max_len=128, pad_id=0)).to_pandas()
+    assert all(len(s) == 128 for s in padded["input_ids"])
+    assert padded["n_filled"].sum() == total
+
+    dropped = collect_arrow(pack_sequences(
+        ds, max_len=128, drop_last=True)).to_pandas()
+    assert (dropped["n_filled"] == 128).all()
