@@ -1102,6 +1102,21 @@ def q_pack_sequences(sf_dir: str) -> pa.Table:
         [int(n_filled.sum())], type=pa.int64())})
 
 
+def q_stratified_sample(sf_dir: str) -> pa.Table:
+    """Deterministic per-group sample: 5 docs per source with the
+    smallest md5(doc_id) (transforms.stratified_sample — per-batch
+    candidate cut, then one segment-rank pass per bucket)."""
+    import ray.data as rd
+
+    from .transforms import stratified_sample
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "source"])
+    return _collect(stratified_sample(
+        ds, key_col="source", n_per_group=5, id_col="doc_id",
+        keep=["source", "doc_id"]))
+
+
 def q_group_stats(sf_dir: str) -> pa.Table:
     """Grouped moment aggregates (COUNT/AVG/VAR_POP/STDDEV_POP of
     event value per event_type) with map-side partials — the shuffle
@@ -1283,6 +1298,7 @@ QUERIES = {
     "explode_embeddings": q_explode_embeddings,
     "group_stats": q_group_stats,
     "pack_sequences": q_pack_sequences,
+    "stratified_sample": q_stratified_sample,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1494,6 +1510,11 @@ ORACLE_SQL = {
     "pack_sequences": (
         "SELECT CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) "
         "AS BIGINT) AS total_tokens FROM documents"
+    ),
+    "stratified_sample": (
+        "SELECT source, doc_id FROM documents "
+        "QUALIFY row_number() OVER (PARTITION BY source "
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5"
     ),
     "group_stats": (
         "SELECT event_type, COUNT(value) AS n, "

@@ -517,3 +517,34 @@ def test_pack_sequences_conserves_tokens(ray_session):
     dropped = collect_arrow(pack_sequences(
         ds, max_len=128, drop_last=True)).to_pandas()
     assert (dropped["n_filled"] == 128).all()
+
+
+def test_stratified_sample_multiblock(ray_session):
+    """Per-group deterministic sample across MANY blocks must equal the
+    single-table oracle (per-batch candidate cut is lossless)."""
+    import hashlib
+
+    import ray.data as rd
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.transforms import stratified_sample
+
+    rng = np.random.default_rng(17)
+    n = 5000
+    t = pa.table({
+        "doc_id": pa.array([f"d{i:05d}" for i in range(n)]),
+        "source": pa.array([f"s{g}" for g in rng.integers(0, 12, n)]),
+    })
+    ds = rd.from_arrow(t).repartition(16)
+    out = collect_arrow(stratified_sample(
+        ds, key_col="source", n_per_group=7, id_col="doc_id",
+        keep=["source", "doc_id"], n_buckets=5)).to_pandas()
+
+    df = t.to_pandas()
+    df["_mk"] = df["doc_id"].map(
+        lambda v: hashlib.md5(v.encode()).hexdigest())
+    exp = (df.sort_values(["source", "_mk", "doc_id"])
+             .groupby("source").head(7))
+    got = set(map(tuple, out[["source", "doc_id"]].itertuples(index=False)))
+    want = set(map(tuple, exp[["source", "doc_id"]].itertuples(index=False)))
+    assert got == want
