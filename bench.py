@@ -217,6 +217,30 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         shuffle_join(li_enc, o_enc, **jkw).count()
         queries["shuffle_join"] = round(time.perf_counter() - t0, 3)
 
+        # composed TPC-H-Q3-shape pipeline over three encoded tables
+        # (customer filter -> semi-join orders -> date filter ->
+        # semi-join lineitem -> partial sums -> groupby -> top-k)
+        from arcade_ray.entry_queries import CACHE_ROOT, q_q3_revenue_topk
+
+        cache_ready = os.path.isdir(CACHE_ROOT)
+        t0 = time.perf_counter()
+        q3 = q_q3_revenue_topk(sf_dir)
+        queries["q3_pipeline"] = round(time.perf_counter() - t0, 3)
+        assert q3.num_rows == 20, q3.num_rows
+        if not cache_ready:
+            # first run included the encode of all three tables; tag it
+            queries["q3_pipeline_cold"] = queries.pop("q3_pipeline")
+
+        # per-key window frames over the events stream
+        from arcade_ray.windows import frame_aggs
+
+        ev_v = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "ts",
+                                        "value"])
+        t0 = time.perf_counter()
+        frame_aggs(ev_v, tie_col="event_id", window=4).count()
+        queries["window_frames"] = round(time.perf_counter() - t0, 3)
+
     return {
         "metric": "corpus encode wall-clock (tokens/s headline)",
         "value": round(t_encode, 3),
