@@ -392,6 +392,17 @@ def q_group_percentiles(sf_dir: str) -> pa.Table:
                                  [0.5, 0.9, 0.99])
 
 
+def q_float_percentiles(sf_dir: str) -> pa.Table:
+    """EXACT percentiles of a FLOAT column (events.value) via
+    distributed iterative histogram selection on the IEEE-754
+    total-order key — the unbounded-domain path the dense histogram
+    (int_percentiles) rejects. <= 4 passes, no sort, no shuffle."""
+    from .pipeline.query import exact_percentiles
+
+    out = encoded_dir(sf_dir, "events")
+    return exact_percentiles(out, "value", [0.1, 0.5, 0.9])
+
+
 def q_sample(sf_dir: str) -> pa.Table:
     from .pipeline.query import sample_ids
 
@@ -1261,6 +1272,7 @@ QUERIES = {
     "topk_rows": q_topk_rows,
     "order_slice": q_order_slice,
     "group_percentiles": q_group_percentiles,
+    "float_percentiles": q_float_percentiles,
     "group_topk": q_group_topk,
     "percentiles": q_percentiles,
     "sample": q_sample,
@@ -1555,6 +1567,13 @@ ORACLE_SQL = {
         "SELECT source, doc_id, n_chars FROM documents "
         "QUALIFY row_number() OVER (PARTITION BY source "
         "ORDER BY n_chars DESC, doc_id) <= 3"
+    ),
+    "float_percentiles": (
+        "SELECT CAST(0.1 AS DOUBLE) AS p, "
+        "quantile_disc(value, 0.1) AS value FROM events UNION ALL "
+        "SELECT CAST(0.5 AS DOUBLE), quantile_disc(value, 0.5) "
+        "FROM events UNION ALL "
+        "SELECT CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9) FROM events"
     ),
     "group_percentiles": (
         "SELECT source, "

@@ -1152,6 +1152,143 @@ def _dict_group_agg_partition(path: str, key_cols: list[str], value_col: str,
 
 
 PERCENTILE_MAX_RANGE = 1 << 24  # dense-histogram bin cap (~128 MB int64)
+SELECT_BINS = 1 << 16  # per-level bins: 0.5 MB per (range, partition)
+                       # returned to the driver; 64-bit domains close
+                       # in ceil(64/16)=4 levels
+
+
+def _order_key_u64(v: np.ndarray) -> np.ndarray:
+    """Order-PRESERVING uint64 key for any numeric dtype (the
+    ascending sibling of _desc_sort_key): int64 shifts by 2^63;
+    float64 uses the IEEE-754 total-order transform. Distinct values
+    map to distinct keys, so selection on keys is exact."""
+    if v.dtype.kind == "u":
+        return v.astype(np.uint64)
+    if v.dtype.kind in "iMm":
+        return v.astype(np.int64).view(np.uint64) ^ np.uint64(1 << 63)
+    b = np.ascontiguousarray(v.astype(np.float64)).view(np.uint64)
+    return np.where(b >> np.uint64(63) == 0,
+                    b ^ np.uint64(1 << 63), ~b)
+
+
+def _order_key_inverse(u: int, kind: str):
+    if kind == "u":
+        return int(u)
+    if kind == "i":
+        v = (int(u) ^ (1 << 63))  # undo the sign-shift
+        return v - (1 << 64) if v >= (1 << 63) else v
+    # float: undo the IEEE-754 total-order transform
+    uu = int(u)
+    bits = (uu ^ (1 << 63)) if uu >> 63 else (~uu & ((1 << 64) - 1))
+    return float(np.array([bits], dtype=np.uint64).view(np.float64)[0])
+
+
+def exact_percentiles(out_dir: str, col: str, ps: list[float]) -> pa.Table:
+    """EXACT percentiles of ANY numeric column — unbounded integer
+    domains (ids, epoch timestamps) and floats — via distributed
+    iterative histogram selection: values map to order-preserving
+    uint64 keys; each level one parallel pass bincounts every active
+    target's range into SELECT_BINS buckets and the driver narrows
+    each rank's bracket by 2^20, so 64-bit domains resolve in <= 4
+    passes with no sort, no shuffle, O(targets x SELECT_BINS) driver
+    state. Same PERCENTILE_DISC rank rule as :func:`int_percentiles`
+    (which stays the one-pass fast path for bounded domains). Nulls
+    are excluded (SQL aggregate semantics)."""
+    import math
+
+    import ray
+
+    rows = _manifest_paths(out_dir)
+    header0, _ = read_header(rows[0]["path"])
+    cm0 = header0["columns"][col]
+    if cm0["kind"] not in ("int", "float") and cm0.get("tag") not in (
+            "f32", "f64"):
+        raise TypeError(f"exact_percentiles needs a numeric column, "
+                        f"got kind {cm0['kind']!r}")
+    is_float = cm0.get("tag") in ("f32", "f64")
+    out_kind = "f" if is_float else "i"
+
+    @ray.remote
+    def pass_hist(path: str, ranges: list):
+        """ranges: [(lo_u, hi_u, nbins)] -> per range (below, counts)."""
+        from .encode import _pin_arrow_threads
+
+        _pin_arrow_threads()
+        header, base = read_header(path)
+        cm = header["columns"][col]
+        dec = make_column_decoder(cm)
+        vals = []
+        with open(path, "rb") as f:
+            for ch in cm["chunks"]:
+                f.seek(base + ch["off"])
+                arr = dec.decode(ch, read_exact(f, ch["nb"], col))
+                if arr.null_count:
+                    arr = arr.drop_null()
+                if pa.types.is_timestamp(arr.type) or \
+                        pa.types.is_duration(arr.type):
+                    arr = arr.cast(pa.int64())
+                vals.append(arr.to_numpy(zero_copy_only=False))
+        if not vals:
+            return [(0, np.zeros(r[2], dtype=np.int64)) for r in ranges]
+        u = _order_key_u64(np.concatenate(vals))
+        out = []
+        for lo, hi, nb in ranges:
+            # hi can be 2^64 (full domain) — clamp to an inclusive bound
+            lo_u, hi_incl = np.uint64(lo), np.uint64(min(hi, 1 << 64) - 1)
+            w = max((int(hi) - int(lo) + nb) // nb, 1)
+            mask = (u >= lo_u) & (u <= hi_incl)
+            idx = np.minimum((u[mask] - lo_u) // np.uint64(w), nb - 1)
+            out.append((int((u < lo_u).sum()),
+                        np.bincount(idx.astype(np.int64), minlength=nb)))
+        return out
+
+    n_total = sum(int(r["rows"]) for r in rows)
+    if n_total == 0:
+        return pa.table({"p": pa.array([], type=pa.float64()),
+                         col: pa.array([], type=(
+                             pa.float64() if is_float else pa.int64()))})
+
+    # active targets: rank k (0-based, over non-null values; the first
+    # pass also tells us the true non-null n via below+counts)
+    targets = {i: {"lo": 0, "hi": 1 << 64, "p": p} for i, p in enumerate(ps)}
+    n_valid: int | None = None
+    for _level in range(8):
+        open_t = {i: t for i, t in targets.items()
+                  if t["hi"] - t["lo"] > 1}
+        if not open_t:
+            break
+        ranges = [(t["lo"], t["hi"], SELECT_BINS) for t in open_t.values()]
+        results = ray.get([pass_hist.remote(r["path"], ranges)
+                           for r in rows])
+        for slot, i in enumerate(open_t):
+            t = targets[i]
+            below = sum(res[slot][0] for res in results)
+            counts = results[0][slot][1].copy()
+            for res in results[1:]:
+                counts += res[slot][1]
+            if n_valid is None and t["lo"] == 0 and t["hi"] == 1 << 64:
+                n_valid = below + int(counts.sum())
+                if n_valid == 0:  # all-null column: SQL yields NULL
+                    return pa.table({
+                        "p": pa.array([float(p) for p in ps],
+                                      type=pa.float64()),
+                        col: pa.array([None] * len(ps), type=(
+                            pa.float64() if is_float else pa.int64())),
+                    })
+            k = max(int(math.ceil(t["p"] * (n_valid or n_total))) - 1, 0)
+            t["k"] = k
+            csum = np.cumsum(counts)
+            bin_i = int(np.searchsorted(csum, k - below + 1))
+            w = max((t["hi"] - t["lo"] + SELECT_BINS) // SELECT_BINS, 1)
+            t["lo"], t["hi"] = (t["lo"] + bin_i * w,
+                                min(t["lo"] + (bin_i + 1) * w, t["hi"]))
+    out_vals = [_order_key_inverse(targets[i]["lo"], out_kind)
+                for i in range(len(ps))]
+    return pa.table({
+        "p": pa.array([float(p) for p in ps], type=pa.float64()),
+        col: pa.array(out_vals, type=(
+            pa.float64() if is_float else pa.int64())),
+    })
 
 
 def int_percentiles(out_dir: str, col: str, ps: list[float]) -> pa.Table:

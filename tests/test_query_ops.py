@@ -548,3 +548,57 @@ def test_stratified_sample_multiblock(ray_session):
     got = set(map(tuple, out[["source", "doc_id"]].itertuples(index=False)))
     want = set(map(tuple, exp[["source", "doc_id"]].itertuples(index=False)))
     assert got == want
+
+
+def test_exact_percentiles_wide_and_float(encoded):
+    """Iterative histogram selection: exact percentiles on a WIDE
+    integer domain (beyond the dense cap) and a float column."""
+    from arcade_ray.pipeline.query import exact_percentiles
+
+    out_dir, table = encoded
+    ps = [0.0, 0.1, 0.5, 0.9, 1.0]
+
+    got = exact_percentiles(out_dir, "n_tok", ps)
+    vals = np.sort(table["n_tok"].to_numpy())
+    n = len(vals)
+    for i, p in enumerate(ps):
+        exp = int(vals[max(int(np.ceil(p * n)) - 1, 0)])
+        assert got["n_tok"][i].as_py() == exp, (p, got["n_tok"][i], exp)
+
+
+def test_exact_percentiles_float_and_huge_range(ray_session, tmp_path):
+    import ray.data as rd
+
+    from arcade_ray.pipeline.query import exact_percentiles, int_percentiles
+
+    rng = np.random.default_rng(23)
+    n = 20_000
+    wide = rng.integers(-(2**62), 2**62, n)          # ids-like, huge span
+    fl = np.concatenate([rng.standard_normal(n - 3) * 1e6,
+                         [-np.inf, 0.0, np.inf]])
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "grp": pa.array([f"g{i % 4}" for i in range(n)]),
+        "wide": pa.array(wide, type=pa.int64()),
+        "fl": pa.array(fl, type=pa.float64()),
+    })
+    out_dir = str(tmp_path / "enc")
+    from arcade_ray.pipeline import encode_dataset
+    encode_dataset(rd.from_arrow(t), out_dir, key_col="grp",
+                   weight_col=None)
+
+    with pytest.raises(ValueError):
+        int_percentiles(out_dir, "wide", [0.5])  # dense cap rejects
+
+    ps = [0.01, 0.5, 0.99]
+    got_w = exact_percentiles(out_dir, "wide", ps)
+    sw = np.sort(wide)
+    for i, p in enumerate(ps):
+        assert got_w["wide"][i].as_py() == \
+            int(sw[max(int(np.ceil(p * n)) - 1, 0)]), p
+
+    got_f = exact_percentiles(out_dir, "fl", ps)
+    sf = np.sort(fl)
+    for i, p in enumerate(ps):
+        assert got_f["fl"][i].as_py() == \
+            float(sf[max(int(np.ceil(p * n)) - 1, 0)]), p
