@@ -1113,6 +1113,19 @@ def q_pack_sequences(sf_dir: str) -> pa.Table:
         [int(n_filled.sum())], type=pa.int64())})
 
 
+def q_normalize_text(sf_dir: str) -> pa.Table:
+    """Corpus canonicalization (textops.normalize_text): trim, collapse
+    whitespace, unicode lowercase — pure Arrow kernels, no per-row
+    Python."""
+    import ray.data as rd
+
+    from .textops import normalize_text
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return _collect(normalize_text(ds, keep=["doc_id"]))
+
+
 def q_stratified_sample(sf_dir: str) -> pa.Table:
     """Deterministic per-group sample: 5 docs per source with the
     smallest md5(doc_id) (transforms.stratified_sample — per-batch
@@ -1311,6 +1324,7 @@ QUERIES = {
     "group_stats": q_group_stats,
     "pack_sequences": q_pack_sequences,
     "stratified_sample": q_stratified_sample,
+    "normalize_text": q_normalize_text,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1522,6 +1536,10 @@ ORACLE_SQL = {
     "pack_sequences": (
         "SELECT CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) "
         "AS BIGINT) AS total_tokens FROM documents"
+    ),
+    "normalize_text": (
+        "SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', "
+        "'g')) AS norm_text FROM documents"
     ),
     "stratified_sample": (
         "SELECT source, doc_id FROM documents "

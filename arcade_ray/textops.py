@@ -846,3 +846,26 @@ def analyze_text(ds, concurrency: int | None = None, batch_size: int = 4096):
         concurrency = max(1, min(8, avail - 1))
     return ds.map_batches(TextAnalyzer, batch_format="pandas",
                           batch_size=batch_size, concurrency=concurrency)
+
+
+def normalize_text(ds, text_col: str = "text", out_col: str = "norm_text",
+                   keep: list[str] | None = None):
+    """Corpus text normalization — trim, collapse internal whitespace,
+    unicode lowercase — entirely in Arrow kernels (utf8_trim_whitespace
+    -> replace_substring_regex -> utf8_lower): zero Python per row,
+    zero-copy in, one new string column out. The canonicalization pass
+    that precedes exact dedup / fingerprinting in a cleaning
+    pipeline."""
+    import pyarrow.compute as pc
+
+    keep = list(keep or [])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        s = batch[text_col].combine_chunks()
+        n = pc.utf8_lower(pc.replace_substring_regex(
+            pc.utf8_trim_whitespace(s), r"\s+", " "))
+        cols = {c: batch[c] for c in keep}
+        cols[out_col] = n
+        return pa.table(cols)
+
+    return ds.map_batches(norm, batch_format="pyarrow")
