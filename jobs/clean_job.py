@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""`ray job submit`-compatible corpus-CLEANING job: the end-to-end
+training-data pipeline a user of this engine runs before pretraining,
+composed from the engine's own operators, all streaming:
+
+    read_parquet
+      -> normalize_text        (trim/collapse/lowercase, Arrow kernels)
+      -> quality filter        (TextAnalyzer actor pool: lang/quality)
+      -> exact_dedup           (hash-only shuffle, map-side anti-join)
+      -> tokenize + pack       (fixed-length training examples)
+      -> write_parquet         (partitioned shards, resumable output)
+
+On a cluster:
+
+    ray job submit --working-dir . -- \
+        python jobs/clean_job.py --input s3://bucket/docs/ \
+        --out /mnt/shared/clean --max-len 2048 --min-quality 0.3
+
+In this sandbox the same script runs against the local session. Every
+stage is a lazy Dataset transform — the streaming executor pipelines
+them with backpressure; nothing materializes except dedup's loser id
+set (broadcast once)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="parquet file/dir of docs")
+    p.add_argument("--out", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--max-len", type=int, default=2048)
+    p.add_argument("--max-punct", type=float, default=0.3,
+                   help="drop docs with punct_ratio above this")
+    args = p.parse_args()
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    if not ray.is_initialized():  # inside a Ray Job this attaches
+        ray.init()
+
+    from arcade_ray.textops import analyze_text, exact_dedup, normalize_text
+    from arcade_ray.transforms import pack_sequences
+
+    t0 = time.time()
+    ds = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
+    n_in = ds.count()
+
+    ds = normalize_text(ds, text_col=args.text_col, out_col="text",
+                        keep=[args.id_col])
+
+    # quality gate: the analyzer actor pool scores each batch
+    # (punct/stopword ratios etc.); the filter runs IN the same
+    # streamed pass — no id materialization, no second read
+    def gate(b: pa.Table) -> pa.Table:
+        keep = pc.less_equal(b["punct_ratio"],
+                             pa.scalar(args.max_punct, type=pa.float64()))
+        return b.filter(keep).select([args.id_col, "text"])
+
+    ds = analyze_text(ds).map_batches(gate, batch_format="pyarrow")
+    ds = exact_dedup(ds, text_col="text", id_col=args.id_col)
+
+    word_re = re.compile(r"[A-Za-z0-9]+")
+
+    def tokenize(b: pa.Table) -> pa.Table:
+        toks = [[hash(w) & 0x7FFFFFFF for w in word_re.findall(t)]
+                for t in b["text"].to_pylist()]
+        return pa.table({"tokens": pa.array(toks,
+                                            type=pa.list_(pa.int32()))})
+
+    packed = pack_sequences(ds.map_batches(tokenize, batch_format="pyarrow"),
+                            max_len=args.max_len)
+    packed.write_parquet(args.out)
+
+    out_ds = rd.read_parquet(args.out)
+    n_examples = out_ds.count()
+    print({"input_docs": n_in, "examples": n_examples,
+           "max_len": args.max_len, "out": args.out,
+           "wall_s": round(time.time() - t0, 2)})
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
