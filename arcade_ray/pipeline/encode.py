@@ -128,9 +128,18 @@ def encode_dataset(ds, out_dir: str, key_col: str = "source",
                    id_col: str = "doc_id", weight_col: str | None = "n_tok",
                    weight_cap: int | None = None, resume: bool = True,
                    sort_partitions_by: str | None = None,
-                   exchange: str = "direct") -> pa.Table:
+                   exchange: str = "direct",
+                   generation: str | None = None) -> pa.Table:
     """Run the full encode pipeline; returns the consolidated manifest
     table (one row per partition, including previously committed ones).
+
+    ``generation`` enables INCREMENTAL APPEND into an existing encoded
+    dataset: partition keys become ``{src}@{generation}#{bucket}`` so a
+    new batch of data never collides with — or gets silently skipped by
+    — an earlier run's resume logic on the same key space. Each
+    generation is itself resumable (re-run with the same id); readers
+    see old + new through the one manifest; compaction groups within a
+    generation.
 
     ``sort_partitions_by`` defaults to ``id_col`` for deterministic,
     resume-stable partition contents.
@@ -166,6 +175,12 @@ def encode_dataset(ds, out_dir: str, key_col: str = "source",
     plan = build_plan(ds.select_columns(plan_cols), key_col, id_col,
                       weight_col, weight_cap)
     pid_keys = plan.part_keys()
+    if generation is not None:
+        if any(c in generation for c in "#@/"):
+            raise ValueError(f"generation id must not contain #, @ or /: "
+                             f"{generation!r}")
+        pid_keys = [f"{k.split('#', 1)[0]}@{generation}#{k.split('#', 1)[1]}"
+                    for k in pid_keys]
     done_pids = pa.array(
         [i for i, k in enumerate(pid_keys) if k in done], type=pa.int64()
     )

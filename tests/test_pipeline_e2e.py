@@ -124,3 +124,43 @@ def test_bad_column_validation(ray_session, corpus_parquet, tmp_path):
     with _pytest.raises(ValueError, match="not in input schema"):
         encode_dataset(rd.read_parquet(corpus_parquet), str(tmp_path / "y"),
                        weight_col="missing_col")
+
+
+def test_generation_append(ray_session, tmp_path):
+    """Incremental append: a second batch encodes under a generation
+    key namespace (no collision with — or skip by — the first run's
+    resume logic); readers see the union; each generation resumes."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.corpus import generate_corpus
+    from arcade_ray.pipeline import encode_dataset
+    from arcade_ray.pipeline.query import scan
+
+    out_dir = str(tmp_path / "enc")
+    a = generate_corpus(3000, 4, seed=31)
+    encode_dataset(rd.from_arrow(a), out_dir, weight_cap=150_000)
+
+    b = generate_corpus(2000, 4, seed=32)
+    b = b.set_column(0, "doc_id", pa.array(
+        [f"g2:{v}" for v in b["doc_id"].to_pylist()]))
+    m = encode_dataset(rd.from_arrow(b), out_dir, weight_cap=150_000,
+                       generation="g2")
+    keys = m["part_key"].to_pylist()
+    assert any("@g2#" in k for k in keys)
+
+    got = collect_arrow(scan(out_dir, columns=["doc_id"]))
+    assert got.num_rows == 5000
+    exp = set(a["doc_id"].to_pylist()) | set(b["doc_id"].to_pylist())
+    assert set(got["doc_id"].to_pylist()) == exp
+
+    # re-running the SAME generation is a resume no-op (same manifest)
+    m2 = encode_dataset(rd.from_arrow(b), out_dir, weight_cap=150_000,
+                        generation="g2")
+    assert sorted(m2["part_key"].to_pylist()) == sorted(keys)
+    assert collect_arrow(scan(out_dir, columns=["doc_id"])).num_rows == 5000
+
+    with pytest.raises(ValueError):
+        encode_dataset(rd.from_arrow(b), out_dir, generation="bad#gen")
