@@ -46,7 +46,7 @@ def cmd_compress(args) -> None:
     manifest = encode_parquet(
         args.input, args.out_dir, key_col=args.key_col, id_col=args.id_col,
         weight_col=args.weight_col or None, weight_cap=args.cap,
-        resume=not args.no_resume,
+        resume=not args.no_resume, generation=args.generation,
     )
     dt = time.perf_counter() - t0
     rows = sum(manifest["rows"].to_pylist())
@@ -330,6 +330,9 @@ def main(argv=None) -> None:
     c.add_argument("--weight-col", default="n_tok")
     c.add_argument("--cap", type=int, default=None)
     c.add_argument("--no-resume", action="store_true")
+    c.add_argument("--generation", default=None,
+                   help="append namespace: encode this input as a new "
+                        "generation alongside existing partitions")
     c.set_defaults(fn=cmd_compress)
 
     s = sub.add_parser("scan")

@@ -124,6 +124,20 @@ def _drop_replaced(rows: dict[str, dict]) -> dict[str, dict]:
     return {k: r for k, r in rows.items() if k not in replaced}
 
 
+def _apply_generation(pid_keys: list[str],
+                      generation: str | None) -> list[str]:
+    """Namespace partition keys as {src}@{generation}#{bucket} so an
+    incremental APPEND never collides with (or gets skipped by) an
+    earlier generation's resume state on the same key space."""
+    if generation is None:
+        return pid_keys
+    if any(c in generation for c in "#@/"):
+        raise ValueError(
+            f"generation id must not contain #, @ or /: {generation!r}")
+    return [f"{k.split('#', 1)[0]}@{generation}#{k.split('#', 1)[1]}"
+            for k in pid_keys]
+
+
 def encode_dataset(ds, out_dir: str, key_col: str = "source",
                    id_col: str = "doc_id", weight_col: str | None = "n_tok",
                    weight_cap: int | None = None, resume: bool = True,
@@ -174,13 +188,7 @@ def encode_dataset(ds, out_dir: str, key_col: str = "source",
     plan_cols = [key_col] + ([weight_col] if weight_col and weight_col != key_col else [])
     plan = build_plan(ds.select_columns(plan_cols), key_col, id_col,
                       weight_col, weight_cap)
-    pid_keys = plan.part_keys()
-    if generation is not None:
-        if any(c in generation for c in "#@/"):
-            raise ValueError(f"generation id must not contain #, @ or /: "
-                             f"{generation!r}")
-        pid_keys = [f"{k.split('#', 1)[0]}@{generation}#{k.split('#', 1)[1]}"
-                    for k in pid_keys]
+    pid_keys = _apply_generation(plan.part_keys(), generation)
     done_pids = pa.array(
         [i for i, k in enumerate(pid_keys) if k in done], type=pa.int64()
     )
@@ -555,7 +563,8 @@ def encode_parquet(paths: list[str] | str, out_dir: str,
                    weight_col: str | None = "n_tok",
                    weight_cap: int | None = None, resume: bool = True,
                    sort_partitions_by: str | None = None,
-                   exchange: str | None = None) -> pa.Table:
+                   exchange: str | None = None,
+                   generation: str | None = None) -> pa.Table:
     """Parquet-source fast path of :func:`encode_dataset`: split tasks
     read the shards directly (no intermediate block materialization),
     and the planning pass reads only the key/weight columns per shard.
@@ -646,7 +655,7 @@ def encode_parquet(paths: list[str] | str, out_dir: str,
             totals[k] = totals.get(k, 0) + w
     plan = Plan({k: max(1, -(-w // cap)) for k, w in totals.items()},
                 key_col, id_col, cap, source_weights=totals)
-    pid_keys = plan.part_keys()
+    pid_keys = _apply_generation(plan.part_keys(), generation)
     done_pids = pa.array(
         [i for i, k in enumerate(pid_keys) if k in done], type=pa.int64()
     )
