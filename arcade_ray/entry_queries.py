@@ -392,6 +392,20 @@ def q_group_percentiles(sf_dir: str) -> pa.Table:
                                  [0.5, 0.9, 0.99])
 
 
+def q_ts_range_filter(sf_dir: str) -> pa.Table:
+    """Timestamp BETWEEN over ENCODED data: zone maps prune in the
+    epoch-int domain, matching chunks compare as int64 views (no
+    Python datetime per row)."""
+    from .pipeline.query import range_filter
+
+    out = encoded_dir(sf_dir, "events")
+    utc = datetime.timezone.utc
+    lo = int(datetime.datetime(2024, 1, 10, tzinfo=utc).timestamp() * 1e6)
+    hi = int(datetime.datetime(2024, 1, 12, tzinfo=utc).timestamp() * 1e6)
+    return _collect(range_filter(out, "ts", lo, hi,
+                                 project=["event_id", "ts"]))
+
+
 def q_float_percentiles(sf_dir: str) -> pa.Table:
     """EXACT percentiles of a FLOAT column (events.value) via
     distributed iterative histogram selection on the IEEE-754
@@ -1286,6 +1300,7 @@ QUERIES = {
     "order_slice": q_order_slice,
     "group_percentiles": q_group_percentiles,
     "float_percentiles": q_float_percentiles,
+    "ts_range_filter": q_ts_range_filter,
     "group_topk": q_group_topk,
     "percentiles": q_percentiles,
     "sample": q_sample,
@@ -1585,6 +1600,10 @@ ORACLE_SQL = {
         "SELECT source, doc_id, n_chars FROM documents "
         "QUALIFY row_number() OVER (PARTITION BY source "
         "ORDER BY n_chars DESC, doc_id) <= 3"
+    ),
+    "ts_range_filter": (
+        "SELECT event_id, ts FROM events WHERE ts BETWEEN "
+        "TIMESTAMP '2024-01-10' AND TIMESTAMP '2024-01-12'"
     ),
     "float_percentiles": (
         "SELECT CAST(0.1 AS DOUBLE) AS p, "

@@ -164,6 +164,10 @@ def _equi_match_idx(path: str, header: dict, base: int, col: str,
                     continue
                 f.seek(base + ch["off"])
                 arr = dec.decode(ch, read_exact(f, ch["nb"], col))
+                if pa.types.is_timestamp(arr.type) or \
+                        pa.types.is_duration(arr.type):
+                    arr = arr.cast(pa.int64())  # epoch-unit int compare
+                    literal = lit_val if lit_val is not None else literal
                 mask = pc.fill_null(pc.equal(arr, literal), False)
                 match_idx[i] = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
     return match_idx
@@ -349,6 +353,11 @@ def _range_match_idx(path: str, header: dict, base: int, col: str,
                 # would wrongly return NULL rows as matches.
                 match_idx[i] = np.arange(len(arr))
                 continue
+            if pa.types.is_timestamp(arr.type) or \
+                    pa.types.is_duration(arr.type):
+                # zone stats and int literals are epoch-unit int64;
+                # compare in that domain (zero-copy view)
+                arr = arr.cast(pa.int64())
             mask = pc.fill_null(
                 pc.and_(pc.greater_equal(arr, lo), pc.less_equal(arr, hi)), False)
             match_idx[i] = np.flatnonzero(mask.to_numpy(zero_copy_only=False))

@@ -602,3 +602,42 @@ def test_exact_percentiles_float_and_huge_range(ray_session, tmp_path):
     for i, p in enumerate(ps):
         assert got_f["fl"][i].as_py() == \
             float(sf[max(int(np.ceil(p * n)) - 1, 0)]), p
+
+
+def test_timestamp_filters(ray_session, tmp_path):
+    """Equi and range filters on a TIMESTAMP column: zone maps prune in
+    the epoch-int domain; matching chunks compare as int64 views."""
+    import ray.data as rd
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.pipeline.query import (equi_filter, range_filter,
+                                           compound_filter)
+
+    n = 4000
+    base = np.datetime64("2024-03-01", "us")
+    ts = base + (np.arange(n) * 61_000_000).astype("timedelta64[us]")
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "src": pa.array([f"s{i % 3}" for i in range(n)]),
+        "ts": pa.array(ts),
+    })
+    out_dir = str(tmp_path / "enc")
+    encode_dataset(rd.from_arrow(t), out_dir, key_col="src",
+                   weight_col=None)
+    ts_i = ts.astype("int64")
+    lo, hi = int(ts_i[100]), int(ts_i[250])
+
+    got = collect_arrow(range_filter(out_dir, "ts", lo, hi,
+                                     project=["doc_id", "ts"]))
+    assert sorted(got["doc_id"].to_pylist()) == list(range(100, 251))
+    assert got.schema.field("ts").type == pa.timestamp("us")
+
+    got_eq = collect_arrow(equi_filter(out_dir, "ts", int(ts_i[7]),
+                                       project=["doc_id", "ts"]))
+    assert got_eq["doc_id"].to_pylist() == [7]
+
+    got_c = collect_arrow(compound_filter(
+        out_dir, [("between", "ts", lo, hi), ("eq", "src", "s1")],
+        project=["doc_id"]))
+    exp = [i for i in range(100, 251) if i % 3 == 1]
+    assert sorted(got_c["doc_id"].to_pylist()) == exp
