@@ -776,6 +776,25 @@ def q_prefix_filter(sf_dir: str) -> pa.Table:
     ))
 
 
+def q_suffix_filter(sf_dir: str) -> pa.Table:
+    """LIKE '%3' with ends_with run on dictionary entries only."""
+    from .pipeline.query import suffix_filter
+
+    out = encoded_dir(sf_dir, "documents")
+    return _collect(suffix_filter(
+        out, "source", "3", project=["doc_id", "source"]))
+
+
+def q_regex_filter(sf_dir: str) -> pa.Table:
+    """regexp_matches over encoded data: the RE2 pattern runs once per
+    dictionary ENTRY per partition, never per row."""
+    from .pipeline.query import regex_filter
+
+    out = encoded_dir(sf_dir, "documents")
+    return _collect(regex_filter(
+        out, "lang", "^(en|de)$", project=["doc_id", "lang"]))
+
+
 def q_contains_filter(sf_dir: str) -> pa.Table:
     """LIKE '%ED%' with the substring match run on dictionary entries
     only — row values never materialize for the predicate."""
@@ -1313,6 +1332,8 @@ QUERIES = {
     "in_filter": q_in_filter,
     "in_filter_int": q_in_filter_int,
     "prefix_filter": q_prefix_filter,
+    "suffix_filter": q_suffix_filter,
+    "regex_filter": q_regex_filter,
     "contains_filter": q_contains_filter,
     "group_avg_encoded": q_group_avg_encoded,
     "stats_meta": q_stats_meta,
@@ -1500,6 +1521,13 @@ ORACLE_SQL = {
     ),
     "prefix_filter": (
         "SELECT doc_id, source FROM documents WHERE source LIKE 'src1%'"
+    ),
+    "suffix_filter": (
+        "SELECT doc_id, source FROM documents WHERE source LIKE '%3'"
+    ),
+    "regex_filter": (
+        "SELECT doc_id, lang FROM documents "
+        "WHERE regexp_matches(lang, '^(en|de)$')"
     ),
     "contains_filter": (
         "SELECT o_orderkey, o_orderpriority FROM orders "

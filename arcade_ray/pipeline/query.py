@@ -439,6 +439,29 @@ def _member_match_idx(path: str, header: dict, base: int, node) -> list:
             if lo is None or hi is None:
                 return False
             return hi < p or (upper is not None and lo >= upper)
+    elif op == "suffix":
+        s = node[2]
+
+        def pool_match(tail: pa.Array) -> pa.Array:
+            return pc.ends_with(tail.cast(pa.large_utf8()), pattern=s)
+
+        def arr_match(arr: pa.Array) -> pa.Array:
+            return pc.ends_with(arr, pattern=s)
+
+        def chunk_skip(ch: dict) -> bool:
+            return False
+    elif op == "regex":
+        pat = node[2]
+
+        def pool_match(tail: pa.Array) -> pa.Array:
+            return pc.match_substring_regex(tail.cast(pa.large_utf8()),
+                                            pattern=pat)
+
+        def arr_match(arr: pa.Array) -> pa.Array:
+            return pc.match_substring_regex(arr, pattern=pat)
+
+        def chunk_skip(ch: dict) -> bool:
+            return False
     else:  # contains
         needle = node[2]
 
@@ -520,6 +543,21 @@ def contains_filter(out_dir: str, col: str, needle: str,
     No zone pruning is possible, but dictionary chunks still evaluate
     the substring match on dict entries only (decode-free)."""
     return compound_filter(out_dir, ("contains", col, needle), project)
+
+
+def suffix_filter(out_dir: str, col: str, suffix: str, project: list[str]):
+    """``col LIKE '%suffix'`` over encoded data -> ray.data.Dataset.
+    Dictionary chunks evaluate ends_with on dict entries only."""
+    return compound_filter(out_dir, ("suffix", col, suffix), project)
+
+
+def regex_filter(out_dir: str, col: str, pattern: str,
+                 project: list[str]):
+    """``regexp_matches(col, pattern)`` (RE2 partial match) over
+    encoded data -> ray.data.Dataset. Dictionary chunks run the regex
+    over dict entries only — each distinct value is tested once per
+    partition, not once per row."""
+    return compound_filter(out_dir, ("regex", col, pattern), project)
 
 
 def dict_distinct_values(out_dir: str, col: str) -> pa.Table:
@@ -734,7 +772,8 @@ def _normalize_pred(preds):
         if not preds[2]:
             raise ValueError("empty IN-list predicate")
         return ("in", preds[1], list(preds[2]))
-    if op in ("eq", "between", "prefix", "contains"):
+    if op in ("eq", "between", "prefix", "suffix", "regex",
+              "contains"):
         return preds
     if op == "not":
         return ("not", _normalize_pred(preds[1]))
@@ -746,7 +785,8 @@ def _normalize_pred(preds):
 
 
 def _pred_columns(node) -> list[str]:
-    if node[0] in ("eq", "between", "in", "prefix", "contains"):
+    if node[0] in ("eq", "between", "in", "prefix", "suffix",
+                   "regex", "contains"):
         return [node[1]]
     if node[0] == "not":
         return _pred_columns(node[1])
@@ -777,7 +817,7 @@ def _zone_excluded(header0: dict, stats: dict, node) -> bool:
         return any(_zone_excluded(header0, stats, c) for c in node[1])
     if op == "or":
         return all(_zone_excluded(header0, stats, c) for c in node[1])
-    if op in ("not", "contains"):
+    if op in ("not", "contains", "suffix", "regex"):
         return False
     if not _manifest_prunable(header0, node[1]):
         return False
@@ -852,7 +892,7 @@ def _eval_match_idx(path: str, header: dict, base: int, node) -> list:
         return _equi_match_idx(path, header, base, node[1], node[2])
     if op == "between":
         return _range_match_idx(path, header, base, node[1], node[2], node[3])
-    if op in ("in", "prefix", "contains"):
+    if op in ("in", "prefix", "suffix", "regex", "contains"):
         return _member_match_idx(path, header, base, node)
     if op == "and":
         combined = None
