@@ -682,6 +682,31 @@ def q_q3_revenue_topk(sf_dir: str) -> pa.Table:
     })
 
 
+def q_composite_join_enrich(sf_dir: str) -> pa.Table:
+    """COMPOSITE-key broadcast join: every lineitem row enriched with
+    its (returnflag, linestatus) group size. The build side is the
+    decode-free grouped aggregate (dict_group_aggregate over the same
+    encoded table — zero value decodes for the keys), broadcast once;
+    probe partitions stream through Arrow's multi-key hash join."""
+    from .pipeline.join import broadcast_join
+    from .pipeline.query import dict_group_aggregate
+
+    li = encoded_dir(sf_dir, "lineitem")
+    g = dict_group_aggregate(li, ["l_returnflag", "l_linestatus"],
+                             "l_linenumber")
+    dim = pa.table({
+        "rf": g["l_returnflag"],
+        "ls": g["l_linestatus"],
+        "grp_n": g["n_rows"],
+    })
+    return _collect(broadcast_join(
+        li, dim, probe_key=["l_returnflag", "l_linestatus"],
+        build_key=["rf", "ls"],
+        probe_cols=["l_orderkey", "l_linenumber", "l_returnflag",
+                    "l_linestatus"],
+        build_cols=["grp_n"]))
+
+
 def q_join_lineitem_orders(sf_dir: str) -> pa.Table:
     """Join of two encoded tables when BOTH sides are large: hash
     CO-PARTITIONED via the exchange pattern (one decode+fan-out per
@@ -1312,6 +1337,7 @@ QUERIES = {
     "semi_join_orders": q_semi_join_orders,
     "anti_join_orders": q_anti_join_orders,
     "q3_revenue_topk": q_q3_revenue_topk,
+    "composite_join_enrich": q_composite_join_enrich,
     "ranked_gaps": q_ranked_gaps,
     "frame_aggs": q_frame_aggs,
     "topk": q_topk,
@@ -1469,6 +1495,13 @@ ORACLE_SQL = {
     "join_orders_customer": (
         "SELECT o_orderkey, o_custkey, c_mktsegment FROM orders "
         "JOIN customer ON o_custkey = c_custkey"
+    ),
+    "composite_join_enrich": (
+        "SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, "
+        "grp_n FROM lineitem JOIN ("
+        "SELECT l_returnflag AS rf, l_linestatus AS ls, "
+        "CAST(COUNT(*) AS BIGINT) AS grp_n FROM lineitem GROUP BY 1, 2"
+        ") d ON l_returnflag = d.rf AND l_linestatus = d.ls"
     ),
     "semi_join_orders": (
         "SELECT o_orderkey, o_custkey FROM orders "

@@ -190,57 +190,84 @@ def _decode_all(out_dir: str, columns: list[str]) -> pa.Table:
     return pa.concat_tables(tables).combine_chunks()
 
 
-def broadcast_join(probe_dir: str, build_dir: str, probe_key: str,
-                   build_key: str, probe_cols: list[str],
+def broadcast_join(probe_dir: str, build_dir: str, probe_key,
+                   build_key, probe_cols: list[str],
                    build_cols: list[str], how: str = "inner",
                    max_build_rows: int = DEFAULT_MAX_BUILD_ROWS):
     """Join two ENCODED datasets on probe_key == build_key.
 
-    Returns a streaming Dataset with columns probe_cols + build_cols.
-    ``how``: "inner" (drop probe rows with no match) or "left" (keep,
-    build columns null). Build keys must be unique (hash-lookup join)
-    — duplicates raise rather than silently dropping matches."""
+    ``probe_key`` / ``build_key``: a column name or a LIST of names
+    (composite-key join; same length both sides). Returns a streaming
+    Dataset with columns probe_cols + build_cols. ``how``: "inner"
+    (drop probe rows with no match) or "left" (keep, build columns
+    null). Build keys must be unique (hash-lookup join) — duplicates
+    raise rather than silently dropping matches.
+
+    Single-key probes use one vectorized ``pc.index_in`` + gather;
+    composite keys use Arrow's native multi-key hash join per
+    partition (the build-side hash table costs O(build) per task —
+    the same class as index_in's per-call value-set hash)."""
     import ray
     import ray.data as rd
 
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    probe_keys = [probe_key] if isinstance(probe_key, str) else list(probe_key)
+    build_keys = [build_key] if isinstance(build_key, str) else list(build_key)
+    if len(probe_keys) != len(build_keys):
+        raise ValueError(
+            f"key lists differ in length: {probe_keys} vs {build_keys}")
 
-    build = _decode_all(build_dir, columns=[build_key] + build_cols)
+    # build side: an encoded dir, or an already-materialized (small)
+    # table — e.g. the output of a decode-free aggregate
+    if isinstance(build_dir, pa.Table):
+        build = build_dir.select(list(dict.fromkeys(build_keys + build_cols)))
+    else:
+        build = _decode_all(build_dir, columns=list(
+            dict.fromkeys(build_keys + build_cols)))
     if build.num_rows > max_build_rows:
         raise ValueError(
             f"build side has {build.num_rows} rows (> {max_build_rows}); "
             "broadcast join needs a small build side — co-partition both "
             "tables on the key instead"
         )
-    n_unique = pc.count_distinct(build[build_key]).as_py()
+    n_unique = build.group_by(build_keys).aggregate([]).num_rows
     if n_unique != build.num_rows:
         raise ValueError(
-            f"build key {build_key!r} is not unique "
+            f"build key {build_keys} is not unique "
             f"({build.num_rows} rows, {n_unique} distinct)"
         )
     build_ref = ray.put(build)
 
     probe_paths = [r["path"] for r in load_manifest(probe_dir).to_pylist()]
     ds = rd.from_items([{"path": p} for p in probe_paths])
-    need = list(dict.fromkeys(probe_cols + [probe_key]))
+    need = list(dict.fromkeys(probe_cols + probe_keys))
+    out_cols = list(dict.fromkeys(probe_cols + build_cols))
 
     def probe(batch: pa.Table) -> pa.Table:
         b = ray.get(build_ref)  # shared-memory fetch, once per task
-        keys = b[build_key].combine_chunks()
         outs = []
         for p in batch["path"]:
             t = decode_partition(p.as_py(), columns=need)
-            pos = pc.index_in(t[probe_key].combine_chunks().cast(keys.type),
-                              value_set=keys)
-            if how == "inner":
-                hit = pc.is_valid(pos)
-                t = t.filter(hit)
-                pos = pos.filter(hit)
-            cols = {c: t[c] for c in probe_cols}
-            for c in build_cols:
-                cols[c] = b[c].take(pos)
-            outs.append(pa.table(cols))
+            if len(probe_keys) == 1:
+                keys = b[build_keys[0]].combine_chunks()
+                pos = pc.index_in(
+                    t[probe_keys[0]].combine_chunks().cast(keys.type),
+                    value_set=keys)
+                if how == "inner":
+                    hit = pc.is_valid(pos)
+                    t = t.filter(hit)
+                    pos = pos.filter(hit)
+                cols = {c: t[c] for c in probe_cols}
+                for c in build_cols:
+                    cols[c] = b[c].take(pos)
+                outs.append(pa.table(cols))
+            else:
+                joined = t.join(
+                    b, keys=probe_keys, right_keys=build_keys,
+                    join_type="inner" if how == "inner" else "left outer",
+                )
+                outs.append(joined.select(out_cols))
         return pa.concat_tables(outs)
 
     return ds.map_batches(probe, batch_format="pyarrow", batch_size=1)

@@ -232,3 +232,64 @@ def test_semi_join_key_guardrails(two_tables):
                   cust["c_custkey"], max_keys=10)
     with pytest.raises(KeyError):
         semi_join(o_dir, "nope", ["o_orderkey"], cust["c_custkey"])
+
+
+def test_broadcast_join_composite_key(ray_session, tmp_path_factory):
+    """Composite-key broadcast join (Arrow multi-key hash join per
+    partition): (region, tier) -> rate lookup, inner and left."""
+    import ray.data as rd
+
+    from arcade_ray.pipeline import encode_dataset
+    from arcade_ray.pipeline.join import broadcast_join
+
+    base = tmp_path_factory.mktemp("ckjoin")
+    rng = np.random.default_rng(3)
+    n = 3000
+    facts = pa.table({
+        "fid": pa.array(np.arange(n), type=pa.int64()),
+        "region": pa.array([f"r{i % 4}" for i in rng.integers(0, 5, n)]),
+        "tier": pa.array(rng.integers(0, 4, n), type=pa.int64()),
+        "amount": pa.array(rng.integers(1, 100, n), type=pa.int64()),
+    })
+    dims = pa.table({
+        "d_region": pa.array([f"r{i}" for i in range(4) for _ in range(3)]),
+        "d_tier": pa.array([t for _ in range(4) for t in range(3)],
+                           type=pa.int64()),
+        "rate": pa.array(np.arange(12, dtype=np.float64) / 10),
+    })
+    f_dir, d_dir = str(base / "f"), str(base / "d")
+    encode_dataset(rd.from_arrow(facts), f_dir, key_col="region",
+                   id_col="fid", weight_col=None)
+    encode_dataset(rd.from_arrow(dims), d_dir, key_col="d_region",
+                   id_col="d_tier", weight_col=None)
+
+    from arcade_ray.collect import collect_arrow
+    got = collect_arrow(broadcast_join(
+        f_dir, d_dir, probe_key=["region", "tier"],
+        build_key=["d_region", "d_tier"],
+        probe_cols=["fid", "region", "tier"], build_cols=["rate"],
+    )).to_pandas().sort_values("fid", ignore_index=True)
+
+    exp = facts.to_pandas().merge(
+        dims.to_pandas(), left_on=["region", "tier"],
+        right_on=["d_region", "d_tier"])[
+        ["fid", "region", "tier", "rate"]].sort_values(
+        "fid", ignore_index=True)
+    assert got[["fid", "region", "tier", "rate"]].equals(exp)
+
+    left = collect_arrow(broadcast_join(
+        f_dir, d_dir, probe_key=["region", "tier"],
+        build_key=["d_region", "d_tier"],
+        probe_cols=["fid"], build_cols=["rate"], how="left"))
+    assert left.num_rows == n  # tier 3 rows survive with null rate
+    assert left["rate"].null_count > 0
+
+    # non-unique composite build keys must raise
+    dup = pa.concat_tables([dims, dims.slice(0, 1)])
+    d2 = str(base / "d2")
+    encode_dataset(rd.from_arrow(dup), d2, key_col="d_region",
+                   id_col="d_tier", weight_col=None)
+    with pytest.raises(ValueError, match="not unique"):
+        broadcast_join(f_dir, d2, probe_key=["region", "tier"],
+                       build_key=["d_region", "d_tier"],
+                       probe_cols=["fid"], build_cols=["rate"])
