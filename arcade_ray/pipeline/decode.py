@@ -15,15 +15,29 @@ from .encode import load_manifest
 
 
 def decode_dataset(out_dir: str, columns: list[str] | None = None,
-                   concurrency: int | None = None):
+                   concurrency: int | None = None,
+                   generation: str | None = None):
     """-> ray.data.Dataset of decoded rows (streaming, one task per
-    partition file)."""
+    partition file). ``generation`` restricts the scan to one append
+    generation's partitions ("" = the base generation, i.e. partitions
+    written without a generation namespace)."""
     import ray.data as rd
 
     manifest = load_manifest(out_dir)
-    items = manifest.select(["path"]).to_pylist()
+    items = manifest.select(["path", "part_key"]).to_pylist()
+    if generation is not None:
+        if generation == "":
+            items = [r for r in items
+                     if "@" not in r["part_key"].split("#", 1)[0]]
+        else:
+            items = [r for r in items if r["part_key"]
+                     .split("#", 1)[0].endswith(f"@{generation}")]
+    items = [{"path": r["path"]} for r in items]
     if not items:
-        raise FileNotFoundError(f"no committed partitions under {out_dir}")
+        raise FileNotFoundError(
+            f"no committed partitions under {out_dir}"
+            + (f" for generation {generation!r}" if generation is not None
+               else ""))
     paths_ds = rd.from_items(items)
 
     def decode_batch(batch: pa.Table) -> pa.Table:

@@ -53,11 +53,13 @@ def _manifest_prunable(header: dict, col: str) -> bool:
     return cm["kind"] != "list" and cm.get("tag") not in ("f32", "f64")
 
 
-def scan(out_dir: str, columns: list[str] | None = None):
-    """Full scan with projection -> ray.data.Dataset (streaming)."""
+def scan(out_dir: str, columns: list[str] | None = None,
+         generation: str | None = None):
+    """Full scan with projection -> ray.data.Dataset (streaming).
+    ``generation`` restricts to one append generation ("" = base)."""
     from .decode import decode_dataset
 
-    return decode_dataset(out_dir, columns=columns)
+    return decode_dataset(out_dir, columns=columns, generation=generation)
 
 
 def sorted_scan(out_dir: str, by, columns: list[str] | None = None,

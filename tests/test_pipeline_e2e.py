@@ -164,3 +164,33 @@ def test_generation_append(ray_session, tmp_path):
 
     with pytest.raises(ValueError):
         encode_dataset(rd.from_arrow(b), out_dir, generation="bad#gen")
+
+
+def test_generation_scoped_scan(ray_session, tmp_path):
+    """scan(generation=...) reads exactly one append generation; ""
+    selects the base partitions."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.corpus import generate_corpus
+    from arcade_ray.pipeline import encode_dataset
+    from arcade_ray.pipeline.query import scan
+
+    out_dir = str(tmp_path / "enc")
+    a = generate_corpus(1500, 3, seed=41)
+    encode_dataset(rd.from_arrow(a), out_dir, weight_cap=150_000)
+    b = generate_corpus(800, 3, seed=42)
+    b = b.set_column(0, "doc_id", pa.array(
+        [f"gX:{v}" for v in b["doc_id"].to_pylist()]))
+    encode_dataset(rd.from_arrow(b), out_dir, weight_cap=150_000,
+                   generation="gX")
+
+    base = collect_arrow(scan(out_dir, columns=["doc_id"], generation=""))
+    assert set(base["doc_id"].to_pylist()) == set(a["doc_id"].to_pylist())
+    gen = collect_arrow(scan(out_dir, columns=["doc_id"], generation="gX"))
+    assert set(gen["doc_id"].to_pylist()) == set(b["doc_id"].to_pylist())
+    both = collect_arrow(scan(out_dir, columns=["doc_id"]))
+    assert both.num_rows == 2300
+    with pytest.raises(FileNotFoundError):
+        scan(out_dir, generation="nope")
