@@ -606,6 +606,23 @@ def q_semi_join_orders(sf_dir: str) -> pa.Table:
         o_dir, "o_custkey", ["o_orderkey", "o_custkey"], keys))
 
 
+def q_semi_join_bloom(sf_dir: str) -> pa.Table:
+    """The LARGE-key-side semi join (join.semi_join_large): Bloom
+    bitmap built by distributed OR-reduce over the key Dataset,
+    broadcast once; probe prefilters against it; survivors settle
+    exactly in a co-partitioned verify. Same oracle as the broadcast
+    set path — false positives must never leak."""
+    from .pipeline.join import semi_join_large
+    from .pipeline.query import equi_filter
+
+    o_dir = encoded_dir(sf_dir, "orders")
+    c_dir = encoded_dir(sf_dir, "customer")
+    keys = equi_filter(c_dir, "c_mktsegment", "BUILDING",
+                       project=["c_custkey"])
+    return _collect(semi_join_large(
+        o_dir, "o_custkey", ["o_orderkey", "o_custkey"], keys))
+
+
 def q_anti_join_orders(sf_dir: str) -> pa.Table:
     """ANTI join (NOT EXISTS): orders whose customer is NOT in the
     BUILDING segment — same broadcast key set, inverted membership."""
@@ -1335,6 +1352,7 @@ QUERIES = {
     "range_join_sessions": q_range_join_sessions,
     "interval_join_events": q_interval_join_events,
     "semi_join_orders": q_semi_join_orders,
+    "semi_join_bloom": q_semi_join_bloom,
     "anti_join_orders": q_anti_join_orders,
     "q3_revenue_topk": q_q3_revenue_topk,
     "composite_join_enrich": q_composite_join_enrich,
@@ -1504,6 +1522,11 @@ ORACLE_SQL = {
         ") d ON l_returnflag = d.rf AND l_linestatus = d.ls"
     ),
     "semi_join_orders": (
+        "SELECT o_orderkey, o_custkey FROM orders "
+        "WHERE o_custkey IN (SELECT c_custkey FROM customer "
+        "WHERE c_mktsegment = 'BUILDING')"
+    ),
+    "semi_join_bloom": (
         "SELECT o_orderkey, o_custkey FROM orders "
         "WHERE o_custkey IN (SELECT c_custkey FROM customer "
         "WHERE c_mktsegment = 'BUILDING')"

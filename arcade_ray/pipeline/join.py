@@ -374,3 +374,171 @@ def semi_join(probe_dir: str, probe_key: str, probe_cols: list[str],
         return pa.concat_tables(outs)
 
     return ds.map_batches(probe, batch_format="pyarrow", batch_size=1)
+
+
+def semi_join_large(probe_dir: str, probe_key: str, probe_cols: list[str],
+                    keys_ds, anti: bool = False,
+                    bits_per_key: int = 12, n_buckets: int | None = None):
+    """EXACT SEMI/ANTI join when the key side is TOO BIG to broadcast
+    as a set (:func:`semi_join`'s guardrail case): a Bloom bitmap
+    prefilter + a co-partitioned exact verify.
+
+    1. The key Dataset builds a Bloom bitmap distributed: one partial
+       bitmap per block (two bit positions per key from independent
+       64-bit hashes), OR-merged in a binary task tree — the driver
+       never holds the keys, only the final m-bit bitmap
+       (``bits_per_key`` x #keys bits; 12 -> ~0.5% FP before verify).
+    2. Probe partitions prefilter against the broadcast bitmap: bloom
+       MISSES are definite non-members (resolved immediately — kept
+       for ANTI, dropped for SEMI); only bloom HITS (true members +
+       ~FP-rate false positives) continue.
+    3. Exact verify: the surviving probe rows and the key rows
+       co-partition by key hash into coarse buckets (one shuffle of
+       the small surviving set + the keys); per bucket one vectorized
+       ``pc.is_in`` settles membership exactly.
+
+    Null keys: never match SEMI, survive ANTI (NOT EXISTS)."""
+    import ray
+    import ray.data as rd
+
+    from ..hashing import hash_column
+    from ..format import read_header
+
+    if n_buckets is None:
+        avail = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        n_buckets = max(8, 2 * avail)
+
+    n_keys = max(int(keys_ds.count()), 1)
+    m_bits = 1 << max(int(np.ceil(np.log2(n_keys * bits_per_key))), 10)
+    m_mask = np.uint64(m_bits - 1)
+    n_bytes = m_bits // 8
+
+    def _positions(arr) -> tuple[np.ndarray, np.ndarray]:
+        h = hash_column(arr)
+        # two independent positions from one 64-bit hash (upper half
+        # re-mixed): classic double hashing
+        h2 = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        return h & m_mask, h2 & m_mask
+
+    def _bitmap_of(batch: pa.Table) -> pa.Table:
+        key_col = batch.column_names[0]
+        bm = np.zeros(n_bytes, dtype=np.uint8)
+        p1, p2 = _positions(pc.drop_null(batch[key_col].combine_chunks()))
+        for p in (p1, p2):
+            np.bitwise_or.at(bm, (p >> np.uint64(3)).astype(np.int64),
+                             np.uint8(1) << (p & np.uint64(7)).astype(np.uint8))
+        return pa.table({"bm": pa.array([bm.tobytes()], type=pa.large_binary())})
+
+    partials = [ray.put(np.frombuffer(r["bm"], dtype=np.uint8))
+                for r in keys_ds.map_batches(
+                    _bitmap_of, batch_format="pyarrow").take_all()]
+
+    @ray.remote
+    def _or(a, b):
+        return np.bitwise_or(a, b)
+
+    refs = partials
+    while len(refs) > 1:
+        nxt = [_or.remote(refs[i], refs[i + 1])
+               for i in range(0, len(refs) - 1, 2)]
+        if len(refs) % 2:
+            nxt.append(refs[-1])
+        refs = nxt
+    bloom_ref = refs[0]
+
+    def _bloom_hit(col) -> np.ndarray:
+        bm = ray.get(bloom_ref)
+        p1, p2 = _positions(col)
+        hit1 = (bm[(p1 >> np.uint64(3)).astype(np.int64)]
+                >> (p1 & np.uint64(7)).astype(np.uint8)) & 1
+        hit2 = (bm[(p2 >> np.uint64(3)).astype(np.int64)]
+                >> (p2 & np.uint64(7)).astype(np.uint8)) & 1
+        return (hit1 & hit2).astype(bool)
+
+    rows = load_manifest(probe_dir).to_pylist()
+    header0, _ = read_header(rows[0]["path"])
+    known = list(header0["columns"])
+    for c in [probe_key, *probe_cols]:
+        if c not in known:
+            raise KeyError(
+                f"column {c!r} not in encoded dataset (columns: {known})")
+    need = list(dict.fromkeys(probe_cols + [probe_key]))
+    paths = rd.from_items([{"path": r["path"]} for r in rows])
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        outs = []
+        for p in batch["path"]:
+            t = decode_partition(p.as_py(), columns=need)
+            col = t[probe_key].combine_chunks()
+            valid = pc.is_valid(col)
+            hit = np.zeros(t.num_rows, dtype=bool)
+            nn = col.drop_null()
+            if len(nn):
+                hit[pc.is_valid(col).to_numpy(zero_copy_only=False)] = \
+                    _bloom_hit(nn)
+            if anti:
+                # definite non-members (bloom miss or null) resolve NOW
+                keep_now = t.filter(pa.array(~hit))
+                pend = t.filter(pa.array(hit))
+                outs.append(pa.table({
+                    "_settled": pa.array([True] * keep_now.num_rows
+                                         + [False] * pend.num_rows),
+                    **{c: pa.concat_arrays([
+                        keep_now[c].combine_chunks(),
+                        pend[c].combine_chunks()]) for c in need},
+                }))
+            else:
+                outs.append(pa.table({
+                    "_settled": pa.array([False] * int(hit.sum())),
+                    **{c: t.filter(pa.array(hit))[c] for c in need},
+                }))
+        return pa.concat_tables(outs)
+
+    survivors = paths.map_batches(prefilter, batch_format="pyarrow",
+                                  batch_size=1)
+
+    # exact verify: co-partition pending probe rows + keys by key hash
+    def tag_probe(b: pa.Table) -> pa.Table:
+        bk = (hash_column(b[probe_key]) % np.uint64(n_buckets)).astype(np.int64)
+        bk[b["_settled"].to_numpy(zero_copy_only=False)] = -1  # skip verify
+        return b.append_column("_jb", pa.array(bk))
+
+    key_name = keys_ds.schema().names[0]
+    probe_schema = {f.name: f.type for f in survivors.schema().base_schema}
+
+    def tag_keys2(b: pa.Table) -> pa.Table:
+        col = pc.drop_null(b[key_name].combine_chunks())
+        bk = (hash_column(col) % np.uint64(n_buckets)).astype(np.int64)
+        cols = {"_settled": pa.array(np.zeros(len(col), dtype=bool)),
+                "_is_key": pa.array(np.ones(len(col), dtype=bool))}
+        for c in need:
+            cols[c] = col.cast(probe_schema[c]) if c == probe_key \
+                else pa.nulls(len(col), probe_schema[c])
+        t = pa.table(cols)
+        return t.append_column("_jb", pa.array(bk))
+
+    def mark_probe(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_is_key", pa.array(np.zeros(b.num_rows, dtype=bool)))
+
+    unified = survivors.map_batches(mark_probe, batch_format="pyarrow") \
+        .map_batches(tag_probe, batch_format="pyarrow") \
+        .union(keys_ds.map_batches(tag_keys2, batch_format="pyarrow"))
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({}) if not set(probe_cols) <= \
+                set(t.column_names) else t.select(probe_cols)
+        settled = t.filter(t["_settled"])
+        pend = t.filter(pc.and_(pc.invert(t["_settled"]),
+                                pc.invert(t["_is_key"])))
+        keys = t.filter(t["_is_key"])[probe_key].combine_chunks()
+        member = pc.is_in(pend[probe_key].combine_chunks(), value_set=keys)
+        keep = pc.invert(member) if anti else member
+        return pa.concat_tables([
+            settled.select(probe_cols),
+            pend.filter(keep).select(probe_cols),
+        ])
+
+    return unified.groupby("_jb").map_groups(verify, batch_format="pyarrow")

@@ -293,3 +293,32 @@ def test_broadcast_join_composite_key(ray_session, tmp_path_factory):
         broadcast_join(f_dir, d2, probe_key=["region", "tier"],
                        build_key=["d_region", "d_tier"],
                        probe_cols=["fid"], build_cols=["rate"])
+
+
+def test_semi_join_large_bloom(two_tables, ray_session):
+    """Bloom-prefiltered EXACT semi/anti join: results identical to the
+    broadcast set path (false positives are settled by the
+    co-partitioned verify, never returned)."""
+    import ray.data as rd
+
+    from arcade_ray.pipeline.join import semi_join, semi_join_large
+
+    o_dir, c_dir, orders, cust = two_tables
+    keys_tbl = pa.table({"k": cust.filter(
+        pc.equal(cust["c_seg"], "seg-1"))["c_custkey"]})
+    keys_ds = rd.from_arrow(keys_tbl).repartition(4)
+
+    exact = collect_arrow(semi_join(
+        o_dir, "o_custkey", ["o_orderkey"], keys_tbl["k"]))
+    got = collect_arrow(semi_join_large(
+        o_dir, "o_custkey", ["o_orderkey"], keys_ds, bits_per_key=12))
+    assert sorted(got["o_orderkey"].to_pylist()) == \
+        sorted(exact["o_orderkey"].to_pylist())
+
+    exact_a = collect_arrow(semi_join(
+        o_dir, "o_custkey", ["o_orderkey"], keys_tbl["k"], anti=True))
+    got_a = collect_arrow(semi_join_large(
+        o_dir, "o_custkey", ["o_orderkey"], keys_ds, anti=True))
+    assert sorted(got_a["o_orderkey"].to_pylist()) == \
+        sorted(exact_a["o_orderkey"].to_pylist())
+    assert got.num_rows + got_a.num_rows == orders.num_rows
