@@ -491,3 +491,94 @@ def kmeans_fit(ds, k: int = 16, iters: int = 10, id_col: str = "vec_id",
 
     assignments = proj.map_batches(assign_final, batch_format="pyarrow")
     return cents, assignments, inertia_hist
+
+
+def build_ivf_index(ds, index_dir: str, n_centroids: int = 64,
+                    sample_size: int = 5000, id_col: str = "vec_id",
+                    vec_col: str = "embedding", seed: int = 42) -> dict:
+    """PERSIST an IVF index: build-once / query-many, the shape real
+    similarity search at corpus scale needs (the in-memory
+    ivf_topk_cosine retrains its codebook per call).
+
+    - codebook: k-means++ centroids from a driver sample, written as
+      one small parquet (cell, centroid list).
+    - data: one full streaming pass assigns every vector its nearest
+      cell and writes hive-PARTITIONED parquet (one directory per
+      cell), so a query's `cell IN probed` filter prunes at the READ —
+      unprobed cells never leave storage.
+
+    Returns {"cells": n, "rows": n, "dir": index_dir}."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    sample_tab = ds.limit(sample_size).take_batch(
+        sample_size, batch_format="pyarrow")
+    cents = _kmeans_lite(_to_matrix(sample_tab[vec_col]),
+                         n_centroids, seed=seed)
+    os.makedirs(index_dir, exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "cell": pa.array(np.arange(len(cents)), type=pa.int64()),
+            "centroid": pa.array(cents.tolist(),
+                                 type=pa.list_(pa.float64())),
+        }), os.path.join(index_dir, "codebook.parquet"))
+    cref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        x = _normalize(_to_matrix(batch[vec_col]))
+        cell = np.argmax(x @ c.T, axis=1)
+        return pa.table({
+            id_col: batch[id_col],
+            vec_col: batch[vec_col],
+            "cell": pa.array(cell, type=pa.int64()),
+        })
+
+    data_dir = os.path.join(index_dir, "data")
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        data_dir, partition_cols=["cell"])
+    n_rows = int(ds.count())
+    return {"cells": len(cents), "rows": n_rows, "dir": index_dir}
+
+
+def ivf_index_topk(index_dir: str, queries_ids: list[int],
+                   queries_mat: np.ndarray, k: int = 10,
+                   n_probe: int = 8, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> pa.Table:
+    """Query a persisted IVF index: probed cells resolve against the
+    tiny codebook on the driver; the data read is FILTERED to those
+    cells at the parquet layer (hive-partition pruning — unprobed
+    cells are never read). Scoring reuses the brute-force batch kernel
+    over the pruned read; per-query results merge like topk_cosine."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    book = pq.read_table(os.path.join(index_dir, "codebook.parquet"))
+    cents = _to_matrix(book["centroid"])
+    q = _normalize(np.asarray(queries_mat, dtype=np.float64))
+    probe = np.argsort(-(q @ cents.T), axis=1)[:, :n_probe]
+    cells = sorted({int(c) for row in probe for c in row})
+
+    # manual hive-partition pruning: pass ONLY the probed cells' hive
+    # directories to the read (Ray's fragment sampler cannot bind a
+    # filter on a partition-only column, so directory selection does
+    # the pruning — unprobed cells never leave storage either way)
+    data_dir = os.path.join(index_dir, "data")
+    paths = []
+    for c in cells:
+        cdir = os.path.join(data_dir, f"cell={c}")
+        if os.path.isdir(cdir):
+            paths.extend(os.path.join(cdir, f)
+                         for f in sorted(os.listdir(cdir))
+                         if f.endswith(".parquet"))
+    if not paths:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         id_col: pa.array([], pa.int64()),
+                         "cos": pa.array([], pa.float64())})
+    ds = rd.read_parquet(paths, columns=[id_col, vec_col])
+    return topk_cosine(ds, queries_ids, queries_mat, k=k,
+                       id_col=id_col, vec_col=vec_col)

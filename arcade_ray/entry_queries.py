@@ -967,6 +967,39 @@ def q_ann_ivf_recall(sf_dir: str) -> pa.Table:
                      "recall_ok": pa.array(rows_ok, type=pa.bool_())})
 
 
+def q_ann_index_recall(sf_dir: str) -> pa.Table:
+    """PERSISTED IVF index contract (ann.build_ivf_index /
+    ivf_index_topk): the index builds once into hive-partitioned
+    parquet; queries read ONLY probed-cell directories. Recall vs the
+    exact top-k computed in-query; the oracle asserts all-true."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .ann import build_ivf_index, ivf_index_topk, topk_cosine
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qtab = pq.read_table(path, filters=[("vec_id", "in", ANN_QUERY_IDS)])
+    qmat = np.array([r for r in qtab["embedding"].to_pylist()],
+                    dtype=np.float64)
+    qids = qtab["vec_id"].to_pylist()
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = os.path.join(CACHE_ROOT, f"ivf-index-{tag}")
+    if not os.path.isdir(os.path.join(idx, "data")):
+        build_ivf_index(ds, idx, n_centroids=32, sample_size=4000)
+    exact = topk_cosine(ds, qids, qmat, k=ANN_K)
+    approx = ivf_index_topk(idx, qids, qmat, k=ANN_K, n_probe=16)
+    rows_q, rows_ok = [], []
+    for q in sorted(qids):
+        e = set(exact.filter(pc.equal(exact["query_id"], q))["vec_id"].to_pylist())
+        a = set(approx.filter(pc.equal(approx["query_id"], q))["vec_id"].to_pylist())
+        rows_q.append(q)
+        rows_ok.append(len(e & a) / max(1, len(e)) >= 0.6)
+    return pa.table({"query_id": pa.array(rows_q, type=pa.int64()),
+                     "recall_ok": pa.array(rows_ok, type=pa.bool_())})
+
+
 # --- training-data pipeline operators (dedup / text analysis / ANN) --------
 
 def _docs_ds(sf_dir: str):
@@ -1386,6 +1419,7 @@ QUERIES = {
     "ann_lsh_recall": q_ann_lsh_recall,
     "ann_topk_ivf": q_ann_topk_ivf,
     "ann_ivf_recall": q_ann_ivf_recall,
+    "ann_index_recall": q_ann_index_recall,
     "exact_dedup": q_exact_dedup,
     "exact_dedup_best": q_exact_dedup_best,
     "token_count": q_token_count,
@@ -1610,6 +1644,10 @@ ORACLE_SQL = {
         "FROM embeddings WHERE vec_id IN (0,1,2,3,4)"
     ),
     "ann_ivf_recall": (
+        "SELECT vec_id AS query_id, CAST(1 AS BOOLEAN) AS recall_ok "
+        "FROM embeddings WHERE vec_id IN (0,1,2,3,4)"
+    ),
+    "ann_index_recall": (
         "SELECT vec_id AS query_id, CAST(1 AS BOOLEAN) AS recall_ok "
         "FROM embeddings WHERE vec_id IN (0,1,2,3,4)"
     ),

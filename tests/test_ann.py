@@ -148,3 +148,44 @@ def test_kmeans_fit_recovers_planted_clusters(ray_session):
         mapping[p] = labels.pop()
     assert len(set(mapping.values())) == 3
     assert all(b <= a + 1e-9 for a, b in zip(hist, hist[1:])), hist
+
+
+def test_ivf_index_persist_and_query(ray_session, tmp_path):
+    """build_ivf_index persists codebook + cell-partitioned data; the
+    query reads ONLY probed cells and recall vs exact stays high."""
+    import os
+
+    import ray.data as rd
+
+    from arcade_ray.ann import build_ivf_index, ivf_index_topk, topk_cosine
+
+    rng = np.random.default_rng(5)
+    dim, n = 16, 2000
+    centers = rng.standard_normal((8, dim)) * 4
+    vecs = np.concatenate([
+        c + rng.standard_normal((n // 8, dim)) * 0.4 for c in centers])
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(vecs)), type=pa.int64()),
+        "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float64())),
+    })
+    idx = str(tmp_path / "ivf")
+    info = build_ivf_index(rd.from_arrow(t), idx, n_centroids=16,
+                           sample_size=2000)
+    assert info["rows"] == len(vecs)
+    assert os.path.isdir(os.path.join(idx, "data"))
+    # hive layout: one directory per cell
+    assert any(d.startswith("cell=") for d in
+               os.listdir(os.path.join(idx, "data")))
+
+    qids = [3, 777, 1500]
+    qmat = vecs[qids]
+    exact = topk_cosine(rd.from_arrow(t), qids, qmat, k=10)
+    approx = ivf_index_topk(idx, qids, qmat, k=10, n_probe=6)
+    assert approx.num_rows == 30
+    import pyarrow.compute as pc
+    recalls = []
+    for q in qids:
+        e = set(exact.filter(pc.equal(exact["query_id"], q))["vec_id"].to_pylist())
+        a = set(approx.filter(pc.equal(approx["query_id"], q))["vec_id"].to_pylist())
+        recalls.append(len(e & a) / len(e))
+    assert min(recalls) >= 0.8, recalls
