@@ -1058,6 +1058,46 @@ def q_exact_dedup_best(sf_dir: str) -> pa.Table:
         lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow"))
 
 
+def q_dedup_incremental(sf_dir: str) -> pa.Table:
+    """Continuous-ingest dedup (textops.build_dedup_index +
+    dedup_against_index): the documents corpus is indexed once as
+    24 B/doc signatures; a planted new batch (every 5th doc re-sent
+    with a new id + every 10th doc with genuinely novel text) dedups
+    against the index without re-reading corpus text. Oracle: NOT
+    EXISTS against the corpus over the same planted batch."""
+    import ray.data as rd
+
+    from .textops import build_dedup_index, dedup_against_index
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = os.path.join(CACHE_ROOT, f"dedup-sig-{tag}")
+    if not os.path.isdir(idx):
+        build_dedup_index(_docs_ds(sf_dir), idx)
+
+    def plant(b: pa.Table) -> pa.Table:
+        seen = b.filter(pc.equal(
+            pc.subtract(b["doc_id"],
+                        pc.multiply(pc.divide(b["doc_id"], 5), 5)), 0))
+        novel = b.filter(pc.equal(
+            pc.subtract(b["doc_id"],
+                        pc.multiply(pc.divide(b["doc_id"], 10), 10)), 0))
+        return pa.table({
+            "doc_id": pa.concat_arrays([
+                pc.add(seen["doc_id"], 20_000_000).combine_chunks(),
+                pc.add(novel["doc_id"], 30_000_000).combine_chunks()]),
+            "text": pa.concat_arrays([
+                seen["text"].combine_chunks(),
+                pc.binary_join_element_wise(
+                    novel["text"].combine_chunks(),
+                    pa.array(["-novel"] * novel.num_rows), "")]),
+        })
+
+    new_batch = _docs_ds(sf_dir).map_batches(plant, batch_format="pyarrow")
+    out = dedup_against_index(new_batch, idx)
+    return _collect(out.map_batches(
+        lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow"))
+
+
 _ANALYZE_CACHE: dict[str, pa.Table] = {}
 
 
@@ -1422,6 +1462,7 @@ QUERIES = {
     "ann_index_recall": q_ann_index_recall,
     "exact_dedup": q_exact_dedup,
     "exact_dedup_best": q_exact_dedup_best,
+    "dedup_incremental": q_dedup_incremental,
     "token_count": q_token_count,
     "fingerprint": q_fingerprint,
     "lang_id": q_lang_id,
@@ -1652,6 +1693,16 @@ ORACLE_SQL = {
         "FROM embeddings WHERE vec_id IN (0,1,2,3,4)"
     ),
     "exact_dedup": "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+    "dedup_incremental": (
+        "WITH newbatch AS ("
+        "SELECT doc_id + 20000000 AS doc_id, text FROM documents "
+        "WHERE doc_id % 5 = 0 UNION ALL "
+        "SELECT doc_id + 30000000, text || '-novel' FROM documents "
+        "WHERE doc_id % 10 = 0) "
+        "SELECT min(doc_id) AS doc_id, text FROM newbatch n "
+        "WHERE NOT EXISTS (SELECT 1 FROM documents d "
+        "WHERE d.text = n.text) GROUP BY text"
+    ),
     "exact_dedup_best": (
         "WITH base AS (SELECT doc_id, text FROM documents UNION ALL "
         "SELECT doc_id + 10000000, text FROM documents "

@@ -869,3 +869,98 @@ def normalize_text(ds, text_col: str = "text", out_col: str = "norm_text",
         return pa.table(cols)
 
     return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def build_dedup_index(ds, index_dir: str, text_col: str = "text",
+                      id_col: str = "doc_id") -> int:
+    """Persist a corpus's exact-dedup SIGNATURE INDEX: (h1, h2, id)
+    parquet shards — 24 B/doc regardless of document size. Continuous
+    ingest then dedups NEW batches against the index
+    (:func:`dedup_against_index`) without ever re-reading the old
+    corpus text. Returns the indexed row count."""
+    sig = ds.map_batches(lambda b: dedup_signatures(b, text_col, id_col),
+                         batch_format="pyarrow")
+    sig.write_parquet(index_dir)
+    import ray.data as rd
+
+    return int(rd.read_parquet(index_dir).count())
+
+
+def dedup_against_index(ds, index_dir: str, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        n_buckets: int | None = None):
+    """Incremental exact dedup: drop rows of ``ds`` whose 128-bit text
+    hash already appears in a persisted signature index (an earlier
+    corpus), then dedup the batch against ITSELF (text-verified, via
+    :func:`exact_dedup`). Returns the filtered Dataset.
+
+    Scale shape: new-batch signatures and index rows co-partition by
+    hash bucket (one shuffle of 24 B/row each — the index text never
+    existed, the new text never moves); per bucket one vectorized
+    join finds already-seen hashes. Identity vs the INDEX is the
+    128-bit hash alone (the index stores no text to verify against);
+    within the new batch, survivors still get the text-verified
+    exact_dedup."""
+    import ray
+    import ray.data as rd
+
+    if n_buckets is None:
+        avail = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        n_buckets = max(8, 2 * avail)
+
+    new_sig = ds.map_batches(
+        lambda b: dedup_signatures(b, text_col, id_col),
+        batch_format="pyarrow")
+    index = rd.read_parquet(index_dir)
+    # resolve the id type ONCE — schema() inside the batch fn would
+    # trigger a limit-1 execution per call
+    id_type = new_sig.schema().base_schema.field(id_col).type
+
+    def tag(b: pa.Table, is_new: bool) -> pa.Table:
+        h = b["_h"].to_numpy(zero_copy_only=False)
+        bk = (h.view(np.uint64) % np.uint64(n_buckets)).astype(np.int64)
+        ids = b[id_col] if is_new else pa.nulls(b.num_rows, id_type)
+        return pa.table({
+            "_db": pa.array(bk),
+            "_h": b["_h"], "_h2": b["_h2"],
+            "_new": pa.array(np.full(b.num_rows, is_new)),
+            id_col: ids,
+        })
+
+    unified = new_sig.map_batches(
+        lambda b: tag(b, True), batch_format="pyarrow").union(
+        index.map_batches(lambda b: tag(b, False), batch_format="pyarrow"))
+
+    def seen(t: pa.Table) -> pa.Table:
+        out_t = t[id_col].type if id_col in t.column_names else pa.int64()
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], type=out_t)})
+        new = t.filter(t["_new"])
+        old = t.filter(pc.invert(t["_new"]))
+        if new.num_rows == 0 or old.num_rows == 0:
+            return pa.table({id_col: pa.array([], type=out_t)})
+        # composite 128-bit membership via a join on both hash halves
+        probe = pa.table({"_h": new["_h"], "_h2": new["_h2"],
+                          id_col: new[id_col]})
+        hit = probe.join(
+            pa.table({"_h": old["_h"], "_h2": old["_h2"]})
+            .group_by(["_h", "_h2"]).aggregate([]),
+            keys=["_h", "_h2"], join_type="inner")
+        return pa.table({id_col: hit[id_col]})
+
+    from .collect import collect_arrow
+
+    losers = collect_arrow(
+        unified.groupby("_db").map_groups(seen, batch_format="pyarrow"))
+    survivors = ds
+    if losers.num_rows:
+        lose_ref = ray.put(losers[id_col].combine_chunks())
+
+        def keep(batch: pa.Table) -> pa.Table:
+            lose = ray.get(lose_ref)
+            return batch.filter(pc.invert(pc.is_in(
+                batch[id_col], value_set=lose.cast(batch[id_col].type))))
+
+        survivors = ds.map_batches(keep, batch_format="pyarrow")
+    return exact_dedup(survivors, text_col=text_col, id_col=id_col)

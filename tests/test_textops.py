@@ -394,3 +394,35 @@ def test_exact_dedup_priority_keeps_best(ray_session):
         .sort_values("doc_id", ignore_index=True)
     # aa: max prio 9 at ids {2,3} -> min id 2; bb: tie prio -> id 4
     assert out["doc_id"].tolist() == [2, 4, 6, 7]
+
+
+def test_dedup_against_index(ray_session, tmp_path):
+    """Incremental dedup: a persisted 24 B/doc signature index drops
+    already-seen texts from a new batch; in-batch dups still dedup
+    with text verification."""
+    import ray.data as rd
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.textops import build_dedup_index, dedup_against_index
+
+    base = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["alpha doc", "beta doc", "gamma doc"]),
+    })
+    idx = str(tmp_path / "sigidx")
+    assert build_dedup_index(rd.from_arrow(base), idx) == 3
+
+    new = pa.table({
+        "doc_id": pa.array([10, 11, 12, 13, 14], type=pa.int64()),
+        "text": pa.array([
+            "beta doc",      # seen in the index -> dropped
+            "delta doc",     # fresh
+            "delta doc",     # in-batch dup -> min id survives
+            "gamma doc",     # seen -> dropped
+            "epsilon doc",   # fresh
+        ]),
+    })
+    out = collect_arrow(dedup_against_index(
+        rd.from_arrow(new), idx)).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    assert out["doc_id"].tolist() == [11, 14]
