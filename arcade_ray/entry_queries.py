@@ -1274,6 +1274,20 @@ def q_normalize_text(sf_dir: str) -> pa.Table:
     return _collect(normalize_text(ds, keep=["doc_id"]))
 
 
+def q_mix_sources(sf_dir: str) -> pa.Table:
+    """Deterministic corpus mixing (transforms.mix_sources): src0 kept
+    whole, src1 at 40%, everything else at 80% — systematic id-modulus
+    inclusion, reproducible and SQL-mirrorable."""
+    import ray.data as rd
+
+    from .transforms import mix_sources
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "source"])
+    return _collect(mix_sources(
+        ds, {"src0": 1.0, "src1": 0.4, "*": 0.8}, modulus=10))
+
+
 def q_stratified_sample(sf_dir: str) -> pa.Table:
     """Deterministic per-group sample: 5 docs per source with the
     smallest md5(doc_id) (transforms.stratified_sample — per-batch
@@ -1479,6 +1493,7 @@ QUERIES = {
     "group_stats": q_group_stats,
     "pack_sequences": q_pack_sequences,
     "stratified_sample": q_stratified_sample,
+    "mix_sources": q_mix_sources,
     "normalize_text": q_normalize_text,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
@@ -1728,6 +1743,11 @@ ORACLE_SQL = {
     "normalize_text": (
         "SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', "
         "'g')) AS norm_text FROM documents"
+    ),
+    "mix_sources": (
+        "SELECT doc_id, source FROM documents "
+        "WHERE doc_id % 10 < CASE source WHEN 'src0' THEN 10 "
+        "WHEN 'src1' THEN 4 ELSE 8 END"
     ),
     "stratified_sample": (
         "SELECT source, doc_id FROM documents "

@@ -239,3 +239,38 @@ def stratified_sample(ds, key_col: str, n_per_group: int, id_col: str,
     return (ds.map_batches(candidates, batch_format="pyarrow")
             .groupby("_sk")
             .map_groups(winners, batch_format="pyarrow"))
+
+
+def mix_sources(ds, rates: dict, key_col: str = "source",
+                id_col: str = "doc_id", modulus: int = 10_000):
+    """Deterministic corpus MIXING: keep each row with its source's
+    sampling rate — the reweighting step that balances a pretraining
+    mixture (e.g. wiki at 1.0, crawl at 0.15). Inclusion is systematic
+    (id % modulus < rate * modulus), so the mixture is reproducible
+    across runs/machines/partitionings and SQL-checkable; rates > 1
+    mean "keep all" (upsampling needs row duplication — see
+    ``repeat`` in a follow-up op). Unlisted sources keep rate
+    ``rates.get("*", 1.0)``. One vectorized pass, no shuffle."""
+    import pyarrow.compute as pc
+
+    default = float(rates.get("*", 1.0))
+    thresholds = {k: min(max(float(v), 0.0), 1.0) * modulus
+                  for k, v in rates.items() if k != "*"}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].combine_chunks()
+        if pa.types.is_integer(ids.type):
+            mod = pc.subtract(ids, pc.multiply(
+                pc.divide(ids, modulus), modulus))
+            mod = mod.to_numpy(zero_copy_only=False)
+        else:
+            from .hashing import hash_column
+
+            mod = (hash_column(ids) % np.uint64(modulus)).astype(np.int64)
+        d = pc.dictionary_encode(batch[key_col].combine_chunks())
+        per_code = np.array([thresholds.get(k, default * modulus)
+                             for k in d.dictionary.to_pylist()])
+        thr = per_code[d.indices.to_numpy(zero_copy_only=False)]
+        return batch.filter(pa.array(mod < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
