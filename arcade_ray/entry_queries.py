@@ -1288,6 +1288,19 @@ def q_mix_sources(sf_dir: str) -> pa.Table:
         ds, {"src0": 1.0, "src1": 0.4, "*": 0.8}, modulus=10))
 
 
+def q_repeat_sources(sf_dir: str) -> pa.Table:
+    """Deterministic upsampling (transforms.repeat_sources): src0 rows
+    emitted 3x (rep = 1..3), everything else once — the other half of
+    corpus mixing. Oracle: generate_series lateral."""
+    import ray.data as rd
+
+    from .transforms import repeat_sources
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "source"])
+    return _collect(repeat_sources(ds, {"src0": 3, "*": 1}))
+
+
 def q_stratified_sample(sf_dir: str) -> pa.Table:
     """Deterministic per-group sample: 5 docs per source with the
     smallest md5(doc_id) (transforms.stratified_sample — per-batch
@@ -1494,6 +1507,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "stratified_sample": q_stratified_sample,
     "mix_sources": q_mix_sources,
+    "repeat_sources": q_repeat_sources,
     "normalize_text": q_normalize_text,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
@@ -1748,6 +1762,11 @@ ORACLE_SQL = {
         "SELECT doc_id, source FROM documents "
         "WHERE doc_id % 10 < CASE source WHEN 'src0' THEN 10 "
         "WHEN 'src1' THEN 4 ELSE 8 END"
+    ),
+    "repeat_sources": (
+        "SELECT doc_id, source, CAST(unnest(CASE source "
+        "WHEN 'src0' THEN [1,2,3] ELSE [1] END) AS BIGINT) AS rep "
+        "FROM documents"
     ),
     "stratified_sample": (
         "SELECT source, doc_id FROM documents "

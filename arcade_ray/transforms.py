@@ -274,3 +274,34 @@ def mix_sources(ds, rates: dict, key_col: str = "source",
         return batch.filter(pa.array(mod < thr))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def repeat_sources(ds, repeats: dict, key_col: str = "source"):
+    """Deterministic UPSAMPLING: emit each row ``repeats[source]``
+    times (integer epoch counts — the other half of corpus mixing,
+    complementing :func:`mix_sources` downsampling), with a ``rep``
+    column (1-based copy index) so downstream shuffles can decorrelate
+    copies. One vectorized np.repeat take per batch, no shuffle;
+    fan-out happens in-batch so backpressure bounds memory. Unlisted
+    sources default to ``repeats.get("*", 1)``."""
+    import pyarrow.compute as pc
+
+    default = int(repeats.get("*", 1))
+    per_key = {k: max(int(v), 0) for k, v in repeats.items() if k != "*"}
+
+    def rep(batch: pa.Table) -> pa.Table:
+        d = pc.dictionary_encode(batch[key_col].combine_chunks())
+        per_code = np.array([per_key.get(k, default)
+                             for k in d.dictionary.to_pylist()],
+                            dtype=np.int64)
+        counts = per_code[d.indices.to_numpy(zero_copy_only=False)]
+        take = pa.array(np.repeat(np.arange(batch.num_rows,
+                                            dtype=np.int64), counts))
+        out = batch.take(take)
+        offs = np.concatenate([[0], np.cumsum(counts[:-1])]) \
+            if len(counts) else np.zeros(0, dtype=np.int64)
+        rep_idx = (np.arange(int(counts.sum()), dtype=np.int64)
+                   - np.repeat(offs, counts) + 1)
+        return out.append_column("rep", pa.array(rep_idx))
+
+    return ds.map_batches(rep, batch_format="pyarrow")
