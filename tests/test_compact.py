@@ -144,3 +144,67 @@ def test_delete_rows_predicate(ray_session, tmp_path):
     again = delete_rows(out_dir, preds)
     assert again["rows_deleted"] == 0
     assert again["rewritten"] == 0 and again["dropped"] == 0
+
+
+def test_delete_rows_crash_state_consistent(ray_session, tmp_path):
+    """Simulated crash mid-delete: the rewritten partition's manifest
+    row (with `replaces`) is committed but the OLD row+file were never
+    removed. Readers must see the post-delete view (replaces filtering)
+    and a delete re-run must converge without double-deleting."""
+    import shutil
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.corpus import generate_corpus
+    from arcade_ray.pipeline import encode_dataset
+    from arcade_ray.pipeline.compact import delete_rows
+    from arcade_ray.pipeline.encode import (_manifest_row_path,
+                                            load_manifest)
+    from arcade_ray.pipeline.query import scan
+
+    table = generate_corpus(3000, 3, seed=77)
+    out_dir = str(tmp_path / "enc")
+    encode_dataset(rd.from_arrow(table), out_dir, weight_cap=150_000)
+
+    # snapshot the pre-delete state of everything
+    backup = str(tmp_path / "bak")
+    shutil.copytree(out_dir, backup)
+
+    preds = [("eq", "source", "src-001"),
+             ("between", "n_tok", 150, 10**9)]
+    info = delete_rows(out_dir, preds)
+    assert info["rewritten"] >= 1
+
+    # craft the crash: restore ONE replaced partition's old manifest
+    # row + segment file next to its surviving replacement
+    m = load_manifest(out_dir).to_pylist()
+    new_row = next(r for r in m if r.get("replaces"))
+    old_key = new_row["replaces"][0]
+    import os
+    shutil.copy(_manifest_row_path(backup, old_key),
+                _manifest_row_path(out_dir, old_key))
+    old_path = _manifest_row_path(backup, old_key)  # row json path
+    import json
+    with open(old_path) as f:
+        old_seg = json.load(f)["path"]
+    shutil.copy(os.path.join(backup, "parts",
+                             os.path.basename(old_seg)),
+                os.path.join(out_dir, "parts",
+                             os.path.basename(old_seg)))
+
+    # readers: the replaced row must be invisible
+    keys = load_manifest(out_dir)["part_key"].to_pylist()
+    assert old_key not in keys
+    df = table.to_pandas()
+    kill = (df["source"] == "src-001") & (df["n_tok"] >= 150)
+    got = collect_arrow(scan(out_dir, columns=["doc_id"]))
+    assert sorted(got["doc_id"].to_pylist()) == \
+        sorted(df.loc[~kill, "doc_id"])
+
+    # re-running the delete converges (cleans nothing extra)
+    again = delete_rows(out_dir, preds)
+    assert again["rows_deleted"] == 0
+    assert collect_arrow(scan(out_dir, columns=["doc_id"])).num_rows == \
+        int((~kill).sum())
