@@ -123,3 +123,83 @@ def test_partition_roundtrip_property(rows, tmp_path_factory):
     out = decode_partition(str(tmp))
     for name in table.schema.names:
         assert out[name].combine_chunks().equals(table[name].combine_chunks()), name
+
+
+def test_compound_predicate_fuzz_vs_pandas(ray_session, tmp_path_factory):
+    """Randomized differential test: 40 random AND/OR/NOT predicate
+    trees over every leaf kind (eq/between/in/prefix/suffix/contains/
+    regex) evaluated on ENCODED data vs a pandas recompute on the raw
+    table. Catches interaction bugs between zone pruning, code-domain
+    evaluation and set algebra that single-shape tests miss."""
+    import re as _re
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.corpus import generate_corpus
+    from arcade_ray.pipeline import encode_dataset
+    from arcade_ray.pipeline.query import compound_filter
+
+    table = generate_corpus(6000, 5, seed=87)
+    out_dir = str(tmp_path_factory.mktemp("fuzz") / "enc")
+    encode_dataset(rd.from_arrow(table), out_dir, weight_cap=150_000)
+    df = table.to_pandas()
+    rng = np.random.default_rng(99)
+    sources = sorted(df["source"].unique())
+
+    def rand_leaf():
+        kind = rng.choice(["eq_s", "eq_i", "between", "in", "prefix",
+                           "suffix", "contains", "regex"])
+        if kind == "eq_s":
+            v = str(rng.choice(sources))
+            return ("eq", "source", v), df["source"] == v
+        if kind == "eq_i":
+            v = int(rng.integers(1, 400))
+            return ("eq", "n_tok", v), df["n_tok"] == v
+        if kind == "between":
+            lo = int(rng.integers(0, 300))
+            hi = lo + int(rng.integers(0, 300))
+            return (("between", "n_tok", lo, hi),
+                    (df["n_tok"] >= lo) & (df["n_tok"] <= hi))
+        if kind == "in":
+            vs = [str(s) for s in
+                  rng.choice(sources, size=2, replace=False)]
+            return ("in", "source", vs), df["source"].isin(vs)
+        if kind == "prefix":
+            p = "src-00" + str(rng.integers(0, 5))
+            return ("prefix", "source", p), df["source"].str.startswith(p)
+        if kind == "suffix":
+            s = str(rng.integers(0, 5))
+            return ("suffix", "source", s), df["source"].str.endswith(s)
+        if kind == "contains":
+            n = "0" + str(rng.integers(0, 5))
+            return ("contains", "source", n), df["source"].str.contains(
+                n, regex=False)
+        pat = f"src-0[0-{rng.integers(0, 5)}]"
+        return (("regex", "source", pat),
+                df["source"].map(lambda v: bool(_re.search(pat, v))))
+
+    def rand_tree(depth):
+        if depth == 0 or rng.random() < 0.4:
+            return rand_leaf()
+        op = rng.choice(["and", "or", "not"])
+        if op == "not":
+            child, mask = rand_tree(depth - 1)
+            return ("not", child), ~mask
+        n = int(rng.integers(2, 4))
+        kids = [rand_tree(depth - 1) for _ in range(n)]
+        trees = [k[0] for k in kids]
+        masks = [k[1] for k in kids]
+        agg = masks[0]
+        for m in masks[1:]:
+            agg = (agg & m) if op == "and" else (agg | m)
+        return (op, trees), agg
+
+    for trial in range(40):
+        tree, mask = rand_tree(2)
+        got = collect_arrow(compound_filter(out_dir, tree,
+                                            project=["doc_id"]))
+        exp = sorted(df.loc[mask, "doc_id"])
+        assert sorted(got["doc_id"].to_pylist()) == exp, (trial, tree)
