@@ -325,8 +325,9 @@ def semi_join(probe_dir: str, probe_key: str, probe_cols: list[str],
     if len(keyset) > max_keys:
         raise ValueError(
             f"key set has {len(keyset)} entries (> {max_keys}); "
-            "broadcast semi join needs a small key side — co-partition "
-            "both tables on the key instead"
+            "broadcast semi join needs a small key side — use "
+            "semi_join_large (Bloom prefilter + co-partitioned exact "
+            "verify) for huge key sides"
         )
 
     rows = load_manifest(probe_dir).to_pylist()
