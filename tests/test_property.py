@@ -203,3 +203,90 @@ def test_compound_predicate_fuzz_vs_pandas(ray_session, tmp_path_factory):
                                             project=["doc_id"]))
         exp = sorted(df.loc[mask, "doc_id"])
         assert sorted(got["doc_id"].to_pylist()) == exp, (trial, tree)
+
+
+def test_group_aggregate_null_fuzz(ray_session, tmp_path_factory):
+    """Randomized differential test for null-aware decode-free grouped
+    aggregates: 4 random (null density, group cardinality, partition
+    cap) configurations vs a pandas recompute with SQL semantics."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from arcade_ray.pipeline import encode_dataset
+    from arcade_ray.pipeline.query import dict_group_aggregate
+
+    rng = np.random.default_rng(55)
+    base = tmp_path_factory.mktemp("aggfuzz")
+    for trial in range(4):
+        n = int(rng.integers(500, 2500))
+        n_groups = int(rng.integers(2, 12))
+        kn = float(rng.uniform(0, 0.3))    # null density in keys
+        vn = float(rng.uniform(0, 0.4))    # null density in values
+        keys = [None if rng.random() < kn else f"g{int(g)}"
+                for g in rng.integers(0, n_groups, n)]
+        vals = [None if rng.random() < vn else int(v)
+                for v in rng.integers(-1000, 1000, n)]
+        t = pa.table({
+            "doc_id": pa.array(np.arange(n), type=pa.int64()),
+            "k": pa.array(keys, type=pa.string()),
+            "v": pa.array(vals, type=pa.int64()),
+        })
+        out_dir = str(base / f"enc{trial}")
+        encode_dataset(rd.from_arrow(t), out_dir, key_col="doc_id",
+                       weight_col=None,
+                       weight_cap=int(rng.integers(50_000, 400_000)))
+        got = dict_group_aggregate(out_dir, "k", "v").to_pandas()
+        df = t.to_pandas()
+        exp = df.groupby("k", dropna=False).agg(
+            sum_v=("v", "sum"), min_v=("v", "min"), max_v=("v", "max"),
+            n_rows=("v", "size"))
+        assert len(got) == len(exp), trial
+        for _, row in got.iterrows():
+            k = row["k"]
+            e = exp.loc[k if k is not None else np.nan]
+            assert row["n_rows"] == e["n_rows"], (trial, k)
+            if np.isnan(e["min_v"]):  # all-null group
+                assert row["sum_v"] is None or np.isnan(row["sum_v"])
+            else:
+                assert row["sum_v"] == e["sum_v"], (trial, k)
+                assert row["min_v"] == e["min_v"], (trial, k)
+                assert row["max_v"] == e["max_v"], (trial, k)
+
+
+def test_topk_rows_fuzz(ray_session, tmp_path_factory):
+    """Randomized pagination: random (k, offset, direction) against a
+    pandas full sort, including extremes near INT64 bounds (the
+    overflow-safe descending key)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from arcade_ray.pipeline import encode_dataset
+    from arcade_ray.pipeline.query import topk_rows
+
+    rng = np.random.default_rng(66)
+    n = 3000
+    vals = rng.integers(-(2**62), 2**62, n)
+    vals[:5] = [-(2**63), 2**63 - 1, 0, -1, 1]  # boundary values
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "grp": pa.array([f"g{i % 3}" for i in range(n)]),
+        "v": pa.array(vals, type=pa.int64()),
+    })
+    out_dir = str(tmp_path_factory.mktemp("topkfuzz") / "enc")
+    encode_dataset(rd.from_arrow(t), out_dir, key_col="grp",
+                   weight_col=None)
+    df = t.to_pandas()
+    for trial in range(6):
+        k = int(rng.integers(1, 40))
+        off = int(rng.integers(0, 60))
+        desc = bool(rng.integers(0, 2))
+        got = topk_rows(out_dir, "v", k, id_col="doc_id",
+                        columns=["doc_id", "v"], descending=desc,
+                        offset=off)
+        exp = df.sort_values(["v", "doc_id"],
+                             ascending=[not desc, True],
+                             ignore_index=True).iloc[off:off + k]
+        assert got["doc_id"].to_pylist() == exp["doc_id"].tolist(), \
+            (trial, k, off, desc)
