@@ -276,25 +276,47 @@ def mix_sources(ds, rates: dict, key_col: str = "source",
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
-def repeat_sources(ds, repeats: dict, key_col: str = "source"):
+def repeat_sources(ds, repeats: dict, key_col: str = "source",
+                   id_col: str | None = None, modulus: int = 10_000):
     """Deterministic UPSAMPLING: emit each row ``repeats[source]``
-    times (integer epoch counts — the other half of corpus mixing,
+    times (epoch counts — the other half of corpus mixing,
     complementing :func:`mix_sources` downsampling), with a ``rep``
     column (1-based copy index) so downstream shuffles can decorrelate
-    copies. One vectorized np.repeat take per batch, no shuffle;
-    fan-out happens in-batch so backpressure bounds memory. Unlisted
-    sources default to ``repeats.get("*", 1)``."""
+    copies. FRACTIONAL rates (e.g. 2.5) need ``id_col``: every row
+    gets floor(rate) copies and a deterministic id-modulus slice gets
+    one more — exactly the mixture-weight semantics of data-budget
+    papers, reproducible across runs/partitionings. One vectorized
+    np.repeat take per batch, no shuffle; fan-out happens in-batch so
+    backpressure bounds memory. Unlisted sources default to
+    ``repeats.get("*", 1)``."""
     import pyarrow.compute as pc
 
-    default = int(repeats.get("*", 1))
-    per_key = {k: max(int(v), 0) for k, v in repeats.items() if k != "*"}
+    default = float(repeats.get("*", 1))
+    per_key = {k: max(float(v), 0.0) for k, v in repeats.items()
+               if k != "*"}
+    fractional = any(v != int(v) for v in
+                     list(per_key.values()) + [default])
+    if fractional and id_col is None:
+        raise ValueError("fractional repeat rates need id_col for the "
+                         "deterministic extra-copy slice")
 
     def rep(batch: pa.Table) -> pa.Table:
         d = pc.dictionary_encode(batch[key_col].combine_chunks())
-        per_code = np.array([per_key.get(k, default)
-                             for k in d.dictionary.to_pylist()],
-                            dtype=np.int64)
-        counts = per_code[d.indices.to_numpy(zero_copy_only=False)]
+        rates = np.array([per_key.get(k, default)
+                          for k in d.dictionary.to_pylist()])
+        per_row = rates[d.indices.to_numpy(zero_copy_only=False)]
+        counts = np.floor(per_row).astype(np.int64)
+        frac = per_row - counts
+        if fractional:
+            ids = batch[id_col].combine_chunks()
+            if pa.types.is_integer(ids.type):
+                mod = ids.to_numpy(zero_copy_only=False) % modulus
+            else:
+                from .hashing import hash_column
+
+                mod = (hash_column(ids) % np.uint64(modulus)).astype(
+                    np.int64)
+            counts = counts + (mod < frac * modulus)
         take = pa.array(np.repeat(np.arange(batch.num_rows,
                                             dtype=np.int64), counts))
         out = batch.take(take)

@@ -641,3 +641,31 @@ def test_timestamp_filters(ray_session, tmp_path):
         project=["doc_id"]))
     exp = [i for i in range(100, 251) if i % 3 == 1]
     assert sorted(got_c["doc_id"].to_pylist()) == exp
+
+
+def test_repeat_sources_fractional(ray_session):
+    """Fractional upsampling: rate 2.5 -> every row twice plus a
+    deterministic half of ids a third time; integer fallback intact."""
+    import ray.data as rd
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.transforms import repeat_sources
+
+    n = 1000
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "source": pa.array(["a" if i % 2 == 0 else "b"
+                            for i in range(n)]),
+    })
+    ds = rd.from_arrow(t)
+    out = collect_arrow(repeat_sources(
+        ds, {"a": 2.5, "b": 1}, id_col="doc_id",
+        modulus=10)).to_pandas()
+    per_id = out.groupby("doc_id").size()
+    a_ids = [i for i in range(n) if i % 2 == 0]
+    for i in a_ids:
+        assert per_id[i] == (3 if i % 10 < 5 else 2), i
+    assert all(per_id[i] == 1 for i in range(n) if i % 2 == 1)
+
+    with pytest.raises(ValueError, match="id_col"):
+        repeat_sources(ds, {"a": 1.5})
