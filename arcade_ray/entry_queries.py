@@ -1316,6 +1316,35 @@ def q_stratified_sample(sf_dir: str) -> pa.Table:
         keep=["source", "doc_id"]))
 
 
+def q_group_approx_distinct(sf_dir: str) -> pa.Table:
+    """Grouped approximate COUNT(DISTINCT) via mergeable KMV sketches
+    (transforms.group_approx_distinct): distinct users per event type.
+    In-query contract check: estimate within 10% of the exact count
+    (exact below k); the oracle asserts all-true."""
+    import ray.data as rd
+
+    from .transforms import group_approx_distinct
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id"])
+    est = group_approx_distinct(ds, "event_type", "user_id", k=256)
+    # exact reference for the contract check (check-scale only — the
+    # operator itself never materializes the raw pairs)
+    raw = _collect(ds)
+    g = raw.group_by("event_type").aggregate(
+        [("user_id", "count_distinct")])
+    exact_map = dict(zip(g["event_type"].to_pylist(),
+                         g["user_id_count_distinct"].to_pylist()))
+    types, oks = [], []
+    for et, e in zip(est["event_type"].to_pylist(),
+                     est["distinct_est"].to_pylist()):
+        ex = exact_map[et]
+        types.append(et)
+        oks.append(abs(e / max(ex, 1) - 1) <= 0.10)
+    return pa.table({"event_type": pa.array(types, type=pa.string()),
+                     "est_ok": pa.array(oks, type=pa.bool_())})
+
+
 def q_group_stats(sf_dir: str) -> pa.Table:
     """Grouped moment aggregates (COUNT/AVG/VAR_POP/STDDEV_POP of
     event value per event_type) with map-side partials — the shuffle
@@ -1504,6 +1533,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "explode_embeddings": q_explode_embeddings,
     "group_stats": q_group_stats,
+    "group_approx_distinct": q_group_approx_distinct,
     "pack_sequences": q_pack_sequences,
     "stratified_sample": q_stratified_sample,
     "mix_sources": q_mix_sources,
@@ -1772,6 +1802,10 @@ ORACLE_SQL = {
         "SELECT source, doc_id FROM documents "
         "QUALIFY row_number() OVER (PARTITION BY source "
         "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5"
+    ),
+    "group_approx_distinct": (
+        "SELECT DISTINCT event_type, CAST(1 AS BOOLEAN) AS est_ok "
+        "FROM events"
     ),
     "group_stats": (
         "SELECT event_type, COUNT(value) AS n, "

@@ -327,3 +327,53 @@ def repeat_sources(ds, repeats: dict, key_col: str = "source",
         return out.append_column("rep", pa.array(rep_idx))
 
     return ds.map_batches(rep, batch_format="pyarrow")
+
+
+def group_approx_distinct(ds, key_col: str, val_col: str,
+                          k: int = 256) -> pa.Table:
+    """GROUP BY ``key_col`` -> approximate COUNT(DISTINCT ``val_col``)
+    via mergeable KMV sketches: each batch reduces to one bottom-k
+    hash sketch PER GROUP (a tiny (key, k x uint64) partial), the
+    driver merges sketches per key — the shuffle-free path for
+    distinct counts whose exact per-group sets would not fit anywhere
+    (users per event type at 10^12 rows). Exact below k distincts;
+    ~1/sqrt(k) relative error above. Returns (key, distinct_est)."""
+    import pyarrow.compute as pc
+
+    from .hashing import hash_column
+    from .sketches import kmv_estimate, kmv_from_hashes, kmv_merge
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = pc.dictionary_encode(batch[key_col].combine_chunks())
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        pool = d.dictionary.to_pylist()
+        h = hash_column(batch[val_col].combine_chunks())
+        keys_out, sk_out = [], []
+        order = np.argsort(codes, kind="stable")
+        cs, hs = codes[order], h[order]
+        bounds = np.concatenate(
+            [[0], np.flatnonzero(np.diff(cs)) + 1, [len(cs)]]) \
+            if len(cs) else np.array([0])
+        for j in range(len(bounds) - 1):
+            lo, hi = int(bounds[j]), int(bounds[j + 1])
+            keys_out.append(pool[int(cs[lo])])
+            sk_out.append(kmv_from_hashes(hs[lo:hi], k)
+                          .astype(np.int64).tolist())
+        return pa.table({
+            key_col: pa.array(keys_out, type=pa.string()),
+            "_sk": pa.array(sk_out, type=pa.list_(pa.int64())),
+        })
+
+    merged: dict = {}
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        sk = np.asarray(row["_sk"], dtype=np.int64).view(np.uint64)
+        key = row[key_col]
+        merged[key] = kmv_merge(merged[key], sk, k) \
+            if key in merged else sk
+    keys = sorted(merged, key=lambda x: (x is None, x or ""))
+    return pa.table({
+        key_col: pa.array(keys, type=pa.string()),
+        "distinct_est": pa.array(
+            [kmv_estimate(merged[kk], k) for kk in keys],
+            type=pa.int64()),
+    })

@@ -669,3 +669,28 @@ def test_repeat_sources_fractional(ray_session):
 
     with pytest.raises(ValueError, match="id_col"):
         repeat_sources(ds, {"a": 1.5})
+
+
+def test_group_approx_distinct(ray_session):
+    """KMV grouped distinct: exact below k, within ~10% above."""
+    import ray.data as rd
+
+    from arcade_ray.transforms import group_approx_distinct
+
+    rng = np.random.default_rng(31)
+    n = 30_000
+    t = pa.table({
+        "k": pa.array(["small" if i % 3 == 0 else "big"
+                       for i in range(n)]),
+        "v": pa.array(
+            [int(i % 40) if i % 3 == 0 else int(rng.integers(0, 8000))
+             for i in range(n)], type=pa.int64()),
+    })
+    out = group_approx_distinct(rd.from_arrow(t).repartition(8),
+                                "k", "v", k=256)
+    got = dict(zip(out["k"].to_pylist(), out["distinct_est"].to_pylist()))
+    df = t.to_pandas()
+    exact = df.groupby("k")["v"].nunique()
+    assert got["small"] == exact["small"]  # < k -> exact
+    assert abs(got["big"] / exact["big"] - 1) < 0.10, \
+        (got["big"], exact["big"])
