@@ -28,6 +28,7 @@ from .encode import (
     _write_consolidated,
     commit_partition,
     committed_parts,
+    generation_of_row,
     load_manifest,
 )
 
@@ -48,6 +49,9 @@ def _compact_group(rows: list[dict], out_dir: str, new_key: str,
         table = table.take(pc.sort_indices(table[sort_by]))
     blob, row = encode_partition(table, new_key)
     row["replaces"] = [r["part_key"] for r in rows]
+    # same source prefix => same generation; carry it forward so scans
+    # scoped to a generation still see the compacted partition
+    row["generation"] = generation_of_row(rows[0])
     return commit_partition(out_dir, new_key, blob, row)
 
 
@@ -194,6 +198,7 @@ def delete_rows(out_dir: str, preds, run_remote: bool = True) -> dict:
         new_key = f"{_source_of(row['part_key'])}#d{digest}"
         blob, new_row = encode_partition(survivors, new_key)
         new_row["replaces"] = [row["part_key"]]
+        new_row["generation"] = generation_of_row(row)
         commit_partition(out_dir, new_key, blob, new_row)
         return ("rewritten", row["part_key"], n_match, new_key)
 

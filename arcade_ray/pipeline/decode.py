@@ -23,15 +23,16 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
     written without a generation namespace)."""
     import ray.data as rd
 
+    from .encode import generation_of_row
+
     manifest = load_manifest(out_dir)
-    items = manifest.select(["path", "part_key"]).to_pylist()
+    cols = [c for c in ("path", "part_key", "generation")
+            if c in manifest.column_names]
+    items = manifest.select(cols).to_pylist()
     if generation is not None:
-        if generation == "":
-            items = [r for r in items
-                     if "@" not in r["part_key"].split("#", 1)[0]]
-        else:
-            items = [r for r in items if r["part_key"]
-                     .split("#", 1)[0].endswith(f"@{generation}")]
+        # explicit manifest field ("" = base); legacy rows fall back to
+        # key parsing inside generation_of_row
+        items = [r for r in items if generation_of_row(r) == generation]
     items = [{"path": r["path"]} for r in items]
     if not items:
         raise FileNotFoundError(

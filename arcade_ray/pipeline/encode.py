@@ -69,6 +69,10 @@ def commit_partition(out_dir: str, part_key: str, blob: bytes,
     os.replace(tmp, ppath)
     manifest_row = dict(manifest_row)
     manifest_row["path"] = ppath
+    # generation is an EXPLICIT lineage field ("" = base): part_key
+    # prefixes are user data (a source value may itself contain '@'),
+    # so readers must never re-parse the generation out of the key.
+    manifest_row.setdefault("generation", "")
     mpath = _manifest_row_path(out_dir, part_key)
     tmp = mpath + f".tmp.{os.getpid()}"
     with open(tmp, "w") as f:
@@ -78,7 +82,8 @@ def commit_partition(out_dir: str, part_key: str, blob: bytes,
 
 
 def encode_group(group: pa.Table, out_dir: str, sort_by: str | None,
-                 pid_keys: list[str] | None = None) -> pa.Table:
+                 pid_keys: list[str] | None = None,
+                 generation: str = "") -> pa.Table:
     """Encode one shuffled partition group; runs as a Ray task inside
     groupby(_pid).map_groups."""
     if group.num_rows == 0:
@@ -93,6 +98,7 @@ def encode_group(group: pa.Table, out_dir: str, sort_by: str | None,
         # deterministic row order inside the partition -> stable output
         table = table.take(pc.sort_indices(table[sort_by]))
     blob, row = encode_partition(table, part_key)
+    row["generation"] = generation
     row = commit_partition(out_dir, part_key, blob, row)
     return _manifest_schema_table([row])
 
@@ -103,7 +109,20 @@ _MANIFEST_FIELDS = [
     ("header_bytes", pa.int64()), ("n_chunks", pa.int64()),
     ("encode_s", pa.float64()), ("crc32", pa.int64()),
     ("col_stats", pa.string()), ("replaces", pa.list_(pa.string())),
+    ("generation", pa.string()),
 ]
+
+
+def generation_of_row(row: dict) -> str:
+    """Generation of a manifest row ("" = base). Prefers the explicit
+    field; legacy rows (written before the field existed) fall back to
+    parsing the part_key — ambiguous if the source value contains '@',
+    which is exactly why the field is now explicit."""
+    gen = row.get("generation")
+    if gen is not None:
+        return gen
+    prefix = row["part_key"].split("#", 1)[0]
+    return prefix.rsplit("@", 1)[1] if "@" in prefix else ""
 
 
 def _manifest_schema_table(rows: list[dict]) -> pa.Table:
@@ -202,17 +221,19 @@ def encode_dataset(ds, out_dir: str, key_col: str = "source",
 
     import ray
 
+    gen = generation or ""
     if exchange in ("direct", "disk"):
         tables = _direct_exchange_encode(
             ds, assign, plan, pid_keys, set(done), out_dir, sort_by,
             mode="disk" if exchange == "disk" else "objects",
+            generation=gen,
         )
     else:
         encoded = (
             ds.map_batches(assign, batch_format="pyarrow")
             .groupby("_pid")
             .map_groups(
-                lambda g: encode_group(g, out_dir, sort_by, pid_keys),
+                lambda g: encode_group(g, out_dir, sort_by, pid_keys, gen),
                 batch_format="pyarrow",
             )
         )
@@ -265,7 +286,8 @@ def _split_block(table: pa.Table, bucket_of_pid):
 
 
 def _encode_bucket_tables(tables: list[pa.Table], pid_keys: list[str],
-                          out_dir: str, sort_by: str | None) -> list[dict]:
+                          out_dir: str, sort_by: str | None,
+                          generation: str = "") -> list[dict]:
     """Encode+commit every partition present in the fragment tables of
     one bucket (shared by the object-store and disk exchanges)."""
     import numpy as np
@@ -286,12 +308,13 @@ def _encode_bucket_tables(tables: list[pa.Table], pid_keys: list[str],
         if sort_by is not None and sort_by in part.column_names:
             part = part.take(pc.sort_indices(part[sort_by]))
         blob, row = encode_partition(part, pid_keys[int(pid)])
+        row["generation"] = generation
         rows.append(commit_partition(out_dir, pid_keys[int(pid)], blob, row))
     return rows
 
 
 def _encode_bucket(pid_keys: list[str], out_dir: str, sort_by: str | None,
-                   frag_refs) -> list[dict]:
+                   frag_refs, generation: str = "") -> list[dict]:
     """Encode every partition present in this bucket\'s fragments.
     Fetches its fragments itself (refs passed as a plain list) so the
     raylet resolves one dependency per task, not #splits."""
@@ -300,7 +323,8 @@ def _encode_bucket(pid_keys: list[str], out_dir: str, sort_by: str | None,
     _pin_arrow_threads()
     frags = ray.get(list(frag_refs))
     tables = [f for f in frags if f is not None]
-    return _encode_bucket_tables(tables, pid_keys, out_dir, sort_by)
+    return _encode_bucket_tables(tables, pid_keys, out_dir, sort_by,
+                                 generation)
 
 
 def _read_split_inputs(refs_or_paths, columns=None) -> pa.Table:
@@ -381,8 +405,8 @@ def _split_to_disk(refs_or_paths, bucket_of_pid, assign, columns,
 
 
 def _encode_bucket_from_disk(pid_keys: list[str], out_dir: str,
-                             sort_by: str | None,
-                             bucket_dir: str) -> list[dict]:
+                             sort_by: str | None, bucket_dir: str,
+                             generation: str = "") -> list[dict]:
     _pin_arrow_threads()
     tables = []
     if os.path.isdir(bucket_dir):
@@ -390,7 +414,8 @@ def _encode_bucket_from_disk(pid_keys: list[str], out_dir: str,
             if fn.endswith(".arrow"):
                 with pa.memory_map(os.path.join(bucket_dir, fn)) as src:
                     tables.append(pa.ipc.open_file(src).read_all())
-    return _encode_bucket_tables(tables, pid_keys, out_dir, sort_by)
+    return _encode_bucket_tables(tables, pid_keys, out_dir, sort_by,
+                                 generation)
 
 
 def _group(items: list, n_groups: int) -> list[list]:
@@ -421,7 +446,8 @@ def _lpt_buckets(weights: list[int], n_buckets: int):
 def _run_direct_exchange(split_inputs, pid_keys: list[str],
                          pid_weights: list[int], done: set, out_dir: str,
                          sort_by: str | None, assign,
-                         columns=None, mode: str = "objects") -> list[pa.Table]:
+                         columns=None, mode: str = "objects",
+                         generation: str = "") -> list[pa.Table]:
     """Explicit partitioned hash exchange (see encode_dataset docstring).
     On a multi-node cluster the same code runs unchanged: fragments are
     plain object-store objects and Ray fetches them to wherever the
@@ -470,7 +496,8 @@ def _run_direct_exchange(split_inputs, pid_keys: list[str],
         ray.get(pending)  # drain: all fragments on disk
         enc = ray.remote(_encode_bucket_from_disk)
         result_refs = [
-            enc.remote(pid_keys, out_dir, sort_by, _bucket_dir(shuffle_dir, b))
+            enc.remote(pid_keys, out_dir, sort_by,
+                       _bucket_dir(shuffle_dir, b), generation)
             for b in range(n_buckets)
             if os.path.isdir(_bucket_dir(shuffle_dir, b))
         ]
@@ -492,7 +519,7 @@ def _run_direct_exchange(split_inputs, pid_keys: list[str],
 
     enc = ray.remote(_encode_bucket)
     result_refs = [
-        enc.remote(pid_keys, out_dir, sort_by, frag_cols[b])
+        enc.remote(pid_keys, out_dir, sort_by, frag_cols[b], generation)
         for b in range(n_buckets)
         if frag_cols[b]
     ]
@@ -523,7 +550,8 @@ def _avail_cpus() -> int:
 
 def _direct_exchange_encode(ds, assign, plan, pid_keys: list[str], done: set,
                             out_dir: str, sort_by: str | None,
-                            mode: str = "objects") -> list[pa.Table]:
+                            mode: str = "objects",
+                            generation: str = "") -> list[pa.Table]:
     if mode == "disk":
         # stream block refs straight off the executor in small groups —
         # the input never materializes in the object store all at once
@@ -539,11 +567,13 @@ def _direct_exchange_encode(ds, assign, plan, pid_keys: list[str], done: set,
 
         return _run_direct_exchange(bundle_groups(), pid_keys,
                                     plan.pid_weights(), done, out_dir,
-                                    sort_by, assign, mode="disk")
+                                    sort_by, assign, mode="disk",
+                                    generation=generation)
     block_refs = list(ds.to_arrow_refs())
     groups = _group(block_refs, max(16, _avail_cpus() // 2))
     return _run_direct_exchange(groups, pid_keys, plan.pid_weights(), done,
-                                out_dir, sort_by, assign)
+                                out_dir, sort_by, assign,
+                                generation=generation)
 
 
 def _write_consolidated(out_dir: str, manifest: pa.Table) -> None:
@@ -673,7 +703,8 @@ def encode_parquet(paths: list[str] | str, out_dir: str,
         exchange = "disk" if on_disk > DISK_EXCHANGE_BYTES else "direct"
     tables = _run_direct_exchange(groups, pid_keys, plan.pid_weights(),
                                   set(done), out_dir, sort_by, assign,
-                                  mode="disk" if exchange == "disk" else "objects")
+                                  mode="disk" if exchange == "disk" else "objects",
+                                  generation=generation or "")
     all_rows = list(done.values())
     for t in tables:
         all_rows.extend(t.to_pylist())

@@ -501,8 +501,17 @@ def semi_join_large(probe_dir: str, probe_key: str, probe_cols: list[str],
 
     # exact verify: co-partition pending probe rows + keys by key hash
     def tag_probe(b: pa.Table) -> pa.Table:
-        bk = (hash_column(b[probe_key]) % np.uint64(n_buckets)).astype(np.int64)
-        bk[b["_settled"].to_numpy(zero_copy_only=False)] = -1  # skip verify
+        # hash only rows that still need verification: settled rows get
+        # bucket -1, and null-key rows (already settled by prefilter —
+        # bloom-miss for ANTI, dropped for SEMI) must never reach
+        # hash_column, whose no-nulls guard would raise.
+        col = b[probe_key].combine_chunks()
+        settled = b["_settled"].to_numpy(zero_copy_only=False)
+        todo = pc.is_valid(col).to_numpy(zero_copy_only=False) & ~settled
+        bk = np.full(b.num_rows, -1, dtype=np.int64)
+        if todo.any():
+            bk[todo] = (hash_column(col.filter(pa.array(todo)))
+                        % np.uint64(n_buckets)).astype(np.int64)
         return b.append_column("_jb", pa.array(bk))
 
     key_name = keys_ds.schema().names[0]

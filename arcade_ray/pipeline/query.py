@@ -1440,13 +1440,27 @@ def group_int_percentiles(out_dir: str, key_col: str, value_col: str,
     if vcm0["kind"] != "int" or vcm0.get("tag") in ("f32", "f64"):
         raise TypeError("group_int_percentiles needs an integer column")
     for r in rows:
-        s = json.loads(r["col_stats"]).get(value_col, {})
+        stats = json.loads(r["col_stats"])
+        s = stats.get(value_col, {})
         lo_z, hi_z = s.get("min"), s.get("max")
         if lo_z is not None and hi_z is not None \
                 and hi_z - lo_z > PERCENTILE_MAX_RANGE:
             raise ValueError(
                 f"value range of {value_col!r} ({hi_z - lo_z}) exceeds "
                 f"the dense-histogram cap ({PERCENTILE_MAX_RANGE})")
+        # null guard (same contract as dict_group_distinct): a null
+        # value would round-trip through float64 NaN -> INT64_MIN in
+        # the int cast below; a null key would emit garbage codes.
+        for c in (key_col, value_col):
+            nn = stats.get(c, {}).get("nulls")
+            if nn is None:  # pre-nulls-stat manifest: read the header
+                h, _ = read_header(r["path"])
+                nn = sum(int(ch.get("nulls") or 0)
+                         for ch in h["columns"][c]["chunks"])
+            if nn:
+                raise NotImplementedError(
+                    f"group_int_percentiles over null-bearing column "
+                    f"{c!r}: decode instead")
 
     @ray.remote
     def part_hists(path: str):

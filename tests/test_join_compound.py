@@ -322,3 +322,37 @@ def test_semi_join_large_bloom(two_tables, ray_session):
     assert sorted(got_a["o_orderkey"].to_pylist()) == \
         sorted(exact_a["o_orderkey"].to_pylist())
     assert got.num_rows + got_a.num_rows == orders.num_rows
+
+
+def test_semi_join_large_anti_nulls(ray_session, tmp_path):
+    """ANTI over a null-bearing probe key keeps NOT EXISTS semantics:
+    null-key rows survive, and the verify hash stage must never see
+    them (they are settled by the prefilter). SEMI never matches
+    nulls. Regression for the r3 hash_column no-nulls crash."""
+    import ray.data as rd
+
+    from arcade_ray.pipeline.join import semi_join_large
+
+    probe = pa.table({
+        "pid": pa.array(np.arange(300), type=pa.int64()),
+        "k": pa.array([None if i % 7 == 0 else i % 50
+                       for i in range(300)], type=pa.int64()),
+        "grp": pa.array([f"g{i % 3}" for i in range(300)]),
+    })
+    p_dir = str(tmp_path / "probe")
+    encode_dataset(rd.from_arrow(probe), p_dir, key_col="grp",
+                   id_col="pid", weight_col=None)
+    keys_ds = rd.from_arrow(pa.table(
+        {"k": pa.array(range(0, 50, 2), type=pa.int64())}))
+
+    pids, ks = probe["pid"].to_pylist(), probe["k"].to_pylist()
+    got_a = collect_arrow(semi_join_large(
+        p_dir, "k", ["pid"], keys_ds, anti=True))
+    exp_a = sorted(p for p, k in zip(pids, ks)
+                   if k is None or k % 2 == 1)
+    assert sorted(got_a["pid"].to_pylist()) == exp_a
+
+    got_s = collect_arrow(semi_join_large(p_dir, "k", ["pid"], keys_ds))
+    exp_s = sorted(p for p, k in zip(pids, ks)
+                   if k is not None and k % 2 == 0)
+    assert sorted(got_s["pid"].to_pylist()) == exp_s

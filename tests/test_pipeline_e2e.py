@@ -194,3 +194,40 @@ def test_generation_scoped_scan(ray_session, tmp_path):
     assert both.num_rows == 2300
     with pytest.raises(FileNotFoundError):
         scan(out_dir, generation="nope")
+
+
+def test_generation_with_at_in_source(ray_session, tmp_path):
+    """A source VALUE containing '@' must not shadow generation
+    scoping (ADVICE r3): generation is an explicit manifest field, not
+    a re-parse of the part_key. Here the base source is 'user@host'
+    and a later append uses generation id 'host' — the legacy parser
+    would both exclude the base partitions from generation="" and
+    misattribute them to 'host'."""
+    import ray.data as rd
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.pipeline.query import scan
+
+    def tbl(pref: str, n: int) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.array([f"{pref}:{i}" for i in range(n)]),
+            "tokens": pa.array([[i, i + 1] for i in range(n)],
+                               type=pa.list_(pa.int32())),
+            "n_tok": pa.array([2] * n, type=pa.int32()),
+            "source": pa.array(["user@host"] * n),
+        })
+
+    out_dir = str(tmp_path / "enc")
+    encode_dataset(rd.from_arrow(tbl("base", 120)), out_dir)
+    encode_dataset(rd.from_arrow(tbl("app", 60)), out_dir,
+                   generation="host")
+
+    base = collect_arrow(scan(out_dir, columns=["doc_id"], generation=""))
+    assert set(base["doc_id"].to_pylist()) == {f"base:{i}"
+                                               for i in range(120)}
+    gen = collect_arrow(scan(out_dir, columns=["doc_id"],
+                             generation="host"))
+    assert set(gen["doc_id"].to_pylist()) == {f"app:{i}"
+                                              for i in range(60)}
+    both = collect_arrow(scan(out_dir, columns=["doc_id"]))
+    assert both.num_rows == 180

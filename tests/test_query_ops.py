@@ -694,3 +694,23 @@ def test_group_approx_distinct(ray_session):
     assert got["small"] == exact["small"]  # < k -> exact
     assert abs(got["big"] / exact["big"] - 1) < 0.10, \
         (got["big"], exact["big"])
+
+
+def test_group_int_percentiles_null_guard(ray_session, tmp_path):
+    """Null-bearing key or value columns must refuse loudly instead of
+    casting NaN -> INT64_MIN (ADVICE r3)."""
+    import ray.data as rd
+
+    from arcade_ray.pipeline.query import group_int_percentiles
+
+    t = pa.table({
+        "id": pa.array([f"d{i}" for i in range(100)]),
+        "g": pa.array([f"s{i % 3}" for i in range(100)]),
+        "v": pa.array([None if i % 10 == 0 else i
+                       for i in range(100)], type=pa.int64()),
+    })
+    d = str(tmp_path / "nullpct")
+    encode_dataset(rd.from_arrow(t), d, key_col="g", id_col="id",
+                   weight_col=None)
+    with pytest.raises(NotImplementedError, match="null-bearing"):
+        group_int_percentiles(d, "g", "v", [0.5])
