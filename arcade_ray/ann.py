@@ -29,6 +29,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .collect import collect_arrow
+from .sources import read_parquet_clean
 
 
 def _pool_size(concurrency: int | None) -> int:
@@ -579,6 +580,6 @@ def ivf_index_topk(index_dir: str, queries_ids: list[int],
         return pa.table({"query_id": pa.array([], pa.int64()),
                          id_col: pa.array([], pa.int64()),
                          "cos": pa.array([], pa.float64())})
-    ds = rd.read_parquet(paths, columns=[id_col, vec_col])
+    ds = read_parquet_clean(paths, columns=[id_col, vec_col])
     return topk_cosine(ds, queries_ids, queries_mat, k=k,
                        id_col=id_col, vec_col=vec_col)

@@ -22,6 +22,7 @@ import pyarrow.compute as pc
 from .constants import FORMAT_VERSION
 from .pipeline import encode_dataset
 from .pipeline.query import equi_filter, lookup, scan
+from .sources import read_parquet_clean
 
 CACHE_ROOT = os.environ.get("ARCADE_RAY_CACHE", "/tmp/arcade_ray_cache")
 _CACHE_SALT = f"v{FORMAT_VERSION}.7"
@@ -101,7 +102,7 @@ def q_plan_stats(sf_dir: str) -> pa.Table:
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                          columns=["source", "n_chars"])
     out = ds.groupby("source").aggregate(
         Count(alias_name="n_rows"), Sum("n_chars", alias_name="sum_chars")
@@ -163,7 +164,7 @@ def q_roundtrip_list_strings(sf_dir: str) -> pa.Table:
         f"{sf_dir}|documents-tags|{_CACHE_SALT}".encode()).hexdigest()[:10]
     out = os.path.join(CACHE_ROOT, f"documents-tags-{tag}")
     if not os.path.exists(os.path.join(out, "manifest.parquet")):
-        ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+        ds = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                              columns=["doc_id", "source"])
 
         def add_tags(batch: pa.Table) -> pa.Table:
@@ -249,7 +250,7 @@ def q_window_agg(sf_dir: str) -> pa.Table:
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_type", "ts", "value"])
 
     def add_window(batch: pa.Table) -> pa.Table:
@@ -274,7 +275,7 @@ def q_json_extract_agg(sf_dir: str) -> pa.Table:
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_type", "props"])
 
     def extract(batch: pa.Table) -> pa.Table:
@@ -299,7 +300,7 @@ def q_sliding_window_agg(sf_dir: str) -> pa.Table:
 
     from .windows import sliding_windows
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_type", "ts", "value"])
     out = _collect(
         sliding_windows(ds, ts_col="ts", width_s=3600, hop_s=1800)
@@ -431,7 +432,7 @@ def q_session_windows(sf_dir: str) -> pa.Table:
 
     from .windows import session_windows
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "ts"])
     out = _collect(session_windows(ds, key_col="user_id", ts_col="ts",
                                    gap_s=1800.0))
@@ -455,9 +456,9 @@ def q_asof_join_events(sf_dir: str) -> pa.Table:
         return f
 
     cols = ["event_id", "ts", "user_id", "event_type", "value"]
-    clicks = rd.read_parquet(path, columns=cols).map_batches(
+    clicks = read_parquet_clean(path, columns=cols).map_batches(
         only("click"), batch_format="pyarrow")
-    views = rd.read_parquet(path, columns=cols).map_batches(
+    views = read_parquet_clean(path, columns=cols).map_batches(
         only("view"), batch_format="pyarrow")
     out = _collect(asof_join(clicks, views, on="ts", by="user_id",
                              left_cols=["event_id"], right_cols=["value"]))
@@ -477,9 +478,9 @@ def q_range_join_sessions(sf_dir: str) -> pa.Table:
     from .windows import range_join, session_windows
 
     path = os.path.join(sf_dir, "events.parquet")
-    events = rd.read_parquet(path, columns=["event_id", "user_id", "ts"])
+    events = read_parquet_clean(path, columns=["event_id", "user_id", "ts"])
     sess = session_windows(
-        rd.read_parquet(path, columns=["user_id", "ts"]),
+        read_parquet_clean(path, columns=["user_id", "ts"]),
         key_col="user_id", ts_col="ts", gap_s=1800.0)
     out = range_join(events, sess, on="ts", lo_col="session_start",
                      hi_col="session_end", by="user_id",
@@ -511,9 +512,9 @@ def q_interval_join_events(sf_dir: str) -> pa.Table:
                          "w_end": w_end})
 
     cols = ["event_id", "ts", "user_id", "event_type"]
-    clicks = rd.read_parquet(path, columns=cols).map_batches(
+    clicks = read_parquet_clean(path, columns=cols).map_batches(
         clicks_only, batch_format="pyarrow")
-    wins = rd.read_parquet(path, columns=["ts", "user_id", "event_type"]) \
+    wins = read_parquet_clean(path, columns=["ts", "user_id", "event_type"]) \
         .map_batches(view_windows, batch_format="pyarrow")
     return _collect(interval_join(
         clicks, wins, on="ts", lo_col="w_start", hi_col="w_end",
@@ -530,7 +531,7 @@ def q_ranked_gaps(sf_dir: str) -> pa.Table:
     from .windows import ranked_gaps
 
     path = os.path.join(sf_dir, "events.parquet")
-    ds = rd.read_parquet(path, columns=["event_id", "user_id", "ts"])
+    ds = read_parquet_clean(path, columns=["event_id", "user_id", "ts"])
     return _collect(ranked_gaps(
         ds, key_col="user_id", ts_col="ts", tie_col="event_id",
         keep=["event_id", "user_id", "ts"]))
@@ -547,7 +548,7 @@ def q_frame_aggs(sf_dir: str) -> pa.Table:
     from .windows import frame_aggs
 
     path = os.path.join(sf_dir, "events.parquet")
-    ds = rd.read_parquet(path, columns=["event_id", "user_id", "ts",
+    ds = read_parquet_clean(path, columns=["event_id", "user_id", "ts",
                                         "value"])
     out = _collect(frame_aggs(
         ds, key_col="user_id", ts_col="ts", val_col="value",
@@ -908,7 +909,7 @@ def q_ann_lsh_recall(sf_dir: str) -> pa.Table:
     qtab = pq.read_table(path, filters=[("vec_id", "in", ANN_QUERY_IDS)])
     qmat = np.array([r for r in qtab["embedding"].to_pylist()], dtype=np.float64)
     qids = qtab["vec_id"].to_pylist()
-    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(path, columns=["vec_id", "embedding"])
     exact = topk_cosine(ds, qids, qmat, k=ANN_K)
     approx = lsh_topk_cosine(ds, qids, qmat, k=ANN_K, n_planes=8,
                              probe_bits=3)
@@ -934,7 +935,7 @@ def q_ann_topk_ivf(sf_dir: str) -> pa.Table:
     qtab = pq.read_table(path, filters=[("vec_id", "in", ANN_QUERY_IDS)])
     qmat = np.array([r for r in qtab["embedding"].to_pylist()], dtype=np.float64)
     qids = qtab["vec_id"].to_pylist()
-    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(path, columns=["vec_id", "embedding"])
     return ivf_topk_cosine(ds, qids, qmat, k=ANN_K, n_centroids=32,
                            n_probe=16, sample_size=4000)
 
@@ -953,7 +954,7 @@ def q_ann_ivf_recall(sf_dir: str) -> pa.Table:
     qtab = pq.read_table(path, filters=[("vec_id", "in", ANN_QUERY_IDS)])
     qmat = np.array([r for r in qtab["embedding"].to_pylist()], dtype=np.float64)
     qids = qtab["vec_id"].to_pylist()
-    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(path, columns=["vec_id", "embedding"])
     exact = topk_cosine(ds, qids, qmat, k=ANN_K)
     approx = ivf_topk_cosine(ds, qids, qmat, k=ANN_K, n_centroids=32,
                              n_probe=16, sample_size=4000)
@@ -982,7 +983,7 @@ def q_ann_index_recall(sf_dir: str) -> pa.Table:
     qmat = np.array([r for r in qtab["embedding"].to_pylist()],
                     dtype=np.float64)
     qids = qtab["vec_id"].to_pylist()
-    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(path, columns=["vec_id", "embedding"])
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     idx = os.path.join(CACHE_ROOT, f"ivf-index-{tag}")
@@ -1005,7 +1006,7 @@ def q_ann_index_recall(sf_dir: str) -> pa.Table:
 def _docs_ds(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    return read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])
 
 
@@ -1039,7 +1040,7 @@ def q_exact_dedup_best(sf_dir: str) -> pa.Table:
         })
 
     unioned = docs.union(
-        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+        read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                         columns=["doc_id", "text"])
         .map_batches(dup_copy, batch_format="pyarrow"))
 
@@ -1163,7 +1164,7 @@ def q_image_features(sf_dir: str) -> pa.Table:
 
     from .mediaops import extract_image_features, make_fake_image
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "n_chars"])
 
     def to_images(batch: pa.Table) -> pa.Table:
@@ -1218,7 +1219,7 @@ def q_kmeans_clusters(sf_dir: str) -> pa.Table:
     from .ann import kmeans_fit
     from .collect import collect_arrow
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+    ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
                          columns=["vec_id", "embedding"])
     _, assign_ds, hist = kmeans_fit(ds, k=8, iters=5, sample_size=2000)
     assert all(b <= a + 1e-9 for a, b in zip(hist, hist[1:])), \
@@ -1241,7 +1242,7 @@ def q_pack_sequences(sf_dir: str) -> pa.Table:
 
     from .transforms import pack_sequences
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                          columns=["text"])
     word_re = re.compile(r"[A-Za-z0-9]+")
 
@@ -1269,7 +1270,7 @@ def q_normalize_text(sf_dir: str) -> pa.Table:
 
     from .textops import normalize_text
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
     return _collect(normalize_text(ds, keep=["doc_id"]))
 
@@ -1282,7 +1283,7 @@ def q_mix_sources(sf_dir: str) -> pa.Table:
 
     from .transforms import mix_sources
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "source"])
     return _collect(mix_sources(
         ds, {"src0": 1.0, "src1": 0.4, "*": 0.8}, modulus=10))
@@ -1296,7 +1297,7 @@ def q_repeat_sources(sf_dir: str) -> pa.Table:
 
     from .transforms import repeat_sources
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "source"])
     return _collect(repeat_sources(ds, {"src0": 3, "*": 1}))
 
@@ -1309,7 +1310,7 @@ def q_stratified_sample(sf_dir: str) -> pa.Table:
 
     from .transforms import stratified_sample
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    ds = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "source"])
     return _collect(stratified_sample(
         ds, key_col="source", n_per_group=5, id_col="doc_id",
@@ -1325,7 +1326,7 @@ def q_group_approx_distinct(sf_dir: str) -> pa.Table:
 
     from .transforms import group_approx_distinct
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_type", "user_id"])
     est = group_approx_distinct(ds, "event_type", "user_id", k=256)
     # exact reference for the contract check (check-scale only — the
@@ -1355,7 +1356,7 @@ def q_group_stats(sf_dir: str) -> pa.Table:
 
     from .transforms import group_stats
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_type", "value"])
     out = group_stats(ds, "event_type", "value")
     return pa.table({
@@ -1375,7 +1376,7 @@ def q_explode_embeddings(sf_dir: str) -> pa.Table:
 
     from .transforms import explode_list
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+    ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
                          columns=["vec_id", "embedding"])
     out = _collect(explode_list(ds, "embedding", keep=["vec_id"]))
     return pa.table({
@@ -1391,7 +1392,7 @@ def q_vector_norms(sf_dir: str) -> pa.Table:
     dim) — no per-row Python."""
     import ray.data as rd
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+    ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
                          columns=["vec_id", "embedding"])
 
     def norms(batch: pa.Table) -> pa.Table:
@@ -1417,7 +1418,7 @@ def q_ann_topk(sf_dir: str) -> pa.Table:
     qtab = pq.read_table(path, filters=[("vec_id", "in", ANN_QUERY_IDS)])
     qmat = np.array([r for r in qtab["embedding"].to_pylist()], dtype=np.float64)
     qids = qtab["vec_id"].to_pylist()
-    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(path, columns=["vec_id", "embedding"])
     res = topk_cosine(ds, qids, qmat, k=ANN_K)
     cos = pc.round(res["cos"], 4)
     return res.set_column(res.schema.get_field_index("cos"), "cos", cos)
@@ -1431,7 +1432,7 @@ def q_embedding_near_dup(sf_dir: str) -> pa.Table:
     from .ann import near_dup_pairs
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(path, columns=["vec_id", "embedding"])
     return near_dup_pairs(ds, threshold=0.9)
 
 
@@ -1447,7 +1448,7 @@ def q_ann_topk_lsh(sf_dir: str) -> pa.Table:
     qtab = pq.read_table(path, filters=[("vec_id", "in", ANN_QUERY_IDS)])
     qmat = np.array([r for r in qtab["embedding"].to_pylist()], dtype=np.float64)
     qids = qtab["vec_id"].to_pylist()
-    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(path, columns=["vec_id", "embedding"])
     return lsh_topk_cosine(ds, qids, qmat, k=ANN_K, n_planes=8, probe_bits=2)
 
 

@@ -68,3 +68,22 @@ def read_tokenized_jsonl(paths, tokens_col: str = "tokens"):
     import ray.data as rd
 
     return rd.read_json(paths)
+
+
+def _strip_schema_metadata(t: pa.Table) -> pa.Table:
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
+def read_parquet_clean(paths, *, columns: list[str] | None = None, **kwargs):
+    """``ray.data.read_parquet`` + schema-metadata strip.
+
+    Pandas-written parquet carries schema-level ``b'pandas'`` metadata;
+    a pa.Schema with metadata is UNHASHABLE, which defeats Ray Data's
+    schema deduplication in every downstream shuffle (one "Failed to
+    hash the schemas" warning per reduce task, un-deduplicated schema
+    objects in block metadata at scale). The strip is zero-copy and the
+    map stage fuses into the read."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(paths, columns=columns, **kwargs)
+    return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow")

@@ -38,6 +38,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .hashing import hash_strings
+from .sources import read_parquet_clean
 
 # --- exact dedup ------------------------------------------------------------
 
@@ -883,7 +884,7 @@ def build_dedup_index(ds, index_dir: str, text_col: str = "text",
     sig.write_parquet(index_dir)
     import ray.data as rd
 
-    return int(rd.read_parquet(index_dir).count())
+    return int(read_parquet_clean(index_dir).count())
 
 
 def dedup_against_index(ds, index_dir: str, text_col: str = "text",
@@ -912,7 +913,7 @@ def dedup_against_index(ds, index_dir: str, text_col: str = "text",
     new_sig = ds.map_batches(
         lambda b: dedup_signatures(b, text_col, id_col),
         batch_format="pyarrow")
-    index = rd.read_parquet(index_dir)
+    index = read_parquet_clean(index_dir)
     # resolve the id type ONCE — schema() inside the batch fn would
     # trigger a limit-1 execution per call
     id_type = new_sig.schema().base_schema.field(id_col).type

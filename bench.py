@@ -73,6 +73,8 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     import ray.data as rd
     from ray.data import DataContext
 
+    from arcade_ray.sources import read_parquet_clean
+
     DataContext.get_current().enable_progress_bars = False
 
     import logging
@@ -88,7 +90,7 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     # warm page cache AND all workers with a full untimed run so the
     # timed run measures steady-state compute+exchange, not cold disk
     # or worker startup
-    rd.read_parquet(corpus_path).count()
+    read_parquet_clean(corpus_path).count()
     enc_dir = os.path.join(BENCH_DIR, f"enc-{num_cpus}")
     shutil.rmtree(enc_dir, ignore_errors=True)
     encode_parquet(corpus_path, enc_dir)
@@ -129,7 +131,7 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         from ray.data.aggregate import Count, Sum
 
         t0 = time.perf_counter()
-        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+        read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                         columns=["source", "n_chars"]) \
             .groupby("source").aggregate(
                 Count(alias_name="n_rows"), Sum("n_chars", alias_name="sum_chars")
@@ -176,7 +178,7 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         from arcade_ray.textops import (exact_dedup, minhash_lsh_pairs,
                                         simhash_pairs)
 
-        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+        docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
         t0 = time.perf_counter()
         exact_dedup(docs).count()
@@ -191,7 +193,7 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         # gap-based session windows over the events stream table
         from arcade_ray.windows import session_windows
 
-        ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                              columns=["user_id", "ts"])
         t0 = time.perf_counter()
         session_windows(ev, key_col="user_id", ts_col="ts",
@@ -234,7 +236,7 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         # per-key window frames over the events stream
         from arcade_ray.windows import frame_aggs
 
-        ev_v = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+        ev_v = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                                columns=["event_id", "user_id", "ts",
                                         "value"])
         t0 = time.perf_counter()

@@ -51,11 +51,12 @@ def main() -> int:
     if not ray.is_initialized():  # inside a Ray Job this attaches
         ray.init()
 
+    from arcade_ray.sources import read_parquet_clean
     from arcade_ray.textops import analyze_text, exact_dedup, normalize_text
     from arcade_ray.transforms import pack_sequences
 
     t0 = time.time()
-    ds = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
+    ds = read_parquet_clean(args.input, columns=[args.id_col, args.text_col])
     n_in = ds.count()
 
     ds = normalize_text(ds, text_col=args.text_col, out_col="text",
@@ -84,7 +85,7 @@ def main() -> int:
                             max_len=args.max_len)
     packed.write_parquet(args.out)
 
-    out_ds = rd.read_parquet(args.out)
+    out_ds = read_parquet_clean(args.out)
     n_examples = out_ds.count()
     print({"input_docs": n_in, "examples": n_examples,
            "max_len": args.max_len, "out": args.out,
