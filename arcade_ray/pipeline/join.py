@@ -37,14 +37,27 @@ DEFAULT_MAX_BUILD_ROWS = 50_000_000  # ~hundreds of MB of keys; guardrail
 def shuffle_join(left_dir: str, right_dir: str, left_key: str,
                  right_key: str, left_cols: list[str],
                  right_cols: list[str], join_type: str = "inner",
-                 num_partitions: int | None = None):
-    """Hash-shuffle join of two ENCODED datasets when BOTH sides are
-    large: each side's decoded scan streams into Ray Data's
-    hash-partitioned join (both sides shuffled by key hash, joined
-    partition-wise). Use :func:`broadcast_join` when one side fits a
-    worker heap — it avoids the shuffle entirely.
+                 num_partitions: int | None = None,
+                 _native: bool = False):
+    """Large-large join of two ENCODED datasets. This is now an ALIAS
+    for :func:`copartition_join` (measured 8-25x faster at sf0.1: no
+    sort comparisons, one data movement per side) — kept so existing
+    callers and the CLI keep working with one public large-large join,
+    and it is the fast one.
+
+    ``_native=True`` (tests only) runs the original implementation:
+    decoded scans into Ray Data's hash-partitioned ``Dataset.join`` —
+    retained as a parity oracle for copartition_join, not a user path.
 
     Returns a streaming Dataset with columns left_cols + right_cols."""
+    if not _native:
+        # normalize the *_outer aliases both entry points accept
+        jt = {"left_outer": "left", "right_outer": "right",
+              "full_outer": "full"}.get(join_type, join_type)
+        return copartition_join(left_dir, right_dir, left_key, right_key,
+                                left_cols, right_cols, join_type=jt,
+                                n_buckets=num_partitions)
+
     import ray
 
     from .query import scan

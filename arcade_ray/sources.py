@@ -74,16 +74,40 @@ def _strip_schema_metadata(t: pa.Table) -> pa.Table:
     return t.replace_schema_metadata(None) if t.schema.metadata else t
 
 
+def _first_parquet_file(paths) -> str | None:
+    import glob
+    import os
+
+    p = paths[0] if isinstance(paths, (list, tuple)) and paths else paths
+    if not isinstance(p, str):
+        return None
+    if os.path.isdir(p):
+        fs = sorted(glob.glob(os.path.join(p, "*.parquet")))
+        return fs[0] if fs else None
+    return p
+
+
 def read_parquet_clean(paths, *, columns: list[str] | None = None, **kwargs):
     """``ray.data.read_parquet`` + schema-metadata strip.
 
     Pandas-written parquet carries schema-level ``b'pandas'`` metadata;
     a pa.Schema with metadata is UNHASHABLE, which defeats Ray Data's
-    schema deduplication in every downstream shuffle (one "Failed to
-    hash the schemas" warning per reduce task, un-deduplicated schema
-    objects in block metadata at scale). The strip is zero-copy and the
-    map stage fuses into the read."""
+    schema deduplication in every block-metadata unify — inside the
+    read operator itself and in every downstream shuffle (one "Failed
+    to hash the schemas" warning per task, un-deduplicated schema
+    objects at scale). Passing an explicit metadata-free schema makes
+    the read produce clean blocks from the start; the fused map strip
+    stays as a belt-and-braces fallback (no-op on clean blocks)."""
     import ray.data as rd
 
+    if "schema" not in kwargs:
+        first = _first_parquet_file(paths)
+        if first is not None:
+            try:
+                import pyarrow.parquet as pq
+
+                kwargs["schema"] = pq.read_schema(first).remove_metadata()
+            except Exception:
+                pass  # unreadable/remote path: the map strip still covers us
     ds = rd.read_parquet(paths, columns=columns, **kwargs)
     return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow")

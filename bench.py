@@ -97,11 +97,26 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
 
     queries: dict[str, float] = {}
 
-    # headline: full encode pipeline, fresh output dir; best of 2 timed
-    # iterations (the sandbox host is multi-tenant — single runs are
-    # noisy)
+    def _best_of(fn, n: int = 2, setup=None) -> float:
+        """min-of-n timing: the sandbox host is multi-tenant — a single
+        run measures host noise as much as the pipeline (BENCH_r03's
+        2-3x uniform inflation); min-per-config is the BASELINE.md §5
+        protocol."""
+        best = None
+        for _ in range(n):
+            if setup is not None:
+                setup()
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    # headline: full encode pipeline, fresh output dir each iteration,
+    # timed FIRST (before the operator-surface queries can contend) and
+    # best-of-3 after the full untimed warm run above
     t_encode = None
-    for _ in range(2):
+    for _ in range(3):
         shutil.rmtree(enc_dir, ignore_errors=True)
         t0 = time.perf_counter()
         manifest = encode_parquet(corpus_path, enc_dir)
@@ -114,39 +129,40 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     flt = None
     if not os.environ.get("ARCADE_BENCH_HEADLINE_ONLY"):
         # decode round trip (streaming consume)
-        t0 = time.perf_counter()
-        n = decode_dataset(enc_dir).count()
-        queries["decode_corpus"] = round(time.perf_counter() - t0, 3)
-        assert n == CORPUS_ROWS, (n, CORPUS_ROWS)
+        def _dec():
+            n = decode_dataset(enc_dir).count()
+            assert n == CORPUS_ROWS, (n, CORPUS_ROWS)
+
+        queries["decode_corpus"] = _best_of(_dec)
 
         # equi-filter on encoded corpus (code-domain compare + zone maps)
-        t0 = time.perf_counter()
-        flt = equi_filter(enc_dir, "source", "src-003",
-                          project=["source", "doc_id", "n_tok"]).count()
-        queries["equi_filter_encoded"] = round(time.perf_counter() - t0, 3)
+        def _flt():
+            nonlocal flt
+            flt = equi_filter(enc_dir, "source", "src-003",
+                              project=["source", "doc_id", "n_tok"]).count()
+
+        queries["equi_filter_encoded"] = _best_of(_flt)
 
     # operator surface over $GRAFT_SF_DIR tables (skipped in --scaling
     # children: the scaling criterion measures the headline pipeline)
     if os.path.isdir(sf_dir) and not os.environ.get("ARCADE_BENCH_HEADLINE_ONLY"):
         from ray.data.aggregate import Count, Sum
 
-        t0 = time.perf_counter()
-        read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
-                        columns=["source", "n_chars"]) \
+        queries["plan_stats"] = _best_of(
+            lambda: read_parquet_clean(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["source", "n_chars"])
             .groupby("source").aggregate(
-                Count(alias_name="n_rows"), Sum("n_chars", alias_name="sum_chars")
-            ).to_pandas()
-        queries["plan_stats"] = round(time.perf_counter() - t0, 3)
+                Count(alias_name="n_rows"),
+                Sum("n_chars", alias_name="sum_chars")).to_pandas())
 
         doc_enc = os.path.join(BENCH_DIR, f"docs-{num_cpus}")
-        shutil.rmtree(doc_enc, ignore_errors=True)
-        t0 = time.perf_counter()
-        m2 = encode_parquet(
-            os.path.join(sf_dir, "documents.parquet"),
-            doc_enc, key_col="source", id_col="doc_id", weight_col="n_chars",
-            weight_cap=2_000_000,
-        )
-        queries["encode_documents"] = round(time.perf_counter() - t0, 3)
+        queries["encode_documents"] = _best_of(
+            lambda: encode_parquet(
+                os.path.join(sf_dir, "documents.parquet"), doc_enc,
+                key_col="source", id_col="doc_id", weight_col="n_chars",
+                weight_cap=2_000_000),
+            setup=lambda: shutil.rmtree(doc_enc, ignore_errors=True))
 
         # broadcast hash join over two encoded tables
         from arcade_ray.pipeline.join import broadcast_join
@@ -158,21 +174,20 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
             shutil.rmtree(d, ignore_errors=True)
             encode_parquet(os.path.join(sf_dir, f"{tbl}.parquet"), d,
                            key_col=key, id_col=idc, weight_col=None)
-        t0 = time.perf_counter()
-        broadcast_join(o_enc, c_enc, probe_key="o_custkey",
-                       build_key="c_custkey",
-                       probe_cols=["o_orderkey", "o_custkey"],
-                       build_cols=["c_mktsegment"]).count()
-        queries["join_encoded"] = round(time.perf_counter() - t0, 3)
+        queries["join_encoded"] = _best_of(
+            lambda: broadcast_join(
+                o_enc, c_enc, probe_key="o_custkey", build_key="c_custkey",
+                probe_cols=["o_orderkey", "o_custkey"],
+                build_cols=["c_mktsegment"]).count())
 
         # compound predicate over encoded documents
         from arcade_ray.pipeline.query import compound_filter
 
-        t0 = time.perf_counter()
-        compound_filter(doc_enc, [("eq", "lang", "en"),
-                                  ("between", "n_chars", 100, 200)],
-                        project=["doc_id", "lang", "n_chars"]).count()
-        queries["compound_filter"] = round(time.perf_counter() - t0, 3)
+        queries["compound_filter"] = _best_of(
+            lambda: compound_filter(
+                doc_enc, [("eq", "lang", "en"),
+                          ("between", "n_chars", 100, 200)],
+                project=["doc_id", "lang", "n_chars"]).count())
 
         # dedup operators over raw documents (hash-only shuffles)
         from arcade_ray.textops import (exact_dedup, minhash_lsh_pairs,
@@ -180,29 +195,25 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
 
         docs = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
-        t0 = time.perf_counter()
-        exact_dedup(docs).count()
-        queries["exact_dedup"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        minhash_lsh_pairs(docs, jaccard_threshold=0.7).count()
-        queries["minhash_pairs"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        simhash_pairs(docs, max_hamming=3).count()
-        queries["simhash_pairs"] = round(time.perf_counter() - t0, 3)
+        queries["exact_dedup"] = _best_of(lambda: exact_dedup(docs).count())
+        queries["minhash_pairs"] = _best_of(
+            lambda: minhash_lsh_pairs(docs, jaccard_threshold=0.7).count())
+        queries["simhash_pairs"] = _best_of(
+            lambda: simhash_pairs(docs, max_hamming=3).count())
 
         # gap-based session windows over the events stream table
         from arcade_ray.windows import session_windows
 
         ev = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                              columns=["user_id", "ts"])
-        t0 = time.perf_counter()
-        session_windows(ev, key_col="user_id", ts_col="ts",
-                        gap_s=1800.0).count()
-        queries["session_windows"] = round(time.perf_counter() - t0, 3)
+        queries["session_windows"] = _best_of(
+            lambda: session_windows(ev, key_col="user_id", ts_col="ts",
+                                    gap_s=1800.0).count())
 
         # co-partitioned exchange join, both sides large (lineitem x
-        # orders) — vs the Ray Data sort-shuffle join on the same input
-        from arcade_ray.pipeline.join import copartition_join, shuffle_join
+        # orders). shuffle_join is now an alias for this path (the
+        # Ray-native sort-shuffle variant is a test-only parity oracle)
+        from arcade_ray.pipeline.join import copartition_join
 
         li_enc = os.path.join(BENCH_DIR, f"li-{num_cpus}")
         shutil.rmtree(li_enc, ignore_errors=True)
@@ -212,26 +223,26 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         jkw = dict(left_key="l_orderkey", right_key="o_orderkey",
                    left_cols=["l_orderkey", "l_quantity"],
                    right_cols=["o_orderpriority"])
-        t0 = time.perf_counter()
-        copartition_join(li_enc, o_enc, **jkw).count()
-        queries["copartition_join"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        shuffle_join(li_enc, o_enc, **jkw).count()
-        queries["shuffle_join"] = round(time.perf_counter() - t0, 3)
+        queries["copartition_join"] = _best_of(
+            lambda: copartition_join(li_enc, o_enc, **jkw).count())
 
         # composed TPC-H-Q3-shape pipeline over three encoded tables
         # (customer filter -> semi-join orders -> date filter ->
         # semi-join lineitem -> partial sums -> groupby -> top-k)
         from arcade_ray.entry_queries import CACHE_ROOT, q_q3_revenue_topk
 
-        cache_ready = os.path.isdir(CACHE_ROOT)
-        t0 = time.perf_counter()
-        q3 = q_q3_revenue_topk(sf_dir)
-        queries["q3_pipeline"] = round(time.perf_counter() - t0, 3)
-        assert q3.num_rows == 20, q3.num_rows
-        if not cache_ready:
-            # first run included the encode of all three tables; tag it
-            queries["q3_pipeline_cold"] = queries.pop("q3_pipeline")
+        if not os.path.isdir(CACHE_ROOT):
+            # first run encodes all three tables into the cache; report
+            # it separately so the warm number measures the pipeline
+            t0 = time.perf_counter()
+            q_q3_revenue_topk(sf_dir)
+            queries["q3_pipeline_cold"] = round(time.perf_counter() - t0, 3)
+
+        def _q3():
+            q3 = q_q3_revenue_topk(sf_dir)
+            assert q3.num_rows == 20, q3.num_rows
+
+        queries["q3_pipeline"] = _best_of(_q3)
 
         # per-key window frames over the events stream
         from arcade_ray.windows import frame_aggs
@@ -239,9 +250,8 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         ev_v = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                                columns=["event_id", "user_id", "ts",
                                         "value"])
-        t0 = time.perf_counter()
-        frame_aggs(ev_v, tie_col="event_id", window=4).count()
-        queries["window_frames"] = round(time.perf_counter() - t0, 3)
+        queries["window_frames"] = _best_of(
+            lambda: frame_aggs(ev_v, tie_col="event_id", window=4).count())
 
     return {
         "metric": "corpus encode wall-clock (tokens/s headline)",

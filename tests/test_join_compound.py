@@ -356,3 +356,22 @@ def test_semi_join_large_anti_nulls(ray_session, tmp_path):
     exp_s = sorted(p for p, k in zip(pids, ks)
                    if k is not None and k % 2 == 0)
     assert sorted(got_s["pid"].to_pylist()) == exp_s
+
+
+def test_shuffle_join_aliases_copartition(two_tables):
+    """shuffle_join is an alias for copartition_join; the Ray-native
+    sort-shuffle variant survives only as a _native=True parity
+    oracle. Both must produce identical multisets."""
+    from arcade_ray.pipeline.join import shuffle_join
+
+    o_dir, c_dir, orders, cust = two_tables
+    kw = dict(left_key="o_custkey", right_key="c_custkey",
+              left_cols=["o_orderkey"], right_cols=["c_seg"])
+    fast = collect_arrow(shuffle_join(o_dir, c_dir, **kw))
+    native = collect_arrow(shuffle_join(o_dir, c_dir, _native=True, **kw))
+
+    def key(t):
+        return sorted(zip(t["o_orderkey"].to_pylist(),
+                          t["c_seg"].to_pylist()))
+
+    assert key(fast) == key(native)
