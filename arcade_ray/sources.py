@@ -106,7 +106,12 @@ def read_parquet_clean(paths, *, columns: list[str] | None = None, **kwargs):
             try:
                 import pyarrow.parquet as pq
 
-                kwargs["schema"] = pq.read_schema(first).remove_metadata()
+                sch = pq.read_schema(first).remove_metadata()
+                if columns is not None:
+                    # the read projects to `columns`; the schema must
+                    # match the projected batches or block-unify raises
+                    sch = pa.schema([sch.field(c) for c in columns])
+                kwargs["schema"] = sch
             except Exception:
                 pass  # unreadable/remote path: the map strip still covers us
     ds = rd.read_parquet(paths, columns=columns, **kwargs)

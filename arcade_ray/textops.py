@@ -650,18 +650,36 @@ _LANG_PROFILES = {
 }
 
 
+# the _BPE_RE alternation minus its trailing `\s+` branch: counting
+# matches of THIS pattern equals counting non-whitespace matches of the
+# full pattern (the `\s+` branch only ever consumes whitespace the other
+# branches skip over; dropping it never changes where a non-ws token
+# starts or how many there are — fuzz-verified in test_textops).
+_BPE_NONWS_PATTERN = (
+    r"'(?:[sdmt]|ll|ve|re)"
+    r"| ?[A-Za-zÀ-ÖØ-öø-ÿ]+"
+    r"| ?[0-9]+"
+    r"| ?[^\sA-Za-zÀ-ÖØ-öø-ÿ0-9]+"
+)
+_PUNCT_PATTERN = r"[!-/:-@\[-`{-~]"
+
+
 class TextAnalyzer:
-    """Actor-pool text analysis: compiled regexes + language profiles
-    built once per actor (__init__), vectorized pandas per batch
-    (__call__) — the canonical stateful map_batches stage."""
+    """Actor-pool text analysis: language profiles + stopword value-set
+    built once per actor (__init__), fully vectorized per batch
+    (__call__) — Arrow regex-count / split / is_in kernels plus
+    np.bincount over doc boundaries (the simhash64 pattern). Per-row
+    Python survives only for the md5 fingerprint (inherent)."""
 
     def __init__(self):
         self.word_re = _WORD_RE
-        self.punct_re = re.compile(r"[!-/:-@\[-`{-~]")
+        self.punct_re = re.compile(_PUNCT_PATTERN)
         self.profiles = {
             lang: {g: len(grams) - i for i, g in enumerate(grams)}
             for lang, grams in _LANG_PROFILES.items()
         }
+        self._stop_set = pa.array(sorted(_STOPWORDS), type=pa.string())
+        self._langs = np.array(list(self.profiles), dtype=object)
 
     def lang_of(self, text: str) -> str:
         t = " " + text.lower()[:400] + " "
@@ -672,29 +690,91 @@ class TextAnalyzer:
                 best, best_score = lang, score
         return best
 
+    def _pred_langs(self, text: pa.Array) -> np.ndarray:
+        """Vectorized :meth:`lang_of`: one match_substring pass per
+        trigram over space-padded 400-char prefixes, weighted votes,
+        first-lang-wins ties (identical to the scalar loop)."""
+        pad = pa.scalar(" ", type=pa.string())
+        t = pc.binary_join_element_wise(
+            pad, pc.utf8_slice_codeunits(pc.utf8_lower(text), 0, 400),
+            pad, "")
+        n = len(text)
+        best_score = np.zeros(n, dtype=np.int64)
+        best_idx = np.full(n, -1, dtype=np.int64)
+        for li, prof in enumerate(self.profiles.values()):
+            score = np.zeros(n, dtype=np.int64)
+            for g, w in prof.items():
+                score += w * pc.match_substring(t, g).to_numpy(
+                    zero_copy_only=False)
+            upd = score > best_score
+            best_score[upd] = score[upd]
+            best_idx[upd] = li
+        out = np.where(best_idx >= 0,
+                       self._langs[np.maximum(best_idx, 0)], "unk")
+        return out
+
     def __call__(self, batch):
         import pandas as pd
 
-        text = batch["text"].astype(str)
-        words = text.str.findall(self.word_re)
-        n_words = words.str.len()
-        batch["word_count"] = n_words.astype("int64")
-        batch["punct_count"] = text.str.count(self.punct_re).astype("int64")
-        nchars = text.str.len().replace(0, 1)
-        batch["punct_ratio"] = batch["punct_count"] / nchars
-        batch["stopword_ratio"] = words.map(
-            lambda ws: sum(w.lower() in _STOPWORDS for w in ws) / max(1, len(ws))
-        )
-        batch["mean_word_len"] = words.map(
-            lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0
-        )
-        batch["pred_lang"] = text.map(self.lang_of)
-        batch["fingerprint"] = text.map(
-            lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()
-        )
-        batch["bpe_token_count"] = text.map(
-            lambda t: sum(1 for m in _BPE_RE.finditer(t) if not m.group().isspace())
-        ).astype("int64")
+        is_pandas = isinstance(batch, pd.DataFrame)
+        if is_pandas:
+            text = pa.array(batch["text"].astype(str), type=pa.string())
+        else:
+            text = batch["text"].combine_chunks() \
+                if isinstance(batch["text"], pa.ChunkedArray) \
+                else batch["text"]
+            text = pc.fill_null(text, "")
+        n = len(text)
+
+        # word stream: one regex split, empties masked, per-doc stats
+        # via bincount over doc ids (== findall(r"[A-Za-z0-9]+"))
+        words = pc.split_pattern_regex(text, "[^A-Za-z0-9]+")
+        per_doc = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words)
+        flen = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), per_doc)
+        ne = flen > 0
+        doc_ne = doc_of[ne]
+        word_count = np.bincount(doc_ne, minlength=n).astype(np.int64)
+        is_stop = pc.is_in(pc.utf8_lower(flat),
+                           value_set=self._stop_set).to_numpy(
+                               zero_copy_only=False)[ne]
+        stop_n = np.bincount(doc_ne, weights=is_stop, minlength=n)
+        denom = np.maximum(1, word_count)
+        stopword_ratio = stop_n / denom
+        sum_len = np.bincount(doc_ne, weights=flen[ne], minlength=n)
+        mean_word_len = np.where(word_count > 0, sum_len / denom, 0.0)
+
+        punct_count = pc.count_substring_regex(
+            text, _PUNCT_PATTERN).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nchars = np.maximum(
+            1, pc.utf8_length(text).to_numpy(zero_copy_only=False))
+        punct_ratio = punct_count / nchars
+        bpe = pc.count_substring_regex(
+            text, _BPE_NONWS_PATTERN).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pred_lang = self._pred_langs(text)
+        fingerprint = [hashlib.md5(s.encode("utf-8")).hexdigest()
+                       for s in text.to_pylist()]
+
+        new_cols = {
+            "word_count": word_count,
+            "punct_count": punct_count,
+            "punct_ratio": punct_ratio,
+            "stopword_ratio": stopword_ratio,
+            "mean_word_len": mean_word_len,
+            "pred_lang": pred_lang,
+            "fingerprint": fingerprint,
+            "bpe_token_count": bpe,
+        }
+        if is_pandas:
+            for k, v in new_cols.items():
+                batch[k] = v
+            return batch
+        for k, v in new_cols.items():
+            batch = batch.append_column(
+                k, pa.array(v) if not isinstance(v, pa.Array) else v)
         return batch
 
 
@@ -845,7 +925,7 @@ def analyze_text(ds, concurrency: int | None = None, batch_size: int = 4096):
 
         avail = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         concurrency = max(1, min(8, avail - 1))
-    return ds.map_batches(TextAnalyzer, batch_format="pandas",
+    return ds.map_batches(TextAnalyzer, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency)
 
 

@@ -426,3 +426,48 @@ def test_dedup_against_index(ray_session, tmp_path):
         rd.from_arrow(new), idx)).to_pandas().sort_values(
         "doc_id", ignore_index=True)
     assert out["doc_id"].tolist() == [11, 14]
+
+
+def test_text_analyzer_vectorized_matches_per_row():
+    """The Arrow-vectorized TextAnalyzer must be value-identical to the
+    original per-row pandas semantics (findall/str.count/map loops) on
+    adversarial + fuzz inputs: empty docs, whitespace-only, tabs and
+    newlines (where a naive \\s+ subtraction for BPE counts breaks),
+    unicode letters, punctuation runs."""
+    import hashlib
+    import random
+    import re
+    import string
+
+    from arcade_ray.textops import _BPE_RE, _STOPWORDS, TextAnalyzer
+
+    random.seed(11)
+    alphabet = string.ascii_letters + string.digits + " \t\n.,!?'-éàüß" + "  "
+    texts = ["", " ", "a  b", "a ", "  a", "Tab\t\tsep\nnewline",
+             "très tôt déjà", "!!!", "I'll see 42 cats, won't you?",
+             "the and of a to in is it THE The"]
+    texts += ["".join(random.choice(alphabet)
+                      for _ in range(random.randint(0, 120)))
+              for _ in range(400)]
+
+    an = TextAnalyzer()
+    out = an(pa.table({"text": pa.array(texts)}))
+
+    word_re = re.compile(r"[A-Za-z0-9]+")
+    punct_re = re.compile(r"[!-/:-@\[-`{-~]")
+    for i, t in enumerate(texts):
+        ws = word_re.findall(t)
+        assert out["word_count"][i].as_py() == len(ws), repr(t)
+        assert out["punct_count"][i].as_py() == len(punct_re.findall(t))
+        assert abs(out["punct_ratio"][i].as_py()
+                   - len(punct_re.findall(t)) / max(1, len(t))) < 1e-12
+        exp_stop = sum(w.lower() in _STOPWORDS for w in ws) / max(1, len(ws))
+        assert abs(out["stopword_ratio"][i].as_py() - exp_stop) < 1e-12
+        exp_mwl = float(np.mean([len(w) for w in ws])) if ws else 0.0
+        assert abs(out["mean_word_len"][i].as_py() - exp_mwl) < 1e-12
+        assert out["pred_lang"][i].as_py() == an.lang_of(t), repr(t)
+        assert out["fingerprint"][i].as_py() == \
+            hashlib.md5(t.encode()).hexdigest()
+        exp_bpe = sum(1 for m in _BPE_RE.finditer(t)
+                      if not m.group().isspace())
+        assert out["bpe_token_count"][i].as_py() == exp_bpe, repr(t)
