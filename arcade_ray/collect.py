@@ -180,7 +180,7 @@ def _make_router(need_ref, id_col: str, payload_cols: list[str],
 def distributed_pair_verify(ds, cand_tab: pa.Table, id_col: str,
                             payload_cols: list[str], verify_fn,
                             n_buckets: int | None = None,
-                            derive_fn=None) -> pa.Table:
+                            derive_fn=None, as_refs: bool = False):
     """Exact-verify candidate (id_a, id_b) pairs WITHOUT materializing
     candidate payloads (texts/vectors) on the driver.
 
@@ -242,8 +242,11 @@ def distributed_pair_verify(ds, cand_tab: pa.Table, id_col: str,
                           for r in routed.to_arrow_refs()])
     frags = [[fl[b] for fl in frag_lists if fl[b] is not None]
              for b in range(n_buckets)]
-    outs = ray.get([verify_bucket.remote(b, frags[b])
-                    for b in range(n_buckets) if frags[b]])
+    out_refs = [verify_bucket.remote(b, frags[b])
+                for b in range(n_buckets) if frags[b]]
+    if as_refs:
+        return out_refs
+    outs = ray.get(out_refs)
     typed = [t for t in outs if t.num_columns > 0]
     if not typed:
         return outs[0] if outs else pa.table({})
@@ -254,7 +257,7 @@ def lsh_pairs_verify(ds, sig_ds, id_col: str, payload_cols: list[str],
                      verify_fn, key_col: str = "bk",
                      max_bucket: int = 4096,
                      n_buckets: int | None = None,
-                     derive_fn=None) -> pa.Table:
+                     derive_fn=None, as_refs: bool = False):
     """Candidate generation + exact verify for an LSH signature
     dataset, size-adaptive:
 
@@ -272,20 +275,21 @@ def lsh_pairs_verify(ds, sig_ds, id_col: str, payload_cols: list[str],
         cand, _ = bucket_candidate_pairs(sig_ds, id_col, key_col,
                                          max_bucket=max_bucket)
         if cand.num_rows == 0:
-            return pa.table({})
+            return [] if as_refs else pa.table({})
         return distributed_pair_verify(ds, cand, id_col, payload_cols,
                                        verify_fn, n_buckets=n_buckets,
-                                       derive_fn=derive_fn)
+                                       derive_fn=derive_fn, as_refs=as_refs)
     return _distributed_candidate_verify(ds, sig_ds, id_col, payload_cols,
                                          verify_fn, key_col, max_bucket,
-                                         n_buckets, derive_fn)
+                                         n_buckets, derive_fn,
+                                         as_refs=as_refs)
 
 
 def _distributed_candidate_verify(ds, sig_ds, id_col: str,
                                   payload_cols: list[str], verify_fn,
                                   key_col: str, max_bucket: int,
                                   n_buckets: int | None,
-                                  derive_fn=None) -> pa.Table:
+                                  derive_fn=None, as_refs: bool = False):
     """The scale path of :func:`lsh_pairs_verify`:
 
     1. hot keys from a vectorized groupby(key).count() (the only
@@ -410,10 +414,13 @@ def _distributed_candidate_verify(ds, sig_ds, id_col: str,
     pay_lists = ray.get([vsplit.remote(r) for r in routed.to_arrow_refs()])
     pay_frags = [[pl[b] for pl in pay_lists if pl[b] is not None]
                  for b in range(n_buckets)]
-    outs = ray.get([
+    out_refs = [
         verify_bucket.remote(b, pay_frags[b], pair_frags[b])
         for b in range(n_buckets) if pair_frags[b] and pay_frags[b]
-    ])
+    ]
+    if as_refs:
+        return out_refs
+    outs = ray.get(out_refs)
     typed = [t for t in outs if t.num_columns > 0]
     if not typed:
         return outs[0] if outs else pa.table({})

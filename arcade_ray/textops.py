@@ -324,7 +324,7 @@ def minhash_band_rows(batch: pa.Table, text_col: str = "text",
 def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       n_perm: int = 64, bands: int = 16,
                       jaccard_threshold: float = 0.7, shingle_k: int = 5,
-                      max_bucket: int = 4096):
+                      max_bucket: int = 4096, as_refs: bool = False):
     """Near-duplicate pairs via MinHash + LSH banding.
 
     Scale design, three phases:
@@ -346,7 +346,10 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
        templated-cluster over-generation, then exact shingle Jaccard
        keeps pairs >= threshold.
 
-    Returns Dataset[(id_a, id_b, jaccard)] with id_a < id_b."""
+    Returns Dataset[(id_a, id_b, jaccard)] with id_a < id_b — or, with
+    ``as_refs=True``, the raw per-verify-bucket ObjectRefs of the
+    surviving pair tables (unsorted, never concatenated on the driver;
+    the input to :func:`components.distributed_components`)."""
     import ray.data as rd
 
     from .collect import lsh_pairs_verify
@@ -426,6 +429,10 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                          "id_b": pa.array(b_out, pa.int64()),
                          "jaccard": pa.array(j_out, pa.float64())})
 
+    if as_refs:
+        return lsh_pairs_verify(ds, sig_ds, id_col, [text_col], verify,
+                                max_bucket=max_bucket, derive_fn=derive,
+                                as_refs=True)
     out = lsh_pairs_verify(ds, sig_ds, id_col, [text_col], verify,
                            max_bucket=max_bucket, derive_fn=derive)
     if out.num_rows == 0 or out.num_columns == 0:
@@ -437,39 +444,27 @@ def minhash_lsh_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 def near_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                n_perm: int = 64, bands: int = 16,
                jaccard_threshold: float = 0.7, shingle_k: int = 5):
-    """Remove near-duplicates: MinHash-LSH pairs -> union-find
-    clusters -> keep the min id per cluster; everything else is
-    dropped. The loser set (duplicates) is small by assumption and is
-    anti-joined map-side, so survivors (with text) stream straight
-    from the source — the same no-text-through-the-shuffle shape as
-    exact_dedup."""
-    from .collect import collect_arrow
+    """Remove near-duplicates: MinHash-LSH pairs -> DISTRIBUTED
+    connected components (min-label propagation with pointer jumping
+    over hash-partitioned adjacency, components.py) -> keep the min id
+    per cluster; everything else is dropped. The pair list never
+    concatenates on the driver — pairs stay as per-verify-bucket
+    object-store fragments end to end; the driver holds only the final
+    loser-id array (O(duplicates), needed for the broadcast filter
+    anyway). Survivors (with text) stream straight from the source —
+    the same no-text-through-the-shuffle shape as exact_dedup."""
+    from .components import distributed_components
 
-    pairs = collect_arrow(minhash_lsh_pairs(
-        ds, text_col, id_col, n_perm, bands, jaccard_threshold, shingle_k))
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:  # path compression
-            parent[x], x = root, parent[x]
-        return root
-
-    for a, b in zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # union by min id -> the cluster root IS the survivor
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
+    pair_refs = minhash_lsh_pairs(
+        ds, text_col, id_col, n_perm, bands, jaccard_threshold, shingle_k,
+        as_refs=True)
+    losers = distributed_components(pair_refs)
 
     import ray
 
-    losers = [x for x in parent if find(x) != x]
-    if not losers:
+    if not len(losers):
         return ds
-    lose_ref = ray.put(pa.array(sorted(losers), type=pa.int64()))
+    lose_ref = ray.put(pa.array(losers, type=pa.int64()))
 
     def keep(batch: pa.Table) -> pa.Table:
         lose_arr = ray.get(lose_ref)  # shared-memory fetch, once per task
