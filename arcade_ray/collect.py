@@ -7,6 +7,8 @@ call this on a full-corpus Dataset; big outputs stream via
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -180,7 +182,8 @@ def _make_router(need_ref, id_col: str, payload_cols: list[str],
 def distributed_pair_verify(ds, cand_tab: pa.Table, id_col: str,
                             payload_cols: list[str], verify_fn,
                             n_buckets: int | None = None,
-                            derive_fn=None, as_refs: bool = False):
+                            derive_fn=None, as_refs: bool = False,
+                            mode: str | None = None):
     """Exact-verify candidate (id_a, id_b) pairs WITHOUT materializing
     candidate payloads (texts/vectors) on the driver.
 
@@ -200,7 +203,16 @@ def distributed_pair_verify(ds, cand_tab: pa.Table, id_col: str,
 
     ``verify_fn``: (pairs: Table[id_a, id_b], payload: Table[id_col,
     *payload_cols]) -> Table. Returns the concatenated verify outputs
-    (small — the surviving pair rows)."""
+    (small — the surviving pair rows).
+
+    ``mode``: ``"objects"`` holds every routed fragment in the object
+    store at the barrier (Ray spills past capacity); ``"disk"``
+    streams routed blocks into Arrow-IPC shuffle files with bounded
+    in-flight writers, so peak object-store usage is O(in-flight
+    blocks) — encode's disk-exchange pattern (diskex.py). ``None``
+    auto-selects disk when the SOURCE dataset's estimated bytes (an
+    upper bound on the routed payload) exceed
+    ARCADE_DISK_EXCHANGE_BYTES."""
     import ray
 
     from .hashing import hash_ints
@@ -209,6 +221,15 @@ def distributed_pair_verify(ds, cand_tab: pa.Table, id_col: str,
         avail = int(ray.cluster_resources().get("CPU", 8)) \
             if ray.is_initialized() else 8
         n_buckets = max(1, min(64, avail))
+    if mode is None:
+        try:
+            src_bytes = ds.size_bytes()
+        except Exception:
+            src_bytes = None
+        from .diskex import DISK_EXCHANGE_BYTES
+
+        mode = "disk" if src_bytes and src_bytes > DISK_EXCHANGE_BYTES \
+            else "objects"
     ids_a = cand_tab["id_a"].to_numpy(zero_copy_only=False)
     ids_b = cand_tab["id_b"].to_numpy(zero_copy_only=False)
     import numpy as np
@@ -223,6 +244,52 @@ def distributed_pair_verify(ds, cand_tab: pa.Table, id_col: str,
     routed = ds.map_batches(
         _make_router(need_ref, id_col, payload_cols, derive_fn),
         batch_format="pyarrow")
+
+    if mode == "disk":
+        from .diskex import (bucket_dir, drain_bounded, make_shuffle_dir,
+                             read_bucket, write_bucket_frags)
+
+        sh = make_shuffle_dir("verify")
+
+        @ray.remote
+        def vsplit_disk(block_refs, si: int) -> int:
+            tabs = [ray.get(r) for r in block_refs]
+            t = pa.concat_tables(tabs).combine_chunks()
+            vb = t["_vb"].to_numpy(zero_copy_only=False)
+            return write_bucket_frags(t.drop_columns(["_vb"]), vb,
+                                      n_buckets, sh, si)
+
+        @ray.remote
+        def verify_bucket_disk(b: int):
+            payload = read_bucket(sh, b)
+            pairs = ray.get(pairs_ref)
+            mine = pairs.filter(
+                pa.compute.equal(pairs["_vb"], b)).drop_columns(["_vb"])
+            return verify_fn(mine, payload)
+
+        max_inflight = max(4, n_buckets)
+        pending: list = []
+        si = 0
+        # stream block refs off the executor — the routed payload
+        # never materializes in the object store all at once
+        for bundle in routed.iter_internal_ref_bundles():
+            pending.append(vsplit_disk.remote(
+                list(bundle.block_refs), si))
+            si += 1
+            pending = drain_bounded(pending, max_inflight)
+        import ray as _ray
+
+        _ray.get(pending)  # all fragments on disk
+        out_refs = [verify_bucket_disk.remote(b)
+                    for b in range(n_buckets)
+                    if os.path.isdir(bucket_dir(sh, b))]
+        if as_refs:
+            return out_refs
+        outs = ray.get(out_refs)
+        typed = [t for t in outs if t.num_columns > 0]
+        if not typed:
+            return outs[0] if outs else pa.table({})
+        return pa.concat_tables(typed, promote_options="permissive")
 
     @ray.remote
     def split(tbl: pa.Table):

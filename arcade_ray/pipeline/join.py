@@ -24,6 +24,8 @@ both sides on the key and zip partitions instead.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -83,7 +85,8 @@ def shuffle_join(left_dir: str, right_dir: str, left_key: str,
 def copartition_join(left_dir: str, right_dir: str, left_key: str,
                      right_key: str, left_cols: list[str],
                      right_cols: list[str], join_type: str = "inner",
-                     n_buckets: int | None = None):
+                     n_buckets: int | None = None,
+                     mode: str | None = None):
     """Hash CO-PARTITIONED join of two large ENCODED datasets — the
     round-2 gap (join.py's own promise): instead of decoding both
     sides into Ray Data's sort-based join shuffle, reuse the encode
@@ -104,6 +107,16 @@ def copartition_join(left_dir: str, right_dir: str, left_key: str,
     cluster the fragments are plain object-store objects and Ray
     fetches them to wherever the join task lands.
 
+    ``mode``: ``"objects"`` (fragments in the object store — fastest,
+    but the whole projected input is live at the split/join barrier;
+    Ray spills past store capacity) or ``"disk"`` (split tasks write
+    Arrow-IPC shuffle files with bounded in-flight splits — peak
+    object-store usage is O(in-flight splits) regardless of input
+    size; shuffle files live until interpreter exit so the lazy output
+    Dataset stays re-executable). ``None`` auto-selects disk when the
+    two sides' manifest raw_bytes exceed ARCADE_DISK_EXCHANGE_BYTES —
+    the same threshold/pattern as encode_parquet's exchange.
+
     Returns a streaming Dataset with columns left_cols + right_cols."""
     import numpy as np
     import ray
@@ -121,36 +134,97 @@ def copartition_join(left_dir: str, right_dir: str, left_key: str,
         n_buckets = max(16, int(ray.cluster_resources().get("CPU", 8)))
 
     from ..collect import split_by_bucket
-
-    @ray.remote
-    def split(path: str, key: str, cols: list[str]):
-        _pin_arrow_threads()
-        t = decode_partition(path, columns=cols)
-        h = (hash_column(t[key]) % np.uint64(n_buckets)).astype(np.int64)
-        return split_by_bucket(t, h, n_buckets)
+    from ..diskex import (DISK_EXCHANGE_BYTES, bucket_dir, drain_bounded,
+                          make_shuffle_dir, read_bucket,
+                          write_bucket_frags)
 
     left_need = list(dict.fromkeys([left_key] + left_cols))
     right_need = list(dict.fromkeys([right_key] + right_cols))
-    l_paths = [r["path"] for r in load_manifest(left_dir).to_pylist()]
-    r_paths = [r["path"] for r in load_manifest(right_dir).to_pylist()]
-    l_lists = ray.get([split.remote(p, left_key, left_need) for p in l_paths])
-    r_lists = ray.get([split.remote(p, right_key, right_need) for p in r_paths])
-    l_frags = [[fl[b] for fl in l_lists if fl[b] is not None]
-               for b in range(n_buckets)]
-    r_frags = [[fl[b] for fl in r_lists if fl[b] is not None]
-               for b in range(n_buckets)]
+    l_man = load_manifest(left_dir)
+    r_man = load_manifest(right_dir)
+    l_paths = [r["path"] for r in l_man.to_pylist()]
+    r_paths = [r["path"] for r in r_man.to_pylist()]
+    if mode is None:
+        import pyarrow.compute as _pc
+
+        raw = int(_pc.sum(l_man["raw_bytes"]).as_py() or 0) \
+            + int(_pc.sum(r_man["raw_bytes"]).as_py() or 0)
+        mode = "disk" if raw > DISK_EXCHANGE_BYTES else "objects"
     keep = list(dict.fromkeys(left_cols + right_cols))
     l_empty = _typed_empty(l_paths[0], left_need)
     r_empty = _typed_empty(r_paths[0], right_need)
 
-    if arrow_how == "inner":
-        live = [b for b in range(n_buckets) if l_frags[b] and r_frags[b]]
-    elif arrow_how == "left outer":
-        live = [b for b in range(n_buckets) if l_frags[b]]
-    elif arrow_how == "right outer":
-        live = [b for b in range(n_buckets) if r_frags[b]]
+    if mode == "disk":
+        sh_l = make_shuffle_dir("joinL")
+        sh_r = make_shuffle_dir("joinR")
+
+        @ray.remote
+        def split_disk(path: str, key: str, cols: list[str],
+                       sdir: str, si: int) -> int:
+            _pin_arrow_threads()
+            t = decode_partition(path, columns=cols)
+            h = (hash_column(t[key]) % np.uint64(n_buckets)) \
+                .astype(np.int64)
+            return write_bucket_frags(t, h, n_buckets, sdir, si)
+
+        max_inflight = max(4, int(ray.cluster_resources().get("CPU", 8)))
+        pending: list = []
+        for si, p in enumerate(l_paths):
+            pending.append(split_disk.remote(p, left_key, left_need,
+                                             sh_l, si))
+            pending = drain_bounded(pending, max_inflight)
+        for si, p in enumerate(r_paths):
+            pending.append(split_disk.remote(p, right_key, right_need,
+                                             sh_r, si))
+            pending = drain_bounded(pending, max_inflight)
+        ray.get(pending)  # all fragments on disk
+        l_has = [os.path.isdir(bucket_dir(sh_l, b))
+                 for b in range(n_buckets)]
+        r_has = [os.path.isdir(bucket_dir(sh_r, b))
+                 for b in range(n_buckets)]
+
+        def fetch(b: int):
+            lt = read_bucket(sh_l, b)
+            rt = read_bucket(sh_r, b)
+            return (lt if lt is not None else l_empty,
+                    rt if rt is not None else r_empty)
     else:
-        live = [b for b in range(n_buckets) if l_frags[b] or r_frags[b]]
+
+        @ray.remote
+        def split(path: str, key: str, cols: list[str]):
+            _pin_arrow_threads()
+            t = decode_partition(path, columns=cols)
+            h = (hash_column(t[key]) % np.uint64(n_buckets)) \
+                .astype(np.int64)
+            return split_by_bucket(t, h, n_buckets)
+
+        l_lists = ray.get([split.remote(p, left_key, left_need)
+                           for p in l_paths])
+        r_lists = ray.get([split.remote(p, right_key, right_need)
+                           for p in r_paths])
+        l_frags = [[fl[b] for fl in l_lists if fl[b] is not None]
+                   for b in range(n_buckets)]
+        r_frags = [[fl[b] for fl in r_lists if fl[b] is not None]
+                   for b in range(n_buckets)]
+        l_has = [bool(f) for f in l_frags]
+        r_has = [bool(f) for f in r_frags]
+
+        def fetch(b: int):
+            lt = [ray.get(r) for r in l_frags[b]]
+            rt = [ray.get(r) for r in r_frags[b]]
+            return (pa.concat_tables(lt).combine_chunks() if lt
+                    else l_empty,
+                    pa.concat_tables(rt).combine_chunks() if rt
+                    else r_empty)
+
+    if arrow_how == "inner":
+        live = [b for b in range(n_buckets) if l_has[b] and r_has[b]]
+    elif arrow_how == "left outer":
+        live = [b for b in range(n_buckets) if l_has[b]]
+    elif arrow_how == "right outer":
+        live = [b for b in range(n_buckets) if r_has[b]]
+    else:
+        live = [b for b in range(n_buckets) if l_has[b] or r_has[b]]
     if not live:
         return rd.from_arrow(l_empty.join(
             r_empty, keys=[left_key], right_keys=[right_key],
@@ -162,10 +236,7 @@ def copartition_join(left_dir: str, right_dir: str, left_key: str,
         outs = []
         for bv in batch["bucket"]:
             b = bv.as_py()
-            lt = [ray.get(r) for r in l_frags[b]]
-            rt = [ray.get(r) for r in r_frags[b]]
-            left = pa.concat_tables(lt).combine_chunks() if lt else l_empty
-            right = pa.concat_tables(rt).combine_chunks() if rt else r_empty
+            left, right = fetch(b)
             j = left.join(right, keys=[left_key], right_keys=[right_key],
                           join_type=arrow_how)
             outs.append(j.select(keep))

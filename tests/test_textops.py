@@ -471,3 +471,53 @@ def test_text_analyzer_vectorized_matches_per_row():
         exp_bpe = sum(1 for m in _BPE_RE.finditer(t)
                       if not m.group().isspace())
         assert out["bpe_token_count"][i].as_py() == exp_bpe, repr(t)
+
+
+def test_distributed_pair_verify_disk_parity(ray_session):
+    """Disk-staged pair verify (Arrow-IPC shuffle files, streamed
+    routed blocks) must return identical pairs to objects mode."""
+    import ray.data as rd
+
+    from arcade_ray.collect import distributed_pair_verify
+
+    rng = np.random.RandomState(7)
+    n = 300
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "text": pa.array([f"payload {i} " + "x" * int(rng.randint(0, 50))
+                          for i in range(n)]),
+    })
+    ds = rd.from_arrow(t)
+    a = rng.randint(0, n, 400)
+    b = rng.randint(0, n, 400)
+    m = a < b
+    cand = pa.table({"id_a": pa.array(a[m], pa.int64()),
+                     "id_b": pa.array(b[m], pa.int64())})
+
+    def verify(pairs, payload):
+        import pyarrow.compute as pc
+
+        # keep pairs whose texts have the same parity of length
+        ids = payload["doc_id"].to_numpy(zero_copy_only=False)
+        ln = pc.utf8_length(payload["text"]).to_numpy(zero_copy_only=False)
+        lmap = dict(zip(ids.tolist(), ln.tolist()))
+        ka, kb, keep = [], [], []
+        for x, y in zip(pairs["id_a"].to_pylist(),
+                        pairs["id_b"].to_pylist()):
+            if lmap[x] % 2 == lmap[y] % 2:
+                ka.append(x)
+                kb.append(y)
+        return pa.table({"id_a": pa.array(ka, pa.int64()),
+                         "id_b": pa.array(kb, pa.int64())})
+
+    obj = distributed_pair_verify(ds, cand, "doc_id", ["text"], verify,
+                                  mode="objects")
+    dsk = distributed_pair_verify(ds, cand, "doc_id", ["text"], verify,
+                                  mode="disk")
+
+    def key(t):
+        return sorted(zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()))
+
+    assert obj.schema == dsk.schema
+    assert key(obj) == key(dsk)
+    assert len(key(obj)) > 0
