@@ -574,7 +574,8 @@ def dict_distinct_values(out_dir: str, col: str) -> pa.Table:
 
     @ray.remote
     def part_distinct(path: str) -> set:
-        from ..codecs.str_codecs import decode_str_values
+        from ..codecs.str_codecs import decode_codes, decode_str_values
+        from ..column import StringColumnDecoder
         from .encode import _pin_arrow_threads
 
         _pin_arrow_threads()
@@ -582,28 +583,52 @@ def dict_distinct_values(out_dir: str, col: str) -> pa.Table:
         cm = header["columns"][col]
         if cm["kind"] != "str":
             raise TypeError("dict_distinct_values is for string columns")
-        if any(ch.get("nulls") for ch in cm["chunks"]):
-            raise NotImplementedError(
-                "dict_distinct_values over a null-bearing column: null "
-                "slots encode as '' in the dictionary — decode instead"
-            )
         out: set = set()
+        sdec = StringColumnDecoder(cm["tag"])
         with open(path, "rb") as f:
             for ch in cm["chunks"]:
-                if ch["mode"] == "plain":
-                    f.seek(base + ch["off"])
+                f.seek(base + ch["off"])
+                if ch["mode"] != "plain" and not ch.get("nulls"):
+                    # null-free dict chunk: dict segment only — codes
+                    # never unpack
                     payload = read_exact(f, ch["nb"], col)
-                    vb = ch.get("vb", 0)
-                    if vb:
-                        payload = payload[:-vb]
+                    sdec.advance_dict(ch, payload)
+                    lengths, data = decode_str_values(
+                        ch["vcodec"], payload[:ch["vlen"]], ch["vmeta"])
+                elif ch["mode"] != "plain":
+                    # null-bearing dict chunk: the '' placeholder lives
+                    # in the dictionary, so only entries referenced by
+                    # VALID rows are real values (codes unpack; row
+                    # strings never materialize)
+                    payload = read_exact(f, ch["nb"], col)
+                    payload, valid = _chunk_validity(ch, payload)
+                    sdec.advance_dict(ch, payload)
+                    out.add(None)
+                    codes = decode_codes(ch["ccodec"],
+                                         payload[ch["vlen"]:], ch["cmeta"])
+                    used = np.unique(codes[valid]) if valid is not None \
+                        else np.unique(codes)
+                    u = np.empty(len(sdec.u_lengths) + 1, dtype=np.int64)
+                    u[0] = 0
+                    np.cumsum(sdec.u_lengths, out=u[1:])
+                    for c in used.tolist():
+                        out.add(sdec.u_data[u[c]: u[c + 1]].decode("utf-8"))
+                    continue
+                else:
+                    payload = read_exact(f, ch["nb"], col)
+                    payload, valid = _chunk_validity(ch, payload)
+                    sdec.advance_dict(ch, payload)
                     lengths, data = decode_str_values(
                         ch["codec"], payload, ch["meta"])
-                else:
-                    # dict segment only: first vlen bytes of the chunk
-                    f.seek(base + ch["off"])
-                    payload = read_exact(f, ch["vlen"], col)
-                    lengths, data = decode_str_values(
-                        ch["vcodec"], payload, ch["vmeta"])
+                    if valid is not None:
+                        out.add(None)
+                        offs = np.empty(len(lengths) + 1, dtype=np.int64)
+                        offs[0] = 0
+                        np.cumsum(lengths, out=offs[1:])
+                        for i in np.flatnonzero(valid).tolist():
+                            out.add(data[offs[i]: offs[i + 1]]
+                                    .decode("utf-8"))
+                        continue
                 offs = np.empty(len(lengths) + 1, dtype=np.int64)
                 offs[0] = 0
                 np.cumsum(lengths, out=offs[1:])
@@ -614,7 +639,7 @@ def dict_distinct_values(out_dir: str, col: str) -> pa.Table:
     union: set = set()
     for s in ray.get([part_distinct.remote(r["path"]) for r in rows]):
         union |= s
-    vals = sorted(union)
+    vals = _sorted_nulls_last(union)
     return pa.table({col: pa.array(vals, type=pa.string())})
 
 
@@ -702,9 +727,6 @@ def dict_group_distinct(out_dir: str, key_col: str, value_col: str) -> pa.Table:
         for c, cm in zip((key_col, value_col), cms):
             if cm["kind"] != "str":
                 raise TypeError("dict_group_distinct is for string columns")
-            if any(ch.get("nulls") for ch in cm["chunks"]):
-                raise NotImplementedError(
-                    f"null-bearing column {c!r}: decode instead")
         sdecs = [StringColumnDecoder(cm["tag"]) for cm in cms]
         pairs: set = set()
         n_chunks = len(cms[0]["chunks"])
@@ -716,6 +738,7 @@ def dict_group_distinct(out_dir: str, key_col: str, value_col: str) -> pa.Table:
                     ch = cm["chunks"][ci]
                     f.seek(base + ch["off"])
                     payload = read_exact(f, ch["nb"], cname)
+                    payload, valid = _chunk_validity(ch, payload)
                     sdec.advance_dict(ch, payload)
                     if ch["mode"] == "plain":
                         lengths, data = decode_str_values(
@@ -725,8 +748,10 @@ def dict_group_distinct(out_dir: str, key_col: str, value_col: str) -> pa.Table:
                         codes = d.indices.to_numpy(
                             zero_copy_only=False).astype(np.int64)
                         pool = d.dictionary.to_pylist()
-                        resolvers.append(lambda code, pool=pool: pool[code])
-                        m = max(len(pool), 1)
+                        m0 = max(len(pool), 1)
+                        resolvers.append(
+                            lambda code, pool=pool, m0=m0:
+                            None if code == m0 else pool[code])
                     else:
                         codes = decode_codes(
                             ch["ccodec"], payload[ch["vlen"]:],
@@ -734,11 +759,16 @@ def dict_group_distinct(out_dir: str, key_col: str, value_col: str) -> pa.Table:
                         u = np.empty(len(sdec.u_lengths) + 1, dtype=np.int64)
                         u[0] = 0
                         np.cumsum(sdec.u_lengths, out=u[1:])
+                        m0 = max(ch["d_total"], 1)
                         resolvers.append(
-                            lambda code, sdec=sdec, u=u:
+                            lambda code, sdec=sdec, u=u, m0=m0:
+                            None if code == m0 else
                             sdec.u_data[u[code]: u[code + 1]].decode("utf-8"))
-                        m = max(ch["d_total"], 1)
-                    codes_list.append((codes, m))
+                    if valid is not None:
+                        # null rows take the radix slot past the dict —
+                        # their own group for keys; dropped for values
+                        codes = np.where(valid, codes, m0)
+                    codes_list.append((codes, m0 + 1))
                 if len(codes_list[0][0]) == 0:
                     continue
                 mv = codes_list[1][1]
@@ -751,20 +781,60 @@ def dict_group_distinct(out_dir: str, key_col: str, value_col: str) -> pa.Table:
     union: set = set()
     for s in ray.get([part_pairs.remote(r["path"]) for r in rows]):
         union |= s
-    counts: dict[str, int] = {}
-    for k, _v in union:
-        counts[k] = counts.get(k, 0) + 1
-    keys = sorted(counts)
+    counts: dict = {}
+    for k, v in union:
+        # COUNT(DISTINCT value) skips null values (SQL aggregate
+        # semantics) but a group whose values are all null still shows
+        # with n_distinct 0
+        counts.setdefault(k, 0)
+        if v is not None:
+            counts[k] += 1
+    keys = _sorted_nulls_last(counts)
     return pa.table({
         key_col: pa.array(keys, type=pa.string()),
         "n_distinct": pa.array([counts[k] for k in keys], type=pa.int64()),
     })
 
 
+def _null_match_idx(path: str, header: dict, base: int, col: str,
+                    want_null: bool) -> list:
+    """Per-chunk row indices for ``col IS [NOT] NULL`` — reads ONLY
+    the trailing validity bitmap of null-bearing chunks (vb bytes at
+    the end of the chunk payload); null-free chunks resolve from the
+    chunk descriptor alone (zero bytes read)."""
+    cm = header["columns"][col]
+    out: list[np.ndarray | None] = []
+    f = None
+    try:
+        for ch in cm["chunks"]:
+            n = ch.get("n", 0)
+            vb = ch.get("vb", 0)
+            if not ch.get("nulls") or not vb:
+                out.append(None if want_null
+                           else np.arange(n, dtype=np.int64))
+                continue
+            if f is None:
+                f = open(path, "rb")
+            f.seek(base + ch["off"] + ch["nb"] - vb)
+            valid = np.unpackbits(
+                np.frombuffer(read_exact(f, vb, col), dtype=np.uint8),
+                bitorder="little")[:n].astype(bool)
+            out.append(np.flatnonzero(~valid if want_null else valid))
+    finally:
+        if f is not None:
+            f.close()
+    return out
+
+
+_LEAF_OPS = ("eq", "between", "in", "prefix", "suffix", "regex",
+             "contains", "isnull", "notnull")
+
+
 def _normalize_pred(preds):
     """Accept a flat leaf list (implicit AND — the original API) or a
     nested tree of ("and", [..]) / ("or", [..]) / ("not", child) over
-    ("eq", col, lit) / ("between", col, lo, hi) leaves."""
+    ("eq", col, lit) / ("between", col, lo, hi) / ("isnull", col) /
+    ("notnull", col) leaves."""
     if isinstance(preds, list):
         if not preds:
             raise ValueError("compound_filter needs at least one predicate")
@@ -775,7 +845,7 @@ def _normalize_pred(preds):
             raise ValueError("empty IN-list predicate")
         return ("in", preds[1], list(preds[2]))
     if op in ("eq", "between", "prefix", "suffix", "regex",
-              "contains"):
+              "contains", "isnull", "notnull"):
         return preds
     if op == "not":
         return ("not", _normalize_pred(preds[1]))
@@ -787,8 +857,7 @@ def _normalize_pred(preds):
 
 
 def _pred_columns(node) -> list[str]:
-    if node[0] in ("eq", "between", "in", "prefix", "suffix",
-                   "regex", "contains"):
+    if node[0] in _LEAF_OPS:
         return [node[1]]
     if node[0] == "not":
         return _pred_columns(node[1])
@@ -819,8 +888,11 @@ def _zone_excluded(header0: dict, stats: dict, node) -> bool:
         return any(_zone_excluded(header0, stats, c) for c in node[1])
     if op == "or":
         return all(_zone_excluded(header0, stats, c) for c in node[1])
-    if op in ("not", "contains", "suffix", "regex"):
+    if op in ("not", "contains", "suffix", "regex", "notnull"):
         return False
+    if op == "isnull":
+        # null counts in the manifest are exact: zero nulls -> no match
+        return stats.get(node[1], {}).get("nulls") == 0
     if not _manifest_prunable(header0, node[1]):
         return False
     s = stats.get(node[1], {})
@@ -843,18 +915,22 @@ def compound_filter(out_dir: str, preds, project: list[str]):
     filter at a time", README.md:122); its zone maps compose trivially.
 
     ``preds``: a flat list of ``("eq", col, literal)`` /
-    ``("between", col, lo, hi)`` leaves (implicit AND) or a nested
+    ``("between", col, lo, hi)`` / ``("isnull", col)`` /
+    ``("notnull", col)`` leaves (implicit AND) or a nested
     ``("and", [...])`` / ``("or", [...])`` / ``("not", child)`` tree.
     Manifest zone maps prune partitions before any task spawns (AND:
-    any excluded child; OR: all excluded; NOT: no pruning); within a
-    partition, per-chunk match indices (code-domain compare for
-    dictionary equality, zone shortcuts for ranges) are intersected /
-    unioned / complemented, and only surviving chunks decode the
-    projection. -> ray.data.Dataset of projected matching rows.
+    any excluded child; OR: all excluded; NOT: no pruning; isnull:
+    exact null counts); within a partition, per-chunk match indices
+    (code-domain compare for dictionary equality, zone shortcuts for
+    ranges, validity-bitmap-only reads for isnull/notnull) are
+    intersected / unioned / complemented, and only surviving chunks
+    decode the projection. -> ray.data.Dataset of projected matching
+    rows.
 
-    NOT is a SET complement: over a null-bearing column it returns the
-    null rows too (SQL three-valued logic would drop them); the v1
-    format is null-free so the distinction is theoretical here."""
+    NOT follows SQL three-valued logic: over a null-bearing column the
+    complement of a LEAF predicate runs against the column's VALID
+    rows (null rows are dropped, as SQL does); compound children over
+    null-bearing columns refuse loudly rather than diverge."""
     import ray.data as rd
 
     tree = _normalize_pred(preds)
@@ -896,6 +972,9 @@ def _eval_match_idx(path: str, header: dict, base: int, node) -> list:
         return _range_match_idx(path, header, base, node[1], node[2], node[3])
     if op in ("in", "prefix", "suffix", "regex", "contains"):
         return _member_match_idx(path, header, base, node)
+    if op in ("isnull", "notnull"):
+        return _null_match_idx(path, header, base, node[1],
+                               want_null=(op == "isnull"))
     if op == "and":
         combined = None
         for ch in node[1]:
@@ -924,25 +1003,40 @@ def _eval_match_idx(path: str, header: dict, base: int, node) -> list:
                 ]
         return combined
     if op == "not":
-        # SQL three-valued logic drops null rows from NOT(expr); the
-        # set complement below would return them — refuse loudly on
-        # null-bearing operands instead of silently diverging
-        for c in _pred_columns(node[1]):
-            if any(ch.get("nulls") for ch in header["columns"][c]["chunks"]):
-                raise NotImplementedError(
-                    f"NOT over null-bearing column {c!r}: the set "
-                    "complement would return NULL rows (SQL excludes "
-                    "them) — decode and filter instead")
+        child_op = node[1][0]
+        null_cols = [c for c in _pred_columns(node[1])
+                     if any(ch.get("nulls")
+                            for ch in header["columns"][c]["chunks"])]
+        # SQL three-valued logic drops null rows from NOT(expr). For a
+        # LEAF child the null rows are exactly the operand column's
+        # invalid rows (a null operand makes the leaf UNKNOWN), so the
+        # complement runs against the VALID row set from the chunk
+        # validity bitmaps. isnull/notnull are null-safe (never
+        # UNKNOWN) and complement against all rows. Compound children
+        # over null-bearing columns would need full 3VL propagation —
+        # refuse loudly instead of silently diverging.
+        if null_cols and child_op not in _LEAF_OPS:
+            raise NotImplementedError(
+                f"NOT over a compound predicate on null-bearing "
+                f"column(s) {null_cols}: three-valued logic is not "
+                "propagated through and/or — decode and filter instead")
+        base_idx = None  # None -> complement against np.arange(nrows)
+        if null_cols and child_op not in ("isnull", "notnull"):
+            base_idx = _null_match_idx(path, header, base, node[1][1],
+                                       want_null=False)
         child = _eval_match_idx(path, header, base, node[1])
         out = []
         for i, m in enumerate(child):
-            nrows = _chunk_rows(header, i)
-            if m is None or len(m) == 0:
-                out.append(np.arange(nrows))
-            elif len(m) == nrows:
+            universe = np.arange(_chunk_rows(header, i)) \
+                if base_idx is None else base_idx[i]
+            if universe is None:
+                out.append(None)
+            elif m is None or len(m) == 0:
+                out.append(universe)
+            elif len(m) == len(universe):
                 out.append(None)
             else:
-                out.append(np.setdiff1d(np.arange(nrows), m,
+                out.append(np.setdiff1d(universe, m,
                                         assume_unique=True))
         return out
     raise ValueError(f"unknown predicate kind {op!r}")
@@ -972,27 +1066,50 @@ def dict_value_counts(out_dir: str, col: str) -> pa.Table:
     paths = rd.from_items([{"path": r["path"]} for r in _manifest_paths(out_dir)])
 
     def run(batch: pa.Table) -> pa.Table:
-        totals: dict[str, int] = {}
+        totals: dict = {}
         for p in batch["path"]:
             _dict_counts_partition(p.as_py(), col, totals)
-        keys = sorted(totals)
+        keys = _sorted_nulls_last(totals)
         return pa.table({
             col: pa.array(keys, type=pa.string()),
             "n_rows": pa.array([totals[k] for k in keys], type=pa.int64()),
         })
 
     partials = paths.map_batches(run, batch_format="pyarrow", batch_size=1)
-    totals: dict[str, int] = {}
+    totals: dict = {}
     for row in partials.take_all():
         totals[row[col]] = totals.get(row[col], 0) + int(row["n_rows"])
-    keys = sorted(totals)
+    keys = _sorted_nulls_last(totals)
     return pa.table({
         col: pa.array(keys, type=pa.string()),
         "n_rows": pa.array([totals[k] for k in keys], type=pa.int64()),
     })
 
 
-def _dict_counts_partition(path: str, col: str, totals: dict[str, int]) -> None:
+def _sorted_nulls_last(keys) -> list:
+    """Sort group keys with the None (NULL) group last."""
+    return sorted(keys, key=lambda k: (k is None, k))
+
+
+def _chunk_validity(ch: dict, payload: bytes):
+    """-> (payload without the trailing validity bitmap, valid bool
+    array or None). Null slots encode as ''/0 placeholders with the
+    bitmap appended to the chunk payload (column.py:_strip_nulls)."""
+    vb = ch.get("vb", 0)
+    if not vb:
+        return payload, None
+    valid = np.unpackbits(
+        np.frombuffer(payload[-vb:], dtype=np.uint8),
+        bitorder="little")[:ch["n"]].astype(bool)
+    return payload[:-vb], valid
+
+
+def _dict_counts_partition(path: str, col: str, totals: dict) -> None:
+    """Null-aware: null rows count under the ``None`` key (their own
+    group, as SQL GROUP BY does); dictionary chunks bincount only the
+    VALID rows' codes so the '' placeholder never pollutes a real
+    empty-string group — the same validity-bitmap + code-domain trick
+    as _dict_group_agg_partition."""
     from ..codecs.str_codecs import decode_codes, decode_str_values
     from ..column import StringColumnDecoder
     from ..streams import str_stream_to_arrow
@@ -1001,26 +1118,29 @@ def _dict_counts_partition(path: str, col: str, totals: dict[str, int]) -> None:
     cm = header["columns"][col]
     if cm["kind"] != "str":
         raise TypeError("dict_value_counts is for string columns")
-    if any(ch.get("nulls") for ch in cm["chunks"]):
-        raise NotImplementedError(
-            "dict_value_counts over a null-bearing column: null slots "
-            "encode as '' in the dictionary — decode the column instead"
-        )
     sdec = StringColumnDecoder(cm["tag"])
     with open(path, "rb") as f:
         for ch in cm["chunks"]:
             f.seek(base + ch["off"])
             payload = read_exact(f, ch["nb"], col)
+            payload, valid = _chunk_validity(ch, payload)
+            if valid is not None:
+                totals[None] = totals.get(None, 0) \
+                    + int(ch["n"] - valid.sum())
             if ch["mode"] == "plain":
                 sdec.advance_dict(ch, payload)
                 lengths, data = decode_str_values(ch["codec"], payload, ch["meta"])
                 arr = str_stream_to_arrow(lengths, data, "str")
+                if valid is not None:
+                    arr = arr.filter(pa.array(valid))
                 for item in arr.value_counts():
                     v = item["values"].as_py()
                     totals[v] = totals.get(v, 0) + item["counts"].as_py()
                 continue
             sdec.advance_dict(ch, payload)
             codes = decode_codes(ch["ccodec"], payload[ch["vlen"]:], ch["cmeta"])
+            if valid is not None:
+                codes = codes[valid]
             counts = np.bincount(codes, minlength=ch["d_total"])
             nz = np.flatnonzero(counts)
             u_offsets = np.empty(len(sdec.u_lengths) + 1, dtype=np.int64)
@@ -1588,8 +1708,6 @@ def _group_topk_partition(path: str, key_col: str, value_col: str,
     cm = header["columns"][key_col]
     if cm["kind"] != "str":
         raise TypeError("dict_group_topk groups on string columns")
-    if any(ch.get("nulls") for ch in cm["chunks"]):
-        raise NotImplementedError("null-bearing group keys: decode instead")
     vcm = header["columns"][value_col]
     icm = header["columns"][id_col]
     for nm, c in ((value_col, vcm), (id_col, icm)):
@@ -1599,13 +1717,14 @@ def _group_topk_partition(path: str, key_col: str, value_col: str,
     vdec = make_column_decoder(vcm)
     idec = make_column_decoder(icm)
     sdec = StringColumnDecoder(cm["tag"])
-    out_keys: list[str] = []
+    out_keys: list = []
     out_vals: list = []
     out_ids: list = []
     with open(path, "rb") as f:
         for ci, ch in enumerate(cm["chunks"]):
             f.seek(base + ch["off"])
             payload = read_exact(f, ch["nb"], key_col)
+            payload, k_valid = _chunk_validity(ch, payload)
             sdec.advance_dict(ch, payload)
             if ch["mode"] == "plain":
                 lengths, data = decode_str_values(ch["codec"], payload,
@@ -1615,16 +1734,25 @@ def _group_topk_partition(path: str, key_col: str, value_col: str,
                 codes = d.indices.to_numpy(
                     zero_copy_only=False).astype(np.int64)
                 pool = d.dictionary.to_pylist()
-                resolve = pool.__getitem__
+                m0 = max(len(pool), 1)
+
+                def resolve(code, pool=pool, m0=m0):
+                    return None if code == m0 else pool[code]
             else:
                 codes = decode_codes(ch["ccodec"], payload[ch["vlen"]:],
                                      ch["cmeta"]).astype(np.int64)
                 u = np.empty(len(sdec.u_lengths) + 1, dtype=np.int64)
                 u[0] = 0
                 np.cumsum(sdec.u_lengths, out=u[1:])
+                m0 = max(ch["d_total"], 1)
 
-                def resolve(code, sdec=sdec, u=u):
-                    return sdec.u_data[u[code]: u[code + 1]].decode("utf-8")
+                def resolve(code, sdec=sdec, u=u, m0=m0):
+                    return None if code == m0 else \
+                        sdec.u_data[u[code]: u[code + 1]].decode("utf-8")
+            if k_valid is not None:
+                # null keys take the radix slot past the dictionary —
+                # their own group (as SQL GROUP BY does)
+                codes = np.where(k_valid, codes, m0)
             vch = vcm["chunks"][ci]
             f.seek(base + vch["off"])
             vals = vdec.decode(vch, read_exact(f, vch["nb"], value_col)) \

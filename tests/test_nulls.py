@@ -183,3 +183,151 @@ def test_dict_group_aggregate_nulls_vs_duckdb(ray_session, tmp_path):
         f"ORDER BY source NULLS LAST"
     ).fetchdf()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+@pytest.fixture()
+def nullable_enc(ray_session, tmp_path):
+    """Encoded dataset + parquet twin of a null-bearing table: null
+    keys, null values, an all-null-values group, plus a genuine ''
+    value (which must never be confused with the '' null placeholder
+    in the dictionary)."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from arcade_ray.pipeline import encode_dataset
+
+    rng = np.random.default_rng(21)
+    n = 2500
+    src = [None if rng.random() < 0.12 else
+           ("" if rng.random() < 0.05 else f"s{int(rng.integers(0, 4))}")
+           for _ in range(n)]
+    sv = [None if rng.random() < 0.2 else f"v{int(rng.integers(0, 6))}"
+          for _ in range(n)]
+    val = rng.integers(-100, 100, n)
+    src += ["only-nulls"] * 3
+    sv += [None] * 3
+    val = val.tolist() + [1, 2, 3]
+    t = pa.table({
+        "doc_id": pa.array(range(len(src)), type=pa.int64()),
+        "source": pa.array(src, type=pa.string()),
+        "sval": pa.array(sv, type=pa.string()),
+        "v": pa.array(val, type=pa.int64()),
+    })
+    out_dir = str(tmp_path / "enc")
+    encode_dataset(rd.from_arrow(t), out_dir, key_col="doc_id",
+                   weight_col=None)
+    pq_path = str(tmp_path / "t.parquet")
+    pq.write_table(t, pq_path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{pq_path}')")
+    return out_dir, t, con
+
+
+def test_dict_value_counts_nulls_vs_duckdb(nullable_enc):
+    import pandas as pd
+
+    from arcade_ray.pipeline.query import dict_value_counts
+
+    out_dir, t, con = nullable_enc
+    got = dict_value_counts(out_dir, "source").to_pandas()
+    exp = con.execute(
+        "SELECT source, COUNT(*) AS n_rows FROM t GROUP BY source "
+        "ORDER BY source NULLS LAST").fetchdf()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_dict_distinct_values_nulls_vs_duckdb(nullable_enc):
+    from arcade_ray.pipeline.query import dict_distinct_values
+
+    out_dir, t, con = nullable_enc
+    got = dict_distinct_values(out_dir, "source")["source"].to_pylist()
+    exp = [r[0] for r in con.execute(
+        "SELECT DISTINCT source FROM t ORDER BY source NULLS LAST"
+    ).fetchall()]
+    assert got == exp
+    assert None in got and "" in got  # real '' survives, NULL distinct
+
+
+def test_dict_group_distinct_nulls_vs_duckdb(nullable_enc):
+    import pandas as pd
+
+    from arcade_ray.pipeline.query import dict_group_distinct
+
+    out_dir, t, con = nullable_enc
+    got = dict_group_distinct(out_dir, "source", "sval").to_pandas()
+    exp = con.execute(
+        "SELECT source, COUNT(DISTINCT sval) AS n_distinct FROM t "
+        "GROUP BY source ORDER BY source NULLS LAST").fetchdf()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the all-null-values group is present with 0 distinct
+    assert got.loc[got["source"] == "only-nulls", "n_distinct"] \
+        .iloc[0] == 0
+
+
+def test_dict_group_topk_nulls_vs_duckdb(nullable_enc):
+    import pandas as pd
+
+    from arcade_ray.pipeline.query import dict_group_topk
+
+    out_dir, t, con = nullable_enc
+    got = dict_group_topk(out_dir, "source", "v", "doc_id", 3).to_pandas()
+    got = got.sort_values(["source", "v", "doc_id"],
+                          ascending=[True, False, True],
+                          ignore_index=True, na_position="last")
+    exp = con.execute(
+        "SELECT source, doc_id, v FROM t "
+        "QUALIFY row_number() OVER (PARTITION BY source "
+        "ORDER BY v DESC, doc_id) <= 3 "
+        "ORDER BY source NULLS LAST, v DESC, doc_id").fetchdf()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_not_predicate_nulls_vs_duckdb(nullable_enc):
+    from arcade_ray.pipeline.query import compound_filter
+
+    out_dir, t, con = nullable_enc
+    got = compound_filter(out_dir, ("not", ("eq", "source", "s1")),
+                          ["doc_id", "source"]).to_pandas()
+    exp = con.execute(
+        "SELECT doc_id FROM t WHERE NOT (source = 's1')").fetchdf()
+    assert sorted(got["doc_id"].tolist()) == sorted(exp["doc_id"].tolist())
+    # NOT over a null-free column still complements against all rows
+    got2 = compound_filter(out_dir, ("not", ("between", "doc_id", 0, 99)),
+                           ["doc_id"]).to_pandas()
+    exp2 = con.execute(
+        "SELECT doc_id FROM t WHERE NOT (doc_id BETWEEN 0 AND 99)"
+    ).fetchdf()
+    assert sorted(got2["doc_id"].tolist()) == sorted(exp2["doc_id"].tolist())
+    # compound child over a null-bearing column refuses loudly
+    # (NotImplementedError arrives wrapped in RayTaskError)
+    with pytest.raises(Exception, match="three-valued logic"):
+        compound_filter(out_dir, ("not", ("or", [
+            ("eq", "source", "s1"), ("eq", "sval", "v0")])),
+            ["doc_id"]).to_pandas()
+
+
+def test_isnull_notnull_predicates_vs_duckdb(nullable_enc):
+    from arcade_ray.pipeline.query import compound_filter
+
+    out_dir, t, con = nullable_enc
+
+    def ids(preds):
+        df = compound_filter(out_dir, preds, ["doc_id"]).to_pandas()
+        return sorted(df["doc_id"].tolist()) if len(df) else []
+
+    exp_null = sorted(r[0] for r in con.execute(
+        "SELECT doc_id FROM t WHERE source IS NULL").fetchall())
+    exp_nn = sorted(r[0] for r in con.execute(
+        "SELECT doc_id FROM t WHERE source IS NOT NULL").fetchall())
+    assert ids(("isnull", "source")) == exp_null
+    assert ids(("notnull", "source")) == exp_nn
+    # composition: IS NULL OR eq; NOT(IS NULL) == IS NOT NULL
+    exp_or = sorted(r[0] for r in con.execute(
+        "SELECT doc_id FROM t WHERE source IS NULL OR source = 's2'"
+    ).fetchall())
+    assert ids(("or", [("isnull", "source"),
+                       ("eq", "source", "s2")])) == exp_or
+    assert ids(("not", ("isnull", "source"))) == exp_nn
+    # isnull over a null-FREE column: zone stats prune every partition
+    assert ids(("isnull", "doc_id")) == []
