@@ -242,10 +242,12 @@ def test_fsst_vec_throughput_microbench():
     """Guard the lazy-match walk's throughput (round-2 known gap: the
     old full-stream match precompute measured ~5 MB/s on this corpus
     shape; the lazy walk with sort-assembled emission 15-23 MB/s; the
-    scatter-emission rewrite ~5x that on the same noisy host). The
-    floor is deliberately far below measurement — the host is
-    multi-tenant — but catches an accidental return to per-byte or
-    full-precompute behavior."""
+    scatter-emission rewrite + per-segment window precompute +
+    short-code table + hashed 3-byte-prefix groups measured 1.43x
+    that in an interleaved A/B — 24-26 MB/s on the sf0.1 text sample,
+    byte-identical output). The floor is deliberately far below
+    measurement — the host is multi-tenant — but catches an
+    accidental return to per-byte or full-precompute behavior."""
     import time
 
     import numpy as np
