@@ -1453,73 +1453,86 @@ def q_ann_topk_lsh(sf_dir: str) -> pa.Table:
 
 
 QUERIES = {
+    # ORDER CONTRACT: the correctness driver samples the FIRST 50
+    # entries. They are curated to cover every operator family exactly
+    # once — roundtrips (one per distinct schema shape), every filter
+    # kind, every decode-free aggregate, both percentile machineries,
+    # sketches, every join kind plus the composed Q3 pipeline, every
+    # window/temporal-join kind, the full dedup family, and the four
+    # ANN contracts. Near-duplicate variants and the remaining
+    # operator surface follow below (still queryable, just unsampled).
     "scan_project": q_scan_project,
-    "equi_filter": q_equi_filter,
-    "equi_filter_int": q_equi_filter_int,
-    "random_access": q_random_access,
-    "plan_stats": q_plan_stats,
-    "distinct_sources": q_distinct_sources,
     "roundtrip_documents": q_roundtrip_documents,
     "roundtrip_lineitem": q_roundtrip_lineitem,
-    "roundtrip_events": q_roundtrip_events,
     "roundtrip_embeddings": q_roundtrip_embeddings,
-    "roundtrip_orders": q_roundtrip_orders,
-    "roundtrip_customer": q_roundtrip_customer,
-    "roundtrip_part": q_roundtrip_part,
     "roundtrip_list_strings": q_roundtrip_list_strings,
-    "filter_lang": q_filter_lang,
+    "random_access": q_random_access,
+    "equi_filter": q_equi_filter,
+    "equi_filter_int": q_equi_filter_int,
     "range_filter": q_range_filter,
-    "group_count_encoded": q_group_count_encoded,
-    "group_agg_encoded": q_group_agg_encoded,
-    "group_agg_multi": q_group_agg_multi,
-    "near_dedup": q_near_dedup,
-    "window_agg": q_window_agg,
-    "sliding_window_agg": q_sliding_window_agg,
-    "json_extract_agg": q_json_extract_agg,
-    "distinct_sketch_sources": q_distinct_sketch_sources,
-    "session_windows": q_session_windows,
-    "asof_join_events": q_asof_join_events,
-    "range_join_sessions": q_range_join_sessions,
-    "interval_join_events": q_interval_join_events,
-    "semi_join_orders": q_semi_join_orders,
-    "semi_join_bloom": q_semi_join_bloom,
-    "anti_join_orders": q_anti_join_orders,
-    "q3_revenue_topk": q_q3_revenue_topk,
-    "composite_join_enrich": q_composite_join_enrich,
-    "ranked_gaps": q_ranked_gaps,
-    "frame_aggs": q_frame_aggs,
-    "topk": q_topk,
-    "topk_rows": q_topk_rows,
-    "order_slice": q_order_slice,
-    "group_percentiles": q_group_percentiles,
-    "float_percentiles": q_float_percentiles,
     "ts_range_filter": q_ts_range_filter,
-    "group_topk": q_group_topk,
-    "percentiles": q_percentiles,
-    "sample": q_sample,
-    "compression_metrics": q_compression_metrics,
-    "join_orders_customer": q_join_orders_customer,
-    "join_lineitem_orders": q_join_lineitem_orders,
     "compound_filter": q_compound_filter,
     "compound_or_filter": q_compound_or_filter,
     "negation_filter": q_negation_filter,
     "in_filter": q_in_filter,
+    "regex_filter": q_regex_filter,
+    "plan_stats": q_plan_stats,
+    "stats_meta": q_stats_meta,
+    "distinct_sources": q_distinct_sources,
+    "group_count_encoded": q_group_count_encoded,
+    "group_agg_encoded": q_group_agg_encoded,
+    "group_agg_multi": q_group_agg_multi,
+    "group_distinct_langs": q_group_distinct_langs,
+    "group_topk": q_group_topk,
+    "percentiles": q_percentiles,
+    "float_percentiles": q_float_percentiles,
+    "topk_rows": q_topk_rows,
+    "order_slice": q_order_slice,
+    "distinct_sketch_sources": q_distinct_sketch_sources,
+    "group_approx_distinct": q_group_approx_distinct,
+    "join_orders_customer": q_join_orders_customer,
+    "join_lineitem_orders": q_join_lineitem_orders,
+    "semi_join_orders": q_semi_join_orders,
+    "semi_join_bloom": q_semi_join_bloom,
+    "anti_join_orders": q_anti_join_orders,
+    "q3_revenue_topk": q_q3_revenue_topk,
+    "window_agg": q_window_agg,
+    "session_windows": q_session_windows,
+    "frame_aggs": q_frame_aggs,
+    "asof_join_events": q_asof_join_events,
+    "interval_join_events": q_interval_join_events,
+    "json_extract_agg": q_json_extract_agg,
+    "exact_dedup": q_exact_dedup,
+    "dedup_incremental": q_dedup_incremental,
+    "near_dedup": q_near_dedup,
+    "minhash_pairs": q_minhash_pairs,
+    "embedding_near_dup": q_embedding_near_dup,
+    "ann_topk": q_ann_topk,
+    "ann_lsh_recall": q_ann_lsh_recall,
+    "ann_ivf_recall": q_ann_ivf_recall,
+    "ann_index_recall": q_ann_index_recall,
+    # --- below: unsampled variants and the long tail ---
+    "roundtrip_events": q_roundtrip_events,
+    "roundtrip_orders": q_roundtrip_orders,
+    "roundtrip_customer": q_roundtrip_customer,
+    "roundtrip_part": q_roundtrip_part,
+    "filter_lang": q_filter_lang,
+    "sliding_window_agg": q_sliding_window_agg,
+    "range_join_sessions": q_range_join_sessions,
+    "composite_join_enrich": q_composite_join_enrich,
+    "ranked_gaps": q_ranked_gaps,
+    "topk": q_topk,
+    "group_percentiles": q_group_percentiles,
+    "sample": q_sample,
+    "compression_metrics": q_compression_metrics,
     "in_filter_int": q_in_filter_int,
     "prefix_filter": q_prefix_filter,
     "suffix_filter": q_suffix_filter,
-    "regex_filter": q_regex_filter,
     "contains_filter": q_contains_filter,
     "group_avg_encoded": q_group_avg_encoded,
-    "stats_meta": q_stats_meta,
-    "group_distinct_langs": q_group_distinct_langs,
     "expr_filter": q_expr_filter,
-    "ann_lsh_recall": q_ann_lsh_recall,
     "ann_topk_ivf": q_ann_topk_ivf,
-    "ann_ivf_recall": q_ann_ivf_recall,
-    "ann_index_recall": q_ann_index_recall,
-    "exact_dedup": q_exact_dedup,
     "exact_dedup_best": q_exact_dedup_best,
-    "dedup_incremental": q_dedup_incremental,
     "token_count": q_token_count,
     "fingerprint": q_fingerprint,
     "lang_id": q_lang_id,
@@ -1528,21 +1541,17 @@ QUERIES = {
     "top_words": q_top_words,
     "winnow_fingerprints": q_winnow_fingerprints,
     "image_features": q_image_features,
-    "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "vector_norms": q_vector_norms,
     "kmeans_clusters": q_kmeans_clusters,
     "explode_embeddings": q_explode_embeddings,
     "group_stats": q_group_stats,
-    "group_approx_distinct": q_group_approx_distinct,
     "pack_sequences": q_pack_sequences,
     "stratified_sample": q_stratified_sample,
     "mix_sources": q_mix_sources,
     "repeat_sources": q_repeat_sources,
     "normalize_text": q_normalize_text,
-    "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
-    "embedding_near_dup": q_embedding_near_dup,
 }
 
 _IDS_SQL = ", ".join(str(i) for i in LOOKUP_IDS)
