@@ -257,8 +257,13 @@ def _build_preds(args, header) -> list[tuple]:
                           ("eq", col, _coerce_with_header(header, col, val))))
         except ValueError:
             _bad("neq", spec, "literal does not parse as the column's type")
+    for col in getattr(args, "isnull", []) or []:
+        preds.append(("isnull", col))
+    for col in getattr(args, "notnull", []) or []:
+        preds.append(("notnull", col))
     if not preds:
-        sys.exit("error: pass at least one --eq/--neq/--between predicate")
+        sys.exit("error: pass at least one --eq/--neq/--between/--isnull/"
+                 "--notnull predicate")
     return preds
 
 
@@ -402,6 +407,11 @@ def main(argv=None) -> None:
                     help="col=value negated equality (repeatable)")
     cf.add_argument("--between", action="append", default=[],
                     help="col=lo,hi (repeatable)")
+    cf.add_argument("--isnull", action="append", default=[],
+                    help="col IS NULL (repeatable; reads only the "
+                         "validity bitmaps)")
+    cf.add_argument("--notnull", action="append", default=[],
+                    help="col IS NOT NULL (repeatable)")
     cf.add_argument("--any", action="store_true",
                     help="OR the predicates instead of ANDing them")
     cf.add_argument("--project", required=True)

@@ -648,6 +648,10 @@ def encode_parquet(paths: list[str] | str, out_dir: str,
             keys = t[key_col]
             if not pa.types.is_string(keys.type):
                 keys = keys.cast(pa.string())
+            # null keys group under "" — must agree with
+            # planner.assign_part_keys or sorted(part_keys) crashes on
+            # None and the exchange would drop the null-key rows
+            keys = pa.compute.fill_null(keys, "")
             if weight_col is not None:
                 g = pa.table({"k": keys, "w": t[weight_col].cast(pa.int64())}) \
                     .group_by("k").aggregate([("w", "sum")])

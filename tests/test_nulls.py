@@ -331,3 +331,30 @@ def test_isnull_notnull_predicates_vs_duckdb(nullable_enc):
     assert ids(("not", ("isnull", "source"))) == exp_nn
     # isnull over a null-FREE column: zone stats prune every partition
     assert ids(("isnull", "doc_id")) == []
+
+
+def test_encode_parquet_null_partition_key(ray_session, tmp_path):
+    """encode_parquet (the parquet fast path) must group null partition
+    keys under '' exactly like encode_dataset's planner — round 4
+    regression: the planning partial kept None keys and
+    sorted(part_keys) crashed."""
+    import pyarrow.parquet as pq
+
+    from arcade_ray.pipeline.decode import decode_dataset
+    from arcade_ray.pipeline.encode import encode_parquet
+
+    t = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(300)], pa.string()),
+        "source": pa.array([None if i % 7 == 0 else f"s{i % 3}"
+                            for i in range(300)], pa.string()),
+        "n_tok": pa.array([2] * 300, pa.int32()),
+        "tokens": pa.array([[1, 2]] * 300, pa.list_(pa.int32())),
+    })
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "enc")
+    encode_parquet(src, out)
+    dec = decode_dataset(out).to_pandas()
+    assert len(dec) == 300
+    assert dec["source"].isna().sum() == sum(
+        1 for i in range(300) if i % 7 == 0)
