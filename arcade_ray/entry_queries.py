@@ -783,6 +783,30 @@ def q_negation_filter(sf_dir: str) -> pa.Table:
     ))
 
 
+def q_isnull_filter(sf_dir: str) -> pa.Table:
+    """IS NULL predicate over encoded data — resolves from exact
+    manifest null counts (every partition prunes on the null-free sf
+    corpus; validity bitmaps would be the only bytes read otherwise).
+    Composed with a count so the empty result still hashes stably."""
+    from .pipeline.query import compound_filter
+
+    out = encoded_dir(sf_dir, "documents")
+    t = _collect(compound_filter(out, ("isnull", "lang"),
+                                 project=["doc_id", "lang"]))
+    return pa.table({"n_null": pa.array([t.num_rows], pa.int64())})
+
+
+def q_notnull_filter(sf_dir: str) -> pa.Table:
+    """IS NOT NULL predicate composed under an AND with an equality
+    leaf (exercises the validity-universe path end to end)."""
+    from .pipeline.query import compound_filter
+
+    out = encoded_dir(sf_dir, "documents")
+    return _collect(compound_filter(
+        out, ("and", [("notnull", "lang"), ("eq", "lang", "de")]),
+        project=["doc_id", "lang"]))
+
+
 def q_in_filter(sf_dir: str) -> pa.Table:
     """IN-list over a dictionary column: the whole list resolves to
     codes once per dict segment; rows match in the code domain."""
@@ -1474,6 +1498,8 @@ QUERIES = {
     "compound_filter": q_compound_filter,
     "compound_or_filter": q_compound_or_filter,
     "negation_filter": q_negation_filter,
+    "isnull_filter": q_isnull_filter,
+    "notnull_filter": q_notnull_filter,
     "in_filter": q_in_filter,
     "regex_filter": q_regex_filter,
     "plan_stats": q_plan_stats,
@@ -1710,6 +1736,14 @@ ORACLE_SQL = {
     "negation_filter": (
         "SELECT doc_id, lang, n_chars FROM documents "
         "WHERE lang <> 'en' AND n_chars BETWEEN 100 AND 200"
+    ),
+    "isnull_filter": (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_null FROM documents "
+        "WHERE lang IS NULL"
+    ),
+    "notnull_filter": (
+        "SELECT doc_id, lang FROM documents "
+        "WHERE lang IS NOT NULL AND lang = 'de'"
     ),
     "in_filter": (
         "SELECT doc_id, source, n_chars FROM documents "
