@@ -62,10 +62,72 @@ def _maxlen_table(symbols: list[bytes]) -> bytes:
     return bytes(m)
 
 
+def _parse_codes(encoded: bytes):
+    """Vectorized parse of an FSST stream into its unit sequence:
+    int16 codes where symbol c -> c and an escaped literal b -> 256+b.
+
+    The escape-swallow recurrence (a 255 consumes the NEXT byte) is
+    resolved without a walk: a position is swallowed iff the count of
+    contiguous 255 bytes immediately before it is ODD (the run head is
+    always a unit start — its predecessor is not 255 — and escapes
+    alternate escape/literal from there)."""
+    import numpy as np
+
+    s = np.frombuffer(encoded, dtype=np.uint8)
+    n = len(s)
+    idx = np.arange(n, dtype=np.int64)
+    last_non = np.where(s != FSST_ESCAPE, idx, np.int64(-1))
+    np.maximum.accumulate(last_non, out=last_non)
+    prev_non = np.empty(n, dtype=np.int64)
+    prev_non[0] = -1
+    prev_non[1:] = last_non[:-1]
+    start = ((idx - prev_non - 1) & 1) == 0
+    pos = np.flatnonzero(start)
+    codes = s[pos].astype(np.int16)
+    esc = codes == FSST_ESCAPE
+    # a trailing escape with no literal byte cannot occur in a valid
+    # stream; guard the gather anyway
+    lit_pos = np.minimum(pos[esc] + 1, n - 1)
+    codes[esc] = 256 + s[lit_pos].astype(np.int16)
+    return codes
+
+
+def _tally_gains(encoded: bytes, symbols: list[bytes]) -> Counter:
+    """gain(sym) = occurrences x len over the encoded sample, plus the
+    same for every adjacent-unit concatenation <= FSST_MAX_SYMBOL_LEN —
+    one bincount for units, one over packed pair keys for pairs."""
+    import numpy as np
+
+    codes = _parse_codes(encoded)
+    sym_len = np.ones(512, dtype=np.int64)
+    for c, sym in enumerate(symbols):
+        sym_len[c] = len(sym)
+
+    def unit_bytes(c: int) -> bytes:
+        return symbols[c] if c < 256 else bytes([c - 256])
+
+    gains: Counter[bytes] = Counter()
+    cnt = np.bincount(codes, minlength=512)
+    for c in np.flatnonzero(cnt):
+        b = unit_bytes(int(c))
+        gains[b] += int(cnt[c]) * len(b)
+    if len(codes) > 1:
+        ln = sym_len[codes]
+        ok = (ln[:-1] + ln[1:]) <= FSST_MAX_SYMBOL_LEN
+        pk = codes[:-1].astype(np.int64) * 512 + codes[1:]
+        pcnt = np.bincount(pk[ok], minlength=0)
+        for key in np.flatnonzero(pcnt):
+            cat = unit_bytes(int(key) // 512) + unit_bytes(int(key) % 512)
+            gains[cat] += int(pcnt[key]) * len(cat)
+    return gains
+
+
 def build_symbol_table(sample: bytes) -> list[bytes]:
     """Iterative greedy construction: start from frequent single bytes,
     then repeatedly re-encode the sample and promote high-gain symbols
-    and concatenations of adjacent symbols."""
+    and concatenations of adjacent symbols (tally vectorized — the
+    per-unit Python walk dominated encode_str_values once the encode
+    itself went native)."""
     sample = sample[:FSST_SAMPLE_BYTES]
     if not sample:
         return []
@@ -74,23 +136,7 @@ def build_symbol_table(sample: bytes) -> list[bytes]:
     symbols: list[bytes] = [bytes([b]) for b, _ in Counter(sample).most_common(FSST_MAX_SYMBOLS)]
     for _ in range(FSST_GENERATIONS):
         encoded = encode_stream(sample, symbols)
-        # walk the encoded stream, tally symbol gains and adjacent-pair
-        # concatenation gains
-        gains: Counter[bytes] = Counter()
-        i, prev_sym = 0, None
-        while i < len(encoded):
-            c = encoded[i]
-            if c == FSST_ESCAPE:
-                sym = bytes(encoded[i + 1 : i + 2])
-                i += 2
-            else:
-                sym = symbols[c]
-                i += 1
-            gains[sym] += len(sym)
-            if prev_sym is not None and len(prev_sym) + len(sym) <= FSST_MAX_SYMBOL_LEN:
-                cat = prev_sym + sym
-                gains[cat] += len(cat)
-            prev_sym = sym
+        gains = _tally_gains(encoded, symbols)
         symbols = [s for s, _ in gains.most_common(FSST_MAX_SYMBOLS)]
     return symbols
 
@@ -134,6 +180,12 @@ def compress_scalar(data: bytes, symbols: list[bytes] | None = None) -> tuple[by
 
 def decompress(table_blob: bytes, stream: bytes) -> bytes:
     symbols, _ = deserialize_table(table_blob)
+    if len(stream) >= 4096:
+        from .native import decode_native
+
+        dec = decode_native(stream, symbols)
+        if dec is not None:
+            return dec
     out = []
     i, n = 0, len(stream)
     while i < n:
@@ -147,10 +199,19 @@ def decompress(table_blob: bytes, stream: bytes) -> bytes:
     return b"".join(out)
 
 
-def estimate_ratio(data: bytes) -> tuple[float, int]:
-    """Sample-compress -> (compressed/raw ratio, table bytes)."""
+def estimate_plan(data: bytes) -> tuple[float, int, list[bytes]]:
+    """Sample-compress -> (ratio, table bytes, symbol table). The table
+    is built ONCE here and reusable for the full encode (the sample IS
+    the table-build input, so rebuilding yields the same table)."""
     sample = data[:FSST_SAMPLE_BYTES]
     if not sample:
-        return 1.0, 1
-    tbl, enc = compress(sample)
-    return len(enc) / len(sample), len(tbl)
+        return 1.0, 1, []
+    symbols = build_symbol_table(sample)
+    tbl, enc = compress(sample, symbols)
+    return len(enc) / len(sample), len(tbl), symbols
+
+
+def estimate_ratio(data: bytes) -> tuple[float, int]:
+    """Sample-compress -> (compressed/raw ratio, table bytes)."""
+    ratio, tbl_bytes, _ = estimate_plan(data)
+    return ratio, tbl_bytes

@@ -274,6 +274,12 @@ def encode_stream(data: bytes, symbols: list[bytes]) -> bytes:
     if n == 0:
         return b""
     matcher = _Matcher(symbols)
+    if n >= 4096:  # C kernel wins once table build amortizes
+        from .native import encode_native
+
+        enc = encode_native(data, matcher)
+        if enc is not None:
+            return enc
     if n <= SEG:
         return _encode_segment(arr, 0, n, n, matcher)
     return b"".join(_encode_segment(arr, s0, min(s0 + SEG, n), n, matcher)

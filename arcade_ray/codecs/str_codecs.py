@@ -24,9 +24,22 @@ _snappy = pa.Codec("snappy")
 _zstd = pa.Codec("zstd", 1)  # gp codec: strictly better ratio than snappy
 _GP = {"snappy": _snappy, "zstd": _zstd}
 
-# FSST must beat snappy by this factor to be chosen (it is ~100x slower
-# to encode in pure Python; a near-tie is not worth it).
+# FSST must beat the gp codec by this factor to be chosen when only
+# the pure-numpy encoder is available (~25 MB/s; a near-tie is not
+# worth it). With the native kernel (~300 MB/s, codecs/native.py) FSST
+# contests at parity — it additionally buys random access.
 FSST_WIN_FACTOR = 0.9
+
+_native_ok: bool | None = None
+
+
+def _fsst_fast() -> bool:
+    global _native_ok
+    if _native_ok is None:
+        from .native import get_lib
+
+        _native_ok = get_lib() is not None
+    return _native_ok
 
 
 # --- value-set encoders (shared by plain columns and dict payloads) ---------
@@ -46,14 +59,15 @@ def encode_str_values(lengths: np.ndarray, data: bytes) -> tuple[str, bytes, dic
     best_data_bytes = len(comp) if comp is not None else len(data)
 
     gp_struggled = comp is None or len(comp) > 0.4 * len(data)
-    if len(data) >= 512 and gp_struggled:
-        # FSST encode is ~MB/s — only contest when snappy left room,
-        # sample-estimate, and require a clear win before paying for
-        # the full encode
-        ratio, tbl_bytes = fsst.estimate_ratio(data)
+    if len(data) >= 512 and (gp_struggled or _fsst_fast()):
+        # sample-estimate first; pay for the full encode only on a
+        # projected win (a clear one when only the numpy encoder is
+        # available — it is ~10x slower than zstd)
+        win = 1.0 if _fsst_fast() else FSST_WIN_FACTOR
+        ratio, tbl_bytes, symbols = fsst.estimate_plan(data)
         fsst_est = int(ratio * len(data)) + tbl_bytes
-        if fsst_est < best_data_bytes * FSST_WIN_FACTOR:
-            tbl, stream = fsst.compress(data)
+        if fsst_est < best_data_bytes * win:
+            tbl, stream = fsst.compress(data, symbols)
             if len(tbl) + len(stream) < best_data_bytes:
                 return "fsst", len_payload + tbl + stream, {
                     "wl": wl, "n": len(lengths), "tl": len(tbl)

@@ -269,3 +269,75 @@ def test_fsst_vec_throughput_microbench():
     assert decompress(serialize_table(symbols), enc) == data
     assert len(enc) < 0.3 * len(data)  # compresses word-heavy text
     assert mbps > 2.0, f"FSST vec walk regressed to {mbps:.1f} MB/s"
+
+
+class TestFsstNative:
+    """C kernel (codecs/native.py): true-greedy parity with the scalar
+    reference encoder, fallback equivalence, binary safety."""
+
+    def _reset(self, monkeypatch, disable: bool):
+        import arcade_ray.codecs.native as nat
+
+        if disable:
+            monkeypatch.setenv("ARCADE_NO_NATIVE", "1")
+        else:
+            monkeypatch.delenv("ARCADE_NO_NATIVE", raising=False)
+        monkeypatch.setattr(nat, "_tried", False)
+        monkeypatch.setattr(nat, "_lib", None)
+        return nat
+
+    def test_native_matches_scalar_greedy(self, monkeypatch):
+        nat = self._reset(monkeypatch, disable=False)
+        if nat.get_lib() is None:
+            pytest.skip("no C compiler in this environment")
+        from arcade_ray.codecs.fsst import build_symbol_table, compress_scalar
+        from arcade_ray.codecs.fsst_vec import _Matcher
+
+        rng = np.random.default_rng(7)
+        words = [b"alpha", b"beta", b"gamma", b"delta", b"epsilon", b"zeta"]
+        data = b"-".join(words[rng.integers(0, len(words))]
+                         for _ in range(20_000))
+        symbols = build_symbol_table(data[:32768])
+        enc = nat.encode_native(data, _Matcher(symbols))
+        _, ref = compress_scalar(data, symbols)
+        assert enc == ref  # true greedy, byte-identical to the scalar walk
+
+    def test_native_binary_fuzz_roundtrip(self, monkeypatch):
+        nat = self._reset(monkeypatch, disable=False)
+        if nat.get_lib() is None:
+            pytest.skip("no C compiler in this environment")
+        from arcade_ray.codecs.fsst import (build_symbol_table, compress_scalar,
+                                            decompress, serialize_table)
+        from arcade_ray.codecs.fsst_vec import _Matcher
+
+        for seed in range(8):
+            rng = np.random.default_rng(seed)
+            raw = rng.integers(0, 256, int(rng.integers(1, 9000)),
+                               dtype=np.uint8).tobytes()
+            symbols = build_symbol_table(raw[:8192])
+            enc = nat.encode_native(raw, _Matcher(symbols))
+            _, ref = compress_scalar(raw, symbols)
+            assert enc == ref, seed
+            assert decompress(serialize_table(symbols), enc) == raw, seed
+
+    def test_numpy_fallback_still_roundtrips(self, monkeypatch):
+        """With the kernel disabled, the block-parallel numpy walk and
+        the Python decode loop carry the full path."""
+        self._reset(monkeypatch, disable=True)
+        from arcade_ray.codecs.fsst import compress, decompress
+
+        data = (b"fallback path exercise " * 800)[:17_001]
+        tbl, enc = compress(data)
+        assert decompress(tbl, enc) == data
+
+    def test_decode_native_matches_python(self, monkeypatch):
+        nat = self._reset(monkeypatch, disable=False)
+        if nat.get_lib() is None:
+            pytest.skip("no C compiler in this environment")
+        from arcade_ray.codecs.fsst import build_symbol_table, compress
+
+        data = (b"the quick brown fox jumps over the lazy dog " * 400)
+        symbols = build_symbol_table(data[:16384])
+        tbl, enc = compress(data, symbols)
+        got = nat.decode_native(enc, symbols)
+        assert got == data
