@@ -58,6 +58,11 @@ def _partial_topk_rows(neg_scores: np.ndarray, ids: np.ndarray, k: int) -> np.nd
     return sel[order]
 
 
+# kmeans partial-reduce: above this many blocks a task-side combine
+# stage runs first so the driver merge is O(blocks / fanout)
+_KMEANS_REDUCE_FANOUT = 64
+
+
 def _to_matrix(col: pa.ChunkedArray) -> np.ndarray:
     arr = col.combine_chunks()
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
@@ -432,10 +437,14 @@ def kmeans_fit(ds, k: int = 16, iters: int = 10, id_col: str = "vec_id",
     Per iteration the centroid matrix (k x dim, tiny) is broadcast via
     ``ray.put``; each batch computes one vectorized partial —
     per-centroid vector sums (np.add.at), member counts, and inertia
-    (sum of 1-cosine to the assigned centroid) — so the driver merge
-    is O(#blocks x k x dim). Empty clusters keep their previous
-    centroid. Returns (centroids ndarray, assignments Dataset of
-    (id, cluster), inertia_per_iter list)."""
+    (sum of 1-cosine to the assigned centroid). Above
+    ``_KMEANS_REDUCE_FANOUT`` blocks a TREE-COMBINE stage merges the
+    per-block partials in tasks first, so the driver consumes
+    O(blocks / fanout) rows per iteration instead of O(blocks) — at
+    10^5+ blocks the flat merge would move GBs of partials through
+    the driver. Empty clusters keep their previous centroid. Returns
+    (centroids ndarray, assignments Dataset of (id, cluster),
+    inertia_per_iter list)."""
     import ray
 
     proj = ds.map_batches(
@@ -467,11 +476,26 @@ def kmeans_fit(ds, k: int = 16, iters: int = 10, id_col: str = "vec_id",
                 "inertia": pa.array([inertia], type=pa.float64()),
             })
 
+        def merge_partials(batch: pa.Table) -> pa.Table:
+            s = _to_matrix(batch["sums"]).astype(np.float64).sum(axis=0)
+            c = _to_matrix(batch["counts"]).astype(np.int64).sum(axis=0)
+            i = float(pa.compute.sum(batch["inertia"]).as_py() or 0.0)
+            return pa.table({
+                "sums": pa.array([s.tolist()], type=pa.list_(pa.float64())),
+                "counts": pa.array([c.tolist()], type=pa.list_(pa.int64())),
+                "inertia": pa.array([i], type=pa.float64()),
+            })
+
+        part_ds = proj.map_batches(partial, batch_format="pyarrow")
+        nb = proj.num_blocks()
+        if nb > _KMEANS_REDUCE_FANOUT:
+            part_ds = part_ds.repartition(
+                max(1, nb // _KMEANS_REDUCE_FANOUT)).map_batches(
+                merge_partials, batch_format="pyarrow", batch_size=None)
         sums = np.zeros((k_eff, dim), dtype=np.float64)
         counts = np.zeros(k_eff, dtype=np.int64)
         inertia = 0.0
-        for row in proj.map_batches(
-                partial, batch_format="pyarrow").take_all():
+        for row in part_ds.take_all():
             sums += np.asarray(row["sums"]).reshape(k_eff, dim)
             counts += np.asarray(row["counts"])
             inertia += row["inertia"]

@@ -390,10 +390,42 @@ def _strip_nulls(state: ColumnEncoderState, arr: pa.Array) -> tuple[pa.Array, by
     return filled, vbytes, n_nulls
 
 
+def _add_valid_zone(state: ColumnEncoderState, desc: dict,
+                    arr: pa.Array) -> None:
+    """Valid-only zone bounds for a null-bearing chunk. The stored
+    chunk min/max cover the null PLACEHOLDER (0 / ''), which is
+    correct for code-domain pruning of the stored stream but wrong
+    for SQL MIN/MAX (which skip nulls) — so null-bearing chunks carry
+    separate ``vmin``/``vmax`` over the valid values. Keys are absent
+    on float/list kinds (not meta-statable) and on pre-vmin files;
+    explicit None marks an all-null chunk (contributes nothing)."""
+    if state.kind == "list" or state.tag in ("f32", "f64"):
+        return
+    valid = arr.drop_null()
+    if len(valid) == 0:
+        desc["vmin"] = desc["vmax"] = None
+        return
+    if state.kind == "str":
+        mm = pc.min_max(valid.cast(pa.large_binary()))
+        try:
+            lo = mm["min"].as_py().decode("utf-8")
+            hi = mm["max"].as_py().decode("utf-8")
+        except UnicodeDecodeError:
+            return  # unbounded: key stays absent
+        if len(lo) <= MAX_ZONE_STR and len(hi) <= MAX_ZONE_STR:
+            desc["vmin"], desc["vmax"] = lo, hi
+        return
+    vals, _ = int_stream_from_arrow(valid)
+    desc["vmin"] = int(vals.min())
+    desc["vmax"] = int(vals.max())
+
+
 def encode_column_chunk(state: ColumnEncoderState, arr: pa.Array) -> None:
     """Encode one row-chunk of a column; appends descriptor + payload.
     Null slots are carried as a validity bitmap appended to the chunk
-    payload (desc keys ``vb``/``nulls``)."""
+    payload (desc keys ``vb``/``nulls``) plus valid-only zone bounds
+    (``vmin``/``vmax``) for exact meta-only MIN/MAX."""
+    arr_orig = arr
     arr, vbytes, n_nulls = _strip_nulls(state, arr)
     _encode_column_chunk_nonnull(state, arr)
     if n_nulls:
@@ -401,6 +433,7 @@ def encode_column_chunk(state: ColumnEncoderState, arr: pa.Array) -> None:
         desc["vb"] = len(vbytes)
         desc["nulls"] = int(n_nulls)
         state.payloads[-1] = state.payloads[-1] + vbytes
+        _add_valid_zone(state, desc, arr_orig)
 
 
 def _encode_column_chunk_nonnull(state: ColumnEncoderState, arr: pa.Array) -> None:

@@ -903,6 +903,66 @@ def q_stats_meta(sf_dir: str) -> pa.Table:
     })
 
 
+def _nulls_docs_dir(sf_dir: str) -> str:
+    """Encode (once, cached) a null-bearing derivative of documents:
+    lang nullified where 'en', n_chars nullified at multiples of 7 —
+    SQL-mirrorable (NULLIF / CASE) so null-aware operators can be
+    oracle-checked against DuckDB on the same parquet."""
+    tag = hashlib.md5(
+        f"{sf_dir}|documents-nulls|{_CACHE_SALT}".encode()).hexdigest()[:10]
+    out = os.path.join(CACHE_ROOT, f"documents-nulls-{tag}")
+    if not os.path.exists(os.path.join(out, "manifest.parquet")):
+        import numpy as np
+
+        ds = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                                columns=["doc_id", "source", "lang",
+                                         "n_chars"])
+
+        def derive(batch: pa.Table) -> pa.Table:
+            lang = pc.if_else(pc.equal(batch["lang"], "en"),
+                              pa.scalar(None, type=pa.string()),
+                              batch["lang"])
+            nc = batch["n_chars"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            chars = pa.array(nc, mask=(nc % 7 == 0))
+            return pa.table({"doc_id": batch["doc_id"],
+                             "source": batch["source"],
+                             "lang": lang, "chars": chars})
+
+        encode_dataset(ds.map_batches(derive, batch_format="pyarrow"),
+                       out, key_col="source", id_col="doc_id",
+                       weight_col=None)
+    return out
+
+
+def q_stats_meta_nulls(sf_dir: str) -> pa.Table:
+    """Meta-only MIN/MAX over NULL-BEARING columns: the valid-only
+    zone bounds (vmin/vmax) recorded at encode time make SQL
+    null-skipping MIN/MAX exact — the stored zones cover the 0/''
+    fill placeholder and would answer min=0 / min='' here."""
+    from .pipeline.query import stats_meta
+
+    out = _nulls_docs_dir(sf_dir)
+    s = stats_meta(out, ["chars", "lang"])
+    return pa.table({
+        "n_rows": pa.array([s["rows"]], type=pa.int64()),
+        "min_chars": pa.array([s["chars"]["min"]], type=pa.int64()),
+        "max_chars": pa.array([s["chars"]["max"]], type=pa.int64()),
+        "min_lang": pa.array([s["lang"]["min"]], type=pa.string()),
+        "max_lang": pa.array([s["lang"]["max"]], type=pa.string()),
+    })
+
+
+def q_group_percentiles_nulls(sf_dir: str) -> pa.Table:
+    """Per-group exact percentiles with SQL null semantics: NULL keys
+    form their own group (last), null values are skipped, all-null
+    groups emit NULL percentiles."""
+    from .pipeline.query import group_int_percentiles
+
+    out = _nulls_docs_dir(sf_dir)
+    return group_int_percentiles(out, "lang", "chars", [0.5, 0.9])
+
+
 def q_group_distinct_langs(sf_dir: str) -> pa.Table:
     """GROUP BY source -> COUNT(DISTINCT lang), decode-free (distinct
     pairs from np.unique over combined dictionary codes)."""
@@ -1504,6 +1564,8 @@ QUERIES = {
     "regex_filter": q_regex_filter,
     "plan_stats": q_plan_stats,
     "stats_meta": q_stats_meta,
+    "stats_meta_nulls": q_stats_meta_nulls,
+    "group_percentiles_nulls": q_group_percentiles_nulls,
     "distinct_sources": q_distinct_sources,
     "group_count_encoded": q_group_count_encoded,
     "group_agg_encoded": q_group_agg_encoded,
@@ -1777,6 +1839,24 @@ ORACLE_SQL = {
         "CAST(MAX(n_chars) AS BIGINT) AS max_chars, "
         "MIN(source) AS min_source, MAX(source) AS max_source "
         "FROM documents"
+    ),
+    "stats_meta_nulls": (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(MIN(CASE WHEN n_chars % 7 = 0 THEN NULL ELSE n_chars END) "
+        "AS BIGINT) AS min_chars, "
+        "CAST(MAX(CASE WHEN n_chars % 7 = 0 THEN NULL ELSE n_chars END) "
+        "AS BIGINT) AS max_chars, "
+        "MIN(NULLIF(lang, 'en')) AS min_lang, "
+        "MAX(NULLIF(lang, 'en')) AS max_lang "
+        "FROM documents"
+    ),
+    "group_percentiles_nulls": (
+        "SELECT NULLIF(lang, 'en') AS lang, "
+        "CAST(quantile_disc(CASE WHEN n_chars % 7 = 0 THEN NULL "
+        "ELSE n_chars END, 0.5) AS BIGINT) AS p50, "
+        "CAST(quantile_disc(CASE WHEN n_chars % 7 = 0 THEN NULL "
+        "ELSE n_chars END, 0.9) AS BIGINT) AS p90 "
+        "FROM documents GROUP BY 1"
     ),
     "group_distinct_langs": (
         "SELECT source, CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_distinct "

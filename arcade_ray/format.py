@@ -147,8 +147,22 @@ def _column_stats(columns_meta: dict, sketches: dict | None = None) -> dict:
         vmin = vmax = None
         nulls = 0
         unbounded = False  # any non-empty chunk without zone values
+        # valid-only bounds (SQL MIN/MAX skip nulls; the stored zone
+        # covers the null placeholder). Aggregated from chunk vmin/vmax
+        # on null-bearing chunks and plain min/max on null-free ones.
+        wmin = wmax = None
+        w_unbounded = False
         for ch in cm["chunks"]:
-            nulls += int(ch.get("nulls") or 0)
+            ch_nulls = int(ch.get("nulls") or 0)
+            nulls += ch_nulls
+            if ch_nulls and cm["kind"] != "list":
+                if "vmin" not in ch:
+                    w_unbounded = True  # float kind / zone-cap overflow
+                elif ch["vmin"] is not None:
+                    wmin = ch["vmin"] if wmin is None \
+                        else min(wmin, ch["vmin"])
+                    wmax = ch["vmax"] if wmax is None \
+                        else max(wmax, ch["vmax"])
             if cm["kind"] == "list":
                 v = ch["values"]
                 # string values streams carry mode (local/diff) instead
@@ -178,10 +192,22 @@ def _column_stats(columns_meta: dict, sketches: dict | None = None) -> dict:
                 vmin = lo if vmin is None else min(vmin, lo)
             if hi is not None:
                 vmax = hi if vmax is None else max(vmax, hi)
+            if not ch_nulls:  # null-free chunk: stored zone IS valid-only
+                if n and (lo is None or hi is None):
+                    w_unbounded = True
+                elif lo is not None:
+                    wmin = lo if wmin is None else min(wmin, lo)
+                    wmax = hi if wmax is None else max(wmax, hi)
         if unbounded:
             vmin = vmax = None
         out[name] = {"codecs": codecs, "min": vmin, "max": vmax,
                      "nulls": nulls}
+        if nulls and cm["kind"] != "list":
+            # present only for null-bearing columns: stats_meta's exact
+            # null-skipping MIN/MAX (None+bounded=False -> all-null)
+            out[name]["vmin"], out[name]["vmax"] = \
+                (None, None) if w_unbounded else (wmin, wmax)
+            out[name]["vbounded"] = not w_unbounded
         if sketches and name in sketches:
             out[name].update(sketches[name])
     return out

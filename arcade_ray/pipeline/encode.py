@@ -258,17 +258,49 @@ def _pin_arrow_threads() -> None:
         pass
 
 
+def _frag_codec() -> str:
+    """Exchange fragment wire format. ``raw`` (default) ships plain
+    Arrow objects — fastest through single-node plasma (measured: zstd
+    and lz4 IPC packing both SLOWED the 2M-row exchange ~40% at 32
+    cpus; shared-memory reads are cheaper than the codec pass). On a
+    multi-node cluster where fragments cross the NETWORK, set
+    ARCADE_FRAG_CODEC=zstd (or lz4): token payloads shrink ~3.5x and
+    the codec cost rides per-node cores instead of the wire."""
+    return os.environ.get("ARCADE_FRAG_CODEC", "raw")
+
+
+def _frag_pack(frag: pa.Table, codec: str):
+    if codec == "raw":
+        return frag
+    import pyarrow.ipc as ipc
+
+    sink = pa.BufferOutputStream()
+    opts = ipc.IpcWriteOptions(compression=codec)
+    with ipc.new_stream(sink, frag.schema, options=opts) as w:
+        w.write_table(frag)
+    return sink.getvalue()
+
+
+def _frag_unpack(obj) -> pa.Table:
+    if isinstance(obj, pa.Table):
+        return obj
+    import pyarrow.ipc as ipc
+
+    return ipc.open_stream(obj).read_all()
+
+
 def _split_block(table: pa.Table, bucket_of_pid):
     """Split one assigned block into per-BUCKET fragments; a bucket
     bundles several partitions destined for one encode task. Returns a
     list of ObjectRefs (None for empty buckets): fragments are
     ``ray.put`` from inside the task — measured ~16x faster than the
     task-return path for large payloads — and only the tiny ref list
-    travels back."""
+    travels back. Fragments ship zstd-IPC-packed (see _frag_codec)."""
     import numpy as np
     import ray
 
     _pin_arrow_threads()
+    codec = _frag_codec()
     n_buckets = int(max(bucket_of_pid)) + 1 if len(bucket_of_pid) else 1
     pids = table["_pid"].to_numpy(zero_copy_only=False)
     buckets = np.asarray(bucket_of_pid)[pids]
@@ -281,7 +313,8 @@ def _split_block(table: pa.Table, bucket_of_pid):
         if hi > lo:
             # per-fragment take -> each fragment owns compact buffers
             # (a slice view would serialize its whole parent block)
-            out[b] = ray.put(table.take(pa.array(order[lo:hi], type=pa.int64())))
+            frag = table.take(pa.array(order[lo:hi], type=pa.int64()))
+            out[b] = ray.put(_frag_pack(frag, codec))
     return out
 
 
@@ -322,7 +355,7 @@ def _encode_bucket(pid_keys: list[str], out_dir: str, sort_by: str | None,
 
     _pin_arrow_threads()
     frags = ray.get(list(frag_refs))
-    tables = [f for f in frags if f is not None]
+    tables = [_frag_unpack(f) for f in frags if f is not None]
     return _encode_bucket_tables(tables, pid_keys, out_dir, sort_by,
                                  generation)
 
@@ -505,6 +538,9 @@ def _run_direct_exchange(split_inputs, pid_keys: list[str],
         _shutil.rmtree(shuffle_dir, ignore_errors=True)
         return [_manifest_schema_table(rows)]
 
+    import time as _time
+
+    t0 = _time.perf_counter()
     split = ray.remote(_split_many)
     split_refs = [
         split.remote(group, bucket_of_pid, assign, columns)
@@ -512,6 +548,7 @@ def _run_direct_exchange(split_inputs, pid_keys: list[str],
     ]
     # barrier: every bucket needs a fragment ref from every split task
     frag_lists = ray.get(split_refs)
+    t1 = _time.perf_counter()
     frag_cols = [
         [fl[b] for fl in frag_lists if fl[b] is not None]
         for b in range(n_buckets)
@@ -524,6 +561,13 @@ def _run_direct_exchange(split_inputs, pid_keys: list[str],
         if frag_cols[b]
     ]
     rows = [r for rs in ray.get(result_refs) for r in rs]
+    if os.environ.get("ARCADE_TIMING"):
+        import sys as _sys
+
+        print(f"[arcade-timing] split_wave={t1 - t0:.3f}s "
+              f"encode_wave={_time.perf_counter() - t1:.3f}s "
+              f"splits={len(split_refs)} buckets={n_buckets}",
+              file=_sys.stderr)
     return [_manifest_schema_table(rows)]
 
 
@@ -570,7 +614,7 @@ def _direct_exchange_encode(ds, assign, plan, pid_keys: list[str], done: set,
                                     sort_by, assign, mode="disk",
                                     generation=generation)
     block_refs = list(ds.to_arrow_refs())
-    groups = _group(block_refs, max(16, _avail_cpus() // 2))
+    groups = _group(block_refs, max(16, _avail_cpus()))
     return _run_direct_exchange(groups, pid_keys, plan.pid_weights(), done,
                                 out_dir, sort_by, assign,
                                 generation=generation)
@@ -668,7 +712,11 @@ def encode_parquet(paths: list[str] | str, out_dir: str,
     cap = weight_cap or (
         DEFAULT_PART_TOKEN_CAP if weight_col is not None else DEFAULT_PART_ROW_CAP
     )
-    n_splits = max(16, _avail_cpus() // 2)
+    # one split task per core: the split wave (parquet read + assign +
+    # hash-partition) is the pipeline's other parallel phase — capping
+    # it below the core count was the 8->32 scaling ceiling (the encode
+    # bucket count already scales with _avail_cpus)
+    n_splits = max(16, _avail_cpus())
     if len(files) < n_splits:
         # few big files: split by parquet row-group ranges so the read
         # still parallelizes (one split task per range)
@@ -683,10 +731,19 @@ def encode_parquet(paths: list[str] | str, out_dir: str,
                 items.append((f, lo, min(n_rg, lo + step)))
         files = items
     groups = _group(files, n_splits)
+    import time as _time
+
+    _t_plan0 = _time.perf_counter()
     totals: dict[str, int] = {}
     for part in ray.get([file_partial.remote(g) for g in groups]):
         for k, w in part.items():
             totals[k] = totals.get(k, 0) + w
+    if os.environ.get("ARCADE_TIMING"):
+        import sys as _sys
+
+        print(f"[arcade-timing] plan_wave="
+              f"{_time.perf_counter() - _t_plan0:.3f}s "
+              f"plan_tasks={len(groups)}", file=_sys.stderr)
     plan = Plan({k: max(1, -(-w // cap)) for k, w in totals.items()},
                 key_col, id_col, cap, source_weights=totals)
     pid_keys = _apply_generation(plan.part_keys(), generation)

@@ -650,11 +650,15 @@ def stats_meta(out_dir: str, cols: list[str]) -> dict:
     columns the merged manifest bounds ARE the answer; at 100-TB scale
     this is a driver-only O(#partitions) metadata walk.
 
-    Refuses (raises) when exactness can't be proven: float columns
-    (zones hold IEEE bit patterns), unbounded partitions (strings past
-    the zone-length cap), or null-bearing columns (zone stats are
-    null-blind; SQL MIN/MAX skip nulls). Older manifests without null
-    counts fall back to a per-partition HEADER read (still no data).
+    Null-bearing columns use the valid-only bounds (manifest
+    ``vmin``/``vmax``, recorded at encode time) so SQL MIN/MAX
+    null-skipping semantics hold exactly; all-null partitions
+    contribute nothing. Refuses (raises) when exactness can't be
+    proven: float columns (zones hold IEEE bit patterns), unbounded
+    partitions (strings past the zone-length cap), or null-bearing
+    partitions written before valid-only zones existed. Older
+    manifests without null counts fall back to a per-partition HEADER
+    read (still no data).
 
     -> {"rows": int, col: {"min": v, "max": v}, ...}
     """
@@ -688,9 +692,20 @@ def stats_meta(out_dir: str, cols: list[str]) -> dict:
                 nn = sum(int(ch.get("nulls") or 0)
                          for ch in h["columns"][c]["chunks"])
             if nn:
-                raise NotImplementedError(
-                    f"stats_meta over null-bearing column {c!r}: zone "
-                    "stats are null-blind — scan instead")
+                # null-bearing: the stored zone covers the fill
+                # placeholder; exactness needs the valid-only bounds
+                # recorded at encode time (manifest vmin/vmax)
+                if "vbounded" not in s:
+                    raise NotImplementedError(
+                        f"stats_meta over null-bearing column {c!r}: "
+                        "this partition predates valid-only zone "
+                        "stats — scan instead (or re-encode)")
+                if not s["vbounded"]:
+                    raise ValueError(
+                        f"stats_meta: partition {r['path']} has "
+                        f"unbounded valid-only zones on {c!r} — scan "
+                        "instead")
+                lo, hi = s.get("vmin"), s.get("vmax")  # None = all null
             cur = out.get(c)
             if lo is not None:
                 if cur is None:
@@ -1549,7 +1564,11 @@ def group_int_percentiles(out_dir: str, key_col: str, value_col: str,
     every group's quantiles off cumulative sums. Same
     PERCENTILE_DISC selection as :func:`int_percentiles`; same
     bounded-domain cap. No sort, no shuffle —
-    group cardinality is bounded by the key dictionary."""
+    group cardinality is bounded by the key dictionary.
+
+    SQL null semantics: NULL keys form their own group (sorted last),
+    null values are skipped, and a group whose values are all NULL
+    gets NULL percentiles."""
     import ray
 
     rows = _manifest_paths(out_dir)
@@ -1563,24 +1582,20 @@ def group_int_percentiles(out_dir: str, key_col: str, value_col: str,
         stats = json.loads(r["col_stats"])
         s = stats.get(value_col, {})
         lo_z, hi_z = s.get("min"), s.get("max")
+        if s.get("nulls"):
+            # stored zone covers the 0 placeholder — range-cap check
+            # must use the valid-only bounds (None = all-null part)
+            if "vbounded" not in s:
+                raise NotImplementedError(
+                    f"group_int_percentiles: partition {r['path']} "
+                    f"predates valid-only zone stats on {value_col!r} "
+                    "— re-encode or decode instead")
+            lo_z, hi_z = s.get("vmin"), s.get("vmax")
         if lo_z is not None and hi_z is not None \
                 and hi_z - lo_z > PERCENTILE_MAX_RANGE:
             raise ValueError(
                 f"value range of {value_col!r} ({hi_z - lo_z}) exceeds "
                 f"the dense-histogram cap ({PERCENTILE_MAX_RANGE})")
-        # null guard (same contract as dict_group_distinct): a null
-        # value would round-trip through float64 NaN -> INT64_MIN in
-        # the int cast below; a null key would emit garbage codes.
-        for c in (key_col, value_col):
-            nn = stats.get(c, {}).get("nulls")
-            if nn is None:  # pre-nulls-stat manifest: read the header
-                h, _ = read_header(r["path"])
-                nn = sum(int(ch.get("nulls") or 0)
-                         for ch in h["columns"][c]["chunks"])
-            if nn:
-                raise NotImplementedError(
-                    f"group_int_percentiles over null-bearing column "
-                    f"{c!r}: decode instead")
 
     @ray.remote
     def part_hists(path: str):
@@ -1589,12 +1604,26 @@ def group_int_percentiles(out_dir: str, key_col: str, value_col: str,
         _pin_arrow_threads()
         t = decode_partition(path, columns=[key_col, value_col])
         if t.num_rows == 0:
-            return {}
-        d = pc.dictionary_encode(t[key_col].combine_chunks())
-        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            return set(), {}
+        karr = t[key_col].combine_chunks()
+        varr = t[value_col].combine_chunks()
+        d = pc.dictionary_encode(karr)
         pool = d.dictionary.to_pylist()
-        v = t[value_col].combine_chunks().to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        idx = d.indices
+        if karr.null_count:  # NULL keys form their own group (SQL)
+            idx = pc.fill_null(idx, len(pool))
+            pool = pool + [None]
+        codes = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        # every key seen emits a group row, even if all its values in
+        # this partition are null (quantile over nothing -> NULL)
+        seen = {pool[int(c)] for c in np.unique(codes)}
+        if varr.null_count:  # SQL aggregates skip null values
+            vmask = varr.is_valid().to_numpy(zero_copy_only=False)
+            codes = codes[vmask]
+            varr = varr.drop_null()
+        if len(codes) == 0:
+            return seen, {}
+        v = varr.to_numpy(zero_copy_only=False).astype(np.int64)
         lo = int(v.min())
         if int(v.max()) - lo > PERCENTILE_MAX_RANGE:
             raise ValueError(f"value range of {value_col!r} exceeds the "
@@ -1607,10 +1636,12 @@ def group_int_percentiles(out_dir: str, key_col: str, value_col: str,
         for j in range(len(bounds) - 1):
             seg = vs[bounds[j]: bounds[j + 1]]
             out[pool[int(cs[bounds[j]])]] = (lo, np.bincount(seg - lo))
-        return out
+        return seen, out
 
     merged: dict = {}
-    for part in ray.get([part_hists.remote(r["path"]) for r in rows]):
+    all_keys: set = set()
+    for seen, part in ray.get([part_hists.remote(r["path"]) for r in rows]):
+        all_keys |= seen
         for key, (lo, cnt) in part.items():
             if key not in merged:
                 merged[key] = (lo, cnt.copy())
@@ -1627,11 +1658,14 @@ def group_int_percentiles(out_dir: str, key_col: str, value_col: str,
             ncnt[lo - nlo: lo - nlo + len(cnt)] += cnt
             merged[key] = (nlo, ncnt)
 
-    keys = sorted(merged)
+    keys = _sorted_nulls_last(all_keys)
     cols: dict = {key_col: pa.array(keys, type=pa.string())}
     for p in ps:
         vals = []
         for key in keys:
+            if key not in merged:  # group with only NULL values
+                vals.append(None)
+                continue
             lo, cnt = merged[key]
             csum = np.cumsum(cnt)
             n = int(csum[-1])

@@ -111,7 +111,7 @@ def group_stats(ds, key_col: str, val_col: str):
 
 def pack_sequences(ds, tokens_col: str = "tokens", max_len: int = 2048,
                    pad_id: int | None = None, seq_col: str = "input_ids",
-                   drop_last: bool = False):
+                   drop_last: bool = False, shards: int | None = None):
     """Pack variable-length token sequences into fixed-length training
     examples: concatenate each batch's sequences and slice at
     ``max_len`` boundaries — the standard LLM pretraining packing
@@ -120,12 +120,15 @@ def pack_sequences(ds, tokens_col: str = "tokens", max_len: int = 2048,
 
     Packing is per BATCH (each batch's tail chunk is shorter than
     ``max_len`` unless ``pad_id`` fills it, or is dropped with
-    ``drop_last=True``): cross-batch carry would need a stateful
-    serial actor — one packer per shard is the distributed-training
-    convention anyway, and per-batch tails bound the waste at
-    (max_len-1) tokens per block. Emits (seq_col list<int>, n_filled
-    int64 — real tokens in the example, < max_len only on an unpadded
-    or padded tail)."""
+    ``drop_last=True``), bounding the waste at (max_len-1) tokens per
+    block. ``shards=N`` packs with CROSS-BATCH carry inside N shards
+    instead — one packer per shard is the distributed-training
+    convention: the dataset is repartitioned into N blocks and each
+    block packs as ONE contiguous stream (exactly N tails total). Size
+    N so a shard's tokens fit a worker's heap (e.g. total_tokens x
+    4 B / ~1 GiB). Emits (seq_col list<int>, n_filled int64 — real
+    tokens in the example, < max_len only on an unpadded or padded
+    tail)."""
     if max_len < 1:
         raise ValueError(f"max_len must be >= 1, got {max_len}")
 
@@ -171,6 +174,11 @@ def pack_sequences(ds, tokens_col: str = "tokens", max_len: int = 2048,
             "n_filled": pa.array(n_filled, type=pa.int64()),
         })
 
+    if shards is not None:
+        # one block per shard; batch_size=None = whole-block batches,
+        # so each shard packs as one contiguous token stream
+        return ds.repartition(shards).map_batches(
+            pack, batch_format="pyarrow", batch_size=None)
     return ds.map_batches(pack, batch_format="pyarrow")
 
 

@@ -189,3 +189,40 @@ def test_ivf_index_persist_and_query(ray_session, tmp_path):
         a = set(approx.filter(pc.equal(approx["query_id"], q))["vec_id"].to_pylist())
         recalls.append(len(e & a) / len(e))
     assert min(recalls) >= 0.8, recalls
+
+
+def test_kmeans_tree_reduce_matches_flat(ray_session, monkeypatch):
+    """Forcing the task-side partial combine (fanout 2 over a 12-block
+    input) must reproduce the flat driver merge: same assignments,
+    same centroids, same inertia trace (up to float merge order)."""
+    import ray.data as rd
+
+    import arcade_ray.ann as ann
+    from arcade_ray.collect import collect_arrow
+
+    rng = np.random.default_rng(9)
+    dim, per = 8, 120
+    centers = rng.standard_normal((3, dim)) * 6
+    vecs = np.concatenate(
+        [c + rng.standard_normal((per, dim)) * 0.3 for c in centers])
+    t = pa.table({
+        "vec_id": pa.array(np.arange(len(vecs)), type=pa.int64()),
+        "embedding": pa.array(vecs.tolist(), type=pa.list_(pa.float64())),
+    })
+
+    def run():
+        cents, assign_ds, hist = ann.kmeans_fit(
+            rd.from_arrow(t).repartition(12), k=3, iters=4,
+            sample_size=360)
+        out = collect_arrow(assign_ds).to_pandas().sort_values(
+            "vec_id", ignore_index=True)
+        return cents, out["cluster"].to_numpy(), hist
+
+    monkeypatch.setattr(ann, "_KMEANS_REDUCE_FANOUT", 10**9)
+    c_flat, a_flat, h_flat = run()
+    monkeypatch.setattr(ann, "_KMEANS_REDUCE_FANOUT", 2)
+    c_tree, a_tree, h_tree = run()
+
+    np.testing.assert_allclose(c_tree, c_flat, atol=1e-9)
+    assert (a_tree == a_flat).all()
+    np.testing.assert_allclose(h_tree, h_flat, rtol=1e-9)

@@ -358,3 +358,93 @@ def test_encode_parquet_null_partition_key(ray_session, tmp_path):
     assert len(dec) == 300
     assert dec["source"].isna().sum() == sum(
         1 for i in range(300) if i % 7 == 0)
+
+
+def test_stats_meta_nulls_vs_duckdb(ray_session, tmp_path):
+    """Exact meta-only MIN/MAX over null-bearing columns: the stored
+    zone covers the 0/'' fill placeholder, so a placeholder-polluted
+    answer would be min=0 / min='' here — the valid-only vmin/vmax
+    must match DuckDB's null-skipping MIN/MAX instead."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from arcade_ray.pipeline import encode_dataset
+    from arcade_ray.pipeline.query import stats_meta
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    nt = [None if rng.random() < 0.2 else int(rng.integers(50, 5000))
+          for _ in range(n)]
+    nm = [None if rng.random() < 0.15 else f"k{int(rng.integers(10, 99))}"
+          for _ in range(n)]
+    t = pa.table({
+        "doc_id": pa.array([f"d{i:05d}" for i in range(n)]),
+        "grp": pa.array([f"g{i % 4}" for i in range(n)]),
+        "n_tok": pa.array(nt, type=pa.int64()),
+        "name": pa.array(nm, type=pa.string()),
+        "allnull": pa.array([None] * n, type=pa.int64()),
+    })
+    out_dir = str(tmp_path / "enc")
+    encode_dataset(rd.from_arrow(t), out_dir, key_col="grp",
+                   weight_col=None)
+    pq_path = str(tmp_path / "t.parquet")
+    pq.write_table(t, pq_path)
+    con = duckdb.connect()
+    lo_i, hi_i, lo_s, hi_s, cnt = con.execute(
+        f"SELECT min(n_tok), max(n_tok), min(name), max(name), count(*) "
+        f"FROM read_parquet('{pq_path}')").fetchone()
+
+    s = stats_meta(out_dir, ["n_tok", "name"])
+    assert s["rows"] == cnt
+    assert s["n_tok"] == {"min": lo_i, "max": hi_i}  # NOT the 0 placeholder
+    assert s["name"] == {"min": lo_s, "max": hi_s}   # NOT the '' placeholder
+
+    # an all-null column has no MIN/MAX (SQL NULL) — no entry, no crash
+    s2 = stats_meta(out_dir, ["allnull"])
+    assert "allnull" not in s2 and s2["rows"] == cnt
+
+
+def test_group_int_percentiles_nulls_vs_duckdb(ray_session, tmp_path):
+    """NULL keys group (last), null values are skipped, an
+    all-null-values group emits NULL percentiles — vs DuckDB
+    quantile_disc. (The old guard refused null-bearing columns.)"""
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from arcade_ray.pipeline import encode_dataset
+    from arcade_ray.pipeline.query import group_int_percentiles
+
+    rng = np.random.default_rng(13)
+    n = 4000
+    key = [None if rng.random() < 0.1 else f"g{int(rng.integers(0, 5))}"
+           for _ in range(n)]
+    val = [None if rng.random() < 0.25 else int(rng.integers(-50, 200))
+           for _ in range(n)]
+    key += ["void"] * 4          # a group whose values are ALL null
+    val += [None] * 4
+    t = pa.table({
+        "doc_id": pa.array(range(len(key)), type=pa.int64()),
+        "grp": pa.array(key, type=pa.string()),
+        "v": pa.array(val, type=pa.int64()),
+    })
+    out_dir = str(tmp_path / "enc")
+    encode_dataset(rd.from_arrow(t), out_dir, key_col="doc_id",
+                   weight_col=None)
+    pq_path = str(tmp_path / "t.parquet")
+    pq.write_table(t, pq_path)
+
+    got = group_int_percentiles(out_dir, "grp", "v", [0.25, 0.5, 0.9]) \
+        .to_pandas()
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT grp, quantile_disc(v, 0.25) AS p25, "
+        f"quantile_disc(v, 0.5) AS p50, quantile_disc(v, 0.9) AS p90 "
+        f"FROM read_parquet('{pq_path}') GROUP BY grp "
+        f"ORDER BY grp NULLS LAST").df()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got.astype({"p25": "float64", "p50": "float64", "p90": "float64"}),
+        want.astype({"p25": "float64", "p50": "float64", "p90": "float64"}))

@@ -519,6 +519,32 @@ def test_pack_sequences_conserves_tokens(ray_session):
     assert (dropped["n_filled"] == 128).all()
 
 
+def test_pack_sequences_sharded_carry(ray_session):
+    """shards=N: cross-batch carry inside each shard — the input is
+    split into MANY small blocks, yet the output has at most N short
+    tails (per-batch packing would leave one per block) and conserves
+    every token."""
+    import ray.data as rd
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.transforms import pack_sequences
+
+    rng = np.random.default_rng(6)
+    seqs = [rng.integers(0, 1000, int(n)).tolist()
+            for n in rng.integers(1, 90, 600)]
+    total = sum(len(s) for s in seqs)
+    t = pa.table({"tokens": pa.array(seqs, type=pa.list_(pa.int32()))})
+    ds = rd.from_arrow(t).repartition(24)  # 24 blocks in, 3 shards out
+
+    out = collect_arrow(pack_sequences(ds, max_len=128, shards=3)) \
+        .to_pandas()
+    assert out["n_filled"].sum() == total
+    assert int((out["n_filled"] < 128).sum()) <= 3
+    # per-batch packing on the same 24-block input leaves ~24 tails
+    per_batch = collect_arrow(pack_sequences(ds, max_len=128)).to_pandas()
+    assert (out["n_filled"] < 128).sum() < (per_batch["n_filled"] < 128).sum()
+
+
 def test_stratified_sample_multiblock(ray_session):
     """Per-group deterministic sample across MANY blocks must equal the
     single-table oracle (per-batch candidate cut is lossless)."""
