@@ -1732,6 +1732,22 @@ def _desc_sort_key(v: np.ndarray) -> np.ndarray:
     return ~u
 
 
+def _fill_for_sort(arr: pa.Array):
+    """-> (valid bool array or None, null-filled array). The fill
+    value only normalizes dtypes for numpy sorting; ordering of null
+    slots comes from a separate nulls-last sort tier."""
+    if arr.null_count == 0:
+        return None, arr
+    valid = arr.is_valid().to_numpy(zero_copy_only=False)
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type) \
+            or pa.types.is_binary(arr.type) \
+            or pa.types.is_large_binary(arr.type):
+        filled = pc.fill_null(arr, "")
+    else:
+        filled = pc.fill_null(arr, pa.scalar(0, type=arr.type))
+    return valid, filled
+
+
 def _group_topk_partition(path: str, key_col: str, value_col: str,
                           id_col: str, k: int) -> pa.Table:
     from ..codecs.str_codecs import decode_codes, decode_str_values
@@ -1744,10 +1760,6 @@ def _group_topk_partition(path: str, key_col: str, value_col: str,
         raise TypeError("dict_group_topk groups on string columns")
     vcm = header["columns"][value_col]
     icm = header["columns"][id_col]
-    for nm, c in ((value_col, vcm), (id_col, icm)):
-        if any(ch.get("nulls") for ch in c["chunks"]):
-            raise NotImplementedError(
-                f"null-bearing column {nm!r}: decode instead")
     vdec = make_column_decoder(vcm)
     idec = make_column_decoder(icm)
     sdec = StringColumnDecoder(cm["tag"])
@@ -1789,15 +1801,28 @@ def _group_topk_partition(path: str, key_col: str, value_col: str,
                 codes = np.where(k_valid, codes, m0)
             vch = vcm["chunks"][ci]
             f.seek(base + vch["off"])
-            vals = vdec.decode(vch, read_exact(f, vch["nb"], value_col)) \
-                .to_numpy(zero_copy_only=False)
+            v_valid, varr = _fill_for_sort(
+                vdec.decode(vch, read_exact(f, vch["nb"], value_col)))
+            vals = varr.to_numpy(zero_copy_only=False)
             ich = icm["chunks"][ci]
             f.seek(base + ich["off"])
-            ids = idec.decode(ich, read_exact(f, ich["nb"], id_col)) \
-                .to_numpy(zero_copy_only=False)
+            i_valid, iarr = _fill_for_sort(
+                idec.decode(ich, read_exact(f, ich["nb"], id_col)))
+            ids = iarr.to_numpy(zero_copy_only=False)
             if len(codes) == 0:
                 continue
-            order = np.lexsort((ids, _desc_sort_key(vals), codes))
+            # sort tiers (innermost first): ids ASC, id-NULLS-LAST,
+            # value DESC, value-NULLS-LAST, group — SQL ROW_NUMBER
+            # OVER (ORDER BY v DESC, id) with DuckDB's default
+            # nulls-last ordering in both directions
+            tiers = [ids]
+            if i_valid is not None:
+                tiers.append((~i_valid).view(np.uint8))
+            tiers.append(_desc_sort_key(vals))
+            if v_valid is not None:
+                tiers.append((~v_valid).view(np.uint8))
+            tiers.append(codes)
+            order = np.lexsort(tuple(tiers))
             cs = codes[order]
             starts = np.concatenate(
                 [[0], np.flatnonzero(cs[1:] != cs[:-1]) + 1])
@@ -1806,8 +1831,10 @@ def _group_topk_partition(path: str, key_col: str, value_col: str,
             keep = order[rank < k]
             for i in keep.tolist():
                 out_keys.append(resolve(int(codes[i])))
-                out_vals.append(vals[i])
-                out_ids.append(ids[i])
+                out_vals.append(
+                    vals[i] if v_valid is None or v_valid[i] else None)
+                out_ids.append(
+                    ids[i] if i_valid is None or i_valid[i] else None)
     return pa.table({
         key_col: pa.array(out_keys, type=pa.string()),
         id_col: pa.array(out_ids, type=_col_type(icm)),

@@ -448,3 +448,48 @@ def test_group_int_percentiles_nulls_vs_duckdb(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got.astype({"p25": "float64", "p50": "float64", "p90": "float64"}),
         want.astype({"p25": "float64", "p50": "float64", "p90": "float64"}))
+
+
+def test_dict_group_topk_null_values_vs_duckdb(ray_session, tmp_path):
+    """Top-k per group with null-bearing VALUE and ID columns: DESC
+    values nulls-last, ASC ids nulls-last (DuckDB default ordering);
+    a group with fewer than k non-null values fills from null rows."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from arcade_ray.pipeline import encode_dataset
+    from arcade_ray.pipeline.query import dict_group_topk
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    grp = [None if rng.random() < 0.08 else f"g{int(rng.integers(0, 6))}"
+           for _ in range(n)]
+    # unique non-null values -> deterministic top-k (no tie ambiguity)
+    vv = rng.permutation(n * 3)[:n].astype(np.int64)
+    val = [None if rng.random() < 0.3 else int(vv[i]) for i in range(n)]
+    did = [None if rng.random() < 0.05 else f"d{i:05d}" for i in range(n)]
+    t = pa.table({
+        "rid": pa.array(range(n), type=pa.int64()),
+        "grp": pa.array(grp, type=pa.string()),
+        "v": pa.array(val, type=pa.int64()),
+        "doc": pa.array(did, type=pa.string()),
+    })
+    out_dir = str(tmp_path / "enc")
+    encode_dataset(rd.from_arrow(t), out_dir, key_col="rid",
+                   id_col="rid", weight_col=None)
+    pq_path = str(tmp_path / "t.parquet")
+    pq.write_table(t, pq_path)
+
+    got = dict_group_topk(out_dir, "grp", "v", "doc", 4).to_pandas()
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT grp, doc, v FROM read_parquet('{pq_path}') "
+        f"QUALIFY row_number() OVER (PARTITION BY grp "
+        f"ORDER BY v DESC NULLS LAST, doc ASC NULLS LAST) <= 4").df()
+    import pandas as pd
+
+    key = ["grp", "v", "doc"]
+    g = got.sort_values(key, ignore_index=True).astype({"v": "float64"})
+    w = want.sort_values(key, ignore_index=True).astype({"v": "float64"})
+    pd.testing.assert_frame_equal(g[key], w[key])

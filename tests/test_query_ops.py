@@ -722,9 +722,11 @@ def test_group_approx_distinct(ray_session):
         (got["big"], exact["big"])
 
 
-def test_group_int_percentiles_null_guard(ray_session, tmp_path):
-    """Null-bearing key or value columns must refuse loudly instead of
-    casting NaN -> INT64_MIN (ADVICE r3)."""
+def test_group_int_percentiles_null_values_skipped(ray_session, tmp_path):
+    """Null-bearing value columns compute SQL-correct percentiles
+    (nulls skipped) instead of casting NaN -> INT64_MIN (ADVICE r3
+    guard, since replaced by real null support; the full DuckDB
+    comparison lives in tests/test_nulls.py)."""
     import ray.data as rd
 
     from arcade_ray.pipeline.query import group_int_percentiles
@@ -738,5 +740,13 @@ def test_group_int_percentiles_null_guard(ray_session, tmp_path):
     d = str(tmp_path / "nullpct")
     encode_dataset(rd.from_arrow(t), d, key_col="g", id_col="id",
                    weight_col=None)
-    with pytest.raises(NotImplementedError, match="null-bearing"):
-        group_int_percentiles(d, "g", "v", [0.5])
+    out = group_int_percentiles(d, "g", "v", [0.5]).to_pandas()
+    assert len(out) == 3
+    # INT64_MIN pollution would drag every p50 far negative
+    assert (out["p50"] > 0).all()
+    import pandas as pd
+
+    df = t.to_pandas()
+    want = df.groupby("g")["v"].quantile(0.5, interpolation="lower")
+    for _, row in out.iterrows():
+        assert row["p50"] == want[row["g"]]
