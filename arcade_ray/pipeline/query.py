@@ -942,10 +942,11 @@ def compound_filter(out_dir: str, preds, project: list[str]):
     decode the projection. -> ray.data.Dataset of projected matching
     rows.
 
-    NOT follows SQL three-valued logic: over a null-bearing column the
-    complement of a LEAF predicate runs against the column's VALID
-    rows (null rows are dropped, as SQL does); compound children over
-    null-bearing columns refuse loudly rather than diverge."""
+    Null-bearing columns follow FULL SQL three-valued logic: every
+    node evaluates to per-chunk (TRUE, UNKNOWN) row sets
+    (:func:`_eval_match_3vl`) — leaves are UNKNOWN on their operand's
+    null rows, AND/OR/NOT propagate Kleene semantics, and the filter
+    keeps TRUE rows only (WHERE drops UNKNOWN, as SQL does)."""
     import ray.data as rd
 
     tree = _normalize_pred(preds)
@@ -975,84 +976,97 @@ def compound_filter(out_dir: str, preds, project: list[str]):
     return ds.map_batches(run, batch_format="pyarrow", batch_size=1)
 
 
+def _set_union(a, b):
+    if a is None or len(a) == 0:
+        return b
+    if b is None or len(b) == 0:
+        return a
+    return np.union1d(a, b)
+
+
+def _set_intersect(a, b):
+    if a is None or b is None:
+        return None
+    r = np.intersect1d(a, b, assume_unique=True)
+    return r if len(r) else None
+
+
+def _set_diff(a, b):
+    if a is None:
+        return None
+    if b is None or len(b) == 0:
+        return a
+    r = np.setdiff1d(a, b, assume_unique=True)
+    return r if len(r) else None
+
+
 def _eval_match_idx(path: str, header: dict, base: int, node) -> list:
     """Per-chunk match indices for a predicate tree (None == provably
-    empty chunk). Leaves run the zone-pruned code-domain scans; AND
-    intersects, OR unions, NOT complements against the chunk row
-    count."""
+    empty chunk): the TRUE sets of the three-valued evaluation."""
+    return [t for t, _ in _eval_match_3vl(path, header, base, node)]
+
+
+def _eval_match_3vl(path: str, header: dict, base: int, node) -> list:
+    """SQL three-valued logic over per-chunk index sets: each chunk
+    evaluates to (TRUE rows, UNKNOWN rows); rows in neither set are
+    FALSE; None == empty set. Leaves run the zone-pruned code-domain
+    scans and are UNKNOWN exactly on the operand column's null rows
+    (isnull/notnull are null-safe: never UNKNOWN). AND is true where
+    all children are true, unknown where no child is false and some
+    child is unknown; OR dually; NOT swaps TRUE/FALSE and keeps
+    UNKNOWN. The final filter keeps TRUE rows only (WHERE semantics).
+    Null-free columns carry U=None everywhere — the fast path does no
+    extra set work."""
     op = node[0]
-    if op == "eq":
-        return _equi_match_idx(path, header, base, node[1], node[2])
-    if op == "between":
-        return _range_match_idx(path, header, base, node[1], node[2], node[3])
-    if op in ("in", "prefix", "suffix", "regex", "contains"):
-        return _member_match_idx(path, header, base, node)
-    if op in ("isnull", "notnull"):
-        return _null_match_idx(path, header, base, node[1],
-                               want_null=(op == "isnull"))
+    if op in _LEAF_OPS:
+        if op == "eq":
+            t = _equi_match_idx(path, header, base, node[1], node[2])
+        elif op == "between":
+            t = _range_match_idx(path, header, base, node[1], node[2],
+                                 node[3])
+        elif op in ("isnull", "notnull"):
+            t = _null_match_idx(path, header, base, node[1],
+                                want_null=(op == "isnull"))
+            return [(m, None) for m in t]
+        else:
+            t = _member_match_idx(path, header, base, node)
+        col = node[1]
+        if not any(ch.get("nulls")
+                   for ch in header["columns"][col]["chunks"]):
+            return [(m, None) for m in t]
+        nulls = _null_match_idx(path, header, base, col, want_null=True)
+        return list(zip(t, nulls))
     if op == "and":
-        combined = None
+        # accumulate (T, TU) where TU = T ∪ U = the non-FALSE rows:
+        # AND's non-FALSE set is the intersection of the children's
+        acc = None
         for ch in node[1]:
-            if combined is not None and all(
-                m is None or len(m) == 0 for m in combined
-            ):
-                break  # already empty; skip remaining predicate scans
-            mi = _eval_match_idx(path, header, base, ch)
-            combined = mi if combined is None else [
-                None if (a is None or b is None)
-                else np.intersect1d(a, b, assume_unique=True)
-                for a, b in zip(combined, mi)
-            ]
-        return combined
+            if acc is not None and all(tu is None for _, tu in acc):
+                break  # provably all-FALSE; skip remaining scans
+            cur = _eval_match_3vl(path, header, base, ch)
+            if acc is None:
+                acc = [(t, _set_union(t, u)) for t, u in cur]
+            else:
+                acc = [(_set_intersect(T, t),
+                        _set_intersect(TU, _set_union(t, u)))
+                       for (T, TU), (t, u) in zip(acc, cur)]
+        return [(T, _set_diff(TU, T)) for T, TU in acc]
     if op == "or":
-        combined = None
+        acc = None
         for ch in node[1]:
-            mi = _eval_match_idx(path, header, base, ch)
-            if combined is None:
-                combined = mi
+            cur = _eval_match_3vl(path, header, base, ch)
+            if acc is None:
+                acc = cur
             else:
-                combined = [
-                    b if a is None else a if b is None
-                    else np.union1d(a, b)
-                    for a, b in zip(combined, mi)
-                ]
-        return combined
+                acc = [(_set_union(T, t), _set_union(U, u))
+                       for (T, U), (t, u) in zip(acc, cur)]
+        return [(T, _set_diff(U, T)) for T, U in acc]
     if op == "not":
-        child_op = node[1][0]
-        null_cols = [c for c in _pred_columns(node[1])
-                     if any(ch.get("nulls")
-                            for ch in header["columns"][c]["chunks"])]
-        # SQL three-valued logic drops null rows from NOT(expr). For a
-        # LEAF child the null rows are exactly the operand column's
-        # invalid rows (a null operand makes the leaf UNKNOWN), so the
-        # complement runs against the VALID row set from the chunk
-        # validity bitmaps. isnull/notnull are null-safe (never
-        # UNKNOWN) and complement against all rows. Compound children
-        # over null-bearing columns would need full 3VL propagation —
-        # refuse loudly instead of silently diverging.
-        if null_cols and child_op not in _LEAF_OPS:
-            raise NotImplementedError(
-                f"NOT over a compound predicate on null-bearing "
-                f"column(s) {null_cols}: three-valued logic is not "
-                "propagated through and/or — decode and filter instead")
-        base_idx = None  # None -> complement against np.arange(nrows)
-        if null_cols and child_op not in ("isnull", "notnull"):
-            base_idx = _null_match_idx(path, header, base, node[1][1],
-                                       want_null=False)
-        child = _eval_match_idx(path, header, base, node[1])
+        child = _eval_match_3vl(path, header, base, node[1])
         out = []
-        for i, m in enumerate(child):
-            universe = np.arange(_chunk_rows(header, i)) \
-                if base_idx is None else base_idx[i]
-            if universe is None:
-                out.append(None)
-            elif m is None or len(m) == 0:
-                out.append(universe)
-            elif len(m) == len(universe):
-                out.append(None)
-            else:
-                out.append(np.setdiff1d(universe, m,
-                                        assume_unique=True))
+        for i, (t, u) in enumerate(child):
+            universe = np.arange(_chunk_rows(header, i))
+            out.append((_set_diff(_set_diff(universe, t), u), u))
         return out
     raise ValueError(f"unknown predicate kind {op!r}")
 

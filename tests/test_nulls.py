@@ -299,12 +299,51 @@ def test_not_predicate_nulls_vs_duckdb(nullable_enc):
         "SELECT doc_id FROM t WHERE NOT (doc_id BETWEEN 0 AND 99)"
     ).fetchdf()
     assert sorted(got2["doc_id"].tolist()) == sorted(exp2["doc_id"].tolist())
-    # compound child over a null-bearing column refuses loudly
-    # (NotImplementedError arrives wrapped in RayTaskError)
-    with pytest.raises(Exception, match="three-valued logic"):
-        compound_filter(out_dir, ("not", ("or", [
-            ("eq", "source", "s1"), ("eq", "sval", "v0")])),
-            ["doc_id"]).to_pandas()
+    # NOT over a compound child on null-bearing columns: full 3VL
+    got3 = compound_filter(out_dir, ("not", ("or", [
+        ("eq", "source", "s1"), ("eq", "sval", "v0")])),
+        ["doc_id"]).to_pandas()
+    exp3 = con.execute(
+        "SELECT doc_id FROM t WHERE NOT (source = 's1' OR sval = 'v0')"
+    ).fetchdf()
+    assert sorted(got3["doc_id"].tolist()) == sorted(exp3["doc_id"].tolist())
+
+
+def test_compound_3vl_fuzz_vs_duckdb(nullable_enc):
+    """Random predicate trees over null-bearing columns vs DuckDB:
+    Kleene AND/OR/NOT propagation must match SQL WHERE exactly."""
+    from arcade_ray.pipeline.query import compound_filter
+
+    out_dir, t, con = nullable_enc
+    leaves = [
+        (("eq", "source", "s1"), "source = 's1'"),
+        (("eq", "sval", "v0"), "sval = 'v0'"),
+        (("between", "v", -50, 20), "v BETWEEN -50 AND 20"),
+        (("isnull", "source"), "source IS NULL"),
+        (("notnull", "sval"), "sval IS NOT NULL"),
+        (("prefix", "sval", "v"), "sval LIKE 'v%'"),
+    ]
+    rng = np.random.default_rng(31)
+
+    def gen(depth):
+        if depth == 0 or rng.random() < 0.35:
+            return leaves[int(rng.integers(0, len(leaves)))]
+        op = ("and", "or", "not")[int(rng.integers(0, 3))]
+        if op == "not":
+            p, s = gen(depth - 1)
+            return ("not", p), f"NOT ({s})"
+        k = int(rng.integers(2, 4))
+        subs = [gen(depth - 1) for _ in range(k)]
+        glue = " AND " if op == "and" else " OR "
+        return ((op, [p for p, _ in subs]),
+                "(" + glue.join(s for _, s in subs) + ")")
+
+    for _ in range(25):
+        pred, sql = gen(3)
+        got = compound_filter(out_dir, pred, ["doc_id"]).to_pandas()
+        got_ids = sorted(got["doc_id"].tolist()) if len(got) else []
+        exp = con.execute(f"SELECT doc_id FROM t WHERE {sql}").fetchdf()
+        assert got_ids == sorted(exp["doc_id"].tolist()), sql
 
 
 def test_isnull_notnull_predicates_vs_duckdb(nullable_enc):
