@@ -482,7 +482,15 @@ def semi_join_large(probe_dir: str, probe_key: str, probe_cols: list[str],
        the small surviving set + the keys); per bucket one vectorized
        ``pc.is_in`` settles membership exactly.
 
-    Null keys: never match SEMI, survive ANTI (NOT EXISTS)."""
+    Null keys: never match SEMI, survive ANTI (NOT EXISTS).
+
+    Bitmap guardrail: the Bloom bitmap is broadcast whole (one plasma
+    copy per node). Past ``ARCADE_BLOOM_MAX_BYTES`` (default 256 MiB
+    ≈ 1.7e9 keys at 12 bits) the prefilter stops paying for itself as
+    a broadcast object — the join DEGRADES GRACEFULLY to the exact
+    co-partitioned verify alone: every non-null probe row ships
+    through the key-hash exchange instead of only the bloom hits.
+    Same results, one shuffle, no multi-GB broadcast."""
     import ray
     import ray.data as rd
 
@@ -498,6 +506,8 @@ def semi_join_large(probe_dir: str, probe_key: str, probe_cols: list[str],
     m_bits = 1 << max(int(np.ceil(np.log2(n_keys * bits_per_key))), 10)
     m_mask = np.uint64(m_bits - 1)
     n_bytes = m_bits // 8
+    use_bloom = n_bytes <= int(
+        os.environ.get("ARCADE_BLOOM_MAX_BYTES", 1 << 28))
 
     def _positions(arr) -> tuple[np.ndarray, np.ndarray]:
         h = hash_column(arr)
@@ -515,22 +525,24 @@ def semi_join_large(probe_dir: str, probe_key: str, probe_cols: list[str],
                              np.uint8(1) << (p & np.uint64(7)).astype(np.uint8))
         return pa.table({"bm": pa.array([bm.tobytes()], type=pa.large_binary())})
 
-    partials = [ray.put(np.frombuffer(r["bm"], dtype=np.uint8))
-                for r in keys_ds.map_batches(
-                    _bitmap_of, batch_format="pyarrow").take_all()]
+    bloom_ref = None
+    if use_bloom:
+        partials = [ray.put(np.frombuffer(r["bm"], dtype=np.uint8))
+                    for r in keys_ds.map_batches(
+                        _bitmap_of, batch_format="pyarrow").take_all()]
 
-    @ray.remote
-    def _or(a, b):
-        return np.bitwise_or(a, b)
+        @ray.remote
+        def _or(a, b):
+            return np.bitwise_or(a, b)
 
-    refs = partials
-    while len(refs) > 1:
-        nxt = [_or.remote(refs[i], refs[i + 1])
-               for i in range(0, len(refs) - 1, 2)]
-        if len(refs) % 2:
-            nxt.append(refs[-1])
-        refs = nxt
-    bloom_ref = refs[0]
+        refs = partials
+        while len(refs) > 1:
+            nxt = [_or.remote(refs[i], refs[i + 1])
+                   for i in range(0, len(refs) - 1, 2)]
+            if len(refs) % 2:
+                nxt.append(refs[-1])
+            refs = nxt
+        bloom_ref = refs[0]
 
     def _bloom_hit(col) -> np.ndarray:
         bm = ray.get(bloom_ref)
@@ -560,8 +572,10 @@ def semi_join_large(probe_dir: str, probe_key: str, probe_cols: list[str],
             hit = np.zeros(t.num_rows, dtype=bool)
             nn = col.drop_null()
             if len(nn):
+                # no bloom (bitmap over the byte cap): every non-null
+                # row pends into the exact co-partitioned verify
                 hit[pc.is_valid(col).to_numpy(zero_copy_only=False)] = \
-                    _bloom_hit(nn)
+                    _bloom_hit(nn) if bloom_ref is not None else True
             if anti:
                 # definite non-members (bloom miss or null) resolve NOW
                 keep_now = t.filter(pa.array(~hit))
@@ -604,11 +618,13 @@ def semi_join_large(probe_dir: str, probe_key: str, probe_cols: list[str],
     def tag_keys2(b: pa.Table) -> pa.Table:
         col = pc.drop_null(b[key_name].combine_chunks())
         bk = (hash_column(col) % np.uint64(n_buckets)).astype(np.int64)
-        cols = {"_settled": pa.array(np.zeros(len(col), dtype=bool)),
-                "_is_key": pa.array(np.ones(len(col), dtype=bool))}
+        # column order mirrors the probe side exactly (same-schema
+        # RefBundles let Ray Data dedup/union without a warning)
+        cols = {"_settled": pa.array(np.zeros(len(col), dtype=bool))}
         for c in need:
             cols[c] = col.cast(probe_schema[c]) if c == probe_key \
                 else pa.nulls(len(col), probe_schema[c])
+        cols["_is_key"] = pa.array(np.ones(len(col), dtype=bool))
         t = pa.table(cols)
         return t.append_column("_jb", pa.array(bk))
 

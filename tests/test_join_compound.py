@@ -324,6 +324,32 @@ def test_semi_join_large_bloom(two_tables, ray_session):
     assert got.num_rows + got_a.num_rows == orders.num_rows
 
 
+def test_semi_join_large_bloomless_fallback(two_tables, ray_session,
+                                            monkeypatch):
+    """Past ARCADE_BLOOM_MAX_BYTES the bitmap is never built and every
+    non-null probe row settles in the exact co-partitioned verify —
+    output identical to the bloom path, no multi-GB broadcast."""
+    import ray.data as rd
+
+    from arcade_ray.pipeline.join import semi_join, semi_join_large
+
+    o_dir, c_dir, orders, cust = two_tables
+    keys_tbl = pa.table({"k": cust.filter(
+        pc.equal(cust["c_seg"], "seg-1"))["c_custkey"]})
+    keys_ds = rd.from_arrow(keys_tbl).repartition(4)
+    monkeypatch.setenv("ARCADE_BLOOM_MAX_BYTES", "1")  # force bloomless
+
+    exact = collect_arrow(semi_join(
+        o_dir, "o_custkey", ["o_orderkey"], keys_tbl["k"]))
+    got = collect_arrow(semi_join_large(
+        o_dir, "o_custkey", ["o_orderkey"], keys_ds))
+    assert sorted(got["o_orderkey"].to_pylist()) == \
+        sorted(exact["o_orderkey"].to_pylist())
+    got_a = collect_arrow(semi_join_large(
+        o_dir, "o_custkey", ["o_orderkey"], keys_ds, anti=True))
+    assert got.num_rows + got_a.num_rows == orders.num_rows
+
+
 def test_semi_join_large_anti_nulls(ray_session, tmp_path):
     """ANTI over a null-bearing probe key keeps NOT EXISTS semantics:
     null-key rows survive, and the verify hash stage must never see
