@@ -304,8 +304,19 @@ def choose_int_codec(vals: np.ndarray, p: IntProfile, tag: str,
     if best_name == "gp" and len(payload) >= _plain_est(p, tag):
         best_name = "plain"
         payload, meta = _plain_enc(vals, p, tag)
+    if try_gp and best_name != "gp" and len(payload) >= 4096:
+        # pack-then-zstd: entropy-code the residue the lightweight
+        # codec leaves behind (bit-packed streams still carry value
+        # correlations zstd finds). Measured, kept only on a real win.
+        comp = _zstd.compress(payload).to_pybytes()
+        if len(comp) + 16 < len(payload):
+            meta = dict(meta, _zw=len(payload))
+            payload = comp
     return best_name, payload, meta
 
 
 def decode_int(codec: str, payload: bytes, meta: dict, n: int) -> np.ndarray:
+    if "_zw" in meta:
+        payload = _zstd.decompress(payload, meta["_zw"]).to_pybytes()
+        meta = {k: v for k, v in meta.items() if k != "_zw"}
     return INT_CODECS[codec][2](payload, meta, n)
