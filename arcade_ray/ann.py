@@ -486,7 +486,11 @@ def kmeans_fit(ds, k: int = 16, iters: int = 10, id_col: str = "vec_id",
                 "inertia": pa.array([i], type=pa.float64()),
             })
 
-        part_ds = proj.map_batches(partial, batch_format="pyarrow")
+        # batch_size=None -> exactly one partial row per BLOCK, so the
+        # num_blocks() tree-combine trigger below matches the actual
+        # partial count (default batching would emit per-1024-rows)
+        part_ds = proj.map_batches(partial, batch_format="pyarrow",
+                                   batch_size=None)
         nb = proj.num_blocks()
         if nb > _KMEANS_REDUCE_FANOUT:
             part_ds = part_ds.repartition(

@@ -211,7 +211,3 @@ def estimate_plan(data: bytes) -> tuple[float, int, list[bytes]]:
     return len(enc) / len(sample), len(tbl), symbols
 
 
-def estimate_ratio(data: bytes) -> tuple[float, int]:
-    """Sample-compress -> (compressed/raw ratio, table bytes)."""
-    ratio, tbl_bytes, _ = estimate_plan(data)
-    return ratio, tbl_bytes

@@ -115,6 +115,7 @@ int64_t fsst_decode(
     while (i < n) {
         uint8_t c = stream[i];
         if (c == 255) {
+            if (i + 1 >= n) break;  /* truncated dangling escape */
             out[o++] = stream[i + 1];
             i += 2;
         } else {
@@ -138,9 +139,15 @@ def _compile() -> str | None:
     cache = os.path.join(
         tempfile.gettempdir(), f"arcade_native-{os.getuid()}")
     so_path = os.path.join(cache, f"fsst-{tag}-{sys.implementation.name}.so")
+    os.makedirs(cache, mode=0o700, exist_ok=True)
+    st = os.stat(cache)
+    if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+        # predictable path under world-writable /tmp: refuse to load
+        # (or write) anything from a dir another user could own or
+        # write to — .so planting would execute in every worker
+        return None
     if os.path.exists(so_path):
         return so_path
-    os.makedirs(cache, exist_ok=True)
     src = os.path.join(cache, f"fsst-{tag}.c")
     with open(src, "w") as f:
         f.write(_C_SOURCE)

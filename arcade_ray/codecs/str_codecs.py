@@ -34,6 +34,12 @@ _native_ok: bool | None = None
 
 
 def _fsst_fast() -> bool:
+    """Whether the native kernel is available HERE. Parity-contesting
+    FSST assumes a homogeneous fleet: the choice is baked into the
+    stored file, so a reader without a compiler falls back to the
+    ~MB/s Python decode. On a heterogeneous fleet set
+    ARCADE_NO_NATIVE=1 at encode time to keep the conservative
+    FSST_WIN_FACTOR gate."""
     global _native_ok
     if _native_ok is None:
         from .native import get_lib

@@ -672,7 +672,10 @@ def stats_meta(out_dir: str, cols: list[str]) -> dict:
             raise TypeError(
                 f"stats_meta over column {c!r}: float/list zone maps do "
                 "not order like values — scan instead")
+    # SQL MIN/MAX of an all-null (or zero-row) column is NULL — every
+    # requested column gets an entry, None bounds when nothing binds
     out: dict = {"rows": 0}
+    out.update({c: {"min": None, "max": None} for c in cols})
     headers: dict[str, tuple] = {}  # path -> header (nulls fallback)
     for r in rows:
         out["rows"] += int(r["rows"])
@@ -706,13 +709,12 @@ def stats_meta(out_dir: str, cols: list[str]) -> dict:
                         f"unbounded valid-only zones on {c!r} — scan "
                         "instead")
                 lo, hi = s.get("vmin"), s.get("vmax")  # None = all null
-            cur = out.get(c)
+            cur = out[c]
             if lo is not None:
-                if cur is None:
-                    out[c] = {"min": lo, "max": hi}
-                else:
-                    cur["min"] = min(cur["min"], lo)
-                    cur["max"] = max(cur["max"], hi)
+                cur["min"] = lo if cur["min"] is None \
+                    else min(cur["min"], lo)
+                cur["max"] = hi if cur["max"] is None \
+                    else max(cur["max"], hi)
     return out
 
 

@@ -341,3 +341,28 @@ class TestFsstNative:
         tbl, enc = compress(data, symbols)
         got = nat.decode_native(enc, symbols)
         assert got == data
+
+    def test_decode_truncated_dangling_escape(self, monkeypatch):
+        """A corrupted stream whose last byte is the escape (255) must
+        not read past the buffer: C and Python decodes both drop the
+        dangling escape."""
+        nat = self._reset(monkeypatch, disable=False)
+        from arcade_ray.codecs.fsst import build_symbol_table, compress
+
+        data = (b"dangling escape corpus " * 400)
+        symbols = build_symbol_table(data[:8192])
+        _, enc = compress(data, symbols)
+        bad = enc[:5000] + b"\xff"  # truncate + dangling escape
+        # python fallback
+        monkeypatch.setenv("ARCADE_NO_NATIVE", "1")
+        monkeypatch.setattr(nat, "_tried", False)
+        monkeypatch.setattr(nat, "_lib", None)
+        from arcade_ray.codecs.fsst import decompress, serialize_table
+        py = decompress(serialize_table(symbols), bad)
+        monkeypatch.delenv("ARCADE_NO_NATIVE")
+        monkeypatch.setattr(nat, "_tried", False)
+        monkeypatch.setattr(nat, "_lib", None)
+        if nat.get_lib() is None:
+            pytest.skip("no C compiler in this environment")
+        cd = nat.decode_native(bad, symbols)
+        assert cd == py

@@ -439,9 +439,10 @@ def test_stats_meta_nulls_vs_duckdb(ray_session, tmp_path):
     assert s["n_tok"] == {"min": lo_i, "max": hi_i}  # NOT the 0 placeholder
     assert s["name"] == {"min": lo_s, "max": hi_s}   # NOT the '' placeholder
 
-    # an all-null column has no MIN/MAX (SQL NULL) — no entry, no crash
+    # an all-null column has SQL-NULL MIN/MAX — explicit None bounds
     s2 = stats_meta(out_dir, ["allnull"])
-    assert "allnull" not in s2 and s2["rows"] == cnt
+    assert s2["allnull"] == {"min": None, "max": None}
+    assert s2["rows"] == cnt
 
 
 def test_group_int_percentiles_nulls_vs_duckdb(ray_session, tmp_path):
