@@ -935,6 +935,29 @@ def _nulls_docs_dir(sf_dir: str) -> str:
     return out
 
 
+def q_schema_evolution(sf_dir: str) -> pa.Table:
+    """Read-time schema merge across append generations: the base
+    generation lacks the ``lang`` column, generation g1 carries it;
+    one scan returns the union schema with typed nulls where the
+    column predates its introduction (decode.py's manifest-driven
+    merge — no per-partition header reads on the driver)."""
+    tag = hashlib.md5(
+        f"{sf_dir}|documents-evo|{_CACHE_SALT}".encode()).hexdigest()[:10]
+    out = os.path.join(CACHE_ROOT, f"documents-evo-{tag}")
+    if not os.path.exists(os.path.join(out, "manifest.parquet")):
+        base = read_parquet_clean(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "source", "n_chars"])
+        encode_dataset(base, out, key_col="source", id_col="doc_id",
+                       weight_col=None)
+        newer = read_parquet_clean(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "source", "n_chars", "lang"])
+        encode_dataset(newer, out, key_col="source", id_col="doc_id",
+                       weight_col=None, generation="g1")
+    return _collect(scan(out, columns=["doc_id", "source", "lang"]))
+
+
 def q_stats_meta_nulls(sf_dir: str) -> pa.Table:
     """Meta-only MIN/MAX over NULL-BEARING columns: the valid-only
     zone bounds (vmin/vmax) recorded at encode time make SQL
@@ -1564,6 +1587,7 @@ QUERIES = {
     "regex_filter": q_regex_filter,
     "plan_stats": q_plan_stats,
     "stats_meta": q_stats_meta,
+    "schema_evolution": q_schema_evolution,
     "stats_meta_nulls": q_stats_meta_nulls,
     "group_percentiles_nulls": q_group_percentiles_nulls,
     "distinct_sources": q_distinct_sources,
@@ -1839,6 +1863,11 @@ ORACLE_SQL = {
         "CAST(MAX(n_chars) AS BIGINT) AS max_chars, "
         "MIN(source) AS min_source, MAX(source) AS max_source "
         "FROM documents"
+    ),
+    "schema_evolution": (
+        "SELECT doc_id, source, CAST(NULL AS VARCHAR) AS lang "
+        "FROM documents "
+        "UNION ALL SELECT doc_id, source, lang FROM documents"
     ),
     "stats_meta_nulls": (
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "

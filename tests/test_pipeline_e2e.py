@@ -231,3 +231,58 @@ def test_generation_with_at_in_source(ray_session, tmp_path):
                                               for i in range(60)}
     both = collect_arrow(scan(out_dir, columns=["doc_id"]))
     assert both.num_rows == 180
+
+
+def test_schema_evolution_across_generations(ray_session, tmp_path):
+    """A later generation adds a NEW column: the scan merges schemas
+    read-time — base rows return typed nulls for the added column,
+    projections spanning both generations work, and per-generation
+    scans keep their own exact schema."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.pipeline import encode_dataset
+    from arcade_ray.pipeline.query import scan
+
+    out_dir = str(tmp_path / "enc")
+    base = pa.table({
+        "doc_id": pa.array([f"a{i:04d}" for i in range(800)]),
+        "source": pa.array([f"s{i % 3}" for i in range(800)]),
+        "n_tok": pa.array([i % 97 for i in range(800)], type=pa.int64()),
+    })
+    encode_dataset(rd.from_arrow(base), out_dir, key_col="source",
+                   weight_col=None)
+
+    newer = pa.table({
+        "doc_id": pa.array([f"b{i:04d}" for i in range(500)]),
+        "source": pa.array([f"s{i % 3}" for i in range(500)]),
+        "n_tok": pa.array([i % 89 for i in range(500)], type=pa.int64()),
+        "lang": pa.array([("en", "de", "fr")[i % 3] for i in range(500)]),
+    })
+    encode_dataset(rd.from_arrow(newer), out_dir, key_col="source",
+                   weight_col=None, generation="g1")
+
+    # full scan: union schema, typed nulls where the column is absent
+    got = collect_arrow(scan(out_dir)).combine_chunks()
+    assert set(got.column_names) == {"doc_id", "source", "n_tok", "lang"}
+    assert got.num_rows == 1300
+    assert got["lang"].null_count == 800
+    by_id = dict(zip(got["doc_id"].to_pylist(), got["lang"].to_pylist()))
+    assert by_id["a0000"] is None and by_id["b0001"] == "de"
+
+    # projection touching the evolved column
+    proj = collect_arrow(scan(out_dir, columns=["doc_id", "lang"]))
+    assert proj.num_rows == 1300 and proj.column_names == ["doc_id", "lang"]
+
+    # per-generation scans keep their native schema
+    g0 = collect_arrow(scan(out_dir, generation=""))
+    assert "lang" not in g0.column_names and g0.num_rows == 800
+    g1 = collect_arrow(scan(out_dir, generation="g1"))
+    assert g1.num_rows == 500 and g1["lang"].null_count == 0
+
+    # asking for a column no partition has still fails loudly
+    import pytest
+
+    with pytest.raises((KeyError, Exception), match="nope|not in"):
+        collect_arrow(scan(out_dir, columns=["nope"]))
