@@ -524,7 +524,8 @@ def kmeans_fit(ds, k: int = 16, iters: int = 10, id_col: str = "vec_id",
 
 def build_ivf_index(ds, index_dir: str, n_centroids: int = 64,
                     sample_size: int = 5000, id_col: str = "vec_id",
-                    vec_col: str = "embedding", seed: int = 42) -> dict:
+                    vec_col: str = "embedding", seed: int = 42,
+                    quantize: str | None = None) -> dict:
     """PERSIST an IVF index: build-once / query-many, the shape real
     similarity search at corpus scale needs (the in-memory
     ivf_topk_cosine retrains its codebook per call).
@@ -535,13 +536,21 @@ def build_ivf_index(ds, index_dir: str, n_centroids: int = 64,
       cell and writes hive-PARTITIONED parquet (one directory per
       cell), so a query's `cell IN probed` filter prunes at the READ —
       unprobed cells never leave storage.
+    - ``quantize="int8"``: store each NORMALIZED vector as int8 codes
+      plus one float32 scale (code x scale reconstructs; max |error|
+      = scale/2 per component) — 8x smaller cells than list<float64>,
+      the storage path a 10^9-vector corpus needs. Queries
+      reconstruct per batch; recall contract tested/oracled.
 
     Returns {"cells": n, "rows": n, "dir": index_dir}."""
+    import json
     import os
 
     import pyarrow.parquet as pq
     import ray
 
+    if quantize not in (None, "int8"):
+        raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
     sample_tab = ds.limit(sample_size).take_batch(
         sample_size, batch_format="pyarrow")
     cents = _kmeans_lite(_to_matrix(sample_tab[vec_col]),
@@ -553,12 +562,29 @@ def build_ivf_index(ds, index_dir: str, n_centroids: int = 64,
             "centroid": pa.array(cents.tolist(),
                                  type=pa.list_(pa.float64())),
         }), os.path.join(index_dir, "codebook.parquet"))
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump({"quantize": quantize, "id_col": id_col,
+                   "vec_col": vec_col}, f)
     cref = ray.put(cents)
 
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cref)
         x = _normalize(_to_matrix(batch[vec_col]))
         cell = np.argmax(x @ c.T, axis=1)
+        if quantize == "int8":
+            maxabs = np.abs(x).max(axis=1)
+            scale = np.where(maxabs > 0, maxabs / 127.0, 1.0)
+            codes = np.rint(x / scale[:, None]).astype(np.int8)
+            n, dim = codes.shape
+            qarr = pa.LargeListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int64) * dim),
+                pa.array(codes.ravel(), type=pa.int8()))
+            return pa.table({
+                id_col: batch[id_col],
+                "q": qarr,
+                "scale": pa.array(scale.astype(np.float32)),
+                "cell": pa.array(cell, type=pa.int64()),
+            })
         return pa.table({
             id_col: batch[id_col],
             vec_col: batch[vec_col],
@@ -608,6 +634,29 @@ def ivf_index_topk(index_dir: str, queries_ids: list[int],
         return pa.table({"query_id": pa.array([], pa.int64()),
                          id_col: pa.array([], pa.int64()),
                          "cos": pa.array([], pa.float64())})
-    ds = read_parquet_clean(paths, columns=[id_col, vec_col])
+    meta_path = os.path.join(index_dir, "meta.json")
+    quantize = None
+    if os.path.exists(meta_path):
+        import json
+
+        with open(meta_path) as f:
+            quantize = json.load(f).get("quantize")
+    if quantize == "int8":
+        ds = read_parquet_clean(paths, columns=[id_col, "q", "scale"])
+
+        def dequant(batch: pa.Table) -> pa.Table:
+            codes = _to_matrix(batch["q"])
+            scale = batch["scale"].to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            x = codes * scale[:, None]
+            n, dim = x.shape
+            varr = pa.LargeListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int64) * dim),
+                pa.array(x.ravel(), type=pa.float64()))
+            return pa.table({id_col: batch[id_col], vec_col: varr})
+
+        ds = ds.map_batches(dequant, batch_format="pyarrow")
+    else:
+        ds = read_parquet_clean(paths, columns=[id_col, vec_col])
     return topk_cosine(ds, queries_ids, queries_mat, k=k,
                        id_col=id_col, vec_col=vec_col)

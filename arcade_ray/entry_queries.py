@@ -1108,6 +1108,40 @@ def q_ann_index_recall(sf_dir: str) -> pa.Table:
                      "recall_ok": pa.array(rows_ok, type=pa.bool_())})
 
 
+def q_ann_index_q8_recall(sf_dir: str) -> pa.Table:
+    """INT8-QUANTIZED persisted IVF index (build_ivf_index
+    quantize='int8'): cells store int8 codes + one float32 scale per
+    vector (8x smaller than list<float64> — the storage path a
+    10^9-vector corpus needs); queries reconstruct per batch. Recall
+    contract vs the exact top-k, all-true oracle."""
+    import pyarrow.parquet as pq
+
+    from .ann import build_ivf_index, ivf_index_topk, topk_cosine
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qtab = pq.read_table(path, filters=[("vec_id", "in", ANN_QUERY_IDS)])
+    qmat = np.array([r for r in qtab["embedding"].to_pylist()],
+                    dtype=np.float64)
+    qids = qtab["vec_id"].to_pylist()
+    ds = read_parquet_clean(path, columns=["vec_id", "embedding"])
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = os.path.join(CACHE_ROOT, f"ivf-index-q8-{tag}")
+    if not os.path.isdir(os.path.join(idx, "data")):
+        build_ivf_index(ds, idx, n_centroids=32, sample_size=4000,
+                        quantize="int8")
+    exact = topk_cosine(ds, qids, qmat, k=ANN_K)
+    approx = ivf_index_topk(idx, qids, qmat, k=ANN_K, n_probe=16)
+    rows_q, rows_ok = [], []
+    for q in sorted(qids):
+        e = set(exact.filter(pc.equal(exact["query_id"], q))["vec_id"].to_pylist())
+        a = set(approx.filter(pc.equal(approx["query_id"], q))["vec_id"].to_pylist())
+        rows_q.append(q)
+        rows_ok.append(len(e & a) / max(1, len(e)) >= 0.6)
+    return pa.table({"query_id": pa.array(rows_q, type=pa.int64()),
+                     "recall_ok": pa.array(rows_ok, type=pa.bool_())})
+
+
 # --- training-data pipeline operators (dedup / text analysis / ANN) --------
 
 def _docs_ds(sf_dir: str):
@@ -1623,6 +1657,7 @@ QUERIES = {
     "ann_lsh_recall": q_ann_lsh_recall,
     "ann_ivf_recall": q_ann_ivf_recall,
     "ann_index_recall": q_ann_index_recall,
+    "ann_index_q8_recall": q_ann_index_q8_recall,
     # --- below: unsampled variants and the long tail ---
     "roundtrip_events": q_roundtrip_events,
     "roundtrip_orders": q_roundtrip_orders,
@@ -1901,6 +1936,10 @@ ORACLE_SQL = {
         "FROM embeddings WHERE vec_id IN (0,1,2,3,4)"
     ),
     "ann_index_recall": (
+        "SELECT vec_id AS query_id, CAST(1 AS BOOLEAN) AS recall_ok "
+        "FROM embeddings WHERE vec_id IN (0,1,2,3,4)"
+    ),
+    "ann_index_q8_recall": (
         "SELECT vec_id AS query_id, CAST(1 AS BOOLEAN) AS recall_ok "
         "FROM embeddings WHERE vec_id IN (0,1,2,3,4)"
     ),
