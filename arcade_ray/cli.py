@@ -322,6 +322,42 @@ def cmd_group_agg(args) -> None:
     print(out.to_pandas())
 
 
+def cmd_dedup(args) -> None:
+    """Exact near-line dedup over a parquet corpus (hash-only shuffle;
+    survivors stream to parquet)."""
+    from .sources import read_parquet_clean
+    from .textops import exact_dedup
+
+    t0 = time.perf_counter()
+    ds = read_parquet_clean(args.input,
+                            columns=[args.id_col, args.text_col])
+    out = exact_dedup(ds, text_col=args.text_col, id_col=args.id_col)
+    out.write_parquet(args.out)
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(args.out).count_rows()
+    print(f"Deduped -> {args.out}: {n} survivors "
+          f"in {time.perf_counter() - t0:.2f} s")
+
+
+def cmd_pack(args) -> None:
+    """Pack token sequences into fixed-length training examples."""
+    from .sources import read_parquet_clean
+    from .transforms import pack_sequences
+
+    t0 = time.perf_counter()
+    ds = read_parquet_clean(args.input, columns=[args.tokens_col])
+    out = pack_sequences(ds, tokens_col=args.tokens_col,
+                         max_len=args.max_len, pad_id=args.pad_id,
+                         drop_last=args.drop_last, shards=args.shards)
+    out.write_parquet(args.out)
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(args.out).count_rows()
+    print(f"Packed -> {args.out}: {n} examples of max_len={args.max_len} "
+          f"in {time.perf_counter() - t0:.2f} s")
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="arcade_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -440,6 +476,27 @@ def main(argv=None) -> None:
     ga.add_argument("key_col")
     ga.add_argument("value_col")
     ga.set_defaults(fn=cmd_group_agg)
+
+    dd = sub.add_parser("dedup", help="exact dedup of a parquet corpus "
+                        "(hash-only shuffle) -> parquet survivors")
+    dd.add_argument("input")
+    dd.add_argument("out")
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.set_defaults(fn=cmd_dedup)
+
+    pk = sub.add_parser("pack", help="pack token sequences into "
+                        "fixed-length training examples -> parquet")
+    pk.add_argument("input")
+    pk.add_argument("out")
+    pk.add_argument("--tokens-col", default="tokens")
+    pk.add_argument("--max-len", type=int, default=2048)
+    pk.add_argument("--pad-id", type=int, default=None)
+    pk.add_argument("--drop-last", action="store_true")
+    pk.add_argument("--shards", type=int, default=None,
+                    help="cross-batch carry inside N shards "
+                    "(exactly N tails)")
+    pk.set_defaults(fn=cmd_pack)
 
     args = p.parse_args(argv)
     needs_ray = args.cmd != "stats"

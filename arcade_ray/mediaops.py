@@ -101,6 +101,74 @@ def extract_image_features(ds, concurrency: int | None = None,
     )
 
 
+class ImageResizer:
+    """Actor-pool stage: decode -> area-mean resize to (w, h) ->
+    re-encode as an opaque binary column (the prompt's explicit
+    'resize' stage as an output TRANSFORM, vs the feature extractor's
+    internal pooling). Same sandbox contract: fake codec wired here,
+    strict=True marks the PIL/cv2 integration point."""
+
+    def __init__(self, width: int = 32, height: int = 32,
+                 strict: bool = False):
+        if strict:
+            raise NotImplementedError(
+                "real image decode/encode requires PIL/cv2 — not in "
+                "this container; swap _decode_fake/_encode here")
+        self.w, self.h = width, height
+        self.decode = _decode_fake
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        h, w = img.shape
+        ys = (np.arange(self.h + 1) * h // self.h).astype(int)
+        xs = (np.arange(self.w + 1) * w // self.w).astype(int)
+        out = np.empty((self.h, self.w), dtype=np.uint8)
+        for i in range(self.h):
+            for j in range(self.w):
+                block = img[ys[i]:max(ys[i + 1], ys[i] + 1),
+                            xs[j]:max(xs[j + 1], xs[j] + 1)]
+                out[i, j] = np.uint8(block.mean())
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads, ok = [], []
+        for payload in batch["image"]:
+            try:
+                small = self._resize(self.decode(payload.as_py()))
+                payloads.append(
+                    FAKE_MAGIC + int(self.w).to_bytes(2, "little")
+                    + int(self.h).to_bytes(2, "little") + small.tobytes())
+                ok.append(True)
+            except Exception:
+                payloads.append(b"")
+                ok.append(False)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "image": pa.array(payloads, type=pa.large_binary()),
+            "width": pa.array([self.w] * len(ok), type=pa.int32()),
+            "height": pa.array([self.h] * len(ok), type=pa.int32()),
+            "decoded": pa.array(ok, type=pa.bool_()),
+        })
+
+
+def resize_images(ds, width: int = 32, height: int = 32,
+                  concurrency: int | None = None, batch_size: int = 64):
+    """Resize stage over an opaque binary image column (actor pool,
+    small batches for big payloads — same sizing rules as
+    extract_image_features)."""
+    if concurrency is None:
+        import ray
+
+        avail = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        concurrency = max(1, min(8, avail - 1))
+    return ds.map_batches(
+        ImageResizer, fn_constructor_kwargs={"width": width,
+                                             "height": height},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 # --- audio ------------------------------------------------------------------
 
 FAKE_AUDIO_MAGIC = b"FAKEPCM1"

@@ -81,7 +81,8 @@ def dedup_loser_ids(ds, text_col: str = "text", id_col: str = "doc_id",
 
     sig_ds = ds.map_batches(lambda b: dedup_signatures(b, text_col, id_col),
                             batch_format="pyarrow").materialize()
-    empty = pa.table({id_col: pa.array([], pa.int64())})
+    id_type = sig_ds.schema().base_schema.field(id_col).type
+    empty = pa.table({id_col: pa.array([], id_type)})
     rows = hot_bucket_rows(sig_ds, "_h")
     if rows.num_rows == 0:
         return empty
@@ -135,7 +136,7 @@ def dedup_loser_ids(ds, text_col: str = "text", id_col: str = "doc_id",
         same_text[1:] = pc.equal(txt.slice(1), txt.slice(0, n - 1)).to_numpy(
             zero_copy_only=False)
     losers = t[id_col].to_numpy(zero_copy_only=False)[same_hash & same_text]
-    return pa.table({id_col: pa.array(np.sort(losers), type=pa.int64())})
+    return pa.table({id_col: pa.array(np.sort(losers), type=id_type)})
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",

