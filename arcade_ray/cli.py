@@ -181,7 +181,26 @@ def cmd_stats(args) -> None:
         "partitions": m.num_rows, "rows": rows, "enc_bytes": enc,
         "raw_bytes": raw, "ratio": round(enc / max(raw, 1), 4),
         "codecs": _codec_histogram(m),
+        "distinct_est": _distinct_estimates(m),
     }, indent=2))
+
+
+def _distinct_estimates(manifest) -> dict:
+    """Global per-column approximate distinct counts from the
+    manifest's mergeable KMV sketches — no data bytes read; exact
+    below the sketch size k."""
+    from .sketches import MANIFEST_K, deserialize, kmv_estimate, kmv_merge
+
+    merged: dict = {}
+    for s in manifest["col_stats"].to_pylist():
+        for col, st in json.loads(s).items():
+            if "kmv" not in st:
+                continue
+            sk = deserialize(st["kmv"])
+            merged[col] = sk if col not in merged \
+                else kmv_merge(merged[col], sk, k=MANIFEST_K)
+    return {c: int(kmv_estimate(sk, k=MANIFEST_K))
+            for c, sk in sorted(merged.items())}
 
 
 def _codec_histogram(manifest) -> dict:

@@ -15,6 +15,10 @@ from __future__ import annotations
 import numpy as np
 
 DEFAULT_K = 256
+# the k the COLUMN ENCODERS build manifest sketches with — estimates
+# and merges over manifest col_stats sketches must use this k (a
+# larger k treats a full 64-entry sketch as underfull and returns 64)
+MANIFEST_K = 64
 _MAX = float(2**64)
 
 

@@ -99,3 +99,38 @@ def test_cli_dedup_and_pack(tmp_path):
         f"SELECT sum(len(tokens)) FROM read_parquet('{src}')").fetchall()[0][0]
     assert total[0] == want
     assert total[1] <= 2  # shards=2 -> at most two short tails
+
+
+def test_cli_stats_distinct_estimates(tmp_path):
+    """stats surfaces global per-column KMV distinct estimates merged
+    from the manifest (k=64 -> ~12.5% stderr; exact below k)."""
+    import json as _json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 5000
+    t = pa.table({
+        "doc_id": pa.array([f"d{i:05d}" for i in range(n)]),
+        "source": pa.array([f"s{i % 6}" for i in range(n)]),
+        "n_tok": pa.array((np.arange(n) % 700).astype(np.int64)),
+        "tokens": pa.array([[i % 40] for i in range(n)],
+                           type=pa.list_(pa.int32())),
+    })
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(t, src)
+    enc = str(tmp_path / "enc")
+    r = subprocess.run(
+        [sys.executable, "-m", "arcade_ray.cli", "--num-cpus", "4",
+         "compress", src, enc, "--key-col", "source",
+         "--id-col", "doc_id", "--weight-col", "n_tok"],
+        capture_output=True, text=True, timeout=240, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = subprocess.run(
+        [sys.executable, "-m", "arcade_ray.cli", "stats", enc],
+        capture_output=True, text=True, timeout=60, cwd="/root/repo")
+    est = _json.loads(out.stdout)["distinct_est"]
+    assert est["source"] == 6          # below k: exact
+    assert abs(est["doc_id"] - n) / n < 0.45      # ~3.5 sigma at k=64
+    assert abs(est["n_tok"] - 700) / 700 < 0.45
