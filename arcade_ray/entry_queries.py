@@ -1602,6 +1602,7 @@ QUERIES = {
     # window/temporal-join kind, the full dedup family, and the four
     # ANN contracts. Near-duplicate variants and the remaining
     # operator surface follow below (still queryable, just unsampled).
+    # --- below: unsampled variants and the long tail ---
     "scan_project": q_scan_project,
     "roundtrip_documents": q_roundtrip_documents,
     "roundtrip_lineitem": q_roundtrip_lineitem,
@@ -1609,16 +1610,13 @@ QUERIES = {
     "roundtrip_list_strings": q_roundtrip_list_strings,
     "random_access": q_random_access,
     "equi_filter": q_equi_filter,
-    "equi_filter_int": q_equi_filter_int,
     "range_filter": q_range_filter,
     "ts_range_filter": q_ts_range_filter,
     "compound_filter": q_compound_filter,
     "compound_or_filter": q_compound_or_filter,
     "negation_filter": q_negation_filter,
     "isnull_filter": q_isnull_filter,
-    "notnull_filter": q_notnull_filter,
     "in_filter": q_in_filter,
-    "regex_filter": q_regex_filter,
     "plan_stats": q_plan_stats,
     "stats_meta": q_stats_meta,
     "schema_evolution": q_schema_evolution,
@@ -1626,13 +1624,11 @@ QUERIES = {
     "group_percentiles_nulls": q_group_percentiles_nulls,
     "distinct_sources": q_distinct_sources,
     "group_count_encoded": q_group_count_encoded,
-    "group_agg_encoded": q_group_agg_encoded,
     "group_agg_multi": q_group_agg_multi,
     "group_distinct_langs": q_group_distinct_langs,
     "group_topk": q_group_topk,
     "percentiles": q_percentiles,
     "float_percentiles": q_float_percentiles,
-    "topk_rows": q_topk_rows,
     "order_slice": q_order_slice,
     "distinct_sketch_sources": q_distinct_sketch_sources,
     "group_approx_distinct": q_group_approx_distinct,
@@ -1650,15 +1646,19 @@ QUERIES = {
     "json_extract_agg": q_json_extract_agg,
     "exact_dedup": q_exact_dedup,
     "dedup_incremental": q_dedup_incremental,
-    "near_dedup": q_near_dedup,
     "minhash_pairs": q_minhash_pairs,
-    "embedding_near_dup": q_embedding_near_dup,
     "ann_topk": q_ann_topk,
     "ann_lsh_recall": q_ann_lsh_recall,
     "ann_ivf_recall": q_ann_ivf_recall,
     "ann_index_recall": q_ann_index_recall,
     "ann_index_q8_recall": q_ann_index_q8_recall,
-    # --- below: unsampled variants and the long tail ---
+    "embedding_near_dup": q_embedding_near_dup,
+    "equi_filter_int": q_equi_filter_int,
+    "notnull_filter": q_notnull_filter,
+    "regex_filter": q_regex_filter,
+    "group_agg_encoded": q_group_agg_encoded,
+    "topk_rows": q_topk_rows,
+    "near_dedup": q_near_dedup,
     "roundtrip_events": q_roundtrip_events,
     "roundtrip_orders": q_roundtrip_orders,
     "roundtrip_customer": q_roundtrip_customer,

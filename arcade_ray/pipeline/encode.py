@@ -509,7 +509,9 @@ def _run_direct_exchange(split_inputs, pid_keys: list[str],
     # Over-granular fan-out (buckets >> cores) measurably HURTS: the
     # per-object store/scheduler overhead outweighs the parallelism.
     bucket_of_pid, n_buckets = _lpt_buckets(
-        pid_weights, max(32, _avail_cpus())
+        pid_weights,
+        int(os.environ.get("ARCADE_ENCODE_BUCKETS", 0))
+        or max(32, _avail_cpus())
     )
     if mode == "disk":
         shuffle_dir = os.path.join(out_dir, SHUFFLE_DIR)
