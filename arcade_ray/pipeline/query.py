@@ -905,11 +905,19 @@ def _zone_excluded(header0: dict, stats: dict, node) -> bool:
         return any(_zone_excluded(header0, stats, c) for c in node[1])
     if op == "or":
         return all(_zone_excluded(header0, stats, c) for c in node[1])
+    if op != "not" and node[1] not in stats:
+        # partition predates the column (schema evolution): all-NULL
+        # operand — only IS NULL can match rows here
+        return op != "isnull"
     if op in ("not", "contains", "suffix", "regex", "notnull"):
         return False
     if op == "isnull":
         # null counts in the manifest are exact: zero nulls -> no match
         return stats.get(node[1], {}).get("nulls") == 0
+    if node[1] not in header0["columns"]:
+        # evolved column the FIRST partition predates: no type info to
+        # judge prunability from — keep the partition (tasks decide)
+        return False
     if not _manifest_prunable(header0, node[1]):
         return False
     s = stats.get(node[1], {})
@@ -954,10 +962,28 @@ def compound_filter(out_dir: str, preds, project: list[str]):
     tree = _normalize_pred(preds)
     rows = _manifest_paths(out_dir)
     header0, _ = read_header(rows[0]["path"])
-    known = list(header0["columns"])
+    # schema evolution: validate against the UNION of partition column
+    # sets (manifest col_stats keys), not just the first header
+    colsets = {r["path"]: set(json.loads(r["col_stats"]).keys())
+               for r in rows}
+    known = sorted(set().union(*colsets.values()))
     for c in _pred_columns(tree) + list(project):
         if c not in known:
             raise KeyError(f"column {c!r} not in encoded dataset (columns: {known})")
+    # pad types for projected columns absent in some partition: one
+    # header read per evolved column, driver-side
+    pad_types: dict[str, pa.DataType] = {}
+    need = {c for c in project
+            if any(c not in cs for cs in colsets.values())}
+    for r in rows:
+        if not need:
+            break
+        here = need & colsets[r["path"]]
+        if here:
+            h, _ = read_header(r["path"])
+            for c in here:
+                pad_types[c] = _col_type(h["columns"][c])
+            need -= here
 
     survivors = []
     for r in rows:
@@ -966,13 +992,19 @@ def compound_filter(out_dir: str, preds, project: list[str]):
             continue
         survivors.append({"path": r["path"]})
     if not survivors:
-        return rd.from_arrow(_empty_projection(header0, project, ""))
+        empty = _empty_projection(
+            header0, [c for c in project if c in header0["columns"]], "")
+        for c in project:
+            if c not in empty.column_names:
+                empty = empty.append_column(c, pa.nulls(0, pad_types[c]))
+        return rd.from_arrow(empty.select(project))
     ds = rd.from_items(survivors)
 
     def run(batch: pa.Table) -> pa.Table:
         tables = []
         for p in batch["path"]:
-            tables.append(_compound_filter_partition(p.as_py(), tree, project))
+            tables.append(_compound_filter_partition(p.as_py(), tree,
+                                                     project, pad_types))
         return pa.concat_tables(tables)
 
     return ds.map_batches(run, batch_format="pyarrow", batch_size=1)
@@ -1021,6 +1053,19 @@ def _eval_match_3vl(path: str, header: dict, base: int, node) -> list:
     extra set work."""
     op = node[0]
     if op in _LEAF_OPS:
+        if node[1] not in header["columns"]:
+            # schema evolution: this partition predates the column —
+            # the operand is all-NULL here, so IS NULL matches every
+            # row, IS NOT NULL none, and every value predicate is
+            # UNKNOWN on every row
+            nch = len(header["chunk_rows"])
+            if op == "isnull":
+                return [(np.arange(_chunk_rows(header, i)), None)
+                        for i in range(nch)]
+            if op == "notnull":
+                return [(None, None) for _ in range(nch)]
+            return [(None, np.arange(_chunk_rows(header, i)))
+                    for i in range(nch)]
         if op == "eq":
             t = _equi_match_idx(path, header, base, node[1], node[2])
         elif op == "between":
@@ -1073,15 +1118,31 @@ def _eval_match_3vl(path: str, header: dict, base: int, node) -> list:
     raise ValueError(f"unknown predicate kind {op!r}")
 
 
-def _compound_filter_partition(path: str, tree, project: list[str]) -> pa.Table:
+def _compound_filter_partition(path: str, tree, project: list[str],
+                               pad_types: dict | None = None) -> pa.Table:
     header, base = read_header(path)
     # literal backfill is only sound for eq leaves ASSERTED by the root
     # AND — under OR/NOT a matching row may not satisfy the eq leaf
-    backfill = {c[1]: c[2] for c in tree[1] if c[0] == "eq"} \
+    backfill = {c[1]: c[2] for c in tree[1]
+                if c[0] == "eq" and c[1] in header["columns"]} \
         if tree[0] == "and" else {}
     combined = _eval_match_idx(path, header, base, tree)
-    return _project_matches(path, header, combined, project,
-                            backfill=backfill)
+    present = [c for c in project if c in header["columns"]]
+    if present == list(project):
+        return _project_matches(path, header, combined, project,
+                                backfill=backfill)
+    # schema evolution: columns this partition predates come back NULL
+    n_match = int(sum(len(m) for m in combined if m is not None))
+    if present:
+        t = _project_matches(path, header, combined, present,
+                             backfill=backfill)
+    else:
+        t = pa.table({project[0]: pa.nulls(n_match,
+                                           pad_types[project[0]])})
+    for c in project:
+        if c not in t.column_names:
+            t = t.append_column(c, pa.nulls(t.num_rows, pad_types[c]))
+    return t.select(project)
 
 
 def dict_value_counts(out_dir: str, col: str) -> pa.Table:

@@ -286,3 +286,61 @@ def test_schema_evolution_across_generations(ray_session, tmp_path):
 
     with pytest.raises((KeyError, Exception), match="nope|not in"):
         collect_arrow(scan(out_dir, columns=["nope"]))
+
+
+def test_filters_over_evolved_schema(ray_session, tmp_path):
+    """Predicates on a column added in a later generation: partitions
+    that predate it are all-NULL operands under 3VL (value predicates
+    prune them entirely; IS NULL matches every row; NOT drops them),
+    and projections pad typed nulls — vs a DuckDB UNION ALL twin."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.pipeline import encode_dataset
+    from arcade_ray.pipeline.query import compound_filter
+
+    out_dir = str(tmp_path / "enc")
+    base = pa.table({
+        "doc_id": pa.array([f"a{i:04d}" for i in range(600)]),
+        "source": pa.array([f"s{i % 3}" for i in range(600)]),
+        "n_tok": pa.array([i % 97 for i in range(600)], type=pa.int64()),
+    })
+    newer = pa.table({
+        "doc_id": pa.array([f"b{i:04d}" for i in range(400)]),
+        "source": pa.array([f"s{i % 3}" for i in range(400)]),
+        "n_tok": pa.array([i % 89 for i in range(400)], type=pa.int64()),
+        "lang": pa.array([("en", "de", "fr")[i % 3] for i in range(400)]),
+    })
+    encode_dataset(rd.from_arrow(base), out_dir, key_col="source",
+                   weight_col=None)
+    encode_dataset(rd.from_arrow(newer), out_dir, key_col="source",
+                   weight_col=None, generation="g1")
+    pq.write_table(base.append_column(
+        "lang", pa.nulls(600, pa.string())), str(tmp_path / "b.parquet"))
+    pq.write_table(newer, str(tmp_path / "n.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/b.parquet') UNION ALL "
+                f"SELECT * FROM read_parquet('{tmp_path}/n.parquet')")
+
+    def ids(preds, project=("doc_id", "lang", "n_tok")):
+        df = compound_filter(out_dir, preds, list(project)).to_pandas()
+        return sorted(df["doc_id"].tolist()) if len(df) else []
+
+    def oracle(where):
+        return sorted(r[0] for r in con.execute(
+            f"SELECT doc_id FROM t WHERE {where}").fetchall())
+
+    assert ids(("eq", "lang", "en")) == oracle("lang = 'en'")
+    assert ids(("isnull", "lang")) == oracle("lang IS NULL")
+    assert ids(("not", ("eq", "lang", "en"))) == oracle("NOT (lang = 'en')")
+    assert ids(("or", [("eq", "lang", "de"),
+                       ("between", "n_tok", 0, 10)])) == \
+        oracle("lang = 'de' OR n_tok BETWEEN 0 AND 10")
+    # projection pads: lang column null-typed on matched base rows
+    got = compound_filter(out_dir, ("between", "n_tok", 0, 5),
+                          ["doc_id", "lang"]).to_pandas()
+    assert got["lang"].isna().sum() > 0
