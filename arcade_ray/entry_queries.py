@@ -941,6 +941,27 @@ def q_schema_evolution(sf_dir: str) -> pa.Table:
     one scan returns the union schema with typed nulls where the
     column predates its introduction (decode.py's manifest-driven
     merge — no per-partition header reads on the driver)."""
+    out = _schema_evo_dir(sf_dir)
+    return _collect(scan(out, columns=["doc_id", "source", "lang"]))
+
+
+def q_schema_evolution_filter(sf_dir: str) -> pa.Table:
+    """Predicate on a generation-added column across the WHOLE evolved
+    corpus: base-generation partitions are all-NULL operands (pruned
+    by the manifest for value predicates), g1 partitions filter
+    normally; the projection pads the evolved column with typed
+    nulls where matched rows predate it."""
+    from .pipeline.query import compound_filter
+
+    out = _schema_evo_dir(sf_dir)
+    return _collect(compound_filter(
+        out, ("or", [("eq", "lang", "en"), ("isnull", "lang")]),
+        ["doc_id", "source", "lang"]))
+
+
+def _schema_evo_dir(sf_dir: str) -> str:
+    """Encode (once, cached) the two-generation evolved corpus: base
+    documents without ``lang``, generation g1 with it."""
     tag = hashlib.md5(
         f"{sf_dir}|documents-evo|{_CACHE_SALT}".encode()).hexdigest()[:10]
     out = os.path.join(CACHE_ROOT, f"documents-evo-{tag}")
@@ -955,7 +976,7 @@ def q_schema_evolution(sf_dir: str) -> pa.Table:
             columns=["doc_id", "source", "n_chars", "lang"])
         encode_dataset(newer, out, key_col="source", id_col="doc_id",
                        weight_col=None, generation="g1")
-    return _collect(scan(out, columns=["doc_id", "source", "lang"]))
+    return out
 
 
 def q_stats_meta_nulls(sf_dir: str) -> pa.Table:
@@ -1620,6 +1641,7 @@ QUERIES = {
     "plan_stats": q_plan_stats,
     "stats_meta": q_stats_meta,
     "schema_evolution": q_schema_evolution,
+    "schema_evolution_filter": q_schema_evolution_filter,
     "stats_meta_nulls": q_stats_meta_nulls,
     "group_percentiles_nulls": q_group_percentiles_nulls,
     "distinct_sources": q_distinct_sources,
@@ -1903,6 +1925,13 @@ ORACLE_SQL = {
         "SELECT doc_id, source, CAST(NULL AS VARCHAR) AS lang "
         "FROM documents "
         "UNION ALL SELECT doc_id, source, lang FROM documents"
+    ),
+    "schema_evolution_filter": (
+        "WITH evo AS (SELECT doc_id, source, CAST(NULL AS VARCHAR) "
+        "AS lang FROM documents UNION ALL "
+        "SELECT doc_id, source, lang FROM documents) "
+        "SELECT doc_id, source, lang FROM evo "
+        "WHERE lang = 'en' OR lang IS NULL"
     ),
     "stats_meta_nulls": (
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
