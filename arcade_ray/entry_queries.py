@@ -1252,7 +1252,10 @@ def q_dedup_incremental(sf_dir: str) -> pa.Table:
                 seen["text"].combine_chunks(),
                 pc.binary_join_element_wise(
                     novel["text"].combine_chunks(),
-                    pa.array(["-novel"] * novel.num_rows), "")]),
+                    # typed: [] would infer null and kill the kernel on
+                    # a batch with no novel rows (block-boundary dependent)
+                    pa.array(["-novel"] * novel.num_rows,
+                             type=pa.string()), "")]),
         })
 
     new_batch = _docs_ds(sf_dir).map_batches(plant, batch_format="pyarrow")

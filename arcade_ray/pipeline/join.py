@@ -582,14 +582,16 @@ def semi_join_large(probe_dir: str, probe_key: str, probe_cols: list[str],
                 pend = t.filter(pa.array(hit))
                 outs.append(pa.table({
                     "_settled": pa.array([True] * keep_now.num_rows
-                                         + [False] * pend.num_rows),
+                                         + [False] * pend.num_rows,
+                                         type=pa.bool_()),
                     **{c: pa.concat_arrays([
                         keep_now[c].combine_chunks(),
                         pend[c].combine_chunks()]) for c in need},
                 }))
             else:
                 outs.append(pa.table({
-                    "_settled": pa.array([False] * int(hit.sum())),
+                    "_settled": pa.array([False] * int(hit.sum()),
+                                         type=pa.bool_()),
                     **{c: t.filter(pa.array(hit))[c] for c in need},
                 }))
         return pa.concat_tables(outs)

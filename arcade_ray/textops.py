@@ -81,7 +81,10 @@ def dedup_loser_ids(ds, text_col: str = "text", id_col: str = "doc_id",
 
     sig_ds = ds.map_batches(lambda b: dedup_signatures(b, text_col, id_col),
                             batch_format="pyarrow").materialize()
-    id_type = sig_ds.schema().base_schema.field(id_col).type
+    sch = sig_ds.schema()
+    if sch is None:  # wholly empty corpus: no losers (type moot)
+        return pa.table({id_col: pa.array([], pa.int64())})
+    id_type = sch.base_schema.field(id_col).type
     empty = pa.table({id_col: pa.array([], id_type)})
     rows = hot_bucket_rows(sig_ds, "_h")
     if rows.num_rows == 0:
@@ -992,7 +995,10 @@ def dedup_against_index(ds, index_dir: str, text_col: str = "text",
     index = read_parquet_clean(index_dir)
     # resolve the id type ONCE — schema() inside the batch fn would
     # trigger a limit-1 execution per call
-    id_type = new_sig.schema().base_schema.field(id_col).type
+    sch = new_sig.schema()
+    if sch is None:  # wholly empty new batch: nothing to check
+        return exact_dedup(ds, text_col=text_col, id_col=id_col)
+    id_type = sch.base_schema.field(id_col).type
 
     def tag(b: pa.Table, is_new: bool) -> pa.Table:
         h = b["_h"].to_numpy(zero_copy_only=False)

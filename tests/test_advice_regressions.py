@@ -268,3 +268,31 @@ def test_exact_dedup_survives_hash_collision(ray_session, monkeypatch):
     assert losers["doc_id"].to_pylist() == [3, 5]
     kept = collect_arrow(textops.exact_dedup(rd.from_arrow(t)))
     assert sorted(kept["doc_id"].to_pylist()) == [1, 2, 4]
+
+
+def test_dedup_incremental_batch_with_no_novel_rows(ray_session, tmp_path,
+                                                    monkeypatch):
+    """r4 dress-rehearsal find: a block whose doc_ids contain no
+    multiple of 10 made ``plant``'s suffix literal ``pa.array([])``
+    infer type null, killing binary_join_element_wise with
+    (string, null, string). The literal is now explicitly typed; a
+    3-doc corpus (ids 1..3 — no seen, no novel rows) must round-trip."""
+    import importlib.util
+
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["alpha text", "beta text", "gamma text"],
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "documents.parquet")
+    monkeypatch.setattr("arcade_ray.entry_queries.CACHE_ROOT",
+                        str(tmp_path / "cache"))
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.queries()["dedup_incremental"](str(sf))
+    assert out.num_rows == 0  # no seen dupes, no novel rows planted
