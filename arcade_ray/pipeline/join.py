@@ -614,8 +614,13 @@ def semi_join_large(probe_dir: str, probe_key: str, probe_cols: list[str],
                         % np.uint64(n_buckets)).astype(np.int64)
         return b.append_column("_jb", pa.array(bk))
 
-    key_name = keys_ds.schema().names[0]
-    probe_schema = {f.name: f.type for f in survivors.schema().base_schema}
+    k_sch, s_sch = keys_ds.schema(), survivors.schema()
+    if k_sch is None or s_sch is None:
+        raise ValueError("semi_join_large over an empty dataset with no "
+                         "schema (keys empty: %s, probe empty: %s)"
+                         % (k_sch is None, s_sch is None))
+    key_name = k_sch.names[0]
+    probe_schema = {f.name: f.type for f in s_sch.base_schema}
 
     def tag_keys2(b: pa.Table) -> pa.Table:
         col = pc.drop_null(b[key_name].combine_chunks())

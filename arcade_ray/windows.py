@@ -109,8 +109,13 @@ def _tagged_union(left_ds, right_ds, on: str, by: str,
         left_cols = left_cols + [on]
     r_out = {c: (c + suffix if c in left_cols else c) for c in right_cols}
 
-    l_schema = {f.name: f.type for f in left_ds.schema().base_schema}
-    r_schema = {f.name: f.type for f in right_ds.schema().base_schema}
+    l_sch, r_sch = left_ds.schema(), right_ds.schema()
+    if l_sch is None or r_sch is None:
+        raise ValueError("cannot join an empty dataset with no schema "
+                         "(left empty: %s, right empty: %s)"
+                         % (l_sch is None, r_sch is None))
+    l_schema = {f.name: f.type for f in l_sch.base_schema}
+    r_schema = {f.name: f.type for f in r_sch.base_schema}
 
     r_on = right_on or on
 
