@@ -18,6 +18,33 @@ Public API (lazy imports keep `import arcade_ray` light)::
 
 __version__ = "0.1.0"
 
+
+def _install_empty_schema_log_filter():
+    """Drop Ray Data's per-operator "RefBundle with a different schema
+    ... new schema: ." warning — and ONLY that variant.
+
+    Ray's sort/shuffle emits zero-row blocks with an EMPTY schema for
+    empty key ranges; every downstream map operator then re-logs the
+    divergence once per execution (the UDF is never invoked for empty
+    blocks, so it cannot answer with a typed empty). The empties are
+    harmless here — collect_arrow and the write paths tolerate them —
+    but the noise buries real errors in query logs. Genuine
+    schema-vs-schema divergence warnings still pass through."""
+    import logging
+
+    class _EmptySchemaDivergence(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            return not ("a different schema" in msg
+                        and "new schema: ." in msg)
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_EmptySchemaDivergence())
+
+
+_install_empty_schema_log_filter()
+
 _API = {
     "encode_parquet": "arcade_ray.pipeline.encode",
     "encode_dataset": "arcade_ray.pipeline.encode",

@@ -643,10 +643,14 @@ def semi_join_large(probe_dir: str, probe_key: str, probe_cols: list[str],
         .map_batches(tag_probe, batch_format="pyarrow") \
         .union(keys_ds.map_batches(tag_keys2, batch_format="pyarrow"))
 
+    empty_out = pa.table({c: pa.array([], type=probe_schema[c])
+                          for c in probe_cols})
+
     def verify(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table({}) if not set(probe_cols) <= \
-                set(t.column_names) else t.select(probe_cols)
+            # typed empty: Ray's sort hands schema-less blocks to
+            # empty key ranges
+            return empty_out
         settled = t.filter(t["_settled"])
         pend = t.filter(pc.and_(pc.invert(t["_settled"]),
                                 pc.invert(t["_is_key"])))

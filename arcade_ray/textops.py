@@ -1016,7 +1016,7 @@ def dedup_against_index(ds, index_dir: str, text_col: str = "text",
         index.map_batches(lambda b: tag(b, False), batch_format="pyarrow"))
 
     def seen(t: pa.Table) -> pa.Table:
-        out_t = t[id_col].type if id_col in t.column_names else pa.int64()
+        out_t = t[id_col].type if id_col in t.column_names else id_type
         if t.num_rows == 0:
             return pa.table({id_col: pa.array([], type=out_t)})
         new = t.filter(t["_new"])

@@ -145,7 +145,14 @@ def _tagged_union(left_ds, right_ds, on: str, by: str,
     unified = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
         right_ds.map_batches(tag_right, batch_format="pyarrow"))
     out_cols = [c for c in left_cols] + [r_out[c] for c in right_cols]
-    return unified, left_cols, right_cols, r_out, out_cols
+    # typed zero-row output table: merge fns return this for the
+    # schema-less empty blocks Ray's sort emits for empty key ranges —
+    # a 0-column pa.table({}) there makes the executor log
+    # "RefBundle with a different schema … new schema: ." per block
+    out_empty = pa.table(
+        {c: pa.array([], type=l_schema[c]) for c in left_cols}
+        | {r_out[c]: pa.array([], type=r_schema[c]) for c in right_cols})
+    return unified, left_cols, right_cols, r_out, out_cols, out_empty
 
 
 def asof_join(left_ds, right_ds, on: str = "ts", by: str = "user_id",
@@ -176,18 +183,16 @@ def asof_join(left_ds, right_ds, on: str = "ts", by: str = "user_id",
 
     from .hashing import hash_column
 
-    unified, left_cols, right_cols, r_out, out_cols = _tagged_union(
-        left_ds, right_ds, on, by, left_cols, right_cols, suffix,
-        n_buckets, right_on)
+    unified, left_cols, right_cols, r_out, out_cols, out_empty = \
+        _tagged_union(left_ds, right_ds, on, by, left_cols, right_cols,
+                      suffix, n_buckets, right_on)
 
     def merge(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             # typed empty in the OUTPUT schema — returning the raw
             # group block would leak _ab/_side and diverge from
             # non-empty groups' schema
-            if set(out_cols) <= set(t.column_names):
-                return t.select(out_cols)
-            return pa.table({})
+            return out_empty
         keys = t[by].combine_chunks()
         kc = keys if pa.types.is_dictionary(keys.type) \
             else pc.dictionary_encode(keys)
@@ -289,16 +294,14 @@ def interval_join(left_ds, right_ds, on: str = "ts",
 
     rc = [lo_col, hi_col] + [c for c in (right_cols or [])
                              if c not in (lo_col, hi_col)]
-    unified, left_cols, right_cols, r_out, out_cols = _tagged_union(
-        left_ds, right_ds, on, by, left_cols, rc, suffix,
-        n_buckets, lo_col)
+    unified, left_cols, right_cols, r_out, out_cols, out_empty = \
+        _tagged_union(left_ds, right_ds, on, by, left_cols, rc, suffix,
+                      n_buckets, lo_col)
     hi_out = r_out[hi_col]
 
     def merge(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            if set(out_cols) <= set(t.column_names):
-                return t.select(out_cols)
-            return pa.table({})
+            return out_empty
         keys = t[by].combine_chunks()
         kc = keys if pa.types.is_dictionary(keys.type) \
             else pc.dictionary_encode(keys)
