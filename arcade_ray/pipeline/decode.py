@@ -54,6 +54,24 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
         # key parsing inside generation_of_row
         rows = [r for r in rows if generation_of_row(r) == generation]
     if not rows:
+        if generation is None:
+            # legitimately empty table (e.g. an empty input shard):
+            # answer with a TYPED empty dataset from the encode-time
+            # schema sidecar. A requested generation that never
+            # committed stays an error (likely a typo), as does a
+            # pre-sidecar empty dir.
+            from .encode import read_schema_sidecar
+
+            sch = read_schema_sidecar(out_dir)
+            if sch is not None:
+                if columns:
+                    missing = [c for c in columns if c not in sch.names]
+                    if missing:
+                        raise KeyError(
+                            f"columns {missing} not in encoded schema "
+                            f"{sch.names}")
+                    sch = pa.schema([sch.field(c) for c in columns])
+                return rd.from_arrow(sch.empty_table())
         raise FileNotFoundError(
             f"no committed partitions under {out_dir}"
             + (f" for generation {generation!r}" if generation is not None

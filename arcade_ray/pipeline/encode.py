@@ -200,7 +200,9 @@ def encode_dataset(ds, out_dir: str, key_col: str = "source",
     sort_by = id_col if sort_partitions_by is None else sort_partitions_by
 
     done = committed_parts(out_dir) if resume else {}
-    _validate_columns(set(ds.schema().names), key_col, id_col, weight_col)
+    in_sch = ds.schema()
+    _validate_columns(set(in_sch.names), key_col, id_col, weight_col)
+    _write_schema_sidecar(out_dir, in_sch.base_schema.remove_metadata())
     # planning pass reads only key+weight columns (projection pushdown
     # into the parquet read — never drag the token payload through the
     # planning aggregate)
@@ -630,6 +632,32 @@ def _write_consolidated(out_dir: str, manifest: pa.Table) -> None:
     os.replace(tmp, os.path.join(out_dir, "manifest.parquet"))
 
 
+SCHEMA_SIDECAR = "_schema.arrows"
+
+
+def _write_schema_sidecar(out_dir: str, schema: pa.Schema) -> None:
+    """Top-level input-schema record (schema-only Arrow IPC stream),
+    written atomically once per encode. Lets a scan of a legitimately
+    EMPTY encoded table (zero committed partitions — e.g. an empty
+    input shard) answer with a TYPED empty dataset instead of raising;
+    partition headers can't help because none exist."""
+    tmp = os.path.join(out_dir, f"{SCHEMA_SIDECAR}.tmp.{os.getpid()}")
+    with pa.OSFile(tmp, "wb") as f:
+        with pa.ipc.new_stream(f, schema):
+            pass  # schema-only stream: header, no record batches
+    os.replace(tmp, os.path.join(out_dir, SCHEMA_SIDECAR))
+
+
+def read_schema_sidecar(out_dir: str) -> pa.Schema | None:
+    """Input schema recorded at encode time, or None (pre-sidecar
+    dirs)."""
+    p = os.path.join(out_dir, SCHEMA_SIDECAR)
+    if not os.path.exists(p):
+        return None
+    with pa.ipc.open_stream(p) as r:
+        return r.schema
+
+
 DISK_EXCHANGE_BYTES = int(os.environ.get(
     "ARCADE_DISK_EXCHANGE_BYTES", 8 * 1024 ** 3))
 
@@ -672,8 +700,10 @@ def encode_parquet(paths: list[str] | str, out_dir: str,
 
     import pyarrow.parquet as _pq
 
-    schema_names = set(_pq.read_schema(files[0]).names)
+    input_schema = _pq.read_schema(files[0])
+    schema_names = set(input_schema.names)
     _validate_columns(schema_names, key_col, id_col, weight_col)
+    _write_schema_sidecar(out_dir, input_schema.remove_metadata())
 
     # planning pass: per-file partial aggregates over pruned columns
     plan_cols = [key_col] + ([weight_col] if weight_col and weight_col != key_col else [])

@@ -344,3 +344,46 @@ def test_filters_over_evolved_schema(ray_session, tmp_path):
     got = compound_filter(out_dir, ("between", "n_tok", 0, 5),
                           ["doc_id", "lang"]).to_pandas()
     assert got["lang"].isna().sum() > 0
+
+
+def test_empty_input_scan_typed(ray_session, tmp_path):
+    """An empty input shard encodes to zero partitions but records the
+    input schema sidecar (_schema.arrows); scan answers a TYPED empty
+    dataset (projection honored, unknown columns/generations still
+    raise)."""
+    import pyarrow.parquet as pq
+
+    from arcade_ray.pipeline.encode import encode_parquet
+    from arcade_ray.pipeline.query import scan
+
+    src = tmp_path / "empty.parquet"
+    pq.write_table(generate_corpus(10, 2, seed=3).slice(0, 0), str(src))
+    out = str(tmp_path / "enc")
+    manifest = encode_parquet(str(src), out)
+    assert manifest.num_rows == 0
+
+    ds = scan(out)
+    assert ds.count() == 0
+    assert ds.schema().names == ["doc_id", "tokens", "n_tok", "source"]
+
+    proj = scan(out, columns=["doc_id", "tokens"])
+    assert proj.count() == 0
+    assert proj.schema().names == ["doc_id", "tokens"]
+
+    with pytest.raises(KeyError):
+        scan(out, columns=["nope"])
+    with pytest.raises(FileNotFoundError):
+        scan(out, generation="g9")
+
+
+def test_schema_sidecar_written_for_nonempty(ray_session, corpus_parquet,
+                                             tmp_path):
+    """The sidecar is written on every encode (non-empty too) and
+    matches the input column set."""
+    from arcade_ray.pipeline.encode import encode_parquet, read_schema_sidecar
+
+    out = str(tmp_path / "enc")
+    encode_parquet(str(corpus_parquet), out)
+    sch = read_schema_sidecar(out)
+    assert sch is not None
+    assert sch.names == ["doc_id", "tokens", "n_tok", "source"]
