@@ -28,8 +28,14 @@ def _install_empty_schema_log_filter():
     divergence once per execution (the UDF is never invoked for empty
     blocks, so it cannot answer with a typed empty). The empties are
     harmless here — collect_arrow and the write paths tolerate them —
-    but the noise buries real errors in query logs. Genuine
-    schema-vs-schema divergence warnings still pass through."""
+    but the noise buries real errors in query logs.
+
+    Trade-off, stated plainly: the log line cannot distinguish Ray's
+    sort-emitted empties from a UDF REGRESSION that returns 0-column
+    tables for real data, so this also mutes the latter; the oracle
+    parity suite (row counts + value hashes per query) is the guard
+    for that class. Schema-vs-SCHEMA divergence (two non-empty
+    schemas) still passes through."""
     import logging
 
     class _EmptySchemaDivergence(logging.Filter):

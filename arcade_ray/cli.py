@@ -216,7 +216,9 @@ def cmd_join(args) -> None:
     from .collect import collect_arrow
     from .pipeline.join import broadcast_join, copartition_join, shuffle_join
 
-    probe_key, build_key = args.on.split("=", 1)
+    # "k" joins on the same column name both sides; "pk=bk" differs
+    probe_key, _, build_key = args.on.partition("=")
+    build_key = build_key or probe_key
     probe_cols = _cols(args.probe_cols)
     build_cols = _cols(args.build_cols)
     t0 = time.perf_counter()

@@ -74,10 +74,8 @@ def hot_bucket_rows(sig_ds, key_col: str) -> pa.Table:
 
     hot = collect_arrow(counts.map_batches(hot_only, batch_format="pyarrow"))
     if hot.num_rows == 0:
-        sch = sig_ds.schema()
-        if sch is None:  # wholly empty input: nothing hot either way
-            return pa.table({})
-        return sch.base_schema.empty_table()
+        # sig_ds.count() > SMALL_SIG_ROWS here, so schema() is real
+        return sig_ds.schema().base_schema.empty_table()
     hot_keys = hot[key_col].combine_chunks()
 
     def pick(batch: pa.Table) -> pa.Table:

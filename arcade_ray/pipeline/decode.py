@@ -20,7 +20,7 @@ import json
 import pyarrow as pa
 
 from ..format import decode_partition, read_header
-from .encode import load_manifest
+from .encode import load_manifest, read_schema_sidecar
 
 
 def _partition_colsets(manifest) -> dict[str, list[str]]:
@@ -60,8 +60,6 @@ def decode_dataset(out_dir: str, columns: list[str] | None = None,
             # schema sidecar. A requested generation that never
             # committed stays an error (likely a typo), as does a
             # pre-sidecar empty dir.
-            from .encode import read_schema_sidecar
-
             sch = read_schema_sidecar(out_dir)
             if sch is not None:
                 if columns:

@@ -202,7 +202,10 @@ def encode_dataset(ds, out_dir: str, key_col: str = "source",
     done = committed_parts(out_dir) if resume else {}
     in_sch = ds.schema()
     _validate_columns(set(in_sch.names), key_col, id_col, weight_col)
-    _write_schema_sidecar(out_dir, in_sch.base_schema.remove_metadata())
+    if isinstance(in_sch.base_schema, pa.Schema):
+        _write_schema_sidecar(out_dir, in_sch.base_schema.remove_metadata())
+    # pandas-backed datasets have a PandasBlockSchema (no pa.Schema to
+    # record); empty-table scans of such dirs keep the legacy raise
     # planning pass reads only key+weight columns (projection pushdown
     # into the parquet read — never drag the token payload through the
     # planning aggregate)

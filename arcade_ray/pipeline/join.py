@@ -138,6 +138,13 @@ def copartition_join(left_dir: str, right_dir: str, left_key: str,
                           make_shuffle_dir, read_bucket,
                           write_bucket_frags)
 
+    dup = sorted((set(left_cols) & set(right_cols))
+                 - ({left_key} if left_key == right_key else set()))
+    if dup:
+        raise ValueError(
+            f"ambiguous output columns {dup} requested from BOTH sides; "
+            "the Arrow hash join cannot emit two same-named columns — "
+            "drop or rename one side's projection")
     left_need = list(dict.fromkeys([left_key] + left_cols))
     right_need = list(dict.fromkeys([right_key] + right_cols))
     l_man = load_manifest(left_dir)
@@ -151,8 +158,34 @@ def copartition_join(left_dir: str, right_dir: str, left_key: str,
             + int(_pc.sum(r_man["raw_bytes"]).as_py() or 0)
         mode = "disk" if raw > DISK_EXCHANGE_BYTES else "objects"
     keep = list(dict.fromkeys(left_cols + right_cols))
-    l_empty = _typed_empty(l_paths[0], left_need)
-    r_empty = _typed_empty(r_paths[0], right_need)
+    l_empty = _side_empty(left_dir, l_paths, left_need)
+    r_empty = _side_empty(right_dir, r_paths, right_need)
+    if not l_paths or not r_paths:
+        # an EMPTY side (zero committed partitions) resolves without
+        # any exchange: inner/same-side-outer -> typed empty; the
+        # opposite outer streams the surviving side with typed nulls
+        empty_out = pa.table({
+            c: (l_empty[c] if c in l_empty.column_names else r_empty[c])
+            for c in keep})
+        if (not l_paths and not r_paths) \
+                or (not l_paths and arrow_how in ("inner", "left outer")) \
+                or (not r_paths and arrow_how in ("inner", "right outer")):
+            return rd.from_arrow(empty_out)
+        from .query import scan
+
+        live_dir, live_cols, absent = (
+            (right_dir, right_cols, l_empty) if not l_paths
+            else (left_dir, left_cols, r_empty))
+
+        def pad(b: pa.Table) -> pa.Table:
+            return pa.table({
+                c: (b[c] if c in b.column_names
+                    else pa.nulls(b.num_rows, absent[c].type))
+                for c in keep})
+
+        return scan(live_dir, columns=[c for c in live_cols
+                                       if c in keep]).map_batches(
+            pad, batch_format="pyarrow")
 
     if mode == "disk":
         sh_l = make_shuffle_dir("joinL")
@@ -254,6 +287,31 @@ def _typed_empty(path: str, columns: list[str]) -> pa.Table:
     header, _ = read_header(path)
     return pa.table({c: pa.array([], type=_col_type(header["columns"][c]))
                      for c in columns})
+
+
+def _empty_from_sidecar(out_dir: str, columns: list[str]) -> pa.Table:
+    """Typed empty for a ZERO-PARTITION encoded dir via its
+    _schema.arrows sidecar (no partition header exists to consult).
+    Raises FileNotFoundError like scan() on pre-sidecar empty dirs."""
+    from .encode import read_schema_sidecar
+
+    sch = read_schema_sidecar(out_dir)
+    if sch is None:
+        raise FileNotFoundError(f"no committed partitions under {out_dir}")
+    missing = [c for c in columns if c not in sch.names]
+    if missing:
+        raise KeyError(
+            f"columns {missing} not in encoded schema {sch.names}")
+    return pa.table({c: pa.array([], type=sch.field(c).type)
+                     for c in columns})
+
+
+def _side_empty(out_dir: str, paths: list[str],
+                columns: list[str]) -> pa.Table:
+    """Typed empty for one join side: partition header when any
+    partition exists, else the schema sidecar."""
+    return _typed_empty(paths[0], columns) if paths \
+        else _empty_from_sidecar(out_dir, columns)
 
 
 def _decode_all(out_dir: str, columns: list[str]) -> pa.Table:
@@ -415,6 +473,10 @@ def semi_join(probe_dir: str, probe_key: str, probe_cols: list[str],
         )
 
     rows = load_manifest(probe_dir).to_pylist()
+    if not rows:  # empty probe table: semi/anti of nothing is nothing
+        return rd.from_arrow(_empty_from_sidecar(
+            probe_dir, list(dict.fromkeys(probe_cols + [probe_key]))
+        ).select(probe_cols))
     header0, _ = read_header(rows[0]["path"])
     known = list(header0["columns"])
     for c in [probe_key, *probe_cols]:
@@ -554,6 +616,10 @@ def semi_join_large(probe_dir: str, probe_key: str, probe_cols: list[str],
         return (hit1 & hit2).astype(bool)
 
     rows = load_manifest(probe_dir).to_pylist()
+    if not rows:  # empty probe table: semi/anti of nothing is nothing
+        return rd.from_arrow(_empty_from_sidecar(
+            probe_dir, list(dict.fromkeys(probe_cols + [probe_key]))
+        ).select(probe_cols))
     header0, _ = read_header(rows[0]["path"])
     known = list(header0["columns"])
     for c in [probe_key, *probe_cols]:

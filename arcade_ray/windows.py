@@ -89,7 +89,8 @@ def _tagged_union(left_ds, right_ds, on: str, by: str,
     unified to one schema (each side fills the other's columns with
     typed nulls), and hash-bucketed by key into ~2x-CPU coarse buckets
     — ONE shuffle co-locates both sides. Returns
-    (unified_ds, left_cols, right_cols, r_out, out_cols)."""
+    (unified_ds, left_cols, right_cols, r_out, out_cols, out_empty)
+    where out_empty is a typed zero-row table in the output schema."""
     import numpy as np
     import pyarrow as pa
 

@@ -457,3 +457,70 @@ def test_copartition_join_auto_mode_threshold(two_tables, monkeypatch):
     n2 = collect_arrow(J.copartition_join(o_dir, c_dir, **kw)).num_rows
     assert not calls
     assert n1 == n2
+
+
+@pytest.fixture(scope="module")
+def empty_encoded(ray_session, tmp_path_factory):
+    """A valid encoded dir with ZERO committed partitions (empty input
+    shard) — schema sidecar only."""
+    import ray.data as rd
+
+    base = tmp_path_factory.mktemp("emptyenc")
+    t = pa.table({
+        "o_orderkey": pa.array([], type=pa.int64()),
+        "o_custkey": pa.array([], type=pa.int64()),
+        "o_flag": pa.array([], type=pa.string()),
+        "o_total": pa.array([], type=pa.int64()),
+    })
+    d = str(base / "enc")
+    encode_dataset(rd.from_arrow(t), d, key_col="o_flag",
+                   id_col="o_orderkey", weight_col=None)
+    return d
+
+
+def test_joins_over_empty_encoded_side(two_tables, empty_encoded):
+    """r4 review finding: zero-partition encoded dirs crashed
+    semi_join_large (IndexError on rows[0]) while scan() returned a
+    typed empty. All join entry points now resolve empty sides without
+    an exchange."""
+    from arcade_ray.pipeline.join import (copartition_join, semi_join,
+                                          semi_join_large)
+
+    o_dir, c_dir, orders, cust = two_tables
+
+    # semi/anti of an empty probe -> typed empty with probe_cols
+    import ray.data as rd
+
+    keys = cust["c_custkey"]
+    keys_ds = rd.from_arrow(pa.table({"c_custkey": keys}))
+    for fn, ks in ((semi_join, keys), (semi_join_large, keys_ds)):
+        for anti in (False, True):
+            out = collect_arrow(fn(
+                empty_encoded, "o_custkey", ["o_orderkey", "o_total"],
+                ks, anti=anti))
+            assert out.num_rows == 0
+            assert out.column_names == ["o_orderkey", "o_total"]
+
+    # copartition inner with an empty side -> typed empty, both ways
+    out = collect_arrow(copartition_join(
+        empty_encoded, c_dir, "o_custkey", "c_custkey",
+        ["o_orderkey"], ["c_seg"]))
+    assert out.num_rows == 0 and out.column_names == ["o_orderkey", "c_seg"]
+    out = collect_arrow(copartition_join(
+        o_dir, empty_encoded, "o_custkey", "o_custkey",
+        ["o_orderkey"], ["o_total"], join_type="inner"))
+    assert out.num_rows == 0
+
+    # left outer with empty RIGHT -> every left row, right cols null
+    out = collect_arrow(copartition_join(
+        o_dir, empty_encoded, "o_custkey", "o_custkey",
+        ["o_orderkey", "o_flag"], ["o_total"], join_type="left"))
+    assert out.num_rows == orders.num_rows
+    assert out.column_names == ["o_orderkey", "o_flag", "o_total"]
+    assert out["o_total"].null_count == orders.num_rows
+
+    # left outer with empty LEFT -> typed empty
+    out = collect_arrow(copartition_join(
+        empty_encoded, c_dir, "o_custkey", "c_custkey",
+        ["o_orderkey"], ["c_seg"], join_type="left"))
+    assert out.num_rows == 0

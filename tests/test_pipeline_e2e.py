@@ -387,3 +387,28 @@ def test_schema_sidecar_written_for_nonempty(ray_session, corpus_parquet,
     sch = read_schema_sidecar(out)
     assert sch is not None
     assert sch.names == ["doc_id", "tokens", "n_tok", "source"]
+
+
+def test_encode_dataset_pandas_backed(ray_session, tmp_path):
+    """r4 review finding: the schema sidecar write crashed
+    encode_dataset for pandas-backed datasets (PandasBlockSchema has
+    no remove_metadata and is not a pa.Schema). Such datasets encode
+    fine; they simply skip the sidecar."""
+    import pandas as pd
+    import ray.data as rd
+
+    from arcade_ray.pipeline.encode import read_schema_sidecar
+    from arcade_ray.pipeline.query import scan
+
+    df = pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(50)],
+        "tokens": [list(range(i % 7)) for i in range(50)],
+        "n_tok": [i % 7 for i in range(50)],
+        "source": [f"s{i % 3}" for i in range(50)],
+    })
+    out = str(tmp_path / "enc")
+    manifest = encode_dataset(rd.from_pandas(df), out)
+    assert manifest.num_rows > 0
+    got = scan(out).to_pandas()
+    assert len(got) == 50
+    assert read_schema_sidecar(out) is None  # skipped, not crashed
