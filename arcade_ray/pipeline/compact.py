@@ -163,6 +163,9 @@ def delete_rows(out_dir: str, preds, run_remote: bool = True) -> dict:
 
     tree = _normalize_pred(preds)
     rows = load_manifest(out_dir).to_pylist()
+    if not rows:  # empty table: nothing to delete
+        return {"partitions": 0, "pruned": 0, "rewritten": 0,
+                "dropped": 0, "rows_deleted": 0}
     header0, _ = read_header(rows[0]["path"])
 
     candidates = []

@@ -208,3 +208,20 @@ def test_delete_rows_crash_state_consistent(ray_session, tmp_path):
     assert again["rows_deleted"] == 0
     assert collect_arrow(scan(out_dir, columns=["doc_id"])).num_rows == \
         int((~kill).sum())
+
+
+def test_delete_on_empty_encoded_dir(ray_session, tmp_path):
+    """Zero-partition encoded dirs (empty input shard) answer a
+    predicate delete with the zeroed summary instead of IndexError."""
+    import pyarrow.parquet as pq
+
+    from arcade_ray.pipeline.compact import delete_rows
+    from arcade_ray.pipeline.encode import encode_parquet
+
+    src = tmp_path / "empty.parquet"
+    pq.write_table(generate_corpus(10, 2, seed=5).slice(0, 0), str(src))
+    out = str(tmp_path / "enc")
+    encode_parquet(str(src), out)
+    info = delete_rows(out, ("eq", "source", "src-000"))
+    assert info == {"partitions": 0, "pruned": 0, "rewritten": 0,
+                    "dropped": 0, "rows_deleted": 0}
