@@ -39,6 +39,23 @@ from ..format import decode_partition, read_exact, read_header
 from .encode import load_manifest
 
 
+def _sidecar_empty(out_dir: str, columns: list[str]) -> pa.Table:
+    """Typed zero-row result for a ZERO-PARTITION encoded dir (empty
+    input shard) via the _schema.arrows sidecar; raises
+    FileNotFoundError on pre-sidecar empty dirs, matching scan()."""
+    from .encode import read_schema_sidecar
+
+    sch = read_schema_sidecar(out_dir)
+    if sch is None:
+        raise FileNotFoundError(f"no committed partitions under {out_dir}")
+    missing = [c for c in columns if c not in sch.names]
+    if missing:
+        raise KeyError(
+            f"columns {missing} not in encoded schema {sch.names}")
+    return pa.table({c: pa.array([], type=sch.field(c).type)
+                     for c in columns})
+
+
 def _manifest_paths(out_dir: str) -> list[dict]:
     m = load_manifest(out_dir)
     return m.to_pylist()
@@ -258,6 +275,8 @@ def equi_filter(out_dir: str, col: str, literal, project: list[str]):
     import ray.data as rd
 
     rows = _manifest_paths(out_dir)
+    if not rows:  # empty table: typed empty projection
+        return rd.from_arrow(_sidecar_empty(out_dir, project))
     header0, _ = read_header(rows[0]["path"])
     known = list(header0["columns"])
     for c in [col, *project]:
@@ -298,6 +317,8 @@ def range_filter(out_dir: str, col: str, lo, hi, project: list[str]):
     import ray.data as rd
 
     rows = _manifest_paths(out_dir)
+    if not rows:  # empty table: typed empty projection
+        return rd.from_arrow(_sidecar_empty(out_dir, project))
     header0, _ = read_header(rows[0]["path"])
     known = list(header0["columns"])
     for c in [col, *project]:
@@ -961,6 +982,8 @@ def compound_filter(out_dir: str, preds, project: list[str]):
 
     tree = _normalize_pred(preds)
     rows = _manifest_paths(out_dir)
+    if not rows:  # empty table: typed empty projection
+        return rd.from_arrow(_sidecar_empty(out_dir, project))
     header0, _ = read_header(rows[0]["path"])
     # schema evolution: validate against the UNION of partition column
     # sets (manifest col_stats keys), not just the first header
@@ -1926,6 +1949,8 @@ def topk(out_dir: str, col: str, k: int, descending: bool = True) -> pa.Table:
     import ray
 
     rows = _manifest_paths(out_dir)
+    if not rows:  # empty table: typed empty top-k
+        return _sidecar_empty(out_dir, [col])
 
     @ray.remote
     def part_topk(path: str):
@@ -1961,6 +1986,8 @@ def topk_rows(out_dir: str, col: str, k: int, id_col: str,
 
     rows = _manifest_paths(out_dir)
     order_cols = [col, id_col]
+    if not rows:  # empty table: typed empty page
+        return _sidecar_empty(out_dir, columns or order_cols)
     need = offset + k
 
     @ray.remote
@@ -2087,6 +2114,12 @@ def lookup(out_dir: str, id_col: str, values: list,
     import ray.data as rd
 
     rows = _manifest_paths(out_dir)
+    if not rows:  # empty table: typed empty projection
+        from .encode import read_schema_sidecar
+
+        sch = read_schema_sidecar(out_dir)
+        want = columns or (list(sch.names) if sch is not None else [id_col])
+        return rd.from_arrow(_sidecar_empty(out_dir, want))
     header0, _ = read_header(rows[0]["path"])
     prunable = _manifest_prunable(header0, id_col)
     vmin, vmax = min(values), max(values)

@@ -750,3 +750,33 @@ def test_group_int_percentiles_null_values_skipped(ray_session, tmp_path):
     want = df.groupby("g")["v"].quantile(0.5, interpolation="lower")
     for _, row in out.iterrows():
         assert row["p50"] == want[row["g"]]
+
+
+def test_query_surface_over_empty_encoded_dir(ray_session, tmp_path):
+    """Every driver-facing query op answers a ZERO-PARTITION encoded
+    dir (empty input shard) with a typed empty result instead of
+    IndexError/ArrowInvalid; unknown columns still raise KeyError."""
+    import pyarrow.parquet as pq
+
+    from arcade_ray.corpus import generate_corpus
+    from arcade_ray.pipeline import query as q
+    from arcade_ray.pipeline.encode import encode_parquet
+
+    src = tmp_path / "empty.parquet"
+    pq.write_table(generate_corpus(10, 2, seed=7).slice(0, 0), str(src))
+    out = str(tmp_path / "enc")
+    encode_parquet(str(src), out)
+
+    assert q.equi_filter(out, "source", "s", ["doc_id"]).count() == 0
+    assert q.range_filter(out, "n_tok", 1, 5, ["doc_id"]).count() == 0
+    assert q.compound_filter(
+        out, ("eq", "source", "s"), ["doc_id"]).count() == 0
+    assert q.lookup(out, "doc_id", ["x"]).count() == 0
+    t = q.topk(out, "n_tok", 5)
+    assert t.num_rows == 0 and t.column_names == ["n_tok"]
+    t = q.topk_rows(out, "n_tok", 5, id_col="doc_id")
+    assert t.num_rows == 0 and t.column_names == ["n_tok", "doc_id"]
+    assert q.dict_value_counts(out, "source").num_rows == 0
+    assert q.sorted_scan(out, "n_tok").count() == 0
+    with pytest.raises(KeyError):
+        q.equi_filter(out, "source", "s", ["nope"])
