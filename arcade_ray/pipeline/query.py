@@ -684,6 +684,9 @@ def stats_meta(out_dir: str, cols: list[str]) -> dict:
     -> {"rows": int, col: {"min": v, "max": v}, ...}
     """
     rows = _manifest_paths(out_dir)
+    if not rows:  # empty table: COUNT 0, NULL bounds (exact trivially)
+        _sidecar_empty(out_dir, cols)  # column existence check
+        return {"rows": 0, **{c: {"min": None, "max": None} for c in cols}}
     header0, _ = read_header(rows[0]["path"])
     known = list(header0["columns"])
     for c in cols:
@@ -1284,6 +1287,15 @@ def dict_group_aggregate(out_dir: str, key_col, value_col: str) -> pa.Table:
 
     key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
     rows = _manifest_paths(out_dir)
+    if not rows:  # empty table: zero groups
+        probe = _sidecar_empty(out_dir, key_cols + [value_col])
+        et = pa.float64() if pa.types.is_floating(probe[value_col].type) \
+            else pa.int64()
+        return pa.table({
+            **{kc: pa.array([], type=pa.string()) for kc in key_cols},
+            "sum_v": pa.array([], type=et), "min_v": pa.array([], type=et),
+            "max_v": pa.array([], type=et),
+            "n_rows": pa.array([], type=pa.int64())})
     header0, _ = read_header(rows[0]["path"])
     integral = header0["columns"][value_col].get("tag") not in ("f32", "f64")
     agg_t = pa.int64() if integral else pa.float64()
@@ -1672,6 +1684,13 @@ def group_int_percentiles(out_dir: str, key_col: str, value_col: str,
     import ray
 
     rows = _manifest_paths(out_dir)
+    if not rows:  # empty table: zero groups
+        _sidecar_empty(out_dir, [key_col, value_col])  # column check
+        cols: dict = {key_col: pa.array([], type=pa.string())}
+        for p in ps:
+            cols[f"p{int(round(p * 100)):02d}"] = pa.array(
+                [], type=pa.int64())
+        return pa.table(cols)
     header0, _ = read_header(rows[0]["path"])
     if header0["columns"][key_col]["kind"] != "str":
         raise TypeError("group_int_percentiles groups on a string column")
@@ -1786,6 +1805,11 @@ def dict_group_topk(out_dir: str, key_col: str, value_col: str,
     import ray.data as rd
 
     rows = _manifest_paths(out_dir)
+    if not rows:  # empty table: zero groups
+        probe = _sidecar_empty(out_dir, [key_col, id_col, value_col])
+        return pa.table({key_col: pa.array([], type=pa.string()),
+                         id_col: probe[id_col],
+                         value_col: probe[value_col]})
     header0, _ = read_header(rows[0]["path"])
     vt = _col_type(header0["columns"][value_col])
     it = _col_type(header0["columns"][id_col])
@@ -2101,8 +2125,16 @@ def random_access(out_dir: str, row_ids: list[int],
         sub = sub.append_column("row_id", pa.array(local + prefix[pi], type=pa.int64()))
         out_tables.append(sub)
     if not out_tables:
-        header, _ = read_header(rows[0]["path"])
-        empty = _empty_projection(header, columns or list(header["columns"]), "")
+        if rows:
+            header, _ = read_header(rows[0]["path"])
+            empty = _empty_projection(
+                header, columns or list(header["columns"]), "")
+        else:  # zero-partition dir (and row_ids empty — checked above)
+            from .encode import read_schema_sidecar
+
+            sch = read_schema_sidecar(out_dir)
+            want = columns or (list(sch.names) if sch is not None else [])
+            empty = _sidecar_empty(out_dir, want)
         return empty.append_column("row_id", pa.array([], type=pa.int64()))
     return pa.concat_tables(out_tables)
 

@@ -778,5 +778,20 @@ def test_query_surface_over_empty_encoded_dir(ray_session, tmp_path):
     assert t.num_rows == 0 and t.column_names == ["n_tok", "doc_id"]
     assert q.dict_value_counts(out, "source").num_rows == 0
     assert q.sorted_scan(out, "n_tok").count() == 0
+
+    agg = q.dict_group_aggregate(out, "source", "n_tok")
+    assert agg.num_rows == 0 and agg.column_names == [
+        "source", "sum_v", "min_v", "max_v", "n_rows"]
+    gt = q.dict_group_topk(out, "source", "n_tok", "doc_id", 2)
+    assert gt.num_rows == 0
+    pct = q.group_int_percentiles(out, "source", "n_tok", [0.5])
+    assert pct.num_rows == 0 and pct.column_names == ["source", "p50"]
+    assert q.stats_meta(out, ["n_tok"]) == {
+        "rows": 0, "n_tok": {"min": None, "max": None}}
+    ra = q.random_access(out, [])
+    assert ra.num_rows == 0 and "row_id" in ra.column_names
+    with pytest.raises(IndexError):
+        q.random_access(out, [0])
+
     with pytest.raises(KeyError):
         q.equi_filter(out, "source", "s", ["nope"])
