@@ -145,6 +145,7 @@ class CachedDecoderActor:
         self.id_col = id_col
         self.max_cached = max_cached
         self.cache: collections.OrderedDict[str, pa.Table] = collections.OrderedDict()
+        self.out_dir = out_dir
         self.manifest = load_manifest(out_dir).to_pylist()
         import json
 
@@ -189,6 +190,17 @@ class CachedDecoderActor:
             if pc.any(mask).as_py():
                 outs.append(t.filter(mask))
         if not outs:
+            if not self.manifest:  # zero-partition dir: sidecar types
+                from .query import _sidecar_empty
+
+                want = self.columns
+                if want is None:
+                    from .encode import read_schema_sidecar
+
+                    sch = read_schema_sidecar(self.out_dir)
+                    want = list(sch.names) if sch is not None \
+                        else [self.id_col]
+                return _sidecar_empty(self.out_dir, want)
             t = self._partition(self.manifest[0]["path"])
             return t.slice(0, 0)
         return pa.concat_tables(outs)
