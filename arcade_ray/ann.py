@@ -123,6 +123,10 @@ def topk_cosine(ds, queries_ids: list[int], queries_mat: np.ndarray,
         concurrency=_pool_size(concurrency),
     )
     merged = collect_arrow(partials)
+    if merged.num_rows == 0:  # empty corpus: zero rows per query
+        return pa.table({"query_id": pa.array([], type=pa.int64()),
+                         id_col: pa.array([], type=pa.int64()),
+                         "cos": pa.array([], type=pa.float64())})
     # driver merge: tiny (#batches x Q x k rows)
     out = {"query_id": [], id_col: [], "cos": []}
     qids = merged["query_id"].to_numpy(zero_copy_only=False)

@@ -272,3 +272,20 @@ def test_ivf_index_int8_quantized(ray_session, tmp_path):
         e = set(exact.filter(pc.equal(exact["query_id"], q))["vec_id"].to_pylist())
         a = set(got.filter(pc.equal(got["query_id"], q))["vec_id"].to_pylist())
         assert len(e & a) / len(e) >= 0.9, q
+
+
+def test_topk_cosine_empty_corpus(ray_session):
+    """ANN over an empty embedding corpus returns zero rows per query
+    (typed), not a KeyError on the schema-less driver merge."""
+    import numpy as np
+    import ray.data as rd
+
+    from arcade_ray.ann import topk_cosine
+
+    empty = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+    }))
+    out = topk_cosine(empty, [0, 1], np.ones((2, 4), dtype=np.float32), 5)
+    assert out.num_rows == 0
+    assert out.column_names == ["query_id", "vec_id", "cos"]
