@@ -202,7 +202,12 @@ def near_dup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id",
     from .collect import lsh_pairs_verify
 
     # dim from the dataset schema (list<float> fixed dim assumed)
-    first = ds.take_batch(1, batch_format="pyarrow")
+    try:
+        first = ds.take_batch(1, batch_format="pyarrow")
+    except ValueError:  # empty corpus: no pairs
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "cos": pa.array([], pa.float64())})
     dim = len(first[vec_col][0])
     planes = _band_planes(dim, n_bands, band_planes, seed)
 
@@ -285,8 +290,13 @@ def ivf_topk_cosine(ds, queries_ids: list[int], queries_mat: np.ndarray,
     query's ``n_probe`` closest centroids. Cost per batch drops from
     O(n x Q) to O(n x C + hits x Q). Recall vs topk_cosine is
     measured in tests."""
-    sample_tab = ds.limit(sample_size).take_batch(
-        sample_size, batch_format="pyarrow")
+    try:
+        sample_tab = ds.limit(sample_size).take_batch(
+            sample_size, batch_format="pyarrow")
+    except ValueError:  # empty corpus: zero rows per query
+        return pa.table({"query_id": pa.array([], type=pa.int64()),
+                         id_col: pa.array([], type=pa.int64()),
+                         "cos": pa.array([], type=pa.float64())})
     sample = _to_matrix(sample_tab[vec_col])
     cents = _kmeans_lite(sample, n_centroids, seed=seed)
 
@@ -326,6 +336,10 @@ def ivf_topk_cosine(ds, queries_ids: list[int], queries_mat: np.ndarray,
     partials = ds.map_batches(ScoreIVF, batch_format="pyarrow",
                               concurrency=_pool_size(concurrency))
     merged = collect_arrow(partials)
+    if merged.num_rows == 0:  # empty corpus: zero rows per query
+        return pa.table({"query_id": pa.array([], type=pa.int64()),
+                         id_col: pa.array([], type=pa.int64()),
+                         "cos": pa.array([], type=pa.float64())})
     out = {"query_id": [], id_col: [], "cos": []}
     qids_np = merged["query_id"].to_numpy(zero_copy_only=False)
     vids = merged[id_col].to_numpy(zero_copy_only=False)
@@ -410,6 +424,10 @@ def lsh_topk_cosine(ds, queries_ids: list[int], queries_mat: np.ndarray,
     partials = ds.map_batches(ScoreLSH, batch_format="pyarrow",
                               concurrency=_pool_size(concurrency))
     merged = collect_arrow(partials)
+    if merged.num_rows == 0:  # empty corpus: zero rows per query
+        return pa.table({"query_id": pa.array([], type=pa.int64()),
+                         id_col: pa.array([], type=pa.int64()),
+                         "cos": pa.array([], type=pa.float64())})
     out = {"query_id": [], id_col: [], "cos": []}
     qids = merged["query_id"].to_numpy(zero_copy_only=False)
     vids = merged[id_col].to_numpy(zero_copy_only=False)

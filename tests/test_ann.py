@@ -289,3 +289,24 @@ def test_topk_cosine_empty_corpus(ray_session):
     out = topk_cosine(empty, [0, 1], np.ones((2, 4), dtype=np.float32), 5)
     assert out.num_rows == 0
     assert out.column_names == ["query_id", "vec_id", "cos"]
+
+
+def test_ann_variants_empty_corpus(ray_session):
+    """LSH/IVF/near-dup over an empty embedding corpus return typed
+    zero-row results (index BUILD functions still raise — an index
+    over nothing is a caller error)."""
+    import numpy as np
+    import ray.data as rd
+
+    from arcade_ray.ann import ivf_topk_cosine, lsh_topk_cosine, near_dup_pairs
+
+    empty = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+    }))
+    q = np.ones((2, 4), dtype=np.float32)
+    assert lsh_topk_cosine(empty, [0, 1], q, 5).num_rows == 0
+    assert ivf_topk_cosine(empty, [0, 1], q, 5).num_rows == 0
+    pairs = near_dup_pairs(empty)
+    assert pairs.num_rows == 0
+    assert pairs.column_names == ["id_a", "id_b", "cos"]
