@@ -80,6 +80,8 @@ _API = {
     "minhash_lsh_pairs": "arcade_ray.textops",
     "simhash_pairs": "arcade_ray.textops",
     "analyze_text": "arcade_ray.textops",
+    "decontaminate": "arcade_ray.textops",
+    "ngram_contaminated_ids": "arcade_ray.textops",
     "winnow_table": "arcade_ray.textops",
     "topk_cosine": "arcade_ray.ann",
     "lsh_topk_cosine": "arcade_ray.ann",

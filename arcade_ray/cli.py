@@ -361,6 +361,28 @@ def cmd_dedup(args) -> None:
           f"in {time.perf_counter() - t0:.2f} s")
 
 
+def cmd_decontaminate(args) -> None:
+    """Drop training docs sharing a word n-gram with an eval corpus
+    (benchmark decontamination; survivors stream to parquet)."""
+    from .sources import read_parquet_clean
+    from .textops import decontaminate
+
+    t0 = time.perf_counter()
+    ds = read_parquet_clean(args.input,
+                            columns=[args.id_col, args.text_col])
+    ev = read_parquet_clean(args.eval,
+                            columns=[args.eval_text_col])
+    out = decontaminate(ds, ev, n=args.ngram, text_col=args.text_col,
+                        id_col=args.id_col,
+                        eval_text_col=args.eval_text_col)
+    out.write_parquet(args.out)
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(args.out).count_rows()
+    print(f"Decontaminated -> {args.out}: {n} survivors "
+          f"in {time.perf_counter() - t0:.2f} s")
+
+
 def cmd_pack(args) -> None:
     """Pack token sequences into fixed-length training examples."""
     from .sources import read_parquet_clean
@@ -505,6 +527,20 @@ def main(argv=None) -> None:
     dd.add_argument("--text-col", default="text")
     dd.add_argument("--id-col", default="doc_id")
     dd.set_defaults(fn=cmd_dedup)
+
+    dc = sub.add_parser("decontaminate", help="drop docs sharing a "
+                        "word n-gram with an eval corpus -> parquet "
+                        "survivors")
+    dc.add_argument("input")
+    dc.add_argument("eval", help="parquet file/dir of eval documents")
+    dc.add_argument("out")
+    dc.add_argument("--ngram", type=int, default=13,
+                    help="overlap width in words (13 = GPT-3/PaLM "
+                    "convention)")
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--id-col", default="doc_id")
+    dc.add_argument("--eval-text-col", default="text")
+    dc.set_defaults(fn=cmd_decontaminate)
 
     pk = sub.add_parser("pack", help="pack token sequences into "
                         "fixed-length training examples -> parquet")

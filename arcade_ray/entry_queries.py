@@ -1617,6 +1617,43 @@ def q_ann_topk_lsh(sf_dir: str) -> pa.Table:
     return lsh_topk_cosine(ds, qids, qmat, k=ANN_K, n_planes=8, probe_bits=2)
 
 
+def _eval_slice(sf_dir: str):
+    """Deterministic eval 'benchmark': every 97th document — the
+    small side of the decontamination queries."""
+    def pick(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(
+            pc.subtract(b["doc_id"],
+                        pc.multiply(pc.divide(b["doc_id"], 97), 97)), 0))
+
+    return _docs_ds(sf_dir).map_batches(pick, batch_format="pyarrow")
+
+
+def _decontaminate_ids(sf_dir: str, n: int) -> pa.Table:
+    from .textops import decontaminate
+
+    out = decontaminate(_docs_ds(sf_dir), _eval_slice(sf_dir), n=n)
+    t = _collect(out.map_batches(lambda b: b.select(["doc_id"]),
+                                 batch_format="pyarrow"))
+    if not t.column_names:  # all blocks empty -> schema-less collect
+        return pa.table({"doc_id": pa.array([], type=pa.int64())})
+    return t
+
+
+def q_decontaminate(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination at the GPT-3/PaLM convention (13-word
+    gram overlap): drop every training doc sharing a 13-gram with the
+    eval slice (rows-only: no SQL equivalent; planted-answer test in
+    tests/test_textops.py)."""
+    return _decontaminate_ids(sf_dir, 13)
+
+
+def q_decontaminate_tri(sf_dir: str) -> pa.Table:
+    """Same machinery at n=3 (shared word TRIgram) — small enough for
+    DuckDB to mirror exactly via a list-comprehension trigram build +
+    IN, giving the hash/window/boundary machinery a value oracle."""
+    return _decontaminate_ids(sf_dir, 3)
+
+
 QUERIES = {
     # ORDER CONTRACT: the correctness driver samples the FIRST 50
     # entries. They are curated to cover every operator family exactly
@@ -1724,6 +1761,8 @@ QUERIES = {
     "repeat_sources": q_repeat_sources,
     "normalize_text": q_normalize_text,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "decontaminate": q_decontaminate,
+    "decontaminate_tri": q_decontaminate_tri,
 }
 
 _IDS_SQL = ", ".join(str(i) for i in LOOKUP_IDS)
@@ -2107,8 +2146,23 @@ ORACLE_SQL = {
         "WHERE a.vec_id < b.vec_id "
         "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9"
     ),
+    "decontaminate_tri": (
+        # word trigrams via list comprehension; empty-word guard keeps
+        # split semantics aligned with pc.utf8_split_whitespace
+        "WITH w AS (SELECT doc_id, list_filter("
+        "string_split_regex(lower(text), '\\s+'), x -> x <> '') AS l "
+        "FROM documents), "
+        "g AS (SELECT doc_id, unnest([l[i] || ' ' || l[i+1] || ' ' || "
+        "l[i+2] for i in generate_series(1, greatest(length(l)-2, 0))]"
+        ") AS t FROM w), "
+        "ev AS (SELECT DISTINCT t FROM g WHERE doc_id % 97 = 0), "
+        "bad AS (SELECT DISTINCT doc_id FROM g "
+        "WHERE t IN (SELECT t FROM ev)) "
+        "SELECT doc_id FROM documents "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM bad)"
+    ),
     # compression_metrics, lang_id, quality_scores, minhash_pairs,
-    # simhash_pairs, ann_topk_lsh: intentionally no oracle (engine-side
-    # semantics with no exact SQL equivalent -> driver rows-only check;
-    # each has a planted-answer test in tests/)
+    # simhash_pairs, ann_topk_lsh, decontaminate (n=13): intentionally
+    # no oracle (engine-side semantics with no exact SQL equivalent ->
+    # driver rows-only check; each has a planted-answer test in tests/)
 }

@@ -883,6 +883,124 @@ def winnow_table(ds, text_col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(run, batch_format="pyarrow")
 
 
+def batch_word_ngram_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-document WORD n-gram rolling hashes, fully vectorized: one
+    arrow lower/split pass, one polynomial hash per word
+    (:func:`arcade_ray.hashing.hash_strings`), then an n-term rolling
+    combine with document boundaries masked (the batch_winnow shape,
+    over words instead of characters). Documents with fewer than ``n``
+    words contribute nothing.
+
+    Returns (hashes uint64, doc_index int64) across the batch."""
+    arr = pa.array(texts) if isinstance(texts, list) else texts
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n_docs = len(arr)
+    empty = (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64))
+    if n_docs == 0:
+        return empty
+    from .hashing import hash_strings
+    from .streams import str_stream_from_arrow
+
+    words = pc.utf8_split_whitespace(pc.utf8_lower(arr))
+    word_counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(words.combine_chunks()
+                           if isinstance(words, pa.ChunkedArray) else words)
+    lengths, data, _ = str_stream_from_arrow(flat)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), word_counts)
+    h = hash_strings(lengths, data)
+    nonempty = lengths > 0  # split emits empties at string edges
+    doc_of, h = doc_of[nonempty], h[nonempty]
+    total = len(h)
+    if total < n:
+        return empty
+    acc = np.zeros(total - n + 1, dtype=np.uint64)
+    base = np.uint64(1099511628211)
+    p = np.uint64(1)
+    for j in range(n):
+        acc += h[j: total - n + 1 + j] * p
+        p *= base
+    # a window is valid iff it lies fully inside one document
+    gdoc = doc_of[: total - n + 1]
+    valid = doc_of[n - 1:] == gdoc
+    return acc[valid], gdoc[valid]
+
+
+def ngram_contaminated_ids(ds, eval_ds, n: int = 13,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           eval_text_col: str | None = None):
+    """Ids of training documents sharing at least one word ``n``-gram
+    with ANY eval document — the standard benchmark-decontamination
+    test (n=13 is the GPT-3/PaLM convention). Identity is the 64-bit
+    rolling hash: a collision can only OVER-flag (drop a clean doc),
+    at ~2^-64 odds per pair — the conservative direction.
+
+    Scale shape: the eval side (the SMALL side) reduces to a
+    deduplicated uint64 hash set — per-batch unique inside
+    map_batches, tiny driver union, ``ray.put`` ONCE; the training
+    corpus then streams through a map-side sorted-membership probe
+    (searchsorted per batch). The corpus never shuffles and never
+    collects. Returns a Dataset with one ``id_col`` column."""
+    import ray
+    import ray.data as rd
+
+    ecol = eval_text_col or text_col
+
+    def eval_hashes(b: pa.Table) -> pa.Table:
+        h, _ = batch_word_ngram_hashes(b[ecol], n)
+        return pa.table({"_h": pa.array(np.unique(h))})
+
+    from .collect import collect_arrow
+
+    ev = collect_arrow(eval_ds.map_batches(eval_hashes,
+                                           batch_format="pyarrow"))
+    ev_hashes = np.unique(ev["_h"].to_numpy(zero_copy_only=False)) \
+        if ev.num_rows else np.empty(0, dtype=np.uint64)
+    ref = ray.put(ev_hashes)  # sorted by np.unique
+
+    def tag(b: pa.Table) -> pa.Table:
+        sorted_ev = ray.get(ref)
+        ids = b[id_col]
+        if len(sorted_ev) == 0 or b.num_rows == 0:
+            return pa.table({id_col: pa.array([], type=ids.type)})
+        h, doc_of = batch_word_ngram_hashes(b[text_col], n)
+        if len(h) == 0:
+            return pa.table({id_col: pa.array([], type=ids.type)})
+        pos = np.searchsorted(sorted_ev, h)
+        pos[pos == len(sorted_ev)] = 0
+        hit = sorted_ev[pos] == h
+        docs = np.unique(doc_of[hit])
+        return b.select([id_col]).take(pa.array(docs, type=pa.int64()))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def decontaminate(ds, eval_ds, n: int = 13, text_col: str = "text",
+                  id_col: str = "doc_id", eval_text_col: str | None = None):
+    """Drop every training document sharing a word ``n``-gram with the
+    eval corpus (see :func:`ngram_contaminated_ids`). The contaminated
+    id set is corpus-small (bounded by the eval set's reach); it
+    collects once, ships via ``ray.put``, and the corpus filters
+    map-side. Returns the filtered Dataset."""
+    import ray
+
+    from .collect import collect_arrow
+
+    bad = collect_arrow(ngram_contaminated_ids(
+        ds, eval_ds, n=n, text_col=text_col, id_col=id_col,
+        eval_text_col=eval_text_col))
+    if bad.num_rows == 0:
+        return ds
+    bad_ref = ray.put(bad[id_col].combine_chunks())
+
+    def keep(b: pa.Table) -> pa.Table:
+        bad_ids = ray.get(bad_ref)
+        return b.filter(pc.invert(pc.is_in(
+            b[id_col], value_set=bad_ids.cast(b[id_col].type))))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def top_words(ds, k: int = 20, text_col: str = "text"):
     """Corpus-wide top-k most frequent lowercase [a-z0-9]+ words,
     ties broken by ascending word.

@@ -134,3 +134,41 @@ def test_cli_stats_distinct_estimates(tmp_path):
     assert est["source"] == 6          # below k: exact
     assert abs(est["doc_id"] - n) / n < 0.45      # ~3.5 sigma at k=64
     assert abs(est["n_tok"] - 700) / 700 < 0.45
+
+
+def test_cli_decontaminate(tmp_path):
+    """decontaminate: docs sharing the planted 3-gram with the eval
+    file are dropped (duckdb cross-check of the CLI's parquet out)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    span = " ".join(f"tok{i}" for i in range(13))
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            f"padding words {span} more padding",
+            "a clean document about something else",
+            f"{span}",
+            "another clean unrelated document body",
+        ]),
+    })
+    src = str(tmp_path / "in.parquet")
+    ev = str(tmp_path / "eval.parquet")
+    pq.write_table(t, src)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([9], pa.int64()),
+        "text": pa.array([f"eval includes {span} verbatim"]),
+    }), ev)
+
+    out_dir = str(tmp_path / "decon")
+    out = subprocess.run(
+        [sys.executable, "-m", "arcade_ray.cli", "--num-cpus", "4",
+         "decontaminate", src, ev, out_dir],
+        capture_output=True, text=True, timeout=240, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "2 survivors" in out.stdout
+    kept = duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{out_dir}/*.parquet') "
+        "ORDER BY doc_id").fetchall()
+    assert [r[0] for r in kept] == [2, 4]

@@ -521,3 +521,55 @@ def test_distributed_pair_verify_disk_parity(ray_session):
     assert obj.schema == dsk.schema
     assert key(obj) == key(dsk)
     assert len(key(obj)) > 0
+
+
+def test_decontaminate_planted_ngram_overlap(ray_session):
+    """Benchmark decontamination: a train doc containing a 13-word
+    span copied into an eval doc is dropped; disjoint docs and
+    shorter overlaps survive."""
+    import ray.data as rd
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.textops import decontaminate, ngram_contaminated_ids
+
+    span13 = " ".join(f"w{i}" for i in range(13))
+    span12 = " ".join(f"v{i}" for i in range(12))
+    train = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": [
+            f"prefix text {span13} suffix text",       # contaminated
+            f"other {span12} trailing words here",     # 12-gram only: clean
+            "completely unrelated document body",      # clean
+            f"{span13}",                               # exactly the span
+        ],
+    })
+    evals = pa.table({
+        "doc_id": pa.array([100, 101], pa.int64()),
+        "text": [f"the eval question mentions {span13} verbatim",
+                 f"another eval with {span12} only"],
+    })
+    bad = collect_arrow(ngram_contaminated_ids(
+        rd.from_arrow(train), rd.from_arrow(evals)))
+    assert sorted(bad["doc_id"].to_pylist()) == [1, 4]
+    kept = collect_arrow(decontaminate(rd.from_arrow(train),
+                                       rd.from_arrow(evals)))
+    assert sorted(kept["doc_id"].to_pylist()) == [2, 3]
+
+    # empty eval set: nothing dropped; empty corpus: empty out
+    empty = rd.from_arrow(train.slice(0, 0))
+    assert collect_arrow(decontaminate(
+        rd.from_arrow(train), empty)).num_rows == 4
+    assert collect_arrow(decontaminate(
+        empty, rd.from_arrow(evals))).num_rows == 0
+
+
+def test_word_ngram_hashes_case_and_boundaries(ray_session):
+    """Hashes are case-insensitive and never span documents."""
+    from arcade_ray.textops import batch_word_ngram_hashes
+
+    h1, d1 = batch_word_ngram_hashes(["A B C", "a b c"], 3)
+    assert len(h1) == 2 and h1[0] == h1[1]
+    assert d1.tolist() == [0, 1]
+    # 2 docs x 2 words: no 3-gram can cross the boundary
+    h2, _ = batch_word_ngram_hashes(["a b", "c d"], 3)
+    assert len(h2) == 0
