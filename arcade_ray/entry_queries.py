@@ -1654,6 +1654,28 @@ def q_decontaminate_tri(sf_dir: str) -> pa.Table:
     return _decontaminate_ids(sf_dir, 3)
 
 
+def q_repetition_scores(sf_dir: str) -> pa.Table:
+    """Gopher-style repeated-trigram counts per document (oracle:
+    DuckDB list_distinct over the same trigram build; integer counts
+    compare exactly — float rounding modes differ between numpy and
+    SQL)."""
+    from .textops import repetition_scores
+
+    out = repetition_scores(_docs_ds(sf_dir), n=3)
+    return _collect(out.map_batches(
+        lambda b: b.select(["doc_id", "n_grams", "n_unique"]),
+        batch_format="pyarrow"))
+
+
+def q_redact_pii(sf_dir: str) -> pa.Table:
+    """PII redaction pass (emails/IPs/phones -> placeholders; oracle:
+    DuckDB regexp_replace with the SAME RE2 patterns — identity on the
+    synthetic corpus, planted-answer test in tests/test_textops.py)."""
+    from .textops import redact_pii
+
+    return _collect(redact_pii(_docs_ds(sf_dir)))
+
+
 QUERIES = {
     # ORDER CONTRACT: the correctness driver samples the FIRST 50
     # entries. They are curated to cover every operator family exactly
@@ -1763,6 +1785,8 @@ QUERIES = {
     "ann_topk_lsh": q_ann_topk_lsh,
     "decontaminate": q_decontaminate,
     "decontaminate_tri": q_decontaminate_tri,
+    "repetition_scores": q_repetition_scores,
+    "redact_pii": q_redact_pii,
 }
 
 _IDS_SQL = ", ".join(str(i) for i in LOOKUP_IDS)
@@ -2160,6 +2184,24 @@ ORACLE_SQL = {
         "WHERE t IN (SELECT t FROM ev)) "
         "SELECT doc_id FROM documents "
         "WHERE doc_id NOT IN (SELECT doc_id FROM bad)"
+    ),
+    "repetition_scores": (
+        "WITH w AS (SELECT doc_id, list_filter("
+        "string_split_regex(lower(text), '\\s+'), x -> x <> '') AS l "
+        "FROM documents), "
+        "g AS (SELECT doc_id, [l[i] || ' ' || l[i+1] || ' ' || l[i+2] "
+        "for i in generate_series(1, greatest(length(l)-2, 0))] AS t "
+        "FROM w) "
+        "SELECT doc_id, CAST(length(t) AS BIGINT) AS n_grams, "
+        "CAST(length(list_distinct(t)) AS BIGINT) AS n_unique FROM g"
+    ),
+    "redact_pii": (
+        "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("
+        "text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+        "'<EMAIL>', 'g'), "
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', "
+        "'g'), '\\+\\d[\\d\\- ]{7,}\\d', '<PHONE>', 'g') AS text "
+        "FROM documents"
     ),
     # compression_metrics, lang_id, quality_scores, minhash_pairs,
     # simhash_pairs, ann_topk_lsh, decontaminate (n=13): intentionally

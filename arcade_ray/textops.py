@@ -1001,6 +1001,80 @@ def decontaminate(ds, eval_ds, n: int = 13, text_col: str = "text",
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def repetition_scores(ds, n: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id", digits: int = 4):
+    """Gopher-style repetition signal: per document, the fraction of
+    its word ``n``-grams that are duplicates (1 - unique/total; 0 for
+    docs with fewer than ``n`` words). One vectorized pass per batch:
+    shared n-gram hashes (:func:`batch_word_ngram_hashes`), one
+    lexsort + run-boundary scan for the per-doc unique counts — no
+    per-document Python, no shuffle. Rounded to ``digits`` so the
+    DuckDB oracle (list_distinct over the same trigrams) compares
+    exactly."""
+    def run(b: pa.Table) -> pa.Table:
+        n_docs = b.num_rows
+        if n_docs == 0:
+            return pa.table({id_col: b[id_col],
+                             "dup_frac": pa.array([], pa.float64())})
+        h, doc_of = batch_word_ngram_hashes(b[text_col], n)
+        total = np.bincount(doc_of, minlength=n_docs)
+        if len(h):
+            order = np.lexsort((h, doc_of))
+            hd, dd = h[order], doc_of[order]
+            new = np.ones(len(hd), dtype=bool)
+            new[1:] = (hd[1:] != hd[:-1]) | (dd[1:] != dd[:-1])
+            uniq = np.bincount(dd[new], minlength=n_docs)
+        else:
+            uniq = np.zeros(n_docs, dtype=np.int64)
+        frac = np.where(total > 0, 1.0 - uniq / np.maximum(total, 1), 0.0)
+        # n_grams/n_unique are the EXACT signal (and what the SQL
+        # oracle compares — float rounding modes differ between numpy
+        # and SQL engines); dup_frac is the convenience ratio
+        return pa.table({
+            id_col: b[id_col],
+            "n_grams": pa.array(total, type=pa.int64()),
+            "n_unique": pa.array(uniq, type=pa.int64()),
+            "dup_frac": pa.array(np.round(frac, digits),
+                                 type=pa.float64())})
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+# (name, RE2 pattern, replacement) — Arrow's replace_substring_regex
+# and DuckDB's regexp_replace both run RE2, so the SAME pattern string
+# is the oracle's pattern (exact output parity)
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(ds, text_col: str = "text",
+               kinds: tuple = ("email", "ip", "phone")):
+    """Scrub PII-shaped substrings from a text column (emails, IPv4
+    addresses, international phone numbers) — the redaction pass a
+    training corpus runs before anything else. Pure Arrow
+    `replace_substring_regex` kernels chained per batch: zero-copy in,
+    no Python strings, streams."""
+    pats = [(p, r) for k, p, r in PII_PATTERNS if k in kinds]
+    unknown = set(kinds) - {k for k, _, _ in PII_PATTERNS}
+    if unknown:
+        raise ValueError(f"unknown PII kinds {sorted(unknown)}; "
+                         f"known: {[k for k, _, _ in PII_PATTERNS]}")
+
+    def run(b: pa.Table) -> pa.Table:
+        col = b[text_col].combine_chunks() if b.num_rows else b[text_col]
+        for pat, rep in pats:
+            col = pc.replace_substring_regex(col, pattern=pat,
+                                             replacement=rep)
+        return b.set_column(b.schema.get_field_index(text_col),
+                            text_col, col)
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
 def top_words(ds, k: int = 20, text_col: str = "text"):
     """Corpus-wide top-k most frequent lowercase [a-z0-9]+ words,
     ties broken by ascending word.

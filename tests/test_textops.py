@@ -573,3 +573,53 @@ def test_word_ngram_hashes_case_and_boundaries(ray_session):
     # 2 docs x 2 words: no 3-gram can cross the boundary
     h2, _ = batch_word_ngram_hashes(["a b", "c d"], 3)
     assert len(h2) == 0
+
+
+def test_repetition_scores_planted(ray_session):
+    """Repeated-trigram fraction: a doc of one repeated trigram scores
+    high, an all-distinct doc scores 0, short docs score 0."""
+    import ray.data as rd
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.textops import repetition_scores
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [
+            "a b c a b c a b c",   # 7 trigrams, 3 unique
+            "q w e r t y u i o",   # 7 trigrams, all unique
+            "x y",                 # < 3 words
+        ],
+    })
+    out = collect_arrow(repetition_scores(rd.from_arrow(t), n=3)) \
+        .sort_by("doc_id")
+    assert out["n_grams"].to_pylist() == [7, 7, 0]
+    assert out["n_unique"].to_pylist() == [3, 7, 0]
+    fr = out["dup_frac"].to_pylist()
+    assert abs(fr[0] - (1 - 3 / 7)) < 1e-3 and fr[1] == 0.0 and fr[2] == 0.0
+
+
+def test_redact_pii_planted(ray_session):
+    """Emails, IPv4s and phone numbers scrub to placeholders; clean
+    text is untouched byte-for-byte."""
+    import ray.data as rd
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.textops import redact_pii
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [
+            "contact alice.smith+x@example.co.uk or call +1 555-123-4567",
+            "server at 192.168.10.254 responded",
+            "nothing sensitive here at all",
+        ],
+    })
+    out = collect_arrow(redact_pii(rd.from_arrow(t))).sort_by("doc_id")
+    texts = out["text"].to_pylist()
+    assert texts[0] == "contact <EMAIL> or call <PHONE>"
+    assert texts[1] == "server at <IP> responded"
+    assert texts[2] == "nothing sensitive here at all"
+
+    with pytest.raises(ValueError):
+        redact_pii(rd.from_arrow(t), kinds=("email", "ssn"))
