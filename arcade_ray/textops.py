@@ -1002,7 +1002,8 @@ def decontaminate(ds, eval_ds, n: int = 13, text_col: str = "text",
 
 
 def repetition_scores(ds, n: int = 3, text_col: str = "text",
-                      id_col: str = "doc_id", digits: int = 4):
+                      id_col: str = "doc_id", digits: int = 4,
+                      keep: list[str] | None = None):
     """Gopher-style repetition signal: per document, the fraction of
     its word ``n``-grams that are duplicates (1 - unique/total; 0 for
     docs with fewer than ``n`` words). One vectorized pass per batch:
@@ -1014,8 +1015,12 @@ def repetition_scores(ds, n: int = 3, text_col: str = "text",
     def run(b: pa.Table) -> pa.Table:
         n_docs = b.num_rows
         if n_docs == 0:
-            return pa.table({id_col: b[id_col],
-                             "dup_frac": pa.array([], pa.float64())})
+            return pa.table({
+                id_col: b[id_col],
+                **{c: b[c] for c in (keep or []) if c != id_col},
+                "n_grams": pa.array([], pa.int64()),
+                "n_unique": pa.array([], pa.int64()),
+                "dup_frac": pa.array([], pa.float64())})
         h, doc_of = batch_word_ngram_hashes(b[text_col], n)
         total = np.bincount(doc_of, minlength=n_docs)
         if len(h):
@@ -1032,6 +1037,7 @@ def repetition_scores(ds, n: int = 3, text_col: str = "text",
         # and SQL engines); dup_frac is the convenience ratio
         return pa.table({
             id_col: b[id_col],
+            **{c: b[c] for c in (keep or []) if c != id_col},
             "n_grams": pa.array(total, type=pa.int64()),
             "n_unique": pa.array(uniq, type=pa.int64()),
             "dup_frac": pa.array(np.round(frac, digits),

@@ -4,9 +4,12 @@ training-data pipeline a user of this engine runs before pretraining,
 composed from the engine's own operators, all streaming:
 
     read_parquet
+      -> redact_pii            (email/IP/phone scrub, Arrow RE2 kernels)
       -> normalize_text        (trim/collapse/lowercase, Arrow kernels)
       -> quality filter        (TextAnalyzer actor pool: lang/quality)
+      -> repetition gate       (Gopher repeated-trigram fraction)
       -> exact_dedup           (hash-only shuffle, map-side anti-join)
+      -> decontaminate         (13-gram overlap vs --eval benchmark)
       -> tokenize + pack       (fixed-length training examples)
       -> write_parquet         (partitioned shards, resumable output)
 
@@ -41,6 +44,12 @@ def main() -> int:
     p.add_argument("--max-len", type=int, default=2048)
     p.add_argument("--max-punct", type=float, default=0.3,
                    help="drop docs with punct_ratio above this")
+    p.add_argument("--max-dup-frac", type=float, default=0.75,
+                   help="drop docs whose repeated-trigram fraction "
+                   "exceeds this (Gopher-style repetition gate)")
+    p.add_argument("--eval", default=None,
+                   help="parquet file/dir of eval docs; when given, "
+                   "training docs sharing a 13-gram are dropped")
     args = p.parse_args()
 
     import pyarrow as pa
@@ -52,13 +61,16 @@ def main() -> int:
         ray.init()
 
     from arcade_ray.sources import read_parquet_clean
-    from arcade_ray.textops import analyze_text, exact_dedup, normalize_text
+    from arcade_ray.textops import (analyze_text, decontaminate,
+                                    exact_dedup, normalize_text,
+                                    redact_pii, repetition_scores)
     from arcade_ray.transforms import pack_sequences
 
     t0 = time.time()
     ds = read_parquet_clean(args.input, columns=[args.id_col, args.text_col])
     n_in = ds.count()
 
+    ds = redact_pii(ds, text_col=args.text_col)
     ds = normalize_text(ds, text_col=args.text_col, out_col="text",
                         keep=[args.id_col])
 
@@ -71,7 +83,24 @@ def main() -> int:
         return b.filter(keep).select([args.id_col, "text"])
 
     ds = analyze_text(ds).map_batches(gate, batch_format="pyarrow")
+
+    # repetition gate: join the per-doc dup_frac back in the same
+    # streamed pass (the scores stage emits id+text-aligned batches)
+    def rep_gate(b: pa.Table) -> pa.Table:
+        keep = pc.less_equal(b["dup_frac"],
+                             pa.scalar(args.max_dup_frac,
+                                       type=pa.float64()))
+        return b.filter(keep).select([args.id_col, "text"])
+
+    ds = repetition_scores(
+        ds, n=3, text_col="text", id_col=args.id_col,
+        keep=["text"]).map_batches(rep_gate, batch_format="pyarrow")
     ds = exact_dedup(ds, text_col="text", id_col=args.id_col)
+    if args.eval:
+        ev = read_parquet_clean(args.eval, columns=[args.text_col])
+        ds = decontaminate(ds, ev, n=13, text_col="text",
+                           id_col=args.id_col,
+                           eval_text_col=args.text_col)
 
     word_re = re.compile(r"[A-Za-z0-9]+")
 
