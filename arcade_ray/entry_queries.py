@@ -1735,8 +1735,9 @@ QUERIES = {
     "ann_lsh_recall": q_ann_lsh_recall,
     "ann_ivf_recall": q_ann_ivf_recall,
     "ann_index_recall": q_ann_index_recall,
-    "ann_index_q8_recall": q_ann_index_q8_recall,
+    "decontaminate_tri": q_decontaminate_tri,
     "embedding_near_dup": q_embedding_near_dup,
+    "ann_index_q8_recall": q_ann_index_q8_recall,
     "equi_filter_int": q_equi_filter_int,
     "notnull_filter": q_notnull_filter,
     "regex_filter": q_regex_filter,
@@ -1784,7 +1785,6 @@ QUERIES = {
     "normalize_text": q_normalize_text,
     "ann_topk_lsh": q_ann_topk_lsh,
     "decontaminate": q_decontaminate,
-    "decontaminate_tri": q_decontaminate_tri,
     "repetition_scores": q_repetition_scores,
     "redact_pii": q_redact_pii,
 }
