@@ -1676,6 +1676,85 @@ def q_redact_pii(sf_dir: str) -> pa.Table:
     return _collect(redact_pii(_docs_ds(sf_dir)))
 
 
+def q_heavy_hitters(sf_dir: str) -> pa.Table:
+    """Misra-Gries heavy-hitter CONTRACT (mergeable-summaries bound,
+    Agarwal et al. PODS'12): for k=64 every word with true count
+    > n/(k+1) must be present in the summary with
+    true - n/(k+1) <= estimate <= true. Returns (word, ok) for each
+    true heavy hitter; the oracle asserts all-true over the same
+    (SQL-computed) heavy set."""
+    from .textops import heavy_hitters, top_words
+
+    k = 64
+    ds = _docs_ds(sf_dir)
+    hh = heavy_hitters(ds, k=k)
+    exact = top_words(ds, k=1 << 30)  # full (vocabulary-sized) counts
+    total = int(hh["total"][0].as_py()) if hh.num_rows else 0
+    est = dict(zip(hh["word"].to_pylist(),
+                   [int(x) for x in hh["n"].to_pylist()]))
+    words, oks = [], []
+    for w, cnt in zip(exact["word"].to_pylist(),
+                      [int(x) for x in exact["n"].to_pylist()]):
+        if cnt * (k + 1) > total:  # true heavy hitter
+            e = est.get(w)
+            ok = e is not None and e <= cnt \
+                and (cnt - e) * (k + 1) <= total
+            words.append(w)
+            oks.append(bool(ok))
+    order = np.argsort(np.asarray(words, dtype=object))
+    return pa.table({
+        "word": pa.array([words[i] for i in order], type=pa.string()),
+        "ok": pa.array([oks[i] for i in order], type=pa.bool_()),
+    })
+
+
+def q_top_word_fraction(sf_dir: str) -> pa.Table:
+    """Gopher-style top-word-fraction quality signal: fraction of each
+    doc's words inside the corpus top-100 word list (count desc, word
+    asc tie-break). The top list broadcasts once via ray.put; the
+    oracle recomputes the same double division in SQL."""
+    from .textops import top_word_fraction, word_counts_sep
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    wc = word_counts_sep(read_parquet_clean(docs, columns=["text"]))
+    order = pc.sort_indices(wc, sort_keys=[("n", "descending"),
+                                           ("word", "ascending")])
+    top = wc.take(order).slice(0, 100)["word"].to_pylist()
+    out = _collect(top_word_fraction(
+        read_parquet_clean(docs, columns=["doc_id", "text"]), top))
+    return out.take(pc.sort_indices(out, sort_keys=[("doc_id", "ascending")]))
+
+
+def q_distinctive_terms(sf_dir: str) -> pa.Table:
+    """Per-source distinctive vocabulary: top-5 words by lift
+    = tf(source,word)/tf(corpus,word), ties by word — the TF-IDF shape
+    with a ranking the SQL oracle reproduces bit-identically."""
+    from .textops import distinctive_terms
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    return distinctive_terms(
+        read_parquet_clean(docs, columns=["text", "source"]), k=5)
+
+
+def q_full_outer_join(sf_dir: str) -> pa.Table:
+    """FULL OUTER co-partitioned join of two encoded tables: customers
+    without orders survive with null order columns (TPC-H leaves ~1/3
+    of customers order-less), completing the join-kind family
+    (inner/left/semi/anti/broadcast/as-of/range/interval)."""
+    from .pipeline.join import copartition_join
+
+    od = encoded_dir(sf_dir, "orders")
+    cu = encoded_dir(sf_dir, "customer")
+    out = _collect(copartition_join(
+        od, cu, left_key="o_custkey", right_key="c_custkey",
+        left_cols=["o_orderkey", "o_custkey"],
+        right_cols=["c_custkey", "c_mktsegment"],
+        join_type="full",
+    ))
+    return out.take(pc.sort_indices(out, sort_keys=[
+        ("o_orderkey", "ascending"), ("c_custkey", "ascending")]))
+
+
 QUERIES = {
     # ORDER CONTRACT: the correctness driver samples the FIRST 50
     # entries. They are curated to cover every operator family exactly
@@ -1787,6 +1866,10 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "repetition_scores": q_repetition_scores,
     "redact_pii": q_redact_pii,
+    "heavy_hitters": q_heavy_hitters,
+    "top_word_fraction": q_top_word_fraction,
+    "distinctive_terms": q_distinctive_terms,
+    "full_outer_join": q_full_outer_join,
 }
 
 _IDS_SQL = ", ".join(str(i) for i in LOOKUP_IDS)
@@ -2202,6 +2285,47 @@ ORACLE_SQL = {
         "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', "
         "'g'), '\\+\\d[\\d\\- ]{7,}\\d', '<PHONE>', 'g') AS text "
         "FROM documents"
+    ),
+    "heavy_hitters": (
+        "WITH w AS (SELECT unnest(regexp_extract_all(lower(text), "
+        "'[a-z0-9]+')) AS word FROM documents), "
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM w), "
+        "c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w "
+        "GROUP BY word) "
+        "SELECT c.word AS word, CAST(1 AS BOOLEAN) AS ok "
+        "FROM c, tot WHERE c.cnt * 65 > tot.n ORDER BY c.word"
+    ),
+    "top_word_fraction": (
+        "WITH w AS (SELECT unnest(string_split(text, ' ')) AS word "
+        "FROM documents), "
+        "cnt AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word), "
+        "top AS (SELECT word FROM cnt ORDER BY n DESC, word LIMIT 100), "
+        "tl AS (SELECT list(word) AS tw FROM top) "
+        "SELECT d.doc_id, "
+        "CAST(len(list_filter(string_split(d.text, ' '), "
+        "x -> list_contains(tl.tw, x))) AS DOUBLE) "
+        "/ len(string_split(d.text, ' ')) AS top_frac "
+        "FROM documents d CROSS JOIN tl ORDER BY d.doc_id"
+    ),
+    "distinctive_terms": (
+        "WITH words AS (SELECT source, unnest(string_split(text, ' ')) "
+        "AS word FROM documents), "
+        "tf AS (SELECT source, word, COUNT(*) AS tf FROM words "
+        "GROUP BY source, word), "
+        "ctf AS (SELECT word, CAST(SUM(tf) AS BIGINT) AS ctf FROM tf "
+        "GROUP BY word) "
+        "SELECT source, word, tf, lift FROM ("
+        "SELECT t.source, t.word, t.tf, "
+        "CAST(t.tf AS DOUBLE)/c.ctf AS lift, "
+        "ROW_NUMBER() OVER (PARTITION BY t.source "
+        "ORDER BY CAST(t.tf AS DOUBLE)/c.ctf DESC, t.word) AS rn "
+        "FROM tf t JOIN ctf c USING (word)) "
+        "WHERE rn <= 5 ORDER BY source, word"
+    ),
+    "full_outer_join": (
+        "SELECT o_orderkey, o_custkey, c_custkey, c_mktsegment "
+        "FROM orders FULL OUTER JOIN customer ON o_custkey = c_custkey "
+        "ORDER BY o_orderkey, c_custkey"
     ),
     # compression_metrics, lang_id, quality_scores, minhash_pairs,
     # simhash_pairs, ann_topk_lsh, decontaminate (n=13): intentionally

@@ -158,6 +158,12 @@ def copartition_join(left_dir: str, right_dir: str, left_key: str,
             + int(_pc.sum(r_man["raw_bytes"]).as_py() or 0)
         mode = "disk" if raw > DISK_EXCHANGE_BYTES else "objects"
     keep = list(dict.fromkeys(left_cols + right_cols))
+    # Arrow's hash join coalesces the key pair into ONE column named
+    # after the left key; if the caller asked for the right key column
+    # under its own (different) name, keep both sides' keys un-coalesced
+    # so outer joins can emit the SQL shape (right key null on
+    # left-only rows, and vice versa).
+    coalesce = not (right_key in right_cols and right_key != left_key)
     l_empty = _side_empty(left_dir, l_paths, left_need)
     r_empty = _side_empty(right_dir, r_paths, right_need)
     if not l_paths or not r_paths:
@@ -261,7 +267,7 @@ def copartition_join(left_dir: str, right_dir: str, left_key: str,
     if not live:
         return rd.from_arrow(l_empty.join(
             r_empty, keys=[left_key], right_keys=[right_key],
-            join_type=arrow_how).select(keep))
+            join_type=arrow_how, coalesce_keys=coalesce).select(keep))
     ds = rd.from_items([{"bucket": b} for b in live])
 
     def join_bucket(batch: pa.Table) -> pa.Table:
@@ -271,7 +277,7 @@ def copartition_join(left_dir: str, right_dir: str, left_key: str,
             b = bv.as_py()
             left, right = fetch(b)
             j = left.join(right, keys=[left_key], right_keys=[right_key],
-                          join_type=arrow_how)
+                          join_type=arrow_how, coalesce_keys=coalesce)
             outs.append(j.select(keep))
         return pa.concat_tables(outs)
 

@@ -1113,6 +1113,239 @@ def top_words(ds, k: int = 20, text_col: str = "text"):
     return t.take(order).slice(0, k)
 
 
+# --- approximate heavy hitters (Misra-Gries, mergeable) ----------------------
+
+# sentinel word used to carry per-batch token totals through the same
+# groupby as the summaries; the tokenizer strips non-[a-z0-9] so no
+# real word can collide with it.
+_MG_TOTAL_SENTINEL = "\x00total"
+
+
+def _mg_compress(words: np.ndarray, counts: np.ndarray,
+                 k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Compress an exact (word, count) table to a Misra-Gries summary
+    of at most ``k`` entries: subtract the (k+1)-th largest count from
+    every count and keep the positives. Summing per-block summaries
+    and re-compressing keeps the classic bound (mergeable summaries,
+    Agarwal et al. PODS'12): every estimate underestimates its true
+    count by at most n/(k+1) for n total tokens."""
+    if len(counts) <= k:
+        return words, counts
+    thresh = np.partition(counts, len(counts) - (k + 1))[len(counts) - (k + 1)]
+    kept = counts > thresh
+    return words[kept], counts[kept] - thresh
+
+
+def heavy_hitters(ds, k: int = 64, text_col: str = "text") -> pa.Table:
+    """Approximate corpus heavy hitters via mergeable Misra-Gries
+    summaries — the sketch answer to "top words" when the vocabulary
+    itself is too large to shuffle.
+
+    Scale shape: each batch computes its exact word counts in one
+    arrow lower/split/value_counts pass, then compresses them to a
+    k-entry MG summary, so the groupby exchange moves AT MOST k+1 rows
+    per block no matter how large the batch vocabulary is (top_words
+    ships the full batch vocabulary). The driver receives the
+    (<= k x blocks)-row aggregate and compresses once more.
+
+    Guarantee (mergeable summaries): for n total tokens, every
+    returned estimate e satisfies true - n/(k+1) <= e <= true, and any
+    word with true count > n/(k+1) is present. Returns (word, n, total)
+    sorted by estimate descending, word ascending; ``total`` is the
+    exact corpus token count (same on every row).
+    """
+    from ray.data.aggregate import Sum
+
+    from .collect import collect_arrow
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern_regex(
+            pc.utf8_lower(batch[text_col]), "[^a-z0-9]+"))
+        words = words.filter(pc.greater(pc.utf8_length(words), 0))
+        vc = words.value_counts()
+        w = np.asarray(vc.field("values").to_pylist(), dtype=object)
+        n = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        w, n = _mg_compress(w, n, k)
+        return pa.table({
+            "word": pa.array(list(w) + [_MG_TOTAL_SENTINEL], type=pa.string()),
+            "n": pa.array(list(n) + [len(words)], type=pa.int64()),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("n", alias_name="n"))
+    t = collect_arrow(agg)
+    if t.num_rows == 0:
+        return pa.table({"word": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64()),
+                         "total": pa.array([], type=pa.int64())})
+    is_total = pc.equal(t["word"], _MG_TOTAL_SENTINEL)
+    total = int(pc.sum(pc.if_else(is_total, t["n"], pa.scalar(0, pa.int64()))).as_py())
+    t = t.filter(pc.invert(is_total))
+    w = np.asarray(t["word"].to_pylist(), dtype=object)
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    w, n = _mg_compress(w, n, k)
+    order = np.lexsort((w, -n))
+    return pa.table({
+        "word": pa.array(w[order], type=pa.string()),
+        "n": pa.array(n[order], type=pa.int64()),
+        "total": pa.array(np.full(len(order), total), type=pa.int64()),
+    })
+
+
+# --- Gopher-style top-word-fraction quality signal ---------------------------
+
+
+def word_counts_sep(ds, text_col: str = "text", sep: str = " ") -> pa.Table:
+    """Corpus-wide (word, n) counts splitting on a LITERAL separator
+    (SQL ``string_split(text, sep)`` semantics: empties kept, no
+    lowercasing) so results are DuckDB-oracle-mirrorable. Same
+    map-side pre-aggregation shape as :func:`top_words`."""
+    from ray.data.aggregate import Sum
+
+    from .collect import collect_arrow
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(batch[text_col], sep))
+        vc = words.value_counts()
+        return pa.table({
+            "word": vc.field("values"),
+            "n": vc.field("counts").cast(pa.int64()),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("n", alias_name="n"))
+    return collect_arrow(agg)
+
+
+def top_word_fraction(ds, top_words_list, text_col: str = "text",
+                      id_col: str = "doc_id", sep: str = " "):
+    """Gopher-style quality signal (Rae et al. 2021, appendix A1): the
+    fraction of a document's words that fall inside a given top-word
+    list. Documents dominated by the corpus's most common words are
+    low-information boilerplate; a cleaning pipeline gates on this
+    fraction.
+
+    The top-word list is tiny -> ``ray.put`` once and fetched
+    zero-copy per task, never re-shipped per batch. Each batch does
+    one arrow split + is_in pass and a reduceat over the list offsets
+    — no per-row Python. Splitting uses the LITERAL separator (SQL
+    ``string_split`` semantics) so the op is DuckDB-oracle-checkable.
+
+    Returns a Dataset of (id_col, top_frac:double).
+    """
+    import ray
+
+    top_arr = pa.array(sorted({str(w) for w in top_words_list}),
+                       type=pa.string())
+    top_ref = ray.put(top_arr)
+
+    def frac(batch: pa.Table) -> pa.Table:
+        top = ray.get(top_ref)
+        words = pc.split_pattern(batch[text_col], sep).combine_chunks()
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(words)
+        hits = pc.is_in(flat, value_set=top)
+        hit_i = hits.to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        nz = lens > 0
+        per = np.zeros(len(lens), dtype=np.int64)
+        if hit_i.size and nz.any():
+            # reduceat misbehaves on zero-length segments; compute on
+            # the non-empty ones only (split_pattern never yields an
+            # empty list for non-null text, but null text does).
+            # Empty segments between two non-empty starts contribute
+            # no elements, so each reduceat span covers exactly one
+            # document's words.
+            per[nz] = np.add.reduceat(hit_i, starts[nz])
+        out_frac = np.divide(per, lens, out=np.zeros(len(lens)), where=nz)
+        return pa.table({
+            id_col: batch[id_col],
+            "top_frac": pa.array(out_frac, type=pa.float64()),
+        })
+
+    return ds.map_batches(frac, batch_format="pyarrow")
+
+
+def distinctive_terms(ds, k: int = 5, text_col: str = "text",
+                      source_col: str = "source",
+                      sep: str = " ") -> pa.Table:
+    """Per-source distinctive vocabulary — the TF-IDF shape with a
+    deterministic, DuckDB-oracle-checkable ranking: for each source,
+    the top-k words by LIFT = tf(source, word) / tf(corpus, word)
+    (how over-represented the word is in this source vs the whole
+    corpus), ties broken by ascending word. Both sides compute lift
+    as the same two-int64 IEEE double division, so the ordering and
+    the emitted value are bit-identical to the SQL oracle.
+
+    Scale shape: one map-side (source, word) count partial per batch
+    (vocabulary-bounded, via a combined key so the exchange is a
+    single-key groupby), one groupby SUM; corpus totals and the
+    per-source ranking run vectorized over the (sources x vocabulary)-
+    bounded aggregate. Returns (source, word, tf, lift) sorted by
+    source, word.
+    """
+    from ray.data.aggregate import Sum
+
+    from .collect import collect_arrow
+
+    SEP = "\x1f"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch[text_col], sep).combine_chunks()
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        src = batch[source_col].combine_chunks().cast(pa.string())
+        rep_src = src.take(pa.array(np.repeat(np.arange(len(lens)), lens)))
+        key = pc.binary_join_element_wise(rep_src, pc.list_flatten(words), SEP)
+        vc = key.value_counts()
+        return pa.table({
+            "key": vc.field("values"),
+            "tf": vc.field("counts").cast(pa.int64()),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("key").aggregate(Sum("tf", alias_name="tf"))
+    t = collect_arrow(agg)
+    if t.num_rows == 0:
+        return pa.table({"source": pa.array([], type=pa.string()),
+                         "word": pa.array([], type=pa.string()),
+                         "tf": pa.array([], type=pa.int64()),
+                         "lift": pa.array([], type=pa.float64())})
+    parts = pc.split_pattern(t["key"], SEP, max_splits=1).combine_chunks()
+    src = pc.list_element(parts, 0)
+    word = pc.list_element(parts, 1)
+    tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+    src_np = np.asarray(src.to_pylist(), dtype=object)
+    word_np = np.asarray(word.to_pylist(), dtype=object)
+    # corpus term frequency per word -> lift = tf / ctf (exact int64
+    # operands; the double division matches the SQL oracle bit for bit)
+    uniq_w, word_code = np.unique(word_np, return_inverse=True)
+    ctf = np.zeros(len(uniq_w), dtype=np.int64)
+    np.add.at(ctf, word_code, tf)
+    lift = tf.astype(np.float64) / ctf[word_code].astype(np.float64)
+    # rank per source by lift desc, word asc; keep k
+    order = np.lexsort((word_np, -lift, src_np))
+    src_s, word_s = src_np[order], word_np[order]
+    tf_s, lift_s = tf[order], lift[order]
+    new_src = np.ones(len(src_s), dtype=bool)
+    new_src[1:] = src_s[1:] != src_s[:-1]
+    seg_start = np.zeros(len(src_s), dtype=np.int64)
+    starts = np.flatnonzero(new_src)
+    seg_start[starts] = starts
+    seg_start = np.maximum.accumulate(seg_start)
+    rank = np.arange(len(src_s)) - seg_start
+    top = rank < k
+    out_order = np.lexsort((word_s[top], src_s[top]))
+    return pa.table({
+        "source": pa.array(src_s[top][out_order], type=pa.string()),
+        "word": pa.array(word_s[top][out_order], type=pa.string()),
+        "tf": pa.array(tf_s[top][out_order], type=pa.int64()),
+        "lift": pa.array(lift_s[top][out_order], type=pa.float64()),
+    })
+
+
 def analyze_text(ds, concurrency: int | None = None, batch_size: int = 4096):
     if concurrency is None:
         # leave headroom for the read stage — an actor pool that

@@ -148,6 +148,45 @@ def test_copartition_join_left(two_tables):
     assert n_miss == exp_miss > 0
 
 
+def test_copartition_join_full_outer(tmp_path, ray_session):
+    """FULL OUTER with both left-only AND right-only rows; the right
+    key column is requested under its own name, so keys stay
+    un-coalesced and the SQL shape comes out (nulls on the missing
+    side). Oracle: pandas outer merge."""
+    import ray.data as rd
+
+    from arcade_ray.pipeline.join import copartition_join
+
+    left = pa.table({
+        "lk": pa.array([0, 1, 1, 2, 7, 8], type=pa.int64()),
+        "lv": pa.array(["a", "b", "c", "d", "e", "f"]),
+        "ltag": pa.array(["t0"] * 6),
+    })
+    right = pa.table({
+        "rk": pa.array([1, 2, 3, 9], type=pa.int64()),
+        "rv": pa.array(["R1", "R2", "R3", "R9"]),
+        "rtag": pa.array(["u0"] * 4),
+    })
+    l_dir, r_dir = str(tmp_path / "l"), str(tmp_path / "r")
+    encode_dataset(rd.from_arrow(left), l_dir, key_col="ltag", id_col="lk",
+                   weight_col=None)
+    encode_dataset(rd.from_arrow(right), r_dir, key_col="rtag", id_col="rk",
+                   weight_col=None)
+    out = collect_arrow(copartition_join(
+        l_dir, r_dir, left_key="lk", right_key="rk",
+        left_cols=["lk", "lv"], right_cols=["rk", "rv"],
+        join_type="full"))
+    exp = left.to_pandas().merge(right.to_pandas(), how="outer",
+                                 left_on="lk", right_on="rk")
+    exp = exp[["lk", "lv", "rk", "rv"]]
+    got = out.to_pandas()
+    key = ["lk", "lv", "rk", "rv"]
+    got = got.sort_values(key, na_position="last").reset_index(drop=True)
+    exp = exp.sort_values(key, na_position="last").reset_index(drop=True)
+    assert len(got) == len(exp) == 8  # 3 matched + 3 left-only + 2 right-only
+    assert got.equals(exp)
+
+
 def test_copartition_join_mn_duplicates(two_tables, tmp_path, ray_session):
     """m:n key multiplicity on BOTH sides — the case broadcast_join
     rejects — must produce the full cross product per key."""

@@ -623,3 +623,102 @@ def test_redact_pii_planted(ray_session):
 
     with pytest.raises(ValueError):
         redact_pii(rd.from_arrow(t), kinds=("email", "ssn"))
+
+
+def test_heavy_hitters_contract(docs_ds):
+    """Misra-Gries over many blocks: the mergeable-summaries bound
+    holds vs exact counts (true - n/(k+1) <= est <= true; every word
+    above the threshold present), the summary never exceeds k entries,
+    and the exact corpus total rides along."""
+    import re
+    from collections import Counter
+
+    from arcade_ray.textops import heavy_hitters
+
+    k = 8
+    out = heavy_hitters(docs_ds, k=k)
+    assert out.column_names == ["word", "n", "total"]
+    assert out.num_rows <= k
+
+    exact = Counter()
+    for t in make_docs_table()["text"].to_pylist():
+        exact.update(re.findall(r"[a-z0-9]+", t.lower()))
+    total = sum(exact.values())
+    assert out["total"][0].as_py() == total
+
+    est = dict(zip(out["word"].to_pylist(), out["n"].to_pylist()))
+    bound = total / (k + 1)
+    for w, e in est.items():
+        assert e <= exact[w] and exact[w] - e <= bound, (w, e, exact[w])
+    for w, c in exact.items():
+        if c > bound:
+            assert w in est, (w, c, bound)
+
+
+def test_heavy_hitters_many_blocks(ray_session):
+    """The bound survives merging across MANY per-block summaries (the
+    scale shape: each block ships <= k+1 rows), on a skewed corpus."""
+    import ray.data as rd
+
+    from arcade_ray.textops import heavy_hitters
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{v:04d}" for v in range(2000)]
+    texts = []
+    for i in range(400):
+        ws = list(rng.choice(vocab, size=30))
+        ws += ["hot"] * 5 + ["warm"] * (i % 3)
+        texts.append(" ".join(ws))
+    ds = rd.from_arrow(pa.table({"text": texts})).repartition(16)
+    k = 32
+    out = heavy_hitters(ds, k=k)
+    total = out["total"][0].as_py()
+    assert total == 400 * 30 + 400 * 5 + sum(i % 3 for i in range(400))
+    est = dict(zip(out["word"].to_pylist(), out["n"].to_pylist()))
+    assert "hot" in est  # 2000 > total/(k+1)
+    assert est["hot"] <= 2000 and 2000 - est["hot"] <= total / (k + 1)
+
+
+def test_top_word_fraction(ray_session):
+    """Per-doc fraction of words inside a given top list, vs a pure
+    Python recount; SQL string_split semantics (literal separator)."""
+    import ray.data as rd
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.textops import top_word_fraction
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["the cat sat on the mat", "dog runs", "the the the",
+                 "zebra unique words only"],
+    })
+    top = ["the", "on", "dog"]
+    out = collect_arrow(top_word_fraction(
+        rd.from_arrow(t).repartition(3), top)).sort_by("doc_id")
+    got = out["top_frac"].to_pylist()
+    want = []
+    for txt in t["text"].to_pylist():
+        ws = txt.split(" ")
+        want.append(sum(w in top for w in ws) / len(ws))
+    assert got == want
+
+
+def test_distinctive_terms(ray_session):
+    """Lift ranking vs a pandas recount on a corpus where sources
+    share vocabulary but in different proportions."""
+    import ray.data as rd
+
+    from arcade_ray.textops import distinctive_terms
+
+    t = pa.table({
+        "source": ["a", "a", "b", "b"],
+        "text": ["x x x y z", "x y", "z z z y", "q q z"],
+    })
+    out = distinctive_terms(rd.from_arrow(t).repartition(2), k=2)
+    df = out.to_pandas()
+    # corpus tf: x=4 (all in a), y=3 (2 a / 1 b), z=5 (1 a / 4 b), q=2 (b)
+    # lifts a: x 4/4=1.0, y 2/3, z 1/5 -> top2 = x, y
+    # lifts b: q 2/2=1.0, z 4/5, y 1/3 -> top2 = q, z
+    rows = list(zip(df["source"], df["word"], df["tf"], df["lift"]))
+    assert rows == [("a", "x", 4, 1.0), ("a", "y", 2, 2 / 3),
+                    ("b", "q", 2, 1.0), ("b", "z", 4, 4 / 5)]
