@@ -47,6 +47,7 @@ def cmd_compress(args) -> None:
         args.input, args.out_dir, key_col=args.key_col, id_col=args.id_col,
         weight_col=args.weight_col or None, weight_cap=args.cap,
         resume=not args.no_resume, generation=args.generation,
+        range_partition_col=args.range_partition,
     )
     dt = time.perf_counter() - t0
     rows = sum(manifest["rows"].to_pylist())
@@ -417,6 +418,11 @@ def main(argv=None) -> None:
     c.add_argument("--generation", default=None,
                    help="append namespace: encode this input as a new "
                         "generation alongside existing partitions")
+    c.add_argument("--range-partition", default=None, metavar="COL",
+                   help="clustered layout: partition by quantile RANGES "
+                        "of this numeric/timestamp column (disjoint zone "
+                        "maps -> cross-partition pruning) instead of "
+                        "hashing --key-col")
     c.set_defaults(fn=cmd_compress)
 
     s = sub.add_parser("scan")

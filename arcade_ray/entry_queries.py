@@ -1736,6 +1736,29 @@ def q_distinctive_terms(sf_dir: str) -> pa.Table:
         read_parquet_clean(docs, columns=["text", "source"]), k=5)
 
 
+def q_clustered_range_filter(sf_dir: str) -> pa.Table:
+    """Range filter over a RANGE-PARTITIONED (clustered) encode:
+    partitions cover disjoint n_chars quantile ranges, so the manifest
+    zone maps prune the predicate ACROSS partitions (cluster-level
+    pruning; verified in tests/test_pipeline_e2e.py). Same SQL shape
+    as range_filter — the layout changes which partitions are read,
+    never the answer."""
+    import hashlib as _hl
+
+    from .pipeline.encode import encode_parquet
+    from .pipeline.query import range_filter
+
+    tag = _hl.md5(f"{sf_dir}|rp-docs|{_CACHE_SALT}".encode()).hexdigest()[:10]
+    out = os.path.join(CACHE_ROOT, f"rp-docs-{tag}")
+    if not os.path.exists(os.path.join(out, "manifest.parquet")):
+        encode_parquet(
+            os.path.join(sf_dir, "documents.parquet"), out,
+            id_col="doc_id", weight_col="n_chars", weight_cap=15_000,
+            range_partition_col="n_chars")
+    return _collect(range_filter(out, "n_chars", 120, 160,
+                                 project=["doc_id", "n_chars"]))
+
+
 def q_full_outer_join(sf_dir: str) -> pa.Table:
     """FULL OUTER co-partitioned join of two encoded tables: customers
     without orders survive with null order columns (TPC-H leaves ~1/3
@@ -1870,6 +1893,7 @@ QUERIES = {
     "top_word_fraction": q_top_word_fraction,
     "distinctive_terms": q_distinctive_terms,
     "full_outer_join": q_full_outer_join,
+    "clustered_range_filter": q_clustered_range_filter,
 }
 
 _IDS_SQL = ", ".join(str(i) for i in LOOKUP_IDS)
@@ -2326,6 +2350,10 @@ ORACLE_SQL = {
         "SELECT o_orderkey, o_custkey, c_custkey, c_mktsegment "
         "FROM orders FULL OUTER JOIN customer ON o_custkey = c_custkey "
         "ORDER BY o_orderkey, c_custkey"
+    ),
+    "clustered_range_filter": (
+        "SELECT doc_id, n_chars FROM documents "
+        "WHERE n_chars BETWEEN 120 AND 160"
     ),
     # compression_metrics, lang_id, quality_scores, minhash_pairs,
     # simhash_pairs, ann_topk_lsh, decontaminate (n=13): intentionally

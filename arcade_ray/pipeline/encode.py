@@ -143,6 +143,81 @@ def _drop_replaced(rows: dict[str, dict]) -> dict[str, dict]:
     return {k: r for k, r in rows.items() if k not in replaced}
 
 
+def _range_plan_path(out_dir: str, generation: str | None) -> str:
+    gen = f"@{generation}" if generation else ""
+    return os.path.join(out_dir, f"range_plan{gen}.json")
+
+
+def _save_range_plan(out_dir: str, generation: str | None, plan) -> None:
+    """Persist the quantile boundaries next to the data (atomic
+    tmp+rename): a resumed run MUST reuse the original cut points —
+    re-sampling under a different input blocking would silently remap
+    rows across already-committed partitions."""
+    import json
+
+    path = _range_plan_path(out_dir, generation)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"col": plan.col, "boundaries": list(plan.boundaries),
+                   "weights": list(plan.weights)}, f)
+    os.replace(tmp, path)
+
+
+def _load_range_plan(out_dir: str, generation: str | None):
+    import json
+
+    from ..planner import RangePlan
+
+    path = _range_plan_path(out_dir, generation)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        d = json.load(f)
+    return RangePlan(tuple(d["boundaries"]), d["col"], tuple(d["weights"]))
+
+
+def _cap_for(weight_col: str | None, weight_cap: int | None) -> int:
+    from ..constants import DEFAULT_PART_ROW_CAP, DEFAULT_PART_TOKEN_CAP
+
+    return weight_cap or (DEFAULT_PART_TOKEN_CAP if weight_col is not None
+                          else DEFAULT_PART_ROW_CAP)
+
+
+def _range_plan_dataset(ds, out_dir: str, range_col: str,
+                        weight_col: str | None, weight_cap: int | None,
+                        generation: str | None):
+    """Load the persisted range plan, or build one from a streaming
+    sample wave over the Dataset (strided per-batch samples + weight
+    partials; one tiny row per block reaches the driver)."""
+    import numpy as np
+
+    plan = _load_range_plan(out_dir, generation)
+    if plan is not None:
+        return plan
+    from ..planner import build_range_plan, range_sample
+
+    cols = [range_col] + ([weight_col] if weight_col
+                          and weight_col != range_col else [])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = range_sample(batch[range_col])
+        w = int(pc.sum(batch[weight_col]).as_py() or 0) if weight_col \
+            else batch.num_rows
+        return pa.table({"s": pa.array([s.tolist()]),
+                         "w": pa.array([w], type=pa.int64())})
+
+    parts = ds.select_columns(cols) \
+        .map_batches(partial, batch_format="pyarrow").take_all()
+    samples = np.concatenate(
+        [np.asarray(r["s"]) for r in parts if len(r["s"])]) \
+        if any(len(r["s"]) for r in parts) else np.empty(0)
+    total = sum(int(r["w"]) for r in parts)
+    plan = build_range_plan(samples, total,
+                            _cap_for(weight_col, weight_cap), range_col)
+    _save_range_plan(out_dir, generation, plan)
+    return plan
+
+
 def _apply_generation(pid_keys: list[str],
                       generation: str | None) -> list[str]:
     """Namespace partition keys as {src}@{generation}#{bucket} so an
@@ -162,7 +237,8 @@ def encode_dataset(ds, out_dir: str, key_col: str = "source",
                    weight_cap: int | None = None, resume: bool = True,
                    sort_partitions_by: str | None = None,
                    exchange: str = "direct",
-                   generation: str | None = None) -> pa.Table:
+                   generation: str | None = None,
+                   range_partition_col: str | None = None) -> pa.Table:
     """Run the full encode pipeline; returns the consolidated manifest
     table (one row per partition, including previously committed ones).
 
@@ -197,11 +273,17 @@ def encode_dataset(ds, out_dir: str, key_col: str = "source",
     """
     os.makedirs(os.path.join(out_dir, PARTS_DIR), exist_ok=True)
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    if range_partition_col is not None and sort_partitions_by is None:
+        # clustered layout all the way down: rows inside each range
+        # partition sort by the same column, so chunk zone maps nest
+        # inside the partition's disjoint range
+        sort_partitions_by = range_partition_col
     sort_by = id_col if sort_partitions_by is None else sort_partitions_by
 
     done = committed_parts(out_dir) if resume else {}
     in_sch = ds.schema()
-    _validate_columns(set(in_sch.names), key_col, id_col, weight_col)
+    _validate_columns(set(in_sch.names),
+                      range_partition_col or key_col, id_col, weight_col)
     if isinstance(in_sch.base_schema, pa.Schema):
         _write_schema_sidecar(out_dir, in_sch.base_schema.remove_metadata())
     # pandas-backed datasets have a PandasBlockSchema (no pa.Schema to
@@ -209,16 +291,23 @@ def encode_dataset(ds, out_dir: str, key_col: str = "source",
     # planning pass reads only key+weight columns (projection pushdown
     # into the parquet read — never drag the token payload through the
     # planning aggregate)
-    plan_cols = [key_col] + ([weight_col] if weight_col and weight_col != key_col else [])
-    plan = build_plan(ds.select_columns(plan_cols), key_col, id_col,
-                      weight_col, weight_cap)
+    if range_partition_col is not None:
+        plan = _range_plan_dataset(ds, out_dir, range_partition_col,
+                                   weight_col, weight_cap, generation)
+    else:
+        plan_cols = [key_col] + ([weight_col] if weight_col and weight_col != key_col else [])
+        plan = build_plan(ds.select_columns(plan_cols), key_col, id_col,
+                          weight_col, weight_cap)
     pid_keys = _apply_generation(plan.part_keys(), generation)
     done_pids = pa.array(
         [i for i, k in enumerate(pid_keys) if k in done], type=pa.int64()
     )
 
+    from ..planner import RangePlan, assign_range_pids
+
     def assign(batch: pa.Table) -> pa.Table:
-        out = assign_part_keys(batch, plan)
+        out = assign_range_pids(batch, plan) if isinstance(plan, RangePlan) \
+            else assign_part_keys(batch, plan)
         if len(done_pids):
             keep = pc.invert(pc.is_in(out["_pid"], value_set=done_pids))
             out = out.filter(keep)
@@ -671,7 +760,8 @@ def encode_parquet(paths: list[str] | str, out_dir: str,
                    weight_cap: int | None = None, resume: bool = True,
                    sort_partitions_by: str | None = None,
                    exchange: str | None = None,
-                   generation: str | None = None) -> pa.Table:
+                   generation: str | None = None,
+                   range_partition_col: str | None = None) -> pa.Table:
     """Parquet-source fast path of :func:`encode_dataset`: split tasks
     read the shards directly (no intermediate block materialization),
     and the planning pass reads only the key/weight columns per shard.
@@ -681,7 +771,16 @@ def encode_parquet(paths: list[str] | str, out_dir: str,
     inputs under ARCADE_DISK_EXCHANGE_BYTES on-disk bytes and the
     disk-staged, bounded-in-flight exchange above it — uncompressed
     fragments of a giant input would otherwise only be survivable via
-    object-store spilling."""
+    object-store spilling.
+
+    ``range_partition_col``: CLUSTERED layout — partitions cover
+    disjoint quantile ranges of this (numeric/timestamp) column
+    instead of hash buckets of ``key_col``, and rows inside each
+    partition sort by it, so manifest zone maps prune range/point
+    predicates on the column ACROSS partitions. Boundaries come from a
+    sampled planning wave and persist in ``range_plan.json`` (resume
+    reuses them; re-sampling under different input blocking would
+    remap rows across committed partitions)."""
     import glob as _glob
 
     import ray
@@ -698,6 +797,8 @@ def encode_parquet(paths: list[str] | str, out_dir: str,
 
     os.makedirs(os.path.join(out_dir, PARTS_DIR), exist_ok=True)
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    if range_partition_col is not None and sort_partitions_by is None:
+        sort_partitions_by = range_partition_col
     sort_by = id_col if sort_partitions_by is None else sort_partitions_by
     done = committed_parts(out_dir) if resume else {}
 
@@ -705,7 +806,8 @@ def encode_parquet(paths: list[str] | str, out_dir: str,
 
     input_schema = _pq.read_schema(files[0])
     schema_names = set(input_schema.names)
-    _validate_columns(schema_names, key_col, id_col, weight_col)
+    _validate_columns(schema_names, range_partition_col or key_col,
+                      id_col, weight_col)
     _write_schema_sidecar(out_dir, input_schema.remove_metadata())
 
     # planning pass: per-file partial aggregates over pruned columns
@@ -769,25 +871,66 @@ def encode_parquet(paths: list[str] | str, out_dir: str,
     import time as _time
 
     _t_plan0 = _time.perf_counter()
-    totals: dict[str, int] = {}
-    for part in ray.get([file_partial.remote(g) for g in groups]):
-        for k, w in part.items():
-            totals[k] = totals.get(k, 0) + w
+    if range_partition_col is not None:
+        plan = _load_range_plan(out_dir, generation)
+        if plan is None:
+            import numpy as np
+
+            from ..planner import build_range_plan, range_sample
+
+            rcols = [range_partition_col] + (
+                [weight_col] if weight_col
+                and weight_col != range_partition_col else [])
+
+            @ray.remote
+            def range_partial(fs: list):
+                import numpy as np
+                import pyarrow.parquet as pq
+
+                _pin_arrow_threads()
+                samples, w = [], 0
+                for f in fs:
+                    if isinstance(f, tuple):
+                        path, lo, hi = f
+                        t = pq.ParquetFile(path).read_row_groups(
+                            list(range(lo, hi)), columns=rcols)
+                    else:
+                        t = pq.read_table(f, columns=rcols)
+                    samples.append(range_sample(t[range_partition_col]))
+                    w += int(pc.sum(t[weight_col]).as_py() or 0) \
+                        if weight_col else t.num_rows
+                return (np.concatenate(samples) if samples
+                        else np.empty(0), w)
+
+            parts = ray.get([range_partial.remote(g) for g in groups])
+            samples = np.concatenate([p[0] for p in parts]) if parts \
+                else np.empty(0)
+            plan = build_range_plan(samples, sum(p[1] for p in parts),
+                                    cap, range_partition_col)
+            _save_range_plan(out_dir, generation, plan)
+    else:
+        totals: dict[str, int] = {}
+        for part in ray.get([file_partial.remote(g) for g in groups]):
+            for k, w in part.items():
+                totals[k] = totals.get(k, 0) + w
+        plan = Plan({k: max(1, -(-w // cap)) for k, w in totals.items()},
+                    key_col, id_col, cap, source_weights=totals)
     if os.environ.get("ARCADE_TIMING"):
         import sys as _sys
 
         print(f"[arcade-timing] plan_wave="
               f"{_time.perf_counter() - _t_plan0:.3f}s "
               f"plan_tasks={len(groups)}", file=_sys.stderr)
-    plan = Plan({k: max(1, -(-w // cap)) for k, w in totals.items()},
-                key_col, id_col, cap, source_weights=totals)
     pid_keys = _apply_generation(plan.part_keys(), generation)
     done_pids = pa.array(
         [i for i, k in enumerate(pid_keys) if k in done], type=pa.int64()
     )
 
+    from ..planner import RangePlan, assign_range_pids
+
     def assign(batch: pa.Table) -> pa.Table:
-        out = assign_part_keys(batch, plan)
+        out = assign_range_pids(batch, plan) if isinstance(plan, RangePlan) \
+            else assign_part_keys(batch, plan)
         if len(done_pids):
             keep = pc.invert(pc.is_in(out["_pid"], value_set=done_pids))
             out = out.filter(keep)

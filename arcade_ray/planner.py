@@ -113,3 +113,96 @@ def assign_part_keys(batch: pa.Table, plan: Plan) -> pa.Table:
     bucket = (h % nb_map[codes]).astype(np.int64)
     pid = base_map[codes] + bucket
     return batch.append_column("_pid", pa.array(pid, type=pa.int64()))
+
+
+# --- range (clustered) partitioning ------------------------------------------
+#
+# The layout feature hash partitioning can't give: partitions cover
+# DISJOINT value ranges of one column, so the per-partition zone maps
+# in the manifest prune range/equality predicates on that column ACROSS
+# partitions (the reference's zone-map idea, lifted from chunk level to
+# cluster level). The boundaries come from a sampled quantile sketch in
+# the planning pass and are PERSISTED next to the data — a resumed run
+# re-loads them instead of re-sampling, so partition identity is stable
+# no matter how the input re-blocks.
+
+RANGE_SAMPLE_PER_TASK = 4096
+
+
+@dataclass(frozen=True)
+class RangePlan:
+    """Quantile cut points for range partitioning on ``col``.
+
+    ``boundaries`` are sorted, deduplicated, upper-exclusive cut points
+    (len B-1 for B buckets); a value v lands in the first bucket whose
+    boundary exceeds it (np.searchsorted side="right"). Timestamps are
+    carried as int64 epoch values."""
+    boundaries: tuple
+    col: str
+    weights: tuple  # estimated weight per bucket (drives LPT packing)
+
+    def part_keys(self) -> list[str]:
+        return [f"range#{i:04d}" for i in range(len(self.boundaries) + 1)]
+
+    def pid_weights(self) -> list[int]:
+        return list(self.weights)
+
+
+def range_sample(values: pa.ChunkedArray | pa.Array,
+                 k: int = RANGE_SAMPLE_PER_TASK) -> np.ndarray:
+    """Deterministic strided sample of up to k non-null values (sorted
+    input not required; the stride keeps every region of the block
+    represented without RNG state)."""
+    a = values.combine_chunks() if isinstance(values, pa.ChunkedArray) \
+        else values
+    if pa.types.is_timestamp(a.type):
+        a = a.cast(pa.int64())
+    a = a.drop_null()
+    if len(a) == 0:
+        return np.empty(0, dtype=np.float64)
+    v = a.to_numpy(zero_copy_only=False)
+    if len(v) <= k:
+        return v
+    step = -(-len(v) // k)
+    return v[::step]
+
+
+def build_range_plan(samples: np.ndarray, total_weight: int, cap: int,
+                     col: str) -> RangePlan:
+    """Quantile boundaries from the merged planning sample: B =
+    ceil(total_weight / cap) buckets, cut at the i/B quantiles
+    (method="lower" keeps integer columns exact). Duplicate quantiles
+    (heavy single values) collapse — skew degrades bucket count, never
+    correctness."""
+    n_buckets = max(1, -(-int(total_weight) // int(cap)))
+    samples = np.sort(np.asarray(samples))
+    if n_buckets == 1 or len(samples) == 0:
+        return RangePlan((), col, (max(1, int(total_weight)),))
+    qs = np.quantile(samples, [i / n_buckets for i in range(1, n_buckets)],
+                     method="lower")
+    boundaries = tuple(dict.fromkeys(qs.tolist()))
+    b = len(boundaries) + 1
+    w = max(1, int(total_weight) // b)
+    return RangePlan(boundaries, col, (w,) * b)
+
+
+def assign_range_pids(batch: pa.Table, plan: RangePlan) -> pa.Table:
+    """Stateless map_batches stage mirroring :func:`assign_part_keys`
+    for range plans: ``_pid`` = searchsorted bucket of the range
+    column. Nulls sort after every boundary (NaN compares false) and
+    land in the LAST bucket — deterministic, and the partition's zone
+    map records the null count so pruning stays correct."""
+    a = batch[plan.col].combine_chunks()
+    if pa.types.is_timestamp(a.type):
+        a = a.cast(pa.int64())
+    v = a.to_numpy(zero_copy_only=False)
+    if not plan.boundaries:
+        pid = np.zeros(batch.num_rows, dtype=np.int64)
+    else:
+        b = np.asarray(plan.boundaries)
+        if v.dtype.kind == "f" and b.dtype.kind != "f":
+            b = b.astype(np.float64)  # null-bearing int block -> NaN floats
+        pid = np.searchsorted(b, v, side="right").astype(np.int64)
+        if v.dtype.kind == "f":
+            pid[np.isnan(v)] = len(plan.boundaries)  # nulls -> last bucket
+    return batch.append_column("_pid", pa.array(pid, type=pa.int64()))

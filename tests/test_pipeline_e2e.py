@@ -412,3 +412,98 @@ def test_encode_dataset_pandas_backed(ray_session, tmp_path):
     got = scan(out).to_pandas()
     assert len(got) == 50
     assert read_schema_sidecar(out) is None  # skipped, not crashed
+
+
+# --- range (clustered) partitioning ------------------------------------------
+
+
+def test_range_partitioned_encode(ray_session, tmp_path):
+    """range_partition_col gives partitions with DISJOINT zone maps on
+    that column (cluster-level pruning), a bit-identical roundtrip,
+    and a persisted plan that resume reuses."""
+    import ray.data as rd
+
+    from arcade_ray.pipeline.encode import encode_dataset, load_manifest
+    from arcade_ray.pipeline.query import range_filter, scan
+    from arcade_ray.collect import collect_arrow
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "metric": pa.array(rng.integers(0, 100_000, n), type=pa.int64()),
+        "payload": pa.array([f"p{i}" for i in range(n)]),
+    })
+    out = str(tmp_path / "rp")
+    man = encode_dataset(rd.from_arrow(t).repartition(8), out,
+                         id_col="doc_id", weight_col=None, weight_cap=500,
+                         range_partition_col="metric")
+    assert man.num_rows >= 4
+    zones = sorted(
+        ((json.loads(r["col_stats"])["metric"]["min"],
+          json.loads(r["col_stats"])["metric"]["max"]) for r in man.to_pylist()))
+    for (_, hi), (lo, _) in zip(zones, zones[1:]):
+        assert hi <= lo  # disjoint (boundary equality allowed)
+    # plan persisted
+    assert os.path.exists(os.path.join(out, "range_plan.json"))
+
+    # roundtrip
+    full = collect_arrow(scan(out, columns=["doc_id", "metric", "payload"]))
+    assert_tables_equal(sorted_by_doc(full), sorted_by_doc(t))
+
+    # cluster-level pruning: a narrow range touches few partitions
+    lo_q, hi_q = 10_000, 15_000
+    surv = [z for z in zones if not (hi_q < z[0] or lo_q > z[1])]
+    assert len(surv) < len(zones)
+    got = collect_arrow(range_filter(out, "metric", lo_q, hi_q,
+                                     ["doc_id", "metric"]))
+    exp = t.filter(pc.and_(pc.greater_equal(t["metric"], lo_q),
+                           pc.less_equal(t["metric"], hi_q)))
+    assert got.num_rows == exp.num_rows
+    assert sorted(got["doc_id"].to_pylist()) == sorted(exp["doc_id"].to_pylist())
+
+    # resume: same partition set, no re-encode (plan reloaded, all done)
+    man2 = encode_dataset(rd.from_arrow(t).repartition(3), out,
+                          id_col="doc_id", weight_col=None, weight_cap=500,
+                          range_partition_col="metric")
+    assert sorted(man2["part_key"].to_pylist()) \
+        == sorted(man["part_key"].to_pylist())
+
+
+def test_range_partitioned_nulls_and_timestamps(ray_session, tmp_path):
+    """Null range-column values land deterministically in the last
+    bucket and survive the roundtrip; timestamp columns partition by
+    their epoch view."""
+    import ray.data as rd
+
+    from arcade_ray.pipeline.encode import encode_dataset
+    from arcade_ray.pipeline.query import scan
+    from arcade_ray.collect import collect_arrow
+
+    n = 1200
+    ts = pa.array(
+        np.arange(n) * 1_000_000 + 1_700_000_000_000_000,
+        type=pa.timestamp("us"))
+    vals = np.arange(n, dtype=np.float64)
+    vals[::7] = np.nan
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "v": pa.array(vals, type=pa.float64(), from_pandas=True),
+        "ts": ts,
+    })
+    out = str(tmp_path / "rpn")
+    man = encode_dataset(rd.from_arrow(t).repartition(4), out,
+                         id_col="doc_id", weight_col=None, weight_cap=300,
+                         range_partition_col="v")
+    assert man.num_rows >= 2
+    full = collect_arrow(scan(out, columns=["doc_id", "v", "ts"]))
+    assert_tables_equal(sorted_by_doc(full), sorted_by_doc(t))
+
+    out2 = str(tmp_path / "rpt")
+    man2 = encode_dataset(rd.from_arrow(t).repartition(4), out2,
+                          id_col="doc_id", weight_col=None, weight_cap=300,
+                          range_partition_col="ts")
+    assert man2.num_rows >= 2
+    full2 = collect_arrow(scan(out2, columns=["doc_id", "ts"]))
+    assert full2.num_rows == n
+    assert sorted(full2["doc_id"].to_pylist()) == list(range(n))
