@@ -1218,7 +1218,8 @@ def word_counts_sep(ds, text_col: str = "text", sep: str = " ") -> pa.Table:
 
 
 def top_word_fraction(ds, top_words_list, text_col: str = "text",
-                      id_col: str = "doc_id", sep: str = " "):
+                      id_col: str = "doc_id", sep: str = " ",
+                      keep: list[str] | None = None):
     """Gopher-style quality signal (Rae et al. 2021, appendix A1): the
     fraction of a document's words that fall inside a given top-word
     list. Documents dominated by the corpus's most common words are
@@ -1260,10 +1261,11 @@ def top_word_fraction(ds, top_words_list, text_col: str = "text",
             # document's words.
             per[nz] = np.add.reduceat(hit_i, starts[nz])
         out_frac = np.divide(per, lens, out=np.zeros(len(lens)), where=nz)
-        return pa.table({
-            id_col: batch[id_col],
-            "top_frac": pa.array(out_frac, type=pa.float64()),
-        })
+        cols = {id_col: batch[id_col],
+                "top_frac": pa.array(out_frac, type=pa.float64())}
+        for c in (keep or []):
+            cols[c] = batch[c]
+        return pa.table(cols)
 
     return ds.map_batches(frac, batch_format="pyarrow")
 

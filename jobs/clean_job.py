@@ -47,6 +47,11 @@ def main() -> int:
     p.add_argument("--max-dup-frac", type=float, default=0.75,
                    help="drop docs whose repeated-trigram fraction "
                    "exceeds this (Gopher-style repetition gate)")
+    p.add_argument("--max-top-frac", type=float, default=None,
+                   help="when set, drop docs whose fraction of words "
+                   "inside the corpus top-100 word list exceeds this "
+                   "(Gopher top-word-fraction boilerplate gate; costs "
+                   "one extra pruned-column pass to count words)")
     p.add_argument("--eval", default=None,
                    help="parquet file/dir of eval docs; when given, "
                    "training docs sharing a 13-gram are dropped")
@@ -95,6 +100,29 @@ def main() -> int:
     ds = repetition_scores(
         ds, n=3, text_col="text", id_col=args.id_col,
         keep=["text"]).map_batches(rep_gate, batch_format="pyarrow")
+
+    if args.max_top_frac is not None:
+        # boilerplate gate: corpus top-100 words from one pruned-column
+        # counting pass over the raw input; the list broadcasts once
+        from arcade_ray.textops import top_word_fraction, word_counts_sep
+
+        wc = word_counts_sep(
+            read_parquet_clean(args.input, columns=[args.text_col]),
+            text_col=args.text_col)
+        order = pc.sort_indices(wc, sort_keys=[("n", "descending"),
+                                               ("word", "ascending")])
+        top = wc.take(order).slice(0, 100)["word"].to_pylist()
+
+        def top_gate(b: pa.Table) -> pa.Table:
+            keep = pc.less_equal(b["top_frac"],
+                                 pa.scalar(args.max_top_frac,
+                                           type=pa.float64()))
+            return b.filter(keep).select([args.id_col, "text"])
+
+        ds = top_word_fraction(
+            ds, top, text_col="text", id_col=args.id_col,
+            keep=["text"]).map_batches(top_gate, batch_format="pyarrow")
+
     ds = exact_dedup(ds, text_col="text", id_col=args.id_col)
     if args.eval:
         ev = read_parquet_clean(args.eval, columns=[args.text_col])
@@ -114,8 +142,9 @@ def main() -> int:
                             max_len=args.max_len)
     packed.write_parquet(args.out)
 
-    out_ds = read_parquet_clean(args.out)
-    n_examples = out_ds.count()
+    # a fully-filtered corpus writes nothing — report 0, don't crash
+    n_examples = read_parquet_clean(args.out).count() \
+        if os.path.isdir(args.out) else 0
     print({"input_docs": n_in, "examples": n_examples,
            "max_len": args.max_len, "out": args.out,
            "wall_s": round(time.time() - t0, 2)})
