@@ -1759,6 +1759,19 @@ def q_clustered_range_filter(sf_dir: str) -> pa.Table:
                                  project=["doc_id", "n_chars"]))
 
 
+def q_chunk_documents(sf_dir: str) -> pa.Table:
+    """Context-length chunking: overlapping 32-word windows (stride
+    24) per document — the retrieval/pretraining chunking pass,
+    vectorized as an in-batch fan-out (gather-index window build, no
+    per-row Python)."""
+    from .textops import chunk_documents
+
+    out = _collect(chunk_documents(_docs_ds(sf_dir), max_words=32,
+                                   overlap=8))
+    return out.take(pc.sort_indices(out, sort_keys=[
+        ("doc_id", "ascending"), ("chunk_id", "ascending")]))
+
+
 def q_full_outer_join(sf_dir: str) -> pa.Table:
     """FULL OUTER co-partitioned join of two encoded tables: customers
     without orders survive with null order columns (TPC-H leaves ~1/3
@@ -1898,6 +1911,7 @@ QUERIES = {
     "semi_join_bloom": q_semi_join_bloom,
     "top_word_fraction": q_top_word_fraction,
     "distinctive_terms": q_distinctive_terms,
+    "chunk_documents": q_chunk_documents,
 }
 
 _IDS_SQL = ", ".join(str(i) for i in LOOKUP_IDS)
@@ -2358,6 +2372,21 @@ ORACLE_SQL = {
     "clustered_range_filter": (
         "SELECT doc_id, n_chars FROM documents "
         "WHERE n_chars BETWEEN 120 AND 160"
+    ),
+    "chunk_documents": (
+        "WITH w AS (SELECT doc_id, string_split(text,' ') AS words "
+        "FROM documents), "
+        "n AS (SELECT doc_id, words, len(words) AS nw FROM w), "
+        "c AS (SELECT doc_id, words, nw, "
+        "CASE WHEN nw <= 32 THEN 1 "
+        "ELSE CAST(ceil((nw - 32) / CAST(24 AS DOUBLE)) AS BIGINT) + 1 "
+        "END AS nc FROM n), "
+        "e AS (SELECT doc_id, unnest(generate_series(0, nc-1)) AS "
+        "chunk_id, words FROM c) "
+        "SELECT doc_id, chunk_id, "
+        "array_to_string(list_slice(words, chunk_id*24+1, "
+        "chunk_id*24+32), ' ') AS text "
+        "FROM e ORDER BY doc_id, chunk_id"
     ),
     # compression_metrics, lang_id, quality_scores, minhash_pairs,
     # simhash_pairs, ann_topk_lsh, decontaminate (n=13): intentionally

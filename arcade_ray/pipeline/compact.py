@@ -60,7 +60,13 @@ def compact(out_dir: str, weight_cap: int | None = None,
             run_remote: bool = True) -> pa.Table:
     """Compact partitions whose raw bytes < small_fraction x the
     largest sibling (same source), binning greedily up to the cap.
-    Returns the new consolidated manifest."""
+    Returns the new consolidated manifest.
+
+    Range-partitioned tables (part keys ``range#NNNN``) compact like a
+    single source: bins form by SIZE, so a merged partition may span
+    non-adjacent value ranges. Zone maps are recomputed from the
+    merged rows, so pruning stays CORRECT — it just widens to the
+    union range (clustering degrades, never the answers)."""
     rows = load_manifest(out_dir).to_pylist()
     by_source: dict[str, list[dict]] = {}
     for r in rows:

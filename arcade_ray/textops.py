@@ -1348,6 +1348,72 @@ def distinctive_terms(ds, k: int = 5, text_col: str = "text",
     })
 
 
+def chunk_documents(ds, max_words: int = 256, overlap: int = 0,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    sep: str = " "):
+    """Split long documents into overlapping word windows — the
+    context-length chunking pass that precedes embedding / indexing in
+    a retrieval or pretraining pipeline. Chunk c of a doc covers words
+    [c*stride, c*stride + max_words) with stride = max_words - overlap;
+    every doc emits at least one chunk; the last chunk may be shorter.
+
+    Fully vectorized in-batch fan-out (keeps streaming backpressure,
+    like explode_list): one arrow split per batch, numpy gather-index
+    construction for the overlapping windows (np.repeat + arange
+    offsets — no per-row Python), one take + binary_join to materialize
+    chunk texts. Splitting uses the LITERAL separator (SQL
+    ``string_split`` semantics) so the op is DuckDB-oracle-checkable.
+
+    Returns a Dataset of (id_col, chunk_id:int64, text:string).
+    """
+    if not (0 <= overlap < max_words):
+        raise ValueError(f"need 0 <= overlap < max_words, got "
+                         f"overlap={overlap} max_words={max_words}")
+    stride = max_words - overlap
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch[text_col], sep).combine_chunks()
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = pc.list_flatten(words)
+        doc_start = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=doc_start[1:])
+        # chunks per doc: 1 if nw <= max_words else ceil((nw-W)/stride)+1
+        n_chunks = np.where(
+            lens <= max_words, 1,
+            -(-(lens - max_words) // stride) + 1).astype(np.int64)
+        n_chunks = np.maximum(n_chunks, 1)  # null text -> one empty chunk
+        doc_idx = np.repeat(np.arange(len(lens)), n_chunks)
+        first = np.zeros(len(doc_idx), dtype=np.int64)
+        starts_of_doc = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(n_chunks[:-1], out=starts_of_doc[1:])
+        first[starts_of_doc] = 1
+        chunk_id = np.arange(len(doc_idx)) \
+            - np.repeat(starts_of_doc, n_chunks)
+        w_start = chunk_id * stride
+        w_len = np.minimum(lens[doc_idx] - w_start, max_words)
+        w_len = np.maximum(w_len, 0)
+        # gather indices into the flattened word stream
+        total = int(w_len.sum())
+        out_off = np.zeros(len(w_len) + 1, dtype=np.int64)
+        np.cumsum(w_len, out=out_off[1:])
+        gather = np.repeat(doc_start[doc_idx] + w_start, w_len) \
+            + (np.arange(total) - np.repeat(out_off[:-1], w_len))
+        gathered = flat.take(pa.array(gather, type=pa.int64()))
+        chunk_words = pa.ListArray.from_arrays(
+            pa.array(out_off, type=pa.int32()).cast(pa.int32()),
+            gathered)
+        texts = pc.binary_join(chunk_words, sep)
+        return pa.table({
+            id_col: batch[id_col].combine_chunks().take(
+                pa.array(doc_idx, type=pa.int64())),
+            "chunk_id": pa.array(chunk_id, type=pa.int64()),
+            text_col: texts,
+        })
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
 def analyze_text(ds, concurrency: int | None = None, batch_size: int = 4096):
     if concurrency is None:
         # leave headroom for the read stage — an actor pool that

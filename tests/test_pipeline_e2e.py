@@ -507,3 +507,36 @@ def test_range_partitioned_nulls_and_timestamps(ray_session, tmp_path):
     full2 = collect_arrow(scan(out2, columns=["doc_id", "ts"]))
     assert full2.num_rows == n
     assert sorted(full2["doc_id"].to_pylist()) == list(range(n))
+
+
+def test_range_partitioned_generation_append(ray_session, tmp_path):
+    """Incremental APPEND into a range-partitioned table: each
+    generation samples and persists its own boundaries
+    (range_plan@gen.json), keys never collide, and readers see the
+    union through one manifest."""
+    import ray.data as rd
+
+    from arcade_ray.pipeline.encode import encode_dataset
+    from arcade_ray.pipeline.query import scan
+    from arcade_ray.collect import collect_arrow
+
+    def tbl(lo, n):
+        ids = np.arange(lo, lo + n)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "metric": pa.array(ids * 3 % 1000, type=pa.int64()),
+            "payload": pa.array([f"p{i}" for i in ids]),
+        })
+
+    out = str(tmp_path / "rpg")
+    encode_dataset(rd.from_arrow(tbl(0, 800)), out, id_col="doc_id",
+                   weight_col=None, weight_cap=300,
+                   range_partition_col="metric")
+    encode_dataset(rd.from_arrow(tbl(800, 500)), out, id_col="doc_id",
+                   weight_col=None, weight_cap=300,
+                   range_partition_col="metric", generation="g2")
+    assert os.path.exists(os.path.join(out, "range_plan.json"))
+    assert os.path.exists(os.path.join(out, "range_plan@g2.json"))
+    full = collect_arrow(scan(out, columns=["doc_id", "metric"]))
+    assert full.num_rows == 1300
+    assert sorted(full["doc_id"].to_pylist()) == list(range(1300))

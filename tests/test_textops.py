@@ -722,3 +722,35 @@ def test_distinctive_terms(ray_session):
     rows = list(zip(df["source"], df["word"], df["tf"], df["lift"]))
     assert rows == [("a", "x", 4, 1.0), ("a", "y", 2, 2 / 3),
                     ("b", "q", 2, 1.0), ("b", "z", 4, 4 / 5)]
+
+
+def test_chunk_documents(ray_session):
+    """Overlapping word windows: chunk c covers
+    [c*stride, c*stride+max_words); every doc (even shorter than one
+    window) emits at least one chunk; vs a pure Python recount."""
+    import ray.data as rd
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.textops import chunk_documents
+
+    texts = ["a b c d e f g", "x y", "one two three four five",
+             "solo"]
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": texts})
+    W, V = 3, 1
+    out = collect_arrow(chunk_documents(
+        rd.from_arrow(t).repartition(2), max_words=W, overlap=V)) \
+        .sort_by([("doc_id", "ascending"), ("chunk_id", "ascending")])
+    want = []
+    stride = W - V
+    for i, txt in enumerate(texts):
+        ws = txt.split(" ")
+        nc = 1 if len(ws) <= W else -(-(len(ws) - W) // stride) + 1
+        for c in range(nc):
+            want.append((i + 1, c, " ".join(ws[c * stride:c * stride + W])))
+    got = list(zip(out["doc_id"].to_pylist(), out["chunk_id"].to_pylist(),
+                   out["text"].to_pylist()))
+    assert got == want
+
+    with pytest.raises(ValueError):
+        chunk_documents(rd.from_arrow(t), max_words=3, overlap=3)
