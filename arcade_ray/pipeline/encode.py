@@ -163,16 +163,28 @@ def _save_range_plan(out_dir: str, generation: str | None, plan) -> None:
     os.replace(tmp, path)
 
 
-def _load_range_plan(out_dir: str, generation: str | None):
+def _load_range_plan(out_dir: str, generation: str | None,
+                     range_col: str | None = None, resume: bool = True):
+    """Reload the persisted plan — only when resuming, and only if it
+    was built for the SAME column (a stale plan for another column
+    would silently bucket rows by the wrong values while sorting by
+    the requested one)."""
     import json
 
     from ..planner import RangePlan
 
+    if not resume:
+        return None
     path = _range_plan_path(out_dir, generation)
     if not os.path.exists(path):
         return None
     with open(path) as f:
         d = json.load(f)
+    if range_col is not None and d["col"] != range_col:
+        raise ValueError(
+            f"{path} was built for range_partition_col={d['col']!r} but "
+            f"{range_col!r} was requested; use a fresh out_dir (or a new "
+            f"generation) to re-cluster on a different column")
     return RangePlan(tuple(d["boundaries"]), d["col"], tuple(d["weights"]))
 
 
@@ -185,13 +197,13 @@ def _cap_for(weight_col: str | None, weight_cap: int | None) -> int:
 
 def _range_plan_dataset(ds, out_dir: str, range_col: str,
                         weight_col: str | None, weight_cap: int | None,
-                        generation: str | None):
+                        generation: str | None, resume: bool = True):
     """Load the persisted range plan, or build one from a streaming
     sample wave over the Dataset (strided per-batch samples + weight
     partials; one tiny row per block reaches the driver)."""
     import numpy as np
 
-    plan = _load_range_plan(out_dir, generation)
+    plan = _load_range_plan(out_dir, generation, range_col, resume)
     if plan is not None:
         return plan
     from ..planner import build_range_plan, range_sample
@@ -293,7 +305,8 @@ def encode_dataset(ds, out_dir: str, key_col: str = "source",
     # planning aggregate)
     if range_partition_col is not None:
         plan = _range_plan_dataset(ds, out_dir, range_partition_col,
-                                   weight_col, weight_cap, generation)
+                                   weight_col, weight_cap, generation,
+                                   resume=resume)
     else:
         plan_cols = [key_col] + ([weight_col] if weight_col and weight_col != key_col else [])
         plan = build_plan(ds.select_columns(plan_cols), key_col, id_col,
@@ -872,7 +885,8 @@ def encode_parquet(paths: list[str] | str, out_dir: str,
 
     _t_plan0 = _time.perf_counter()
     if range_partition_col is not None:
-        plan = _load_range_plan(out_dir, generation)
+        plan = _load_range_plan(out_dir, generation, range_partition_col,
+                                resume)
         if plan is None:
             import numpy as np
 

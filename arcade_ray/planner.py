@@ -161,6 +161,11 @@ def range_sample(values: pa.ChunkedArray | pa.Array,
     if len(a) == 0:
         return np.empty(0, dtype=np.float64)
     v = a.to_numpy(zero_copy_only=False)
+    if v.dtype.kind == "f":
+        # drop_null removes Arrow nulls but NOT float NaN payloads; a
+        # single NaN sample would turn EVERY quantile boundary into NaN
+        # and collapse the whole corpus into one partition
+        v = v[~np.isnan(v)]
     if len(v) <= k:
         return v
     step = -(-len(v) // k)
@@ -175,15 +180,25 @@ def build_range_plan(samples: np.ndarray, total_weight: int, cap: int,
     (heavy single values) collapse — skew degrades bucket count, never
     correctness."""
     n_buckets = max(1, -(-int(total_weight) // int(cap)))
-    samples = np.sort(np.asarray(samples))
+    samples = np.asarray(samples)
+    if samples.dtype.kind == "f":
+        samples = samples[np.isfinite(samples)]  # belt and braces
+    samples = np.sort(samples)
     if n_buckets == 1 or len(samples) == 0:
         return RangePlan((), col, (max(1, int(total_weight)),))
     qs = np.quantile(samples, [i / n_buckets for i in range(1, n_buckets)],
                      method="lower")
     boundaries = tuple(dict.fromkeys(qs.tolist()))
-    b = len(boundaries) + 1
-    w = max(1, int(total_weight) // b)
-    return RangePlan(boundaries, col, (w,) * b)
+    # weight ESTIMATE per bucket from the sample histogram (drives LPT
+    # packing of encode tasks): boundary-collapsed buckets of a skewed
+    # column carry their real share, not a uniform average
+    counts = np.zeros(len(boundaries) + 1, dtype=np.int64)
+    bins = np.searchsorted(np.asarray(boundaries), samples, side="right")
+    np.add.at(counts, bins, 1)
+    weights = tuple(
+        max(1, int(round(int(total_weight) * c / len(samples))))
+        for c in counts)
+    return RangePlan(boundaries, col, weights)
 
 
 def assign_range_pids(batch: pa.Table, plan: RangePlan) -> pa.Table:

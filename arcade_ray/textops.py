@@ -1373,8 +1373,11 @@ def chunk_documents(ds, max_words: int = 256, overlap: int = 0,
 
     def chunks(batch: pa.Table) -> pa.Table:
         words = pc.split_pattern(batch[text_col], sep).combine_chunks()
-        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
+        # null text -> null list -> length 0 here (NOT a NaN->int64
+        # cast, which would poison the cumsum): the doc emits one
+        # empty-text chunk and contributes nothing to the flat stream
+        lens = pc.fill_null(pc.list_value_length(words), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
         flat = pc.list_flatten(words)
         doc_start = np.zeros(len(lens), dtype=np.int64)
         np.cumsum(lens[:-1], out=doc_start[1:])
@@ -1382,27 +1385,25 @@ def chunk_documents(ds, max_words: int = 256, overlap: int = 0,
         n_chunks = np.where(
             lens <= max_words, 1,
             -(-(lens - max_words) // stride) + 1).astype(np.int64)
-        n_chunks = np.maximum(n_chunks, 1)  # null text -> one empty chunk
         doc_idx = np.repeat(np.arange(len(lens)), n_chunks)
-        first = np.zeros(len(doc_idx), dtype=np.int64)
         starts_of_doc = np.zeros(len(lens), dtype=np.int64)
         np.cumsum(n_chunks[:-1], out=starts_of_doc[1:])
-        first[starts_of_doc] = 1
         chunk_id = np.arange(len(doc_idx)) \
             - np.repeat(starts_of_doc, n_chunks)
         w_start = chunk_id * stride
         w_len = np.minimum(lens[doc_idx] - w_start, max_words)
         w_len = np.maximum(w_len, 0)
-        # gather indices into the flattened word stream
+        # gather indices into the flattened word stream (int64/LargeList
+        # offsets: high-overlap settings multiply output words by up to
+        # max_words/stride, which can exceed int32 within one batch)
         total = int(w_len.sum())
         out_off = np.zeros(len(w_len) + 1, dtype=np.int64)
         np.cumsum(w_len, out=out_off[1:])
         gather = np.repeat(doc_start[doc_idx] + w_start, w_len) \
             + (np.arange(total) - np.repeat(out_off[:-1], w_len))
         gathered = flat.take(pa.array(gather, type=pa.int64()))
-        chunk_words = pa.ListArray.from_arrays(
-            pa.array(out_off, type=pa.int32()).cast(pa.int32()),
-            gathered)
+        chunk_words = pa.LargeListArray.from_arrays(
+            pa.array(out_off, type=pa.int64()), gathered)
         texts = pc.binary_join(chunk_words, sep)
         return pa.table({
             id_col: batch[id_col].combine_chunks().take(

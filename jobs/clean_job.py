@@ -103,12 +103,20 @@ def main() -> int:
 
     if args.max_top_frac is not None:
         # boilerplate gate: corpus top-100 words from one pruned-column
-        # counting pass over the raw input; the list broadcasts once
+        # counting pass; the list broadcasts once. The counting pass
+        # applies the SAME redact+normalize transforms as the gated
+        # stream — counting raw text would fill the top list with
+        # mixed-case / whitespace-glued tokens the normalized docs can
+        # never match, silently understating every top_frac
         from arcade_ray.textops import top_word_fraction, word_counts_sep
 
-        wc = word_counts_sep(
-            read_parquet_clean(args.input, columns=[args.text_col]),
-            text_col=args.text_col)
+        wc_ds = normalize_text(
+            redact_pii(
+                read_parquet_clean(args.input,
+                                   columns=[args.id_col, args.text_col]),
+                text_col=args.text_col),
+            text_col=args.text_col, out_col="text", keep=[])
+        wc = word_counts_sep(wc_ds, text_col="text")
         order = pc.sort_indices(wc, sort_keys=[("n", "descending"),
                                                ("word", "ascending")])
         top = wc.take(order).slice(0, 100)["word"].to_pylist()

@@ -540,3 +540,60 @@ def test_range_partitioned_generation_append(ray_session, tmp_path):
     full = collect_arrow(scan(out, columns=["doc_id", "metric"]))
     assert full.num_rows == 1300
     assert sorted(full["doc_id"].to_pylist()) == list(range(1300))
+
+
+def test_range_plan_nan_samples_and_col_mismatch(ray_session, tmp_path):
+    """Review regressions: (a) float NaN VALUES (not Arrow nulls) in
+    the range column must not collapse every quantile boundary to NaN;
+    (b) a persisted plan for another column is refused loudly; (c)
+    resume=False re-samples instead of reusing the stale plan."""
+    import ray.data as rd
+
+    from arcade_ray.planner import build_range_plan
+    from arcade_ray.pipeline.encode import encode_dataset
+
+    # (a) unit: NaN samples are dropped before quantiles
+    s = np.array([1.0, 2.0, np.nan, 3.0, 4.0, np.nan, 5.0])
+    plan = build_range_plan(s, total_weight=100, cap=25, col="v")
+    assert len(plan.boundaries) >= 1
+    assert all(b == b for b in plan.boundaries)  # no NaN survives
+    # weights reflect the sample histogram, not a uniform average
+    assert sum(plan.weights) >= 90
+
+    # end-to-end: NaN VALUES via a plain numpy array (no from_pandas
+    # null conversion) still yield >1 partition
+    n = 900
+    vals = np.arange(n, dtype=np.float64)
+    vals[::11] = np.nan
+    t = pa.table({"doc_id": pa.array(np.arange(n), type=pa.int64()),
+                  "v": pa.array(vals, type=pa.float64())})
+    out = str(tmp_path / "nanrp")
+    man = encode_dataset(rd.from_arrow(t).repartition(3), out,
+                         id_col="doc_id", weight_col=None, weight_cap=250,
+                         range_partition_col="v")
+    assert man.num_rows >= 2
+
+    # (b) same dir, different column -> loud refusal
+    t2 = t.append_column("w", pa.array(np.arange(n), type=pa.int64()))
+    with pytest.raises(ValueError, match="range_partition_col"):
+        encode_dataset(rd.from_arrow(t2), str(tmp_path / "nanrp"),
+                       id_col="doc_id", weight_col=None, weight_cap=250,
+                       range_partition_col="w")
+
+    # (c) resume=False ignores the persisted plan (re-samples fresh)
+    out2 = str(tmp_path / "fresh")
+    encode_dataset(rd.from_arrow(t), out2, id_col="doc_id",
+                   weight_col=None, weight_cap=250,
+                   range_partition_col="v")
+    import json
+    with open(os.path.join(out2, "range_plan.json")) as f:
+        before = json.load(f)
+    # overwrite with a bogus plan; resume=False must NOT load it
+    with open(os.path.join(out2, "range_plan.json"), "w") as f:
+        json.dump({"col": "v", "boundaries": [1.5], "weights": [1, 1]}, f)
+    encode_dataset(rd.from_arrow(t), out2, id_col="doc_id",
+                   weight_col=None, weight_cap=250,
+                   range_partition_col="v", resume=False)
+    with open(os.path.join(out2, "range_plan.json")) as f:
+        after = json.load(f)
+    assert after["boundaries"] == before["boundaries"] != [1.5]

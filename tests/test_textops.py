@@ -754,3 +754,23 @@ def test_chunk_documents(ray_session):
 
     with pytest.raises(ValueError):
         chunk_documents(rd.from_arrow(t), max_words=3, overlap=3)
+
+
+def test_chunk_documents_null_text(ray_session):
+    """A null text mid-batch must not poison the word-offset cumsum
+    (NaN->int64 would index the flat stream at INT64_MIN): the null
+    doc emits one empty chunk and its neighbours chunk normally."""
+    import ray.data as rd
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.textops import chunk_documents
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["a b c d e", None, "x y z"])})
+    out = collect_arrow(chunk_documents(
+        rd.from_arrow(t), max_words=3, overlap=1)) \
+        .sort_by([("doc_id", "ascending"), ("chunk_id", "ascending")])
+    got = list(zip(out["doc_id"].to_pylist(), out["chunk_id"].to_pylist(),
+                   out["text"].to_pylist()))
+    assert got == [(1, 0, "a b c"), (1, 1, "c d e"),
+                   (2, 0, ""), (3, 0, "x y z")]
