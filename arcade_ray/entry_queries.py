@@ -418,6 +418,17 @@ def q_float_percentiles(sf_dir: str) -> pa.Table:
     return exact_percentiles(out, "value", [0.1, 0.5, 0.9])
 
 
+def q_float_percentiles_cont(sf_dir: str) -> pa.Table:
+    """SQL PERCENTILE_CONT over a float column: exact bracketing order
+    statistics via the same distributed histogram selection, then
+    DuckDB's own interpolation expression (lo*(1-f)+hi*f) so the
+    doubles hash-match quantile_cont bit for bit."""
+    from .pipeline.query import exact_percentiles_cont
+
+    out = encoded_dir(sf_dir, "events")
+    return exact_percentiles_cont(out, "value", [0.1, 0.5, 0.9])
+
+
 def q_sample(sf_dir: str) -> pa.Table:
     from .pipeline.query import sample_ids
 
@@ -1912,6 +1923,7 @@ QUERIES = {
     "top_word_fraction": q_top_word_fraction,
     "distinctive_terms": q_distinctive_terms,
     "chunk_documents": q_chunk_documents,
+    "float_percentiles_cont": q_float_percentiles_cont,
 }
 
 _IDS_SQL = ", ".join(str(i) for i in LOOKUP_IDS)
@@ -2269,6 +2281,13 @@ ORACLE_SQL = {
         "SELECT CAST(0.5 AS DOUBLE), quantile_disc(value, 0.5) "
         "FROM events UNION ALL "
         "SELECT CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9) FROM events"
+    ),
+    "float_percentiles_cont": (
+        "SELECT CAST(0.1 AS DOUBLE) AS p, "
+        "quantile_cont(value, 0.1) AS value FROM events UNION ALL "
+        "SELECT CAST(0.5 AS DOUBLE), quantile_cont(value, 0.5) "
+        "FROM events UNION ALL "
+        "SELECT CAST(0.9 AS DOUBLE), quantile_cont(value, 0.9) FROM events"
     ),
     "group_percentiles": (
         "SELECT source, "

@@ -1481,7 +1481,8 @@ def _order_key_inverse(u: int, kind: str):
     return float(np.array([bits], dtype=np.uint64).view(np.float64)[0])
 
 
-def exact_percentiles(out_dir: str, col: str, ps: list[float]) -> pa.Table:
+def exact_percentiles(out_dir: str, col: str, ps: list[float],
+                      _ranks: list[int] | None = None) -> pa.Table:
     """EXACT percentiles of ANY numeric column — unbounded integer
     domains (ids, epoch timestamps) and floats — via distributed
     iterative histogram selection: values map to order-preserving
@@ -1573,7 +1574,10 @@ def exact_percentiles(out_dir: str, col: str, ps: list[float]) -> pa.Table:
                         col: pa.array([None] * len(ps), type=(
                             pa.float64() if is_float else pa.int64())),
                     })
-            k = max(int(math.ceil(t["p"] * (n_valid or n_total))) - 1, 0)
+            # _ranks (internal, PERCENTILE_CONT): select explicit
+            # 0-based order statistics instead of the DISC rank rule
+            k = _ranks[i] if _ranks is not None \
+                else max(int(math.ceil(t["p"] * (n_valid or n_total))) - 1, 0)
             t["k"] = k
             csum = np.cumsum(counts)
             bin_i = int(np.searchsorted(csum, k - below + 1))
@@ -1586,6 +1590,52 @@ def exact_percentiles(out_dir: str, col: str, ps: list[float]) -> pa.Table:
         "p": pa.array([float(p) for p in ps], type=pa.float64()),
         col: pa.array(out_vals, type=(
             pa.float64() if is_float else pa.int64())),
+    })
+
+
+def exact_percentiles_cont(out_dir: str, col: str,
+                           ps: list[float]) -> pa.Table:
+    """SQL PERCENTILE_CONT (DuckDB ``quantile_cont``): linear
+    interpolation between the two adjacent order statistics at
+    position p*(n-1). Reuses the distributed iterative-histogram
+    selection of :func:`exact_percentiles` to fetch EXACT order
+    statistics at the bracketing ranks (one shared multi-target
+    selection — at most 2x len(ps) ranks, deduplicated), then
+    interpolates on the driver with the same double expression DuckDB
+    uses (lo*(1-frac) + hi*frac — NOT lo+(hi-lo)*frac, which differs
+    by an ULP and would break value-hash oracles). Result is DOUBLE;
+    nulls are excluded; an all-null/empty column yields NULLs."""
+    import math
+
+    rows = _manifest_paths(out_dir)
+    if rows:
+        header0, _ = read_header(rows[0]["path"])
+        if col not in header0["columns"]:
+            raise KeyError(f"column {col!r} not in encoded dataset")
+    n_valid = 0
+    for r in rows:
+        s = json.loads(r["col_stats"]).get(col, {})
+        n_valid += int(r["rows"]) - int(s.get("nulls") or 0)
+    if n_valid == 0:
+        return pa.table({
+            "p": pa.array([float(p) for p in ps], type=pa.float64()),
+            col: pa.array([None] * len(ps), type=pa.float64()),
+        })
+    pos = [p * (n_valid - 1) for p in ps]
+    lo_i = [min(max(int(math.floor(x)), 0), n_valid - 1) for x in pos]
+    hi_i = [min(l + 1, n_valid - 1) for l in lo_i]
+    uniq = sorted(set(lo_i) | set(hi_i))
+    stats = exact_percentiles(out_dir, col, [0.0] * len(uniq), _ranks=uniq)
+    at = dict(zip(uniq, stats[col].to_pylist()))
+    out = []
+    for x, l, h in zip(pos, lo_i, hi_i):
+        a, b = float(at[l]), float(at[h])
+        frac = x - math.floor(x)
+        out.append(a if l == h or frac == 0.0
+                   else a * (1 - frac) + b * frac)
+    return pa.table({
+        "p": pa.array([float(p) for p in ps], type=pa.float64()),
+        col: pa.array(out, type=pa.float64()),
     })
 
 

@@ -630,6 +630,25 @@ def test_exact_percentiles_float_and_huge_range(ray_session, tmp_path):
             float(sf[max(int(np.ceil(p * n)) - 1, 0)]), p
 
 
+def test_exact_percentiles_cont(encoded):
+    """PERCENTILE_CONT: interpolated quantiles match DuckDB
+    quantile_cont bit for bit (same bracketing order statistics, same
+    lo*(1-f)+hi*f double expression)."""
+    import duckdb
+
+    from arcade_ray.pipeline.query import exact_percentiles_cont
+
+    out_dir, table = encoded
+    ps = [0.0, 0.13, 0.5, 0.77, 1.0]
+    got = exact_percentiles_cont(out_dir, "n_tok", ps)
+    con = duckdb.connect()
+    con.register("t", table.to_pandas())
+    for i, p in enumerate(ps):
+        exp = con.execute(
+            f"SELECT quantile_cont(n_tok, {p}) FROM t").fetchone()[0]
+        assert got["n_tok"][i].as_py() == exp, (p, got["n_tok"][i], exp)
+
+
 def test_timestamp_filters(ray_session, tmp_path):
     """Equi and range filters on a TIMESTAMP column: zone maps prune in
     the epoch-int domain; matching chunks compare as int64 views."""
