@@ -22,7 +22,7 @@ import pyarrow as pa
 
 from ..bitpack import bits_needed, pack_bits, packed_nbytes, unpack_bits
 from ..constants import ESTIMATE_SAMPLE_BYTES, PLAIN_DISTINCT_RATIO
-from ..profile import IntProfile
+from ..profile import IntProfile, profile_int
 
 _MASK = 0xFFFFFFFFFFFFFFFF
 
@@ -230,6 +230,122 @@ def _dict_dec(payload: bytes, meta: dict, n: int) -> np.ndarray:
     return uvals.view(np.int64)[codes]
 
 
+# --- ALP: decimal-scaled floats ---------------------------------------------
+# Adaptive Lossless floating-Point (Afroozeh et al., SIGMOD'23 — public
+# paper): most real-world doubles are decimal-scaled (prices, rates,
+# quantities). Find the smallest exponent e such that
+# round(v * 10^e) / 10^e reproduces v BIT-IDENTICALLY, encode the scaled
+# int64 stream with the existing int palette (FoR/bit-pack/dict/delta),
+# and patch the few values that fail (NaN, inf, -0.0, true reals) as
+# positional exceptions carrying raw bit patterns. A 2-decimal price
+# column drops from 64 raw bits to ~bits_needed(range*100). Floats
+# otherwise travel as high-entropy bit patterns (streams.py:71-74) that
+# none of the closed-form codecs compress.
+
+_ALP_MAX_EXP = {"f64": 14, "f32": 6}
+_ALP_EXC_RATIO = 0.05  # viable only when <=5% of values need patching
+
+
+def _alp_floats64(vals: np.ndarray, tag: str) -> np.ndarray:
+    """Bit-pattern int64 stream -> the original floats, as float64."""
+    if tag == "f32":
+        return vals.astype(np.uint32).view(np.float32).astype(np.float64)
+    return np.ascontiguousarray(vals).view(np.float64)
+
+
+def _alp_recon_bits(ints: np.ndarray, e: int, tag: str) -> np.ndarray:
+    """The exact decode expression: scaled ints -> float -> bit-pattern
+    int64 stream. Encode-side exactness is verified against THIS, so
+    decode is bit-identical by construction."""
+    f = ints.astype(np.float64) / (10.0 ** e)
+    if tag == "f32":
+        return f.astype(np.float32).view(np.uint32).astype(np.int64)
+    return f.view(np.int64)
+
+
+def _alp_scale(fd: np.ndarray, e: int) -> tuple[np.ndarray, np.ndarray]:
+    """(scaled int64, finite-and-in-range mask) for exponent e."""
+    with np.errstate(invalid="ignore", over="ignore"):
+        i = np.rint(fd * (10.0 ** e))
+    finite = np.isfinite(i) & (np.abs(i) < float(1 << 62))
+    ints = np.where(finite, i, 0.0).astype(np.int64)
+    return ints, finite
+
+
+def _alp_build(vals: np.ndarray, p: IntProfile, tag: str):
+    """Try ALP on a float bit-pattern stream. Returns
+    (payload, meta) or None when no exponent reproduces >=95% of the
+    values bit-identically."""
+    n = p.n
+    if n < 16 or tag not in _ALP_MAX_EXP:
+        return None
+    fd = _alp_floats64(vals, tag)
+    # exponent choice on a bounded sample: smallest e that makes >=95%
+    # of the sample exact under the decode expression
+    sample_idx = slice(None) if n <= 1024 else slice(0, None, n // 1024)
+    fs, vs = fd[sample_idx], vals[sample_idx]
+    exp = None
+    for e in range(_ALP_MAX_EXP[tag] + 1):
+        ints, finite = _alp_scale(fs, e)
+        ok = finite & (_alp_recon_bits(ints, e, tag) == vs)
+        if np.count_nonzero(ok) >= 0.95 * len(vs):
+            exp = e
+            break
+    if exp is None:
+        return None
+    ints, finite = _alp_scale(fd, exp)
+    ok = finite & (_alp_recon_bits(ints, exp, tag) == vals)
+    exc = np.flatnonzero(~ok)
+    if len(exc) > _ALP_EXC_RATIO * n:
+        return None
+    if len(exc):
+        # keep the inner stream's range tight: park exceptions on a
+        # value the stream already contains
+        fill = ints[ok.argmax()] if ok.any() else 0
+        ints[exc] = fill
+    ic, ipay, im = choose_int_codec(ints, profile_int(ints), "i64")
+    xw = bits_needed(n - 1) if len(exc) else 0
+    idx_pay = pack_bits(exc.astype(np.uint64), xw)
+    if tag == "f32":
+        raw = vals[exc].astype(np.uint32).tobytes()
+    else:
+        raw = np.ascontiguousarray(vals[exc]).tobytes()
+    payload = ipay + idx_pay + raw
+    meta = {"e": exp, "ic": ic, "im": im, "ib": len(ipay),
+            "nx": len(exc), "xw": xw, "t": tag}
+    return payload, meta
+
+
+def _alp_est(p: IntProfile, tag: str):
+    return None  # needs values; probed in choose_int_codec
+
+
+def _alp_enc(vals: np.ndarray, p: IntProfile, tag: str):
+    built = _alp_build(vals, p, tag)
+    if built is None:
+        raise ValueError("alp: stream is not decimal-scaled")
+    return built
+
+
+def _alp_dec(payload: bytes, meta: dict, n: int) -> np.ndarray:
+    ib, tag = meta["ib"], meta["t"]
+    ints = decode_int(meta["ic"], payload[:ib], meta["im"], n)
+    out = _alp_recon_bits(ints, meta["e"], tag)
+    nx = meta["nx"]
+    if nx:
+        xw = meta["xw"]
+        xb = packed_nbytes(nx, xw)
+        idx = unpack_bits(payload[ib:ib + xb], xw, nx).astype(np.int64)
+        raw = payload[ib + xb:]
+        if tag == "f32":
+            pats = np.frombuffer(raw, dtype=np.uint32, count=nx).astype(np.int64)
+        else:
+            pats = np.frombuffer(raw, dtype=np.int64, count=nx)
+        out = np.ascontiguousarray(out)
+        out[idx] = pats
+    return out
+
+
 # --- general-purpose fallback over plain bytes ------------------------------
 # zstd(1) strictly beats snappy on ratio at comparable speed (measured:
 # tokens 0.30 vs 0.46, ~360 vs ~450 MB/s); snappy kept for decode of
@@ -272,6 +388,7 @@ INT_CODECS = {
     "rle": (_rle_est, _rle_enc, _rle_dec),
     "dict": (_dict_est, _dict_enc, _dict_dec),
     "gp": (_gp_est, _gp_enc, _gp_dec),
+    "alp": (_alp_est, _alp_enc, _alp_dec),
 }
 
 
@@ -298,12 +415,21 @@ def choose_int_codec(vals: np.ndarray, p: IntProfile, tag: str,
         gp_est = int(ratio * p.n * _ITEMSIZE[tag]) + 16
         if gp_est < best_est:
             best_name, best_est = "gp", gp_est
-    payload, meta = INT_CODECS[best_name][1](vals, p, tag)
-    # estimates are exact for the closed-form codecs; snappy may
-    # disappoint on the full stream — fall back if it actually lost.
-    if best_name == "gp" and len(payload) >= _plain_est(p, tag):
-        best_name = "plain"
-        payload, meta = _plain_enc(vals, p, tag)
+    payload = meta = None
+    if tag in _ALP_MAX_EXP:
+        # decimal-scaled float probe — actual bytes, not an estimate
+        # (the sample gate inside _alp_build bails fast on true reals)
+        alp = _alp_build(vals, p, tag)
+        if alp is not None and len(alp[0]) + 32 < 0.95 * best_est:
+            best_name = "alp"
+            payload, meta = alp
+    if payload is None:
+        payload, meta = INT_CODECS[best_name][1](vals, p, tag)
+        # estimates are exact for the closed-form codecs; snappy may
+        # disappoint on the full stream — fall back if it actually lost.
+        if best_name == "gp" and len(payload) >= _plain_est(p, tag):
+            best_name = "plain"
+            payload, meta = _plain_enc(vals, p, tag)
     if try_gp and best_name != "gp" and len(payload) >= 4096:
         # pack-then-zstd: entropy-code the residue the lightweight
         # codec leaves behind (bit-packed streams still carry value

@@ -48,6 +48,8 @@ def test_int_roundtrip_all_codecs(vals):
     vals = np.asarray(vals, dtype=np.int64)
     p = profile_int(vals)
     for name, (est, enc, dec) in INT_CODECS.items():
+        if name == "alp":
+            continue  # float-tag only (raises on int streams); TestAlp covers it
         if name == "gp" and len(vals) == 0:
             continue
         if name in ("bitpack",) and len(vals) and vals.min() < 0:
@@ -366,3 +368,88 @@ class TestFsstNative:
             pytest.skip("no C compiler in this environment")
         cd = nat.decode_native(bad, symbols)
         assert cd == py
+
+
+class TestAlp:
+    """ALP decimal-float codec (Afroozeh et al., SIGMOD'23 pattern):
+    scale-to-int when bit-identical, patch exceptions."""
+
+    @staticmethod
+    def _stream(f, typ="f64"):
+        import pyarrow as pa
+
+        from arcade_ray.streams import int_stream_from_arrow
+
+        t = pa.float64() if typ == "f64" else pa.float32()
+        return int_stream_from_arrow(pa.array(f, type=t))
+
+    def _roundtrip(self, f, typ="f64"):
+        vals, tag = self._stream(f, typ)
+        p = profile_int(vals)
+        name, pay, meta = choose_int_codec(vals, p, tag)
+        out = decode_int(name, pay, meta, p.n)
+        np.testing.assert_array_equal(out, vals)
+        return name, len(pay), p
+
+    def test_two_decimal_prices_choose_alp(self):
+        rng = np.random.default_rng(11)
+        prices = np.round(rng.uniform(900.0, 105000.0, 20000), 2)
+        name, nbytes, p = self._roundtrip(prices)
+        assert name == "alp"
+        assert nbytes < 0.5 * p.n * 8  # far below plain float64
+
+    def test_exceptions_patched_bit_identical(self):
+        rng = np.random.default_rng(13)
+        f = np.round(rng.uniform(0.0, 100.0, 5000), 2)
+        f[::71] = np.nan          # quiet NaN
+        f[3] = np.inf
+        f[4] = -np.inf
+        f[5] = -0.0               # sign lost by round-trip through int 0
+        f[6] = np.pi              # true real
+        name, _, _ = self._roundtrip(f)
+        assert name == "alp"
+
+    def test_true_reals_rejected(self):
+        rng = np.random.default_rng(17)
+        name, _, _ = self._roundtrip(rng.standard_normal(20000))
+        assert name != "alp"
+
+    def test_f32_decimal(self):
+        rng = np.random.default_rng(19)
+        f = np.round(rng.uniform(0, 500, 20000), 2).astype(np.float32)
+        name, nbytes, p = self._roundtrip(f, "f32")
+        assert name == "alp"
+        assert nbytes < 0.8 * p.n * 4
+
+    def test_f32_random_rejected(self):
+        rng = np.random.default_rng(23)
+        name, _, _ = self._roundtrip(
+            rng.standard_normal(20000).astype(np.float32), "f32")
+        assert name != "alp"
+
+    def test_integer_valued_doubles(self):
+        rng = np.random.default_rng(29)
+        f = rng.integers(0, 10**9, 20000).astype(np.float64)
+        name, nbytes, p = self._roundtrip(f)
+        # e=0 viable; alp or dict/gp may win on bytes — whatever is
+        # chosen must round-trip (asserted in _roundtrip) and beat plain
+        assert nbytes < p.n * 8
+
+    def test_all_exceptional_rejected(self):
+        f = np.full(2000, np.nan)
+        name, _, _ = self._roundtrip(f)
+        assert name != "alp"
+
+    def test_direct_enc_raises_on_nondecimal(self):
+        vals, tag = self._stream(np.random.default_rng(31).standard_normal(1000))
+        with pytest.raises(ValueError):
+            INT_CODECS["alp"][1](vals, profile_int(vals), tag)
+
+    def test_hypothesis_style_sweep(self):
+        rng = np.random.default_rng(37)
+        for e in (0, 1, 2, 4, 7):
+            for n in (16, 17, 1023, 1024, 5000):
+                f = np.round(rng.uniform(-1000, 1000, n), e)
+                k = rng.integers(0, n, max(1, n // 100))
+                f[k] = rng.standard_normal(len(k)) * 1e-7  # sparse reals
+                self._roundtrip(f)

@@ -53,6 +53,9 @@ def test_int_every_codec_roundtrip(vals):
     arr = np.array(vals, dtype=np.int64)
     p = profile_int(arr)
     for name, (est, enc, dec) in INT_CODECS.items():
+        if name == "alp":
+            continue  # float-tag only (raises on int streams); see
+            # test_property_alp_roundtrip below
         if len(arr) == 0 and name in ("gp", "dict"):
             continue
         if name == "bitpack" and len(arr) and arr.min() < 0:
@@ -290,3 +293,29 @@ def test_topk_rows_fuzz(ray_session, tmp_path_factory):
                              ignore_index=True).iloc[off:off + k]
         assert got["doc_id"].to_pylist() == exp["doc_id"].tolist(), \
             (trial, k, off, desc)
+
+
+float_lists = st.lists(
+    st.one_of(
+        # decimal-scaled (the ALP target): value/100 with 2 decimals
+        st.integers(min_value=-(10**7), max_value=10**7).map(lambda i: i / 100),
+        st.floats(allow_nan=True, allow_infinity=True, width=64),
+        st.just(-0.0),
+        st.just(0.015625),  # exactly representable binary fraction
+    ),
+    max_size=400,
+)
+
+
+@given(vals=float_lists)
+@settings(**SETTINGS)
+def test_property_alp_roundtrip(vals):
+    """Whatever the cost model picks for a float64 stream (alp or not),
+    the bit patterns round-trip exactly — incl. NaN payloads, ±inf,
+    -0.0 and mixed real/decimal content."""
+    arr = pa.array(vals, type=pa.float64())
+    ints, tag = int_stream_from_arrow(arr)
+    p = profile_int(ints)
+    name, payload, meta = choose_int_codec(ints, p, tag)
+    out = decode_int(name, payload, meta, len(ints))
+    np.testing.assert_array_equal(out, ints)
