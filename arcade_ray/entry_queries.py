@@ -1678,6 +1678,25 @@ def q_repetition_scores(sf_dir: str) -> pa.Table:
         batch_format="pyarrow"))
 
 
+def q_dup_ngram_stats(sf_dir: str) -> pa.Table:
+    """Substring-level duplication counts at n=3 (word trigrams) —
+    small enough for DuckDB to mirror exactly via the same trigram
+    build as decontaminate_tri plus a global GROUP BY count."""
+    from .textops import dup_ngram_stats
+
+    return _collect(dup_ngram_stats(_docs_ds(sf_dir), n=3))
+
+
+def q_drop_dup_passages(sf_dir: str) -> pa.Table:
+    """Boilerplate gate: drop docs where >62.5% of trigram positions
+    are corpus-duplicated (0.625 is an exact binary fraction — no
+    float-compare ambiguity vs the SQL oracle) (oracle: NOT IN over the SQL-computed stats)."""
+    from .textops import drop_dup_passages
+
+    out = drop_dup_passages(_docs_ds(sf_dir), n=3, max_frac=0.625)
+    return _collect(out.select_columns(["doc_id"]))
+
+
 def q_redact_pii(sf_dir: str) -> pa.Table:
     """PII redaction pass (emails/IPs/phones -> placeholders; oracle:
     DuckDB regexp_replace with the SAME RE2 patterns — identity on the
@@ -1916,6 +1935,8 @@ QUERIES = {
     "ann_topk_lsh": q_ann_topk_lsh,
     "decontaminate": q_decontaminate,
     "repetition_scores": q_repetition_scores,
+    "dup_ngram_stats": q_dup_ngram_stats,
+    "drop_dup_passages": q_drop_dup_passages,
     "redact_pii": q_redact_pii,
     "range_filter": q_range_filter,
     "compound_or_filter": q_compound_or_filter,
@@ -2338,6 +2359,38 @@ ORACLE_SQL = {
         "FROM w) "
         "SELECT doc_id, CAST(length(t) AS BIGINT) AS n_grams, "
         "CAST(length(list_distinct(t)) AS BIGINT) AS n_unique FROM g"
+    ),
+    "dup_ngram_stats": (
+        # per-position trigram duplication vs GLOBAL multiplicity;
+        # LEFT JOIN keeps docs with fewer than 3 words at (0, 0)
+        "WITH w AS (SELECT doc_id, list_filter("
+        "string_split_regex(lower(text), '\\s+'), x -> x <> '') AS l "
+        "FROM documents), "
+        "g AS (SELECT doc_id, unnest([l[i] || ' ' || l[i+1] || ' ' || "
+        "l[i+2] for i in generate_series(1, greatest(length(l)-2, 0))]"
+        ") AS t FROM w), "
+        "c AS (SELECT t, COUNT(*) AS cnt FROM g GROUP BY t), "
+        "d AS (SELECT g.doc_id, COUNT(*) AS n_ngrams, "
+        "CAST(SUM(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_dup FROM g JOIN c USING (t) GROUP BY g.doc_id) "
+        "SELECT doc.doc_id, CAST(COALESCE(d.n_ngrams, 0) AS BIGINT) "
+        "AS n_ngrams, COALESCE(d.n_dup, 0) AS n_dup "
+        "FROM documents doc LEFT JOIN d USING (doc_id)"
+    ),
+    "drop_dup_passages": (
+        "WITH w AS (SELECT doc_id, list_filter("
+        "string_split_regex(lower(text), '\\s+'), x -> x <> '') AS l "
+        "FROM documents), "
+        "g AS (SELECT doc_id, unnest([l[i] || ' ' || l[i+1] || ' ' || "
+        "l[i+2] for i in generate_series(1, greatest(length(l)-2, 0))]"
+        ") AS t FROM w), "
+        "c AS (SELECT t, COUNT(*) AS cnt FROM g GROUP BY t), "
+        "d AS (SELECT g.doc_id, COUNT(*) AS n_ngrams, "
+        "SUM(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END) AS n_dup "
+        "FROM g JOIN c USING (t) GROUP BY g.doc_id) "
+        "SELECT doc_id FROM documents "
+        "WHERE doc_id NOT IN "
+        "(SELECT doc_id FROM d WHERE n_dup > 0.625 * n_ngrams)"
     ),
     "redact_pii": (
         "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("

@@ -1001,6 +1001,117 @@ def decontaminate(ds, eval_ds, n: int = 13, text_col: str = "text",
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def dup_ngram_stats(ds, n: int = 13, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Substring-level (passage) duplication signal: per document, how
+    many of its word ``n``-gram positions carry an n-gram occurring at
+    least TWICE corpus-wide (counting multiplicity, including repeats
+    inside one document) — the corpus-internal analogue of benchmark
+    decontamination, after Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" (public paper; they use suffix
+    arrays, here the same signal via rolling n-gram hashes).
+
+    Returns a Dataset of ``(id_col, n_ngrams, n_dup)`` int64 counts
+    (fractions are the caller's division — integer counts compare
+    exactly against a SQL oracle).
+
+    Scale shape: phase 1 pre-aggregates (hash, count) per batch with
+    ``np.unique`` INSIDE map_batches, so the groupby-sum shuffle moves
+    16 B/row partials, never text; only hashes with global count >= 2
+    survive — the duplicated set, small unless the corpus is heavily
+    templated — and ship once via ``ray.put`` as a sorted array.
+    Phase 2 streams the corpus through a map-side searchsorted probe
+    (the :func:`ngram_contaminated_ids` shape). For corpora whose
+    duplicated set exceeds node memory, swap the broadcast for a
+    co-partitioned probe keyed on hash bucket (the
+    :func:`dedup_against_index` shape). Identity is the 64-bit rolling
+    hash: a collision can only OVER-count, at ~2^-64 odds per pair."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .collect import collect_arrow
+
+    sch = ds.schema()
+    if sch is not None and not ds.limit(1).take_all():
+        # typed empty out for a typed empty in (map_batches UDFs never
+        # run on zero blocks, which would leave schema() None)
+        id_type = dict(zip(sch.names, sch.types))[id_col]
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], id_type),
+            "n_ngrams": pa.array([], pa.int64()),
+            "n_dup": pa.array([], pa.int64())}))
+
+    def partial(b: pa.Table) -> pa.Table:
+        h, _ = batch_word_ngram_hashes(b[text_col], n)
+        uh, c = np.unique(h, return_counts=True)
+        return pa.table({"_h": pa.array(uh.view(np.int64)),
+                         "_c": pa.array(c.astype(np.int64))})
+
+    agg = collect_arrow(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_h").aggregate(Sum("_c", alias_name="_c")))
+    if agg.num_rows:
+        cnt = agg["_c"].to_numpy(zero_copy_only=False)
+        dup = np.sort(agg["_h"].to_numpy(zero_copy_only=False)[cnt >= 2])
+    else:
+        dup = np.empty(0, dtype=np.int64)
+    ref = ray.put(dup)
+
+    def stats(b: pa.Table) -> pa.Table:
+        nd = b.num_rows
+        h, doc_of = batch_word_ngram_hashes(b[text_col], n)
+        n_ngrams = np.bincount(doc_of, minlength=nd).astype(np.int64)
+        dup_sorted = ray.get(ref)
+        if len(dup_sorted) and len(h):
+            hh = h.view(np.int64)
+            pos = np.searchsorted(dup_sorted, hh)
+            pos[pos == len(dup_sorted)] = 0
+            hit = dup_sorted[pos] == hh
+            n_dup = np.bincount(doc_of[hit], minlength=nd).astype(np.int64)
+        else:
+            n_dup = np.zeros(nd, dtype=np.int64)
+        return pa.table({id_col: b[id_col],
+                         "n_ngrams": pa.array(n_ngrams),
+                         "n_dup": pa.array(n_dup)})
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def drop_dup_passages(ds, n: int = 13, max_frac: float = 0.5,
+                      text_col: str = "text", id_col: str = "doc_id"):
+    """Drop documents whose duplicated-n-gram position fraction
+    (see :func:`dup_ngram_stats`) exceeds ``max_frac`` — the standard
+    "mostly boilerplate / templated" removal gate. Documents with
+    fewer than ``n`` words have zero n-grams and are always kept.
+
+    The offending id set is collected once (bounded by the number of
+    heavily-duplicated docs), ships via ``ray.put``, and the corpus
+    filters map-side — the :func:`decontaminate` shape."""
+    import ray
+
+    from .collect import collect_arrow
+
+    st = dup_ngram_stats(ds, n=n, text_col=text_col, id_col=id_col)
+
+    def offenders(b: pa.Table) -> pa.Table:
+        nd = b["n_dup"].to_numpy(zero_copy_only=False)
+        ng = b["n_ngrams"].to_numpy(zero_copy_only=False)
+        return b.select([id_col]).filter(pa.array(nd > max_frac * ng))
+
+    bad = collect_arrow(st.map_batches(offenders, batch_format="pyarrow"))
+    if bad.num_rows == 0:
+        return ds
+    bad_ref = ray.put(bad[id_col].combine_chunks())
+
+    def keep(b: pa.Table) -> pa.Table:
+        bad_ids = ray.get(bad_ref)
+        return b.filter(pc.invert(pc.is_in(
+            b[id_col], value_set=bad_ids.cast(b[id_col].type))))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def repetition_scores(ds, n: int = 3, text_col: str = "text",
                       id_col: str = "doc_id", digits: int = 4,
                       keep: list[str] | None = None):

@@ -8,6 +8,8 @@ composed from the engine's own operators, all streaming:
       -> normalize_text        (trim/collapse/lowercase, Arrow kernels)
       -> quality filter        (TextAnalyzer actor pool: lang/quality)
       -> repetition gate       (Gopher repeated-trigram fraction)
+      -> passage-dup gate      (--max-passage-dup: cross-doc duplicated
+                                trigram fraction, Lee et al. 2022 signal)
       -> exact_dedup           (hash-only shuffle, map-side anti-join)
       -> decontaminate         (13-gram overlap vs --eval benchmark)
       -> tokenize + pack       (fixed-length training examples)
@@ -47,6 +49,9 @@ def main() -> int:
     p.add_argument("--max-dup-frac", type=float, default=0.75,
                    help="drop docs whose repeated-trigram fraction "
                    "exceeds this (Gopher-style repetition gate)")
+    p.add_argument("--max-passage-dup", type=float, default=None,
+                   help="drop docs whose corpus-duplicated trigram "
+                   "fraction exceeds this (substring-dedup gate)")
     p.add_argument("--max-top-frac", type=float, default=None,
                    help="when set, drop docs whose fraction of words "
                    "inside the corpus top-100 word list exceeds this "
@@ -130,6 +135,14 @@ def main() -> int:
         ds = top_word_fraction(
             ds, top, text_col="text", id_col=args.id_col,
             keep=["text"]).map_batches(top_gate, batch_format="pyarrow")
+
+    if args.max_passage_dup is not None:
+        # substring-level (cross-doc) duplication gate: drop docs whose
+        # corpus-duplicated trigram-position fraction exceeds the bound
+        from arcade_ray.textops import drop_dup_passages
+
+        ds = drop_dup_passages(ds, n=3, max_frac=args.max_passage_dup,
+                               text_col="text", id_col=args.id_col)
 
     ds = exact_dedup(ds, text_col="text", id_col=args.id_col)
     if args.eval:

@@ -774,3 +774,66 @@ def test_chunk_documents_null_text(ray_session):
                    out["text"].to_pylist()))
     assert got == [(1, 0, "a b c"), (1, 1, "c d e"),
                    (2, 0, ""), (3, 0, "x y z")]
+
+
+def test_dup_ngram_stats_planted(ray_session):
+    """Planted duplication: a shared 3-gram across docs, a repeat
+    WITHIN one doc (multiplicity counts), and a sub-n doc at (0,0)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from arcade_ray.textops import dup_ngram_stats
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma delta",        # "alpha beta gamma" shared w/ doc2
+            "alpha beta gamma epsilon",
+            "zeta eta theta zeta eta theta zeta eta theta",  # in-doc repeats
+            "too short",                      # < 3 words: (0, 0)
+        ]),
+    })
+    out = dup_ngram_stats(rd.from_arrow(docs), n=3).take_all()
+    got = {r["doc_id"]: (r["n_ngrams"], r["n_dup"]) for r in out}
+    # doc1: grams {abg, bgd?}: "alpha beta gamma","beta gamma delta" -> 2 grams,
+    #       dup = 1 ("alpha beta gamma" appears in doc2 too)
+    assert got[1] == (2, 1)
+    assert got[2] == (2, 1)
+    # doc3: 9 words -> 7 grams; "zeta eta theta" x3, "eta theta zeta" x2,
+    # "theta zeta eta" x2 -> all 7 positions duplicated
+    assert got[3] == (7, 7)
+    assert got[4] == (0, 0)
+
+
+def test_drop_dup_passages_planted(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from arcade_ray.textops import drop_dup_passages
+
+    template = "the quick brown fox jumps over the lazy dog again"
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            template,                              # 100% duplicated vs doc2
+            template,
+            "completely unique words nothing shared here at all",
+        ]),
+    })
+    out = drop_dup_passages(rd.from_arrow(docs), n=3, max_frac=0.5).take_all()
+    assert sorted(r["doc_id"] for r in out) == [3]
+
+
+def test_dup_ngram_stats_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from arcade_ray.textops import drop_dup_passages, dup_ngram_stats
+
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "text": pa.array([], type=pa.string())})
+    out = dup_ngram_stats(rd.from_arrow(empty), n=3)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"doc_id", "n_ngrams", "n_dup"}
+    kept = drop_dup_passages(rd.from_arrow(empty), n=3)
+    assert kept.count() == 0
