@@ -67,6 +67,20 @@ from .streams import (
 MAX_ZONE_STR = 128  # zone-map strings longer than this are dropped
 
 
+def _bloom_push(acc: list | None, h: np.ndarray) -> list | None:
+    """Accumulate distinct hashes for the partition Bloom filter,
+    giving up (-> None) once the column is clearly too wide to filter
+    — bounds memory to ~2 MB per column."""
+    from .sketches import BLOOM_MAX_DISTINCT
+
+    if acc is None:
+        return None
+    acc.append(h)
+    if sum(len(a) for a in acc) > 8 * BLOOM_MAX_DISTINCT:
+        return None
+    return acc
+
+
 @dataclass
 class SegmentOut:
     """One encoded stream-chunk, before file assembly."""
@@ -83,6 +97,11 @@ class IntColumnEncoder:
     def __init__(self, tag: str):
         self.tag = tag
         self.sketch = np.empty(0, dtype=np.uint64)  # KMV of value hashes
+        # per-chunk distinct-hash arrays for the partition Bloom filter
+        # (None = opted out: list-element streams, float tags, or the
+        # column proved too wide — see _bloom_push)
+        self.bloom_acc: list[np.ndarray] | None = \
+            [] if tag not in ("f32", "f64") else None
 
     def encode_chunk(self, vals: np.ndarray) -> SegmentOut:
         p = profile_int(vals)
@@ -90,7 +109,9 @@ class IntColumnEncoder:
         from .sketches import kmv_merge
 
         if p.n_distinct:
-            self.sketch = kmv_merge(self.sketch, hash_ints(p.unique), k=64)
+            h = hash_ints(p.unique)
+            self.sketch = kmv_merge(self.sketch, h, k=64)
+            self.bloom_acc = _bloom_push(self.bloom_acc, h)
         codec, payload, meta = choose_int_codec(vals, p, self.tag)
         desc = {
             "codec": codec,
@@ -123,13 +144,16 @@ class StringColumnEncoder:
         self.epoch = 0          # chunk index where the current dict epoch began
         self.chunk_idx = 0
         self.sketch = np.empty(0, dtype=np.uint64)  # KMV of value hashes
+        self.bloom_acc: list[np.ndarray] | None = []
 
     def _update_sketch(self, distinct: pa.Array) -> None:
         from .hashing import hash_strings
         from .sketches import kmv_merge
 
         lengths, data, _ = str_stream_from_arrow(distinct)
-        self.sketch = kmv_merge(self.sketch, hash_strings(lengths, data), k=64)
+        h = hash_strings(lengths, data)
+        self.sketch = kmv_merge(self.sketch, h, k=64)
+        self.bloom_acc = _bloom_push(self.bloom_acc, h)
 
     def _reset(self, at_chunk: int) -> None:
         self.dict_arr = None
@@ -332,15 +356,22 @@ def make_column_encoder(t: pa.DataType) -> ColumnEncoderState:
             # flattened values through the adaptive string encoder —
             # the dictionary state machine applies unchanged to the
             # flattened element stream
-            return ColumnEncoderState(
+            st = ColumnEncoderState(
                 kind, "list", elem_tag=elem_tag,
                 enc=StringColumnEncoder(elem_tag),
                 len_enc=IntColumnEncoder("i64"),
             )
-        return ColumnEncoderState(
-            kind, "list", elem_tag=elem_tag,
-            enc=IntColumnEncoder(elem_tag), len_enc=IntColumnEncoder("i64"),
-        )
+        else:
+            st = ColumnEncoderState(
+                kind, "list", elem_tag=elem_tag,
+                enc=IntColumnEncoder(elem_tag),
+                len_enc=IntColumnEncoder("i64"),
+            )
+        # no partition Bloom over list ELEMENT values: equality pruning
+        # applies to scalar columns only, and element streams are wide
+        st.enc.bloom_acc = None
+        st.len_enc.bloom_acc = None
+        return st
     tag = type_tag(t)
     return ColumnEncoderState(kind, tag, enc=IntColumnEncoder(tag))
 

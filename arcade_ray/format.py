@@ -98,6 +98,13 @@ def encode_partition(table: pa.Table, part_key: str) -> tuple[bytes, dict[str, A
 
             sketches[name] = {"kmv": serialize(sk),
                               "distinct_est": kmv_estimate(sk, 64)}
+        acc = getattr(enc, "bloom_acc", None)
+        if acc:
+            from .sketches import bloom_build
+
+            bloom = bloom_build(np.concatenate(acc))
+            if bloom is not None:
+                sketches.setdefault(name, {})["bloom"] = bloom
     for name, st in states.items():
         chunk_descs = []
         for desc, payload in zip(st.chunks, st.payloads):

@@ -61,6 +61,43 @@ def _manifest_paths(out_dir: str) -> list[dict]:
     return m.to_pylist()
 
 
+def _literal_bloom_hash(cm: dict, literal):
+    """64-bit hash of an equality literal in the SAME domain the
+    column encoders hashed (hash_strings over utf8 bytes for string
+    kinds, hash_ints over the int64 stream value for int/temporal
+    tags), for probing the partition Bloom filters in the manifest.
+    None when the kind/tag/literal combination has no reliable
+    mapping (floats, lists, non-int literals) — callers then skip
+    Bloom pruning, which is always safe."""
+    import numpy as np
+
+    kind, tag = cm.get("kind"), cm.get("tag")
+    if kind == "str" and isinstance(literal, (str, bytes)):
+        from ..hashing import hash_strings
+
+        b = literal.encode() if isinstance(literal, str) else literal
+        return int(hash_strings(np.array([len(b)], np.int64), b)[0])
+    if kind == "int" and tag not in ("f32", "f64", "u64") \
+            and isinstance(literal, (int, np.integer)) \
+            and not isinstance(literal, bool) \
+            and -(2**63) <= int(literal) < 2**63:
+        from ..hashing import hash_ints
+
+        return int(hash_ints(np.array([int(literal)], np.int64))[0])
+    return None
+
+
+def _bloom_excludes(stats: dict, lit_hash: int | None) -> bool:
+    """True -> the manifest Bloom filter proves the literal is absent
+    from this partition (no bloom / no hash -> never excludes)."""
+    bloom = stats.get("bloom")
+    if bloom is None or lit_hash is None:
+        return False
+    from ..sketches import bloom_maybe_contains
+
+    return not bloom_maybe_contains(bloom, lit_hash)
+
+
 def _manifest_prunable(header: dict, col: str) -> bool:
     """Whether manifest min/max zone stats can prune on this column:
     float columns store IEEE-754 bit patterns (not value order) and
@@ -285,12 +322,15 @@ def equi_filter(out_dir: str, col: str, literal, project: list[str]):
                 f"column {c!r} not in encoded dataset (columns: {known})"
             )
     prunable = _manifest_prunable(header0, col)
+    lit_hash = _literal_bloom_hash(header0["columns"][col], literal)
     survivors = []
     for r in rows:
         stats = json.loads(r["col_stats"]).get(col, {})
         lo, hi = stats.get("min"), stats.get("max")
         if prunable and lo is not None and hi is not None \
                 and not (lo <= literal <= hi):
+            continue
+        if _bloom_excludes(stats, lit_hash):
             continue
         survivors.append({"path": r["path"]})
     if not survivors:

@@ -59,3 +59,63 @@ def serialize(sketch: np.ndarray) -> list[int]:
 
 def deserialize(vals: list[int]) -> np.ndarray:
     return np.asarray(vals, dtype=np.int64).view(np.uint64)
+
+
+# --- partition Bloom filters (manifest-level point-lookup pruning) ----------
+# Zone maps cannot prune equality on high-cardinality columns whose
+# per-partition [min, max] ranges all overlap (e.g. doc ids spread
+# round-robin). A small per-partition Bloom filter over the SAME value
+# hashes the KMV sketches consume gives "definitely not here" at the
+# manifest, so a point lookup touches ~1 partition instead of all of
+# them. Partition pruning tolerates false positives (a wasted read),
+# so 6 bits/key + 3 probes (~9% FPR) is the right trade; columns whose
+# distinct count exceeds BLOOM_MAX_DISTINCT store no filter (FPR would
+# approach 1 anyway). Realizes the reference's dead bloom intent
+# (src/writer.cpp:267-284) at the layout level where it pays.
+
+BLOOM_MAX_DISTINCT = 32768
+BLOOM_BITS_PER_KEY = 6
+BLOOM_K = 3
+
+
+def _bloom_positions(h: np.ndarray, m: int) -> list[np.ndarray]:
+    """Double hashing (Kirsch-Mitzenmacher): k probe positions derived
+    from one 64-bit hash. Identical arithmetic on build and probe."""
+    h1 = (h >> np.uint64(32)).astype(np.uint64)
+    h2 = ((h | np.uint64(1)) & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    return [((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
+            for i in range(BLOOM_K)]
+
+
+def bloom_build(hashes: np.ndarray) -> dict | None:
+    """Bitmap over distinct value hashes -> JSON-able manifest entry
+    ``{"b": base64(zlib(bits)), "m": bits}``, or None when the column
+    is too wide to filter usefully."""
+    import base64
+    import zlib
+
+    u = np.unique(np.asarray(hashes, dtype=np.uint64))
+    if len(u) == 0 or len(u) > BLOOM_MAX_DISTINCT:
+        return None
+    m = 1 << max(9, int(np.ceil(np.log2(len(u) * BLOOM_BITS_PER_KEY))))
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    for pos in _bloom_positions(u, m):
+        np.bitwise_or.at(bits, pos >> 3,
+                         (np.uint8(1) << (pos & 7).astype(np.uint8)))
+    return {"b": base64.b64encode(zlib.compress(bits.tobytes(), 6)).decode(),
+            "m": m}
+
+
+def bloom_maybe_contains(bloom: dict, h: int) -> bool:
+    """False -> the value is DEFINITELY absent from the partition."""
+    import base64
+    import zlib
+
+    bits = np.frombuffer(zlib.decompress(base64.b64decode(bloom["b"])),
+                         dtype=np.uint8)
+    m = int(bloom["m"])
+    for pos in _bloom_positions(np.array([h], dtype=np.uint64), m):
+        p = int(pos[0])
+        if not (bits[p >> 3] >> (p & 7)) & 1:
+            return False
+    return True

@@ -814,3 +814,99 @@ def test_query_surface_over_empty_encoded_dir(ray_session, tmp_path):
 
     with pytest.raises(KeyError):
         q.equi_filter(out, "source", "s", ["nope"])
+
+
+class TestPartitionBloom:
+    """Manifest Bloom filters: point-lookup partition pruning on
+    high-cardinality columns where zone maps cannot help."""
+
+    @staticmethod
+    def _encode(tmp_path_factory, rows=6000, sources=10, seed=41):
+        import ray.data as rd
+
+        from arcade_ray.corpus import generate_corpus
+        from arcade_ray.pipeline import encode_dataset
+
+        table = generate_corpus(rows, sources, seed=seed)
+        out = str(tmp_path_factory.mktemp("bloom") / "enc")
+        encode_dataset(rd.from_arrow(table), out, weight_cap=150_000)
+        return table, out
+
+    def test_point_lookup_prunes_partitions(self, ray_session,
+                                            tmp_path_factory):
+        import json
+
+        from arcade_ray.format import read_header
+        from arcade_ray.pipeline.query import (_bloom_excludes,
+                                               _literal_bloom_hash,
+                                               _manifest_paths)
+
+        table, out = self._encode(tmp_path_factory)
+        rows = _manifest_paths(out)
+        assert len(rows) >= 4, "fixture must be multi-partition"
+        header0, _ = read_header(rows[0]["path"])
+        cm = header0["columns"]["doc_id"]
+        ids = table["doc_id"].to_pylist()
+        touched = []
+        for lit in ids[:: max(1, len(ids) // 40)]:
+            lh = _literal_bloom_hash(cm, lit)
+            assert lh is not None
+            touched.append(sum(
+                1 for r in rows
+                if not _bloom_excludes(json.loads(r["col_stats"])
+                                       .get("doc_id", {}), lh)))
+        # each doc_id lives in exactly one partition; FPR ~9% per
+        # probe means the AVERAGE must stay near 1, far below all-N
+        assert sum(touched) / len(touched) < 0.5 * len(rows)
+
+    def test_no_false_negatives(self, ray_session, tmp_path_factory):
+        from arcade_ray.pipeline.query import equi_filter
+
+        table, out = self._encode(tmp_path_factory, rows=3000)
+        ids = table["doc_id"].to_pylist()
+        for lit in ids[:: max(1, len(ids) // 60)]:
+            got = equi_filter(out, "doc_id", lit, ["doc_id"]).take_all()
+            assert [r["doc_id"] for r in got] == [lit]
+
+    def test_absent_literal_zero_partitions(self, ray_session,
+                                            tmp_path_factory):
+        from arcade_ray.pipeline.query import equi_filter
+
+        _, out = self._encode(tmp_path_factory, rows=2000)
+        got = equi_filter(out, "doc_id", "no-such-doc-id",
+                          ["doc_id"]).take_all()
+        assert got == []
+
+    def test_int_column_bloom(self, ray_session, tmp_path_factory):
+        import json
+
+        from arcade_ray.format import read_header
+        from arcade_ray.pipeline.query import (_bloom_excludes,
+                                               _literal_bloom_hash,
+                                               _manifest_paths,
+                                               equi_filter)
+
+        table, out = self._encode(tmp_path_factory, rows=4000)
+        rows = _manifest_paths(out)
+        header0, _ = read_header(rows[0]["path"])
+        cm = header0["columns"]["n_tok"]
+        # n_tok is low-cardinality: bloom exists, never excludes a
+        # present value
+        vals = sorted(set(table["n_tok"].to_pylist()))
+        lit = vals[len(vals) // 2]
+        got = equi_filter(out, "n_tok", lit, ["doc_id", "n_tok"]).take_all()
+        import pyarrow.compute as pc
+
+        expect = pc.sum(pc.equal(table["n_tok"], lit)).as_py()
+        assert len(got) == expect
+        lh = _literal_bloom_hash(cm, int(lit))
+        assert lh is not None
+
+    def test_wide_column_opts_out(self):
+        import numpy as np
+
+        from arcade_ray.hashing import hash_ints
+        from arcade_ray.sketches import BLOOM_MAX_DISTINCT, bloom_build
+
+        h = hash_ints(np.arange(BLOOM_MAX_DISTINCT + 1))
+        assert bloom_build(h) is None
