@@ -985,6 +985,17 @@ def _zone_excluded(header0: dict, stats: dict, node) -> bool:
     if not _manifest_prunable(header0, node[1]):
         return False
     s = stats.get(node[1], {})
+    if op in ("eq", "in") and "bloom" in s:
+        # partition Bloom filter: proves ABSENCE of every literal even
+        # when zone ranges overlap (eq rows are TRUE-only under 3VL,
+        # so "value absent" means "no TRUE rows" — prune is safe; NOT
+        # nodes never recurse here)
+        lits = [node[2]] if op == "eq" else list(node[2])
+        hs = [_literal_bloom_hash(header0["columns"][node[1]], v)
+              for v in lits]
+        if hs and all(h is not None for h in hs) \
+                and all(_bloom_excludes(s, h) for h in hs):
+            return True
     zlo, zhi = s.get("min"), s.get("max")
     if zlo is None or zhi is None:
         return False
@@ -2245,12 +2256,21 @@ def lookup(out_dir: str, id_col: str, values: list,
     header0, _ = read_header(rows[0]["path"])
     prunable = _manifest_prunable(header0, id_col)
     vmin, vmax = min(values), max(values)
+    # partition Bloom probe: id zone ranges usually ALL overlap (ids
+    # spread round-robin), so the bloom is what actually prunes here
+    lit_hashes = [_literal_bloom_hash(header0["columns"][id_col], v)
+                  for v in values]
+    if any(h is None for h in lit_hashes):
+        lit_hashes = None
     survivors = []
     for r in rows:
         stats = json.loads(r["col_stats"]).get(id_col, {})
         lo, hi = stats.get("min"), stats.get("max")
         if prunable and lo is not None and hi is not None \
                 and (vmax < lo or vmin > hi):
+            continue
+        if lit_hashes is not None and "bloom" in stats \
+                and all(_bloom_excludes(stats, h) for h in lit_hashes):
             continue
         survivors.append({"path": r["path"]})
     if not survivors:

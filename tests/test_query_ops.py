@@ -910,3 +910,29 @@ class TestPartitionBloom:
 
         h = hash_ints(np.arange(BLOOM_MAX_DISTINCT + 1))
         assert bloom_build(h) is None
+
+    def test_compound_eq_leaf_bloom_prunes(self, ray_session,
+                                           tmp_path_factory):
+        import json
+
+        from arcade_ray.format import read_header
+        from arcade_ray.pipeline.query import (_manifest_paths,
+                                               _zone_excluded,
+                                               compound_filter)
+
+        table, out = self._encode(tmp_path_factory, rows=4000)
+        rows = _manifest_paths(out)
+        header0, _ = read_header(rows[0]["path"])
+        lit = table["doc_id"][0].as_py()
+        tree = ("and", [("eq", "doc_id", lit),
+                        ("between", "n_tok", 0, 10**6)])
+        kept = [r for r in rows
+                if not _zone_excluded(header0, json.loads(r["col_stats"]),
+                                      tree)]
+        assert len(kept) < len(rows), "bloom should prune eq leaves"
+        got = compound_filter(out, tree, ["doc_id"]).take_all()
+        assert [r["doc_id"] for r in got] == [lit]
+        # absent literal -> bloom prunes everything, typed empty out
+        none = compound_filter(out, [("eq", "doc_id", "absent-doc")],
+                               ["doc_id"]).take_all()
+        assert none == []
