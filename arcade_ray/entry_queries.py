@@ -1678,6 +1678,16 @@ def q_repetition_scores(sf_dir: str) -> pa.Table:
         batch_format="pyarrow"))
 
 
+def q_bm25_scores(sf_dir: str) -> pa.Table:
+    """Okapi BM25 ranked keyword retrieval for a 3-term query (oracle:
+    DuckDB evaluates the SAME float64 expression in the same operand
+    order, so the doubles hash-match bit-identically)."""
+    from .textops import bm25_scores
+
+    return _collect(bm25_scores(_docs_ds(sf_dir),
+                                ["spark", "window", "vector"]))
+
+
 def q_dup_ngram_stats(sf_dir: str) -> pa.Table:
     """Substring-level duplication counts at n=3 (word trigrams) —
     small enough for DuckDB to mirror exactly via the same trigram
@@ -1936,6 +1946,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "repetition_scores": q_repetition_scores,
     "dup_ngram_stats": q_dup_ngram_stats,
+    "bm25_scores": q_bm25_scores,
     "drop_dup_passages": q_drop_dup_passages,
     "redact_pii": q_redact_pii,
     "range_filter": q_range_filter,
@@ -2359,6 +2370,33 @@ ORACLE_SQL = {
         "FROM w) "
         "SELECT doc_id, CAST(length(t) AS BIGINT) AS n_grams, "
         "CAST(length(list_distinct(t)) AS BIGINT) AS n_unique FROM g"
+    ),
+    "bm25_scores": (
+        # SAME float64 expression, same operand order as the engine;
+        # constants written as expressions ((1.2 + 1.0), not 2.2) so
+        # constant folding reproduces the engine's double arithmetic
+        "WITH w AS (SELECT doc_id, list_filter("
+        "string_split_regex(lower(text), '\\s+'), x -> x <> '') AS l "
+        "FROM documents), "
+        "t AS (SELECT doc_id, CAST(length(l) AS DOUBLE) AS dl, "
+        "CAST(len(list_filter(l, x -> x = 'spark')) AS DOUBLE) AS tf1, "
+        "CAST(len(list_filter(l, x -> x = 'window')) AS DOUBLE) AS tf2, "
+        "CAST(len(list_filter(l, x -> x = 'vector')) AS DOUBLE) AS tf3 "
+        "FROM w), "
+        "s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+        "CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl, "
+        "CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1, "
+        "CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2, "
+        "CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3 "
+        "FROM t) "
+        "SELECT doc_id, "
+        "ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * (1.2 + 1.0)) / "
+        "(tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) + "
+        "ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * (1.2 + 1.0)) / "
+        "(tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) + "
+        "ln((n - df3 + 0.5) / (df3 + 0.5) + 1.0) * (tf3 * (1.2 + 1.0)) / "
+        "(tf3 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS score "
+        "FROM t, s WHERE tf1 + tf2 + tf3 > 0"
     ),
     "dup_ngram_stats": (
         # per-position trigram duplication vs GLOBAL multiplicity;

@@ -1001,6 +1001,102 @@ def decontaminate(ds, eval_ds, n: int = 13, text_col: str = "text",
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def bm25_scores(ds, terms: list[str], text_col: str = "text",
+                id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75):
+    """Okapi BM25 relevance of every document to a small query-term
+    set (classic ranked keyword retrieval; Robertson & Zaragoza 2009,
+    public). Uses the Lucene idf variant
+    ``ln((N - df + 0.5)/(df + 0.5) + 1)`` (always positive). Returns
+    a Dataset of ``(id_col, score)`` for documents containing at
+    least one query term; term-free documents are omitted.
+
+    Scale shape: pass 1 reduces the corpus to O(terms) statistics
+    (doc count, total words, per-term document frequency) via
+    per-batch partial rows summed on the driver — no shuffle; pass 2
+    scores map-side with the tiny idf table in the task closure,
+    emitting only matching docs. The per-term inner loop is over the
+    QUERY terms (a handful), each pass vectorized over the batch.
+
+    Determinism: the score expression is evaluated in a fixed
+    operand order so a SQL oracle computing the same float64
+    expression reproduces the doubles bit-identically."""
+    words_of = pc.utf8_split_whitespace
+
+    def _doc_words(bt: pa.Table):
+        """(flat words, doc index per word, per-doc word count) with
+        split-edge empty tokens dropped — the same semantics as SQL's
+        list_filter(split, x -> x <> '')."""
+        w = words_of(pc.utf8_lower(bt[text_col]))
+        counts = pc.list_value_length(w).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(w.combine_chunks()
+                               if isinstance(w, pa.ChunkedArray) else w)
+        doc_of = np.repeat(np.arange(len(bt), dtype=np.int64), counts)
+        nonempty = pc.greater(pc.utf8_length(flat), 0) \
+            .to_numpy(zero_copy_only=False)
+        flat, doc_of = flat.filter(pa.array(nonempty)), doc_of[nonempty]
+        dl = np.bincount(doc_of, minlength=len(bt)).astype(np.int64)
+        return flat, doc_of, dl
+
+    def corpus_partial(bt: pa.Table) -> pa.Table:
+        flat, doc_of, dl = _doc_words(bt)
+        dfs = []
+        for t in terms:
+            hits = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            dfs.append(len(np.unique(doc_of[hits])))
+        return pa.table({
+            "term": pa.array(["\x00stats", *terms]),
+            "df": pa.array([0, *dfs], type=pa.int64()),
+            "n_docs": pa.array([len(bt)] + [0] * len(terms),
+                               type=pa.int64()),
+            "n_words": pa.array([int(dl.sum())] + [0] * len(terms),
+                                type=pa.int64()),
+        })
+
+    from .collect import collect_arrow
+
+    part = collect_arrow(ds.map_batches(corpus_partial,
+                                        batch_format="pyarrow"))
+    pdf = part.to_pandas()
+    # an empty corpus never invokes the partial UDF -> columnless table
+    n_docs = int(pdf["n_docs"].sum()) if "n_docs" in pdf.columns else 0
+    n_words = int(pdf["n_words"].sum()) if n_docs else 0
+    if n_docs == 0:
+        import ray.data as rd
+
+        sch = ds.schema()
+        id_type = dict(zip(sch.names, sch.types))[id_col] \
+            if sch is not None else pa.int64()
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], id_type),
+            "score": pa.array([], pa.float64())}))
+    avgdl = n_words / n_docs
+    df_of = pdf.groupby("term")["df"].sum().to_dict()
+    # math.log (libm), not np.log: SQL engines call libm too, so the
+    # oracle's ln() reproduces these doubles bit-identically
+    import math
+
+    idf = [math.log((n_docs - df_of.get(t, 0) + 0.5)
+                    / (df_of.get(t, 0) + 0.5) + 1.0) for t in terms]
+
+    def score(bt: pa.Table) -> pa.Table:
+        flat, doc_of, dl_i = _doc_words(bt)
+        dl = dl_i.astype(np.float64)
+        total = np.zeros(len(bt), dtype=np.float64)
+        any_tf = np.zeros(len(bt), dtype=np.int64)
+        denom_dl = k1 * (1.0 - b + b * dl / avgdl)
+        for t, w_idf in zip(terms, idf):
+            hits = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            tf = np.bincount(doc_of[hits], minlength=len(bt)) \
+                .astype(np.float64)
+            total = total + w_idf * (tf * (k1 + 1.0)) / (tf + denom_dl)
+            any_tf += tf.astype(np.int64)
+        keep = any_tf > 0
+        return pa.table({id_col: bt[id_col].filter(pa.array(keep)),
+                         "score": pa.array(total[keep])})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def dup_ngram_stats(ds, n: int = 13, text_col: str = "text",
                     id_col: str = "doc_id"):
     """Substring-level (passage) duplication signal: per document, how

@@ -837,3 +837,42 @@ def test_dup_ngram_stats_empty(ray_session):
     assert set(out.schema().names) == {"doc_id", "n_ngrams", "n_dup"}
     kept = drop_dup_passages(rd.from_arrow(empty), n=3)
     assert kept.count() == 0
+
+
+def test_bm25_scores_hand_checked(ray_session):
+    """BM25 vs a direct per-doc recompute (Lucene idf variant)."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from arcade_ray.textops import bm25_scores
+
+    texts = ["cat dog cat", "dog mouse", "bird", "cat cat cat cat"]
+    docs = pa.table({"doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                     "text": pa.array(texts)})
+    out = bm25_scores(rd.from_arrow(docs), ["cat", "mouse"],
+                      k1=1.2, b=0.75).take_all()
+    got = {r["doc_id"]: r["score"] for r in out}
+    assert sorted(got) == [1, 2, 4]  # doc3 has no query term
+
+    n, avgdl = 4, (3 + 2 + 1 + 4) / 4
+    def idf(df): return math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    def term(tf, dl, df):
+        return idf(df) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert got[1] == pytest.approx(term(2, 3, 2) + 0.0, abs=1e-12)
+    assert got[2] == pytest.approx(term(1, 2, 1), abs=1e-12)  # mouse only
+    assert got[4] == pytest.approx(term(4, 4, 2), abs=1e-12)
+
+
+def test_bm25_empty_corpus(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from arcade_ray.textops import bm25_scores
+
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "text": pa.array([], type=pa.string())})
+    out = bm25_scores(rd.from_arrow(empty), ["x"])
+    assert out.count() == 0
+    assert set(out.schema().names) == {"doc_id", "score"}
