@@ -1678,6 +1678,24 @@ def q_repetition_scores(sf_dir: str) -> pa.Table:
         batch_format="pyarrow"))
 
 
+def q_build_vocab(sf_dir: str) -> pa.Table:
+    """Frequency-ranked top-50 word vocabulary (oracle: ROW_NUMBER
+    over the SQL word counts; ties broken by ascending word)."""
+    from .textops import build_vocab
+
+    return build_vocab(_docs_ds(sf_dir), max_size=50)
+
+
+def q_tokenize_vocab(sf_dir: str) -> pa.Table:
+    """Vocabulary tokenization: docs -> list<int32> ids, OOV -> 0
+    (oracle: unnest + ordinality + LEFT JOIN + ordered list_agg)."""
+    from .textops import build_vocab, tokenize_with_vocab
+
+    ds = _docs_ds(sf_dir)
+    vocab = build_vocab(ds, max_size=100)
+    return _collect(tokenize_with_vocab(_docs_ds(sf_dir), vocab))
+
+
 def q_bm25_scores(sf_dir: str) -> pa.Table:
     """Okapi BM25 ranked keyword retrieval for a 3-term query (oracle:
     DuckDB evaluates the SAME float64 expression in the same operand
@@ -1947,6 +1965,8 @@ QUERIES = {
     "repetition_scores": q_repetition_scores,
     "dup_ngram_stats": q_dup_ngram_stats,
     "bm25_scores": q_bm25_scores,
+    "build_vocab": q_build_vocab,
+    "tokenize_vocab": q_tokenize_vocab,
     "drop_dup_passages": q_drop_dup_passages,
     "redact_pii": q_redact_pii,
     "range_filter": q_range_filter,
@@ -2370,6 +2390,31 @@ ORACLE_SQL = {
         "FROM w) "
         "SELECT doc_id, CAST(length(t) AS BIGINT) AS n_grams, "
         "CAST(length(list_distinct(t)) AS BIGINT) AS n_unique FROM g"
+    ),
+    "build_vocab": (
+        "WITH w AS (SELECT list_filter(string_split_regex(lower(text), "
+        "'\\s+'), x -> x <> '') AS l FROM documents), "
+        "c AS (SELECT word, COUNT(*) AS n FROM "
+        "(SELECT unnest(l) AS word FROM w) GROUP BY word) "
+        "SELECT word, CAST(ROW_NUMBER() OVER "
+        "(ORDER BY n DESC, word ASC) AS INTEGER) AS id, n FROM c "
+        "QUALIFY id <= 50"
+    ),
+    "tokenize_vocab": (
+        "WITH w AS (SELECT doc_id, list_filter(string_split_regex("
+        "lower(text), '\\s+'), x -> x <> '') AS l FROM documents), "
+        "c AS (SELECT word, COUNT(*) AS n FROM "
+        "(SELECT unnest(l) AS word FROM w) GROUP BY word), "
+        "v AS (SELECT word, CAST(ROW_NUMBER() OVER "
+        "(ORDER BY n DESC, word ASC) AS INTEGER) AS id FROM c "
+        "QUALIFY id <= 100), "
+        "e AS (SELECT doc_id, unnest(l) AS word, "
+        "generate_subscripts(l, 1) AS ord FROM w), "
+        "j AS (SELECT e.doc_id, list(CAST(coalesce(v.id, 0) AS INTEGER) "
+        "ORDER BY e.ord) AS tokens "
+        "FROM e LEFT JOIN v USING (word) GROUP BY e.doc_id) "
+        "SELECT d.doc_id, coalesce(j.tokens, CAST([] AS INTEGER[])) "
+        "AS tokens FROM documents d LEFT JOIN j USING (doc_id)"
     ),
     "bm25_scores": (
         # SAME float64 expression, same operand order as the engine;

@@ -1001,6 +1001,89 @@ def decontaminate(ds, eval_ds, n: int = 13, text_col: str = "text",
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def build_vocab(ds, max_size: int = 32768, text_col: str = "text"):
+    """Frequency-ranked word vocabulary: the top ``max_size`` lowercase
+    whitespace words, id 1..max_size assigned by (count desc, word asc)
+    — id 0 is reserved for OOV/padding. Returns a pyarrow Table
+    ``(word, id, n)``.
+
+    Scale shape: the :func:`top_words` pattern — per-batch
+    (word, count) partials via one Arrow lower/split/value_counts pass
+    (vocabulary-sized, not corpus-sized), one groupby-sum shuffle over
+    those partials, a vocabulary-sized driver sort."""
+    from ray.data.aggregate import Sum
+
+    from .collect import collect_arrow
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.utf8_split_whitespace(
+            pc.utf8_lower(batch[text_col])))
+        words = words.filter(pc.greater(pc.utf8_length(words), 0))
+        vc = words.value_counts()
+        return pa.table({"word": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("n", alias_name="n"))
+    t = collect_arrow(agg)
+    if t.num_rows == 0 or "word" not in t.column_names:
+        return pa.table({"word": pa.array([], pa.string()),
+                         "id": pa.array([], pa.int32()),
+                         "n": pa.array([], pa.int64())})
+    order = pc.sort_indices(t, sort_keys=[("n", "descending"),
+                                          ("word", "ascending")])
+    t = t.take(order).slice(0, max_size)
+    return pa.table({"word": t["word"],
+                     "id": pa.array(np.arange(1, t.num_rows + 1,
+                                              dtype=np.int32)),
+                     "n": t["n"]})
+
+
+def tokenize_with_vocab(ds, vocab: pa.Table, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        out_col: str = "tokens"):
+    """Map each document to int32 token ids via a fixed vocabulary
+    (:func:`build_vocab` output); out-of-vocabulary words become id 0.
+    Deterministic across runs, partitionings and worker processes —
+    unlike Python's per-process-salted ``hash()``.
+
+    The vocab ships once via ``ray.put``; each batch is one Arrow
+    lower/split pass + one vectorized ``index_in`` against the vocab
+    array — no per-word Python. Returns ``(id_col, out_col)`` with
+    ``out_col: list<int32>``."""
+    import ray
+
+    vref = ray.put(vocab.combine_chunks())
+
+    def run(bt: pa.Table) -> pa.Table:
+        v = ray.get(vref)
+        words = pc.utf8_split_whitespace(pc.utf8_lower(bt[text_col]))
+        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words.combine_chunks()
+                               if isinstance(words, pa.ChunkedArray)
+                               else words)
+        nonempty = pc.greater(pc.utf8_length(flat), 0) \
+            .to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        # per-doc word counts after dropping split-edge empties
+        doc_of = np.repeat(np.arange(len(bt), dtype=np.int64), counts)
+        dl = np.bincount(doc_of[nonempty], minlength=len(bt))
+        pos = pc.index_in(flat, value_set=v["word"].combine_chunks())
+        pos_np = pos.to_numpy(zero_copy_only=False)
+        ids_np = v["id"].to_numpy(zero_copy_only=False)
+        tok = np.zeros(len(flat), dtype=np.int32)
+        fidx = np.flatnonzero(pos.is_valid().to_numpy(zero_copy_only=False))
+        if len(fidx):
+            tok[fidx] = ids_np[pos_np[fidx].astype(np.int64)]
+        offsets = np.zeros(len(bt) + 1, dtype=np.int32)
+        np.cumsum(dl, out=offsets[1:])
+        toks = pa.ListArray.from_arrays(pa.array(offsets),
+                                        pa.array(tok, type=pa.int32()))
+        return pa.table({id_col: bt[id_col], out_col: toks})
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
 def bm25_scores(ds, terms: list[str], text_col: str = "text",
                 id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75):
     """Okapi BM25 relevance of every document to a small query-term

@@ -12,7 +12,8 @@ composed from the engine's own operators, all streaming:
                                 trigram fraction, Lee et al. 2022 signal)
       -> exact_dedup           (hash-only shuffle, map-side anti-join)
       -> decontaminate         (13-gram overlap vs --eval benchmark)
-      -> tokenize + pack       (fixed-length training examples)
+      -> build_vocab + tokenize (deterministic word-id vocabulary)
+      -> pack_sequences        (fixed-length training examples)
       -> write_parquet         (partitioned shards, resumable output)
 
 On a cluster:
@@ -30,7 +31,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import re
 import sys
 import time
 
@@ -49,6 +49,8 @@ def main() -> int:
     p.add_argument("--max-dup-frac", type=float, default=0.75,
                    help="drop docs whose repeated-trigram fraction "
                    "exceeds this (Gopher-style repetition gate)")
+    p.add_argument("--vocab-size", type=int, default=32768,
+                   help="word-vocabulary size for tokenization (0=OOV)")
     p.add_argument("--max-passage-dup", type=float, default=None,
                    help="drop docs whose corpus-duplicated trigram "
                    "fraction exceeds this (substring-dedup gate)")
@@ -151,16 +153,21 @@ def main() -> int:
                            id_col=args.id_col,
                            eval_text_col=args.text_col)
 
-    word_re = re.compile(r"[A-Za-z0-9]+")
+    # vocabulary tokenization (id 0 = OOV). Python's salted hash() is
+    # NOT usable here: each Ray worker process has its own seed, so the
+    # same word would map to different ids in different tasks. The
+    # cleaned stream is materialized once (spillable) because the
+    # vocab-count pass and the tokenize pass both consume it.
+    from arcade_ray.textops import build_vocab, tokenize_with_vocab
 
-    def tokenize(b: pa.Table) -> pa.Table:
-        toks = [[hash(w) & 0x7FFFFFFF for w in word_re.findall(t)]
-                for t in b["text"].to_pylist()]
-        return pa.table({"tokens": pa.array(toks,
-                                            type=pa.list_(pa.int32()))})
-
-    packed = pack_sequences(ds.map_batches(tokenize, batch_format="pyarrow"),
-                            max_len=args.max_len)
+    ds = ds.materialize()
+    vocab = build_vocab(ds, max_size=args.vocab_size, text_col="text")
+    tok = tokenize_with_vocab(ds, vocab, text_col="text",
+                              id_col=args.id_col)
+    packed = pack_sequences(
+        tok.map_batches(lambda b: b.select(["tokens"]),
+                        batch_format="pyarrow"),
+        max_len=args.max_len)
     packed.write_parquet(args.out)
 
     # a fully-filtered corpus writes nothing — report 0, don't crash

@@ -876,3 +876,41 @@ def test_bm25_empty_corpus(ray_session):
     out = bm25_scores(rd.from_arrow(empty), ["x"])
     assert out.count() == 0
     assert set(out.schema().names) == {"doc_id", "score"}
+
+
+def test_build_vocab_and_tokenize(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from arcade_ray.textops import build_vocab, tokenize_with_vocab
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["cat dog cat", "dog mouse rareword", "   "]),
+    })
+    v = build_vocab(rd.from_arrow(docs), max_size=3)
+    # (count desc, word asc): cat=2, dog=2, mouse=1; rareword cut
+    assert v["word"].to_pylist() == ["cat", "dog", "mouse"]
+    assert v["id"].to_pylist() == [1, 2, 3]
+    out = tokenize_with_vocab(rd.from_arrow(docs), v).take_all()
+    got = {r["doc_id"]: r["tokens"] for r in out}
+    assert got[1] == [1, 2, 1]
+    assert got[2] == [2, 3, 0]  # OOV -> 0
+    assert got[3] == []
+
+    # determinism across a different partitioning
+    v2 = build_vocab(rd.from_arrow(docs).repartition(3), max_size=3)
+    assert v2.equals(v)
+
+
+def test_build_vocab_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from arcade_ray.textops import build_vocab
+
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "text": pa.array([], type=pa.string())})
+    v = build_vocab(rd.from_arrow(empty))
+    assert v.num_rows == 0
+    assert v.column_names == ["word", "id", "n"]
