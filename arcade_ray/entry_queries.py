@@ -1882,7 +1882,7 @@ QUERIES = {
     "schema_evolution": q_schema_evolution,
     "schema_evolution_filter": q_schema_evolution_filter,
     "stats_meta_nulls": q_stats_meta_nulls,
-    "group_percentiles_nulls": q_group_percentiles_nulls,
+    "dup_ngram_stats": q_dup_ngram_stats,
     "distinct_sources": q_distinct_sources,
     "group_count_encoded": q_group_count_encoded,
     "group_agg_multi": q_group_agg_multi,
@@ -1909,10 +1909,10 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "minhash_pairs": q_minhash_pairs,
     "ann_topk": q_ann_topk,
-    "ann_lsh_recall": q_ann_lsh_recall,
+    "bm25_scores": q_bm25_scores,
     "ann_ivf_recall": q_ann_ivf_recall,
     "ann_index_recall": q_ann_index_recall,
-    "decontaminate_tri": q_decontaminate_tri,
+    "tokenize_vocab": q_tokenize_vocab,
     "embedding_near_dup": q_embedding_near_dup,
     "ann_index_q8_recall": q_ann_index_q8_recall,
     "equi_filter_int": q_equi_filter_int,
@@ -1963,10 +1963,10 @@ QUERIES = {
     "ann_topk_lsh": q_ann_topk_lsh,
     "decontaminate": q_decontaminate,
     "repetition_scores": q_repetition_scores,
-    "dup_ngram_stats": q_dup_ngram_stats,
-    "bm25_scores": q_bm25_scores,
+    "group_percentiles_nulls": q_group_percentiles_nulls,
+    "ann_lsh_recall": q_ann_lsh_recall,
     "build_vocab": q_build_vocab,
-    "tokenize_vocab": q_tokenize_vocab,
+    "decontaminate_tri": q_decontaminate_tri,
     "drop_dup_passages": q_drop_dup_passages,
     "redact_pii": q_redact_pii,
     "range_filter": q_range_filter,

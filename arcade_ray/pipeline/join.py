@@ -86,7 +86,8 @@ def copartition_join(left_dir: str, right_dir: str, left_key: str,
                      right_key: str, left_cols: list[str],
                      right_cols: list[str], join_type: str = "inner",
                      n_buckets: int | None = None,
-                     mode: str | None = None):
+                     mode: str | None = None,
+                     salt=None, salt_factor: int = 8):
     """Hash CO-PARTITIONED join of two large ENCODED datasets — the
     round-2 gap (join.py's own promise): instead of decoding both
     sides into Ray Data's sort-based join shuffle, reuse the encode
@@ -116,6 +117,16 @@ def copartition_join(left_dir: str, right_dir: str, left_key: str,
     Dataset stays re-executable). ``None`` auto-selects disk when the
     two sides' manifest raw_bytes exceed ARCADE_DISK_EXCHANGE_BYTES —
     the same threshold/pattern as encode_parquet's exchange.
+
+    ``salt`` (skew handling): hot join keys crowd all their rows into
+    one bucket, making that join task the wall-clock. ``salt="auto"``
+    samples the LEFT side's key column (:func:`detect_hot_keys`) and
+    spreads each hot key's left rows across ``salt_factor`` salt
+    buckets while REPLICATING the right side's matching rows into all
+    of them (each left row still meets each right row exactly once);
+    pass an explicit key list to skip detection. Inner/left joins
+    only — replicated right rows would emit duplicate unmatched rows
+    under right/full outer (ValueError).
 
     Returns a streaming Dataset with columns left_cols + right_cols."""
     import numpy as np
@@ -157,6 +168,18 @@ def copartition_join(left_dir: str, right_dir: str, left_key: str,
         raw = int(_pc.sum(l_man["raw_bytes"]).as_py() or 0) \
             + int(_pc.sum(r_man["raw_bytes"]).as_py() or 0)
         mode = "disk" if raw > DISK_EXCHANGE_BYTES else "objects"
+    hot = None
+    if salt is not None:
+        if arrow_how not in ("inner", "left outer"):
+            raise ValueError("salt= applies to inner/left joins only "
+                             "(replicated build rows would duplicate "
+                             "unmatched right/full-outer output)")
+        if l_paths:
+            if isinstance(salt, str) and salt == "auto":
+                hot = detect_hot_keys(l_paths, left_key, n_buckets)
+            else:
+                hot = salt if isinstance(salt, pa.Array) \
+                    else pa.array(list(salt))
     keep = list(dict.fromkeys(left_cols + right_cols))
     # Arrow's hash join coalesces the key pair into ONE column named
     # after the left key; if the caller asked for the right key column
@@ -199,22 +222,24 @@ def copartition_join(left_dir: str, right_dir: str, left_key: str,
 
         @ray.remote
         def split_disk(path: str, key: str, cols: list[str],
-                       sdir: str, si: int) -> int:
+                       sdir: str, si: int, rep: bool) -> int:
             _pin_arrow_threads()
             t = decode_partition(path, columns=cols)
             h = (hash_column(t[key]) % np.uint64(n_buckets)) \
                 .astype(np.int64)
+            t, h = _salted_buckets(t, key, h, hot, n_buckets,
+                                   salt_factor, rep)
             return write_bucket_frags(t, h, n_buckets, sdir, si)
 
         max_inflight = max(4, int(ray.cluster_resources().get("CPU", 8)))
         pending: list = []
         for si, p in enumerate(l_paths):
             pending.append(split_disk.remote(p, left_key, left_need,
-                                             sh_l, si))
+                                             sh_l, si, False))
             pending = drain_bounded(pending, max_inflight)
         for si, p in enumerate(r_paths):
             pending.append(split_disk.remote(p, right_key, right_need,
-                                             sh_r, si))
+                                             sh_r, si, True))
             pending = drain_bounded(pending, max_inflight)
         ray.get(pending)  # all fragments on disk
         l_has = [os.path.isdir(bucket_dir(sh_l, b))
@@ -230,16 +255,18 @@ def copartition_join(left_dir: str, right_dir: str, left_key: str,
     else:
 
         @ray.remote
-        def split(path: str, key: str, cols: list[str]):
+        def split(path: str, key: str, cols: list[str], rep: bool):
             _pin_arrow_threads()
             t = decode_partition(path, columns=cols)
             h = (hash_column(t[key]) % np.uint64(n_buckets)) \
                 .astype(np.int64)
+            t, h = _salted_buckets(t, key, h, hot, n_buckets,
+                                   salt_factor, rep)
             return split_by_bucket(t, h, n_buckets)
 
-        l_lists = ray.get([split.remote(p, left_key, left_need)
+        l_lists = ray.get([split.remote(p, left_key, left_need, False)
                            for p in l_paths])
-        r_lists = ray.get([split.remote(p, right_key, right_need)
+        r_lists = ray.get([split.remote(p, right_key, right_need, True)
                            for p in r_paths])
         l_frags = [[fl[b] for fl in l_lists if fl[b] is not None]
                    for b in range(n_buckets)]
@@ -282,6 +309,85 @@ def copartition_join(left_dir: str, right_dir: str, left_key: str,
         return pa.concat_tables(outs)
 
     return ds.map_batches(join_bucket, batch_format="pyarrow", batch_size=1)
+
+
+def detect_hot_keys(paths: list[str], key: str, n_buckets: int,
+                    sample_parts: int = 6, max_keys: int = 64,
+                    min_share: float | None = None) -> pa.Array | None:
+    """Sampled hot-key detection for the salted join: decode the KEY
+    column of up to ``sample_parts`` partitions (one Ray task each —
+    the text/payload columns never load), merge per-partition value
+    counts, and return keys whose sampled row share exceeds
+    ``min_share`` (default 2/n_buckets — twice a fair bucket's load).
+    None when the sample shows no skew."""
+    import ray
+
+    if min_share is None:
+        min_share = 2.0 / n_buckets
+    take = paths[:: max(1, len(paths) // sample_parts)][:sample_parts]
+
+    @ray.remote
+    def part_counts(path: str):
+        from .encode import _pin_arrow_threads
+
+        _pin_arrow_threads()
+        col = decode_partition(path, columns=[key])[key].combine_chunks()
+        vc = col.value_counts()
+        # ship only the partition's own top candidates
+        order = pc.array_sort_indices(vc.field("counts"),
+                                      order="descending")
+        top = vc.take(order.slice(0, max_keys))
+        return (top.field("values"), top.field("counts").cast(pa.int64()),
+                len(col))
+
+    got = ray.get([part_counts.remote(p) for p in take])
+    total = sum(n for _, _, n in got)
+    if total == 0:
+        return None
+    merged: dict = {}
+    for vals, counts, _ in got:
+        for v, c in zip(vals.to_pylist(), counts.to_pylist()):
+            merged[v] = merged.get(v, 0) + c
+    hot = [v for v, c in sorted(merged.items(), key=lambda kv: -kv[1])
+           if c / total >= min_share][:max_keys]
+    return pa.array(hot, type=got[0][0].type) if hot else None
+
+
+def _salted_buckets(t: pa.Table, key: str, h: "np.ndarray",
+                    hot: pa.Array | None, n_buckets: int, factor: int,
+                    replicate: bool):
+    """Apply hot-key salting to a split task's bucket assignment.
+
+    Probe side (``replicate=False``): a hot key's rows cycle across
+    ``factor`` salt buckets instead of crowding one. Build side
+    (``replicate=True``): a hot key's rows are COPIED into all
+    ``factor`` salt buckets so every probe fragment still sees every
+    matching build row exactly once. Salt buckets are
+    ``(h + j*step) % n_buckets`` — identical arithmetic on both sides.
+    Returns (table, bucket assignment) — the table grows only on the
+    replicate side, only by hot rows x (factor-1)."""
+    import numpy as np
+
+    if hot is None or len(hot) == 0:
+        return t, h
+    mask = pc.is_in(t[key], value_set=hot.cast(t[key].type)) \
+        .to_numpy(zero_copy_only=False)
+    idx = np.flatnonzero(mask)
+    if not len(idx):
+        return t, h
+    step = max(1, n_buckets // factor)
+    if not replicate:
+        salt = np.arange(len(idx), dtype=np.int64) % factor
+        h = h.copy()
+        h[idx] = (h[idx] + salt * step) % n_buckets
+        return t, h
+    parts = [t]
+    hs = [h]
+    hot_rows = t.take(pa.array(idx))
+    for j in range(1, factor):
+        parts.append(hot_rows)
+        hs.append((h[idx] + j * step) % n_buckets)
+    return pa.concat_tables(parts), np.concatenate(hs)
 
 
 def _typed_empty(path: str, columns: list[str]) -> pa.Table:
