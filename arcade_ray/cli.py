@@ -384,6 +384,74 @@ def cmd_decontaminate(args) -> None:
           f"in {time.perf_counter() - t0:.2f} s")
 
 
+def cmd_search(args) -> None:
+    """Okapi BM25 ranked keyword retrieval: top-k docs for a query."""
+    from .sources import read_parquet_clean
+    from .textops import bm25_scores
+
+    t0 = time.perf_counter()
+    terms = [t for t in args.query.lower().split() if t]
+    ds = read_parquet_clean(args.input,
+                            columns=[args.id_col, args.text_col])
+    scored = bm25_scores(ds, terms, text_col=args.text_col,
+                         id_col=args.id_col)
+    import pyarrow.compute as pc
+
+    from .collect import collect_arrow
+
+    t = collect_arrow(scored)
+    order = pc.sort_indices(t, sort_keys=[("score", "descending"),
+                                          (args.id_col, "ascending")])
+    top = t.take(order).slice(0, args.k)
+    print(top.to_pandas().to_string(index=False))
+    print(f"{t.num_rows} matching docs, top {min(args.k, t.num_rows)} "
+          f"shown in {time.perf_counter() - t0:.2f} s")
+
+
+def cmd_vocab(args) -> None:
+    """Build a frequency-ranked word vocabulary and (optionally)
+    tokenize the corpus with it."""
+    from .sources import read_parquet_clean
+    from .textops import build_vocab, tokenize_with_vocab
+
+    t0 = time.perf_counter()
+    ds = read_parquet_clean(args.input,
+                            columns=[args.id_col, args.text_col])
+    vocab = build_vocab(ds, max_size=args.size, text_col=args.text_col)
+    import pyarrow.parquet as pq
+
+    pq.write_table(vocab, args.out)
+    msg = f"Vocab -> {args.out}: {vocab.num_rows} words"
+    if args.tokens_out:
+        tok = tokenize_with_vocab(ds, vocab, text_col=args.text_col,
+                                  id_col=args.id_col)
+        tok.write_parquet(args.tokens_out)
+        import pyarrow.dataset as pads
+
+        n = pads.dataset(args.tokens_out).count_rows()
+        msg += f"; tokenized {n} docs -> {args.tokens_out}"
+    print(f"{msg} in {time.perf_counter() - t0:.2f} s")
+
+
+def cmd_passage_dedup(args) -> None:
+    """Drop docs dominated by corpus-duplicated word n-grams
+    (substring/passage-level dedup gate)."""
+    from .sources import read_parquet_clean
+    from .textops import drop_dup_passages
+
+    t0 = time.perf_counter()
+    ds = read_parquet_clean(args.input,
+                            columns=[args.id_col, args.text_col])
+    out = drop_dup_passages(ds, n=args.ngram, max_frac=args.max_frac,
+                            text_col=args.text_col, id_col=args.id_col)
+    out.write_parquet(args.out)
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(args.out).count_rows()
+    print(f"Passage-deduped -> {args.out}: {n} survivors "
+          f"in {time.perf_counter() - t0:.2f} s")
+
+
 def cmd_pack(args) -> None:
     """Pack token sequences into fixed-length training examples."""
     from .sources import read_parquet_clean
@@ -547,6 +615,36 @@ def main(argv=None) -> None:
     dc.add_argument("--id-col", default="doc_id")
     dc.add_argument("--eval-text-col", default="text")
     dc.set_defaults(fn=cmd_decontaminate)
+
+    se = sub.add_parser("search", help="BM25 ranked keyword retrieval "
+                        "over a parquet corpus")
+    se.add_argument("input")
+    se.add_argument("query", help="space-separated query terms")
+    se.add_argument("-k", type=int, default=10)
+    se.add_argument("--text-col", default="text")
+    se.add_argument("--id-col", default="doc_id")
+    se.set_defaults(fn=cmd_search)
+
+    vb = sub.add_parser("vocab", help="build a frequency-ranked word "
+                        "vocabulary (and optionally tokenize)")
+    vb.add_argument("input")
+    vb.add_argument("out", help="vocabulary parquet file")
+    vb.add_argument("--size", type=int, default=32768)
+    vb.add_argument("--tokens-out", default=None,
+                    help="also tokenize the corpus -> parquet dir")
+    vb.add_argument("--text-col", default="text")
+    vb.add_argument("--id-col", default="doc_id")
+    vb.set_defaults(fn=cmd_vocab)
+
+    pdd = sub.add_parser("passage-dedup", help="drop docs dominated by "
+                         "corpus-duplicated word n-grams")
+    pdd.add_argument("input")
+    pdd.add_argument("out")
+    pdd.add_argument("--ngram", type=int, default=13)
+    pdd.add_argument("--max-frac", type=float, default=0.5)
+    pdd.add_argument("--text-col", default="text")
+    pdd.add_argument("--id-col", default="doc_id")
+    pdd.set_defaults(fn=cmd_passage_dedup)
 
     pk = sub.add_parser("pack", help="pack token sequences into "
                         "fixed-length training examples -> parquet")

@@ -172,3 +172,73 @@ def test_cli_decontaminate(tmp_path):
         f"SELECT doc_id FROM read_parquet('{out_dir}/*.parquet') "
         "ORDER BY doc_id").fetchall()
     assert [r[0] for r in kept] == [2, 4]
+
+
+def test_cli_search_vocab_passage_dedup(tmp_path):
+    """search: BM25 top hit is the doc densest in the query terms;
+    vocab: most frequent word gets id 0 and tokenize round-trips it;
+    passage-dedup: the doc made of a corpus-duplicated 13-gram drops."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    span = " ".join(f"w{i}" for i in range(13))
+    t = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(5)]),
+        "text": pa.array([
+            "apple banana apple apple",
+            "banana cherry banana filler filler filler",
+            f"{span}",
+            f"unique leading words then {span} and a long clean tail "
+            "of many more original words to dilute the duplicated part "
+            "well below the gate threshold for this document",
+            "cherry only here",
+        ]),
+    })
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(t, src)
+
+    out = subprocess.run(
+        [sys.executable, "-m", "arcade_ray.cli", "--num-cpus", "4",
+         "search", src, "apple", "-k", "2"],
+        capture_output=True, text=True, timeout=240, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "1 matching docs" in out.stdout
+    assert "d0" in out.stdout
+
+    vocab_out = str(tmp_path / "vocab.parquet")
+    tok_out = str(tmp_path / "tok")
+    out2 = subprocess.run(
+        [sys.executable, "-m", "arcade_ray.cli", "--num-cpus", "4",
+         "vocab", src, vocab_out, "--size", "16",
+         "--tokens-out", tok_out],
+        capture_output=True, text=True, timeout=240, cwd="/root/repo")
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    assert "tokenized 5 docs" in out2.stdout
+    vocab = pq.read_table(vocab_out)
+    assert vocab.num_rows <= 16
+    # ids start at 1 (0 = OOV); "apple" (x3) wins the freq-desc,
+    # word-asc tie-break against "filler" (x3)
+    top = duckdb.sql(
+        f"SELECT word FROM read_parquet('{vocab_out}') "
+        "WHERE id = 1").fetchall()[0][0]
+    assert top == "apple"
+    n_tok_d0 = duckdb.sql(
+        f"SELECT len(tokens) FROM read_parquet('{tok_out}/*.parquet') "
+        "WHERE doc_id = 'd0'").fetchall()[0][0]
+    assert n_tok_d0 == 4
+
+    ded_out = str(tmp_path / "pdd")
+    out3 = subprocess.run(
+        [sys.executable, "-m", "arcade_ray.cli", "--num-cpus", "4",
+         "passage-dedup", src, ded_out, "--ngram", "13",
+         "--max-frac", "0.5"],
+        capture_output=True, text=True, timeout=240, cwd="/root/repo")
+    assert out3.returncode == 0, out3.stderr[-2000:]
+    survivors = duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{ded_out}/*.parquet') "
+        "ORDER BY doc_id").fetchall()
+    ids = [r[0] for r in survivors]
+    assert "d2" not in ids          # 100% duplicated n-grams -> dropped
+    assert "d3" in ids              # diluted below the gate -> kept
+    assert {"d0", "d1", "d4"} <= set(ids)
