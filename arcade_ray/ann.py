@@ -682,3 +682,133 @@ def ivf_index_topk(index_dir: str, queries_ids: list[int],
         ds = read_parquet_clean(paths, columns=[id_col, vec_col])
     return topk_cosine(ds, queries_ids, queries_mat, k=k,
                        id_col=id_col, vec_col=vec_col)
+
+
+def semantic_dedup(ds, threshold: float = 0.95, k: int = 16,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   sample_size: int = 2000, seed: int = 42):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication over an embedding column — cluster with spherical
+    k-means, then inside each cluster greedily drop every vector whose
+    cosine to an already-kept cluster member is >= ``threshold``.
+    Unlike :func:`near_dup_pairs` (which reports pairs), this emits a
+    keep/drop DECISION per vector naming the duplicate representative.
+
+    Keep order is the paper's: within a cluster, candidates are
+    visited by ASCENDING similarity to the centroid (most atypical
+    examples kept first, preserving diversity), ties broken by id —
+    deterministic across runs and partitionings.
+
+    Returns a Dataset of ``(id_col, cluster int64, centroid_sim
+    float64, is_dup bool, rep nullable id, cos_to_rep nullable
+    float64)``: survivors are the ``~is_dup`` rows; every dropped row
+    names the kept member it duplicates and their exact cosine
+    (>= threshold by construction — asserted in tests and by the
+    driver query's in-result contract columns).
+
+    Scale shape: the codebook comes from a driver sample
+    (:func:`_kmeans_lite`, broadcast via ``ray.put`` once); ONE
+    shuffle moves each (id, vec) row to its cluster's group — the one
+    exchange the algorithm inherently needs, since exact within-
+    cluster cosines require co-located vectors. Inside a cluster the
+    greedy pass runs in 256-row tiles: one matmul against the
+    kept-so-far matrix plus one tile x tile matmul, then a tile-local
+    sequential resolve — Python cost O(m/256) iterations per cluster,
+    flops O(m x kept x dim). The O(m^2) worst case is the algorithm's
+    own; SemDeDup bounds it by choosing k ~ N/target_cluster_size
+    (pick k so clusters hold ~10^4-10^5 vectors and each fits one
+    worker's heap)."""
+    import ray
+    import ray.data as rd
+
+    empty = pa.table({
+        id_col: pa.array([], pa.int64()),
+        "cluster": pa.array([], pa.int64()),
+        "centroid_sim": pa.array([], pa.float64()),
+        "is_dup": pa.array([], pa.bool_()),
+        "rep": pa.array([], pa.int64()),
+        "cos_to_rep": pa.array([], pa.float64()),
+    })
+    try:
+        sample_tab = ds.limit(sample_size).take_batch(
+            sample_size, batch_format="pyarrow")
+    except ValueError:  # empty corpus: typed empty decision table
+        return rd.from_arrow(empty)
+
+    cents = _kmeans_lite(_to_matrix(sample_tab[vec_col]), k, seed=seed)
+    cref = ray.put(cents)
+    id_type = sample_tab[id_col].type
+    empty = empty.set_column(0, id_col, pa.array([], id_type)) \
+        .set_column(4, "rep", pa.array([], id_type))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        x = _normalize(_to_matrix(batch[vec_col]))
+        sims = x @ c.T
+        a = np.argmax(sims, axis=1)
+        return pa.table({
+            id_col: batch[id_col],
+            vec_col: batch[vec_col],
+            "cluster": pa.array(a, type=pa.int64()),
+            "centroid_sim": pa.array(sims[np.arange(len(x)), a],
+                                     type=pa.float64()),
+        })
+
+    def dedup_cluster(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        order = pc.sort_indices(t, sort_keys=[
+            ("centroid_sim", "ascending"), (id_col, "ascending")])
+        t = t.take(order)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        x = _normalize(_to_matrix(t[vec_col]))
+        m = len(ids)
+        is_dup = np.zeros(m, dtype=bool)
+        rep_idx = np.full(m, -1, dtype=np.int64)
+        cos_rep = np.zeros(m)
+        kept: list[int] = []
+        for lo in range(0, m, 256):
+            hi = min(lo + 256, m)
+            tile = x[lo:hi]
+            nt = hi - lo
+            if kept:
+                gs = tile @ x[np.asarray(kept)].T   # vs earlier-kept
+                gbest = np.argmax(gs, axis=1)
+                gval = gs[np.arange(nt), gbest]
+            else:
+                gbest = np.zeros(nt, dtype=np.int64)
+                gval = np.full(nt, -np.inf)
+            ts = tile @ tile.T                      # tile-local sims
+            tile_kept: list[int] = []
+            for j in range(nt):
+                bv = gval[j]
+                bi = kept[gbest[j]] if kept else -1
+                if tile_kept:
+                    tv = ts[j, tile_kept]
+                    jm = int(np.argmax(tv))
+                    if tv[jm] > bv:
+                        bv, bi = float(tv[jm]), lo + tile_kept[jm]
+                if bv >= threshold:
+                    is_dup[lo + j] = True
+                    rep_idx[lo + j] = bi
+                    cos_rep[lo + j] = bv
+                else:
+                    tile_kept.append(j)
+            kept.extend(lo + jj for jj in tile_kept)
+        dup_sel = np.flatnonzero(rep_idx >= 0)
+        rep = np.zeros(m, dtype=ids.dtype)
+        rep[dup_sel] = ids[rep_idx[dup_sel]]
+        return pa.table({
+            id_col: t[id_col],
+            "cluster": t["cluster"],
+            "centroid_sim": t["centroid_sim"],
+            "is_dup": pa.array(is_dup),
+            "rep": pa.array(rep, type=id_type, mask=rep_idx < 0),
+            "cos_to_rep": pa.array(cos_rep, type=pa.float64(),
+                                   mask=rep_idx < 0),
+        })
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(dedup_cluster, batch_format="pyarrow"))
+

@@ -1600,6 +1600,70 @@ def q_ann_topk(sf_dir: str) -> pa.Table:
     return res.set_column(res.schema.get_field_index("cos"), "cos", cos)
 
 
+def q_semantic_dedup(sf_dir: str) -> pa.Table:
+    """SemDeDup (cluster embeddings with k-means, greedily drop
+    within-cluster members at cosine >= threshold to a kept member).
+    The base table has NO natural near-dups (max pairwise cos 0.51),
+    so 10 EXACT clones of vec_id 0..9 (ids +1000000) are planted:
+    with threshold 0.95 the decision is fully determined — exactly
+    the 10 clones drop (each naming its original as rep at cos 1.0)
+    and every base vector survives — which makes the one-row summary
+    a REAL value oracle, not an all-true formality. Every contract
+    column is recomputed independently in-query (numpy cosines over
+    the parquet bytes, not the operator's own outputs)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .ann import _normalize, semantic_dedup
+    from .collect import collect_arrow
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    base = pq.read_table(path, columns=["vec_id", "embedding"])
+    clone_sel = pc.less(base["vec_id"], 10)
+    clones = base.filter(clone_sel)
+    clones = clones.set_column(
+        0, "vec_id", pc.add(clones["vec_id"], 1_000_000))
+    full_tab = pa.concat_tables([base, clones])
+    ds = rd.from_arrow(full_tab)
+    out = collect_arrow(semantic_dedup(ds, threshold=0.95, k=8,
+                                       sample_size=2000, seed=42))
+
+    # independent verification (sf-scale driver-side check)
+    ids = full_tab["vec_id"].to_numpy(zero_copy_only=False)
+    flat = full_tab["embedding"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False).astype(np.float64)
+    x = _normalize(flat.reshape(len(ids), -1))
+    pos = {int(i): j for j, i in enumerate(ids)}
+    o_ids = out["vec_id"].to_numpy(zero_copy_only=False)
+    o_dup = out["is_dup"].to_numpy(zero_copy_only=False)
+    o_rep = out["rep"].to_numpy(zero_copy_only=False)
+    o_cos = out["cos_to_rep"].to_numpy(zero_copy_only=False)
+    o_cl = out["cluster"].to_numpy(zero_copy_only=False)
+    kept_cl = {int(i): int(c) for i, c, d in zip(o_ids, o_cl, o_dup)
+               if not d}
+    dup_cos_ok = True
+    for i, d, r, c in zip(o_ids, o_dup, o_rep, o_cos):
+        if not d:
+            continue
+        real = float(x[pos[int(i)]] @ x[pos[int(r)]])
+        if abs(real - c) > 1e-9 or real < 0.95 or int(r) not in kept_cl:
+            dup_cos_ok = False
+    separated = True
+    for cl in set(kept_cl.values()):
+        member_pos = [pos[i] for i, c in kept_cl.items() if c == cl]
+        m = x[np.array(member_pos)]
+        s = m @ m.T
+        np.fill_diagonal(s, -1.0)
+        if len(member_pos) > 1 and s.max() >= 0.95:
+            separated = False
+    return pa.table({
+        "n_vectors": pa.array([len(o_ids)], pa.int64()),
+        "n_dups": pa.array([int(o_dup.sum())], pa.int64()),
+        "dup_cos_ok": pa.array([dup_cos_ok], pa.bool_()),
+        "survivors_separated": pa.array([separated], pa.bool_()),
+    })
+
+
 def q_embedding_near_dup(sf_dir: str) -> pa.Table:
     """Embedding-cosine near-dup pairs (cos >= 0.9), LSH-banded — no
     full-matrix broadcast, no driver-side materialization."""
@@ -1857,8 +1921,9 @@ QUERIES = {
     # decode-free aggregate, both percentile machineries, sketches
     # (KMV + Misra-Gries heavy hitters), every join kind (inner /
     # outer / semi / anti / broadcast) plus the composed Q3 pipeline,
-    # every window/temporal-join kind, the full dedup family, and the
-    # four ANN contracts. Near-duplicate variants and the remaining
+    # every window/temporal-join kind, the full dedup family (incl.
+    # SemDeDup's planted-clone exact-count contract), and the ANN
+    # recall contracts. Near-duplicate variants and the remaining
     # operator surface follow below (still queryable, just unsampled):
     # plain-layout range_filter, OR-predicate trees (25-tree 3VL fuzz
     # vs DuckDB in tests), and the bloom semi-join machine (disk-parity
@@ -1910,10 +1975,11 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "ann_topk": q_ann_topk,
     "bm25_scores": q_bm25_scores,
-    "ann_ivf_recall": q_ann_ivf_recall,
+    "semantic_dedup": q_semantic_dedup,
     "ann_index_recall": q_ann_index_recall,
     "tokenize_vocab": q_tokenize_vocab,
     "embedding_near_dup": q_embedding_near_dup,
+    "ann_ivf_recall": q_ann_ivf_recall,
     "ann_index_q8_recall": q_ann_index_q8_recall,
     "equi_filter_int": q_equi_filter_int,
     "notnull_filter": q_notnull_filter,
@@ -2358,6 +2424,16 @@ ORACLE_SQL = {
         "CAST(quantile_disc(n_chars, 0.99) AS BIGINT) FROM documents"
     ),
     "sample": "SELECT doc_id, source FROM documents WHERE doc_id % 20 = 3",
+    "semantic_dedup": (
+        # planted-clone contract: 10 exact clones are the ONLY
+        # cosine >= 0.95 duplicates (max natural pairwise cos is
+        # ~0.51), so counts are fully determined by the data
+        "SELECT CAST(count(*) + 10 AS BIGINT) AS n_vectors, "
+        "CAST(10 AS BIGINT) AS n_dups, "
+        "CAST(1 AS BOOLEAN) AS dup_cos_ok, "
+        "CAST(1 AS BOOLEAN) AS survivors_separated "
+        "FROM embeddings"
+    ),
     "embedding_near_dup": (
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
         "round(CAST(list_cosine_similarity(a.embedding, b.embedding) "

@@ -310,3 +310,115 @@ def test_ann_variants_empty_corpus(ray_session):
     pairs = near_dup_pairs(empty)
     assert pairs.num_rows == 0
     assert pairs.column_names == ["id_a", "id_b", "cos"]
+
+
+def test_semantic_dedup_planted(ray_session):
+    """SemDeDup: 5 planted near-identical vectors collapse to exactly
+    one survivor; all 90 distinct vectors survive; every dropped row
+    names a kept same-cluster rep at cos >= threshold (verified
+    independently in numpy)."""
+    import ray.data as rd
+
+    from arcade_ray.ann import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((3, 16)) * 4
+    vecs, ids = [], []
+    vid = 0
+    for b in range(3):
+        for _ in range(30):
+            vecs.append(base[b] + rng.standard_normal(16) * 0.9)
+            ids.append(vid); vid += 1
+    anchor = base[0] + 0.05
+    for _ in range(5):
+        vecs.append(anchor + rng.standard_normal(16) * 1e-3)
+        ids.append(vid); vid += 1
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32()))})
+    out = semantic_dedup(rd.from_arrow(t), threshold=0.999, k=3,
+                         sample_size=200, seed=1).take_all()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(by_id) == 95
+    planted = [by_id[i] for i in range(90, 95)]
+    kept_planted = [r for r in planted if not r["is_dup"]]
+    assert len(kept_planted) == 1
+    rep_id = kept_planted[0]["vec_id"]
+    assert rep_id == 90  # centroid-sim ties break by ascending id
+    x = _normalize(np.array(vecs, dtype=np.float64))
+    kept = {r["vec_id"] for r in out if not r["is_dup"]}
+    for r in out:
+        if r["is_dup"]:
+            assert r["rep"] in kept
+            assert by_id[r["rep"]]["cluster"] == r["cluster"]
+            got = float(x[r["vec_id"]] @ x[r["rep"]])
+            assert abs(got - r["cos_to_rep"]) < 1e-9
+            assert r["cos_to_rep"] >= 0.999
+        else:
+            assert r["rep"] is None and r["cos_to_rep"] is None
+    assert sum(r["is_dup"] for r in out) == 4
+    # survivors within a cluster are pairwise below threshold
+    from collections import defaultdict
+    byc = defaultdict(list)
+    for r in out:
+        if not r["is_dup"]:
+            byc[r["cluster"]].append(r["vec_id"])
+    for members in byc.values():
+        m = x[np.array(members)]
+        s = m @ m.T
+        np.fill_diagonal(s, -1.0)
+        assert s.max() < 0.999
+
+
+def test_semantic_dedup_keep_order(ray_session):
+    """The paper's diversity rule: within a duplicate group the member
+    FARTHEST from the centroid (lowest centroid_sim) is kept."""
+    import ray.data as rd
+
+    from arcade_ray.ann import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    dim = 8
+    e1 = np.eye(dim)[0]
+    e2 = np.eye(dim)[1]
+    vecs = []
+    # broad blob around e1 (mutual cos ~0.88 — never above threshold)
+    for _ in range(50):
+        ang = 0.45 + rng.uniform(0, 0.15)
+        d = rng.standard_normal(dim); d[0] = 0.0
+        d /= np.linalg.norm(d)
+        vecs.append(np.cos(ang) * e1 + np.sin(ang) * d)
+    a = np.cos(0.15) * e1 + np.sin(0.15) * e2   # farther from centroid
+    b = np.cos(0.05) * e1 + np.sin(0.05) * e2   # closer to centroid
+    vecs += [a, b]                               # ids 50, 51
+    t = pa.table({
+        "vec_id": pa.array(np.arange(52), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32()))})
+    out = semantic_dedup(rd.from_arrow(t), threshold=0.99, k=1,
+                         sample_size=100, seed=2).take_all()
+    by_id = {r["vec_id"]: r for r in out}
+    assert not by_id[50]["is_dup"]          # a: visited first, kept
+    assert by_id[51]["is_dup"]              # b duplicates a
+    assert by_id[51]["rep"] == 50
+    assert by_id[51]["cos_to_rep"] >= 0.99
+    assert sum(r["is_dup"] for r in out) == 1
+
+
+def test_semantic_dedup_empty(ray_session):
+    """Empty corpus -> typed empty decision table (the repo-wide
+    zero-row convention), not a take_batch crash."""
+    import ray.data as rd
+
+    from arcade_ray.ann import semantic_dedup
+
+    empty = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+    }))
+    out = semantic_dedup(empty).take_all()
+    assert out == []
+    t = semantic_dedup(empty).schema()
+    assert set(t.names) == {"vec_id", "cluster", "centroid_sim",
+                            "is_dup", "rep", "cos_to_rep"}
