@@ -452,6 +452,33 @@ def cmd_passage_dedup(args) -> None:
           f"in {time.perf_counter() - t0:.2f} s")
 
 
+def cmd_semdedup(args) -> None:
+    """SemDeDup: drop embedding rows whose cosine to a kept member of
+    the same k-means cluster is >= threshold; write survivors."""
+    from .ann import semantic_dedup
+    from .sources import read_parquet_clean
+
+    t0 = time.perf_counter()
+    ds = read_parquet_clean(args.input,
+                            columns=[args.id_col, args.vec_col])
+    decisions = semantic_dedup(ds, threshold=args.threshold, k=args.k,
+                               id_col=args.id_col, vec_col=args.vec_col)
+    import pyarrow.compute as _pc
+
+    def survivors(t):
+        keep = t.filter(_pc.invert(t["is_dup"]))
+        return keep.select([args.id_col, "cluster", "centroid_sim"])
+
+    out = decisions.map_batches(survivors, batch_format="pyarrow")
+    out.write_parquet(args.out)
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(args.out).count_rows()
+    print(f"SemDeDup -> {args.out}: {n} survivors "
+          f"(threshold={args.threshold}, k={args.k}) "
+          f"in {time.perf_counter() - t0:.2f} s")
+
+
 def cmd_pack(args) -> None:
     """Pack token sequences into fixed-length training examples."""
     from .sources import read_parquet_clean
@@ -645,6 +672,17 @@ def main(argv=None) -> None:
     pdd.add_argument("--text-col", default="text")
     pdd.add_argument("--id-col", default="doc_id")
     pdd.set_defaults(fn=cmd_passage_dedup)
+
+    sd = sub.add_parser("semdedup", help="semantic dedup over an "
+                        "embedding column (SemDeDup) -> parquet")
+    sd.add_argument("input")
+    sd.add_argument("out")
+    sd.add_argument("--threshold", type=float, default=0.95)
+    sd.add_argument("-k", type=int, default=16,
+                    help="k-means clusters (pick ~N/target_cluster_size)")
+    sd.add_argument("--vec-col", default="embedding")
+    sd.add_argument("--id-col", default="vec_id")
+    sd.set_defaults(fn=cmd_semdedup)
 
     pk = sub.add_parser("pack", help="pack token sequences into "
                         "fixed-length training examples -> parquet")

@@ -242,3 +242,33 @@ def test_cli_search_vocab_passage_dedup(tmp_path):
     assert "d2" not in ids          # 100% duplicated n-grams -> dropped
     assert "d3" in ids              # diluted below the gate -> kept
     assert {"d0", "d1", "d4"} <= set(ids)
+
+
+def test_cli_semdedup(tmp_path):
+    """semdedup: a planted exact clone is dropped, distinct vectors
+    survive (duckdb cross-check of the CLI's parquet output)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(5)
+    mat = rng.standard_normal((120, 12))
+    mat[119] = mat[7]  # exact clone of vec 7
+    t = pa.table({
+        "vec_id": pa.array(np.arange(120), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in mat],
+                              pa.list_(pa.float32())),
+    })
+    src = str(tmp_path / "emb.parquet")
+    pq.write_table(t, src)
+    out_dir = str(tmp_path / "sd")
+    out = subprocess.run(
+        [sys.executable, "-m", "arcade_ray.cli", "--num-cpus", "4",
+         "semdedup", src, out_dir, "--threshold", "0.999", "-k", "4"],
+        capture_output=True, text=True, timeout=240, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "119 survivors" in out.stdout
+    kept = {r[0] for r in duckdb.sql(
+        f"SELECT vec_id FROM read_parquet('{out_dir}/*.parquet')").fetchall()}
+    assert 7 in kept and 119 not in kept  # ties keep the smaller id
