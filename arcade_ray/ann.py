@@ -757,11 +757,23 @@ def semantic_dedup(ds, threshold: float = 0.95, k: int = 16,
     def dedup_cluster(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return empty
-        order = pc.sort_indices(t, sort_keys=[
-            ("centroid_sim", "ascending"), (id_col, "ascending")])
-        t = t.take(order)
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        x = _normalize(_to_matrix(t[vec_col]))
+        # Recompute centroid sims for the WHOLE cluster in one matmul:
+        # the assign stage's per-batch values can differ by an ULP
+        # across block splits (BLAS accumulation order), which would
+        # make the visit order — and the survivor of an exact-dup tie
+        # — depend on partitioning. One shape-stable pass per group is
+        # deterministic.
+        ids0 = t[id_col].to_numpy(zero_copy_only=False)
+        x0 = _normalize(_to_matrix(t[vec_col]))
+        cid = int(t["cluster"][0].as_py())
+        sims0 = x0 @ ray.get(cref)[cid]
+        order = np.lexsort((ids0, sims0))
+        t = (t.set_column(t.schema.get_field_index("centroid_sim"),
+                          "centroid_sim",
+                          pa.array(sims0, type=pa.float64()))
+             .take(pa.array(order, type=pa.int64())))
+        ids = ids0[order]
+        x = x0[order]
         m = len(ids)
         is_dup = np.zeros(m, dtype=bool)
         rep_idx = np.full(m, -1, dtype=np.int64)

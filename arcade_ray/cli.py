@@ -183,7 +183,35 @@ def cmd_stats(args) -> None:
         "raw_bytes": raw, "ratio": round(enc / max(raw, 1), 4),
         "codecs": _codec_histogram(m),
         "distinct_est": _distinct_estimates(m),
+        "quantiles_est": _quantile_estimates(m),
     }, indent=2))
+
+
+def _quantile_estimates(manifest) -> dict:
+    """Approximate per-column p50/p90/p99 from the manifest's
+    mergeable quantile summaries — no data bytes read; the summaries
+    carry a certified rank-error bound (reported as err_pct of rows).
+    Values print in the uint64 ORDER-KEY domain's inverse: ints and
+    epoch timestamps as ints, floats as floats."""
+    from .pipeline.query import _order_key_inverse
+    from .sketches import qs_deserialize, qs_merge, qs_query
+
+    acc: dict[str, list] = {}
+    kinds: dict[str, str] = {}
+    for s in manifest["col_stats"].to_pylist():
+        for col, st in json.loads(s).items():
+            if "qs" in st:
+                acc.setdefault(col, []).append(qs_deserialize(st["qs"]))
+                kinds[col] = st["qs"].get("kind", "i")
+    out = {}
+    for col, parts in sorted(acc.items()):
+        m = qs_merge(parts)
+        total = float(m["w"].sum())
+        vals = {p: _order_key_inverse(qs_query(m, p), kinds[col])
+                for p in (0.5, 0.9, 0.99)}
+        out[col] = {f"p{int(p * 100)}": v for p, v in vals.items()}
+        out[col]["err_pct"] = round(100.0 * m["err"] / max(total, 1), 3)
+    return out
 
 
 def _distinct_estimates(manifest) -> dict:

@@ -340,6 +340,11 @@ class ColumnEncoderState:
     len_enc: Any = None
     chunks: list[dict] = field(default_factory=list)
     payloads: list[bytes] = field(default_factory=list)
+    # per-chunk mergeable quantile summaries (scalar numeric columns
+    # only) -> one compacted partition summary in the manifest, so
+    # percentile queries can answer from metadata with a certified
+    # rank-error bound and ZERO data scan (sketches.py::qs_*)
+    qs_acc: list | None = None
 
 
 def make_column_encoder(t: pa.DataType) -> ColumnEncoderState:
@@ -373,7 +378,8 @@ def make_column_encoder(t: pa.DataType) -> ColumnEncoderState:
         st.len_enc.bloom_acc = None
         return st
     tag = type_tag(t)
-    return ColumnEncoderState(kind, tag, enc=IntColumnEncoder(tag))
+    return ColumnEncoderState(kind, tag, enc=IntColumnEncoder(tag),
+                              qs_acc=[])
 
 
 def _ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
@@ -458,6 +464,14 @@ def encode_column_chunk(state: ColumnEncoderState, arr: pa.Array) -> None:
     (``vmin``/``vmax``) for exact meta-only MIN/MAX."""
     arr_orig = arr
     arr, vbytes, n_nulls = _strip_nulls(state, arr)
+    if state.qs_acc is not None:
+        from .sketches import order_key_from_stream, qs_build
+
+        valid = arr_orig.drop_null() if n_nulls else arr
+        if len(valid):
+            vals, _ = int_stream_from_arrow(valid)
+            state.qs_acc.append(
+                qs_build(order_key_from_stream(vals, state.tag)))
     _encode_column_chunk_nonnull(state, arr)
     if n_nulls:
         desc = state.chunks[-1]

@@ -25,7 +25,7 @@ from .pipeline.query import equi_filter, lookup, scan
 from .sources import read_parquet_clean
 
 CACHE_ROOT = os.environ.get("ARCADE_RAY_CACHE", "/tmp/arcade_ray_cache")
-_CACHE_SALT = f"v{FORMAT_VERSION}.7"
+_CACHE_SALT = f"v{FORMAT_VERSION}.8"
 
 # table -> (key_col, id_col, weight_col)
 TABLE_KEYS = {
@@ -416,6 +416,42 @@ def q_float_percentiles(sf_dir: str) -> pa.Table:
 
     out = encoded_dir(sf_dir, "events")
     return exact_percentiles(out, "value", [0.1, 0.5, 0.9])
+
+
+def q_sketch_percentiles(sf_dir: str) -> pa.Table:
+    """Zero-scan APPROXIMATE percentiles from the manifest's mergeable
+    quantile summaries (the percentile sibling of the KMV
+    distinct-count sketch): no data bytes are read at query time. The
+    summaries carry a CERTIFIED rank-error bound (sketches.py::qs_*),
+    and this query verifies it INDEPENDENTLY — each estimate's true
+    rank in the raw parquet column (numpy, not the engine) must sit
+    within the bound — so the all-true oracle is a checked guarantee,
+    not a formality."""
+    import pyarrow.parquet as pq_mod
+
+    from .pipeline.query import sketch_percentiles
+
+    out = encoded_dir(sf_dir, "events")
+    ps = [0.01, 0.1, 0.5, 0.9, 0.99]
+    t = sketch_percentiles(out, "value", ps)
+    raw = pq_mod.read_table(os.path.join(sf_dir, "events.parquet"),
+                            columns=["value"])
+    data = np.sort(raw["value"].drop_null().to_numpy(
+        zero_copy_only=False))
+    n = len(data)
+    bound = t["rank_err_bound"][0].as_py() if t.num_rows else 0.0
+    oks = []
+    for p, est in zip(ps, t[t.schema.names[1]].to_pylist()):
+        lo = np.searchsorted(data, est, side="left")
+        hi = np.searchsorted(data, est, side="right")
+        target = p * n
+        err = 0.0 if lo <= target <= hi else min(abs(lo - target),
+                                                 abs(hi - target))
+        oks.append(bool(err <= bound + 1))
+    return pa.table({
+        "p": pa.array([float(p) for p in ps], pa.float64()),
+        "within_bound": pa.array(oks, pa.bool_()),
+    })
 
 
 def q_float_percentiles_cont(sf_dir: str) -> pa.Table:
@@ -1951,9 +1987,9 @@ QUERIES = {
     "distinct_sources": q_distinct_sources,
     "group_count_encoded": q_group_count_encoded,
     "group_agg_multi": q_group_agg_multi,
-    "group_distinct_langs": q_group_distinct_langs,
     "group_topk": q_group_topk,
     "percentiles": q_percentiles,
+    "sketch_percentiles": q_sketch_percentiles,
     "float_percentiles": q_float_percentiles,
     "order_slice": q_order_slice,
     "distinct_sketch_sources": q_distinct_sketch_sources,
@@ -1979,6 +2015,7 @@ QUERIES = {
     "ann_index_recall": q_ann_index_recall,
     "tokenize_vocab": q_tokenize_vocab,
     "embedding_near_dup": q_embedding_near_dup,
+    "group_distinct_langs": q_group_distinct_langs,
     "ann_ivf_recall": q_ann_ivf_recall,
     "ann_index_q8_recall": q_ann_index_q8_recall,
     "equi_filter_int": q_equi_filter_int,
@@ -2277,6 +2314,13 @@ ORACLE_SQL = {
         "FROM documents GROUP BY source"
     ),
     "expr_filter": "SELECT doc_id, n_chars FROM documents WHERE n_chars > 450",
+    "sketch_percentiles": (
+        # all-true contract: the query itself verifies each
+        # estimate's true rank against the summary's CERTIFIED
+        # error bound (independent numpy recomputation)
+        "SELECT p, CAST(1 AS BOOLEAN) AS within_bound FROM (VALUES "
+        "(0.01),(0.1),(0.5),(0.9),(0.99)) t(p)"
+    ),
     "ann_lsh_recall": (
         "SELECT vec_id AS query_id, CAST(1 AS BOOLEAN) AS recall_ok "
         "FROM embeddings WHERE vec_id IN (0,1,2,3,4)"

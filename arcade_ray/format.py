@@ -105,6 +105,15 @@ def encode_partition(table: pa.Table, part_key: str) -> tuple[bytes, dict[str, A
             bloom = bloom_build(np.concatenate(acc))
             if bloom is not None:
                 sketches.setdefault(name, {})["bloom"] = bloom
+        if st.qs_acc:
+            from .sketches import QS_K_PART, qs_merge, qs_serialize
+
+            qs = qs_merge(st.qs_acc, k=QS_K_PART)
+            if qs is not None:
+                ser = qs_serialize(qs)
+                ser["kind"] = "f" if st.tag in ("f32", "f64") else (
+                    "u" if st.tag == "u64" else "i")
+                sketches.setdefault(name, {})["qs"] = ser
     for name, st in states.items():
         chunk_descs = []
         for desc, payload in zip(st.chunks, st.payloads):

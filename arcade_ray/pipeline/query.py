@@ -1690,6 +1690,78 @@ def exact_percentiles_cont(out_dir: str, col: str,
     })
 
 
+def sketch_percentiles(out_dir: str, col: str,
+                       ps: list[float]) -> pa.Table:
+    """APPROXIMATE percentiles from the manifest's mergeable quantile
+    summaries alone — ZERO data bytes read (the percentile sibling of
+    the KMV sketch-only distinct count). Every encode stores one
+    compacted weighted summary per scalar numeric column per partition
+    (sketches.py::qs_*, built from the EXACT chunk values, nulls
+    excluded); this merges them LOSSLESSLY (no recompaction) and reads
+    off PERCENTILE_DISC-style points. Returns (p, col,
+    rank_err_bound): the bound is the summed per-partition certified
+    error (<= N·(1/(2·128) + 1/(2·256)) ≈ 0.59% of N), carried in the
+    summaries themselves — a guarantee, not a folk constant. At
+    cluster scale this answers p50/p99 over 10^12 rows from manifest
+    rows only. Raises KeyError for columns without summaries
+    (string/list columns, or partitions encoded before the sketch
+    existed — re-encode or use exact_percentiles)."""
+    from ..sketches import qs_deserialize, qs_merge, qs_query
+
+    rows = _manifest_paths(out_dir)
+    if not rows:
+        base = _sidecar_empty(out_dir, [col])
+        if not (pa.types.is_integer(base[col].type)
+                or pa.types.is_floating(base[col].type)
+                or pa.types.is_timestamp(base[col].type)):
+            raise TypeError(f"sketch_percentiles needs a numeric "
+                            f"column, got {base[col].type}")
+        out_t = pa.float64() if pa.types.is_floating(base[col].type) \
+            else pa.int64()
+        return pa.table({
+            "p": pa.array([float(p) for p in ps], pa.float64()),
+            col: pa.array([None] * len(ps), out_t),
+            "rank_err_bound": pa.array([0.0] * len(ps), pa.float64()),
+        })
+    header0, _ = read_header(rows[0]["path"])
+    if col not in header0["columns"]:
+        raise KeyError(f"column {col!r} not in encoded dataset")
+    cm0 = header0["columns"][col]
+    if cm0["kind"] != "int":
+        raise KeyError(f"no quantile summary for column {col!r} "
+                       f"(kind {cm0['kind']!r}) — use exact_percentiles")
+    is_float = cm0.get("tag") in ("f32", "f64")
+    out_kind = "f" if is_float else "i"
+    parts = []
+    for r in rows:
+        st = json.loads(r["col_stats"]).get(col) or {}
+        if "qs" not in st:
+            if int(r["rows"]) == 0 or \
+                    int(st.get("nulls") or 0) == int(r["rows"]):
+                continue  # empty / all-null partition: nothing to add
+            raise KeyError(
+                f"partition {r['part_key']} has no quantile summary "
+                f"for {col!r} (pre-sketch encode) — re-encode or use "
+                f"exact_percentiles")
+        parts.append(qs_deserialize(st["qs"]))
+    merged = qs_merge(parts)  # lossless: no recompaction at query time
+    out_t = pa.float64() if is_float else pa.int64()
+    if merged is None:  # all values null
+        return pa.table({
+            "p": pa.array([float(p) for p in ps], pa.float64()),
+            col: pa.array([None] * len(ps), out_t),
+            "rank_err_bound": pa.array([0.0] * len(ps), pa.float64()),
+        })
+    vals = [_order_key_inverse(qs_query(merged, float(p)), out_kind)
+            for p in ps]
+    return pa.table({
+        "p": pa.array([float(p) for p in ps], pa.float64()),
+        col: pa.array(vals, out_t),
+        "rank_err_bound": pa.array([merged["err"]] * len(ps),
+                                   pa.float64()),
+    })
+
+
 def int_percentiles(out_dir: str, col: str, ps: list[float]) -> pa.Table:
     """EXACT percentiles of an integer column over encoded data via
     mergeable per-partition histograms: each task decodes only ``col``,

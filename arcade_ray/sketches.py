@@ -119,3 +119,97 @@ def bloom_maybe_contains(bloom: dict, h: int) -> bool:
         if not (bits[p >> 3] >> (p & 7)) & 1:
             return False
     return True
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile summaries (manifest-resident, zero-scan percentiles)
+# ---------------------------------------------------------------------------
+# A weighted ε-approximate quantile summary per numeric column per
+# partition: each chunk contributes a systematic rank sample of its
+# EXACT sorted values (error <= n_chunk/(2·QS_K_CHUNK)); the partition
+# merge recompacts to QS_K_PART points (adding n_part/(2·QS_K_PART)).
+# Query-time merges across partitions concatenate WITHOUT recompaction,
+# so errors only ADD: total rank error <= N·(1/(2·128) + 1/(2·256))
+# ≈ 0.59% of N — carried exactly in the summary's "err" field so the
+# caller can report a certified bound instead of a folk constant.
+# Values are order-preserving uint64 keys (query.py::_order_key_u64's
+# transform), so one summary shape serves ints, floats and timestamps.
+
+QS_K_CHUNK = 128
+QS_K_PART = 256
+
+
+def order_key_from_stream(vals: np.ndarray, tag: str) -> np.ndarray:
+    """Order-preserving uint64 keys from TRANSPORT ints (streams.py
+    bit-pattern convention: floats travel as IEEE bits, u64 as an
+    int64 view). Must rank identically to query.py::_order_key_u64
+    applied to the decoded values."""
+    one63 = np.uint64(1 << 63)
+    if tag == "f32":
+        b = vals.astype(np.uint32).view(np.float32).astype(
+            np.float64).view(np.uint64)
+        return np.where(b >> np.uint64(63) == 0, b ^ one63, ~b)
+    if tag == "f64":
+        b = np.ascontiguousarray(vals).view(np.uint64)
+        return np.where(b >> np.uint64(63) == 0, b ^ one63, ~b)
+    if tag == "u64":
+        return np.ascontiguousarray(vals).view(np.uint64)
+    return vals.astype(np.int64).view(np.uint64) ^ one63
+
+
+def qs_build(keys: np.ndarray, k: int = QS_K_CHUNK) -> dict | None:
+    """Summary of EXACT values: sorted systematic rank sample, each
+    point weighted n/k. Introduced rank error <= n/(2k); exact (err 0)
+    when n <= k."""
+    n = len(keys)
+    if n == 0:
+        return None
+    s = np.sort(keys)
+    if n <= k:
+        return {"v": s, "w": np.ones(n, dtype=np.float64), "err": 0.0}
+    idx = ((np.arange(k, dtype=np.float64) + 0.5) * n / k).astype(np.int64)
+    return {"v": s[idx], "w": np.full(k, n / k), "err": n / (2.0 * k)}
+
+
+def qs_merge(summaries: list[dict], k: int | None = None) -> dict | None:
+    """Weighted merge (errors add); optional recompaction to k points
+    (adds W/(2k) more). Merging alone is LOSSLESS — recompact only
+    when storing, never at query time."""
+    summaries = [s for s in summaries if s is not None]
+    if not summaries:
+        return None
+    v = np.concatenate([s["v"] for s in summaries])
+    w = np.concatenate([s["w"] for s in summaries])
+    err = float(sum(s["err"] for s in summaries))
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    if k is not None and len(v) > k:
+        cw = np.cumsum(w)
+        total = cw[-1]
+        targets = (np.arange(k, dtype=np.float64) + 0.5) * total / k
+        idx = np.minimum(np.searchsorted(cw, targets), len(v) - 1)
+        v = v[idx]
+        w = np.full(k, total / k)
+        err += total / (2.0 * k)
+    return {"v": v, "w": w, "err": err}
+
+
+def qs_query(summary: dict, p: float) -> int:
+    """PERCENTILE_DISC-style point: smallest summary key whose
+    cumulative weight reaches p·W (uint64 order-key domain)."""
+    cw = np.cumsum(summary["w"])
+    total = cw[-1]
+    i = int(np.searchsorted(cw, p * total, side="left"))
+    return int(summary["v"][min(i, len(summary["v"]) - 1)])
+
+
+def qs_serialize(summary: dict) -> dict:
+    return {"v": [int(x) for x in summary["v"]],
+            "w": [round(float(x), 3) for x in summary["w"]],
+            "err": round(float(summary["err"]), 3)}
+
+
+def qs_deserialize(d: dict) -> dict:
+    return {"v": np.array(d["v"], dtype=np.uint64),
+            "w": np.array(d["w"], dtype=np.float64),
+            "err": float(d["err"])}

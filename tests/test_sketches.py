@@ -61,3 +61,108 @@ def test_manifest_carries_sketch(tmp_path):
     assert stats["source"]["distinct_est"] == 6  # exact below k
     assert stats["doc_id"]["distinct_est"] == pytest.approx(5000, rel=0.25)
     assert len(stats["source"]["kmv"]) == 6
+
+
+# --- mergeable quantile summaries (qs_*) -----------------------------------
+
+def _rank_err(sorted_data, est, p):
+    import numpy as np
+    n = len(sorted_data)
+    lo = np.searchsorted(sorted_data, est, side="left")
+    hi = np.searchsorted(sorted_data, est, side="right")
+    t = p * n
+    return 0.0 if lo <= t <= hi else min(abs(lo - t), abs(hi - t))
+
+
+@pytest.mark.parametrize("dist", ["uniform", "zipfy", "constant"])
+def test_qs_error_bound(dist):
+    """Certified rank-error bound holds over block-built, recompacted,
+    merged summaries — the exact lifecycle encode/query uses."""
+    import numpy as np
+
+    from arcade_ray.sketches import (QS_K_PART, order_key_from_stream,
+                                     qs_build, qs_merge, qs_query)
+
+    rng = np.random.default_rng(11)
+    n = 80_000
+    if dist == "uniform":
+        vals = rng.integers(-10**12, 10**12, n)
+    elif dist == "zipfy":
+        vals = (rng.pareto(1.1, n) * 1000).astype(np.int64)
+    else:
+        vals = np.full(n, 42, dtype=np.int64)
+    keys = order_key_from_stream(vals.astype(np.int64), "i64")
+    # 8 "chunks" per "partition", 5 partitions, partition recompaction
+    parts = []
+    per = n // 5
+    for i in range(5):
+        chunk = keys[i * per:(i + 1) * per]
+        cs = [qs_build(chunk[j::8]) for j in range(8)]
+        parts.append(qs_merge(cs, k=QS_K_PART))
+    merged = qs_merge(parts)
+    s = np.sort(keys)
+    for p in (0.0, 0.01, 0.5, 0.99, 1.0):
+        est = qs_query(merged, p)
+        assert _rank_err(s, est, p) <= merged["err"] + 1
+
+
+def test_qs_float_order_and_serialize():
+    """Float keys rank like the values (IEEE total-order transform,
+    negatives included); serialize roundtrips."""
+    import numpy as np
+
+    from arcade_ray.sketches import (order_key_from_stream, qs_build,
+                                     qs_deserialize, qs_merge, qs_query,
+                                     qs_serialize)
+
+    vals = np.array([-1e300, -2.5, -0.0, 0.0, 1e-9, 3.14, 2e18],
+                    dtype=np.float64)
+    keys = order_key_from_stream(vals.view(np.int64), "f64")
+    assert (np.argsort(keys) == np.arange(len(vals))).all()
+    s = qs_merge([qs_build(keys)])
+    rt = qs_deserialize(qs_serialize(s))
+    assert (rt["v"] == s["v"]).all()
+    assert rt["err"] == 0.0
+    med = qs_query(rt, 0.5)
+    assert med == keys[3]  # exact below k: PERCENTILE_DISC point
+
+
+def test_sketch_percentiles_encoded(ray_session, tmp_path):
+    """End to end: encode -> manifest summaries -> zero-scan
+    percentiles within the certified bound; nulls excluded; string
+    column refuses with KeyError."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from arcade_ray.pipeline.encode import encode_parquet
+    from arcade_ray.pipeline.query import sketch_percentiles
+
+    rng = np.random.default_rng(3)
+    n = 20_000
+    vals = rng.normal(0, 1e6, n)
+    vals[::7] = np.nan  # NaNs are values (sort to the top), not nulls
+    nulls = rng.random(n) < 0.1
+    t = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(n)]),
+        "source": pa.array([f"s{i % 4}" for i in range(n)]),
+        "x": pa.array(np.where(nulls, np.nan, vals), pa.float64(),
+                      mask=nulls),
+        "k": pa.array(rng.integers(0, 1000, n), pa.int64()),
+    })
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(t, src)
+    enc = str(tmp_path / "enc")
+    encode_parquet(src, enc, key_col="source", id_col="doc_id",
+                   weight_col=None)
+    for col in ("x", "k"):
+        out = sketch_percentiles(enc, col, [0.1, 0.5, 0.9])
+        bound = out["rank_err_bound"][0].as_py()
+        data = t[col].drop_null().to_numpy(zero_copy_only=False)
+        s = np.sort(data)  # numpy sorts NaN last, like the key order
+        for p, est in zip([0.1, 0.5, 0.9], out[col].to_pylist()):
+            assert _rank_err(s, est, p) <= bound + 1, (col, p)
+    with pytest.raises(KeyError):
+        sketch_percentiles(enc, "doc_id", [0.5])
+    with pytest.raises(KeyError):
+        sketch_percentiles(enc, "nope", [0.5])
