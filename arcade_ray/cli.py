@@ -48,6 +48,7 @@ def cmd_compress(args) -> None:
         weight_col=args.weight_col or None, weight_cap=args.cap,
         resume=not args.no_resume, generation=args.generation,
         range_partition_col=args.range_partition,
+        zorder_cols=args.zorder.split(",") if args.zorder else None,
     )
     dt = time.perf_counter() - t0
     rows = sum(manifest["rows"].to_pylist())
@@ -541,6 +542,10 @@ def main(argv=None) -> None:
     c.add_argument("--generation", default=None,
                    help="append namespace: encode this input as a new "
                         "generation alongside existing partitions")
+    c.add_argument("--zorder", default=None, metavar="COL,COL[,COL]",
+                   help="Z-ORDER clustered layout: cluster partitions "
+                   "on the Morton key of 2-3 numeric/timestamp columns "
+                   "so zone maps prune multi-column predicates")
     c.add_argument("--range-partition", default=None, metavar="COL",
                    help="clustered layout: partition by quantile RANGES "
                         "of this numeric/timestamp column (disjoint zone "

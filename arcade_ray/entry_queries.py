@@ -1917,6 +1917,48 @@ def q_clustered_range_filter(sf_dir: str) -> pa.Table:
                                  project=["doc_id", "n_chars"]))
 
 
+def q_zorder_filter(sf_dir: str) -> pa.Table:
+    """2-D box predicate over a Z-ORDERED clustered encode
+    (zorder.py): events partitions cluster on the Morton key of
+    (user_id, ts) quantile ranks, so the ordinary zone maps on BOTH
+    columns prune the box across partitions — the multi-column
+    generalization of clustered_range_filter. The in-query assert
+    checks the layout actually prunes (box-overlapping partitions are
+    a minority); the SQL oracle checks the answer is layout-invariant."""
+    import hashlib as _hl
+    import json as _json
+
+    from .pipeline.encode import encode_parquet, load_manifest
+    from .pipeline.query import compound_filter
+
+    tag = _hl.md5(f"{sf_dir}|zo-events|{_CACHE_SALT}".encode()) \
+        .hexdigest()[:10]
+    out = os.path.join(CACHE_ROOT, f"zo-events-{tag}")
+    if not os.path.exists(os.path.join(out, "manifest.parquet")):
+        encode_parquet(
+            os.path.join(sf_dir, "events.parquet"), out,
+            id_col="event_id", weight_col=None, weight_cap=320,
+            zorder_cols=["user_id", "ts"])
+    utc = datetime.timezone.utc
+    lo = int(datetime.datetime(2024, 1, 10, tzinfo=utc)
+             .timestamp() * 1e6)
+    hi = int(datetime.datetime(2024, 1, 12, tzinfo=utc)
+             .timestamp() * 1e6)
+    stats = [_json.loads(s)
+             for s in load_manifest(out)["col_stats"].to_pylist()]
+    both = sum(1 for st in stats
+               if not (st["user_id"]["max"] < 20
+                       or st["user_id"]["min"] > 40)
+               and not (st["ts"]["max"] < lo or st["ts"]["min"] > hi))
+    if len(stats) >= 8:
+        assert both <= len(stats) // 2, \
+            f"z-order failed to prune: {both}/{len(stats)} partitions"
+    return _collect(compound_filter(
+        out, ("and", [("between", "user_id", 20, 40),
+                      ("between", "ts", lo, hi)]),
+        project=["event_id", "user_id", "ts"]))
+
+
 def q_chunk_documents(sf_dir: str) -> pa.Table:
     """Context-length chunking: overlapping 32-word windows (stride
     24) per document — the retrieval/pretraining chunking pass,
@@ -1972,12 +2014,12 @@ QUERIES = {
     "random_access": q_random_access,
     "equi_filter": q_equi_filter,
     "clustered_range_filter": q_clustered_range_filter,
+    "zorder_filter": q_zorder_filter,
     "ts_range_filter": q_ts_range_filter,
     "compound_filter": q_compound_filter,
     "heavy_hitters": q_heavy_hitters,
     "negation_filter": q_negation_filter,
     "isnull_filter": q_isnull_filter,
-    "in_filter": q_in_filter,
     "plan_stats": q_plan_stats,
     "stats_meta": q_stats_meta,
     "schema_evolution": q_schema_evolution,
@@ -2015,6 +2057,7 @@ QUERIES = {
     "ann_index_recall": q_ann_index_recall,
     "tokenize_vocab": q_tokenize_vocab,
     "embedding_near_dup": q_embedding_near_dup,
+    "in_filter": q_in_filter,
     "group_distinct_langs": q_group_distinct_langs,
     "ann_ivf_recall": q_ann_ivf_recall,
     "ann_index_q8_recall": q_ann_index_q8_recall,
@@ -2602,6 +2645,12 @@ ORACLE_SQL = {
         "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', "
         "'g'), '\\+\\d[\\d\\- ]{7,}\\d', '<PHONE>', 'g') AS text "
         "FROM documents"
+    ),
+    "zorder_filter": (
+        "SELECT event_id, user_id, ts FROM events "
+        "WHERE user_id BETWEEN 20 AND 40 "
+        "AND ts BETWEEN TIMESTAMP '2024-01-10' "
+        "AND TIMESTAMP '2024-01-12'"
     ),
     "heavy_hitters": (
         "WITH w AS (SELECT unnest(regexp_extract_all(lower(text), "

@@ -250,9 +250,19 @@ def encode_dataset(ds, out_dir: str, key_col: str = "source",
                    sort_partitions_by: str | None = None,
                    exchange: str = "direct",
                    generation: str | None = None,
-                   range_partition_col: str | None = None) -> pa.Table:
+                   range_partition_col: str | None = None,
+                   zorder_cols: list[str] | None = None) -> pa.Table:
     """Run the full encode pipeline; returns the consolidated manifest
     table (one row per partition, including previously committed ones).
+
+    ``zorder_cols`` (2-3 numeric/timestamp columns): Z-ORDERED
+    clustered layout — a Morton key of the columns' quantile ranks is
+    appended as an ordinary ``zorder`` int64 column (zorder.py), and
+    the range-partition machinery clusters on it, so partitions cover
+    small hyper-rectangles of the column space and the per-partition
+    zone maps on EVERY listed column prune multi-predicate scans. The
+    per-column boundaries persist in ``zorder_plan.json`` (resume
+    reuses them).
 
     ``generation`` enables INCREMENTAL APPEND into an existing encoded
     dataset: partition keys become ``{src}@{generation}#{bucket}`` so a
@@ -285,6 +295,25 @@ def encode_dataset(ds, out_dir: str, key_col: str = "source",
     """
     os.makedirs(os.path.join(out_dir, PARTS_DIR), exist_ok=True)
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    if zorder_cols is not None:
+        if range_partition_col is not None:
+            raise ValueError(
+                "zorder_cols and range_partition_col are exclusive "
+                "(z-order IS a range layout on the Morton key)")
+        from ..zorder import (ZORDER_COL, add_zorder_column,
+                              build_zorder_plan, load_zorder_plan,
+                              save_zorder_plan)
+
+        zplan = load_zorder_plan(out_dir, zorder_cols) if resume else None
+        if zplan is None:
+            missing = [c for c in zorder_cols
+                       if c not in set(ds.schema().names)]
+            if missing:
+                raise ValueError(f"zorder_cols {missing} not in input")
+            zplan = build_zorder_plan(ds, list(zorder_cols))
+            save_zorder_plan(out_dir, zplan)
+        ds = add_zorder_column(ds, zplan)
+        range_partition_col = ZORDER_COL
     if range_partition_col is not None and sort_partitions_by is None:
         # clustered layout all the way down: rows inside each range
         # partition sort by the same column, so chunk zone maps nest
@@ -774,7 +803,8 @@ def encode_parquet(paths: list[str] | str, out_dir: str,
                    sort_partitions_by: str | None = None,
                    exchange: str | None = None,
                    generation: str | None = None,
-                   range_partition_col: str | None = None) -> pa.Table:
+                   range_partition_col: str | None = None,
+                   zorder_cols: list[str] | None = None) -> pa.Table:
     """Parquet-source fast path of :func:`encode_dataset`: split tasks
     read the shards directly (no intermediate block materialization),
     and the planning pass reads only the key/weight columns per shard.
@@ -807,6 +837,18 @@ def encode_parquet(paths: list[str] | str, out_dir: str,
         files = list(paths)
     if not files:
         raise FileNotFoundError(paths)
+    if zorder_cols is not None:
+        # z-order needs a computed clustering column — route through
+        # the generic dataset path (still streaming; exchange="disk"
+        # available via ARCADE_DISK_EXCHANGE_BYTES auto-select)
+        from ..sources import read_parquet_clean
+
+        return encode_dataset(
+            read_parquet_clean(files), out_dir, key_col=key_col,
+            id_col=id_col, weight_col=weight_col, weight_cap=weight_cap,
+            resume=resume, sort_partitions_by=sort_partitions_by,
+            exchange=exchange or "direct", generation=generation,
+            zorder_cols=zorder_cols)
 
     os.makedirs(os.path.join(out_dir, PARTS_DIR), exist_ok=True)
     os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)

@@ -1,0 +1,156 @@
+"""Z-order clustered layout: Morton key math, plan persistence,
+end-to-end multi-column zone-map pruning, filter parity."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from arcade_ray.zorder import (
+    DEFAULT_BITS,
+    _order_key,
+    _spread,
+    zorder_keys,
+)
+
+
+def test_spread_table():
+    t = _spread(4, 2)
+    assert t[0b0000] == 0
+    assert t[0b0001] == 0b01
+    assert t[0b0011] == 0b0101
+    assert t[0b1111] == 0b01010101
+    t3 = _spread(2, 3)
+    assert t3[0b11] == 0b001001
+
+
+def test_order_key_nulls_and_nans_bottom():
+    a = pa.array([2.5, None, float("nan"), -1.0, 0.0], pa.float64())
+    k = _order_key(a)
+    assert k[1] == 0 and k[2] == 0          # null and NaN -> bottom
+    assert k[3] < k[4] < k[0]               # -1.0 < 0.0 < 2.5
+
+
+def test_zorder_keys_manual_plan():
+    """Morton keys under a hand-built plan: rank interleaving is
+    exact, and the key is monotone in each column when the other is
+    fixed (the property zone-map pruning relies on)."""
+    from arcade_ray.sketches import order_key_from_stream
+
+    bvals = np.array([10, 20, 30], dtype=np.int64)
+    bounds = [int(x) for x in order_key_from_stream(bvals, "i64")]
+    plan = {"cols": ["a", "b"], "bits": 2,
+            "boundaries": {"a": bounds, "b": bounds}}
+    t = pa.table({"a": pa.array([5, 15, 25, 35], pa.int64()),
+                  "b": pa.array([5, 5, 5, 5], pa.int64())})
+    z = zorder_keys(t, plan)
+    # b rank fixed at 0; a ranks 0..3 spread to bits (0, 2)
+    assert z.tolist() == [0b0000, 0b0001, 0b0100, 0b0101]
+    t2 = pa.table({"a": pa.array([5, 5], pa.int64()),
+                   "b": pa.array([15, 35], pa.int64())})
+    z2 = zorder_keys(t2, plan)
+    assert z2.tolist() == [0b0010, 0b1010]
+
+
+@pytest.fixture()
+def events_tab():
+    n = 6000
+    rng = np.random.default_rng(17)
+    return pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(rng.integers(0, 200, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 10**9, n), pa.int64()),
+        "event_type": pa.array([f"t{i % 5}" for i in range(n)]),
+    })
+
+
+def test_zorder_encode_prunes_and_matches(ray_session, tmp_path,
+                                          events_tab):
+    """Encode z-ordered on (user_id, ts): a 2-D box predicate touches
+    far fewer partitions than either column alone would suggest under
+    hash layout, and the filter answer matches pandas exactly."""
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.pipeline.encode import encode_parquet
+    from arcade_ray.pipeline.query import compound_filter
+
+    src = str(tmp_path / "ev.parquet")
+    pq.write_table(events_tab, src)
+    out = str(tmp_path / "enc")
+    m = encode_parquet(src, out, key_col="event_type",
+                       id_col="event_id", weight_col=None,
+                       weight_cap=400, zorder_cols=["user_id", "ts"])
+    assert os.path.exists(os.path.join(out, "zorder_plan.json"))
+    stats = [json.loads(s) for s in m["col_stats"].to_pylist()]
+    n_parts = len(stats)
+    assert n_parts >= 8
+
+    ulo, uhi = 50, 80
+    tlo, thi = 10**8, 3 * 10**8
+
+    def overlaps(st, col, a, b):
+        return not (st[col]["max"] < a or st[col]["min"] > b)
+
+    both = sum(1 for st in stats
+               if overlaps(st, "user_id", ulo, uhi)
+               and overlaps(st, "ts", tlo, thi))
+    # a z-clustered box should hit a small minority of partitions;
+    # hash layout would overlap essentially all of them
+    assert both <= n_parts // 2, (both, n_parts)
+
+    res = collect_arrow(compound_filter(
+        out, ("and", [("between", "user_id", ulo, uhi),
+                      ("between", "ts", tlo, thi)]),
+        project=["event_id"]))
+    df = events_tab.to_pandas()
+    want = df[(df.user_id.between(ulo, uhi)) & (df.ts.between(tlo, thi))]
+    assert sorted(res["event_id"].to_pylist()) == sorted(
+        want.event_id.tolist())
+    # the stored zorder column round-trips like any other
+    assert "zorder" in stats[0]
+
+
+def test_zorder_plan_persist_and_resume(ray_session, tmp_path,
+                                        events_tab):
+    """Resume reloads the persisted plan (boundaries identical),
+    and a different column list on the same out_dir is refused."""
+    from arcade_ray.pipeline.encode import encode_parquet
+    from arcade_ray.zorder import load_zorder_plan
+
+    src = str(tmp_path / "ev.parquet")
+    pq.write_table(events_tab, src)
+    out = str(tmp_path / "enc")
+    encode_parquet(src, out, key_col="event_type", id_col="event_id",
+                   weight_col=None, weight_cap=400,
+                   zorder_cols=["user_id", "ts"])
+    plan1 = load_zorder_plan(out)
+    m2 = encode_parquet(src, out, key_col="event_type",
+                        id_col="event_id", weight_col=None,
+                        weight_cap=400, zorder_cols=["user_id", "ts"])
+    plan2 = load_zorder_plan(out)
+    assert plan1 == plan2
+    assert m2.num_rows >= 8  # resume consolidated, nothing re-encoded
+    with pytest.raises(ValueError, match="zorder_plan"):
+        load_zorder_plan(out, ["ts", "user_id"])
+
+
+def test_zorder_validation(ray_session, tmp_path, events_tab):
+    from arcade_ray.pipeline.encode import encode_parquet
+
+    src = str(tmp_path / "ev.parquet")
+    pq.write_table(events_tab, src)
+    with pytest.raises(ValueError, match="not in input"):
+        encode_parquet(src, str(tmp_path / "e1"), key_col="event_type",
+                       id_col="event_id", weight_col=None,
+                       zorder_cols=["user_id", "nope"])
+    with pytest.raises(ValueError, match="exclusive"):
+        from arcade_ray.sources import read_parquet_clean
+
+        from arcade_ray.pipeline.encode import encode_dataset
+
+        encode_dataset(read_parquet_clean(src), str(tmp_path / "e2"),
+                       key_col="event_type", id_col="event_id",
+                       weight_col=None, zorder_cols=["user_id", "ts"],
+                       range_partition_col="ts")
