@@ -823,7 +823,11 @@ def encode_parquet(paths: list[str] | str, out_dir: str,
     predicates on the column ACROSS partitions. Boundaries come from a
     sampled planning wave and persist in ``range_plan.json`` (resume
     reuses them; re-sampling under different input blocking would
-    remap rows across committed partitions)."""
+    remap rows across committed partitions).
+
+    ``zorder_cols``: Z-ORDERED clustered layout over 2-3 columns (see
+    :func:`encode_dataset`); routed through the generic dataset path
+    since the Morton key is a computed column."""
     import glob as _glob
 
     import ray

@@ -76,8 +76,8 @@ def _order_key(values: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return keys
 
 
-def build_zorder_plan(ds, cols: list[str], bits: int = DEFAULT_BITS,
-                      string_ok: bool = False) -> dict:
+def build_zorder_plan(ds, cols: list[str],
+                      bits: int = DEFAULT_BITS) -> dict:
     """Per-column quantile boundaries from one strided sample per
     block (planner.range_sample's shape, one wave for ALL columns).
     Returns {"cols": [...], "bits": b, "boundaries": {col: [uint64]}}.

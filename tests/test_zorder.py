@@ -154,3 +154,28 @@ def test_zorder_validation(ray_session, tmp_path, events_tab):
                        key_col="event_type", id_col="event_id",
                        weight_col=None, zorder_cols=["user_id", "ts"],
                        range_partition_col="ts")
+
+
+def test_zorder_three_columns(ray_session, tmp_path, events_tab):
+    """3-column Morton key (stride 3): encode succeeds and a 3-D box
+    predicate answer matches pandas."""
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.pipeline.encode import encode_parquet
+    from arcade_ray.pipeline.query import compound_filter
+
+    src = str(tmp_path / "ev.parquet")
+    pq.write_table(events_tab, src)
+    out = str(tmp_path / "enc3")
+    encode_parquet(src, out, key_col="event_type", id_col="event_id",
+                   weight_col=None, weight_cap=500,
+                   zorder_cols=["user_id", "ts", "event_id"])
+    res = collect_arrow(compound_filter(
+        out, ("and", [("between", "user_id", 0, 100),
+                      ("between", "ts", 0, 5 * 10**8),
+                      ("between", "event_id", 1000, 4000)]),
+        project=["event_id"]))
+    df = events_tab.to_pandas()
+    want = df[df.user_id.between(0, 100) & df.ts.between(0, 5 * 10**8)
+              & df.event_id.between(1000, 4000)]
+    assert sorted(res["event_id"].to_pylist()) == sorted(
+        want.event_id.tolist())
