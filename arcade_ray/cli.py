@@ -145,6 +145,34 @@ def cmd_random_access(args) -> None:
         print(out.slice(0, args.show).to_pandas())
 
 
+def cmd_recluster(args) -> None:
+    """Re-layout an existing encoded dataset (the OPTIMIZE ... ZORDER
+    BY analog): stream-decode it and re-encode into a NEW directory
+    under a z-order / range-clustered / hash layout. The source stays
+    untouched (swap directories once the new manifest is complete —
+    the resumable way to re-cluster a live dataset)."""
+    from .pipeline.encode import encode_dataset
+    from .pipeline.query import scan
+
+    t0 = time.perf_counter()
+    ds = scan(args.out_dir)
+    if "zorder" in ds.schema().names:
+        # a previously z-ordered layout stores its Morton key; drop it
+        # so the new layout computes its own
+        ds = ds.drop_columns(["zorder"])
+    m = encode_dataset(
+        ds, args.new_dir, key_col=args.key_col, id_col=args.id_col,
+        weight_col=args.weight_col or None, weight_cap=args.cap,
+        range_partition_col=args.range_partition,
+        zorder_cols=args.zorder.split(",") if args.zorder else None,
+    )
+    rows = sum(m["rows"].to_pylist())
+    enc = sum(m["enc_bytes"].to_pylist())
+    print(f"Reclustered {rows} rows into {m.num_rows} partitions "
+          f"({enc} B) -> {args.new_dir} "
+          f"in {time.perf_counter() - t0:.2f} s")
+
+
 def cmd_compact(args) -> None:
     from .pipeline.compact import compact
     from .pipeline.encode import load_manifest
@@ -592,6 +620,19 @@ def main(argv=None) -> None:
     cp.add_argument("--cap", type=int, default=None,
                     help="target raw bytes per compacted partition")
     cp.set_defaults(fn=cmd_compact)
+
+    rc = sub.add_parser("recluster", help="re-encode an encoded dir "
+                        "into a NEW dir under a different layout "
+                        "(z-order / range / hash)")
+    rc.add_argument("out_dir", help="source encoded dir (read-only)")
+    rc.add_argument("new_dir", help="destination encoded dir")
+    rc.add_argument("--zorder", default=None, metavar="COL,COL[,COL]")
+    rc.add_argument("--range-partition", default=None, metavar="COL")
+    rc.add_argument("--key-col", default="source")
+    rc.add_argument("--id-col", default="doc_id")
+    rc.add_argument("--weight-col", default=None)
+    rc.add_argument("--cap", type=int, default=None)
+    rc.set_defaults(fn=cmd_recluster)
 
     jn = sub.add_parser("join", help="broadcast hash join of two encoded dirs")
     jn.add_argument("probe_dir")

@@ -179,3 +179,57 @@ def test_zorder_three_columns(ray_session, tmp_path, events_tab):
               & df.event_id.between(1000, 4000)]
     assert sorted(res["event_id"].to_pylist()) == sorted(
         want.event_id.tolist())
+
+
+def test_cli_recluster_zorder(tmp_path, events_tab):
+    """recluster: hash-layout encode -> z-ordered re-encode in a new
+    dir; rows identical (sorted ids match), 2-D box pruning appears,
+    and the source dir is untouched."""
+    import subprocess
+    import sys
+
+    import duckdb
+
+    src = str(tmp_path / "ev.parquet")
+    pq.write_table(events_tab, src)
+    enc = str(tmp_path / "enc")
+    zo = str(tmp_path / "zo")
+    r1 = subprocess.run(
+        [sys.executable, "-m", "arcade_ray.cli", "--num-cpus", "4",
+         "compress", src, enc, "--key-col", "event_type",
+         "--id-col", "event_id", "--weight-col", "", "--cap", "1500"],
+        capture_output=True, text=True, timeout=240, cwd="/root/repo")
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    r2 = subprocess.run(
+        [sys.executable, "-m", "arcade_ray.cli", "--num-cpus", "4",
+         "recluster", enc, zo, "--zorder", "user_id,ts",
+         "--key-col", "event_type", "--id-col", "event_id",
+         "--cap", "400"],
+        capture_output=True, text=True, timeout=240, cwd="/root/repo")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "Reclustered 6000 rows" in r2.stdout
+    out_dir = str(tmp_path / "dec")
+    r3 = subprocess.run(
+        [sys.executable, "-m", "arcade_ray.cli", "--num-cpus", "4",
+         "scan", zo, "--columns", "event_id,user_id,ts",
+         "--out", out_dir],
+        capture_output=True, text=True, timeout=240, cwd="/root/repo")
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    got = duckdb.sql(
+        f"SELECT count(*), sum(event_id), sum(user_id), sum(ts) "
+        f"FROM read_parquet('{out_dir}/*.parquet')").fetchall()[0]
+    df = events_tab.to_pandas()
+    assert got == (6000, df.event_id.sum(), df.user_id.sum(),
+                   df.ts.sum())
+    # new dir is z-clustered: its manifest shows pruning structure
+    from arcade_ray.pipeline.encode import load_manifest
+
+    stats = [json.loads(s)
+             for s in load_manifest(zo)["col_stats"].to_pylist()]
+    assert len(stats) >= 8
+    both = sum(1 for st in stats
+               if not (st["user_id"]["max"] < 50
+                       or st["user_id"]["min"] > 80)
+               and not (st["ts"]["max"] < 10**8
+                        or st["ts"]["min"] > 3 * 10**8))
+    assert both <= len(stats) // 2
