@@ -454,6 +454,43 @@ def q_sketch_percentiles(sf_dir: str) -> pa.Table:
     })
 
 
+
+def q_group_sketch_percentiles(sf_dir: str) -> pa.Table:
+    """Per-SOURCE approximate percentiles of n_chars via mergeable
+    per-group quantile summaries (transforms.group_approx_percentiles
+    — the streaming/unbounded-domain sibling of the exact per-group
+    histograms). Each estimate's true per-group rank is verified
+    in-query against the raw parquet (independent numpy), so the
+    all-true oracle is a checked certified-bound contract."""
+    import pyarrow.parquet as pq_mod
+
+    from .transforms import group_approx_percentiles
+
+    ds = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["source", "n_chars"])
+    ps = [0.1, 0.5, 0.9]
+    out = group_approx_percentiles(ds, "source", "n_chars", ps)
+    raw = pq_mod.read_table(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["source", "n_chars"])
+    rows = []
+    for r in out.to_pylist():
+        vals = np.sort(raw.filter(pc.equal(raw["source"], r["source"]))
+                       ["n_chars"].drop_null()
+                       .to_numpy(zero_copy_only=False))
+        lo = np.searchsorted(vals, r["n_chars"], side="left")
+        hi = np.searchsorted(vals, r["n_chars"], side="right")
+        tgt = r["p"] * len(vals)
+        err = 0 if lo <= tgt <= hi else min(abs(lo - tgt),
+                                            abs(hi - tgt))
+        rows.append((r["source"], r["p"],
+                     bool(err <= r["rank_err_bound"] + 1)))
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "p": pa.array([r[1] for r in rows], pa.float64()),
+        "within_bound": pa.array([r[2] for r in rows], pa.bool_()),
+    })
+
+
 def q_float_percentiles_cont(sf_dir: str) -> pa.Table:
     """SQL PERCENTILE_CONT over a float column: exact bracketing order
     statistics via the same distributed histogram selection, then
@@ -2057,6 +2094,7 @@ QUERIES = {
     "ann_index_recall": q_ann_index_recall,
     "tokenize_vocab": q_tokenize_vocab,
     "embedding_near_dup": q_embedding_near_dup,
+    "group_sketch_percentiles": q_group_sketch_percentiles,
     "in_filter": q_in_filter,
     "group_distinct_langs": q_group_distinct_langs,
     "ann_ivf_recall": q_ann_ivf_recall,
@@ -2651,6 +2689,11 @@ ORACLE_SQL = {
         "WHERE user_id BETWEEN 20 AND 40 "
         "AND ts BETWEEN TIMESTAMP '2024-01-10' "
         "AND TIMESTAMP '2024-01-12'"
+    ),
+    "group_sketch_percentiles": (
+        "SELECT source, p, CAST(1 AS BOOLEAN) AS within_bound "
+        "FROM (SELECT DISTINCT source FROM documents) "
+        "CROSS JOIN (VALUES (0.1),(0.5),(0.9)) t(p)"
     ),
     "heavy_hitters": (
         "WITH w AS (SELECT unnest(regexp_extract_all(lower(text), "

@@ -385,3 +385,95 @@ def group_approx_distinct(ds, key_col: str, val_col: str,
             [kmv_estimate(merged[kk], k) for kk in keys],
             type=pa.int64()),
     })
+
+
+def group_approx_percentiles(ds, key_col: str, val_col: str,
+                             ps: list[float], k: int = 128) -> pa.Table:
+    """GROUP BY ``key_col`` -> approximate PERCENTILE_DISC of
+    ``val_col`` via mergeable weighted quantile summaries
+    (sketches.py::qs_*) — the percentile sibling of
+    :func:`group_approx_distinct`, and the unbounded-domain /
+    streaming alternative to the exact per-group histograms
+    (query.py::group_int_percentiles, which needs bounded int ranges
+    and an encoded layout). Each batch reduces to one <= k-point
+    summary PER GROUP (a tiny (key, values, weights, err) partial);
+    the driver merges per key LOSSLESSLY, so each group's rank-error
+    bound is the SUM of its partials' certified errors
+    (<= n_group/(2k)) — returned per row, a guarantee not a guess.
+    Works on floats/ints/timestamps (IEEE total-order keys). Null
+    values are excluded per SQL aggregate semantics; float NaNs are
+    VALUES at the top of the order (DuckDB's quantile sort order),
+    not nulls; group cardinality
+    bounds driver state at O(groups x k).
+
+    Returns (key_col, p, val_col, rank_err_bound) in (key, p) order."""
+    import pyarrow.compute as pc
+
+    from .sketches import (order_key_from_stream, qs_build, qs_merge,
+                           qs_query)
+    from .streams import int_stream_from_arrow
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[val_col].combine_chunks()
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False) \
+            if col.null_count else np.ones(len(col), dtype=bool)
+        filled = pc.fill_null(col, pa.scalar(
+            0.0 if pa.types.is_floating(col.type) else 0,
+            type=col.type)) if col.null_count else col
+        vals, tag = int_stream_from_arrow(filled)
+        keys_u = order_key_from_stream(vals, tag)
+        d = pc.dictionary_encode(batch[key_col].combine_chunks())
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        pool = d.dictionary.to_pylist()
+        order = np.argsort(codes, kind="stable")
+        cs, ku, va = codes[order], keys_u[order], valid[order]
+        bounds = np.concatenate(
+            [[0], np.flatnonzero(np.diff(cs)) + 1, [len(cs)]]) \
+            if len(cs) else np.array([0])
+        keys_out, v_out, w_out, e_out = [], [], [], []
+        for j in range(len(bounds) - 1):
+            lo, hi = int(bounds[j]), int(bounds[j + 1])
+            seg = ku[lo:hi][va[lo:hi]]
+            s = qs_build(seg, k)
+            if s is None:
+                continue
+            keys_out.append(pool[int(cs[lo])])
+            v_out.append(s["v"].astype(np.int64).tolist())
+            w_out.append(s["w"].tolist())
+            e_out.append(float(s["err"]))
+        return pa.table({
+            key_col: pa.array(keys_out, type=pa.string()),
+            "_v": pa.array(v_out, type=pa.list_(pa.int64())),
+            "_w": pa.array(w_out, type=pa.list_(pa.float64())),
+            "_e": pa.array(e_out, type=pa.float64()),
+        })
+
+    # output value domain from the input schema (drives inversion)
+    f = ds.schema().base_schema.field(val_col)
+    is_float = pa.types.is_floating(f.type)
+    kind = "f" if is_float else "i"
+    from .pipeline.query import _order_key_inverse
+
+    merged: dict = {}
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        s = {"v": np.asarray(row["_v"], dtype=np.int64).view(np.uint64),
+             "w": np.asarray(row["_w"], dtype=np.float64),
+             "err": float(row["_e"])}
+        key = row[key_col]
+        merged[key] = qs_merge([merged[key], s]) if key in merged else s
+    keys = sorted(merged, key=lambda x: (x is None, x or ""))
+    out_keys, out_p, out_v, out_e = [], [], [], []
+    for kk in keys:
+        m = merged[kk]
+        for p in ps:
+            out_keys.append(kk)
+            out_p.append(float(p))
+            out_v.append(_order_key_inverse(qs_query(m, float(p)), kind))
+            out_e.append(float(m["err"]))
+    return pa.table({
+        key_col: pa.array(out_keys, type=pa.string()),
+        "p": pa.array(out_p, type=pa.float64()),
+        val_col: pa.array(out_v, type=(pa.float64() if is_float
+                                       else pa.int64())),
+        "rank_err_bound": pa.array(out_e, type=pa.float64()),
+    })

@@ -166,3 +166,38 @@ def test_sketch_percentiles_encoded(ray_session, tmp_path):
         sketch_percentiles(enc, "doc_id", [0.5])
     with pytest.raises(KeyError):
         sketch_percentiles(enc, "nope", [0.5])
+
+
+def test_group_approx_percentiles(ray_session):
+    """Per-group certified rank-error bounds hold across many blocks;
+    NaNs count as top-of-order values, nulls are excluded; ints and
+    floats both invert correctly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from arcade_ray.transforms import group_approx_percentiles
+
+    rng = np.random.default_rng(2)
+    n = 50_000
+    t = pa.table({
+        "g": pa.array([f"g{i % 5}" for i in range(n)]),
+        "x": pa.array(np.where(rng.random(n) < 0.05, np.nan,
+                               rng.normal(0, 100, n)),
+                      pa.float64(), mask=rng.random(n) < 0.03),
+        "k": pa.array(rng.integers(-10**6, 10**6, n), pa.int64()),
+    })
+    ds = rd.from_arrow(t)
+    for col in ("x", "k"):
+        out = group_approx_percentiles(ds, "g", col, [0.1, 0.5, 0.9])
+        assert out.num_rows == 15
+        for r in out.to_pylist():
+            vals = np.sort(t.filter(pa.compute.equal(t["g"], r["g"]))
+                           [col].drop_null()
+                           .to_numpy(zero_copy_only=False))
+            lo = np.searchsorted(vals, r[col], side="left")
+            hi = np.searchsorted(vals, r[col], side="right")
+            tgt = r["p"] * len(vals)
+            err = 0 if lo <= tgt <= hi else min(abs(lo - tgt),
+                                                abs(hi - tgt))
+            assert err <= r["rank_err_bound"] + 1, (col, r, err)
