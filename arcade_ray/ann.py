@@ -744,7 +744,14 @@ def semantic_dedup(ds, threshold: float = 0.95, k: int = 16,
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cref)
         x = _normalize(_to_matrix(batch[vec_col]))
-        sims = x @ c.T
+        # einsum (optimize=False) accumulates the dot in a fixed
+        # per-row order INDEPENDENT of batch shape — a GEMM here can
+        # differ by an ULP across block splits, and a near-boundary
+        # vector (e.g. a planted clone in a different block than its
+        # original) would then land in a different CLUSTER, breaking
+        # the exact-count dedup contract. ~2x slower than BLAS on
+        # this k x dim, which the determinism guarantee is worth.
+        sims = np.einsum("nd,kd->nk", x, c, optimize=False)
         a = np.argmax(sims, axis=1)
         return pa.table({
             id_col: batch[id_col],
@@ -757,16 +764,16 @@ def semantic_dedup(ds, threshold: float = 0.95, k: int = 16,
     def dedup_cluster(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return empty
-        # Recompute centroid sims for the WHOLE cluster in one matmul:
-        # the assign stage's per-batch values can differ by an ULP
-        # across block splits (BLAS accumulation order), which would
-        # make the visit order — and the survivor of an exact-dup tie
-        # — depend on partitioning. One shape-stable pass per group is
-        # deterministic.
+        # Recompute centroid sims for the WHOLE cluster with the same
+        # fixed-order einsum the assign stage uses: the visit order —
+        # and the survivor of an exact-dup tie — must never depend on
+        # how blocks were split upstream (belt and braces on top of
+        # the deterministic assign).
         ids0 = t[id_col].to_numpy(zero_copy_only=False)
         x0 = _normalize(_to_matrix(t[vec_col]))
         cid = int(t["cluster"][0].as_py())
-        sims0 = x0 @ ray.get(cref)[cid]
+        sims0 = np.einsum("nd,d->n", x0, ray.get(cref)[cid],
+                          optimize=False)
         order = np.lexsort((ids0, sims0))
         t = (t.set_column(t.schema.get_field_index("centroid_sim"),
                           "centroid_sim",

@@ -227,11 +227,15 @@ def _quantile_estimates(manifest) -> dict:
 
     acc: dict[str, list] = {}
     kinds: dict[str, str] = {}
-    for s in manifest["col_stats"].to_pylist():
+    covered: dict[str, int] = {}
+    total_rows = sum(manifest["rows"].to_pylist())
+    for s, n_rows in zip(manifest["col_stats"].to_pylist(),
+                         manifest["rows"].to_pylist()):
         for col, st in json.loads(s).items():
             if "qs" in st:
                 acc.setdefault(col, []).append(qs_deserialize(st["qs"]))
                 kinds[col] = st["qs"].get("kind", "i")
+                covered[col] = covered.get(col, 0) + int(n_rows)
     out = {}
     for col, parts in sorted(acc.items()):
         m = qs_merge(parts)
@@ -240,6 +244,12 @@ def _quantile_estimates(manifest) -> dict:
                 for p in (0.5, 0.9, 0.99)}
         out[col] = {f"p{int(p * 100)}": v for p, v in vals.items()}
         out[col]["err_pct"] = round(100.0 * m["err"] / max(total, 1), 3)
+        # partitions encoded before the sketch existed carry no
+        # summary — flag the gap instead of passing a subset estimate
+        # off as table-wide (sketch_percentiles raises on this state)
+        if total_rows and covered[col] < total_rows:
+            out[col]["rows_covered_pct"] = round(
+                100.0 * covered[col] / total_rows, 1)
     return out
 
 

@@ -306,10 +306,21 @@ def encode_dataset(ds, out_dir: str, key_col: str = "source",
 
         zplan = load_zorder_plan(out_dir, zorder_cols) if resume else None
         if zplan is None:
+            sch = ds.schema()
             missing = [c for c in zorder_cols
-                       if c not in set(ds.schema().names)]
+                       if c not in set(sch.names)]
             if missing:
                 raise ValueError(f"zorder_cols {missing} not in input")
+            if isinstance(sch.base_schema, pa.Schema):
+                bad = [c for c in zorder_cols if not (
+                    pa.types.is_integer(sch.base_schema.field(c).type)
+                    or pa.types.is_floating(sch.base_schema.field(c).type)
+                    or pa.types.is_timestamp(sch.base_schema.field(c).type)
+                    or pa.types.is_date(sch.base_schema.field(c).type))]
+                if bad:
+                    raise ValueError(
+                        f"zorder_cols must be numeric/timestamp "
+                        f"columns; {bad} are not")
             zplan = build_zorder_plan(ds, list(zorder_cols))
             save_zorder_plan(out_dir, zplan)
         ds = add_zorder_column(ds, zplan)
@@ -843,15 +854,21 @@ def encode_parquet(paths: list[str] | str, out_dir: str,
         raise FileNotFoundError(paths)
     if zorder_cols is not None:
         # z-order needs a computed clustering column — route through
-        # the generic dataset path (still streaming; exchange="disk"
-        # available via ARCADE_DISK_EXCHANGE_BYTES auto-select)
+        # the generic dataset path. range_partition_col forwards so
+        # the exclusivity error still fires; the disk-exchange
+        # auto-select mirrors the fast path's byte threshold.
         from ..sources import read_parquet_clean
 
+        if exchange is None:
+            on_disk = sum(os.path.getsize(f) for f in files)
+            exchange = "disk" if on_disk > DISK_EXCHANGE_BYTES \
+                else "direct"
         return encode_dataset(
             read_parquet_clean(files), out_dir, key_col=key_col,
             id_col=id_col, weight_col=weight_col, weight_cap=weight_cap,
             resume=resume, sort_partitions_by=sort_partitions_by,
-            exchange=exchange or "direct", generation=generation,
+            exchange=exchange, generation=generation,
+            range_partition_col=range_partition_col,
             zorder_cols=zorder_cols)
 
     os.makedirs(os.path.join(out_dir, PARTS_DIR), exist_ok=True)

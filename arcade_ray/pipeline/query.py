@@ -1714,8 +1714,10 @@ def sketch_percentiles(out_dir: str, col: str,
         if not (pa.types.is_integer(base[col].type)
                 or pa.types.is_floating(base[col].type)
                 or pa.types.is_timestamp(base[col].type)):
-            raise TypeError(f"sketch_percentiles needs a numeric "
-                            f"column, got {base[col].type}")
+            # same error contract as the populated path below
+            raise KeyError(f"no quantile summary for column {col!r} "
+                           f"(type {base[col].type}) — use "
+                           f"exact_percentiles")
         out_t = pa.float64() if pa.types.is_floating(base[col].type) \
             else pa.int64()
         return pa.table({
@@ -1731,7 +1733,10 @@ def sketch_percentiles(out_dir: str, col: str,
         raise KeyError(f"no quantile summary for column {col!r} "
                        f"(kind {cm0['kind']!r}) — use exact_percentiles")
     is_float = cm0.get("tag") in ("f32", "f64")
-    out_kind = "f" if is_float else "i"
+    # u64 order keys are the raw values — inverting them as signed
+    # ints would shift every percentile by 2^63
+    out_kind = "f" if is_float else (
+        "u" if cm0.get("tag") == "u64" else "i")
     parts = []
     for r in rows:
         st = json.loads(r["col_stats"]).get(col) or {}
@@ -1745,7 +1750,8 @@ def sketch_percentiles(out_dir: str, col: str,
                 f"exact_percentiles")
         parts.append(qs_deserialize(st["qs"]))
     merged = qs_merge(parts)  # lossless: no recompaction at query time
-    out_t = pa.float64() if is_float else pa.int64()
+    out_t = pa.float64() if is_float else (
+        pa.uint64() if out_kind == "u" else pa.int64())
     if merged is None:  # all values null
         return pa.table({
             "p": pa.array([float(p) for p in ps], pa.float64()),

@@ -337,6 +337,35 @@ def repeat_sources(ds, repeats: dict, key_col: str = "source",
     return ds.map_batches(rep, batch_format="pyarrow")
 
 
+def _group_segments(key_arr: "pa.ChunkedArray | pa.Array"):
+    """Shared per-batch group segmentation for the sketch partials:
+    dictionary-encode the key column (NULL keys become their own
+    group — dictionary_encode surfaces them as null indices, which
+    would otherwise crash the int cast), stable-sort by code, and
+    return (order, segment bounds, group-key list aligned to
+    segments). Used by group_approx_distinct and
+    group_approx_percentiles so null handling stays in lockstep."""
+    import pyarrow.compute as pc
+
+    d = pc.dictionary_encode(
+        key_arr.combine_chunks() if isinstance(key_arr, pa.ChunkedArray)
+        else key_arr)
+    pool = d.dictionary.to_pylist()
+    idx = d.indices
+    if idx.null_count:
+        idx = pc.fill_null(idx, len(pool))
+        pool = pool + [None]
+    codes = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(codes, kind="stable")
+    cs = codes[order]
+    bounds = np.concatenate(
+        [[0], np.flatnonzero(np.diff(cs)) + 1, [len(cs)]]) \
+        if len(cs) else np.array([0])
+    seg_keys = [pool[int(cs[int(bounds[j])])]
+                for j in range(len(bounds) - 1)]
+    return order, bounds, seg_keys
+
+
 def group_approx_distinct(ds, key_col: str, val_col: str,
                           k: int = 256) -> pa.Table:
     """GROUP BY ``key_col`` -> approximate COUNT(DISTINCT ``val_col``)
@@ -352,19 +381,13 @@ def group_approx_distinct(ds, key_col: str, val_col: str,
     from .sketches import kmv_estimate, kmv_from_hashes, kmv_merge
 
     def partial(batch: pa.Table) -> pa.Table:
-        d = pc.dictionary_encode(batch[key_col].combine_chunks())
-        codes = d.indices.to_numpy(zero_copy_only=False)
-        pool = d.dictionary.to_pylist()
+        order, bounds, seg_keys = _group_segments(batch[key_col])
         h = hash_column(batch[val_col].combine_chunks())
+        hs = h[order]
         keys_out, sk_out = [], []
-        order = np.argsort(codes, kind="stable")
-        cs, hs = codes[order], h[order]
-        bounds = np.concatenate(
-            [[0], np.flatnonzero(np.diff(cs)) + 1, [len(cs)]]) \
-            if len(cs) else np.array([0])
         for j in range(len(bounds) - 1):
             lo, hi = int(bounds[j]), int(bounds[j + 1])
-            keys_out.append(pool[int(cs[lo])])
+            keys_out.append(seg_keys[j])
             sk_out.append(kmv_from_hashes(hs[lo:hi], k)
                           .astype(np.int64).tolist())
         return pa.table({
@@ -422,14 +445,8 @@ def group_approx_percentiles(ds, key_col: str, val_col: str,
             type=col.type)) if col.null_count else col
         vals, tag = int_stream_from_arrow(filled)
         keys_u = order_key_from_stream(vals, tag)
-        d = pc.dictionary_encode(batch[key_col].combine_chunks())
-        codes = d.indices.to_numpy(zero_copy_only=False)
-        pool = d.dictionary.to_pylist()
-        order = np.argsort(codes, kind="stable")
-        cs, ku, va = codes[order], keys_u[order], valid[order]
-        bounds = np.concatenate(
-            [[0], np.flatnonzero(np.diff(cs)) + 1, [len(cs)]]) \
-            if len(cs) else np.array([0])
+        order, bounds, seg_keys = _group_segments(batch[key_col])
+        ku, va = keys_u[order], valid[order]
         keys_out, v_out, w_out, e_out = [], [], [], []
         for j in range(len(bounds) - 1):
             lo, hi = int(bounds[j]), int(bounds[j + 1])
@@ -437,7 +454,7 @@ def group_approx_percentiles(ds, key_col: str, val_col: str,
             s = qs_build(seg, k)
             if s is None:
                 continue
-            keys_out.append(pool[int(cs[lo])])
+            keys_out.append(seg_keys[j])
             v_out.append(s["v"].astype(np.int64).tolist())
             w_out.append(s["w"].tolist())
             e_out.append(float(s["err"]))
@@ -448,10 +465,13 @@ def group_approx_percentiles(ds, key_col: str, val_col: str,
             "_e": pa.array(e_out, type=pa.float64()),
         })
 
-    # output value domain from the input schema (drives inversion)
+    # output value domain from the input schema (drives inversion —
+    # uint64 keys are the raw values, NOT sign-shifted like signed ints)
     f = ds.schema().base_schema.field(val_col)
     is_float = pa.types.is_floating(f.type)
-    kind = "f" if is_float else "i"
+    kind = "f" if is_float else (
+        "u" if pa.types.is_unsigned_integer(f.type)
+        and f.type.bit_width == 64 else "i")
     from .pipeline.query import _order_key_inverse
 
     merged: dict = {}
@@ -470,10 +490,11 @@ def group_approx_percentiles(ds, key_col: str, val_col: str,
             out_p.append(float(p))
             out_v.append(_order_key_inverse(qs_query(m, float(p)), kind))
             out_e.append(float(m["err"]))
+    out_t = pa.float64() if is_float else (
+        pa.uint64() if kind == "u" else pa.int64())
     return pa.table({
         key_col: pa.array(out_keys, type=pa.string()),
         "p": pa.array(out_p, type=pa.float64()),
-        val_col: pa.array(out_v, type=(pa.float64() if is_float
-                                       else pa.int64())),
+        val_col: pa.array(out_v, type=out_t),
         "rank_err_bound": pa.array(out_e, type=pa.float64()),
     })

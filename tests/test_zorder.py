@@ -233,3 +233,22 @@ def test_cli_recluster_zorder(tmp_path, events_tab):
                and not (st["ts"]["max"] < 10**8
                         or st["ts"]["min"] > 3 * 10**8))
     assert both <= len(stats) // 2
+
+
+def test_zorder_review_fixes(ray_session, tmp_path, events_tab):
+    """Review regressions: encode_parquet forwards range_partition_col
+    into the exclusivity error, and a string zorder column fails fast
+    with a clean ValueError instead of a remote-task traceback."""
+    from arcade_ray.pipeline.encode import encode_parquet
+
+    src = str(tmp_path / "ev.parquet")
+    pq.write_table(events_tab, src)
+    with pytest.raises(ValueError, match="exclusive"):
+        encode_parquet(src, str(tmp_path / "x1"), key_col="event_type",
+                       id_col="event_id", weight_col=None,
+                       zorder_cols=["user_id", "ts"],
+                       range_partition_col="ts")
+    with pytest.raises(ValueError, match="numeric/timestamp"):
+        encode_parquet(src, str(tmp_path / "x2"), key_col="event_type",
+                       id_col="event_id", weight_col=None,
+                       zorder_cols=["event_type", "ts"])
