@@ -25,7 +25,7 @@ from .pipeline.query import equi_filter, lookup, scan
 from .sources import read_parquet_clean
 
 CACHE_ROOT = os.environ.get("ARCADE_RAY_CACHE", "/tmp/arcade_ray_cache")
-_CACHE_SALT = f"v{FORMAT_VERSION}.8"
+_CACHE_SALT = f"v{FORMAT_VERSION}.9"
 
 # table -> (key_col, id_col, weight_col)
 TABLE_KEYS = {

@@ -57,7 +57,13 @@ def hash_strings(lengths: np.ndarray, data: bytes,
     empty = lengths == 0
     if empty.any():
         sums = np.where(empty, np.uint64(0), sums)
-    return (sums * _FNV) ^ hash_ints(lengths)
+    # splitmix64 avalanche over the polynomial sum: poly-31 of short
+    # sequential ids ("d0001", "d0002"...) is near-linear in the
+    # suffix, and a bare multiply leaves the output badly non-uniform
+    # — measured 58% KMV error at 2000 distincts. The finalizer
+    # restores uniform bottom-k order statistics (and balanced hash
+    # buckets) without changing the collision contract.
+    return hash_ints((sums * _FNV).view(np.int64)) ^ hash_ints(lengths)
 
 
 def hash_column(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
