@@ -40,16 +40,25 @@ def _cols(s: str | None) -> list[str] | None:
 
 
 def cmd_compress(args) -> None:
-    from .pipeline.encode import encode_parquet
-
     t0 = time.perf_counter()
-    manifest = encode_parquet(
-        args.input, args.out_dir, key_col=args.key_col, id_col=args.id_col,
+    kw = dict(
+        key_col=args.key_col, id_col=args.id_col,
         weight_col=args.weight_col or None, weight_cap=args.cap,
         resume=not args.no_resume, generation=args.generation,
         range_partition_col=args.range_partition,
         zorder_cols=args.zorder.split(",") if args.zorder else None,
     )
+    if args.format == "parquet":
+        from .pipeline.encode import encode_parquet
+
+        manifest = encode_parquet(args.input, args.out_dir, **kw)
+    else:  # csv / jsonl via the token-parser sources
+        from .pipeline.encode import encode_dataset
+        from .sources import read_tokenized_csv, read_tokenized_jsonl
+
+        ds = read_tokenized_csv(args.input) if args.format == "csv" \
+            else read_tokenized_jsonl(args.input)
+        manifest = encode_dataset(ds, args.out_dir, **kw)
     dt = time.perf_counter() - t0
     rows = sum(manifest["rows"].to_pylist())
     enc = sum(manifest["enc_bytes"].to_pylist())
@@ -580,6 +589,10 @@ def main(argv=None) -> None:
     c.add_argument("--generation", default=None,
                    help="append namespace: encode this input as a new "
                         "generation alongside existing partitions")
+    c.add_argument("--format", default="parquet",
+                   choices=["parquet", "csv", "jsonl"],
+                   help="input format; csv parses a delimited token "
+                   "column, jsonl expects native list-typed tokens")
     c.add_argument("--zorder", default=None, metavar="COL,COL[,COL]",
                    help="Z-ORDER clustered layout: cluster partitions "
                    "on the Morton key of 2-3 numeric/timestamp columns "

@@ -272,3 +272,41 @@ def test_cli_semdedup(tmp_path):
     kept = {r[0] for r in duckdb.sql(
         f"SELECT vec_id FROM read_parquet('{out_dir}/*.parquet')").fetchall()}
     assert 7 in kept and 119 not in kept  # ties keep the smaller id
+
+
+def test_cli_compress_csv(tmp_path):
+    """compress --format csv: the delimited token column parses into
+    list<int32> and round-trips through verify-by-scan (duckdb sums
+    match the CSV's own token count)."""
+    import csv as _csv
+
+    import duckdb
+
+    src = str(tmp_path / "in.csv")
+    n = 400
+    with open(src, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["doc_id", "source", "tokens"])
+        for i in range(n):
+            toks = " ".join(str((i * 7 + j) % 100)
+                            for j in range(i % 9 + 1))
+            w.writerow([f"d{i:04d}", f"s{i % 3}", toks])
+    enc = str(tmp_path / "enc")
+    out = subprocess.run(
+        [sys.executable, "-m", "arcade_ray.cli", "--num-cpus", "4",
+         "compress", src, enc, "--format", "csv", "--weight-col", ""],
+        capture_output=True, text=True, timeout=240, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert f"Compressed {n} rows" in out.stdout
+    dec = str(tmp_path / "dec")
+    out2 = subprocess.run(
+        [sys.executable, "-m", "arcade_ray.cli", "--num-cpus", "4",
+         "scan", enc, "--columns", "doc_id,tokens", "--out", dec],
+        capture_output=True, text=True, timeout=240, cwd="/root/repo")
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    got = duckdb.sql(
+        f"SELECT count(*), sum(len(tokens)), sum(tokens[1]) "
+        f"FROM read_parquet('{dec}/*.parquet')").fetchall()[0]
+    want_len = sum(i % 9 + 1 for i in range(n))
+    want_first = sum((i * 7) % 100 for i in range(n))
+    assert got == (n, want_len, want_first)
