@@ -234,6 +234,38 @@ def q_group_agg_multi(sf_dir: str) -> pa.Table:
     })
 
 
+
+def q_group_rollup(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP (source, lang): the three aggregation levels —
+    (source, lang), (source), grand total — computed as three
+    decode-free dict_group_aggregate passes over the encoded layout
+    and stacked with NULL fill exactly like SQL's ROLLUP marker rows.
+    Each level reads only the value column's chunks; the key columns
+    never materialize per row at any level."""
+    from .pipeline.query import dict_group_aggregate
+
+    out = encoded_dir(sf_dir, "documents")
+    lvl2 = dict_group_aggregate(out, ["source", "lang"], "n_chars")
+    lvl1 = dict_group_aggregate(out, ["source"], "n_chars")
+    total_sum = sum(x for x in lvl1["sum_v"].to_pylist()
+                    if x is not None)
+    total_n = sum(lvl1["n_rows"].to_pylist())
+    src_col = (lvl2["source"].to_pylist()
+               + lvl1["source"].to_pylist() + [None])
+    lang_col = (lvl2["lang"].to_pylist()
+                + [None] * (lvl1.num_rows + 1))
+    sums = (lvl2["sum_v"].to_pylist() + lvl1["sum_v"].to_pylist()
+            + [total_sum])
+    ns = (lvl2["n_rows"].to_pylist() + lvl1["n_rows"].to_pylist()
+          + [total_n])
+    return pa.table({
+        "source": pa.array(src_col, pa.string()),
+        "lang": pa.array(lang_col, pa.string()),
+        "sum_chars": pa.array(sums, pa.int64()),
+        "n_rows": pa.array(ns, pa.int64()),
+    })
+
+
 def q_near_dedup(sf_dir: str) -> pa.Table:
     """Near-duplicate removal: MinHash-LSH pairs -> union-find -> keep
     min id per cluster (rows-only: LSH has no SQL equivalent)."""
@@ -2094,6 +2126,7 @@ QUERIES = {
     "ann_index_recall": q_ann_index_recall,
     "tokenize_vocab": q_tokenize_vocab,
     "embedding_near_dup": q_embedding_near_dup,
+    "group_rollup": q_group_rollup,
     "group_sketch_percentiles": q_group_sketch_percentiles,
     "in_filter": q_in_filter,
     "group_distinct_langs": q_group_distinct_langs,
@@ -2187,6 +2220,11 @@ ORACLE_SQL = {
     "group_agg_encoded": (
         "SELECT source, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MIN(n_chars) AS min_chars, "
         "MAX(n_chars) AS max_chars, COUNT(*) AS n_rows FROM documents GROUP BY source"
+    ),
+    "group_rollup": (
+        "SELECT source, lang, CAST(SUM(n_chars) AS BIGINT) AS "
+        "sum_chars, COUNT(*) AS n_rows FROM documents "
+        "GROUP BY ROLLUP (source, lang)"
     ),
     "group_agg_multi": (
         "SELECT source, lang, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
