@@ -1725,10 +1725,16 @@ def sketch_percentiles(out_dir: str, col: str,
             col: pa.array([None] * len(ps), out_t),
             "rank_err_bound": pa.array([0.0] * len(ps), pa.float64()),
         })
-    header0, _ = read_header(rows[0]["path"])
-    if col not in header0["columns"]:
+    # find a partition that HAS the column: under schema evolution the
+    # first partition may predate it (the column is then NULL there)
+    cm0 = None
+    for r in rows:
+        if col in json.loads(r["col_stats"]):
+            header0, _ = read_header(r["path"])
+            cm0 = header0["columns"][col]
+            break
+    if cm0 is None:
         raise KeyError(f"column {col!r} not in encoded dataset")
-    cm0 = header0["columns"][col]
     if cm0["kind"] != "int":
         raise KeyError(f"no quantile summary for column {col!r} "
                        f"(kind {cm0['kind']!r}) — use exact_percentiles")
@@ -1739,7 +1745,13 @@ def sketch_percentiles(out_dir: str, col: str,
         "u" if cm0.get("tag") == "u64" else "i")
     parts = []
     for r in rows:
-        st = json.loads(r["col_stats"]).get(col) or {}
+        cs = json.loads(r["col_stats"])
+        st = cs.get(col)
+        if st is None:
+            # schema evolution: the column does not exist in this
+            # partition's generation — every value reads as NULL, so
+            # it contributes nothing to a null-excluding percentile
+            continue
         if "qs" not in st:
             if int(r["rows"]) == 0 or \
                     int(st.get("nulls") or 0) == int(r["rows"]):

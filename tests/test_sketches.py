@@ -248,3 +248,43 @@ def test_qs_uint64_and_null_group_keys(ray_session, tmp_path):
     assert set(d["source"].to_pylist()) == {"s0", None}
     for r in d.to_pylist():
         assert abs(r["distinct_est"] - n // 2) / (n // 2) < 0.3
+
+
+def test_sketch_percentiles_schema_evolution(ray_session, tmp_path):
+    """A column added in a later generation: predating partitions read
+    as NULL there and contribute nothing; the sketch answers over the
+    new generation's values within the certified bound. A truly
+    unknown column still raises KeyError."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from arcade_ray.pipeline.encode import encode_parquet
+    from arcade_ray.pipeline.query import sketch_percentiles
+
+    n = 5000
+    rng = np.random.default_rng(4)
+    base = pa.table({
+        "doc_id": pa.array([f"a{i}" for i in range(n)]),
+        "source": pa.array([f"s{i % 3}" for i in range(n)]),
+    })
+    newer = pa.table({
+        "doc_id": pa.array([f"b{i}" for i in range(n)]),
+        "source": pa.array([f"s{i % 3}" for i in range(n)]),
+        "score": pa.array(rng.integers(0, 10**6, n), pa.int64()),
+    })
+    p1, p2 = str(tmp_path / "g0.parquet"), str(tmp_path / "g1.parquet")
+    pq.write_table(base, p1)
+    pq.write_table(newer, p2)
+    enc = str(tmp_path / "enc")
+    encode_parquet(p1, enc, key_col="source", id_col="doc_id",
+                   weight_col=None)
+    encode_parquet(p2, enc, key_col="source", id_col="doc_id",
+                   weight_col=None, generation="g1")
+    out = sketch_percentiles(enc, "score", [0.5])
+    med = out["score"][0].as_py()
+    s = np.sort(newer["score"].to_numpy(zero_copy_only=False))
+    rank = np.searchsorted(s, med)
+    assert abs(rank - 0.5 * n) <= out["rank_err_bound"][0].as_py() + 1
+    with pytest.raises(KeyError):
+        sketch_percentiles(enc, "nope", [0.5])
