@@ -266,6 +266,37 @@ def q_group_rollup(sf_dir: str) -> pa.Table:
     })
 
 
+
+def q_group_cube(sf_dir: str) -> pa.Table:
+    """GROUP BY CUBE (source, lang): all four aggregation levels from
+    decode-free dict_group_aggregate passes (the ROLLUP levels plus
+    the (lang)-only marginal), stacked with SQL's NULL markers."""
+    from .pipeline.query import dict_group_aggregate
+
+    out = encoded_dir(sf_dir, "documents")
+    lvl2 = dict_group_aggregate(out, ["source", "lang"], "n_chars")
+    by_src = dict_group_aggregate(out, ["source"], "n_chars")
+    by_lang = dict_group_aggregate(out, ["lang"], "n_chars")
+    total_sum = sum(x for x in by_src["sum_v"].to_pylist()
+                    if x is not None)
+    total_n = sum(by_src["n_rows"].to_pylist())
+    src_col = (lvl2["source"].to_pylist() + by_src["source"].to_pylist()
+               + [None] * by_lang.num_rows + [None])
+    lang_col = (lvl2["lang"].to_pylist()
+                + [None] * by_src.num_rows
+                + by_lang["lang"].to_pylist() + [None])
+    sums = (lvl2["sum_v"].to_pylist() + by_src["sum_v"].to_pylist()
+            + by_lang["sum_v"].to_pylist() + [total_sum])
+    ns = (lvl2["n_rows"].to_pylist() + by_src["n_rows"].to_pylist()
+          + by_lang["n_rows"].to_pylist() + [total_n])
+    return pa.table({
+        "source": pa.array(src_col, pa.string()),
+        "lang": pa.array(lang_col, pa.string()),
+        "sum_chars": pa.array(sums, pa.int64()),
+        "n_rows": pa.array(ns, pa.int64()),
+    })
+
+
 def q_near_dedup(sf_dir: str) -> pa.Table:
     """Near-duplicate removal: MinHash-LSH pairs -> union-find -> keep
     min id per cluster (rows-only: LSH has no SQL equivalent)."""
@@ -2127,6 +2158,7 @@ QUERIES = {
     "tokenize_vocab": q_tokenize_vocab,
     "embedding_near_dup": q_embedding_near_dup,
     "group_rollup": q_group_rollup,
+    "group_cube": q_group_cube,
     "group_sketch_percentiles": q_group_sketch_percentiles,
     "in_filter": q_in_filter,
     "group_distinct_langs": q_group_distinct_langs,
@@ -2225,6 +2257,11 @@ ORACLE_SQL = {
         "SELECT source, lang, CAST(SUM(n_chars) AS BIGINT) AS "
         "sum_chars, COUNT(*) AS n_rows FROM documents "
         "GROUP BY ROLLUP (source, lang)"
+    ),
+    "group_cube": (
+        "SELECT source, lang, CAST(SUM(n_chars) AS BIGINT) AS "
+        "sum_chars, COUNT(*) AS n_rows FROM documents "
+        "GROUP BY CUBE (source, lang)"
     ),
     "group_agg_multi": (
         "SELECT source, lang, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
