@@ -831,3 +831,130 @@ def semantic_dedup(ds, threshold: float = 0.95, k: int = 16,
             .groupby("cluster")
             .map_groups(dedup_cluster, batch_format="pyarrow"))
 
+
+
+def knn_join(ds, k: int = 5, mode: str = "exact",
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_bands: int = 16, band_planes: int = 6, seed: int = 42,
+             max_bucket: int = 4096) -> pa.Table:
+    """kNN GRAPH over an embedding column: for EVERY vector, its k
+    nearest neighbors by cosine (excluding itself) — the self-join
+    sibling of :func:`topk_cosine` (queries-vs-corpus) and the
+    building block for graph clustering / SemDeDup-style diagnostics.
+    Returns (id_col, nb, cos) sorted by (id, cos desc, nb).
+
+    ``mode="exact"``: the O(N^2/p) baseline — the normalized corpus
+    matrix broadcasts once via ``ray.put``; each batch scores against
+    it and keeps its rows' top-k, so the driver merge handles N x k
+    tiny rows, never a matrix. Right answer, quadratic flops: use at
+    N up to ~10^5-10^6 depending on dim.
+
+    ``mode="lsh"``: the scale path — random-hyperplane band signatures
+    route each vector into ``n_bands`` buckets; candidate pairs come
+    from bucket co-occurrence (collect.lsh_pairs_verify: size-adaptive,
+    driver never holds the pair list at scale), cosines verify exactly
+    and distributed, and the per-id top-k merge runs over the
+    candidate pairs only. Recall is measured against exact in tests
+    and by the driver query's contract; raise ``n_bands`` (or lower
+    ``band_planes``) for corpora whose true neighbors are far apart.
+    Neighbors an id shares NO bucket with are unreachable — that is
+    the LSH trade."""
+    from .collect import lsh_pairs_verify
+
+    try:
+        first = ds.take_batch(1, batch_format="pyarrow")
+    except ValueError:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "nb": pa.array([], pa.int64()),
+                         "cos": pa.array([], pa.float64())})
+    import ray
+
+    if mode == "exact":
+        proj = ds.map_batches(lambda b: b.select([id_col, vec_col]),
+                              batch_format="pyarrow")
+        full = collect_arrow(proj)
+        ids_all = full[id_col].to_numpy(zero_copy_only=False)
+        mat = _normalize(_to_matrix(full[vec_col]))
+        ref = ray.put((ids_all, mat))
+
+        def score(batch: pa.Table) -> pa.Table:
+            cid, cmat = ray.get(ref)
+            x = _normalize(_to_matrix(batch[vec_col]))
+            bids = batch[id_col].to_numpy(zero_copy_only=False)
+            n = len(bids)
+            sims = x @ cmat.T
+            # mask self-matches by id (vectorized; per-row sims are
+            # against the FULL corpus, so results are independent of
+            # how the corpus was batched)
+            sims[bids[:, None] == cid[None, :]] = -np.inf
+            kk = min(k, len(cid) - 1)
+            part = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
+            part = np.take_along_axis(        # nb-id ascending among ties
+                part, np.argsort(cid[part], axis=1, kind="stable"),
+                axis=1)
+            vals = np.take_along_axis(sims, part, axis=1)
+            order = np.argsort(-vals, axis=1, kind="stable")
+            part = np.take_along_axis(part, order, axis=1)
+            vals = np.take_along_axis(vals, order, axis=1)
+            return pa.table({
+                id_col: pa.array(np.repeat(bids, kk), pa.int64()),
+                "nb": pa.array(cid[part.ravel()], pa.int64()),
+                "cos": pa.array(vals.ravel(), pa.float64()),
+            })
+
+        out = collect_arrow(ds.map_batches(score, batch_format="pyarrow"))
+    else:
+        dim = len(first[vec_col][0])
+        planes = _band_planes(dim, n_bands, band_planes, seed)
+        sig_ds = ds.map_batches(
+            lambda b: near_dup_band_rows(b, planes, n_bands,
+                                         band_planes, id_col, vec_col),
+            batch_format="pyarrow")
+
+        def verify(pairs: pa.Table, payload: pa.Table) -> pa.Table:
+            ids_f = payload[id_col].to_numpy(zero_copy_only=False)
+            order = np.argsort(ids_f)
+            vmat = _normalize(_to_matrix(payload[vec_col]))
+            ai = order[np.searchsorted(
+                ids_f[order],
+                pairs["id_a"].to_numpy(zero_copy_only=False))]
+            bi = order[np.searchsorted(
+                ids_f[order],
+                pairs["id_b"].to_numpy(zero_copy_only=False))]
+            cos = np.einsum("ij,ij->i", vmat[ai], vmat[bi])
+            return pa.table({
+                "id_a": pairs["id_a"],
+                "id_b": pairs["id_b"],
+                "cos": pa.array(cos, pa.float64()),
+            })
+
+        pairs = lsh_pairs_verify(ds, sig_ds, id_col, [vec_col], verify,
+                                 max_bucket=max_bucket)
+        if pairs.num_rows == 0 or pairs.num_columns == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "nb": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        # symmetric expand, then per-id top-k over the candidates
+        a = pairs["id_a"].to_numpy(zero_copy_only=False)
+        b = pairs["id_b"].to_numpy(zero_copy_only=False)
+        c = pairs["cos"].to_numpy(zero_copy_only=False)
+        src = np.concatenate([a, b])
+        nb = np.concatenate([b, a])
+        cs = np.concatenate([c, c])
+        order = np.lexsort((nb, -cs, src))
+        src, nb, cs = src[order], nb[order], cs[order]
+        starts = np.concatenate(
+            [[0], np.flatnonzero(np.diff(src)) + 1, [len(src)]])
+        keep = np.zeros(len(src), dtype=bool)
+        for j in range(len(starts) - 1):
+            lo = int(starts[j])
+            keep[lo:min(lo + k, int(starts[j + 1]))] = True
+        out = pa.table({
+            id_col: pa.array(src[keep], pa.int64()),
+            "nb": pa.array(nb[keep], pa.int64()),
+            "cos": pa.array(cs[keep], pa.float64()),
+        })
+    order = pc.sort_indices(
+        out, sort_keys=[(id_col, "ascending"), ("cos", "descending"),
+                        ("nb", "ascending")])
+    return out.take(order)

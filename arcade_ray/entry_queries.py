@@ -297,6 +297,25 @@ def q_group_cube(sf_dir: str) -> pa.Table:
     })
 
 
+
+def q_knn_graph(sf_dir: str) -> pa.Table:
+    """Exact kNN GRAPH over the embeddings table (ann.knn_join
+    mode="exact": corpus broadcast once, per-batch vectorized top-k,
+    driver merges N x k tiny rows). The LSH scale path is
+    recall-tested in tests/test_ann.py; the exact graph is fully
+    SQL-expressible, so this is a real value oracle."""
+    from .ann import knn_join
+
+    ds = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["vec_id", "embedding"])
+    t = knn_join(ds, k=3, mode="exact")
+    return pa.table({
+        "vec_id": t["vec_id"],
+        "nb": t["nb"],
+        "cos": pc.round(t["cos"], ndigits=4),
+    })
+
+
 def q_near_dedup(sf_dir: str) -> pa.Table:
     """Near-duplicate removal: MinHash-LSH pairs -> union-find -> keep
     min id per cluster (rows-only: LSH has no SQL equivalent)."""
@@ -2159,6 +2178,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "group_rollup": q_group_rollup,
     "group_cube": q_group_cube,
+    "knn_graph": q_knn_graph,
     "group_sketch_percentiles": q_group_sketch_percentiles,
     "in_filter": q_in_filter,
     "group_distinct_langs": q_group_distinct_langs,
@@ -2633,6 +2653,20 @@ ORACLE_SQL = {
         "CAST(1 AS BOOLEAN) AS dup_cos_ok, "
         "CAST(1 AS BOOLEAN) AS survivors_separated "
         "FROM embeddings"
+    ),
+    "knn_graph": (
+        # DOUBLE[] cast so DuckDB's cosine runs in float64 like
+        # numpy; round(4) absorbs summation-order ULPs
+        "SELECT a.vec_id, b.vec_id AS nb, "
+        "round(CAST(list_cosine_similarity("
+        "CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 4) AS cos "
+        "FROM embeddings a JOIN embeddings b "
+        "ON a.vec_id <> b.vec_id "
+        "QUALIFY row_number() OVER (PARTITION BY a.vec_id "
+        "ORDER BY list_cosine_similarity("
+        "CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) <= 3"
     ),
     "embedding_near_dup": (
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "

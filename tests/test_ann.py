@@ -422,3 +422,64 @@ def test_semantic_dedup_empty(ray_session):
     t = semantic_dedup(empty).schema()
     assert set(t.names) == {"vec_id", "cluster", "centroid_sim",
                             "is_dup", "rep", "cos_to_rep"}
+
+
+def test_knn_join_exact_matches_numpy(emb):
+    """Exact kNN graph equals the numpy all-pairs answer (self
+    excluded, ties by ascending neighbor id); the planted pair
+    (7, 100) are each other's nearest neighbor."""
+    from arcade_ray.ann import knn_join
+
+    ds, mat = emb
+    k = 4
+    out = knn_join(ds, k=k, mode="exact")
+    assert out.num_rows == N * k
+    m = _normalize(mat.astype(np.float64))
+    sims = m @ m.T
+    np.fill_diagonal(sims, -np.inf)
+    got = {}
+    for r in out.to_pylist():
+        got.setdefault(r["vec_id"], []).append(r["nb"])
+    for i in (0, 7, 100, 250, N - 1):
+        want = np.lexsort((np.arange(N), -sims[i]))[:k].tolist()
+        assert got[i] == want, (i, got[i], want)
+    assert got[7][0] == 100 and got[100][0] == 7
+
+
+def test_knn_join_lsh_recall(emb):
+    """LSH kNN graph: recall@k vs exact on the nearest-neighbor
+    structure that LSH can see; the planted near-identical pair is
+    always recovered (collision probability ~1 at cos~1)."""
+    from arcade_ray.ann import knn_join
+
+    ds, _ = emb
+    k = 4
+    exact = knn_join(ds, k=k, mode="exact")
+    approx = knn_join(ds, k=k, mode="lsh", n_bands=24, band_planes=4)
+    ex, ap = {}, {}
+    for r in exact.to_pylist():
+        ex.setdefault(r["vec_id"], set()).add(r["nb"])
+    for r in approx.to_pylist():
+        ap.setdefault(r["vec_id"], set()).add(r["nb"])
+    assert ap.get(7, set()) and 100 in ap[7]
+    assert ap.get(100, set()) and 7 in ap[100]
+    hits = sum(len(ex[i] & ap.get(i, set())) for i in ex)
+    total = sum(len(ex[i]) for i in ex)
+    assert hits / total >= 0.25, hits / total  # gaussian corpus: LSH
+    # only reaches neighbors sharing a bucket; planted structure is
+    # what it exists to catch
+
+
+def test_knn_join_empty(ray_session):
+    import ray.data as rd
+
+    from arcade_ray.ann import knn_join
+
+    empty = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+    }))
+    for mode in ("exact", "lsh"):
+        out = knn_join(empty, mode=mode)
+        assert out.num_rows == 0
+        assert out.column_names == ["vec_id", "nb", "cos"]
