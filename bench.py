@@ -114,9 +114,10 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
 
     # headline: full encode pipeline, fresh output dir each iteration,
     # timed FIRST (before the operator-surface queries can contend) and
-    # best-of-3 after the full untimed warm run above
+    # best-of-5 after the full untimed warm run above (host steal is
+    # bimodal and can persist across 3 back-to-back runs — BASELINE §5)
     t_encode = None
-    for _ in range(3):
+    for _ in range(5):
         shutil.rmtree(enc_dir, ignore_errors=True)
         t0 = time.perf_counter()
         manifest = encode_parquet(corpus_path, enc_dir)
@@ -252,6 +253,23 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
                                         "value"])
         queries["window_frames"] = _best_of(
             lambda: frame_aggs(ev_v, tie_col="event_id", window=4).count())
+
+        # zero-scan percentiles from the corpus manifest alone
+        from arcade_ray.pipeline.query import sketch_percentiles
+
+        queries["sketch_percentiles"] = _best_of(
+            lambda: sketch_percentiles(enc_dir, "n_tok",
+                                       [0.5, 0.9, 0.99]).num_rows)
+
+        # SemDeDup over the embeddings table (cluster-keyed shuffle +
+        # within-cluster greedy cosine drop)
+        from arcade_ray.ann import semantic_dedup
+
+        emb = read_parquet_clean(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"])
+        queries["semantic_dedup"] = _best_of(
+            lambda: semantic_dedup(emb, threshold=0.95, k=8).count())
 
     return {
         "metric": "corpus encode wall-clock (tokens/s headline)",
