@@ -117,7 +117,12 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
     # best-of-5 after the full untimed warm run above (host steal is
     # bimodal and can persist across 3 back-to-back runs — BASELINE §5)
     t_encode = None
-    for _ in range(5):
+    n_head = int(os.environ.get(
+        "ARCADE_BENCH_HEADLINE_REPS",
+        # scaling children already take min across interleaved
+        # replicates — 2 in-process iterations suffice there
+        "2" if os.environ.get("ARCADE_BENCH_HEADLINE_ONLY") else "5"))
+    for _ in range(n_head):
         shutil.rmtree(enc_dir, ignore_errors=True)
         t0 = time.perf_counter()
         manifest = encode_parquet(corpus_path, enc_dir)
