@@ -38,6 +38,9 @@ def main() -> int:
     p.add_argument("--weight-col", default="n_tok")
     p.add_argument("--cap", type=int, default=None)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--range-partition", default=None, metavar="COL")
+    p.add_argument("--zorder", default=None, metavar="COL,COL[,COL]")
+    p.add_argument("--generation", default=None)
     args = p.parse_args()
 
     import ray
@@ -56,7 +59,9 @@ def main() -> int:
     manifest = encode_parquet(
         args.input, args.out, key_col=args.key_col, id_col=args.id_col,
         weight_col=args.weight_col or None, weight_cap=args.cap,
-        resume=not args.no_resume,
+        resume=not args.no_resume, generation=args.generation,
+        range_partition_col=args.range_partition,
+        zorder_cols=args.zorder.split(",") if args.zorder else None,
     )
     result = {
         "partitions": manifest.num_rows,
