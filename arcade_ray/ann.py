@@ -896,6 +896,18 @@ def knn_join(ds, k: int = 5, mode: str = "exact",
             order = np.argsort(-vals, axis=1, kind="stable")
             part = np.take_along_axis(part, order, axis=1)
             vals = np.take_along_axis(vals, order, axis=1)
+            # argpartition keeps an ARBITRARY subset of values tied at
+            # the k-th boundary; the contract (and the SQL oracle) is
+            # cos desc THEN nb asc. Repair only the rows where ties
+            # actually straddle the boundary (rare: duplicate vectors)
+            # with the exact total-order selection.
+            kthv = vals[:, -1]
+            tie_total = (sims == kthv[:, None]).sum(axis=1)
+            tie_sel = (vals == kthv[:, None]).sum(axis=1)
+            for j in np.flatnonzero(tie_total != tie_sel):
+                sel = _partial_topk_rows(-sims[j], cid, kk)
+                part[j] = sel
+                vals[j] = sims[j][sel]
             return pa.table({
                 id_col: pa.array(np.repeat(bids, kk), pa.int64()),
                 "nb": pa.array(cid[part.ravel()], pa.int64()),
@@ -945,10 +957,11 @@ def knn_join(ds, k: int = 5, mode: str = "exact",
         src, nb, cs = src[order], nb[order], cs[order]
         starts = np.concatenate(
             [[0], np.flatnonzero(np.diff(src)) + 1, [len(src)]])
-        keep = np.zeros(len(src), dtype=bool)
-        for j in range(len(starts) - 1):
-            lo = int(starts[j])
-            keep[lo:min(lo + k, int(starts[j + 1]))] = True
+        # vectorized per-run rank < k (no per-id Python on the scale
+        # path): position within each id's candidate run
+        runs = np.diff(starts)
+        rank = np.arange(len(src)) - np.repeat(starts[:-1], runs)
+        keep = rank < k
         out = pa.table({
             id_col: pa.array(src[keep], pa.int64()),
             "nb": pa.array(nb[keep], pa.int64()),

@@ -25,7 +25,7 @@ from .pipeline.query import equi_filter, lookup, scan
 from .sources import read_parquet_clean
 
 CACHE_ROOT = os.environ.get("ARCADE_RAY_CACHE", "/tmp/arcade_ray_cache")
-_CACHE_SALT = f"v{FORMAT_VERSION}.9"
+_CACHE_SALT = f"v{FORMAT_VERSION}.10"
 
 # table -> (key_col, id_col, weight_col)
 TABLE_KEYS = {
@@ -235,69 +235,70 @@ def q_group_agg_multi(sf_dir: str) -> pa.Table:
 
 
 
+def _stack_agg_levels(lvl2: pa.Table, cube: bool) -> pa.Table:
+    """Stack SQL ROLLUP/CUBE levels from the FINEST level alone:
+    (source), (lang)-if-cube and the grand total are exact integer
+    re-aggregations of the (source, lang) rows (SUM/COUNT are
+    additive; all-NULL groups keep SQL's NULL sum), so one scan
+    serves every level."""
+    pairs = list(zip(lvl2["source"].to_pylist(),
+                     lvl2["lang"].to_pylist(),
+                     lvl2["sum_v"].to_pylist(),
+                     lvl2["n_rows"].to_pylist()))
+
+    def roll(keyfn):
+        acc: dict = {}
+        for s, l, sv, n in pairs:
+            k = keyfn(s, l)
+            cur = acc.setdefault(k, [None, 0])
+            if sv is not None:
+                cur[0] = sv if cur[0] is None else cur[0] + sv
+            cur[1] += n
+        return acc
+
+    by_src = roll(lambda s, l: s)
+    out = [(s, l, sv, n) for s, l, sv, n in pairs]
+    out += [(s, None, v[0], v[1]) for s, v in sorted(
+        by_src.items(), key=lambda kv: (kv[0] is None, kv[0] or ""))]
+    if cube:
+        by_lang = roll(lambda s, l: l)
+        out += [(None, l, v[0], v[1]) for l, v in sorted(
+            by_lang.items(), key=lambda kv: (kv[0] is None, kv[0] or ""))]
+    tot_sv = None
+    tot_n = 0
+    for v in by_src.values():
+        if v[0] is not None:
+            tot_sv = v[0] if tot_sv is None else tot_sv + v[0]
+        tot_n += v[1]
+    out.append((None, None, tot_sv, tot_n))
+    return pa.table({
+        "source": pa.array([r[0] for r in out], pa.string()),
+        "lang": pa.array([r[1] for r in out], pa.string()),
+        "sum_chars": pa.array([r[2] for r in out], pa.int64()),
+        "n_rows": pa.array([r[3] for r in out], pa.int64()),
+    })
+
+
 def q_group_rollup(sf_dir: str) -> pa.Table:
-    """GROUP BY ROLLUP (source, lang): the three aggregation levels —
-    (source, lang), (source), grand total — computed as three
-    decode-free dict_group_aggregate passes over the encoded layout
-    and stacked with NULL fill exactly like SQL's ROLLUP marker rows.
-    Each level reads only the value column's chunks; the key columns
-    never materialize per row at any level."""
+    """GROUP BY ROLLUP (source, lang): the coarser levels — (source)
+    and the grand total — are exact integer re-aggregations of the
+    finest level's rows, so ONE decode-free dict_group_aggregate scan
+    serves all three levels, stacked with SQL's NULL-marker rows
+    (NULL sums propagate: an all-NULL rollup group stays NULL)."""
     from .pipeline.query import dict_group_aggregate
 
     out = encoded_dir(sf_dir, "documents")
     lvl2 = dict_group_aggregate(out, ["source", "lang"], "n_chars")
-    lvl1 = dict_group_aggregate(out, ["source"], "n_chars")
-    total_sum = sum(x for x in lvl1["sum_v"].to_pylist()
-                    if x is not None)
-    total_n = sum(lvl1["n_rows"].to_pylist())
-    src_col = (lvl2["source"].to_pylist()
-               + lvl1["source"].to_pylist() + [None])
-    lang_col = (lvl2["lang"].to_pylist()
-                + [None] * (lvl1.num_rows + 1))
-    sums = (lvl2["sum_v"].to_pylist() + lvl1["sum_v"].to_pylist()
-            + [total_sum])
-    ns = (lvl2["n_rows"].to_pylist() + lvl1["n_rows"].to_pylist()
-          + [total_n])
-    return pa.table({
-        "source": pa.array(src_col, pa.string()),
-        "lang": pa.array(lang_col, pa.string()),
-        "sum_chars": pa.array(sums, pa.int64()),
-        "n_rows": pa.array(ns, pa.int64()),
-    })
-
-
-
+    return _stack_agg_levels(lvl2, cube=False)
 def q_group_cube(sf_dir: str) -> pa.Table:
-    """GROUP BY CUBE (source, lang): all four aggregation levels from
-    decode-free dict_group_aggregate passes (the ROLLUP levels plus
-    the (lang)-only marginal), stacked with SQL's NULL markers."""
+    """GROUP BY CUBE (source, lang): all four levels from the same
+    single finest-level scan (_stack_agg_levels adds the (lang)
+    marginal on top of the ROLLUP levels)."""
     from .pipeline.query import dict_group_aggregate
 
     out = encoded_dir(sf_dir, "documents")
     lvl2 = dict_group_aggregate(out, ["source", "lang"], "n_chars")
-    by_src = dict_group_aggregate(out, ["source"], "n_chars")
-    by_lang = dict_group_aggregate(out, ["lang"], "n_chars")
-    total_sum = sum(x for x in by_src["sum_v"].to_pylist()
-                    if x is not None)
-    total_n = sum(by_src["n_rows"].to_pylist())
-    src_col = (lvl2["source"].to_pylist() + by_src["source"].to_pylist()
-               + [None] * by_lang.num_rows + [None])
-    lang_col = (lvl2["lang"].to_pylist()
-                + [None] * by_src.num_rows
-                + by_lang["lang"].to_pylist() + [None])
-    sums = (lvl2["sum_v"].to_pylist() + by_src["sum_v"].to_pylist()
-            + by_lang["sum_v"].to_pylist() + [total_sum])
-    ns = (lvl2["n_rows"].to_pylist() + by_src["n_rows"].to_pylist()
-          + by_lang["n_rows"].to_pylist() + [total_n])
-    return pa.table({
-        "source": pa.array(src_col, pa.string()),
-        "lang": pa.array(lang_col, pa.string()),
-        "sum_chars": pa.array(sums, pa.int64()),
-        "n_rows": pa.array(ns, pa.int64()),
-    })
-
-
-
+    return _stack_agg_levels(lvl2, cube=True)
 def q_knn_graph(sf_dir: str) -> pa.Table:
     """Exact kNN GRAPH over the embeddings table (ann.knn_join
     mode="exact": corpus broadcast once, per-batch vectorized top-k,

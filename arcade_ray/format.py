@@ -105,6 +105,10 @@ def encode_partition(table: pa.Table, part_key: str) -> tuple[bytes, dict[str, A
             bloom = bloom_build(np.concatenate(acc))
             if bloom is not None:
                 sketches.setdefault(name, {})["bloom"] = bloom
+        if name in sketches:
+            from .hashing import HASH_VERSION
+
+            sketches[name]["hv"] = HASH_VERSION
         if st.qs_acc:
             from .sketches import QS_K_PART, qs_merge, qs_serialize
 

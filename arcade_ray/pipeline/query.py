@@ -93,6 +93,12 @@ def _bloom_excludes(stats: dict, lit_hash: int | None) -> bool:
     bloom = stats.get("bloom")
     if bloom is None or lit_hash is None:
         return False
+    from ..hashing import HASH_VERSION
+
+    if stats.get("hv") != HASH_VERSION:
+        # bloom built under an older hash function: probing it with
+        # current hashes would FALSELY prove absence — never prune
+        return False
     from ..sketches import bloom_maybe_contains
 
     return not bloom_maybe_contains(bloom, lit_hash)

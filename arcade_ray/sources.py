@@ -64,10 +64,22 @@ def read_tokenized_csv(paths, tokens_col: str = "tokens",
 
 
 def read_tokenized_jsonl(paths, tokens_col: str = "tokens"):
-    """JSONL with native list-typed token arrays."""
+    """JSONL with native list-typed token arrays. Appends the derived
+    ``n_tok`` weight column when absent (the CSV path gets it from the
+    token parser; without this, the encode default weight_col="n_tok"
+    errors on a bare doc_id/source/tokens JSONL)."""
+    import pyarrow.compute as _pc
     import ray.data as rd
 
-    return rd.read_json(paths)
+    ds = rd.read_json(paths)
+
+    def add_n_tok(b: pa.Table) -> pa.Table:
+        if "n_tok" in b.column_names or tokens_col not in b.column_names:
+            return b
+        n = _pc.fill_null(_pc.list_value_length(b[tokens_col]), 0)
+        return b.append_column("n_tok", n.cast(pa.int32()))
+
+    return ds.map_batches(add_n_tok, batch_format="pyarrow")
 
 
 def _strip_schema_metadata(t: pa.Table) -> pa.Table:

@@ -31,6 +31,7 @@ path) — the driver holds only the hot key set and the
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 
 import numpy as np
@@ -1751,6 +1752,12 @@ def build_dedup_index(ds, index_dir: str, text_col: str = "text",
     sig = ds.map_batches(lambda b: dedup_signatures(b, text_col, id_col),
                          batch_format="pyarrow")
     sig.write_parquet(index_dir)
+    import json as _json
+
+    from .hashing import HASH_VERSION
+
+    with open(os.path.join(index_dir, "_index_meta.json"), "w") as f:
+        _json.dump({"hash_version": HASH_VERSION}, f)
     import ray.data as rd
 
     return int(read_parquet_clean(index_dir).count())
@@ -1771,6 +1778,22 @@ def dedup_against_index(ds, index_dir: str, text_col: str = "text",
     128-bit hash alone (the index stores no text to verify against);
     within the new batch, survivors still get the text-verified
     exact_dedup."""
+    import json as _json
+
+    from .hashing import HASH_VERSION
+
+    meta_p = os.path.join(index_dir, "_index_meta.json")
+    iv = None
+    if os.path.exists(meta_p):
+        with open(meta_p) as f:
+            iv = _json.load(f).get("hash_version")
+    if iv != HASH_VERSION:
+        raise ValueError(
+            f"signature index at {index_dir} was built under hash "
+            f"version {iv or 1}, current is {HASH_VERSION}: its "
+            f"signatures no longer match newly hashed text — rebuild "
+            f"it with build_dedup_index")
+
     import ray
     import ray.data as rd
 

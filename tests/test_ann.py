@@ -483,3 +483,24 @@ def test_knn_join_empty(ray_session):
         out = knn_join(empty, mode=mode)
         assert out.num_rows == 0
         assert out.column_names == ["vec_id", "nb", "cos"]
+
+
+def test_knn_join_boundary_ties(ray_session):
+    """Duplicate vectors create cosine ties straddling the k
+    boundary: the selection must follow (cos desc, nb asc) — the SQL
+    oracle's total order — not argpartition's arbitrary subset."""
+    import ray.data as rd
+
+    from arcade_ray.ann import knn_join
+
+    # 1 probe direction + 6 identical candidates + 1 weaker
+    base = np.eye(8)[0]
+    weaker = 0.5 * np.eye(8)[0] + np.sqrt(1 - 0.25) * np.eye(8)[1]
+    vecs = [base] + [base.copy() for _ in range(6)] + [weaker]
+    t = pa.table({
+        "vec_id": pa.array(np.arange(8), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32()))})
+    out = knn_join(rd.from_arrow(t), k=3, mode="exact")
+    g0 = [r["nb"] for r in out.to_pylist() if r["vec_id"] == 0]
+    assert g0 == [1, 2, 3]  # cos==1 six ways: smallest ids win

@@ -310,3 +310,38 @@ def test_cli_compress_csv(tmp_path):
     want_len = sum(i % 9 + 1 for i in range(n))
     want_first = sum((i * 7) % 100 for i in range(n))
     assert got == (n, want_len, want_first)
+
+
+def test_cli_compress_jsonl(tmp_path):
+    """compress --format jsonl with DEFAULT --weight-col n_tok: the
+    derived token count appears so the weight-based planner works."""
+    import json as _json
+
+    import duckdb
+
+    src = str(tmp_path / "in.jsonl")
+    n = 120
+    with open(src, "w") as f:
+        for i in range(n):
+            f.write(_json.dumps({
+                "doc_id": f"d{i:03d}", "source": f"s{i % 2}",
+                "tokens": [j for j in range(i % 7 + 1)]}) + "\n")
+    enc = str(tmp_path / "enc")
+    out = subprocess.run(
+        [sys.executable, "-m", "arcade_ray.cli", "--num-cpus", "4",
+         "compress", src, enc, "--format", "jsonl"],
+        capture_output=True, text=True, timeout=240, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert f"Compressed {n} rows" in out.stdout
+    dec = str(tmp_path / "dec")
+    out2 = subprocess.run(
+        [sys.executable, "-m", "arcade_ray.cli", "--num-cpus", "4",
+         "scan", enc, "--columns", "doc_id,tokens,n_tok",
+         "--out", dec],
+        capture_output=True, text=True, timeout=240, cwd="/root/repo")
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    got = duckdb.sql(
+        f"SELECT count(*), sum(n_tok), sum(len(tokens)) "
+        f"FROM read_parquet('{dec}/*.parquet')").fetchall()[0]
+    want = sum(i % 7 + 1 for i in range(n))
+    assert got == (n, want, want)

@@ -288,3 +288,50 @@ def test_sketch_percentiles_schema_evolution(ray_session, tmp_path):
     assert abs(rank - 0.5 * n) <= out["rank_err_bound"][0].as_py() + 1
     with pytest.raises(KeyError):
         sketch_percentiles(enc, "nope", [0.5])
+
+
+def test_empty_string_hash_batch_invariance():
+    """Review regression: '' hashes identically whatever batch it
+    shares (the total==0 early path and the mixed-batch path used to
+    disagree, and the mixed path self-cancelled to 0 — silently
+    mis-pruning Bloom probes for empty-string literals)."""
+    import pyarrow as pa
+
+    from arcade_ray.hashing import hash_column
+
+    h_mixed = hash_column(pa.array(["", "abc", "x"]))
+    h_alone = hash_column(pa.array(["", ""]))
+    assert h_mixed[0] == h_alone[0] != 0
+    assert len({int(x) for x in h_mixed}) == 3
+
+
+def test_bloom_hash_version_gate(ray_session, tmp_path):
+    """A bloom stamped with a FOREIGN hash version never prunes (it
+    would falsely prove absence); same-version blooms still do."""
+    import json as _json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from arcade_ray.hashing import HASH_VERSION
+    from arcade_ray.pipeline.encode import encode_parquet, load_manifest
+    from arcade_ray.pipeline.query import _bloom_excludes, _literal_bloom_hash
+
+    n = 2000
+    t = pa.table({
+        "doc_id": pa.array([f"d{i:05d}" for i in range(n)]),
+        "source": pa.array([f"s{i % 4}" for i in range(n)]),
+    })
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(t, src)
+    enc = str(tmp_path / "enc")
+    encode_parquet(src, enc, key_col="source", id_col="doc_id",
+                   weight_col=None)
+    m = load_manifest(enc)
+    stats = _json.loads(m["col_stats"][0].as_py())["doc_id"]
+    assert stats["hv"] == HASH_VERSION
+    h = _literal_bloom_hash({"kind": "str", "tag": "str"}, "definitely-absent")
+    assert _bloom_excludes(stats, h)          # current version prunes
+    stale = dict(stats, hv=HASH_VERSION - 1)
+    assert not _bloom_excludes(stale, h)      # stale bloom never does
