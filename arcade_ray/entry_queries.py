@@ -317,6 +317,18 @@ def q_knn_graph(sf_dir: str) -> pa.Table:
     })
 
 
+
+def q_tfidf_sparse(sf_dir: str) -> pa.Table:
+    """Sparse hashed TF-IDF vectors (textops.tfidf_sparse): feature
+    hashing via md5(word) % dim so the SQL oracle reproduces the
+    buckets exactly; weights round(tf * ln(N/df), 4)."""
+    from .textops import tfidf_sparse
+
+    ds = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text"])
+    return _collect(tfidf_sparse(ds, dim=64))
+
+
 def q_near_dedup(sf_dir: str) -> pa.Table:
     """Near-duplicate removal: MinHash-LSH pairs -> union-find -> keep
     min id per cluster (rows-only: LSH has no SQL equivalent)."""
@@ -2180,6 +2192,7 @@ QUERIES = {
     "group_rollup": q_group_rollup,
     "group_cube": q_group_cube,
     "knn_graph": q_knn_graph,
+    "tfidf_sparse": q_tfidf_sparse,
     "group_sketch_percentiles": q_group_sketch_percentiles,
     "in_filter": q_in_filter,
     "group_distinct_langs": q_group_distinct_langs,
@@ -2804,6 +2817,22 @@ ORACLE_SQL = {
         "SELECT source, p, CAST(1 AS BOOLEAN) AS within_bound "
         "FROM (SELECT DISTINCT source FROM documents) "
         "CROSS JOIN (VALUES (0.1),(0.5),(0.9)) t(p)"
+    ),
+    "tfidf_sparse": (
+        "WITH wd AS (SELECT doc_id, unnest(list_filter("
+        "string_split_regex(lower(text), '\\s+'), "
+        "x -> x <> '')) AS word FROM documents), "
+        "df AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS "
+        "DOUBLE) AS df FROM wd GROUP BY word), "
+        "n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs "
+        "FROM documents), "
+        "occ AS (SELECT doc_id, word, COUNT(*) AS tf FROM wd "
+        "GROUP BY doc_id, word) "
+        "SELECT occ.doc_id, "
+        "('0x' || substr(md5(occ.word), 1, 15))::BIGINT % 64 "
+        "AS bucket, "
+        "round(SUM(tf * ln(n_docs / df)), 4) AS w "
+        "FROM occ JOIN df USING (word), n GROUP BY 1, 2"
     ),
     "heavy_hitters": (
         "WITH w AS (SELECT unnest(regexp_extract_all(lower(text), "

@@ -1860,3 +1860,118 @@ def dedup_against_index(ds, index_dir: str, text_col: str = "text",
 
         survivors = ds.map_batches(keep, batch_format="pyarrow")
     return exact_dedup(survivors, text_col=text_col, id_col=id_col)
+
+
+def tfidf_sparse(ds, dim: int = 1024, text_col: str = "text",
+                 id_col: str = "doc_id"):
+    """Sparse hashed TF-IDF document vectors — the model-free
+    text-to-vector bridge into the ANN / SemDeDup stack: each document
+    becomes rows ``(id, bucket, w)`` with ``bucket = md5(word) % dim``
+    (feature hashing; md5 so a SQL oracle reproduces the buckets
+    bit-for-bit, and deterministic across processes unlike Python's
+    salted hash) and ``w = tf * ln(N / df)`` summed over the bucket's
+    words. Densify with a downstream reshape to feed
+    :func:`arcade_ray.ann.semantic_dedup` / ``knn_join`` on text-only
+    corpora.
+
+    Scale shape: pass 1 is :func:`build_vocab`'s pattern — per-batch
+    (word, df) partials (df is exact: documents never split across
+    rows) through ONE vocabulary-sized groupby-sum; the word ->
+    (bucket, idf) table builds once on the driver (md5 per DISTINCT
+    word, vocabulary-bounded) and broadcasts via ``ray.put``; pass 2
+    maps each word occurrence to (doc, bucket, idf) and bincount-sums
+    per batch — tf*idf emerges from summing idf once per occurrence,
+    no per-(doc,word) state. Weights round to 4 decimals so the SQL
+    oracle's float64 expression hash-matches."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .collect import collect_arrow
+
+    words_of = pc.utf8_split_whitespace
+
+    def df_partial(bt: pa.Table) -> pa.Table:
+        w = words_of(pc.utf8_lower(bt[text_col]))
+        counts = pc.list_value_length(w).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(w.combine_chunks()
+                               if isinstance(w, pa.ChunkedArray) else w)
+        doc_of = np.repeat(np.arange(len(bt), dtype=np.int64), counts)
+        nonempty = pc.greater(pc.utf8_length(flat), 0) \
+            .to_numpy(zero_copy_only=False)
+        flat, doc_of = flat.filter(pa.array(nonempty)), doc_of[nonempty]
+        # distinct (doc, word) pairs -> per-word doc counts
+        tb = pa.table({"w": flat, "d": pa.array(doc_of)})
+        dist = tb.group_by(["w", "d"]).aggregate([])
+        vc = dist["w"].value_counts()
+        out = pa.table({
+            "word": vc.field("values"),
+            "df": vc.field("counts").cast(pa.int64()),
+            "n_docs": pa.array([0] * len(vc), pa.int64()),
+        })
+        marker = pa.table({
+            "word": pa.array(["\x00docs"]),
+            "df": pa.array([0], pa.int64()),
+            "n_docs": pa.array([len(bt)], pa.int64()),
+        })
+        return pa.concat_tables([marker, out])
+
+    agg = ds.map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("df", alias_name="df"),
+                                   Sum("n_docs", alias_name="n_docs"))
+    stats = collect_arrow(agg)
+    if stats.num_rows == 0 or "word" not in stats.column_names:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "bucket": pa.array([], pa.int64()),
+            "w": pa.array([], pa.float64())}))
+    words = stats["word"].to_pylist()
+    dfs = stats["df"].to_numpy(zero_copy_only=False)
+    n_docs = int(pc.sum(stats["n_docs"]).as_py() or 0)
+    import hashlib as _hl
+
+    vocab_words, buckets, idfs = [], [], []
+    for wrd, dfv in zip(words, dfs):
+        if wrd == "\x00docs":
+            continue
+        vocab_words.append(wrd)
+        buckets.append(int(_hl.md5(wrd.encode()).hexdigest()[:15], 16)
+                       % dim)
+        # math.log (libm) so the oracle's ln() bit-matches
+        idfs.append(math.log(n_docs / int(dfv)))
+    table_ref = ray.put((pa.array(vocab_words),
+                         np.asarray(buckets, dtype=np.int64),
+                         np.asarray(idfs, dtype=np.float64)))
+    id_type = ds.schema().base_schema.field(id_col).type
+
+    def score(bt: pa.Table) -> pa.Table:
+        vwords, vbuckets, vidf = ray.get(table_ref)
+        w = words_of(pc.utf8_lower(bt[text_col]))
+        counts = pc.list_value_length(w).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(w.combine_chunks()
+                               if isinstance(w, pa.ChunkedArray) else w)
+        doc_of = np.repeat(np.arange(len(bt), dtype=np.int64), counts)
+        nonempty = pc.greater(pc.utf8_length(flat), 0) \
+            .to_numpy(zero_copy_only=False)
+        flat, doc_of = flat.filter(pa.array(nonempty)), doc_of[nonempty]
+        pos = pc.index_in(flat, value_set=vwords) \
+            .to_numpy(zero_copy_only=False)
+        # every corpus word is in the vocab (built from this corpus)
+        pos = pos.astype(np.int64)
+        keys = doc_of * dim + vbuckets[pos]
+        uniq, inv = np.unique(keys, return_inverse=True)
+        sums = np.bincount(inv, weights=vidf[pos],
+                           minlength=len(uniq))
+        docs = (uniq // dim).astype(np.int64)
+        bks = (uniq % dim).astype(np.int64)
+        return pa.table({
+            id_col: bt[id_col].combine_chunks().take(
+                pa.array(docs, pa.int64())),
+            "bucket": pa.array(bks, pa.int64()),
+            "w": pa.array(np.round(sums, 4), pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

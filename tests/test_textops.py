@@ -914,3 +914,58 @@ def test_build_vocab_empty(ray_session):
     v = build_vocab(rd.from_arrow(empty))
     assert v.num_rows == 0
     assert v.column_names == ["word", "id", "n"]
+
+
+def test_tfidf_sparse_feeds_semantic_dedup(ray_session):
+    """The text->vector bridge: hashed TF-IDF of two IDENTICAL texts
+    densifies to identical vectors, and semantic_dedup drops one —
+    model-free semantic dedup end to end. Weights match a hand
+    tf*ln(N/df) computation."""
+    import math
+
+    import numpy as np
+    import ray.data as rd
+
+    from arcade_ray.ann import semantic_dedup
+    from arcade_ray.textops import tfidf_sparse
+
+    texts = [
+        "apple banana cherry",
+        "apple banana cherry",          # exact duplicate of doc 0
+        "dog cat mouse elephant",
+        "quantum flux capacitor banana",
+        "entirely different words here",
+    ]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(5), pa.int64()),
+        "text": pa.array(texts),
+    })
+    dim = 32
+    sp = tfidf_sparse(rd.from_arrow(t), dim=dim).take_all()
+    # hand-check one weight: 'banana' appears once in docs 0,1,3 ->
+    # df=3, tf=1 -> w = ln(5/3) (alone in its bucket unless collided)
+    import hashlib
+    b_banana = int(hashlib.md5(b"banana").hexdigest()[:15], 16) % dim
+    r = [x for x in sp if x["doc_id"] == 3 and x["bucket"] == b_banana]
+    collided = {w for w in "quantum flux capacitor".split()
+                if int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+                % dim == b_banana}
+    if not collided:
+        assert len(r) == 1
+        assert abs(r[0]["w"] - round(math.log(5 / 3), 4)) < 1e-9
+
+    # densify -> embeddings table -> SemDeDup
+    vecs = np.zeros((5, dim))
+    for x in sp:
+        vecs[x["doc_id"], x["bucket"]] = x["w"]
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(5), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    }))
+    out = semantic_dedup(emb, threshold=0.999, k=2,
+                         sample_size=10).take_all()
+    by_id = {r["vec_id"]: r for r in out}
+    assert not by_id[0]["is_dup"] and by_id[1]["is_dup"]
+    assert by_id[1]["rep"] == 0
+    assert sum(r["is_dup"] for r in out) == 1
