@@ -555,6 +555,26 @@ def cmd_semdedup(args) -> None:
           f"in {time.perf_counter() - t0:.2f} s")
 
 
+def cmd_tfidf(args) -> None:
+    """Hashed TF-IDF document vectors -> parquet (dense list<float32>
+    embeddings ready for semdedup / ANN, or sparse (id,bucket,w))."""
+    from .sources import read_parquet_clean
+    from .textops import tfidf_sparse
+
+    t0 = time.perf_counter()
+    ds = read_parquet_clean(args.input,
+                            columns=[args.id_col, args.text_col])
+    out = tfidf_sparse(ds, dim=args.dim, text_col=args.text_col,
+                       id_col=args.id_col, dense=not args.sparse)
+    out.write_parquet(args.out)
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(args.out).count_rows()
+    kind = "sparse rows" if args.sparse else "dense vectors"
+    print(f"TF-IDF -> {args.out}: {n} {kind} (dim={args.dim}) "
+          f"in {time.perf_counter() - t0:.2f} s")
+
+
 def cmd_pack(args) -> None:
     """Pack token sequences into fixed-length training examples."""
     from .sources import read_parquet_clean
@@ -780,6 +800,17 @@ def main(argv=None) -> None:
     sd.add_argument("--vec-col", default="embedding")
     sd.add_argument("--id-col", default="vec_id")
     sd.set_defaults(fn=cmd_semdedup)
+
+    tf = sub.add_parser("tfidf", help="hashed TF-IDF document vectors "
+                        "-> parquet (dense by default)")
+    tf.add_argument("input")
+    tf.add_argument("out")
+    tf.add_argument("--dim", type=int, default=256)
+    tf.add_argument("--sparse", action="store_true",
+                    help="emit (id, bucket, w) rows instead of vectors")
+    tf.add_argument("--text-col", default="text")
+    tf.add_argument("--id-col", default="doc_id")
+    tf.set_defaults(fn=cmd_tfidf)
 
     pk = sub.add_parser("pack", help="pack token sequences into "
                         "fixed-length training examples -> parquet")

@@ -1863,7 +1863,7 @@ def dedup_against_index(ds, index_dir: str, text_col: str = "text",
 
 
 def tfidf_sparse(ds, dim: int = 1024, text_col: str = "text",
-                 id_col: str = "doc_id"):
+                 id_col: str = "doc_id", dense: bool = False):
     """Sparse hashed TF-IDF document vectors — the model-free
     text-to-vector bridge into the ANN / SemDeDup stack: each document
     becomes rows ``(id, bucket, w)`` with ``bucket = md5(word) % dim``
@@ -1873,6 +1873,10 @@ def tfidf_sparse(ds, dim: int = 1024, text_col: str = "text",
     words. Densify with a downstream reshape to feed
     :func:`arcade_ray.ann.semantic_dedup` / ``knn_join`` on text-only
     corpora.
+
+    ``dense=True`` emits one row per document instead —
+    ``(id, embedding list<float32> of dim)`` — ready for the vector
+    operators directly (small dims only: dim floats per doc ship).
 
     Scale shape: pass 1 is :func:`build_vocab`'s pattern — per-batch
     (word, df) partials (df is exact: documents never split across
@@ -1967,6 +1971,13 @@ def tfidf_sparse(ds, dim: int = 1024, text_col: str = "text",
                            minlength=len(uniq))
         docs = (uniq // dim).astype(np.int64)
         bks = (uniq % dim).astype(np.int64)
+        if dense:
+            mat = np.zeros((len(bt), dim), dtype=np.float32)
+            mat[docs, bks] = sums
+            emb = pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.ravel(), pa.float32()), dim).cast(
+                pa.list_(pa.float32()))
+            return pa.table({id_col: bt[id_col], "embedding": emb})
         return pa.table({
             id_col: bt[id_col].combine_chunks().take(
                 pa.array(docs, pa.int64())),

@@ -345,3 +345,37 @@ def test_cli_compress_jsonl(tmp_path):
         f"FROM read_parquet('{dec}/*.parquet')").fetchall()[0]
     want = sum(i % 7 + 1 for i in range(n))
     assert got == (n, want, want)
+
+
+def test_cli_tfidf_to_semdedup(tmp_path):
+    """Model-free semantic dedup end to end through the CLI: tfidf
+    vectors -> semdedup drops the doc with duplicated TEXT."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = ["alpha beta gamma delta", "alpha beta gamma delta",
+             "completely different content here",
+             "yet another unrelated document"]
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+        "text": pa.array(texts)}), src)
+    vec = str(tmp_path / "vec")
+    out = subprocess.run(
+        [sys.executable, "-m", "arcade_ray.cli", "--num-cpus", "4",
+         "tfidf", src, vec, "--dim", "64"],
+        capture_output=True, text=True, timeout=240, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "4 dense vectors" in out.stdout
+    sd = str(tmp_path / "sd")
+    out2 = subprocess.run(
+        [sys.executable, "-m", "arcade_ray.cli", "--num-cpus", "4",
+         "semdedup", vec, sd, "--threshold", "0.999", "-k", "2",
+         "--id-col", "doc_id"],
+        capture_output=True, text=True, timeout=240, cwd="/root/repo")
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    assert "3 survivors" in out2.stdout
+    kept = {r[0] for r in duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{sd}/*.parquet')").fetchall()}
+    assert 10 in kept and 11 not in kept
