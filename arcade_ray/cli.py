@@ -593,6 +593,37 @@ def cmd_pack(args) -> None:
           f"in {time.perf_counter() - t0:.2f} s")
 
 
+def cmd_sql(args) -> None:
+    """Run a SQL query against encoded dirs: --table name=dir pairs
+    bind the query's table names. Aggregates print; row streams print
+    a preview or write parquet with --out."""
+    from .sql import sql_query
+
+    tables = {}
+    for spec in args.table:
+        name, _, d = spec.partition("=")
+        if not d:
+            raise SystemExit(f"--table needs name=dir, got {spec!r}")
+        tables[name] = d
+    t0 = time.perf_counter()
+    res = sql_query(args.query, tables)
+    import pyarrow as pa
+
+    if isinstance(res, pa.Table):
+        print(res.to_pandas().to_string(max_rows=args.show))
+        print(f"{res.num_rows} rows in {time.perf_counter() - t0:.2f} s")
+    elif args.out:
+        res.write_parquet(args.out)
+        print(f"-> {args.out} in {time.perf_counter() - t0:.2f} s")
+    else:
+        n = 0
+        for batch in res.iter_batches(batch_format="pyarrow"):
+            if n < args.show:
+                print(batch.slice(0, args.show - n).to_pandas())
+            n += batch.num_rows
+        print(f"{n} rows in {time.perf_counter() - t0:.2f} s")
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="arcade_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -824,6 +855,18 @@ def main(argv=None) -> None:
                     help="cross-batch carry inside N shards "
                     "(exactly N tails)")
     pk.set_defaults(fn=cmd_pack)
+
+    sq = sub.add_parser("sql", help="run a SQL subset against encoded "
+                        "dirs (parsed by DuckDB, executed by the "
+                        "engine's zone-pruned operators)")
+    sq.add_argument("query")
+    sq.add_argument("--table", action="append", required=True,
+                    metavar="NAME=DIR",
+                    help="bind a table name to an encoded dir "
+                    "(repeatable)")
+    sq.add_argument("--out", help="write row-stream results to parquet")
+    sq.add_argument("--show", type=int, default=20)
+    sq.set_defaults(fn=cmd_sql)
 
     args = p.parse_args(argv)
     needs_ray = args.cmd != "stats"

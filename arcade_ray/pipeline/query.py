@@ -376,7 +376,8 @@ def range_filter(out_dir: str, col: str, lo, hi, project: list[str]):
         stats = json.loads(r["col_stats"]).get(col, {})
         zlo, zhi = stats.get("min"), stats.get("max")
         if prunable and zlo is not None and zhi is not None \
-                and (hi < zlo or lo > zhi):
+                and ((hi is not None and hi < zlo)
+                     or (lo is not None and lo > zhi)):
             continue
         survivors.append({"path": r["path"]})
     if not survivors:
@@ -395,7 +396,10 @@ def range_filter(out_dir: str, col: str, lo, hi, project: list[str]):
 def _range_match_idx(path: str, header: dict, base: int, col: str,
                      lo, hi) -> list:
     """Per-chunk row indices with ``lo <= col <= hi`` (None = chunk
-    zone-excluded); fully-inside chunks skip the per-row compare."""
+    zone-excluded); fully-inside chunks skip the per-row compare.
+    Either bound may be None = unbounded on that side (how the SQL
+    frontend compiles ``>=`` / ``<=``; strict bounds arrive as
+    closed-integer or NOT-complement rewrites)."""
     cm = header["columns"][col]
     chunks = cm["chunks"]
     prunable = cm["kind"] != "list" and cm.get("tag") not in ("f32", "f64")
@@ -405,7 +409,8 @@ def _range_match_idx(path: str, header: dict, base: int, col: str,
         for i, ch in enumerate(chunks):
             zlo, zhi = ch.get("min"), ch.get("max")
             if prunable and zlo is not None and zhi is not None and (
-                hi < zlo or lo > zhi
+                (hi is not None and hi < zlo)
+                or (lo is not None and lo > zhi)
             ):
                 rlo, rhi = dec.advance_range(ch)
                 if rhi > rlo:
@@ -415,7 +420,9 @@ def _range_match_idx(path: str, header: dict, base: int, col: str,
             f.seek(base + ch["off"])
             arr = dec.decode(ch, read_exact(f, ch["nb"], col))
             if prunable and not ch.get("vb") and zlo is not None \
-                    and zhi is not None and lo <= zlo and zhi <= hi:
+                    and zhi is not None \
+                    and (lo is None or lo <= zlo) \
+                    and (hi is None or zhi <= hi):
                 # chunk fully inside the range: no per-row compare.
                 # Null-bearing chunks are excluded — null slots are
                 # zero-filled before zone stats, so "fully inside"
@@ -427,8 +434,16 @@ def _range_match_idx(path: str, header: dict, base: int, col: str,
                 # zone stats and int literals are epoch-unit int64;
                 # compare in that domain (zero-copy view)
                 arr = arr.cast(pa.int64())
-            mask = pc.fill_null(
-                pc.and_(pc.greater_equal(arr, lo), pc.less_equal(arr, hi)), False)
+            if lo is None and hi is None:
+                mask = pc.is_valid(arr)
+            elif lo is None:
+                mask = pc.less_equal(arr, hi)
+            elif hi is None:
+                mask = pc.greater_equal(arr, lo)
+            else:
+                mask = pc.and_(pc.greater_equal(arr, lo),
+                               pc.less_equal(arr, hi))
+            mask = pc.fill_null(mask, False)
             match_idx[i] = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
     return match_idx
 
@@ -1012,7 +1027,8 @@ def _zone_excluded(header0: dict, stats: dict, node) -> bool:
     if op == "prefix":
         upper = _prefix_upper(node[2])
         return zhi < node[2] or (upper is not None and zlo >= upper)
-    return node[3] < zlo or node[2] > zhi
+    return (node[3] is not None and node[3] < zlo) \
+        or (node[2] is not None and node[2] > zhi)
 
 
 def compound_filter(out_dir: str, preds, project: list[str]):

@@ -1,0 +1,991 @@
+"""SQL frontend: compile an ANSI-SQL subset straight onto the
+engine's operators, so a user can point plain SQL at an encoded
+directory and get the zone-map-pruned, decode-free execution paths
+without learning the Python API.
+
+Parsing is delegated to DuckDB's public ``json_serialize_sql``
+(no hand-rolled grammar — the AST arrives as JSON); planning and
+execution are entirely this module, mapping onto:
+
+  WHERE          -> :func:`pipeline.query.compound_filter`'s 3VL
+                    predicate trees (zone-map + Bloom pruning, code-
+                    domain compares; LIKE becomes prefix/suffix/
+                    contains/anchored-RE2 leaves)
+  bare SELECT    -> :func:`pipeline.query.scan` with column pruning
+  GROUP BY + agg -> :func:`pipeline.query.dict_group_aggregate`
+                    (decode-free: keys never materialize per row)
+                    when the query shape allows, else a streamed
+                    per-batch pyarrow partial aggregation merged on
+                    the driver (O(groups) driver state — the map-side
+                    combine the 100-TB path needs)
+  ORDER + LIMIT  -> distributed per-batch partial top-k + tiny driver
+                    merge for row streams; plain table sort for
+                    (already small) aggregate outputs
+
+Supported subset (single SELECT statement):
+  projection (columns, aliases), WHERE with =, <>, <, <=, >, >=,
+  BETWEEN, IN, LIKE / NOT LIKE, IS [NOT] NULL, AND, OR, NOT;
+  GROUP BY over string columns with COUNT(*) / COUNT(col) / SUM /
+  MIN / MAX / AVG (plus CAST and +,-,*,/ arithmetic over aggregates);
+  HAVING; ORDER BY; LIMIT / OFFSET.  Unsupported constructs raise
+  ``SqlUnsupported`` with the offending AST class named.
+
+Reference lineage: the reference engine exposes single-predicate
+scans from a CLI (/root/reference/README.md:122); this module is the
+"query language" milestone from its roadmap (README.md:133) realized
+against the same encoded format.
+"""
+from __future__ import annotations
+
+import json
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["sql_query", "SqlUnsupported"]
+
+
+class SqlUnsupported(ValueError):
+    """Raised when the SQL uses a construct outside the compiled
+    subset (the message names it; DuckDB itself remains the fallback
+    for ad-hoc analytics outside the engine)."""
+
+
+# --------------------------------------------------------------------------
+# parsing (DuckDB json_serialize_sql)
+
+def _parse(sql: str) -> dict:
+    import duckdb
+
+    lit = sql.replace("'", "''")
+    with duckdb.connect() as con:
+        doc = json.loads(con.execute(
+            f"select json_serialize_sql('{lit}')").fetchone()[0])
+    if doc.get("error"):
+        raise SqlUnsupported(
+            f"parse error: {doc.get('error_message', doc)}")
+    stmts = doc["statements"]
+    if len(stmts) != 1:
+        raise SqlUnsupported("exactly one statement per call")
+    node = stmts[0]["node"]
+    if node.get("type") != "SELECT_NODE":
+        raise SqlUnsupported(f"statement type {node.get('type')!r}")
+    return node
+
+
+# --------------------------------------------------------------------------
+# constants / types
+
+_TYPE_MAP = {
+    "BOOLEAN": pa.bool_(), "TINYINT": pa.int8(), "SMALLINT": pa.int16(),
+    "INTEGER": pa.int32(), "BIGINT": pa.int64(), "HUGEINT": pa.int64(),
+    "FLOAT": pa.float32(), "DOUBLE": pa.float64(),
+    "VARCHAR": pa.string(),
+}
+
+
+def _const_value(node: dict):
+    v = node["value"]
+    if v.get("is_null"):
+        return None
+    tid = v["type"]["id"]
+    raw = v["value"]
+    if tid in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+               "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return int(raw)
+    if tid in ("FLOAT", "DOUBLE"):
+        return float(raw)
+    if tid == "DECIMAL":
+        ti = v["type"].get("type_info") or {}
+        scale = ti.get("scale", 0)
+        return float(int(raw)) / (10 ** scale) if isinstance(raw, int) \
+            else float(raw)
+    if tid == "VARCHAR":
+        return raw
+    if tid == "BOOLEAN":
+        return bool(raw)
+    raise SqlUnsupported(f"constant type {tid!r}")
+
+
+def _colref(node: dict) -> str:
+    names = node["column_names"]
+    return names[-1]  # table qualifiers resolved by the (single) scan
+
+
+# --------------------------------------------------------------------------
+# WHERE compilation -> engine predicate trees
+
+_LIKE_SPECIALS = re.compile(r"([.^$*+?()\[\]{}|\\])")
+
+
+def _like_tree(col: str, pattern: str):
+    """LIKE pattern -> the cheapest engine leaf: prefix/suffix/
+    contains run code-domain (each dict entry tested once), general
+    patterns become an ANCHORED RE2 regex (engine regex = substring
+    search, so ^...$ makes it a full match, as LIKE requires)."""
+    body = pattern
+    if "_" not in body:
+        stripped = body.strip("%")
+        if "%" not in stripped:
+            n_lead = len(body) - len(body.lstrip("%"))
+            n_trail = len(body) - len(body.rstrip("%"))
+            if n_lead == 0 and n_trail == 0:
+                return ("eq", col, body)
+            if n_lead == 0:
+                return ("prefix", col, body.rstrip("%"))
+            if n_trail == 0:
+                return ("suffix", col, body.lstrip("%"))
+            return ("contains", col, stripped)
+    rx = _LIKE_SPECIALS.sub(r"\\\1", pattern)
+    rx = rx.replace("%", ".*").replace("_", ".")
+    return ("regex", col, f"^{rx}$")
+
+
+def _cmp_tree(ctype: str, col: str, lit):
+    """One comparison leaf. Strict bounds on integers rewrite to
+    closed bounds (zone-prunable); other types use the 3VL-exact
+    NOT(complement-range) form — NOT keeps UNKNOWN, so null rows drop
+    exactly as SQL requires."""
+    if ctype == "COMPARE_EQUAL":
+        return ("eq", col, lit)
+    if ctype == "COMPARE_NOTEQUAL":
+        return ("not", ("eq", col, lit))
+    if ctype == "COMPARE_GREATERTHANOREQUALTO":
+        return ("between", col, lit, None)
+    if ctype == "COMPARE_LESSTHANOREQUALTO":
+        return ("between", col, None, lit)
+    if ctype == "COMPARE_GREATERTHAN":
+        if isinstance(lit, int) and not isinstance(lit, bool):
+            return ("between", col, lit + 1, None)
+        return ("not", ("between", col, None, lit))
+    if ctype == "COMPARE_LESSTHAN":
+        if isinstance(lit, int) and not isinstance(lit, bool):
+            return ("between", col, None, lit - 1)
+        return ("not", ("between", col, lit, None))
+    raise SqlUnsupported(f"comparison {ctype!r}")
+
+
+_FLIP = {"COMPARE_GREATERTHAN": "COMPARE_LESSTHAN",
+         "COMPARE_LESSTHAN": "COMPARE_GREATERTHAN",
+         "COMPARE_GREATERTHANOREQUALTO": "COMPARE_LESSTHANOREQUALTO",
+         "COMPARE_LESSTHANOREQUALTO": "COMPARE_GREATERTHANOREQUALTO",
+         "COMPARE_EQUAL": "COMPARE_EQUAL",
+         "COMPARE_NOTEQUAL": "COMPARE_NOTEQUAL"}
+
+
+def _compile_pred(node: dict):
+    cls, typ = node.get("class"), node.get("type")
+    if cls == "CONJUNCTION":
+        op = "and" if typ == "CONJUNCTION_AND" else "or"
+        return (op, [_compile_pred(c) for c in node["children"]])
+    if cls == "COMPARISON":
+        left, right = node["left"], node["right"]
+        if left["class"] == "COLUMN_REF" and right["class"] == "CONSTANT":
+            return _cmp_tree(typ, _colref(left), _const_value(right))
+        if left["class"] == "CONSTANT" and right["class"] == "COLUMN_REF":
+            return _cmp_tree(_FLIP[typ], _colref(right), _const_value(left))
+        raise SqlUnsupported("comparison must be column vs constant")
+    if cls == "BETWEEN":
+        return ("between", _colref(node["input"]),
+                _const_value(node["lower"]), _const_value(node["upper"]))
+    if cls == "OPERATOR":
+        if typ == "OPERATOR_NOT":
+            return ("not", _compile_pred(node["children"][0]))
+        if typ in ("COMPARE_IN", "COMPARE_NOT_IN"):
+            ch = node["children"]
+            col = _colref(ch[0])
+            vals = [_const_value(c) for c in ch[1:]]
+            tree = ("in", col, vals)
+            return ("not", tree) if typ == "COMPARE_NOT_IN" else tree
+        if typ == "OPERATOR_IS_NULL":
+            return ("isnull", _colref(node["children"][0]))
+        if typ == "OPERATOR_IS_NOT_NULL":
+            return ("notnull", _colref(node["children"][0]))
+        raise SqlUnsupported(f"operator {typ!r}")
+    if cls == "FUNCTION" and node.get("function_name") in ("~~", "!~~"):
+        col = _colref(node["children"][0])
+        pattern = _const_value(node["children"][1])
+        tree = _like_tree(col, pattern)
+        return ("not", tree) if node["function_name"] == "!~~" else tree
+    raise SqlUnsupported(f"WHERE construct {cls}/{typ}")
+
+
+# --------------------------------------------------------------------------
+# expression classification (select list / having / order by)
+
+_AGG_FNS = {"sum", "min", "max", "avg", "count", "count_star"}
+_ARITH = {"+": pc.add, "-": pc.subtract, "*": pc.multiply}
+
+
+def _collect_aggs(node: dict, out: list):
+    """Collect (fn, col) aggregate atoms inside an expression."""
+    cls = node.get("class")
+    if cls == "FUNCTION":
+        fn = node["function_name"]
+        if fn in _AGG_FNS:
+            if node.get("distinct"):
+                raise SqlUnsupported("DISTINCT aggregates")
+            if fn == "count_star" or not node["children"]:
+                out.append(("count_star", None))
+            else:
+                ch = node["children"][0]
+                if ch["class"] != "COLUMN_REF":
+                    raise SqlUnsupported(
+                        "aggregate argument must be a plain column")
+                out.append((fn, _colref(ch)))
+            return
+        for c in node.get("children", []):
+            _collect_aggs(c, out)
+        return
+    if cls == "CAST":
+        _collect_aggs(node["child"], out)
+        return
+    if cls == "COMPARISON":
+        _collect_aggs(node["left"], out)
+        _collect_aggs(node["right"], out)
+        return
+    if cls == "CONJUNCTION":
+        for c in node["children"]:
+            _collect_aggs(c, out)
+        return
+    if cls == "BETWEEN":
+        _collect_aggs(node["input"], out)
+        return
+    if cls == "OPERATOR":
+        for c in node.get("children", []):
+            _collect_aggs(c, out)
+        return
+    if cls in ("COLUMN_REF", "CONSTANT"):
+        return
+    raise SqlUnsupported(f"expression {cls!r}")
+
+
+def _expr_name(node: dict) -> str:
+    if node.get("alias"):
+        return node["alias"]
+    cls = node["class"]
+    if cls == "COLUMN_REF":
+        return _colref(node)
+    if cls == "CAST":
+        return _expr_name(node["child"])
+    if cls == "FUNCTION":
+        fn = node["function_name"]
+        if fn == "count_star":
+            return "count_star()"
+        args = ", ".join(_expr_name(c) for c in node["children"])
+        return f"{fn}({args})"
+    raise SqlUnsupported(f"cannot name expression class {cls!r}")
+
+
+def _eval_expr(node: dict, env: dict, n_rows: int):
+    """Evaluate a (post-aggregation) expression over named columns:
+    ``env`` maps column/alias names and ("agg", fn, col) atoms to
+    arrays. Arithmetic follows DuckDB: '/' is float division."""
+    cls, typ = node.get("class"), node.get("type")
+    if cls == "COLUMN_REF":
+        name = _colref(node)
+        if name not in env:
+            raise SqlUnsupported(f"unknown column {name!r} in expression")
+        return env[name]
+    if cls == "CONSTANT":
+        return pa.scalar(_const_value(node))
+    if cls == "CAST":
+        tid = node["cast_type"]["id"]
+        if tid not in _TYPE_MAP:
+            raise SqlUnsupported(f"CAST to {tid!r}")
+        return pc.cast(_eval_expr(node["child"], env, n_rows),
+                       _TYPE_MAP[tid])
+    if cls == "FUNCTION":
+        fn = node["function_name"]
+        if fn in _AGG_FNS:
+            key = ("agg", "count_star", None) \
+                if fn == "count_star" or not node["children"] \
+                else ("agg", fn, _colref(node["children"][0]))
+            return env[key]
+        if fn in ("~~", "!~~"):
+            arr = _eval_expr(node["children"][0], env, n_rows)
+            m = pc.match_like(arr, pattern=_const_value(node["children"][1]))
+            return pc.invert(m) if fn == "!~~" else m
+        if fn == "round":
+            arr = _eval_expr(node["children"][0], env, n_rows)
+            nd = _const_value(node["children"][1]) \
+                if len(node["children"]) > 1 else 0
+            return pc.round(arr, ndigits=int(nd))
+        args = [_eval_expr(c, env, n_rows) for c in node["children"]]
+        if fn in _ARITH:
+            return _ARITH[fn](*args)
+        if fn == "/":
+            return pc.divide(pc.cast(args[0], pa.float64()),
+                             pc.cast(args[1], pa.float64()))
+        if fn in ("//", "%"):
+            op = pc.divide if fn == "//" else pc.mod
+            return op(*args)
+        raise SqlUnsupported(f"function {fn!r}")
+    if cls == "COMPARISON":
+        lhs = _eval_expr(node["left"], env, n_rows)
+        rhs = _eval_expr(node["right"], env, n_rows)
+        fns = {"COMPARE_EQUAL": pc.equal, "COMPARE_NOTEQUAL": pc.not_equal,
+               "COMPARE_GREATERTHAN": pc.greater,
+               "COMPARE_LESSTHAN": pc.less,
+               "COMPARE_GREATERTHANOREQUALTO": pc.greater_equal,
+               "COMPARE_LESSTHANOREQUALTO": pc.less_equal}
+        if typ not in fns:
+            raise SqlUnsupported(f"comparison {typ!r}")
+        return fns[typ](lhs, rhs)
+    if cls == "BETWEEN":
+        arr = _eval_expr(node["input"], env, n_rows)
+        return pc.and_kleene(
+            pc.greater_equal(arr, _eval_expr(node["lower"], env, n_rows)),
+            pc.less_equal(arr, _eval_expr(node["upper"], env, n_rows)))
+    if cls == "OPERATOR":
+        if typ == "OPERATOR_NOT":
+            return pc.invert(_eval_expr(node["children"][0], env, n_rows))
+        if typ == "OPERATOR_IS_NULL":
+            return pc.is_null(_eval_expr(node["children"][0], env, n_rows))
+        if typ == "OPERATOR_IS_NOT_NULL":
+            return pc.is_valid(_eval_expr(node["children"][0], env, n_rows))
+        if typ in ("COMPARE_IN", "COMPARE_NOT_IN"):
+            arr = _eval_expr(node["children"][0], env, n_rows)
+            vals = [_const_value(c) for c in node["children"][1:]]
+            m = pc.is_in(arr, value_set=pa.array(vals))
+            # SQL IN over a null operand is UNKNOWN, not FALSE
+            m = pc.if_else(pc.is_valid(arr), m, pa.scalar(None, pa.bool_()))
+            return pc.invert(m) if typ == "COMPARE_NOT_IN" else m
+        raise SqlUnsupported(f"operator {typ!r} in expression")
+    if cls == "CONJUNCTION":
+        parts = [_eval_expr(c, env, n_rows) for c in node["children"]]
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = (pc.and_kleene if typ == "CONJUNCTION_AND"
+                   else pc.or_kleene)(acc, p)
+        return acc
+    raise SqlUnsupported(f"expression {cls}/{typ}")
+
+
+def _expr_columns(node: dict, out: set):
+    """Source columns referenced anywhere in an expression."""
+    cls = node.get("class")
+    if cls == "COLUMN_REF":
+        out.add(_colref(node))
+    elif cls == "CAST":
+        _expr_columns(node["child"], out)
+    elif cls in ("COMPARISON",):
+        _expr_columns(node["left"], out)
+        _expr_columns(node["right"], out)
+    elif cls == "BETWEEN":
+        _expr_columns(node["input"], out)
+    else:
+        for c in node.get("children", []) or []:
+            if isinstance(c, dict):
+                _expr_columns(c, out)
+
+
+# --------------------------------------------------------------------------
+# aggregation executors
+
+def _partial_agg_stream(ds, keys: list[str], atoms: list[tuple]):
+    """Per-batch pyarrow partial aggregation (the map-side combine),
+    merged on the driver: shuffles O(groups) rows per block instead of
+    the data. Atoms: (fn, col) with fn in sum/min/max/count/count_star
+    (avg is computed later from sum+count)."""
+    # specs carry only picklable primitives — CountOptions objects are
+    # built inside the task (pyarrow option classes don't pickle)
+    specs, merge_specs = [], []
+    for fn, col in atoms:
+        if fn == "count_star":
+            # counted over a synthetic __one column so the output name
+            # never collides with a COUNT(col) over a key column
+            specs.append(("__one", "count", "all", "count_star()"))
+            merge_specs.append(("count_star()", "sum"))
+        elif fn == "count":
+            specs.append((col, "count", "only_valid", f"count({col})"))
+            merge_specs.append((f"count({col})", "sum"))
+        else:
+            specs.append((col, fn, None, f"{fn}({col})"))
+            merge_specs.append((f"{fn}({col})", fn))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pcc
+
+        t = batch
+        if not keys:
+            t = t.append_column("__k", pa.array(np.zeros(t.num_rows,
+                                                         dtype=np.int8)))
+        if "__one" in [s[0] for s in specs] and "__one" not in t.column_names:
+            t = t.append_column("__one", pa.array(
+                np.ones(t.num_rows, dtype=np.int8)))
+        gb = t.group_by(keys or ["__k"])
+        agg = gb.aggregate([
+            (c, f) if mode is None
+            else (c, f, pcc.CountOptions(mode=mode))
+            for c, f, mode, _ in specs])
+        # normalize pyarrow's output names to ours
+        ren = {}
+        for c, f, mode, name in specs:
+            ren[f"{c}_{f}"] = name
+        cols = {}
+        for name in agg.column_names:
+            cols[ren.get(name, name)] = agg[name]
+        return pa.table(cols)
+
+    parts = [b for b in ds.map_batches(
+        partial, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow")]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return None
+    allp = pa.concat_tables(parts, promote_options="permissive")
+    gb = allp.group_by(keys or ["__k"])
+    merged = gb.aggregate([(n, f) for n, f in merge_specs])
+    ren = {f"{n}_{f}": n for n, f in merge_specs}
+    cols = {}
+    for name in merged.column_names:
+        cols[ren.get(name, name)] = merged[name]
+    out = pa.table(cols)
+    if not keys:
+        out = out.drop_columns([c for c in ("__k",) if c in out.column_names])
+    return out
+
+
+def _agg_env(table: pa.Table | None, keys: list[str],
+             atoms: list[tuple]) -> tuple[dict, int]:
+    """Build the expression environment over merged aggregate atoms.
+    ``table`` None = zero groups (global aggregates over empty input
+    still emit one SQL row: COUNT 0, others NULL)."""
+    env: dict = {}
+    if table is None:
+        n = 0 if keys else 1
+        for k in keys:
+            env[k] = pa.nulls(n, pa.string())
+        for fn, col in atoms:
+            if fn in ("count", "count_star"):
+                env[("agg", fn, col)] = pa.array([0] * n, type=pa.int64())
+            elif fn == "avg":
+                env[("agg", fn, col)] = pa.nulls(n, pa.float64())
+            else:
+                env[("agg", fn, col)] = pa.nulls(n, pa.float64())
+        return env, n
+    n = table.num_rows
+    for k in keys:
+        env[k] = table[k]
+    for fn, col in atoms:
+        if fn == "count_star":
+            env[("agg", fn, None)] = pc.cast(table["count_star()"],
+                                             pa.int64())
+        elif fn == "count":
+            env[("agg", fn, col)] = pc.cast(table[f"count({col})"],
+                                            pa.int64())
+        elif fn == "avg":
+            s = pc.cast(table[f"sum({col})"], pa.float64())
+            c = pc.cast(table[f"count({col})"], pa.float64())
+            env[("agg", fn, col)] = pc.divide(s, c)
+        else:
+            env[("agg", fn, col)] = table[f"{fn}({col})"]
+    return env, n
+
+
+def _decode_free_group_agg(out_dir: str, key: str, atoms: list[tuple]):
+    """Route an eligible GROUP BY through dict_group_aggregate (key
+    codes never materialize per row). Eligible: one string key, all
+    value atoms over ONE column, COUNT(col)/AVG only if the manifest
+    proves the column null-free. Returns the atom table or None if
+    ineligible (caller falls back to the streamed partial path)."""
+    from .pipeline.query import _manifest_paths, dict_value_counts
+    from .format import read_header
+
+    vcols = {c for f, c in atoms if f != "count_star"}
+    if len(vcols) > 1:
+        return None
+    rows = _manifest_paths(out_dir)
+    if not rows:
+        return None
+    header0, _ = read_header(rows[0]["path"])
+    if key not in header0["columns"] \
+            or header0["columns"][key]["kind"] != "str":
+        return None
+    if not vcols:
+        # pure COUNT(*): bincount over codes, zero value decode
+        t = dict_value_counts(out_dir, key)
+        cnt = t.column(1)
+        return pa.table({key: t[key],
+                         "count_star()": pc.cast(cnt, pa.int64())})
+    vcol = vcols.pop()
+    cm = header0["columns"].get(vcol)
+    if cm is None or cm["kind"] not in ("int",):
+        return None
+    needs_valid_count = any(f in ("count", "avg") for f, _ in atoms)
+    if needs_valid_count:
+        total_nulls = 0
+        for r in rows:
+            s = json.loads(r["col_stats"]).get(vcol, {})
+            total_nulls += int(s.get("nulls") or 0)
+        if total_nulls:
+            return None  # COUNT(col) != n_rows — generic path
+    from .pipeline.query import dict_group_aggregate
+
+    t = dict_group_aggregate(out_dir, key, vcol)
+    cols = {key: t[key]}
+    for fn, col in atoms:
+        if fn == "count_star":
+            cols["count_star()"] = t["n_rows"]
+        elif fn == "count":
+            cols[f"count({col})"] = t["n_rows"]
+        elif fn == "sum":
+            cols[f"sum({col})"] = t["sum_v"]
+        elif fn == "min":
+            cols[f"min({col})"] = t["min_v"]
+        elif fn == "max":
+            cols[f"max({col})"] = t["max_v"]
+        elif fn == "avg":
+            cols[f"sum({col})"] = t["sum_v"]
+            cols[f"count({col})"] = t["n_rows"]
+    return pa.table(cols)
+
+
+# --------------------------------------------------------------------------
+# order / limit
+
+def _apply_order_limit(table: pa.Table, node: dict, env_extra: dict,
+                       atoms: list[tuple]) -> pa.Table:
+    """ORDER BY / LIMIT / OFFSET over a driver-resident result table
+    (aggregate outputs are O(groups); row streams use the distributed
+    top-k path before reaching here)."""
+    order, limit, offset = _modifiers(node)
+    if order:
+        keys = []
+        env = {c: table[c] for c in table.column_names}
+        env.update(env_extra)
+        sort_cols = []
+        for i, (expr, desc) in enumerate(order):
+            arr = _eval_expr(expr, env, table.num_rows)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            name = f"__ord{i}"
+            table = table.append_column(name, pa.chunked_array([arr]))
+            sort_cols.append((name, "descending" if desc else "ascending"))
+            keys.append(name)
+        idx = pc.sort_indices(table, sort_keys=sort_cols,
+                              null_placement="at_end")
+        table = table.take(idx).drop_columns(keys)
+    if offset:
+        table = table.slice(offset)
+    if limit is not None:
+        table = table.slice(0, limit)
+    return table
+
+
+def _modifiers(node: dict):
+    order, limit, offset = [], None, 0
+    for m in node.get("modifiers", []):
+        if m["type"] == "ORDER_MODIFIER":
+            for o in m["orders"]:
+                desc = o["type"] == "DESCENDING"
+                order.append((o["expression"], desc))
+        elif m["type"] == "LIMIT_MODIFIER":
+            if m.get("limit"):
+                limit = _const_value(m["limit"])
+            if m.get("offset"):
+                offset = _const_value(m["offset"])
+        else:
+            raise SqlUnsupported(f"modifier {m['type']!r}")
+    return order, limit, offset
+
+
+def _stream_topk(ds, order: list, limit: int, offset: int,
+                 project: list[str]) -> pa.Table:
+    """Distributed ORDER BY + LIMIT over a row stream: every batch
+    keeps its own top-(limit+offset) rows (vectorized sort), the
+    driver merges the tiny survivors. Order keys must be plain
+    columns here (checked by the caller)."""
+    keep = limit + offset
+    sort_keys = [(_colref(e), "descending" if d else "ascending")
+                 for e, d in order]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= keep:
+            return batch.select(project)
+        idx = pc.sort_indices(batch, sort_keys=sort_keys,
+                              null_placement="at_end")
+        return batch.take(idx[:keep]).select(project)
+
+    parts = [b for b in ds.map_batches(
+        partial, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow")]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return None
+    allp = pa.concat_tables(parts, promote_options="permissive")
+    idx = pc.sort_indices(allp, sort_keys=sort_keys,
+                          null_placement="at_end")
+    return allp.take(idx[offset:offset + limit])
+
+
+# --------------------------------------------------------------------------
+# entry point
+
+class _TableSource:
+    """Single encoded table, WHERE compiled to the zone-pruned engine
+    predicate tree."""
+
+    def __init__(self, out_dir: str, where_tree):
+        self.out_dir, self.where_tree = out_dir, where_tree
+
+    def columns(self) -> list[str]:
+        return _dataset_columns(self.out_dir)
+
+    def stream(self, cols: list[str]):
+        return _scan_or_filter(self.out_dir, self.where_tree, cols)
+
+    def empty(self, cols: list[str]) -> pa.Table:
+        from .pipeline.query import _sidecar_empty
+
+        return _sidecar_empty(self.out_dir, cols)
+
+    @property
+    def unfiltered_dir(self):
+        return self.out_dir if self.where_tree is None else None
+
+
+_JOIN_TYPES = {"INNER": "inner", "LEFT": "left",
+               "RIGHT": "right", "OUTER": "full", "FULL": "full"}
+
+
+class _JoinSource:
+    """Two-table equi-join through copartition_join (hash-bucketed
+    exchange, Arrow hash join per bucket); WHERE runs as a 3VL batch
+    filter AFTER the join — exactly SQL's evaluation order, so outer
+    joins keep their semantics."""
+
+    def __init__(self, ft: dict, tables: dict[str, str], where_node):
+        for side in ("left", "right"):
+            if ft[side].get("type") != "BASE_TABLE":
+                raise SqlUnsupported("nested joins (two tables max)")
+        jt = ft.get("join_type", "INNER")
+        if jt not in _JOIN_TYPES:
+            raise SqlUnsupported(f"join type {jt!r}")
+        if ft.get("using_columns"):
+            raise SqlUnsupported("USING — spell the ON condition")
+        self.join_type = _JOIN_TYPES[jt]
+        self.where_node = where_node
+
+        def resolve(side):
+            name = ft[side]["table_name"]
+            if name not in tables:
+                raise KeyError(f"table {name!r} not provided "
+                               f"(have: {sorted(tables)})")
+            alias = ft[side].get("alias") or name
+            return name, alias, tables[name]
+
+        _, self.lalias, self.ldir = resolve("left")
+        _, self.ralias, self.rdir = resolve("right")
+        self.lset = _dataset_columns(self.ldir)
+        self.rset = _dataset_columns(self.rdir)
+
+        cond = ft.get("condition")
+        if not cond or cond.get("class") != "COMPARISON" \
+                or cond.get("type") != "COMPARE_EQUAL":
+            raise SqlUnsupported(
+                "join condition must be a single equality")
+        self.lkey, self.rkey = self._attribute_keys(cond)
+
+    def _attribute_keys(self, cond):
+        sides = []
+        for ref in (cond["left"], cond["right"]):
+            if ref.get("class") != "COLUMN_REF":
+                raise SqlUnsupported("join keys must be plain columns")
+            names = ref["column_names"]
+            col = names[-1]
+            qual = names[0] if len(names) > 1 else None
+            if qual == self.lalias:
+                sides.append(("l", col))
+            elif qual == self.ralias:
+                sides.append(("r", col))
+            elif qual is not None:
+                raise SqlUnsupported(f"unknown table qualifier {qual!r}")
+            elif col in self.lset and col not in self.rset:
+                sides.append(("l", col))
+            elif col in self.rset and col not in self.lset:
+                sides.append(("r", col))
+            else:
+                raise SqlUnsupported(
+                    f"ambiguous join key {col!r}: qualify it")
+        d = dict(sides)
+        if len(d) != 2:
+            raise SqlUnsupported("join condition must reference "
+                                 "both tables")
+        return d["l"], d["r"]
+
+    def _attribute(self, col: str) -> str:
+        inl, inr = col in self.lset, col in self.rset
+        if inl and inr:
+            if col == self.lkey == self.rkey:
+                return "l"  # coalesced key column
+            raise SqlUnsupported(
+                f"column {col!r} exists in both tables: joins emit "
+                "bare names, rename one side before encoding")
+        if inl:
+            return "l"
+        if inr:
+            return "r"
+        raise KeyError(f"column {col!r} in neither joined table")
+
+    def columns(self) -> list[str]:
+        out = list(self.lset)
+        for c in self.rset:
+            if c not in out:
+                out.append(c)
+        return out
+
+    def stream(self, cols: list[str]):
+        from .pipeline.join import copartition_join
+
+        wcols: set = set()
+        if self.where_node is not None:
+            _expr_columns(self.where_node, wcols)
+        allneed = list(dict.fromkeys(
+            list(cols) + sorted(wcols - set(cols))))
+        lcols = [c for c in allneed if self._attribute(c) == "l"]
+        rcols = [c for c in allneed if self._attribute(c) == "r"]
+        ds = copartition_join(self.ldir, self.rdir, self.lkey,
+                              self.rkey, lcols, rcols,
+                              join_type=self.join_type)
+        wn = self.where_node
+        want = list(cols)
+
+        def post(b: pa.Table) -> pa.Table:
+            if wn is not None:
+                env = {c: b[c] for c in b.column_names}
+                m = _eval_expr(wn, env, b.num_rows)
+                if isinstance(m, pa.ChunkedArray):
+                    m = m.combine_chunks()
+                b = b.filter(pc.fill_null(m, False))
+            return b.select(want)
+
+        if wn is not None or want != allneed:
+            ds = ds.map_batches(post, batch_format="pyarrow")
+        return ds
+
+    def empty(self, cols: list[str]) -> pa.Table:
+        sch = self.stream(cols).schema()
+        return pa.table({n: pa.array([], type=t)
+                         for n, t in zip(sch.names, sch.types)})
+
+    unfiltered_dir = None
+
+
+def sql_query(sql: str, tables: dict[str, str]):
+    """Execute ``sql`` against encoded directories: ``tables`` maps
+    table names in the query to ``encode_parquet`` output dirs.
+    Returns a pyarrow Table (aggregates / ordered results) or a
+    ray.data.Dataset (unordered row streams — kept lazy so callers
+    can write_parquet without materializing)."""
+    node = _parse(sql)
+    if node.get("qualify") or node.get("sample"):
+        raise SqlUnsupported("QUALIFY / SAMPLE")
+    if node.get("cte_map", {}).get("map"):
+        raise SqlUnsupported("CTEs")
+    ft = node["from_table"]
+    if ft.get("type") == "BASE_TABLE":
+        tname = ft["table_name"]
+        if tname not in tables:
+            raise KeyError(f"table {tname!r} not provided "
+                           f"(have: {sorted(tables)})")
+        where_tree = None
+        if node.get("where_clause"):
+            where_tree = _compile_pred(node["where_clause"])
+        src = _TableSource(tables[tname], where_tree)
+    elif ft.get("type") == "JOIN":
+        src = _JoinSource(ft, tables, node.get("where_clause"))
+    else:
+        raise SqlUnsupported(f"FROM type {ft.get('type')!r}")
+
+    select = node["select_list"]
+    group_exprs = node.get("group_expressions") or []
+    agg_atoms: list[tuple] = []
+    for item in select:
+        if item["class"] != "STAR":
+            _collect_aggs(item, agg_atoms)
+    having = node.get("having")
+    if having:
+        _collect_aggs(having, agg_atoms)
+    is_agg = bool(group_exprs) or bool(agg_atoms)
+
+    if not is_agg:
+        return _run_row_query(src, node, select)
+    return _run_agg_query(src, node, select, group_exprs, agg_atoms,
+                          having)
+
+
+def _scan_or_filter(out_dir: str, where_tree, project: list[str]):
+    from .pipeline.query import compound_filter, scan
+
+    if where_tree is not None:
+        return compound_filter(out_dir, where_tree, project)
+    return scan(out_dir, columns=project)
+
+
+def _dataset_columns(out_dir: str) -> list[str]:
+    """Column names of an encoded dir in first-seen manifest order
+    (the union across generations under schema evolution)."""
+    from .pipeline.query import _manifest_paths
+    from .format import read_header
+
+    rows = _manifest_paths(out_dir)
+    if not rows:
+        from .pipeline.encode import read_schema_sidecar
+
+        sch = read_schema_sidecar(out_dir)
+        if sch is None:
+            raise FileNotFoundError(
+                f"no committed partitions under {out_dir}")
+        return list(sch.names)
+    union: list[str] = []
+    for r in rows:
+        cs = r.get("col_stats")
+        names = list(json.loads(cs).keys()) if cs else None
+        if names is None:
+            h, _ = read_header(r["path"])
+            names = list(h["columns"].keys())
+        for c in names:
+            if c not in union:
+                union.append(c)
+    return union
+
+
+def _run_row_query(src, node: dict, select: list):
+    star = any(item["class"] == "STAR" for item in select)
+    if star:
+        if len(select) != 1:
+            raise SqlUnsupported("SELECT * mixed with expressions")
+        project = src.columns()
+        names = list(project)
+    else:
+        project, names = [], []
+        for item in select:
+            if item["class"] == "CAST" and \
+                    item["child"]["class"] == "COLUMN_REF":
+                # CAST(col AS t) in a row query: project + driver cast
+                project.append(_colref(item["child"]))
+            elif item["class"] != "COLUMN_REF":
+                raise SqlUnsupported(
+                    "row queries project plain columns (class "
+                    f"{item['class']!r}); wrap computations in a "
+                    "GROUP BY or use scan().map_batches")
+            else:
+                project.append(_colref(item))
+            names.append(_expr_name(item))
+    order, limit, offset = _modifiers(node)
+
+    # dedupe projection for the scan, keep select order for output
+    scan_cols = list(dict.fromkeys(project))
+    need = set(scan_cols)
+    for e, _ in order:
+        _expr_columns(e, need)
+    scan_all = list(dict.fromkeys(list(scan_cols) + sorted(need - set(scan_cols))))
+    ds = src.stream(scan_all)
+
+    def finish(table: pa.Table) -> pa.Table:
+        cols = {}
+        for item, name in zip(select, names):
+            if item["class"] == "CAST":
+                cols[name] = pc.cast(table[_colref(item["child"])],
+                                     _TYPE_MAP[item["cast_type"]["id"]])
+            else:
+                cols[name] = table[_colref(item)]
+        return pa.table(cols) if cols else table
+
+    if order and limit is not None:
+        for e, _ in order:
+            if e.get("class") != "COLUMN_REF":
+                raise SqlUnsupported("ORDER BY expression in row query")
+        t = _stream_topk(ds, order, limit, offset, scan_all)
+        if t is None:
+            t = src.empty(scan_all)
+        return finish(t)
+    if order:
+        # full ordered result: Ray range-partitioned sort, then collect
+        from .collect import collect_arrow
+
+        keys = [(_colref(e), "descending" if d else "ascending")
+                for e, d in order]
+        t = collect_arrow(ds)
+        idx = pc.sort_indices(t, sort_keys=keys, null_placement="at_end")
+        return finish(t.take(idx))
+    if limit is not None:
+        from .collect import collect_arrow
+
+        t = collect_arrow(ds.limit(limit + offset))
+        return finish(t.slice(offset, limit))
+    if star and not order:
+        return ds  # lazy stream
+    from .collect import collect_arrow
+
+    return finish(collect_arrow(ds))
+
+
+def _run_agg_query(src, node: dict, select: list,
+                   group_exprs: list, agg_atoms: list, having):
+    keys = []
+    for g in group_exprs:
+        if g["class"] != "COLUMN_REF":
+            raise SqlUnsupported("GROUP BY expressions must be columns")
+        keys.append(_colref(g))
+    # expand avg into sum+count for the partial path; keep the avg
+    # atom itself for env building
+    atoms = []
+    seen = set()
+    for fn, col in agg_atoms:
+        k = (fn, col)
+        if k in seen:
+            continue
+        seen.add(k)
+        atoms.append(k)
+    partial_atoms = []
+    pseen = set()
+    for fn, col in atoms:
+        expand = [("sum", col), ("count", col)] if fn == "avg" \
+            else [(fn, col)]
+        for e in expand:
+            if e not in pseen:
+                pseen.add(e)
+                partial_atoms.append(e)
+
+    merged = None
+    if src.unfiltered_dir is not None and len(keys) == 1:
+        merged = _decode_free_group_agg(src.unfiltered_dir, keys[0],
+                                        partial_atoms)
+    if merged is None:
+        vcols = sorted({c for _, c in partial_atoms if c is not None})
+        need = list(dict.fromkeys(keys + vcols))
+        if not need:
+            need = src.columns()[:1]
+        ds = src.stream(need)
+        merged = _partial_agg_stream(ds, keys, partial_atoms)
+
+    env, n = _agg_env(merged, keys, atoms)
+    if having is not None:
+        mask = _eval_expr(having, env, n)
+        if isinstance(mask, pa.ChunkedArray):
+            mask = mask.combine_chunks()
+        mask = pc.fill_null(mask, False)
+        env = {k: (v.filter(mask)
+                   if isinstance(v, (pa.Array, pa.ChunkedArray)) else v)
+               for k, v in env.items()}
+        n = int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
+
+    cols, names = [], []
+    for item in select:
+        if item["class"] == "STAR":
+            raise SqlUnsupported("SELECT * with aggregates")
+        arr = _eval_expr(item, env, n)
+        if isinstance(arr, pa.Scalar):
+            arr = pa.array([arr.as_py()] * n, type=arr.type)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        names.append(_expr_name(item))
+        cols.append(arr)
+    table = pa.table(dict(zip(names, cols))) if names else pa.table({})
+    # ORDER BY may reference aggregate atoms not in the select list
+    return _apply_order_limit(table, node, env, atoms)

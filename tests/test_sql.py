@@ -1,0 +1,240 @@
+"""SQL frontend (arcade_ray/sql.py): every query runs twice — once
+compiled onto the engine's operators over the ENCODED dir, once in
+DuckDB over the raw arrow table — and must agree on rows, schema and
+values. Covers filters (all leaf kinds incl. 3VL over nulls),
+decode-free and streamed GROUP BY, HAVING, ORDER/LIMIT top-k, both
+join kinds, and the unsupported-construct contract."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from arcade_ray.sql import SqlUnsupported, sql_query
+
+
+def _mk_docs(n=4000, seed=11):
+    rng = np.random.default_rng(seed)
+    langs = np.array(["en", "fr", "de", "es", None], dtype=object)
+    src = np.array([f"src-{i}" for i in range(6)])
+    return pa.table({
+        "doc_id": pa.array([f"d{i:07d}" for i in range(n)]),
+        "source": pa.array(src[rng.integers(0, 6, n)]),
+        "lang": pa.array(langs[rng.integers(0, 5, n)].tolist(),
+                         type=pa.string()),
+        "n_chars": pa.array(rng.integers(0, 5000, n), type=pa.int64()),
+        "score": pa.array(np.round(rng.random(n), 6),
+                          type=pa.float64()),
+    })
+
+
+def _mk_meta(seed=12):
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "source": pa.array([f"src-{i}" for i in range(8)]),
+        "region": pa.array([f"r{i % 3}" for i in range(8)]),
+        "weight": pa.array(rng.integers(1, 100, 8), type=pa.int64()),
+    })
+
+
+@pytest.fixture(scope="module")
+def sqlenv(ray_session, tmp_path_factory):
+    import duckdb
+
+    from arcade_ray.pipeline.encode import encode_parquet
+
+    base = tmp_path_factory.mktemp("sql")
+    docs, meta = _mk_docs(), _mk_meta()
+    tables = {}
+    for name, t, key, idc in (("docs", docs, "source", "doc_id"),
+                              ("meta", meta, "region", "source")):
+        p = str(base / f"{name}.parquet")
+        pq.write_table(t, p)
+        out = str(base / f"enc_{name}")
+        encode_parquet(p, out, key_col=key, id_col=idc, weight_col=None)
+        tables[name] = out
+    con = duckdb.connect()
+    con.register("docs", docs)
+    con.register("meta", meta)
+    yield tables, con
+    con.close()
+
+
+def check(sqlenv, q, ordered=None):
+    tables, con = sqlenv
+    mine = sql_query(q, tables)
+    if not isinstance(mine, pa.Table):
+        from arcade_ray.collect import collect_arrow
+
+        mine = collect_arrow(mine)
+    oracle = con.execute(q).arrow()
+    if ordered is None:
+        ordered = "ORDER" in q.upper()
+    assert set(mine.column_names) == set(oracle.column_names), \
+        (mine.column_names, oracle.column_names)
+    if not ordered:
+        keys = [(c, "ascending") for c in sorted(mine.column_names)]
+        mine = mine.sort_by(keys)
+        oracle = oracle.sort_by(keys)
+    assert mine.num_rows == oracle.num_rows, \
+        (q, mine.num_rows, oracle.num_rows)
+    for c in oracle.column_names:
+        assert mine[c].to_pylist() == oracle[c].to_pylist(), (q, c)
+    return mine
+
+
+# --- row queries ----------------------------------------------------------
+
+def test_filter_eq_and_range(sqlenv):
+    check(sqlenv, "SELECT doc_id, n_chars FROM docs "
+                  "WHERE lang = 'en' AND n_chars > 2500")
+
+
+def test_filter_or_in_like(sqlenv):
+    check(sqlenv, "SELECT doc_id FROM docs WHERE source LIKE 'src-1%' "
+                  "OR lang IN ('fr', 'de')")
+
+
+def test_filter_not_between_null(sqlenv):
+    check(sqlenv, "SELECT doc_id FROM docs WHERE NOT (n_chars BETWEEN "
+                  "100 AND 4000) AND lang IS NOT NULL")
+
+
+def test_filter_is_null_3vl(sqlenv):
+    # lang IS NULL rows must survive; lang <> 'en' must drop them
+    check(sqlenv, "SELECT doc_id FROM docs WHERE lang IS NULL")
+    check(sqlenv, "SELECT doc_id FROM docs WHERE lang <> 'en'")
+
+
+def test_filter_not_like_general_pattern(sqlenv):
+    check(sqlenv, "SELECT doc_id FROM docs WHERE doc_id LIKE 'd00003_5'")
+    check(sqlenv, "SELECT doc_id FROM docs WHERE source NOT LIKE '%-3' "
+                  "AND lang = 'es'")
+
+
+def test_float_compare(sqlenv):
+    check(sqlenv, "SELECT doc_id FROM docs WHERE score >= 0.9")
+    check(sqlenv, "SELECT doc_id FROM docs WHERE score < 0.05")
+
+
+def test_order_limit_topk(sqlenv):
+    check(sqlenv, "SELECT doc_id, n_chars FROM docs WHERE lang = 'fr' "
+                  "ORDER BY n_chars DESC, doc_id LIMIT 9")
+
+
+def test_order_limit_offset(sqlenv):
+    check(sqlenv, "SELECT doc_id, n_chars FROM docs "
+                  "ORDER BY n_chars, doc_id LIMIT 5 OFFSET 7")
+
+
+def test_empty_result(sqlenv):
+    t = check(sqlenv, "SELECT doc_id FROM docs WHERE source = 'nope'")
+    assert t.num_rows == 0
+
+
+def test_select_star_stream(sqlenv):
+    tables, con = sqlenv
+    ds = sql_query("SELECT * FROM docs WHERE source = 'src-2'", tables)
+    import ray.data as rd
+
+    assert isinstance(ds, rd.Dataset)  # lazy row stream
+    n = con.execute(
+        "SELECT count(*) FROM docs WHERE source = 'src-2'").fetchone()[0]
+    assert ds.count() == n
+
+
+# --- aggregates -----------------------------------------------------------
+
+def test_group_agg_decode_free(sqlenv):
+    # no WHERE + single string key + one int column: served by
+    # dict_group_aggregate (keys never materialize per row)
+    check(sqlenv, "SELECT source, CAST(SUM(n_chars) AS BIGINT) AS s, "
+                  "COUNT(*) AS n, CAST(MIN(n_chars) AS BIGINT) AS mn, "
+                  "CAST(MAX(n_chars) AS BIGINT) AS mx "
+                  "FROM docs GROUP BY source ORDER BY source")
+
+
+def test_group_agg_filtered(sqlenv):
+    check(sqlenv, "SELECT lang, COUNT(*) AS n FROM docs "
+                  "WHERE n_chars >= 1000 GROUP BY lang ORDER BY lang")
+
+
+def test_group_avg_having(sqlenv):
+    check(sqlenv, "SELECT source, CAST(AVG(n_chars) AS DOUBLE) AS ac "
+                  "FROM docs GROUP BY source "
+                  "HAVING COUNT(*) > 400 ORDER BY source")
+
+
+def test_group_count_col_vs_star(sqlenv):
+    # COUNT(lang) skips nulls, COUNT(*) does not
+    check(sqlenv, "SELECT source, COUNT(lang) AS cl, COUNT(*) AS n "
+                  "FROM docs GROUP BY source ORDER BY source")
+
+
+def test_global_aggregate(sqlenv):
+    check(sqlenv, "SELECT COUNT(*) AS n, CAST(MIN(n_chars) AS BIGINT) "
+                  "AS mn, CAST(MAX(n_chars) AS BIGINT) AS mx FROM docs "
+                  "WHERE lang = 'de'")
+
+
+def test_composite_group_keys(sqlenv):
+    check(sqlenv, "SELECT lang, source, COUNT(*) AS n FROM docs "
+                  "GROUP BY lang, source ORDER BY n DESC, lang, source "
+                  "LIMIT 10")
+
+
+def test_agg_arithmetic(sqlenv):
+    check(sqlenv, "SELECT source, CAST(SUM(n_chars) AS BIGINT) / "
+                  "COUNT(*) AS ratio FROM docs GROUP BY source "
+                  "ORDER BY source")
+
+
+# --- joins ----------------------------------------------------------------
+
+def test_inner_join_rows(sqlenv):
+    check(sqlenv, "SELECT doc_id, region FROM docs "
+                  "JOIN meta ON docs.source = meta.source "
+                  "WHERE n_chars > 4500")
+
+
+def test_left_join_rows(sqlenv):
+    check(sqlenv, "SELECT doc_id, region FROM docs d "
+                  "LEFT JOIN meta m ON d.source = m.source "
+                  "ORDER BY doc_id LIMIT 11")
+
+
+def test_join_aggregate(sqlenv):
+    check(sqlenv, "SELECT region, COUNT(*) AS n, "
+                  "CAST(SUM(n_chars) AS BIGINT) AS s FROM docs "
+                  "JOIN meta ON docs.source = meta.source "
+                  "GROUP BY region ORDER BY region")
+
+
+def test_join_where_on_both_sides(sqlenv):
+    check(sqlenv, "SELECT doc_id, weight FROM docs "
+                  "JOIN meta ON docs.source = meta.source "
+                  "WHERE weight > 30 AND lang = 'en' AND n_chars < 500")
+
+
+# --- contract -------------------------------------------------------------
+
+def test_unsupported_constructs_raise(sqlenv):
+    tables, _ = sqlenv
+    for q in (
+        "SELECT DISTINCT source FROM docs",
+        "SELECT source FROM docs QUALIFY row_number() OVER () = 1",
+        "WITH x AS (SELECT 1) SELECT * FROM x",
+        "SELECT count(DISTINCT source) FROM docs",
+        "SELECT d1.doc_id FROM docs d1 JOIN docs d2 ON d1.doc_id = "
+        "d2.doc_id JOIN meta ON d1.source = meta.source",
+    ):
+        with pytest.raises((SqlUnsupported, KeyError)):
+            sql_query(q, tables)
+
+
+def test_unknown_table_and_column(sqlenv):
+    tables, _ = sqlenv
+    with pytest.raises(KeyError):
+        sql_query("SELECT x FROM nope", tables)
+    with pytest.raises(KeyError):
+        sql_query("SELECT nosuch FROM docs WHERE nosuch = 1", tables)
