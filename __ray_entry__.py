@@ -5,7 +5,7 @@ sf0.001 documents table through the adaptive columnar compression
 engine). ``queries()``/``oracle_sql()`` — per-operator surface checked
 against DuckDB at sf0.01 (see arcade_ray/entry_queries.py).
 
-Query inventory (113 entries, 100 DuckDB-oracled; the driver samples
+Query inventory (124 entries, 111 DuckDB-oracled; the driver samples
 the first 50, curated to cover every operator family). Families:
 
 - engine core: scans/roundtrips (all 10 testdata tables incl.
@@ -30,6 +30,9 @@ the first 50, curated to cover every operator family). Families:
   ann_topk exact, LSH/IVF/persisted-index/int8 recall contracts,
   embedding_near_dup, kmeans, vector norms, explode
 - corpus ops: mix/repeat/stratified-sample sources, pack_sequences
+- SQL frontend (sql.py): sql_filter_topk / sql_group_having /
+  sql_join_agg run the SAME SQL string compiled onto the engine's
+  operators and verbatim in DuckDB — parity by construction
 - multimodal: image_features (actor-pool plumbing, sandbox kernels)
 
 Ray is initialised by the driver BEFORE this module is imported: no

@@ -318,6 +318,56 @@ def q_knn_graph(sf_dir: str) -> pa.Table:
 
 
 
+# --- SQL frontend: the SAME string runs compiled onto the engine
+# (queries) and verbatim in DuckDB (oracle) — parity by construction.
+
+_SQL_FILTER_TOPK = (
+    "SELECT doc_id, n_chars FROM documents WHERE lang = 'en' AND "
+    "n_chars > 100 ORDER BY n_chars DESC, doc_id LIMIT 25")
+
+_SQL_GROUP_HAVING = (
+    "SELECT source, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+    "COUNT(*) AS n_rows FROM documents GROUP BY source "
+    "HAVING COUNT(*) > 10 ORDER BY source")
+
+_SQL_JOIN_AGG = (
+    "SELECT c_mktsegment, COUNT(*) AS n_orders, "
+    "CAST(SUM(o_custkey) AS BIGINT) AS sum_ck FROM orders "
+    "JOIN customer ON o_custkey = c_custkey "
+    "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+
+
+def q_sql_filter_topk(sf_dir: str) -> pa.Table:
+    """SQL frontend, row path: WHERE compiles to the zone-pruned 3VL
+    predicate tree, ORDER BY+LIMIT runs as distributed partial
+    top-k (sql.py; parsed by DuckDB's json_serialize_sql)."""
+    from .sql import sql_query
+
+    return sql_query(_SQL_FILTER_TOPK,
+                     {"documents": encoded_dir(sf_dir, "documents")})
+
+
+def q_sql_group_having(sf_dir: str) -> pa.Table:
+    """SQL frontend, aggregate path: this shape (no WHERE, one string
+    key, one int value column) routes through the decode-free
+    dict_group_aggregate; HAVING evaluates over the merged atoms."""
+    from .sql import sql_query
+
+    return sql_query(_SQL_GROUP_HAVING,
+                     {"documents": encoded_dir(sf_dir, "documents")})
+
+
+def q_sql_join_agg(sf_dir: str) -> pa.Table:
+    """SQL frontend, join path: the equi-join runs through
+    copartition_join's hash-bucketed exchange, the aggregation as
+    streamed per-batch partials merged on the driver."""
+    from .sql import sql_query
+
+    return sql_query(_SQL_JOIN_AGG,
+                     {"orders": encoded_dir(sf_dir, "orders"),
+                      "customer": encoded_dir(sf_dir, "customer")})
+
+
 def q_tfidf_sparse(sf_dir: str) -> pa.Table:
     """Sparse hashed TF-IDF vectors (textops.tfidf_sparse): feature
     hashing via md5(word) % dim so the SQL oracle reproduces the
@@ -2150,12 +2200,12 @@ QUERIES = {
     "ts_range_filter": q_ts_range_filter,
     "compound_filter": q_compound_filter,
     "heavy_hitters": q_heavy_hitters,
-    "negation_filter": q_negation_filter,
+    "sql_filter_topk": q_sql_filter_topk,
     "isnull_filter": q_isnull_filter,
     "plan_stats": q_plan_stats,
     "stats_meta": q_stats_meta,
     "schema_evolution": q_schema_evolution,
-    "schema_evolution_filter": q_schema_evolution_filter,
+    "sql_join_agg": q_sql_join_agg,
     "stats_meta_nulls": q_stats_meta_nulls,
     "dup_ngram_stats": q_dup_ngram_stats,
     "distinct_sources": q_distinct_sources,
@@ -2259,6 +2309,9 @@ QUERIES = {
     "distinctive_terms": q_distinctive_terms,
     "chunk_documents": q_chunk_documents,
     "float_percentiles_cont": q_float_percentiles_cont,
+    "negation_filter": q_negation_filter,
+    "schema_evolution_filter": q_schema_evolution_filter,
+    "sql_group_having": q_sql_group_having,
 }
 
 _IDS_SQL = ", ".join(str(i) for i in LOOKUP_IDS)
@@ -2894,6 +2947,11 @@ ORACLE_SQL = {
         "chunk_id*24+32), ' ') AS text "
         "FROM e ORDER BY doc_id, chunk_id"
     ),
+    # SQL frontend: the oracle IS the compiled string — parity by
+    # construction (sql.py executes it on the engine, DuckDB verbatim)
+    "sql_filter_topk": _SQL_FILTER_TOPK,
+    "sql_group_having": _SQL_GROUP_HAVING,
+    "sql_join_agg": _SQL_JOIN_AGG,
     # compression_metrics, lang_id, quality_scores, minhash_pairs,
     # simhash_pairs, ann_topk_lsh, decontaminate (n=13): intentionally
     # no oracle (engine-side semantics with no exact SQL equivalent ->
