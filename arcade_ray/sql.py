@@ -27,8 +27,13 @@ Supported subset (single SELECT statement):
   BETWEEN, IN, LIKE / NOT LIKE, IS [NOT] NULL, AND, OR, NOT;
   GROUP BY over string columns with COUNT(*) / COUNT(col) / SUM /
   MIN / MAX / AVG (plus CAST and +,-,*,/ arithmetic over aggregates);
-  HAVING; ORDER BY; LIMIT / OFFSET.  Unsupported constructs raise
-  ``SqlUnsupported`` with the offending AST class named.
+  HAVING; ORDER BY; LIMIT / OFFSET; SELECT DISTINCT (streamed
+  per-batch distinct, merged on the driver); uncorrelated subqueries —
+  ``IN (SELECT ...)`` compiles to the code-domain IN leaf over the
+  subquery's distinct set (the semi-join shape; NOT IN honors SQL's
+  NULL-poisoning), scalar subqueries fold to constants.  Unsupported
+  constructs raise ``SqlUnsupported`` with the offending AST class
+  named.
 
 Reference lineage: the reference engine exposes single-predicate
 scans from a CLI (/root/reference/README.md:122); this module is the
@@ -175,13 +180,76 @@ _FLIP = {"COMPARE_GREATERTHAN": "COMPARE_LESSTHAN",
          "COMPARE_NOTEQUAL": "COMPARE_NOTEQUAL"}
 
 
-def _compile_pred(node: dict):
+def _never_true(col: str):
+    """A predicate tree no row satisfies (matches SQL UNKNOWN-only
+    outcomes like ``x NOT IN (..., NULL)``)."""
+    return ("and", [("isnull", col), ("notnull", col)])
+
+
+def _subquery_in_values(node: dict, tables: dict):
+    """Evaluate an uncorrelated IN-subquery to its DISTINCT value
+    set. The set lands on the driver (the same bound as semi_join's
+    broadcast key-set path — use semi_join_large for key sets past
+    driver memory); the outer predicate then runs as the engine's
+    code-domain IN leaf (each dictionary entry tested once)."""
+    sub = node["subquery"]["node"]
+    res = _execute_node(sub, tables)
+    if not isinstance(res, pa.Table):
+        from .collect import collect_arrow
+
+        res = collect_arrow(res)
+    if res.num_columns != 1:
+        raise SqlUnsupported("IN-subquery must select exactly one column")
+    col = res.column(0).combine_chunks()
+    has_null = col.null_count > 0
+    vals = pc.unique(pc.drop_null(col)).to_pylist()
+    return vals, has_null
+
+
+def _scalar_subquery(node: dict, tables: dict):
+    sub = node["subquery"]["node"]
+    res = _execute_node(sub, tables)
+    if not isinstance(res, pa.Table):
+        from .collect import collect_arrow
+
+        res = collect_arrow(res)
+    if res.num_columns != 1 or res.num_rows > 1:
+        raise SqlUnsupported("scalar subquery must yield one value")
+    return res.column(0)[0].as_py() if res.num_rows else None
+
+
+def _compile_in_subquery(node: dict, tables: dict, col: str):
+    vals, has_null = _subquery_in_values(node, tables)
+    if not vals:
+        return _never_true(col), has_null
+    return ("in", col, vals), has_null
+
+
+def _compile_pred(node: dict, tables: dict, neg: bool = False):
+    """``neg``: whether an enclosing NOT inverts this subtree — only
+    null-bearing IN-subqueries care (their UNKNOWN rows flip from
+    harmless to load-bearing under negation)."""
     cls, typ = node.get("class"), node.get("type")
     if cls == "CONJUNCTION":
         op = "and" if typ == "CONJUNCTION_AND" else "or"
-        return (op, [_compile_pred(c) for c in node["children"]])
+        return (op, [_compile_pred(c, tables, neg)
+                     for c in node["children"]])
     if cls == "COMPARISON":
         left, right = node["left"], node["right"]
+        if right.get("class") == "SUBQUERY":
+            if left["class"] != "COLUMN_REF":
+                raise SqlUnsupported("subquery compare needs a column")
+            v = _scalar_subquery(right, tables)
+            col = _colref(left)
+            return _never_true(col) if v is None \
+                else _cmp_tree(typ, col, v)
+        if left.get("class") == "SUBQUERY":
+            if right["class"] != "COLUMN_REF":
+                raise SqlUnsupported("subquery compare needs a column")
+            v = _scalar_subquery(left, tables)
+            col = _colref(right)
+            return _never_true(col) if v is None \
+                else _cmp_tree(_FLIP[typ], col, v)
         if left["class"] == "COLUMN_REF" and right["class"] == "CONSTANT":
             return _cmp_tree(typ, _colref(left), _const_value(right))
         if left["class"] == "CONSTANT" and right["class"] == "COLUMN_REF":
@@ -190,9 +258,34 @@ def _compile_pred(node: dict):
     if cls == "BETWEEN":
         return ("between", _colref(node["input"]),
                 _const_value(node["lower"]), _const_value(node["upper"]))
+    if cls == "SUBQUERY":
+        if node.get("subquery_type") != "ANY" \
+                or node.get("comparison_type") != "COMPARE_EQUAL":
+            raise SqlUnsupported(
+                f"subquery type {node.get('subquery_type')!r}")
+        if node["child"]["class"] != "COLUMN_REF":
+            raise SqlUnsupported("IN-subquery operand must be a column")
+        col = _colref(node["child"])
+        tree, has_null = _compile_in_subquery(node, tables, col)
+        if has_null and neg:
+            raise SqlUnsupported(
+                "negated IN over a subquery returning NULLs "
+                "(its UNKNOWN rows have no engine-leaf encoding)")
+        return tree
     if cls == "OPERATOR":
         if typ == "OPERATOR_NOT":
-            return ("not", _compile_pred(node["children"][0]))
+            child = node["children"][0]
+            if child.get("class") == "SUBQUERY" \
+                    and child.get("subquery_type") == "ANY":
+                # direct NOT IN (SELECT ...): a NULL in the set makes
+                # every non-matching row UNKNOWN -> zero rows survive
+                if child["child"]["class"] != "COLUMN_REF":
+                    raise SqlUnsupported("IN-subquery operand must be "
+                                         "a column")
+                col = _colref(child["child"])
+                tree, has_null = _compile_in_subquery(child, tables, col)
+                return _never_true(col) if has_null else ("not", tree)
+            return ("not", _compile_pred(child, tables, not neg))
         if typ in ("COMPARE_IN", "COMPARE_NOT_IN"):
             ch = node["children"]
             col = _colref(ch[0])
@@ -276,6 +369,8 @@ def _expr_name(node: dict) -> str:
             return "count_star()"
         args = ", ".join(_expr_name(c) for c in node["children"])
         return f"{fn}({args})"
+    if cls == "CONSTANT":
+        return str(_const_value(node))
     raise SqlUnsupported(f"cannot name expression class {cls!r}")
 
 
@@ -588,6 +683,8 @@ def _modifiers(node: dict):
                 limit = _const_value(m["limit"])
             if m.get("offset"):
                 offset = _const_value(m["offset"])
+        elif m["type"] == "DISTINCT_MODIFIER":
+            pass  # handled by _distinct_modifier before dispatch
         else:
             raise SqlUnsupported(f"modifier {m['type']!r}")
     return order, limit, offset
@@ -781,7 +878,19 @@ def sql_query(sql: str, tables: dict[str, str]):
     Returns a pyarrow Table (aggregates / ordered results) or a
     ray.data.Dataset (unordered row streams — kept lazy so callers
     can write_parquet without materializing)."""
-    node = _parse(sql)
+    return _execute_node(_parse(sql), tables)
+
+
+def _distinct_modifier(node: dict) -> bool:
+    for m in node.get("modifiers", []):
+        if m["type"] == "DISTINCT_MODIFIER":
+            if m.get("distinct_on_targets"):
+                raise SqlUnsupported("DISTINCT ON")
+            return True
+    return False
+
+
+def _execute_node(node: dict, tables: dict[str, str]):
     if node.get("qualify") or node.get("sample"):
         raise SqlUnsupported("QUALIFY / SAMPLE")
     if node.get("cte_map", {}).get("map"):
@@ -794,7 +903,7 @@ def sql_query(sql: str, tables: dict[str, str]):
                            f"(have: {sorted(tables)})")
         where_tree = None
         if node.get("where_clause"):
-            where_tree = _compile_pred(node["where_clause"])
+            where_tree = _compile_pred(node["where_clause"], tables)
         src = _TableSource(tables[tname], where_tree)
     elif ft.get("type") == "JOIN":
         src = _JoinSource(ft, tables, node.get("where_clause"))
@@ -812,6 +921,10 @@ def sql_query(sql: str, tables: dict[str, str]):
         _collect_aggs(having, agg_atoms)
     is_agg = bool(group_exprs) or bool(agg_atoms)
 
+    if _distinct_modifier(node):
+        if is_agg:
+            raise SqlUnsupported("DISTINCT over aggregate output")
+        return _run_distinct_query(src, node, select)
     if not is_agg:
         return _run_row_query(src, node, select)
     return _run_agg_query(src, node, select, group_exprs, agg_atoms,
@@ -923,6 +1036,45 @@ def _run_row_query(src, node: dict, select: list):
     from .collect import collect_arrow
 
     return finish(collect_arrow(ds))
+
+
+def _run_distinct_query(src, node: dict, select: list):
+    """SELECT DISTINCT cols: per-batch pyarrow distinct (group_by with
+    no aggregates — the map-side combine), merged on the driver;
+    O(distinct combinations) driver state, the data never collects."""
+    project = []
+    for item in select:
+        base = item["child"] if item["class"] == "CAST" else item
+        if base["class"] != "COLUMN_REF":
+            raise SqlUnsupported("DISTINCT projects plain columns")
+        project.append(_colref(base))
+    cols = list(dict.fromkeys(project))
+    ds = src.stream(cols)
+
+    def part(batch: pa.Table) -> pa.Table:
+        return batch.group_by(cols).aggregate([])
+
+    parts = [b for b in ds.map_batches(
+        part, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow")]
+    parts = [p for p in parts if p.num_rows]
+    if parts:
+        table = pa.concat_tables(
+            parts, promote_options="permissive").group_by(
+                cols).aggregate([])
+    else:
+        table = src.empty(cols)
+
+    cols_out = {}
+    for item in select:
+        name = _expr_name(item)
+        if item["class"] == "CAST":
+            cols_out[name] = pc.cast(table[_colref(item["child"])],
+                                     _TYPE_MAP[item["cast_type"]["id"]])
+        else:
+            cols_out[name] = table[_colref(item)]
+    table = pa.table(cols_out)
+    return _apply_order_limit(table, node, {}, [])
 
 
 def _run_agg_query(src, node: dict, select: list,

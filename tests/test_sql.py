@@ -216,12 +216,43 @@ def test_join_where_on_both_sides(sqlenv):
                   "WHERE weight > 30 AND lang = 'en' AND n_chars < 500")
 
 
+# --- DISTINCT and subqueries ---------------------------------------------
+
+def test_select_distinct(sqlenv):
+    check(sqlenv, "SELECT DISTINCT source FROM docs ORDER BY source")
+    check(sqlenv, "SELECT DISTINCT lang, source FROM docs "
+                  "WHERE n_chars > 2000 ORDER BY lang, source")
+
+
+def test_in_subquery_semi_join(sqlenv):
+    check(sqlenv, "SELECT doc_id FROM docs WHERE source IN "
+                  "(SELECT source FROM meta WHERE weight > 50)")
+
+
+def test_not_in_subquery(sqlenv):
+    # meta.source has no nulls -> anti-join semantics
+    check(sqlenv, "SELECT doc_id FROM docs WHERE source NOT IN "
+                  "(SELECT source FROM meta WHERE weight > 50)")
+
+
+def test_not_in_subquery_null_poisoning(sqlenv):
+    # lang contains NULLs: SQL says NOT IN yields zero rows
+    q = ("SELECT doc_id FROM docs WHERE lang NOT IN "
+         "(SELECT lang FROM docs WHERE n_chars > 4900)")
+    t = check(sqlenv, q)
+    assert t.num_rows == 0  # the subquery set contains NULL
+
+
+def test_scalar_subquery_compare(sqlenv):
+    check(sqlenv, "SELECT doc_id FROM docs WHERE n_chars > "
+                  "(SELECT MAX(n_chars) - 50 FROM docs)")
+
+
 # --- contract -------------------------------------------------------------
 
 def test_unsupported_constructs_raise(sqlenv):
     tables, _ = sqlenv
     for q in (
-        "SELECT DISTINCT source FROM docs",
         "SELECT source FROM docs QUALIFY row_number() OVER () = 1",
         "WITH x AS (SELECT 1) SELECT * FROM x",
         "SELECT count(DISTINCT source) FROM docs",
