@@ -319,7 +319,14 @@ def _collect_aggs(node: dict, out: list):
         fn = node["function_name"]
         if fn in _AGG_FNS:
             if node.get("distinct"):
-                raise SqlUnsupported("DISTINCT aggregates")
+                if fn != "count" or not node["children"]:
+                    raise SqlUnsupported(f"DISTINCT {fn} aggregate")
+                ch = node["children"][0]
+                if ch["class"] != "COLUMN_REF":
+                    raise SqlUnsupported(
+                        "COUNT(DISTINCT ...) needs a plain column")
+                out.append(("count_distinct", _colref(ch)))
+                return
             if fn == "count_star" or not node["children"]:
                 out.append(("count_star", None))
             else:
@@ -395,9 +402,13 @@ def _eval_expr(node: dict, env: dict, n_rows: int):
     if cls == "FUNCTION":
         fn = node["function_name"]
         if fn in _AGG_FNS:
-            key = ("agg", "count_star", None) \
-                if fn == "count_star" or not node["children"] \
-                else ("agg", fn, _colref(node["children"][0]))
+            if node.get("distinct"):
+                key = ("agg", "count_distinct",
+                       _colref(node["children"][0]))
+            elif fn == "count_star" or not node["children"]:
+                key = ("agg", "count_star", None)
+            else:
+                key = ("agg", fn, _colref(node["children"][0]))
             return env[key]
         if fn in ("~~", "!~~"):
             arr = _eval_expr(node["children"][0], env, n_rows)
@@ -542,6 +553,39 @@ def _partial_agg_stream(ds, keys: list[str], atoms: list[tuple]):
     if not keys:
         out = out.drop_columns([c for c in ("__k",) if c in out.column_names])
     return out
+
+
+def _count_distinct_counts(src, keys: list[str], col: str,
+                           merged: pa.Table | None, n: int) -> pa.Array:
+    """COUNT(DISTINCT col) [per group]: per-batch distinct of
+    (keys, col) — the map-side combine, shuffling one row per distinct
+    pair per block — then a driver-side distinct + valid-count,
+    aligned to ``merged``'s group rows (0 for groups whose col is
+    all-null)."""
+    gcols = list(dict.fromkeys(keys + [col]))
+    ds = src.stream(gcols)
+
+    def part(batch: pa.Table) -> pa.Table:
+        return batch.group_by(gcols).aggregate([])
+
+    parts = [b for b in ds.map_batches(
+        part, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow")]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.array([0] * n, type=pa.int64())
+    dd = pa.concat_tables(parts, promote_options="permissive") \
+        .group_by(gcols).aggregate([])
+    if not keys:
+        v = len(pc.drop_null(dd[col].combine_chunks()))
+        return pa.array([v] * n, type=pa.int64())
+    cnt = dd.group_by(keys).aggregate(
+        [(col, "count", pc.CountOptions(mode="only_valid"))])
+    lut = {tuple(r[k] for k in keys): r[f"{col}_count"]
+           for r in cnt.to_pylist()}
+    rows = zip(*[merged[k].to_pylist() for k in keys]) if n else []
+    return pa.array([lut.get(t, 0) for t in map(tuple, rows)],
+                    type=pa.int64())
 
 
 def _agg_env(table: pa.Table | None, keys: list[str],
@@ -1104,19 +1148,31 @@ def _run_agg_query(src, node: dict, select: list,
                 pseen.add(e)
                 partial_atoms.append(e)
 
+    cd_atoms = sorted({(f, c) for f, c in partial_atoms
+                       if f == "count_distinct"})
+    reg_atoms = [a for a in partial_atoms if a[0] != "count_distinct"]
+    if cd_atoms and not any(f == "count_star" for f, _ in reg_atoms):
+        # group enumerator: every group gets a row even when only
+        # COUNT(DISTINCT) was selected
+        reg_atoms.append(("count_star", None))
+
     merged = None
     if src.unfiltered_dir is not None and len(keys) == 1:
         merged = _decode_free_group_agg(src.unfiltered_dir, keys[0],
-                                        partial_atoms)
+                                        reg_atoms)
     if merged is None:
-        vcols = sorted({c for _, c in partial_atoms if c is not None})
+        vcols = sorted({c for _, c in reg_atoms if c is not None})
         need = list(dict.fromkeys(keys + vcols))
         if not need:
             need = src.columns()[:1]
         ds = src.stream(need)
-        merged = _partial_agg_stream(ds, keys, partial_atoms)
+        merged = _partial_agg_stream(ds, keys, reg_atoms)
 
-    env, n = _agg_env(merged, keys, atoms)
+    env, n = _agg_env(merged, keys,
+                      [a for a in atoms if a[0] != "count_distinct"])
+    for _, col in cd_atoms:
+        env[("agg", "count_distinct", col)] = \
+            _count_distinct_counts(src, keys, col, merged, n)
     if having is not None:
         mask = _eval_expr(having, env, n)
         if isinstance(mask, pa.ChunkedArray):

@@ -248,6 +248,17 @@ def test_scalar_subquery_compare(sqlenv):
                   "(SELECT MAX(n_chars) - 50 FROM docs)")
 
 
+def test_count_distinct(sqlenv):
+    check(sqlenv, "SELECT source, COUNT(DISTINCT lang) AS nl, "
+                  "COUNT(*) AS n FROM docs GROUP BY source "
+                  "ORDER BY source")
+    check(sqlenv, "SELECT COUNT(DISTINCT source) AS ns FROM docs "
+                  "WHERE n_chars > 2500")
+    check(sqlenv, "SELECT lang, COUNT(DISTINCT source) AS ns FROM docs "
+                  "GROUP BY lang HAVING COUNT(DISTINCT source) > 5 "
+                  "ORDER BY lang")
+
+
 # --- contract -------------------------------------------------------------
 
 def test_unsupported_constructs_raise(sqlenv):
@@ -255,7 +266,7 @@ def test_unsupported_constructs_raise(sqlenv):
     for q in (
         "SELECT source FROM docs QUALIFY row_number() OVER () = 1",
         "WITH x AS (SELECT 1) SELECT * FROM x",
-        "SELECT count(DISTINCT source) FROM docs",
+        "SELECT sum(DISTINCT n_chars) FROM docs",
         "SELECT d1.doc_id FROM docs d1 JOIN docs d2 ON d1.doc_id = "
         "d2.doc_id JOIN meta ON d1.source = meta.source",
     ):
