@@ -605,6 +605,11 @@ def cmd_sql(args) -> None:
         if not d:
             raise SystemExit(f"--table needs name=dir, got {spec!r}")
         tables[name] = d
+    if args.explain:
+        from .sql import explain_sql
+
+        print(explain_sql(args.query, tables))
+        return
     t0 = time.perf_counter()
     res = sql_query(args.query, tables)
     import pyarrow as pa
@@ -866,6 +871,9 @@ def main(argv=None) -> None:
                     "(repeatable)")
     sq.add_argument("--out", help="write row-stream results to parquet")
     sq.add_argument("--show", type=int, default=20)
+    sq.add_argument("--explain", action="store_true",
+                    help="print the compiled plan (operator routing + "
+                    "partition pruning) without executing")
     sq.set_defaults(fn=cmd_sql)
 
     args = p.parse_args(argv)

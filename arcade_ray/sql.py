@@ -49,7 +49,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["sql_query", "SqlUnsupported"]
+__all__ = ["sql_query", "explain_sql", "SqlUnsupported"]
 
 
 class SqlUnsupported(ValueError):
@@ -625,13 +625,14 @@ def _agg_env(table: pa.Table | None, keys: list[str],
     return env, n
 
 
-def _decode_free_group_agg(out_dir: str, key: str, atoms: list[tuple]):
-    """Route an eligible GROUP BY through dict_group_aggregate (key
-    codes never materialize per row). Eligible: one string key, all
-    value atoms over ONE column, COUNT(col)/AVG only if the manifest
-    proves the column null-free. Returns the atom table or None if
-    ineligible (caller falls back to the streamed partial path)."""
-    from .pipeline.query import _manifest_paths, dict_value_counts
+def _decode_free_eligible(out_dir: str, key: str,
+                          atoms: list[tuple]) -> str | None:
+    """Whether this GROUP BY shape can run decode-free. Returns the
+    single value column name, "" for pure COUNT(*), or None if the
+    shape needs the streamed partial path (multiple value columns,
+    non-int value, non-string key, or COUNT(col)/AVG over a column
+    the manifest shows has nulls)."""
+    from .pipeline.query import _manifest_paths
     from .format import read_header
 
     vcols = {c for f, c in atoms if f != "count_star"}
@@ -645,23 +646,36 @@ def _decode_free_group_agg(out_dir: str, key: str, atoms: list[tuple]):
             or header0["columns"][key]["kind"] != "str":
         return None
     if not vcols:
-        # pure COUNT(*): bincount over codes, zero value decode
-        t = dict_value_counts(out_dir, key)
-        cnt = t.column(1)
-        return pa.table({key: t[key],
-                         "count_star()": pc.cast(cnt, pa.int64())})
+        return ""
     vcol = vcols.pop()
     cm = header0["columns"].get(vcol)
     if cm is None or cm["kind"] not in ("int",):
         return None
-    needs_valid_count = any(f in ("count", "avg") for f, _ in atoms)
-    if needs_valid_count:
+    if any(f in ("count", "avg") for f, _ in atoms):
         total_nulls = 0
         for r in rows:
             s = json.loads(r["col_stats"]).get(vcol, {})
             total_nulls += int(s.get("nulls") or 0)
         if total_nulls:
             return None  # COUNT(col) != n_rows — generic path
+    return vcol
+
+
+def _decode_free_group_agg(out_dir: str, key: str, atoms: list[tuple]):
+    """Route an eligible GROUP BY through dict_group_aggregate (key
+    codes never materialize per row). Returns the atom table or None
+    if ineligible (caller falls back to the streamed partial path)."""
+    from .pipeline.query import dict_value_counts
+
+    vcol = _decode_free_eligible(out_dir, key, atoms)
+    if vcol is None:
+        return None
+    if vcol == "":
+        # pure COUNT(*): bincount over codes, zero value decode
+        t = dict_value_counts(out_dir, key)
+        cnt = t.column(1)
+        return pa.table({key: t[key],
+                         "count_star()": pc.cast(cnt, pa.int64())})
     from .pipeline.query import dict_group_aggregate
 
     t = dict_group_aggregate(out_dir, key, vcol)
@@ -923,6 +937,110 @@ def sql_query(sql: str, tables: dict[str, str]):
     ray.data.Dataset (unordered row streams — kept lazy so callers
     can write_parquet without materializing)."""
     return _execute_node(_parse(sql), tables)
+
+
+def _pruning_counts(out_dir: str, tree) -> tuple[int, int]:
+    """(surviving, total) partitions for a compiled predicate tree,
+    from manifest zone maps + partition Bloom filters — what
+    compound_filter will actually schedule tasks for."""
+    from .format import read_header
+    from .pipeline.query import (_manifest_paths, _normalize_pred,
+                                 _zone_excluded)
+
+    rows = _manifest_paths(out_dir)
+    if not rows:
+        return 0, 0
+    header0, _ = read_header(rows[0]["path"])
+    nt = _normalize_pred(tree)
+    surv = sum(1 for r in rows
+               if not _zone_excluded(header0,
+                                     json.loads(r["col_stats"]), nt))
+    return surv, len(rows)
+
+
+def explain_sql(sql: str, tables: dict[str, str]) -> str:
+    """Human-readable compilation plan for ``sql``: which engine
+    operator each clause lowers to, the compiled predicate tree, and
+    the manifest-level partition pruning it would achieve. Subqueries
+    are evaluated (they fold to constants / IN-sets at compile time);
+    the main query is NOT executed."""
+    node = _parse(sql)
+    lines: list[str] = []
+    ft = node["from_table"]
+    select = node["select_list"]
+    group_exprs = node.get("group_expressions") or []
+    agg_atoms: list[tuple] = []
+    for item in select:
+        if item["class"] != "STAR":
+            _collect_aggs(item, agg_atoms)
+    if node.get("having"):
+        _collect_aggs(node["having"], agg_atoms)
+    distinct = _distinct_modifier(node)
+    order, limit, offset = _modifiers(node)
+
+    if ft.get("type") == "BASE_TABLE":
+        tname = ft["table_name"]
+        if tname not in tables:
+            raise KeyError(f"table {tname!r} not provided")
+        out_dir = tables[tname]
+        lines.append(f"scan {tname} [{out_dir}]")
+        if node.get("where_clause"):
+            tree = _compile_pred(node["where_clause"], tables)
+            lines.append(f"  where -> compound_filter tree: {tree!r}")
+            surv, total = _pruning_counts(out_dir, tree)
+            lines.append("  partitions after zone/Bloom pruning: "
+                         f"{surv}/{total}")
+    elif ft.get("type") == "JOIN":
+        src = _JoinSource(ft, tables, node.get("where_clause"))
+        lines.append(f"copartition_join [{src.join_type}] "
+                     f"{src.ldir} ({src.lkey}) x {src.rdir} "
+                     f"({src.rkey})")
+        lines.append("  hash-bucketed exchange, Arrow hash join per "
+                     "bucket")
+        if src.where_node is not None:
+            lines.append("  where -> post-join 3VL batch filter "
+                         "(SQL evaluation order)")
+    else:
+        raise SqlUnsupported(f"FROM type {ft.get('type')!r}")
+
+    if distinct:
+        lines.append("distinct -> per-batch pyarrow distinct, driver "
+                     "merge (O(distinct) state)")
+    elif group_exprs or agg_atoms:
+        keys = [_colref(g) for g in group_exprs
+                if g["class"] == "COLUMN_REF"]
+        atoms = sorted({a for a in agg_atoms})
+        cd = [a for a in atoms if a[0] == "count_distinct"]
+        reg = [a for a in atoms if a[0] != "count_distinct"]
+        route = "streamed per-batch partial aggregation, driver merge"
+        if ft.get("type") == "BASE_TABLE" \
+                and not node.get("where_clause") and len(keys) == 1:
+            expand = []
+            for fn, col in reg:
+                expand += [("sum", col), ("count", col)] \
+                    if fn == "avg" else [(fn, col)]
+            if _decode_free_eligible(tables[ft["table_name"]], keys[0],
+                                     expand) is not None:
+                route = ("DECODE-FREE dict_group_aggregate (key codes "
+                         "never materialize per row)")
+        lines.append(f"group by {keys or '(global)'} -> {route}")
+        if cd:
+            lines.append(f"  count(distinct {[c for _, c in cd]}) -> "
+                         "two-stage distinct (per-batch pairs, driver "
+                         "valid-count)")
+        if node.get("having"):
+            lines.append("having -> driver filter over merged atoms")
+    if order:
+        how = "distributed per-batch partial top-k, driver merge" \
+            if limit is not None and not (group_exprs or agg_atoms
+                                          or distinct) \
+            else "driver sort of the (small) result"
+        lines.append(f"order by {[_expr_name(e) for e, _ in order]} "
+                     f"-> {how}")
+    if limit is not None:
+        lines.append(f"limit {limit}" + (f" offset {offset}"
+                                         if offset else ""))
+    return "\n".join(lines)
 
 
 def _distinct_modifier(node: dict) -> bool:

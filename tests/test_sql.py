@@ -259,6 +259,29 @@ def test_count_distinct(sqlenv):
                   "ORDER BY lang")
 
 
+# --- explain --------------------------------------------------------------
+
+def test_explain_routes(sqlenv):
+    from arcade_ray.sql import explain_sql
+
+    tables, _ = sqlenv
+    p = explain_sql("SELECT source, COUNT(*) n FROM docs "
+                    "GROUP BY source", tables)
+    assert "DECODE-FREE" in p
+    p = explain_sql("SELECT source, COUNT(*) n FROM docs "
+                    "WHERE lang = 'en' GROUP BY source", tables)
+    assert "streamed per-batch partial aggregation" in p
+    p = explain_sql("SELECT doc_id FROM docs WHERE source = 'src-1'",
+                    tables)
+    assert "compound_filter tree" in p and "pruning" in p
+    p = explain_sql("SELECT doc_id, region FROM docs "
+                    "JOIN meta ON docs.source = meta.source", tables)
+    assert "copartition_join" in p
+    p = explain_sql("SELECT doc_id FROM docs ORDER BY n_chars LIMIT 3",
+                    tables)
+    assert "partial top-k" in p
+
+
 # --- contract -------------------------------------------------------------
 
 def test_unsupported_constructs_raise(sqlenv):
