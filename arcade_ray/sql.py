@@ -1073,6 +1073,11 @@ def _execute_node(node: dict, tables: dict[str, str]):
         raise SqlUnsupported(f"FROM type {ft.get('type')!r}")
 
     select = node["select_list"]
+    if any(item["class"] != "STAR" and _window_item(item) is not None
+           for item in select):
+        if node.get("group_expressions") or node.get("having"):
+            raise SqlUnsupported("window functions with GROUP BY")
+        return _run_window_query(src, node, select)
     group_exprs = node.get("group_expressions") or []
     agg_atoms: list[tuple] = []
     for item in select:
@@ -1198,6 +1203,251 @@ def _run_row_query(src, node: dict, select: list):
     from .collect import collect_arrow
 
     return finish(collect_arrow(ds))
+
+
+_WINDOW_TYPES = {"WINDOW_ROW_NUMBER", "WINDOW_RANK", "WINDOW_RANK_DENSE",
+                 "WINDOW_LAG", "WINDOW_LEAD", "WINDOW_AGGREGATE"}
+
+
+def _window_item(item: dict):
+    """(window_node, cast_type|None) if this select item is a window
+    expression (optionally CAST-wrapped), else None."""
+    if item.get("class") == "WINDOW":
+        return item, None
+    if item.get("class") == "CAST" \
+            and item["child"].get("class") == "WINDOW":
+        return item["child"], item["cast_type"]["id"]
+    return None
+
+
+def _run_window_query(src, node: dict, select: list):
+    """Window functions over the filtered stream: ROW_NUMBER / RANK /
+    DENSE_RANK / LAG / LEAD / running SUM-COUNT-AVG, all sharing one
+    OVER (PARTITION BY ... ORDER BY ...) spec. Scale shape =
+    windows.ranked_gaps: one hash shuffle into ~2x-CPU coarse buckets
+    co-locates each partition key's rows; inside a bucket ONE arrow
+    sort + numpy segment arithmetic computes every window column at
+    once — Python cost is O(buckets), not O(keys). Running aggregates
+    follow SQL's default frame (RANGE UNBOUNDED PRECEDING .. CURRENT
+    ROW): peers by the order key share the frame-end value."""
+    import numpy as np
+
+    wins: list[tuple] = []          # (out_name, wnode, cast)
+    passthru: list[str] = []        # plain projected columns
+    names: list[str] = []
+    sel_map: list[tuple] = []       # (out_name, source_col) per item
+    for item in select:
+        if item["class"] == "STAR":
+            raise SqlUnsupported("SELECT * with window functions")
+        w = _window_item(item)
+        if w is not None:
+            wnode, cast = w
+            names.append(_expr_name(item))
+            wins.append((names[-1], wnode, cast))
+            sel_map.append((names[-1], names[-1]))
+        elif item["class"] == "COLUMN_REF":
+            passthru.append(_colref(item))
+            names.append(_expr_name(item))
+            sel_map.append((names[-1], _colref(item)))
+        else:
+            raise SqlUnsupported(
+                "window queries project columns and window exprs")
+
+    spec = None
+    for _, wnode, _ in wins:
+        if wnode["type"] not in _WINDOW_TYPES:
+            raise SqlUnsupported(f"window {wnode['type']!r}")
+        if wnode.get("filter_expr") or wnode.get("ignore_nulls"):
+            raise SqlUnsupported("window FILTER / IGNORE NULLS")
+        if wnode["type"] == "WINDOW_AGGREGATE":
+            if wnode.get("start") != "UNBOUNDED_PRECEDING" \
+                    or wnode.get("end") != "CURRENT_ROW_RANGE":
+                raise SqlUnsupported(
+                    "only the default running frame (RANGE UNBOUNDED "
+                    "PRECEDING .. CURRENT ROW) is compiled; use "
+                    "windows.frame_aggs for ROWS frames")
+            if wnode["function_name"] not in ("sum", "count", "avg"):
+                raise SqlUnsupported(
+                    f"running {wnode['function_name']!r} (sum/count/"
+                    "avg compile; min/max need a segmented scan)")
+        pk = tuple(_colref(p) for p in wnode.get("partitions", []))
+        if any(p["class"] != "COLUMN_REF"
+               for p in wnode.get("partitions", [])):
+            raise SqlUnsupported("PARTITION BY must use plain columns")
+        ob = tuple((_colref(o["expression"]),
+                    o["type"] == "DESCENDING")
+                   for o in (wnode.get("orders") or []))
+        if any(o["expression"]["class"] != "COLUMN_REF"
+               for o in (wnode.get("orders") or [])):
+            raise SqlUnsupported("window ORDER BY must use plain columns")
+        if spec is None:
+            spec = (pk, ob)
+        elif spec != (pk, ob):
+            raise SqlUnsupported(
+                "all window functions must share one OVER spec")
+    pkeys, orders = spec
+    if not orders:
+        raise SqlUnsupported("window functions need ORDER BY in OVER")
+
+    need = list(dict.fromkeys(
+        passthru + list(pkeys) + [c for c, _ in orders]
+        + [_colref(w["children"][0]) for _, w, _ in wins
+           if w.get("children")]))
+    ds = src.stream(need)
+
+    from .hashing import hash_column
+
+    import ray
+
+    avail = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    n_buckets = max(8, 2 * avail)
+    pk_list = list(pkeys)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if pk_list:
+            b = (hash_column(batch[pk_list[0]])
+                 % np.uint64(n_buckets)).astype(np.int64)
+            for k in pk_list[1:]:
+                b = (b * 31 + (hash_column(batch[k])
+                               % np.uint64(n_buckets)).astype(np.int64)) \
+                    % n_buckets
+        else:
+            b = np.zeros(batch.num_rows, dtype=np.int64)
+        return batch.append_column("_wb", pa.array(b))
+
+    out_names = list(names)
+    win_specs = [(nm, w["type"], w["function_name"],
+                  _colref(w["children"][0]) if w.get("children") else None,
+                  int(_const_value(w["offset_expr"]))
+                  if w.get("offset_expr") else 1,
+                  _const_value(w["default_expr"])
+                  if w.get("default_expr") else None,
+                  cast)
+                 for nm, w, cast in wins]
+
+    def wpass(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_wb"]) if "_wb" in t.column_names else t
+        if t.num_rows == 0:
+            return pa.table({})
+        sort_keys = [(k, "ascending") for k in pk_list] + \
+            [(c, "descending" if d else "ascending") for c, d in orders]
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys,
+                                   null_placement="at_end"))
+        n = t.num_rows
+
+        def col_np(c):
+            a = t[c].combine_chunks()
+            if pa.types.is_timestamp(a.type) or \
+                    pa.types.is_duration(a.type):
+                a = a.cast(pa.int64())
+            return a
+
+        def change_mask(cols):
+            m = np.zeros(n, dtype=bool)
+            m[0] = True
+            for c in cols:
+                a = col_np(c)
+                neq = pc.fill_null(
+                    pc.not_equal(a.slice(1), a.slice(0, n - 1)), False) \
+                    .to_numpy(zero_copy_only=False)
+                # null vs null: not_equal -> null -> False (same peer);
+                # null vs value -> null too, so compare validity shifts
+                va = pc.is_valid(a).to_numpy(zero_copy_only=False)
+                m[1:] |= neq | (va[1:] != va[:-1])
+            return m
+
+        new_part = change_mask(pk_list) if pk_list \
+            else np.r_[True, np.zeros(n - 1, dtype=bool)]
+        new_peer = new_part | change_mask([c for c, _ in orders])
+        starts = np.flatnonzero(new_part)
+        lens = np.diff(np.concatenate([starts, [n]]))
+        part_start = np.repeat(starts, lens)
+        peer_starts = np.flatnonzero(new_peer)
+        peer_lens = np.diff(np.concatenate([peer_starts, [n]]))
+        peer_start = np.repeat(peer_starts, peer_lens)
+        peer_end = np.repeat(peer_starts + peer_lens - 1, peer_lens)
+        idx = np.arange(n, dtype=np.int64)
+
+        cols = {c: t[c] for c in t.column_names}
+        for nm, wtype, fn, arg, off, dflt, cast in win_specs:
+            if wtype == "WINDOW_ROW_NUMBER":
+                out = pa.array(idx - part_start + 1)
+            elif wtype == "WINDOW_RANK":
+                out = pa.array(peer_start - part_start + 1)
+            elif wtype == "WINDOW_RANK_DENSE":
+                c = np.cumsum(new_peer)
+                out = pa.array(c - np.repeat(c[starts], lens) + 1)
+            elif wtype in ("WINDOW_LAG", "WINDOW_LEAD"):
+                a = t[arg].combine_chunks()
+                if wtype == "WINDOW_LAG":
+                    src_idx = idx - off
+                    valid = src_idx >= part_start
+                else:
+                    src_idx = idx + off
+                    part_end = np.repeat(starts + lens - 1, lens)
+                    valid = src_idx <= part_end
+                gathered = a.take(pa.array(np.clip(src_idx, 0, n - 1)))
+                fill = pa.scalar(dflt, type=a.type) if dflt is not None \
+                    else pa.scalar(None, type=a.type)
+                out = pc.if_else(pa.array(valid), gathered, fill)
+            else:  # WINDOW_AGGREGATE: running sum / count / avg
+                if fn == "count" and arg is None:
+                    vals = np.ones(n, dtype=np.int64)
+                    valid = np.ones(n, dtype=bool)
+                else:
+                    a = col_np(arg)
+                    valid = pc.is_valid(a).to_numpy(zero_copy_only=False)
+                    vals = a.cast(pa.float64()).to_numpy(
+                        zero_copy_only=False) \
+                        if pa.types.is_floating(a.type) \
+                        else pc.fill_null(a, 0).to_numpy(
+                            zero_copy_only=False).astype(np.int64)
+                    vals = np.where(valid, vals, 0)
+                cs = np.cumsum(vals)
+                run = cs - np.repeat(cs[starts] - vals[starts], lens)
+                cv = np.cumsum(valid.astype(np.int64))
+                runc = cv - np.repeat(
+                    cv[starts] - valid[starts].astype(np.int64), lens)
+                run = run[peer_end]
+                runc = runc[peer_end]
+                if fn == "count":
+                    out = pa.array(runc.astype(np.int64))
+                elif fn == "sum":
+                    out = pc.if_else(pa.array(runc > 0), pa.array(run),
+                                     pa.scalar(None, pa.array(run).type))
+                else:  # avg
+                    avg = np.divide(run.astype(np.float64),
+                                    np.maximum(runc, 1))
+                    out = pc.if_else(pa.array(runc > 0),
+                                     pa.array(avg),
+                                     pa.scalar(None, pa.float64()))
+            if cast is not None:
+                out = pc.cast(out, _TYPE_MAP[cast])
+            cols[nm] = out
+        return pa.table({nm: cols[srccol] for nm, srccol in sel_map})
+
+    out = (ds.map_batches(assign, batch_format="pyarrow")
+             .groupby("_wb")
+             .map_groups(wpass, batch_format="pyarrow"))
+
+    order, limit, offset = _modifiers(node)
+    if order and limit is not None:
+        for e, _ in order:
+            if e.get("class") != "COLUMN_REF":
+                raise SqlUnsupported("ORDER BY expression after window")
+        t = _stream_topk(out, order, limit, offset, out_names)
+        if t is None:
+            from .collect import collect_arrow
+
+            t = collect_arrow(out)  # typed empty
+        return t
+    if order or limit is not None:
+        from .collect import collect_arrow
+
+        t = collect_arrow(out)
+        return _apply_order_limit(t, node, {}, [])
+    return out
 
 
 def _run_distinct_query(src, node: dict, select: list):

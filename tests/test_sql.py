@@ -259,6 +259,60 @@ def test_count_distinct(sqlenv):
                   "ORDER BY lang")
 
 
+# --- window functions -----------------------------------------------------
+
+def test_window_row_number_lag(sqlenv):
+    check(sqlenv,
+          "SELECT doc_id, source, "
+          "ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, "
+          "doc_id) AS rn, "
+          "LAG(n_chars, 1) OVER (PARTITION BY source ORDER BY n_chars, "
+          "doc_id) AS prev "
+          "FROM docs WHERE n_chars > 4000", ordered=False)
+
+
+def test_window_rank_dense_rank(sqlenv):
+    check(sqlenv,
+          "SELECT doc_id, "
+          "RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS r, "
+          "DENSE_RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS dr "
+          "FROM docs WHERE lang IS NOT NULL AND n_chars < 300",
+          ordered=False)
+
+
+def test_window_running_sum_avg(sqlenv):
+    check(sqlenv,
+          "SELECT doc_id, "
+          "CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY "
+          "n_chars, doc_id) AS BIGINT) AS rs, "
+          "COUNT(*) OVER (PARTITION BY source ORDER BY n_chars, "
+          "doc_id) AS rc "
+          "FROM docs WHERE n_chars BETWEEN 1000 AND 1200",
+          ordered=False)
+
+
+def test_window_running_sum_range_peers(sqlenv):
+    # ties on the order key share the frame end (RANGE semantics)
+    check(sqlenv,
+          "SELECT doc_id, CAST(SUM(n_chars) OVER (PARTITION BY source "
+          "ORDER BY lang) AS BIGINT) AS rs FROM docs "
+          "WHERE n_chars < 400 AND lang IS NOT NULL", ordered=False)
+
+
+def test_window_lead_default_topk(sqlenv):
+    check(sqlenv,
+          "SELECT doc_id, LEAD(doc_id, 2) OVER (PARTITION BY source "
+          "ORDER BY doc_id) AS nxt FROM docs WHERE n_chars > 4500 "
+          "ORDER BY doc_id LIMIT 13")
+
+
+def test_window_global_order(sqlenv):
+    check(sqlenv,
+          "SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_chars DESC, "
+          "doc_id) AS rn FROM docs WHERE n_chars > 4800",
+          ordered=False)
+
+
 # --- explain --------------------------------------------------------------
 
 def test_explain_routes(sqlenv):
