@@ -5,7 +5,7 @@ sf0.001 documents table through the adaptive columnar compression
 engine). ``queries()``/``oracle_sql()`` — per-operator surface checked
 against DuckDB at sf0.01 (see arcade_ray/entry_queries.py).
 
-Query inventory (124 entries, 111 DuckDB-oracled; the driver samples
+Query inventory (125 entries, 112 DuckDB-oracled; the driver samples
 the first 50, curated to cover every operator family). Families:
 
 - engine core: scans/roundtrips (all 10 testdata tables incl.

@@ -336,6 +336,12 @@ _SQL_JOIN_AGG = (
     "JOIN customer ON o_custkey = c_custkey "
     "GROUP BY c_mktsegment ORDER BY c_mktsegment")
 
+_SQL_WINDOW_RANK = (
+    "SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY source ORDER BY "
+    "n_chars DESC, doc_id) AS rn, CAST(SUM(n_chars) OVER (PARTITION "
+    "BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS run_chars "
+    "FROM documents WHERE n_chars > 400 ORDER BY doc_id LIMIT 200")
+
 
 def q_sql_filter_topk(sf_dir: str) -> pa.Table:
     """SQL frontend, row path: WHERE compiles to the zone-pruned 3VL
@@ -366,6 +372,16 @@ def q_sql_join_agg(sf_dir: str) -> pa.Table:
     return sql_query(_SQL_JOIN_AGG,
                      {"orders": encoded_dir(sf_dir, "orders"),
                       "customer": encoded_dir(sf_dir, "customer")})
+
+
+def q_sql_window_rank(sf_dir: str) -> pa.Table:
+    """SQL frontend, window path: per-partition ROW_NUMBER + running
+    SUM computed by one hash-bucketed shuffle + vectorized segment
+    pass (the ranked_gaps scale shape), then distributed top-k."""
+    from .sql import sql_query
+
+    return sql_query(_SQL_WINDOW_RANK,
+                     {"documents": encoded_dir(sf_dir, "documents")})
 
 
 def q_tfidf_sparse(sf_dir: str) -> pa.Table:
@@ -2312,6 +2328,7 @@ QUERIES = {
     "negation_filter": q_negation_filter,
     "schema_evolution_filter": q_schema_evolution_filter,
     "sql_group_having": q_sql_group_having,
+    "sql_window_rank": q_sql_window_rank,
 }
 
 _IDS_SQL = ", ".join(str(i) for i in LOOKUP_IDS)
@@ -2952,6 +2969,7 @@ ORACLE_SQL = {
     "sql_filter_topk": _SQL_FILTER_TOPK,
     "sql_group_having": _SQL_GROUP_HAVING,
     "sql_join_agg": _SQL_JOIN_AGG,
+    "sql_window_rank": _SQL_WINDOW_RANK,
     # compression_metrics, lang_id, quality_scores, minhash_pairs,
     # simhash_pairs, ann_topk_lsh, decontaminate (n=13): intentionally
     # no oracle (engine-side semantics with no exact SQL equivalent ->
