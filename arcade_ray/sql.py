@@ -180,6 +180,18 @@ _FLIP = {"COMPARE_GREATERTHAN": "COMPARE_LESSTHAN",
          "COMPARE_NOTEQUAL": "COMPARE_NOTEQUAL"}
 
 
+def _null_literal_tree(col: str, neg: bool):
+    """A predicate whose operand is a NULL literal: UNKNOWN on every
+    row. Outside negation that is indistinguishable from never-TRUE;
+    under a NOT the UNKNOWN rows become load-bearing and have no
+    engine-leaf encoding, so refuse loudly."""
+    if neg:
+        raise SqlUnsupported(
+            "NULL-literal comparison under NOT (UNKNOWN everywhere "
+            "has no engine-leaf encoding)")
+    return _never_true(col)
+
+
 def _never_true(col: str):
     """A predicate tree no row satisfies (matches SQL UNKNOWN-only
     outcomes like ``x NOT IN (..., NULL)``)."""
@@ -241,23 +253,37 @@ def _compile_pred(node: dict, tables: dict, neg: bool = False):
                 raise SqlUnsupported("subquery compare needs a column")
             v = _scalar_subquery(right, tables)
             col = _colref(left)
-            return _never_true(col) if v is None \
-                else _cmp_tree(typ, col, v)
+            if v is None:
+                return _null_literal_tree(col, neg)
+            return _cmp_tree(typ, col, v)
         if left.get("class") == "SUBQUERY":
             if right["class"] != "COLUMN_REF":
                 raise SqlUnsupported("subquery compare needs a column")
             v = _scalar_subquery(left, tables)
             col = _colref(right)
-            return _never_true(col) if v is None \
-                else _cmp_tree(_FLIP[typ], col, v)
+            if v is None:
+                return _null_literal_tree(col, neg)
+            return _cmp_tree(_FLIP[typ], col, v)
         if left["class"] == "COLUMN_REF" and right["class"] == "CONSTANT":
-            return _cmp_tree(typ, _colref(left), _const_value(right))
+            v = _const_value(right)
+            col = _colref(left)
+            # comparison with a NULL literal is UNKNOWN on every row
+            if v is None:
+                return _null_literal_tree(col, neg)
+            return _cmp_tree(typ, col, v)
         if left["class"] == "CONSTANT" and right["class"] == "COLUMN_REF":
-            return _cmp_tree(_FLIP[typ], _colref(right), _const_value(left))
+            v = _const_value(left)
+            col = _colref(right)
+            if v is None:
+                return _null_literal_tree(col, neg)
+            return _cmp_tree(_FLIP[typ], col, v)
         raise SqlUnsupported("comparison must be column vs constant")
     if cls == "BETWEEN":
-        return ("between", _colref(node["input"]),
-                _const_value(node["lower"]), _const_value(node["upper"]))
+        col = _colref(node["input"])
+        lo, hi = _const_value(node["lower"]), _const_value(node["upper"])
+        if lo is None or hi is None:  # NULL bound -> UNKNOWN everywhere
+            return _null_literal_tree(col, neg)
+        return ("between", col, lo, hi)
     if cls == "SUBQUERY":
         if node.get("subquery_type") != "ANY" \
                 or node.get("comparison_type") != "COMPARE_EQUAL":
@@ -284,14 +310,31 @@ def _compile_pred(node: dict, tables: dict, neg: bool = False):
                                          "a column")
                 col = _colref(child["child"])
                 tree, has_null = _compile_in_subquery(child, tables, col)
-                return _never_true(col) if has_null else ("not", tree)
+                if has_null:
+                    # NULL in the set poisons NOT IN — but only at
+                    # even negation depth is never-TRUE the right
+                    # rewrite (an outer NOT would flip it wrongly)
+                    return _null_literal_tree(col, neg)
+                return ("not", tree)
             return ("not", _compile_pred(child, tables, not neg))
         if typ in ("COMPARE_IN", "COMPARE_NOT_IN"):
             ch = node["children"]
             col = _colref(ch[0])
             vals = [_const_value(c) for c in ch[1:]]
-            tree = ("in", col, vals)
-            return ("not", tree) if typ == "COMPARE_NOT_IN" else tree
+            has_null = any(v is None for v in vals)
+            vals = [v for v in vals if v is not None]
+            if has_null and neg:
+                raise SqlUnsupported(
+                    "IN-list with a NULL literal under NOT (its "
+                    "UNKNOWN rows have no engine-leaf encoding)")
+            if typ == "COMPARE_NOT_IN":
+                # a NULL in the list poisons NOT IN: no row is TRUE
+                if has_null:
+                    return _never_true(col)
+                return ("not", ("in", col, vals))
+            if not vals:  # IN (NULL[, ...]) only: UNKNOWN everywhere
+                return _never_true(col)
+            return ("in", col, vals)
         if typ == "OPERATOR_IS_NULL":
             return ("isnull", _colref(node["children"][0]))
         if typ == "OPERATOR_IS_NOT_NULL":
@@ -701,11 +744,12 @@ def _decode_free_group_agg(out_dir: str, key: str, atoms: list[tuple]):
 # order / limit
 
 def _apply_order_limit(table: pa.Table, node: dict, env_extra: dict,
-                       atoms: list[tuple]) -> pa.Table:
+                       atoms: list[tuple],
+                       select: list | None = None) -> pa.Table:
     """ORDER BY / LIMIT / OFFSET over a driver-resident result table
     (aggregate outputs are O(groups); row streams use the distributed
     top-k path before reaching here)."""
-    order, limit, offset = _modifiers(node)
+    order, limit, offset = _modifiers(node, select)
     if order:
         keys = []
         env = {c: table[c] for c in table.column_names}
@@ -729,13 +773,24 @@ def _apply_order_limit(table: pa.Table, node: dict, env_extra: dict,
     return table
 
 
-def _modifiers(node: dict):
+def _modifiers(node: dict, select: list | None = None):
+    """(order, limit, offset); with ``select`` given, ORDER BY
+    ordinals (ORDER BY 2) resolve to the Nth select item."""
     order, limit, offset = [], None, 0
     for m in node.get("modifiers", []):
         if m["type"] == "ORDER_MODIFIER":
             for o in m["orders"]:
                 desc = o["type"] == "DESCENDING"
-                order.append((o["expression"], desc))
+                expr = o["expression"]
+                if select is not None and expr.get("class") == "CONSTANT":
+                    k = _const_value(expr)
+                    if not isinstance(k, int) or not 1 <= k <= len(select):
+                        raise SqlUnsupported(
+                            f"ORDER BY ordinal {k!r} out of range")
+                    expr = select[k - 1]
+                    if expr["class"] == "STAR":
+                        raise SqlUnsupported("ORDER BY ordinal of *")
+                order.append((expr, desc))
         elif m["type"] == "LIMIT_MODIFIER":
             if m.get("limit"):
                 limit = _const_value(m["limit"])
@@ -969,14 +1024,18 @@ def explain_sql(sql: str, tables: dict[str, str]) -> str:
     ft = node["from_table"]
     select = node["select_list"]
     group_exprs = node.get("group_expressions") or []
+    has_window = any(item["class"] != "STAR"
+                     and _window_item(item) is not None
+                     for item in select)
     agg_atoms: list[tuple] = []
-    for item in select:
-        if item["class"] != "STAR":
-            _collect_aggs(item, agg_atoms)
-    if node.get("having"):
-        _collect_aggs(node["having"], agg_atoms)
+    if not has_window:
+        for item in select:
+            if item["class"] != "STAR":
+                _collect_aggs(item, agg_atoms)
+        if node.get("having"):
+            _collect_aggs(node["having"], agg_atoms)
     distinct = _distinct_modifier(node)
-    order, limit, offset = _modifiers(node)
+    order, limit, offset = _modifiers(node, select)
 
     if ft.get("type") == "BASE_TABLE":
         tname = ft["table_name"]
@@ -1003,7 +1062,11 @@ def explain_sql(sql: str, tables: dict[str, str]) -> str:
     else:
         raise SqlUnsupported(f"FROM type {ft.get('type')!r}")
 
-    if distinct:
+    if has_window:
+        lines.append("window functions -> hash-bucketed shuffle on "
+                     "PARTITION BY keys + one vectorized segment pass "
+                     "per bucket (O(buckets) Python)")
+    elif distinct:
         lines.append("distinct -> per-batch pyarrow distinct, driver "
                      "merge (O(distinct) state)")
     elif group_exprs or agg_atoms:
@@ -1087,6 +1150,20 @@ def _execute_node(node: dict, tables: dict[str, str]):
     if having:
         _collect_aggs(having, agg_atoms)
     is_agg = bool(group_exprs) or bool(agg_atoms)
+    # aggregates referenced only in ORDER BY (ORDER BY SUM(x) DESC)
+    # must still become atoms; on a non-aggregate query they are a
+    # binder error, matching SQL
+    order_atoms: list[tuple] = []
+    for e, _ in _modifiers(node, select)[0]:
+        try:
+            _collect_aggs(e, order_atoms)
+        except SqlUnsupported:
+            pass  # row-path order exprs are validated downstream
+    if order_atoms:
+        if not is_agg:
+            raise SqlUnsupported(
+                "aggregate in ORDER BY without GROUP BY")
+        agg_atoms += order_atoms
 
     if _distinct_modifier(node):
         if is_agg:
@@ -1156,7 +1233,7 @@ def _run_row_query(src, node: dict, select: list):
             else:
                 project.append(_colref(item))
             names.append(_expr_name(item))
-    order, limit, offset = _modifiers(node)
+    order, limit, offset = _modifiers(node, select)
 
     # dedupe projection for the scan, keep select order for output
     scan_cols = list(dict.fromkeys(project))
@@ -1167,6 +1244,8 @@ def _run_row_query(src, node: dict, select: list):
     ds = src.stream(scan_all)
 
     def finish(table: pa.Table) -> pa.Table:
+        if star:
+            return table.select(project)
         cols = {}
         for item, name in zip(select, names):
             if item["class"] == "CAST":
@@ -1185,20 +1264,25 @@ def _run_row_query(src, node: dict, select: list):
             t = src.empty(scan_all)
         return finish(t)
     if order:
-        # full ordered result: Ray range-partitioned sort, then collect
-        from .collect import collect_arrow
-
-        keys = [(_colref(e), "descending" if d else "ascending")
-                for e, d in order]
-        t = collect_arrow(ds)
-        idx = pc.sort_indices(t, sort_keys=keys, null_placement="at_end")
-        return finish(t.take(idx))
+        # full ordered result WITHOUT a limit: Ray's distributed
+        # range-partitioned sort; stays a lazy Dataset so callers can
+        # write_parquet without a driver materialization. (Nulls sort
+        # per Ray's ordering — use a LIMIT or IS NOT NULL for SQL
+        # nulls-last guarantees on null-bearing keys.)
+        for e, _ in order:
+            if e.get("class") != "COLUMN_REF":
+                raise SqlUnsupported("ORDER BY expression in row query")
+        sorted_ds = ds.sort(key=[_colref(e) for e, _ in order],
+                            descending=[d for _, d in order])
+        if star and scan_all == project:
+            return sorted_ds
+        return sorted_ds.map_batches(finish, batch_format="pyarrow")
     if limit is not None:
         from .collect import collect_arrow
 
         t = collect_arrow(ds.limit(limit + offset))
         return finish(t.slice(offset, limit))
-    if star and not order:
+    if star and scan_all == project:
         return ds  # lazy stream
     from .collect import collect_arrow
 
@@ -1380,13 +1464,13 @@ def _run_window_query(src, node: dict, select: list):
                 out = pa.array(c - np.repeat(c[starts], lens) + 1)
             elif wtype in ("WINDOW_LAG", "WINDOW_LEAD"):
                 a = t[arg].combine_chunks()
-                if wtype == "WINDOW_LAG":
-                    src_idx = idx - off
-                    valid = src_idx >= part_start
-                else:
-                    src_idx = idx + off
-                    part_end = np.repeat(starts + lens - 1, lens)
-                    valid = src_idx <= part_end
+                # negative offsets flip direction (SQL: LAG(x,-1) ==
+                # LEAD(x,1)); guard BOTH partition edges so a negative
+                # offset never reads across a boundary
+                src_idx = idx - off if wtype == "WINDOW_LAG" \
+                    else idx + off
+                part_end = np.repeat(starts + lens - 1, lens)
+                valid = (src_idx >= part_start) & (src_idx <= part_end)
                 gathered = a.take(pa.array(np.clip(src_idx, 0, n - 1)))
                 fill = pa.scalar(dflt, type=a.type) if dflt is not None \
                     else pa.scalar(None, type=a.type)
@@ -1431,7 +1515,7 @@ def _run_window_query(src, node: dict, select: list):
              .groupby("_wb")
              .map_groups(wpass, batch_format="pyarrow"))
 
-    order, limit, offset = _modifiers(node)
+    order, limit, offset = _modifiers(node, select)
     if order and limit is not None:
         for e, _ in order:
             if e.get("class") != "COLUMN_REF":
@@ -1446,7 +1530,7 @@ def _run_window_query(src, node: dict, select: list):
         from .collect import collect_arrow
 
         t = collect_arrow(out)
-        return _apply_order_limit(t, node, {}, [])
+        return _apply_order_limit(t, node, {}, [], select)
     return out
 
 
@@ -1486,7 +1570,7 @@ def _run_distinct_query(src, node: dict, select: list):
         else:
             cols_out[name] = table[_colref(item)]
     table = pa.table(cols_out)
-    return _apply_order_limit(table, node, {}, [])
+    return _apply_order_limit(table, node, {}, [], select)
 
 
 def _run_agg_query(src, node: dict, select: list,
@@ -1564,4 +1648,4 @@ def _run_agg_query(src, node: dict, select: list,
         cols.append(arr)
     table = pa.table(dict(zip(names, cols))) if names else pa.table({})
     # ORDER BY may reference aggregate atoms not in the select list
-    return _apply_order_limit(table, node, env, atoms)
+    return _apply_order_limit(table, node, env, atoms, select)

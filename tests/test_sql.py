@@ -336,6 +336,85 @@ def test_explain_routes(sqlenv):
     assert "partial top-k" in p
 
 
+# --- review-finding regressions -------------------------------------------
+
+def test_select_star_with_limit_and_order(sqlenv):
+    tables, con = sqlenv
+    t = sql_query("SELECT * FROM docs ORDER BY doc_id LIMIT 5", tables)
+    o = con.execute("SELECT * FROM docs ORDER BY doc_id LIMIT 5").arrow()
+    assert t.column_names == o.column_names
+    assert t.to_pylist() == o.to_pylist()
+    t2 = sql_query("SELECT * FROM docs LIMIT 4", tables)
+    assert t2.num_rows == 4 and t2.column_names == o.column_names
+
+
+def test_null_literal_comparisons(sqlenv):
+    check(sqlenv, "SELECT doc_id FROM docs WHERE n_chars >= NULL")
+    check(sqlenv, "SELECT doc_id FROM docs WHERE lang = NULL")
+    check(sqlenv, "SELECT doc_id FROM docs "
+                  "WHERE n_chars BETWEEN NULL AND 100")
+    # DuckDB folds NOT(x = NULL) to x <> NULL (still never-true);
+    # a NULL literal under a REAL NOT is refused loudly
+    check(sqlenv, "SELECT doc_id FROM docs WHERE NOT (lang = NULL)")
+    with pytest.raises(SqlUnsupported):
+        sql_query("SELECT doc_id FROM docs WHERE NOT (lang = NULL "
+                  "AND n_chars > 1)", sqlenv[0])
+
+
+def test_in_list_with_null(sqlenv):
+    check(sqlenv, "SELECT doc_id FROM docs WHERE lang IN ('en', NULL)")
+    check(sqlenv, "SELECT doc_id FROM docs "
+                  "WHERE lang NOT IN ('en', NULL)")
+    check(sqlenv, "SELECT doc_id FROM docs WHERE lang IN (NULL)")
+
+
+def test_order_by_ordinal(sqlenv):
+    check(sqlenv, "SELECT source, COUNT(*) AS n FROM docs "
+                  "GROUP BY source ORDER BY 2 DESC, 1")
+    check(sqlenv, "SELECT doc_id, n_chars FROM docs "
+                  "WHERE n_chars > 4900 ORDER BY 2 DESC, 1 LIMIT 6")
+
+
+def test_order_by_aggregate_not_selected(sqlenv):
+    check(sqlenv, "SELECT source FROM docs GROUP BY source "
+                  "ORDER BY SUM(n_chars) DESC")
+    with pytest.raises(SqlUnsupported):
+        sql_query("SELECT doc_id FROM docs ORDER BY SUM(n_chars)",
+                  sqlenv[0])
+
+
+def test_window_negative_offset_lag(sqlenv):
+    # LAG(x, -1) == LEAD(x, 1): must not read across partition ends
+    check(sqlenv,
+          "SELECT doc_id, LAG(n_chars, -1) OVER (PARTITION BY source "
+          "ORDER BY doc_id) AS nxt FROM docs WHERE n_chars > 4500",
+          ordered=False)
+
+
+def test_explain_window(sqlenv):
+    from arcade_ray.sql import explain_sql
+
+    tables, _ = sqlenv
+    p = explain_sql("SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY "
+                    "source ORDER BY doc_id) rn FROM docs", tables)
+    assert "window functions" in p
+
+
+def test_row_order_without_limit_distributed(sqlenv):
+    tables, con = sqlenv
+    res = sql_query("SELECT doc_id, n_chars FROM docs "
+                    "WHERE n_chars > 4800 ORDER BY doc_id", tables)
+    import ray.data as rd
+
+    assert isinstance(res, rd.Dataset)  # stays a lazy sorted stream
+    from arcade_ray.collect import collect_arrow
+
+    t = collect_arrow(res)
+    o = con.execute("SELECT doc_id, n_chars FROM docs "
+                    "WHERE n_chars > 4800 ORDER BY doc_id").arrow()
+    assert t.to_pylist() == o.to_pylist()
+
+
 # --- contract -------------------------------------------------------------
 
 def test_unsupported_constructs_raise(sqlenv):
