@@ -598,6 +598,52 @@ def _partial_agg_stream(ds, keys: list[str], atoms: list[tuple]):
     return out
 
 
+def _merge_fn(atom_name: str) -> str:
+    """How a merged atom column re-aggregates to a coarser grouping
+    level (counts sum; sum/min/max are self-merging)."""
+    if atom_name.startswith(("count(", "count_star")):
+        return "sum"
+    for fn in ("sum", "min", "max"):
+        if atom_name.startswith(f"{fn}("):
+            return fn
+    raise SqlUnsupported(f"cannot re-aggregate {atom_name!r}")
+
+
+def _grouping_sets(merged: pa.Table, keys: list[str],
+                   group_sets: list[list[int]]) -> pa.Table:
+    """ROLLUP / CUBE / GROUPING SETS from ONE finest-level scan: the
+    merged atom table (O(groups), driver-resident) re-aggregates per
+    grouping set; grouping columns outside a set emit SQL's NULL
+    marker. Atom columns must be self-merging (no COUNT(DISTINCT))."""
+    atom_cols = [c for c in merged.column_names if c not in keys]
+    levels = []
+    for gs in group_sets:
+        sub = [keys[i] for i in sorted(gs)]
+        if sorted(gs) == list(range(len(keys))):
+            t = merged
+        elif sub:
+            agg = merged.group_by(sub).aggregate(
+                [(c, _merge_fn(c)) for c in atom_cols])
+            t = pa.table({
+                **{k: agg[k] for k in sub},
+                **{c: agg[f"{c}_{_merge_fn(c)}"] for c in atom_cols}})
+        else:  # grand total
+            cols = {}
+            for c in atom_cols:
+                fn = _merge_fn(c)
+                v = getattr(pc, fn)(merged[c]).as_py()
+                if v is None and c.startswith("count"):
+                    v = 0  # COUNT over zero rows is 0, not NULL
+                cols[c] = pa.array([v], type=merged[c].type)
+            t = pa.table(cols)
+        for k in keys:  # NULL markers for keys outside this set
+            if k not in t.column_names:
+                t = t.append_column(k, pa.nulls(t.num_rows,
+                                                merged[k].type))
+        levels.append(t.select(keys + atom_cols))
+    return pa.concat_tables(levels)
+
+
 def _count_distinct_counts(src, keys: list[str], col: str,
                            merged: pa.Table | None, n: int) -> pa.Array:
     """COUNT(DISTINCT col) [per group]: per-batch distinct of
@@ -755,10 +801,18 @@ def _apply_order_limit(table: pa.Table, node: dict, env_extra: dict,
         env = {c: table[c] for c in table.column_names}
         env.update(env_extra)
         sort_cols = []
-        for i, (expr, desc) in enumerate(order):
+        for i, (expr, desc, nf) in enumerate(order):
             arr = _eval_expr(expr, env, table.num_rows)
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()
+            if nf:
+                # per-key NULLS FIRST: a synthetic is-null key sorted
+                # descending groups nulls ahead of the value order
+                nname = f"__ordn{i}"
+                table = table.append_column(
+                    nname, pa.chunked_array([pc.is_null(arr)]))
+                sort_cols.append((nname, "descending"))
+                keys.append(nname)
             name = f"__ord{i}"
             table = table.append_column(name, pa.chunked_array([arr]))
             sort_cols.append((name, "descending" if desc else "ascending"))
@@ -790,7 +844,8 @@ def _modifiers(node: dict, select: list | None = None):
                     expr = select[k - 1]
                     if expr["class"] == "STAR":
                         raise SqlUnsupported("ORDER BY ordinal of *")
-                order.append((expr, desc))
+                nf = o.get("null_order") == "NULLS_FIRST"
+                order.append((expr, desc, nf))
         elif m["type"] == "LIMIT_MODIFIER":
             if m.get("limit"):
                 limit = _const_value(m["limit"])
@@ -810,8 +865,10 @@ def _stream_topk(ds, order: list, limit: int, offset: int,
     driver merges the tiny survivors. Order keys must be plain
     columns here (checked by the caller)."""
     keep = limit + offset
+    if any(nf for _, _, nf in order):
+        raise SqlUnsupported("NULLS FIRST in a streamed top-k")
     sort_keys = [(_colref(e), "descending" if d else "ascending")
-                 for e, d in order]
+                 for e, d, _ in order]
 
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows <= keep:
@@ -1098,7 +1155,7 @@ def explain_sql(sql: str, tables: dict[str, str]) -> str:
             if limit is not None and not (group_exprs or agg_atoms
                                           or distinct) \
             else "driver sort of the (small) result"
-        lines.append(f"order by {[_expr_name(e) for e, _ in order]} "
+        lines.append(f"order by {[_expr_name(e) for e, *_ in order]} "
                      f"-> {how}")
     if limit is not None:
         lines.append(f"limit {limit}" + (f" offset {offset}"
@@ -1154,7 +1211,7 @@ def _execute_node(node: dict, tables: dict[str, str]):
     # must still become atoms; on a non-aggregate query they are a
     # binder error, matching SQL
     order_atoms: list[tuple] = []
-    for e, _ in _modifiers(node, select)[0]:
+    for e, *_ in _modifiers(node, select)[0]:
         try:
             _collect_aggs(e, order_atoms)
         except SqlUnsupported:
@@ -1238,7 +1295,7 @@ def _run_row_query(src, node: dict, select: list):
     # dedupe projection for the scan, keep select order for output
     scan_cols = list(dict.fromkeys(project))
     need = set(scan_cols)
-    for e, _ in order:
+    for e, *_ in order:
         _expr_columns(e, need)
     scan_all = list(dict.fromkeys(list(scan_cols) + sorted(need - set(scan_cols))))
     ds = src.stream(scan_all)
@@ -1256,7 +1313,7 @@ def _run_row_query(src, node: dict, select: list):
         return pa.table(cols) if cols else table
 
     if order and limit is not None:
-        for e, _ in order:
+        for e, *_ in order:
             if e.get("class") != "COLUMN_REF":
                 raise SqlUnsupported("ORDER BY expression in row query")
         t = _stream_topk(ds, order, limit, offset, scan_all)
@@ -1269,11 +1326,13 @@ def _run_row_query(src, node: dict, select: list):
         # write_parquet without a driver materialization. (Nulls sort
         # per Ray's ordering — use a LIMIT or IS NOT NULL for SQL
         # nulls-last guarantees on null-bearing keys.)
-        for e, _ in order:
+        for e, _, nf in order:
             if e.get("class") != "COLUMN_REF":
                 raise SqlUnsupported("ORDER BY expression in row query")
-        sorted_ds = ds.sort(key=[_colref(e) for e, _ in order],
-                            descending=[d for _, d in order])
+            if nf:
+                raise SqlUnsupported("NULLS FIRST in a distributed sort")
+        sorted_ds = ds.sort(key=[_colref(e) for e, *_ in order],
+                            descending=[d for _, d, _ in order])
         if star and scan_all == project:
             return sorted_ds
         return sorted_ds.map_batches(finish, batch_format="pyarrow")
@@ -1517,7 +1576,7 @@ def _run_window_query(src, node: dict, select: list):
 
     order, limit, offset = _modifiers(node, select)
     if order and limit is not None:
-        for e, _ in order:
+        for e, *_ in order:
             if e.get("class") != "COLUMN_REF":
                 raise SqlUnsupported("ORDER BY expression after window")
         t = _stream_topk(out, order, limit, offset, out_names)
@@ -1619,6 +1678,27 @@ def _run_agg_query(src, node: dict, select: list,
             need = src.columns()[:1]
         ds = src.stream(need)
         merged = _partial_agg_stream(ds, keys, reg_atoms)
+
+    group_sets = node.get("group_sets") or []
+    multi_sets = len(group_sets) > 1 or (
+        group_sets and sorted(group_sets[0]) != list(range(len(keys))))
+    if multi_sets:
+        if cd_atoms:
+            raise SqlUnsupported(
+                "COUNT(DISTINCT) with ROLLUP/CUBE/GROUPING SETS "
+                "(distinct sets do not re-aggregate)")
+        if merged is None:
+            # zero groups: only the grand-total set emits (COUNT 0)
+            cols: dict = {k: pa.array([], type=pa.string())
+                          for k in keys}
+            for fn, c in partial_atoms:
+                nm = "count_star()" if fn == "count_star" \
+                    else f"{fn}({c})"
+                cols[nm] = pa.array([], type=pa.int64()
+                                    if fn.startswith("count")
+                                    else pa.float64())
+            merged = pa.table(cols)
+        merged = _grouping_sets(merged, keys, group_sets)
 
     env, n = _agg_env(merged, keys,
                       [a for a in atoms if a[0] != "count_distinct"])

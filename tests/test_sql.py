@@ -189,6 +189,22 @@ def test_agg_arithmetic(sqlenv):
                   "ORDER BY source")
 
 
+def test_group_rollup_cube_sets(sqlenv):
+    # null-bearing lang: real-NULL groups and subtotal NULL markers
+    # coexist as distinct rows, matching SQL
+    check(sqlenv, "SELECT source, lang, COUNT(*) AS n, "
+                  "CAST(SUM(n_chars) AS BIGINT) AS s FROM docs "
+                  "GROUP BY ROLLUP (source, lang) "
+                  "ORDER BY source NULLS FIRST, lang NULLS FIRST, n, s")
+    check(sqlenv, "SELECT source, lang, COUNT(*) AS n FROM docs "
+                  "GROUP BY CUBE (source, lang) "
+                  "ORDER BY source NULLS FIRST, lang NULLS FIRST, n")
+    check(sqlenv, "SELECT source, lang, COUNT(*) AS n FROM docs "
+                  "WHERE n_chars > 2000 "
+                  "GROUP BY GROUPING SETS ((source), (lang), ()) "
+                  "ORDER BY source NULLS FIRST, lang NULLS FIRST, n")
+
+
 # --- joins ----------------------------------------------------------------
 
 def test_inner_join_rows(sqlenv):
