@@ -75,7 +75,7 @@ def _parse(sql: str) -> dict:
     if len(stmts) != 1:
         raise SqlUnsupported("exactly one statement per call")
     node = stmts[0]["node"]
-    if node.get("type") != "SELECT_NODE":
+    if node.get("type") not in ("SELECT_NODE", "SET_OPERATION_NODE"):
         raise SqlUnsupported(f"statement type {node.get('type')!r}")
     return node
 
@@ -230,6 +230,26 @@ def _scalar_subquery(node: dict, tables: dict):
     return res.column(0)[0].as_py() if res.num_rows else None
 
 
+def _match_all(col: str):
+    """A predicate tree every row satisfies (definite TRUE, 3VL-safe
+    under NOT: isnull/notnull are never UNKNOWN)."""
+    return ("or", [("isnull", col), ("notnull", col)])
+
+
+def _exists_subquery(node: dict, tables: dict) -> bool:
+    """Uncorrelated EXISTS folds to a boolean at compile time: the
+    subquery reruns as SELECT COUNT(*) (its select list is
+    irrelevant to existence)."""
+    sub = dict(node["subquery"]["node"])
+    sub["select_list"] = [{
+        "class": "FUNCTION", "type": "FUNCTION", "alias": "n",
+        "function_name": "count_star", "children": [],
+        "distinct": False, "filter": None}]
+    sub["modifiers"] = []
+    res = _execute_node(sub, tables)
+    return bool(res["n"][0].as_py())
+
+
 def _compile_in_subquery(node: dict, tables: dict, col: str):
     vals, has_null = _subquery_in_values(node, tables)
     if not vals:
@@ -237,14 +257,16 @@ def _compile_in_subquery(node: dict, tables: dict, col: str):
     return ("in", col, vals), has_null
 
 
-def _compile_pred(node: dict, tables: dict, neg: bool = False):
+def _compile_pred(node: dict, tables: dict, neg: bool = False,
+                  any_col: str | None = None):
     """``neg``: whether an enclosing NOT inverts this subtree — only
     null-bearing IN-subqueries care (their UNKNOWN rows flip from
-    harmless to load-bearing under negation)."""
+    harmless to load-bearing under negation). ``any_col``: any column
+    of the outer table, the operand for operand-less folds (EXISTS)."""
     cls, typ = node.get("class"), node.get("type")
     if cls == "CONJUNCTION":
         op = "and" if typ == "CONJUNCTION_AND" else "or"
-        return (op, [_compile_pred(c, tables, neg)
+        return (op, [_compile_pred(c, tables, neg, any_col)
                      for c in node["children"]])
     if cls == "COMPARISON":
         left, right = node["left"], node["right"]
@@ -285,6 +307,11 @@ def _compile_pred(node: dict, tables: dict, neg: bool = False):
             return _null_literal_tree(col, neg)
         return ("between", col, lo, hi)
     if cls == "SUBQUERY":
+        if node.get("subquery_type") == "EXISTS":
+            if any_col is None:
+                raise SqlUnsupported("EXISTS here (no outer column)")
+            return _match_all(any_col) if _exists_subquery(node, tables) \
+                else _never_true(any_col)
         if node.get("subquery_type") != "ANY" \
                 or node.get("comparison_type") != "COMPARE_EQUAL":
             raise SqlUnsupported(
@@ -302,6 +329,15 @@ def _compile_pred(node: dict, tables: dict, neg: bool = False):
         if typ == "OPERATOR_NOT":
             child = node["children"][0]
             if child.get("class") == "SUBQUERY" \
+                    and child.get("subquery_type") == "EXISTS":
+                if any_col is None:
+                    raise SqlUnsupported("EXISTS here (no outer column)")
+                # NOT EXISTS: the fold is definite TRUE/FALSE, so the
+                # plain complement is exact
+                return _never_true(any_col) \
+                    if _exists_subquery(child, tables) \
+                    else _match_all(any_col)
+            if child.get("class") == "SUBQUERY" \
                     and child.get("subquery_type") == "ANY":
                 # direct NOT IN (SELECT ...): a NULL in the set makes
                 # every non-matching row UNKNOWN -> zero rows survive
@@ -316,7 +352,8 @@ def _compile_pred(node: dict, tables: dict, neg: bool = False):
                     # rewrite (an outer NOT would flip it wrongly)
                     return _null_literal_tree(col, neg)
                 return ("not", tree)
-            return ("not", _compile_pred(child, tables, not neg))
+            return ("not", _compile_pred(child, tables, not neg,
+                                         any_col))
         if typ in ("COMPARE_IN", "COMPARE_NOT_IN"):
             ch = node["children"]
             col = _colref(ch[0])
@@ -1101,7 +1138,8 @@ def explain_sql(sql: str, tables: dict[str, str]) -> str:
         out_dir = tables[tname]
         lines.append(f"scan {tname} [{out_dir}]")
         if node.get("where_clause"):
-            tree = _compile_pred(node["where_clause"], tables)
+            tree = _compile_pred(node["where_clause"], tables,
+                                 any_col=_dataset_columns(out_dir)[0])
             lines.append(f"  where -> compound_filter tree: {tree!r}")
             surv, total = _pruning_counts(out_dir, tree)
             lines.append("  partitions after zone/Bloom pruning: "
@@ -1173,6 +1211,8 @@ def _distinct_modifier(node: dict) -> bool:
 
 
 def _execute_node(node: dict, tables: dict[str, str]):
+    if node.get("type") == "SET_OPERATION_NODE":
+        return _run_set_operation(node, tables)
     if node.get("qualify") or node.get("sample"):
         raise SqlUnsupported("QUALIFY / SAMPLE")
     if node.get("cte_map", {}).get("map"):
@@ -1185,7 +1225,9 @@ def _execute_node(node: dict, tables: dict[str, str]):
                            f"(have: {sorted(tables)})")
         where_tree = None
         if node.get("where_clause"):
-            where_tree = _compile_pred(node["where_clause"], tables)
+            any_col = _dataset_columns(tables[tname])[0]
+            where_tree = _compile_pred(node["where_clause"], tables,
+                                       any_col=any_col)
         src = _TableSource(tables[tname], where_tree)
     elif ft.get("type") == "JOIN":
         src = _JoinSource(ft, tables, node.get("where_clause"))
@@ -1591,6 +1633,43 @@ def _run_window_query(src, node: dict, select: list):
         t = collect_arrow(out)
         return _apply_order_limit(t, node, {}, [], select)
     return out
+
+
+def _run_set_operation(node: dict, tables: dict[str, str]):
+    """UNION [ALL]: both sides execute independently; ALL unions the
+    lazy streams (no materialization), plain UNION distinct-merges
+    driver-side tables (per-batch distinct first keeps driver state
+    at O(distinct))."""
+    if node.get("setop_type") != "UNION":
+        raise SqlUnsupported(f"set operation {node.get('setop_type')!r}")
+    sides = [_execute_node(node[s], tables) for s in ("left", "right")]
+    names = None
+    for i, r in enumerate(sides):
+        cols = r.column_names if isinstance(r, pa.Table) else r.schema().names
+        if names is None:
+            names = cols
+        elif list(cols) != list(names):
+            raise SqlUnsupported(
+                f"UNION sides have different columns: {names} vs {cols}")
+    if node.get("setop_all"):
+        import ray.data as rd
+
+        ds_sides = [r if not isinstance(r, pa.Table)
+                    else rd.from_arrow(r) for r in sides]
+        return ds_sides[0].union(ds_sides[1])
+    from .collect import collect_arrow
+
+    tabs = []
+    for r in sides:
+        if not isinstance(r, pa.Table):
+            # distinct per batch before collecting (map-side combine)
+            cols = r.schema().names
+            r = collect_arrow(r.map_batches(
+                lambda b, c=list(cols): b.group_by(c).aggregate([]),
+                batch_format="pyarrow"))
+        tabs.append(r)
+    allp = pa.concat_tables(tabs, promote_options="permissive")
+    return allp.group_by(allp.column_names).aggregate([])
 
 
 def _run_distinct_query(src, node: dict, select: list):

@@ -352,6 +352,36 @@ def test_explain_routes(sqlenv):
     assert "partial top-k" in p
 
 
+def test_exists_folding(sqlenv):
+    check(sqlenv, "SELECT doc_id FROM docs WHERE lang = 'en' AND "
+                  "EXISTS (SELECT 1 FROM meta WHERE weight > 50)")
+    check(sqlenv, "SELECT doc_id FROM docs WHERE lang = 'en' AND "
+                  "EXISTS (SELECT 1 FROM meta WHERE weight > 5000)")
+    check(sqlenv, "SELECT doc_id FROM docs WHERE lang = 'de' AND "
+                  "NOT EXISTS (SELECT 1 FROM meta WHERE weight > 5000)")
+
+
+def test_union_all_stream(sqlenv):
+    tables, con = sqlenv
+    q = ("SELECT doc_id FROM docs WHERE n_chars > 4900 UNION ALL "
+         "SELECT doc_id FROM docs WHERE n_chars < 100")
+    res = sql_query(q, tables)
+    from arcade_ray.collect import collect_arrow
+
+    t = collect_arrow(res).sort_by("doc_id")
+    o = con.execute(q).arrow().sort_by("doc_id")
+    assert t.to_pylist() == o.to_pylist()
+
+
+def test_union_distinct(sqlenv):
+    tables, con = sqlenv
+    q = ("SELECT source FROM docs WHERE n_chars > 4000 UNION "
+         "SELECT source FROM meta")
+    t = sql_query(q, tables).sort_by("source")
+    o = con.execute(q).arrow().sort_by("source")
+    assert t.to_pylist() == o.to_pylist()
+
+
 # --- review-finding regressions -------------------------------------------
 
 def test_select_star_with_limit_and_order(sqlenv):
