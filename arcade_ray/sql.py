@@ -388,7 +388,8 @@ def _compile_pred(node: dict, tables: dict, neg: bool = False,
 # --------------------------------------------------------------------------
 # expression classification (select list / having / order by)
 
-_AGG_FNS = {"sum", "min", "max", "avg", "count", "count_star"}
+_AGG_FNS = {"sum", "min", "max", "avg", "count", "count_star",
+            "approx_count_distinct"}
 _ARITH = {"+": pc.add, "-": pc.subtract, "*": pc.multiply}
 
 
@@ -633,6 +634,98 @@ def _partial_agg_stream(ds, keys: list[str], atoms: list[tuple]):
     if not keys:
         out = out.drop_columns([c for c in ("__k",) if c in out.column_names])
     return out
+
+
+def _approx_distinct_counts(src, keys: list[str], col: str,
+                            merged: pa.Table | None, n: int) -> pa.Array:
+    """approx_count_distinct(col) via mergeable KMV sketches. Global +
+    unfiltered reads the MANIFEST sketches alone (zero data bytes);
+    otherwise each batch reduces to bottom-k hash sketches (per group
+    when grouped) merged on the driver — never a distinct shuffle.
+    Exact below k=256 distincts, ~1/sqrt(k) relative error above."""
+    import numpy as np
+
+    from .hashing import hash_column
+    from .sketches import (DEFAULT_K, deserialize, kmv_estimate,
+                           kmv_from_hashes, kmv_merge)
+
+    if not keys and src.unfiltered_dir is not None:
+        # manifest-only path (the distinct_sketch_sources shape)
+        from .pipeline.encode import load_manifest
+
+        man = load_manifest(src.unfiltered_dir)
+        sk = None
+        ok = man.num_rows > 0
+        for s in man["col_stats"].to_pylist():
+            ent = json.loads(s).get(col, {}).get("kmv")
+            if ent is None:
+                ok = False
+                break
+            cur = deserialize(ent)
+            sk = cur if sk is None else kmv_merge(sk, cur)
+        if ok and sk is not None:
+            return pa.array([kmv_estimate(sk)] * n, type=pa.int64())
+
+    gcols = list(dict.fromkeys(keys + [col]))
+    ds = src.stream(gcols)
+
+    def part(batch: pa.Table) -> pa.Table:
+        arr = batch[col].combine_chunks()
+        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        h = hash_column(arr)[valid]
+        if not keys:
+            return pa.table({"__sk": pa.array(
+                [kmv_from_hashes(h).tolist()],
+                type=pa.list_(pa.uint64()))})
+        # one sketch PER GROUP per batch: dictionary codes -> one
+        # mixed-radix code per row, argsort + run boundaries -> each
+        # group's hashes in one slice (Python cost O(groups), not rows)
+        vt = batch.filter(pa.array(valid))
+        code = np.zeros(vt.num_rows, dtype=np.int64)
+        dicts = []
+        for k in keys:
+            d = pc.dictionary_encode(vt[k].combine_chunks())
+            idxs = pc.fill_null(d.indices, len(d.dictionary)) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            code = code * (len(d.dictionary) + 1) + idxs
+            dicts.append(None)
+        order = np.argsort(code, kind="stable")
+        cs, hs = code[order], h[order]
+        bounds = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]]) \
+            if len(cs) else np.empty(0, dtype=np.int64)
+        ends = np.r_[bounds[1:], len(cs)]
+        first_rows = order[bounds]
+        out = {k: vt[k].take(pa.array(first_rows)) for k in keys}
+        out["__sk"] = pa.array(
+            [kmv_from_hashes(hs[b:e]).tolist()
+             for b, e in zip(bounds, ends)],
+            type=pa.list_(pa.uint64()))
+        return pa.table(out)
+
+    parts = [b for b in ds.map_batches(
+        part, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow")]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.array([0] * n, type=pa.int64())
+    allp = pa.concat_tables(parts, promote_options="permissive")
+    if not keys:
+        sk = None
+        for row in allp["__sk"].to_pylist():
+            cur = np.array(row, dtype=np.uint64)
+            sk = cur if sk is None else kmv_merge(sk, cur)
+        est = kmv_estimate(sk) if sk is not None and len(sk) else 0
+        return pa.array([est] * n, type=pa.int64())
+    lut: dict = {}
+    kcols = [allp[k].to_pylist() for k in keys]
+    for i, row in enumerate(allp["__sk"].to_pylist()):
+        kv = tuple(c[i] for c in kcols)
+        cur = np.array(row, dtype=np.uint64)
+        lut[kv] = cur if kv not in lut else kmv_merge(lut[kv], cur)
+    rows = zip(*[merged[k].to_pylist() for k in keys]) if n else []
+    return pa.array(
+        [kmv_estimate(lut[t]) if t in lut and len(lut[t]) else 0
+         for t in map(tuple, rows)], type=pa.int64())
 
 
 def _merge_fn(atom_name: str) -> str:
@@ -1738,9 +1831,10 @@ def _run_agg_query(src, node: dict, select: list,
                 pseen.add(e)
                 partial_atoms.append(e)
 
+    special = ("count_distinct", "approx_count_distinct")
     cd_atoms = sorted({(f, c) for f, c in partial_atoms
-                       if f == "count_distinct"})
-    reg_atoms = [a for a in partial_atoms if a[0] != "count_distinct"]
+                       if f in special})
+    reg_atoms = [a for a in partial_atoms if a[0] not in special]
     if cd_atoms and not any(f == "count_star" for f, _ in reg_atoms):
         # group enumerator: every group gets a row even when only
         # COUNT(DISTINCT) was selected
@@ -1764,8 +1858,9 @@ def _run_agg_query(src, node: dict, select: list,
     if multi_sets:
         if cd_atoms:
             raise SqlUnsupported(
-                "COUNT(DISTINCT) with ROLLUP/CUBE/GROUPING SETS "
-                "(distinct sets do not re-aggregate)")
+                "COUNT(DISTINCT)/approx_count_distinct with ROLLUP/"
+                "CUBE/GROUPING SETS (distinct state does not "
+                "re-aggregate through the level derivation)")
         if merged is None:
             # zero groups: only the grand-total set emits (COUNT 0)
             cols: dict = {k: pa.array([], type=pa.string())
@@ -1780,10 +1875,12 @@ def _run_agg_query(src, node: dict, select: list,
         merged = _grouping_sets(merged, keys, group_sets)
 
     env, n = _agg_env(merged, keys,
-                      [a for a in atoms if a[0] != "count_distinct"])
-    for _, col in cd_atoms:
-        env[("agg", "count_distinct", col)] = \
+                      [a for a in atoms if a[0] not in special])
+    for fn, col in cd_atoms:
+        env[("agg", fn, col)] = (
             _count_distinct_counts(src, keys, col, merged, n)
+            if fn == "count_distinct"
+            else _approx_distinct_counts(src, keys, col, merged, n))
     if having is not None:
         mask = _eval_expr(having, env, n)
         if isinstance(mask, pa.ChunkedArray):

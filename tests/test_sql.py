@@ -352,6 +352,33 @@ def test_explain_routes(sqlenv):
     assert "partial top-k" in p
 
 
+def test_approx_count_distinct(sqlenv):
+    tables, con = sqlenv
+    # global + unfiltered: answered from manifest KMV sketches alone;
+    # grouped + filtered: streamed per-group sketches. Contract: exact
+    # below k=256 distincts, else within 10% (KMV k=256 noise band)
+    for q, gq in (
+        ("SELECT approx_count_distinct(source) AS d FROM docs",
+         "SELECT COUNT(DISTINCT source) AS d FROM docs"),
+        ("SELECT approx_count_distinct(doc_id) AS d FROM docs "
+         "WHERE n_chars > 2500",
+         "SELECT COUNT(DISTINCT doc_id) AS d FROM docs "
+         "WHERE n_chars > 2500"),
+        ("SELECT lang, approx_count_distinct(n_chars) AS d FROM docs "
+         "GROUP BY lang ORDER BY lang NULLS FIRST",
+         "SELECT lang, COUNT(DISTINCT n_chars) AS d FROM docs "
+         "GROUP BY lang ORDER BY lang NULLS FIRST"),
+    ):
+        mine = sql_query(q, tables)
+        exact = con.execute(gq).arrow()
+        assert mine.num_rows == exact.num_rows
+        for m, e in zip(mine["d"].to_pylist(), exact["d"].to_pylist()):
+            if e <= 256:
+                assert m == e, (q, m, e)
+            else:
+                assert abs(m - e) / e < 0.10, (q, m, e)
+
+
 def test_exists_folding(sqlenv):
     check(sqlenv, "SELECT doc_id FROM docs WHERE lang = 'en' AND "
                   "EXISTS (SELECT 1 FROM meta WHERE weight > 50)")
