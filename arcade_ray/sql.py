@@ -438,6 +438,13 @@ def _collect_aggs(node: dict, out: list):
         for c in node.get("children", []):
             _collect_aggs(c, out)
         return
+    if cls == "CASE":
+        for chk in node.get("case_checks", []):
+            _collect_aggs(chk["when_expr"], out)
+            _collect_aggs(chk["then_expr"], out)
+        if node.get("else_expr"):
+            _collect_aggs(node["else_expr"], out)
+        return
     if cls in ("COLUMN_REF", "CONSTANT"):
         return
     raise SqlUnsupported(f"expression {cls!r}")
@@ -460,6 +467,31 @@ def _expr_name(node: dict) -> str:
     if cls == "CONSTANT":
         return str(_const_value(node))
     raise SqlUnsupported(f"cannot name expression class {cls!r}")
+
+
+def _as_py_scalar(v):
+    return v.as_py() if isinstance(v, pa.Scalar) else v
+
+
+# single-argument-shape scalar kernels mapped 1:1 onto pyarrow.compute
+# (names are DuckDB's; length casts to int64 to match DuckDB's BIGINT)
+_SCALAR_FNS = {
+    "lower": pc.utf8_lower, "upper": pc.utf8_upper,
+    "trim": pc.utf8_trim_whitespace, "ltrim": pc.utf8_ltrim_whitespace,
+    "rtrim": pc.utf8_rtrim_whitespace,
+    "length": lambda a: pc.cast(pc.utf8_length(a), pa.int64()),
+    "reverse": pc.utf8_reverse,
+    "abs": pc.abs, "sqrt": pc.sqrt, "exp": pc.exp, "ln": pc.ln,
+    "log": pc.log10, "log10": pc.log10, "log2": pc.log2,
+    "floor": pc.floor, "ceil": pc.ceil, "ceiling": pc.ceil,
+    "sign": pc.sign, "pow": pc.power, "power": pc.power,
+    "starts_with": pc.starts_with, "prefix": pc.starts_with,
+    "ends_with": pc.ends_with, "suffix": pc.ends_with,
+    "contains": lambda a, b: pc.match_substring(
+        a, pattern=_as_py_scalar(b)),
+    "regexp_matches": lambda a, b: pc.match_substring_regex(
+        a, pattern=_as_py_scalar(b)),
+}
 
 
 def _eval_expr(node: dict, env: dict, n_rows: int):
@@ -506,9 +538,51 @@ def _eval_expr(node: dict, env: dict, n_rows: int):
         if fn == "/":
             return pc.divide(pc.cast(args[0], pa.float64()),
                              pc.cast(args[1], pa.float64()))
-        if fn in ("//", "%"):
-            op = pc.divide if fn == "//" else pc.mod
-            return op(*args)
+        if fn == "//":
+            # Arrow's integer divide truncates toward zero — exactly
+            # DuckDB's // on integers (floats fall through to divide)
+            return pc.divide(*args)
+        if fn == "%":
+            a, b = args
+            if pa.types.is_integer(a.type) and pa.types.is_integer(b.type):
+                return pc.subtract(a, pc.multiply(pc.divide(a, b), b))
+            af = pc.cast(a, pa.float64())
+            bf = pc.cast(b, pa.float64())
+            return pc.subtract(
+                af, pc.multiply(pc.trunc(pc.divide(af, bf)), bf))
+        if fn in _SCALAR_FNS:
+            return _SCALAR_FNS[fn](*args)
+        if fn == "nullif":
+            a, b = args
+            eq = pc.fill_null(pc.equal(a, b), False)
+            return pc.if_else(eq, pa.scalar(None, a.type), a)
+        if fn in ("substr", "substring"):
+            start = _as_py_scalar(args[1])
+            if not isinstance(start, int) or start < 1:
+                raise SqlUnsupported("substr start must be a positive "
+                                     "integer literal")
+            if len(args) > 2:
+                ln = _as_py_scalar(args[2])
+                if not isinstance(ln, int) or ln < 0:
+                    raise SqlUnsupported("substr length must be a "
+                                         "non-negative integer literal")
+                stop = start - 1 + ln
+            else:
+                stop = None
+            return pc.utf8_slice_codeunits(args[0], start=start - 1,
+                                           stop=stop)
+        if fn in ("||", "concat"):
+            # SQL ||: NULL if any operand NULL; concat(): NULLs -> ''
+            strs = [a if (isinstance(a, pa.Scalar)
+                          and pa.types.is_string(a.type))
+                    or (not isinstance(a, pa.Scalar)
+                        and pa.types.is_string(a.type))
+                    else pc.cast(a, pa.string()) for a in args]
+            if fn == "||":
+                return pc.binary_join_element_wise(
+                    *strs, "", null_handling="emit_null")
+            return pc.binary_join_element_wise(
+                *strs, "", null_handling="replace", null_replacement="")
         raise SqlUnsupported(f"function {fn!r}")
     if cls == "COMPARISON":
         lhs = _eval_expr(node["left"], env, n_rows)
@@ -540,6 +614,9 @@ def _eval_expr(node: dict, env: dict, n_rows: int):
             # SQL IN over a null operand is UNKNOWN, not FALSE
             m = pc.if_else(pc.is_valid(arr), m, pa.scalar(None, pa.bool_()))
             return pc.invert(m) if typ == "COMPARE_NOT_IN" else m
+        if typ == "OPERATOR_COALESCE":
+            return pc.coalesce(*[_eval_expr(c, env, n_rows)
+                                 for c in node["children"]])
         raise SqlUnsupported(f"operator {typ!r} in expression")
     if cls == "CONJUNCTION":
         parts = [_eval_expr(c, env, n_rows) for c in node["children"]]
@@ -547,6 +624,19 @@ def _eval_expr(node: dict, env: dict, n_rows: int):
         for p in parts[1:]:
             acc = (pc.and_kleene if typ == "CONJUNCTION_AND"
                    else pc.or_kleene)(acc, p)
+        return acc
+    if cls == "CASE":
+        # first-match-wins: fold the checks back-to-front so earlier
+        # WHENs override later ones; a missing ELSE yields NULL
+        acc = (_eval_expr(node["else_expr"], env, n_rows)
+               if node.get("else_expr") else None)
+        for chk in reversed(node["case_checks"]):
+            cond = _eval_expr(chk["when_expr"], env, n_rows)
+            then = _eval_expr(chk["then_expr"], env, n_rows)
+            if acc is None or (isinstance(acc, pa.Scalar)
+                               and pa.types.is_null(acc.type)):
+                acc = pa.scalar(None, then.type)
+            acc = pc.if_else(pc.fill_null(cond, False), then, acc)
         return acc
     raise SqlUnsupported(f"expression {cls}/{typ}")
 
@@ -563,6 +653,12 @@ def _expr_columns(node: dict, out: set):
         _expr_columns(node["right"], out)
     elif cls == "BETWEEN":
         _expr_columns(node["input"], out)
+    elif cls == "CASE":
+        for chk in node.get("case_checks", []):
+            _expr_columns(chk["when_expr"], out)
+            _expr_columns(chk["then_expr"], out)
+        if node.get("else_expr"):
+            _expr_columns(node["else_expr"], out)
     else:
         for c in node.get("children", []) or []:
             if isinstance(c, dict):
@@ -1022,6 +1118,40 @@ def _stream_topk(ds, order: list, limit: int, offset: int,
 # --------------------------------------------------------------------------
 # entry point
 
+class _MemSource:
+    """Driver-resident table (a materialized CTE result): WHERE
+    evaluates as one vectorized 3VL mask over the table — there are
+    no zone maps to prune, the data already lives on the driver."""
+
+    def __init__(self, table: pa.Table, where_node):
+        if where_node is not None:
+            env = {c: table[c] for c in table.column_names}
+            m = _eval_expr(where_node, env, table.num_rows)
+            if isinstance(m, pa.Scalar):
+                table = table if m.as_py() else table.slice(0, 0)
+            else:
+                if isinstance(m, pa.ChunkedArray):
+                    m = m.combine_chunks()
+                table = table.filter(pc.fill_null(m, False))
+        self.table = table
+
+    def columns(self) -> list[str]:
+        return list(self.table.column_names)
+
+    def stream(self, cols: list[str]):
+        import ray.data as rd
+
+        # a 0-column selection loses num_rows: keep one column so
+        # constant-only projections (FROM-less SELECT) see their row
+        return rd.from_arrow(self.table.select(
+            cols or self.table.column_names[:1]))
+
+    def empty(self, cols: list[str]) -> pa.Table:
+        return self.table.select(cols).slice(0, 0)
+
+    unfiltered_dir = None
+
+
 class _TableSource:
     """Single encoded table, WHERE compiled to the zone-pruned engine
     predicate tree."""
@@ -1145,9 +1275,13 @@ class _JoinSource:
             list(cols) + sorted(wcols - set(cols))))
         lcols = [c for c in allneed if self._attribute(c) == "l"]
         rcols = [c for c in allneed if self._attribute(c) == "r"]
-        ds = copartition_join(self.ldir, self.rdir, self.lkey,
-                              self.rkey, lcols, rcols,
-                              join_type=self.join_type)
+        if isinstance(self.ldir, pa.Table) \
+                or isinstance(self.rdir, pa.Table):
+            ds = self._mem_join(lcols, rcols)
+        else:
+            ds = copartition_join(self.ldir, self.rdir, self.lkey,
+                                  self.rkey, lcols, rcols,
+                                  join_type=self.join_type)
         wn = self.where_node
         want = list(cols)
 
@@ -1163,6 +1297,91 @@ class _JoinSource:
         if wn is not None or want != allneed:
             ds = ds.map_batches(post, batch_format="pyarrow")
         return ds
+
+    def _mem_join(self, lcols: list[str], rcols: list[str]):
+        """Join when one or both sides are materialized CTE tables.
+        Both mem: one driver-side Arrow hash join. One mem: the mem
+        table is ray.put once and the ENCODED side streams through a
+        per-batch Arrow hash join against it — the preserved side of
+        an outer join must be the streamed side (a mem table on the
+        preserved side would need unmatched-row tracking across
+        batches)."""
+        import ray
+        import ray.data as rd
+
+        from .pipeline.query import scan
+
+        _AJT = {"inner": "inner", "left": "left outer",
+                "right": "right outer", "full": "full outer"}
+        lmem = isinstance(self.ldir, pa.Table)
+        rmem = isinstance(self.rdir, pa.Table)
+        lsel = list(dict.fromkeys([self.lkey] + lcols))
+        rsel = list(dict.fromkeys([self.rkey] + rcols))
+        if lmem and rmem:
+            # Arrow coalesces the right key column away; when SQL
+            # selects it, carry a copy so outer-join rows keep NULLs
+            rt = self.rdir.select(rsel)
+            dup_key = self.rkey if self.rkey in rcols else None
+            if dup_key:
+                rt = rt.append_column("__jk", rt[self.rkey])
+            t = self.ldir.select(lsel).join(
+                rt, keys=self.lkey, right_keys=self.rkey,
+                join_type=_AJT[self.join_type])
+            if dup_key:
+                t = t.rename_columns([dup_key if c == "__jk" else c
+                                      for c in t.column_names])
+            return rd.from_arrow(t)
+
+        if rmem:
+            if self.join_type not in ("inner", "left"):
+                raise SqlUnsupported(
+                    f"{self.join_type} join with a materialized CTE "
+                    "on the preserved side")
+            rt = self.rdir.select(rsel)
+            dup_key = self.rkey if self.rkey in rcols else None
+            if dup_key:
+                rt = rt.append_column("__jk", rt[self.rkey])
+            ref = ray.put(rt)
+            jt = _AJT[self.join_type]
+            lkey, rkey = self.lkey, self.rkey
+
+            def j(b: pa.Table) -> pa.Table:
+                t = b.join(ray.get(ref), keys=lkey, right_keys=rkey,
+                           join_type=jt)
+                if dup_key:
+                    t = t.rename_columns(
+                        [dup_key if c == "__jk" else c
+                         for c in t.column_names])
+                return t
+
+            return scan(self.ldir, columns=lsel).map_batches(
+                j, batch_format="pyarrow")
+
+        # left side mem: stream the encoded right side; inner joins
+        # commute, RIGHT JOIN preserves the streamed side
+        if self.join_type not in ("inner", "right"):
+            raise SqlUnsupported(
+                f"{self.join_type} join with a materialized CTE "
+                "on the preserved side")
+        lt = self.ldir.select(lsel)
+        dup_key = self.lkey if self.lkey in lcols else None
+        if dup_key:
+            lt = lt.append_column("__jk", lt[self.lkey])
+        ref = ray.put(lt)
+        jt = "inner" if self.join_type == "inner" else "left outer"
+        lkey, rkey = self.lkey, self.rkey
+
+        def j(b: pa.Table) -> pa.Table:
+            t = b.join(ray.get(ref), keys=rkey, right_keys=lkey,
+                       join_type=jt)
+            if dup_key:
+                t = t.rename_columns(
+                    [dup_key if c == "__jk" else c
+                     for c in t.column_names])
+            return t
+
+        return scan(self.rdir, columns=rsel).map_batches(
+            j, batch_format="pyarrow")
 
     def empty(self, cols: list[str]) -> pa.Table:
         sch = self.stream(cols).schema()
@@ -1205,9 +1424,19 @@ def explain_sql(sql: str, tables: dict[str, str]) -> str:
     operator each clause lowers to, the compiled predicate tree, and
     the manifest-level partition pruning it would achieve. Subqueries
     are evaluated (they fold to constants / IN-sets at compile time);
-    the main query is NOT executed."""
+    the main query is NOT executed (CTE bodies ARE — they fold to
+    in-memory tables exactly as at run time)."""
     node = _parse(sql)
     lines: list[str] = []
+    ctes = (node.get("cte_map") or {}).get("map") or []
+    if ctes:
+        tables = dict(tables)
+        for entry in ctes:
+            t = _materialize_result(
+                _execute_node(entry["value"]["query"]["node"], tables))
+            tables[entry["key"]] = t
+            lines.append(f"cte {entry['key']} -> materialized "
+                         f"in-memory table ({t.num_rows} rows)")
     ft = node["from_table"]
     select = node["select_list"]
     group_exprs = node.get("group_expressions") or []
@@ -1229,20 +1458,37 @@ def explain_sql(sql: str, tables: dict[str, str]) -> str:
         if tname not in tables:
             raise KeyError(f"table {tname!r} not provided")
         out_dir = tables[tname]
-        lines.append(f"scan {tname} [{out_dir}]")
-        if node.get("where_clause"):
-            tree = _compile_pred(node["where_clause"], tables,
-                                 any_col=_dataset_columns(out_dir)[0])
-            lines.append(f"  where -> compound_filter tree: {tree!r}")
-            surv, total = _pruning_counts(out_dir, tree)
-            lines.append("  partitions after zone/Bloom pruning: "
-                         f"{surv}/{total}")
+        if isinstance(out_dir, pa.Table):
+            lines.append(f"scan {tname} [in-memory CTE, "
+                         f"{out_dir.num_rows} rows]")
+            if node.get("where_clause"):
+                lines.append("  where -> vectorized 3VL mask over "
+                             "the materialized table")
+        else:
+            lines.append(f"scan {tname} [{out_dir}]")
+            if node.get("where_clause"):
+                tree = _compile_pred(node["where_clause"], tables,
+                                     any_col=_dataset_columns(out_dir)[0])
+                lines.append(f"  where -> compound_filter tree: {tree!r}")
+                surv, total = _pruning_counts(out_dir, tree)
+                lines.append("  partitions after zone/Bloom pruning: "
+                             f"{surv}/{total}")
     elif ft.get("type") == "JOIN":
         src = _JoinSource(ft, tables, node.get("where_clause"))
-        lines.append(f"copartition_join [{src.join_type}] "
-                     f"{src.ldir} ({src.lkey}) x {src.rdir} "
-                     f"({src.rkey})")
-        lines.append("  hash-bucketed exchange, Arrow hash join per "
+
+        def _side(d):
+            return (f"in-memory CTE ({d.num_rows} rows)"
+                    if isinstance(d, pa.Table) else d)
+
+        anymem = isinstance(src.ldir, pa.Table) \
+            or isinstance(src.rdir, pa.Table)
+        jname = "broadcast mem-join" if anymem else "copartition_join"
+        lines.append(f"{jname} [{src.join_type}] "
+                     f"{_side(src.ldir)} ({src.lkey}) x "
+                     f"{_side(src.rdir)} ({src.rkey})")
+        lines.append("  mem side ray.put once, per-batch Arrow hash "
+                     "join against the streamed side" if anymem else
+                     "  hash-bucketed exchange, Arrow hash join per "
                      "bucket")
         if src.where_node is not None:
             lines.append("  where -> post-join 3VL batch filter "
@@ -1265,6 +1511,7 @@ def explain_sql(sql: str, tables: dict[str, str]) -> str:
         reg = [a for a in atoms if a[0] != "count_distinct"]
         route = "streamed per-batch partial aggregation, driver merge"
         if ft.get("type") == "BASE_TABLE" \
+                and isinstance(tables.get(ft["table_name"]), str) \
                 and not node.get("where_clause") and len(keys) == 1:
             expand = []
             for fn, col in reg:
@@ -1303,27 +1550,53 @@ def _distinct_modifier(node: dict) -> bool:
     return False
 
 
+def _materialize_result(res) -> pa.Table:
+    if isinstance(res, pa.Table):
+        return res
+    from .collect import collect_arrow
+
+    return collect_arrow(res)
+
+
 def _execute_node(node: dict, tables: dict[str, str]):
+    ctes = (node.get("cte_map") or {}).get("map") or []
+    if ctes:
+        # non-recursive CTEs materialize in order (DuckDB's own
+        # default for multiply-referenced CTEs); each becomes an
+        # in-memory table visible to later CTEs and the main query.
+        # A self-reference raises KeyError (registered only after its
+        # body runs), which is also how RECURSIVE surfaces.
+        tables = dict(tables)
+        for entry in ctes:
+            sub = entry["value"]["query"]["node"]
+            tables[entry["key"]] = _materialize_result(
+                _execute_node(sub, tables))
     if node.get("type") == "SET_OPERATION_NODE":
         return _run_set_operation(node, tables)
     if node.get("qualify") or node.get("sample"):
         raise SqlUnsupported("QUALIFY / SAMPLE")
-    if node.get("cte_map", {}).get("map"):
-        raise SqlUnsupported("CTEs")
     ft = node["from_table"]
     if ft.get("type") == "BASE_TABLE":
         tname = ft["table_name"]
         if tname not in tables:
             raise KeyError(f"table {tname!r} not provided "
                            f"(have: {sorted(tables)})")
-        where_tree = None
-        if node.get("where_clause"):
-            any_col = _dataset_columns(tables[tname])[0]
-            where_tree = _compile_pred(node["where_clause"], tables,
-                                       any_col=any_col)
-        src = _TableSource(tables[tname], where_tree)
+        target = tables[tname]
+        if isinstance(target, pa.Table):
+            src = _MemSource(target, node.get("where_clause"))
+        else:
+            where_tree = None
+            if node.get("where_clause"):
+                any_col = _dataset_columns(target)[0]
+                where_tree = _compile_pred(node["where_clause"], tables,
+                                           any_col=any_col)
+            src = _TableSource(target, where_tree)
     elif ft.get("type") == "JOIN":
         src = _JoinSource(ft, tables, node.get("where_clause"))
+    elif ft.get("type") == "EMPTY":
+        # FROM-less SELECT: one synthetic row, expressions only
+        src = _MemSource(pa.table({"__one": pa.array([1])}),
+                         node.get("where_clause"))
     else:
         raise SqlUnsupported(f"FROM type {ft.get('type')!r}")
 
@@ -1375,9 +1648,12 @@ def _scan_or_filter(out_dir: str, where_tree, project: list[str]):
     return scan(out_dir, columns=project)
 
 
-def _dataset_columns(out_dir: str) -> list[str]:
+def _dataset_columns(out_dir) -> list[str]:
     """Column names of an encoded dir in first-seen manifest order
-    (the union across generations under schema evolution)."""
+    (the union across generations under schema evolution). A
+    materialized CTE (pa.Table) answers from its schema."""
+    if isinstance(out_dir, pa.Table):
+        return list(out_dir.column_names)
     from .pipeline.query import _manifest_paths
     from .format import read_header
 
@@ -1403,57 +1679,102 @@ def _dataset_columns(out_dir: str) -> list[str]:
     return union
 
 
+def _synth_colref(name: str) -> dict:
+    return {"class": "COLUMN_REF", "type": "COLUMN_REF",
+            "column_names": [name]}
+
+
 def _run_row_query(src, node: dict, select: list):
     star = any(item["class"] == "STAR" for item in select)
+    src_cols = src.columns()
     if star:
         if len(select) != 1:
             raise SqlUnsupported("SELECT * mixed with expressions")
-        project = src.columns()
+        project = list(src_cols)
         names = list(project)
     else:
         project, names = [], []
         for item in select:
-            if item["class"] == "CAST" and \
-                    item["child"]["class"] == "COLUMN_REF":
-                # CAST(col AS t) in a row query: project + driver cast
-                project.append(_colref(item["child"]))
-            elif item["class"] != "COLUMN_REF":
-                raise SqlUnsupported(
-                    "row queries project plain columns (class "
-                    f"{item['class']!r}); wrap computations in a "
-                    "GROUP BY or use scan().map_batches")
-            else:
+            if item["class"] == "COLUMN_REF":
                 project.append(_colref(item))
+            else:
+                need: set = set()
+                _expr_columns(item, need)
+                unknown = need - set(src_cols)
+                if unknown:
+                    raise KeyError(
+                        f"unknown column(s) {sorted(unknown)} in "
+                        "expression")
+                project.extend(sorted(need))
             names.append(_expr_name(item))
     order, limit, offset = _modifiers(node, select)
+
+    # ORDER BY an alias of a computed select item resolves to that
+    # item's expression (SQL scoping: aliases are visible in ORDER BY)
+    if not star:
+        alias_map = {n: it for n, it in zip(names, select)}
+        order = [(alias_map.get(_colref(e), e)
+                  if e.get("class") == "COLUMN_REF"
+                  and _colref(e) not in src_cols else e, d, nf)
+                 for e, d, nf in order]
 
     # dedupe projection for the scan, keep select order for output
     scan_cols = list(dict.fromkeys(project))
     need = set(scan_cols)
     for e, *_ in order:
         _expr_columns(e, need)
+    unknown = need - set(src_cols)
+    if unknown:
+        raise KeyError(f"unknown ORDER BY column(s) {sorted(unknown)}")
     scan_all = list(dict.fromkeys(list(scan_cols) + sorted(need - set(scan_cols))))
     ds = src.stream(scan_all)
+
+    computed_order = [e for e, *_ in order
+                      if e.get("class") != "COLUMN_REF"]
+    if computed_order:
+        # evaluate computed sort keys into __ordN columns per batch,
+        # then the plain-column paths below apply unchanged
+        oexprs = [(f"__ord{i}", e) for i, (e, *_ ) in enumerate(order)]
+
+        def add_keys(b: pa.Table) -> pa.Table:
+            env = {c: b[c] for c in b.column_names}
+            for nm, e in oexprs:
+                arr = _eval_expr(e, env, b.num_rows)
+                if isinstance(arr, pa.Scalar):
+                    arr = pa.array([arr.as_py()] * b.num_rows,
+                                   type=arr.type)
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                b = b.append_column(nm, arr)
+            return b
+
+        ds = ds.map_batches(add_keys, batch_format="pyarrow")
+        order = [(_synth_colref(nm), d, nf)
+                 for (nm, _), (_, d, nf) in zip(oexprs, order)]
+        scan_all = scan_all + [nm for nm, _ in oexprs]
 
     def finish(table: pa.Table) -> pa.Table:
         if star:
             return table.select(project)
+        n = table.num_rows
+        env = {c: table[c] for c in table.column_names}
         cols = {}
         for item, name in zip(select, names):
-            if item["class"] == "CAST":
-                cols[name] = pc.cast(table[_colref(item["child"])],
-                                     _TYPE_MAP[item["cast_type"]["id"]])
-            else:
+            if item["class"] == "COLUMN_REF":
                 cols[name] = table[_colref(item)]
+                continue
+            arr = _eval_expr(item, env, n)
+            if isinstance(arr, pa.Scalar):
+                arr = (pa.nulls(n) if pa.types.is_null(arr.type)
+                       else pa.array([arr.as_py()] * n, type=arr.type))
+            cols[name] = arr
         return pa.table(cols) if cols else table
 
     if order and limit is not None:
-        for e, *_ in order:
-            if e.get("class") != "COLUMN_REF":
-                raise SqlUnsupported("ORDER BY expression in row query")
         t = _stream_topk(ds, order, limit, offset, scan_all)
         if t is None:
-            t = src.empty(scan_all)
+            t = src.empty([c for c in scan_all
+                           if not c.startswith("__ord")])
         return finish(t)
     if order:
         # full ordered result WITHOUT a limit: Ray's distributed
@@ -1462,8 +1783,6 @@ def _run_row_query(src, node: dict, select: list):
         # per Ray's ordering — use a LIMIT or IS NOT NULL for SQL
         # nulls-last guarantees on null-bearing keys.)
         for e, _, nf in order:
-            if e.get("class") != "COLUMN_REF":
-                raise SqlUnsupported("ORDER BY expression in row query")
             if nf:
                 raise SqlUnsupported("NULLS FIRST in a distributed sort")
         sorted_ds = ds.sort(key=[_colref(e) for e, *_ in order],
@@ -1478,9 +1797,12 @@ def _run_row_query(src, node: dict, select: list):
         return finish(t.slice(offset, limit))
     if star and scan_all == project:
         return ds  # lazy stream
-    from .collect import collect_arrow
-
-    return finish(collect_arrow(ds))
+    if not star and names == project and scan_all == project \
+            and all(it["class"] == "COLUMN_REF" for it in select):
+        return ds  # pure projection, stays a lazy stream
+    # projection with row-wise computed expressions: evaluate per
+    # batch — the result stays a lazy stream, never driver-resident
+    return ds.map_batches(finish, batch_format="pyarrow")
 
 
 _WINDOW_TYPES = {"WINDOW_ROW_NUMBER", "WINDOW_RANK", "WINDOW_RANK_DENSE",

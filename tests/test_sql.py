@@ -494,7 +494,6 @@ def test_unsupported_constructs_raise(sqlenv):
     tables, _ = sqlenv
     for q in (
         "SELECT source FROM docs QUALIFY row_number() OVER () = 1",
-        "WITH x AS (SELECT 1) SELECT * FROM x",
         "SELECT sum(DISTINCT n_chars) FROM docs",
         "SELECT d1.doc_id FROM docs d1 JOIN docs d2 ON d1.doc_id = "
         "d2.doc_id JOIN meta ON d1.source = meta.source",
@@ -509,3 +508,120 @@ def test_unknown_table_and_column(sqlenv):
         sql_query("SELECT x FROM nope", tables)
     with pytest.raises(KeyError):
         sql_query("SELECT nosuch FROM docs WHERE nosuch = 1", tables)
+
+
+# --- scalar expressions / CASE / CTEs --------------------------------------
+
+def test_case_when_row(sqlenv):
+    check(sqlenv, "SELECT doc_id, CASE WHEN n_chars > 2500 THEN 'long' "
+                  "WHEN n_chars > 500 THEN 'mid' ELSE 'short' END AS bucket "
+                  "FROM docs WHERE lang = 'en'")
+
+
+def test_case_base_operand(sqlenv):
+    check(sqlenv, "SELECT doc_id, CASE lang WHEN 'en' THEN 1 WHEN 'fr' "
+                  "THEN 2 ELSE 0 END AS lc FROM docs WHERE n_chars > 4500")
+
+
+def test_case_no_else_is_null(sqlenv):
+    check(sqlenv, "SELECT doc_id, CASE WHEN score > 0.5 THEN 'hi' END "
+                  "AS hs FROM docs WHERE n_chars < 200")
+
+
+def test_case_over_aggregates(sqlenv):
+    check(sqlenv, "SELECT source, CASE WHEN SUM(n_chars) > 800000 THEN "
+                  "'big' ELSE 'small' END AS sz FROM docs GROUP BY source")
+
+
+def test_coalesce_nullif(sqlenv):
+    check(sqlenv, "SELECT doc_id, coalesce(lang, 'und') AS l2, "
+                  "nullif(source, 'src-0') AS s2 FROM docs "
+                  "WHERE n_chars > 4800")
+
+
+def test_string_functions_row(sqlenv):
+    check(sqlenv, "SELECT doc_id, upper(source) AS us, "
+                  "length(doc_id) AS n, substr(doc_id, 2, 3) AS mid, "
+                  "source || '/' || coalesce(lang, '?') AS tag "
+                  "FROM docs WHERE n_chars > 4900")
+
+
+def test_arith_row_projection(sqlenv):
+    check(sqlenv, "SELECT doc_id, n_chars * 2 + 1 AS x, "
+                  "n_chars / 100 AS frac, n_chars % 7 AS m "
+                  "FROM docs WHERE n_chars > 4900")
+
+
+def test_computed_projection_order_limit(sqlenv):
+    check(sqlenv, "SELECT doc_id, n_chars - 2500 AS delta FROM docs "
+                  "WHERE lang = 'fr' ORDER BY n_chars DESC, doc_id "
+                  "LIMIT 8")
+
+
+def test_order_by_computed_alias(sqlenv):
+    check(sqlenv, "SELECT doc_id, n_chars % 97 AS h FROM docs "
+                  "WHERE lang = 'de' ORDER BY h DESC, doc_id LIMIT 11")
+
+
+def test_order_by_expression_topk(sqlenv):
+    check(sqlenv, "SELECT doc_id FROM docs WHERE lang = 'es' "
+                  "ORDER BY n_chars % 1000 DESC, doc_id LIMIT 7")
+
+
+def test_from_less_select(sqlenv):
+    check(sqlenv, "SELECT 1 + 2 AS three, 'x' || 'y' AS s, "
+                  "upper('ab') AS u", ordered=True)
+
+
+def test_cte_basic(sqlenv):
+    check(sqlenv, "WITH en AS (SELECT source, n_chars FROM docs "
+                  "WHERE lang = 'en') SELECT source, COUNT(*) AS n, "
+                  "SUM(n_chars) AS s FROM en GROUP BY source")
+
+
+def test_cte_chained(sqlenv):
+    check(sqlenv, "WITH a AS (SELECT source, n_chars FROM docs "
+                  "WHERE n_chars > 1000), "
+                  "b AS (SELECT source, COUNT(*) AS n FROM a "
+                  "GROUP BY source) "
+                  "SELECT source, n FROM b WHERE n > 100 "
+                  "ORDER BY n DESC, source")
+
+
+def test_cte_join_encoded_right_mem(sqlenv):
+    # CTE (mem) joins an encoded table: mem side broadcast
+    check(sqlenv, "WITH agg AS (SELECT source, COUNT(*) AS n FROM docs "
+                  "GROUP BY source) "
+                  "SELECT m.region, SUM(agg.n) AS tot FROM agg "
+                  "JOIN meta m ON agg.source = m.source "
+                  "GROUP BY m.region")
+
+
+def test_cte_join_left_outer_encoded_preserved(sqlenv):
+    # encoded LEFT JOIN cte: streamed side preserved, mem side null-pads
+    check(sqlenv, "WITH big AS (SELECT source, COUNT(*) AS n FROM docs "
+                  "WHERE n_chars > 4000 GROUP BY source) "
+                  "SELECT d.doc_id, big.n FROM docs d LEFT JOIN big "
+                  "ON d.source = big.source WHERE d.n_chars > 4900")
+
+
+def test_cte_window_over_mem(sqlenv):
+    check(sqlenv, "WITH f AS (SELECT source, doc_id, n_chars FROM docs "
+                  "WHERE n_chars > 4800) "
+                  "SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY source "
+                  "ORDER BY n_chars DESC, doc_id) AS rn FROM f",
+          ordered=False)
+
+
+def test_cte_self_reference_raises(sqlenv):
+    tables, _ = sqlenv
+    with pytest.raises((SqlUnsupported, KeyError)):
+        sql_query("WITH x AS (SELECT doc_id FROM x) SELECT * FROM x",
+                  tables)
+
+
+def test_case_in_where_on_mem(sqlenv):
+    check(sqlenv, "WITH f AS (SELECT doc_id, n_chars, lang FROM docs "
+                  "WHERE n_chars > 4000) "
+                  "SELECT doc_id FROM f WHERE CASE WHEN lang = 'en' "
+                  "THEN n_chars > 4900 ELSE n_chars > 4980 END")
