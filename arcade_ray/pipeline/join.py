@@ -841,3 +841,274 @@ def semi_join_large(probe_dir: str, probe_key: str, probe_cols: list[str],
         ])
 
     return unified.groupby("_jb").map_groups(verify, batch_format="pyarrow")
+
+
+# dataset_join: the N-way chain step ---------------------------------
+
+BROADCAST_JOIN_BYTES = int(os.environ.get(
+    "ARCADE_BROADCAST_JOIN_BYTES", str(256 << 20)))
+
+
+def _keys_list(k) -> list[str]:
+    return [k] if isinstance(k, str) else list(k)
+
+
+def dataset_join(left_ds, right, left_key, right_key,
+                 left_cols: list[str], right_cols: list[str],
+                 join_type: str = "inner", n_buckets: int | None = None,
+                 mode: str | None = None, strategy: str | None = None,
+                 left_types: dict | None = None):
+    """Join a STREAMING Dataset (e.g. a previous join's output)
+    against an encoded dir or an in-memory ``pa.Table`` — the step
+    that makes N-way join chains possible without re-encoding
+    intermediates. Reference roadmap "Joins between compressed files"
+    (/root/reference/README.md), generalized past two tables.
+
+    Strategy (auto unless ``strategy=`` forces one):
+
+    - ``"broadcast"``: the right side is decoded once, ``ray.put``
+      once, and every stream batch joins against it with Arrow's hash
+      join — no barrier, the stream stays a stream. Auto-chosen when
+      the right side is an in-memory table or its manifest raw_bytes
+      fit under ``BROADCAST_JOIN_BYTES`` AND the join preserves the
+      stream (inner/left) — a per-batch join cannot track unmatched
+      build rows for right/full outer.
+    - ``"copartition"``: the stream's materialized blocks and the
+      right side's partitions both fan out to per-key-hash bucket
+      fragments and one Arrow join runs per bucket —
+      :func:`copartition_join`'s exchange with a Dataset on the left.
+      ``mode="disk"`` stages fragments as Arrow-IPC shuffle files
+      (bounded object-store footprint); auto-selected above
+      ``ARCADE_DISK_EXCHANGE_BYTES`` like the other exchanges.
+
+    ``left_key`` / ``right_key`` may be a single column or a list
+    (multi-equality ON): fragments bucket on the FIRST key pair (rows
+    equal on all keys agree on key one, so co-partitioning stays
+    correct) and the Arrow join matches on all of them.
+
+    Returns a streaming Dataset with columns left_cols + right_cols.
+    """
+    import ray
+    import ray.data as rd
+
+    from ..hashing import hash_column
+    from .encode import _pin_arrow_threads
+
+    lkeys, rkeys = _keys_list(left_key), _keys_list(right_key)
+    if len(lkeys) != len(rkeys) or not lkeys:
+        raise ValueError("left/right key lists must be same-length, "
+                         "non-empty")
+    arrow_how = {"inner": "inner", "left": "left outer",
+                 "right": "right outer", "full": "full outer"
+                 }.get(join_type)
+    if arrow_how is None:
+        raise ValueError(f"join_type must be inner/left/right/full, "
+                         f"got {join_type!r}")
+    coalesced = {lk for lk, rk in zip(lkeys, rkeys) if lk == rk}
+    dup = sorted((set(left_cols) & set(right_cols)) - coalesced)
+    if dup:
+        raise ValueError(
+            f"ambiguous output columns {dup} requested from BOTH "
+            "sides; drop or rename one side's projection")
+    # Arrow coalesces each key pair into one column named after the
+    # left key; keep keys un-coalesced when the caller wants a right
+    # key column under its own (different) name, so outer joins can
+    # emit the SQL shape (right key null on left-only rows).
+    coalesce = not any(rk in right_cols and rk != lk
+                       for lk, rk in zip(lkeys, rkeys))
+    left_need = list(dict.fromkeys(lkeys + list(left_cols)))
+    right_need = list(dict.fromkeys(rkeys + list(right_cols)))
+    keep = list(dict.fromkeys(list(left_cols) + list(right_cols)))
+
+    right_is_mem = isinstance(right, pa.Table)
+    if right_is_mem:
+        missing = [c for c in right_need if c not in right.column_names]
+        if missing:
+            raise KeyError(f"columns {missing} not in right table")
+        r_bytes = right.select(right_need).nbytes
+        r_paths: list[str] = []
+        r_empty = right.select(right_need).slice(0, 0)
+    else:
+        r_man = load_manifest(right)
+        r_paths = [r["path"] for r in r_man.to_pylist()]
+        r_bytes = int(pc.sum(r_man["raw_bytes"]).as_py() or 0)
+        r_empty = _side_empty(right, r_paths, right_need)
+
+    if strategy is None:
+        strategy = "broadcast" \
+            if (right_is_mem or r_bytes <= BROADCAST_JOIN_BYTES) \
+            and arrow_how in ("inner", "left outer") else "copartition"
+    if strategy == "broadcast":
+        if arrow_how not in ("inner", "left outer"):
+            raise ValueError(
+                "broadcast dataset_join preserves only the streamed "
+                "side: inner/left joins only")
+        build = right.select(right_need) if right_is_mem \
+            else (_decode_all(right, right_need) if r_paths else r_empty)
+        ref = ray.put(build)
+
+        def j(b: pa.Table) -> pa.Table:
+            _pin_arrow_threads()
+            t = b.select(left_need).join(
+                ray.get(ref), keys=lkeys, right_keys=rkeys,
+                join_type=arrow_how, coalesce_keys=coalesce)
+            return t.select(keep)
+
+        out = left_ds.map_batches(j, batch_format="pyarrow")
+        # an EMPTY stream never invokes the UDF and would come back
+        # schema-less; when the caller supplied the stream's column
+        # types (``left_types``), seed a typed zero-row block (exact
+        # Arrow-join output types) so downstream ops keep the SQL
+        # shape without executing the stream to discover its schema.
+        if left_types is not None \
+                and all(c in left_types for c in left_need):
+            seed_l = pa.table({c: pa.array([], type=left_types[c])
+                               for c in left_need})
+            seed = seed_l.join(
+                build.slice(0, 0), keys=lkeys, right_keys=rkeys,
+                join_type=arrow_how, coalesce_keys=coalesce).select(keep)
+            out = rd.from_arrow(seed).union(out)
+        return out
+    if strategy != "copartition":
+        raise ValueError(f"strategy must be broadcast/copartition, "
+                         f"got {strategy!r}")
+
+    from ..collect import split_by_bucket
+    from ..diskex import (DISK_EXCHANGE_BYTES, bucket_dir, drain_bounded,
+                          make_shuffle_dir, read_bucket,
+                          write_bucket_frags)
+
+    if n_buckets is None:
+        n_buckets = max(16, int(ray.cluster_resources().get("CPU", 8)))
+    mds = left_ds.materialize()
+    l_refs = mds.to_arrow_refs()
+    l_bytes = int(mds.size_bytes() or 0)
+    if l_refs:
+        first = ray.get(l_refs[0])
+        missing = [c for c in left_need if c not in first.column_names]
+        if missing:
+            raise KeyError(f"columns {missing} not in left stream "
+                           f"(have {first.column_names})")
+        l_empty = first.select(left_need).slice(0, 0)
+    else:
+        sch = mds.schema()
+        names = list(sch.names)
+        types = list(sch.types)
+        missing = [c for c in left_need if c not in names]
+        if missing:
+            raise KeyError(f"columns {missing} not in left stream "
+                           f"(have {names})")
+        l_empty = pa.table({c: pa.array([], type=types[names.index(c)])
+                            for c in left_need})
+    if mode is None:
+        mode = "disk" if (l_bytes + r_bytes) > DISK_EXCHANGE_BYTES \
+            else "objects"
+
+    if mode == "disk":
+        sh_l = make_shuffle_dir("djL")
+        sh_r = make_shuffle_dir("djR")
+
+        @ray.remote
+        def split_disk(src, keys: list[str], cols: list[str],
+                       sdir: str, si: int) -> int:
+            _pin_arrow_threads()
+            t = decode_partition(src, columns=cols) \
+                if isinstance(src, str) else src.select(cols)
+            h = (hash_column(t[keys[0]]) % np.uint64(n_buckets)) \
+                .astype(np.int64)
+            return write_bucket_frags(t, h, n_buckets, sdir, si)
+
+        max_inflight = max(4, int(ray.cluster_resources().get("CPU", 8)))
+        pending: list = []
+        for si, ref in enumerate(l_refs):
+            pending.append(split_disk.remote(ref, lkeys, left_need,
+                                             sh_l, si))
+            pending = drain_bounded(pending, max_inflight)
+        if right_is_mem:
+            if right.num_rows:
+                h = (hash_column(right[rkeys[0]]) % np.uint64(n_buckets)
+                     ).astype(np.int64)
+                write_bucket_frags(right.select(right_need), h,
+                                   n_buckets, sh_r, 0)
+        else:
+            for si, p in enumerate(r_paths):
+                pending.append(split_disk.remote(p, rkeys, right_need,
+                                                 sh_r, si))
+                pending = drain_bounded(pending, max_inflight)
+        ray.get(pending)
+        l_has = [os.path.isdir(bucket_dir(sh_l, b))
+                 for b in range(n_buckets)]
+        r_has = [os.path.isdir(bucket_dir(sh_r, b))
+                 for b in range(n_buckets)]
+
+        def fetch(b: int):
+            lt = read_bucket(sh_l, b)
+            rt = read_bucket(sh_r, b)
+            return (lt if lt is not None else l_empty,
+                    rt if rt is not None else r_empty)
+    else:
+
+        @ray.remote
+        def split(src, keys: list[str], cols: list[str]):
+            _pin_arrow_threads()
+            t = decode_partition(src, columns=cols) \
+                if isinstance(src, str) else src.select(cols)
+            h = (hash_column(t[keys[0]]) % np.uint64(n_buckets)) \
+                .astype(np.int64)
+            return split_by_bucket(t, h, n_buckets)
+
+        l_lists = ray.get([split.remote(ref, lkeys, left_need)
+                           for ref in l_refs])
+        if right_is_mem:
+            if right.num_rows:
+                h = (hash_column(right[rkeys[0]]) % np.uint64(n_buckets)
+                     ).astype(np.int64)
+                r_lists = [split_by_bucket(right.select(right_need), h,
+                                           n_buckets)]
+            else:
+                r_lists = []
+        else:
+            r_lists = ray.get([split.remote(p, rkeys, right_need)
+                               for p in r_paths])
+        l_frags = [[fl[b] for fl in l_lists if fl[b] is not None]
+                   for b in range(n_buckets)]
+        r_frags = [[fl[b] for fl in r_lists if fl[b] is not None]
+                   for b in range(n_buckets)]
+        l_has = [bool(f) for f in l_frags]
+        r_has = [bool(f) for f in r_frags]
+
+        def fetch(b: int):
+            lt = [ray.get(r) for r in l_frags[b]]
+            rt = [ray.get(r) for r in r_frags[b]]
+            return (pa.concat_tables(lt).combine_chunks() if lt
+                    else l_empty,
+                    pa.concat_tables(rt).combine_chunks() if rt
+                    else r_empty)
+
+    if arrow_how == "inner":
+        live = [b for b in range(n_buckets) if l_has[b] and r_has[b]]
+    elif arrow_how == "left outer":
+        live = [b for b in range(n_buckets) if l_has[b]]
+    elif arrow_how == "right outer":
+        live = [b for b in range(n_buckets) if r_has[b]]
+    else:
+        live = [b for b in range(n_buckets) if l_has[b] or r_has[b]]
+    if not live:
+        return rd.from_arrow(l_empty.join(
+            r_empty, keys=lkeys, right_keys=rkeys,
+            join_type=arrow_how, coalesce_keys=coalesce).select(keep))
+    ds = rd.from_items([{"bucket": b} for b in live])
+
+    def join_bucket(batch: pa.Table) -> pa.Table:
+        _pin_arrow_threads()
+        outs = []
+        for bv in batch["bucket"]:
+            b = bv.as_py()
+            left, rtab = fetch(b)
+            j = left.join(rtab, keys=lkeys, right_keys=rkeys,
+                          join_type=arrow_how, coalesce_keys=coalesce)
+            outs.append(j.select(keep))
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(join_bucket, batch_format="pyarrow",
+                          batch_size=1)

@@ -703,3 +703,202 @@ class TestSaltedJoin:
         pd.testing.assert_frame_equal(
             a[cols].sort_values(cols).reset_index(drop=True),
             b[cols].sort_values(cols).reset_index(drop=True))
+
+
+# dataset_join: the N-way chain step ---------------------------------
+
+@pytest.fixture(scope="module")
+def seg_table(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    base = tmp_path_factory.mktemp("seginfo")
+    seg = pa.table({
+        "s_seg": pa.array([f"seg-{i}" for i in range(5)]),
+        "s_region": pa.array(["r-east", "r-west", "r-east", "r-north",
+                              "r-west"]),
+    })
+    s_dir = str(base / "seg")
+    encode_dataset(rd.from_arrow(seg), s_dir, key_col="s_region",
+                   id_col="s_seg", weight_col=None)
+    return s_dir, seg
+
+
+def _three_way_expected(orders, cust, seg, how2="inner"):
+    j1 = orders.to_pandas().merge(cust.to_pandas(), left_on="o_custkey",
+                                  right_on="c_custkey")
+    return j1.merge(seg.to_pandas(), left_on="c_seg", right_on="s_seg",
+                    how=how2)
+
+
+def _canon(t: pa.Table, keys):
+    return t.to_pandas().sort_values(keys).reset_index(drop=True)
+
+
+def test_dataset_join_three_way_broadcast(two_tables, seg_table):
+    from arcade_ray.pipeline.join import copartition_join, dataset_join
+
+    o_dir, c_dir, orders, cust = two_tables
+    s_dir, seg = seg_table
+    stream = copartition_join(o_dir, c_dir, "o_custkey", "c_custkey",
+                              ["o_orderkey", "o_total"], ["c_seg"])
+    out = collect_arrow(dataset_join(
+        stream, s_dir, "c_seg", "s_seg",
+        ["o_orderkey", "o_total", "c_seg"], ["s_region"],
+        strategy="broadcast"))
+    exp = _three_way_expected(orders, cust, seg)[
+        ["o_orderkey", "o_total", "c_seg", "s_region"]]
+    assert out.num_rows == len(exp)
+    assert _canon(out, ["o_orderkey"]).equals(
+        _canon(pa.Table.from_pandas(exp), ["o_orderkey"]))
+
+
+def test_dataset_join_copartition_parity(two_tables, seg_table):
+    from arcade_ray.pipeline.join import copartition_join, dataset_join
+
+    o_dir, c_dir, orders, cust = two_tables
+    s_dir, seg = seg_table
+
+    def run(strategy, mode=None):
+        stream = copartition_join(o_dir, c_dir, "o_custkey", "c_custkey",
+                                  ["o_orderkey"], ["c_seg"])
+        return _canon(collect_arrow(dataset_join(
+            stream, s_dir, "c_seg", "s_seg",
+            ["o_orderkey", "c_seg"], ["s_region"],
+            strategy=strategy, mode=mode)), ["o_orderkey"])
+
+    a = run("broadcast")
+    b = run("copartition", mode="objects")
+    c = run("copartition", mode="disk")
+    assert a.equals(b) and b.equals(c)
+
+
+def test_dataset_join_left_outer(two_tables, seg_table, ray_session):
+    import ray.data as rd
+
+    from arcade_ray.pipeline.join import dataset_join
+
+    _, _, orders, _ = two_tables
+    s_dir, seg = seg_table
+    # stream rows whose key misses the right side survive with nulls
+    stream = rd.from_arrow(pa.table({
+        "k": pa.array(["seg-0", "seg-1", "nope"]),
+        "v": pa.array([1, 2, 3], type=pa.int64()),
+    }))
+    out = collect_arrow(dataset_join(
+        stream, s_dir, "k", "s_seg", ["k", "v"], ["s_region"],
+        join_type="left"))
+    got = _canon(out, ["v"])
+    assert got["s_region"].tolist() == ["r-east", "r-west", None]
+
+
+def test_dataset_join_right_outer(two_tables, seg_table, ray_session):
+    import ray.data as rd
+
+    from arcade_ray.pipeline.join import dataset_join
+
+    s_dir, seg = seg_table
+    stream = rd.from_arrow(pa.table({
+        "k": pa.array(["seg-0", "seg-0"]),
+        "v": pa.array([1, 2], type=pa.int64()),
+    }))
+    out = collect_arrow(dataset_join(
+        stream, s_dir, "k", "s_seg", ["v"], ["s_seg", "s_region"],
+        join_type="right"))
+    # seg-0 matched twice; the other four segments survive unmatched
+    assert out.num_rows == 6
+    assert out.filter(pc.is_null(out["v"])).num_rows == 4
+
+
+def test_dataset_join_mem_right_side(two_tables, ray_session):
+    import ray.data as rd
+
+    from arcade_ray.pipeline.join import dataset_join
+
+    mem = pa.table({
+        "m_seg": pa.array([f"seg-{i}" for i in range(5)]),
+        "m_rank": pa.array(list(range(5)), type=pa.int64()),
+    })
+    stream = rd.from_arrow(pa.table({
+        "c_seg": pa.array(["seg-3", "seg-1"]),
+        "c_id": pa.array([10, 11], type=pa.int64()),
+    }))
+    out = collect_arrow(dataset_join(
+        stream, mem, "c_seg", "m_seg", ["c_id", "c_seg"], ["m_rank"]))
+    got = _canon(out, ["c_id"])
+    assert got["m_rank"].tolist() == [3, 1]
+    # mem side through the copartition path agrees
+    out2 = collect_arrow(dataset_join(
+        rd.from_arrow(pa.table({
+            "c_seg": pa.array(["seg-3", "seg-1"]),
+            "c_id": pa.array([10, 11], type=pa.int64()),
+        })), mem, "c_seg", "m_seg", ["c_id", "c_seg"], ["m_rank"],
+        strategy="copartition"))
+    assert _canon(out2, ["c_id"]).equals(got)
+
+
+def test_dataset_join_multikey(ray_session, tmp_path):
+    import ray.data as rd
+
+    from arcade_ray.pipeline import encode_dataset as enc
+    from arcade_ray.pipeline.join import dataset_join
+
+    rng = np.random.default_rng(5)
+    right = pa.table({
+        "r_a": pa.array(rng.integers(0, 4, 50), type=pa.int64()),
+        "r_b": pa.array([f"b{v}" for v in rng.integers(0, 3, 50)]),
+        "r_id": pa.array(np.arange(50), type=pa.int64()),
+    })
+    r_dir = str(tmp_path / "mk")
+    enc(rd.from_arrow(right), r_dir, key_col="r_b", id_col="r_id",
+        weight_col=None)
+    left = pa.table({
+        "l_a": pa.array(rng.integers(0, 4, 40), type=pa.int64()),
+        "l_b": pa.array([f"b{v}" for v in rng.integers(0, 3, 40)]),
+        "l_id": pa.array(np.arange(40), type=pa.int64()),
+    })
+    exp = left.to_pandas().merge(
+        right.to_pandas(), left_on=["l_a", "l_b"],
+        right_on=["r_a", "r_b"])[["l_id", "r_id"]] \
+        .sort_values(["l_id", "r_id"]).reset_index(drop=True)
+    for strategy in ("broadcast", "copartition"):
+        out = collect_arrow(dataset_join(
+            rd.from_arrow(left), r_dir, ["l_a", "l_b"], ["r_a", "r_b"],
+            ["l_id"], ["r_id"], strategy=strategy))
+        got = _canon(out.select(["l_id", "r_id"]), ["l_id", "r_id"])
+        assert got.equals(exp), strategy
+
+
+def test_dataset_join_empty_left(two_tables, seg_table, ray_session):
+    import ray.data as rd
+
+    from arcade_ray.pipeline.join import dataset_join
+
+    s_dir, _ = seg_table
+    empty = rd.from_arrow(pa.table({
+        "k": pa.array([], type=pa.string()),
+        "v": pa.array([], type=pa.int64()),
+    }))
+    out = collect_arrow(dataset_join(
+        empty, s_dir, "k", "s_seg", ["k", "v"], ["s_region"],
+        left_types={"k": pa.string(), "v": pa.int64()}))
+    assert out.num_rows == 0
+    assert out.column_names == ["k", "v", "s_region"]
+    assert out.schema.field("v").type == pa.int64()
+    out2 = collect_arrow(dataset_join(
+        empty, s_dir, "k", "s_seg", ["v"], ["s_seg", "s_region"],
+        join_type="right"))
+    assert out2.num_rows == 5  # every seg row survives unmatched
+
+
+def test_dataset_join_rejects_ambiguous_cols(two_tables, seg_table,
+                                             ray_session):
+    import ray.data as rd
+
+    from arcade_ray.pipeline.join import dataset_join
+
+    s_dir, _ = seg_table
+    stream = rd.from_arrow(pa.table({"s_region": pa.array(["x"]),
+                                     "k": pa.array(["seg-0"])}))
+    with pytest.raises(ValueError, match="ambiguous"):
+        dataset_join(stream, s_dir, "k", "s_seg",
+                     ["k", "s_region"], ["s_region"])
