@@ -336,6 +336,15 @@ _SQL_JOIN_AGG = (
     "JOIN customer ON o_custkey = c_custkey "
     "GROUP BY c_mktsegment ORDER BY c_mktsegment")
 
+_SQL_JOIN3 = (
+    "SELECT c_mktsegment, l_returnflag, COUNT(*) AS n, "
+    "CAST(SUM(l_quantity) AS BIGINT) AS sum_qty FROM lineitem "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "WHERE o_orderstatus = 'O' "
+    "GROUP BY c_mktsegment, l_returnflag "
+    "ORDER BY c_mktsegment, l_returnflag")
+
 _SQL_WINDOW_RANK = (
     "SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY source ORDER BY "
     "n_chars DESC, doc_id) AS rn, CAST(SUM(n_chars) OVER (PARTITION "
@@ -371,6 +380,20 @@ def q_sql_join_agg(sf_dir: str) -> pa.Table:
 
     return sql_query(_SQL_JOIN_AGG,
                      {"orders": encoded_dir(sf_dir, "orders"),
+                      "customer": encoded_dir(sf_dir, "customer")})
+
+
+def q_sql_join3(sf_dir: str) -> pa.Table:
+    """SQL frontend, N-way join chain: lineitem x orders goes through
+    copartition_join's hash-bucketed exchange, the third table joins
+    the running stream via dataset_join (decode-once broadcast —
+    customer fits under BROADCAST_JOIN_BYTES), WHERE filters
+    post-join (SQL order), then streamed partial aggregation."""
+    from .sql import sql_query
+
+    return sql_query(_SQL_JOIN3,
+                     {"lineitem": encoded_dir(sf_dir, "lineitem"),
+                      "orders": encoded_dir(sf_dir, "orders"),
                       "customer": encoded_dir(sf_dir, "customer")})
 
 
@@ -2222,6 +2245,7 @@ QUERIES = {
     "stats_meta": q_stats_meta,
     "schema_evolution": q_schema_evolution,
     "sql_join_agg": q_sql_join_agg,
+    "sql_join3": q_sql_join3,
     "stats_meta_nulls": q_stats_meta_nulls,
     "dup_ngram_stats": q_dup_ngram_stats,
     "distinct_sources": q_distinct_sources,
@@ -2969,6 +2993,7 @@ ORACLE_SQL = {
     "sql_filter_topk": _SQL_FILTER_TOPK,
     "sql_group_having": _SQL_GROUP_HAVING,
     "sql_join_agg": _SQL_JOIN_AGG,
+    "sql_join3": _SQL_JOIN3,
     "sql_window_rank": _SQL_WINDOW_RANK,
     # compression_metrics, lang_id, quality_scores, minhash_pairs,
     # simhash_pairs, ann_topk_lsh, decontaminate (n=13): intentionally

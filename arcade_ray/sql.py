@@ -1179,109 +1179,268 @@ _JOIN_TYPES = {"INNER": "inner", "LEFT": "left",
                "RIGHT": "right", "OUTER": "full", "FULL": "full"}
 
 
+class _JoinBase:
+    """One table in a join chain: an encoded dir or a materialized
+    CTE (pa.Table), with its alias and column set."""
+
+    def __init__(self, ft: dict, tables: dict):
+        name = ft["table_name"]
+        if name not in tables:
+            raise KeyError(f"table {name!r} not provided "
+                           f"(have: {sorted(tables)})")
+        self.alias = ft.get("alias") or name
+        self.target = tables[name]
+        self.cols = _dataset_columns(self.target)
+        self.colset = set(self.cols)
+
+
+def _flip_jt(jt: str) -> str:
+    return {"inner": "inner", "left": "right",
+            "right": "left", "full": "full"}[jt]
+
+
+def _flatten_join(ft: dict, tables: dict, seen: set):
+    """Flatten a JOIN tree into (bases, steps): steps[i] joins the
+    accumulated stream over bases[0..i] with bases[i+1]. A join whose
+    RIGHT side is itself a join commutes to the flipped join type
+    (``A LEFT JOIN (B...) == (B...) RIGHT JOIN A``); a join of two
+    joins (bushy tree) is refused."""
+    jt_raw = ft.get("join_type", "INNER")
+    if jt_raw not in _JOIN_TYPES:
+        raise SqlUnsupported(f"join type {jt_raw!r}")
+    jt = _JOIN_TYPES[jt_raw]
+    cond, using = ft.get("condition"), ft.get("using_columns")
+    left, right = ft["left"], ft["right"]
+    if left.get("type") == "JOIN" and right.get("type") == "JOIN":
+        raise SqlUnsupported("bushy join trees (a join of two joins); "
+                             "rewrite as a left-deep chain")
+    if right.get("type") == "JOIN":
+        left, right = right, left
+        jt = _flip_jt(jt)
+    if right.get("type") != "BASE_TABLE":
+        raise SqlUnsupported(f"join side type {right.get('type')!r}")
+    if left.get("type") == "JOIN":
+        bases, steps = _flatten_join(left, tables, seen)
+    elif left.get("type") == "BASE_TABLE":
+        b0 = _JoinBase(left, tables)
+        if b0.alias in seen:
+            raise SqlUnsupported(f"duplicate table alias {b0.alias!r}")
+        seen.add(b0.alias)
+        bases, steps = [b0], []
+    else:
+        raise SqlUnsupported(f"join side type {left.get('type')!r}")
+    rb = _JoinBase(right, tables)
+    if rb.alias in seen:
+        raise SqlUnsupported(f"duplicate table alias {rb.alias!r}")
+    seen.add(rb.alias)
+    bases.append(rb)
+    steps.append((jt, cond, using))
+    return bases, steps
+
+
+def _conj_equalities(cond: dict) -> list:
+    """An ON condition as a list of (left_ref, right_ref) equality
+    pairs: a single COMPARE_EQUAL or an AND of them."""
+    if cond.get("class") == "COMPARISON" \
+            and cond.get("type") == "COMPARE_EQUAL":
+        return [(cond["left"], cond["right"])]
+    if cond.get("class") == "CONJUNCTION" \
+            and cond.get("type") == "CONJUNCTION_AND":
+        out = []
+        for ch in cond["children"]:
+            out += _conj_equalities(ch)
+        return out
+    raise SqlUnsupported(
+        "join condition must be an equality or an AND of equalities")
+
+
 class _JoinSource:
-    """Two-table equi-join through copartition_join (hash-bucketed
-    exchange, Arrow hash join per bucket); WHERE runs as a 3VL batch
-    filter AFTER the join — exactly SQL's evaluation order, so outer
-    joins keep their semantics."""
+    """N-way equi-join chain, flattened left-deep: the first pair of
+    encoded tables goes through copartition_join (hash-bucketed
+    exchange, Arrow hash join per bucket) and every further table
+    joins the running stream via dataset_join (decode-once broadcast
+    for small inner/left sides, the copartitioned exchange
+    otherwise). WHERE runs as a 3VL batch filter AFTER all joins —
+    exactly SQL's evaluation order, so outer joins keep their
+    semantics. ON accepts one equality or an AND of equalities
+    (multi-key joins bucket on the first pair); USING(c) lowers to
+    the same-name equality with the coalesced output column."""
 
-    def __init__(self, ft: dict, tables: dict[str, str], where_node):
-        for side in ("left", "right"):
-            if ft[side].get("type") != "BASE_TABLE":
-                raise SqlUnsupported("nested joins (two tables max)")
-        jt = ft.get("join_type", "INNER")
-        if jt not in _JOIN_TYPES:
-            raise SqlUnsupported(f"join type {jt!r}")
-        if ft.get("using_columns"):
-            raise SqlUnsupported("USING — spell the ON condition")
-        self.join_type = _JOIN_TYPES[jt]
+    def __init__(self, ft: dict, tables: dict, where_node):
         self.where_node = where_node
+        self.bases, raw_steps = _flatten_join(ft, tables, set())
+        # coalesce_owner: coalesced key column -> set of base indexes
+        # that joined on it (the column survives ONCE, owned by the
+        # earliest base)
+        self.coalesce_owner: dict[str, set] = {}
+        self.steps = []
+        for i, (jt, cond, using) in enumerate(raw_steps):
+            lkeys, rkeys = self._attribute_keys(cond, using, i)
+            self.steps.append((jt, lkeys, rkeys))
 
-        def resolve(side):
-            name = ft[side]["table_name"]
-            if name not in tables:
-                raise KeyError(f"table {name!r} not provided "
-                               f"(have: {sorted(tables)})")
-            alias = ft[side].get("alias") or name
-            return name, alias, tables[name]
+    # --- name attribution -------------------------------------------
 
-        _, self.lalias, self.ldir = resolve("left")
-        _, self.ralias, self.rdir = resolve("right")
-        self.lset = _dataset_columns(self.ldir)
-        self.rset = _dataset_columns(self.rdir)
-
-        cond = ft.get("condition")
-        if not cond or cond.get("class") != "COMPARISON" \
-                or cond.get("type") != "COMPARE_EQUAL":
+    def _acc_base_of(self, col: str, hi: int, qual: str | None):
+        """Index of the base in bases[0..hi] providing ``col``."""
+        if qual is not None:
+            for i, b in enumerate(self.bases[:hi + 1]):
+                if b.alias == qual:
+                    if col not in b.colset:
+                        raise KeyError(f"column {col!r} not in table "
+                                       f"{qual!r}")
+                    return i
+            raise SqlUnsupported(f"unknown table qualifier {qual!r}")
+        idxs = [i for i, b in enumerate(self.bases[:hi + 1])
+                if col in b.colset]
+        if not idxs:
+            raise KeyError(f"column {col!r} in no joined table")
+        if len(idxs) > 1:
+            own = self.coalesce_owner.get(col)
+            if own is not None and set(idxs) <= own:
+                return min(idxs)
             raise SqlUnsupported(
-                "join condition must be a single equality")
-        self.lkey, self.rkey = self._attribute_keys(cond)
+                f"column {col!r} exists in several joined tables: "
+                "qualify it, or rename one side before encoding")
+        return idxs[0]
 
-    def _attribute_keys(self, cond):
-        sides = []
-        for ref in (cond["left"], cond["right"]):
-            if ref.get("class") != "COLUMN_REF":
-                raise SqlUnsupported("join keys must be plain columns")
-            names = ref["column_names"]
-            col = names[-1]
-            qual = names[0] if len(names) > 1 else None
-            if qual == self.lalias:
-                sides.append(("l", col))
-            elif qual == self.ralias:
-                sides.append(("r", col))
-            elif qual is not None:
-                raise SqlUnsupported(f"unknown table qualifier {qual!r}")
-            elif col in self.lset and col not in self.rset:
-                sides.append(("l", col))
-            elif col in self.rset and col not in self.lset:
-                sides.append(("r", col))
-            else:
-                raise SqlUnsupported(
-                    f"ambiguous join key {col!r}: qualify it")
-        d = dict(sides)
-        if len(d) != 2:
-            raise SqlUnsupported("join condition must reference "
-                                 "both tables")
-        return d["l"], d["r"]
+    def _attribute_keys(self, cond, using, step: int):
+        """(lkeys, rkeys) for steps[step]: lkeys live in bases[0..step]
+        (the accumulated stream), rkeys in bases[step+1]."""
+        rb = self.bases[step + 1]
+        lkeys, rkeys = [], []
+        if using:
+            for u in using:
+                col = u if isinstance(u, str) else \
+                    (u.get("name") or u.get("column"))
+                if col not in rb.colset:
+                    raise KeyError(f"USING column {col!r} not in "
+                                   f"{rb.alias!r}")
+                li = self._acc_base_of(col, step, None)
+                lkeys.append(col)
+                rkeys.append(col)
+                self.coalesce_owner.setdefault(col, set()).update(
+                    {li, step + 1})
+            return lkeys, rkeys
+        if not cond:
+            raise SqlUnsupported("CROSS JOIN / missing ON condition")
+        for a, b in _conj_equalities(cond):
+            sides = []
+            for ref in (a, b):
+                if ref.get("class") != "COLUMN_REF":
+                    raise SqlUnsupported("join keys must be plain "
+                                         "columns")
+                names = ref["column_names"]
+                col = names[-1]
+                qual = names[0] if len(names) > 1 else None
+                if qual == rb.alias:
+                    if col not in rb.colset:
+                        raise KeyError(f"column {col!r} not in table "
+                                       f"{qual!r}")
+                    sides.append(("r", col, None))
+                elif qual is None and col in rb.colset:
+                    # bare name: right side wins only when the
+                    # accumulated side does NOT also have it
+                    if any(col in bb.colset
+                           for bb in self.bases[:step + 1]):
+                        raise SqlUnsupported(
+                            f"ambiguous join key {col!r}: qualify it")
+                    sides.append(("r", col, None))
+                else:
+                    li = self._acc_base_of(col, step, qual)
+                    sides.append(("l", col, li))
+            d = {s[0]: s for s in sides}
+            if set(d) != {"l", "r"}:
+                raise SqlUnsupported("join condition must reference "
+                                     "both sides")
+            lk, rk = d["l"][1], d["r"][1]
+            lkeys.append(lk)
+            rkeys.append(rk)
+            if lk == rk:
+                self.coalesce_owner.setdefault(lk, set()).update(
+                    {d["l"][2], step + 1})
+        return lkeys, rkeys
 
-    def _attribute(self, col: str) -> str:
-        inl, inr = col in self.lset, col in self.rset
-        if inl and inr:
-            if col == self.lkey == self.rkey:
-                return "l"  # coalesced key column
-            raise SqlUnsupported(
-                f"column {col!r} exists in both tables: joins emit "
-                "bare names, rename one side before encoding")
-        if inl:
-            return "l"
-        if inr:
-            return "r"
-        raise KeyError(f"column {col!r} in neither joined table")
+    def _attribute(self, col: str) -> int:
+        """Base index providing output column ``col`` (coalesced join
+        keys attribute to the earliest participating base)."""
+        return self._acc_base_of(col, len(self.bases) - 1, None)
+
+    # --- interface ----------------------------------------------------
 
     def columns(self) -> list[str]:
-        out = list(self.lset)
-        for c in self.rset:
-            if c not in out:
-                out.append(c)
+        out: list[str] = []
+        for b in self.bases:
+            for c in b.cols:
+                if c not in out:
+                    out.append(c)
         return out
 
+    def describe(self) -> list[str]:
+        """Plan lines for explain_sql."""
+        def side(b):
+            return (f"{b.alias} [in-memory CTE, {b.target.num_rows} "
+                    "rows]" if isinstance(b.target, pa.Table)
+                    else f"{b.alias} [{b.target}]")
+
+        lines = []
+        for i, (jt, lkeys, rkeys) in enumerate(self.steps):
+            rb = self.bases[i + 1]
+            lhs = side(self.bases[0]) if i == 0 else "<stream>"
+            if i == 0 and not isinstance(self.bases[0].target, pa.Table) \
+                    and not isinstance(rb.target, pa.Table) \
+                    and len(lkeys) == 1:
+                op = "copartition_join (hash-bucketed exchange, " \
+                     "Arrow hash join per bucket)"
+            else:
+                op = "dataset_join (broadcast when the build side is " \
+                     "small, copartitioned exchange otherwise)"
+            lines.append(f"{op} [{jt}] {lhs} ({','.join(lkeys)}) x "
+                         f"{side(rb)} ({','.join(rkeys)})")
+        if self.where_node is not None:
+            lines.append("  where -> post-join 3VL batch filter "
+                         "(SQL evaluation order)")
+        return lines
+
     def stream(self, cols: list[str]):
-        from .pipeline.join import copartition_join
+        from .pipeline.join import copartition_join, dataset_join
 
         wcols: set = set()
         if self.where_node is not None:
             _expr_columns(self.where_node, wcols)
-        allneed = list(dict.fromkeys(
+        request = list(dict.fromkeys(
             list(cols) + sorted(wcols - set(cols))))
-        lcols = [c for c in allneed if self._attribute(c) == "l"]
-        rcols = [c for c in allneed if self._attribute(c) == "r"]
-        if isinstance(self.ldir, pa.Table) \
-                or isinstance(self.rdir, pa.Table):
-            ds = self._mem_join(lcols, rcols)
+        carry: list[list[str]] = [[] for _ in self.bases]
+        for c in request:
+            bi = self._attribute(c)
+            if c not in carry[bi]:
+                carry[bi].append(c)
+        for i, (jt, lkeys, rkeys) in enumerate(self.steps):
+            for lk in lkeys:
+                bi = self._acc_base_of(lk, i, None)
+                if lk not in carry[bi]:
+                    carry[bi].append(lk)
+
+        jt, lkeys, rkeys = self.steps[0]
+        b0, b1 = self.bases[0], self.bases[1]
+        if not isinstance(b0.target, pa.Table) \
+                and not isinstance(b1.target, pa.Table) \
+                and len(lkeys) == 1:
+            ds = copartition_join(b0.target, b1.target, lkeys[0],
+                                  rkeys[0], carry[0], carry[1],
+                                  join_type=jt)
         else:
-            ds = copartition_join(self.ldir, self.rdir, self.lkey,
-                                  self.rkey, lcols, rcols,
-                                  join_type=self.join_type)
+            lneed = list(dict.fromkeys(lkeys + carry[0]))
+            ds = dataset_join(self._base_stream(b0, lneed), b1.target,
+                              lkeys, rkeys, carry[0], carry[1],
+                              join_type=jt)
+        acc_cols = list(dict.fromkeys(carry[0] + carry[1]))
+        for i in range(1, len(self.steps)):
+            jt, lkeys, rkeys = self.steps[i]
+            ds = dataset_join(ds, self.bases[i + 1].target, lkeys,
+                              rkeys, acc_cols, carry[i + 1],
+                              join_type=jt)
+            acc_cols = list(dict.fromkeys(acc_cols + carry[i + 1]))
+
         wn = self.where_node
         want = list(cols)
 
@@ -1294,94 +1453,19 @@ class _JoinSource:
                 b = b.filter(pc.fill_null(m, False))
             return b.select(want)
 
-        if wn is not None or want != allneed:
+        if wn is not None or want != acc_cols:
             ds = ds.map_batches(post, batch_format="pyarrow")
         return ds
 
-    def _mem_join(self, lcols: list[str], rcols: list[str]):
-        """Join when one or both sides are materialized CTE tables.
-        Both mem: one driver-side Arrow hash join. One mem: the mem
-        table is ray.put once and the ENCODED side streams through a
-        per-batch Arrow hash join against it — the preserved side of
-        an outer join must be the streamed side (a mem table on the
-        preserved side would need unmatched-row tracking across
-        batches)."""
-        import ray
+    @staticmethod
+    def _base_stream(base: _JoinBase, cols: list[str]):
         import ray.data as rd
 
         from .pipeline.query import scan
 
-        _AJT = {"inner": "inner", "left": "left outer",
-                "right": "right outer", "full": "full outer"}
-        lmem = isinstance(self.ldir, pa.Table)
-        rmem = isinstance(self.rdir, pa.Table)
-        lsel = list(dict.fromkeys([self.lkey] + lcols))
-        rsel = list(dict.fromkeys([self.rkey] + rcols))
-        if lmem and rmem:
-            # Arrow coalesces the right key column away; when SQL
-            # selects it, carry a copy so outer-join rows keep NULLs
-            rt = self.rdir.select(rsel)
-            dup_key = self.rkey if self.rkey in rcols else None
-            if dup_key:
-                rt = rt.append_column("__jk", rt[self.rkey])
-            t = self.ldir.select(lsel).join(
-                rt, keys=self.lkey, right_keys=self.rkey,
-                join_type=_AJT[self.join_type])
-            if dup_key:
-                t = t.rename_columns([dup_key if c == "__jk" else c
-                                      for c in t.column_names])
-            return rd.from_arrow(t)
-
-        if rmem:
-            if self.join_type not in ("inner", "left"):
-                raise SqlUnsupported(
-                    f"{self.join_type} join with a materialized CTE "
-                    "on the preserved side")
-            rt = self.rdir.select(rsel)
-            dup_key = self.rkey if self.rkey in rcols else None
-            if dup_key:
-                rt = rt.append_column("__jk", rt[self.rkey])
-            ref = ray.put(rt)
-            jt = _AJT[self.join_type]
-            lkey, rkey = self.lkey, self.rkey
-
-            def j(b: pa.Table) -> pa.Table:
-                t = b.join(ray.get(ref), keys=lkey, right_keys=rkey,
-                           join_type=jt)
-                if dup_key:
-                    t = t.rename_columns(
-                        [dup_key if c == "__jk" else c
-                         for c in t.column_names])
-                return t
-
-            return scan(self.ldir, columns=lsel).map_batches(
-                j, batch_format="pyarrow")
-
-        # left side mem: stream the encoded right side; inner joins
-        # commute, RIGHT JOIN preserves the streamed side
-        if self.join_type not in ("inner", "right"):
-            raise SqlUnsupported(
-                f"{self.join_type} join with a materialized CTE "
-                "on the preserved side")
-        lt = self.ldir.select(lsel)
-        dup_key = self.lkey if self.lkey in lcols else None
-        if dup_key:
-            lt = lt.append_column("__jk", lt[self.lkey])
-        ref = ray.put(lt)
-        jt = "inner" if self.join_type == "inner" else "left outer"
-        lkey, rkey = self.lkey, self.rkey
-
-        def j(b: pa.Table) -> pa.Table:
-            t = b.join(ray.get(ref), keys=rkey, right_keys=lkey,
-                       join_type=jt)
-            if dup_key:
-                t = t.rename_columns(
-                    [dup_key if c == "__jk" else c
-                     for c in t.column_names])
-            return t
-
-        return scan(self.rdir, columns=rsel).map_batches(
-            j, batch_format="pyarrow")
+        if isinstance(base.target, pa.Table):
+            return rd.from_arrow(base.target.select(cols))
+        return scan(base.target, columns=cols)
 
     def empty(self, cols: list[str]) -> pa.Table:
         sch = self.stream(cols).schema()
@@ -1475,24 +1559,7 @@ def explain_sql(sql: str, tables: dict[str, str]) -> str:
                              f"{surv}/{total}")
     elif ft.get("type") == "JOIN":
         src = _JoinSource(ft, tables, node.get("where_clause"))
-
-        def _side(d):
-            return (f"in-memory CTE ({d.num_rows} rows)"
-                    if isinstance(d, pa.Table) else d)
-
-        anymem = isinstance(src.ldir, pa.Table) \
-            or isinstance(src.rdir, pa.Table)
-        jname = "broadcast mem-join" if anymem else "copartition_join"
-        lines.append(f"{jname} [{src.join_type}] "
-                     f"{_side(src.ldir)} ({src.lkey}) x "
-                     f"{_side(src.rdir)} ({src.rkey})")
-        lines.append("  mem side ray.put once, per-batch Arrow hash "
-                     "join against the streamed side" if anymem else
-                     "  hash-bucketed exchange, Arrow hash join per "
-                     "bucket")
-        if src.where_node is not None:
-            lines.append("  where -> post-join 3VL batch filter "
-                         "(SQL evaluation order)")
+        lines.extend(src.describe())
     else:
         raise SqlUnsupported(f"FROM type {ft.get('type')!r}")
 

@@ -37,6 +37,14 @@ def _mk_meta(seed=12):
     })
 
 
+def _mk_reg():
+    return pa.table({
+        "region": pa.array(["r0", "r1", "r2", "r9"]),
+        "zone": pa.array(["z-a", "z-b", "z-a", "z-c"]),
+        "cap": pa.array([10, 20, 30, 40], type=pa.int64()),
+    })
+
+
 @pytest.fixture(scope="module")
 def sqlenv(ray_session, tmp_path_factory):
     import duckdb
@@ -44,10 +52,11 @@ def sqlenv(ray_session, tmp_path_factory):
     from arcade_ray.pipeline.encode import encode_parquet
 
     base = tmp_path_factory.mktemp("sql")
-    docs, meta = _mk_docs(), _mk_meta()
+    docs, meta, reg = _mk_docs(), _mk_meta(), _mk_reg()
     tables = {}
     for name, t, key, idc in (("docs", docs, "source", "doc_id"),
-                              ("meta", meta, "region", "source")):
+                              ("meta", meta, "region", "source"),
+                              ("reg", reg, "zone", "region")):
         p = str(base / f"{name}.parquet")
         pq.write_table(t, p)
         out = str(base / f"enc_{name}")
@@ -56,6 +65,7 @@ def sqlenv(ray_session, tmp_path_factory):
     con = duckdb.connect()
     con.register("docs", docs)
     con.register("meta", meta)
+    con.register("reg", reg)
     yield tables, con
     con.close()
 
@@ -230,6 +240,75 @@ def test_join_where_on_both_sides(sqlenv):
     check(sqlenv, "SELECT doc_id, weight FROM docs "
                   "JOIN meta ON docs.source = meta.source "
                   "WHERE weight > 30 AND lang = 'en' AND n_chars < 500")
+
+
+def test_three_way_join(sqlenv):
+    check(sqlenv, "SELECT doc_id, m.region, zone FROM docs d "
+                  "JOIN meta m ON d.source = m.source "
+                  "JOIN reg r ON m.region = r.region "
+                  "WHERE n_chars > 4500")
+
+
+def test_three_way_join_aggregate(sqlenv):
+    check(sqlenv, "SELECT zone, COUNT(*) AS n, "
+                  "CAST(SUM(n_chars) AS BIGINT) AS s FROM docs d "
+                  "JOIN meta m ON d.source = m.source "
+                  "JOIN reg r ON m.region = r.region "
+                  "GROUP BY zone ORDER BY zone")
+
+
+def test_three_way_left_join_chain(sqlenv):
+    # second hop LEFT: docs->meta matched rows keep NULL zone when
+    # the region is missing from reg
+    check(sqlenv, "SELECT doc_id, m.region, zone FROM docs d "
+                  "JOIN meta m ON d.source = m.source "
+                  "LEFT JOIN reg r ON m.region = r.region "
+                  "WHERE n_chars > 4800")
+
+
+def test_right_nested_join_commutes(sqlenv):
+    # A JOIN (B JOIN C) flattens by commuting the top join
+    check(sqlenv, "SELECT doc_id, zone FROM docs d "
+                  "JOIN (meta m JOIN reg r ON m.region = r.region) "
+                  "ON d.source = m.source WHERE n_chars > 4700")
+
+
+def test_join_using(sqlenv):
+    check(sqlenv, "SELECT doc_id, region FROM docs JOIN meta "
+                  "USING (source) WHERE n_chars > 4600")
+    check(sqlenv, "SELECT doc_id, zone FROM docs JOIN meta "
+                  "USING (source) JOIN reg USING (region) "
+                  "WHERE n_chars > 4600")
+
+
+def test_join_multi_equality_on(sqlenv):
+    # self-join via a column-renaming CTE: AND of equalities
+    check(sqlenv, "WITH m2 AS (SELECT region AS rg, weight AS wt, "
+                  "source AS src2 FROM meta) "
+                  "SELECT source, src2 FROM meta m1 JOIN m2 "
+                  "ON m1.region = m2.rg AND m1.weight = m2.wt "
+                  "ORDER BY source, src2")
+
+
+def test_four_way_join(sqlenv):
+    # fourth table is a renamed CTE (mem side of dataset_join)
+    check(sqlenv, "WITH reg2 AS (SELECT zone AS zone2, cap AS cap2 "
+                  "FROM reg) "
+                  "SELECT zone, CAST(SUM(cap2) AS BIGINT) AS s "
+                  "FROM docs d "
+                  "JOIN meta m ON d.source = m.source "
+                  "JOIN reg r ON m.region = r.region "
+                  "JOIN reg2 ON r.zone = reg2.zone2 "
+                  "GROUP BY zone ORDER BY zone")
+
+
+def test_bushy_join_raises(sqlenv):
+    tables, _ = sqlenv
+    with pytest.raises(SqlUnsupported, match="bushy"):
+        sql_query("SELECT 1 AS x FROM (docs d JOIN meta m ON "
+                  "d.source = m.source) JOIN (reg r1 JOIN reg r2 ON "
+                  "r1.region = r2.region) ON m.region = r1.region",
+                  tables)
 
 
 # --- DISTINCT and subqueries ---------------------------------------------
