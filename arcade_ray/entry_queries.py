@@ -345,6 +345,12 @@ _SQL_JOIN3 = (
     "GROUP BY c_mktsegment, l_returnflag "
     "ORDER BY c_mktsegment, l_returnflag")
 
+_SQL_CORR_EXISTS = (
+    "SELECT c_custkey, c_mktsegment FROM customer c "
+    "WHERE EXISTS (SELECT 1 FROM orders o "
+    "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000) "
+    "ORDER BY c_custkey LIMIT 100")
+
 _SQL_WINDOW_RANK = (
     "SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY source ORDER BY "
     "n_chars DESC, doc_id) AS rn, CAST(SUM(n_chars) OVER (PARTITION "
@@ -395,6 +401,19 @@ def q_sql_join3(sf_dir: str) -> pa.Table:
                      {"lineitem": encoded_dir(sf_dir, "lineitem"),
                       "orders": encoded_dir(sf_dir, "orders"),
                       "customer": encoded_dir(sf_dir, "customer")})
+
+
+def q_sql_corr_exists(sf_dir: str) -> pa.Table:
+    """SQL frontend, correlated EXISTS: decorrelated to a semi-join
+    predicate (the subquery runs once without the correlation
+    conjunct, projecting the DISTINCT inner key; the outer WHERE
+    tests membership against the broadcast key set — 3VL-definite,
+    so NOT EXISTS stays exact)."""
+    from .sql import sql_query
+
+    return sql_query(_SQL_CORR_EXISTS,
+                     {"customer": encoded_dir(sf_dir, "customer"),
+                      "orders": encoded_dir(sf_dir, "orders")})
 
 
 def q_sql_window_rank(sf_dir: str) -> pa.Table:
@@ -2353,6 +2372,7 @@ QUERIES = {
     "schema_evolution_filter": q_schema_evolution_filter,
     "sql_group_having": q_sql_group_having,
     "sql_window_rank": q_sql_window_rank,
+    "sql_corr_exists": q_sql_corr_exists,
 }
 
 _IDS_SQL = ", ".join(str(i) for i in LOOKUP_IDS)
@@ -2995,6 +3015,7 @@ ORACLE_SQL = {
     "sql_join_agg": _SQL_JOIN_AGG,
     "sql_join3": _SQL_JOIN3,
     "sql_window_rank": _SQL_WINDOW_RANK,
+    "sql_corr_exists": _SQL_CORR_EXISTS,
     # compression_metrics, lang_id, quality_scores, minhash_pairs,
     # simhash_pairs, ann_topk_lsh, decontaminate (n=13): intentionally
     # no oracle (engine-side semantics with no exact SQL equivalent ->

@@ -257,16 +257,143 @@ def _compile_in_subquery(node: dict, tables: dict, col: str):
     return ("in", col, vals), has_null
 
 
+# --- correlated EXISTS decorrelation --------------------------------
+
+def _and_conjuncts(w: dict) -> list:
+    if w.get("class") == "CONJUNCTION" \
+            and w.get("type") == "CONJUNCTION_AND":
+        out = []
+        for c in w["children"]:
+            out += _and_conjuncts(c)
+        return out
+    return [w]
+
+
+def _rebuild_and(conj: list):
+    if not conj:
+        return None
+    if len(conj) == 1:
+        return conj[0]
+    return {"class": "CONJUNCTION", "type": "CONJUNCTION_AND",
+            "children": conj}
+
+
+def _refs_outer(node, oalias: str, strict_outer: set) -> bool:
+    """Does this expression reference the OUTER scope? A bare name in
+    both scopes binds to the inner table (innermost scope), so only
+    qualified refs and names absent from the inner table count."""
+    if isinstance(node, dict):
+        if node.get("class") == "COLUMN_REF":
+            names = node.get("column_names") or []
+            if len(names) > 1 and names[0] == oalias:
+                return True
+            return len(names) == 1 and names[0] in strict_outer
+        return any(_refs_outer(v, oalias, strict_outer)
+                   for v in node.values())
+    if isinstance(node, list):
+        return any(_refs_outer(v, oalias, strict_outer) for v in node)
+    return False
+
+
+def _corr_equality(c: dict, oalias: str, ocols: set,
+                   ialias: str, icols: set):
+    """(outer_col, inner_col) when ``c`` is an equality between an
+    outer-scope column and an inner-table column, else None."""
+    if c.get("class") != "COMPARISON" or c.get("type") != "COMPARE_EQUAL":
+        return None
+    sides = {}
+    for ref in (c["left"], c["right"]):
+        if ref.get("class") != "COLUMN_REF":
+            return None
+        names = ref["column_names"]
+        col = names[-1]
+        qual = names[0] if len(names) > 1 else None
+        if qual == ialias or (qual is None and col in icols):
+            sides.setdefault("i", col)
+        elif qual == oalias or (qual is None and col in ocols):
+            sides.setdefault("o", col)
+        else:
+            return None
+    return (sides["o"], sides["i"]) if set(sides) == {"o", "i"} else None
+
+
+def _decorrelate(sub: dict, tables: dict, outer):
+    """Detect the supported correlated-subquery shape: a single-table
+    subquery whose WHERE is (outer.col = inner.col) AND residual
+    uncorrelated predicates. Returns ((outer_col, inner_col),
+    residual conjuncts) or None when the subquery is uncorrelated.
+    Raises for correlations this lowering can't express."""
+    if outer is None:
+        return None
+    oalias, ocols = outer
+    ft = sub.get("from_table") or {}
+    if ft.get("type") != "BASE_TABLE" or ft["table_name"] not in tables:
+        return None
+    ialias = ft.get("alias") or ft["table_name"]
+    icols = set(_dataset_columns(tables[ft["table_name"]]))
+    w = sub.get("where_clause")
+    if not w:
+        return None
+    strict_outer = set(ocols) - icols
+    corr, resid = [], []
+    for c in _and_conjuncts(w):
+        pair = _corr_equality(c, oalias, set(ocols), ialias, icols)
+        if pair is not None:
+            corr.append(pair)
+        elif _refs_outer(c, oalias, strict_outer):
+            raise SqlUnsupported(
+                "correlated subquery: only AND-ed equality "
+                "correlation (outer.col = inner.col) is supported")
+        else:
+            resid.append(c)
+    if not corr:
+        return None
+    if len(corr) > 1:
+        raise SqlUnsupported(
+            "correlated subquery with multiple correlation equalities")
+    return corr[0], resid
+
+
+def _corr_exists_tree(sub: dict, dec, tables: dict):
+    """Lower correlated EXISTS to a semi-join predicate: run the
+    subquery once WITHOUT the correlation conjunct, projecting the
+    DISTINCT inner key (the classic decorrelation), then test the
+    outer column against that broadcast key set. The tree is
+    3VL-DEFINITE (never UNKNOWN): EXISTS is false — not unknown —
+    for a NULL outer key, so the plain NOT complement stays exact
+    for NOT EXISTS at any negation depth."""
+    (ocol, icol), resid = dec
+    if sub.get("group_expressions") or sub.get("having"):
+        raise SqlUnsupported("correlated EXISTS with GROUP BY/HAVING")
+    sub2 = dict(sub)
+    sub2["select_list"] = [{"class": "COLUMN_REF", "type": "COLUMN_REF",
+                            "alias": "", "column_names": [icol]}]
+    sub2["where_clause"] = _rebuild_and(resid)
+    sub2["modifiers"] = []
+    res = _execute_node(sub2, tables)
+    if not isinstance(res, pa.Table):
+        from .collect import collect_arrow
+
+        res = collect_arrow(res)
+    vals = pc.unique(pc.drop_null(res.column(0).combine_chunks())) \
+        .to_pylist()
+    if not vals:
+        return _never_true(ocol)
+    return ("and", [("notnull", ocol), ("in", ocol, vals)])
+
+
 def _compile_pred(node: dict, tables: dict, neg: bool = False,
-                  any_col: str | None = None):
+                  any_col: str | None = None, outer=None):
     """``neg``: whether an enclosing NOT inverts this subtree — only
     null-bearing IN-subqueries care (their UNKNOWN rows flip from
     harmless to load-bearing under negation). ``any_col``: any column
-    of the outer table, the operand for operand-less folds (EXISTS)."""
+    of the outer table, the operand for operand-less folds (EXISTS).
+    ``outer``: (alias, columns) of the outer table, enabling
+    correlated-EXISTS decorrelation."""
     cls, typ = node.get("class"), node.get("type")
     if cls == "CONJUNCTION":
         op = "and" if typ == "CONJUNCTION_AND" else "or"
-        return (op, [_compile_pred(c, tables, neg, any_col)
+        return (op, [_compile_pred(c, tables, neg, any_col, outer)
                      for c in node["children"]])
     if cls == "COMPARISON":
         left, right = node["left"], node["right"]
@@ -308,6 +435,10 @@ def _compile_pred(node: dict, tables: dict, neg: bool = False,
         return ("between", col, lo, hi)
     if cls == "SUBQUERY":
         if node.get("subquery_type") == "EXISTS":
+            dec = _decorrelate(node["subquery"]["node"], tables, outer)
+            if dec is not None:
+                return _corr_exists_tree(node["subquery"]["node"],
+                                         dec, tables)
             if any_col is None:
                 raise SqlUnsupported("EXISTS here (no outer column)")
             return _match_all(any_col) if _exists_subquery(node, tables) \
@@ -330,6 +461,14 @@ def _compile_pred(node: dict, tables: dict, neg: bool = False,
             child = node["children"][0]
             if child.get("class") == "SUBQUERY" \
                     and child.get("subquery_type") == "EXISTS":
+                dec = _decorrelate(child["subquery"]["node"], tables,
+                                   outer)
+                if dec is not None:
+                    # the correlated tree is 3VL-definite (false, not
+                    # unknown, on a NULL outer key), so the plain NOT
+                    # complement is exact
+                    return ("not", _corr_exists_tree(
+                        child["subquery"]["node"], dec, tables))
                 if any_col is None:
                     raise SqlUnsupported("EXISTS here (no outer column)")
                 # NOT EXISTS: the fold is definite TRUE/FALSE, so the
@@ -353,7 +492,7 @@ def _compile_pred(node: dict, tables: dict, neg: bool = False,
                     return _null_literal_tree(col, neg)
                 return ("not", tree)
             return ("not", _compile_pred(child, tables, not neg,
-                                         any_col))
+                                         any_col, outer))
         if typ in ("COMPARE_IN", "COMPARE_NOT_IN"):
             ch = node["children"]
             col = _colref(ch[0])
@@ -1551,8 +1690,10 @@ def explain_sql(sql: str, tables: dict[str, str]) -> str:
         else:
             lines.append(f"scan {tname} [{out_dir}]")
             if node.get("where_clause"):
-                tree = _compile_pred(node["where_clause"], tables,
-                                     any_col=_dataset_columns(out_dir)[0])
+                ocols = _dataset_columns(out_dir)
+                tree = _compile_pred(
+                    node["where_clause"], tables, any_col=ocols[0],
+                    outer=(ft.get("alias") or tname, ocols))
                 lines.append(f"  where -> compound_filter tree: {tree!r}")
                 surv, total = _pruning_counts(out_dir, tree)
                 lines.append("  partitions after zone/Bloom pruning: "
@@ -1654,9 +1795,10 @@ def _execute_node(node: dict, tables: dict[str, str]):
         else:
             where_tree = None
             if node.get("where_clause"):
-                any_col = _dataset_columns(target)[0]
-                where_tree = _compile_pred(node["where_clause"], tables,
-                                           any_col=any_col)
+                ocols = _dataset_columns(target)
+                where_tree = _compile_pred(
+                    node["where_clause"], tables, any_col=ocols[0],
+                    outer=(ft.get("alias") or tname, ocols))
             src = _TableSource(target, where_tree)
     elif ft.get("type") == "JOIN":
         src = _JoinSource(ft, tables, node.get("where_clause"))

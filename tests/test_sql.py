@@ -467,6 +467,34 @@ def test_exists_folding(sqlenv):
                   "NOT EXISTS (SELECT 1 FROM meta WHERE weight > 5000)")
 
 
+def test_correlated_exists(sqlenv):
+    # semi-join lowering: subquery WHERE carries the correlation
+    check(sqlenv, "SELECT doc_id FROM docs d WHERE EXISTS "
+                  "(SELECT 1 FROM meta m WHERE m.source = d.source "
+                  "AND m.weight > 50) AND n_chars > 4000")
+    # bare inner column name, qualified outer
+    check(sqlenv, "SELECT doc_id FROM docs d WHERE EXISTS "
+                  "(SELECT 1 FROM meta WHERE source = d.source)")
+
+
+def test_correlated_not_exists(sqlenv):
+    check(sqlenv, "SELECT doc_id FROM docs d WHERE NOT EXISTS "
+                  "(SELECT 1 FROM meta m WHERE m.source = d.source "
+                  "AND m.weight > 50) AND n_chars > 4500")
+    # NULL outer key: lang has NULLs; NOT EXISTS must KEEP them
+    check(sqlenv, "SELECT doc_id, lang FROM docs d WHERE NOT EXISTS "
+                  "(SELECT 1 FROM docs i WHERE i.lang = d.lang "
+                  "AND i.n_chars > 4995)")
+
+
+def test_correlated_exists_complex_raises(sqlenv):
+    tables, _ = sqlenv
+    with pytest.raises(SqlUnsupported, match="correlat"):
+        sql_query("SELECT doc_id FROM docs d WHERE EXISTS "
+                  "(SELECT 1 FROM meta m WHERE m.weight > d.n_chars)",
+                  tables)
+
+
 def test_union_all_stream(sqlenv):
     tables, con = sqlenv
     q = ("SELECT doc_id FROM docs WHERE n_chars > 4900 UNION ALL "
