@@ -351,6 +351,12 @@ _SQL_CORR_EXISTS = (
     "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000) "
     "ORDER BY c_custkey LIMIT 100")
 
+_SQL_QUALIFY_TOPN = (
+    "SELECT source, doc_id, n_chars FROM documents "
+    "QUALIFY ROW_NUMBER() OVER (PARTITION BY source "
+    "ORDER BY n_chars DESC, doc_id) <= 2 "
+    "ORDER BY source, n_chars DESC, doc_id")
+
 _SQL_WINDOW_RANK = (
     "SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY source ORDER BY "
     "n_chars DESC, doc_id) AS rn, CAST(SUM(n_chars) OVER (PARTITION "
@@ -414,6 +420,17 @@ def q_sql_corr_exists(sf_dir: str) -> pa.Table:
     return sql_query(_SQL_CORR_EXISTS,
                      {"customer": encoded_dir(sf_dir, "customer"),
                       "orders": encoded_dir(sf_dir, "orders")})
+
+
+def q_sql_qualify_topn(sf_dir: str) -> pa.Table:
+    """SQL frontend, QUALIFY: the inline window computes as a hidden
+    column in the same vectorized segment pass, the filter runs
+    inside each shuffle bucket (never materializing unfiltered
+    output), and the hidden column drops before rows leave."""
+    from .sql import sql_query
+
+    return sql_query(_SQL_QUALIFY_TOPN,
+                     {"documents": encoded_dir(sf_dir, "documents")})
 
 
 def q_sql_window_rank(sf_dir: str) -> pa.Table:
@@ -2373,6 +2390,7 @@ QUERIES = {
     "sql_group_having": q_sql_group_having,
     "sql_window_rank": q_sql_window_rank,
     "sql_corr_exists": q_sql_corr_exists,
+    "sql_qualify_topn": q_sql_qualify_topn,
 }
 
 _IDS_SQL = ", ".join(str(i) for i in LOOKUP_IDS)
@@ -3016,6 +3034,7 @@ ORACLE_SQL = {
     "sql_join3": _SQL_JOIN3,
     "sql_window_rank": _SQL_WINDOW_RANK,
     "sql_corr_exists": _SQL_CORR_EXISTS,
+    "sql_qualify_topn": _SQL_QUALIFY_TOPN,
     # compression_metrics, lang_id, quality_scores, minhash_pairs,
     # simhash_pairs, ann_topk_lsh, decontaminate (n=13): intentionally
     # no oracle (engine-side semantics with no exact SQL equivalent ->

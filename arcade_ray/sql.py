@@ -1704,10 +1704,13 @@ def explain_sql(sql: str, tables: dict[str, str]) -> str:
     else:
         raise SqlUnsupported(f"FROM type {ft.get('type')!r}")
 
-    if has_window:
+    if has_window or node.get("qualify") is not None:
         lines.append("window functions -> hash-bucketed shuffle on "
                      "PARTITION BY keys + one vectorized segment pass "
                      "per bucket (O(buckets) Python)")
+        if node.get("qualify") is not None:
+            lines.append("  qualify -> post-window in-bucket filter "
+                         "(hidden window columns dropped)")
     elif distinct:
         lines.append("distinct -> per-batch pyarrow distinct, driver "
                      "merge (O(distinct) state)")
@@ -1781,8 +1784,8 @@ def _execute_node(node: dict, tables: dict[str, str]):
                 _execute_node(sub, tables))
     if node.get("type") == "SET_OPERATION_NODE":
         return _run_set_operation(node, tables)
-    if node.get("qualify") or node.get("sample"):
-        raise SqlUnsupported("QUALIFY / SAMPLE")
+    if node.get("sample"):
+        raise SqlUnsupported("TABLESAMPLE")
     ft = node["from_table"]
     if ft.get("type") == "BASE_TABLE":
         tname = ft["table_name"]
@@ -1810,10 +1813,13 @@ def _execute_node(node: dict, tables: dict[str, str]):
         raise SqlUnsupported(f"FROM type {ft.get('type')!r}")
 
     select = node["select_list"]
-    if any(item["class"] != "STAR" and _window_item(item) is not None
-           for item in select):
+    if node.get("qualify") is not None \
+            or any(item["class"] != "STAR"
+                   and _window_item(item) is not None
+                   for item in select):
         if node.get("group_expressions") or node.get("having"):
-            raise SqlUnsupported("window functions with GROUP BY")
+            raise SqlUnsupported("window functions / QUALIFY "
+                                 "with GROUP BY")
         return _run_window_query(src, node, select)
     group_exprs = node.get("group_expressions") or []
     agg_atoms: list[tuple] = []
@@ -2018,6 +2024,30 @@ _WINDOW_TYPES = {"WINDOW_ROW_NUMBER", "WINDOW_RANK", "WINDOW_RANK_DENSE",
                  "WINDOW_LAG", "WINDOW_LEAD", "WINDOW_AGGREGATE"}
 
 
+def _extract_qualify_windows(q):
+    """Transformed copy of the QUALIFY expression with each inline
+    WINDOW node replaced by a hidden-column ref (``__q0``, ``__q1``,
+    ...); returns (expr, [(hidden_name, window_node, None), ...]).
+    The hidden columns compute alongside the select-list windows in
+    the same segment pass, the filter runs per bucket, and the hidden
+    columns drop before the result leaves the bucket."""
+    wins: list[tuple] = []
+
+    def walk(n):
+        if isinstance(n, dict):
+            if n.get("class") == "WINDOW":
+                nm = f"__q{len(wins)}"
+                wins.append((nm, n, None))
+                return {"class": "COLUMN_REF", "type": "COLUMN_REF",
+                        "alias": "", "column_names": [nm]}
+            return {k: walk(v) for k, v in n.items()}
+        if isinstance(n, list):
+            return [walk(v) for v in n]
+        return n
+
+    return walk(q), wins
+
+
 def _window_item(item: dict):
     """(window_node, cast_type|None) if this select item is a window
     expression (optionally CAST-wrapped), else None."""
@@ -2062,6 +2092,18 @@ def _run_window_query(src, node: dict, select: list):
             raise SqlUnsupported(
                 "window queries project columns and window exprs")
 
+    qualify = node.get("qualify")
+    qexpr, qnames, qplain = None, [], []
+    if qualify is not None:
+        qexpr, qwins = _extract_qualify_windows(qualify)
+        wins = wins + qwins
+        qnames = [nm for nm, _, _ in qwins]
+        qcols: set = set()
+        _expr_columns(qexpr, qcols)
+        out_name_set = {nm for nm, _ in sel_map}
+        qplain = sorted(c for c in qcols
+                        if c not in out_name_set and c not in qnames)
+
     spec = None
     for _, wnode, _ in wins:
         if wnode["type"] not in _WINDOW_TYPES:
@@ -2101,7 +2143,7 @@ def _run_window_query(src, node: dict, select: list):
     need = list(dict.fromkeys(
         passthru + list(pkeys) + [c for c, _ in orders]
         + [_colref(w["children"][0]) for _, w, _ in wins
-           if w.get("children")]))
+           if w.get("children")] + qplain))
     ds = src.stream(need)
 
     from .hashing import hash_column
@@ -2113,14 +2155,25 @@ def _run_window_query(src, node: dict, select: list):
     n_buckets = max(8, 2 * avail)
     pk_list = list(pkeys)
 
+    def _bk(col) -> "np.ndarray":
+        # null-safe: NULL keys form their own partition group, so any
+        # fixed bucket co-locates them (wpass re-groups by value)
+        arr = col.combine_chunks() \
+            if isinstance(col, pa.ChunkedArray) else col
+        if arr.null_count:
+            valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+            out = np.zeros(len(arr), dtype=np.int64)
+            if valid.any():
+                out[valid] = (hash_column(arr.drop_null())
+                              % np.uint64(n_buckets)).astype(np.int64)
+            return out
+        return (hash_column(arr) % np.uint64(n_buckets)).astype(np.int64)
+
     def assign(batch: pa.Table) -> pa.Table:
         if pk_list:
-            b = (hash_column(batch[pk_list[0]])
-                 % np.uint64(n_buckets)).astype(np.int64)
+            b = _bk(batch[pk_list[0]])
             for k in pk_list[1:]:
-                b = (b * 31 + (hash_column(batch[k])
-                               % np.uint64(n_buckets)).astype(np.int64)) \
-                    % n_buckets
+                b = (b * 31 + _bk(batch[k])) % n_buckets
         else:
             b = np.zeros(batch.num_rows, dtype=np.int64)
         return batch.append_column("_wb", pa.array(b))
@@ -2234,7 +2287,22 @@ def _run_window_query(src, node: dict, select: list):
             if cast is not None:
                 out = pc.cast(out, _TYPE_MAP[cast])
             cols[nm] = out
-        return pa.table({nm: cols[srccol] for nm, srccol in sel_map})
+        proj = {nm: cols[srccol] for nm, srccol in sel_map}
+        if qexpr is not None:
+            # QUALIFY: filter on window values inside the bucket,
+            # then drop the hidden helper columns
+            for nm in qnames:
+                proj[nm] = cols[nm]
+            for c in qplain:
+                proj.setdefault(c, cols[c])
+            res = pa.table(proj)
+            env = {c: res[c] for c in res.column_names}
+            m = _eval_expr(qexpr, env, res.num_rows)
+            if isinstance(m, pa.ChunkedArray):
+                m = m.combine_chunks()
+            res = res.filter(pc.fill_null(m, False))
+            return res.select([nm for nm, _ in sel_map])
+        return pa.table(proj)
 
     out = (ds.map_batches(assign, batch_format="pyarrow")
              .groupby("_wb")

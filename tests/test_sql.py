@@ -487,6 +487,34 @@ def test_correlated_not_exists(sqlenv):
                   "AND i.n_chars > 4995)")
 
 
+def test_window_partition_by_nullable_key(sqlenv):
+    # lang has NULLs: NULL keys form one partition group (SQL
+    # grouping semantics), bucketed null-safely
+    check(sqlenv, "SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION "
+                  "BY lang ORDER BY n_chars DESC, doc_id) AS rn "
+                  "FROM docs WHERE n_chars > 4900", ordered=False)
+
+
+def test_qualify_on_select_alias(sqlenv):
+    check(sqlenv, "SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY "
+                  "source ORDER BY n_chars DESC, doc_id) AS rn "
+                  "FROM docs QUALIFY rn <= 3", ordered=False)
+
+
+def test_qualify_inline_window(sqlenv):
+    # no window in the select list at all: QUALIFY computes its own
+    check(sqlenv, "SELECT doc_id, source FROM docs "
+                  "QUALIFY ROW_NUMBER() OVER (PARTITION BY source "
+                  "ORDER BY n_chars DESC, doc_id) = 1", ordered=False)
+
+
+def test_qualify_mixed_with_where(sqlenv):
+    check(sqlenv, "SELECT doc_id, lang, RANK() OVER (PARTITION BY "
+                  "lang ORDER BY n_chars DESC, doc_id) AS r FROM docs "
+                  "WHERE n_chars > 3000 QUALIFY r <= 2 AND "
+                  "lang IS NOT NULL", ordered=False)
+
+
 def test_correlated_exists_complex_raises(sqlenv):
     tables, _ = sqlenv
     with pytest.raises(SqlUnsupported, match="correlat"):
