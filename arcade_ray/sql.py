@@ -2117,10 +2117,11 @@ def _run_window_query(src, node: dict, select: list):
                     "only the default running frame (RANGE UNBOUNDED "
                     "PRECEDING .. CURRENT ROW) is compiled; use "
                     "windows.frame_aggs for ROWS frames")
-            if wnode["function_name"] not in ("sum", "count", "avg"):
+            if wnode["function_name"] not in ("sum", "count", "avg",
+                                              "min", "max"):
                 raise SqlUnsupported(
-                    f"running {wnode['function_name']!r} (sum/count/"
-                    "avg compile; min/max need a segmented scan)")
+                    f"running {wnode['function_name']!r} "
+                    "(sum/count/avg/min/max compile)")
         pk = tuple(_colref(p) for p in wnode.get("partitions", []))
         if any(p["class"] != "COLUMN_REF"
                for p in wnode.get("partitions", [])):
@@ -2253,6 +2254,45 @@ def _run_window_query(src, node: dict, select: list):
                 fill = pa.scalar(dflt, type=a.type) if dflt is not None \
                     else pa.scalar(None, type=a.type)
                 out = pc.if_else(pa.array(valid), gathered, fill)
+            elif fn in ("min", "max"):
+                # segmented running min/max: sentinel-masked values
+                # through pandas' cython groupby cummin/cummax (no
+                # NaN semantics involved), exact for int64
+                import pandas as pd
+
+                a0 = t[arg].combine_chunks()
+                if pa.types.is_string(a0.type) \
+                        or pa.types.is_large_string(a0.type):
+                    raise SqlUnsupported(
+                        f"running {fn} over strings")
+                a = col_np(arg)
+                valid = pc.is_valid(a).to_numpy(zero_copy_only=False)
+                isint = pa.types.is_integer(a.type)
+                if isint:
+                    v = pc.fill_null(a, 0).to_numpy(
+                        zero_copy_only=False).astype(np.int64)
+                    sent = np.iinfo(np.int64).min if fn == "max" \
+                        else np.iinfo(np.int64).max
+                else:
+                    v = np.where(valid, pc.fill_null(a, 0).cast(
+                        pa.float64()).to_numpy(zero_copy_only=False),
+                        0.0)
+                    sent = -np.inf if fn == "max" else np.inf
+                vm = np.where(valid, v, sent)
+                seg_id = np.cumsum(new_part) - 1
+                g = pd.Series(vm).groupby(seg_id)
+                r = (g.cummax() if fn == "max" else g.cummin()) \
+                    .to_numpy()
+                cv = np.cumsum(valid.astype(np.int64))
+                runc = cv - np.repeat(
+                    cv[starts] - valid[starts].astype(np.int64), lens)
+                r = r[peer_end]
+                runc = runc[peer_end]
+                out = pa.array(r.astype(np.int64) if isint else r)
+                out = pc.if_else(pa.array(runc > 0), out,
+                                 pa.scalar(None, out.type))
+                if out.type != a0.type:
+                    out = pc.cast(out, a0.type)
             else:  # WINDOW_AGGREGATE: running sum / count / avg
                 if fn == "count" and arg is None:
                     vals = np.ones(n, dtype=np.int64)

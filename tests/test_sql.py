@@ -495,6 +495,18 @@ def test_window_partition_by_nullable_key(sqlenv):
                   "FROM docs WHERE n_chars > 4900", ordered=False)
 
 
+def test_running_min_max(sqlenv):
+    check(sqlenv, "SELECT doc_id, MAX(n_chars) OVER (PARTITION BY "
+                  "source ORDER BY doc_id) AS mx, MIN(score) OVER "
+                  "(PARTITION BY source ORDER BY doc_id) AS mn "
+                  "FROM docs WHERE n_chars > 4700", ordered=False)
+    # null-bearing value column: lang has NULLs -> skip unsupported
+    # strings; use n_chars with a null-injecting CASE via score ties
+    check(sqlenv, "SELECT doc_id, MIN(n_chars) OVER (PARTITION BY "
+                  "lang ORDER BY doc_id) AS mn FROM docs "
+                  "WHERE n_chars > 4850", ordered=False)
+
+
 def test_qualify_on_select_alias(sqlenv):
     check(sqlenv, "SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY "
                   "source ORDER BY n_chars DESC, doc_id) AS rn "
