@@ -2048,6 +2048,29 @@ def _extract_qualify_windows(q):
     return walk(q), wins
 
 
+def _frame_of(w: dict):
+    """Normalize a WINDOW_AGGREGATE frame: ``("range",)`` for SQL's
+    default (RANGE UNBOUNDED PRECEDING .. CURRENT ROW, peer-shared
+    frame end) or ``("rows", preceding|None, following)`` for ROWS
+    frames with constant bounds."""
+    s, e = w.get("start"), w.get("end")
+    if s == "UNBOUNDED_PRECEDING" and e == "CURRENT_ROW_RANGE":
+        return ("range",)
+    if e == "CURRENT_ROW_ROWS":
+        f = 0
+    elif e == "EXPR_FOLLOWING_ROWS":
+        f = int(_const_value(w["end_expr"]))
+    else:
+        raise SqlUnsupported(f"window frame end {e!r}")
+    if s == "UNBOUNDED_PRECEDING":
+        p = None
+    elif s == "EXPR_PRECEDING_ROWS":
+        p = int(_const_value(w["start_expr"]))
+    else:
+        raise SqlUnsupported(f"window frame start {s!r}")
+    return ("rows", p, f)
+
+
 def _window_item(item: dict):
     """(window_node, cast_type|None) if this select item is a window
     expression (optionally CAST-wrapped), else None."""
@@ -2111,17 +2134,17 @@ def _run_window_query(src, node: dict, select: list):
         if wnode.get("filter_expr") or wnode.get("ignore_nulls"):
             raise SqlUnsupported("window FILTER / IGNORE NULLS")
         if wnode["type"] == "WINDOW_AGGREGATE":
-            if wnode.get("start") != "UNBOUNDED_PRECEDING" \
-                    or wnode.get("end") != "CURRENT_ROW_RANGE":
-                raise SqlUnsupported(
-                    "only the default running frame (RANGE UNBOUNDED "
-                    "PRECEDING .. CURRENT ROW) is compiled; use "
-                    "windows.frame_aggs for ROWS frames")
+            fr = _frame_of(wnode)
             if wnode["function_name"] not in ("sum", "count", "avg",
                                               "min", "max"):
                 raise SqlUnsupported(
                     f"running {wnode['function_name']!r} "
                     "(sum/count/avg/min/max compile)")
+            if wnode["function_name"] in ("min", "max") \
+                    and fr not in (("range",), ("rows", None, 0)):
+                raise SqlUnsupported(
+                    "bounded ROWS frames compile for sum/count/avg; "
+                    "min/max need the unbounded-start frame")
         pk = tuple(_colref(p) for p in wnode.get("partitions", []))
         if any(p["class"] != "COLUMN_REF"
                for p in wnode.get("partitions", [])):
@@ -2186,7 +2209,9 @@ def _run_window_query(src, node: dict, select: list):
                   if w.get("offset_expr") else 1,
                   _const_value(w["default_expr"])
                   if w.get("default_expr") else None,
-                  cast)
+                  cast,
+                  _frame_of(w) if w["type"] == "WINDOW_AGGREGATE"
+                  else None)
                  for nm, w, cast in wins]
 
     def wpass(t: pa.Table) -> pa.Table:
@@ -2233,7 +2258,7 @@ def _run_window_query(src, node: dict, select: list):
         idx = np.arange(n, dtype=np.int64)
 
         cols = {c: t[c] for c in t.column_names}
-        for nm, wtype, fn, arg, off, dflt, cast in win_specs:
+        for nm, wtype, fn, arg, off, dflt, cast, frame in win_specs:
             if wtype == "WINDOW_ROW_NUMBER":
                 out = pa.array(idx - part_start + 1)
             elif wtype == "WINDOW_RANK":
@@ -2286,8 +2311,10 @@ def _run_window_query(src, node: dict, select: list):
                 cv = np.cumsum(valid.astype(np.int64))
                 runc = cv - np.repeat(
                     cv[starts] - valid[starts].astype(np.int64), lens)
-                r = r[peer_end]
-                runc = runc[peer_end]
+                if frame == ("range",):
+                    # peers share the frame-end value
+                    r = r[peer_end]
+                    runc = runc[peer_end]
                 out = pa.array(r.astype(np.int64) if isint else r)
                 out = pc.if_else(pa.array(runc > 0), out,
                                  pa.scalar(None, out.type))
@@ -2297,6 +2324,12 @@ def _run_window_query(src, node: dict, select: list):
                 if fn == "count" and arg is None:
                     vals = np.ones(n, dtype=np.int64)
                     valid = np.ones(n, dtype=bool)
+                elif fn == "count":
+                    # COUNT(col) needs validity only (col may be any
+                    # type, including string)
+                    valid = pc.is_valid(t[arg].combine_chunks()) \
+                        .to_numpy(zero_copy_only=False)
+                    vals = valid.astype(np.int64)
                 else:
                     a = col_np(arg)
                     valid = pc.is_valid(a).to_numpy(zero_copy_only=False)
@@ -2306,13 +2339,53 @@ def _run_window_query(src, node: dict, select: list):
                         else pc.fill_null(a, 0).to_numpy(
                             zero_copy_only=False).astype(np.int64)
                     vals = np.where(valid, vals, 0)
-                cs = np.cumsum(vals)
-                run = cs - np.repeat(cs[starts] - vals[starts], lens)
-                cv = np.cumsum(valid.astype(np.int64))
-                runc = cv - np.repeat(
-                    cv[starts] - valid[starts].astype(np.int64), lens)
-                run = run[peer_end]
-                runc = runc[peer_end]
+                isfloat = vals.dtype.kind == "f"
+                if frame[0] == "rows" and frame[1] is not None:
+                    # constant-bound ROWS frame, clamped at partition
+                    # edges: exact prefix-sum differences for ints;
+                    # floats re-add the window left-to-right (shifted
+                    # adds) so the summation order matches a
+                    # sequential evaluation instead of accumulating
+                    # prefix-difference error
+                    p, f = frame[1], frame[2]
+                    part_end = np.repeat(starts + lens - 1, lens)
+                    hi = np.minimum(idx + f, part_end)
+                    lo = np.maximum(idx - p, part_start)
+                    cv0 = np.concatenate(
+                        ([0], np.cumsum(valid.astype(np.int64))))
+                    runc = cv0[hi + 1] - cv0[lo]
+                    if isfloat:
+                        run = np.zeros(n, dtype=np.float64)
+                        for d in range(-p, f + 1):
+                            srci = np.clip(idx + d, 0, n - 1)
+                            ok = (idx + d >= lo) & (idx + d <= hi)
+                            run = run + np.where(ok, vals[srci], 0.0)
+                    else:
+                        cs0 = np.concatenate(([vals.dtype.type(0)],
+                                              np.cumsum(vals)))
+                        run = cs0[hi + 1] - cs0[lo]
+                else:
+                    # unbounded-start frames: per-partition SEQUENTIAL
+                    # accumulation (pandas' cython groupby cumsum) for
+                    # floats — bit-compatible with a running
+                    # evaluation; exact prefix diffs for ints
+                    if isfloat:
+                        import pandas as pd
+
+                        seg_id = np.cumsum(new_part) - 1
+                        run = pd.Series(vals).groupby(seg_id) \
+                            .cumsum().to_numpy()
+                    else:
+                        cs = np.cumsum(vals)
+                        run = cs - np.repeat(
+                            cs[starts] - vals[starts], lens)
+                    cv = np.cumsum(valid.astype(np.int64))
+                    runc = cv - np.repeat(
+                        cv[starts] - valid[starts].astype(np.int64),
+                        lens)
+                    if frame == ("range",):
+                        run = run[peer_end]
+                        runc = runc[peer_end]
                 if fn == "count":
                     out = pa.array(runc.astype(np.int64))
                 elif fn == "sum":

@@ -495,6 +495,24 @@ def test_window_partition_by_nullable_key(sqlenv):
                   "FROM docs WHERE n_chars > 4900", ordered=False)
 
 
+def test_rows_frames(sqlenv):
+    check(sqlenv, "SELECT doc_id, CAST(SUM(n_chars) OVER (PARTITION "
+                  "BY source ORDER BY doc_id ROWS BETWEEN 3 PRECEDING "
+                  "AND CURRENT ROW) AS BIGINT) AS s3 FROM docs "
+                  "WHERE n_chars > 4600", ordered=False)
+    check(sqlenv, "SELECT doc_id, AVG(score) OVER (PARTITION BY "
+                  "source ORDER BY doc_id ROWS BETWEEN 2 PRECEDING "
+                  "AND 2 FOLLOWING) AS ma FROM docs "
+                  "WHERE n_chars > 4700", ordered=False)
+    check(sqlenv, "SELECT doc_id, COUNT(lang) OVER (PARTITION BY "
+                  "source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) "
+                  "AS c FROM docs WHERE n_chars > 4800", ordered=False)
+    with pytest.raises(SqlUnsupported, match="min/max"):
+        sql_query("SELECT MAX(n_chars) OVER (PARTITION BY source "
+                  "ORDER BY doc_id ROWS BETWEEN 2 PRECEDING AND "
+                  "CURRENT ROW) AS m FROM docs", sqlenv[0])
+
+
 def test_running_min_max(sqlenv):
     check(sqlenv, "SELECT doc_id, MAX(n_chars) OVER (PARTITION BY "
                   "source ORDER BY doc_id) AS mx, MIN(score) OVER "
