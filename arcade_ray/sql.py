@@ -1813,6 +1813,15 @@ def _execute_node(node: dict, tables: dict[str, str]):
         raise SqlUnsupported(f"FROM type {ft.get('type')!r}")
 
     select = node["select_list"]
+    don = None
+    for m in node.get("modifiers", []):
+        if m["type"] == "DISTINCT_MODIFIER" \
+                and m.get("distinct_on_targets"):
+            don = m["distinct_on_targets"]
+    if don is not None:
+        if node.get("group_expressions") or node.get("having"):
+            raise SqlUnsupported("DISTINCT ON with GROUP BY")
+        return _run_distinct_on(src, node, select, don)
     if node.get("qualify") is not None \
             or any(item["class"] != "STAR"
                    and _window_item(item) is not None
@@ -2438,6 +2447,51 @@ def _run_window_query(src, node: dict, select: list):
         t = collect_arrow(out)
         return _apply_order_limit(t, node, {}, [], select)
     return out
+
+
+def _run_distinct_on(src, node: dict, select: list, targets: list):
+    """DISTINCT ON (k, ...) lowers onto the window path: a hidden
+    ROW_NUMBER() OVER (PARTITION BY k... ORDER BY the query's
+    ORDER BY keys beyond the targets) = 1 QUALIFY — one bucket
+    shuffle, the kept row picked inside its bucket, never
+    materializing the unfiltered input."""
+    for tgt in targets:
+        if tgt.get("class") != "COLUMN_REF":
+            raise SqlUnsupported("DISTINCT ON targets must be columns")
+    tcols = [_colref(t) for t in targets]
+    orders = []
+    for m in node.get("modifiers", []):
+        if m["type"] == "ORDER_MODIFIER":
+            for o in m["orders"]:
+                e = o["expression"]
+                if e.get("class") == "COLUMN_REF" \
+                        and _colref(e) in tcols:
+                    continue  # constant within the partition
+                orders.append(o)
+    if not orders:
+        raise SqlUnsupported(
+            "DISTINCT ON needs ORDER BY tie-break keys beyond the "
+            "targets (the kept row is otherwise nondeterministic)")
+    win = {"class": "WINDOW", "type": "WINDOW_ROW_NUMBER",
+           "alias": "", "function_name": "row_number", "schema": "",
+           "children": [], "partitions": [dict(t) for t in targets],
+           "orders": orders, "distinct": False,
+           "start": "UNBOUNDED_PRECEDING", "end": "CURRENT_ROW_RANGE",
+           "offset_expr": None, "default_expr": None,
+           "filter_expr": None, "ignore_nulls": False}
+    one = {"class": "CONSTANT", "type": "VALUE_CONSTANT",
+           "value": {"type": {"id": "INTEGER", "type_info": None},
+                     "is_null": False, "value": 1}}
+    q = {"class": "COMPARISON", "type": "COMPARE_EQUAL",
+         "left": win, "right": one}
+    if node.get("qualify") is not None:
+        q = {"class": "CONJUNCTION", "type": "CONJUNCTION_AND",
+             "children": [node["qualify"], q]}
+    node2 = dict(node)
+    node2["qualify"] = q
+    node2["modifiers"] = [m for m in node.get("modifiers", [])
+                          if m["type"] != "DISTINCT_MODIFIER"]
+    return _run_window_query(src, node2, select)
 
 
 def _run_set_operation(node: dict, tables: dict[str, str]):

@@ -495,6 +495,22 @@ def test_window_partition_by_nullable_key(sqlenv):
                   "FROM docs WHERE n_chars > 4900", ordered=False)
 
 
+def test_distinct_on(sqlenv):
+    check(sqlenv, "SELECT DISTINCT ON (source) source, doc_id, "
+                  "n_chars FROM docs ORDER BY source, n_chars DESC, "
+                  "doc_id")
+    # with WHERE and DESC tie-break
+    check(sqlenv, "SELECT DISTINCT ON (lang) lang, doc_id FROM docs "
+                  "WHERE n_chars > 4000 ORDER BY lang, doc_id DESC")
+
+
+def test_distinct_on_without_tiebreak_raises(sqlenv):
+    tables, _ = sqlenv
+    with pytest.raises(SqlUnsupported, match="DISTINCT ON"):
+        sql_query("SELECT DISTINCT ON (source) source, doc_id "
+                  "FROM docs", tables)
+
+
 def test_rows_frames(sqlenv):
     check(sqlenv, "SELECT doc_id, CAST(SUM(n_chars) OVER (PARTITION "
                   "BY source ORDER BY doc_id ROWS BETWEEN 3 PRECEDING "
