@@ -1827,8 +1827,7 @@ def _execute_node(node: dict, tables: dict[str, str]):
                    and _window_item(item) is not None
                    for item in select):
         if node.get("group_expressions") or node.get("having"):
-            raise SqlUnsupported("window functions / QUALIFY "
-                                 "with GROUP BY")
+            return _run_window_over_groups(node, tables)
         return _run_window_query(src, node, select)
     group_exprs = node.get("group_expressions") or []
     agg_atoms: list[tuple] = []
@@ -2121,8 +2120,15 @@ def _run_window_query(src, node: dict, select: list):
             names.append(_expr_name(item))
             sel_map.append((names[-1], _colref(item)))
         else:
-            raise SqlUnsupported(
-                "window queries project columns and window exprs")
+            # general expression over stream columns (CAST,
+            # arithmetic, CASE, ...): evaluated per bucket after the
+            # window columns are computed
+            ecols: set = set()
+            _expr_columns(item, ecols)
+            passthru.extend(c for c in sorted(ecols)
+                            if c not in passthru)
+            names.append(_expr_name(item))
+            sel_map.append((names[-1], ("expr", item)))
 
     qualify = node.get("qualify")
     qexpr, qnames, qplain = None, [], []
@@ -2409,7 +2415,15 @@ def _run_window_query(src, node: dict, select: list):
             if cast is not None:
                 out = pc.cast(out, _TYPE_MAP[cast])
             cols[nm] = out
-        proj = {nm: cols[srccol] for nm, srccol in sel_map}
+        proj = {}
+        for nm, srccol in sel_map:
+            if isinstance(srccol, tuple):  # ("expr", node)
+                v = _eval_expr(srccol[1], cols, n)
+                if isinstance(v, pa.Scalar):
+                    v = pa.array([v.as_py()] * n, type=v.type)
+                proj[nm] = v
+            else:
+                proj[nm] = cols[srccol]
         if qexpr is not None:
             # QUALIFY: filter on window values inside the bucket,
             # then drop the hidden helper columns
@@ -2447,6 +2461,68 @@ def _run_window_query(src, node: dict, select: list):
         t = collect_arrow(out)
         return _apply_order_limit(t, node, {}, [], select)
     return out
+
+
+def _rewrite_aggs(x, atoms: list, names: dict):
+    """Transformed copy of an expression with every aggregate
+    FUNCTION node replaced by a hidden-column ref; ``atoms`` collects
+    (hidden_name, original_node) once per distinct aggregate."""
+    if isinstance(x, dict):
+        if x.get("class") == "FUNCTION" \
+                and x.get("function_name") in _AGG_FNS:
+            key = json.dumps({k: v for k, v in x.items()
+                              if k != "alias"}, sort_keys=True)
+            if key not in names:
+                names[key] = f"__agg{len(names)}"
+                atoms.append((names[key], x))
+            return {"class": "COLUMN_REF", "type": "COLUMN_REF",
+                    "alias": x.get("alias") or _expr_name(x),
+                    "column_names": [names[key]]}
+        return {k: _rewrite_aggs(v, atoms, names) for k, v in x.items()}
+    if isinstance(x, list):
+        return [_rewrite_aggs(v, atoms, names) for v in x]
+    return x
+
+
+def _run_window_over_groups(node: dict, tables: dict):
+    """Window functions (and/or QUALIFY) over a GROUP BY: SQL
+    evaluates aggregation (and HAVING) BEFORE windows, so the
+    aggregate runs first as an internal query and the windows run
+    over its O(groups) materialized result — the same shape as a
+    window over a materialized CTE. Aggregate expressions anywhere in
+    the select list, OVER clauses, QUALIFY or ORDER BY rewrite to
+    hidden columns of the inner result."""
+    atoms: list = []
+    names: dict = {}
+    select2 = [_rewrite_aggs(it, atoms, names)
+               for it in node["select_list"]]
+    qualify2 = _rewrite_aggs(node["qualify"], atoms, names) \
+        if node.get("qualify") is not None else None
+    mods2 = _rewrite_aggs(node.get("modifiers") or [], atoms, names)
+
+    inner = dict(node)
+    key_items = []
+    for g in node.get("group_expressions") or []:
+        if g["class"] != "COLUMN_REF":
+            raise SqlUnsupported("GROUP BY expressions must be columns")
+        key_items.append(g)
+    inner["select_list"] = key_items + [dict(a, alias=nm)
+                                        for nm, a in atoms]
+    inner["modifiers"] = []
+    inner["qualify"] = None
+    inner["cte_map"] = None  # already folded by the caller
+    res = _execute_node(inner, tables)
+    mem = _materialize_result(res)
+
+    outer = dict(node)
+    outer["select_list"] = select2
+    outer["qualify"] = qualify2
+    outer["modifiers"] = mods2
+    outer["group_expressions"] = []
+    outer["group_sets"] = None
+    outer["having"] = None
+    outer["where_clause"] = None
+    return _run_window_query(_MemSource(mem, None), outer, select2)
 
 
 def _run_distinct_on(src, node: dict, select: list, targets: list):

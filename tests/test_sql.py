@@ -495,6 +495,27 @@ def test_window_partition_by_nullable_key(sqlenv):
                   "FROM docs WHERE n_chars > 4900", ordered=False)
 
 
+def test_window_over_group_by(sqlenv):
+    # rank groups by their aggregate: agg runs first, windows over
+    # the O(groups) result
+    check(sqlenv, "SELECT source, CAST(SUM(n_chars) AS BIGINT) AS s, "
+                  "RANK() OVER (ORDER BY SUM(n_chars) DESC) AS r "
+                  "FROM docs GROUP BY source", ordered=False)
+    check(sqlenv, "SELECT lang, COUNT(*) AS n, ROW_NUMBER() OVER "
+                  "(ORDER BY COUNT(*) DESC, lang) AS rn FROM docs "
+                  "WHERE n_chars > 1000 GROUP BY lang "
+                  "HAVING COUNT(*) > 10 ORDER BY rn", ordered=True)
+
+
+def test_qualify_over_group_by(sqlenv):
+    # top source per region by document count
+    check(sqlenv, "SELECT region, source, COUNT(*) AS n FROM docs "
+                  "JOIN meta USING (source) "
+                  "GROUP BY region, source "
+                  "QUALIFY ROW_NUMBER() OVER (PARTITION BY region "
+                  "ORDER BY COUNT(*) DESC, source) = 1", ordered=False)
+
+
 def test_distinct_on(sqlenv):
     check(sqlenv, "SELECT DISTINCT ON (source) source, doc_id, "
                   "n_chars FROM docs ORDER BY source, n_chars DESC, "
