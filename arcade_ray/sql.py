@@ -1786,6 +1786,10 @@ def _execute_node(node: dict, tables: dict[str, str]):
         return _run_set_operation(node, tables)
     if node.get("sample"):
         raise SqlUnsupported("TABLESAMPLE")
+    if any(_has_scalar_subquery(it) for it in node["select_list"]):
+        node = dict(node)
+        node["select_list"] = [_fold_scalar_subqueries(it, tables)
+                               for it in node["select_list"]]
     ft = node["from_table"]
     if ft.get("type") == "BASE_TABLE":
         tname = ft["table_name"]
@@ -2523,6 +2527,50 @@ def _run_window_over_groups(node: dict, tables: dict):
     outer["having"] = None
     outer["where_clause"] = None
     return _run_window_query(_MemSource(mem, None), outer, select2)
+
+
+def _has_scalar_subquery(x) -> bool:
+    if isinstance(x, dict):
+        if x.get("class") == "SUBQUERY" \
+                and x.get("subquery_type") == "SCALAR":
+            return True
+        return any(_has_scalar_subquery(v) for v in x.values())
+    if isinstance(x, list):
+        return any(_has_scalar_subquery(v) for v in x)
+    return False
+
+
+def _const_node(v, alias: str = ""):
+    if v is None or isinstance(v, bool):
+        tid = "BOOLEAN" if isinstance(v, bool) else "INTEGER"
+    elif isinstance(v, int):
+        tid = "BIGINT"
+    elif isinstance(v, float):
+        tid = "DOUBLE"
+    elif isinstance(v, str):
+        tid = "VARCHAR"
+    else:
+        raise SqlUnsupported(
+            f"scalar subquery yielding {type(v).__name__}")
+    return {"class": "CONSTANT", "type": "VALUE_CONSTANT",
+            "alias": alias,
+            "value": {"type": {"id": tid, "type_info": None},
+                      "is_null": v is None, "value": v}}
+
+
+def _fold_scalar_subqueries(x, tables: dict):
+    """Uncorrelated scalar subqueries in the SELECT list fold to
+    constants at compile time (each runs once)."""
+    if isinstance(x, dict):
+        if x.get("class") == "SUBQUERY" \
+                and x.get("subquery_type") == "SCALAR":
+            return _const_node(_scalar_subquery(x, tables),
+                               alias=x.get("alias") or "")
+        return {k: _fold_scalar_subqueries(v, tables)
+                for k, v in x.items()}
+    if isinstance(x, list):
+        return [_fold_scalar_subqueries(v, tables) for v in x]
+    return x
 
 
 def _run_distinct_on(src, node: dict, select: list, targets: list):

@@ -495,6 +495,17 @@ def test_window_partition_by_nullable_key(sqlenv):
                   "FROM docs WHERE n_chars > 4900", ordered=False)
 
 
+def test_scalar_subquery_in_select(sqlenv):
+    check(sqlenv, "SELECT doc_id, (SELECT MAX(weight) FROM meta) AS "
+                  "mw FROM docs WHERE n_chars > 4900")
+    check(sqlenv, "SELECT source, COUNT(*) AS n, "
+                  "(SELECT COUNT(*) FROM meta) AS m FROM docs "
+                  "GROUP BY source ORDER BY source")
+    # arithmetic over the folded constant
+    check(sqlenv, "SELECT doc_id, n_chars - (SELECT MIN(n_chars) "
+                  "FROM docs) AS rel FROM docs WHERE n_chars > 4950")
+
+
 def test_window_over_group_by(sqlenv):
     # rank groups by their aggregate: agg runs first, windows over
     # the O(groups) result
