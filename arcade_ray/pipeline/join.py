@@ -137,10 +137,13 @@ def copartition_join(left_dir: str, right_dir: str, left_key: str,
     from .encode import _pin_arrow_threads
 
     arrow_how = {"inner": "inner", "left": "left outer",
-                 "right": "right outer", "full": "full outer"}.get(join_type)
+                 "right": "right outer", "full": "full outer",
+                 "semi": "left semi", "anti": "left anti"}.get(join_type)
     if arrow_how is None:
-        raise ValueError(f"join_type must be inner/left/right/full, "
-                         f"got {join_type!r}")
+        raise ValueError(f"join_type must be inner/left/right/full/"
+                         f"semi/anti, got {join_type!r}")
+    if arrow_how in ("left semi", "left anti") and right_cols:
+        raise ValueError("semi/anti joins emit LEFT columns only")
     if n_buckets is None:
         n_buckets = max(16, int(ray.cluster_resources().get("CPU", 8)))
 
@@ -197,8 +200,10 @@ def copartition_join(left_dir: str, right_dir: str, left_key: str,
             c: (l_empty[c] if c in l_empty.column_names else r_empty[c])
             for c in keep})
         if (not l_paths and not r_paths) \
-                or (not l_paths and arrow_how in ("inner", "left outer")) \
-                or (not r_paths and arrow_how in ("inner", "right outer")):
+                or (not l_paths and arrow_how in (
+                    "inner", "left outer", "left semi", "left anti")) \
+                or (not r_paths and arrow_how in (
+                    "inner", "right outer", "left semi")):
             return rd.from_arrow(empty_out)
         from .query import scan
 
@@ -283,9 +288,9 @@ def copartition_join(left_dir: str, right_dir: str, left_key: str,
                     pa.concat_tables(rt).combine_chunks() if rt
                     else r_empty)
 
-    if arrow_how == "inner":
+    if arrow_how in ("inner", "left semi"):
         live = [b for b in range(n_buckets) if l_has[b] and r_has[b]]
-    elif arrow_how == "left outer":
+    elif arrow_how in ("left outer", "left anti"):
         live = [b for b in range(n_buckets) if l_has[b]]
     elif arrow_how == "right outer":
         live = [b for b in range(n_buckets) if r_has[b]]
@@ -899,11 +904,14 @@ def dataset_join(left_ds, right, left_key, right_key,
         raise ValueError("left/right key lists must be same-length, "
                          "non-empty")
     arrow_how = {"inner": "inner", "left": "left outer",
-                 "right": "right outer", "full": "full outer"
+                 "right": "right outer", "full": "full outer",
+                 "semi": "left semi", "anti": "left anti"
                  }.get(join_type)
     if arrow_how is None:
-        raise ValueError(f"join_type must be inner/left/right/full, "
-                         f"got {join_type!r}")
+        raise ValueError(f"join_type must be inner/left/right/full/"
+                         f"semi/anti, got {join_type!r}")
+    if arrow_how in ("left semi", "left anti") and right_cols:
+        raise ValueError("semi/anti joins emit LEFT columns only")
     coalesced = {lk for lk, rk in zip(lkeys, rkeys) if lk == rk}
     dup = sorted((set(left_cols) & set(right_cols)) - coalesced)
     if dup:
@@ -934,15 +942,17 @@ def dataset_join(left_ds, right, left_key, right_key,
         r_bytes = int(pc.sum(r_man["raw_bytes"]).as_py() or 0)
         r_empty = _side_empty(right, r_paths, right_need)
 
+    _stream_preserving = ("inner", "left outer", "left semi",
+                          "left anti")
     if strategy is None:
         strategy = "broadcast" \
             if (right_is_mem or r_bytes <= BROADCAST_JOIN_BYTES) \
-            and arrow_how in ("inner", "left outer") else "copartition"
+            and arrow_how in _stream_preserving else "copartition"
     if strategy == "broadcast":
-        if arrow_how not in ("inner", "left outer"):
+        if arrow_how not in _stream_preserving:
             raise ValueError(
                 "broadcast dataset_join preserves only the streamed "
-                "side: inner/left joins only")
+                "side: inner/left/semi/anti joins only")
         build = right.select(right_need) if right_is_mem \
             else (_decode_all(right, right_need) if r_paths else r_empty)
         ref = ray.put(build)
@@ -1085,9 +1095,9 @@ def dataset_join(left_ds, right, left_key, right_key,
                     pa.concat_tables(rt).combine_chunks() if rt
                     else r_empty)
 
-    if arrow_how == "inner":
+    if arrow_how in ("inner", "left semi"):
         live = [b for b in range(n_buckets) if l_has[b] and r_has[b]]
-    elif arrow_how == "left outer":
+    elif arrow_how in ("left outer", "left anti"):
         live = [b for b in range(n_buckets) if l_has[b]]
     elif arrow_how == "right outer":
         live = [b for b in range(n_buckets) if r_has[b]]

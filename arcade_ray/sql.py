@@ -1315,7 +1315,8 @@ class _TableSource:
 
 
 _JOIN_TYPES = {"INNER": "inner", "LEFT": "left",
-               "RIGHT": "right", "OUTER": "full", "FULL": "full"}
+               "RIGHT": "right", "OUTER": "full", "FULL": "full",
+               "SEMI": "semi", "ANTI": "anti"}
 
 
 class _JoinBase:
@@ -1334,6 +1335,10 @@ class _JoinBase:
 
 
 def _flip_jt(jt: str) -> str:
+    if jt in ("semi", "anti"):
+        raise SqlUnsupported(
+            "SEMI/ANTI join with a nested join on the right "
+            "(cannot commute) — rewrite left-deep")
     return {"inner": "inner", "left": "right",
             "right": "left", "full": "full"}[jt]
 
@@ -1412,10 +1417,15 @@ class _JoinSource:
         # that joined on it (the column survives ONCE, owned by the
         # earliest base)
         self.coalesce_owner: dict[str, set] = {}
+        # bases on the right of a SEMI/ANTI step contribute no output
+        # columns (they only gate left rows)
+        self.hidden: set = set()
         self.steps = []
         for i, (jt, cond, using) in enumerate(raw_steps):
             lkeys, rkeys = self._attribute_keys(cond, using, i)
             self.steps.append((jt, lkeys, rkeys))
+            if jt in ("semi", "anti"):
+                self.hidden.add(i + 1)
 
     # --- name attribution -------------------------------------------
 
@@ -1424,13 +1434,17 @@ class _JoinSource:
         if qual is not None:
             for i, b in enumerate(self.bases[:hi + 1]):
                 if b.alias == qual:
+                    if i in self.hidden:
+                        raise SqlUnsupported(
+                            f"{qual!r} is a SEMI/ANTI side: its "
+                            "columns do not survive the join")
                     if col not in b.colset:
                         raise KeyError(f"column {col!r} not in table "
                                        f"{qual!r}")
                     return i
             raise SqlUnsupported(f"unknown table qualifier {qual!r}")
         idxs = [i for i, b in enumerate(self.bases[:hi + 1])
-                if col in b.colset]
+                if col in b.colset and i not in self.hidden]
         if not idxs:
             raise KeyError(f"column {col!r} in no joined table")
         if len(idxs) > 1:
@@ -1508,7 +1522,9 @@ class _JoinSource:
 
     def columns(self) -> list[str]:
         out: list[str] = []
-        for b in self.bases:
+        for i, b in enumerate(self.bases):
+            if i in self.hidden:
+                continue
             for c in b.cols:
                 if c not in out:
                     out.append(c)

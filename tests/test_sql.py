@@ -838,3 +838,26 @@ def test_case_in_where_on_mem(sqlenv):
                   "WHERE n_chars > 4000) "
                   "SELECT doc_id FROM f WHERE CASE WHEN lang = 'en' "
                   "THEN n_chars > 4900 ELSE n_chars > 4980 END")
+
+
+def test_semi_anti_join_sql(sqlenv):
+    check(sqlenv, "SELECT doc_id, n_chars FROM docs SEMI JOIN meta "
+                  "ON docs.source = meta.source WHERE n_chars > 4800")
+    check(sqlenv, "WITH m AS (SELECT source AS msrc FROM meta "
+                  "WHERE weight > 50) "
+                  "SELECT doc_id FROM docs ANTI JOIN m "
+                  "ON docs.source = m.msrc WHERE n_chars > 4800")
+
+
+def test_semi_join_chain_sql(sqlenv):
+    # semi gate at the end of a chain; the gated table's columns are
+    # unavailable downstream
+    check(sqlenv, "SELECT doc_id, region FROM docs "
+                  "JOIN meta ON docs.source = meta.source "
+                  "SEMI JOIN reg ON meta.region = reg.region "
+                  "WHERE n_chars > 4900")
+    tables, _ = sqlenv
+    with pytest.raises((SqlUnsupported, KeyError)):
+        sql_query("SELECT doc_id, r.zone FROM docs "
+                  "JOIN meta ON docs.source = meta.source "
+                  "SEMI JOIN reg r ON meta.region = r.region", tables)
