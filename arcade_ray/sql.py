@@ -1319,17 +1319,39 @@ _JOIN_TYPES = {"INNER": "inner", "LEFT": "left",
                "SEMI": "semi", "ANTI": "anti"}
 
 
+def _derived_table(ft: dict, tables: dict):
+    """Materialize a FROM-subquery (derived table) to a driver-side
+    pa.Table — the same contract as a CTE. ``(...) s(a, b)`` column
+    aliases rename the result."""
+    alias = ft.get("alias")
+    if not alias:
+        raise SqlUnsupported("FROM subquery needs an alias")
+    t = _materialize_result(
+        _execute_node(ft["subquery"]["node"], tables))
+    cna = ft.get("column_name_alias") or []
+    if cna:
+        if len(cna) != t.num_columns:
+            raise SqlUnsupported(
+                f"{len(cna)} column aliases for {t.num_columns} "
+                "columns")
+        t = t.rename_columns(list(cna))
+    return alias, t
+
+
 class _JoinBase:
-    """One table in a join chain: an encoded dir or a materialized
-    CTE (pa.Table), with its alias and column set."""
+    """One table in a join chain: an encoded dir, a materialized CTE
+    (pa.Table), or a derived table, with its alias and column set."""
 
     def __init__(self, ft: dict, tables: dict):
-        name = ft["table_name"]
-        if name not in tables:
-            raise KeyError(f"table {name!r} not provided "
-                           f"(have: {sorted(tables)})")
-        self.alias = ft.get("alias") or name
-        self.target = tables[name]
+        if ft.get("type") == "SUBQUERY":
+            self.alias, self.target = _derived_table(ft, tables)
+        else:
+            name = ft["table_name"]
+            if name not in tables:
+                raise KeyError(f"table {name!r} not provided "
+                               f"(have: {sorted(tables)})")
+            self.alias = ft.get("alias") or name
+            self.target = tables[name]
         self.cols = _dataset_columns(self.target)
         self.colset = set(self.cols)
 
@@ -1361,11 +1383,11 @@ def _flatten_join(ft: dict, tables: dict, seen: set):
     if right.get("type") == "JOIN":
         left, right = right, left
         jt = _flip_jt(jt)
-    if right.get("type") != "BASE_TABLE":
+    if right.get("type") not in ("BASE_TABLE", "SUBQUERY"):
         raise SqlUnsupported(f"join side type {right.get('type')!r}")
     if left.get("type") == "JOIN":
         bases, steps = _flatten_join(left, tables, seen)
-    elif left.get("type") == "BASE_TABLE":
+    elif left.get("type") in ("BASE_TABLE", "SUBQUERY"):
         b0 = _JoinBase(left, tables)
         if b0.alias in seen:
             raise SqlUnsupported(f"duplicate table alias {b0.alias!r}")
@@ -1825,6 +1847,10 @@ def _execute_node(node: dict, tables: dict[str, str]):
             src = _TableSource(target, where_tree)
     elif ft.get("type") == "JOIN":
         src = _JoinSource(ft, tables, node.get("where_clause"))
+    elif ft.get("type") == "SUBQUERY":
+        # derived table: materialize like a CTE, then query it
+        _, dt = _derived_table(ft, tables)
+        src = _MemSource(dt, node.get("where_clause"))
     elif ft.get("type") == "EMPTY":
         # FROM-less SELECT: one synthetic row, expressions only
         src = _MemSource(pa.table({"__one": pa.array([1])}),

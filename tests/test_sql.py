@@ -861,3 +861,19 @@ def test_semi_join_chain_sql(sqlenv):
         sql_query("SELECT doc_id, r.zone FROM docs "
                   "JOIN meta ON docs.source = meta.source "
                   "SEMI JOIN reg r ON meta.region = r.region", tables)
+
+
+def test_derived_table(sqlenv):
+    check(sqlenv, "SELECT source, n FROM (SELECT source, COUNT(*) AS "
+                  "n FROM docs GROUP BY source) t WHERE n > 600 "
+                  "ORDER BY source")
+    # column aliases
+    check(sqlenv, "SELECT a, b FROM (SELECT source, COUNT(*) FROM "
+                  "docs GROUP BY source) t(a, b) ORDER BY a")
+
+
+def test_derived_table_in_join(sqlenv):
+    check(sqlenv, "SELECT doc_id, n FROM docs JOIN "
+                  "(SELECT source AS s2, COUNT(*) AS n FROM docs "
+                  "GROUP BY source) agg ON docs.source = agg.s2 "
+                  "WHERE n_chars > 4900")
