@@ -2665,8 +2665,9 @@ def _run_set_operation(node: dict, tables: dict[str, str]):
     lazy streams (no materialization), plain UNION distinct-merges
     driver-side tables (per-batch distinct first keeps driver state
     at O(distinct))."""
-    if node.get("setop_type") != "UNION":
-        raise SqlUnsupported(f"set operation {node.get('setop_type')!r}")
+    setop = node.get("setop_type")
+    if setop not in ("UNION", "INTERSECT", "EXCEPT"):
+        raise SqlUnsupported(f"set operation {setop!r}")
     sides = [_execute_node(node[s], tables) for s in ("left", "right")]
     names = None
     for i, r in enumerate(sides):
@@ -2676,12 +2677,24 @@ def _run_set_operation(node: dict, tables: dict[str, str]):
         elif list(cols) != list(names):
             raise SqlUnsupported(
                 f"UNION sides have different columns: {names} vs {cols}")
+    has_mods = bool(node.get("modifiers"))
+    if setop in ("INTERSECT", "EXCEPT"):
+        t = _intersect_except(sides, list(names), setop,
+                              bool(node.get("setop_all")))
+        return _apply_order_limit(t, node, {}, []) if has_mods else t
     if node.get("setop_all"):
         import ray.data as rd
 
         ds_sides = [r if not isinstance(r, pa.Table)
                     else rd.from_arrow(r) for r in sides]
-        return ds_sides[0].union(ds_sides[1])
+        u = ds_sides[0].union(ds_sides[1])
+        if not has_mods:
+            return u
+        from .collect import collect_arrow
+
+        # ORDER BY / LIMIT over the union: driver-resident like every
+        # ordered aggregate result
+        return _apply_order_limit(collect_arrow(u), node, {}, [])
     from .collect import collect_arrow
 
     tabs = []
@@ -2694,7 +2707,59 @@ def _run_set_operation(node: dict, tables: dict[str, str]):
                 batch_format="pyarrow"))
         tabs.append(r)
     allp = pa.concat_tables(tabs, promote_options="permissive")
-    return allp.group_by(allp.column_names).aggregate([])
+    t = allp.group_by(allp.column_names).aggregate([])
+    return _apply_order_limit(t, node, {}, []) if has_mods else t
+
+
+def _side_value_counts(r, cols: list[str]) -> pa.Table:
+    """(cols..., __n) distinct value counts of one set-operation side;
+    streams collapse per batch first (map-side combine) so driver
+    state is O(distinct)."""
+    from .collect import collect_arrow
+
+    if isinstance(r, pa.Table):
+        return r.group_by(cols).aggregate(
+            [([], "count_all")]).rename_columns(cols + ["__n"])
+    parts = collect_arrow(r.map_batches(
+        lambda b, c=list(cols): b.group_by(c).aggregate(
+            [([], "count_all")]),
+        batch_format="pyarrow"))
+    if parts.num_rows == 0:
+        return parts.rename_columns(cols + ["__n"])
+    return parts.group_by(cols).aggregate(
+        [("count_all", "sum")]).rename_columns(cols + ["__n"])
+
+
+def _intersect_except(sides, names: list[str], setop: str,
+                      all_rows: bool) -> pa.Table:
+    """INTERSECT / EXCEPT [ALL]: per-side distinct value counts
+    (Arrow's hash aggregate groups NULL keys together — SQL set-op
+    null semantics), merged by a second null-safe group-by instead of
+    a join (Arrow joins would treat NULL keys as non-matching), then
+    multiplicity math: min(l, r) / max(l - r, 0) for ALL, membership
+    for DISTINCT."""
+    import numpy as np
+
+    lc = _side_value_counts(sides[0], names)
+    rc = _side_value_counts(sides[1], names)
+    zero_l = pa.array(np.zeros(rc.num_rows, dtype=np.int64))
+    zero_r = pa.array(np.zeros(lc.num_rows, dtype=np.int64))
+    lt = pa.table({**{c: lc[c] for c in names},
+                   "__l": lc["__n"].combine_chunks().cast(pa.int64()),
+                   "__r": zero_r})
+    rt = pa.table({**{c: rc[c] for c in names},
+                   "__l": zero_l,
+                   "__r": rc["__n"].combine_chunks().cast(pa.int64())})
+    both = pa.concat_tables([lt, rt]).group_by(names).aggregate(
+        [("__l", "sum"), ("__r", "sum")])
+    ln = both["__l_sum"].to_numpy(zero_copy_only=False)
+    rn = both["__r_sum"].to_numpy(zero_copy_only=False)
+    if setop == "INTERSECT":
+        out_n = np.minimum(ln, rn) if all_rows             else ((ln > 0) & (rn > 0)).astype(np.int64)
+    else:  # EXCEPT
+        out_n = np.maximum(ln - rn, 0) if all_rows             else ((ln > 0) & (rn == 0)).astype(np.int64)
+    idx = np.repeat(np.arange(both.num_rows, dtype=np.int64), out_n)
+    return both.select(names).take(pa.array(idx))
 
 
 def _run_distinct_query(src, node: dict, select: list):

@@ -877,3 +877,25 @@ def test_derived_table_in_join(sqlenv):
                   "(SELECT source AS s2, COUNT(*) AS n FROM docs "
                   "GROUP BY source) agg ON docs.source = agg.s2 "
                   "WHERE n_chars > 4900")
+
+
+def test_intersect_except(sqlenv):
+    check(sqlenv, "SELECT source FROM docs WHERE n_chars > 4000 "
+                  "INTERSECT SELECT source FROM meta WHERE weight > 30 "
+                  "ORDER BY source")
+    check(sqlenv, "SELECT source FROM meta EXCEPT "
+                  "SELECT source FROM docs ORDER BY source")
+    # NULL keys: lang has NULLs on both sides; NULL INTERSECT NULL
+    # keeps one NULL row (set-op null equality)
+    check(sqlenv, "SELECT lang FROM docs WHERE n_chars > 4500 "
+                  "INTERSECT SELECT lang FROM docs WHERE n_chars < 500 "
+                  "ORDER BY lang NULLS FIRST")
+
+
+def test_intersect_except_all(sqlenv):
+    check(sqlenv, "SELECT source FROM docs WHERE n_chars > 4900 "
+                  "INTERSECT ALL SELECT source FROM docs "
+                  "WHERE n_chars > 4850 ORDER BY source")
+    check(sqlenv, "SELECT source FROM docs WHERE n_chars > 4850 "
+                  "EXCEPT ALL SELECT source FROM docs "
+                  "WHERE n_chars > 4900 ORDER BY source")
