@@ -614,6 +614,21 @@ def cmd_sql(args) -> None:
     res = sql_query(args.query, tables)
     import pyarrow as pa
 
+    if args.encode_out:
+        # CTAS-shaped round trip: the SQL result writes back as an
+        # ENCODED dataset (same adaptive per-column compression)
+        import ray.data as rd
+
+        from .pipeline import encode_dataset
+
+        if not args.key_col:
+            raise SystemExit("--encode-out needs --key-col")
+        ds = res if not isinstance(res, pa.Table) else rd.from_arrow(res)
+        man = encode_dataset(ds, args.encode_out, key_col=args.key_col,
+                             id_col=args.id_col, weight_col=None)
+        print(f"Encoded {man.num_rows} partitions -> {args.encode_out} "
+              f"in {time.perf_counter() - t0:.2f} s")
+        return
     if isinstance(res, pa.Table):
         print(res.to_pandas().to_string(max_rows=args.show))
         print(f"{res.num_rows} rows in {time.perf_counter() - t0:.2f} s")
@@ -870,6 +885,13 @@ def main(argv=None) -> None:
                     help="bind a table name to an encoded dir "
                     "(repeatable)")
     sq.add_argument("--out", help="write row-stream results to parquet")
+    sq.add_argument("--encode-out", help="write the result as an "
+                    "ENCODED dataset (CREATE TABLE AS shape); needs "
+                    "--key-col")
+    sq.add_argument("--key-col", help="partition key column for "
+                    "--encode-out")
+    sq.add_argument("--id-col", default="doc_id",
+                    help="id column for --encode-out (default doc_id)")
     sq.add_argument("--show", type=int, default=20)
     sq.add_argument("--explain", action="store_true",
                     help="print the compiled plan (operator routing + "

@@ -379,3 +379,38 @@ def test_cli_tfidf_to_semdedup(tmp_path):
     kept = {r[0] for r in duckdb.sql(
         f"SELECT doc_id FROM read_parquet('{sd}/*.parquet')").fetchall()}
     assert 10 in kept and 11 not in kept
+
+
+SQL_CTAS_SCRIPT = """
+import sys
+from arcade_ray.cli import main
+corpus, enc, enc2 = sys.argv[1], sys.argv[2], sys.argv[3]
+main(["--num-cpus", "4", "compress", corpus, enc])
+main(["--num-cpus", "4", "sql",
+      "SELECT doc_id, source, n_tok FROM c WHERE n_tok > 40",
+      "--table", "c=" + enc, "--encode-out", enc2, "--key-col", "source"])
+main(["--num-cpus", "4", "sql",
+      "SELECT source, COUNT(*) AS n FROM c2 GROUP BY source "
+      "ORDER BY source",
+      "--table", "c2=" + enc2])
+"""
+
+
+def test_cli_sql_ctas_roundtrip(tmp_path):
+    """SQL result written back as an ENCODED dataset, then queried."""
+    import duckdb
+
+    corpus = str(tmp_path / "c.parquet")
+    pq.write_table(generate_corpus(4000, 5, seed=73), corpus)
+    enc, enc2 = str(tmp_path / "enc"), str(tmp_path / "enc2")
+    out = subprocess.run(
+        [sys.executable, "-c", SQL_CTAS_SCRIPT, corpus, enc, enc2],
+        capture_output=True, text=True, timeout=240, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "Encoded" in out.stdout
+    exp = duckdb.sql(
+        f"SELECT source, COUNT(*) AS n FROM read_parquet('{corpus}') "
+        "WHERE n_tok > 40 GROUP BY source ORDER BY source").fetchall()
+    for src_name, n in exp:
+        assert f"{src_name}" in out.stdout and str(n) in out.stdout
