@@ -610,6 +610,8 @@ def cmd_sql(args) -> None:
 
         print(explain_sql(args.query, tables))
         return
+    if args.encode_out and not args.key_col:
+        raise SystemExit("--encode-out needs --key-col")
     t0 = time.perf_counter()
     res = sql_query(args.query, tables)
     import pyarrow as pa
@@ -621,8 +623,6 @@ def cmd_sql(args) -> None:
 
         from .pipeline import encode_dataset
 
-        if not args.key_col:
-            raise SystemExit("--encode-out needs --key-col")
         ds = res if not isinstance(res, pa.Table) else rd.from_arrow(res)
         man = encode_dataset(ds, args.encode_out, key_col=args.key_col,
                              id_col=args.id_col, weight_col=None)

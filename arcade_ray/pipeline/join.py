@@ -36,6 +36,26 @@ from .encode import load_manifest
 DEFAULT_MAX_BUILD_ROWS = 50_000_000  # ~hundreds of MB of keys; guardrail
 
 
+def null_safe_buckets(col, n_buckets: int) -> "np.ndarray":
+    """Key-hash bucket ids with NULL keys routed to bucket 0: a NULL
+    join key matches nothing (the Arrow join inside the bucket gives
+    the SQL semantics), it only needs to land SOMEWHERE so outer
+    joins can null-extend it. hash_column itself refuses null-bearing
+    columns, which outer joins earlier in a chain routinely produce."""
+    from ..hashing import hash_column
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+        else col
+    if arr.null_count:
+        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        out = np.zeros(len(arr), dtype=np.int64)
+        if valid.any():
+            out[valid] = (hash_column(arr.drop_null())
+                          % np.uint64(n_buckets)).astype(np.int64)
+        return out
+    return (hash_column(arr) % np.uint64(n_buckets)).astype(np.int64)
+
+
 def shuffle_join(left_dir: str, right_dir: str, left_key: str,
                  right_key: str, left_cols: list[str],
                  right_cols: list[str], join_type: str = "inner",
@@ -230,8 +250,7 @@ def copartition_join(left_dir: str, right_dir: str, left_key: str,
                        sdir: str, si: int, rep: bool) -> int:
             _pin_arrow_threads()
             t = decode_partition(path, columns=cols)
-            h = (hash_column(t[key]) % np.uint64(n_buckets)) \
-                .astype(np.int64)
+            h = null_safe_buckets(t[key], n_buckets)
             t, h = _salted_buckets(t, key, h, hot, n_buckets,
                                    salt_factor, rep)
             return write_bucket_frags(t, h, n_buckets, sdir, si)
@@ -263,8 +282,7 @@ def copartition_join(left_dir: str, right_dir: str, left_key: str,
         def split(path: str, key: str, cols: list[str], rep: bool):
             _pin_arrow_threads()
             t = decode_partition(path, columns=cols)
-            h = (hash_column(t[key]) % np.uint64(n_buckets)) \
-                .astype(np.int64)
+            h = null_safe_buckets(t[key], n_buckets)
             t, h = _salted_buckets(t, key, h, hot, n_buckets,
                                    salt_factor, rep)
             return split_by_bucket(t, h, n_buckets)
@@ -1024,8 +1042,7 @@ def dataset_join(left_ds, right, left_key, right_key,
             _pin_arrow_threads()
             t = decode_partition(src, columns=cols) \
                 if isinstance(src, str) else src.select(cols)
-            h = (hash_column(t[keys[0]]) % np.uint64(n_buckets)) \
-                .astype(np.int64)
+            h = null_safe_buckets(t[keys[0]], n_buckets)
             return write_bucket_frags(t, h, n_buckets, sdir, si)
 
         max_inflight = max(4, int(ray.cluster_resources().get("CPU", 8)))
@@ -1036,8 +1053,7 @@ def dataset_join(left_ds, right, left_key, right_key,
             pending = drain_bounded(pending, max_inflight)
         if right_is_mem:
             if right.num_rows:
-                h = (hash_column(right[rkeys[0]]) % np.uint64(n_buckets)
-                     ).astype(np.int64)
+                h = null_safe_buckets(right[rkeys[0]], n_buckets)
                 write_bucket_frags(right.select(right_need), h,
                                    n_buckets, sh_r, 0)
         else:
@@ -1063,16 +1079,14 @@ def dataset_join(left_ds, right, left_key, right_key,
             _pin_arrow_threads()
             t = decode_partition(src, columns=cols) \
                 if isinstance(src, str) else src.select(cols)
-            h = (hash_column(t[keys[0]]) % np.uint64(n_buckets)) \
-                .astype(np.int64)
+            h = null_safe_buckets(t[keys[0]], n_buckets)
             return split_by_bucket(t, h, n_buckets)
 
         l_lists = ray.get([split.remote(ref, lkeys, left_need)
                            for ref in l_refs])
         if right_is_mem:
             if right.num_rows:
-                h = (hash_column(right[rkeys[0]]) % np.uint64(n_buckets)
-                     ).astype(np.int64)
+                h = null_safe_buckets(right[rkeys[0]], n_buckets)
                 r_lists = [split_by_bucket(right.select(right_need), h,
                                            n_buckets)]
             else:

@@ -365,6 +365,20 @@ def _corr_exists_tree(sub: dict, dec, tables: dict):
     (ocol, icol), resid = dec
     if sub.get("group_expressions") or sub.get("having"):
         raise SqlUnsupported("correlated EXISTS with GROUP BY/HAVING")
+    for m in sub.get("modifiers") or []:
+        if m.get("type") != "LIMIT_MODIFIER":
+            continue
+        # LIMIT applies PER correlation evaluation and cannot
+        # decorrelate in general; LIMIT k>=1 without OFFSET never
+        # changes existence, LIMIT 0 is constant-false
+        if m.get("offset"):
+            raise SqlUnsupported(
+                "correlated EXISTS with OFFSET (per-key row skipping "
+                "does not decorrelate)")
+        lim = m.get("limit")
+        if lim is not None and lim.get("class") == "CONSTANT" \
+                and _const_value(lim) == 0:
+            return _never_true(ocol)
     sub2 = dict(sub)
     sub2["select_list"] = [{"class": "COLUMN_REF", "type": "COLUMN_REF",
                             "alias": "", "column_names": [icol]}]
@@ -1442,9 +1456,13 @@ class _JoinSource:
         # bases on the right of a SEMI/ANTI step contribute no output
         # columns (they only gate left rows)
         self.hidden: set = set()
+        # (base_idx, col) whose faithful values are COALESCED AWAY by
+        # an outer join (Arrow keeps the PRESERVED side's key values;
+        # the null-extended side's key is unrecoverable downstream)
+        self.lost: set = set()
         self.steps = []
         for i, (jt, cond, using) in enumerate(raw_steps):
-            lkeys, rkeys = self._attribute_keys(cond, using, i)
+            lkeys, rkeys = self._attribute_keys(cond, using, i, jt)
             self.steps.append((jt, lkeys, rkeys))
             if jt in ("semi", "anti"):
                 self.hidden.add(i + 1)
@@ -1463,11 +1481,24 @@ class _JoinSource:
                     if col not in b.colset:
                         raise KeyError(f"column {col!r} not in table "
                                        f"{qual!r}")
+                    if (i, col) in self.lost:
+                        raise SqlUnsupported(
+                            f"{qual}.{col} is on the null-extended "
+                            "side of an outer join and its key was "
+                            "coalesced away — SELECT/rename it in a "
+                            "subquery before joining")
                     return i
             raise SqlUnsupported(f"unknown table qualifier {qual!r}")
-        idxs = [i for i, b in enumerate(self.bases[:hi + 1])
-                if col in b.colset and i not in self.hidden]
+        all_idxs = [i for i, b in enumerate(self.bases[:hi + 1])
+                    if col in b.colset and i not in self.hidden]
+        idxs = [i for i in all_idxs if (i, col) not in self.lost]
         if not idxs:
+            own = self.coalesce_owner.get(col)
+            if all_idxs and own is not None and set(all_idxs) <= own:
+                # FULL-outer coalesced key: the single output column
+                # is COALESCE(l, r); a bare reference means exactly
+                # that (USING semantics)
+                return min(all_idxs)
             raise KeyError(f"column {col!r} in no joined table")
         if len(idxs) > 1:
             own = self.coalesce_owner.get(col)
@@ -1478,7 +1509,30 @@ class _JoinSource:
                 "qualify it, or rename one side before encoding")
         return idxs[0]
 
-    def _attribute_keys(self, cond, using, step: int):
+    def _mark_coalesced(self, col: str, li: int, step: int, jt: str):
+        """Bookkeeping for a same-name key pair, which Arrow coalesces
+        into ONE output column: after an INNER join both sides'
+        values are equal (both own the column); after an OUTER join
+        only the PRESERVED side's values survive — the other side's
+        become unrecoverable (``lost``). Bare references keep
+        resolving to the coalesced column (DuckDB's USING
+        semantics); qualified references to a lost side refuse."""
+        own = self.coalesce_owner.setdefault(col, set())
+        ri = step + 1
+        if jt in ("inner", "semi", "anti"):
+            own.update({li, ri})
+        elif jt == "left":
+            own.add(li)
+            self.lost.add((ri, col))
+        elif jt == "right":
+            own.add(ri)
+            self.lost.add((li, col))
+        else:  # full outer: the coalesced column is COALESCE(l, r)
+            own.update({li, ri})
+            self.lost.add((li, col))
+            self.lost.add((ri, col))
+
+    def _attribute_keys(self, cond, using, step: int, jt: str):
         """(lkeys, rkeys) for steps[step]: lkeys live in bases[0..step]
         (the accumulated stream), rkeys in bases[step+1]."""
         rb = self.bases[step + 1]
@@ -1493,8 +1547,7 @@ class _JoinSource:
                 li = self._acc_base_of(col, step, None)
                 lkeys.append(col)
                 rkeys.append(col)
-                self.coalesce_owner.setdefault(col, set()).update(
-                    {li, step + 1})
+                self._mark_coalesced(col, li, step, jt)
             return lkeys, rkeys
         if not cond:
             raise SqlUnsupported("CROSS JOIN / missing ON condition")
@@ -1514,12 +1567,20 @@ class _JoinSource:
                     sides.append(("r", col, None))
                 elif qual is None and col in rb.colset:
                     # bare name: right side wins only when the
-                    # accumulated side does NOT also have it
+                    # accumulated side does NOT also have it — except
+                    # when the accumulated copy is a COALESCED join
+                    # key (DuckDB's USING binding: the coalesced
+                    # column is the visible one)
                     if any(col in bb.colset
                            for bb in self.bases[:step + 1]):
-                        raise SqlUnsupported(
-                            f"ambiguous join key {col!r}: qualify it")
-                    sides.append(("r", col, None))
+                        if col not in self.coalesce_owner:
+                            raise SqlUnsupported(
+                                f"ambiguous join key {col!r}: "
+                                "qualify it")
+                        li = self._acc_base_of(col, step, None)
+                        sides.append(("l", col, li))
+                    else:
+                        sides.append(("r", col, None))
                 else:
                     li = self._acc_base_of(col, step, qual)
                     sides.append(("l", col, li))
@@ -1531,8 +1592,7 @@ class _JoinSource:
             lkeys.append(lk)
             rkeys.append(rk)
             if lk == rk:
-                self.coalesce_owner.setdefault(lk, set()).update(
-                    {d["l"][2], step + 1})
+                self._mark_coalesced(lk, d["l"][2], step, jt)
         return lkeys, rkeys
 
     def _attribute(self, col: str) -> int:
@@ -1701,8 +1761,7 @@ def explain_sql(sql: str, tables: dict[str, str]) -> str:
     ft = node["from_table"]
     select = node["select_list"]
     group_exprs = node.get("group_expressions") or []
-    has_window = any(item["class"] != "STAR"
-                     and _window_item(item) is not None
+    has_window = any(item["class"] != "STAR" and _contains_window(item)
                      for item in select)
     agg_atoms: list[tuple] = []
     if not has_window:
@@ -1869,8 +1928,7 @@ def _execute_node(node: dict, tables: dict[str, str]):
             raise SqlUnsupported("DISTINCT ON with GROUP BY")
         return _run_distinct_on(src, node, select, don)
     if node.get("qualify") is not None \
-            or any(item["class"] != "STAR"
-                   and _window_item(item) is not None
+            or any(item["class"] != "STAR" and _contains_window(item)
                    for item in select):
         if node.get("group_expressions") or node.get("having"):
             return _run_window_over_groups(node, tables)
@@ -2078,19 +2136,24 @@ _WINDOW_TYPES = {"WINDOW_ROW_NUMBER", "WINDOW_RANK", "WINDOW_RANK_DENSE",
                  "WINDOW_LAG", "WINDOW_LEAD", "WINDOW_AGGREGATE"}
 
 
-def _extract_qualify_windows(q):
-    """Transformed copy of the QUALIFY expression with each inline
-    WINDOW node replaced by a hidden-column ref (``__q0``, ``__q1``,
-    ...); returns (expr, [(hidden_name, window_node, None), ...]).
-    The hidden columns compute alongside the select-list windows in
-    the same segment pass, the filter runs per bucket, and the hidden
-    columns drop before the result leaves the bucket."""
+def _extract_qualify_windows(q, counter: list | None = None):
+    """Transformed copy of an expression with each inline WINDOW node
+    replaced by a hidden-column ref (``__q0``, ``__q1``, ...);
+    returns (expr, [(hidden_name, window_node, None), ...]). The
+    hidden columns compute alongside the select-list windows in the
+    same segment pass; QUALIFY filters per bucket and expression
+    items evaluate per bucket, then the hidden columns drop.
+    ``counter`` (a shared one-element list) keeps hidden names unique
+    across several extractions in one query."""
     wins: list[tuple] = []
+    if counter is None:
+        counter = [0]
 
     def walk(n):
         if isinstance(n, dict):
             if n.get("class") == "WINDOW":
-                nm = f"__q{len(wins)}"
+                nm = f"__q{counter[0]}"
+                counter[0] += 1
                 wins.append((nm, n, None))
                 return {"class": "COLUMN_REF", "type": "COLUMN_REF",
                         "alias": "", "column_names": [nm]}
@@ -2125,6 +2188,16 @@ def _frame_of(w: dict):
     return ("rows", p, f)
 
 
+def _contains_window(x) -> bool:
+    if isinstance(x, dict):
+        if x.get("class") == "WINDOW":
+            return True
+        return any(_contains_window(v) for v in x.values())
+    if isinstance(x, list):
+        return any(_contains_window(v) for v in x)
+    return False
+
+
 def _window_item(item: dict):
     """(window_node, cast_type|None) if this select item is a window
     expression (optionally CAST-wrapped), else None."""
@@ -2149,6 +2222,7 @@ def _run_window_query(src, node: dict, select: list):
     import numpy as np
 
     wins: list[tuple] = []          # (out_name, wnode, cast)
+    _qcounter = [0]                 # hidden-window name allocator
     passthru: list[str] = []        # plain projected columns
     names: list[str] = []
     sel_map: list[tuple] = []       # (out_name, source_col) per item
@@ -2166,20 +2240,24 @@ def _run_window_query(src, node: dict, select: list):
             names.append(_expr_name(item))
             sel_map.append((names[-1], _colref(item)))
         else:
-            # general expression over stream columns (CAST,
-            # arithmetic, CASE, ...): evaluated per bucket after the
-            # window columns are computed
+            # general expression over stream columns and/or EMBEDDED
+            # window expressions (ROUND(SUM(x) OVER ...), CASE, ...):
+            # inline windows compute as hidden columns, the expression
+            # evaluates per bucket after them
+            expr2, ewins = _extract_qualify_windows(item, _qcounter)
+            wins.extend(ewins)
+            hidden = {nm for nm, _, _ in ewins}
             ecols: set = set()
-            _expr_columns(item, ecols)
+            _expr_columns(expr2, ecols)
             passthru.extend(c for c in sorted(ecols)
-                            if c not in passthru)
+                            if c not in passthru and c not in hidden)
             names.append(_expr_name(item))
-            sel_map.append((names[-1], ("expr", item)))
+            sel_map.append((names[-1], ("expr", expr2)))
 
     qualify = node.get("qualify")
     qexpr, qnames, qplain = None, [], []
     if qualify is not None:
-        qexpr, qwins = _extract_qualify_windows(qualify)
+        qexpr, qwins = _extract_qualify_windows(qualify, _qcounter)
         wins = wins + qwins
         qnames = [nm for nm, _, _ in qwins]
         qcols: set = set()
@@ -2202,10 +2280,11 @@ def _run_window_query(src, node: dict, select: list):
                     f"running {wnode['function_name']!r} "
                     "(sum/count/avg/min/max compile)")
             if wnode["function_name"] in ("min", "max") \
-                    and fr not in (("range",), ("rows", None, 0)):
+                    and not (fr == ("range",)
+                             or (fr[0] == "rows" and fr[1] is None)):
                 raise SqlUnsupported(
                     "bounded ROWS frames compile for sum/count/avg; "
-                    "min/max need the unbounded-start frame")
+                    "min/max need an unbounded start")
         pk = tuple(_colref(p) for p in wnode.get("partitions", []))
         if any(p["class"] != "COLUMN_REF"
                for p in wnode.get("partitions", [])):
@@ -2221,6 +2300,9 @@ def _run_window_query(src, node: dict, select: list):
         elif spec != (pk, ob):
             raise SqlUnsupported(
                 "all window functions must share one OVER spec")
+    if spec is None:
+        raise SqlUnsupported(
+            "QUALIFY without a window function — use WHERE")
     pkeys, orders = spec
     if not orders:
         raise SqlUnsupported("window functions need ORDER BY in OVER")
@@ -2376,6 +2458,12 @@ def _run_window_query(src, node: dict, select: list):
                     # peers share the frame-end value
                     r = r[peer_end]
                     runc = runc[peer_end]
+                elif frame[2] > 0:
+                    # ROWS ... n FOLLOWING: cummax/cummin at frame end
+                    part_end = np.repeat(starts + lens - 1, lens)
+                    hi = np.minimum(idx + frame[2], part_end)
+                    r = r[hi]
+                    runc = runc[hi]
                 out = pa.array(r.astype(np.int64) if isint else r)
                 out = pc.if_else(pa.array(runc > 0), out,
                                  pa.scalar(None, out.type))
@@ -2401,26 +2489,37 @@ def _run_window_query(src, node: dict, select: list):
                             zero_copy_only=False).astype(np.int64)
                     vals = np.where(valid, vals, 0)
                 isfloat = vals.dtype.kind == "f"
-                if frame[0] == "rows" and frame[1] is not None:
+                if frame[0] == "rows" and not (frame[1] is None
+                                               and frame[2] == 0):
                     # constant-bound ROWS frame, clamped at partition
                     # edges: exact prefix-sum differences for ints;
                     # floats re-add the window left-to-right (shifted
                     # adds) so the summation order matches a
                     # sequential evaluation instead of accumulating
-                    # prefix-difference error
+                    # prefix-difference error; an unbounded start with
+                    # FOLLOWING takes the sequential cumsum at the
+                    # frame end
                     p, f = frame[1], frame[2]
                     part_end = np.repeat(starts + lens - 1, lens)
                     hi = np.minimum(idx + f, part_end)
-                    lo = np.maximum(idx - p, part_start)
+                    lo = part_start if p is None \
+                        else np.maximum(idx - p, part_start)
                     cv0 = np.concatenate(
                         ([0], np.cumsum(valid.astype(np.int64))))
                     runc = cv0[hi + 1] - cv0[lo]
-                    if isfloat:
+                    if isfloat and p is not None:
                         run = np.zeros(n, dtype=np.float64)
                         for d in range(-p, f + 1):
                             srci = np.clip(idx + d, 0, n - 1)
                             ok = (idx + d >= lo) & (idx + d <= hi)
                             run = run + np.where(ok, vals[srci], 0.0)
+                    elif isfloat:
+                        import pandas as pd
+
+                        seg_id = np.cumsum(new_part) - 1
+                        seqc = pd.Series(vals).groupby(seg_id) \
+                            .cumsum().to_numpy()
+                        run = seqc[hi]
                     else:
                         cs0 = np.concatenate(([vals.dtype.type(0)],
                                               np.cumsum(vals)))
@@ -2509,6 +2608,17 @@ def _run_window_query(src, node: dict, select: list):
     return out
 
 
+def _strip_volatile(x):
+    """Copy with parse-position and alias metadata removed, so two
+    spellings of the same aggregate hash identically."""
+    if isinstance(x, dict):
+        return {k: _strip_volatile(v) for k, v in x.items()
+                if k not in ("query_location", "alias")}
+    if isinstance(x, list):
+        return [_strip_volatile(v) for v in x]
+    return x
+
+
 def _rewrite_aggs(x, atoms: list, names: dict):
     """Transformed copy of an expression with every aggregate
     FUNCTION node replaced by a hidden-column ref; ``atoms`` collects
@@ -2516,8 +2626,7 @@ def _rewrite_aggs(x, atoms: list, names: dict):
     if isinstance(x, dict):
         if x.get("class") == "FUNCTION" \
                 and x.get("function_name") in _AGG_FNS:
-            key = json.dumps({k: v for k, v in x.items()
-                              if k != "alias"}, sort_keys=True)
+            key = json.dumps(_strip_volatile(x), sort_keys=True)
             if key not in names:
                 names[key] = f"__agg{len(names)}"
                 atoms.append((names[key], x))
@@ -2560,6 +2669,49 @@ def _run_window_over_groups(node: dict, tables: dict):
     res = _execute_node(inner, tables)
     mem = _materialize_result(res)
 
+    # ORDER BY may reference aggregates that the select list does
+    # not project: rename the hidden ref to the projected alias when
+    # one exists, else project it under its own hidden name and drop
+    # the column from the final result
+    hidden_used: set = set()
+
+    def scan(x):
+        if isinstance(x, dict):
+            cn = x.get("column_names")
+            if x.get("class") == "COLUMN_REF" and cn \
+                    and str(cn[-1]).startswith("__agg"):
+                hidden_used.add(cn[-1])
+            for v in x.values():
+                scan(v)
+        elif isinstance(x, list):
+            for v in x:
+                scan(v)
+
+    scan(mods2)
+    alias_of = {}
+    for it in select2:
+        cn = it.get("column_names")
+        if it.get("class") == "COLUMN_REF" and cn \
+                and cn[-1] in hidden_used:
+            alias_of[cn[-1]] = it.get("alias") or cn[-1]
+
+    def rename(x):
+        if isinstance(x, dict):
+            cn = x.get("column_names")
+            if x.get("class") == "COLUMN_REF" and cn \
+                    and cn[-1] in alias_of and alias_of[cn[-1]] != cn[-1]:
+                return dict(x, column_names=[alias_of[cn[-1]]])
+            return {k: rename(v) for k, v in x.items()}
+        if isinstance(x, list):
+            return [rename(v) for v in x]
+        return x
+
+    mods2 = rename(mods2)
+    drops = sorted(h for h in hidden_used if h not in alias_of)
+    select2 = list(select2) + [
+        {"class": "COLUMN_REF", "type": "COLUMN_REF", "alias": h,
+         "column_names": [h]} for h in drops]
+
     outer = dict(node)
     outer["select_list"] = select2
     outer["qualify"] = qualify2
@@ -2568,7 +2720,15 @@ def _run_window_over_groups(node: dict, tables: dict):
     outer["group_sets"] = None
     outer["having"] = None
     outer["where_clause"] = None
-    return _run_window_query(_MemSource(mem, None), outer, select2)
+    res = _run_window_query(_MemSource(mem, None), outer, select2)
+    if drops:
+        if isinstance(res, pa.Table):
+            res = res.drop_columns(drops)
+        else:
+            keepc = [c for c in res.schema().names if c not in drops]
+            res = res.map_batches(
+                lambda b, k=keepc: b.select(k), batch_format="pyarrow")
+    return res
 
 
 def _has_scalar_subquery(x) -> bool:
@@ -2668,6 +2828,10 @@ def _run_set_operation(node: dict, tables: dict[str, str]):
     setop = node.get("setop_type")
     if setop not in ("UNION", "INTERSECT", "EXCEPT"):
         raise SqlUnsupported(f"set operation {setop!r}")
+    sel = node.get("left") or {}
+    while sel.get("type") == "SET_OPERATION_NODE":
+        sel = sel.get("left") or {}
+    setop_select = sel.get("select_list")
     sides = [_execute_node(node[s], tables) for s in ("left", "right")]
     names = None
     for i, r in enumerate(sides):
@@ -2681,7 +2845,8 @@ def _run_set_operation(node: dict, tables: dict[str, str]):
     if setop in ("INTERSECT", "EXCEPT"):
         t = _intersect_except(sides, list(names), setop,
                               bool(node.get("setop_all")))
-        return _apply_order_limit(t, node, {}, []) if has_mods else t
+        return _apply_order_limit(t, node, {}, [], setop_select) \
+            if has_mods else t
     if node.get("setop_all"):
         import ray.data as rd
 
@@ -2694,7 +2859,8 @@ def _run_set_operation(node: dict, tables: dict[str, str]):
 
         # ORDER BY / LIMIT over the union: driver-resident like every
         # ordered aggregate result
-        return _apply_order_limit(collect_arrow(u), node, {}, [])
+        return _apply_order_limit(collect_arrow(u), node, {}, [],
+                                  setop_select)
     from .collect import collect_arrow
 
     tabs = []
@@ -2708,7 +2874,8 @@ def _run_set_operation(node: dict, tables: dict[str, str]):
         tabs.append(r)
     allp = pa.concat_tables(tabs, promote_options="permissive")
     t = allp.group_by(allp.column_names).aggregate([])
-    return _apply_order_limit(t, node, {}, []) if has_mods else t
+    return _apply_order_limit(t, node, {}, [], setop_select) \
+        if has_mods else t
 
 
 def _side_value_counts(r, cols: list[str]) -> pa.Table:
@@ -2750,8 +2917,9 @@ def _intersect_except(sides, names: list[str], setop: str,
     rt = pa.table({**{c: rc[c] for c in names},
                    "__l": zero_l,
                    "__r": rc["__n"].combine_chunks().cast(pa.int64())})
-    both = pa.concat_tables([lt, rt]).group_by(names).aggregate(
-        [("__l", "sum"), ("__r", "sum")])
+    both = pa.concat_tables(
+        [lt, rt], promote_options="permissive").group_by(
+        names).aggregate([("__l", "sum"), ("__r", "sum")])
     ln = both["__l_sum"].to_numpy(zero_copy_only=False)
     rn = both["__r_sum"].to_numpy(zero_copy_only=False)
     if setop == "INTERSECT":

@@ -902,3 +902,37 @@ def test_dataset_join_rejects_ambiguous_cols(two_tables, seg_table,
     with pytest.raises(ValueError, match="ambiguous"):
         dataset_join(stream, s_dir, "k", "s_seg",
                      ["k", "s_region"], ["s_region"])
+
+
+def test_dataset_join_null_keys_copartition(two_tables, seg_table,
+                                            ray_session):
+    """Outer joins earlier in a chain produce NULL join keys; the
+    copartition exchange must bucket them null-safely (review
+    regression: hash_column's no-nulls guard crashed the split)."""
+    import ray.data as rd
+
+    from arcade_ray.pipeline.join import dataset_join
+
+    s_dir, seg = seg_table
+    stream = rd.from_arrow(pa.table({
+        "k": pa.array(["seg-0", None, "seg-1", None]),
+        "v": pa.array([1, 2, 3, 4], type=pa.int64()),
+    }))
+    for strategy in ("broadcast", "copartition"):
+        out = collect_arrow(dataset_join(
+            rd.from_arrow(pa.table({
+                "k": pa.array(["seg-0", None, "seg-1", None]),
+                "v": pa.array([1, 2, 3, 4], type=pa.int64()),
+            })), s_dir, "k", "s_seg", ["k", "v"], ["s_region"],
+            join_type="left", strategy=strategy))
+        got = _canon(out, ["v"])
+        # null keys never match but SURVIVE the left join
+        assert got["s_region"].tolist() == ["r-east", None, "r-west",
+                                            None], strategy
+    # right outer with null-keyed stream rows: they vanish (no match),
+    # unmatched right rows null-extend
+    out = collect_arrow(dataset_join(
+        stream, s_dir, "k", "s_seg", ["v"], ["s_seg", "s_region"],
+        join_type="right"))
+    assert out.filter(pc.is_null(out["v"])).num_rows == 3  # seg-2/3/4
+    assert out.num_rows == 5

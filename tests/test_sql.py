@@ -899,3 +899,87 @@ def test_intersect_except_all(sqlenv):
     check(sqlenv, "SELECT source FROM docs WHERE n_chars > 4850 "
                   "EXCEPT ALL SELECT source FROM docs "
                   "WHERE n_chars > 4900 ORDER BY source")
+
+
+# --- review regressions (round-4 session 2) -------------------------------
+
+def test_outer_join_coalesced_key_chain(sqlenv):
+    # after docs LEFT JOIN meta USING(source), bare 'source' is the
+    # PRESERVED side's values — joining it onward matches DuckDB
+    check(sqlenv, "SELECT doc_id, source FROM docs "
+                  "LEFT JOIN meta USING (source) "
+                  "JOIN meta m2 ON source = m2.source "
+                  "WHERE n_chars > 4900")
+    # the null-extended side's key is coalesced away: refuse loudly
+    # instead of silently joining on the preserved side's values
+    tables, _ = sqlenv
+    with pytest.raises(SqlUnsupported, match="null-extended"):
+        sql_query("SELECT doc_id FROM docs d "
+                  "LEFT JOIN meta m ON d.source = m.source "
+                  "JOIN meta m2 ON m.source = m2.source", tables)
+
+
+def test_rows_unbounded_following(sqlenv):
+    check(sqlenv, "SELECT doc_id, CAST(SUM(n_chars) OVER (PARTITION "
+                  "BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED "
+                  "PRECEDING AND 1 FOLLOWING) AS BIGINT) AS s "
+                  "FROM docs WHERE n_chars > 4800", ordered=False)
+    check(sqlenv, "SELECT doc_id, MAX(n_chars) OVER (PARTITION BY "
+                  "source ORDER BY doc_id ROWS BETWEEN UNBOUNDED "
+                  "PRECEDING AND 2 FOLLOWING) AS m FROM docs "
+                  "WHERE n_chars > 4800", ordered=False)
+    # float frame sums: DuckDB's segment-tree evaluation order can
+    # differ at the ULP from sequential accumulation — compare rounded
+    check(sqlenv, "SELECT doc_id, ROUND(AVG(score) OVER (PARTITION "
+                  "BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED "
+                  "PRECEDING AND 1 FOLLOWING), 4) AS a FROM docs "
+                  "WHERE n_chars > 4850", ordered=False)
+
+
+def test_window_over_group_order_by_aggregate(sqlenv):
+    # ORDER BY references an aggregate: projected alias reused
+    check(sqlenv, "SELECT source, CAST(SUM(n_chars) AS BIGINT) AS s, "
+                  "ROW_NUMBER() OVER (ORDER BY source) AS rn FROM docs "
+                  "GROUP BY source ORDER BY SUM(n_chars) DESC LIMIT 4",
+          ordered=True)
+    # ...and an aggregate NOT in the select list at all
+    check(sqlenv, "SELECT source, ROW_NUMBER() OVER (ORDER BY source) "
+                  "AS rn FROM docs GROUP BY source "
+                  "ORDER BY SUM(n_chars) DESC LIMIT 3", ordered=True)
+
+
+def test_setop_order_by_ordinal(sqlenv):
+    check(sqlenv, "SELECT source FROM docs WHERE n_chars > 4900 "
+                  "UNION SELECT source FROM meta ORDER BY 1")
+    check(sqlenv, "SELECT source FROM docs INTERSECT "
+                  "SELECT source FROM meta ORDER BY 1 LIMIT 3")
+
+
+def test_qualify_without_window_raises(sqlenv):
+    tables, _ = sqlenv
+    with pytest.raises(SqlUnsupported, match="QUALIFY"):
+        sql_query("SELECT doc_id FROM docs QUALIFY n_chars > 1",
+                  tables)
+
+
+def test_intersect_type_promotion(sqlenv):
+    check(sqlenv, "SELECT CAST(n_chars AS INTEGER) AS x FROM docs "
+                  "WHERE n_chars < 50 INTERSECT "
+                  "SELECT n_chars AS x FROM docs WHERE n_chars < 30 "
+                  "ORDER BY x")
+
+
+def test_correlated_exists_limit(sqlenv):
+    # LIMIT 0 makes the subquery constant-empty: EXISTS false for all
+    check(sqlenv, "SELECT doc_id FROM docs d WHERE EXISTS "
+                  "(SELECT 1 FROM meta m WHERE m.source = d.source "
+                  "LIMIT 0) AND n_chars > 4900")
+    # LIMIT >= 1 never changes existence
+    check(sqlenv, "SELECT doc_id FROM docs d WHERE EXISTS "
+                  "(SELECT 1 FROM meta m WHERE m.source = d.source "
+                  "LIMIT 1) AND n_chars > 4900")
+    tables, _ = sqlenv
+    with pytest.raises(SqlUnsupported, match="OFFSET"):
+        sql_query("SELECT doc_id FROM docs d WHERE EXISTS "
+                  "(SELECT 1 FROM meta m WHERE m.source = d.source "
+                  "LIMIT 1 OFFSET 1)", tables)
