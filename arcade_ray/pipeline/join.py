@@ -108,230 +108,24 @@ def copartition_join(left_dir: str, right_dir: str, left_key: str,
                      n_buckets: int | None = None,
                      mode: str | None = None,
                      salt=None, salt_factor: int = 8):
-    """Hash CO-PARTITIONED join of two large ENCODED datasets — the
-    round-2 gap (join.py's own promise): instead of decoding both
-    sides into Ray Data's sort-based join shuffle, reuse the encode
-    exchange's shape directly.
-
-    - SPLIT: one task per encoded partition per side decodes only
-      key+projection columns and fans its rows out to one compact
-      fragment per hash bucket (``ray.put`` from inside the task; only
-      the tiny ref lists travel — the pattern of encode's direct
-      exchange, encode.py:217).
-    - JOIN: one task per bucket fetches exactly its fragments from
-      both sides and joins them with Arrow's vectorized hash join.
-      Both sides are partitioned by the same key hash, so bucket b of
-      the left can ONLY match bucket b of the right.
-
-    One data movement per side (partition -> bucket fragment), no sort
-    comparisons, join parallelism = n_buckets. On a multi-node
-    cluster the fragments are plain object-store objects and Ray
-    fetches them to wherever the join task lands.
-
-    ``mode``: ``"objects"`` (fragments in the object store — fastest,
-    but the whole projected input is live at the split/join barrier;
-    Ray spills past store capacity) or ``"disk"`` (split tasks write
-    Arrow-IPC shuffle files with bounded in-flight splits — peak
-    object-store usage is O(in-flight splits) regardless of input
-    size; shuffle files live until interpreter exit so the lazy output
-    Dataset stays re-executable). ``None`` auto-selects disk when the
-    two sides' manifest raw_bytes exceed ARCADE_DISK_EXCHANGE_BYTES —
-    the same threshold/pattern as encode_parquet's exchange.
-
-    ``salt`` (skew handling): hot join keys crowd all their rows into
-    one bucket, making that join task the wall-clock. ``salt="auto"``
-    samples the LEFT side's key column (:func:`detect_hot_keys`) and
-    spreads each hot key's left rows across ``salt_factor`` salt
-    buckets while REPLICATING the right side's matching rows into all
-    of them (each left row still meets each right row exactly once);
-    pass an explicit key list to skip detection. Inner/left joins
-    only — replicated right rows would emit duplicate unmatched rows
-    under right/full outer (ValueError).
+    """Hash CO-PARTITIONED join of two large ENCODED datasets: one
+    split task per encoded partition per side decodes key+projection
+    columns and fans rows out to per-key-hash bucket fragments
+    (``ray.put`` from inside the task, or Arrow-IPC shuffle files in
+    ``mode="disk"``), then one task per bucket joins its two
+    fragment sets with Arrow's vectorized hash join. One data
+    movement per side, no sort comparisons, join parallelism =
+    n_buckets; ``salt="auto"`` spreads hot left keys (see
+    :func:`dataset_join`, which implements the exchange — this entry
+    point pins ``strategy="copartition"`` so the exchange always
+    runs, small build sides included).
 
     Returns a streaming Dataset with columns left_cols + right_cols."""
-    import numpy as np
-    import ray
-    import ray.data as rd
-
-    from ..hashing import hash_column
-    from .encode import _pin_arrow_threads
-
-    arrow_how = {"inner": "inner", "left": "left outer",
-                 "right": "right outer", "full": "full outer",
-                 "semi": "left semi", "anti": "left anti"}.get(join_type)
-    if arrow_how is None:
-        raise ValueError(f"join_type must be inner/left/right/full/"
-                         f"semi/anti, got {join_type!r}")
-    if arrow_how in ("left semi", "left anti") and right_cols:
-        raise ValueError("semi/anti joins emit LEFT columns only")
-    if n_buckets is None:
-        n_buckets = max(16, int(ray.cluster_resources().get("CPU", 8)))
-
-    from ..collect import split_by_bucket
-    from ..diskex import (DISK_EXCHANGE_BYTES, bucket_dir, drain_bounded,
-                          make_shuffle_dir, read_bucket,
-                          write_bucket_frags)
-
-    dup = sorted((set(left_cols) & set(right_cols))
-                 - ({left_key} if left_key == right_key else set()))
-    if dup:
-        raise ValueError(
-            f"ambiguous output columns {dup} requested from BOTH sides; "
-            "the Arrow hash join cannot emit two same-named columns — "
-            "drop or rename one side's projection")
-    left_need = list(dict.fromkeys([left_key] + left_cols))
-    right_need = list(dict.fromkeys([right_key] + right_cols))
-    l_man = load_manifest(left_dir)
-    r_man = load_manifest(right_dir)
-    l_paths = [r["path"] for r in l_man.to_pylist()]
-    r_paths = [r["path"] for r in r_man.to_pylist()]
-    if mode is None:
-        import pyarrow.compute as _pc
-
-        raw = int(_pc.sum(l_man["raw_bytes"]).as_py() or 0) \
-            + int(_pc.sum(r_man["raw_bytes"]).as_py() or 0)
-        mode = "disk" if raw > DISK_EXCHANGE_BYTES else "objects"
-    hot = None
-    if salt is not None:
-        if arrow_how not in ("inner", "left outer"):
-            raise ValueError("salt= applies to inner/left joins only "
-                             "(replicated build rows would duplicate "
-                             "unmatched right/full-outer output)")
-        if l_paths:
-            if isinstance(salt, str) and salt == "auto":
-                hot = detect_hot_keys(l_paths, left_key, n_buckets)
-            else:
-                hot = salt if isinstance(salt, pa.Array) \
-                    else pa.array(list(salt))
-    keep = list(dict.fromkeys(left_cols + right_cols))
-    # Arrow's hash join coalesces the key pair into ONE column named
-    # after the left key; if the caller asked for the right key column
-    # under its own (different) name, keep both sides' keys un-coalesced
-    # so outer joins can emit the SQL shape (right key null on
-    # left-only rows, and vice versa).
-    coalesce = not (right_key in right_cols and right_key != left_key)
-    l_empty = _side_empty(left_dir, l_paths, left_need)
-    r_empty = _side_empty(right_dir, r_paths, right_need)
-    if not l_paths or not r_paths:
-        # an EMPTY side (zero committed partitions) resolves without
-        # any exchange: inner/same-side-outer -> typed empty; the
-        # opposite outer streams the surviving side with typed nulls
-        empty_out = pa.table({
-            c: (l_empty[c] if c in l_empty.column_names else r_empty[c])
-            for c in keep})
-        if (not l_paths and not r_paths) \
-                or (not l_paths and arrow_how in (
-                    "inner", "left outer", "left semi", "left anti")) \
-                or (not r_paths and arrow_how in (
-                    "inner", "right outer", "left semi")):
-            return rd.from_arrow(empty_out)
-        from .query import scan
-
-        live_dir, live_cols, absent = (
-            (right_dir, right_cols, l_empty) if not l_paths
-            else (left_dir, left_cols, r_empty))
-
-        def pad(b: pa.Table) -> pa.Table:
-            return pa.table({
-                c: (b[c] if c in b.column_names
-                    else pa.nulls(b.num_rows, absent[c].type))
-                for c in keep})
-
-        return scan(live_dir, columns=[c for c in live_cols
-                                       if c in keep]).map_batches(
-            pad, batch_format="pyarrow")
-
-    if mode == "disk":
-        sh_l = make_shuffle_dir("joinL")
-        sh_r = make_shuffle_dir("joinR")
-
-        @ray.remote
-        def split_disk(path: str, key: str, cols: list[str],
-                       sdir: str, si: int, rep: bool) -> int:
-            _pin_arrow_threads()
-            t = decode_partition(path, columns=cols)
-            h = null_safe_buckets(t[key], n_buckets)
-            t, h = _salted_buckets(t, key, h, hot, n_buckets,
-                                   salt_factor, rep)
-            return write_bucket_frags(t, h, n_buckets, sdir, si)
-
-        max_inflight = max(4, int(ray.cluster_resources().get("CPU", 8)))
-        pending: list = []
-        for si, p in enumerate(l_paths):
-            pending.append(split_disk.remote(p, left_key, left_need,
-                                             sh_l, si, False))
-            pending = drain_bounded(pending, max_inflight)
-        for si, p in enumerate(r_paths):
-            pending.append(split_disk.remote(p, right_key, right_need,
-                                             sh_r, si, True))
-            pending = drain_bounded(pending, max_inflight)
-        ray.get(pending)  # all fragments on disk
-        l_has = [os.path.isdir(bucket_dir(sh_l, b))
-                 for b in range(n_buckets)]
-        r_has = [os.path.isdir(bucket_dir(sh_r, b))
-                 for b in range(n_buckets)]
-
-        def fetch(b: int):
-            lt = read_bucket(sh_l, b)
-            rt = read_bucket(sh_r, b)
-            return (lt if lt is not None else l_empty,
-                    rt if rt is not None else r_empty)
-    else:
-
-        @ray.remote
-        def split(path: str, key: str, cols: list[str], rep: bool):
-            _pin_arrow_threads()
-            t = decode_partition(path, columns=cols)
-            h = null_safe_buckets(t[key], n_buckets)
-            t, h = _salted_buckets(t, key, h, hot, n_buckets,
-                                   salt_factor, rep)
-            return split_by_bucket(t, h, n_buckets)
-
-        l_lists = ray.get([split.remote(p, left_key, left_need, False)
-                           for p in l_paths])
-        r_lists = ray.get([split.remote(p, right_key, right_need, True)
-                           for p in r_paths])
-        l_frags = [[fl[b] for fl in l_lists if fl[b] is not None]
-                   for b in range(n_buckets)]
-        r_frags = [[fl[b] for fl in r_lists if fl[b] is not None]
-                   for b in range(n_buckets)]
-        l_has = [bool(f) for f in l_frags]
-        r_has = [bool(f) for f in r_frags]
-
-        def fetch(b: int):
-            lt = [ray.get(r) for r in l_frags[b]]
-            rt = [ray.get(r) for r in r_frags[b]]
-            return (pa.concat_tables(lt).combine_chunks() if lt
-                    else l_empty,
-                    pa.concat_tables(rt).combine_chunks() if rt
-                    else r_empty)
-
-    if arrow_how in ("inner", "left semi"):
-        live = [b for b in range(n_buckets) if l_has[b] and r_has[b]]
-    elif arrow_how in ("left outer", "left anti"):
-        live = [b for b in range(n_buckets) if l_has[b]]
-    elif arrow_how == "right outer":
-        live = [b for b in range(n_buckets) if r_has[b]]
-    else:
-        live = [b for b in range(n_buckets) if l_has[b] or r_has[b]]
-    if not live:
-        return rd.from_arrow(l_empty.join(
-            r_empty, keys=[left_key], right_keys=[right_key],
-            join_type=arrow_how, coalesce_keys=coalesce).select(keep))
-    ds = rd.from_items([{"bucket": b} for b in live])
-
-    def join_bucket(batch: pa.Table) -> pa.Table:
-        _pin_arrow_threads()
-        outs = []
-        for bv in batch["bucket"]:
-            b = bv.as_py()
-            left, right = fetch(b)
-            j = left.join(right, keys=[left_key], right_keys=[right_key],
-                          join_type=arrow_how, coalesce_keys=coalesce)
-            outs.append(j.select(keep))
-        return pa.concat_tables(outs)
-
-    return ds.map_batches(join_bucket, batch_format="pyarrow", batch_size=1)
+    return dataset_join(left_dir, right_dir, left_key, right_key,
+                        left_cols, right_cols, join_type=join_type,
+                        n_buckets=n_buckets, mode=mode,
+                        strategy="copartition", salt=salt,
+                        salt_factor=salt_factor)
 
 
 def detect_hot_keys(paths: list[str], key: str, n_buckets: int,
@@ -393,8 +187,9 @@ def _salted_buckets(t: pa.Table, key: str, h: "np.ndarray",
 
     if hot is None or len(hot) == 0:
         return t, h
-    mask = pc.is_in(t[key], value_set=hot.cast(t[key].type)) \
-        .to_numpy(zero_copy_only=False)
+    mask = pc.fill_null(
+        pc.is_in(t[key], value_set=hot.cast(t[key].type)),
+        False).to_numpy(zero_copy_only=False)
     idx = np.flatnonzero(mask)
     if not len(idx):
         return t, h
@@ -866,7 +661,7 @@ def semi_join_large(probe_dir: str, probe_key: str, probe_cols: list[str],
     return unified.groupby("_jb").map_groups(verify, batch_format="pyarrow")
 
 
-# dataset_join: the N-way chain step ---------------------------------
+# dataset_join: the shared bucket exchange --------------------------
 
 BROADCAST_JOIN_BYTES = int(os.environ.get(
     "ARCADE_BROADCAST_JOIN_BYTES", str(256 << 20)))
@@ -876,45 +671,54 @@ def _keys_list(k) -> list[str]:
     return [k] if isinstance(k, str) else list(k)
 
 
-def dataset_join(left_ds, right, left_key, right_key,
+def dataset_join(left, right, left_key, right_key,
                  left_cols: list[str], right_cols: list[str],
                  join_type: str = "inner", n_buckets: int | None = None,
                  mode: str | None = None, strategy: str | None = None,
-                 left_types: dict | None = None):
-    """Join a STREAMING Dataset (e.g. a previous join's output)
-    against an encoded dir or an in-memory ``pa.Table`` — the step
-    that makes N-way join chains possible without re-encoding
-    intermediates. Reference roadmap "Joins between compressed files"
-    (/root/reference/README.md), generalized past two tables.
+                 left_types: dict | None = None,
+                 salt=None, salt_factor: int = 8):
+    """General join: each side is an ENCODED dir (str), the LEFT side
+    may also be a streaming ``ray.data.Dataset`` (e.g. a previous
+    join's output — the step that makes N-way chains possible without
+    re-encoding intermediates), and the RIGHT side may be an
+    in-memory ``pa.Table``. Reference roadmap "Joins between
+    compressed files" (/root/reference/README.md), generalized.
+    :func:`copartition_join` is this operator pinned to the exchange
+    strategy for two encoded dirs.
 
     Strategy (auto unless ``strategy=`` forces one):
 
     - ``"broadcast"``: the right side is decoded once, ``ray.put``
-      once, and every stream batch joins against it with Arrow's hash
-      join — no barrier, the stream stays a stream. Auto-chosen when
-      the right side is an in-memory table or its manifest raw_bytes
-      fit under ``BROADCAST_JOIN_BYTES`` AND the join preserves the
-      stream (inner/left) — a per-batch join cannot track unmatched
-      build rows for right/full outer.
-    - ``"copartition"``: the stream's materialized blocks and the
-      right side's partitions both fan out to per-key-hash bucket
-      fragments and one Arrow join runs per bucket —
-      :func:`copartition_join`'s exchange with a Dataset on the left.
-      ``mode="disk"`` stages fragments as Arrow-IPC shuffle files
-      (bounded object-store footprint); auto-selected above
-      ``ARCADE_DISK_EXCHANGE_BYTES`` like the other exchanges.
+      once, and every stream batch / decoded partition joins against
+      it with Arrow's hash join — no barrier. Auto-chosen when the
+      right side is an in-memory table or its manifest raw_bytes fit
+      under ``BROADCAST_JOIN_BYTES`` AND the join preserves the left
+      side (inner/left/semi/anti) — a per-batch join cannot track
+      unmatched build rows for right/full outer.
+    - ``"copartition"``: both sides fan out to per-key-hash bucket
+      fragments (one split task per encoded partition or stream
+      block; NULL keys bucket null-safely) and one Arrow join runs
+      per bucket. ``mode="disk"`` stages fragments as Arrow-IPC
+      shuffle files (bounded object-store footprint); auto-selected
+      above ``ARCADE_DISK_EXCHANGE_BYTES`` like the other exchanges.
 
     ``left_key`` / ``right_key`` may be a single column or a list
     (multi-equality ON): fragments bucket on the FIRST key pair (rows
     equal on all keys agree on key one, so co-partitioning stays
     correct) and the Arrow join matches on all of them.
 
-    Returns a streaming Dataset with columns left_cols + right_cols.
-    """
+    ``salt`` (skew handling, single-key inner/left exchanges): hot
+    left keys spread across ``salt_factor`` salt buckets with the
+    right side's matching rows replicated into each — every left row
+    still meets each right row exactly once. ``salt="auto"`` samples
+    an encoded-dir left side (:func:`detect_hot_keys`); pass an
+    explicit key list otherwise.
+
+    Returns a streaming Dataset with columns left_cols + right_cols
+    (semi/anti: left_cols only)."""
     import ray
     import ray.data as rd
 
-    from ..hashing import hash_column
     from .encode import _pin_arrow_threads
 
     lkeys, rkeys = _keys_list(left_key), _keys_list(right_key)
@@ -944,8 +748,13 @@ def dataset_join(left_ds, right, left_key, right_key,
                        for lk, rk in zip(lkeys, rkeys))
     left_need = list(dict.fromkeys(lkeys + list(left_cols)))
     right_need = list(dict.fromkeys(rkeys + list(right_cols)))
-    keep = list(dict.fromkeys(list(left_cols) + list(right_cols)))
+    keep = list(dict.fromkeys(list(left_cols) + list(right_cols))) \
+        if arrow_how not in ("left semi", "left anti") \
+        else list(dict.fromkeys(list(left_cols)))
+    if n_buckets is None:
+        n_buckets = max(16, int(ray.cluster_resources().get("CPU", 8)))
 
+    left_is_dir = isinstance(left, str)
     right_is_mem = isinstance(right, pa.Table)
     if right_is_mem:
         missing = [c for c in right_need if c not in right.column_names]
@@ -959,6 +768,69 @@ def dataset_join(left_ds, right, left_key, right_key,
         r_paths = [r["path"] for r in r_man.to_pylist()]
         r_bytes = int(pc.sum(r_man["raw_bytes"]).as_py() or 0)
         r_empty = _side_empty(right, r_paths, right_need)
+    l_paths: list[str] = []
+    l_bytes = 0
+    if left_is_dir:
+        l_man = load_manifest(left)
+        l_paths = [r["path"] for r in l_man.to_pylist()]
+        l_bytes = int(pc.sum(l_man["raw_bytes"]).as_py() or 0)
+        l_empty = _side_empty(left, l_paths, left_need)
+
+        # an EMPTY side (zero committed partitions / zero mem rows)
+        # resolves without any exchange when both sides' emptiness is
+        # knowable: inner/same-side-outer -> typed empty; the opposite
+        # outer streams the surviving side with typed nulls
+        r_known_empty = not r_paths if not right_is_mem \
+            else right.num_rows == 0
+        if not l_paths or r_known_empty:
+            empty_out = pa.table({
+                c: (l_empty[c] if c in l_empty.column_names
+                    else r_empty[c]) for c in keep})
+            if (not l_paths and r_known_empty) \
+                    or (not l_paths and arrow_how in (
+                        "inner", "left outer", "left semi",
+                        "left anti")) \
+                    or (r_known_empty and arrow_how in (
+                        "inner", "right outer", "left semi")):
+                return rd.from_arrow(empty_out)
+            from .query import scan
+
+            if not l_paths:
+                live_cols = [c for c in right_cols if c in keep]
+                live = rd.from_arrow(right.select(live_cols)) \
+                    if right_is_mem else scan(right, columns=live_cols)
+                absent = l_empty
+            else:
+                live = scan(left, columns=[c for c in left_cols
+                                           if c in keep])
+                absent = r_empty
+
+            def pad(b: pa.Table) -> pa.Table:
+                return pa.table({
+                    c: (b[c] if c in b.column_names
+                        else pa.nulls(b.num_rows, absent[c].type))
+                    for c in keep})
+
+            return live.map_batches(pad, batch_format="pyarrow")
+
+    hot = None
+    if salt is not None:
+        if arrow_how not in ("inner", "left outer"):
+            raise ValueError("salt= applies to inner/left joins only "
+                             "(replicated build rows would duplicate "
+                             "unmatched right/full-outer output)")
+        if len(lkeys) > 1:
+            raise ValueError("salt= needs a single join key")
+        if isinstance(salt, str) and salt == "auto":
+            if not left_is_dir:
+                raise ValueError("salt='auto' samples an encoded-dir "
+                                 "left side; pass explicit hot keys "
+                                 "for a stream")
+            if l_paths:
+                hot = detect_hot_keys(l_paths, lkeys[0], n_buckets)
+        else:
+            hot = salt if isinstance(salt, pa.Array) \
+                else pa.array(list(salt))
 
     _stream_preserving = ("inner", "left outer", "left semi",
                           "left anti")
@@ -982,7 +854,12 @@ def dataset_join(left_ds, right, left_key, right_key,
                 join_type=arrow_how, coalesce_keys=coalesce)
             return t.select(keep)
 
-        out = left_ds.map_batches(j, batch_format="pyarrow")
+        if left_is_dir:
+            from .query import scan
+
+            return scan(left, columns=left_need).map_batches(
+                j, batch_format="pyarrow")
+        out = left.map_batches(j, batch_format="pyarrow")
         # an EMPTY stream never invokes the UDF and would come back
         # schema-less; when the caller supplied the stream's column
         # types (``left_types``), seed a typed zero-row block (exact
@@ -1006,60 +883,67 @@ def dataset_join(left_ds, right, left_key, right_key,
                           make_shuffle_dir, read_bucket,
                           write_bucket_frags)
 
-    if n_buckets is None:
-        n_buckets = max(16, int(ray.cluster_resources().get("CPU", 8)))
-    mds = left_ds.materialize()
-    l_refs = mds.to_arrow_refs()
-    l_bytes = int(mds.size_bytes() or 0)
-    if l_refs:
-        first = ray.get(l_refs[0])
-        missing = [c for c in left_need if c not in first.column_names]
-        if missing:
-            raise KeyError(f"columns {missing} not in left stream "
-                           f"(have {first.column_names})")
-        l_empty = first.select(left_need).slice(0, 0)
+    if left_is_dir:
+        l_srcs: list = l_paths
     else:
-        sch = mds.schema()
-        names = list(sch.names)
-        types = list(sch.types)
-        missing = [c for c in left_need if c not in names]
-        if missing:
-            raise KeyError(f"columns {missing} not in left stream "
-                           f"(have {names})")
-        l_empty = pa.table({c: pa.array([], type=types[names.index(c)])
-                            for c in left_need})
+        mds = left.materialize()
+        l_srcs = mds.to_arrow_refs()
+        l_bytes = int(mds.size_bytes() or 0)
+        if l_srcs:
+            first = ray.get(l_srcs[0])
+            missing = [c for c in left_need
+                       if c not in first.column_names]
+            if missing:
+                raise KeyError(f"columns {missing} not in left stream "
+                               f"(have {first.column_names})")
+            l_empty = first.select(left_need).slice(0, 0)
+        else:
+            sch = mds.schema()
+            names = list(sch.names)
+            types = list(sch.types)
+            missing = [c for c in left_need if c not in names]
+            if missing:
+                raise KeyError(f"columns {missing} not in left stream "
+                               f"(have {names})")
+            l_empty = pa.table({
+                c: pa.array([], type=types[names.index(c)])
+                for c in left_need})
     if mode is None:
         mode = "disk" if (l_bytes + r_bytes) > DISK_EXCHANGE_BYTES \
             else "objects"
 
     if mode == "disk":
-        sh_l = make_shuffle_dir("djL")
-        sh_r = make_shuffle_dir("djR")
+        sh_l = make_shuffle_dir("joinL")
+        sh_r = make_shuffle_dir("joinR")
 
         @ray.remote
         def split_disk(src, keys: list[str], cols: list[str],
-                       sdir: str, si: int) -> int:
+                       sdir: str, si: int, rep: bool) -> int:
             _pin_arrow_threads()
             t = decode_partition(src, columns=cols) \
                 if isinstance(src, str) else src.select(cols)
             h = null_safe_buckets(t[keys[0]], n_buckets)
+            t, h = _salted_buckets(t, keys[0], h, hot, n_buckets,
+                                   salt_factor, rep)
             return write_bucket_frags(t, h, n_buckets, sdir, si)
 
         max_inflight = max(4, int(ray.cluster_resources().get("CPU", 8)))
         pending: list = []
-        for si, ref in enumerate(l_refs):
-            pending.append(split_disk.remote(ref, lkeys, left_need,
-                                             sh_l, si))
+        for si, src in enumerate(l_srcs):
+            pending.append(split_disk.remote(src, lkeys, left_need,
+                                             sh_l, si, False))
             pending = drain_bounded(pending, max_inflight)
         if right_is_mem:
             if right.num_rows:
                 h = null_safe_buckets(right[rkeys[0]], n_buckets)
-                write_bucket_frags(right.select(right_need), h,
-                                   n_buckets, sh_r, 0)
+                t, h = _salted_buckets(right.select(right_need),
+                                       rkeys[0], h, hot, n_buckets,
+                                       salt_factor, True)
+                write_bucket_frags(t, h, n_buckets, sh_r, 0)
         else:
             for si, p in enumerate(r_paths):
                 pending.append(split_disk.remote(p, rkeys, right_need,
-                                                 sh_r, si))
+                                                 sh_r, si, True))
                 pending = drain_bounded(pending, max_inflight)
         ray.get(pending)
         l_has = [os.path.isdir(bucket_dir(sh_l, b))
@@ -1075,24 +959,28 @@ def dataset_join(left_ds, right, left_key, right_key,
     else:
 
         @ray.remote
-        def split(src, keys: list[str], cols: list[str]):
+        def split(src, keys: list[str], cols: list[str], rep: bool):
             _pin_arrow_threads()
             t = decode_partition(src, columns=cols) \
                 if isinstance(src, str) else src.select(cols)
             h = null_safe_buckets(t[keys[0]], n_buckets)
+            t, h = _salted_buckets(t, keys[0], h, hot, n_buckets,
+                                   salt_factor, rep)
             return split_by_bucket(t, h, n_buckets)
 
-        l_lists = ray.get([split.remote(ref, lkeys, left_need)
-                           for ref in l_refs])
+        l_lists = ray.get([split.remote(src, lkeys, left_need, False)
+                           for src in l_srcs])
         if right_is_mem:
             if right.num_rows:
                 h = null_safe_buckets(right[rkeys[0]], n_buckets)
-                r_lists = [split_by_bucket(right.select(right_need), h,
-                                           n_buckets)]
+                t, h = _salted_buckets(right.select(right_need),
+                                       rkeys[0], h, hot, n_buckets,
+                                       salt_factor, True)
+                r_lists = [split_by_bucket(t, h, n_buckets)]
             else:
                 r_lists = []
         else:
-            r_lists = ray.get([split.remote(p, rkeys, right_need)
+            r_lists = ray.get([split.remote(p, rkeys, right_need, True)
                                for p in r_paths])
         l_frags = [[fl[b] for fl in l_lists if fl[b] is not None]
                    for b in range(n_buckets)]
@@ -1128,10 +1016,10 @@ def dataset_join(left_ds, right, left_key, right_key,
         outs = []
         for bv in batch["bucket"]:
             b = bv.as_py()
-            left, rtab = fetch(b)
-            j = left.join(rtab, keys=lkeys, right_keys=rkeys,
-                          join_type=arrow_how, coalesce_keys=coalesce)
-            outs.append(j.select(keep))
+            lt, rt = fetch(b)
+            jn = lt.join(rt, keys=lkeys, right_keys=rkeys,
+                         join_type=arrow_how, coalesce_keys=coalesce)
+            outs.append(jn.select(keep))
         return pa.concat_tables(outs)
 
     return ds.map_batches(join_bucket, batch_format="pyarrow",

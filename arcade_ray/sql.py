@@ -1623,14 +1623,9 @@ class _JoinSource:
         for i, (jt, lkeys, rkeys) in enumerate(self.steps):
             rb = self.bases[i + 1]
             lhs = side(self.bases[0]) if i == 0 else "<stream>"
-            if i == 0 and not isinstance(self.bases[0].target, pa.Table) \
-                    and not isinstance(rb.target, pa.Table) \
-                    and len(lkeys) == 1:
-                op = "copartition_join (hash-bucketed exchange, " \
-                     "Arrow hash join per bucket)"
-            else:
-                op = "dataset_join (broadcast when the build side is " \
-                     "small, copartitioned exchange otherwise)"
+            op = "dataset_join (decode-once broadcast when the " \
+                 "build side is small, hash-bucketed copartition " \
+                 "exchange otherwise)"
             lines.append(f"{op} [{jt}] {lhs} ({','.join(lkeys)}) x "
                          f"{side(rb)} ({','.join(rkeys)})")
         if self.where_node is not None:
@@ -1639,7 +1634,7 @@ class _JoinSource:
         return lines
 
     def stream(self, cols: list[str]):
-        from .pipeline.join import copartition_join, dataset_join
+        from .pipeline.join import dataset_join
 
         wcols: set = set()
         if self.where_node is not None:
@@ -1659,17 +1654,15 @@ class _JoinSource:
 
         jt, lkeys, rkeys = self.steps[0]
         b0, b1 = self.bases[0], self.bases[1]
-        if not isinstance(b0.target, pa.Table) \
-                and not isinstance(b1.target, pa.Table) \
-                and len(lkeys) == 1:
-            ds = copartition_join(b0.target, b1.target, lkeys[0],
-                                  rkeys[0], carry[0], carry[1],
-                                  join_type=jt)
-        else:
+        if isinstance(b0.target, pa.Table):
             lneed = list(dict.fromkeys(lkeys + carry[0]))
-            ds = dataset_join(self._base_stream(b0, lneed), b1.target,
-                              lkeys, rkeys, carry[0], carry[1],
-                              join_type=jt)
+            left0 = self._base_stream(b0, lneed)
+        else:
+            left0 = b0.target  # encoded dir: split straight from its
+            # partitions (or broadcast-scan when the right side is
+            # small) — dataset_join auto-selects
+        ds = dataset_join(left0, b1.target, lkeys, rkeys,
+                          carry[0], carry[1], join_type=jt)
         acc_cols = list(dict.fromkeys(carry[0] + carry[1]))
         for i in range(1, len(self.steps)):
             jt, lkeys, rkeys = self.steps[i]

@@ -425,7 +425,7 @@ def test_explain_routes(sqlenv):
     assert "compound_filter tree" in p and "pruning" in p
     p = explain_sql("SELECT doc_id, region FROM docs "
                     "JOIN meta ON docs.source = meta.source", tables)
-    assert "copartition_join" in p
+    assert "dataset_join" in p and "copartition" in p
     p = explain_sql("SELECT doc_id FROM docs ORDER BY n_chars LIMIT 3",
                     tables)
     assert "partial top-k" in p
