@@ -553,13 +553,18 @@ def _collect_aggs(node: dict, out: list):
         fn = node["function_name"]
         if fn in _AGG_FNS:
             if node.get("distinct"):
-                if fn != "count" or not node["children"]:
+                if fn not in ("count", "sum", "avg", "min", "max") \
+                        or not node["children"]:
                     raise SqlUnsupported(f"DISTINCT {fn} aggregate")
                 ch = node["children"][0]
                 if ch["class"] != "COLUMN_REF":
                     raise SqlUnsupported(
-                        "COUNT(DISTINCT ...) needs a plain column")
-                out.append(("count_distinct", _colref(ch)))
+                        f"{fn}(DISTINCT ...) needs a plain column")
+                if fn in ("min", "max"):
+                    # MIN/MAX(DISTINCT x) == MIN/MAX(x)
+                    out.append((fn, _colref(ch)))
+                else:
+                    out.append((f"{fn}_distinct", _colref(ch)))
                 return
             if fn == "count_star" or not node["children"]:
                 out.append(("count_star", None))
@@ -669,8 +674,8 @@ def _eval_expr(node: dict, env: dict, n_rows: int):
         fn = node["function_name"]
         if fn in _AGG_FNS:
             if node.get("distinct"):
-                key = ("agg", "count_distinct",
-                       _colref(node["children"][0]))
+                dfn = fn if fn in ("min", "max") else f"{fn}_distinct"
+                key = ("agg", dfn, _colref(node["children"][0]))
             elif fn == "count_star" or not node["children"]:
                 key = ("agg", "count_star", None)
             else:
@@ -1054,6 +1059,53 @@ def _count_distinct_counts(src, keys: list[str], col: str,
     rows = zip(*[merged[k].to_pylist() for k in keys]) if n else []
     return pa.array([lut.get(t, 0) for t in map(tuple, rows)],
                     type=pa.int64())
+
+
+def _distinct_agg_values(src, keys: list[str], col: str,
+                         merged: pa.Table | None, n: int,
+                         fn: str) -> pa.Array:
+    """SUM/AVG(DISTINCT col) [per group]: the COUNT(DISTINCT) pair
+    machinery (per-batch distinct of (keys, col), driver distinct),
+    reduced in exact Python over the O(distinct) pairs — big-int
+    exact for integers. Groups with no non-null value yield NULL."""
+    gcols = list(dict.fromkeys(keys + [col]))
+    ds = src.stream(gcols)
+
+    def part(batch: pa.Table) -> pa.Table:
+        return batch.group_by(gcols).aggregate([])
+
+    parts = [b for b in ds.map_batches(
+        part, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow")]
+    parts = [p for p in parts if p.num_rows]
+    if fn == "avg":
+        out_type = pa.float64()
+    else:
+        out_type = None  # decided from the column type below
+    if not parts:
+        return pa.nulls(n, out_type or pa.int64())
+    dd = pa.concat_tables(parts, promote_options="permissive") \
+        .group_by(gcols).aggregate([])
+    if out_type is None:
+        out_type = pa.int64() \
+            if pa.types.is_integer(dd.schema.field(col).type) \
+            else pa.float64()
+
+    def reduce(vs):
+        if not vs:
+            return None
+        return sum(vs) if fn == "sum" else sum(vs) / len(vs)
+
+    by: dict = {}
+    for r in dd.to_pylist():
+        if r[col] is None:
+            continue
+        by.setdefault(tuple(r[k] for k in keys), []).append(r[col])
+    if not keys:
+        return pa.array([reduce(by.get((), []))] * n, type=out_type)
+    rows = zip(*[merged[k].to_pylist() for k in keys]) if n else []
+    return pa.array([reduce(by.get(t, [])) for t in map(tuple, rows)],
+                    type=out_type)
 
 
 def _agg_env(table: pa.Table | None, keys: list[str],
@@ -2989,7 +3041,8 @@ def _run_agg_query(src, node: dict, select: list,
                 pseen.add(e)
                 partial_atoms.append(e)
 
-    special = ("count_distinct", "approx_count_distinct")
+    special = ("count_distinct", "approx_count_distinct",
+               "sum_distinct", "avg_distinct")
     cd_atoms = sorted({(f, c) for f, c in partial_atoms
                        if f in special})
     reg_atoms = [a for a in partial_atoms if a[0] not in special]
@@ -3035,10 +3088,15 @@ def _run_agg_query(src, node: dict, select: list,
     env, n = _agg_env(merged, keys,
                       [a for a in atoms if a[0] not in special])
     for fn, col in cd_atoms:
-        env[("agg", fn, col)] = (
-            _count_distinct_counts(src, keys, col, merged, n)
-            if fn == "count_distinct"
-            else _approx_distinct_counts(src, keys, col, merged, n))
+        if fn == "count_distinct":
+            env[("agg", fn, col)] = _count_distinct_counts(
+                src, keys, col, merged, n)
+        elif fn == "approx_count_distinct":
+            env[("agg", fn, col)] = _approx_distinct_counts(
+                src, keys, col, merged, n)
+        else:  # sum_distinct / avg_distinct
+            env[("agg", fn, col)] = _distinct_agg_values(
+                src, keys, col, merged, n, fn.split("_")[0])
     if having is not None:
         mask = _eval_expr(having, env, n)
         if isinstance(mask, pa.ChunkedArray):

@@ -983,3 +983,21 @@ def test_correlated_exists_limit(sqlenv):
         sql_query("SELECT doc_id FROM docs d WHERE EXISTS "
                   "(SELECT 1 FROM meta m WHERE m.source = d.source "
                   "LIMIT 1 OFFSET 1)", tables)
+
+
+def test_distinct_aggregates(sqlenv):
+    check(sqlenv, "SELECT source, CAST(SUM(DISTINCT n_chars) AS "
+                  "BIGINT) AS sd, COUNT(DISTINCT n_chars) AS cd "
+                  "FROM docs GROUP BY source ORDER BY source")
+    check(sqlenv, "SELECT source, AVG(DISTINCT n_chars) AS ad "
+                  "FROM docs WHERE n_chars > 4000 GROUP BY source "
+                  "ORDER BY source")
+    # MIN/MAX(DISTINCT x) == MIN/MAX(x)
+    check(sqlenv, "SELECT CAST(MIN(DISTINCT n_chars) AS BIGINT) AS mn, "
+                  "CAST(MAX(DISTINCT n_chars) AS BIGINT) AS mx, "
+                  "CAST(SUM(DISTINCT n_chars) AS BIGINT) AS sd "
+                  "FROM docs WHERE lang = 'de'")
+    # null-bearing value column: nulls excluded, all-null group NULL
+    check(sqlenv, "SELECT source, CAST(SUM(DISTINCT n_chars) AS "
+                  "BIGINT) AS sd FROM docs WHERE lang IS NULL "
+                  "GROUP BY source ORDER BY source")
