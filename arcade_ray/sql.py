@@ -552,6 +552,10 @@ def _collect_aggs(node: dict, out: list):
     if cls == "FUNCTION":
         fn = node["function_name"]
         if fn in _AGG_FNS:
+            if node.get("filter"):
+                raise SqlUnsupported(
+                    "aggregate FILTER clause — rewrite the predicate "
+                    "into WHERE or a separate aggregate query")
             if node.get("distinct"):
                 if fn not in ("count", "sum", "avg", "min", "max") \
                         or not node["children"]:

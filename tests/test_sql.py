@@ -707,7 +707,8 @@ def test_unsupported_constructs_raise(sqlenv):
     tables, _ = sqlenv
     for q in (
         "SELECT source FROM docs QUALIFY row_number() OVER () = 1",
-        "SELECT sum(DISTINCT n_chars) FROM docs",
+        "SELECT SUM(n_chars) FILTER (WHERE lang = 'en') FROM docs",
+        "SELECT doc_id FROM docs USING SAMPLE 10%",
         "SELECT d1.doc_id FROM docs d1 JOIN docs d2 ON d1.doc_id = "
         "d2.doc_id JOIN meta ON d1.source = meta.source",
     ):
