@@ -1327,6 +1327,133 @@ def _stream_topk(ds, order: list, limit: int, offset: int,
 # --------------------------------------------------------------------------
 # entry point
 
+def _extract_agg_exprs(node: dict):
+    """Rewrite aggregates whose argument is an EXPRESSION
+    (SUM(a*b), COUNT(CASE ...)) or that carry a FILTER clause onto
+    hidden per-batch derived columns (``__e0``, ...), so the partial
+    aggregation sees plain columns. Returns (node', derived) where
+    derived maps hidden name -> ("expr", arg_node) or
+    ("filtered", filter_node, arg_node|None)."""
+    derived: list = []
+    memo: dict = {}
+
+    def mk(spec) -> str:
+        key = json.dumps(spec, sort_keys=True, default=str)
+        if key in memo:  # SUM(a*b) twice -> one hidden column
+            return memo[key]
+        nm = f"__e{len(derived)}"
+        derived.append((nm, spec))
+        memo[key] = nm
+        return nm
+
+    def walk(x):
+        if isinstance(x, dict):
+            if x.get("class") == "WINDOW":
+                return x  # window children have their own machinery
+            if x.get("class") == "FUNCTION" \
+                    and x.get("function_name") in _AGG_FNS:
+                flt = x.get("filter")
+                ch = x.get("children") or []
+                arg = ch[0] if ch else None
+                complex_arg = arg is not None \
+                    and arg.get("class") != "COLUMN_REF"
+                if flt is None and not complex_arg:
+                    return x
+                y = dict(x, filter=None)
+                if flt is not None:
+                    nm = mk(("filtered", flt, arg))
+                    if x["function_name"] == "count_star" or arg is None:
+                        # COUNT(*) FILTER p -> COUNT(p-else-null)
+                        y["function_name"] = "count"
+                else:
+                    nm = mk(("expr", arg))
+                y["children"] = [{"class": "COLUMN_REF",
+                                  "type": "COLUMN_REF", "alias": "",
+                                  "column_names": [nm]}]
+                return y
+            return {k: walk(v) for k, v in x.items()}
+        if isinstance(x, list):
+            return [walk(v) for v in x]
+        return x
+
+    node2 = dict(node)
+    node2["select_list"] = walk(node["select_list"])
+    if node.get("having") is not None:
+        node2["having"] = walk(node["having"])
+    node2["modifiers"] = walk(node.get("modifiers") or [])
+    return node2, derived
+
+
+class _DerivedSource:
+    """Wraps a source with hidden per-batch derived columns
+    (``__eN``): aggregate FILTER clauses and expression arguments
+    evaluate vectorized inside the stream BEFORE the partial
+    aggregation — the shuffle still carries only O(groups) rows."""
+
+    unfiltered_dir = None  # decode-free aggregation is ineligible
+
+    def __init__(self, src, derived: list):
+        self.src = src
+        self.derived = dict(derived)
+
+    def columns(self) -> list[str]:
+        return list(self.src.columns()) + list(self.derived)
+
+    def _base_cols(self, names: list[str]) -> list[str]:
+        need: list = []
+        for c in names:
+            if c in self.derived:
+                sub: set = set()
+                for nd in self.derived[c][1:]:
+                    if nd is not None:
+                        _expr_columns(nd, sub)
+                need.extend(sorted(sub))
+            else:
+                need.append(c)
+        return list(dict.fromkeys(need))
+
+    def stream(self, cols: list[str]):
+        import numpy as np
+
+        ds = self.src.stream(self._base_cols(cols))
+        der = {c: self.derived[c] for c in cols if c in self.derived}
+        want = list(cols)
+
+        def _arr(v, n):
+            if isinstance(v, pa.Scalar):
+                return pa.array([v.as_py()] * n, type=v.type)
+            if isinstance(v, pa.ChunkedArray):
+                return v.combine_chunks()
+            return v
+
+        def add(b: pa.Table) -> pa.Table:
+            env = {c: b[c] for c in b.column_names}
+            n = b.num_rows
+            out = {}
+            for c in want:
+                if c not in der:
+                    out[c] = b[c]
+                    continue
+                spec = der[c]
+                if spec[0] == "filtered":
+                    m = pc.fill_null(_arr(_eval_expr(spec[1], env, n),
+                                          n).cast(pa.bool_()), False)
+                    v = _arr(_eval_expr(spec[2], env, n), n) \
+                        if spec[2] is not None \
+                        else pa.array(np.ones(n, dtype=np.int8))
+                    out[c] = pc.if_else(m, v, pa.scalar(None, v.type))
+                else:
+                    out[c] = _arr(_eval_expr(spec[1], env, n), n)
+            return pa.table(out)
+
+        return ds.map_batches(add, batch_format="pyarrow")
+
+    def empty(self, cols: list[str]) -> pa.Table:
+        sch = self.stream(cols).schema()
+        return pa.table({nm: pa.array([], type=t)
+                         for nm, t in zip(sch.names, sch.types)})
+
+
 class _MemSource:
     """Driver-resident table (a materialized CTE result): WHERE
     evaluates as one vectorized 3VL mask over the table — there are
@@ -1808,6 +1935,14 @@ def explain_sql(sql: str, tables: dict[str, str]) -> str:
             lines.append(f"cte {entry['key']} -> materialized "
                          f"in-memory table ({t.num_rows} rows)")
     ft = node["from_table"]
+    has_window0 = any(it["class"] != "STAR" and _contains_window(it)
+                      for it in node["select_list"])
+    if not has_window0 and not node.get("qualify"):
+        node, _expl_derived = _extract_agg_exprs(node)
+        if _expl_derived:
+            lines.append(f"derive {len(_expl_derived)} hidden "
+                         "column(s) per batch (aggregate expression "
+                         "arguments / FILTER clauses)")
     select = node["select_list"]
     group_exprs = node.get("group_expressions") or []
     has_window = any(item["class"] != "STAR" and _contains_window(item)
@@ -1982,6 +2117,13 @@ def _execute_node(node: dict, tables: dict[str, str]):
         if node.get("group_expressions") or node.get("having"):
             return _run_window_over_groups(node, tables)
         return _run_window_query(src, node, select)
+    # SUM(a*b) / COUNT(CASE ...) / agg FILTER clauses: rewrite onto
+    # hidden per-batch derived columns so the partial aggregation
+    # (and the distinct/decode-free machinery) sees plain columns
+    node, agg_derived = _extract_agg_exprs(node)
+    select = node["select_list"]
+    if agg_derived:
+        src = _DerivedSource(src, agg_derived)
     group_exprs = node.get("group_expressions") or []
     agg_atoms: list[tuple] = []
     for item in select:

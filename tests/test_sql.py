@@ -707,7 +707,6 @@ def test_unsupported_constructs_raise(sqlenv):
     tables, _ = sqlenv
     for q in (
         "SELECT source FROM docs QUALIFY row_number() OVER () = 1",
-        "SELECT SUM(n_chars) FILTER (WHERE lang = 'en') FROM docs",
         "SELECT doc_id FROM docs USING SAMPLE 10%",
         "SELECT d1.doc_id FROM docs d1 JOIN docs d2 ON d1.doc_id = "
         "d2.doc_id JOIN meta ON d1.source = meta.source",
@@ -1002,3 +1001,55 @@ def test_distinct_aggregates(sqlenv):
     check(sqlenv, "SELECT source, CAST(SUM(DISTINCT n_chars) AS "
                   "BIGINT) AS sd FROM docs WHERE lang IS NULL "
                   "GROUP BY source ORDER BY source")
+
+
+# --- aggregate FILTER clauses and expression arguments ---------------------
+
+def test_agg_filter_grouped(sqlenv):
+    check(sqlenv, "SELECT source, "
+                  "CAST(SUM(n_chars) FILTER (WHERE lang = 'en') AS "
+                  "BIGINT) AS s_en, "
+                  "COUNT(*) FILTER (WHERE score > 0.5) AS c_hi "
+                  "FROM docs GROUP BY source ORDER BY source")
+
+
+def test_agg_filter_global_and_where(sqlenv):
+    check(sqlenv, "SELECT CAST(SUM(n_chars) FILTER (WHERE lang = 'fr')"
+                  " AS BIGINT) AS s FROM docs")
+    # FILTER composes with WHERE (WHERE prunes first, then FILTER)
+    check(sqlenv, "SELECT COUNT(*) FILTER (WHERE lang IS NULL) AS cn, "
+                  "COUNT(*) AS c FROM docs WHERE n_chars > 2500")
+
+
+def test_agg_filter_min_max_avg(sqlenv):
+    check(sqlenv, "SELECT source, "
+                  "CAST(MIN(n_chars) FILTER (WHERE score < 0.2) AS "
+                  "BIGINT) AS mn, "
+                  "MAX(score) FILTER (WHERE lang IS NULL) AS mx, "
+                  "AVG(n_chars) FILTER (WHERE lang IN ('en','fr')) "
+                  "AS a FROM docs GROUP BY source ORDER BY source")
+
+
+def test_agg_expression_args(sqlenv):
+    check(sqlenv, "SELECT source, "
+                  "CAST(SUM(n_chars * 2 + 1) AS BIGINT) AS s2, "
+                  "AVG(n_chars * score) AS axs "
+                  "FROM docs GROUP BY source ORDER BY source")
+    check(sqlenv, "SELECT source, COUNT(CASE WHEN lang = 'en' THEN 1 "
+                  "END) AS c_en FROM docs GROUP BY source "
+                  "ORDER BY source")
+
+
+def test_agg_expr_having_and_order(sqlenv):
+    # the same SUM(expr) atom in SELECT, HAVING and ORDER BY folds
+    # onto ONE hidden derived column
+    check(sqlenv, "SELECT source, CAST(SUM(n_chars * 2) AS BIGINT) "
+                  "AS s FROM docs GROUP BY source "
+                  "HAVING SUM(n_chars * 2) > 2000000 ORDER BY s DESC")
+
+
+def test_agg_distinct_over_expression(sqlenv):
+    check(sqlenv, "SELECT source, COUNT(DISTINCT n_chars % 10) AS cd "
+                  "FROM docs GROUP BY source ORDER BY source")
+    check(sqlenv, "SELECT CAST(SUM(DISTINCT n_chars // 1000) FILTER "
+                  "(WHERE lang = 'en') AS BIGINT) AS sd FROM docs")
