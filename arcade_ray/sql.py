@@ -624,7 +624,12 @@ def _expr_name(node: dict) -> str:
         fn = node["function_name"]
         if fn == "count_star":
             return "count_star()"
-        args = ", ".join(_expr_name(c) for c in node["children"])
+        ch = node.get("children") or []
+        if not fn[0].isalpha() and fn[0] != "_" and len(ch) == 2:
+            # DuckDB names unaliased operator expressions infix
+            return (f"({_expr_name(ch[0])} {fn} "
+                    f"{_expr_name(ch[1])})")
+        args = ", ".join(_expr_name(c) for c in ch)
         return f"{fn}({args})"
     if cls == "CONSTANT":
         return str(_const_value(node))
@@ -1384,6 +1389,113 @@ def _extract_agg_exprs(node: dict):
     return node2, derived
 
 
+def _canon_key(x) -> str:
+    """Canonical form of an expression node for structural equality:
+    aliases and source offsets are presentation, not meaning."""
+    def strip(v):
+        if isinstance(v, dict):
+            return {k: strip(w) for k, w in v.items()
+                    if k not in ("alias", "query_location")}
+        if isinstance(v, list):
+            return [strip(w) for w in v]
+        return v
+    return json.dumps(strip(x), sort_keys=True, default=str)
+
+
+def _has_agg(x) -> bool:
+    if isinstance(x, dict):
+        if x.get("class") == "FUNCTION" \
+                and x.get("function_name") in _AGG_FNS:
+            return True
+        return any(_has_agg(v) for v in x.values())
+    if isinstance(x, list):
+        return any(_has_agg(v) for v in x)
+    return False
+
+
+def _extract_group_exprs(node: dict, src_cols: list):
+    """GROUP BY over expressions, select aliases, and ordinals:
+    rewrite each non-column group key onto a hidden per-batch derived
+    column (``__gN``) and point every structurally identical
+    expression in SELECT / HAVING / ORDER BY at it, so the partial
+    aggregation groups on a plain column. Aliases resolve only when
+    the name is not a real source column (SQL's precedence);
+    ``GROUP BY 1`` resolves to the first select item."""
+    gexprs = node.get("group_expressions") or []
+    if not gexprs:
+        return node, []
+    sel = node["select_list"]
+    scols = set(src_cols)
+    alias_map = {it["alias"]: it for it in sel
+                 if isinstance(it, dict) and it.get("alias")}
+    derived: list = []
+    mapping: dict = {}
+    new_g: list = []
+    changed = False
+    for g in gexprs:
+        if g.get("type") == "VALUE_CONSTANT":
+            v = _const_value(g)
+            if isinstance(v, bool) or not isinstance(v, int) \
+                    or not (1 <= v <= len(sel)):
+                raise SqlUnsupported(f"GROUP BY ordinal {v!r}")
+            g, changed = sel[v - 1], True
+        if g.get("class") == "COLUMN_REF":
+            nm = _colref(g)
+            if nm in scols or nm not in alias_map:
+                new_g.append(_synth_colref(nm))
+                continue
+            g, changed = alias_map[nm], True  # alias -> its expression
+            if g.get("class") == "COLUMN_REF":
+                new_g.append(_synth_colref(_colref(g)))
+                continue
+        if _has_agg(g) or _contains_window(g):
+            raise SqlUnsupported("GROUP BY over an aggregate/window")
+        key = _canon_key(g)
+        if key not in mapping:  # the same expr twice -> one column
+            mapping[key] = f"__g{len(derived)}"
+            derived.append((mapping[key], ("expr", g)))
+        new_g.append(_synth_colref(mapping[key]))
+        changed = True
+    if not changed:
+        return node, []
+
+    def repl(x):
+        if isinstance(x, dict):
+            if "class" in x and _canon_key(x) in mapping:
+                cr = _synth_colref(mapping[_canon_key(x)])
+                cr["alias"] = x.get("alias") or ""
+                return cr
+            if x.get("class") == "WINDOW":
+                return x
+            return {k: repl(v) for k, v in x.items()}
+        if isinstance(x, list):
+            return [repl(v) for v in x]
+        return x
+
+    new_sel = []
+    for it in sel:
+        if isinstance(it, dict) and it.get("class") != "STAR" \
+                and not it.get("alias") and _canon_key(it) in mapping:
+            # keep DuckDB's output name for the unaliased expression
+            try:
+                nm = _expr_name(it)
+            except SqlUnsupported:
+                nm = ""
+            it2 = repl(it)
+            if nm:
+                it2 = dict(it2, alias=nm)
+            new_sel.append(it2)
+        else:
+            new_sel.append(repl(it))
+    node2 = dict(node)
+    node2["group_expressions"] = new_g
+    node2["select_list"] = new_sel
+    if node.get("having") is not None:
+        node2["having"] = repl(node["having"])
+    node2["modifiers"] = repl(node.get("modifiers") or [])
+    return node2, derived
+
+
 class _DerivedSource:
     """Wraps a source with hidden per-batch derived columns
     (``__eN``): aggregate FILTER clauses and expression arguments
@@ -1399,25 +1511,38 @@ class _DerivedSource:
     def columns(self) -> list[str]:
         return list(self.src.columns()) + list(self.derived)
 
-    def _base_cols(self, names: list[str]) -> list[str]:
-        need: list = []
-        for c in names:
+    def _closure(self, names: list[str]) -> tuple[list[str], list[str]]:
+        """(base source columns, derived names in insertion order) —
+        derived expressions may reference EARLIER derived columns (an
+        aggregate argument over a hidden group-key column)."""
+        base: list = []
+        seen: set = set()
+        stack = list(names)
+        while stack:
+            c = stack.pop(0)
+            if c in seen:
+                continue
+            seen.add(c)
             if c in self.derived:
                 sub: set = set()
                 for nd in self.derived[c][1:]:
                     if nd is not None:
                         _expr_columns(nd, sub)
-                need.extend(sorted(sub))
+                stack.extend(sorted(sub))
             else:
-                need.append(c)
-        return list(dict.fromkeys(need))
+                base.append(c)
+        der = [d for d in self.derived if d in seen]
+        return list(dict.fromkeys(base)), der
 
     def stream(self, cols: list[str]):
         import numpy as np
 
-        ds = self.src.stream(self._base_cols(cols))
-        der = {c: self.derived[c] for c in cols if c in self.derived}
+        base, der_names = self._closure(cols)
+        ds = self.src.stream(base)
+        if not der_names:
+            return ds
         want = list(cols)
+        derived = self.derived
 
         def _arr(v, n):
             if isinstance(v, pa.Scalar):
@@ -1429,22 +1554,18 @@ class _DerivedSource:
         def add(b: pa.Table) -> pa.Table:
             env = {c: b[c] for c in b.column_names}
             n = b.num_rows
-            out = {}
-            for c in want:
-                if c not in der:
-                    out[c] = b[c]
-                    continue
-                spec = der[c]
+            for c in der_names:
+                spec = derived[c]
                 if spec[0] == "filtered":
                     m = pc.fill_null(_arr(_eval_expr(spec[1], env, n),
                                           n).cast(pa.bool_()), False)
                     v = _arr(_eval_expr(spec[2], env, n), n) \
                         if spec[2] is not None \
                         else pa.array(np.ones(n, dtype=np.int8))
-                    out[c] = pc.if_else(m, v, pa.scalar(None, v.type))
+                    env[c] = pc.if_else(m, v, pa.scalar(None, v.type))
                 else:
-                    out[c] = _arr(_eval_expr(spec[1], env, n), n)
-            return pa.table(out)
+                    env[c] = _arr(_eval_expr(spec[1], env, n), n)
+            return pa.table({c: env[c] for c in want})
 
         return ds.map_batches(add, batch_format="pyarrow")
 
@@ -1938,6 +2059,17 @@ def explain_sql(sql: str, tables: dict[str, str]) -> str:
     has_window0 = any(it["class"] != "STAR" and _contains_window(it)
                       for it in node["select_list"])
     if not has_window0 and not node.get("qualify"):
+        scols: list = []
+        if ft.get("type") == "BASE_TABLE":
+            tgt = tables.get(ft["table_name"])
+            if isinstance(tgt, pa.Table):
+                scols = list(tgt.column_names)
+            elif isinstance(tgt, str):
+                scols = _dataset_columns(tgt)
+        node, _g_der = _extract_group_exprs(node, scols)
+        if _g_der:
+            lines.append(f"derive {len(_g_der)} hidden group-key "
+                         "column(s) per batch (GROUP BY expressions)")
         node, _expl_derived = _extract_agg_exprs(node)
         if _expl_derived:
             lines.append(f"derive {len(_expl_derived)} hidden "
@@ -2004,7 +2136,8 @@ def explain_sql(sql: str, tables: dict[str, str]) -> str:
         route = "streamed per-batch partial aggregation, driver merge"
         if ft.get("type") == "BASE_TABLE" \
                 and isinstance(tables.get(ft["table_name"]), str) \
-                and not node.get("where_clause") and len(keys) == 1:
+                and not node.get("where_clause") and len(keys) == 1 \
+                and not keys[0].startswith("__g"):
             expand = []
             for fn, col in reg:
                 expand += [("sum", col), ("count", col)] \
@@ -2117,13 +2250,15 @@ def _execute_node(node: dict, tables: dict[str, str]):
         if node.get("group_expressions") or node.get("having"):
             return _run_window_over_groups(node, tables)
         return _run_window_query(src, node, select)
-    # SUM(a*b) / COUNT(CASE ...) / agg FILTER clauses: rewrite onto
-    # hidden per-batch derived columns so the partial aggregation
-    # (and the distinct/decode-free machinery) sees plain columns
+    # GROUP BY expressions / aliases / ordinals, then SUM(a*b) /
+    # COUNT(CASE ...) / agg FILTER clauses: rewrite onto hidden
+    # per-batch derived columns so the partial aggregation (and the
+    # distinct/decode-free machinery) sees plain columns
+    node, g_derived = _extract_group_exprs(node, src.columns())
     node, agg_derived = _extract_agg_exprs(node)
     select = node["select_list"]
-    if agg_derived:
-        src = _DerivedSource(src, agg_derived)
+    if g_derived or agg_derived:
+        src = _DerivedSource(src, g_derived + agg_derived)
     group_exprs = node.get("group_expressions") or []
     agg_atoms: list[tuple] = []
     for item in select:

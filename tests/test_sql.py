@@ -1053,3 +1053,67 @@ def test_agg_distinct_over_expression(sqlenv):
                   "FROM docs GROUP BY source ORDER BY source")
     check(sqlenv, "SELECT CAST(SUM(DISTINCT n_chars // 1000) FILTER "
                   "(WHERE lang = 'en') AS BIGINT) AS sd FROM docs")
+
+
+# --- GROUP BY expressions / aliases / ordinals ------------------------------
+
+def test_group_by_expression(sqlenv):
+    check(sqlenv, "SELECT n_chars % 10 AS b, COUNT(*) AS c FROM docs "
+                  "GROUP BY n_chars % 10 ORDER BY b")
+    check(sqlenv, "SELECT substr(source, 1, 5) AS p, COUNT(*) AS c "
+                  "FROM docs GROUP BY substr(source, 1, 5) ORDER BY p")
+
+
+def test_group_by_alias_and_ordinal(sqlenv):
+    check(sqlenv, "SELECT n_chars % 10 AS b, COUNT(*) AS c FROM docs "
+                  "GROUP BY b ORDER BY b")
+    check(sqlenv, "SELECT n_chars % 10 AS b, COUNT(*) AS c FROM docs "
+                  "GROUP BY 1 ORDER BY b")
+    # alias of a plain column + ordinal pointing at a plain column
+    check(sqlenv, "SELECT source AS s, COUNT(*) AS c FROM docs "
+                  "GROUP BY s ORDER BY s")
+    check(sqlenv, "SELECT source, COUNT(*) AS c FROM docs "
+                  "GROUP BY 1 ORDER BY source")
+
+
+def test_group_by_expr_in_having_and_select(sqlenv):
+    # the same expression in SELECT, GROUP BY and HAVING folds onto
+    # ONE hidden key column; unaliased output keeps DuckDB's name
+    check(sqlenv, "SELECT n_chars % 7 AS b, CAST(SUM(n_chars) AS "
+                  "BIGINT) AS s FROM docs GROUP BY n_chars % 7 "
+                  "HAVING SUM(n_chars) > 100000 ORDER BY b")
+    check(sqlenv, "SELECT n_chars % 10, COUNT(*) AS c FROM docs "
+                  "GROUP BY n_chars % 10 ORDER BY c DESC, 1")
+
+
+def test_group_by_case_expression(sqlenv):
+    check(sqlenv, "SELECT CASE WHEN n_chars > 2500 THEN 'hi' ELSE "
+                  "'lo' END AS band, COUNT(*) AS c, "
+                  "COUNT(DISTINCT source) AS cd FROM docs "
+                  "GROUP BY band ORDER BY band")
+
+
+def test_group_by_expr_mixed_and_nulls(sqlenv):
+    # expression key + plain key; null-bearing lang flows through the
+    # hidden column with SQL GROUP BY null semantics
+    check(sqlenv, "SELECT n_chars % 3 AS a, lang, COUNT(*) AS c "
+                  "FROM docs GROUP BY n_chars % 3, lang "
+                  "ORDER BY a, lang NULLS LAST")
+    check(sqlenv, "SELECT coalesce(lang, '??') AS l2, COUNT(*) AS c "
+                  "FROM docs GROUP BY coalesce(lang, '??') "
+                  "ORDER BY l2")
+
+
+def test_group_by_expr_with_filter_and_where(sqlenv):
+    check(sqlenv, "SELECT n_chars % 5 AS b, COUNT(*) FILTER "
+                  "(WHERE lang = 'en') AS c0 FROM docs "
+                  "WHERE n_chars > 50 GROUP BY n_chars % 5 ORDER BY b")
+    # aggregate argument referencing the hidden group key column
+    check(sqlenv, "SELECT n_chars % 4 AS b, CAST(SUM((n_chars % 4) * "
+                  "n_chars) AS BIGINT) AS s FROM docs "
+                  "GROUP BY n_chars % 4 ORDER BY b")
+
+
+def test_group_by_keys_only_expression(sqlenv):
+    check(sqlenv, "SELECT n_chars % 4 AS b FROM docs "
+                  "GROUP BY n_chars % 4 ORDER BY b")
