@@ -357,6 +357,12 @@ _SQL_QUALIFY_TOPN = (
     "ORDER BY n_chars DESC, doc_id) <= 2 "
     "ORDER BY source, n_chars DESC, doc_id")
 
+_SQL_GROUP_EXPR = (
+    "SELECT n_chars // 50 AS bucket, COUNT(*) AS n, "
+    "CAST(SUM(n_chars) FILTER (WHERE lang = 'en') AS BIGINT) "
+    "AS sum_en FROM documents GROUP BY n_chars // 50 "
+    "ORDER BY bucket")
+
 _SQL_WINDOW_RANK = (
     "SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY source ORDER BY "
     "n_chars DESC, doc_id) AS rn, CAST(SUM(n_chars) OVER (PARTITION "
@@ -430,6 +436,18 @@ def q_sql_qualify_topn(sf_dir: str) -> pa.Table:
     from .sql import sql_query
 
     return sql_query(_SQL_QUALIFY_TOPN,
+                     {"documents": encoded_dir(sf_dir, "documents")})
+
+
+def q_sql_group_expr(sf_dir: str) -> pa.Table:
+    """SQL frontend, GROUP BY expression + aggregate FILTER: the
+    non-column group key and the filtered argument rewrite onto
+    hidden per-batch derived columns (__g0/__e0) evaluated
+    vectorized inside the stream; the partial aggregation and the
+    shuffle still carry only O(groups) state."""
+    from .sql import sql_query
+
+    return sql_query(_SQL_GROUP_EXPR,
                      {"documents": encoded_dir(sf_dir, "documents")})
 
 
@@ -2391,6 +2409,7 @@ QUERIES = {
     "sql_window_rank": q_sql_window_rank,
     "sql_corr_exists": q_sql_corr_exists,
     "sql_qualify_topn": q_sql_qualify_topn,
+    "sql_group_expr": q_sql_group_expr,
 }
 
 _IDS_SQL = ", ".join(str(i) for i in LOOKUP_IDS)
@@ -3035,6 +3054,7 @@ ORACLE_SQL = {
     "sql_window_rank": _SQL_WINDOW_RANK,
     "sql_corr_exists": _SQL_CORR_EXISTS,
     "sql_qualify_topn": _SQL_QUALIFY_TOPN,
+    "sql_group_expr": _SQL_GROUP_EXPR,
     # compression_metrics, lang_id, quality_scores, minhash_pairs,
     # simhash_pairs, ann_topk_lsh, decontaminate (n=13): intentionally
     # no oracle (engine-side semantics with no exact SQL equivalent ->
