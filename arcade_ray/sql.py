@@ -1661,17 +1661,57 @@ class _JoinBase:
     (pa.Table), or a derived table, with its alias and column set."""
 
     def __init__(self, ft: dict, tables: dict):
-        if ft.get("type") == "SUBQUERY":
+        if ft.get("type") == "_MATERIALIZED":
+            # a bushy-side join subtree folded to a driver table: it
+            # answers for EVERY alias it swallowed
+            self.alias = "(" + " join ".join(ft["aliases"]) + ")"
+            self.aliases = set(ft["aliases"])
+            self.target = ft["table"]
+        elif ft.get("type") == "SUBQUERY":
             self.alias, self.target = _derived_table(ft, tables)
+            self.aliases = {self.alias}
         else:
             name = ft["table_name"]
             if name not in tables:
                 raise KeyError(f"table {name!r} not provided "
                                f"(have: {sorted(tables)})")
             self.alias = ft.get("alias") or name
+            self.aliases = {self.alias}
             self.target = tables[name]
         self.cols = _dataset_columns(self.target)
         self.colset = set(self.cols)
+
+
+_STAR_NODE = {"class": "STAR", "type": "STAR", "alias": "",
+              "relation_name": "", "exclude_list": [],
+              "replace_list": [], "columns": False, "expr": None}
+
+
+def _join_tree_aliases(ft: dict, out: list):
+    if ft.get("type") == "JOIN":
+        _join_tree_aliases(ft["left"], out)
+        _join_tree_aliases(ft["right"], out)
+    elif ft.get("type") in ("BASE_TABLE", "SUBQUERY"):
+        out.append(ft.get("alias") or ft.get("table_name"))
+
+
+def _materialize_bushy_side(ft: dict, tables: dict) -> dict:
+    """One side of a join-of-joins (bushy tree) folds to a driver
+    table: SELECT * over the subtree runs through the normal join
+    machinery, and the result joins the other side as a single base
+    answering for every alias it swallowed. Sound because the
+    subtree's result is exactly its join semantics; sized like a CTE
+    side (a huge bushy side belongs in an explicit CTE anyway)."""
+    aliases: list = []
+    _join_tree_aliases(ft, aliases)
+    node = {"type": "SELECT_NODE", "select_list": [dict(_STAR_NODE)],
+            "from_table": ft, "where_clause": None, "modifiers": [],
+            "cte_map": {"map": []}, "group_expressions": [],
+            "group_sets": [], "aggregate_handling":
+            "STANDARD_HANDLING", "having": None, "sample": None,
+            "qualify": None}
+    t = _materialize_result(_execute_node(node, tables))
+    return {"type": "_MATERIALIZED", "aliases": aliases, "table": t}
 
 
 def _flip_jt(jt: str) -> str:
@@ -1696,27 +1736,32 @@ def _flatten_join(ft: dict, tables: dict, seen: set):
     cond, using = ft.get("condition"), ft.get("using_columns")
     left, right = ft["left"], ft["right"]
     if left.get("type") == "JOIN" and right.get("type") == "JOIN":
-        raise SqlUnsupported("bushy join trees (a join of two joins); "
-                             "rewrite as a left-deep chain")
+        # bushy tree: fold the right subtree to a driver table and
+        # continue left-deep against it
+        right = _materialize_bushy_side(right, tables)
     if right.get("type") == "JOIN":
         left, right = right, left
         jt = _flip_jt(jt)
-    if right.get("type") not in ("BASE_TABLE", "SUBQUERY"):
+    if right.get("type") not in ("BASE_TABLE", "SUBQUERY",
+                                 "_MATERIALIZED"):
         raise SqlUnsupported(f"join side type {right.get('type')!r}")
     if left.get("type") == "JOIN":
         bases, steps = _flatten_join(left, tables, seen)
-    elif left.get("type") in ("BASE_TABLE", "SUBQUERY"):
+    elif left.get("type") in ("BASE_TABLE", "SUBQUERY",
+                              "_MATERIALIZED"):
         b0 = _JoinBase(left, tables)
-        if b0.alias in seen:
-            raise SqlUnsupported(f"duplicate table alias {b0.alias!r}")
-        seen.add(b0.alias)
+        if b0.aliases & seen:
+            raise SqlUnsupported(
+                f"duplicate table alias {sorted(b0.aliases & seen)}")
+        seen.update(b0.aliases)
         bases, steps = [b0], []
     else:
         raise SqlUnsupported(f"join side type {left.get('type')!r}")
     rb = _JoinBase(right, tables)
-    if rb.alias in seen:
-        raise SqlUnsupported(f"duplicate table alias {rb.alias!r}")
-    seen.add(rb.alias)
+    if rb.aliases & seen:
+        raise SqlUnsupported(
+            f"duplicate table alias {sorted(rb.aliases & seen)}")
+    seen.update(rb.aliases)
     bases.append(rb)
     steps.append((jt, cond, using))
     return bases, steps
@@ -1777,7 +1822,7 @@ class _JoinSource:
         """Index of the base in bases[0..hi] providing ``col``."""
         if qual is not None:
             for i, b in enumerate(self.bases[:hi + 1]):
-                if b.alias == qual:
+                if qual in b.aliases:
                     if i in self.hidden:
                         raise SqlUnsupported(
                             f"{qual!r} is a SEMI/ANTI side: its "
@@ -1864,7 +1909,7 @@ class _JoinSource:
                 names = ref["column_names"]
                 col = names[-1]
                 qual = names[0] if len(names) > 1 else None
-                if qual == rb.alias:
+                if qual is not None and qual in rb.aliases:
                     if col not in rb.colset:
                         raise KeyError(f"column {col!r} not in table "
                                        f"{qual!r}")
@@ -3165,8 +3210,21 @@ def _run_set_operation(node: dict, tables: dict[str, str]):
         if names is None:
             names = cols
         elif list(cols) != list(names):
-            raise SqlUnsupported(
-                f"UNION sides have different columns: {names} vs {cols}")
+            if len(cols) != len(names):
+                raise SqlUnsupported(
+                    f"UNION sides have different column counts: "
+                    f"{names} vs {cols}")
+            # set operations are POSITIONAL; the first side names
+            # the output (SQL standard)
+            if isinstance(r, pa.Table):
+                sides[i] = r.rename_columns(list(names))
+            else:
+                want = list(names)
+
+                def _rn(b: pa.Table, want=want) -> pa.Table:
+                    return b.rename_columns(want)
+
+                sides[i] = r.map_batches(_rn, batch_format="pyarrow")
     has_mods = bool(node.get("modifiers"))
     if setop in ("INTERSECT", "EXCEPT"):
         t = _intersect_except(sides, list(names), setop,

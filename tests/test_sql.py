@@ -302,9 +302,11 @@ def test_four_way_join(sqlenv):
                   "GROUP BY zone ORDER BY zone")
 
 
-def test_bushy_join_raises(sqlenv):
+def test_bushy_join_self_join_side_refused(sqlenv):
+    # bushy trees fold their right subtree to a driver table, but a
+    # SELF-join inside it still has ambiguous bare output names
     tables, _ = sqlenv
-    with pytest.raises(SqlUnsupported, match="bushy"):
+    with pytest.raises((SqlUnsupported, KeyError)):
         sql_query("SELECT 1 AS x FROM (docs d JOIN meta m ON "
                   "d.source = m.source) JOIN (reg r1 JOIN reg r2 ON "
                   "r1.region = r2.region) ON m.region = r1.region",
@@ -1117,3 +1119,64 @@ def test_group_by_expr_with_filter_and_where(sqlenv):
 def test_group_by_keys_only_expression(sqlenv):
     check(sqlenv, "SELECT n_chars % 4 AS b FROM docs "
                   "GROUP BY n_chars % 4 ORDER BY b")
+
+
+# --- bushy join trees -------------------------------------------------------
+
+def test_bushy_join_mem_tables(ray_session):
+    import duckdb
+
+    a = pa.table({"k": [1, 2, 3, 4], "x": [10, 20, 30, 40]})
+    b = pa.table({"k": [1, 2, 3, 5], "y": ["p", "q", "r", "s"]})
+    c = pa.table({"j": [10, 20, 30, 99], "z": ["A", "B", "C", "D"]})
+    d = pa.table({"j": [10, 20, 99], "w": [7, 8, 9]})
+    tables = {"a": a, "b": b, "c": c, "d": d}
+    con = duckdb.connect()
+    for n, t in tables.items():
+        con.register(n, t)
+    for q in (
+        "SELECT a.k, y, z, w FROM (a JOIN b ON a.k = b.k) JOIN "
+        "(c JOIN d ON c.j = d.j) ON a.x = c.j ORDER BY a.k",
+        "SELECT a.k, y, z FROM (a JOIN b ON a.k = b.k) LEFT JOIN "
+        "(c JOIN d ON c.j = d.j) ON a.x = c.j ORDER BY a.k",
+        "SELECT count(*) AS n FROM (a JOIN b ON a.k = b.k) JOIN "
+        "(c LEFT JOIN d ON c.j = d.j) ON a.x = c.j",
+    ):
+        mine = sql_query(q, tables)
+        if not isinstance(mine, pa.Table):
+            from arcade_ray.collect import collect_arrow
+
+            mine = collect_arrow(mine)
+        ref = con.sql(q).arrow()
+        assert mine.schema.names == ref.schema.names
+        assert mine.to_pydict() == ref.to_pydict(), q
+    con.close()
+
+
+def test_bushy_join_encoded(sqlenv):
+    # left side: two encoded tables; right side: encoded x derived —
+    # the right subtree folds to a driver table answering for both
+    # its aliases (reg and zz)
+    check(sqlenv, "SELECT zone, COUNT(*) AS c "
+                  "FROM (docs JOIN meta ON docs.source = meta.source) "
+                  "JOIN (reg JOIN (SELECT 'z-a' AS zn, 1 AS boost "
+                  "UNION ALL SELECT 'z-b', 2) zz ON reg.zone = zz.zn) "
+                  "ON meta.region = reg.region "
+                  "GROUP BY zone ORDER BY zone")
+
+
+def test_bushy_join_duplicate_alias_refused(sqlenv):
+    tables, _ = sqlenv
+    with pytest.raises((SqlUnsupported, KeyError)):
+        sql_query("SELECT 1 FROM (docs JOIN meta ON docs.source = "
+                  "meta.source) JOIN (docs JOIN reg ON 1=1) "
+                  "ON meta.region = reg.region", tables)
+
+
+def test_union_positional_names(sqlenv):
+    # set operations are positional: the first side names the output
+    check(sqlenv, "SELECT 'z-a' AS zn, 1 AS boost "
+                  "UNION ALL SELECT 'z-b', 2 ORDER BY zn")
+    check(sqlenv, "SELECT source AS s FROM docs WHERE lang = 'en' "
+                  "UNION SELECT source FROM docs WHERE lang = 'fr' "
+                  "ORDER BY s")
