@@ -784,6 +784,18 @@ def _eval_expr(node: dict, env: dict, n_rows: int):
         if typ == "OPERATOR_COALESCE":
             return pc.coalesce(*[_eval_expr(c, env, n_rows)
                                  for c in node["children"]])
+        if typ == "GROUPING_FUNCTION":
+            ch = node.get("children") or []
+            if len(ch) != 1 or ch[0].get("class") != "COLUMN_REF":
+                raise SqlUnsupported(
+                    "GROUPING() takes exactly one group key")
+            key = ("grouping", _colref(ch[0]))
+            if key in env:
+                return env[key]
+            if _colref(ch[0]) in env:  # plain GROUP BY: never rolled up
+                return pa.scalar(0, type=pa.int64())
+            raise SqlUnsupported(
+                f"GROUPING({_colref(ch[0])}): not a group key")
         raise SqlUnsupported(f"operator {typ!r} in expression")
     if cls == "CONJUNCTION":
         parts = [_eval_expr(c, env, n_rows) for c in node["children"]]
@@ -1033,7 +1045,14 @@ def _grouping_sets(merged: pa.Table, keys: list[str],
             if k not in t.column_names:
                 t = t.append_column(k, pa.nulls(t.num_rows,
                                                 merged[k].type))
-        levels.append(t.select(keys + atom_cols))
+        inset = {keys[i] for i in gs}
+        for k in keys:  # GROUPING() flags: 1 = rolled up in this set
+            t = t.append_column(
+                f"__grouping_{k}",
+                pa.array([0 if k in inset else 1] * t.num_rows,
+                         type=pa.int64()))
+        levels.append(t.select(keys + atom_cols
+                               + [f"__grouping_{k}" for k in keys]))
     return pa.concat_tables(levels)
 
 
@@ -1305,15 +1324,25 @@ def _stream_topk(ds, order: list, limit: int, offset: int,
     driver merges the tiny survivors. Order keys must be plain
     columns here (checked by the caller)."""
     keep = limit + offset
-    if any(nf for _, _, nf in order):
-        raise SqlUnsupported("NULLS FIRST in a streamed top-k")
-    sort_keys = [(_colref(e), "descending" if d else "ascending")
-                 for e, d, _ in order]
+    # per-key NULLS FIRST: arrow's null_placement is global, so each
+    # NULLS FIRST key gets a hidden is-null bool key sorted desc
+    nf_cols = [(f"__nf{i}", _colref(e))
+               for i, (e, _, nf) in enumerate(order) if nf]
+    sort_keys = []
+    for i, (e, d, nf) in enumerate(order):
+        if nf:
+            sort_keys.append((f"__nf{i}", "descending"))
+        sort_keys.append((_colref(e), "descending" if d else "ascending"))
+
+    def _aug(t: pa.Table) -> pa.Table:
+        for h, c in nf_cols:
+            t = t.append_column(h, pc.is_null(t[c]))
+        return t
 
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows <= keep:
             return batch.select(project)
-        idx = pc.sort_indices(batch, sort_keys=sort_keys,
+        idx = pc.sort_indices(_aug(batch), sort_keys=sort_keys,
                               null_placement="at_end")
         return batch.take(idx[:keep]).select(project)
 
@@ -1324,7 +1353,7 @@ def _stream_topk(ds, order: list, limit: int, offset: int,
     if not parts:
         return None
     allp = pa.concat_tables(parts, promote_options="permissive")
-    idx = pc.sort_indices(allp, sort_keys=sort_keys,
+    idx = pc.sort_indices(_aug(allp), sort_keys=sort_keys,
                           null_placement="at_end")
     return allp.take(idx[offset:offset + limit])
 
@@ -2480,11 +2509,35 @@ def _run_row_query(src, node: dict, select: list):
         # write_parquet without a driver materialization. (Nulls sort
         # per Ray's ordering — use a LIMIT or IS NOT NULL for SQL
         # nulls-last guarantees on null-bearing keys.)
-        for e, _, nf in order:
-            if nf:
-                raise SqlUnsupported("NULLS FIRST in a distributed sort")
-        sorted_ds = ds.sort(key=[_colref(e) for e, *_ in order],
-                            descending=[d for _, d, _ in order])
+        nf_hidden = {f"__nf{i}": _colref(e)
+                     for i, (e, _, nf) in enumerate(order) if nf}
+        if nf_hidden:
+            # NULLS FIRST: hidden is-null bool keys (desc) dominate
+            # their key, added per batch and dropped after the sort
+            def _aug_nf(b: pa.Table) -> pa.Table:
+                for h, c in nf_hidden.items():
+                    b = b.append_column(h, pc.is_null(b[c]))
+                return b
+
+            keys, desc = [], []
+            for i, (e, d, nf) in enumerate(order):
+                if nf:
+                    keys.append(f"__nf{i}")
+                    desc.append(True)
+                keys.append(_colref(e))
+                desc.append(d)
+            drop = list(nf_hidden)
+
+            def _strip_nf(b: pa.Table) -> pa.Table:
+                return b.drop_columns(drop)
+
+            sorted_ds = ds.map_batches(
+                _aug_nf, batch_format="pyarrow").sort(
+                    key=keys, descending=desc).map_batches(
+                        _strip_nf, batch_format="pyarrow")
+        else:
+            sorted_ds = ds.sort(key=[_colref(e) for e, *_ in order],
+                                descending=[d for _, d, _ in order])
         if star and scan_all == project:
             return sorted_ds
         return sorted_ds.map_batches(finish, batch_format="pyarrow")
@@ -3426,6 +3479,11 @@ def _run_agg_query(src, node: dict, select: list,
 
     env, n = _agg_env(merged, keys,
                       [a for a in atoms if a[0] not in special])
+    if merged is not None:
+        for k in keys:
+            gcol = f"__grouping_{k}"
+            if gcol in merged.column_names:
+                env[("grouping", k)] = merged[gcol]
     for fn, col in cd_atoms:
         if fn == "count_distinct":
             env[("agg", fn, col)] = _count_distinct_counts(

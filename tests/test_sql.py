@@ -1180,3 +1180,44 @@ def test_union_positional_names(sqlenv):
     check(sqlenv, "SELECT source AS s FROM docs WHERE lang = 'en' "
                   "UNION SELECT source FROM docs WHERE lang = 'fr' "
                   "ORDER BY s")
+
+
+# --- NULLS FIRST in row-stream ordering -------------------------------------
+
+def test_nulls_first_stream_topk(sqlenv):
+    check(sqlenv, "SELECT doc_id, lang, n_chars FROM docs "
+                  "WHERE n_chars > 4500 "
+                  "ORDER BY lang NULLS FIRST, n_chars DESC, doc_id "
+                  "LIMIT 30")
+    check(sqlenv, "SELECT doc_id, lang FROM docs WHERE n_chars < 100 "
+                  "ORDER BY lang DESC NULLS FIRST, doc_id "
+                  "LIMIT 12 OFFSET 3")
+
+
+def test_nulls_first_distributed_sort(sqlenv):
+    # no LIMIT -> Ray's distributed sort with hidden is-null keys
+    check(sqlenv, "SELECT doc_id, lang FROM docs WHERE n_chars > 4800 "
+                  "ORDER BY lang NULLS FIRST, doc_id", ordered=True)
+
+
+def test_nulls_first_mixed_with_default(sqlenv):
+    check(sqlenv, "SELECT doc_id, lang, score FROM docs "
+                  "WHERE n_chars > 4700 "
+                  "ORDER BY lang NULLS FIRST, score DESC, doc_id "
+                  "LIMIT 20")
+
+
+def test_grouping_function(sqlenv):
+    check(sqlenv, "SELECT source, lang, GROUPING(source) AS gs, "
+                  "GROUPING(lang) AS gl, COUNT(*) AS n FROM docs "
+                  "GROUP BY ROLLUP (source, lang) "
+                  "ORDER BY gs, gl, source NULLS FIRST, "
+                  "lang NULLS FIRST")
+    # CUBE + HAVING over the flag: keep only the per-source subtotals
+    check(sqlenv, "SELECT source, lang, COUNT(*) AS n FROM docs "
+                  "GROUP BY CUBE (source, lang) "
+                  "HAVING GROUPING(lang) = 1 AND GROUPING(source) = 0 "
+                  "ORDER BY source")
+    # plain GROUP BY: GROUPING is the constant 0
+    check(sqlenv, "SELECT source, GROUPING(source) AS g, COUNT(*) AS n "
+                  "FROM docs GROUP BY source ORDER BY source")
