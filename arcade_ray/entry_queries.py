@@ -351,6 +351,13 @@ _SQL_CORR_EXISTS = (
     "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000) "
     "ORDER BY c_custkey LIMIT 100")
 
+_SQL_ASOF = (
+    "WITH p AS (SELECT user_id, ts AS pts, MAX(value) AS pval "
+    "FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) "
+    "SELECT e.event_id, e.user_id, p.pts, p.pval FROM events e "
+    "ASOF JOIN p ON e.user_id = p.user_id AND e.ts >= p.pts "
+    "ORDER BY e.event_id")
+
 _SQL_QUALIFY_TOPN = (
     "SELECT source, doc_id, n_chars FROM documents "
     "QUALIFY ROW_NUMBER() OVER (PARTITION BY source "
@@ -437,6 +444,18 @@ def q_sql_qualify_topn(sf_dir: str) -> pa.Table:
 
     return sql_query(_SQL_QUALIFY_TOPN,
                      {"documents": encoded_dir(sf_dir, "documents")})
+
+
+def q_sql_asof(sf_dir: str) -> pa.Table:
+    """SQL ASOF JOIN: lowers onto windows.asof_join (one
+    co-partitioned union shuffle + vectorized segment-reset
+    running-max merge per bucket); the CTE build side dedupes
+    (user_id, ts) so the backward match is deterministic; INNER
+    drops unmatched events."""
+    from .sql import sql_query
+
+    return sql_query(_SQL_ASOF,
+                     {"events": encoded_dir(sf_dir, "events")})
 
 
 def q_sql_group_expr(sf_dir: str) -> pa.Table:
@@ -2410,6 +2429,7 @@ QUERIES = {
     "sql_corr_exists": q_sql_corr_exists,
     "sql_qualify_topn": q_sql_qualify_topn,
     "sql_group_expr": q_sql_group_expr,
+    "sql_asof": q_sql_asof,
 }
 
 _IDS_SQL = ", ".join(str(i) for i in LOOKUP_IDS)
@@ -3055,6 +3075,7 @@ ORACLE_SQL = {
     "sql_corr_exists": _SQL_CORR_EXISTS,
     "sql_qualify_topn": _SQL_QUALIFY_TOPN,
     "sql_group_expr": _SQL_GROUP_EXPR,
+    "sql_asof": _SQL_ASOF,
     # compression_metrics, lang_id, quality_scores, minhash_pairs,
     # simhash_pairs, ann_topk_lsh, decontaminate (n=13): intentionally
     # no oracle (engine-side semantics with no exact SQL equivalent ->

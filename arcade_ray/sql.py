@@ -1764,6 +1764,12 @@ def _flatten_join(ft: dict, tables: dict, seen: set):
     jt = _JOIN_TYPES[jt_raw]
     cond, using = ft.get("condition"), ft.get("using_columns")
     left, right = ft["left"], ft["right"]
+    # an ASOF join nested inside a chain folds to a driver table
+    # (like a bushy side) — its own execution handles the lowering
+    if left.get("type") == "JOIN" and left.get("ref_type") == "ASOF":
+        left = _materialize_bushy_side(left, tables)
+    if right.get("type") == "JOIN" and right.get("ref_type") == "ASOF":
+        right = _materialize_bushy_side(right, tables)
     if left.get("type") == "JOIN" and right.get("type") == "JOIN":
         # bushy tree: fold the right subtree to a driver table and
         # continue left-deep against it
@@ -2083,6 +2089,213 @@ class _JoinSource:
     unfiltered_dir = None
 
 
+def _asof_cond(cond: dict, lb, rb):
+    """Split an ASOF ON condition into (lkey, rkey, lon, ron): an
+    AND of exactly one equality plus exactly one NON-STRICT backward
+    inequality (left.ts >= right.ts, either operand order)."""
+    eqs, ineqs = [], []
+
+    def side_of(ref):
+        if ref.get("class") != "COLUMN_REF":
+            raise SqlUnsupported("ASOF keys must be plain columns")
+        names = ref["column_names"]
+        col = names[-1]
+        qual = names[0] if len(names) > 1 else None
+        if qual in lb.aliases or (qual is None and col in lb.colset
+                                  and col not in rb.colset):
+            return ("l", col)
+        if qual in rb.aliases or (qual is None and col in rb.colset
+                                  and col not in lb.colset):
+            return ("r", col)
+        raise SqlUnsupported(
+            f"cannot attribute ASOF key {col!r}: qualify it")
+
+    for c in _and_conjuncts(cond):
+        if c.get("class") != "COMPARISON":
+            raise SqlUnsupported("ASOF ON must be comparisons")
+        typ = c.get("type")
+        s1, s2 = side_of(c["left"]), side_of(c["right"])
+        if {s1[0], s2[0]} != {"l", "r"}:
+            raise SqlUnsupported(
+                "ASOF ON terms must reference both sides")
+        if typ == "COMPARE_EQUAL":
+            eqs.append((s1[1], s2[1]) if s1[0] == "l"
+                       else (s2[1], s1[1]))
+            continue
+        if typ not in ("COMPARE_GREATERTHANOREQUALTO",
+                       "COMPARE_LESSTHANOREQUALTO"):
+            raise SqlUnsupported(
+                f"ASOF inequality {typ!r} (non-strict >= / <= only)")
+        ge = typ == "COMPARE_GREATERTHANOREQUALTO"
+        backward = ge if s1[0] == "l" else not ge
+        if not backward:
+            raise SqlUnsupported(
+                "forward ASOF (left.ts <= right.ts): backward only")
+        lref, rref = (s1, s2) if s1[0] == "l" else (s2, s1)
+        ineqs.append((lref[1], rref[1]))
+    if len(eqs) != 1 or len(ineqs) != 1:
+        raise SqlUnsupported("ASOF ON must be exactly one equality "
+                             "AND one inequality")
+    return (*eqs[0], *ineqs[0])
+
+
+class _AsofSource:
+    """ASOF JOIN (DuckDB ref_type ASOF): lowers onto
+    windows.asof_join — ONE co-partitioned union shuffle plus a
+    vectorized segment-reset running-max merge per bucket. Backward
+    non-strict only. INNER drops unmatched left rows (matched right
+    ts is non-null), LEFT keeps them null-extended. Right columns
+    colliding with left names surface with the ``_r`` suffix;
+    qualified references resolve through that rename, and a bare
+    collided name binds to the LEFT column. The right join key is
+    coalesced away (reference the left one)."""
+
+    unfiltered_dir = None
+
+    def __init__(self, ft: dict, tables: dict):
+        jt = _JOIN_TYPES.get(ft.get("join_type", "INNER"))
+        if jt not in ("inner", "left"):
+            raise SqlUnsupported(
+                f"ASOF {ft.get('join_type')!r} JOIN (INNER/LEFT only)")
+        self.inner = jt == "inner"
+        lb, rb = _JoinBase(ft["left"], tables), \
+            _JoinBase(ft["right"], tables)
+        if lb.aliases & rb.aliases:
+            raise SqlUnsupported("duplicate alias in ASOF join")
+        cond = ft.get("condition")
+        if not cond:
+            raise SqlUnsupported("ASOF JOIN needs an ON condition")
+        self.lkey, self.rkey, self.lon, self.ron = \
+            _asof_cond(cond, lb, rb)
+        if self.ron == self.rkey:
+            raise SqlUnsupported("ASOF ordering column = join key")
+        self.lb, self.rb = lb, rb
+        # output naming: left columns keep their names; right value
+        # columns suffix _r on collision; the right key never surfaces
+        self.rmap: dict = {}
+        taken = set(lb.cols)
+        for c in rb.cols:
+            if c == self.rkey:
+                continue
+            out = c if c not in taken else c + "_r"
+            if out in taken - {c} or out in self.rmap.values():
+                raise SqlUnsupported(
+                    f"ASOF output name collision on {out!r}")
+            if out != c:
+                taken.add(out)
+            self.rmap[c] = out
+        self.ron_out = self.rmap[self.ron]
+        self.where_node = None  # set by _asof_source post-rewrite
+
+    # --- node rewriting ---------------------------------------------
+
+    def _resolve_qual(self, qual: str, col: str) -> str:
+        if qual in self.lb.aliases:
+            if col not in self.lb.colset:
+                raise KeyError(f"column {col!r} not in table {qual!r}")
+            return col
+        if qual in self.rb.aliases:
+            if col == self.rkey:
+                raise SqlUnsupported(
+                    f"{qual}.{col} is the ASOF join key, coalesced "
+                    "away — reference the left side's key")
+            if col not in self.rmap:
+                raise KeyError(f"column {col!r} not in table {qual!r}")
+            return self.rmap[col]
+        raise SqlUnsupported(f"unknown table qualifier {qual!r}")
+
+    def rewrite_node(self, node: dict) -> dict:
+        def walk(x):
+            if isinstance(x, dict):
+                if x.get("class") == "COLUMN_REF":
+                    names = x.get("column_names") or []
+                    if len(names) > 1:
+                        return dict(x, column_names=[
+                            self._resolve_qual(names[0], names[-1])])
+                    return x
+                return {k: walk(v) for k, v in x.items()}
+            if isinstance(x, list):
+                return [walk(v) for v in x]
+            return x
+
+        node2 = dict(node)
+        for k in ("select_list", "where_clause", "having", "qualify",
+                  "group_expressions", "modifiers"):
+            if node.get(k) is not None:
+                node2[k] = walk(node[k])
+        return node2
+
+    # --- interface ----------------------------------------------------
+
+    def columns(self) -> list[str]:
+        return list(self.lb.cols) + [self.rmap[c] for c in self.rb.cols
+                                     if c != self.rkey]
+
+    def stream(self, cols: list[str]):
+        from .windows import asof_join
+
+        wcols: set = set()
+        if self.where_node is not None:
+            _expr_columns(self.where_node, wcols)
+        request = list(dict.fromkeys(
+            list(cols) + sorted(wcols - set(cols))))
+        inv = {v: k for k, v in self.rmap.items()}
+        lneed, rneed_orig = [], []
+        for c in request:
+            if c in self.lb.colset:
+                lneed.append(c)
+            elif c in inv:
+                rneed_orig.append(inv[c])
+            else:
+                raise KeyError(f"column {c!r} in no ASOF side")
+        lcols = list(dict.fromkeys(lneed + [self.lkey, self.lon]))
+        rvals = list(dict.fromkeys(rneed_orig + [self.ron]))
+        lds = _JoinSource._base_stream(self.lb, lcols)
+        rds = _JoinSource._base_stream(
+            self.rb, list(dict.fromkeys([self.rkey] + rvals)))
+        # right side renames to output names up front (and its key to
+        # the left key name — the union wants one `by` column)
+        ren = {self.rkey: self.lkey,
+               **{o: self.rmap[o] for o in rvals}}
+
+        def _ren(b: pa.Table) -> pa.Table:
+            return b.rename_columns([ren.get(c, c)
+                                     for c in b.column_names])
+
+        rds = rds.map_batches(_ren, batch_format="pyarrow")
+        res = asof_join(lds, rds, on=self.lon, by=self.lkey,
+                        left_cols=lcols,
+                        right_cols=[self.rmap[o] for o in rvals],
+                        right_on=self.ron_out)
+        wn, want, inner, ron_out = \
+            self.where_node, list(cols), self.inner, self.ron_out
+
+        def post(b: pa.Table) -> pa.Table:
+            if inner:  # matched rows carry a non-null right ts
+                b = b.filter(pc.is_valid(b[ron_out]))
+            if wn is not None:
+                env = {c: b[c] for c in b.column_names}
+                m = _eval_expr(wn, env, b.num_rows)
+                if isinstance(m, pa.ChunkedArray):
+                    m = m.combine_chunks()
+                b = b.filter(pc.fill_null(m, False))
+            return b.select(want)
+
+        return res.map_batches(post, batch_format="pyarrow")
+
+    def empty(self, cols: list[str]) -> pa.Table:
+        sch = self.stream(cols).schema()
+        return pa.table({n: pa.array([], type=t)
+                         for n, t in zip(sch.names, sch.types)})
+
+
+def _asof_source(ft: dict, tables: dict, node: dict):
+    src = _AsofSource(ft, tables)
+    node2 = src.rewrite_node(node)
+    src.where_node = node2.get("where_clause")
+    return src, node2
+
+
 def sql_query(sql: str, tables: dict[str, str]):
     """Execute ``sql`` against encoded directories: ``tables`` maps
     table names in the query to ``encode_parquet`` output dirs.
@@ -2185,6 +2398,12 @@ def explain_sql(sql: str, tables: dict[str, str]) -> str:
                 surv, total = _pruning_counts(out_dir, tree)
                 lines.append("  partitions after zone/Bloom pruning: "
                              f"{surv}/{total}")
+    elif ft.get("type") == "JOIN" and ft.get("ref_type") == "ASOF":
+        lines.append("asof join -> windows.asof_join: one "
+                     "co-partitioned union shuffle + vectorized "
+                     "segment-reset running-max merge per bucket"
+                     + ("" if ft.get("join_type") == "LEFT"
+                        else "; INNER filters matched rows"))
     elif ft.get("type") == "JOIN":
         src = _JoinSource(ft, tables, node.get("where_clause"))
         lines.extend(src.describe())
@@ -2295,6 +2514,8 @@ def _execute_node(node: dict, tables: dict[str, str]):
                     node["where_clause"], tables, any_col=ocols[0],
                     outer=(ft.get("alias") or tname, ocols))
             src = _TableSource(target, where_tree)
+    elif ft.get("type") == "JOIN" and ft.get("ref_type") == "ASOF":
+        src, node = _asof_source(ft, tables, node)
     elif ft.get("type") == "JOIN":
         src = _JoinSource(ft, tables, node.get("where_clause"))
     elif ft.get("type") == "SUBQUERY":

@@ -1221,3 +1221,103 @@ def test_grouping_function(sqlenv):
     # plain GROUP BY: GROUPING is the constant 0
     check(sqlenv, "SELECT source, GROUPING(source) AS g, COUNT(*) AS n "
                   "FROM docs GROUP BY source ORDER BY source")
+
+
+# --- ASOF JOIN ---------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def asofenv(ray_session):
+    import duckdb
+
+    rng = np.random.default_rng(7)
+    n, m = 5000, 800
+    ev = pa.table({
+        "user_id": pa.array(rng.integers(0, 50, n), type=pa.int64()),
+        "ts": pa.array(rng.integers(0, 100000, n), type=pa.int64()),
+        "val": pa.array(rng.random(n).round(4), type=pa.float64()),
+    })
+    # unique (user_id, qts) pairs: the backward match is unambiguous
+    qts = rng.choice(100000, size=m, replace=False)
+    qt = pa.table({
+        "user_id": pa.array(rng.integers(0, 50, m), type=pa.int64()),
+        "qts": pa.array(qts, type=pa.int64()),
+        "price": pa.array((rng.random(m) * 100).round(2),
+                          type=pa.float64()),
+    })
+    tables = {"ev": ev, "qt": qt}
+    con = duckdb.connect()
+    for k, t in tables.items():
+        con.register(k, t)
+    yield tables, con
+    con.close()
+
+
+def test_asof_join_inner_and_left(asofenv):
+    for q in (
+        "SELECT e.user_id, e.ts, q.qts, q.price FROM ev e ASOF JOIN "
+        "qt q ON e.user_id = q.user_id AND e.ts >= q.qts "
+        "ORDER BY e.user_id, e.ts, e.val",
+        "SELECT e.user_id, e.ts, q.qts, q.price FROM ev e ASOF LEFT "
+        "JOIN qt q ON e.user_id = q.user_id AND e.ts >= q.qts "
+        "ORDER BY e.user_id, e.ts, e.val",
+        # flipped operand order, WHERE + aggregation over the join
+        "SELECT e.user_id, COUNT(*) AS n, CAST(SUM(q.price) AS "
+        "DOUBLE) AS sp FROM ev e ASOF JOIN qt q ON e.user_id = "
+        "q.user_id AND q.qts <= e.ts WHERE e.val > 0.5 "
+        "GROUP BY e.user_id ORDER BY e.user_id",
+    ):
+        check(asofenv, q)
+
+
+def test_asof_join_name_collision_suffix(asofenv):
+    tables, con = asofenv
+    # qt.ts would collide if both sides named it ts: rename via CTE
+    q = ("WITH qq AS (SELECT user_id, qts AS ts, price FROM qt) "
+         "SELECT e.user_id, e.ts, qq.ts AS rts, price FROM ev e "
+         "ASOF JOIN qq ON e.user_id = qq.user_id AND e.ts >= qq.ts "
+         "ORDER BY e.user_id, e.ts, e.val")
+    mine = sql_query(q, tables)
+    if not isinstance(mine, pa.Table):
+        from arcade_ray.collect import collect_arrow
+
+        mine = collect_arrow(mine)
+    ref = con.sql(q).arrow()
+    assert mine.schema.names == ref.schema.names
+    assert mine.to_pydict() == ref.to_pydict()
+
+
+def test_asof_join_nested_in_chain(asofenv):
+    tables, con = asofenv
+    tables = dict(tables)
+    lab = pa.table({"user_id": pa.array(list(range(50)),
+                                        type=pa.int64()),
+                    "grp": pa.array([f"g{i % 4}" for i in range(50)])})
+    tables["lab"] = lab
+    con.register("lab", lab)
+    q = ("SELECT grp, COUNT(*) AS n FROM (ev e ASOF JOIN qt q ON "
+         "e.user_id = q.user_id AND e.ts >= q.qts) JOIN lab ON "
+         "e.user_id = lab.user_id GROUP BY grp ORDER BY grp")
+    mine = sql_query(q, tables)
+    if not isinstance(mine, pa.Table):
+        from arcade_ray.collect import collect_arrow
+
+        mine = collect_arrow(mine)
+    ref = con.sql(q).arrow()
+    assert mine.to_pydict() == ref.to_pydict()
+
+
+def test_asof_join_refusals(asofenv):
+    tables, _ = asofenv
+    for q in (
+        # strict inequality
+        "SELECT e.ts FROM ev e ASOF JOIN qt q ON e.user_id = "
+        "q.user_id AND e.ts > q.qts",
+        # forward direction
+        "SELECT e.ts FROM ev e ASOF JOIN qt q ON e.user_id = "
+        "q.user_id AND e.ts <= q.qts",
+        # right join key is coalesced away
+        "SELECT q.user_id FROM ev e ASOF JOIN qt q ON e.user_id = "
+        "q.user_id AND e.ts >= q.qts",
+    ):
+        with pytest.raises(SqlUnsupported):
+            sql_query(q, tables)
