@@ -2924,12 +2924,6 @@ def _run_window_query(src, node: dict, select: list):
                 raise SqlUnsupported(
                     f"running {wnode['function_name']!r} "
                     "(sum/count/avg/min/max compile)")
-            if wnode["function_name"] in ("min", "max") \
-                    and not (fr == ("range",)
-                             or (fr[0] == "rows" and fr[1] is None)):
-                raise SqlUnsupported(
-                    "bounded ROWS frames compile for sum/count/avg; "
-                    "min/max need an unbounded start")
         pk = tuple(_colref(p) for p in wnode.get("partitions", []))
         if any(p["class"] != "COLUMN_REF"
                for p in wnode.get("partitions", [])):
@@ -3093,22 +3087,50 @@ def _run_window_query(src, node: dict, select: list):
                     sent = -np.inf if fn == "max" else np.inf
                 vm = np.where(valid, v, sent)
                 seg_id = np.cumsum(new_part) - 1
-                g = pd.Series(vm).groupby(seg_id)
-                r = (g.cummax() if fn == "max" else g.cummin()) \
-                    .to_numpy()
-                cv = np.cumsum(valid.astype(np.int64))
-                runc = cv - np.repeat(
-                    cv[starts] - valid[starts].astype(np.int64), lens)
-                if frame == ("range",):
-                    # peers share the frame-end value
-                    r = r[peer_end]
-                    runc = runc[peer_end]
-                elif frame[2] > 0:
-                    # ROWS ... n FOLLOWING: cummax/cummin at frame end
+                if frame[0] == "rows" and frame[1] is not None:
+                    # bounded ROWS frame: each partition's values sit
+                    # in an expanded array with p sentinels before and
+                    # f after, so one vectorized sliding-window
+                    # min/max never reads across a partition edge
+                    p_, f_ = frame[1], frame[2]
+                    if p_ + f_ > 65536:
+                        raise SqlUnsupported(
+                            f"ROWS frame width {p_ + f_ + 1} "
+                            "(cap 65537)")
+                    from numpy.lib.stride_tricks import \
+                        sliding_window_view
+                    e_idx = idx + p_ * (seg_id + 1) + f_ * seg_id
+                    total = int(n + (seg_id[-1] + 1) * (p_ + f_))
+                    exp = np.full(total, sent, dtype=vm.dtype)
+                    exp[e_idx] = vm
+                    sw = sliding_window_view(exp, p_ + f_ + 1)
+                    r = (sw.max(axis=1) if fn == "max"
+                         else sw.min(axis=1))[e_idx - p_]
                     part_end = np.repeat(starts + lens - 1, lens)
-                    hi = np.minimum(idx + frame[2], part_end)
-                    r = r[hi]
-                    runc = runc[hi]
+                    hi = np.minimum(idx + f_, part_end)
+                    lo = np.maximum(idx - p_, part_start)
+                    cv0 = np.concatenate(
+                        ([0], np.cumsum(valid.astype(np.int64))))
+                    runc = cv0[hi + 1] - cv0[lo]
+                else:
+                    g = pd.Series(vm).groupby(seg_id)
+                    r = (g.cummax() if fn == "max" else g.cummin()) \
+                        .to_numpy()
+                    cv = np.cumsum(valid.astype(np.int64))
+                    runc = cv - np.repeat(
+                        cv[starts] - valid[starts].astype(np.int64),
+                        lens)
+                    if frame == ("range",):
+                        # peers share the frame-end value
+                        r = r[peer_end]
+                        runc = runc[peer_end]
+                    elif frame[2] > 0:
+                        # ROWS ... n FOLLOWING: cummax/cummin at
+                        # frame end
+                        part_end = np.repeat(starts + lens - 1, lens)
+                        hi = np.minimum(idx + frame[2], part_end)
+                        r = r[hi]
+                        runc = runc[hi]
                 out = pa.array(r.astype(np.int64) if isint else r)
                 out = pc.if_else(pa.array(runc > 0), out,
                                  pa.scalar(None, out.type))

@@ -557,10 +557,10 @@ def test_rows_frames(sqlenv):
     check(sqlenv, "SELECT doc_id, COUNT(lang) OVER (PARTITION BY "
                   "source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) "
                   "AS c FROM docs WHERE n_chars > 4800", ordered=False)
-    with pytest.raises(SqlUnsupported, match="min/max"):
-        sql_query("SELECT MAX(n_chars) OVER (PARTITION BY source "
-                  "ORDER BY doc_id ROWS BETWEEN 2 PRECEDING AND "
-                  "CURRENT ROW) AS m FROM docs", sqlenv[0])
+    check(sqlenv, "SELECT doc_id, CAST(MAX(n_chars) OVER (PARTITION "
+                  "BY source ORDER BY doc_id ROWS BETWEEN 2 PRECEDING "
+                  "AND CURRENT ROW) AS BIGINT) AS m FROM docs "
+                  "WHERE n_chars > 4600", ordered=False)
 
 
 def test_running_min_max(sqlenv):
@@ -1321,3 +1321,19 @@ def test_asof_join_refusals(asofenv):
     ):
         with pytest.raises(SqlUnsupported):
             sql_query(q, tables)
+
+
+def test_rows_frame_min_max(sqlenv):
+    check(sqlenv, "SELECT doc_id, CAST(MIN(n_chars) OVER (PARTITION "
+                  "BY source ORDER BY doc_id ROWS BETWEEN 3 PRECEDING "
+                  "AND CURRENT ROW) AS BIGINT) AS m3, "
+                  "CAST(MAX(n_chars) OVER (PARTITION BY source "
+                  "ORDER BY doc_id ROWS BETWEEN 2 PRECEDING AND "
+                  "2 FOLLOWING) AS BIGINT) AS x22 "
+                  "FROM docs WHERE n_chars > 4000 "
+                  "ORDER BY doc_id LIMIT 200")
+    # floats + null-bearing column through a bounded frame
+    check(sqlenv, "SELECT doc_id, MAX(score) OVER (PARTITION BY lang "
+                  "ORDER BY doc_id ROWS BETWEEN 5 PRECEDING AND "
+                  "CURRENT ROW) AS mx FROM docs WHERE n_chars < 200 "
+                  "ORDER BY doc_id LIMIT 150")
