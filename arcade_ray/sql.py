@@ -661,6 +661,70 @@ _SCALAR_FNS = {
 }
 
 
+def _i64(a):
+    return pc.cast(a, pa.int64())
+
+
+# DuckDB's date_part / extract / bare-name accessors, value-identical
+# to DuckDB's BIGINT outputs (dow: Sunday=0; week: ISO; millisecond /
+# microsecond include the whole sub-minute remainder, DuckDB-style).
+_DATE_PARTS = {
+    "year": lambda a: _i64(pc.year(a)),
+    "month": lambda a: _i64(pc.month(a)),
+    "day": lambda a: _i64(pc.day(a)),
+    "hour": lambda a: _i64(pc.hour(a)),
+    "minute": lambda a: _i64(pc.minute(a)),
+    "second": lambda a: _i64(pc.second(a)),
+    "dow": lambda a: _i64(pc.day_of_week(a, count_from_zero=True,
+                                         week_start=7)),
+    "dayofweek": lambda a: _i64(pc.day_of_week(a, count_from_zero=True,
+                                               week_start=7)),
+    "isodow": lambda a: _i64(pc.day_of_week(a, count_from_zero=False,
+                                            week_start=1)),
+    "doy": lambda a: _i64(pc.day_of_year(a)),
+    "dayofyear": lambda a: _i64(pc.day_of_year(a)),
+    "quarter": lambda a: _i64(pc.quarter(a)),
+    "week": lambda a: _i64(pc.iso_week(a)),
+    "weekofyear": lambda a: _i64(pc.iso_week(a)),
+    "isoyear": lambda a: _i64(pc.iso_year(a)),
+    "decade": lambda a: pc.divide(_i64(pc.year(a)), 10),
+    "century": lambda a: _i64(pc.ceil(pc.divide(
+        pc.cast(pc.year(a), pa.float64()), pa.scalar(100.0)))),
+    "epoch": lambda a: pc.divide(
+        pc.cast(pc.cast(a, pa.timestamp("us")), pa.int64()),
+        pa.scalar(1_000_000.0)),
+    "epoch_ms": lambda a: pc.divide(
+        pc.cast(pc.cast(a, pa.timestamp("us")), pa.int64()),
+        pa.scalar(1_000, type=pa.int64())),
+    "epoch_us": lambda a: pc.cast(pc.cast(a, pa.timestamp("us")),
+                                  pa.int64()),
+    "millisecond": lambda a: pc.add(
+        pc.multiply(_i64(pc.second(a)), pa.scalar(1000, pa.int64())),
+        _i64(pc.millisecond(a))),
+    "microsecond": lambda a: pc.add(
+        pc.multiply(_i64(pc.second(a)),
+                    pa.scalar(1_000_000, pa.int64())),
+        pc.add(pc.multiply(_i64(pc.millisecond(a)),
+                           pa.scalar(1000, pa.int64())),
+               _i64(pc.microsecond(a)))),
+}
+
+# date_trunc units DuckDB answers as DATE (not TIMESTAMP)
+_TRUNC_TO_DATE = {"day", "week", "month", "quarter", "year"}
+_TRUNC_UNITS = _TRUNC_TO_DATE | {"microsecond", "millisecond", "second",
+                                 "minute", "hour"}
+
+
+def _date_trunc(part, arr):
+    part = str(part).lower()
+    if part not in _TRUNC_UNITS:
+        raise SqlUnsupported(f"date_trunc part {part!r}")
+    out = pc.floor_temporal(arr, unit=part)
+    if part in _TRUNC_TO_DATE:
+        return pc.cast(out, pa.date32())
+    return out
+
+
 def _eval_expr(node: dict, env: dict, n_rows: int):
     """Evaluate a (post-aggregation) expression over named columns:
     ``env`` maps column/alias names and ("agg", fn, col) atoms to
@@ -719,6 +783,21 @@ def _eval_expr(node: dict, env: dict, n_rows: int):
                 af, pc.multiply(pc.trunc(pc.divide(af, bf)), bf))
         if fn in _SCALAR_FNS:
             return _SCALAR_FNS[fn](*args)
+        if fn in ("date_trunc", "datetrunc"):
+            return _date_trunc(_as_py_scalar(args[0]), args[1])
+        if fn in ("date_part", "datepart", "extract"):
+            part = str(_as_py_scalar(args[0])).lower()
+            if part not in _DATE_PARTS:
+                raise SqlUnsupported(f"date_part {part!r}")
+            return _DATE_PARTS[part](args[1])
+        if fn in _DATE_PARTS and len(args) == 1:
+            return _DATE_PARTS[fn](args[0])
+        if fn == "strftime":
+            # DuckDB accepts either argument order
+            a, b = args
+            if isinstance(a, pa.Scalar) and pa.types.is_string(a.type):
+                a, b = b, a
+            return pc.strftime(a, format=str(_as_py_scalar(b)))
         if fn == "nullif":
             a, b = args
             eq = pc.fill_null(pc.equal(a, b), False)
@@ -832,6 +911,8 @@ def _expr_columns(node: dict, out: set):
         _expr_columns(node["right"], out)
     elif cls == "BETWEEN":
         _expr_columns(node["input"], out)
+        _expr_columns(node["lower"], out)
+        _expr_columns(node["upper"], out)
     elif cls == "CASE":
         for chk in node.get("case_checks", []):
             _expr_columns(chk["when_expr"], out)
@@ -1199,6 +1280,10 @@ def _decode_free_eligible(out_dir: str, key: str,
     cm = header0["columns"].get(vcol)
     if cm is None or cm["kind"] not in ("int",):
         return None
+    lt = _sidecar_type(out_dir, vcol)
+    if lt is not None and (pa.types.is_temporal(lt) or pa.types.is_boolean(
+            lt)) and any(f in ("sum", "avg") for f, _ in atoms):
+        return None  # SUM over a bit-view int64 would lose the type
     if any(f in ("count", "avg") for f, _ in atoms):
         total_nulls = 0
         for r in rows:
@@ -1227,6 +1312,13 @@ def _decode_free_group_agg(out_dir: str, key: str, atoms: list[tuple]):
     from .pipeline.query import dict_group_aggregate
 
     t = dict_group_aggregate(out_dir, key, vcol)
+    # restore the value column's logical type on order statistics:
+    # temporal columns ride the int stream as bit views, so min_v /
+    # max_v come back int64 and must cast to the decoded type
+    lt = _sidecar_type(out_dir, vcol)
+    mn, mx = t["min_v"], t["max_v"]
+    if lt is not None and pa.types.is_temporal(lt):
+        mn, mx = pc.cast(mn, lt), pc.cast(mx, lt)
     cols = {key: t[key]}
     for fn, col in atoms:
         if fn == "count_star":
@@ -1236,13 +1328,24 @@ def _decode_free_group_agg(out_dir: str, key: str, atoms: list[tuple]):
         elif fn == "sum":
             cols[f"sum({col})"] = t["sum_v"]
         elif fn == "min":
-            cols[f"min({col})"] = t["min_v"]
+            cols[f"min({col})"] = mn
         elif fn == "max":
-            cols[f"max({col})"] = t["max_v"]
+            cols[f"max({col})"] = mx
         elif fn == "avg":
             cols[f"sum({col})"] = t["sum_v"]
             cols[f"count({col})"] = t["n_rows"]
     return pa.table(cols)
+
+
+def _sidecar_type(out_dir: str, col: str):
+    """Decoded arrow type of ``col`` from the encode-time schema
+    sidecar, or None when no sidecar exists (pre-sidecar dirs)."""
+    from .pipeline.decode import read_schema_sidecar
+
+    sch = read_schema_sidecar(out_dir)
+    if sch is None or col not in sch.names:
+        return None
+    return sch.field(col).type
 
 
 # --------------------------------------------------------------------------
@@ -1640,16 +1743,42 @@ class _MemSource:
 
 class _TableSource:
     """Single encoded table, WHERE compiled to the zone-pruned engine
-    predicate tree."""
+    predicate tree. Conjuncts the tree language can't express (scalar
+    functions, column-vs-column compares, arithmetic) ride along as a
+    ``residual`` expression node, evaluated per batch as one
+    vectorized 3VL mask AFTER the pruned scan — the supported
+    conjuncts still prune partitions/chunks."""
 
-    def __init__(self, out_dir: str, where_tree):
+    def __init__(self, out_dir: str, where_tree, residual=None):
         self.out_dir, self.where_tree = out_dir, where_tree
+        self.residual = residual
 
     def columns(self) -> list[str]:
         return _dataset_columns(self.out_dir)
 
     def stream(self, cols: list[str]):
-        return _scan_or_filter(self.out_dir, self.where_tree, cols)
+        if self.residual is None:
+            return _scan_or_filter(self.out_dir, self.where_tree, cols)
+        want = list(cols) if cols else self.columns()
+        need: set = set()
+        _expr_columns(self.residual, need)
+        read = list(dict.fromkeys(
+            want + [c for c in sorted(need) if c not in want]))
+        ds = _scan_or_filter(self.out_dir, self.where_tree, read)
+        resid = self.residual
+
+        def filt(b: pa.Table) -> pa.Table:
+            env = {c: b[c] for c in b.column_names}
+            m = _eval_expr(resid, env, b.num_rows)
+            if isinstance(m, pa.Scalar):
+                out = b if m.as_py() is True else b.slice(0, 0)
+            else:
+                if isinstance(m, pa.ChunkedArray):
+                    m = m.combine_chunks()
+                out = b.filter(pc.fill_null(m, False))
+            return out.select(want)
+
+        return ds.map_batches(filt, batch_format="pyarrow")
 
     def empty(self, cols: list[str]) -> pa.Table:
         from .pipeline.query import _sidecar_empty
@@ -1658,7 +1787,42 @@ class _TableSource:
 
     @property
     def unfiltered_dir(self):
-        return self.out_dir if self.where_tree is None else None
+        return self.out_dir if self.where_tree is None \
+            and self.residual is None else None
+
+
+def _split_where(where, tables: dict, ocols: list[str], oalias: str):
+    """Compile a WHERE clause for an encoded table: returns
+    ``(tree, residual)`` where ``tree`` is the zone/Bloom-pruned
+    engine predicate tree over the compilable AND-conjuncts (None if
+    none compile) and ``residual`` is the AND of the rest as an
+    expression node (None if everything compiled). The residual is
+    dry-run on the empty schema so unsupported expressions fail on
+    the driver, not inside a Ray task."""
+    outer = (oalias, ocols)
+    try:
+        return _compile_pred(where, tables, any_col=ocols[0],
+                             outer=outer), None
+    except SqlUnsupported:
+        pass
+    trees, resid = [], []
+    for c in _and_conjuncts(where):
+        try:
+            trees.append(_compile_pred(c, tables, any_col=ocols[0],
+                                       outer=outer))
+        except SqlUnsupported:
+            resid.append(c)
+    need: set = set()
+    for r in resid:
+        _expr_columns(r, need)
+    unknown = need - set(ocols)
+    if unknown:
+        raise SqlUnsupported(
+            f"unknown columns {sorted(unknown)} in WHERE")
+    residual = _rebuild_and(resid)
+    tree = trees[0] if len(trees) == 1 else (
+        ("and", trees) if trees else None)
+    return tree, residual
 
 
 _JOIN_TYPES = {"INNER": "inner", "LEFT": "left",
@@ -2391,13 +2555,20 @@ def explain_sql(sql: str, tables: dict[str, str]) -> str:
             lines.append(f"scan {tname} [{out_dir}]")
             if node.get("where_clause"):
                 ocols = _dataset_columns(out_dir)
-                tree = _compile_pred(
-                    node["where_clause"], tables, any_col=ocols[0],
-                    outer=(ft.get("alias") or tname, ocols))
-                lines.append(f"  where -> compound_filter tree: {tree!r}")
-                surv, total = _pruning_counts(out_dir, tree)
-                lines.append("  partitions after zone/Bloom pruning: "
-                             f"{surv}/{total}")
+                tree, residual = _split_where(
+                    node["where_clause"], tables, ocols,
+                    ft.get("alias") or tname)
+                if tree is not None:
+                    lines.append(
+                        f"  where -> compound_filter tree: {tree!r}")
+                    surv, total = _pruning_counts(out_dir, tree)
+                    lines.append(
+                        "  partitions after zone/Bloom pruning: "
+                        f"{surv}/{total}")
+                if residual is not None:
+                    lines.append("  where residual -> per-batch "
+                                 "vectorized 3VL expression mask "
+                                 "(post-scan, no pruning)")
     elif ft.get("type") == "JOIN" and ft.get("ref_type") == "ASOF":
         lines.append("asof join -> windows.asof_join: one "
                      "co-partitioned union shuffle + vectorized "
@@ -2507,13 +2678,19 @@ def _execute_node(node: dict, tables: dict[str, str]):
         if isinstance(target, pa.Table):
             src = _MemSource(target, node.get("where_clause"))
         else:
-            where_tree = None
+            where_tree = residual = None
             if node.get("where_clause"):
                 ocols = _dataset_columns(target)
-                where_tree = _compile_pred(
-                    node["where_clause"], tables, any_col=ocols[0],
-                    outer=(ft.get("alias") or tname, ocols))
-            src = _TableSource(target, where_tree)
+                where_tree, residual = _split_where(
+                    node["where_clause"], tables, ocols,
+                    ft.get("alias") or tname)
+            src = _TableSource(target, where_tree, residual)
+            if residual is not None:
+                # dry-run the residual on the typed empty schema so
+                # unsupported expressions raise on the driver
+                et = src.empty(src.columns())
+                _eval_expr(residual,
+                           {c: et[c] for c in et.column_names}, 0)
     elif ft.get("type") == "JOIN" and ft.get("ref_type") == "ASOF":
         src, node = _asof_source(ft, tables, node)
     elif ft.get("type") == "JOIN":

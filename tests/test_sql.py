@@ -25,6 +25,12 @@ def _mk_docs(n=4000, seed=11):
         "n_chars": pa.array(rng.integers(0, 5000, n), type=pa.int64()),
         "score": pa.array(np.round(rng.random(n), 6),
                           type=pa.float64()),
+        # ~18 months of microsecond timestamps starting 2024-01-01
+        "ts": pa.array(
+            1704067200_000_000
+            + rng.integers(0, 46_000_000, n) * np.int64(1_000_000)
+            + rng.integers(0, 1_000_000, n),
+            type=pa.timestamp("us")),
     })
 
 
@@ -597,7 +603,9 @@ def test_qualify_mixed_with_where(sqlenv):
 
 def test_correlated_exists_complex_raises(sqlenv):
     tables, _ = sqlenv
-    with pytest.raises(SqlUnsupported, match="correlat"):
+    # non-equality correlation can't decorrelate to a semi-join, and
+    # the residual expression path has no subquery support — refused
+    with pytest.raises(SqlUnsupported, match="correlat|SUBQUERY"):
         sql_query("SELECT doc_id FROM docs d WHERE EXISTS "
                   "(SELECT 1 FROM meta m WHERE m.weight > d.n_chars)",
                   tables)
@@ -642,11 +650,11 @@ def test_null_literal_comparisons(sqlenv):
     check(sqlenv, "SELECT doc_id FROM docs "
                   "WHERE n_chars BETWEEN NULL AND 100")
     # DuckDB folds NOT(x = NULL) to x <> NULL (still never-true);
-    # a NULL literal under a REAL NOT is refused loudly
+    # a NULL literal under a REAL NOT rides the residual expression
+    # path (Kleene NOT over UNKNOWN) — same rows as DuckDB
     check(sqlenv, "SELECT doc_id FROM docs WHERE NOT (lang = NULL)")
-    with pytest.raises(SqlUnsupported):
-        sql_query("SELECT doc_id FROM docs WHERE NOT (lang = NULL "
-                  "AND n_chars > 1)", sqlenv[0])
+    check(sqlenv, "SELECT doc_id FROM docs WHERE NOT (lang = NULL "
+                  "AND n_chars > 1)")
 
 
 def test_in_list_with_null(sqlenv):
@@ -981,7 +989,10 @@ def test_correlated_exists_limit(sqlenv):
                   "(SELECT 1 FROM meta m WHERE m.source = d.source "
                   "LIMIT 1) AND n_chars > 4900")
     tables, _ = sqlenv
-    with pytest.raises(SqlUnsupported, match="OFFSET"):
+    # OFFSET changes existence semantics: the predicate compiler
+    # refuses it, and the residual expression path can't express
+    # subqueries either — still a loud driver-side refusal
+    with pytest.raises(SqlUnsupported, match="OFFSET|SUBQUERY"):
         sql_query("SELECT doc_id FROM docs d WHERE EXISTS "
                   "(SELECT 1 FROM meta m WHERE m.source = d.source "
                   "LIMIT 1 OFFSET 1)", tables)
@@ -1337,3 +1348,95 @@ def test_rows_frame_min_max(sqlenv):
                   "ORDER BY doc_id ROWS BETWEEN 5 PRECEDING AND "
                   "CURRENT ROW) AS mx FROM docs WHERE n_chars < 200 "
                   "ORDER BY doc_id LIMIT 150")
+
+
+# --- datetime functions ----------------------------------------------------
+
+def test_date_trunc_group_by(sqlenv):
+    check(sqlenv, "SELECT date_trunc('month', ts) AS mon, COUNT(*) AS n, "
+                  "SUM(n_chars) AS chars FROM docs GROUP BY mon "
+                  "ORDER BY mon")
+    # AVG over ints: sum and count are exact, so the quotient is
+    # reproducible regardless of distributed summation order
+    check(sqlenv, "SELECT date_trunc('week', ts) AS wk, AVG(n_chars) "
+                  "AS s FROM docs GROUP BY wk ORDER BY wk LIMIT 10")
+
+
+def test_date_trunc_select_units(sqlenv):
+    check(sqlenv, "SELECT doc_id, date_trunc('day', ts) AS d, "
+                  "date_trunc('hour', ts) AS h, "
+                  "date_trunc('minute', ts) AS m FROM docs "
+                  "ORDER BY doc_id LIMIT 50")
+
+
+def test_date_part_accessors(sqlenv):
+    check(sqlenv, "SELECT doc_id, year(ts) AS y, month(ts) AS mo, "
+                  "day(ts) AS d, hour(ts) AS h, minute(ts) AS mi, "
+                  "second(ts) AS s FROM docs ORDER BY doc_id LIMIT 80")
+    check(sqlenv, "SELECT doc_id, dayofweek(ts) AS dw, dayofyear(ts) "
+                  "AS dy, quarter(ts) AS q, week(ts) AS w, isodow(ts) "
+                  "AS idw FROM docs ORDER BY doc_id LIMIT 80")
+
+
+def test_extract_syntax_and_epoch(sqlenv):
+    check(sqlenv, "SELECT doc_id, extract(hour FROM ts) AS h, "
+                  "extract(dow FROM ts) AS dw, epoch(ts) AS e, "
+                  "epoch_ms(ts) AS ems FROM docs ORDER BY doc_id "
+                  "LIMIT 60")
+    check(sqlenv, "SELECT doc_id, millisecond(ts) AS ms, "
+                  "microsecond(ts) AS us FROM docs "
+                  "ORDER BY doc_id LIMIT 60")
+
+
+def test_strftime_formats(sqlenv):
+    check(sqlenv, "SELECT doc_id, strftime(ts, '%Y-%m') AS ym, "
+                  "strftime(ts, '%Y-%m-%d %H:%M') AS full FROM docs "
+                  "ORDER BY doc_id LIMIT 60")
+
+
+def test_datetime_in_aggregates_and_having(sqlenv):
+    check(sqlenv, "SELECT year(ts) AS y, quarter(ts) AS q, "
+                  "COUNT(*) AS n FROM docs GROUP BY y, q "
+                  "HAVING COUNT(*) > 10 ORDER BY y, q")
+
+
+def test_datetime_min_max_aggregate(sqlenv):
+    check(sqlenv, "SELECT source, MIN(ts) AS first_ts, MAX(ts) AS "
+                  "last_ts FROM docs GROUP BY source ORDER BY source")
+
+
+# --- residual WHERE (expression fallback over the pruned scan) -------------
+
+def test_residual_where_function(sqlenv):
+    check(sqlenv, "SELECT doc_id FROM docs WHERE length(doc_id) = 8 "
+                  "AND upper(lang) = 'EN' AND n_chars > 4000")
+    check(sqlenv, "SELECT doc_id, n_chars FROM docs "
+                  "WHERE year(ts) = 2024 AND month(ts) = 3")
+
+
+def test_residual_where_arithmetic_and_colcol(sqlenv):
+    check(sqlenv, "SELECT doc_id FROM docs WHERE n_chars % 97 = 3")
+    check(sqlenv, "SELECT doc_id FROM docs "
+                  "WHERE score * 5000 > n_chars AND lang = 'fr'")
+
+
+def test_residual_where_3vl_nulls(sqlenv):
+    # upper(NULL) = 'EN' is UNKNOWN -> row drops (not an error)
+    check(sqlenv, "SELECT doc_id FROM docs WHERE upper(lang) = 'EN' "
+                  "OR n_chars + 0 < 5")
+
+
+def test_residual_where_case(sqlenv):
+    check(sqlenv, "SELECT doc_id FROM docs WHERE (CASE WHEN lang = 'en'"
+                  " THEN n_chars ELSE 0 END) > 4500")
+
+
+def test_residual_unknown_column_raises(sqlenv):
+    import pytest as _pt
+
+    from arcade_ray.sql import SqlUnsupported as _SU
+    tables, _ = sqlenv
+    with _pt.raises((_SU, KeyError)):
+        from arcade_ray.sql import sql_query
+        sql_query("SELECT doc_id FROM docs WHERE length(nope) = 1",
+                  tables)
