@@ -528,3 +528,90 @@ def collect_arrow(ds) -> pa.Table:
     # empty pandas group outputs arrive null-typed (object dtype);
     # permissive promotion folds them into the real column types
     return pa.concat_tables(typed, promote_options="permissive")
+
+
+def _fill_zero(col: pa.ChunkedArray | pa.Array):
+    """A valid scalar of col's type used to fill null KEY slots before
+    a multi-key group_by (the value never surfaces: a companion
+    is-null column keeps filled rows in their own groups)."""
+    import pyarrow.compute as pc
+
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return pc.fill_null(col, "")
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return pc.fill_null(col, b"")
+    if pa.types.is_boolean(t):
+        return pc.fill_null(col, False)
+    if pa.types.is_integer(t) or pa.types.is_floating(t) \
+            or pa.types.is_decimal(t):
+        return pc.fill_null(col, pa.scalar(0, type=t))
+    if pa.types.is_temporal(t):
+        return pc.fill_null(col, pa.scalar(0).cast(t))
+    valid = col.drop_null()
+    if len(valid):
+        return pc.fill_null(col, valid[0])
+    raise TypeError(f"cannot null-fill group key of type {t}")
+
+
+def group_aggregate(t: pa.Table, keys: list[str], aggs: list) -> pa.Table:
+    """``t.group_by(keys).aggregate(aggs)`` that is CORRECT for
+    null-bearing key columns under MULTI-key grouping.
+
+    pyarrow 16.1 has a row-encoder bug: a null key value in a
+    multi-key group_by starts a fresh group roughly every 32 rows
+    (single-key and all-non-null groupings are unaffected). Verified:
+    grouping 400 rows of 4 distinct (string?, int) pairs returns 30
+    groups. Workaround: fill null key slots with a type-appropriate
+    constant and add a non-null boolean is-null companion per affected
+    key (so filled rows can never merge with genuine constant values),
+    group on the widened key set, then restore the nulls and drop the
+    companions."""
+    import pyarrow.compute as pc
+
+    keys = list(keys)
+    if len(keys) <= 1:
+        return t.group_by(keys).aggregate(aggs)
+    null_keys = [k for k in keys if t[k].null_count]
+    if not null_keys:
+        return t.group_by(keys).aggregate(aggs)
+    comps = []
+    t2 = t
+    agg_over_null_key = {}  # original key col -> unfilled duplicate
+    for k in null_keys:
+        comp = f"__nullkey_{k}"
+        while comp in t2.column_names:
+            comp += "_"
+        col = t2[k]
+        # aggregates over a null-filled KEY column must still see the
+        # real nulls (COUNT(k) counts valid values): aggregate an
+        # unfilled duplicate instead and rename the output back
+        if any(isinstance(a[0], str) and a[0] == k for a in aggs):
+            dup = f"__aggsrc_{k}"
+            while dup in t2.column_names:
+                dup += "_"
+            t2 = t2.append_column(dup, col)
+            agg_over_null_key[k] = dup
+        t2 = t2.append_column(comp, pc.is_null(col))
+        t2 = t2.set_column(t2.column_names.index(k), k, _fill_zero(col))
+        comps.append((k, comp))
+    aggs2 = [(agg_over_null_key.get(a[0], a[0]),) + tuple(a[1:])
+             if isinstance(a[0], str) else a for a in aggs]
+    out = t2.group_by(keys + [c for _, c in comps]).aggregate(aggs2)
+    if agg_over_null_key:
+        ren = {f"{dup}_": f"{k}_"
+               for k, dup in agg_over_null_key.items()}
+        new_names = []
+        for name in out.column_names:
+            for dpre, kpre in ren.items():
+                if name.startswith(dpre):
+                    name = kpre + name[len(dpre):]
+                    break
+            new_names.append(name)
+        out = out.rename_columns(new_names)
+    for k, comp in comps:
+        ki = out.column_names.index(k)
+        restored = pc.if_else(out[comp],
+                              pa.scalar(None, type=out[k].type), out[k])
+        out = out.set_column(ki, k, restored)
+    return out.drop_columns([c for _, c in comps])

@@ -303,7 +303,9 @@ def broadcast_join(probe_dir: str, build_dir: str, probe_key,
             "broadcast join needs a small build side — co-partition both "
             "tables on the key instead"
         )
-    n_unique = build.group_by(build_keys).aggregate([]).num_rows
+    from ..collect import group_aggregate
+
+    n_unique = group_aggregate(build, build_keys, []).num_rows
     if n_unique != build.num_rows:
         raise ValueError(
             f"build key {build_keys} is not unique "

@@ -49,6 +49,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .collect import group_aggregate
+
 __all__ = ["sql_query", "explain_sql", "SqlUnsupported"]
 
 
@@ -88,6 +90,7 @@ _TYPE_MAP = {
     "INTEGER": pa.int32(), "BIGINT": pa.int64(), "HUGEINT": pa.int64(),
     "FLOAT": pa.float32(), "DOUBLE": pa.float64(),
     "VARCHAR": pa.string(),
+    "DATE": pa.date32(), "TIMESTAMP": pa.timestamp("us"),
 }
 
 
@@ -115,6 +118,9 @@ def _const_value(node: dict):
 
 
 def _colref(node: dict) -> str:
+    if "column_names" not in node:
+        raise SqlUnsupported(
+            f"expected a column reference, got {node.get('class')!r}")
     names = node["column_names"]
     return names[-1]  # table qualifiers resolved by the (single) scan
 
@@ -959,8 +965,9 @@ def _partial_agg_stream(ds, keys: list[str], atoms: list[tuple]):
         if "__one" in [s[0] for s in specs] and "__one" not in t.column_names:
             t = t.append_column("__one", pa.array(
                 np.ones(t.num_rows, dtype=np.int8)))
-        gb = t.group_by(keys or ["__k"])
-        agg = gb.aggregate([
+        from .collect import group_aggregate
+
+        agg = group_aggregate(t, keys or ["__k"], [
             (c, f) if mode is None
             else (c, f, pcc.CountOptions(mode=mode))
             for c, f, mode, _ in specs])
@@ -980,8 +987,8 @@ def _partial_agg_stream(ds, keys: list[str], atoms: list[tuple]):
     if not parts:
         return None
     allp = pa.concat_tables(parts, promote_options="permissive")
-    gb = allp.group_by(keys or ["__k"])
-    merged = gb.aggregate([(n, f) for n, f in merge_specs])
+    merged = group_aggregate(allp, keys or ["__k"],
+                             [(n, f) for n, f in merge_specs])
     ren = {f"{n}_{f}": n for n, f in merge_specs}
     cols = {}
     for name in merged.column_names:
@@ -1108,8 +1115,10 @@ def _grouping_sets(merged: pa.Table, keys: list[str],
         if sorted(gs) == list(range(len(keys))):
             t = merged
         elif sub:
-            agg = merged.group_by(sub).aggregate(
-                [(c, _merge_fn(c)) for c in atom_cols])
+            from .collect import group_aggregate
+
+            agg = group_aggregate(merged, sub,
+                                  [(c, _merge_fn(c)) for c in atom_cols])
             t = pa.table({
                 **{k: agg[k] for k in sub},
                 **{c: agg[f"{c}_{_merge_fn(c)}"] for c in atom_cols}})
@@ -1144,11 +1153,15 @@ def _count_distinct_counts(src, keys: list[str], col: str,
     pair per block — then a driver-side distinct + valid-count,
     aligned to ``merged``'s group rows (0 for groups whose col is
     all-null)."""
+    from .collect import group_aggregate
+
     gcols = list(dict.fromkeys(keys + [col]))
     ds = src.stream(gcols)
 
     def part(batch: pa.Table) -> pa.Table:
-        return batch.group_by(gcols).aggregate([])
+        from .collect import group_aggregate as ga
+
+        return ga(batch, gcols, [])
 
     parts = [b for b in ds.map_batches(
         part, batch_format="pyarrow").iter_batches(
@@ -1156,13 +1169,13 @@ def _count_distinct_counts(src, keys: list[str], col: str,
     parts = [p for p in parts if p.num_rows]
     if not parts:
         return pa.array([0] * n, type=pa.int64())
-    dd = pa.concat_tables(parts, promote_options="permissive") \
-        .group_by(gcols).aggregate([])
+    dd = group_aggregate(
+        pa.concat_tables(parts, promote_options="permissive"), gcols, [])
     if not keys:
         v = len(pc.drop_null(dd[col].combine_chunks()))
         return pa.array([v] * n, type=pa.int64())
-    cnt = dd.group_by(keys).aggregate(
-        [(col, "count", pc.CountOptions(mode="only_valid"))])
+    cnt = group_aggregate(
+        dd, keys, [(col, "count", pc.CountOptions(mode="only_valid"))])
     lut = {tuple(r[k] for k in keys): r[f"{col}_count"]
            for r in cnt.to_pylist()}
     rows = zip(*[merged[k].to_pylist() for k in keys]) if n else []
@@ -1177,11 +1190,15 @@ def _distinct_agg_values(src, keys: list[str], col: str,
     machinery (per-batch distinct of (keys, col), driver distinct),
     reduced in exact Python over the O(distinct) pairs — big-int
     exact for integers. Groups with no non-null value yield NULL."""
+    from .collect import group_aggregate
+
     gcols = list(dict.fromkeys(keys + [col]))
     ds = src.stream(gcols)
 
     def part(batch: pa.Table) -> pa.Table:
-        return batch.group_by(gcols).aggregate([])
+        from .collect import group_aggregate as ga
+
+        return ga(batch, gcols, [])
 
     parts = [b for b in ds.map_batches(
         part, batch_format="pyarrow").iter_batches(
@@ -1193,8 +1210,8 @@ def _distinct_agg_values(src, keys: list[str], col: str,
         out_type = None  # decided from the column type below
     if not parts:
         return pa.nulls(n, out_type or pa.int64())
-    dd = pa.concat_tables(parts, promote_options="permissive") \
-        .group_by(gcols).aggregate([])
+    dd = group_aggregate(
+        pa.concat_tables(parts, promote_options="permissive"), gcols, [])
     if out_type is None:
         out_type = pa.int64() \
             if pa.types.is_integer(dd.schema.field(col).type) \
@@ -1778,7 +1795,12 @@ class _TableSource:
                 out = b.filter(pc.fill_null(m, False))
             return out.select(want)
 
-        return ds.map_batches(filt, batch_format="pyarrow")
+        out_ds = ds.map_batches(filt, batch_format="pyarrow")
+        # Ray drops empty INPUT blocks before the UDF, so an all-
+        # pruned upstream loses its schema through map_batches; a
+        # typed zero-row union block keeps the contract that empty
+        # results stay typed
+        return _with_typed_empty(out_ds, self.empty(want))
 
     def empty(self, cols: list[str]) -> pa.Table:
         from .pipeline.query import _sidecar_empty
@@ -2765,6 +2787,16 @@ def _execute_node(node: dict, tables: dict[str, str]):
                           having)
 
 
+def _with_typed_empty(ds, empty: pa.Table):
+    """Union a typed zero-row block onto a lazy Dataset so its schema
+    survives even when every upstream block is dropped (Ray skips
+    map_batches UDFs on empty input blocks, which orphans the schema
+    of an all-filtered stream)."""
+    import ray.data as rd
+
+    return ds.union(rd.from_arrow(empty))
+
+
 def _scan_or_filter(out_dir: str, where_tree, project: list[str]):
     from .pipeline.query import compound_filter, scan
 
@@ -2936,13 +2968,22 @@ def _run_row_query(src, node: dict, select: list):
         else:
             sorted_ds = ds.sort(key=[_colref(e) for e, *_ in order],
                                 descending=[d for _, d, _ in order])
+    def _empty_out() -> pa.Table:
+        return finish(src.empty(
+            [c for c in scan_all if not c.startswith("__ord")]))
+
+    if order:
         if star and scan_all == project:
             return sorted_ds
-        return sorted_ds.map_batches(finish, batch_format="pyarrow")
+        return _with_typed_empty(
+            sorted_ds.map_batches(finish, batch_format="pyarrow"),
+            _empty_out())
     if limit is not None:
         from .collect import collect_arrow
 
         t = collect_arrow(ds.limit(limit + offset))
+        if t.num_columns == 0:  # schema lost through empty blocks
+            t = src.empty(scan_all)
         return finish(t.slice(offset, limit))
     if star and scan_all == project:
         return ds  # lazy stream
@@ -2951,7 +2992,8 @@ def _run_row_query(src, node: dict, select: list):
         return ds  # pure projection, stays a lazy stream
     # projection with row-wise computed expressions: evaluate per
     # batch — the result stays a lazy stream, never driver-resident
-    return ds.map_batches(finish, batch_format="pyarrow")
+    return _with_typed_empty(
+        ds.map_batches(finish, batch_format="pyarrow"), _empty_out())
 
 
 _WINDOW_TYPES = {"WINDOW_ROW_NUMBER", "WINDOW_RANK", "WINDOW_RANK_DENSE",
@@ -3720,17 +3762,24 @@ def _run_set_operation(node: dict, tables: dict[str, str]):
                                   setop_select)
     from .collect import collect_arrow
 
+    from .collect import group_aggregate
+
+    def _distinct_batch(b: pa.Table, c) -> pa.Table:
+        from .collect import group_aggregate as ga
+
+        return ga(b, c, [])
+
     tabs = []
     for r in sides:
         if not isinstance(r, pa.Table):
             # distinct per batch before collecting (map-side combine)
             cols = r.schema().names
             r = collect_arrow(r.map_batches(
-                lambda b, c=list(cols): b.group_by(c).aggregate([]),
+                lambda b, c=list(cols): _distinct_batch(b, c),
                 batch_format="pyarrow"))
         tabs.append(r)
     allp = pa.concat_tables(tabs, promote_options="permissive")
-    t = allp.group_by(allp.column_names).aggregate([])
+    t = group_aggregate(allp, allp.column_names, [])
     return _apply_order_limit(t, node, {}, [], setop_select) \
         if has_mods else t
 
@@ -3739,19 +3788,30 @@ def _side_value_counts(r, cols: list[str]) -> pa.Table:
     """(cols..., __n) distinct value counts of one set-operation side;
     streams collapse per batch first (map-side combine) so driver
     state is O(distinct)."""
-    from .collect import collect_arrow
+    from .collect import collect_arrow, group_aggregate
+
+    def _shape(g: pa.Table, n_col: str) -> pa.Table:
+        return pa.table({**{c: g[c] for c in cols},
+                         "__n": pc.cast(g[n_col], pa.int64())})
 
     if isinstance(r, pa.Table):
-        return r.group_by(cols).aggregate(
-            [([], "count_all")]).rename_columns(cols + ["__n"])
-    parts = collect_arrow(r.map_batches(
-        lambda b, c=list(cols): b.group_by(c).aggregate(
-            [([], "count_all")]),
-        batch_format="pyarrow"))
+        return _shape(group_aggregate(r, cols, [([], "count_all")]),
+                      "count_all")
+
+    def part(b: pa.Table, c=list(cols)) -> pa.Table:
+        from .collect import group_aggregate as ga
+
+        return ga(b, c, [([], "count_all")])
+
+    parts = collect_arrow(r.map_batches(part, batch_format="pyarrow"))
     if parts.num_rows == 0:
-        return parts.rename_columns(cols + ["__n"])
-    return parts.group_by(cols).aggregate(
-        [("count_all", "sum")]).rename_columns(cols + ["__n"])
+        return _shape(parts.append_column(
+            "count_all", pa.array([], type=pa.int64())), "count_all") \
+            if "count_all" not in parts.column_names \
+            else _shape(parts, "count_all")
+    return _shape(group_aggregate(parts, cols,
+                                  [("count_all", "sum")]),
+                  "count_all_sum")
 
 
 def _intersect_except(sides, names: list[str], setop: str,
@@ -3774,9 +3834,11 @@ def _intersect_except(sides, names: list[str], setop: str,
     rt = pa.table({**{c: rc[c] for c in names},
                    "__l": zero_l,
                    "__r": rc["__n"].combine_chunks().cast(pa.int64())})
-    both = pa.concat_tables(
-        [lt, rt], promote_options="permissive").group_by(
-        names).aggregate([("__l", "sum"), ("__r", "sum")])
+    from .collect import group_aggregate
+
+    both = group_aggregate(
+        pa.concat_tables([lt, rt], promote_options="permissive"),
+        names, [("__l", "sum"), ("__r", "sum")])
     ln = both["__l_sum"].to_numpy(zero_copy_only=False)
     rn = both["__r_sum"].to_numpy(zero_copy_only=False)
     if setop == "INTERSECT":
@@ -3801,16 +3863,20 @@ def _run_distinct_query(src, node: dict, select: list):
     ds = src.stream(cols)
 
     def part(batch: pa.Table) -> pa.Table:
-        return batch.group_by(cols).aggregate([])
+        from .collect import group_aggregate as ga
+
+        return ga(batch, cols, [])
 
     parts = [b for b in ds.map_batches(
         part, batch_format="pyarrow").iter_batches(
             batch_size=None, batch_format="pyarrow")]
     parts = [p for p in parts if p.num_rows]
     if parts:
-        table = pa.concat_tables(
-            parts, promote_options="permissive").group_by(
-                cols).aggregate([])
+        from .collect import group_aggregate
+
+        table = group_aggregate(
+            pa.concat_tables(parts, promote_options="permissive"),
+            cols, [])
     else:
         table = src.empty(cols)
 
