@@ -370,6 +370,16 @@ _SQL_GROUP_EXPR = (
     "AS sum_en FROM documents GROUP BY n_chars // 50 "
     "ORDER BY bucket")
 
+_SQL_DATE_TRUNC = (
+    "SELECT date_trunc('day', ts) AS day, event_type, "
+    "COUNT(*) AS n, CAST(SUM(user_id) AS BIGINT) AS sum_uid "
+    "FROM events GROUP BY day, event_type ORDER BY day, event_type")
+
+_SQL_RESIDUAL_WHERE = (
+    "SELECT event_id, user_id, event_type FROM events "
+    "WHERE hour(ts) >= 12 AND event_type = 'click' "
+    "AND user_id % 7 = 3 ORDER BY event_id")
+
 _SQL_WINDOW_RANK = (
     "SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY source ORDER BY "
     "n_chars DESC, doc_id) AS rn, CAST(SUM(n_chars) OVER (PARTITION "
@@ -455,6 +465,29 @@ def q_sql_asof(sf_dir: str) -> pa.Table:
     from .sql import sql_query
 
     return sql_query(_SQL_ASOF,
+                     {"events": encoded_dir(sf_dir, "events")})
+
+
+def q_sql_date_trunc(sf_dir: str) -> pa.Table:
+    """SQL datetime functions: date_trunc('day', ts) is a GROUP BY
+    expression, rewritten onto a hidden per-batch derived column
+    evaluated with pyarrow's floor_temporal (DATE-typed for day+
+    units, matching DuckDB), then the composite-key streamed partial
+    aggregation (null-safe multi-key merge)."""
+    from .sql import sql_query
+
+    return sql_query(_SQL_DATE_TRUNC,
+                     {"events": encoded_dir(sf_dir, "events")})
+
+
+def q_sql_residual_where(sf_dir: str) -> pa.Table:
+    """Residual WHERE: hour(ts) >= 12 and user_id % 7 = 3 cannot
+    compile onto the zone-pruned predicate tree, so they ride as one
+    vectorized per-batch 3VL expression mask AFTER the pruned scan;
+    the event_type equality still prunes partitions/chunks."""
+    from .sql import sql_query
+
+    return sql_query(_SQL_RESIDUAL_WHERE,
                      {"events": encoded_dir(sf_dir, "events")})
 
 
@@ -2298,8 +2331,11 @@ QUERIES = {
     # recall contracts. Near-duplicate variants and the remaining
     # operator surface follow below (still queryable, just unsampled):
     # plain-layout range_filter, OR-predicate trees (25-tree 3VL fuzz
-    # vs DuckDB in tests), and the bloom semi-join machine (disk-parity
-    # tested) were displaced by their newer siblings.
+    # vs DuckDB in tests), the bloom semi-join machine (disk-parity
+    # tested), and stats_meta_nulls (stats_meta stays sampled; the
+    # null variant is covered by tests/test_nulls.py) were displaced
+    # by their newer siblings (sql_date_trunc: datetime functions +
+    # composite-key null-safe aggregation through the SQL frontend).
     "scan_project": q_scan_project,
     "roundtrip_documents": q_roundtrip_documents,
     "roundtrip_lineitem": q_roundtrip_lineitem,
@@ -2319,7 +2355,7 @@ QUERIES = {
     "schema_evolution": q_schema_evolution,
     "sql_join_agg": q_sql_join_agg,
     "sql_join3": q_sql_join3,
-    "stats_meta_nulls": q_stats_meta_nulls,
+    "sql_date_trunc": q_sql_date_trunc,
     "dup_ngram_stats": q_dup_ngram_stats,
     "distinct_sources": q_distinct_sources,
     "group_count_encoded": q_group_count_encoded,
@@ -2430,6 +2466,8 @@ QUERIES = {
     "sql_qualify_topn": q_sql_qualify_topn,
     "sql_group_expr": q_sql_group_expr,
     "sql_asof": q_sql_asof,
+    "sql_residual_where": q_sql_residual_where,
+    "stats_meta_nulls": q_stats_meta_nulls,
 }
 
 _IDS_SQL = ", ".join(str(i) for i in LOOKUP_IDS)
@@ -3076,6 +3114,8 @@ ORACLE_SQL = {
     "sql_qualify_topn": _SQL_QUALIFY_TOPN,
     "sql_group_expr": _SQL_GROUP_EXPR,
     "sql_asof": _SQL_ASOF,
+    "sql_date_trunc": _SQL_DATE_TRUNC,
+    "sql_residual_where": _SQL_RESIDUAL_WHERE,
     # compression_metrics, lang_id, quality_scores, minhash_pairs,
     # simhash_pairs, ann_topk_lsh, decontaminate (n=13): intentionally
     # no oracle (engine-side semantics with no exact SQL equivalent ->
