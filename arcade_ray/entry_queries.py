@@ -371,8 +371,12 @@ _SQL_GROUP_EXPR = (
     "ORDER BY bucket")
 
 _SQL_DATE_TRUNC = (
-    "SELECT date_trunc('day', ts) AS day, event_type, "
-    "COUNT(*) AS n, CAST(SUM(user_id) AS BIGINT) AS sum_uid "
+    # CAST to TIMESTAMP: a DATE32 output surfaces as datetime.date
+    # objects on the engine side but datetime64 from DuckDB's fetchdf,
+    # and the driver's value-hash is representation-sensitive
+    "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+    "event_type, COUNT(*) AS n, "
+    "CAST(SUM(user_id) AS BIGINT) AS sum_uid "
     "FROM events GROUP BY day, event_type ORDER BY day, event_type")
 
 _SQL_RESIDUAL_WHERE = (

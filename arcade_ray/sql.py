@@ -2255,6 +2255,12 @@ class _JoinSource:
 
         if wn is not None or want != acc_cols:
             ds = ds.map_batches(post, batch_format="pyarrow")
+        try:
+            # keep the schema alive through all-gated joins (an ANTI
+            # join that drops every row yields zero blocks)
+            ds = _with_typed_empty(ds, self._typed_empty(want))
+        except KeyError:
+            pass  # suffix-renamed columns: schema rides the blocks
         return ds
 
     @staticmethod
@@ -2267,10 +2273,37 @@ class _JoinSource:
             return rd.from_arrow(base.target.select(cols))
         return scan(base.target, columns=cols)
 
+    def _typed_empty(self, cols: list[str]) -> pa.Table:
+        """Zero-row join output typed from the providing bases'
+        schema sidecars / in-memory schemas — no execution. Raises
+        KeyError for names it cannot attribute (suffix-renamed
+        collision columns); callers fall back to the stream schema."""
+        out = {}
+        for c in cols:
+            t = None
+            for i, b in enumerate(self.bases):
+                if i in self.hidden or c not in b.colset:
+                    continue
+                t = (b.target.schema.field(c).type
+                     if isinstance(b.target, pa.Table)
+                     else _sidecar_type(b.target, c))
+                break
+            if t is None:
+                raise KeyError(
+                    f"cannot type empty join column {c!r} (no schema "
+                    "sidecar on the providing table)")
+            out[c] = pa.array([], type=t)
+        return pa.table(out)
+
     def empty(self, cols: list[str]) -> pa.Table:
-        sch = self.stream(cols).schema()
-        return pa.table({n: pa.array([], type=t)
-                         for n, t in zip(sch.names, sch.types)})
+        try:
+            return self._typed_empty(cols)
+        except KeyError:
+            sch = self.stream(cols).schema()
+            if sch is None or not getattr(sch, "names", None):
+                raise
+            return pa.table({n: pa.array([], type=t)
+                             for n, t in zip(sch.names, sch.types)})
 
     unfiltered_dir = None
 
@@ -3474,6 +3507,19 @@ def _run_window_query(src, node: dict, select: list):
     out = (ds.map_batches(assign, batch_format="pyarrow")
              .groupby("_wb")
              .map_groups(wpass, batch_format="pyarrow"))
+    try:
+        # typed zero-row block so an all-filtered input keeps the
+        # output schema (Ray's groupby emits nothing for an empty
+        # stream): run the whole window pass over ONE synthetic row
+        # of type-appropriate constants, then slice it away
+        from .collect import _fill_zero
+
+        et = src.empty(need)
+        dummy = pa.table({f.name: _fill_zero(pa.nulls(1, f.type))
+                          for f in et.schema})
+        out = _with_typed_empty(out, wpass(assign(dummy)).slice(0, 0))
+    except Exception:
+        pass  # exotic column types: the schema rides the blocks
 
     order, limit, offset = _modifiers(node, select)
     if order and limit is not None:

@@ -245,3 +245,125 @@ def test_group_aggregate_null_multikey():
     })
     m3 = group_aggregate(t3, ["a", "b"], [("c", "sum")])
     assert m3.num_rows == 1 and m3.to_pylist()[0]["c_sum"] == 2
+
+
+# ---- grammar v2: joins / windows / distinct / set ops ----------------------
+
+@pytest.fixture(scope="module")
+def fuzzenv2(ray_session, tmp_path_factory):
+    import duckdb
+
+    from arcade_ray.pipeline.encode import encode_parquet
+
+    base = tmp_path_factory.mktemp("sqlfuzz2")
+    t = _mk_fuzz()
+    rng = np.random.default_rng(21)
+    dim = pa.table({
+        "source": pa.array([f"s{i}" for i in range(7)]),  # s5,s6 dangle
+        "region": pa.array([f"r{i % 3}" if i != 4 else None
+                            for i in range(7)]),
+        "weight": pa.array(rng.integers(1, 50, 7), type=pa.int64()),
+    })
+    tables = {}
+    for name, tab, key, idc in (("fz", t, "source", "doc_id"),
+                                ("dim", dim, "region", "source")):
+        p = str(base / f"{name}.parquet")
+        pq.write_table(tab, p)
+        out = str(base / f"enc_{name}")
+        encode_parquet(p, out, key_col=key, id_col=idc,
+                       weight_col=None)
+        tables[name] = out
+    con = duckdb.connect()
+    con.register("fz", t)
+    con.register("dim", dim)
+    yield tables, con
+    con.close()
+
+
+def _join_query(r: random.Random) -> str:
+    jt = r.choice(["JOIN", "JOIN", "LEFT JOIN", "SEMI JOIN",
+                   "ANTI JOIN"])
+    gated = jt in ("SEMI JOIN", "ANTI JOIN")
+    proj = ["fz.doc_id", "fz.n_chars"]
+    if not gated and r.random() < 0.6:
+        proj += ["dim.region", "dim.weight"]
+    q = (f"SELECT {', '.join(proj)} FROM fz {jt} dim "
+         "ON fz.source = dim.source")
+    if r.random() < 0.6:
+        q += f" WHERE {_pred(r)}"
+    if r.random() < 0.5:
+        q += f" ORDER BY fz.doc_id LIMIT {r.randint(5, 120)}"
+    return q
+
+
+def _window_query(r: random.Random) -> str:
+    wf = r.choice([
+        "ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)",
+        "RANK() OVER (PARTITION BY source ORDER BY n_chars, doc_id)",
+        "LAG(n_chars) OVER (PARTITION BY source ORDER BY doc_id)",
+        "CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id)"
+        " AS BIGINT)",
+        "MIN(rank_i) OVER (PARTITION BY lang ORDER BY doc_id)",
+    ])
+    q = f"SELECT doc_id, source, {wf} AS w FROM fz"
+    if r.random() < 0.5:
+        q += f" WHERE {_pred(r)}"
+    if r.random() < 0.4:
+        q += " QUALIFY ROW_NUMBER() OVER (PARTITION BY source " \
+             "ORDER BY doc_id) <= 7"
+    q += f" ORDER BY doc_id LIMIT {r.randint(20, 300)}"
+    return q
+
+
+def _distinct_query(r: random.Random) -> str:
+    cols = r.sample(["source", "lang", "rank_i"], r.choice([1, 2]))
+    q = f"SELECT DISTINCT {', '.join(cols)} FROM fz"
+    if r.random() < 0.5:
+        q += f" WHERE {_pred(r)}"
+    return q
+
+
+def _count_distinct_query(r: random.Random) -> str:
+    key = r.choice(["source", "lang"])
+    q = (f"SELECT {key}, COUNT(DISTINCT lang) AS dl, "
+         f"COUNT(DISTINCT rank_i) AS dr, COUNT(*) AS n "
+         f"FROM fz GROUP BY {key} ORDER BY {key}")
+    return q
+
+
+def _setop_query(r: random.Random) -> str:
+    op = r.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    lo1, lo2 = r.randint(0, 4000), r.randint(0, 4000)
+    return (f"SELECT source, lang FROM fz WHERE n_chars > {lo1} "
+            f"{op} SELECT source, lang FROM fz WHERE rank_i > "
+            f"{r.randint(-40, 40)} AND n_chars > {lo2}")
+
+
+def _gen2(seed: int) -> str:
+    r = random.Random(10_000 + seed)
+    return r.choice([_join_query, _window_query, _distinct_query,
+                     _count_distinct_query, _setop_query])(r)
+
+
+def test_sql_fuzz_parity_v2(fuzzenv2):
+    tables, con = fuzzenv2
+    skipped, ran = 0, 0
+    for seed in range(N_QUERIES):
+        q = _gen2(seed)
+        try:
+            mine = sql_query(q, tables)
+        except SqlUnsupported:
+            skipped += 1
+            continue
+        if not isinstance(mine, pa.Table):
+            from arcade_ray.collect import collect_arrow
+
+            mine = collect_arrow(mine)
+        oracle = con.execute(q).arrow()
+        assert sorted(mine.column_names) == \
+            sorted(oracle.column_names), (seed, q)
+        assert mine.num_rows == oracle.num_rows, \
+            (seed, q, mine.num_rows, oracle.num_rows)
+        assert _norm(mine) == _norm(oracle), (seed, q)
+        ran += 1
+    assert ran >= max(1, (ran + skipped) * 2 // 3), (ran, skipped)
