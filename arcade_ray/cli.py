@@ -383,6 +383,48 @@ def cmd_compound_filter(args) -> None:
         print(out.slice(0, args.show).to_pandas())
 
 
+def cmd_update(args) -> None:
+    from .collect import collect_arrow
+    from .pipeline.compact import update_rows
+    from .pipeline.query import compound_filter
+
+    header = _load_header(args.out_dir)
+    preds = _build_preds(args, header)
+    tree = ("or", preds) if args.any else preds
+    assignments = {}
+    for a in args.set:
+        col, _, raw = a.partition("=")
+        if not _:
+            sys.exit(f"error: --set needs col=value, got {a!r}")
+        val: object = raw
+        try:
+            val = int(raw)
+        except ValueError:
+            try:
+                val = float(raw)
+            except ValueError:
+                pass
+        assignments[col] = val
+    if not args.force:
+        cols = sorted({p[1] if p[0] != "not" else p[1][1] for p in preds})
+        try:
+            n = collect_arrow(compound_filter(
+                args.out_dir, tree, project=cols[:1])).num_rows
+        except KeyError as e:
+            sys.exit(f"error: {e.args[0]}")
+        print(f"DRY RUN: {n} rows match; pass --force to update them")
+        return
+    t0 = time.perf_counter()
+    try:
+        info = update_rows(args.out_dir, tree, assignments)
+    except KeyError as e:
+        sys.exit(f"error: {e.args[0]}")
+    print(f"Updated {info['rows_updated']} rows in "
+          f"{time.perf_counter() - t0:.2f} s "
+          f"({info['rewritten']} partitions rewritten, "
+          f"{info['pruned']} zone-pruned)")
+
+
 def cmd_delete(args) -> None:
     from .collect import collect_arrow
     from .pipeline.compact import delete_rows
@@ -781,6 +823,26 @@ def main(argv=None) -> None:
     dl.add_argument("--force", action="store_true",
                     help="actually delete (default: dry-run count)")
     dl.set_defaults(fn=cmd_delete)
+
+    up = sub.add_parser("update",
+                        help="predicate UPDATE (SET col=value) with "
+                             "partition rewrite + lineage (dry run "
+                             "unless --force)")
+    up.add_argument("out_dir")
+    up.add_argument("--set", action="append", default=[], required=True,
+                    help="col=value assignment (repeatable; value "
+                         "parsed as int/float when it looks numeric)")
+    up.add_argument("--eq", action="append", default=[],
+                    help="col=value (repeatable)")
+    up.add_argument("--neq", action="append", default=[],
+                    help="col=value negated equality (repeatable)")
+    up.add_argument("--between", action="append", default=[],
+                    help="col=lo,hi (repeatable)")
+    up.add_argument("--any", action="store_true",
+                    help="OR the predicates instead of ANDing them")
+    up.add_argument("--force", action="store_true",
+                    help="actually update (default: dry-run count)")
+    up.set_defaults(fn=cmd_update)
 
     ga = sub.add_parser("group-agg",
                         help="decode-free GROUP BY key -> sum/min/max/count")

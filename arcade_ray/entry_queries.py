@@ -495,6 +495,34 @@ def q_sql_residual_where(sf_dir: str) -> pa.Table:
                      {"events": encoded_dir(sf_dir, "events")})
 
 
+def q_update_relabel(sf_dir: str) -> pa.Table:
+    """Predicate UPDATE (compact.update_rows): relabel the lang of
+    every short document in one source, on a PRIVATE encoded copy
+    (shared caches stay immutable). Zone maps prune partitions with
+    no match; matching partitions rewrite once under ``replaces``
+    lineage. Idempotent in final state: re-running the same UPDATE
+    leaves the scan output unchanged, so the cached copy is safe to
+    reuse. Oracle: the equivalent CASE projection."""
+    import hashlib as _h
+
+    from .pipeline.compact import update_rows
+    from .pipeline.encode import encode_parquet
+
+    tag = _h.md5(
+        f"{sf_dir}|documents-upd|{_CACHE_SALT}".encode()).hexdigest()[:10]
+    out = os.path.join(CACHE_ROOT, f"documents-upd-{tag}")
+    if not os.path.exists(os.path.join(out, "manifest.parquet")):
+        encode_parquet(os.path.join(sf_dir, "documents.parquet"), out,
+                       key_col="source", id_col="doc_id",
+                       weight_col=None)
+    update_rows(out, ("and", [("eq", "source", "src-001"),
+                              ("between", "n_chars", 0, 499)]),
+                {"lang": "und"})
+    t = _collect(scan(out, columns=["doc_id", "lang", "source",
+                                    "n_chars"]))
+    return t.sort_by("doc_id")
+
+
 def q_sql_group_expr(sf_dir: str) -> pa.Table:
     """SQL frontend, GROUP BY expression + aggregate FILTER: the
     non-column group key and the filtered argument rewrite onto
@@ -2361,7 +2389,6 @@ QUERIES = {
     "sql_join3": q_sql_join3,
     "sql_date_trunc": q_sql_date_trunc,
     "dup_ngram_stats": q_dup_ngram_stats,
-    "distinct_sources": q_distinct_sources,
     "group_count_encoded": q_group_count_encoded,
     "group_agg_multi": q_group_agg_multi,
     "group_topk": q_group_topk,
@@ -2385,6 +2412,7 @@ QUERIES = {
     "json_extract_agg": q_json_extract_agg,
     "exact_dedup": q_exact_dedup,
     "dedup_incremental": q_dedup_incremental,
+    "update_relabel": q_update_relabel,
     "minhash_pairs": q_minhash_pairs,
     "ann_topk": q_ann_topk,
     "bm25_scores": q_bm25_scores,
@@ -2471,6 +2499,7 @@ QUERIES = {
     "sql_group_expr": q_sql_group_expr,
     "sql_asof": q_sql_asof,
     "sql_residual_where": q_sql_residual_where,
+    "distinct_sources": q_distinct_sources,
     "stats_meta_nulls": q_stats_meta_nulls,
 }
 
@@ -3120,6 +3149,10 @@ ORACLE_SQL = {
     "sql_asof": _SQL_ASOF,
     "sql_date_trunc": _SQL_DATE_TRUNC,
     "sql_residual_where": _SQL_RESIDUAL_WHERE,
+    "update_relabel": (
+        "SELECT doc_id, CASE WHEN source = 'src-001' AND n_chars <= "
+        "499 THEN 'und' ELSE lang END AS lang, source, n_chars "
+        "FROM documents ORDER BY doc_id"),
     # compression_metrics, lang_id, quality_scores, minhash_pairs,
     # simhash_pairs, ann_topk_lsh, decontaminate (n=13): intentionally
     # no oracle (engine-side semantics with no exact SQL equivalent ->

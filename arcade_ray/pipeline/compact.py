@@ -246,3 +246,120 @@ def delete_rows(out_dir: str, preds, run_remote: bool = True) -> dict:
     return {"partitions": len(rows), "pruned": pruned,
             "rewritten": rewritten, "dropped": dropped,
             "rows_deleted": rows_deleted}
+
+
+def update_rows(out_dir: str, preds, assignments: dict,
+                run_remote: bool = True) -> dict:
+    """Predicate UPDATE with partition rewrite + lineage: SET each
+    ``assignments`` column to a constant (or to ``fn(table) ->
+    Array`` for computed updates) on every row matching a compound
+    predicate tree (same grammar as ``compound_filter`` /
+    ``delete_rows``) — the relabel/redaction path of a managed
+    corpus (e.g. SET lang = 'und' WHERE quality < t).
+
+    Scale shape mirrors delete_rows: manifest zone maps prune
+    partitions that provably contain no match; candidates run one
+    task each; the decode-free match indices decide; a no-match
+    partition stays byte-identical; a matching partition decodes
+    once, applies the assignments through one vectorized if_else per
+    column, and re-encodes under a ``#uNNN`` key whose manifest row
+    ``replaces`` the original (crash-safe commit order: new row
+    lands before the old row/file is removed).
+
+    Returns {"partitions": n, "pruned": n, "rewritten": n,
+    "rows_updated": n}."""
+    import hashlib
+
+    import numpy as np
+
+    from ..format import read_header
+    from .query import _eval_match_idx, _normalize_pred, _zone_excluded
+
+    tree = _normalize_pred(preds)
+    rows = load_manifest(out_dir).to_pylist()
+    if not rows:
+        return {"partitions": 0, "pruned": 0, "rewritten": 0,
+                "rows_updated": 0}
+    header0, _ = read_header(rows[0]["path"])
+    for col in assignments:
+        if col not in header0["columns"]:
+            raise KeyError(f"unknown column {col!r} in SET")
+
+    candidates = []
+    pruned = 0
+    for r in rows:
+        stats = json.loads(r["col_stats"])
+        if _zone_excluded(header0, stats, tree):
+            pruned += 1
+            continue
+        candidates.append(r)
+
+    def _update_one(row: dict):
+        _pin_arrow_threads()
+        header, base = read_header(row["path"])
+        match_idx = _eval_match_idx(row["path"], header, base, tree)
+        chunk_rows = [ch["n"] for ch in
+                      next(iter(header["columns"].values()))["chunks"]]
+        n_match = sum(0 if m is None else len(m) for m in match_idx)
+        if n_match == 0:
+            return ("untouched", row["part_key"], 0, None)
+        total = sum(chunk_rows)
+        table = decode_partition(row["path"])
+        mask = np.zeros(total, dtype=bool)
+        off = 0
+        for nrows, m in zip(chunk_rows, match_idx):
+            if m is not None and len(m):
+                mask[off + np.asarray(m, dtype=np.int64)] = True
+            off += nrows
+        marr = pa.array(mask)
+        for col, val in assignments.items():
+            old = table[col].combine_chunks()
+            new = val(table) if callable(val) \
+                else pa.scalar(val, type=old.type)
+            if not isinstance(new, (pa.Scalar,)):
+                new = new.combine_chunks() \
+                    if isinstance(new, pa.ChunkedArray) else new
+                new = pc.cast(new, old.type)
+            upd = pc.if_else(marr, new, old)
+            table = table.set_column(
+                table.column_names.index(col), col, upd)
+        digest = hashlib.md5(
+            (row["part_key"] + repr(sorted(assignments))).encode()
+        ).hexdigest()[:8]
+        new_key = f"{_source_of(row['part_key'])}#u{digest}"
+        blob, new_row = encode_partition(table, new_key)
+        new_row["replaces"] = [row["part_key"]]
+        new_row["generation"] = generation_of_row(row)
+        commit_partition(out_dir, new_key, blob, new_row)
+        return ("rewritten", row["part_key"], n_match, new_key)
+
+    if run_remote and candidates:
+        import ray
+
+        task = ray.remote(_update_one)
+        results = ray.get([task.remote(r) for r in candidates])
+    else:
+        results = [_update_one(r) for r in candidates]
+
+    from .encode import _manifest_row_path
+
+    by_key = {r["part_key"]: r for r in rows}
+    rows_updated = rewritten = 0
+    for status, key, n_upd, _new in results:
+        rows_updated += n_upd
+        if status == "untouched":
+            continue
+        rewritten += 1
+        try:
+            os.remove(_manifest_row_path(out_dir, key))
+        except FileNotFoundError:
+            pass
+        try:
+            os.remove(by_key[key]["path"])
+        except FileNotFoundError:
+            pass
+
+    manifest = load_manifest(out_dir)
+    _write_consolidated(out_dir, manifest)
+    return {"partitions": len(rows), "pruned": pruned,
+            "rewritten": rewritten, "rows_updated": rows_updated}

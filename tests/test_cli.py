@@ -23,6 +23,10 @@ main(["--num-cpus", "4", "compound-filter", enc, "--eq", "source=src-001",
 main(["--num-cpus", "4", "group-agg", enc, "source", "n_tok"])
 main(["--num-cpus", "4", "join", enc, enc, "--on", "doc_id=doc_id",
       "--probe-cols", "doc_id,n_tok", "--build-cols", "source"])
+main(["--num-cpus", "4", "update", enc, "--set", "source=relabeled",
+      "--eq", "source=src-002", "--between", "n_tok=0,150"])
+main(["--num-cpus", "4", "update", enc, "--set", "source=relabeled",
+      "--eq", "source=src-002", "--between", "n_tok=0,150", "--force"])
 main(["--num-cpus", "4", "delete", enc, "--eq", "source=src-001"])
 main(["--num-cpus", "4", "delete", enc, "--eq", "source=src-001", "--force"])
 main(["--num-cpus", "4", "delete", enc, "--eq", "source=src-001", "--force"])
@@ -46,6 +50,7 @@ def test_cli_end_to_end(tmp_path):
     assert "8 groups" in lines or "6 groups" in lines  # group-agg
     assert "Joined" in lines or "Returned 5000 rows" in lines  # self-join
     assert "DRY RUN:" in lines and "pass --force" in lines
+    assert "Updated" in lines and "partitions rewritten" in lines
     assert "Deleted 0 rows" in lines  # idempotent second --force run
 
 
