@@ -664,7 +664,54 @@ _SCALAR_FNS = {
         a, pattern=_as_py_scalar(b)),
     "regexp_matches": lambda a, b: pc.match_substring_regex(
         a, pattern=_as_py_scalar(b)),
+    "replace": lambda a, b, c: pc.replace_substring(
+        a, pattern=_as_py_scalar(b), replacement=_as_py_scalar(c)),
+    "regexp_replace": lambda a, b, c: pc.replace_substring_regex(
+        a, pattern=_as_py_scalar(b), replacement=_as_py_scalar(c)),
+    "left": lambda a, n: pc.utf8_slice_codeunits(
+        a, start=0, stop=int(_as_py_scalar(n))),
+    "right": lambda a, n: pc.utf8_slice_codeunits(
+        a, start=-int(_as_py_scalar(n))),
+    # DuckDB's lpad/rpad truncate to the width when the input is
+    # longer (both keep the FIRST width chars); Arrow only pads
+    "lpad": lambda a, w, p: pc.utf8_slice_codeunits(
+        pc.utf8_lpad(a, width=int(_as_py_scalar(w)),
+                     padding=_as_py_scalar(p)),
+        start=0, stop=int(_as_py_scalar(w))),
+    "rpad": lambda a, w, p: pc.utf8_slice_codeunits(
+        pc.utf8_rpad(a, width=int(_as_py_scalar(w)),
+                     padding=_as_py_scalar(p)),
+        start=0, stop=int(_as_py_scalar(w))),
+    "strpos": lambda a, b: pc.cast(pc.add(
+        pc.find_substring(a, pattern=_as_py_scalar(b)), 1), pa.int64()),
+    "instr": lambda a, b: pc.cast(pc.add(
+        pc.find_substring(a, pattern=_as_py_scalar(b)), 1), pa.int64()),
+    "position": lambda a, b: pc.cast(pc.add(
+        pc.find_substring(a, pattern=_as_py_scalar(b)), 1), pa.int64()),
+    "repeat": lambda a, n: pc.binary_repeat(a, int(_as_py_scalar(n))),
 }
+
+
+def _split_part(arr, sep, idx1: int):
+    """DuckDB split_part(s, sep, n): 1-based n-th piece, '' when the
+    split has fewer pieces, NULL for NULL input — one offsets-based
+    gather, no per-row Python."""
+    if isinstance(arr, pa.Scalar):
+        arr = pa.array([arr.as_py()], type=pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    sp = pc.split_pattern(pc.fill_null(arr, ""), pattern=sep)
+    if isinstance(sp, pa.ChunkedArray):
+        sp = sp.combine_chunks()
+    offs = np.asarray(sp.offsets)
+    want = offs[:-1] + (idx1 - 1)
+    in_range = want < offs[1:]
+    vals = sp.values
+    taken = vals.take(pa.array(np.where(in_range, want, 0),
+                               type=pa.int64()))
+    # DuckDB quirk: split_part(NULL, sep, n) = '' (not NULL) — the
+    # fill_null('') above already produces exactly that
+    return pc.if_else(pa.array(in_range), taken, pa.scalar(""))
 
 
 def _i64(a):
@@ -747,8 +794,15 @@ def _eval_expr(node: dict, env: dict, n_rows: int):
         tid = node["cast_type"]["id"]
         if tid not in _TYPE_MAP:
             raise SqlUnsupported(f"CAST to {tid!r}")
-        return pc.cast(_eval_expr(node["child"], env, n_rows),
-                       _TYPE_MAP[tid])
+        arr = _eval_expr(node["child"], env, n_rows)
+        tgt = _TYPE_MAP[tid]
+        src_t = arr.type
+        if pa.types.is_integer(tgt) and pa.types.is_floating(src_t):
+            # DuckDB CAST(float AS INT) rounds (ties away from zero);
+            # Arrow raises on truncation
+            arr = pc.round(arr, ndigits=0,
+                           round_mode="half_towards_infinity")
+        return pc.cast(arr, tgt)
     if cls == "FUNCTION":
         fn = node["function_name"]
         if fn in _AGG_FNS:
@@ -789,6 +843,9 @@ def _eval_expr(node: dict, env: dict, n_rows: int):
                 af, pc.multiply(pc.trunc(pc.divide(af, bf)), bf))
         if fn in _SCALAR_FNS:
             return _SCALAR_FNS[fn](*args)
+        if fn == "split_part":
+            return _split_part(args[0], str(_as_py_scalar(args[1])),
+                               int(_as_py_scalar(args[2])))
         if fn in ("date_trunc", "datetrunc"):
             return _date_trunc(_as_py_scalar(args[0]), args[1])
         if fn in ("date_part", "datepart", "extract"):

@@ -1440,3 +1440,24 @@ def test_residual_unknown_column_raises(sqlenv):
         from arcade_ray.sql import sql_query
         sql_query("SELECT doc_id FROM docs WHERE length(nope) = 1",
                   tables)
+
+
+def test_string_functions_extended(sqlenv):
+    check(sqlenv, "SELECT doc_id, replace(doc_id, '0', 'O') AS r, "
+                  "left(doc_id, 3) AS l, right(doc_id, 2) AS rr, "
+                  "repeat(lang, 2) AS rep FROM docs "
+                  "ORDER BY doc_id LIMIT 40")
+    check(sqlenv, "SELECT doc_id, lpad(source, 9, '*') AS lp, "
+                  "rpad(source, 3, '#') AS rp, strpos(doc_id, '9') "
+                  "AS sp FROM docs ORDER BY doc_id LIMIT 40")
+    check(sqlenv, "SELECT doc_id, split_part(source, '-', 2) AS p2, "
+                  "split_part(source, '-', 5) AS p5, "
+                  "split_part(lang, 'x', 1) AS px FROM docs "
+                  "ORDER BY doc_id LIMIT 40")
+
+
+def test_string_functions_in_where_residual(sqlenv):
+    check(sqlenv, "SELECT doc_id FROM docs "
+                  "WHERE split_part(source, '-', 2) = '3'")
+    check(sqlenv, "SELECT doc_id FROM docs "
+                  "WHERE strpos(doc_id, '77') > 0 AND lang = 'en'")

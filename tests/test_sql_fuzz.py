@@ -367,3 +367,65 @@ def test_sql_fuzz_parity_v2(fuzzenv2):
         assert _norm(mine) == _norm(oracle), (seed, q)
         ran += 1
     assert ran >= max(1, (ran + skipped) * 2 // 3), (ran, skipped)
+
+
+# ---- grammar v3: subqueries / CTEs / rollup --------------------------------
+
+def _subq_query(r: random.Random) -> str:
+    shape = r.choice(["in", "notin", "exists", "scalar", "cte",
+                      "derived", "rollup"])
+    if shape == "in":
+        return ("SELECT doc_id FROM fz WHERE source IN (SELECT source "
+                f"FROM dim WHERE weight > {r.randint(1, 45)})")
+    if shape == "notin":
+        return ("SELECT doc_id FROM fz WHERE source NOT IN (SELECT "
+                f"source FROM dim WHERE weight < {r.randint(5, 45)})")
+    if shape == "exists":
+        return ("SELECT doc_id FROM fz d WHERE EXISTS (SELECT 1 FROM "
+                "dim m WHERE m.source = d.source AND m.weight > "
+                f"{r.randint(1, 45)}) AND n_chars > {r.randint(0, 8000)}")
+    if shape == "scalar":
+        return ("SELECT doc_id, n_chars FROM fz WHERE n_chars > "
+                "(SELECT CAST(AVG(n_chars) AS BIGINT) FROM fz) "
+                f"AND rank_i < {r.randint(-20, 40)}")
+    if shape == "cte":
+        return ("WITH hot AS (SELECT source, COUNT(*) AS n FROM fz "
+                "GROUP BY source) SELECT fz.doc_id, hot.n FROM fz "
+                "JOIN hot ON fz.source = hot.source WHERE "
+                f"n_chars > {r.randint(6000, 9500)} "
+                "ORDER BY fz.doc_id")
+    if shape == "derived":
+        return ("SELECT t.source, t.n FROM (SELECT source, COUNT(*) "
+                "AS n FROM fz GROUP BY source) t WHERE t.n > "
+                f"{r.randint(100, 600)} ORDER BY t.source")
+    return ("SELECT source, lang, COUNT(*) AS n FROM fz "
+            f"WHERE n_chars > {r.randint(0, 6000)} "
+            "GROUP BY ROLLUP (source, lang) ORDER BY source, lang, n")
+
+
+def _gen3(seed: int) -> str:
+    return _subq_query(random.Random(20_000 + seed))
+
+
+def test_sql_fuzz_parity_v3(fuzzenv2):
+    tables, con = fuzzenv2
+    skipped, ran = 0, 0
+    for seed in range(N_QUERIES):
+        q = _gen3(seed)
+        try:
+            mine = sql_query(q, tables)
+        except SqlUnsupported:
+            skipped += 1
+            continue
+        if not isinstance(mine, pa.Table):
+            from arcade_ray.collect import collect_arrow
+
+            mine = collect_arrow(mine)
+        oracle = con.execute(q).arrow()
+        assert sorted(mine.column_names) == \
+            sorted(oracle.column_names), (seed, q)
+        assert mine.num_rows == oracle.num_rows, \
+            (seed, q, mine.num_rows, oracle.num_rows)
+        assert _norm(mine) == _norm(oracle), (seed, q)
+        ran += 1
+    assert ran >= max(1, (ran + skipped) * 2 // 3), (ran, skipped)
