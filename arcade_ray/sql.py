@@ -548,8 +548,43 @@ def _compile_pred(node: dict, tables: dict, neg: bool = False,
 # expression classification (select list / having / order by)
 
 _AGG_FNS = {"sum", "min", "max", "avg", "count", "count_star",
-            "approx_count_distinct"}
+            "approx_count_distinct", "var_pop", "var_samp", "variance",
+            "stddev", "stddev_samp", "stddev_pop", "bool_and",
+            "bool_or", "median", "quantile_cont", "quantile_disc"}
+
+# aliases fold at collect time so one atom serves every spelling
+_AGG_ALIASES = {"variance": "var_samp", "stddev": "stddev_samp"}
+
+_VAR_FNS = ("var_pop", "var_samp", "stddev_pop", "stddev_samp")
+
+
+def _is_special_agg(fn: str) -> bool:
+    """Atoms that cannot run through the per-batch partial stream
+    (distinct / quantile state does not pre-aggregate)."""
+    return fn in ("count_distinct", "approx_count_distinct",
+                  "sum_distinct", "avg_distinct") \
+        or fn.startswith(("quantile_cont@", "quantile_disc@"))
 _ARITH = {"+": pc.add, "-": pc.subtract, "*": pc.multiply}
+
+
+def _agg_atom_name(node: dict) -> str:
+    """Canonical atom name for an aggregate FUNCTION node: aliases
+    fold (variance -> var_samp), MEDIAN / QUANTILE_CONT / _DISC carry
+    their quantile fraction in the name (``quantile_cont@0.5``) so
+    the (fn, col) atom plumbing stays two-element."""
+    fn = node["function_name"]
+    fn = _AGG_ALIASES.get(fn, fn)
+    if fn == "median":
+        return "quantile_cont@0.5"
+    if fn in ("quantile_cont", "quantile_disc"):
+        ch = node.get("children") or []
+        if len(ch) != 2 or ch[1]["class"] != "CONSTANT":
+            raise SqlUnsupported(f"{fn} needs a constant fraction")
+        p = float(_const_value(ch[1]))
+        if not 0.0 <= p <= 1.0:
+            raise SqlUnsupported(f"{fn} fraction {p} outside [0, 1]")
+        return f"{fn}@{p!r}"
+    return fn
 
 
 def _collect_aggs(node: dict, out: list):
@@ -583,7 +618,7 @@ def _collect_aggs(node: dict, out: list):
                 if ch["class"] != "COLUMN_REF":
                     raise SqlUnsupported(
                         "aggregate argument must be a plain column")
-                out.append((fn, _colref(ch)))
+                out.append((_agg_atom_name(node), _colref(ch)))
             return
         for c in node.get("children", []):
             _collect_aggs(c, out)
@@ -812,7 +847,8 @@ def _eval_expr(node: dict, env: dict, n_rows: int):
             elif fn == "count_star" or not node["children"]:
                 key = ("agg", "count_star", None)
             else:
-                key = ("agg", fn, _colref(node["children"][0]))
+                key = ("agg", _agg_atom_name(node),
+                       _colref(node["children"][0]))
             return env[key]
         if fn in ("~~", "!~~"):
             arr = _eval_expr(node["children"][0], env, n_rows)
@@ -999,6 +1035,7 @@ def _partial_agg_stream(ds, keys: list[str], atoms: list[tuple]):
     # specs carry only picklable primitives — CountOptions objects are
     # built inside the task (pyarrow option classes don't pickle)
     specs, merge_specs = [], []
+    derived = []  # (hidden_name, kind, source_col) computed per batch
     for fn, col in atoms:
         if fn == "count_star":
             # counted over a synthetic __one column so the output name
@@ -1008,9 +1045,23 @@ def _partial_agg_stream(ds, keys: list[str], atoms: list[tuple]):
         elif fn == "count":
             specs.append((col, "count", "only_valid", f"count({col})"))
             merge_specs.append((f"count({col})", "sum"))
+        elif fn == "sumsq":
+            # x*x in float64: exact for |x| < 2^26.5, and the values a
+            # variance subtracts are rounded identically on every path
+            derived.append((f"__sq_{col}", "sq", col))
+            specs.append((f"__sq_{col}", "sum", None, f"sumsq({col})"))
+            merge_specs.append((f"sumsq({col})", "sum"))
+        elif fn in ("bool_min", "bool_max"):
+            # BOOL_AND/OR: min/max over the bool cast to int8 (group
+            # min over bool is not a pyarrow hash kernel)
+            derived.append((f"__b_{col}", "bool", col))
+            agg = "min" if fn == "bool_min" else "max"
+            specs.append((f"__b_{col}", agg, None, f"{fn}({col})"))
+            merge_specs.append((f"{fn}({col})", agg))
         else:
             specs.append((col, fn, None, f"{fn}({col})"))
             merge_specs.append((f"{fn}({col})", fn))
+    derived = list(dict.fromkeys(derived))
 
     def partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pcc
@@ -1022,6 +1073,14 @@ def _partial_agg_stream(ds, keys: list[str], atoms: list[tuple]):
         if "__one" in [s[0] for s in specs] and "__one" not in t.column_names:
             t = t.append_column("__one", pa.array(
                 np.ones(t.num_rows, dtype=np.int8)))
+        for nm, kind, col in derived:
+            if nm in t.column_names:
+                continue
+            if kind == "sq":
+                x = pcc.cast(t[col], pa.float64())
+                t = t.append_column(nm, pcc.multiply(x, x))
+            else:  # bool -> int8
+                t = t.append_column(nm, pcc.cast(t[col], pa.int8()))
         from .collect import group_aggregate
 
         agg = group_aggregate(t, keys or ["__k"], [
@@ -1151,8 +1210,12 @@ def _approx_distinct_counts(src, keys: list[str], col: str,
 def _merge_fn(atom_name: str) -> str:
     """How a merged atom column re-aggregates to a coarser grouping
     level (counts sum; sum/min/max are self-merging)."""
-    if atom_name.startswith(("count(", "count_star")):
+    if atom_name.startswith(("count(", "count_star", "sumsq(")):
         return "sum"
+    if atom_name.startswith("bool_min("):
+        return "min"
+    if atom_name.startswith("bool_max("):
+        return "max"
     for fn in ("sum", "min", "max"):
         if atom_name.startswith(f"{fn}("):
             return fn
@@ -1291,6 +1354,109 @@ def _distinct_agg_values(src, keys: list[str], col: str,
                     type=out_type)
 
 
+def _grouped_quantile_values(src, keys: list[str], col: str,
+                             merged: pa.Table | None, n: int,
+                             p: float, disc: bool) -> pa.Array:
+    """MEDIAN / QUANTILE_CONT / QUANTILE_DISC [per group]: each batch
+    reduces to (keys, value, count) rows via one pyarrow group_by —
+    the shuffle carries O(distinct values x groups) rows, never the
+    data — and the driver selects from merged weighted value
+    histograms. CONT interpolates with DuckDB's own double expression
+    (lo*(1-frac) + hi*frac) so integer-column oracles hash-match;
+    DISC takes the smallest value whose cumulative distribution
+    reaches p (the ceil(p*n)-1 rank rule). Nulls are excluded; an
+    all-null group yields NULL. Exact, like the engine's
+    int_percentiles — approximate variants live in
+    transforms.group_approx_percentiles."""
+    from .collect import group_aggregate
+
+    lt = None
+    if src.unfiltered_dir is not None:
+        lt = _sidecar_type(src.unfiltered_dir, col)
+    gcols = list(dict.fromkeys(keys + [col]))
+    ds = src.stream(gcols)
+
+    def part(batch: pa.Table) -> pa.Table:
+        from .collect import group_aggregate as ga
+
+        t = batch.select(gcols).append_column(
+            "__one", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
+        return ga(t, gcols, [("__one", "sum")])
+
+    parts = [b for b in ds.map_batches(
+        part, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow")]
+    parts = [b for b in parts if b.num_rows]
+    vt = lt if lt is not None else (
+        parts[0].schema.field(col).type if parts else pa.float64())
+    if not disc and not (pa.types.is_integer(vt)
+                         or pa.types.is_floating(vt)):
+        raise SqlUnsupported(f"quantile_cont over {vt} column")
+    out_type = vt if disc else pa.float64()
+    if not parts:
+        return pa.nulls(n, out_type)
+    allp = pa.concat_tables(parts, promote_options="permissive")
+    hist = group_aggregate(allp, gcols, [("__one_sum", "sum")])
+    # one global sort by (keys, value) -> each group's weighted value
+    # histogram is a contiguous run, selected with numpy only
+    hist = hist.filter(pc.is_valid(hist[col]))
+    if hist.num_rows == 0:
+        return pa.nulls(n, out_type)
+    hist = hist.take(pc.sort_indices(
+        hist, sort_keys=[(k, "ascending") for k in keys]
+        + [(col, "ascending")], null_placement="at_start"))
+    cnts = hist["__one_sum_sum"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    vals = hist[col].combine_chunks()
+
+    def select_run(b: int, e: int):
+        c = cnts[b:e]
+        total = int(c.sum())
+        cum = np.cumsum(c)
+        if disc:
+            # smallest value whose cumulative distribution >= p
+            # (SQL PERCENTILE_DISC / DuckDB quantile_disc, the same
+            # ceil(p*n)-1 rule as pipeline.query.int_percentiles)
+            r = max(int(np.ceil(p * total)) - 1, 0)
+            i = int(np.searchsorted(cum, r + 1))
+            return vals[b + i].as_py()
+        pos = (total - 1) * p
+        lo_r = int(np.floor(pos))
+        hi_r = int(np.ceil(pos))
+        i_lo = int(np.searchsorted(cum, lo_r + 1))
+        i_hi = int(np.searchsorted(cum, hi_r + 1))
+        v_lo = float(pc.cast(vals[b + i_lo], pa.float64()).as_py())
+        if i_hi == i_lo:
+            return v_lo
+        v_hi = float(pc.cast(vals[b + i_hi], pa.float64()).as_py())
+        frac = pos - lo_r
+        return v_lo * (1 - frac) + v_hi * frac
+
+    if not keys:
+        return pa.array([select_run(0, hist.num_rows)] * n,
+                        type=out_type)
+    # group run boundaries over the sorted key columns (null-safe:
+    # validity change = boundary too)
+    m = np.zeros(hist.num_rows, dtype=bool)
+    m[0] = True
+    for k in keys:
+        a = hist[k].combine_chunks()
+        neq = pc.fill_null(pc.not_equal(a.slice(1),
+                                        a.slice(0, len(a) - 1)),
+                           False).to_numpy(zero_copy_only=False)
+        va = pc.is_valid(a).to_numpy(zero_copy_only=False)
+        m[1:] |= neq | (va[1:] != va[:-1])
+    bounds = np.flatnonzero(m)
+    ends = np.r_[bounds[1:], hist.num_rows]
+    lut: dict = {}
+    kcols = [hist[k].to_pylist() for k in keys]
+    for b, e in zip(bounds, ends):
+        lut[tuple(c[b] for c in kcols)] = select_run(int(b), int(e))
+    rows = zip(*[merged[k].to_pylist() for k in keys]) if n else []
+    return pa.array([lut.get(t) for t in map(tuple, rows)],
+                    type=out_type)
+
+
 def _agg_env(table: pa.Table | None, keys: list[str],
              atoms: list[tuple]) -> tuple[dict, int]:
     """Build the expression environment over merged aggregate atoms.
@@ -1304,8 +1470,8 @@ def _agg_env(table: pa.Table | None, keys: list[str],
         for fn, col in atoms:
             if fn in ("count", "count_star"):
                 env[("agg", fn, col)] = pa.array([0] * n, type=pa.int64())
-            elif fn == "avg":
-                env[("agg", fn, col)] = pa.nulls(n, pa.float64())
+            elif fn in ("bool_and", "bool_or"):
+                env[("agg", fn, col)] = pa.nulls(n, pa.bool_())
             else:
                 env[("agg", fn, col)] = pa.nulls(n, pa.float64())
         return env, n
@@ -1323,6 +1489,31 @@ def _agg_env(table: pa.Table | None, keys: list[str],
             s = pc.cast(table[f"sum({col})"], pa.float64())
             c = pc.cast(table[f"count({col})"], pa.float64())
             env[("agg", fn, col)] = pc.divide(s, c)
+        elif fn in _VAR_FNS:
+            # two-pass formula over exact partials, evaluated in the
+            # operand order (q - s*s/c) / den so an oracle written as
+            # the same explicit SQL expression is bit-identical on
+            # integer columns; clamped at 0 (rounding can land an
+            # all-equal group a hair negative — SQL says exactly 0)
+            q = pc.cast(table[f"sumsq({col})"], pa.float64())
+            s = pc.cast(table[f"sum({col})"], pa.float64())
+            c = pc.cast(table[f"count({col})"], pa.float64())
+            num = pc.subtract(q, pc.divide(pc.multiply(s, s), c))
+            num = pc.max_element_wise(
+                num, pa.scalar(0.0),
+                options=pc.ElementWiseAggregateOptions(skip_nulls=False))
+            den = c if fn.endswith("_pop") \
+                else pc.subtract(c, pa.scalar(1.0))
+            v = pc.if_else(pc.greater(den, 0.0),
+                           pc.divide(num, den),
+                           pa.scalar(None, pa.float64()))
+            if fn.startswith("stddev"):
+                v = pc.sqrt(v)
+            env[("agg", fn, col)] = v
+        elif fn in ("bool_and", "bool_or"):
+            src = "bool_min" if fn == "bool_and" else "bool_max"
+            env[("agg", fn, col)] = pc.cast(table[f"{src}({col})"],
+                                            pa.bool_())
         else:
             env[("agg", fn, col)] = table[f"{fn}({col})"]
     return env, n
@@ -1338,6 +1529,9 @@ def _decode_free_eligible(out_dir: str, key: str,
     from .pipeline.query import _manifest_paths
     from .format import read_header
 
+    if any(f not in ("count_star", "count", "sum", "min", "max", "avg")
+           for f, _ in atoms):
+        return None  # sumsq / bool / quantile atoms need the stream
     vcols = {c for f, c in atoms if f != "count_star"}
     if len(vcols) > 1:
         return None
@@ -1580,7 +1774,7 @@ def _extract_agg_exprs(node: dict):
                     nm = mk(("expr", arg))
                 y["children"] = [{"class": "COLUMN_REF",
                                   "type": "COLUMN_REF", "alias": "",
-                                  "column_names": [nm]}]
+                                  "column_names": [nm]}] + ch[1:]
                 return y
             return {k: walk(v) for k, v in x.items()}
         if isinstance(x, list):
@@ -3087,7 +3281,15 @@ def _run_row_query(src, node: dict, select: list):
 
 
 _WINDOW_TYPES = {"WINDOW_ROW_NUMBER", "WINDOW_RANK", "WINDOW_RANK_DENSE",
-                 "WINDOW_LAG", "WINDOW_LEAD", "WINDOW_AGGREGATE"}
+                 "WINDOW_LAG", "WINDOW_LEAD", "WINDOW_AGGREGATE",
+                 "WINDOW_FIRST_VALUE", "WINDOW_LAST_VALUE",
+                 "WINDOW_NTH_VALUE", "WINDOW_NTILE",
+                 "WINDOW_PERCENT_RANK", "WINDOW_CUME_DIST"}
+
+# window types whose frame clause changes the result (value windows
+# honor ROWS frames exactly like running aggregates do)
+_FRAMED_WINDOWS = {"WINDOW_AGGREGATE", "WINDOW_FIRST_VALUE",
+                   "WINDOW_LAST_VALUE", "WINDOW_NTH_VALUE"}
 
 
 def _extract_qualify_windows(q, counter: list | None = None):
@@ -3226,8 +3428,9 @@ def _run_window_query(src, node: dict, select: list):
             raise SqlUnsupported(f"window {wnode['type']!r}")
         if wnode.get("filter_expr") or wnode.get("ignore_nulls"):
             raise SqlUnsupported("window FILTER / IGNORE NULLS")
+        if wnode["type"] in _FRAMED_WINDOWS:
+            fr = _frame_of(wnode)  # raises on unsupported frames
         if wnode["type"] == "WINDOW_AGGREGATE":
-            fr = _frame_of(wnode)
             if wnode["function_name"] not in ("sum", "count", "avg",
                                               "min", "max"):
                 raise SqlUnsupported(
@@ -3258,7 +3461,8 @@ def _run_window_query(src, node: dict, select: list):
     need = list(dict.fromkeys(
         passthru + list(pkeys) + [c for c, _ in orders]
         + [_colref(w["children"][0]) for _, w, _ in wins
-           if w.get("children")] + qplain))
+           if w.get("children")
+           and w["children"][0]["class"] == "COLUMN_REF"] + qplain))
     ds = src.stream(need)
 
     from .hashing import hash_column
@@ -3294,14 +3498,29 @@ def _run_window_query(src, node: dict, select: list):
         return batch.append_column("_wb", pa.array(b))
 
     out_names = list(names)
+
+    def _win_arg(w) -> str | None:
+        ch = w.get("children") or []
+        if ch and ch[0]["class"] == "COLUMN_REF":
+            return _colref(ch[0])
+        return None
+
+    def _win_off(w) -> int:
+        # LAG/LEAD offset; NTILE bucket count (children[0]);
+        # NTH_VALUE position (children[1])
+        if w["type"] == "WINDOW_NTILE":
+            return int(_const_value(w["children"][0]))
+        if w["type"] == "WINDOW_NTH_VALUE":
+            return int(_const_value(w["children"][1]))
+        return int(_const_value(w["offset_expr"])) \
+            if w.get("offset_expr") else 1
+
     win_specs = [(nm, w["type"], w["function_name"],
-                  _colref(w["children"][0]) if w.get("children") else None,
-                  int(_const_value(w["offset_expr"]))
-                  if w.get("offset_expr") else 1,
+                  _win_arg(w), _win_off(w),
                   _const_value(w["default_expr"])
                   if w.get("default_expr") else None,
                   cast,
-                  _frame_of(w) if w["type"] == "WINDOW_AGGREGATE"
+                  _frame_of(w) if w["type"] in _FRAMED_WINDOWS
                   else None)
                  for nm, w, cast in wins]
 
@@ -3342,6 +3561,8 @@ def _run_window_query(src, node: dict, select: list):
         starts = np.flatnonzero(new_part)
         lens = np.diff(np.concatenate([starts, [n]]))
         part_start = np.repeat(starts, lens)
+        part_len = np.repeat(lens, lens)
+        part_end_all = part_start + part_len - 1
         peer_starts = np.flatnonzero(new_peer)
         peer_lens = np.diff(np.concatenate([peer_starts, [n]]))
         peer_start = np.repeat(peer_starts, peer_lens)
@@ -3370,6 +3591,55 @@ def _run_window_query(src, node: dict, select: list):
                 fill = pa.scalar(dflt, type=a.type) if dflt is not None \
                     else pa.scalar(None, type=a.type)
                 out = pc.if_else(pa.array(valid), gathered, fill)
+            elif wtype in ("WINDOW_FIRST_VALUE", "WINDOW_LAST_VALUE",
+                           "WINDOW_NTH_VALUE"):
+                # frame-start / frame-end / nth-from-start gathers.
+                # Default frame (RANGE UNBOUNDED .. CURRENT ROW):
+                # start = partition start, end = last PEER row (SQL's
+                # last_value surprise). ROWS frames with constant
+                # bounds clamp at partition edges.
+                a = t[arg].combine_chunks()
+                if frame == ("range",):
+                    lo, hi = part_start, peer_end
+                else:
+                    p_, f_ = frame[1], frame[2]
+                    lo = part_start if p_ is None \
+                        else np.maximum(idx - p_, part_start)
+                    hi = np.minimum(idx + f_, part_end_all)
+                if wtype == "WINDOW_FIRST_VALUE":
+                    src_idx, ok = lo, hi >= lo
+                elif wtype == "WINDOW_LAST_VALUE":
+                    src_idx, ok = hi, hi >= lo
+                else:  # NTH_VALUE(x, k): k-th row of the frame
+                    if off < 1:
+                        raise SqlUnsupported("nth_value position < 1")
+                    src_idx = lo + (off - 1)
+                    ok = src_idx <= hi
+                gathered = a.take(pa.array(np.clip(src_idx, 0, n - 1)))
+                out = pc.if_else(pa.array(ok), gathered,
+                                 pa.scalar(None, type=a.type))
+            elif wtype == "WINDOW_NTILE":
+                # SQL NTILE: first (plen % k) tiles get ceil(plen/k)
+                # rows, the rest floor(plen/k)
+                k = off
+                if k < 1:
+                    raise SqlUnsupported("ntile bucket count < 1")
+                r = idx - part_start
+                q, rem = part_len // k, part_len % k
+                thresh = rem * (q + 1)
+                big = r < thresh
+                tile = np.where(
+                    big, r // np.maximum(q + 1, 1) + 1,
+                    rem + (r - thresh) // np.maximum(q, 1) + 1)
+                out = pa.array(tile.astype(np.int64))
+            elif wtype == "WINDOW_PERCENT_RANK":
+                rank0 = (peer_start - part_start).astype(np.float64)
+                denom = np.maximum(part_len - 1, 1).astype(np.float64)
+                out = pa.array(np.where(part_len > 1, rank0 / denom,
+                                        0.0))
+            elif wtype == "WINDOW_CUME_DIST":
+                out = pa.array((peer_end - part_start + 1)
+                               / part_len.astype(np.float64))
             elif fn in ("min", "max"):
                 # segmented running min/max: sentinel-masked values
                 # through pandas' cython groupby cummin/cummax (no
@@ -4015,18 +4285,24 @@ def _run_agg_query(src, node: dict, select: list,
     partial_atoms = []
     pseen = set()
     for fn, col in atoms:
-        expand = [("sum", col), ("count", col)] if fn == "avg" \
-            else [(fn, col)]
+        if fn == "avg":
+            expand = [("sum", col), ("count", col)]
+        elif fn in _VAR_FNS:
+            expand = [("sum", col), ("count", col), ("sumsq", col)]
+        elif fn == "bool_and":
+            expand = [("bool_min", col)]
+        elif fn == "bool_or":
+            expand = [("bool_max", col)]
+        else:
+            expand = [(fn, col)]
         for e in expand:
             if e not in pseen:
                 pseen.add(e)
                 partial_atoms.append(e)
 
-    special = ("count_distinct", "approx_count_distinct",
-               "sum_distinct", "avg_distinct")
     cd_atoms = sorted({(f, c) for f, c in partial_atoms
-                       if f in special})
-    reg_atoms = [a for a in partial_atoms if a[0] not in special]
+                       if _is_special_agg(f)})
+    reg_atoms = [a for a in partial_atoms if not _is_special_agg(a[0])]
     if cd_atoms and not any(f == "count_star" for f, _ in reg_atoms):
         # group enumerator: every group gets a row even when only
         # COUNT(DISTINCT) was selected
@@ -4060,14 +4336,18 @@ def _run_agg_query(src, node: dict, select: list,
             for fn, c in partial_atoms:
                 nm = "count_star()" if fn == "count_star" \
                     else f"{fn}({c})"
-                cols[nm] = pa.array([], type=pa.int64()
-                                    if fn.startswith("count")
-                                    else pa.float64())
+                if fn.startswith("count"):
+                    et = pa.int64()
+                elif fn in ("bool_min", "bool_max"):
+                    et = pa.int8()
+                else:
+                    et = pa.float64()
+                cols[nm] = pa.array([], type=et)
             merged = pa.table(cols)
         merged = _grouping_sets(merged, keys, group_sets)
 
     env, n = _agg_env(merged, keys,
-                      [a for a in atoms if a[0] not in special])
+                      [a for a in atoms if not _is_special_agg(a[0])])
     if merged is not None:
         for k in keys:
             gcol = f"__grouping_{k}"
@@ -4080,6 +4360,11 @@ def _run_agg_query(src, node: dict, select: list,
         elif fn == "approx_count_distinct":
             env[("agg", fn, col)] = _approx_distinct_counts(
                 src, keys, col, merged, n)
+        elif fn.startswith(("quantile_cont@", "quantile_disc@")):
+            kind, p = fn.split("@")
+            env[("agg", fn, col)] = _grouped_quantile_values(
+                src, keys, col, merged, n, float(p),
+                disc=kind.endswith("disc"))
         else:  # sum_distinct / avg_distinct
             env[("agg", fn, col)] = _distinct_agg_values(
                 src, keys, col, merged, n, fn.split("_")[0])

@@ -205,6 +205,93 @@ def test_agg_arithmetic(sqlenv):
                   "ORDER BY source")
 
 
+def check_close(sqlenv, q, rel=1e-9):
+    """Like check() but float columns compare with relative tolerance:
+    the engine's two-pass variance / partial-sum order differs from
+    DuckDB's streaming kernels in the low bits by design."""
+    import math
+
+    tables, con = sqlenv
+    mine = sql_query(q, tables)
+    if not isinstance(mine, pa.Table):
+        from arcade_ray.collect import collect_arrow
+
+        mine = collect_arrow(mine)
+    oracle = con.execute(q).arrow()
+    assert set(mine.column_names) == set(oracle.column_names)
+    if "ORDER" not in q.upper():
+        keys = [(c, "ascending") for c in sorted(mine.column_names)]
+        mine, oracle = mine.sort_by(keys), oracle.sort_by(keys)
+    assert mine.num_rows == oracle.num_rows
+    for c in oracle.column_names:
+        a, b = mine[c].to_pylist(), oracle[c].to_pylist()
+        if pa.types.is_floating(oracle.schema.field(c).type):
+            for x, y in zip(a, b):
+                if x is None or y is None:
+                    assert x == y, (q, c, x, y)
+                else:
+                    assert math.isclose(x, y, rel_tol=rel,
+                                        abs_tol=1e-12), (q, c, x, y)
+        else:
+            assert a == b, (q, c)
+
+
+def test_variance_stddev_grouped(sqlenv):
+    check_close(sqlenv,
+                "SELECT source, VAR_POP(n_chars) AS vp, "
+                "VAR_SAMP(n_chars) AS vs, STDDEV(n_chars) AS sd, "
+                "STDDEV_POP(score) AS sp FROM docs GROUP BY source "
+                "ORDER BY source")
+
+
+def test_variance_single_row_groups(sqlenv):
+    # doc_id groups have one row: VAR_SAMP NULL, VAR_POP 0
+    check_close(sqlenv,
+                "SELECT doc_id, VAR_SAMP(n_chars) AS vs, "
+                "VAR_POP(n_chars) AS vp FROM docs "
+                "WHERE n_chars > 4980 GROUP BY doc_id ORDER BY doc_id")
+
+
+def test_variance_global_and_having(sqlenv):
+    check_close(sqlenv,
+                "SELECT VARIANCE(n_chars) AS v, STDDEV_SAMP(score) "
+                "AS s FROM docs WHERE lang = 'en'")
+    check_close(sqlenv,
+                "SELECT source, STDDEV(n_chars) AS sd FROM docs "
+                "GROUP BY source HAVING STDDEV(n_chars) > 1400 "
+                "ORDER BY source")
+
+
+def test_bool_and_or(sqlenv):
+    check(sqlenv,
+          "SELECT source, BOOL_AND(n_chars > 100) AS ba, "
+          "BOOL_OR(n_chars > 4900) AS bo FROM docs GROUP BY source "
+          "ORDER BY source")
+    # over a null-bearing operand: lang IS NULL rows contribute NULL,
+    # which BOOL_AND/OR skip
+    check(sqlenv,
+          "SELECT BOOL_AND(lang <> 'zz') AS ba, "
+          "BOOL_OR(lang = 'fr') AS bo FROM docs")
+
+
+def test_median_quantiles(sqlenv):
+    check(sqlenv,
+          "SELECT source, MEDIAN(n_chars) AS med FROM docs "
+          "GROUP BY source ORDER BY source")
+    check(sqlenv,
+          "SELECT source, QUANTILE_CONT(n_chars, 0.9) AS q90, "
+          "QUANTILE_DISC(n_chars, 0.25) AS q25 FROM docs "
+          "GROUP BY source ORDER BY source")
+    check(sqlenv,
+          "SELECT MEDIAN(n_chars) AS med, "
+          "QUANTILE_DISC(lang, 0.5) AS ml FROM docs")
+    # composite keys + WHERE + a quantile over floats
+    check_close(sqlenv,
+                "SELECT source, lang, MEDIAN(score) AS ms FROM docs "
+                "WHERE n_chars > 1000 GROUP BY source, lang "
+                "ORDER BY source, lang NULLS FIRST")
+
+
 def test_group_rollup_cube_sets(sqlenv):
     # null-bearing lang: real-NULL groups and subtotal NULL markers
     # coexist as distinct rows, matching SQL
@@ -414,6 +501,64 @@ def test_window_global_order(sqlenv):
           "SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_chars DESC, "
           "doc_id) AS rn FROM docs WHERE n_chars > 4800",
           ordered=False)
+
+
+def test_window_first_last_value(sqlenv):
+    # default frame: first_value = partition head; last_value = last
+    # PEER row (SQL's RANGE-frame surprise, exercised by the n_chars
+    # tie groups DuckDB resolves identically)
+    check(sqlenv,
+          "SELECT doc_id, "
+          "FIRST_VALUE(doc_id) OVER (PARTITION BY source ORDER BY "
+          "n_chars, doc_id) AS fv, "
+          "LAST_VALUE(n_chars) OVER (PARTITION BY source ORDER BY "
+          "n_chars, doc_id) AS lv FROM docs WHERE n_chars < 200",
+          ordered=False)
+
+
+def test_window_first_last_rows_frame(sqlenv):
+    check(sqlenv,
+          "SELECT doc_id, "
+          "FIRST_VALUE(n_chars) OVER (PARTITION BY source ORDER BY "
+          "doc_id ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS fv, "
+          "LAST_VALUE(n_chars) OVER (PARTITION BY source ORDER BY "
+          "doc_id ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS lv "
+          "FROM docs WHERE n_chars > 4500", ordered=False)
+
+
+def test_window_nth_value(sqlenv):
+    check(sqlenv,
+          "SELECT doc_id, NTH_VALUE(doc_id, 3) OVER (PARTITION BY "
+          "source ORDER BY n_chars, doc_id) AS third "
+          "FROM docs WHERE n_chars < 300", ordered=False)
+
+
+def test_window_ntile(sqlenv):
+    check(sqlenv,
+          "SELECT doc_id, NTILE(4) OVER (PARTITION BY source ORDER "
+          "BY n_chars, doc_id) AS quartile "
+          "FROM docs WHERE n_chars < 400", ordered=False)
+    # more tiles than rows: each row gets its own tile
+    check(sqlenv,
+          "SELECT doc_id, NTILE(50) OVER (PARTITION BY source ORDER "
+          "BY doc_id) AS tile FROM docs WHERE n_chars > 4900",
+          ordered=False)
+
+
+def test_window_percent_rank_cume_dist(sqlenv):
+    check(sqlenv,
+          "SELECT doc_id, "
+          "PERCENT_RANK() OVER (PARTITION BY source ORDER BY "
+          "n_chars) AS pr, "
+          "CUME_DIST() OVER (PARTITION BY source ORDER BY n_chars) "
+          "AS cd FROM docs WHERE n_chars < 250", ordered=False)
+
+
+def test_window_ntile_in_qualify(sqlenv):
+    check(sqlenv,
+          "SELECT doc_id, source FROM docs WHERE n_chars < 500 "
+          "QUALIFY NTILE(10) OVER (PARTITION BY source ORDER BY "
+          "n_chars, doc_id) = 1", ordered=False)
 
 
 # --- explain --------------------------------------------------------------
