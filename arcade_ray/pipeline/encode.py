@@ -54,6 +54,11 @@ def committed_parts(out_dir: str) -> dict[str, dict]:
             if fn.endswith(".json"):
                 with open(os.path.join(mdir, fn)) as f:
                     row = json.load(f)
+                # rebase: the partition file always lives at
+                # part_path(out_dir, part_key), so encoded dirs stay
+                # relocatable (copy/move/rsync) — a stored absolute
+                # path from the original location must never win
+                row["path"] = part_path(out_dir, row["part_key"])
                 out[row["part_key"]] = row
     return _drop_replaced(out)
 
@@ -1037,7 +1042,12 @@ def load_manifest(out_dir: str) -> pa.Table:
     consolidated = os.path.join(out_dir, "manifest.parquet")
     rows = committed_parts(out_dir)
     if not rows and os.path.exists(consolidated):
-        return pq.read_table(consolidated)
+        t = pq.read_table(consolidated)
+        # same relocation rebase as committed_parts
+        paths = pa.array([part_path(out_dir, k)
+                          for k in t["part_key"].to_pylist()])
+        return t.set_column(t.column_names.index("path"), "path",
+                            paths)
     return _manifest_schema_table(
         sorted(rows.values(), key=lambda r: r["part_key"])
     )

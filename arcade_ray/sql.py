@@ -2766,13 +2766,122 @@ def _asof_source(ft: dict, tables: dict, node: dict):
     return src, node2
 
 
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+([A-Za-z_]\w*)\s*(WHERE\b.*)?$",
+    re.IGNORECASE | re.DOTALL)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+([A-Za-z_]\w*)\s+SET\s(.*)$",
+    re.IGNORECASE | re.DOTALL)
+
+
+def _dml_target(tname: str, tables: dict):
+    if tname not in tables:
+        raise KeyError(f"table {tname!r} not provided "
+                       f"(have: {sorted(tables)})")
+    target = tables[tname]
+    if not isinstance(target, str):
+        raise SqlUnsupported(
+            "DELETE/UPDATE target must be an encoded directory")
+    return target
+
+
+def _dml_where_tree(node: dict, tables: dict, target: str, tname: str):
+    where = node.get("where_clause")
+    if where is None:
+        raise SqlUnsupported(
+            "DELETE/UPDATE need a WHERE clause "
+            "(refusing an implicit full-table rewrite)")
+    tree, residual = _split_where(where, tables,
+                                  _dataset_columns(target), tname)
+    if residual is not None or tree is None:
+        raise SqlUnsupported(
+            "DELETE/UPDATE WHERE must compile entirely to the "
+            "zone-prunable predicate-tree language (scalar functions "
+            "and column-vs-column compares cannot drive a partition "
+            "rewrite)")
+    return tree
+
+
+def _run_delete(tname: str, rest: str, tables: dict) -> pa.Table:
+    """DELETE FROM t WHERE ...: the WHERE compiles through the same
+    SELECT parser (DuckDB's FROM-first syntax makes the rewrite a
+    pure prefix swap), then lowers onto compact.delete_rows — zone
+    maps prune partitions with provably no match, all-match
+    partitions retire outright, partial matches rewrite under
+    ``replaces`` lineage. Returns the one-row summary table."""
+    node = _parse(f"FROM {tname} SELECT 1 {rest or ''}")
+    target = _dml_target(tname, tables)
+    tree = _dml_where_tree(node, tables, target, tname)
+    from .pipeline.compact import delete_rows
+
+    res = delete_rows(target, tree)
+    return pa.table({k: pa.array([v], type=pa.int64())
+                     for k, v in res.items()})
+
+
+def _run_update(tname: str, rest: str, tables: dict) -> pa.Table:
+    """UPDATE t SET c = expr[, ...] WHERE ...: rewritten to
+    ``FROM t SELECT c = expr, ... WHERE ...`` (each SET item parses
+    as a COMPARE_EQUAL node: left = target column, right = the
+    assigned expression), then lowers onto compact.update_rows.
+    Constant assignments ship as scalars; expression assignments
+    compile to vectorized per-partition callables (dry-run on the
+    typed empty schema so unsupported expressions fail on the
+    driver). Returns the one-row summary table."""
+    node = _parse(f"FROM {tname} SELECT {rest}")
+    target = _dml_target(tname, tables)
+    tree = _dml_where_tree(node, tables, target, tname)
+    et = _TableSource(target, None)
+    et = et.empty(et.columns())
+    assignments: dict = {}
+    for it in node["select_list"]:
+        if it.get("class") != "COMPARISON" \
+                or it.get("type") != "COMPARE_EQUAL" \
+                or it["left"].get("class") != "COLUMN_REF":
+            raise SqlUnsupported(
+                "UPDATE SET items must be column = expression")
+        col = _colref(it["left"])
+        if col in assignments:
+            raise SqlUnsupported(f"column {col!r} SET twice")
+        expr = it["right"]
+        if expr.get("class") == "CONSTANT":
+            assignments[col] = _const_value(expr)
+            continue
+        _eval_expr(expr, {c: et[c] for c in et.column_names}, 0)
+
+        def fn(table: pa.Table, _e=expr) -> pa.Array:
+            env = {c: table[c] for c in table.column_names}
+            v = _eval_expr(_e, env, table.num_rows)
+            if isinstance(v, pa.Scalar):
+                v = pa.array([v.as_py()] * table.num_rows,
+                             type=v.type)
+            return v.combine_chunks() \
+                if isinstance(v, pa.ChunkedArray) else v
+
+        assignments[col] = fn
+    from .pipeline.compact import update_rows
+
+    res = update_rows(target, tree, assignments)
+    return pa.table({k: pa.array([v], type=pa.int64())
+                     for k, v in res.items()})
+
+
 def sql_query(sql: str, tables: dict[str, str]):
     """Execute ``sql`` against encoded directories: ``tables`` maps
     table names in the query to ``encode_parquet`` output dirs.
-    Returns a pyarrow Table (aggregates / ordered results) or a
-    ray.data.Dataset (unordered row streams — kept lazy so callers
-    can write_parquet without materializing)."""
-    return _execute_node(_parse(sql), tables)
+    SELECT returns a pyarrow Table (aggregates / ordered results) or
+    a ray.data.Dataset (unordered row streams — kept lazy so callers
+    can write_parquet without materializing). DELETE / UPDATE
+    statements lower onto the engine's zone-pruned partition-rewrite
+    machinery and return a one-row summary table."""
+    stmt = sql.strip().rstrip(";")
+    m = _DELETE_RE.match(stmt)
+    if m:
+        return _run_delete(m.group(1), m.group(2), tables)
+    m = _UPDATE_RE.match(stmt)
+    if m:
+        return _run_update(m.group(1), m.group(2), tables)
+    return _execute_node(_parse(stmt), tables)
 
 
 def _pruning_counts(out_dir: str, tree) -> tuple[int, int]:

@@ -597,3 +597,37 @@ def test_range_plan_nan_samples_and_col_mismatch(ray_session, tmp_path):
     with open(os.path.join(out2, "range_plan.json")) as f:
         after = json.load(f)
     assert after["boundaries"] == before["boundaries"] != [1.5]
+
+
+def test_encoded_dir_is_relocatable(ray_session, tmp_path):
+    """Manifest paths rebase to the directory they are loaded from:
+    a copied/moved encoded dir reads its OWN partition files, and
+    mutating the copy (delete) never touches the original."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from arcade_ray.corpus import generate_corpus
+    from arcade_ray.pipeline.compact import delete_rows
+    from arcade_ray.pipeline.encode import encode_parquet, load_manifest
+    from arcade_ray.pipeline.query import scan
+
+    src_pq = str(tmp_path / "c.parquet")
+    pq.write_table(generate_corpus(2000, 4, seed=5), src_pq)
+    orig = str(tmp_path / "orig")
+    encode_parquet(src_pq, orig, key_col="source", id_col="doc_id",
+                   weight_col=None)
+    moved = str(tmp_path / "moved")
+    shutil.copytree(orig, moved)
+
+    man = load_manifest(moved)
+    assert all(p.startswith(moved) for p in man["path"].to_pylist())
+
+    n_before = scan(orig, columns=["doc_id"]).count()
+    res = delete_rows(moved, ("eq", "source", "src-000"),
+                      run_remote=False)
+    assert res["rows_deleted"] > 0
+    # the original is untouched, the copy shrank
+    assert scan(orig, columns=["doc_id"]).count() == n_before
+    assert scan(moved, columns=["doc_id"]).count() \
+        == n_before - res["rows_deleted"]

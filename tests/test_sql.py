@@ -1606,3 +1606,55 @@ def test_string_functions_in_where_residual(sqlenv):
                   "WHERE split_part(source, '-', 2) = '3'")
     check(sqlenv, "SELECT doc_id FROM docs "
                   "WHERE strpos(doc_id, '77') > 0 AND lang = 'en'")
+
+
+# --- DML: DELETE / UPDATE ---------------------------------------------------
+
+def test_sql_update_and_delete(sqlenv, tmp_path):
+    import shutil
+
+    from arcade_ray.sql import sql_query
+
+    tables, con = sqlenv
+    work = str(tmp_path / "dml")
+    shutil.copytree(tables["docs"], work)
+    t = {"docs": work}
+    n_hit = con.execute(
+        "SELECT count(*) FROM docs WHERE n_chars > 4900").fetchone()[0]
+
+    res = sql_query("UPDATE docs SET lang = 'xx', "
+                    "n_chars = n_chars - 4900 WHERE n_chars > 4900", t)
+    assert res["rows_updated"][0].as_py() == n_hit
+    got = sql_query("SELECT COUNT(*) AS n, CAST(MAX(n_chars) AS "
+                    "BIGINT) AS mx FROM docs WHERE lang = 'xx'", t)
+    assert got["n"][0].as_py() == n_hit
+    assert got["mx"][0].as_py() < 4900  # the expression really ran
+    total = sql_query("SELECT COUNT(*) AS n FROM docs", t)
+
+    res = sql_query("DELETE FROM docs WHERE lang = 'xx'", t)
+    assert res["rows_deleted"][0].as_py() == n_hit
+    left = sql_query("SELECT COUNT(*) AS n FROM docs", t)
+    assert left["n"][0].as_py() == total["n"][0].as_py() - n_hit
+    # idempotent re-run: nothing left to delete
+    res = sql_query("DELETE FROM docs WHERE lang = 'xx'", t)
+    assert res["rows_deleted"][0].as_py() == 0
+
+
+def test_sql_dml_refusals(sqlenv, tmp_path):
+    import pytest as _pt
+
+    from arcade_ray.sql import SqlUnsupported as _SU
+    from arcade_ray.sql import sql_query
+
+    tables, _ = sqlenv
+    t = dict(tables)
+    with _pt.raises(_SU, match="WHERE clause"):
+        sql_query("DELETE FROM docs", t)
+    with _pt.raises(_SU, match="predicate-tree"):
+        # residual WHERE (scalar function) cannot drive a rewrite
+        sql_query("DELETE FROM docs WHERE upper(lang) = 'EN'", t)
+    with _pt.raises(KeyError):
+        sql_query("UPDATE docs SET nope = 1 WHERE n_chars > 4999", t)
+    with _pt.raises(_SU, match="SET twice"):
+        sql_query("UPDATE docs SET lang = 'a', lang = 'b' "
+                  "WHERE n_chars > 4999", t)
