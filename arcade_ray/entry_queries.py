@@ -384,6 +384,53 @@ _SQL_RESIDUAL_WHERE = (
     "WHERE hour(ts) >= 12 AND event_type = 'click' "
     "AND user_id % 7 = 3 ORDER BY event_id")
 
+_SQL_WINDOW_EXTRAS = (
+    # FIRST/LAST_VALUE ride the default RANGE frame (last peer row);
+    # NTILE / PERCENT_RANK / CUME_DIST are pure rational arithmetic
+    # over ranks, so the doubles hash-match DuckDB bit-for-bit
+    "SELECT doc_id, "
+    "FIRST_VALUE(doc_id) OVER (PARTITION BY source ORDER BY n_chars, "
+    "doc_id) AS head_doc, "
+    "LAST_VALUE(n_chars) OVER (PARTITION BY source ORDER BY n_chars, "
+    "doc_id) AS peer_chars, "
+    "NTILE(4) OVER (PARTITION BY source ORDER BY n_chars, doc_id) "
+    "AS quartile, "
+    "PERCENT_RANK() OVER (PARTITION BY source ORDER BY n_chars, "
+    "doc_id) AS pr, "
+    "CUME_DIST() OVER (PARTITION BY source ORDER BY n_chars, doc_id) "
+    "AS cd FROM documents WHERE n_chars < 600 ORDER BY doc_id")
+
+_SQL_MEDIAN_Q = (
+    # integer value column: CONT interpolation lands on .0/.5 exactly
+    # and DISC returns elements, so the verbatim oracle hash-matches
+    "SELECT source, MEDIAN(n_chars) AS med, "
+    "QUANTILE_CONT(n_chars, 0.9) AS q90, "
+    "QUANTILE_DISC(n_chars, 0.25) AS q25, "
+    "COUNT(*) AS n FROM documents GROUP BY source ORDER BY source")
+
+_SQL_VARIANCE = (
+    # engine side: VAR_POP/VAR_SAMP/STDDEV lower onto sum/count/sumsq
+    # partials; the ORACLE is the equivalent explicit expression in
+    # the engine's exact operand order (see ORACLES) because DuckDB's
+    # streaming Welford kernel differs in the low float bits
+    "SELECT source, VAR_POP(n_chars) AS vp, VAR_SAMP(n_chars) AS vs, "
+    "STDDEV(n_chars) AS sd, BOOL_OR(n_chars > 4500) AS has_long "
+    "FROM documents GROUP BY source ORDER BY source")
+
+_SQL_VARIANCE_ORACLE = (
+    "SELECT source, "
+    "greatest(sum(n_chars*n_chars)::DOUBLE - sum(n_chars)::DOUBLE * "
+    "sum(n_chars)::DOUBLE / count(n_chars), 0) / count(n_chars) "
+    "AS vp, "
+    "greatest(sum(n_chars*n_chars)::DOUBLE - sum(n_chars)::DOUBLE * "
+    "sum(n_chars)::DOUBLE / count(n_chars), 0) / (count(n_chars) - 1) "
+    "AS vs, "
+    "sqrt(greatest(sum(n_chars*n_chars)::DOUBLE - sum(n_chars)"
+    "::DOUBLE * sum(n_chars)::DOUBLE / count(n_chars), 0) / "
+    "(count(n_chars) - 1)) AS sd, "
+    "bool_or(n_chars > 4500) AS has_long "
+    "FROM documents GROUP BY source ORDER BY source")
+
 _SQL_WINDOW_RANK = (
     "SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY source ORDER BY "
     "n_chars DESC, doc_id) AS rn, CAST(SUM(n_chars) OVER (PARTITION "
@@ -543,6 +590,70 @@ def q_sql_window_rank(sf_dir: str) -> pa.Table:
 
     return sql_query(_SQL_WINDOW_RANK,
                      {"documents": encoded_dir(sf_dir, "documents")})
+
+
+def q_sql_window_extras(sf_dir: str) -> pa.Table:
+    """SQL frontend, ranking/value windows: FIRST_VALUE / LAST_VALUE
+    (RANGE-peer frame ends), NTILE, PERCENT_RANK, CUME_DIST — all in
+    the same one-shuffle vectorized segment pass as ROW_NUMBER."""
+    from .sql import sql_query
+
+    return sql_query(_SQL_WINDOW_EXTRAS,
+                     {"documents": encoded_dir(sf_dir, "documents")})
+
+
+def q_sql_median_quantiles(sf_dir: str) -> pa.Table:
+    """SQL frontend, exact grouped MEDIAN / QUANTILE_CONT / _DISC:
+    each batch reduces to (key, value, count) histogram rows — the
+    shuffle carries O(distinct x groups), never data — and the
+    driver selects with DuckDB's own interpolation expression."""
+    from .sql import sql_query
+
+    return sql_query(_SQL_MEDIAN_Q,
+                     {"documents": encoded_dir(sf_dir, "documents")})
+
+
+def q_sql_variance(sf_dir: str) -> pa.Table:
+    """SQL frontend, statistical aggregates: VAR_POP / VAR_SAMP /
+    STDDEV from sum/count/sumsq partials (exact int sums in float64
+    below 2^53), BOOL_OR from int8 max partials. Oracle: the
+    equivalent explicit two-pass expression in the engine's operand
+    order (DuckDB's own VAR_SAMP is a streaming Welford kernel that
+    differs in the low float bits)."""
+    from .sql import sql_query
+
+    return sql_query(_SQL_VARIANCE,
+                     {"documents": encoded_dir(sf_dir, "documents")})
+
+
+def q_sql_dml_lifecycle(sf_dir: str) -> pa.Table:
+    """SQL DML statements end-to-end on a PRIVATE encoded copy:
+    UPDATE relabels every short doc's lang, DELETE drops one source's
+    long tail — both zone-pruned partition rewrites under lineage —
+    then the surviving table scans out. Idempotent in final state,
+    so the cached copy is safe to reuse. Oracle: CASE projection +
+    NOT-filter over the raw parquet."""
+    import hashlib as _h
+
+    from .sql import sql_query
+
+    tag = _h.md5(
+        f"{sf_dir}|documents-dml|{_CACHE_SALT}".encode()).hexdigest()[:10]
+    out = os.path.join(CACHE_ROOT, f"documents-dml-{tag}")
+    if not os.path.exists(os.path.join(out, "manifest.parquet")):
+        from .pipeline.encode import encode_parquet
+
+        encode_parquet(os.path.join(sf_dir, "documents.parquet"), out,
+                       key_col="source", id_col="doc_id",
+                       weight_col=None)
+    t = {"documents": out}
+    sql_query("UPDATE documents SET lang = 'und' "
+              "WHERE n_chars < 120", t)
+    sql_query("DELETE FROM documents "
+              "WHERE source = 'src-002' AND n_chars >= 4800", t)
+    res = sql_query("SELECT doc_id, lang, source, n_chars "
+                    "FROM documents ORDER BY doc_id", t)
+    return res if isinstance(res, pa.Table) else _collect(res)
 
 
 def q_tfidf_sparse(sf_dir: str) -> pa.Table:
@@ -2392,7 +2503,7 @@ QUERIES = {
     "group_count_encoded": q_group_count_encoded,
     "group_agg_multi": q_group_agg_multi,
     "group_topk": q_group_topk,
-    "percentiles": q_percentiles,
+    "sql_variance": q_sql_variance,
     "sketch_percentiles": q_sketch_percentiles,
     "float_percentiles": q_float_percentiles,
     "order_slice": q_order_slice,
@@ -2412,7 +2523,7 @@ QUERIES = {
     "json_extract_agg": q_json_extract_agg,
     "exact_dedup": q_exact_dedup,
     "dedup_incremental": q_dedup_incremental,
-    "update_relabel": q_update_relabel,
+    "sql_dml_lifecycle": q_sql_dml_lifecycle,
     "minhash_pairs": q_minhash_pairs,
     "ann_topk": q_ann_topk,
     "bm25_scores": q_bm25_scores,
@@ -2501,6 +2612,10 @@ QUERIES = {
     "sql_residual_where": q_sql_residual_where,
     "distinct_sources": q_distinct_sources,
     "stats_meta_nulls": q_stats_meta_nulls,
+    "sql_window_extras": q_sql_window_extras,
+    "sql_median_quantiles": q_sql_median_quantiles,
+    "percentiles": q_percentiles,
+    "update_relabel": q_update_relabel,
 }
 
 _IDS_SQL = ", ".join(str(i) for i in LOOKUP_IDS)
@@ -3153,6 +3268,14 @@ ORACLE_SQL = {
         "SELECT doc_id, CASE WHEN source = 'src-001' AND n_chars <= "
         "499 THEN 'und' ELSE lang END AS lang, source, n_chars "
         "FROM documents ORDER BY doc_id"),
+    "sql_window_extras": _SQL_WINDOW_EXTRAS,
+    "sql_median_quantiles": _SQL_MEDIAN_Q,
+    "sql_variance": _SQL_VARIANCE_ORACLE,
+    "sql_dml_lifecycle": (
+        "SELECT doc_id, CASE WHEN n_chars < 120 THEN 'und' ELSE lang "
+        "END AS lang, source, n_chars FROM documents "
+        "WHERE NOT (source = 'src-002' AND n_chars >= 4800) "
+        "ORDER BY doc_id"),
     # compression_metrics, lang_id, quality_scores, minhash_pairs,
     # simhash_pairs, ann_topk_lsh, decontaminate (n=13): intentionally
     # no oracle (engine-side semantics with no exact SQL equivalent ->

@@ -143,7 +143,16 @@ def _agg_query(r: random.Random) -> str:
     aggs = r.sample(["COUNT(*) AS n", "SUM(n_chars) AS s",
                      "MIN(rank_i) AS mn", "MAX(rank_i) AS mx",
                      "AVG(n_chars) AS a",
-                     "COUNT(lang) AS cl"], r.choice([1, 2, 3]))
+                     "COUNT(lang) AS cl",
+                     # exact over ints: CONT interpolation lands on
+                     # .0/.5, DISC returns elements, BOOL is 3VL min/
+                     # max (var/stddev fuzz separately w/ tolerance)
+                     "MEDIAN(n_chars) AS md",
+                     "QUANTILE_DISC(n_chars, 0.25) AS qd",
+                     "QUANTILE_CONT(rank_i, 0.75) AS qc",
+                     "BOOL_OR(n_chars > 2000) AS bo",
+                     "BOOL_AND(rank_i < 35) AS ba"],
+                    r.choice([1, 2, 3]))
     q = (f"SELECT {kexprs}, {', '.join(aggs)} FROM fz")
     if r.random() < 0.6:
         q += f" WHERE {_pred(r)}"
@@ -304,6 +313,17 @@ def _window_query(r: random.Random) -> str:
         "CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id)"
         " AS BIGINT)",
         "MIN(rank_i) OVER (PARTITION BY lang ORDER BY doc_id)",
+        "FIRST_VALUE(doc_id) OVER (PARTITION BY source "
+        "ORDER BY n_chars, doc_id)",
+        "LAST_VALUE(n_chars) OVER (PARTITION BY source "
+        "ORDER BY n_chars, doc_id)",
+        "NTH_VALUE(doc_id, 2) OVER (PARTITION BY lang "
+        "ORDER BY doc_id)",
+        "NTILE(5) OVER (PARTITION BY lang ORDER BY doc_id)",
+        "PERCENT_RANK() OVER (PARTITION BY source "
+        "ORDER BY n_chars, doc_id)",
+        "CUME_DIST() OVER (PARTITION BY source "
+        "ORDER BY n_chars, doc_id)",
     ])
     q = f"SELECT doc_id, source, {wf} AS w FROM fz"
     if r.random() < 0.5:
