@@ -687,7 +687,6 @@ _SCALAR_FNS = {
     "lower": pc.utf8_lower, "upper": pc.utf8_upper,
     "trim": pc.utf8_trim_whitespace, "ltrim": pc.utf8_ltrim_whitespace,
     "rtrim": pc.utf8_rtrim_whitespace,
-    "length": lambda a: pc.cast(pc.utf8_length(a), pa.int64()),
     "reverse": pc.utf8_reverse,
     "abs": pc.abs, "sqrt": pc.sqrt, "exp": pc.exp, "ln": pc.ln,
     "log": pc.log10, "log10": pc.log10, "log2": pc.log2,
@@ -747,6 +746,183 @@ def _split_part(arr, sep, idx1: int):
     # DuckDB quirk: split_part(NULL, sep, n) = '' (not NULL) — the
     # fill_null('') above already produces exactly that
     return pc.if_else(pa.array(in_range), taken, pa.scalar(""))
+
+
+def _as_list_array(a) -> pa.ListArray:
+    """Normalize a list-typed operand (chunked / scalar / fixed-size)
+    to one pa.ListArray; refuses non-list operands loudly so the
+    driver dry-run catches misuse before any task launches."""
+    if isinstance(a, pa.Scalar):
+        a = pa.array([a.as_py()], type=a.type)
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    if pa.types.is_fixed_size_list(a.type):
+        a = a.cast(pa.list_(a.type.value_type))
+    if not (pa.types.is_list(a.type) or pa.types.is_large_list(a.type)):
+        raise SqlUnsupported(f"list function over type {a.type}")
+    return a
+
+
+def _length_fn(a):
+    """DuckDB len/length: list length (BIGINT) on lists, codeunit
+    length on strings; NULL -> NULL."""
+    t = a.type
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)
+            or pa.types.is_fixed_size_list(t)):
+        return pc.cast(pc.list_value_length(a), pa.int64())
+    return pc.cast(pc.utf8_length(a), pa.int64())
+
+
+def _list_bounds(a: pa.ListArray):
+    """(offsets, lengths, row-validity) as numpy. Offsets are absolute
+    into a.values, so gathers and cumsum windows stay correct even on
+    sliced buffers."""
+    off = np.asarray(a.offsets)
+    lens = off[1:] - off[:-1]
+    valid = a.is_valid().to_numpy(zero_copy_only=False) \
+        if a.null_count else np.ones(len(a), dtype=bool)
+    return off, lens, valid
+
+
+def _null_where(arr, keep: np.ndarray):
+    """arr with NULL wherever ``keep`` is False (one if_else)."""
+    return pc.if_else(pa.array(keep), arr, pa.scalar(None, arr.type))
+
+
+def _list_extract(a, idx) -> pa.Array:
+    """DuckDB l[i] / list_extract(l, i): 1-based; negative i counts
+    from the end; 0 / out-of-range / NULL list -> NULL. One
+    offsets-based gather."""
+    i = int(_as_py_scalar(idx))
+    a = _as_list_array(a)
+    off, lens, valid = _list_bounds(a)
+    if i > 0:
+        want = off[:-1] + (i - 1)
+        in_range = (i <= lens) & valid
+    elif i < 0:
+        want = off[1:] + i
+        in_range = (-i <= lens) & valid
+    else:  # l[0] is NULL in DuckDB
+        want = off[:-1]
+        in_range = np.zeros(len(lens), dtype=bool)
+    safe = np.where(in_range, want, 0)
+    if len(a.values) == 0:  # nothing in range; avoid take on empty
+        return pa.nulls(len(a), a.type.value_type)
+    taken = a.values.take(pa.array(safe, type=pa.int64()))
+    return _null_where(taken, in_range)
+
+
+def _list_contains(a, v) -> pa.Array:
+    """DuckDB list_contains: TRUE if any element equals v (NULL
+    elements never match), FALSE otherwise, NULL for a NULL list."""
+    a = _as_list_array(a)
+    off, _, valid = _list_bounds(a)
+    eq = pc.fill_null(pc.equal(a.values, v), False) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    cs = np.concatenate([[0], np.cumsum(eq)])
+    hit = (cs[off[1:]] - cs[off[:-1]]) > 0
+    return _null_where(pa.array(hit), valid)
+
+
+def _list_sum(a, want_avg: bool = False):
+    """DuckDB list_sum / list_avg: NULL elements skipped; empty or
+    NULL list -> NULL. Integer lists sum exactly in int64 (DuckDB
+    answers HUGEINT — CAST in oracles), floats in float64."""
+    a = _as_list_array(a)
+    off, _, valid = _list_bounds(a)
+    vals = a.values
+    v_ok = vals.is_valid().to_numpy(zero_copy_only=False) \
+        if vals.null_count else np.ones(len(vals), dtype=bool)
+    integral = pa.types.is_integer(vals.type)
+    x = vals.to_numpy(zero_copy_only=False)
+    x = np.where(v_ok, x, 0).astype(np.int64 if integral else np.float64)
+    cs = np.concatenate([[0], np.cumsum(x)])
+    sums = cs[off[1:]] - cs[off[:-1]]
+    cv = np.concatenate([[0], np.cumsum(v_ok.astype(np.int64))])
+    counts = cv[off[1:]] - cv[off[:-1]]
+    keep = (counts > 0) & valid
+    if want_avg:
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = sums.astype(np.float64) / counts
+        return _null_where(pa.array(np.where(keep, out, 0.0)), keep)
+    arr = pa.array(sums, type=pa.int64() if integral else pa.float64())
+    return _null_where(arr, keep)
+
+
+def _list_minmax(a, is_min: bool):
+    """DuckDB list_min / list_max: NULL elements skipped; empty or
+    all-NULL or NULL list -> NULL. Segmented reduceat over the value
+    buffer — no per-row Python."""
+    a = _as_list_array(a)
+    off, lens, valid = _list_bounds(a)
+    vals = a.values
+    v_ok = vals.is_valid().to_numpy(zero_copy_only=False) \
+        if vals.null_count else np.ones(len(vals), dtype=bool)
+    integral = pa.types.is_integer(vals.type)
+    x = vals.to_numpy(zero_copy_only=False)
+    if integral:
+        sent = np.iinfo(np.int64).max if is_min else np.iinfo(np.int64).min
+        x = np.where(v_ok, x, sent).astype(np.int64)
+    else:
+        x = np.where(v_ok, x, np.inf if is_min else -np.inf) \
+            .astype(np.float64)
+    cv = np.concatenate([[0], np.cumsum(v_ok.astype(np.int64))])
+    counts = cv[off[1:]] - cv[off[:-1]]
+    keep = (counts > 0) & valid
+    out = np.zeros(len(lens), dtype=x.dtype)
+    nz = np.flatnonzero(lens > 0)
+    if len(nz):
+        # reduceat segments run start->next start; slicing x to the
+        # covered window [off[0], off[-1]) excludes buffer slack, and
+        # zero-length lists between starts contribute no elements
+        red = (np.minimum if is_min else np.maximum).reduceat(
+            x[off[0]:off[-1]], off[:-1][nz] - off[0])
+        out[nz] = red
+    arr = pa.array(out, type=pa.int64() if integral else pa.float64())
+    return _null_where(arr, keep)
+
+
+def _array_to_string(a, sep):
+    """DuckDB array_to_string(l, sep): NULL elements skipped, NULL
+    list -> NULL (and DuckDB answers NULL for an empty list too)."""
+    a = _as_list_array(a)
+    off, lens, valid = _list_bounds(a)
+    vals = a.values
+    v_ok = vals.is_valid().to_numpy(zero_copy_only=False) \
+        if vals.null_count else np.ones(len(vals), dtype=bool)
+    # drop NULL elements, remapping offsets onto the kept values
+    cv = np.concatenate([[0], np.cumsum(v_ok.astype(np.int64))])
+    new_off = cv[off]  # absolute into the filtered value buffer
+    kept = pc.cast(vals.filter(pa.array(v_ok)), pa.string())
+    keep_row = valid & ((cv[off[1:]] - cv[off[:-1]]) > 0)
+    lst = pa.ListArray.from_arrays(
+        pa.array(new_off, type=pa.int32()), kept)
+    return pc.binary_join(
+        pc.if_else(pa.array(keep_row), lst, pa.scalar(None, lst.type)),
+        pa.scalar(str(_as_py_scalar(sep))))
+
+
+def _string_split(a, sep):
+    """DuckDB string_split: NULL -> NULL, '' -> ['']."""
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    return pc.split_pattern(a, pattern=str(_as_py_scalar(sep)))
+
+
+_LIST_FNS = {
+    "len": _length_fn, "length": _length_fn,
+    "array_length": _length_fn, "list_length": _length_fn,
+    "list_extract": _list_extract, "array_extract": _list_extract,
+    "list_contains": _list_contains, "array_contains": _list_contains,
+    "list_has": _list_contains,
+    "list_sum": _list_sum,
+    "list_avg": lambda a: _list_sum(a, want_avg=True),
+    "list_min": lambda a: _list_minmax(a, True),
+    "list_max": lambda a: _list_minmax(a, False),
+    "array_to_string": _array_to_string,
+    "string_split": _string_split, "str_split": _string_split,
+    "string_to_array": _string_split,
+}
 
 
 def _i64(a):
@@ -877,6 +1053,8 @@ def _eval_expr(node: dict, env: dict, n_rows: int):
             bf = pc.cast(b, pa.float64())
             return pc.subtract(
                 af, pc.multiply(pc.trunc(pc.divide(af, bf)), bf))
+        if fn in _LIST_FNS:
+            return _LIST_FNS[fn](*args)
         if fn in _SCALAR_FNS:
             return _SCALAR_FNS[fn](*args)
         if fn == "split_part":
@@ -946,6 +1124,10 @@ def _eval_expr(node: dict, env: dict, n_rows: int):
             pc.greater_equal(arr, _eval_expr(node["lower"], env, n_rows)),
             pc.less_equal(arr, _eval_expr(node["upper"], env, n_rows)))
     if cls == "OPERATOR":
+        if typ == "ARRAY_EXTRACT":
+            return _list_extract(
+                _eval_expr(node["children"][0], env, n_rows),
+                _eval_expr(node["children"][1], env, n_rows))
         if typ == "OPERATOR_NOT":
             return pc.invert(_eval_expr(node["children"][0], env, n_rows))
         if typ == "OPERATOR_IS_NULL":
@@ -3277,6 +3459,25 @@ def _run_row_query(src, node: dict, select: list):
     if unknown:
         raise KeyError(f"unknown ORDER BY column(s) {sorted(unknown)}")
     scan_all = list(dict.fromkeys(list(scan_cols) + sorted(need - set(scan_cols))))
+
+    # dry-run every computed select item / sort key on the typed empty
+    # schema so unsupported expressions refuse on the DRIVER, never
+    # from inside a Ray task mid-stream
+    computed_items = [it for it in select
+                      if not star and it["class"] != "COLUMN_REF"]
+    computed_keys = [e for e, *_ in order
+                     if e.get("class") != "COLUMN_REF"]
+    if computed_items or computed_keys:
+        et = src.empty(scan_all)
+        env0 = {c: et[c] for c in et.column_names}
+        for x in computed_items + computed_keys:
+            try:
+                _eval_expr(x, env0, 0)
+            except SqlUnsupported:
+                raise
+            except Exception:
+                pass  # 0-row kernel quirks: let the real run decide
+
     ds = src.stream(scan_all)
 
     computed_order = [e for e, *_ in order
