@@ -925,6 +925,18 @@ _LIST_FNS = {
 }
 
 
+def _zero_scalar(t: pa.DataType) -> pa.Scalar:
+    """An arbitrary valid scalar of type ``t`` (used only to fill
+    nulls under a dominating is-null sort key — never observable)."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return pa.scalar("", type=t)
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return pa.scalar(b"", type=t)
+    if pa.types.is_boolean(t):
+        return pa.scalar(False, type=t)
+    return pa.scalar(0, type=t)
+
+
 def _i64(a):
     return pc.cast(a, pa.int64())
 
@@ -2191,6 +2203,173 @@ class _MemSource:
     unfiltered_dir = None
 
 
+def _find_unnests(x, inside_agg=False, found=None):
+    """Collect every UNNEST call in an expression tree; refuse the
+    placements DuckDB's binder refuses (inside an aggregate)."""
+    if found is None:
+        found = []
+    if isinstance(x, dict):
+        if x.get("class") == "FUNCTION":
+            fn = x.get("function_name")
+            if fn == "unnest":
+                if inside_agg:
+                    raise SqlUnsupported("UNNEST inside an aggregate")
+                found.append(x)
+                # recursive unnest(unnest(..)) is a refusal, not a loop
+                for c in x.get("children") or []:
+                    if _find_unnests(c, inside_agg, []):
+                        raise SqlUnsupported("nested UNNEST")
+                return found
+            inside_agg = inside_agg or fn in _AGG_FNS
+        for v in x.values():
+            _find_unnests(v, inside_agg, found)
+    elif isinstance(x, list):
+        for v in x:
+            _find_unnests(v, inside_agg, found)
+    return found
+
+
+def _rewrite_unnest(src, node: dict, select: list):
+    """UNNEST in the select list: rewrite each distinct unnest(arg)
+    onto a hidden exploded column (``__unN``) provided by an
+    _UnnestSource wrapper, so every downstream path (projection,
+    ORDER BY/LIMIT, DISTINCT, GROUP BY over the exploded rows) sees
+    plain columns. Multiple unnests zip DuckDB-style: each source row
+    expands to the LONGEST list's length, shorter lists pad NULL;
+    empty and NULL lists contribute zero rows of their own."""
+    per_item = [_find_unnests(it) for it in select]
+    if not any(per_item):
+        return src, node, select
+    for part in ("where_clause", "having", "qualify"):
+        if node.get(part) is not None and _find_unnests(node[part]):
+            raise SqlUnsupported(f"UNNEST in {part.split('_')[0].upper()}")
+    for g in node.get("group_expressions") or []:
+        if _find_unnests(g):
+            raise SqlUnsupported("UNNEST in GROUP BY")
+    args, keys = [], {}
+
+    def hid(call: dict) -> str:
+        ch = call.get("children") or []
+        if len(ch) != 1:
+            raise SqlUnsupported("unnest takes exactly one argument")
+        k = _canon_key(ch[0])
+        if k not in keys:
+            keys[k] = f"__un{len(args)}"
+            args.append(ch[0])
+        return keys[k]
+
+    def walk(x):
+        if isinstance(x, dict):
+            if x.get("class") == "FUNCTION" \
+                    and x.get("function_name") == "unnest":
+                return {"class": "COLUMN_REF", "type": "COLUMN_REF",
+                        "alias": x.get("alias") or "",
+                        "column_names": [hid(x)]}
+            return {k: walk(v) for k, v in x.items()}
+        if isinstance(x, list):
+            return [walk(v) for v in x]
+        return x
+
+    select2 = []
+    for it in select:
+        nm = _expr_name(it)  # DuckDB's output name, e.g. unnest(l)
+        it2 = walk(it)
+        if not it2.get("alias"):
+            it2["alias"] = nm
+        select2.append(it2)
+    node2 = dict(node)
+    node2["select_list"] = select2
+    node2["modifiers"] = walk(node.get("modifiers") or [])
+    return _UnnestSource(src, args), node2, select2
+
+
+class _UnnestSource:
+    """Wraps a source with DuckDB-zip UNNEST columns: ``stream``
+    explodes each batch with one np.repeat gather — row multiplicity
+    is the max list length across ALL unnest args (so it is computed
+    even for args the projection drops), base columns repeat, and
+    shorter lists pad NULL."""
+
+    def __init__(self, base, arg_nodes: list):
+        self.base = base
+        self.args = arg_nodes
+        self.names = [f"__un{i}" for i in range(len(arg_nodes))]
+
+    def columns(self) -> list[str]:
+        return list(self.base.columns()) + list(self.names)
+
+    def _base_need(self, cols: list[str]) -> list[str]:
+        need: set = set()
+        for a in self.args:
+            _expr_columns(a, need)
+        base_cols = [c for c in cols if c not in self.names]
+        return list(dict.fromkeys(base_cols + sorted(need)))
+
+    def stream(self, cols: list[str]):
+        cols = list(cols) if cols else self.columns()
+        read = self._base_need(cols)
+        ds = self.base.stream(read)
+        args, names = self.args, self.names
+        want_un = [n for n in cols if n in names]
+
+        def explode(b: pa.Table) -> pa.Table:
+            env = {c: b[c] for c in b.column_names}
+            lists = []
+            for a in args:
+                arr = _eval_expr(a, env, b.num_rows)
+                if isinstance(arr, pa.Scalar):
+                    arr = pa.array([arr.as_py()] * b.num_rows,
+                                   type=arr.type)
+                lists.append(_as_list_array(arr))
+            bounds = [_list_bounds(la) for la in lists]
+            mult = np.zeros(b.num_rows, dtype=np.int64)
+            for _, lens, valid in bounds:
+                mult = np.maximum(mult, np.where(valid, lens, 0))
+            ridx = np.repeat(np.arange(b.num_rows), mult)
+            starts = np.concatenate([[0], np.cumsum(mult)])[:-1]
+            pos = np.arange(int(mult.sum())) - starts[ridx] \
+                if len(ridx) else np.empty(0, dtype=np.int64)
+            cols_out: dict = {}
+            for c in cols:
+                if c not in names:
+                    cols_out[c] = b[c].combine_chunks().take(
+                        pa.array(ridx, type=pa.int64()))
+            for n, la, (off, lens, valid) in zip(names, lists, bounds):
+                if n not in want_un:
+                    continue
+                ok = (pos < lens[ridx]) & valid[ridx]
+                safe = np.where(ok, off[:-1][ridx] + pos, 0)
+                if len(la.values) == 0:
+                    cols_out[n] = pa.nulls(len(ridx),
+                                           la.type.value_type)
+                else:
+                    taken = la.values.take(
+                        pa.array(safe, type=pa.int64()))
+                    cols_out[n] = _null_where(taken, ok)
+            return pa.table(cols_out) if cols_out else pa.table(
+                {"__rows": pa.array(np.zeros(len(ridx), dtype=np.int8))}
+            ).select([])
+
+        out = ds.map_batches(explode, batch_format="pyarrow")
+        return _with_typed_empty(out, self.empty(cols))
+
+    def empty(self, cols: list[str]) -> pa.Table:
+        cols = list(cols) if cols else self.columns()
+        et = self.base.empty(self._base_need(cols))
+        env = {c: et[c] for c in et.column_names}
+        out: dict = {}
+        for c in cols:
+            if c in self.names:
+                arr = _eval_expr(self.args[self.names.index(c)], env, 0)
+                la = _as_list_array(arr)
+                out[c] = pa.nulls(0, la.type.value_type)
+            else:
+                out[c] = et[c]
+        return pa.table(out)
+
+    unfiltered_dir = None
+
+
 class _TableSource:
     """Single encoded table, WHERE compiled to the zone-pruned engine
     predicate tree. Conjuncts the tree language can't express (scalar
@@ -3304,6 +3483,9 @@ def _execute_node(node: dict, tables: dict[str, str]):
         raise SqlUnsupported(f"FROM type {ft.get('type')!r}")
 
     select = node["select_list"]
+    # UNNEST rewrites onto an exploding source wrapper; every later
+    # path then sees plain columns
+    src, node, select = _rewrite_unnest(src, node, select)
     don = None
     for m in node.get("modifiers", []):
         if m["type"] == "DISTINCT_MODIFIER" \
@@ -3530,38 +3712,42 @@ def _run_row_query(src, node: dict, select: list):
     if order:
         # full ordered result WITHOUT a limit: Ray's distributed
         # range-partitioned sort; stays a lazy Dataset so callers can
-        # write_parquet without a driver materialization. (Nulls sort
-        # per Ray's ordering — use a LIMIT or IS NOT NULL for SQL
-        # nulls-last guarantees on null-bearing keys.)
-        nf_hidden = {f"__nf{i}": _colref(e)
-                     for i, (e, _, nf) in enumerate(order) if nf}
-        if nf_hidden:
-            # NULLS FIRST: hidden is-null bool keys (desc) dominate
-            # their key, added per batch and dropped after the sort
-            def _aug_nf(b: pa.Table) -> pa.Table:
-                for h, c in nf_hidden.items():
-                    b = b.append_column(h, pc.is_null(b[c]))
-                return b
+        # write_parquet without a driver materialization. Ray's
+        # multi-key sort MIS-PARTITIONS null-bearing keys (observed
+        # row DUPLICATION on Ray 2.49 when the first of several keys
+        # holds nulls), so every key sorts as an (is-null companion,
+        # null-filled key) pair: the companion dominates — the fill
+        # value never affects order — nulls cannot reach the range
+        # partitioner, and SQL's NULLS LAST default (or a requested
+        # NULLS FIRST) comes out exactly.
+        keys, desc, hidden = [], [], []
+        for i, (e, d, nf) in enumerate(order):
+            keys += [f"__nn{i}", f"__nk{i}"]
+            desc += [bool(nf), d]  # is-null desc == NULLS FIRST
+            hidden.append((i, _colref(e)))
+        drop = [k for k in keys]
 
-            keys, desc = [], []
-            for i, (e, d, nf) in enumerate(order):
-                if nf:
-                    keys.append(f"__nf{i}")
-                    desc.append(True)
-                keys.append(_colref(e))
-                desc.append(d)
-            drop = list(nf_hidden)
+        def _aug_nullsafe(b: pa.Table) -> pa.Table:
+            for i, c in hidden:
+                arr = b[c]
+                if pa.types.is_null(arr.type):
+                    isn = pa.array(np.ones(b.num_rows, dtype=np.int8))
+                    filled = pa.array(np.zeros(b.num_rows,
+                                               dtype=np.int8))
+                else:
+                    isn = pc.cast(pc.is_null(arr), pa.int8())
+                    filled = pc.fill_null(arr, _zero_scalar(arr.type))
+                b = b.append_column(f"__nn{i}", isn)
+                b = b.append_column(f"__nk{i}", filled)
+            return b
 
-            def _strip_nf(b: pa.Table) -> pa.Table:
-                return b.drop_columns(drop)
+        def _strip_nullsafe(b: pa.Table) -> pa.Table:
+            return b.drop_columns(drop)
 
-            sorted_ds = ds.map_batches(
-                _aug_nf, batch_format="pyarrow").sort(
-                    key=keys, descending=desc).map_batches(
-                        _strip_nf, batch_format="pyarrow")
-        else:
-            sorted_ds = ds.sort(key=[_colref(e) for e, *_ in order],
-                                descending=[d for _, d, _ in order])
+        sorted_ds = ds.map_batches(
+            _aug_nullsafe, batch_format="pyarrow").sort(
+                key=keys, descending=desc).map_batches(
+                    _strip_nullsafe, batch_format="pyarrow")
     def _empty_out() -> pa.Table:
         return finish(src.empty(
             [c for c in scan_all if not c.startswith("__ord")]))

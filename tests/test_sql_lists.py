@@ -152,3 +152,63 @@ def test_list_fn_over_scalar_type_refuses(listenv):
     tables, _ = listenv
     with pytest.raises(SqlUnsupported):
         sql_query("SELECT list_sum(doc_id) AS x FROM tok LIMIT 3", tables)
+
+
+# --- UNNEST -----------------------------------------------------------------
+
+def test_unnest_basic(listenv):
+    check(listenv, "SELECT doc_id, unnest(tokens) AS tk FROM tok "
+                   "ORDER BY doc_id, tk LIMIT 25")
+
+
+def test_unnest_expression_wrapped(listenv):
+    check(listenv, "SELECT unnest(tokens) + 1 AS tp FROM tok "
+                   "WHERE doc_id = 'd00007' ORDER BY tp")
+
+
+def test_unnest_of_expression_grouped(listenv):
+    # the word-histogram shape: explode a computed list, then GROUP BY
+    check(listenv, "SELECT w, count(*) AS n FROM "
+                   "(SELECT unnest(string_split(text, ' ')) AS w "
+                   "FROM tok) s GROUP BY w ORDER BY n DESC, w LIMIT 12")
+
+
+def test_unnest_distinct(listenv):
+    check(listenv, "SELECT DISTINCT unnest(tokens) AS tk FROM tok "
+                   "ORDER BY tk LIMIT 7")
+
+
+def test_unnest_zip_two_lists(listenv):
+    # DuckDB zip: multiplicity is the LONGEST list, shorter pads NULL;
+    # the planted empty/NULL-token rows exercise zero-length sides
+    check(listenv, "SELECT unnest(tokens) AS a, "
+                   "unnest(string_split(text,' ')) AS b FROM tok "
+                   "WHERE doc_id IN ('d00007','d00005','d00006','d00010') "
+                   "ORDER BY a NULLS FIRST, b NULLS FIRST")
+
+
+def test_unnest_refusals(listenv):
+    tables, _ = listenv
+    with pytest.raises(SqlUnsupported):
+        sql_query("SELECT doc_id FROM tok WHERE unnest(tokens) > 3",
+                  tables)
+    with pytest.raises(SqlUnsupported):
+        sql_query("SELECT sum(unnest(tokens)) AS s FROM tok", tables)
+
+
+# --- full-sort null handling (regression: Ray 2.49 multi-key sort
+# DUPLICATES rows when a null-bearing key feeds the range partitioner;
+# every full sort now runs over (is-null companion, null-filled key)
+# pairs) ----------------------------------------------------------------------
+
+def test_full_sort_null_first_key_no_limit(listenv):
+    # tokens[1] is NULL for the empty/NULL-list rows; no LIMIT forces
+    # the distributed range-partitioned sort path
+    check(listenv, "SELECT doc_id, tokens[1] AS t0 FROM tok "
+                   "WHERE doc_id < 'd00040' ORDER BY t0, doc_id")
+
+
+def test_full_sort_nulls_first_desc(listenv):
+    check(listenv, "SELECT doc_id, tokens[1] AS t0 FROM tok "
+                   "WHERE doc_id < 'd00040' "
+                   "ORDER BY t0 DESC NULLS FIRST, doc_id DESC")
