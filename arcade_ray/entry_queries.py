@@ -345,6 +345,16 @@ _SQL_JOIN3 = (
     "GROUP BY c_mktsegment, l_returnflag "
     "ORDER BY c_mktsegment, l_returnflag")
 
+_SQL_UNNEST = (
+    # word histogram: the UNNEST fan-out rewrites onto a streaming
+    # exploding source, the derived table stays a lazy Dataset
+    # (never driver-resident), and the GROUP BY runs as streamed
+    # per-batch partials over the exploded words
+    "SELECT w, COUNT(*) AS n FROM "
+    "(SELECT unnest(string_split(text, ' ')) AS w FROM documents "
+    "WHERE lang IN ('en', 'de')) s "
+    "WHERE w <> '' GROUP BY w ORDER BY n DESC, w LIMIT 40")
+
 _SQL_CORR_EXISTS = (
     "SELECT c_custkey, c_mktsegment FROM customer c "
     "WHERE EXISTS (SELECT 1 FROM orders o "
@@ -481,6 +491,19 @@ def q_sql_join3(sf_dir: str) -> pa.Table:
                      {"lineitem": encoded_dir(sf_dir, "lineitem"),
                       "orders": encoded_dir(sf_dir, "orders"),
                       "customer": encoded_dir(sf_dir, "customer")})
+
+
+def q_sql_unnest(sf_dir: str) -> pa.Table:
+    """SQL UNNEST (list explode) with GROUP BY: unnest(string_split)
+    rewrites onto a hidden exploded column provided by a streaming
+    source wrapper (one np.repeat gather per batch, DuckDB zip
+    semantics), the FROM-subquery stays a lazy Dataset end to end,
+    and the word histogram aggregates via per-batch partials — the
+    exploded rows never materialize on the driver."""
+    from .sql import sql_query
+
+    return sql_query(_SQL_UNNEST,
+                     {"documents": encoded_dir(sf_dir, "documents")})
 
 
 def q_sql_corr_exists(sf_dir: str) -> pa.Table:
@@ -2496,8 +2519,8 @@ QUERIES = {
     "plan_stats": q_plan_stats,
     "stats_meta": q_stats_meta,
     "schema_evolution": q_schema_evolution,
-    "sql_join_agg": q_sql_join_agg,
     "sql_join3": q_sql_join3,
+    "sql_unnest": q_sql_unnest,
     "sql_date_trunc": q_sql_date_trunc,
     "dup_ngram_stats": q_dup_ngram_stats,
     "group_count_encoded": q_group_count_encoded,
@@ -2605,6 +2628,7 @@ QUERIES = {
     "schema_evolution_filter": q_schema_evolution_filter,
     "sql_group_having": q_sql_group_having,
     "sql_window_rank": q_sql_window_rank,
+    "sql_join_agg": q_sql_join_agg,
     "sql_corr_exists": q_sql_corr_exists,
     "sql_qualify_topn": q_sql_qualify_topn,
     "sql_group_expr": q_sql_group_expr,
@@ -3257,6 +3281,7 @@ ORACLE_SQL = {
     "sql_group_having": _SQL_GROUP_HAVING,
     "sql_join_agg": _SQL_JOIN_AGG,
     "sql_join3": _SQL_JOIN3,
+    "sql_unnest": _SQL_UNNEST,
     "sql_window_rank": _SQL_WINDOW_RANK,
     "sql_corr_exists": _SQL_CORR_EXISTS,
     "sql_qualify_topn": _SQL_QUALIFY_TOPN,

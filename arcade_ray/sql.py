@@ -2346,6 +2346,8 @@ class _UnnestSource:
                     taken = la.values.take(
                         pa.array(safe, type=pa.int64()))
                     cols_out[n] = _null_where(taken, ok)
+            # emit in the requested column order (matches empty())
+            cols_out = {c: cols_out[c] for c in cols if c in cols_out}
             return pa.table(cols_out) if cols_out else pa.table(
                 {"__rows": pa.array(np.zeros(len(ridx), dtype=np.int8))}
             ).select([])
@@ -2481,6 +2483,97 @@ def _derived_table(ft: dict, tables: dict):
                 "columns")
         t = t.rename_columns(list(cna))
     return alias, t
+
+
+class _DsSource:
+    """A FROM-subquery whose inner query stayed a lazy Dataset: the
+    outer query streams over the inner one's batches — the derived
+    rows (e.g. an UNNEST fan-out's exploded words) never materialize
+    on the driver. The outer WHERE evaluates as one vectorized 3VL
+    mask per batch; there are no zone maps mid-stream to prune."""
+
+    def __init__(self, ds, empty: pa.Table, where_node,
+                 rename: list | None = None):
+        self.ds = ds
+        self.rename = list(rename) if rename else None
+        if self.rename:
+            empty = empty.rename_columns(self.rename)
+        self._empty = empty
+        self.where = where_node
+        if where_node is not None:
+            # dry-run on the typed empty schema so unsupported WHERE
+            # expressions refuse on the driver, not inside a Ray task
+            env = {c: empty[c] for c in empty.column_names}
+            _eval_expr(where_node, env, 0)
+
+    def columns(self) -> list[str]:
+        return list(self._empty.column_names)
+
+    def stream(self, cols: list[str]):
+        cols = list(cols) if cols else self.columns()
+        where, rename = self.where, self.rename
+        need = set(cols)
+        if where is not None:
+            _expr_columns(where, need)
+        read = [c for c in self.columns() if c in need]
+
+        def proj(b: pa.Table) -> pa.Table:
+            if rename:
+                b = b.rename_columns(rename)
+            b = b.select(read)
+            if where is not None:
+                env = {c: b[c] for c in b.column_names}
+                m = _eval_expr(where, env, b.num_rows)
+                if isinstance(m, pa.Scalar):
+                    b = b if m.as_py() else b.slice(0, 0)
+                else:
+                    if isinstance(m, pa.ChunkedArray):
+                        m = m.combine_chunks()
+                    b = b.filter(pc.fill_null(m.cast(pa.bool_()),
+                                              False))
+            return b.select(cols)
+
+        out = self.ds.map_batches(proj, batch_format="pyarrow")
+        return _with_typed_empty(out, self.empty(cols))
+
+    def empty(self, cols: list[str]) -> pa.Table:
+        return self._empty.select(cols).slice(0, 0)
+
+    unfiltered_dir = None
+
+
+def _stream_derived(ft: dict, tables: dict, where_node):
+    """Source for a FROM-subquery: run the inner node; when the
+    result is a lazy Dataset wrap it streaming (_DsSource), else fall
+    back to the driver-side table contract (_MemSource) — either way
+    the inner query executes exactly ONCE."""
+    alias = ft.get("alias")
+    if not alias:
+        raise SqlUnsupported("FROM subquery needs an alias")
+    import ray.data as rd
+
+    res = _execute_node(ft["subquery"]["node"], tables)
+    cna = ft.get("column_name_alias") or []
+    if isinstance(res, rd.Dataset):
+        sch = res.schema()
+        names = list(sch.names) if sch is not None else []
+        types = list(sch.types) if sch is not None else []
+        if names and all(isinstance(t, pa.DataType) for t in types):
+            if cna and len(cna) != len(names):
+                raise SqlUnsupported(
+                    f"{len(cna)} column aliases for {len(names)} "
+                    "columns")
+            empty = pa.table({n: pa.array([], type=t)
+                              for n, t in zip(names, types)})
+            return _DsSource(res, empty, where_node, cna or None)
+    t = _materialize_result(res)
+    if cna:
+        if len(cna) != t.num_columns:
+            raise SqlUnsupported(
+                f"{len(cna)} column aliases for {t.num_columns} "
+                "columns")
+        t = t.rename_columns(list(cna))
+    return _MemSource(t, where_node)
 
 
 class _JoinBase:
@@ -3472,9 +3565,10 @@ def _execute_node(node: dict, tables: dict[str, str]):
     elif ft.get("type") == "JOIN":
         src = _JoinSource(ft, tables, node.get("where_clause"))
     elif ft.get("type") == "SUBQUERY":
-        # derived table: materialize like a CTE, then query it
-        _, dt = _derived_table(ft, tables)
-        src = _MemSource(dt, node.get("where_clause"))
+        # derived table: stays a lazy stream when the inner query
+        # does (UNNEST fan-outs, projections); materializes like a
+        # CTE only when the inner result is already driver-sized
+        src = _stream_derived(ft, tables, node.get("where_clause"))
     elif ft.get("type") == "EMPTY":
         # FROM-less SELECT: one synthetic row, expressions only
         src = _MemSource(pa.table({"__one": pa.array([1])}),

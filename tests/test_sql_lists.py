@@ -187,6 +187,22 @@ def test_unnest_zip_two_lists(listenv):
                    "ORDER BY a NULLS FIRST, b NULLS FIRST")
 
 
+def test_unnest_derived_table_streams(listenv, monkeypatch):
+    # the word-histogram shape must NEVER materialize the exploded
+    # rows on the driver: poison the materializing fallback and run
+    # the grouped-unnest query end to end
+    import arcade_ray.sql as sqlmod
+
+    def _poisoned(res):
+        raise AssertionError("derived table materialized on driver")
+
+    monkeypatch.setattr(sqlmod, "_materialize_result", _poisoned)
+    check(listenv, "SELECT w, count(*) AS n FROM "
+                   "(SELECT unnest(string_split(text, ' ')) AS w "
+                   "FROM tok) s WHERE w <> 'common' "
+                   "GROUP BY w ORDER BY n DESC, w LIMIT 10")
+
+
 def test_unnest_refusals(listenv):
     tables, _ = listenv
     with pytest.raises(SqlUnsupported):
