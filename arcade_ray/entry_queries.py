@@ -355,6 +355,19 @@ _SQL_UNNEST = (
     "WHERE lang IN ('en', 'de')) s "
     "WHERE w <> '' GROUP BY w ORDER BY n DESC, w LIMIT 40")
 
+_SQL_ARG_STRING_AGG = (
+    # positional + collecting aggregates: arg_max/arg_min reduce to
+    # one candidate row per group per batch (map-side combine);
+    # string_agg ships only the (group, order, value) rows — the
+    # values ARE the result. BY/ORDER keys are unique (doc_id) so
+    # DuckDB's arbitrary tie pick cannot diverge.
+    "SELECT source, COUNT(*) AS n, "
+    "arg_max(lang, doc_id) AS last_lang, "
+    "arg_min(n_chars, doc_id) AS first_len, "
+    "string_agg(lang, '|' ORDER BY doc_id) AS langs "
+    "FROM documents WHERE n_chars % 11 = 0 "
+    "GROUP BY source ORDER BY source")
+
 _SQL_CORR_EXISTS = (
     "SELECT c_custkey, c_mktsegment FROM customer c "
     "WHERE EXISTS (SELECT 1 FROM orders o "
@@ -491,6 +504,18 @@ def q_sql_join3(sf_dir: str) -> pa.Table:
                      {"lineitem": encoded_dir(sf_dir, "lineitem"),
                       "orders": encoded_dir(sf_dir, "orders"),
                       "customer": encoded_dir(sf_dir, "customer")})
+
+
+def q_sql_arg_string_agg(sf_dir: str) -> pa.Table:
+    """Positional (ARG_MAX/ARG_MIN) and collecting (STRING_AGG ...
+    ORDER BY) aggregates through the SQL frontend: arg extremes
+    pre-aggregate to one candidate row per group per batch; the
+    ordered string_agg gathers only result-sized (group, key, value)
+    rows and sorts once on the driver."""
+    from .sql import sql_query
+
+    return sql_query(_SQL_ARG_STRING_AGG,
+                     {"documents": encoded_dir(sf_dir, "documents")})
 
 
 def q_sql_unnest(sf_dir: str) -> pa.Table:
@@ -2629,6 +2654,7 @@ QUERIES = {
     "sql_group_having": q_sql_group_having,
     "sql_window_rank": q_sql_window_rank,
     "sql_join_agg": q_sql_join_agg,
+    "sql_arg_string_agg": q_sql_arg_string_agg,
     "sql_corr_exists": q_sql_corr_exists,
     "sql_qualify_topn": q_sql_qualify_topn,
     "sql_group_expr": q_sql_group_expr,
@@ -3282,6 +3308,7 @@ ORACLE_SQL = {
     "sql_join_agg": _SQL_JOIN_AGG,
     "sql_join3": _SQL_JOIN3,
     "sql_unnest": _SQL_UNNEST,
+    "sql_arg_string_agg": _SQL_ARG_STRING_AGG,
     "sql_window_rank": _SQL_WINDOW_RANK,
     "sql_corr_exists": _SQL_CORR_EXISTS,
     "sql_qualify_topn": _SQL_QUALIFY_TOPN,

@@ -550,20 +550,30 @@ def _compile_pred(node: dict, tables: dict, neg: bool = False,
 _AGG_FNS = {"sum", "min", "max", "avg", "count", "count_star",
             "approx_count_distinct", "var_pop", "var_samp", "variance",
             "stddev", "stddev_samp", "stddev_pop", "bool_and",
-            "bool_or", "median", "quantile_cont", "quantile_disc"}
+            "bool_or", "median", "quantile_cont", "quantile_disc",
+            "arg_max", "argmax", "max_by", "arg_min", "argmin",
+            "min_by", "string_agg", "group_concat", "listagg",
+            "array_agg", "list"}
 
 # aliases fold at collect time so one atom serves every spelling
-_AGG_ALIASES = {"variance": "var_samp", "stddev": "stddev_samp"}
+_AGG_ALIASES = {"variance": "var_samp", "stddev": "stddev_samp",
+                "argmax": "arg_max", "max_by": "arg_max",
+                "argmin": "arg_min", "min_by": "arg_min",
+                "group_concat": "string_agg", "listagg": "string_agg",
+                "list": "array_agg"}
 
 _VAR_FNS = ("var_pop", "var_samp", "stddev_pop", "stddev_samp")
 
 
 def _is_special_agg(fn: str) -> bool:
     """Atoms that cannot run through the per-batch partial stream
-    (distinct / quantile state does not pre-aggregate)."""
+    (distinct / quantile / positional state does not pre-aggregate
+    via pyarrow's hash kernels)."""
     return fn in ("count_distinct", "approx_count_distinct",
                   "sum_distinct", "avg_distinct") \
-        or fn.startswith(("quantile_cont@", "quantile_disc@"))
+        or fn.startswith(("quantile_cont@", "quantile_disc@",
+                          "arg_max@", "arg_min@", "string_agg@",
+                          "array_agg@"))
 _ARITH = {"+": pc.add, "-": pc.subtract, "*": pc.multiply}
 
 
@@ -584,7 +594,41 @@ def _agg_atom_name(node: dict) -> str:
         if not 0.0 <= p <= 1.0:
             raise SqlUnsupported(f"{fn} fraction {p} outside [0, 1]")
         return f"{fn}@{p!r}"
+    if fn in ("arg_max", "arg_min"):
+        ch = node.get("children") or []
+        if len(ch) != 2 or ch[0]["class"] != "COLUMN_REF" \
+                or ch[1]["class"] != "COLUMN_REF":
+            raise SqlUnsupported(f"{fn} needs two plain columns")
+        return f"{fn}@{_colref(ch[1])}"
+    if fn == "string_agg":
+        ch = node.get("children") or []
+        sep = ","
+        if len(ch) > 1:
+            if ch[1]["class"] != "CONSTANT":
+                raise SqlUnsupported(
+                    "string_agg separator must be a constant")
+            sep = str(_const_value(ch[1]))
+        return "string_agg@" + json.dumps([sep, _agg_order_spec(node)])
+    if fn == "array_agg":
+        return "array_agg@" + json.dumps(_agg_order_spec(node))
     return fn
+
+
+def _agg_order_spec(node: dict) -> list:
+    """Canonical [[col, desc, nulls_first], ...] for an in-aggregate
+    ORDER BY (``string_agg(x, ',' ORDER BY y DESC)``): plain columns
+    only. DuckDB's ORDER_DEFAULT direction is ascending and its
+    default null order is NULLS LAST in either direction."""
+    orders = (node.get("order_bys") or {}).get("orders") or []
+    spec = []
+    for o in orders:
+        e = o.get("expression") or {}
+        if e.get("class") != "COLUMN_REF":
+            raise SqlUnsupported(
+                "in-aggregate ORDER BY must be plain columns")
+        spec.append([_colref(e), o.get("type") == "DESCENDING",
+                     o.get("null_order") == "NULLS_FIRST"])
+    return spec
 
 
 def _collect_aggs(node: dict, out: list):
@@ -909,7 +953,53 @@ def _string_split(a, sep):
     return pc.split_pattern(a, pattern=str(_as_py_scalar(sep)))
 
 
+def _list_sort(a, order=None, null_order=None) -> pa.Array:
+    """DuckDB list_sort(l [, 'ASC'|'DESC' [, 'NULLS FIRST'|'NULLS
+    LAST']]): element sort inside each list — one flatten, one
+    (segment, is-null companion, value) sort, one rebuild. NULL lists
+    stay NULL; DuckDB's rewrite of ``list(x ORDER BY x)`` lands here.
+    DuckDB's observed default null order is NULLS LAST (both
+    directions)."""
+    la = _as_list_array(a)
+    desc = str(_as_py_scalar(order)).strip().upper() == "DESC" \
+        if order is not None else False
+    nf = "FIRST" in str(_as_py_scalar(null_order)).strip().upper() \
+        if null_order is not None else False
+    off, lens, valid = _list_bounds(la)
+    counts = np.where(valid, lens, 0).astype(np.int64)
+    total = int(counts.sum())
+    seg = np.repeat(np.arange(len(la), dtype=np.int64), counts)
+    starts = np.repeat(np.cumsum(counts) - counts, counts)
+    gi = np.repeat(off[:-1].astype(np.int64), counts) \
+        + (np.arange(total, dtype=np.int64) - starts)
+    vals = la.values.take(pa.array(gi, type=pa.int64()))
+    if pa.types.is_null(vals.type):
+        isn = pa.array(np.ones(total, dtype=np.int8))
+        filled = pa.array(np.zeros(total, dtype=np.int8))
+    else:
+        isn = pc.cast(pc.is_null(vals), pa.int8())
+        filled = pc.fill_null(vals, _zero_scalar(vals.type))
+    st = pa.table({"__s": pa.array(seg), "__n": isn, "__v": filled})
+    idx = pc.sort_indices(st, sort_keys=[
+        ("__s", "ascending"),
+        ("__n", "descending" if nf else "ascending"),
+        ("__v", "descending" if desc else "ascending")])
+    out_vals = vals.take(idx)
+    offs = np.zeros(len(la) + 1, dtype=np.int64)
+    offs[1:] = np.cumsum(counts)
+    offs_py = [None if not v else int(o)
+               for o, v in zip(offs[:-1], valid)] + [int(offs[-1])]
+    return pa.ListArray.from_arrays(
+        pa.array(offs_py, type=pa.int32()), out_vals)
+
+
+def _list_reverse_sort(a, null_order=None) -> pa.Array:
+    return _list_sort(a, pa.scalar("DESC"), null_order)
+
+
 _LIST_FNS = {
+    "list_sort": _list_sort, "array_sort": _list_sort,
+    "list_reverse_sort": _list_reverse_sort,
     "len": _length_fn, "length": _length_fn,
     "array_length": _length_fn, "list_length": _length_fn,
     "list_extract": _list_extract, "array_extract": _list_extract,
@@ -1067,6 +1157,30 @@ def _eval_expr(node: dict, env: dict, n_rows: int):
                 af, pc.multiply(pc.trunc(pc.divide(af, bf)), bf))
         if fn in _LIST_FNS:
             return _LIST_FNS[fn](*args)
+        if fn in ("list_value", "list_pack"):
+            # [a, b, c] literal: zip the element columns into one
+            # list per row (concat + one row-major permutation take)
+            k = len(args)
+            if k == 0:
+                return pa.scalar([], type=pa.list_(pa.null()))
+            et = next((x.type for x in args
+                       if not pa.types.is_null(x.type)), pa.null())
+            cols = []
+            for x in args:
+                if isinstance(x, pa.Scalar):
+                    x = (pa.nulls(n_rows, et)
+                         if pa.types.is_null(x.type)
+                         else pa.array([x.as_py()] * n_rows, type=et))
+                elif isinstance(x, pa.ChunkedArray):
+                    x = x.combine_chunks()
+                cols.append(x if x.type.equals(et) else pc.cast(x, et))
+            values = pa.concat_arrays(cols)
+            perm = np.ravel(np.arange(n_rows)[:, None]
+                            + n_rows * np.arange(k)[None, :])
+            offsets = pa.array(np.arange(n_rows + 1, dtype=np.int32)
+                               * k)
+            return pa.ListArray.from_arrays(
+                offsets, values.take(pa.array(perm, type=pa.int64())))
         if fn in _SCALAR_FNS:
             return _SCALAR_FNS[fn](*args)
         if fn == "split_part":
@@ -1646,6 +1760,146 @@ def _grouped_quantile_values(src, keys: list[str], col: str,
     kcols = [hist[k].to_pylist() for k in keys]
     for b, e in zip(bounds, ends):
         lut[tuple(c[b] for c in kcols)] = select_run(int(b), int(e))
+    rows = zip(*[merged[k].to_pylist() for k in keys]) if n else []
+    return pa.array([lut.get(t) for t in map(tuple, rows)],
+                    type=out_type)
+
+
+def _run_starts(t: pa.Table, keys: list[str]) -> np.ndarray:
+    """Group run-start offsets over a table already SORTED by
+    ``keys`` (null-safe: a validity change is a boundary too)."""
+    if t.num_rows == 0:
+        return np.empty(0, dtype=np.int64)
+    if not keys:
+        return np.zeros(1, dtype=np.int64)
+    m = np.zeros(t.num_rows, dtype=bool)
+    m[0] = True
+    for k in keys:
+        a = t[k].combine_chunks()
+        neq = pc.fill_null(pc.not_equal(a.slice(1),
+                                        a.slice(0, len(a) - 1)),
+                           False).to_numpy(zero_copy_only=False)
+        va = pc.is_valid(a).to_numpy(zero_copy_only=False)
+        m[1:] |= neq | (va[1:] != va[:-1])
+    return np.flatnonzero(m).astype(np.int64)
+
+
+def _sort_with_spec(t: pa.Table, keys: list[str],
+                    spec: list) -> pa.Table:
+    """Sort by the group keys then an in-aggregate ORDER BY spec
+    ([[col, desc, nulls_first], ...]). Arrow's null_placement is
+    global, so every spec key sorts as an (is-null companion,
+    null-filled key) pair — the companion dominates, giving exact
+    per-key null placement (DuckDB's default: NULLS LAST either
+    direction)."""
+    sort_keys = [(k, "ascending") for k in keys]
+    hidden = []
+    for i, (c, desc, nf) in enumerate(spec):
+        arr = t[c].combine_chunks()
+        if pa.types.is_null(arr.type):
+            isn = pa.array(np.ones(t.num_rows, dtype=np.int8))
+            filled = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        else:
+            isn = pc.cast(pc.is_null(arr), pa.int8())
+            filled = pc.fill_null(arr, _zero_scalar(arr.type))
+        hidden += [(f"__sn{i}", isn), (f"__sk{i}", filled)]
+        sort_keys.append((f"__sn{i}",
+                          "descending" if nf else "ascending"))
+        sort_keys.append((f"__sk{i}",
+                          "descending" if desc else "ascending"))
+    aug = t
+    for nm, a in hidden:
+        aug = aug.append_column(nm, a)
+    idx = pc.sort_indices(aug, sort_keys=sort_keys)
+    return t.take(idx)
+
+
+def _arg_extreme_values(src, keys: list[str], col: str,
+                        merged: pa.Table | None, n: int,
+                        by: str, biggest: bool) -> pa.Array:
+    """ARG_MAX / ARG_MIN(col, by) [per group], DuckDB semantics: rows
+    where EITHER argument is null are ignored; a group with no valid
+    pair yields NULL. Each batch reduces to ONE candidate row per
+    group (vectorized sort + run-boundary take — the map-side
+    combine), and the driver merges the O(groups x blocks) candidates
+    with the same rule. Ties on the BY value break toward the
+    smallest col value, so results are block-boundary-invariant."""
+    gcols = list(dict.fromkeys(keys + [col, by]))
+    ds = src.stream(gcols)
+    dirn = "descending" if biggest else "ascending"
+    sort_keys = [(k, "ascending") for k in keys] + \
+        [(by, dirn), (col, "ascending")]
+
+    def reduce_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[col]), pc.is_valid(t[by])))
+        if t.num_rows == 0:
+            return t
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        return t.take(pa.array(_run_starts(t, keys), type=pa.int64()))
+
+    parts = [b for b in ds.map_batches(
+        reduce_rows, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow")]
+    parts = [p for p in parts if p.num_rows]
+    out_type = src.empty([col]).schema.field(col).type
+    if not parts:
+        return pa.nulls(n, out_type)
+    cand = reduce_rows(pa.concat_tables(parts,
+                                        promote_options="permissive"))
+    if not keys:
+        v = cand[col][0].as_py() if cand.num_rows else None
+        return pa.array([v] * n, type=out_type)
+    lut = {tuple(r[k] for k in keys): r[col]
+           for r in cand.to_pylist()}
+    rows = zip(*[merged[k].to_pylist() for k in keys]) if n else []
+    return pa.array([lut.get(t) for t in map(tuple, rows)],
+                    type=out_type)
+
+
+def _collected_agg_values(src, keys: list[str], col: str,
+                          merged: pa.Table | None, n: int,
+                          spec: list, sep: str | None) -> pa.Array:
+    """STRING_AGG (sep given) / ARRAY_AGG (sep None) [per group] with
+    an in-aggregate ORDER BY: each batch ships only (keys, order
+    columns, value) rows — the VALUES ARE THE RESULT, so the gather
+    is inherently result-sized — and the driver sorts once and slices
+    contiguous group runs. STRING_AGG skips nulls (all-null -> NULL,
+    matching DuckDB); ARRAY_AGG keeps them in order. Without an ORDER
+    BY the values order by themselves: DuckDB's insertion order is
+    nondeterministic under distribution, ours is deterministic."""
+    ocols = [c for c, *_ in spec]
+    gcols = list(dict.fromkeys(keys + ocols + [col]))
+    ds = src.stream(gcols)
+    parts = [b for b in ds.iter_batches(batch_size=None,
+                                        batch_format="pyarrow")]
+    parts = [p for p in parts if p.num_rows]
+    vt = src.empty([col]).schema.field(col).type
+    out_type = pa.string() if sep is not None else pa.list_(vt)
+    if not parts:
+        return pa.nulls(n, out_type)
+    allp = pa.concat_tables(parts, promote_options="permissive")
+    t = _sort_with_spec(allp, keys, spec or [[col, False, False]])
+    starts = _run_starts(t, keys)
+    ends = np.r_[starts[1:], t.num_rows]
+    vals = t[col].combine_chunks()
+    if sep is not None:
+        pl = pc.cast(vals, pa.string()).to_pylist()
+
+        def mk(b: int, e: int):
+            vs = [v for v in pl[b:e] if v is not None]
+            return sep.join(vs) if vs else None
+    else:
+        pl = vals.to_pylist()
+
+        def mk(b: int, e: int):
+            return pl[b:e]
+
+    if not keys:
+        v = mk(0, t.num_rows)
+        return pa.array([v] * n, type=out_type)
+    kt = t.select(keys).take(pa.array(starts, type=pa.int64()))
+    lut = {tuple(r[k] for k in keys): mk(int(b), int(e))
+           for r, b, e in zip(kt.to_pylist(), starts, ends)}
     rows = zip(*[merged[k].to_pylist() for k in keys]) if n else []
     return pa.array([lut.get(t) for t in map(tuple, rows)],
                     type=out_type)
@@ -4955,6 +5209,18 @@ def _run_agg_query(src, node: dict, select: list,
             env[("agg", fn, col)] = _grouped_quantile_values(
                 src, keys, col, merged, n, float(p),
                 disc=kind.endswith("disc"))
+        elif fn.startswith(("arg_max@", "arg_min@")):
+            env[("agg", fn, col)] = _arg_extreme_values(
+                src, keys, col, merged, n, by=fn.split("@", 1)[1],
+                biggest=fn.startswith("arg_max@"))
+        elif fn.startswith("string_agg@"):
+            sep, spec = json.loads(fn.split("@", 1)[1])
+            env[("agg", fn, col)] = _collected_agg_values(
+                src, keys, col, merged, n, spec, sep=sep)
+        elif fn.startswith("array_agg@"):
+            spec = json.loads(fn.split("@", 1)[1])
+            env[("agg", fn, col)] = _collected_agg_values(
+                src, keys, col, merged, n, spec, sep=None)
         else:  # sum_distinct / avg_distinct
             env[("agg", fn, col)] = _distinct_agg_values(
                 src, keys, col, merged, n, fn.split("_")[0])

@@ -1658,3 +1658,61 @@ def test_sql_dml_refusals(sqlenv, tmp_path):
     with _pt.raises(_SU, match="SET twice"):
         sql_query("UPDATE docs SET lang = 'a', lang = 'b' "
                   "WHERE n_chars > 4999", t)
+
+
+# --- positional / collecting aggregates -------------------------------------
+
+def test_arg_max_min_grouped(sqlenv):
+    # unique BY values (score is ~unique) so DuckDB's arbitrary tie
+    # pick cannot diverge from our deterministic one
+    check(sqlenv, "SELECT source, arg_max(doc_id, score) AS am, "
+                  "arg_min(doc_id, score) AS an "
+                  "FROM docs GROUP BY source ORDER BY source")
+
+
+def test_arg_max_skips_null_pairs(sqlenv):
+    # lang holds nulls: rows where EITHER argument is null are ignored
+    check(sqlenv, "SELECT source, max_by(lang, n_chars) AS ml "
+                  "FROM docs WHERE n_chars % 13 = 0 "
+                  "GROUP BY source ORDER BY source")
+
+
+def test_arg_max_global_and_having(sqlenv):
+    check(sqlenv, "SELECT arg_max(doc_id, score) AS am FROM docs")
+    check(sqlenv, "SELECT source, COUNT(*) AS n, "
+                  "arg_min(doc_id, n_chars) AS an FROM docs "
+                  "GROUP BY source HAVING COUNT(*) > 100 "
+                  "ORDER BY source")
+
+
+def test_string_agg_ordered(sqlenv):
+    check(sqlenv, "SELECT source, string_agg(lang, '|' ORDER BY lang) "
+                  "AS sl FROM docs WHERE n_chars < 100 "
+                  "GROUP BY source ORDER BY source")
+    # int values cast to VARCHAR like DuckDB; DESC order
+    check(sqlenv, "SELECT string_agg(n_chars, ',' ORDER BY n_chars "
+                  "DESC) AS s FROM docs WHERE n_chars > 4980")
+
+
+def test_array_agg_ordered_keeps_nulls(sqlenv):
+    check(sqlenv, "SELECT source, array_agg(lang ORDER BY lang) AS la "
+                  "FROM docs WHERE n_chars < 60 "
+                  "GROUP BY source ORDER BY source")
+    check(sqlenv, "SELECT array_agg(doc_id ORDER BY score DESC "
+                  "NULLS FIRST) AS ad FROM docs WHERE n_chars > 4990")
+
+
+def test_list_rewrite_of_order_by_self(sqlenv):
+    # DuckDB parses list(x ORDER BY x) as list_sort(list(x)): the
+    # engine must provide both the aggregate and the scalar kernel
+    check(sqlenv, "SELECT source, list(lang ORDER BY lang) AS ll "
+                  "FROM docs WHERE n_chars < 60 "
+                  "GROUP BY source ORDER BY source")
+
+
+def test_list_sort_scalar_and_literals(sqlenv):
+    check(sqlenv, "SELECT list_sort(['q', NULL, 'a']) AS ls, "
+                  "list_reverse_sort([2, NULL, 9]) AS lr "
+                  "FROM docs LIMIT 1", ordered=True)
+    check(sqlenv, "SELECT doc_id, list_sort([n_chars, n_chars % 7]) "
+                  "AS lz FROM docs ORDER BY doc_id LIMIT 6")
