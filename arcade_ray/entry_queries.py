@@ -1933,6 +1933,21 @@ def q_simhash_pairs(sf_dir: str) -> pa.Table:
     return _collect(out)
 
 
+def q_edit_pairs(sf_dir: str) -> pa.Table:
+    """Levenshtein <= 1 near-dup pairs over 24-char document prefixes
+    (textops.edit_pairs): FastSS deletion-neighborhood candidates —
+    full recall at distance 1 by construction — with a (hash, id)-only
+    shuffle and a vectorized character-exact verify over the bounded
+    candidate set. Oracle: the quadratic levenshtein join DuckDB can
+    afford at this scale; the engine never goes all-pairs."""
+    from .textops import edit_pairs
+
+    out = edit_pairs(_docs_ds(sf_dir), prefix_len=24)
+    t = _collect(out)
+    return t.take(pc.sort_indices(
+        t, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]))
+
+
 ANN_K = 10
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
@@ -2624,6 +2639,7 @@ QUERIES = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "image_features": q_image_features,
     "simhash_pairs": q_simhash_pairs,
+    "edit_pairs": q_edit_pairs,
     "vector_norms": q_vector_norms,
     "kmeans_clusters": q_kmeans_clusters,
     "explode_embeddings": q_explode_embeddings,
@@ -3309,6 +3325,18 @@ ORACLE_SQL = {
     "sql_join3": _SQL_JOIN3,
     "sql_unnest": _SQL_UNNEST,
     "sql_arg_string_agg": _SQL_ARG_STRING_AGG,
+    "edit_pairs": (
+        # quadratic levenshtein join (with the |len diff| <= 1 band
+        # lev <= 1 implies) — affordable for DuckDB at driver scale;
+        # the engine side is never all-pairs
+        "WITH p AS (SELECT doc_id, substr(text, 1, 24) AS h "
+        "FROM documents) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(levenshtein(a.h, b.h) AS BIGINT) AS dist "
+        "FROM p a JOIN p b ON a.doc_id < b.doc_id "
+        "AND abs(len(a.h) - len(b.h)) <= 1 "
+        "AND levenshtein(a.h, b.h) <= 1 "
+        "ORDER BY id_a, id_b"),
     "sql_window_rank": _SQL_WINDOW_RANK,
     "sql_corr_exists": _SQL_CORR_EXISTS,
     "sql_qualify_topn": _SQL_QUALIFY_TOPN,

@@ -622,6 +622,210 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     }))
 
 
+# --- edit-distance near-dup (deletion neighborhoods) ------------------------
+
+def _deletion_key_rows(batch: pa.Table, text_col: str, id_col: str,
+                       prefix_len: int) -> pa.Table:
+    """(bk, id) rows: one canonical polynomial hash per deletion
+    variant of each row's ``prefix_len``-character prefix, plus the
+    undeleted identity — FastSS/SymSpell neighborhood generation,
+    fully vectorized over the batch's concatenated bytes (the
+    _batch_shingle_stream prefix-sum machinery: char at doc-relative
+    position r contributes (byte+1) * 257^-r mod 2^64, so any
+    deletion variant's hash is O(1) from two prefix-sum windows).
+    Two prefixes at Levenshtein distance <= 1 ALWAYS share a key:
+    substitution -> both delete the differing position; insert/
+    delete -> the shorter prefix IS a deletion variant of the longer.
+    ~(len+1) keys per doc, 16 B per shuffled row; null texts drop
+    (SQL: levenshtein(NULL, _) is NULL, never <= 1)."""
+    from .streams import str_stream_from_arrow
+
+    keep = pc.is_valid(batch[text_col])
+    t = batch.select(list(dict.fromkeys([id_col, text_col]))).filter(keep)
+    empty = pa.table({"bk": pa.array([], pa.int64()),
+                      id_col: batch[id_col].slice(0, 0)})
+    if t.num_rows == 0:
+        return empty
+    arr = pc.utf8_slice_codeunits(t[text_col].combine_chunks(),
+                                  0, prefix_len)
+    lengths, data, _ = str_stream_from_arrow(arr)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    n = len(lengths)
+    total = int(lengths.sum())
+    c = np.frombuffer(data, dtype=np.uint8).astype(np.uint64) \
+        + np.uint64(1)
+    ipow = np.ones(total + 1, dtype=np.uint64)
+    ppow = np.ones(total + 1, dtype=np.uint64)
+    if total:
+        ipow[1:] = np.cumprod(np.full(total, _INV257, dtype=np.uint64))
+        ppow[1:] = np.cumprod(np.full(total, 257, dtype=np.uint64))
+    csp = np.zeros(total + 1, dtype=np.uint64)
+    if total:
+        csp[1:] = np.cumsum(c * ipow[:total], dtype=np.uint64)
+    e = np.cumsum(lengths)
+    s = e - lengths
+    ident = (csp[e] - csp[s]) * ppow[s]
+    doc = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    p = np.arange(total, dtype=np.int64)
+    sd, ed = s[doc], e[doc]
+    delete = ((csp[p] - csp[sd])
+              + np.uint64(257) * (csp[ed] - csp[p + 1])) * ppow[sd]
+    keys = np.concatenate([ident, delete])
+    out_ids = np.concatenate([ids, ids[doc]])
+    return pa.table({"bk": pa.array(keys.view(np.int64)),
+                     id_col: pa.array(out_ids,
+                                      type=t.schema.field(id_col).type)})
+
+
+def _verify_lev_le1(a_strs: list, b_strs: list) -> np.ndarray:
+    """Exact distances (0, 1, or 2 meaning '>1') for candidate string
+    pairs, vectorized per (len_a, len_b) shape group over UTF-32
+    codepoint matrices — character-exact like SQL levenshtein, no
+    per-pair DP. Only |len diff| <= 1 pairs can pass, so only the
+    substitution check (equal length: <= 1 mismatch) and the one-gap
+    check (off-by-one: prefix match + shifted suffix match) exist."""
+    m = len(a_strs)
+    dist = np.full(m, 2, dtype=np.int64)
+    la = np.array([len(x) for x in a_strs], dtype=np.int64)
+    lb = np.array([len(x) for x in b_strs], dtype=np.int64)
+    for (ga, gb) in set(zip(la.tolist(), lb.tolist())):
+        if abs(ga - gb) > 1:
+            continue
+        sel = np.flatnonzero((la == ga) & (lb == gb))
+
+        def mat(strs, ln):
+            if ln == 0:
+                return np.empty((len(sel), 0), dtype=np.uint32)
+            buf = b"".join(strs[i].encode("utf-32-le") for i in sel)
+            return np.frombuffer(buf, dtype=np.uint32).reshape(-1, ln)
+
+        A, B = mat(a_strs, ga), mat(b_strs, gb)
+        if ga == gb:
+            mism = (A != B).sum(axis=1)
+            dist[sel[mism == 0]] = 0
+            dist[sel[mism == 1]] = 1
+        else:
+            if ga < gb:  # L = longer, S = shorter
+                L, S, ls = B, A, ga
+            else:
+                L, S, ls = A, B, gb
+            # one-gap: exists j with S[:j] == L[:j] and S[j:] == L[j+1:]
+            eq_pre = L[:, :ls] == S
+            eq_suf = L[:, 1:ls + 1] == S
+            pref = np.ones((len(sel), ls + 1), dtype=bool)
+            if ls:
+                pref[:, 1:] = np.cumprod(eq_pre, axis=1).astype(bool)
+            suff = np.ones((len(sel), ls + 1), dtype=bool)
+            if ls:
+                suff[:, :ls] = np.cumprod(
+                    eq_suf[:, ::-1], axis=1)[:, ::-1].astype(bool)
+            ok = (pref & suff).any(axis=1)
+            dist[sel[ok]] = 1
+    return dist
+
+
+def edit_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+               prefix_len: int = 32, max_bucket: int = 4096,
+               max_dist: int = 1):
+    """Levenshtein near-duplicate pairs over each document's
+    ``prefix_len``-character prefix (the title/header dedup shape):
+    deletion-neighborhood candidate generation with FULL recall at
+    distance <= 1 — ``max_dist`` must be 0 or 1; larger radii need a
+    different candidate scheme and raise. The shuffle carries only
+    (variant-hash, id) rows; hash-equal buckets pair driver-side
+    (hot_bucket_rows — singletons never collect); the exact verify
+    fetches ONLY the candidate ids' prefixes in one filtered pass
+    over the corpus (never the corpus itself) and runs a vectorized
+    substitution / one-gap check. Hash collisions only ADD candidates
+    (the verify is exact). Candidate keys are BYTE-level, matching
+    SQL levenshtein's byte-based distance (DuckDB:
+    levenshtein('e-acute','z') = 2): between valid UTF-8 strings a
+    byte distance of 1 is always a char distance of 1, and the
+    multi-byte pairs where the two distances diverge (multi-byte
+    indels, double-byte substitutions) can never share a deletion
+    variant, so engine and SQL agree on every emitted pair.
+
+    Returns Dataset[(id_a, id_b, dist)] with id_a < id_b, ordered.
+    Reference: the LSH/near-dup family of SURVEY.md §2; candidate
+    scheme after Bocek et al., "Fast Similarity Search in Large
+    Dictionaries" (FastSS, 2007)."""
+    import ray.data as rd
+
+    from .collect import collect_arrow, hot_bucket_rows
+
+    if not 0 <= max_dist <= 1:
+        raise ValueError("deletion neighborhoods guarantee recall "
+                         "only for max_dist <= 1")
+    sig_ds = ds.map_batches(
+        lambda b: _deletion_key_rows(b, text_col, id_col, prefix_len),
+        batch_format="pyarrow").materialize()
+    id_type = sig_ds.schema().base_schema.field(id_col).type
+    empty = pa.table({"id_a": pa.array([], id_type),
+                      "id_b": pa.array([], id_type),
+                      "dist": pa.array([], pa.int64())})
+    rows = hot_bucket_rows(sig_ds, "bk")
+    if rows.num_rows == 0:
+        return rd.from_arrow(empty)
+    bk = rows["bk"].to_numpy(zero_copy_only=False)
+    raw_ids = rows[id_col].to_numpy(zero_copy_only=False)
+    uids, codes = np.unique(raw_ids, return_inverse=True)
+    # unique (bk, id): several deletion variants of the same doc can
+    # share a hash (repeated chars), which would self-pair otherwise
+    order0 = np.lexsort((codes, bk))
+    bk0, id0 = bk[order0], codes[order0]
+    first = np.ones(len(bk0), dtype=bool)
+    if len(bk0) > 1:
+        first[1:] = (bk0[1:] != bk0[:-1]) | (id0[1:] != id0[:-1])
+    bk_s, ids_s = bk0[first], id0[first]
+    bounds = np.flatnonzero(np.diff(bk_s)) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(bk_s)]])
+    ia_out, ib_out = [], []
+    for st, en in zip(starts.tolist(), ends.tolist()):
+        mcnt = en - st
+        if mcnt < 2 or mcnt > max_bucket:
+            continue
+        iu, ju = np.triu_indices(mcnt, k=1)
+        ia_out.append(st + iu)
+        ib_out.append(st + ju)
+    if not ia_out:
+        return rd.from_arrow(empty)
+    a = ids_s[np.concatenate(ia_out)]
+    b = ids_s[np.concatenate(ib_out)]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    order = np.lexsort((hi, lo))
+    lo, hi = lo[order], hi[order]
+    first = np.ones(len(lo), dtype=bool)
+    if len(lo) > 1:
+        first[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+    lo, hi = lo[first], hi[first]
+    # fetch the candidate ids' prefixes (bounded by the candidate
+    # set) in one filtered pass — the corpus never collects
+    need = uids[np.unique(np.concatenate([lo, hi]))]
+    need_set = pa.array(need, type=id_type)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_in(batch[id_col], value_set=need_set),
+                    pc.is_valid(batch[text_col]))
+        t = batch.filter(m)
+        return pa.table({
+            id_col: t[id_col],
+            "__pfx": pc.utf8_slice_codeunits(
+                t[text_col].combine_chunks(), 0, prefix_len)})
+
+    small = collect_arrow(ds.map_batches(pick, batch_format="pyarrow"))
+    pfx = dict(zip(small[id_col].to_pylist(), small["__pfx"].to_pylist()))
+    a_ids, b_ids = uids[lo], uids[hi]
+    dist = _verify_lev_le1([pfx[x] for x in a_ids.tolist()],
+                           [pfx[x] for x in b_ids.tolist()])
+    keep = dist <= max_dist
+    return rd.from_arrow(pa.table({
+        "id_a": pa.array(a_ids[keep], type=id_type),
+        "id_b": pa.array(b_ids[keep], type=id_type),
+        "dist": pa.array(dist[keep], type=pa.int64()),
+    }))
+
+
 # --- text analysis ----------------------------------------------------------
 
 _WORD_RE = re.compile(r"[A-Za-z0-9]+")

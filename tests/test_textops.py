@@ -969,3 +969,95 @@ def test_tfidf_sparse_feeds_semantic_dedup(ray_session):
     assert not by_id[0]["is_dup"] and by_id[1]["is_dup"]
     assert by_id[1]["rep"] == 0
     assert sum(r["is_dup"] for r in out) == 1
+
+
+# --- edit-distance near-dup (deletion neighborhoods) -------------------------
+
+def _edit_oracle(texts, prefix_len):
+    import duckdb
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    con = duckdb.connect()
+    con.register("d", t)
+    out = con.execute(
+        f"WITH p AS (SELECT doc_id, substr(text, 1, {prefix_len}) AS h"
+        "  FROM d) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(levenshtein(a.h, b.h) AS BIGINT) AS dist "
+        "FROM p a JOIN p b ON a.doc_id < b.doc_id "
+        "AND levenshtein(a.h, b.h) <= 1 ORDER BY id_a, id_b").arrow()
+    con.close()
+    return out
+
+
+def _run_edit(texts, prefix_len=16):
+    import ray.data as rd
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.textops import edit_pairs
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    return collect_arrow(edit_pairs(ds, prefix_len=prefix_len))
+
+
+def test_edit_pairs_planted(ray_session):
+    texts = [
+        "the quick brown fox",   # 0: base
+        "the quick brown fix",   # 1: substitution        -> (0,1)=1
+        "the quick browns fox",  # 2: insertion           -> (0,2)=1
+        "the quick brwn fox",    # 3: deletion            -> (0,3)=1
+        "the quick brown fox",   # 4: exact dup           -> (0,4)=0
+        "a totally different",   # 5: far from everything
+        "",                      # 6: empty
+        "x",                     # 7: one char            -> (6,7)=1
+        None,                    # 8: null text drops
+    ]
+    got = _run_edit(texts, prefix_len=32)
+    ora = _edit_oracle([t for t in texts if t is not None] + [], 32)
+    # oracle ids shift after dropping the null: rebuild with null kept
+    # as an impossible sentinel instead
+    texts2 = [t if t is not None else "\x00sentinel-never-matches-xy"
+              for t in texts]
+    ora = _edit_oracle(texts2, 32)
+    ora = ora.filter(pa.compute.and_(
+        pa.compute.not_equal(ora["id_a"], 8),
+        pa.compute.not_equal(ora["id_b"], 8)))
+    assert got.to_pylist() == ora.to_pylist()
+    pairs = {(r["id_a"], r["id_b"]): r["dist"] for r in got.to_pylist()}
+    assert pairs[(0, 1)] == 1 and pairs[(0, 2)] == 1
+    assert pairs[(0, 3)] == 1 and pairs[(0, 4)] == 0
+    assert pairs[(6, 7)] == 1
+    assert not any(5 in p for p in pairs)
+
+
+def test_edit_pairs_fuzz_vs_duckdb(ray_session):
+    rng = np.random.default_rng(77)
+    alpha = list("abcd")  # tiny alphabet -> dense near-dup structure
+    texts = ["".join(rng.choice(alpha, rng.integers(0, 7)))
+             for _ in range(400)]
+    got = _run_edit(texts, prefix_len=16)
+    ora = _edit_oracle(texts, 16)
+    assert got.num_rows == ora.num_rows
+    assert got.to_pylist() == ora.to_pylist()
+
+
+def test_edit_pairs_multibyte_and_refusal(ray_session):
+    import pytest as _pt
+
+    # multi-byte substitution: byte-level keys still cover it via the
+    # shorter-is-deletion-variant route or the verify-only widening;
+    # the character-exact verify decides
+    texts = ["héllo world", "hållo world", "héllo world!", "unrelated"]
+    got = _run_edit(texts, prefix_len=16)
+    ora = _edit_oracle(texts, 16)
+    assert got.to_pylist() == ora.to_pylist()
+    with _pt.raises(ValueError):
+        _run_edit_dist2 = __import__(
+            "arcade_ray.textops", fromlist=["edit_pairs"]).edit_pairs
+        import ray.data as rd
+        _run_edit_dist2(rd.from_arrow(pa.table(
+            {"doc_id": pa.array([1], pa.int64()),
+             "text": pa.array(["x"], pa.string())})), max_dist=2)
