@@ -1933,6 +1933,21 @@ def q_simhash_pairs(sf_dir: str) -> pa.Table:
     return _collect(out)
 
 
+def q_charngram_stats(sf_dir: str) -> pa.Table:
+    """Character-trigram novelty statistics (textops.charngram_stats)
+    — the integer-exact core of an n-gram LM quality filter: two
+    passes, 16 B/row count partials through the only shuffle, count
+    table broadcast once, map-side searchsorted probe with per-doc
+    reduceat rollups. All columns BIGINT-exact, hash-matching the
+    SQL oracle."""
+    from .textops import charngram_stats
+
+    out = _collect(charngram_stats(_docs_ds(sf_dir), n=3,
+                                   rare_below=3))
+    return out.take(pc.sort_indices(
+        out, sort_keys=[("doc_id", "ascending")]))
+
+
 def q_edit_pairs(sf_dir: str) -> pa.Table:
     """Levenshtein <= 1 near-dup pairs over 24-char document prefixes
     (textops.edit_pairs): FastSS deletion-neighborhood candidates —
@@ -2640,6 +2655,7 @@ QUERIES = {
     "image_features": q_image_features,
     "simhash_pairs": q_simhash_pairs,
     "edit_pairs": q_edit_pairs,
+    "charngram_stats": q_charngram_stats,
     "vector_norms": q_vector_norms,
     "kmeans_clusters": q_kmeans_clusters,
     "explode_embeddings": q_explode_embeddings,
@@ -3337,6 +3353,19 @@ ORACLE_SQL = {
         "AND abs(len(a.h) - len(b.h)) <= 1 "
         "AND levenshtein(a.h, b.h) <= 1 "
         "ORDER BY id_a, id_b"),
+    "charngram_stats": (
+        "WITH pos AS (SELECT doc_id, text, "
+        "unnest(generate_series(1, len(text) - 2)) AS g "
+        "FROM documents), "
+        "tri AS (SELECT doc_id, substr(text, CAST(g AS INT), 3) AS t "
+        "FROM pos), "
+        "cnt AS (SELECT t, COUNT(*) AS c FROM tri GROUP BY t) "
+        "SELECT tri.doc_id, COUNT(*) AS n_tri, "
+        "CAST(SUM(cnt.c) AS BIGINT) AS sum_c, "
+        "CAST(SUM(CASE WHEN cnt.c < 3 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_rare "
+        "FROM tri JOIN cnt USING (t) "
+        "GROUP BY tri.doc_id ORDER BY doc_id"),
     "sql_window_rank": _SQL_WINDOW_RANK,
     "sql_corr_exists": _SQL_CORR_EXISTS,
     "sql_qualify_topn": _SQL_QUALIFY_TOPN,

@@ -1462,6 +1462,132 @@ def dup_ngram_stats(ds, n: int = 13, text_col: str = "text",
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+def _batch_char_ngram_codes(texts, n: int):
+    """(codes uint64, doc_of int64) for every character (byte)
+    ``n``-gram position in a batch of strings — EXACT packed byte
+    codes (n <= 8), not hashes, so the pass-1 count table and the
+    pass-2 probe can never collide. Boundary-masked over the
+    concatenated byte stream: a position is valid only when all n
+    bytes fall inside one document. Null texts contribute nothing."""
+    from .streams import str_stream_from_arrow
+
+    if n < 1 or n > 8:
+        raise ValueError("packed byte codes support 1 <= n <= 8")
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    lengths, data, _ = str_stream_from_arrow(texts)
+    total = int(lengths.sum())
+    c = np.frombuffer(data, dtype=np.uint8)
+    if total < n:
+        return (np.empty(0, dtype=np.uint64),
+                np.empty(0, dtype=np.int64))
+    codes = np.zeros(total - n + 1, dtype=np.uint64)
+    for j in range(n):
+        codes |= c[j:total - n + 1 + j].astype(np.uint64) \
+            << np.uint64(8 * (n - 1 - j))
+    e = np.cumsum(lengths)
+    s = e - lengths
+    doc = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+    p = np.arange(total, dtype=np.int64)
+    valid = (p + n <= e[doc])[:total - n + 1]
+    return codes[valid], doc[:total - n + 1][valid]
+
+
+def charngram_stats(ds, n: int = 3, rare_below: int = 3,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Corpus character-n-gram novelty statistics — the integer-exact
+    core of an n-gram language-model quality filter (the CCNet /
+    Wenzek et al. 2020 shape: score documents by how typical their
+    character sequences are for the corpus). Per document with at
+    least one n-gram position:
+
+    - ``n_tri``: number of n-gram positions (len - n + 1 summed),
+    - ``sum_c``: exact BIGINT sum of the CORPUS-WIDE count of the
+      n-gram at each position (high = stereotypical text),
+    - ``n_rare``: positions whose n-gram occurs fewer than
+      ``rare_below`` times corpus-wide (high fraction = noise /
+      foreign script / garbage — the OOV-rate signal).
+
+    All three are integers, so the result hash-matches a SQL oracle
+    exactly; the float per-char log-score a user would derive is one
+    vectorized expression away and inherits the same counts.
+
+    Scale shape (two passes, no text through any shuffle): pass 1
+    pre-aggregates exact packed-byte codes per batch via np.unique —
+    the groupby-sum shuffle carries 16 B/row partials bounded by the
+    distinct-n-gram vocabulary (<= 256^n, in practice tiny) — and the
+    merged count table broadcasts once via ray.put as two sorted
+    arrays. Pass 2 streams the corpus through a map-side searchsorted
+    probe with per-doc np.add.reduceat rollups. Byte-level n-grams:
+    exact on ASCII (matches SQL substr oracles on ASCII corpora);
+    multi-byte UTF-8 shifts window alignment but stays deterministic.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .collect import collect_arrow
+
+    sch = ds.schema()
+    if sch is not None and not ds.limit(1).take_all():
+        id_type = dict(zip(sch.names, sch.types))[id_col]
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], id_type),
+            "n_tri": pa.array([], pa.int64()),
+            "sum_c": pa.array([], pa.int64()),
+            "n_rare": pa.array([], pa.int64())}))
+
+    def partial(b: pa.Table) -> pa.Table:
+        codes, _ = _batch_char_ngram_codes(b[text_col], n)
+        uc, cnt = np.unique(codes, return_counts=True)
+        return pa.table({"_t": pa.array(uc.view(np.int64)),
+                         "_c": pa.array(cnt.astype(np.int64))})
+
+    agg = collect_arrow(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_t").aggregate(Sum("_c", alias_name="_c")))
+    if agg.num_rows:
+        tc = agg["_t"].to_numpy(zero_copy_only=False).view(np.uint64)
+        cc = agg["_c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(tc)
+        tc, cc = tc[order], cc[order]
+    else:
+        tc = np.empty(0, dtype=np.uint64)
+        cc = np.empty(0, dtype=np.int64)
+    ref = ray.put((tc, cc))
+
+    def stats(b: pa.Table) -> pa.Table:
+        nd = b.num_rows
+        codes, doc_of = _batch_char_ngram_codes(b[text_col], n)
+        tc_s, cc_s = ray.get(ref)
+        n_tri = np.bincount(doc_of, minlength=nd).astype(np.int64)
+        pos = np.searchsorted(tc_s, codes)
+        # every probe code exists in the corpus table by construction
+        per_pos = cc_s[pos] if len(codes) else \
+            np.empty(0, dtype=np.int64)
+        # exact int64 per-doc sums: np.add.reduceat on the doc-sorted
+        # stream (doc_of is nondecreasing by construction) — bincount
+        # weights would round through float64 above 2^53
+        starts = np.flatnonzero(np.r_[True, doc_of[1:] != doc_of[:-1]]) \
+            if len(doc_of) else np.empty(0, dtype=np.int64)
+        sum_c = np.zeros(nd, dtype=np.int64)
+        if len(doc_of):
+            sums = np.add.reduceat(per_pos, starts)
+            sum_c[doc_of[starts]] = sums
+        rare = per_pos < rare_below if len(codes) else per_pos
+        n_rare = np.bincount(doc_of[rare] if len(codes) else doc_of,
+                             minlength=nd).astype(np.int64)
+        keep = n_tri > 0
+        return pa.table({
+            id_col: b[id_col].filter(pa.array(keep)),
+            "n_tri": pa.array(n_tri[keep]),
+            "sum_c": pa.array(sum_c[keep]),
+            "n_rare": pa.array(n_rare[keep])})
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
 def drop_dup_passages(ds, n: int = 13, max_frac: float = 0.5,
                       text_col: str = "text", id_col: str = "doc_id"):
     """Drop documents whose duplicated-n-gram position fraction

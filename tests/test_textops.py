@@ -1061,3 +1061,67 @@ def test_edit_pairs_multibyte_and_refusal(ray_session):
         _run_edit_dist2(rd.from_arrow(pa.table(
             {"doc_id": pa.array([1], pa.int64()),
              "text": pa.array(["x"], pa.string())})), max_dist=2)
+
+
+# --- char-n-gram novelty stats ------------------------------------------------
+
+def test_charngram_stats_planted(ray_session):
+    import ray.data as rd
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.textops import charngram_stats
+
+    texts = ["abcabc",   # trigrams abc bca cab abc
+             "abc",      # one trigram (abc now 3x corpus-wide)
+             "xy",       # too short: no output row
+             None,       # null: no output row
+             "zzzz"]     # zzz twice (rare: < 3)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    out = collect_arrow(charngram_stats(ds, n=3, rare_below=3))
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert set(rows) == {0, 1, 4}
+    # doc 0: abc(3) bca(1) cab(1) abc(3) -> n_tri 4, sum_c 8, rare 2
+    assert rows[0] == {"doc_id": 0, "n_tri": 4, "sum_c": 8,
+                       "n_rare": 2}
+    # doc 1: abc(3) -> not rare
+    assert rows[1] == {"doc_id": 1, "n_tri": 1, "sum_c": 3,
+                       "n_rare": 0}
+    # doc 4: zzz(2) zzz(2) -> both rare
+    assert rows[4] == {"doc_id": 4, "n_tri": 2, "sum_c": 4,
+                       "n_rare": 2}
+
+
+def test_charngram_stats_vs_duckdb_fuzz(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.textops import charngram_stats
+
+    rng = np.random.default_rng(9)
+    alpha = list("abcde ")
+    texts = ["".join(rng.choice(alpha, rng.integers(0, 40)))
+             for _ in range(300)]
+    t = pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = collect_arrow(charngram_stats(rd.from_arrow(t), n=2,
+                                        rare_below=4))
+    out = out.sort_by([("doc_id", "ascending")])
+    con = duckdb.connect()
+    con.register("d", t)
+    ora = con.execute(
+        "WITH pos AS (SELECT doc_id, text, "
+        "unnest(generate_series(1, len(text) - 1)) AS g FROM d), "
+        "tri AS (SELECT doc_id, substr(text, CAST(g AS INT), 2) AS t "
+        "FROM pos), "
+        "cnt AS (SELECT t, COUNT(*) AS c FROM tri GROUP BY t) "
+        "SELECT tri.doc_id, COUNT(*) AS n_tri, "
+        "CAST(SUM(cnt.c) AS BIGINT) AS sum_c, "
+        "CAST(SUM(CASE WHEN cnt.c < 4 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_rare FROM tri JOIN cnt USING (t) "
+        "GROUP BY tri.doc_id ORDER BY doc_id").arrow()
+    assert out.num_rows == ora.num_rows
+    for c in ("doc_id", "n_tri", "sum_c", "n_rare"):
+        assert out[c].to_pylist() == ora[c].to_pylist(), c
