@@ -2578,7 +2578,7 @@ QUERIES = {
     "sql_unnest": q_sql_unnest,
     "sql_date_trunc": q_sql_date_trunc,
     "dup_ngram_stats": q_dup_ngram_stats,
-    "group_count_encoded": q_group_count_encoded,
+    "charngram_stats": q_charngram_stats,
     "group_agg_multi": q_group_agg_multi,
     "group_topk": q_group_topk,
     "sql_variance": q_sql_variance,
@@ -2586,7 +2586,7 @@ QUERIES = {
     "float_percentiles": q_float_percentiles,
     "order_slice": q_order_slice,
     "distinct_sketch_sources": q_distinct_sketch_sources,
-    "group_approx_distinct": q_group_approx_distinct,
+    "edit_pairs": q_edit_pairs,
     "join_orders_customer": q_join_orders_customer,
     "join_lineitem_orders": q_join_lineitem_orders,
     "semi_join_orders": q_semi_join_orders,
@@ -2654,8 +2654,8 @@ QUERIES = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "image_features": q_image_features,
     "simhash_pairs": q_simhash_pairs,
-    "edit_pairs": q_edit_pairs,
-    "charngram_stats": q_charngram_stats,
+    "group_count_encoded": q_group_count_encoded,
+    "group_approx_distinct": q_group_approx_distinct,
     "vector_norms": q_vector_norms,
     "kmeans_clusters": q_kmeans_clusters,
     "explode_embeddings": q_explode_embeddings,
