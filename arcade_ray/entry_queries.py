@@ -704,6 +704,45 @@ def q_sql_dml_lifecycle(sf_dir: str) -> pa.Table:
     return res if isinstance(res, pa.Table) else _collect(res)
 
 
+def q_sql_insert_lifecycle(sf_dir: str) -> pa.Table:
+    """SQL INSERT end-to-end on a PRIVATE encoded copy: INSERT ...
+    VALUES appends constant rows and INSERT ... SELECT appends a
+    derived slice of the table itself — each lands as a fresh encode
+    GENERATION through the full compression pipeline (never a
+    partition rewrite), and the final scan reads base + appends
+    through the one manifest. Deterministic in final state (the
+    INSERT...SELECT filters on base-only rows), so the cached copy is
+    safe to reuse. Oracle: the equivalent UNION ALL projection."""
+    import hashlib as _h
+
+    from .sql import sql_query
+
+    tag = _h.md5(
+        f"{sf_dir}|documents-ins|{_CACHE_SALT}".encode()).hexdigest()[:10]
+    out = os.path.join(CACHE_ROOT, f"documents-ins-{tag}")
+    if not os.path.exists(os.path.join(out, "manifest.parquet")):
+        from .pipeline.encode import encode_parquet
+
+        encode_parquet(os.path.join(sf_dir, "documents.parquet"), out,
+                       key_col="source", id_col="doc_id",
+                       weight_col=None)
+    t = {"documents": out}
+    if not os.path.exists(os.path.join(out, ".ins_done")):
+        sql_query("INSERT INTO documents (doc_id, text, lang, source, "
+                  "n_chars) VALUES "
+                  "(9000001, 'planted insert one', 'en', 'src-ins', 18), "
+                  "(9000002, 'planted insert two', 'de', 'src-ins', 18)",
+                  t)
+        sql_query("INSERT INTO documents (doc_id, text, lang, source, "
+                  "n_chars) SELECT doc_id + 9100000, text, lang, "
+                  "'src-copy', n_chars FROM documents "
+                  "WHERE doc_id < 9000000 AND n_chars < 60", t)
+        open(os.path.join(out, ".ins_done"), "w").close()
+    res = sql_query("SELECT doc_id, lang, source, n_chars "
+                    "FROM documents ORDER BY doc_id", t)
+    return res if isinstance(res, pa.Table) else _collect(res)
+
+
 def q_tfidf_sparse(sf_dir: str) -> pa.Table:
     """Sparse hashed TF-IDF vectors (textops.tfidf_sparse): feature
     hashing via md5(word) % dim so the SQL oracle reproduces the
@@ -2687,6 +2726,7 @@ QUERIES = {
     "sql_window_rank": q_sql_window_rank,
     "sql_join_agg": q_sql_join_agg,
     "sql_arg_string_agg": q_sql_arg_string_agg,
+    "sql_insert_lifecycle": q_sql_insert_lifecycle,
     "sql_corr_exists": q_sql_corr_exists,
     "sql_qualify_topn": q_sql_qualify_topn,
     "sql_group_expr": q_sql_group_expr,
@@ -3385,6 +3425,13 @@ ORACLE_SQL = {
         "END AS lang, source, n_chars FROM documents "
         "WHERE NOT (source = 'src-002' AND n_chars >= 4800) "
         "ORDER BY doc_id"),
+    "sql_insert_lifecycle": (
+        "SELECT doc_id, lang, source, n_chars FROM ("
+        "SELECT doc_id, lang, source, n_chars FROM documents "
+        "UNION ALL VALUES (9000001, 'en', 'src-ins', 18), "
+        "(9000002, 'de', 'src-ins', 18) "
+        "UNION ALL SELECT doc_id + 9100000, lang, 'src-copy', n_chars "
+        "FROM documents WHERE n_chars < 60) ORDER BY doc_id"),
     # compression_metrics, lang_id, quality_scores, minhash_pairs,
     # simhash_pairs, ann_topk_lsh, decontaminate (n=13): intentionally
     # no oracle (engine-side semantics with no exact SQL equivalent ->

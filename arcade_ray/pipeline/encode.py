@@ -343,6 +343,7 @@ def encode_dataset(ds, out_dir: str, key_col: str = "source",
                       range_partition_col or key_col, id_col, weight_col)
     if isinstance(in_sch.base_schema, pa.Schema):
         _write_schema_sidecar(out_dir, in_sch.base_schema.remove_metadata())
+    _write_encode_meta(out_dir, key_col, id_col, weight_col)
     # pandas-backed datasets have a PandasBlockSchema (no pa.Schema to
     # record); empty-table scans of such dirs keep the legacy raise
     # planning pass reads only key+weight columns (projection pushdown
@@ -364,6 +365,11 @@ def encode_dataset(ds, out_dir: str, key_col: str = "source",
     from ..planner import RangePlan, assign_range_pids
 
     def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # schema-less empty blocks (Ray's union/map plumbing emits
+            # them) carry no rows to route — and may not even have the
+            # key column to route by
+            return pa.table({"_pid": pa.array([], pa.int64())})
         out = assign_range_pids(batch, plan) if isinstance(plan, RangePlan) \
             else assign_part_keys(batch, plan)
         if len(done_pids):
@@ -532,6 +538,11 @@ def _read_split_inputs(refs_or_paths, columns=None) -> pa.Table:
             tables.append(pf.read_row_groups(list(range(lo, hi)), columns=columns))
         else:
             tables.append(ray.get(item) if isinstance(item, ray.ObjectRef) else item)
+    # schema-less zero-row blocks (Ray union/map plumbing) would
+    # poison the concat; rows are what gets routed, so drop them
+    nonempty = [t for t in tables if t.num_rows]
+    if nonempty:
+        tables = nonempty
     return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
 
 
@@ -808,6 +819,44 @@ def read_schema_sidecar(out_dir: str) -> pa.Schema | None:
         return r.schema
 
 
+ENCODE_META = "_encode_meta.json"
+
+
+def _write_encode_meta(out_dir: str, key_col: str, id_col: str,
+                       weight_col: str | None) -> None:
+    """Layout record (partition key / id / weight columns), written
+    atomically once per dir: SQL INSERT (generation append) and other
+    writers re-derive the layout from it instead of guessing. A
+    generation append with a DIFFERENT key column would silently
+    interleave two partitioning schemes, so a mismatch raises."""
+    meta = {"key_col": key_col, "id_col": id_col,
+            "weight_col": weight_col}
+    p = os.path.join(out_dir, ENCODE_META)
+    if os.path.exists(p):
+        with open(p) as f:
+            old = json.load(f)
+        if old != meta:
+            raise ValueError(
+                f"encode layout mismatch for {out_dir}: recorded "
+                f"{old}, requested {meta} — appends must reuse the "
+                "dir's partitioning columns")
+        return
+    tmp = f"{p}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, p)
+
+
+def read_encode_meta(out_dir: str) -> dict | None:
+    """{key_col, id_col, weight_col} recorded at encode time, or None
+    (pre-meta dirs)."""
+    p = os.path.join(out_dir, ENCODE_META)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
 DISK_EXCHANGE_BYTES = int(os.environ.get(
     "ARCADE_DISK_EXCHANGE_BYTES", 8 * 1024 ** 3))
 
@@ -890,6 +939,7 @@ def encode_parquet(paths: list[str] | str, out_dir: str,
     _validate_columns(schema_names, range_partition_col or key_col,
                       id_col, weight_col)
     _write_schema_sidecar(out_dir, input_schema.remove_metadata())
+    _write_encode_meta(out_dir, key_col, id_col, weight_col)
 
     # planning pass: per-file partial aggregates over pruned columns
     plan_cols = [key_col] + ([weight_col] if weight_col and weight_col != key_col else [])
@@ -1011,6 +1061,11 @@ def encode_parquet(paths: list[str] | str, out_dir: str,
     from ..planner import RangePlan, assign_range_pids
 
     def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # schema-less empty blocks (Ray's union/map plumbing emits
+            # them) carry no rows to route — and may not even have the
+            # key column to route by
+            return pa.table({"_pid": pa.array([], pa.int64())})
         out = assign_range_pids(batch, plan) if isinstance(plan, RangePlan) \
             else assign_part_keys(batch, plan)
         if len(done_pids):

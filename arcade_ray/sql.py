@@ -2830,6 +2830,30 @@ def _stream_derived(ft: dict, tables: dict, where_node):
     return _MemSource(t, where_node)
 
 
+def _values_table(ft: dict) -> pa.Table:
+    """A VALUES expression list evaluated to a driver table: DuckDB's
+    default column names (col0, col1, ...); each column takes the
+    first non-null cell's arrow type."""
+    rows = ft.get("values") or []
+    if not rows:
+        raise SqlUnsupported("empty VALUES list")
+    ncol = len(rows[0])
+    cols = {}
+    for j in range(ncol):
+        cells, ctype = [], None
+        for r in rows:
+            if len(r) != ncol:
+                raise SqlUnsupported("ragged VALUES rows")
+            v = _eval_expr(r[j], {}, 1)
+            s = v[0] if isinstance(v, (pa.Array, pa.ChunkedArray)) \
+                else v
+            if ctype is None and not pa.types.is_null(s.type):
+                ctype = s.type
+            cells.append(s.as_py())
+        cols[f"col{j}"] = pa.array(cells, type=ctype)
+    return pa.table(cols)
+
+
 class _JoinBase:
     """One table in a join chain: an encoded dir, a materialized CTE
     (pa.Table), or a derived table, with its alias and column set."""
@@ -3480,6 +3504,10 @@ _DELETE_RE = re.compile(
 _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+([A-Za-z_]\w*)\s+SET\s(.*)$",
     re.IGNORECASE | re.DOTALL)
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+([A-Za-z_]\w*)\s*"
+    r"(?:\(\s*([^)]*?)\s*\))?\s*(VALUES\b.*|SELECT\b.*|FROM\b.*|WITH\b.*)$",
+    re.IGNORECASE | re.DOTALL)
 
 
 def _dml_target(tname: str, tables: dict):
@@ -3489,7 +3517,8 @@ def _dml_target(tname: str, tables: dict):
     target = tables[tname]
     if not isinstance(target, str):
         raise SqlUnsupported(
-            "DELETE/UPDATE target must be an encoded directory")
+            "DML (INSERT/UPDATE/DELETE) target must be an encoded "
+            "directory")
     return target
 
 
@@ -3574,6 +3603,85 @@ def _run_update(tname: str, rest: str, tables: dict) -> pa.Table:
                      for k, v in res.items()})
 
 
+def _run_insert(tname: str, collist: str | None, body: str,
+                tables: dict) -> pa.Table:
+    """INSERT INTO t [(cols)] VALUES ... | SELECT ...: an append is a
+    new encode GENERATION — the source rows (a driver-side VALUES
+    table or a streaming SELECT result) run through the full
+    compression pipeline under the dir's recorded partitioning
+    layout (_encode_meta.json), never a partition rewrite. Columns
+    map positionally onto the column list (or the dir's full recorded
+    schema) and cast to the recorded types; omitted columns surface
+    as NULL through the schema-evolution read merge. Returns a
+    one-row summary (rows_inserted, generation)."""
+    import ray.data as rd
+
+    from .pipeline.encode import (encode_dataset, generation_of_row,
+                                  load_manifest, read_encode_meta,
+                                  read_schema_sidecar)
+
+    target = _dml_target(tname, tables)
+    meta = read_encode_meta(target)
+    sch = read_schema_sidecar(target)
+    if meta is None or sch is None:
+        raise SqlUnsupported(
+            "INSERT needs the dir's _encode_meta.json/_schema.arrows "
+            "(re-encode with a current version to record the layout)")
+    if collist:
+        names = [c.strip().strip('"') for c in collist.split(",")]
+        unknown = set(names) - set(sch.names)
+        if unknown:
+            raise KeyError(f"unknown INSERT column(s) {sorted(unknown)}")
+    else:
+        names = list(sch.names)
+    for required in (meta["key_col"], meta["id_col"]):
+        if required not in names:
+            raise SqlUnsupported(
+                f"INSERT must supply the dir's partition key and id "
+                f"columns ({meta['key_col']!r}, {meta['id_col']!r})")
+    res = _execute_node(_parse(
+        body if not body.lstrip().upper().startswith("VALUES")
+        else f"SELECT * FROM ({body}) __v"), tables)
+    if isinstance(res, pa.Table):
+        res = rd.from_arrow(res)
+    got = res.schema()
+    if got is None or len(got.names) != len(names):
+        raise SqlUnsupported(
+            f"INSERT source has {len(got.names) if got else 0} "
+            f"columns for {len(names)} target columns")
+    types = {n: sch.field(n).type for n in names}
+    src_names = list(got.names)
+
+    def conform(b: pa.Table) -> pa.Table:
+        cols = {}
+        for sn, tn in zip(src_names, names):
+            arr = b[sn]
+            if not arr.type.equals(types[tn]):
+                arr = pc.cast(arr, types[tn])
+            cols[tn] = arr
+        return pa.table(cols)
+
+    ds = _with_typed_empty(
+        res.map_batches(conform, batch_format="pyarrow"),
+        pa.table({tn: pa.array([], types[tn]) for tn in names}))
+    existing = {generation_of_row(r)
+                for r in load_manifest(target).to_pylist()} \
+        if load_manifest(target).num_rows else set()
+    k = 0
+    while f"ins{k:04d}" in existing:
+        k += 1
+    gen = f"ins{k:04d}"
+    wc = meta.get("weight_col")
+    man = encode_dataset(ds, target, key_col=meta["key_col"],
+                         id_col=meta["id_col"],
+                         weight_col=wc if wc in names else None,
+                         generation=gen)
+    ins = sum(r["rows"] for r in man.to_pylist()
+              if generation_of_row(r) == gen)
+    return pa.table({"rows_inserted": pa.array([ins], pa.int64()),
+                     "generation": pa.array([gen], pa.string())})
+
+
 def sql_query(sql: str, tables: dict[str, str]):
     """Execute ``sql`` against encoded directories: ``tables`` maps
     table names in the query to ``encode_parquet`` output dirs.
@@ -3589,6 +3697,9 @@ def sql_query(sql: str, tables: dict[str, str]):
     m = _UPDATE_RE.match(stmt)
     if m:
         return _run_update(m.group(1), m.group(2), tables)
+    m = _INSERT_RE.match(stmt)
+    if m:
+        return _run_insert(m.group(1), m.group(2), m.group(3), tables)
     return _execute_node(_parse(stmt), tables)
 
 
@@ -3823,6 +3934,9 @@ def _execute_node(node: dict, tables: dict[str, str]):
         # does (UNNEST fan-outs, projections); materializes like a
         # CTE only when the inner result is already driver-sized
         src = _stream_derived(ft, tables, node.get("where_clause"))
+    elif ft.get("type") == "EXPRESSION_LIST":
+        # VALUES (...), (...): constant rows evaluate on the driver
+        src = _MemSource(_values_table(ft), node.get("where_clause"))
     elif ft.get("type") == "EMPTY":
         # FROM-less SELECT: one synthetic row, expressions only
         src = _MemSource(pa.table({"__one": pa.array([1])}),

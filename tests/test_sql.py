@@ -1716,3 +1716,84 @@ def test_list_sort_scalar_and_literals(sqlenv):
                   "FROM docs LIMIT 1", ordered=True)
     check(sqlenv, "SELECT doc_id, list_sort([n_chars, n_chars % 7]) "
                   "AS lz FROM docs ORDER BY doc_id LIMIT 6")
+
+
+def test_sql_insert_values_and_select(ray_session, tmp_path):
+    import pyarrow.parquet as _pq
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.pipeline.encode import encode_parquet
+    from arcade_ray.sql import sql_query
+
+    t = pa.table({
+        "doc_id": pa.array([f"d{i:04d}" for i in range(200)]),
+        "source": pa.array([f"s{i % 3}" for i in range(200)]),
+        "n_chars": pa.array(list(range(200)), type=pa.int64()),
+    })
+    p = str(tmp_path / "t.parquet")
+    _pq.write_table(t, p)
+    out = str(tmp_path / "enc")
+    encode_parquet(p, out, key_col="source", id_col="doc_id",
+                   weight_col=None)
+    tb = {"docs": out}
+
+    r = sql_query("INSERT INTO docs VALUES ('x1', 's9', 1000), "
+                  "('x2', 's9', 2000)", tb)
+    assert r.to_pylist() == [{"rows_inserted": 2,
+                              "generation": "ins0000"}]
+    r = sql_query("INSERT INTO docs (doc_id, source, n_chars) "
+                  "SELECT doc_id || '_c', 's9', n_chars + 1 "
+                  "FROM docs WHERE n_chars < 2", tb)
+    assert r.to_pylist() == [{"rows_inserted": 2,
+                              "generation": "ins0001"}]
+    got = sql_query("SELECT doc_id, n_chars FROM docs "
+                    "WHERE source = 's9' ORDER BY doc_id", tb)
+    got = got if isinstance(got, pa.Table) else collect_arrow(got)
+    assert got.to_pylist() == [
+        {"doc_id": "d0000_c", "n_chars": 1},
+        {"doc_id": "d0001_c", "n_chars": 2},
+        {"doc_id": "x1", "n_chars": 1000},
+        {"doc_id": "x2", "n_chars": 2000}]
+    n = sql_query("SELECT COUNT(*) AS n FROM docs", tb)
+    assert n["n"][0].as_py() == 204
+
+
+def test_sql_insert_refusals(ray_session, tmp_path):
+    import pyarrow.parquet as _pq
+    import pytest as _pt
+
+    from arcade_ray.pipeline.encode import encode_parquet
+    from arcade_ray.sql import SqlUnsupported as _SU
+    from arcade_ray.sql import sql_query
+
+    t = pa.table({
+        "doc_id": pa.array(["a", "b"]),
+        "source": pa.array(["s0", "s1"]),
+        "n_chars": pa.array([1, 2], type=pa.int64()),
+    })
+    p = str(tmp_path / "t.parquet")
+    _pq.write_table(t, p)
+    out = str(tmp_path / "enc")
+    encode_parquet(p, out, key_col="source", id_col="doc_id",
+                   weight_col=None)
+    tb = {"docs": out}
+    with _pt.raises(_SU, match="columns"):
+        sql_query("INSERT INTO docs VALUES ('x')", tb)
+    with _pt.raises(_SU, match="partition key"):
+        # column list omits the dir's key column
+        sql_query("INSERT INTO docs (doc_id, n_chars) "
+                  "VALUES ('x', 1)", tb)
+    with _pt.raises(KeyError):
+        sql_query("INSERT INTO docs (doc_id, nope, n_chars) "
+                  "VALUES ('x', 's', 1)", tb)
+    with _pt.raises(_SU, match="encoded dir"):
+        sql_query("INSERT INTO docs VALUES ('x', 's', 1)",
+                  {"docs": t})
+
+
+def test_sql_select_from_values(sqlenv):
+    check(sqlenv, "SELECT * FROM (VALUES (1, 'a'), (2, 'b'), "
+                  "(NULL, 'c')) t(i, s) ORDER BY i NULLS FIRST")
+    check(sqlenv, "SELECT t.s, COUNT(*) AS n FROM "
+                  "(VALUES ('x'), ('y'), ('x')) t(s) "
+                  "GROUP BY t.s ORDER BY t.s")
