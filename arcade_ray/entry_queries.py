@@ -2383,6 +2383,98 @@ def q_tokenize_vocab(sf_dir: str) -> pa.Table:
     return _collect(tokenize_with_vocab(_docs_ds(sf_dir), vocab))
 
 
+def _toks_ds(sf_dir: str):
+    """documents tokenized against the corpus top-100 vocabulary
+    (build_vocab + tokenize_with_vocab) — the pre-tokenized
+    ``(doc_id, tokens:list<int32>)`` shape the token operator family
+    (tokenops.py) runs on. The SQL side mirrors it with the shared
+    ``_TOKS_CTE`` prefix (the tokenize_vocab oracle as a CTE)."""
+    from .textops import build_vocab, tokenize_with_vocab
+
+    vocab = build_vocab(_docs_ds(sf_dir), max_size=100)
+    return tokenize_with_vocab(_docs_ds(sf_dir), vocab)
+
+
+# the tokenize_vocab oracle as a WITH-prefix: toks(doc_id, tokens) is
+# exactly what _toks_ds computes (top-100 vocab by count desc / word
+# asc, OOV -> 0, empty docs -> empty lists)
+_TOKS_CTE = (
+    "w AS (SELECT doc_id, list_filter(string_split_regex("
+    "lower(text), '\\s+'), x -> x <> '') AS l FROM documents), "
+    "c AS (SELECT word, COUNT(*) AS n FROM "
+    "(SELECT unnest(l) AS word FROM w) GROUP BY word), "
+    "v AS (SELECT word, CAST(ROW_NUMBER() OVER "
+    "(ORDER BY n DESC, word ASC) AS INTEGER) AS id FROM c "
+    "QUALIFY id <= 100), "
+    "e AS (SELECT doc_id, unnest(l) AS word, "
+    "generate_subscripts(l, 1) AS ord FROM w), "
+    "j AS (SELECT e.doc_id, list(CAST(coalesce(v.id, 0) AS INTEGER) "
+    "ORDER BY e.ord) AS tokens "
+    "FROM e LEFT JOIN v USING (word) GROUP BY e.doc_id), "
+    "toks AS (SELECT d.doc_id, coalesce(j.tokens, "
+    "CAST([] AS INTEGER[])) AS tokens "
+    "FROM documents d LEFT JOIN j USING (doc_id))"
+)
+
+
+def q_token_unigram(sf_dir: str) -> pa.Table:
+    """Corpus-wide token unigram distribution over the pre-tokenized
+    sequences (tokenops.token_unigram_stats): top-30 ids by
+    (count desc, token asc), integer-exact vs the UNNEST + GROUP BY
+    oracle."""
+    from .tokenops import token_unigram_stats
+
+    return token_unigram_stats(_toks_ds(sf_dir), top_k=30)
+
+
+def q_token_repetition(sf_dir: str) -> pa.Table:
+    """Token-BIGRAM repetition signal per sequence
+    (tokenops.token_repetition_stats at n=2): integer-exact
+    (n_grams, n_unique) vs a DuckDB list-comprehension bigram build +
+    list_distinct — the Gopher gate applied to token ids."""
+    from .tokenops import token_repetition_stats
+
+    out = token_repetition_stats(_toks_ds(sf_dir), n=2)
+    return _collect(out.map_batches(
+        lambda b: b.select(["doc_id", "n_grams", "n_unique"]),
+        batch_format="pyarrow"))
+
+
+def q_decontaminate_tokens(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination on TOKEN trigrams
+    (tokenops.decontaminate_tokens, n=3): drop every training sequence
+    sharing a token 3-gram with the eval slice (every 97th doc),
+    directly on ids — no tokenizer round-trip. Oracle: the same
+    trigram build in SQL over the toks CTE."""
+    from .tokenops import decontaminate_tokens
+
+    def pick(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(
+            pc.subtract(b["doc_id"],
+                        pc.multiply(pc.divide(b["doc_id"], 97), 97)), 0))
+
+    ev = _toks_ds(sf_dir).map_batches(pick, batch_format="pyarrow")
+    out = decontaminate_tokens(_toks_ds(sf_dir), ev, n=3)
+    t = _collect(out.map_batches(lambda b: b.select(["doc_id"]),
+                                 batch_format="pyarrow"))
+    if not t.column_names:  # all blocks empty -> schema-less collect
+        return pa.table({"doc_id": pa.array([], type=pa.int64())})
+    return t
+
+
+def q_remap_tokens(sf_dir: str) -> pa.Table:
+    """Vocabulary remap (tokenops.remap_tokens): ids 1..50 shift to
+    1001..1050, everything else (OOV 0 and the pruned tail 51..100)
+    becomes 0 — the vocab-pruning pass. Oracle: list_transform with
+    the same CASE."""
+    from .tokenops import remap_tokens
+
+    mapping = pa.table({
+        "old": pa.array(np.arange(1, 51, dtype=np.int32)),
+        "new": pa.array(np.arange(1001, 1051, dtype=np.int32))})
+    return _collect(remap_tokens(_toks_ds(sf_dir), mapping, unk=0))
+
+
 def q_bm25_scores(sf_dir: str) -> pa.Table:
     """Okapi BM25 ranked keyword retrieval for a 3-term query (oracle:
     DuckDB evaluates the SAME float64 expression in the same operand
@@ -2647,6 +2739,10 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "ann_index_recall": q_ann_index_recall,
     "tokenize_vocab": q_tokenize_vocab,
+    "token_unigram": q_token_unigram,
+    "token_repetition": q_token_repetition,
+    "decontaminate_tokens": q_decontaminate_tokens,
+    "remap_tokens": q_remap_tokens,
     "embedding_near_dup": q_embedding_near_dup,
     "group_rollup": q_group_rollup,
     "group_cube": q_group_cube,
@@ -3218,6 +3314,40 @@ ORACLE_SQL = {
         "FROM e LEFT JOIN v USING (word) GROUP BY e.doc_id) "
         "SELECT d.doc_id, coalesce(j.tokens, CAST([] AS INTEGER[])) "
         "AS tokens FROM documents d LEFT JOIN j USING (doc_id)"
+    ),
+    "token_unigram": (
+        "WITH " + _TOKS_CTE + " "
+        "SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM (SELECT unnest(tokens) AS tok FROM toks) "
+        "GROUP BY tok ORDER BY n DESC, token ASC LIMIT 30"
+    ),
+    "token_repetition": (
+        "WITH " + _TOKS_CTE + ", "
+        "g AS (SELECT doc_id, [CAST(tokens[i] AS VARCHAR) || '_' || "
+        "CAST(tokens[i+1] AS VARCHAR) "
+        "for i in generate_series(1, greatest(length(tokens)-1, 0))] "
+        "AS t FROM toks) "
+        "SELECT doc_id, CAST(length(t) AS BIGINT) AS n_grams, "
+        "CAST(length(list_distinct(t)) AS BIGINT) AS n_unique FROM g"
+    ),
+    "decontaminate_tokens": (
+        "WITH " + _TOKS_CTE + ", "
+        "g AS (SELECT doc_id, unnest([CAST(tokens[i] AS VARCHAR) || "
+        "'_' || CAST(tokens[i+1] AS VARCHAR) || '_' || "
+        "CAST(tokens[i+2] AS VARCHAR) "
+        "for i in generate_series(1, greatest(length(tokens)-2, 0))]) "
+        "AS t FROM toks), "
+        "ev AS (SELECT DISTINCT t FROM g WHERE doc_id % 97 = 0), "
+        "bad AS (SELECT DISTINCT doc_id FROM g "
+        "WHERE t IN (SELECT t FROM ev)) "
+        "SELECT doc_id FROM documents "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM bad)"
+    ),
+    "remap_tokens": (
+        "WITH " + _TOKS_CTE + " "
+        "SELECT doc_id, list_transform(tokens, t -> "
+        "CAST(CASE WHEN t BETWEEN 1 AND 50 THEN t + 1000 ELSE 0 END "
+        "AS INTEGER)) AS tokens FROM toks"
     ),
     "bm25_scores": (
         # SAME float64 expression, same operand order as the engine;

@@ -1,0 +1,288 @@
+"""Operators over PRE-TOKENIZED sequences (``list<int32>`` token
+columns) — the corpus shape this engine compresses (``doc_id, tokens,
+n_tok, source``). Everything here runs directly on token ids: no
+tokenizer round-trip, no text decode, so the same pass that would cost
+a string split per document on text costs one flatten per batch here.
+
+The reference engine has no token-level operators (its corpus is raw
+strings; /root/reference/README.md roadmap stops at scalar columns);
+this module extends the training-data operator family (SURVEY.md §2.3)
+with the passes a pre-tokenized 10^12-sequence pipeline runs between
+ingest and packing: corpus unigram statistics (vocab coverage /
+sampling temperature inputs), benchmark decontamination on token
+n-grams, intra-sequence repetition gates, and vocabulary remapping
+(vocab pruning / merging).
+
+Scale shape shared by every op: per-batch vectorized flatten (zero-copy
+Arrow list offsets + values), numpy kernels over the flat stream,
+partials that are vocabulary- or hit-bounded (never corpus-bounded),
+and broadcast small sides via ``ray.put`` — the corpus itself never
+shuffles and never collects."""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = [
+    "flat_tokens", "batch_token_ngram_hashes", "token_unigram_stats",
+    "token_contaminated_ids", "decontaminate_tokens",
+    "token_repetition_stats", "remap_tokens",
+]
+
+
+def flat_tokens(col) -> tuple[np.ndarray, np.ndarray, int]:
+    """Flatten one batch of a ``list<int>`` column: returns
+    ``(values int64, doc_of int64, n_docs)`` where ``doc_of[i]`` is the
+    in-batch row index owning ``values[i]``. Null lists count as empty
+    (their rows simply contribute no values)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n_docs = len(arr)
+    if n_docs == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+                0)
+    counts = pc.fill_null(pc.list_value_length(arr), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = pc.list_flatten(arr).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    return vals, doc_of, n_docs
+
+
+def batch_token_ngram_hashes(col, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-sequence token ``n``-gram rolling hashes, fully vectorized:
+    splitmix64 over each token id, then an n-term polynomial combine
+    with sequence boundaries masked (the exact
+    :func:`arcade_ray.textops.batch_word_ngram_hashes` shape, minus the
+    string split — token ids hash directly). Sequences shorter than
+    ``n`` contribute nothing.
+
+    Returns ``(hashes uint64, doc_index int64)`` across the batch."""
+    from .hashing import hash_ints
+
+    vals, doc_of, _ = flat_tokens(col)
+    empty = (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64))
+    total = len(vals)
+    if total < n:
+        return empty
+    h = hash_ints(vals)
+    acc = np.zeros(total - n + 1, dtype=np.uint64)
+    base = np.uint64(1099511628211)
+    p = np.uint64(1)
+    for j in range(n):
+        acc += h[j: total - n + 1 + j] * p
+        p *= base
+    gdoc = doc_of[: total - n + 1]
+    valid = doc_of[n - 1:] == gdoc
+    return acc[valid], gdoc[valid]
+
+
+def token_unigram_stats(ds, tokens_col: str = "tokens",
+                        top_k: int | None = None) -> pa.Table:
+    """Corpus-wide token frequency table ``(token int32, n int64)``,
+    sorted (n desc, token asc), optionally truncated to ``top_k`` —
+    the unigram distribution feeding vocab-coverage checks, sampling
+    temperatures and pruning decisions.
+
+    Scale shape (the :func:`arcade_ray.textops.build_vocab` pattern):
+    per-batch ``np.unique`` partials are VOCABULARY-sized, not
+    corpus-sized; one groupby-sum shuffle over those partials; a
+    vocabulary-sized driver sort."""
+    from ray.data.aggregate import Sum
+
+    from .collect import collect_arrow
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals, _, _ = flat_tokens(batch[tokens_col])
+        toks, counts = np.unique(vals, return_counts=True)
+        return pa.table({"token": pa.array(toks.astype(np.int32),
+                                           type=pa.int32()),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("n", alias_name="n"))
+    t = collect_arrow(agg)
+    if t.num_rows == 0 or "token" not in t.column_names:
+        return pa.table({"token": pa.array([], pa.int32()),
+                         "n": pa.array([], pa.int64())})
+    t = pa.table({"token": t["token"].cast(pa.int32()),
+                  "n": t["n"].cast(pa.int64())})
+    order = pc.sort_indices(t, sort_keys=[("n", "descending"),
+                                          ("token", "ascending")])
+    t = t.take(order)
+    return t.slice(0, top_k) if top_k is not None else t
+
+
+def token_contaminated_ids(ds, eval_ds, n: int = 13,
+                           tokens_col: str = "tokens",
+                           id_col: str = "doc_id",
+                           eval_tokens_col: str | None = None):
+    """Ids of training sequences sharing at least one token ``n``-gram
+    with ANY eval sequence — benchmark decontamination run directly on
+    token ids (the form a pre-tokenized corpus actually stores; n=13
+    words ≈ the GPT-3/PaLM convention, applied here to tokens).
+    Identity is the 64-bit rolling hash: a collision can only OVER-flag
+    (drop a clean sequence), at ~2^-64 odds per pair — the conservative
+    direction.
+
+    Scale shape mirrors :func:`arcade_ray.textops.ngram_contaminated_ids`:
+    the eval side reduces to a deduplicated uint64 hash set (per-batch
+    unique, tiny driver union, ``ray.put`` ONCE); the corpus streams
+    through a map-side ``searchsorted`` probe — never shuffles, never
+    collects. Returns a Dataset with one ``id_col`` column."""
+    import ray
+
+    ecol = eval_tokens_col or tokens_col
+
+    def eval_hashes(b: pa.Table) -> pa.Table:
+        h, _ = batch_token_ngram_hashes(b[ecol], n)
+        return pa.table({"_h": pa.array(np.unique(h))})
+
+    from .collect import collect_arrow
+
+    ev = collect_arrow(eval_ds.map_batches(eval_hashes,
+                                           batch_format="pyarrow"))
+    ev_hashes = np.unique(ev["_h"].to_numpy(zero_copy_only=False)) \
+        if ev.num_rows else np.empty(0, dtype=np.uint64)
+    ref = ray.put(ev_hashes)
+
+    def tag(b: pa.Table) -> pa.Table:
+        sorted_ev = ray.get(ref)
+        ids = b[id_col]
+        if len(sorted_ev) == 0 or b.num_rows == 0:
+            return pa.table({id_col: pa.array([], type=ids.type)})
+        h, doc_of = batch_token_ngram_hashes(b[tokens_col], n)
+        if len(h) == 0:
+            return pa.table({id_col: pa.array([], type=ids.type)})
+        pos = np.searchsorted(sorted_ev, h)
+        pos[pos == len(sorted_ev)] = 0
+        hit = sorted_ev[pos] == h
+        docs = np.unique(doc_of[hit])
+        return b.select([id_col]).take(pa.array(docs, type=pa.int64()))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def decontaminate_tokens(ds, eval_ds, n: int = 13,
+                         tokens_col: str = "tokens",
+                         id_col: str = "doc_id",
+                         eval_tokens_col: str | None = None):
+    """Drop every training sequence sharing a token ``n``-gram with the
+    eval corpus (see :func:`token_contaminated_ids`). The contaminated
+    id set is corpus-small (bounded by the eval set's reach); it
+    collects once, ships via ``ray.put``, and the corpus filters
+    map-side. Returns the filtered Dataset."""
+    import ray
+
+    from .collect import collect_arrow
+
+    bad = collect_arrow(token_contaminated_ids(
+        ds, eval_ds, n=n, tokens_col=tokens_col, id_col=id_col,
+        eval_tokens_col=eval_tokens_col))
+    bad_ids = bad[id_col].combine_chunks() if bad.num_rows \
+        else pa.array([], type=bad.schema.field(id_col).type)
+    ref = ray.put(bad_ids)
+
+    def keep(b: pa.Table) -> pa.Table:
+        bids = ray.get(ref)
+        if len(bids) == 0 or b.num_rows == 0:
+            return b
+        return b.filter(pc.invert(pc.fill_null(
+            pc.is_in(b[id_col], value_set=bids), False)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def token_repetition_stats(ds, n: int = 2, tokens_col: str = "tokens",
+                           id_col: str = "doc_id", digits: int = 4):
+    """Per-sequence token-level repetition signal: of a sequence's
+    token ``n``-grams, how many are duplicates within the sequence —
+    the Gopher repetition gate applied to token ids (catches degenerate
+    loops and boilerplate the text-level pass sees only after a decode).
+    Returns ``(id_col, n_grams, n_unique, dup_frac)``; sequences with
+    fewer than ``n`` tokens have zero n-grams and ``dup_frac`` 0.
+
+    One vectorized pass per batch: shared rolling hashes
+    (:func:`batch_token_ngram_hashes`), one lexsort + run-boundary scan
+    for per-sequence unique counts — no per-sequence Python, no
+    shuffle. ``n_grams``/``n_unique`` are the integer-exact signal;
+    ``dup_frac`` is the rounded convenience ratio."""
+
+    def run(b: pa.Table) -> pa.Table:
+        n_docs = b.num_rows
+        if n_docs == 0:
+            return pa.table({
+                id_col: b[id_col],
+                "n_grams": pa.array([], pa.int64()),
+                "n_unique": pa.array([], pa.int64()),
+                "dup_frac": pa.array([], pa.float64())})
+        h, doc_of = batch_token_ngram_hashes(b[tokens_col], n)
+        total = np.bincount(doc_of, minlength=n_docs)
+        if len(h):
+            order = np.lexsort((h, doc_of))
+            hd, dd = h[order], doc_of[order]
+            new = np.ones(len(hd), dtype=bool)
+            new[1:] = (hd[1:] != hd[:-1]) | (dd[1:] != dd[:-1])
+            uniq = np.bincount(dd[new], minlength=n_docs)
+        else:
+            uniq = np.zeros(n_docs, dtype=np.int64)
+        frac = np.where(total > 0, 1.0 - uniq / np.maximum(total, 1), 0.0)
+        return pa.table({
+            id_col: b[id_col],
+            "n_grams": pa.array(total, type=pa.int64()),
+            "n_unique": pa.array(uniq, type=pa.int64()),
+            "dup_frac": pa.array(np.round(frac, digits),
+                                 type=pa.float64())})
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+def remap_tokens(ds, mapping: pa.Table, unk: int = 0,
+                 tokens_col: str = "tokens",
+                 old_col: str = "old", new_col: str = "new"):
+    """Rewrite every token id through a vocabulary mapping — the
+    vocab-pruning / vocab-merge pass (ids absent from ``mapping``
+    become ``unk``). ``mapping`` is a two-column table
+    ``(old int, new int)``; duplicate ``old`` ids raise.
+
+    The mapping ships once via ``ray.put`` as a pair of sorted numpy
+    arrays; each batch is one flatten + one ``searchsorted`` + one
+    ``take`` — the list offsets are reused untouched, so the rebuild is
+    allocation-only. All non-token columns pass through unchanged."""
+    import ray
+
+    old = np.ascontiguousarray(
+        mapping[old_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+    new = np.ascontiguousarray(
+        mapping[new_col].to_numpy(zero_copy_only=False), dtype=np.int32)
+    order = np.argsort(old, kind="stable")
+    old, new = old[order], new[order]
+    if len(old) > 1 and (old[1:] == old[:-1]).any():
+        raise ValueError("mapping has duplicate old ids")
+    ref = ray.put((old, new))
+
+    def run(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        sorted_old, new_ids = ray.get(ref)
+        arr = b[tokens_col]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) \
+            else arr
+        flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        out = np.full(len(flat), unk, dtype=np.int32)
+        if len(sorted_old):
+            pos = np.searchsorted(sorted_old, flat)
+            pos[pos == len(sorted_old)] = 0
+            hit = sorted_old[pos] == flat
+            out[hit] = new_ids[pos[hit]]
+        counts = pc.fill_null(pc.list_value_length(arr), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = np.zeros(b.num_rows + 1, dtype=np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        lst = pa.ListArray.from_arrays(pa.array(offsets),
+                                       pa.array(out, type=pa.int32()))
+        idx = b.schema.get_field_index(tokens_col)
+        return b.set_column(idx, tokens_col, lst)
+
+    return ds.map_batches(run, batch_format="pyarrow")
