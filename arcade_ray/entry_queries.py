@@ -2688,6 +2688,14 @@ QUERIES = {
     # null variant is covered by tests/test_nulls.py) were displaced
     # by their newer siblings (sql_date_trunc: datetime functions +
     # composite-key null-safe aggregation through the SQL frontend).
+    # Round-4 curation: the token-sequence family (tokenops.py, the
+    # corpus payload axis) enters via token_unigram (displacing
+    # charngram_stats, its corpus-n-gram-stats sibling) and
+    # decontaminate_tokens (displacing bm25_scores; tfidf_sparse
+    # keeps the retrieval family below), and the new INSERT
+    # generation-append path enters via sql_insert_lifecycle
+    # (displacing ts_range_filter, whose int64-view compare machinery
+    # clustered_range_filter still samples).
     "scan_project": q_scan_project,
     "roundtrip_documents": q_roundtrip_documents,
     "roundtrip_lineitem": q_roundtrip_lineitem,
@@ -2697,7 +2705,7 @@ QUERIES = {
     "equi_filter": q_equi_filter,
     "clustered_range_filter": q_clustered_range_filter,
     "zorder_filter": q_zorder_filter,
-    "ts_range_filter": q_ts_range_filter,
+    "sql_insert_lifecycle": q_sql_insert_lifecycle,
     "compound_filter": q_compound_filter,
     "heavy_hitters": q_heavy_hitters,
     "sql_filter_topk": q_sql_filter_topk,
@@ -2709,7 +2717,7 @@ QUERIES = {
     "sql_unnest": q_sql_unnest,
     "sql_date_trunc": q_sql_date_trunc,
     "dup_ngram_stats": q_dup_ngram_stats,
-    "charngram_stats": q_charngram_stats,
+    "token_unigram": q_token_unigram,
     "group_agg_multi": q_group_agg_multi,
     "group_topk": q_group_topk,
     "sql_variance": q_sql_variance,
@@ -2735,13 +2743,14 @@ QUERIES = {
     "sql_dml_lifecycle": q_sql_dml_lifecycle,
     "minhash_pairs": q_minhash_pairs,
     "ann_topk": q_ann_topk,
-    "bm25_scores": q_bm25_scores,
+    "decontaminate_tokens": q_decontaminate_tokens,
     "semantic_dedup": q_semantic_dedup,
     "ann_index_recall": q_ann_index_recall,
     "tokenize_vocab": q_tokenize_vocab,
-    "token_unigram": q_token_unigram,
+    "ts_range_filter": q_ts_range_filter,
+    "charngram_stats": q_charngram_stats,
+    "bm25_scores": q_bm25_scores,
     "token_repetition": q_token_repetition,
-    "decontaminate_tokens": q_decontaminate_tokens,
     "remap_tokens": q_remap_tokens,
     "embedding_near_dup": q_embedding_near_dup,
     "group_rollup": q_group_rollup,
@@ -2822,7 +2831,6 @@ QUERIES = {
     "sql_window_rank": q_sql_window_rank,
     "sql_join_agg": q_sql_join_agg,
     "sql_arg_string_agg": q_sql_arg_string_agg,
-    "sql_insert_lifecycle": q_sql_insert_lifecycle,
     "sql_corr_exists": q_sql_corr_exists,
     "sql_qualify_topn": q_sql_qualify_topn,
     "sql_group_expr": q_sql_group_expr,
