@@ -449,3 +449,146 @@ def test_sql_fuzz_parity_v3(fuzzenv2):
         assert _norm(mine) == _norm(oracle), (seed, q)
         ran += 1
     assert ran >= max(1, (ran + skipped) * 2 // 3), (ran, skipped)
+
+
+# ---- grammar v4: list columns / ordered aggregates / VALUES ----------------
+
+@pytest.fixture(scope="module")
+def fuzzenv4(ray_session, tmp_path_factory):
+    import duckdb
+
+    from arcade_ray.pipeline.encode import encode_parquet
+
+    base = tmp_path_factory.mktemp("sqlfuzz4")
+    rng = np.random.default_rng(77)
+    n = 1500
+    lens = rng.integers(0, 9, n)
+    toks = [rng.integers(0, 40, k).astype(np.int32).tolist()
+            for k in lens]
+    words = np.array(["ab", "cd", "ef", "gh", "ij"])
+    tags = [words[rng.integers(0, 5, k)].tolist()
+            for k in rng.integers(0, 4, n)]
+    t = pa.table({
+        "doc_id": pa.array([f"d{i:06d}" for i in range(n)]),
+        "source": pa.array([f"s{i % 4}" for i in range(n)]),
+        "lang": pa.array([None if i % 13 == 0 else
+                          ["en", "fr", "de"][i % 3] for i in range(n)],
+                         type=pa.string()),
+        "n_chars": pa.array(rng.integers(0, 10000, n), type=pa.int64()),
+        "toks": pa.array(toks, type=pa.list_(pa.int32())),
+        "tags": pa.array(tags, type=pa.list_(pa.string())),
+    })
+    p = str(base / "lt.parquet")
+    pq.write_table(t, p)
+    out = str(base / "enc_lt")
+    encode_parquet(p, out, key_col="source", id_col="doc_id",
+                   weight_col=None)
+    con = duckdb.connect()
+    con.register("lt", t)
+    yield {"lt": out}, con
+    con.close()
+
+
+def _v4_pred(r: random.Random) -> str:
+    return r.choice([
+        f"n_chars > {r.randint(0, 9000)}",
+        f"n_chars BETWEEN {r.randint(0, 4000)} AND {r.randint(4000, 9999)}",
+        "lang IS NOT NULL",
+        f"source = 's{r.randint(0, 3)}'",
+        f"len(toks) >= {r.randint(0, 6)}",
+        f"list_contains(toks, {r.randint(0, 39)})",
+    ])
+
+
+def _v4_list_query(r: random.Random) -> str:
+    proj = r.choice([
+        "len(toks) AS a, list_contains(toks, %d) AS b" % r.randint(0, 39),
+        "list_sum(toks) AS a, list_min(toks) AS b, list_max(toks) AS c",
+        "list_sort(toks) AS a",
+        "list_reverse_sort(toks) AS a, len(tags) AS b",
+        "toks[%d] AS a" % r.randint(1, 6),
+        "list_contains(tags, '%s') AS a" % r.choice(["ab", "ef", "zz"]),
+        "array_to_string(tags, '-') AS a",
+    ])
+    q = f"SELECT doc_id, {proj} FROM lt"
+    if r.random() < 0.6:
+        q += f" WHERE {_v4_pred(r)}"
+    q += f" ORDER BY doc_id LIMIT {r.randint(10, 200)}"
+    return q
+
+
+def _v4_unnest_query(r: random.Random) -> str:
+    q = ("SELECT doc_id, unnest(toks) AS t FROM lt "
+         f"WHERE {_v4_pred(r)} ORDER BY doc_id, t "
+         f"LIMIT {r.randint(20, 300)}")
+    return q
+
+
+def _v4_ordered_agg_query(r: random.Random) -> str:
+    agg = r.choice([
+        "arg_max(n_chars, doc_id) AS a, arg_min(n_chars, doc_id) AS b",
+        "string_agg(lang, '|' ORDER BY doc_id) AS a",
+        "array_agg(n_chars ORDER BY doc_id) AS a",
+        "arg_max(doc_id, doc_id) AS a, COUNT(*) AS n",
+        "string_agg(n_chars, ',' ORDER BY doc_id) AS a",
+    ])
+    q = f"SELECT source, {agg} FROM lt"
+    if r.random() < 0.5:
+        q += f" WHERE {_v4_pred(r)}"
+    q += " GROUP BY source ORDER BY source"
+    return q
+
+
+def _v4_values_query(r: random.Random) -> str:
+    shape = r.choice(["scan", "join"])
+    if shape == "scan":
+        rows = ", ".join(f"({r.randint(-5, 5)}, '{c}')"
+                         for c in r.sample(["a", "b", "c", "d"], 3))
+        return (f"SELECT t.i, t.s FROM (VALUES {rows}) t(i, s) "
+                "ORDER BY t.i, t.s")
+    srcs = ", ".join(f"('s{i}')" for i in
+                     r.sample(range(5), r.choice([1, 2])))
+    return ("SELECT lt.doc_id, lt.n_chars FROM lt "
+            f"JOIN (VALUES {srcs}) v(source) "
+            "ON lt.source = v.source "
+            f"ORDER BY lt.doc_id LIMIT {r.randint(10, 100)}")
+
+
+def _gen4(seed: int) -> str:
+    r = random.Random(40_000 + seed)
+    return r.choice([_v4_list_query, _v4_list_query, _v4_unnest_query,
+                     _v4_ordered_agg_query, _v4_values_query])(r)
+
+
+def test_sql_fuzz_parity_v4(fuzzenv4):
+    tables, con = fuzzenv4
+    skipped, ran = 0, 0
+    for seed in range(N_QUERIES):
+        q = _gen4(seed)
+        try:
+            mine = sql_query(q, tables)
+        except SqlUnsupported:
+            skipped += 1
+            continue
+        if not isinstance(mine, pa.Table):
+            from arcade_ray.collect import collect_arrow
+
+            mine = collect_arrow(mine)
+        oracle = con.execute(q).arrow()
+        assert sorted(mine.column_names) == \
+            sorted(oracle.column_names), (seed, q)
+        assert mine.num_rows == oracle.num_rows, \
+            (seed, q, mine.num_rows, oracle.num_rows)
+        # every v4 query carries a deterministic ORDER BY; list-valued
+        # columns block the _norm sort, so compare in query order
+        import decimal
+
+        def rows(t):
+            return [{k: int(v) if isinstance(v, decimal.Decimal)
+                     and v == int(v) else v for k, v in row.items()}
+                    for row in t.select(sorted(t.column_names))
+                    .to_pylist()]
+
+        assert rows(mine) == rows(oracle), (seed, q)
+        ran += 1
+    assert ran >= max(1, (ran + skipped) * 2 // 3), (ran, skipped)
