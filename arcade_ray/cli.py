@@ -655,7 +655,7 @@ def cmd_sql(args) -> None:
     if args.encode_out and not args.key_col:
         raise SystemExit("--encode-out needs --key-col")
     t0 = time.perf_counter()
-    res = sql_query(args.query, tables)
+    res = sql_query(args.query, tables, workspace=args.workspace)
     import pyarrow as pa
 
     if args.encode_out:
@@ -954,6 +954,9 @@ def main(argv=None) -> None:
                     "--encode-out")
     sq.add_argument("--id-col", default="doc_id",
                     help="id column for --encode-out (default doc_id)")
+    sq.add_argument("--workspace", help="directory CREATE TABLE AS "
+                    "statements encode new tables under (and DROP "
+                    "TABLE may delete from)")
     sq.add_argument("--show", type=int, default=20)
     sq.add_argument("--explain", action="store_true",
                     help="print the compiled plan (operator routing + "

@@ -743,6 +743,32 @@ def q_sql_insert_lifecycle(sf_dir: str) -> pa.Table:
     return res if isinstance(res, pa.Table) else _collect(res)
 
 
+def q_sql_ctas(sf_dir: str) -> pa.Table:
+    """CREATE TABLE ... AS end-to-end: a per-(source, lang) aggregate
+    of documents encodes as a NEW table under a private workspace
+    (PARTITION BY source — the result re-enters the compression
+    pipeline), then a second statement queries the new table with a
+    filter. Oracle: the composed SQL. The workspace is cache-keyed so
+    re-runs hit CREATE OR REPLACE idempotently."""
+    import hashlib as _h
+
+    from .sql import sql_query
+
+    tag = _h.md5(
+        f"{sf_dir}|ctas-ws|{_CACHE_SALT}".encode()).hexdigest()[:10]
+    ws = os.path.join(CACHE_ROOT, f"ctas-ws-{tag}")
+    os.makedirs(ws, exist_ok=True)
+    t = {"documents": encoded_dir(sf_dir, "documents")}
+    sql_query("CREATE OR REPLACE TABLE src_stats PARTITION BY (source) "
+              "AS SELECT source, lang, COUNT(*) AS n, "
+              "SUM(n_chars) AS chars FROM documents "
+              "GROUP BY source, lang", t, workspace=ws)
+    res = sql_query("SELECT source, lang, n, chars FROM src_stats "
+                    "WHERE n >= 2 ORDER BY source, lang", t,
+                    workspace=ws)
+    return res if isinstance(res, pa.Table) else _collect(res)
+
+
 def q_tfidf_sparse(sf_dir: str) -> pa.Table:
     """Sparse hashed TF-IDF vectors (textops.tfidf_sparse): feature
     hashing via md5(word) % dim so the SQL oracle reproduces the
@@ -2752,6 +2778,7 @@ QUERIES = {
     "bm25_scores": q_bm25_scores,
     "token_repetition": q_token_repetition,
     "remap_tokens": q_remap_tokens,
+    "sql_ctas": q_sql_ctas,
     "embedding_near_dup": q_embedding_near_dup,
     "group_rollup": q_group_rollup,
     "group_cube": q_group_cube,
@@ -3323,6 +3350,12 @@ ORACLE_SQL = {
         "SELECT d.doc_id, coalesce(j.tokens, CAST([] AS INTEGER[])) "
         "AS tokens FROM documents d LEFT JOIN j USING (doc_id)"
     ),
+    "sql_ctas": (
+        "WITH src_stats AS (SELECT source, lang, COUNT(*) AS n, "
+        "SUM(n_chars) AS chars FROM documents GROUP BY source, lang) "
+        "SELECT source, lang, CAST(n AS BIGINT) AS n, "
+        "CAST(chars AS BIGINT) AS chars FROM src_stats "
+        "WHERE n >= 2 ORDER BY source, lang"),
     "token_unigram": (
         "WITH " + _TOKS_CTE + " "
         "SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n "

@@ -43,6 +43,7 @@ against the same encoded format.
 from __future__ import annotations
 
 import json
+import os
 import re
 
 import numpy as np
@@ -3682,14 +3683,107 @@ def _run_insert(tname: str, collist: str | None, body: str,
                      "generation": pa.array([gen], pa.string())})
 
 
-def sql_query(sql: str, tables: dict[str, str]):
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+([A-Za-z_]\w*)\s*"
+    r"(?:PARTITION\s+BY\s*\(\s*([^)]+?)\s*\)\s*)?"
+    r"AS\s+(SELECT\b.*|WITH\b.*|FROM\b.*|VALUES\b.*)$",
+    re.IGNORECASE | re.DOTALL)
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?([A-Za-z_]\w*)\s*$",
+    re.IGNORECASE)
+
+
+def _run_ctas(replace: bool, name: str, partcols: str | None,
+              body: str, tables: dict, workspace: str | None) -> pa.Table:
+    """CREATE [OR REPLACE] TABLE name [PARTITION BY (key[, id])] AS
+    SELECT ...: the result stream re-encodes through the full
+    compression pipeline into ``<workspace>/<name>`` and registers in
+    ``tables`` (the session catalog — callers keep the dict across
+    statements). The streaming result never materializes on the
+    driver. PARTITION BY names the encode layout: key column, and
+    optionally the in-partition sort (id) column (defaults to the key
+    — appends will reuse the recorded layout)."""
+    import shutil
+
+    import ray.data as rd
+
+    from .pipeline.encode import encode_dataset
+
+    if workspace is None:
+        raise SqlUnsupported(
+            "CREATE TABLE needs sql_query(..., workspace=dir) — the "
+            "directory new encoded tables are created under")
+    if not partcols:
+        raise SqlUnsupported(
+            "CREATE TABLE needs PARTITION BY (key_col[, id_col]) — "
+            "the encode layout is explicit, never guessed")
+    cols = [c.strip().strip('"') for c in partcols.split(",")]
+    if len(cols) > 2:
+        raise SqlUnsupported("PARTITION BY takes (key_col[, id_col])")
+    key_col, id_col = cols[0], cols[-1]
+    out = os.path.join(workspace, name)
+    if name in tables or os.path.exists(out):
+        if not replace:
+            raise ValueError(
+                f"table {name!r} already exists (CREATE OR REPLACE "
+                "TABLE to overwrite)")
+        if os.path.isdir(out):
+            shutil.rmtree(out)
+    res = _execute_node(_parse(
+        body if not body.lstrip().upper().startswith("VALUES")
+        else f"SELECT * FROM ({body}) __v"), tables)
+    if isinstance(res, pa.Table):
+        res = rd.from_arrow(res)
+    man = encode_dataset(res, out, key_col=key_col, id_col=id_col,
+                         weight_col=None)
+    tables[name] = out
+    rows = sum(man["rows"].to_pylist()) if man.num_rows else 0
+    return pa.table({"table": pa.array([name], pa.string()),
+                     "rows": pa.array([rows], pa.int64()),
+                     "partitions": pa.array([man.num_rows], pa.int64())})
+
+
+def _run_drop(if_exists: bool, name: str, tables: dict,
+              workspace: str | None) -> pa.Table:
+    """DROP TABLE [IF EXISTS] name: unregisters the table and deletes
+    its directory — but only a directory under ``workspace`` (a table
+    this session created via CTAS). Dirs registered from outside are
+    data, not catalog entries: dropping them raises."""
+    import shutil
+
+    if name not in tables:
+        if if_exists:
+            return pa.table({"table": pa.array([name], pa.string()),
+                             "dropped": pa.array([False])})
+        raise KeyError(f"unknown table {name!r}")
+    d = str(tables[name])
+    inside = workspace is not None and \
+        os.path.realpath(d).startswith(os.path.realpath(workspace) + os.sep)
+    if not inside:
+        raise SqlUnsupported(
+            "DROP TABLE only deletes tables created under this "
+            "session's workspace; unregister external dirs by "
+            "removing them from the tables dict")
+    del tables[name]
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+    return pa.table({"table": pa.array([name], pa.string()),
+                     "dropped": pa.array([True])})
+
+
+def sql_query(sql: str, tables: dict[str, str],
+              workspace: str | None = None):
     """Execute ``sql`` against encoded directories: ``tables`` maps
     table names in the query to ``encode_parquet`` output dirs.
     SELECT returns a pyarrow Table (aggregates / ordered results) or
     a ray.data.Dataset (unordered row streams — kept lazy so callers
     can write_parquet without materializing). DELETE / UPDATE
     statements lower onto the engine's zone-pruned partition-rewrite
-    machinery and return a one-row summary table."""
+    machinery, INSERT appends a new encode generation, and
+    CREATE TABLE ... PARTITION BY (...) AS SELECT encodes the result
+    under ``workspace`` and registers it in ``tables`` (the dict is
+    the session catalog). Each DML statement returns a one-row
+    summary table."""
     stmt = sql.strip().rstrip(";")
     m = _DELETE_RE.match(stmt)
     if m:
@@ -3700,6 +3794,14 @@ def sql_query(sql: str, tables: dict[str, str]):
     m = _INSERT_RE.match(stmt)
     if m:
         return _run_insert(m.group(1), m.group(2), m.group(3), tables)
+    m = _CTAS_RE.match(stmt)
+    if m:
+        return _run_ctas(bool(m.group(1)), m.group(2), m.group(3),
+                         m.group(4), tables, workspace)
+    m = _DROP_RE.match(stmt)
+    if m:
+        return _run_drop(bool(m.group(1)), m.group(2), tables,
+                         workspace)
     return _execute_node(_parse(stmt), tables)
 
 

@@ -266,6 +266,18 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
             lambda: sketch_percentiles(enc_dir, "n_tok",
                                        [0.5, 0.9, 0.99]).num_rows)
 
+        # token-sequence stats straight off the ENCODED corpus: scan
+        # projects only the tokens column, unigram partials are
+        # vocab-sized (tokenops.py)
+        from arcade_ray.pipeline.query import scan
+        from arcade_ray.tokenops import token_unigram_stats
+
+        def _uni():
+            t = token_unigram_stats(scan(enc_dir, columns=["tokens"]))
+            assert t.num_rows > 0
+
+        queries["token_unigram_encoded"] = _best_of(_uni)
+
         # SemDeDup over the embeddings table (cluster-keyed shuffle +
         # within-cluster greedy cosine drop)
         from arcade_ray.ann import semantic_dedup

@@ -5,6 +5,7 @@ values. Covers filters (all leaf kinds incl. 3VL over nulls),
 decode-free and streamed GROUP BY, HAVING, ORDER/LIMIT top-k, both
 join kinds, and the unsupported-construct contract."""
 
+import os
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -1797,3 +1798,68 @@ def test_sql_select_from_values(sqlenv):
     check(sqlenv, "SELECT t.s, COUNT(*) AS n FROM "
                   "(VALUES ('x'), ('y'), ('x')) t(s) "
                   "GROUP BY t.s ORDER BY t.s")
+
+
+def test_sql_ctas_and_drop(ray_session, tmp_path):
+    import pyarrow.parquet as _pq
+    import pytest as _pt
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.pipeline.encode import encode_parquet
+    from arcade_ray.sql import SqlUnsupported as _SU
+    from arcade_ray.sql import sql_query
+
+    t = pa.table({
+        "doc_id": pa.array([f"d{i:04d}" for i in range(300)]),
+        "source": pa.array([f"s{i % 4}" for i in range(300)]),
+        "n_chars": pa.array(list(range(300)), type=pa.int64()),
+    })
+    p = str(tmp_path / "t.parquet")
+    _pq.write_table(t, p)
+    out = str(tmp_path / "enc")
+    encode_parquet(p, out, key_col="source", id_col="doc_id",
+                   weight_col=None)
+    ws = str(tmp_path / "ws")
+    tb = {"docs": out}
+
+    with _pt.raises(_SU, match="workspace"):
+        sql_query("CREATE TABLE big PARTITION BY (source, doc_id) AS "
+                  "SELECT * FROM docs", tb)
+    with _pt.raises(_SU, match="PARTITION BY"):
+        sql_query("CREATE TABLE big AS SELECT * FROM docs", tb,
+                  workspace=ws)
+    r = sql_query("CREATE TABLE big PARTITION BY (source, doc_id) AS "
+                  "SELECT doc_id, source, n_chars FROM docs "
+                  "WHERE n_chars >= 100", tb, workspace=ws)
+    assert r.to_pylist()[0]["table"] == "big"
+    assert r.to_pylist()[0]["rows"] == 200
+    assert tb["big"].endswith("/big")
+    # the new table is a full citizen: query, join, insert
+    got = sql_query("SELECT COUNT(*) AS n, SUM(n_chars) AS s FROM big "
+                    "WHERE source = 's1'", tb)
+    exp = sum(i for i in range(100, 300) if i % 4 == 1)
+    assert got.to_pylist() == [{"n": 50, "s": exp}]
+    j = sql_query("SELECT COUNT(*) AS n FROM docs "
+                  "JOIN big ON docs.doc_id = big.doc_id", tb)
+    assert j["n"][0].as_py() == 200
+    with _pt.raises(ValueError, match="already exists"):
+        sql_query("CREATE TABLE big PARTITION BY (source) AS "
+                  "SELECT * FROM docs", tb, workspace=ws)
+    r2 = sql_query("CREATE OR REPLACE TABLE big PARTITION BY (source) "
+                   "AS SELECT doc_id, source FROM docs "
+                   "WHERE n_chars < 10", tb, workspace=ws)
+    assert r2.to_pylist()[0]["rows"] == 10
+    got2 = sql_query("SELECT doc_id FROM big ORDER BY doc_id", tb)
+    got2 = got2 if isinstance(got2, pa.Table) else collect_arrow(got2)
+    assert got2["doc_id"].to_pylist() == [f"d{i:04d}" for i in range(10)]
+
+    # DROP refuses external dirs, drops workspace tables
+    with _pt.raises(_SU, match="workspace"):
+        sql_query("DROP TABLE docs", tb, workspace=ws)
+    r3 = sql_query("DROP TABLE big", tb, workspace=ws)
+    assert r3.to_pylist() == [{"table": "big", "dropped": True}]
+    assert "big" not in tb and not os.path.exists(os.path.join(ws, "big"))
+    r4 = sql_query("DROP TABLE IF EXISTS big", tb, workspace=ws)
+    assert r4.to_pylist() == [{"table": "big", "dropped": False}]
+    with _pt.raises(KeyError):
+        sql_query("DROP TABLE big", tb, workspace=ws)
