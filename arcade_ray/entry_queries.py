@@ -769,6 +769,45 @@ def q_sql_ctas(sf_dir: str) -> pa.Table:
     return res if isinstance(res, pa.Table) else _collect(res)
 
 
+def q_sql_merge_upsert(sf_dir: str) -> pa.Table:
+    """SQL MERGE INTO (upsert) end-to-end on a PRIVATE encoded copy:
+    one statement updates every matched row from a derived source
+    (n_chars bumped for doc_id % 21 == 0) and appends the unmatched
+    source rows (shifted ids) as a fresh encode generation — the
+    inserted rows omit the text column, so the read-time schema merge
+    surfaces NULL text. The .done marker keeps the cached copy
+    idempotent. Oracle: LEFT JOIN + CASE for the update leg UNION ALL
+    an anti-joined insert leg."""
+    import hashlib as _h
+
+    from .sql import sql_query
+
+    tag = _h.md5(
+        f"{sf_dir}|documents-mrg|{_CACHE_SALT}".encode()).hexdigest()[:10]
+    out = os.path.join(CACHE_ROOT, f"documents-mrg-{tag}")
+    if not os.path.exists(os.path.join(out, "manifest.parquet")):
+        from .pipeline.encode import encode_parquet
+
+        encode_parquet(os.path.join(sf_dir, "documents.parquet"), out,
+                       key_col="source", id_col="doc_id",
+                       weight_col=None)
+    t = {"documents": out}
+    if not os.path.exists(os.path.join(out, ".mrg_done")):
+        sql_query(
+            "MERGE INTO documents USING ("
+            "SELECT doc_id + CASE WHEN doc_id % 3 = 0 THEN 0 "
+            "ELSE 9200000 END AS doc_id, source, lang, "
+            "n_chars + 5 AS n_chars FROM documents "
+            "WHERE doc_id % 7 = 0 AND doc_id < 9000000) m "
+            "ON documents.doc_id = m.doc_id "
+            "WHEN MATCHED THEN UPDATE SET n_chars = m.n_chars "
+            "WHEN NOT MATCHED THEN INSERT", t)
+        open(os.path.join(out, ".mrg_done"), "w").close()
+    res = sql_query("SELECT doc_id, lang, source, n_chars "
+                    "FROM documents ORDER BY doc_id", t)
+    return res if isinstance(res, pa.Table) else _collect(res)
+
+
 def q_tfidf_sparse(sf_dir: str) -> pa.Table:
     """Sparse hashed TF-IDF vectors (textops.tfidf_sparse): feature
     hashing via md5(word) % dim so the SQL oracle reproduces the
@@ -2779,6 +2818,7 @@ QUERIES = {
     "token_repetition": q_token_repetition,
     "remap_tokens": q_remap_tokens,
     "sql_ctas": q_sql_ctas,
+    "sql_merge_upsert": q_sql_merge_upsert,
     "embedding_near_dup": q_embedding_near_dup,
     "group_rollup": q_group_rollup,
     "group_cube": q_group_cube,
@@ -3350,6 +3390,20 @@ ORACLE_SQL = {
         "SELECT d.doc_id, coalesce(j.tokens, CAST([] AS INTEGER[])) "
         "AS tokens FROM documents d LEFT JOIN j USING (doc_id)"
     ),
+    "sql_merge_upsert": (
+        "WITH m AS (SELECT doc_id + CASE WHEN doc_id % 3 = 0 THEN 0 "
+        "ELSE 9200000 END AS doc_id, source, lang, "
+        "n_chars + 5 AS n_chars FROM documents "
+        "WHERE doc_id % 7 = 0 AND doc_id < 9000000), "
+        "u AS (SELECT d.doc_id, d.lang, d.source, "
+        "CASE WHEN m.doc_id IS NOT NULL THEN m.n_chars "
+        "ELSE d.n_chars END AS n_chars "
+        "FROM documents d LEFT JOIN m USING (doc_id)), "
+        "i AS (SELECT doc_id, lang, source, n_chars FROM m "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM documents)) "
+        "SELECT doc_id, lang, source, n_chars FROM u "
+        "UNION ALL SELECT doc_id, lang, source, n_chars FROM i "
+        "ORDER BY doc_id"),
     "sql_ctas": (
         "WITH src_stats AS (SELECT source, lang, COUNT(*) AS n, "
         "SUM(n_chars) AS chars FROM documents GROUP BY source, lang) "

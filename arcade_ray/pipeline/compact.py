@@ -363,3 +363,169 @@ def update_rows(out_dir: str, preds, assignments: dict,
     _write_consolidated(out_dir, manifest)
     return {"partitions": len(rows), "pruned": pruned,
             "rewritten": rewritten, "rows_updated": rows_updated}
+
+
+def merge_rows(out_dir: str, key_col: str, src: pa.Table,
+               set_cols: list[str], insert_unmatched: bool = True,
+               run_remote: bool = True) -> dict:
+    """Upsert (SQL MERGE INTO core): for each ``src`` row whose
+    ``key_col`` matches a target row, SET every ``set_cols`` column to
+    the src value (partition rewrite under ``replaces`` lineage, the
+    update_rows shape); src rows matching nothing append as a fresh
+    encode GENERATION (the INSERT shape) when ``insert_unmatched``.
+
+    ``src`` is driver-resident by contract — an updates batch, bounded
+    like the broadcast side of a join, shipped to the rewrite tasks
+    via ``ray.put`` once. Duplicate keys in src raise (SQL MERGE's
+    ambiguous-match rule). Matching is decode-free where possible: an
+    ``("in", key_col, src_keys)`` predicate prunes partitions through
+    zone maps + Bloom filters and selects match indices inside the
+    survivors; only partitions with actual matches decode and rewrite.
+
+    Returns {"partitions": n, "pruned": n, "rewritten": n,
+    "rows_updated": n, "rows_inserted": n, "generation": str|None}."""
+    import hashlib
+
+    import numpy as np
+
+    from ..format import read_header
+    from .query import _eval_match_idx, _normalize_pred, _zone_excluded
+
+    keys = src[key_col].combine_chunks() if src.num_rows else None
+    if src.num_rows == 0:
+        return {"partitions": 0, "pruned": 0, "rewritten": 0,
+                "rows_updated": 0, "rows_inserted": 0, "generation": None}
+    if pc.any(pc.is_null(keys)).as_py():
+        raise ValueError("MERGE source has NULL keys")
+    if pc.count_distinct(keys).as_py() != len(keys):
+        raise ValueError(
+            "MERGE source has duplicate keys — each target row may "
+            "match at most one source row")
+    rows = load_manifest(out_dir).to_pylist()
+    header0 = None
+    if rows:
+        header0, _ = read_header(rows[0]["path"])
+        for col in set_cols:
+            if col not in header0["columns"]:
+                raise KeyError(f"unknown column {col!r} in SET")
+            if col == key_col:
+                raise ValueError("MERGE cannot SET the match key")
+    tree = _normalize_pred(("in", key_col, keys.to_pylist()))
+
+    candidates, pruned = [], 0
+    for r in rows:
+        stats = json.loads(r["col_stats"])
+        if _zone_excluded(header0, stats, tree):
+            pruned += 1
+            continue
+        candidates.append(r)
+
+    import ray
+
+    src_ref = ray.put(src) if run_remote and candidates else src
+
+    def _merge_one(row: dict):
+        _pin_arrow_threads()
+        s = ray.get(src_ref) if isinstance(src_ref, ray.ObjectRef) else src_ref
+        header, base = read_header(row["path"])
+        match_idx = _eval_match_idx(row["path"], header, base, tree)
+        n_match = sum(0 if m is None else len(m) for m in match_idx)
+        if n_match == 0:
+            return ("untouched", row["part_key"], 0, None)
+        chunk_rows = [ch["n"] for ch in
+                      next(iter(header["columns"].values()))["chunks"]]
+        total = sum(chunk_rows)
+        table = decode_partition(row["path"])
+        # position of each target row's key in src (null = no match)
+        pos = pc.index_in(table[key_col].combine_chunks(),
+                          value_set=s[key_col].combine_chunks())
+        pos_np = pos.to_numpy(zero_copy_only=False)
+        hit = pos.is_valid().to_numpy(zero_copy_only=False)
+        marr = pa.array(hit)
+        take_idx = np.where(hit, pos_np, 0).astype(np.int64)
+        matched_keys = table[key_col].combine_chunks().filter(marr)
+        for col in set_cols:
+            old = table[col].combine_chunks()
+            new = pc.cast(s[col].combine_chunks()
+                          .take(pa.array(take_idx)), old.type)
+            upd = pc.if_else(marr, new, old)
+            table = table.set_column(
+                table.column_names.index(col), col, upd)
+        digest = hashlib.md5(
+            (row["part_key"] + repr(sorted(set_cols))).encode()
+        ).hexdigest()[:8]
+        new_key = f"{_source_of(row['part_key'])}#m{digest}"
+        blob, new_row = encode_partition(table, new_key)
+        new_row["replaces"] = [row["part_key"]]
+        new_row["generation"] = generation_of_row(row)
+        commit_partition(out_dir, new_key, blob, new_row)
+        assert total == table.num_rows
+        return ("rewritten", row["part_key"], int(hit.sum()),
+                matched_keys)
+
+    if run_remote and candidates:
+        task = ray.remote(_merge_one)
+        results = ray.get([task.remote(r) for r in candidates])
+    else:
+        results = [_merge_one(r) for r in candidates]
+
+    from .encode import _manifest_row_path
+
+    by_key = {r["part_key"]: r for r in rows}
+    rows_updated = rewritten = 0
+    matched: list = []
+    for status, key, n_upd, mk in results:
+        rows_updated += n_upd
+        if status == "untouched":
+            continue
+        rewritten += 1
+        matched.append(mk)
+        try:
+            os.remove(_manifest_row_path(out_dir, key))
+        except FileNotFoundError:
+            pass
+        try:
+            os.remove(by_key[key]["path"])
+        except FileNotFoundError:
+            pass
+
+    rows_inserted = 0
+    gen = None
+    if insert_unmatched:
+        seen = pa.concat_arrays([m.combine_chunks() if
+                                 isinstance(m, pa.ChunkedArray) else m
+                                 for m in matched]) if matched \
+            else pa.array([], type=keys.type)
+        unmatched = src.filter(pc.invert(pc.fill_null(
+            pc.is_in(src[key_col], value_set=seen), False)))
+        if unmatched.num_rows:
+            import ray.data as rd
+
+            from .encode import encode_dataset, read_encode_meta
+
+            meta = read_encode_meta(out_dir)
+            if meta is None:
+                raise ValueError(
+                    "MERGE insert needs the dir's _encode_meta.json "
+                    "(re-encode with a current version)")
+            existing = {generation_of_row(r) for r in
+                        load_manifest(out_dir).to_pylist()}
+            k = 0
+            while f"mrg{k:04d}" in existing:
+                k += 1
+            gen = f"mrg{k:04d}"
+            wc = meta.get("weight_col")
+            man = encode_dataset(
+                rd.from_arrow(unmatched), out_dir,
+                key_col=meta["key_col"], id_col=meta["id_col"],
+                weight_col=wc if wc in unmatched.column_names else None,
+                generation=gen)
+            rows_inserted = sum(
+                r["rows"] for r in man.to_pylist()
+                if generation_of_row(r) == gen)
+
+    manifest = load_manifest(out_dir)
+    _write_consolidated(out_dir, manifest)
+    return {"partitions": len(rows), "pruned": pruned,
+            "rewritten": rewritten, "rows_updated": rows_updated,
+            "rows_inserted": rows_inserted, "generation": gen}

@@ -3683,6 +3683,154 @@ def _run_insert(tname: str, collist: str | None, body: str,
                      "generation": pa.array([gen], pa.string())})
 
 
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+([A-Za-z_]\w*)\s+USING\s+(.*)$",
+    re.IGNORECASE | re.DOTALL)
+_MERGE_TAIL_RE = re.compile(
+    r"^\s*ON\s+(.+?)\s+WHEN\s+(.+)$", re.IGNORECASE | re.DOTALL)
+
+
+def _parse_merge_source(rest: str, tables: dict):
+    """USING <name> | (SELECT ...) alias — returns
+    (src_table: pa.Table, src_alias: str, tail_after_source)."""
+    rest = rest.lstrip()
+    if rest.startswith("("):
+        depth = 0
+        for i, ch in enumerate(rest):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        else:
+            raise SqlUnsupported("unbalanced parens in MERGE USING")
+        inner, after = rest[1:i], rest[i + 1:]
+        m = re.match(r"^\s*(?:AS\s+)?(?!ON\b)([A-Za-z_]\w*)\s+(.*)$",
+                     after, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise SqlUnsupported("MERGE USING (subquery) needs an alias")
+        alias, tail = m.group(1), m.group(2)
+        res = _execute_node(_parse(inner), tables)
+        if not isinstance(res, pa.Table):
+            from .collect import collect_arrow
+
+            res = collect_arrow(res)
+        return res, alias, tail
+    m = re.match(r"^([A-Za-z_]\w*)(?:\s+(?:AS\s+)?"
+                 r"(?!ON\b)([A-Za-z_]\w*))?\s+(.*)$",
+                 rest, re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise SqlUnsupported("MERGE USING needs a table or (subquery)")
+    name, alias, tail = m.group(1), m.group(2) or m.group(1), m.group(3)
+    if name not in tables:
+        raise KeyError(f"unknown table {name!r} in MERGE USING")
+    target = tables[name]
+    if isinstance(target, pa.Table):
+        return target, alias, tail
+    from .collect import collect_arrow
+    from .pipeline.query import scan
+
+    return collect_arrow(scan(target)), alias, tail
+
+
+def _run_merge(tname: str, rest: str, tables: dict) -> pa.Table:
+    """MERGE INTO t USING src ON t.k = src.k
+    [WHEN MATCHED THEN UPDATE SET c = src.c | constant, ...]
+    [WHEN NOT MATCHED THEN INSERT]
+    — the upsert core, lowered onto compact.merge_rows (decode-free
+    match pruning via an IN predicate over the src keys, partition
+    rewrites under lineage, unmatched rows appended as an encode
+    generation). The source is driver-resident by contract (an
+    updates batch); constant assignments ride as synthetic src
+    columns so every SET value ships to the rewrite tasks in the one
+    broadcast. Returns a one-row summary."""
+    from .pipeline.compact import merge_rows
+
+    target = _dml_target(tname, tables)
+    src, alias, tail = _parse_merge_source(rest, tables)
+    m = _MERGE_TAIL_RE.match(tail)
+    if not m:
+        raise SqlUnsupported("MERGE needs ON ... WHEN ...")
+    on, clauses = m.group(1), "WHEN " + m.group(2)
+    onm = re.match(
+        r"^\s*(?:(\w+)\.)?(\w+)\s*=\s*(?:(\w+)\.)?(\w+)\s*$", on)
+    if not onm:
+        raise SqlUnsupported("MERGE ON must be one equality")
+    q1, c1, q2, c2 = onm.groups()
+    # resolve which side is the target by qualifier (default: left)
+    if q1 in (None, tname) and q2 in (None, alias):
+        tkey, skey = c1, c2
+    elif q1 in (None, alias) and q2 in (None, tname):
+        skey, tkey = c1, c2
+    else:
+        raise SqlUnsupported(
+            f"MERGE ON qualifiers must name {tname!r} and {alias!r}")
+    if skey not in src.column_names:
+        raise KeyError(f"MERGE source has no column {skey!r}")
+    if skey != tkey:
+        src = src.rename_columns(
+            [tkey if c == skey else c for c in src.column_names])
+    upd = re.search(
+        r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*?)"
+        r"(?:\s+WHEN\s+NOT\s+MATCHED\b.*)?$",
+        clauses, re.IGNORECASE | re.DOTALL)
+    ins = re.search(r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*$",
+                    clauses, re.IGNORECASE)
+    if not upd and not ins:
+        raise SqlUnsupported(
+            "MERGE needs WHEN MATCHED THEN UPDATE SET ... and/or "
+            "WHEN NOT MATCHED THEN INSERT")
+    set_cols: list[str] = []
+    if upd:
+        for part in upd.group(1).split(","):
+            am = re.match(
+                r"^\s*(\w+)\s*=\s*(?:(\w+)\.)?(\w+|'[^']*'|-?\d+(?:\.\d+)?)\s*$",
+                part)
+            if not am:
+                raise SqlUnsupported(
+                    f"MERGE SET assignment {part.strip()!r} — use "
+                    "col = src.col or col = constant")
+            col, qual, val = am.groups()
+            if qual is not None or re.match(r"^\w+$", val) and \
+                    not re.match(r"^-?\d", val) and val.lower() not in \
+                    ("true", "false", "null"):
+                if qual not in (None, alias):
+                    raise SqlUnsupported(
+                        f"MERGE SET value must come from {alias!r}")
+                if val not in src.column_names:
+                    raise KeyError(f"MERGE source has no column {val!r}")
+                if val != col:
+                    src = src.append_column(
+                        f"__set_{col}", src[val])
+                    col_src = f"__set_{col}"
+                else:
+                    col_src = val
+            else:
+                vlow = val.lower()
+                lit = (None if vlow == "null" else vlow == "true"
+                       if vlow in ("true", "false") else
+                       val[1:-1] if val.startswith("'") else
+                       float(val) if "." in val else int(val))
+                src = src.append_column(
+                    f"__set_{col}", pa.array([lit] * src.num_rows))
+                col_src = f"__set_{col}"
+            if col_src != col:
+                # merge_rows SETs target col from the SAME-named src
+                # column: materialize the value under the target name
+                if col in src.column_names:
+                    src = src.set_column(
+                        src.column_names.index(col), col, src[col_src])
+                else:
+                    src = src.append_column(col, src[col_src])
+                src = src.drop_columns([col_src])
+            set_cols.append(col)
+    res = merge_rows(target, tkey, src.select(
+        [c for c in src.column_names if not c.startswith("__set_")]),
+        set_cols, insert_unmatched=bool(ins))
+    return pa.table({k: pa.array([v]) for k, v in res.items()})
+
+
 _CTAS_RE = re.compile(
     r"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+([A-Za-z_]\w*)\s*"
     r"(?:PARTITION\s+BY\s*\(\s*([^)]+?)\s*\)\s*)?"
@@ -3794,6 +3942,9 @@ def sql_query(sql: str, tables: dict[str, str],
     m = _INSERT_RE.match(stmt)
     if m:
         return _run_insert(m.group(1), m.group(2), m.group(3), tables)
+    m = _MERGE_RE.match(stmt)
+    if m:
+        return _run_merge(m.group(1), m.group(2), tables)
     m = _CTAS_RE.match(stmt)
     if m:
         return _run_ctas(bool(m.group(1)), m.group(2), m.group(3),

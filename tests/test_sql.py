@@ -1863,3 +1863,91 @@ def test_sql_ctas_and_drop(ray_session, tmp_path):
     assert r4.to_pylist() == [{"table": "big", "dropped": False}]
     with _pt.raises(KeyError):
         sql_query("DROP TABLE big", tb, workspace=ws)
+
+
+def test_sql_merge_upsert(ray_session, tmp_path):
+    import pyarrow.parquet as _pq
+    import pytest as _pt
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.pipeline.encode import encode_parquet
+    from arcade_ray.sql import SqlUnsupported as _SU
+    from arcade_ray.sql import sql_query
+
+    t = pa.table({
+        "doc_id": pa.array([f"d{i:04d}" for i in range(200)]),
+        "source": pa.array([f"s{i % 3}" for i in range(200)]),
+        "n_chars": pa.array(list(range(200)), type=pa.int64()),
+        "lang": pa.array(["en"] * 200),
+    })
+    p = str(tmp_path / "t.parquet")
+    _pq.write_table(t, p)
+    out = str(tmp_path / "enc")
+    encode_parquet(p, out, key_col="source", id_col="doc_id",
+                   weight_col=None)
+    tb = {"docs": out}
+
+    src = pa.table({
+        "doc_id": pa.array(["d0003", "d0100", "x900", "x901"]),
+        "source": pa.array(["s0", "s1", "s9", "s9"]),
+        "n_chars": pa.array([7777, 8888, 11, 22], type=pa.int64()),
+        "lang": pa.array(["de", "fr", "it", "pt"]),
+    })
+    tb["updates"] = src
+
+    r = sql_query("MERGE INTO docs USING updates u "
+                  "ON docs.doc_id = u.doc_id "
+                  "WHEN MATCHED THEN UPDATE SET n_chars = u.n_chars, "
+                  "lang = u.lang "
+                  "WHEN NOT MATCHED THEN INSERT", tb)
+    row = r.to_pylist()[0]
+    assert row["rows_updated"] == 2 and row["rows_inserted"] == 2
+    assert row["generation"] == "mrg0000"
+
+    got = sql_query("SELECT doc_id, n_chars, lang FROM docs WHERE "
+                    "doc_id IN ('d0003', 'd0100', 'd0004', 'x900', "
+                    "'x901') ORDER BY doc_id", tb)
+    got = got if isinstance(got, pa.Table) else collect_arrow(got)
+    assert got.to_pylist() == [
+        {"doc_id": "d0003", "n_chars": 7777, "lang": "de"},
+        {"doc_id": "d0004", "n_chars": 4, "lang": "en"},
+        {"doc_id": "d0100", "n_chars": 8888, "lang": "fr"},
+        {"doc_id": "x900", "n_chars": 11, "lang": "it"},
+        {"doc_id": "x901", "n_chars": 22, "lang": "pt"}]
+    n = sql_query("SELECT COUNT(*) AS n FROM docs", tb)
+    assert n["n"][0].as_py() == 202
+
+    # idempotent re-run: now everything matches, nothing inserts
+    r2 = sql_query("MERGE INTO docs USING updates u "
+                   "ON docs.doc_id = u.doc_id "
+                   "WHEN MATCHED THEN UPDATE SET n_chars = u.n_chars, "
+                   "lang = u.lang "
+                   "WHEN NOT MATCHED THEN INSERT", tb)
+    row2 = r2.to_pylist()[0]
+    assert row2["rows_updated"] == 4 and row2["rows_inserted"] == 0
+    n = sql_query("SELECT COUNT(*) AS n FROM docs", tb)
+    assert n["n"][0].as_py() == 202
+
+    # constant assignment + subquery source + update-only merge
+    r3 = sql_query("MERGE INTO docs USING (SELECT doc_id FROM docs "
+                   "WHERE n_chars >= 8888) m ON docs.doc_id = m.doc_id "
+                   "WHEN MATCHED THEN UPDATE SET lang = 'xx'", tb)
+    assert r3.to_pylist()[0]["rows_updated"] == 1
+    got3 = sql_query("SELECT lang FROM docs WHERE doc_id = 'd0100'", tb)
+    got3 = got3 if isinstance(got3, pa.Table) else collect_arrow(got3)
+    assert got3["lang"].to_pylist() == ["xx"]
+
+    # duplicate source keys refuse
+    dup = pa.table({"doc_id": pa.array(["a", "a"]),
+                    "source": pa.array(["s0", "s0"]),
+                    "n_chars": pa.array([1, 2], type=pa.int64()),
+                    "lang": pa.array(["en", "en"])})
+    tb["dup"] = dup
+    with _pt.raises(ValueError, match="duplicate"):
+        sql_query("MERGE INTO docs USING dup ON docs.doc_id = "
+                  "dup.doc_id WHEN MATCHED THEN UPDATE SET "
+                  "n_chars = dup.n_chars", tb)
+    with _pt.raises(_SU, match="equality"):
+        sql_query("MERGE INTO docs USING updates u ON docs.doc_id = "
+                  "u.doc_id AND 1 = 1 WHEN MATCHED THEN UPDATE SET "
+                  "lang = u.lang", tb)
