@@ -592,3 +592,108 @@ def test_sql_fuzz_parity_v4(fuzzenv4):
         assert rows(mine) == rows(oracle), (seed, q)
         ran += 1
     assert ran >= max(1, (ran + skipped) * 2 // 3), (ran, skipped)
+
+
+# ---- grammar v5: DML lifecycle (INSERT / UPDATE / DELETE / MERGE) ----------
+
+def test_sql_fuzz_dml_lifecycle(ray_session, tmp_path):
+    """Randomized DML sequences applied to BOTH the encoded table and
+    a DuckDB mirror (MERGE simulated in DuckDB via the update-leg
+    UNION ALL insert-leg rewrite, since duckdb 1.0 has no MERGE);
+    full-table parity after every statement. Catches cross-statement
+    state bugs (lineage, generation numbering, zone maps after
+    rewrites) that single-statement tests can't."""
+    import duckdb
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.pipeline.encode import encode_parquet
+    from arcade_ray.sql import sql_query
+
+    rng = random.Random(505)
+    n = 600
+    t = pa.table({
+        "id": pa.array(list(range(n)), type=pa.int64()),
+        "grp": pa.array([f"g{i % 5}" for i in range(n)]),
+        "val": pa.array([i * 3 % 101 for i in range(n)],
+                        type=pa.int64()),
+        "tag": pa.array([["aa", "bb", "cc"][i % 3] for i in range(n)]),
+    })
+    p = str(tmp_path / "st.parquet")
+    pq.write_table(t, p)
+    out = str(tmp_path / "enc_st")
+    encode_parquet(p, out, key_col="grp", id_col="id", weight_col=None)
+    tb = {"st": out}
+    con = duckdb.connect()
+    con.register("_init", t)
+    con.execute("CREATE TABLE st AS SELECT * FROM _init")
+    next_id = n
+
+    def check(stmt_no, stmt):
+        mine = sql_query("SELECT id, grp, val, tag FROM st "
+                         "ORDER BY id, grp, val, tag", tb)
+        if not isinstance(mine, pa.Table):
+            mine = collect_arrow(mine)
+        oracle = con.execute("SELECT id, grp, val, tag FROM st "
+                             "ORDER BY id, grp, val, tag").arrow()
+        assert mine.num_rows == oracle.num_rows, (stmt_no, stmt)
+        assert mine.to_pylist() == oracle.to_pylist(), (stmt_no, stmt)
+
+    rounds = int(os.environ.get("ARCADE_DML_FUZZ_N", "14"))
+    for i in range(rounds):
+        kind = rng.choice(["insert_values", "insert_select", "update",
+                           "delete", "merge", "merge"])
+        if kind == "insert_values":
+            rows = ", ".join(
+                f"({next_id + j}, 'g{rng.randint(0, 6)}', "
+                f"{rng.randint(0, 100)}, '{rng.choice('ab')}x')"
+                for j in range(rng.randint(1, 3)))
+            next_id += 3
+            stmt = f"INSERT INTO st (id, grp, val, tag) VALUES {rows}"
+            sql_query(stmt, tb)
+            con.execute(stmt)
+        elif kind == "insert_select":
+            lo = rng.randint(0, 80)
+            stmt = (f"INSERT INTO st (id, grp, val, tag) "
+                    f"SELECT id + {next_id + 1000}, grp, val + 1, tag "
+                    f"FROM st WHERE val BETWEEN {lo} AND {lo + 2}")
+            next_id += 3000
+            sql_query(stmt, tb)
+            con.execute(stmt)
+        elif kind == "update":
+            v = rng.randint(0, 100)
+            stmt = (f"UPDATE st SET val = {rng.randint(0, 100)}, "
+                    f"tag = 'u{i}' WHERE val >= {v} AND val <= {v + 4}")
+            sql_query(stmt, tb)
+            con.execute(stmt)
+        elif kind == "delete":
+            v = rng.randint(0, 100)
+            stmt = f"DELETE FROM st WHERE val = {v} AND grp = 'g{rng.randint(0, 5)}'"
+            sql_query(stmt, tb)
+            con.execute(stmt)
+        else:
+            # MERGE: some keys hit existing ids, some are fresh
+            hit = rng.sample(range(0, n), 2)
+            fresh = [next_id + 1, next_id + 2]
+            next_id += 10
+            vals = {k: rng.randint(200, 300) for k in hit + fresh}
+            rowlist = ", ".join(
+                f"({k}, 'g{rng.randint(0, 5)}', {v}, 'm{i}')"
+                for k, v in vals.items())
+            src = (f"SELECT * FROM (VALUES {rowlist}) "
+                   "v(id, grp, val, tag)")
+            stmt = (f"MERGE INTO st USING ({src}) m ON st.id = m.id "
+                    "WHEN MATCHED THEN UPDATE SET val = m.val, "
+                    "tag = m.tag WHEN NOT MATCHED THEN INSERT")
+            sql_query(stmt, tb)
+            con.execute(
+                "CREATE OR REPLACE TABLE st AS "
+                f"WITH m AS ({src}) "
+                "SELECT s.id, s.grp, "
+                "CASE WHEN m.id IS NOT NULL THEN m.val ELSE s.val END "
+                "AS val, "
+                "CASE WHEN m.id IS NOT NULL THEN m.tag ELSE s.tag END "
+                "AS tag FROM st s LEFT JOIN m USING (id) "
+                "UNION ALL SELECT id, grp, val, tag FROM m "
+                "WHERE id NOT IN (SELECT id FROM st)")
+        check(i, stmt)
+    con.close()
