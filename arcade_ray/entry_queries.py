@@ -769,6 +769,25 @@ def q_sql_ctas(sf_dir: str) -> pa.Table:
     return res if isinstance(res, pa.Table) else _collect(res)
 
 
+def q_token_minhash_pairs(sf_dir: str) -> pa.Table:
+    """Near-dup pairs over PRE-TOKENIZED sequences
+    (tokenops.token_minhash_pairs): MinHash-LSH on token trigram sets
+    of the vocab-tokenized documents — the dedup pass a 10^12-sequence
+    corpus runs without ever decoding back to text. Rows-only (LSH
+    semantics have no SQL equivalent; planted-answer + batch-packing
+    invariance tests in tests/test_tokenops.py). The corpus's exact
+    duplicate documents surface as jaccard-1.0 pairs."""
+    from .tokenops import token_minhash_pairs
+
+    out = token_minhash_pairs(_toks_ds(sf_dir),
+                              jaccard_threshold=0.7, ngram=3)
+    if out.num_rows == 0 or not out.column_names:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
 def q_sql_merge_upsert(sf_dir: str) -> pa.Table:
     """SQL MERGE INTO (upsert) end-to-end on a PRIVATE encoded copy:
     one statement updates every matched row from a derived source
@@ -2819,6 +2838,7 @@ QUERIES = {
     "remap_tokens": q_remap_tokens,
     "sql_ctas": q_sql_ctas,
     "sql_merge_upsert": q_sql_merge_upsert,
+    "token_minhash_pairs": q_token_minhash_pairs,
     "embedding_near_dup": q_embedding_near_dup,
     "group_rollup": q_group_rollup,
     "group_cube": q_group_cube,

@@ -28,6 +28,8 @@ __all__ = [
     "flat_tokens", "batch_token_ngram_hashes", "token_unigram_stats",
     "token_contaminated_ids", "decontaminate_tokens",
     "token_repetition_stats", "remap_tokens",
+    "batch_token_minhash_signatures", "token_minhash_band_rows",
+    "token_minhash_pairs",
 ]
 
 
@@ -69,9 +71,10 @@ def batch_token_ngram_hashes(col, n: int) -> tuple[np.ndarray, np.ndarray]:
     acc = np.zeros(total - n + 1, dtype=np.uint64)
     base = np.uint64(1099511628211)
     p = np.uint64(1)
-    for j in range(n):
-        acc += h[j: total - n + 1 + j] * p
-        p *= base
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+        for j in range(n):
+            acc += h[j: total - n + 1 + j] * p
+            p *= base
     gdoc = doc_of[: total - n + 1]
     valid = doc_of[n - 1:] == gdoc
     return acc[valid], gdoc[valid]
@@ -286,3 +289,146 @@ def remap_tokens(ds, mapping: pa.Table, unk: int = 0,
         return b.set_column(idx, tokens_col, lst)
 
     return ds.map_batches(run, batch_format="pyarrow")
+
+
+def batch_token_minhash_signatures(col, n_perm: int = 64,
+                                   ngram: int = 3, seed: int = 42
+                                   ) -> tuple[np.ndarray, np.ndarray]:
+    """(m, n_perm) MinHash signatures over token ``ngram`` rolling
+    hashes, one vectorized pass for the whole batch (the
+    textops.batch_minhash_signatures shape, minus the string
+    shingling). Sequences with zero n-grams (shorter than ``ngram``)
+    carry no signature; returns ``(sigs, row_idx)`` where ``row_idx``
+    maps signature rows back to batch rows."""
+    from .textops import _MERSENNE
+
+    h, doc_of = batch_token_ngram_hashes(col, ngram)
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n_docs = len(arr)
+    counts = np.bincount(doc_of, minlength=n_docs) if len(h) \
+        else np.zeros(n_docs, dtype=np.int64)
+    row_idx = np.flatnonzero(counts > 0)
+    m = len(row_idx)
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, n_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, n_perm, dtype=np.uint64)
+    sigs = np.empty((m, n_perm), dtype=np.uint64)
+    if m == 0:
+        return sigs, row_idx
+    starts = np.zeros(m, dtype=np.int64)
+    np.cumsum(counts[row_idx][:-1], out=starts[1:])
+    x = h % np.uint64(_MERSENNE)
+    for p in range(n_perm):
+        vals = (x * a[p] + b[p]) % np.uint64(_MERSENNE)
+        sigs[:, p] = np.minimum.reduceat(vals, starts)
+    return sigs, row_idx
+
+
+def token_minhash_band_rows(batch: pa.Table, tokens_col: str = "tokens",
+                            id_col: str = "doc_id", n_perm: int = 64,
+                            bands: int = 16, ngram: int = 3) -> pa.Table:
+    """(bucket key, id) rows for token-level MinHash-LSH — the only
+    thing that ever shuffles (16 B/row x bands); neither tokens nor
+    full signatures travel."""
+    sigs, row_idx = batch_token_minhash_signatures(
+        batch[tokens_col], n_perm, ngram)
+    m = len(row_idx)
+    rows_per_band = n_perm // bands
+    bh = (sigs.reshape(m, bands, rows_per_band)
+          * np.uint64(0x9E3779B97F4A7C15)).sum(axis=2)
+    bh += np.arange(bands, dtype=np.uint64)[None, :] \
+        * np.uint64(0xD1B54A32D192ED03)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)[row_idx]
+    return pa.table({
+        "bk": pa.array(bh.reshape(-1).view(np.int64)),
+        id_col: pa.array(np.repeat(ids, bands)),
+    })
+
+
+def token_minhash_pairs(ds, tokens_col: str = "tokens",
+                        id_col: str = "doc_id", n_perm: int = 64,
+                        bands: int = 16,
+                        jaccard_threshold: float = 0.7,
+                        ngram: int = 3, max_bucket: int = 4096,
+                        as_refs: bool = False):
+    """Near-duplicate pairs over PRE-TOKENIZED sequences: MinHash-LSH
+    on token ``ngram`` sets — no tokenizer round-trip, no text decode.
+    Same three-phase scale shape as textops.minhash_lsh_pairs (the
+    size-adaptive collect.lsh_pairs_verify machinery): fixed-width
+    (bucket, id) shuffle, hot-bucket candidate generation, distributed
+    exact verify with a signature-estimated-Jaccard cull before the
+    exact token-n-gram-set Jaccard. ``id_col`` must be integer-typed
+    (the verify exchange buckets on it). Returns
+    (id_a, id_b, jaccard) with id_a < id_b."""
+    from .collect import lsh_pairs_verify
+
+    sig_ds = ds.map_batches(
+        lambda b: token_minhash_band_rows(b, tokens_col, id_col,
+                                          n_perm, bands, ngram),
+        batch_format="pyarrow")
+
+    def derive(sub: pa.Table) -> pa.Table:
+        sigs, row_idx = batch_token_minhash_signatures(
+            sub[tokens_col], n_perm, ngram)
+        full = np.zeros((sub.num_rows, n_perm), dtype=np.uint64)
+        full[row_idx] = sigs
+        arr = pa.Array.from_buffers(
+            pa.binary(n_perm * 8), sub.num_rows,
+            [None, pa.py_buffer(np.ascontiguousarray(full).tobytes())])
+        return sub.append_column("_sig", arr)
+
+    def verify(pairs: pa.Table, payload: pa.Table) -> pa.Table:
+        ids_f = payload[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids_f)
+        ids_sorted = ids_f[order]
+        sig_arr = payload["_sig"].combine_chunks()
+        sig_mat = np.frombuffer(
+            sig_arr.buffers()[1], dtype=np.uint64,
+            count=(sig_arr.offset + len(sig_arr)) * n_perm,
+        ).reshape(-1, n_perm)[sig_arr.offset:]
+        ai = order[np.searchsorted(
+            ids_sorted, pairs["id_a"].to_numpy(zero_copy_only=False))]
+        bi = order[np.searchsorted(
+            ids_sorted, pairs["id_b"].to_numpy(zero_copy_only=False))]
+        est = np.empty(len(ai), dtype=np.float64)
+        for s in range(0, len(ai), 200_000):
+            e = min(s + 200_000, len(ai))
+            est[s:e] = (sig_mat[ai[s:e]] == sig_mat[bi[s:e]]).mean(axis=1)
+        keep = est >= jaccard_threshold - 0.15
+        used = np.unique(np.concatenate([ai[keep], bi[keep]])) \
+            if keep.any() else np.empty(0, np.int64)
+        sub_pay = payload.select([tokens_col]).take(
+            pa.array(used, type=pa.int64()))
+        h, doc_of = batch_token_ngram_hashes(sub_pay[tokens_col], ngram)
+        counts = np.bincount(doc_of, minlength=len(used)) if len(h) \
+            else np.zeros(len(used), dtype=np.int64)
+        offs = np.zeros(len(used) + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        sets: dict = {}
+
+        def gram_set(u):
+            if u not in sets:
+                sets[u] = set(h[offs[u]: offs[u + 1]].tolist())
+            return sets[u]
+
+        a_ids = pairs["id_a"].to_numpy(zero_copy_only=False)[keep]
+        b_ids = pairs["id_b"].to_numpy(zero_copy_only=False)[keep]
+        ua = np.searchsorted(used, ai[keep])
+        ub = np.searchsorted(used, bi[keep])
+        a_out, b_out, j_out = [], [], []
+        for a, b, ia, ib in zip(a_ids.tolist(), b_ids.tolist(),
+                                ua.tolist(), ub.tolist()):
+            sa, sb = gram_set(ia), gram_set(ib)
+            union = len(sa | sb)
+            jac = len(sa & sb) / union if union else 1.0
+            if jac >= jaccard_threshold:
+                a_out.append(a)
+                b_out.append(b)
+                j_out.append(jac)
+        return pa.table({"id_a": pa.array(a_out, pa.int64()),
+                         "id_b": pa.array(b_out, pa.int64()),
+                         "jaccard": pa.array(j_out, pa.float64())})
+
+    return lsh_pairs_verify(ds, sig_ds, id_col, [tokens_col], verify,
+                            max_bucket=max_bucket, derive_fn=derive,
+                            as_refs=as_refs)

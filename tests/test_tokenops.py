@@ -93,3 +93,37 @@ def test_remap_empty_mapping(ray_session):
                       "new": pa.array([], pa.int32())})
     out = collect_arrow(remap_tokens(ds, empty, unk=-1))
     assert out["tokens"].to_pylist() == [[-1, -1]]
+
+
+def test_token_minhash_pairs_planted(ray_session):
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 1000, 400).astype(np.int32).tolist()
+    near = list(base)
+    near[7] = 9999  # one token differs -> trigram jaccard ~ (n-3)/n
+    far = rng.integers(0, 1000, 400).astype(np.int32).tolist()
+    short = [1, 2]  # no trigrams: must not crash or pair
+    ds = _ds([base, near, far, short, list(base)],
+             ids=[1, 2, 3, 4, 5])
+    from arcade_ray.tokenops import token_minhash_pairs
+
+    out = token_minhash_pairs(ds, jaccard_threshold=0.7, ngram=3)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in out.to_pylist()}
+    assert (1, 5) in got and got[(1, 5)] == 1.0
+    assert (1, 2) in got and 0.9 < got[(1, 2)] < 1.0
+    assert (2, 5) in got
+    assert all(3 not in k and 4 not in k for k in got)
+
+
+def test_token_minhash_signature_consistency(ray_session):
+    # the same sequence produces the same signature regardless of
+    # batch packing (block-boundary invariance)
+    from arcade_ray.tokenops import batch_token_minhash_signatures
+
+    seq = list(range(50))
+    col1 = pa.array([seq, [9, 9]], type=pa.list_(pa.int32()))
+    col2 = pa.array([[5, 5, 5, 5], seq], type=pa.list_(pa.int32()))
+    s1, idx1 = batch_token_minhash_signatures(col1, ngram=3)
+    s2, idx2 = batch_token_minhash_signatures(col2, ngram=3)
+    assert idx1.tolist() == [0] and idx2.tolist() == [0, 1]
+    assert (s1[0] == s2[1]).all()
