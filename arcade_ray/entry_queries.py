@@ -720,26 +720,33 @@ def q_sql_insert_lifecycle(sf_dir: str) -> pa.Table:
     tag = _h.md5(
         f"{sf_dir}|documents-ins|{_CACHE_SALT}".encode()).hexdigest()[:10]
     out = os.path.join(CACHE_ROOT, f"documents-ins-{tag}")
-    if not os.path.exists(os.path.join(out, "manifest.parquet")):
+    if not os.path.exists(out):
+        # build in a side dir, atomic-rename when COMPLETE: a crash
+        # mid-mutation leaves no half-mutated cache to diverge from
+        # the oracle on the next run (encoded dirs are relocatable)
+        import shutil as _sh
+
         from .pipeline.encode import encode_parquet
 
-        encode_parquet(os.path.join(sf_dir, "documents.parquet"), out,
-                       key_col="source", id_col="doc_id",
+        build = f"{out}.building"
+        _sh.rmtree(build, ignore_errors=True)
+        encode_parquet(os.path.join(sf_dir, "documents.parquet"),
+                       build, key_col="source", id_col="doc_id",
                        weight_col=None)
-    t = {"documents": out}
-    if not os.path.exists(os.path.join(out, ".ins_done")):
+        tb = {"documents": build}
         sql_query("INSERT INTO documents (doc_id, text, lang, source, "
                   "n_chars) VALUES "
                   "(9000001, 'planted insert one', 'en', 'src-ins', 18), "
                   "(9000002, 'planted insert two', 'de', 'src-ins', 18)",
-                  t)
+                  tb)
         sql_query("INSERT INTO documents (doc_id, text, lang, source, "
                   "n_chars) SELECT doc_id + 9100000, text, lang, "
                   "'src-copy', n_chars FROM documents "
-                  "WHERE doc_id < 9000000 AND n_chars < 60", t)
-        open(os.path.join(out, ".ins_done"), "w").close()
+                  "WHERE doc_id < 9000000 AND n_chars < 60", tb)
+        os.rename(build, out)
     res = sql_query("SELECT doc_id, lang, source, n_chars "
-                    "FROM documents ORDER BY doc_id", t)
+                    "FROM documents ORDER BY doc_id",
+                    {"documents": out})
     return res if isinstance(res, pa.Table) else _collect(res)
 
 
@@ -804,14 +811,17 @@ def q_sql_merge_upsert(sf_dir: str) -> pa.Table:
     tag = _h.md5(
         f"{sf_dir}|documents-mrg|{_CACHE_SALT}".encode()).hexdigest()[:10]
     out = os.path.join(CACHE_ROOT, f"documents-mrg-{tag}")
-    if not os.path.exists(os.path.join(out, "manifest.parquet")):
+    if not os.path.exists(out):
+        # build-then-atomic-rename (see q_sql_insert_lifecycle)
+        import shutil as _sh
+
         from .pipeline.encode import encode_parquet
 
-        encode_parquet(os.path.join(sf_dir, "documents.parquet"), out,
-                       key_col="source", id_col="doc_id",
+        build = f"{out}.building"
+        _sh.rmtree(build, ignore_errors=True)
+        encode_parquet(os.path.join(sf_dir, "documents.parquet"),
+                       build, key_col="source", id_col="doc_id",
                        weight_col=None)
-    t = {"documents": out}
-    if not os.path.exists(os.path.join(out, ".mrg_done")):
         sql_query(
             "MERGE INTO documents USING ("
             "SELECT doc_id + CASE WHEN doc_id % 3 = 0 THEN 0 "
@@ -820,10 +830,11 @@ def q_sql_merge_upsert(sf_dir: str) -> pa.Table:
             "WHERE doc_id % 7 = 0 AND doc_id < 9000000) m "
             "ON documents.doc_id = m.doc_id "
             "WHEN MATCHED THEN UPDATE SET n_chars = m.n_chars "
-            "WHEN NOT MATCHED THEN INSERT", t)
-        open(os.path.join(out, ".mrg_done"), "w").close()
+            "WHEN NOT MATCHED THEN INSERT", {"documents": build})
+        os.rename(build, out)
     res = sql_query("SELECT doc_id, lang, source, n_chars "
-                    "FROM documents ORDER BY doc_id", t)
+                    "FROM documents ORDER BY doc_id",
+                    {"documents": out})
     return res if isinstance(res, pa.Table) else _collect(res)
 
 
@@ -2537,8 +2548,9 @@ def q_decontaminate_tokens(sf_dir: str) -> pa.Table:
             pc.subtract(b["doc_id"],
                         pc.multiply(pc.divide(b["doc_id"], 97), 97)), 0))
 
-    ev = _toks_ds(sf_dir).map_batches(pick, batch_format="pyarrow")
-    out = decontaminate_tokens(_toks_ds(sf_dir), ev, n=3)
+    toks = _toks_ds(sf_dir)  # one vocab build serves both sides
+    ev = toks.map_batches(pick, batch_format="pyarrow")
+    out = decontaminate_tokens(toks, ev, n=3)
     t = _collect(out.map_batches(lambda b: b.select(["doc_id"]),
                                  batch_format="pyarrow"))
     if not t.column_names:  # all blocks empty -> schema-less collect

@@ -415,6 +415,16 @@ def merge_rows(out_dir: str, key_col: str, src: pa.Table,
     candidates, pruned = [], 0
     for r in rows:
         stats = json.loads(r["col_stats"])
+        # validate BEFORE any task commits: a generation appended
+        # without a SET column would otherwise fail mid-merge after
+        # sibling partitions already rewrote (half-applied MERGE)
+        missing = [c for c in (set_cols + [key_col])
+                   if c not in stats]
+        if missing:
+            raise KeyError(
+                f"partition {r['part_key']!r} (generation "
+                f"{generation_of_row(r)!r}) lacks column(s) {missing} "
+                "— MERGE refuses rather than half-apply")
         if _zone_excluded(header0, stats, tree):
             pruned += 1
             continue
@@ -435,6 +445,18 @@ def merge_rows(out_dir: str, key_col: str, src: pa.Table,
         chunk_rows = [ch["n"] for ch in
                       next(iter(header["columns"].values()))["chunks"]]
         total = sum(chunk_rows)
+        if not set_cols:
+            # insert-only MERGE: no rewrite — decode just the key
+            # column to report which src keys found a match
+            kt = decode_partition(row["path"], columns=[key_col])
+            mask = np.zeros(total, dtype=bool)
+            off = 0
+            for nrows, m in zip(chunk_rows, match_idx):
+                if m is not None and len(m):
+                    mask[off + np.asarray(m, dtype=np.int64)] = True
+                off += nrows
+            mk = kt[key_col].combine_chunks().filter(pa.array(mask))
+            return ("untouched", row["part_key"], 0, mk)
         table = decode_partition(row["path"])
         # position of each target row's key in src (null = no match)
         pos = pc.index_in(table[key_col].combine_chunks(),
@@ -476,10 +498,11 @@ def merge_rows(out_dir: str, key_col: str, src: pa.Table,
     matched: list = []
     for status, key, n_upd, mk in results:
         rows_updated += n_upd
+        if mk is not None:
+            matched.append(mk)
         if status == "untouched":
             continue
         rewritten += 1
-        matched.append(mk)
         try:
             os.remove(_manifest_row_path(out_dir, key))
         except FileNotFoundError:

@@ -343,7 +343,8 @@ def encode_dataset(ds, out_dir: str, key_col: str = "source",
                       range_partition_col or key_col, id_col, weight_col)
     if isinstance(in_sch.base_schema, pa.Schema):
         _write_schema_sidecar(out_dir, in_sch.base_schema.remove_metadata())
-    _write_encode_meta(out_dir, key_col, id_col, weight_col)
+    _write_encode_meta(out_dir, key_col, id_col, weight_col,
+                       range_partition_col, zorder_cols)
     # pandas-backed datasets have a PandasBlockSchema (no pa.Schema to
     # record); empty-table scans of such dirs keep the legacy raise
     # planning pass reads only key+weight columns (projection pushdown
@@ -798,10 +799,24 @@ SCHEMA_SIDECAR = "_schema.arrows"
 
 def _write_schema_sidecar(out_dir: str, schema: pa.Schema) -> None:
     """Top-level input-schema record (schema-only Arrow IPC stream),
-    written atomically once per encode. Lets a scan of a legitimately
-    EMPTY encoded table (zero committed partitions — e.g. an empty
-    input shard) answer with a TYPED empty dataset instead of raising;
-    partition headers can't help because none exist."""
+    written atomically. Lets a scan of a legitimately EMPTY encoded
+    table (zero committed partitions — e.g. an empty input shard)
+    answer with a TYPED empty dataset instead of raising; partition
+    headers can't help because none exist.
+
+    A generation append UNIONS with the recorded schema rather than
+    replacing it: an INSERT carrying a column subset must not shrink
+    the dir's visible schema, and schema evolution's added columns
+    must widen it (first-seen field wins on a name collision — the
+    read-time manifest merge governs actual decoding)."""
+    existing = read_schema_sidecar(out_dir)
+    if existing is not None:
+        fields = list(existing)
+        names = set(existing.names)
+        for f in schema:
+            if f.name not in names:
+                fields.append(f)
+        schema = pa.schema(fields)
     tmp = os.path.join(out_dir, f"{SCHEMA_SIDECAR}.tmp.{os.getpid()}")
     with pa.OSFile(tmp, "wb") as f:
         with pa.ipc.new_stream(f, schema):
@@ -823,22 +838,34 @@ ENCODE_META = "_encode_meta.json"
 
 
 def _write_encode_meta(out_dir: str, key_col: str, id_col: str,
-                       weight_col: str | None) -> None:
-    """Layout record (partition key / id / weight columns), written
-    atomically once per dir: SQL INSERT (generation append) and other
-    writers re-derive the layout from it instead of guessing. A
-    generation append with a DIFFERENT key column would silently
-    interleave two partitioning schemes, so a mismatch raises."""
+                       weight_col: str | None,
+                       range_partition_col: str | None = None,
+                       zorder_cols: list[str] | None = None) -> None:
+    """Layout record (partition key / id / weight columns plus any
+    range/Z-order clustering), written atomically once per dir: SQL
+    INSERT (generation append) and other writers re-derive the layout
+    from it instead of guessing. A generation append with a DIFFERENT
+    key column or clustering would silently interleave two
+    partitioning schemes, so a LAYOUT mismatch raises. ``weight_col``
+    is a partition-SIZING hint, not layout — appends may differ (e.g.
+    an INSERT omitting the weight column) without harm, and the
+    originally recorded value stands."""
     meta = {"key_col": key_col, "id_col": id_col,
-            "weight_col": weight_col}
+            "weight_col": weight_col,
+            "range_partition_col": range_partition_col,
+            "zorder_cols": list(zorder_cols) if zorder_cols else None}
+    layout_keys = ("key_col", "id_col", "range_partition_col",
+                   "zorder_cols")
     p = os.path.join(out_dir, ENCODE_META)
     if os.path.exists(p):
         with open(p) as f:
             old = json.load(f)
-        if old != meta:
+        old_l = {k: old.get(k) for k in layout_keys}
+        new_l = {k: meta[k] for k in layout_keys}
+        if old_l != new_l:
             raise ValueError(
                 f"encode layout mismatch for {out_dir}: recorded "
-                f"{old}, requested {meta} — appends must reuse the "
+                f"{old_l}, requested {new_l} — appends must reuse the "
                 "dir's partitioning columns")
         return
     tmp = f"{p}.tmp.{os.getpid()}"
@@ -939,7 +966,8 @@ def encode_parquet(paths: list[str] | str, out_dir: str,
     _validate_columns(schema_names, range_partition_col or key_col,
                       id_col, weight_col)
     _write_schema_sidecar(out_dir, input_schema.remove_metadata())
-    _write_encode_meta(out_dir, key_col, id_col, weight_col)
+    _write_encode_meta(out_dir, key_col, id_col, weight_col,
+                       range_partition_col, zorder_cols)
 
     # planning pass: per-file partial aggregates over pruned columns
     plan_cols = [key_col] + ([weight_col] if weight_col and weight_col != key_col else [])

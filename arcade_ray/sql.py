@@ -2841,17 +2841,22 @@ def _values_table(ft: dict) -> pa.Table:
     ncol = len(rows[0])
     cols = {}
     for j in range(ncol):
-        cells, ctype = [], None
+        cells = []
         for r in rows:
             if len(r) != ncol:
                 raise SqlUnsupported("ragged VALUES rows")
             v = _eval_expr(r[j], {}, 1)
             s = v[0] if isinstance(v, (pa.Array, pa.ChunkedArray)) \
                 else v
-            if ctype is None and not pa.types.is_null(s.type):
-                ctype = s.type
             cells.append(s.as_py())
-        cols[f"col{j}"] = pa.array(cells, type=ctype)
+        try:
+            # Arrow's inference promotes like SQL (mixed int/float ->
+            # double); incompatible cells (int + string) raise rather
+            # than silently truncating to the first cell's type
+            cols[f"col{j}"] = pa.array(cells)
+        except pa.ArrowInvalid as e:
+            raise SqlUnsupported(
+                f"VALUES column {j} mixes incompatible types: {e}")
     return pa.table(cols)
 
 
@@ -3758,11 +3763,28 @@ def _run_merge(tname: str, rest: str, tables: dict) -> pa.Table:
     if not onm:
         raise SqlUnsupported("MERGE ON must be one equality")
     q1, c1, q2, c2 = onm.groups()
-    # resolve which side is the target by qualifier (default: left)
-    if q1 in (None, tname) and q2 in (None, alias):
+    # resolve which side is the target: explicit qualifiers win; with
+    # both sides bare and different column names, src membership
+    # disambiguates — and if BOTH bare names exist in src the binding
+    # is ambiguous, so refuse rather than guess (a SQL binder would)
+    if q1 == tname and q2 in (None, alias):
         tkey, skey = c1, c2
-    elif q1 in (None, alias) and q2 in (None, tname):
+    elif q1 == alias and q2 in (None, tname):
         skey, tkey = c1, c2
+    elif q2 == tname and q1 in (None, alias):
+        skey, tkey = c1, c2
+    elif q2 == alias and q1 in (None, tname):
+        tkey, skey = c1, c2
+    elif q1 is None and q2 is None:
+        if c1 == c2:
+            tkey = skey = c1
+        else:
+            in1, in2 = c1 in src.column_names, c2 in src.column_names
+            if in1 == in2:
+                raise SqlUnsupported(
+                    f"MERGE ON {c1} = {c2} is ambiguous — qualify the "
+                    f"sides as {tname}.<col> = {alias}.<col>")
+            tkey, skey = (c2, c1) if in1 else (c1, c2)
     else:
         raise SqlUnsupported(
             f"MERGE ON qualifiers must name {tname!r} and {alias!r}")
@@ -3870,20 +3892,31 @@ def _run_ctas(replace: bool, name: str, partcols: str | None,
         raise SqlUnsupported("PARTITION BY takes (key_col[, id_col])")
     key_col, id_col = cols[0], cols[-1]
     out = os.path.join(workspace, name)
-    if name in tables or os.path.exists(out):
-        if not replace:
-            raise ValueError(
-                f"table {name!r} already exists (CREATE OR REPLACE "
-                "TABLE to overwrite)")
-        if os.path.isdir(out):
-            shutil.rmtree(out)
+    replacing = name in tables or os.path.exists(out)
+    if replacing and not replace:
+        raise ValueError(
+            f"table {name!r} already exists (CREATE OR REPLACE "
+            "TABLE to overwrite)")
     res = _execute_node(_parse(
         body if not body.lstrip().upper().startswith("VALUES")
         else f"SELECT * FROM ({body}) __v"), tables)
     if isinstance(res, pa.Table):
         res = rd.from_arrow(res)
-    man = encode_dataset(res, out, key_col=key_col, id_col=id_col,
+    # OR REPLACE never destroys the old table before the new one is
+    # fully encoded: the body may error, or SELECT from the table it
+    # replaces — so encode into a side dir and swap atomically
+    build = f"{out}.building.{os.getpid()}" if replacing else out
+    if os.path.isdir(build):
+        shutil.rmtree(build)
+    man = encode_dataset(res, build, key_col=key_col, id_col=id_col,
                          weight_col=None)
+    if replacing:
+        old = f"{out}.old.{os.getpid()}"
+        if os.path.isdir(out):
+            os.rename(out, old)
+        os.rename(build, out)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
     tables[name] = out
     rows = sum(man["rows"].to_pylist()) if man.num_rows else 0
     return pa.table({"table": pa.array([name], pa.string()),

@@ -256,8 +256,14 @@ def remap_tokens(ds, mapping: pa.Table, unk: int = 0,
 
     old = np.ascontiguousarray(
         mapping[old_col].to_numpy(zero_copy_only=False), dtype=np.int64)
-    new = np.ascontiguousarray(
-        mapping[new_col].to_numpy(zero_copy_only=False), dtype=np.int32)
+    new64 = np.ascontiguousarray(
+        mapping[new_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+    if len(new64) and (new64.max(initial=0) > np.iinfo(np.int32).max
+                       or new64.min(initial=0) < np.iinfo(np.int32).min):
+        raise ValueError("mapping 'new' ids overflow int32")
+    if not (np.iinfo(np.int32).min <= unk <= np.iinfo(np.int32).max):
+        raise ValueError("unk id overflows int32")
+    new = new64.astype(np.int32)
     order = np.argsort(old, kind="stable")
     old, new = old[order], new[order]
     if len(old) > 1 and (old[1:] == old[:-1]).any():
@@ -283,8 +289,17 @@ def remap_tokens(ds, mapping: pa.Table, unk: int = 0,
             .to_numpy(zero_copy_only=False).astype(np.int64)
         offsets = np.zeros(b.num_rows + 1, dtype=np.int32)
         np.cumsum(counts, out=offsets[1:])
-        lst = pa.ListArray.from_arrays(pa.array(offsets),
-                                       pa.array(out, type=pa.int32()))
+        if arr.null_count:
+            # null lists stay NULL (distinct from empty): rebuild with
+            # the original validity bitmap
+            vbuf = pc.is_valid(arr).buffers()[1]
+            lst = pa.Array.from_buffers(
+                pa.list_(pa.int32()), len(arr),
+                [vbuf, pa.py_buffer(offsets.tobytes())],
+                children=[pa.array(out, type=pa.int32())])
+        else:
+            lst = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(out, type=pa.int32()))
         idx = b.schema.get_field_index(tokens_col)
         return b.set_column(idx, tokens_col, lst)
 

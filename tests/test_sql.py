@@ -1951,3 +1951,197 @@ def test_sql_merge_upsert(ray_session, tmp_path):
         sql_query("MERGE INTO docs USING updates u ON docs.doc_id = "
                   "u.doc_id AND 1 = 1 WHEN MATCHED THEN UPDATE SET "
                   "lang = u.lang", tb)
+
+
+def test_ctas_or_replace_preserves_on_error(ray_session, tmp_path):
+    import pyarrow.parquet as _pq
+    import pytest as _pt
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.pipeline.encode import encode_parquet
+    from arcade_ray.sql import sql_query
+
+    t = pa.table({"doc_id": pa.array(["a", "b"]),
+                  "source": pa.array(["s0", "s1"]),
+                  "n_chars": pa.array([1, 2], type=pa.int64())})
+    p = str(tmp_path / "t.parquet")
+    _pq.write_table(t, p)
+    out = str(tmp_path / "enc")
+    encode_parquet(p, out, key_col="source", id_col="doc_id",
+                   weight_col=None)
+    ws = str(tmp_path / "ws")
+    tb = {"docs": out}
+    sql_query("CREATE TABLE x PARTITION BY (source, doc_id) AS "
+              "SELECT * FROM docs", tb, workspace=ws)
+    # a failing body must not destroy the existing table
+    with _pt.raises(Exception):
+        sql_query("CREATE OR REPLACE TABLE x PARTITION BY (source) "
+                  "AS SELECT nope FROM docs", tb, workspace=ws)
+    n = sql_query("SELECT COUNT(*) AS n FROM x", tb)
+    assert n["n"][0].as_py() == 2
+    # self-referential OR REPLACE reads the old table while building
+    r = sql_query("CREATE OR REPLACE TABLE x PARTITION BY (source) AS "
+                  "SELECT doc_id, source FROM x WHERE doc_id = 'a'",
+                  tb, workspace=ws)
+    assert r.to_pylist()[0]["rows"] == 1
+    got = sql_query("SELECT doc_id FROM x", tb)
+    got = got if isinstance(got, pa.Table) else collect_arrow(got)
+    assert got["doc_id"].to_pylist() == ["a"]
+
+
+def test_values_type_promotion(sqlenv):
+    import pytest as _pt
+
+    from arcade_ray.sql import SqlUnsupported as _SU
+    from arcade_ray.sql import sql_query
+
+    check(sqlenv, "SELECT * FROM (VALUES (1), (2.5)) t(x) "
+                  "ORDER BY t.x")
+    with _pt.raises(_SU, match="incompatible"):
+        sql_query("SELECT * FROM (VALUES (1), ('a')) t(x)",
+                  sqlenv[0])
+
+
+def test_insert_omitting_weight_col(ray_session, tmp_path):
+    import pyarrow.parquet as _pq
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.pipeline.encode import encode_parquet
+    from arcade_ray.sql import sql_query
+
+    t = pa.table({"doc_id": pa.array(["a", "b"]),
+                  "source": pa.array(["s0", "s1"]),
+                  "w": pa.array([5, 6], type=pa.int64())})
+    p = str(tmp_path / "t.parquet")
+    _pq.write_table(t, p)
+    out = str(tmp_path / "enc")
+    encode_parquet(p, out, key_col="source", id_col="doc_id",
+                   weight_col="w")
+    tb = {"docs": out}
+    r = sql_query("INSERT INTO docs (doc_id, source) VALUES "
+                  "('c', 's2')", tb)
+    assert r.to_pylist()[0]["rows_inserted"] == 1
+    got = sql_query("SELECT doc_id, w FROM docs ORDER BY doc_id", tb)
+    got = got if isinstance(got, pa.Table) else collect_arrow(got)
+    assert got.to_pylist() == [
+        {"doc_id": "a", "w": 5}, {"doc_id": "b", "w": 6},
+        {"doc_id": "c", "w": None}]
+
+
+def test_insert_refuses_clustered_layout(ray_session, tmp_path):
+    import pyarrow.parquet as _pq
+    import pytest as _pt
+
+    from arcade_ray.pipeline.encode import encode_parquet
+    from arcade_ray.sql import sql_query
+
+    t = pa.table({"doc_id": pa.array([f"d{i}" for i in range(50)]),
+                  "source": pa.array([f"s{i % 2}" for i in range(50)]),
+                  "v": pa.array(list(range(50)), type=pa.int64())})
+    p = str(tmp_path / "t.parquet")
+    _pq.write_table(t, p)
+    out = str(tmp_path / "enc_rp")
+    encode_parquet(p, out, key_col="source", id_col="doc_id",
+                   weight_col=None, range_partition_col="v")
+    with _pt.raises(ValueError, match="layout mismatch"):
+        sql_query("INSERT INTO docs (doc_id, source, v) VALUES "
+                  "('x', 's0', 999)", {"docs": out})
+
+
+def test_merge_generation_missing_set_col(ray_session, tmp_path):
+    import pyarrow.parquet as _pq
+    import pytest as _pt
+
+    from arcade_ray.pipeline.encode import encode_parquet
+    from arcade_ray.sql import sql_query
+
+    t = pa.table({"doc_id": pa.array(["a", "b"]),
+                  "source": pa.array(["s0", "s1"]),
+                  "lang": pa.array(["en", "de"]),
+                  "n": pa.array([1, 2], type=pa.int64())})
+    p = str(tmp_path / "t.parquet")
+    _pq.write_table(t, p)
+    out = str(tmp_path / "enc")
+    encode_parquet(p, out, key_col="source", id_col="doc_id",
+                   weight_col=None)
+    tb = {"docs": out}
+    # a generation WITHOUT the lang column
+    sql_query("INSERT INTO docs (doc_id, source) VALUES ('c', 's0')",
+              tb)
+    src = pa.table({"doc_id": pa.array(["a", "c"]),
+                    "lang": pa.array(["xx", "yy"])})
+    tb["u"] = src
+    with _pt.raises(KeyError, match="lacks column"):
+        sql_query("MERGE INTO docs USING u ON docs.doc_id = u.doc_id "
+                  "WHEN MATCHED THEN UPDATE SET lang = u.lang", tb)
+    # nothing half-applied
+    from arcade_ray.collect import collect_arrow
+
+    got = sql_query("SELECT lang FROM docs WHERE doc_id = 'a'", tb)
+    got = got if isinstance(got, pa.Table) else collect_arrow(got)
+    assert got["lang"].to_pylist() == ["en"]
+
+
+def test_merge_insert_only_no_rewrite(ray_session, tmp_path):
+    import pyarrow.parquet as _pq
+
+    from arcade_ray.pipeline.encode import encode_parquet
+    from arcade_ray.sql import sql_query
+
+    t = pa.table({"doc_id": pa.array(["a", "b"]),
+                  "source": pa.array(["s0", "s1"]),
+                  "n": pa.array([1, 2], type=pa.int64())})
+    p = str(tmp_path / "t.parquet")
+    _pq.write_table(t, p)
+    out = str(tmp_path / "enc")
+    encode_parquet(p, out, key_col="source", id_col="doc_id",
+                   weight_col=None)
+    src = pa.table({"doc_id": pa.array(["a", "z"]),
+                    "source": pa.array(["s0", "s0"]),
+                    "n": pa.array([99, 42], type=pa.int64())})
+    tb = {"docs": out, "u": src}
+    r = sql_query("MERGE INTO docs USING u ON docs.doc_id = u.doc_id "
+                  "WHEN NOT MATCHED THEN INSERT", tb)
+    row = r.to_pylist()[0]
+    # matched rows are NOT rewritten and NOT counted as updates
+    assert row["rewritten"] == 0 and row["rows_updated"] == 0
+    assert row["rows_inserted"] == 1
+    n = sql_query("SELECT COUNT(*) AS n FROM docs", tb)
+    assert n["n"][0].as_py() == 3
+    from arcade_ray.collect import collect_arrow
+
+    got = sql_query("SELECT n FROM docs WHERE doc_id = 'a'", tb)
+    got = got if isinstance(got, pa.Table) else collect_arrow(got)
+    assert got["n"].to_pylist() == [1]  # untouched
+
+
+def test_merge_on_unqualified_resolution(ray_session, tmp_path):
+    import pyarrow.parquet as _pq
+    import pytest as _pt
+
+    from arcade_ray.pipeline.encode import encode_parquet
+    from arcade_ray.sql import SqlUnsupported as _SU
+    from arcade_ray.sql import sql_query
+
+    t = pa.table({"doc_id": pa.array(["a", "b"]),
+                  "source": pa.array(["s0", "s1"]),
+                  "n": pa.array([1, 2], type=pa.int64())})
+    p = str(tmp_path / "t.parquet")
+    _pq.write_table(t, p)
+    out = str(tmp_path / "enc")
+    encode_parquet(p, out, key_col="source", id_col="doc_id",
+                   weight_col=None)
+    src = pa.table({"k": pa.array(["a"]),
+                    "n": pa.array([50], type=pa.int64())})
+    tb = {"docs": out, "u": src}
+    # source-first unqualified: k only exists in src -> resolves
+    r = sql_query("MERGE INTO docs USING u ON k = doc_id "
+                  "WHEN MATCHED THEN UPDATE SET n = u.n", tb)
+    assert r.to_pylist()[0]["rows_updated"] == 1
+    # ambiguous: both names exist in src -> refuse
+    src2 = pa.table({"doc_id": pa.array(["a"]), "k": pa.array(["a"]),
+                     "n": pa.array([60], type=pa.int64())})
+    tb["u2"] = src2
+    with _pt.raises(_SU, match="ambiguous"):
+        sql_query("MERGE INTO docs USING u2 ON k = doc_id "
+                  "WHEN MATCHED THEN UPDATE SET n = u2.n", tb)
