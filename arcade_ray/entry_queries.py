@@ -795,6 +795,41 @@ def q_token_minhash_pairs(sf_dir: str) -> pa.Table:
     return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
 
 
+def q_near_dedup_incremental(sf_dir: str) -> pa.Table:
+    """Incremental NEAR-dup check against a PERSISTED MinHash-LSH
+    index (textops.build_minhash_index / query_minhash_index): the
+    corpus 4/5 slice indexes once (hive-sharded band buckets +
+    signatures); the 1/5 increment probes only its own bucket shards
+    and candidate signature shards — corpus text never re-read.
+    Rows-only (estimated-Jaccard semantics have no SQL equivalent;
+    planted-copy + hash-version-refusal tests in
+    tests/test_textops.py)."""
+    import hashlib as _h
+
+    from .textops import build_minhash_index, query_minhash_index
+
+    def _mod5(col):
+        return pc.subtract(col, pc.multiply(pc.divide(col, 5), 5))
+
+    tag = _h.md5(
+        f"{sf_dir}|mh-index|{_CACHE_SALT}".encode()).hexdigest()[:10]
+    idx = os.path.join(CACHE_ROOT, f"mh-index-{tag}")
+    if not os.path.exists(idx):
+        build = f"{idx}.building"
+        import shutil as _sh
+
+        _sh.rmtree(build, ignore_errors=True)
+        base = _docs_ds(sf_dir).map_batches(
+            lambda b: b.filter(pc.not_equal(_mod5(b["doc_id"]), 0)),
+            batch_format="pyarrow")
+        build_minhash_index(base, build)
+        os.rename(build, idx)
+    inc = _docs_ds(sf_dir).map_batches(
+        lambda b: b.filter(pc.equal(_mod5(b["doc_id"]), 0)),
+        batch_format="pyarrow")
+    return query_minhash_index(inc, idx, jaccard_threshold=0.7)
+
+
 def q_sql_merge_upsert(sf_dir: str) -> pa.Table:
     """SQL MERGE INTO (upsert) end-to-end on a PRIVATE encoded copy:
     one statement updates every matched row from a derived source
@@ -2851,6 +2886,7 @@ QUERIES = {
     "sql_ctas": q_sql_ctas,
     "sql_merge_upsert": q_sql_merge_upsert,
     "token_minhash_pairs": q_token_minhash_pairs,
+    "near_dedup_incremental": q_near_dedup_incremental,
     "embedding_near_dup": q_embedding_near_dup,
     "group_rollup": q_group_rollup,
     "group_cube": q_group_cube,

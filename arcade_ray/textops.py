@@ -2316,3 +2316,240 @@ def tfidf_sparse(ds, dim: int = 1024, text_col: str = "text",
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _band_keys(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n, bands) int64 LSH bucket keys from an (n, n_perm) signature
+    matrix — the exact mix minhash_band_rows uses, factored so the
+    persisted index and the in-memory pair path can never diverge."""
+    n, n_perm = sigs.shape
+    rows_per_band = n_perm // bands
+    with np.errstate(over="ignore"):
+        bh = (sigs.reshape(n, bands, rows_per_band)
+              * np.uint64(0x9E3779B97F4A7C15)).sum(axis=2)
+        bh += np.arange(bands, dtype=np.uint64)[None, :] \
+            * np.uint64(0xD1B54A32D192ED03)
+    return bh.view(np.int64)
+
+
+def build_minhash_index(ds, index_dir: str, text_col: str = "text",
+                        id_col: str = "doc_id", n_perm: int = 64,
+                        bands: int = 16, shingle_k: int = 5,
+                        n_shards: int = 64) -> dict:
+    """PERSIST a MinHash-LSH index: build once over the corpus, then
+    :func:`query_minhash_index` checks each INCREMENTAL batch for
+    near-duplicates against it without re-reading the corpus — the
+    near-dup analogue of the exact-hash dedup_index_build path.
+
+    Layout (both hive-partitioned so queries prune at the READ):
+    - ``bands/shard=S/``: (bk int64, id) band-bucket rows, S = bk mod
+      ``n_shards`` — a query batch touches only its own bucket shards;
+    - ``sigs/shard=S/``: (id, sig fixed_binary(n_perm*8)) signatures,
+      S = id mod ``n_shards`` — read only for candidate-matched ids
+      to estimate Jaccard;
+    - ``meta.json``: parameters + the hash version
+      (:data:`arcade_ray.hashing.HASH_VERSION`) — queries REFUSE an
+      index built by a different hash version rather than silently
+      missing duplicates.
+
+    ``id_col`` must be integer-typed. Returns {"rows", "dir"}."""
+    import json as _json
+    import os as _os
+
+    from .hashing import HASH_VERSION
+    from .streams import str_stream_from_arrow
+
+    _os.makedirs(index_dir, exist_ok=True)
+    with open(_os.path.join(index_dir, "meta.json"), "w") as f:
+        _json.dump({"n_perm": n_perm, "bands": bands,
+                    "shingle_k": shingle_k, "n_shards": n_shards,
+                    "id_col": id_col, "hash_version": HASH_VERSION}, f)
+
+    def band_rows(b: pa.Table) -> pa.Table:
+        lengths, data, _ = str_stream_from_arrow(b[text_col])
+        sigs = batch_minhash_signatures(lengths, data, n_perm, shingle_k)
+        bh = _band_keys(sigs, bands)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        bk = bh.reshape(-1)
+        return pa.table({
+            "bk": pa.array(bk),
+            "id": pa.array(np.repeat(ids, bands).astype(np.int64)),
+            "shard": pa.array((bk % n_shards + n_shards) % n_shards),
+        })
+
+    def sig_rows(b: pa.Table) -> pa.Table:
+        lengths, data, _ = str_stream_from_arrow(b[text_col])
+        sigs = np.ascontiguousarray(
+            batch_minhash_signatures(lengths, data, n_perm, shingle_k))
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        arr = pa.Array.from_buffers(
+            pa.binary(n_perm * 8), len(ids),
+            [None, pa.py_buffer(sigs.tobytes())])
+        return pa.table({
+            "id": pa.array(ids),
+            "sig": arr,
+            "shard": pa.array((ids % n_shards + n_shards) % n_shards),
+        })
+
+    ds.map_batches(band_rows, batch_format="pyarrow").write_parquet(
+        _os.path.join(index_dir, "bands"), partition_cols=["shard"])
+    ds.map_batches(sig_rows, batch_format="pyarrow").write_parquet(
+        _os.path.join(index_dir, "sigs"), partition_cols=["shard"])
+    return {"rows": int(ds.count()), "dir": index_dir}
+
+
+def query_minhash_index(new_ds, index_dir: str,
+                        jaccard_threshold: float = 0.7,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> pa.Table:
+    """Near-duplicate check of an INCREMENTAL batch against a
+    persisted :func:`build_minhash_index`: returns
+    ``(new_id, index_id, est_jaccard)`` for every new document whose
+    ESTIMATED Jaccard (signature agreement — unbiased, ±~1/√n_perm)
+    against some indexed document reaches ``jaccard_threshold``.
+
+    Scale shape: the new batch is driver-bounded by contract (it is
+    the increment); its band keys select ONLY the matching bucket
+    shards of the band table (hive pruning), candidate ids then select
+    only their signature shards, filtered at the parquet layer. The
+    corpus text is never re-read and the index never loads whole."""
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as _pq
+    import ray
+    import ray.data as rd
+
+    from .hashing import HASH_VERSION
+    from .streams import str_stream_from_arrow
+
+    with open(_os.path.join(index_dir, "meta.json")) as f:
+        meta = _json.load(f)
+    if meta.get("hash_version") != HASH_VERSION:
+        raise ValueError(
+            f"index at {index_dir} was built with hash version "
+            f"{meta.get('hash_version')}, current is {HASH_VERSION}: "
+            "rebuild the index (probing would silently miss "
+            "duplicates)")
+    n_perm, bands = meta["n_perm"], meta["bands"]
+    shingle_k, n_shards = meta["shingle_k"], meta["n_shards"]
+
+    from .collect import collect_arrow
+
+    def new_rows(b: pa.Table) -> pa.Table:
+        lengths, data, _ = str_stream_from_arrow(b[text_col])
+        sigs = np.ascontiguousarray(
+            batch_minhash_signatures(lengths, data, n_perm, shingle_k))
+        bh = _band_keys(sigs, bands)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sig_arr = pa.Array.from_buffers(
+            pa.binary(n_perm * 8), len(ids),
+            [None, pa.py_buffer(sigs.tobytes())])
+        return pa.table({
+            "id": pa.array(ids), "sig": sig_arr,
+            "bks": pa.array(bh.tolist(),
+                            type=pa.list_(pa.int64())),
+        })
+
+    new_tab = collect_arrow(new_ds.map_batches(new_rows,
+                                               batch_format="pyarrow"))
+    empty = pa.table({"new_id": pa.array([], pa.int64()),
+                      "index_id": pa.array([], pa.int64()),
+                      "est_jaccard": pa.array([], pa.float64())})
+    if new_tab.num_rows == 0:
+        return empty
+    new_ids = new_tab["id"].to_numpy(zero_copy_only=False)
+    bk_mat = np.asarray(new_tab["bks"].to_pylist(), dtype=np.int64)
+    flat_bk = bk_mat.reshape(-1)
+    order = np.argsort(flat_bk)
+    sorted_bk = flat_bk[order]
+    owner = np.repeat(np.arange(len(new_ids)), bands)[order]
+    shards = sorted({int(s) for s in
+                     (sorted_bk % n_shards + n_shards) % n_shards})
+    paths = []
+    for s in shards:
+        d = _os.path.join(index_dir, "bands", f"shard={s}")
+        if _os.path.isdir(d):
+            paths.extend(_os.path.join(d, f)
+                         for f in sorted(_os.listdir(d))
+                         if f.endswith(".parquet"))
+    if not paths:
+        return empty
+    ref = ray.put((sorted_bk, owner))
+
+    def probe(b: pa.Table) -> pa.Table:
+        sbk, own = ray.get(ref)
+        bk = b["bk"].to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(sbk, bk, side="left")
+        hi = np.searchsorted(sbk, bk, side="right")
+        hit = hi > lo
+        if not hit.any():
+            return pa.table({"index_id": pa.array([], pa.int64()),
+                             "new_row": pa.array([], pa.int64())})
+        # a band key may collide with SEVERAL new docs: expand runs
+        idx = np.flatnonzero(hit)
+        counts = (hi - lo)[idx]
+        iid = np.repeat(b["id"].to_numpy(zero_copy_only=False)[idx],
+                        counts)
+        pos = np.concatenate([np.arange(a, z) for a, z in
+                              zip(lo[idx], hi[idx])])
+        return pa.table({"index_id": pa.array(iid.astype(np.int64)),
+                         "new_row": pa.array(own[pos].astype(np.int64))})
+
+    cand = collect_arrow(
+        rd.read_parquet(paths).map_batches(probe,
+                                           batch_format="pyarrow"))
+    if cand.num_rows == 0 or "index_id" not in cand.column_names:
+        return empty
+    # dedup (index_id, new_row) across bands
+    pairs = cand.group_by(["index_id", "new_row"]).aggregate([])
+    need_ids = np.unique(pairs["index_id"].to_numpy(
+        zero_copy_only=False))
+    sig_shards = sorted({int(s) for s in
+                         (need_ids % n_shards + n_shards) % n_shards})
+    sig_paths = []
+    for s in sig_shards:
+        d = _os.path.join(index_dir, "sigs", f"shard={s}")
+        if _os.path.isdir(d):
+            sig_paths.extend(_os.path.join(d, f)
+                             for f in sorted(_os.listdir(d))
+                             if f.endswith(".parquet"))
+    need_set = pa.array(need_ids)
+    sig_parts = []
+    for p in sig_paths:
+        t = _pq.read_table(p, columns=["id", "sig"])
+        sig_parts.append(t.filter(pc.is_in(t["id"],
+                                           value_set=need_set)))
+    sig_tab = pa.concat_tables(sig_parts) if sig_parts else None
+    if sig_tab is None or sig_tab.num_rows == 0:
+        return empty
+    iids = sig_tab["id"].to_numpy(zero_copy_only=False)
+    iorder = np.argsort(iids)
+    iids_sorted = iids[iorder]
+    sig_arr = sig_tab["sig"].combine_chunks()
+    sig_mat = np.frombuffer(
+        sig_arr.buffers()[1], dtype=np.uint64,
+        count=(sig_arr.offset + len(sig_arr)) * n_perm,
+    ).reshape(-1, n_perm)[sig_arr.offset:]
+    new_sig_arr = new_tab["sig"].combine_chunks()
+    new_sig = np.frombuffer(
+        new_sig_arr.buffers()[1], dtype=np.uint64,
+        count=(new_sig_arr.offset + len(new_sig_arr)) * n_perm,
+    ).reshape(-1, n_perm)[new_sig_arr.offset:]
+    pa_i = pairs["index_id"].to_numpy(zero_copy_only=False)
+    pa_n = pairs["new_row"].to_numpy(zero_copy_only=False)
+    ipos = np.searchsorted(iids_sorted, pa_i)
+    ipos[ipos == len(iids_sorted)] = 0
+    ok = iids_sorted[ipos] == pa_i
+    est = np.zeros(len(pa_i), dtype=np.float64)
+    if ok.any():
+        est[ok] = (sig_mat[iorder[ipos[ok]]]
+                   == new_sig[pa_n[ok]]).mean(axis=1)
+    keep = ok & (est >= jaccard_threshold)
+    out = pa.table({
+        "new_id": pa.array(new_ids[pa_n[keep]].astype(np.int64)),
+        "index_id": pa.array(pa_i[keep].astype(np.int64)),
+        "est_jaccard": pa.array(est[keep]),
+    })
+    return out.sort_by([("new_id", "ascending"),
+                        ("index_id", "ascending")])

@@ -1125,3 +1125,64 @@ def test_charngram_stats_vs_duckdb_fuzz(ray_session):
     assert out.num_rows == ora.num_rows
     for c in ("doc_id", "n_tri", "sum_c", "n_rare"):
         assert out[c].to_pylist() == ora[c].to_pylist(), c
+
+
+def test_minhash_index_incremental(ray_session, tmp_path):
+    import ray.data as rd
+
+    from arcade_ray.textops import (build_minhash_index,
+                                    query_minhash_index)
+
+    rng = __import__("numpy").random.default_rng(11)
+    words = [f"w{i:03d}" for i in range(300)]
+
+    def doc(seed, n=120):
+        r = __import__("numpy").random.default_rng(seed)
+        return " ".join(words[i] for i in r.integers(0, 300, n))
+
+    corpus = pa.table({
+        "doc_id": pa.array(list(range(10)), type=pa.int64()),
+        "text": pa.array([doc(s) for s in range(10)]),
+    })
+    idx = str(tmp_path / "mh_index")
+    r = build_minhash_index(rd.from_arrow(corpus), idx)
+    assert r["rows"] == 10
+
+    near3 = doc(3)[:-8] + " w000"   # near-copy of doc 3
+    new = pa.table({
+        "doc_id": pa.array([100, 101, 102], type=pa.int64()),
+        "text": pa.array([doc(7), near3, doc(999)]),
+    })
+    out = query_minhash_index(rd.from_arrow(new), idx,
+                              jaccard_threshold=0.7)
+    got = {(r["new_id"], r["index_id"]): r["est_jaccard"]
+           for r in out.to_pylist()}
+    assert got[(100, 7)] == 1.0          # exact copy of indexed doc 7
+    assert (101, 3) in got and got[(101, 3)] >= 0.7
+    assert all(k[0] != 102 for k in got)  # novel doc is clean
+    # empty increment
+    out2 = query_minhash_index(
+        rd.from_arrow(new.slice(0, 0)), idx)
+    assert out2.num_rows == 0
+
+
+def test_minhash_index_version_refusal(ray_session, tmp_path):
+    import json
+
+    import pytest as _pt
+    import ray.data as rd
+
+    from arcade_ray.textops import (build_minhash_index,
+                                    query_minhash_index)
+
+    corpus = pa.table({
+        "doc_id": pa.array([1], type=pa.int64()),
+        "text": pa.array(["hello world one two three four five"]),
+    })
+    idx = str(tmp_path / "mh_v")
+    build_minhash_index(rd.from_arrow(corpus), idx)
+    meta = json.load(open(f"{idx}/meta.json"))
+    meta["hash_version"] = 1
+    json.dump(meta, open(f"{idx}/meta.json", "w"))
+    with _pt.raises(ValueError, match="hash version"):
+        query_minhash_index(rd.from_arrow(corpus), idx)
