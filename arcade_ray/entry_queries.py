@@ -795,6 +795,33 @@ def q_token_minhash_pairs(sf_dir: str) -> pa.Table:
     return out.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
 
 
+def q_ann_filtered_topk(sf_dir: str) -> pa.Table:
+    """FILTERED vector search: brute-force cosine top-k restricted to
+    a metadata predicate (vec_id % 3 = 0 as the tenant/metadata
+    stand-in) — the filter applies map-side BEFORE scoring, so pruned
+    vectors never hit the matmul, and the per-batch partial top-k
+    merge stays tiny. Oracle: the same QUALIFY row_number SQL over the
+    filtered table."""
+    import pyarrow.parquet as pq
+
+    from .ann import topk_cosine
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qtab = pq.read_table(path, filters=[("vec_id", "in", ANN_QUERY_IDS)])
+    qmat = np.array([r for r in qtab["embedding"].to_pylist()],
+                    dtype=np.float64)
+    qids = qtab["vec_id"].to_pylist()
+    ds = read_parquet_clean(path, columns=["vec_id", "embedding"])
+    flt = ds.map_batches(
+        lambda b: b.filter(pc.equal(pc.subtract(
+            b["vec_id"], pc.multiply(pc.divide(b["vec_id"], 3), 3)),
+            0)),
+        batch_format="pyarrow")
+    res = topk_cosine(flt, qids, qmat, k=ANN_K)
+    cos = pc.round(res["cos"], 4)
+    return res.set_column(res.schema.get_field_index("cos"), "cos", cos)
+
+
 def q_near_dedup_incremental(sf_dir: str) -> pa.Table:
     """Incremental NEAR-dup check against a PERSISTED MinHash-LSH
     index (textops.build_minhash_index / query_minhash_index): the
@@ -2887,6 +2914,7 @@ QUERIES = {
     "sql_merge_upsert": q_sql_merge_upsert,
     "token_minhash_pairs": q_token_minhash_pairs,
     "near_dedup_incremental": q_near_dedup_incremental,
+    "ann_filtered_topk": q_ann_filtered_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "group_rollup": q_group_rollup,
     "group_cube": q_group_cube,
@@ -3330,6 +3358,16 @@ ORACLE_SQL = {
         "FROM embeddings e, embeddings q WHERE q.vec_id IN (0,1,2,3,4) "
         "QUALIFY row_number() OVER (PARTITION BY q.vec_id "
         "ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id) <= 10"
+    ),
+    "ann_filtered_topk": (
+        "SELECT q.vec_id AS query_id, e.vec_id, "
+        "round(CAST(list_cosine_similarity(e.embedding, q.embedding) "
+        "AS DOUBLE), 4) AS cos "
+        "FROM embeddings e, embeddings q WHERE q.vec_id IN (0,1,2,3,4) "
+        "AND e.vec_id % 3 = 0 "
+        "QUALIFY row_number() OVER (PARTITION BY q.vec_id "
+        "ORDER BY list_cosine_similarity(e.embedding, q.embedding) "
+        "DESC, e.vec_id) <= 10"
     ),
     "topk": "SELECT n_chars FROM documents ORDER BY n_chars DESC LIMIT 50",
     "topk_rows": ("SELECT doc_id, n_chars, source FROM documents "
