@@ -5,7 +5,7 @@ sf0.001 documents table through the adaptive columnar compression
 engine). ``queries()``/``oracle_sql()`` — per-operator surface checked
 against DuckDB at sf0.01 (see arcade_ray/entry_queries.py).
 
-Query inventory (125 entries, 112 DuckDB-oracled; the driver samples
+Query inventory (151 entries, 136 DuckDB-oracled; the driver samples
 the first 50, curated to cover every operator family). Families:
 
 - engine core: scans/roundtrips (all 10 testdata tables incl.
@@ -32,7 +32,14 @@ the first 50, curated to cover every operator family). Families:
 - corpus ops: mix/repeat/stratified-sample sources, pack_sequences
 - SQL frontend (sql.py): sql_filter_topk / sql_group_having /
   sql_join_agg run the SAME SQL string compiled onto the engine's
-  operators and verbatim in DuckDB — parity by construction
+  operators and verbatim in DuckDB — parity by construction; full
+  DML lifecycle (INSERT generation append, UPDATE/DELETE partition
+  rewrite, MERGE upsert, CREATE TABLE AS / DROP under a session
+  workspace), windows/QUALIFY/set ops/subqueries/CTEs/UNNEST/VALUES
+- token ops (tokenops.py, pre-tokenized list<int32> sequences):
+  corpus unigram stats, token n-gram decontamination, repetition
+  stats, vocabulary remap, token-level MinHash near-dup pairs, plus
+  the persisted incremental MinHash index (textops)
 - multimodal: image_features (actor-pool plumbing, sandbox kernels)
 
 Ray is initialised by the driver BEFORE this module is imported: no
