@@ -44,20 +44,36 @@ def _compact_group(rows: list[dict], out_dir: str, new_key: str,
                    sort_by: str | None) -> dict:
     _pin_arrow_threads()
     tables = [decode_partition(r["path"]) for r in rows]
-    table = pa.concat_tables(tables).combine_chunks()
+    table = pa.concat_tables(tables, promote_options="default") \
+        .combine_chunks()
     if sort_by and sort_by in table.column_names:
         table = table.take(pc.sort_indices(table[sort_by]))
     blob, row = encode_partition(table, new_key)
     row["replaces"] = [r["part_key"] for r in rows]
-    # same source prefix => same generation; carry it forward so scans
-    # scoped to a generation still see the compacted partition
-    row["generation"] = generation_of_row(rows[0])
+    # a single-generation group carries its generation forward so
+    # generation-scoped scans still see the compacted partition; a
+    # MIXED group (collapse_generations) folds into the base ("")
+    gens = {generation_of_row(r) for r in rows}
+    row["generation"] = gens.pop() if len(gens) == 1 else ""
     return commit_partition(out_dir, new_key, blob, row)
+
+
+def _true_source(r: dict) -> str:
+    """Partition's source value with any generation suffix stripped —
+    uses the EXPLICIT generation field (source values may themselves
+    contain '@', so suffix-stripping by the recorded generation is the
+    only reliable parse)."""
+    s = _source_of(r["part_key"])
+    gen = generation_of_row(r)
+    if gen and s.endswith("@" + gen):
+        s = s[: -len(gen) - 1]
+    return s
 
 
 def compact(out_dir: str, weight_cap: int | None = None,
             small_fraction: float = 0.5, sort_by: str | None = "doc_id",
-            run_remote: bool = True) -> pa.Table:
+            run_remote: bool = True,
+            collapse_generations: bool = False) -> pa.Table:
     """Compact partitions whose raw bytes < small_fraction x the
     largest sibling (same source), binning greedily up to the cap.
     Returns the new consolidated manifest.
@@ -66,11 +82,21 @@ def compact(out_dir: str, weight_cap: int | None = None,
     single source: bins form by SIZE, so a merged partition may span
     non-adjacent value ranges. Zone maps are recomputed from the
     merged rows, so pruning stays CORRECT — it just widens to the
-    union range (clustering degrades, never the answers)."""
+    union range (clustering degrades, never the answers).
+
+    ``collapse_generations``: group by the TRUE source across append
+    generations (each generation otherwise compacts only within
+    itself — the tiny per-INSERT partitions can never merge). A mixed
+    group folds into the base generation (""), so generation-scoped
+    scans of collapsed appends go empty — the VACUUM trade, like
+    OPTIMIZE in lakehouse formats; schemas widen via Arrow's promote
+    (an append that omitted columns back-fills NULL)."""
     rows = load_manifest(out_dir).to_pylist()
     by_source: dict[str, list[dict]] = {}
     for r in rows:
-        by_source.setdefault(_source_of(r["part_key"]), []).append(r)
+        key = _true_source(r) if collapse_generations \
+            else _source_of(r["part_key"])
+        by_source.setdefault(key, []).append(r)
 
     jobs = []
     seq = 0
@@ -136,9 +162,42 @@ def compact(out_dir: str, weight_cap: int | None = None,
             except FileNotFoundError:
                 pass
 
+    _clear_stale_tombstones(out_dir)
     manifest = load_manifest(out_dir)
     _write_consolidated(out_dir, manifest)
     return manifest
+
+
+def _clear_stale_tombstones(out_dir: str) -> None:
+    """Drop ``replaces`` entries whose target manifest row no longer
+    exists. The tombstone is crash-safety for the window between
+    new-row commit and old-row removal; once the old row is gone it is
+    vestigial — and actively DANGEROUS: a later generation append that
+    reuses a freed generation name can mint the SAME part_key, which
+    the stale tombstone would silently filter out of every scan
+    (caught by the DML-lifecycle fuzz: VACUUM then INSERT lost the
+    inserted rows)."""
+    from .encode import MANIFEST_DIR, _manifest_row_path
+
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return
+    raw = []
+    for fn in os.listdir(mdir):
+        if fn.endswith(".json"):
+            with open(os.path.join(mdir, fn)) as f:
+                raw.append(json.load(f))
+    live = {r["part_key"] for r in raw}
+    for r in raw:
+        reps = r.get("replaces") or []
+        keep = [k for k in reps if k in live]
+        if keep != reps:
+            r["replaces"] = keep
+            p = _manifest_row_path(out_dir, r["part_key"])
+            tmp = f"{p}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(r, f)
+            os.replace(tmp, p)
 
 
 def delete_rows(out_dir: str, preds, run_remote: bool = True) -> dict:
@@ -531,8 +590,9 @@ def merge_rows(out_dir: str, key_col: str, src: pa.Table,
                 raise ValueError(
                     "MERGE insert needs the dir's _encode_meta.json "
                     "(re-encode with a current version)")
-            existing = {generation_of_row(r) for r in
-                        load_manifest(out_dir).to_pylist()}
+            from .encode import all_generations
+
+            existing = all_generations(out_dir)
             k = 0
             while f"mrg{k:04d}" in existing:
                 k += 1

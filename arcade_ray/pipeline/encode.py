@@ -1117,6 +1117,23 @@ def encode_parquet(paths: list[str] | str, out_dir: str,
     return manifest
 
 
+def all_generations(out_dir: str) -> set[str]:
+    """Every generation name that has EVER appeared in a manifest row
+    — including rows currently shadowed by a ``replaces`` tombstone
+    (crash window between a compaction's commit and its cleanup).
+    Generation-name pickers (INSERT/MERGE appends) must scan THIS, not
+    the filtered manifest: reusing a tombstoned generation name would
+    mint a part_key the tombstone silently filters out."""
+    mdir = os.path.join(out_dir, MANIFEST_DIR)
+    gens: set[str] = set()
+    if os.path.isdir(mdir):
+        for fn in os.listdir(mdir):
+            if fn.endswith(".json"):
+                with open(os.path.join(mdir, fn)) as f:
+                    gens.add(generation_of_row(json.load(f)))
+    return gens
+
+
 def load_manifest(out_dir: str) -> pa.Table:
     """Committed-partition manifest: prefers the consolidated parquet,
     falls back to scanning row files (mid-run / crashed state)."""

@@ -3670,9 +3670,9 @@ def _run_insert(tname: str, collist: str | None, body: str,
     ds = _with_typed_empty(
         res.map_batches(conform, batch_format="pyarrow"),
         pa.table({tn: pa.array([], types[tn]) for tn in names}))
-    existing = {generation_of_row(r)
-                for r in load_manifest(target).to_pylist()} \
-        if load_manifest(target).num_rows else set()
+    from .pipeline.encode import all_generations
+
+    existing = all_generations(target)
     k = 0
     while f"ins{k:04d}" in existing:
         k += 1
@@ -3861,6 +3861,29 @@ _CTAS_RE = re.compile(
 _DROP_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?([A-Za-z_]\w*)\s*$",
     re.IGNORECASE)
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM\s+([A-Za-z_]\w*)\s*$", re.IGNORECASE)
+
+
+def _run_vacuum(tname: str, tables: dict) -> pa.Table:
+    """VACUUM t: compact undersized partitions (the tails that
+    INSERT/MERGE generation appends accumulate) via
+    compact.compact — greedy same-source binning under replaces
+    lineage, zone maps recomputed from the merged rows. Returns a
+    one-row before/after summary."""
+    from .pipeline.compact import compact
+    from .pipeline.encode import load_manifest, read_encode_meta
+
+    target = _dml_target(tname, tables)
+    before = load_manifest(target).num_rows
+    meta = read_encode_meta(target)
+    man = compact(target,
+                  sort_by=(meta or {}).get("id_col", "doc_id"),
+                  collapse_generations=True)
+    return pa.table({
+        "table": pa.array([tname], pa.string()),
+        "partitions_before": pa.array([before], pa.int64()),
+        "partitions_after": pa.array([man.num_rows], pa.int64())})
 
 
 def _run_ctas(replace: bool, name: str, partcols: str | None,
@@ -3986,6 +4009,9 @@ def sql_query(sql: str, tables: dict[str, str],
     if m:
         return _run_drop(bool(m.group(1)), m.group(2), tables,
                          workspace)
+    m = _VACUUM_RE.match(stmt)
+    if m:
+        return _run_vacuum(m.group(1), tables)
     return _execute_node(_parse(stmt), tables)
 
 

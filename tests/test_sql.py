@@ -2145,3 +2145,38 @@ def test_merge_on_unqualified_resolution(ray_session, tmp_path):
     with _pt.raises(_SU, match="ambiguous"):
         sql_query("MERGE INTO docs USING u2 ON k = doc_id "
                   "WHEN MATCHED THEN UPDATE SET n = u2.n", tb)
+
+
+def test_sql_vacuum_after_appends(ray_session, tmp_path):
+    import pyarrow.parquet as _pq
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.pipeline.encode import encode_parquet
+    from arcade_ray.sql import sql_query
+
+    t = pa.table({
+        "doc_id": pa.array([f"d{i:04d}" for i in range(300)]),
+        "source": pa.array([f"s{i % 2}" for i in range(300)]),
+        "n": pa.array(list(range(300)), type=pa.int64()),
+    })
+    p = str(tmp_path / "t.parquet")
+    _pq.write_table(t, p)
+    out = str(tmp_path / "enc")
+    encode_parquet(p, out, key_col="source", id_col="doc_id",
+                   weight_col=None)
+    tb = {"docs": out}
+    # several tiny generation appends -> partition-count bloat
+    for k in range(4):
+        sql_query("INSERT INTO docs (doc_id, source, n) VALUES "
+                  f"('x{k}a', 's0', {1000 + k}), "
+                  f"('x{k}b', 's1', {2000 + k})", tb)
+    want = sql_query("SELECT doc_id, source, n FROM docs "
+                     "ORDER BY doc_id", tb)
+    want = want if isinstance(want, pa.Table) else collect_arrow(want)
+    r = sql_query("VACUUM docs", tb)
+    row = r.to_pylist()[0]
+    assert row["partitions_after"] < row["partitions_before"]
+    got = sql_query("SELECT doc_id, source, n FROM docs "
+                    "ORDER BY doc_id", tb)
+    got = got if isinstance(got, pa.Table) else collect_arrow(got)
+    assert got.to_pylist() == want.to_pylist()

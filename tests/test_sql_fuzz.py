@@ -641,8 +641,12 @@ def test_sql_fuzz_dml_lifecycle(ray_session, tmp_path):
     rounds = int(os.environ.get("ARCADE_DML_FUZZ_N", "14"))
     for i in range(rounds):
         kind = rng.choice(["insert_values", "insert_select", "update",
-                           "delete", "merge", "merge"])
-        if kind == "insert_values":
+                           "delete", "merge", "merge", "vacuum"])
+        if kind == "vacuum":
+            # content no-op: partitions merge, rows must not change
+            stmt = "VACUUM st"
+            sql_query(stmt, tb)
+        elif kind == "insert_values":
             rows = ", ".join(
                 f"({next_id + j}, 'g{rng.randint(0, 6)}', "
                 f"{rng.randint(0, 100)}, '{rng.choice('ab')}x')"
