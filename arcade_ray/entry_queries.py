@@ -900,6 +900,48 @@ def q_sql_merge_upsert(sf_dir: str) -> pa.Table:
     return res if isinstance(res, pa.Table) else _collect(res)
 
 
+def q_sql_vacuum_lifecycle(sf_dir: str) -> pa.Table:
+    """VACUUM under the value-hash gate: two INSERT generations append
+    onto a PRIVATE encoded copy, VACUUM collapses the tails
+    cross-generation (partition count must drop), and the final scan
+    must be value-identical to the no-VACUUM oracle — compaction is
+    content-neutral by contract. Build-then-atomic-rename caching."""
+    import hashlib as _h
+
+    from .sql import sql_query
+
+    tag = _h.md5(
+        f"{sf_dir}|documents-vac|{_CACHE_SALT}".encode()).hexdigest()[:10]
+    out = os.path.join(CACHE_ROOT, f"documents-vac-{tag}")
+    if not os.path.exists(out):
+        import shutil as _sh
+
+        from .pipeline.encode import encode_parquet
+
+        build = f"{out}.building"
+        _sh.rmtree(build, ignore_errors=True)
+        encode_parquet(os.path.join(sf_dir, "documents.parquet"),
+                       build, key_col="source", id_col="doc_id",
+                       weight_col=None)
+        tb = {"documents": build}
+        sql_query("INSERT INTO documents (doc_id, text, lang, source, "
+                  "n_chars) SELECT doc_id + 9300000, text, lang, "
+                  "source, n_chars FROM documents "
+                  "WHERE doc_id < 9000000 AND doc_id % 11 = 0", tb)
+        sql_query("INSERT INTO documents (doc_id, text, lang, source, "
+                  "n_chars) SELECT doc_id + 9600000, text, lang, "
+                  "source, n_chars FROM documents "
+                  "WHERE doc_id < 9000000 AND doc_id % 13 = 0", tb)
+        r = sql_query("VACUUM documents", tb)
+        row = r.to_pylist()[0]
+        assert row["partitions_after"] < row["partitions_before"], row
+        os.rename(build, out)
+    res = sql_query("SELECT doc_id, lang, source, n_chars "
+                    "FROM documents ORDER BY doc_id",
+                    {"documents": out})
+    return res if isinstance(res, pa.Table) else _collect(res)
+
+
 def q_tfidf_sparse(sf_dir: str) -> pa.Table:
     """Sparse hashed TF-IDF vectors (textops.tfidf_sparse): feature
     hashing via md5(word) % dim so the SQL oracle reproduces the
@@ -2915,6 +2957,7 @@ QUERIES = {
     "token_minhash_pairs": q_token_minhash_pairs,
     "near_dedup_incremental": q_near_dedup_incremental,
     "ann_filtered_topk": q_ann_filtered_topk,
+    "sql_vacuum_lifecycle": q_sql_vacuum_lifecycle,
     "embedding_near_dup": q_embedding_near_dup,
     "group_rollup": q_group_rollup,
     "group_cube": q_group_cube,
@@ -3359,6 +3402,13 @@ ORACLE_SQL = {
         "QUALIFY row_number() OVER (PARTITION BY q.vec_id "
         "ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id) <= 10"
     ),
+    "sql_vacuum_lifecycle": (
+        "SELECT doc_id, lang, source, n_chars FROM ("
+        "SELECT doc_id, lang, source, n_chars FROM documents "
+        "UNION ALL SELECT doc_id + 9300000, lang, source, n_chars "
+        "FROM documents WHERE doc_id % 11 = 0 "
+        "UNION ALL SELECT doc_id + 9600000, lang, source, n_chars "
+        "FROM documents WHERE doc_id % 13 = 0) ORDER BY doc_id"),
     "ann_filtered_topk": (
         "SELECT q.vec_id AS query_id, e.vec_id, "
         "round(CAST(list_cosine_similarity(e.embedding, q.embedding) "
