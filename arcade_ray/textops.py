@@ -1122,9 +1122,10 @@ def batch_word_ngram_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
     acc = np.zeros(total - n + 1, dtype=np.uint64)
     base = np.uint64(1099511628211)
     p = np.uint64(1)
-    for j in range(n):
-        acc += h[j: total - n + 1 + j] * p
-        p *= base
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+        for j in range(n):
+            acc += h[j: total - n + 1 + j] * p
+            p *= base
     # a window is valid iff it lies fully inside one document
     gdoc = doc_of[: total - n + 1]
     valid = doc_of[n - 1:] == gdoc

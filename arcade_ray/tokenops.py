@@ -80,6 +80,28 @@ def batch_token_ngram_hashes(col, n: int) -> tuple[np.ndarray, np.ndarray]:
     return acc[valid], gdoc[valid]
 
 
+def _merge_token_counts(batch: pa.Table) -> pa.Table:
+    """Sum duplicate (token, n) partial rows: one int64 sort +
+    run-boundary ``np.add.reduceat`` — exact in int64, no hash
+    aggregate, no Ray sort."""
+    toks = batch["token"].to_numpy(zero_copy_only=False) \
+        .astype(np.int32)
+    ns = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(toks) == 0:
+        return pa.table({"token": pa.array([], pa.int32()),
+                         "n": pa.array([], pa.int64())})
+    order = np.argsort(toks, kind="stable")
+    st, sn = toks[order], ns[order]
+    bounds = np.flatnonzero(
+        np.concatenate([[True], st[1:] != st[:-1]]))
+    return pa.table({
+        "token": pa.array(st[bounds], type=pa.int32()),
+        "n": pa.array(np.add.reduceat(sn, bounds))})
+
+
+_UNIGRAM_COMBINE_BLOCKS = 32
+
+
 def token_unigram_stats(ds, tokens_col: str = "tokens",
                         top_k: int | None = None) -> pa.Table:
     """Corpus-wide token frequency table ``(token int32, n int64)``,
@@ -87,29 +109,33 @@ def token_unigram_stats(ds, tokens_col: str = "tokens",
     the unigram distribution feeding vocab-coverage checks, sampling
     temperatures and pruning decisions.
 
-    Scale shape (the :func:`arcade_ray.textops.build_vocab` pattern):
-    per-batch ``np.unique`` partials are VOCABULARY-sized, not
-    corpus-sized; one groupby-sum shuffle over those partials; a
-    vocabulary-sized driver sort."""
-    from ray.data.aggregate import Sum
-
-    from .collect import collect_arrow
-
-    def partial(batch: pa.Table) -> pa.Table:
-        vals, _, _ = flat_tokens(batch[tokens_col])
+    Scale shape: per-batch ``np.unique`` partials (distinct-bounded,
+    not corpus-bounded), a coalesce tree-combine (repartition into
+    ~:data:`_UNIGRAM_COMBINE_BLOCKS` blocks, one sort+reduceat merge
+    per block — the kmeans_fit reduce pattern), then one driver fold
+    over the pre-merged partials. Deliberately NOT a Ray
+    groupby-sort: a high-cardinality id domain (a uniform-random
+    source; contamination ids) pushes the whole distinct set through
+    the sort exchange — measured 190 s vs ~4 s on 122M tokens with a
+    2^31-domain source."""
+    def partial(b: pa.Table) -> pa.Table:
+        vals, _, _ = flat_tokens(b[tokens_col])
         toks, counts = np.unique(vals, return_counts=True)
         return pa.table({"token": pa.array(toks.astype(np.int32),
                                            type=pa.int32()),
                          "n": pa.array(counts.astype(np.int64))})
 
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("token").aggregate(Sum("n", alias_name="n"))
-    t = collect_arrow(agg)
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    merged = part.repartition(_UNIGRAM_COMBINE_BLOCKS).map_batches(
+        _merge_token_counts, batch_format="pyarrow", batch_size=None)
+
+    from .collect import collect_arrow
+
+    t = collect_arrow(merged)
     if t.num_rows == 0 or "token" not in t.column_names:
         return pa.table({"token": pa.array([], pa.int32()),
                          "n": pa.array([], pa.int64())})
-    t = pa.table({"token": t["token"].cast(pa.int32()),
-                  "n": t["n"].cast(pa.int64())})
+    t = _merge_token_counts(t)
     order = pc.sort_indices(t, sort_keys=[("n", "descending"),
                                           ("token", "ascending")])
     t = t.take(order)
