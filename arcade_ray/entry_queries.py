@@ -838,8 +838,13 @@ def q_near_dedup_incremental(sf_dir: str) -> pa.Table:
     def _mod5(col):
         return pc.subtract(col, pc.multiply(pc.divide(col, 5), 5))
 
+    from .hashing import HASH_VERSION
+
+    # HASH_VERSION in the tag: a hash bump must transparently rebuild
+    # the cached index, not trip query_minhash_index's version refusal
     tag = _h.md5(
-        f"{sf_dir}|mh-index|{_CACHE_SALT}".encode()).hexdigest()[:10]
+        f"{sf_dir}|mh-index|{_CACHE_SALT}|hv{HASH_VERSION}"
+        .encode()).hexdigest()[:10]
     idx = os.path.join(CACHE_ROOT, f"mh-index-{tag}")
     if not os.path.exists(idx):
         build = f"{idx}.building"

@@ -123,6 +123,9 @@ def compact(out_dir: str, weight_cap: int | None = None,
             jobs.append((source, group))
 
     if not jobs:
+        # still heal any stale tombstones a crashed earlier compaction
+        # left behind — a no-op VACUUM must repair, not skip
+        _clear_stale_tombstones(out_dir)
         return load_manifest(out_dir)
 
     import hashlib
@@ -138,7 +141,17 @@ def compact(out_dir: str, weight_cap: int | None = None,
         digest = hashlib.md5(
             ",".join(sorted(p["part_key"] for p in group)).encode()
         ).hexdigest()[:8]
-        new_key = f"{source}#c{digest}"
+        # a single-generation group keeps its generation IN THE KEY:
+        # under collapse_generations the group key is the true source,
+        # and a bare '{source}#c..' key would later group with the
+        # base under a PLAIN compact and silently fold the generation
+        # (key-based grouping must stay consistent with the explicit
+        # generation field)
+        gens = {generation_of_row(p) for p in group}
+        gen = gens.pop() if len(gens) == 1 else ""
+        prefix = f"{source}@{gen}" if collapse_generations and gen \
+            else source
+        new_key = f"{prefix}#c{digest}"
         if run_remote:
             refs.append(task.remote(group, out_dir, new_key, sort_by))
         else:

@@ -337,6 +337,11 @@ def encode_dataset(ds, out_dir: str, key_col: str = "source",
         sort_partitions_by = range_partition_col
     sort_by = id_col if sort_partitions_by is None else sort_partitions_by
 
+    if generation:
+        # appending into a relocated consolidated-only dir would
+        # shadow the base rows (load_manifest prefers row files);
+        # materialize them first
+        ensure_row_files(out_dir)
     done = committed_parts(out_dir) if resume else {}
     in_sch = ds.schema()
     _validate_columns(set(in_sch.names),
@@ -957,6 +962,11 @@ def encode_parquet(paths: list[str] | str, out_dir: str,
     if range_partition_col is not None and sort_partitions_by is None:
         sort_partitions_by = range_partition_col
     sort_by = id_col if sort_partitions_by is None else sort_partitions_by
+    if generation:
+        # appending into a relocated consolidated-only dir would
+        # shadow the base rows (load_manifest prefers row files);
+        # materialize them first
+        ensure_row_files(out_dir)
     done = committed_parts(out_dir) if resume else {}
 
     import pyarrow.parquet as _pq
@@ -1117,20 +1127,79 @@ def encode_parquet(paths: list[str] | str, out_dir: str,
     return manifest
 
 
+def ensure_row_files(out_dir: str) -> None:
+    """Materialize per-partition manifest row files from the
+    consolidated manifest.parquet for a relocated, CONSOLIDATED-ONLY
+    dir. Appends commit new row files, and ``load_manifest`` prefers
+    row files whenever any exist — so appending into a
+    consolidated-only dir without this repair would silently shadow
+    every base row. Idempotent; no-op when row files already exist."""
+    if committed_parts(out_dir):
+        return
+    consolidated = os.path.join(out_dir, "manifest.parquet")
+    if not os.path.exists(consolidated):
+        return
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.join(out_dir, MANIFEST_DIR), exist_ok=True)
+    for r in pq.read_table(consolidated).to_pylist():
+        r["path"] = part_path(out_dir, r["part_key"])
+        p = _manifest_row_path(out_dir, r["part_key"])
+        if os.path.exists(p):
+            continue
+        tmp = f"{p}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(r, f)
+        os.replace(tmp, p)
+
+
 def all_generations(out_dir: str) -> set[str]:
-    """Every generation name that has EVER appeared in a manifest row
-    — including rows currently shadowed by a ``replaces`` tombstone
-    (crash window between a compaction's commit and its cleanup).
-    Generation-name pickers (INSERT/MERGE appends) must scan THIS, not
-    the filtered manifest: reusing a tombstoned generation name would
-    mint a part_key the tombstone silently filters out."""
+    """Every generation name that could collide with a fresh append —
+    generation-name pickers (INSERT/MERGE) must scan THIS, not the
+    filtered manifest. Three sources, each closing a reuse hazard:
+
+    - raw manifest row files, INCLUDING rows currently shadowed by a
+      ``replaces`` tombstone (crash window between a compaction's
+      commit and its cleanup);
+    - names parsed out of live ``replaces`` lists themselves (the
+      replaced ROW may already be deleted while its tombstone
+      survives a crash before tombstone cleanup — reusing that name
+      would mint a part_key the tombstone silently filters from every
+      scan). The prefix parse can over-extract when a source value
+      contains '@' — harmless: the picker just skips to the next name;
+    - the consolidated manifest.parquet fallback (a relocated dir may
+      carry ONLY the consolidated file, the same state load_manifest
+      supports — an empty row scan there must not report 'no
+      generations')."""
     mdir = os.path.join(out_dir, MANIFEST_DIR)
     gens: set[str] = set()
+    saw_rows = False
     if os.path.isdir(mdir):
         for fn in os.listdir(mdir):
             if fn.endswith(".json"):
+                saw_rows = True
                 with open(os.path.join(mdir, fn)) as f:
-                    gens.add(generation_of_row(json.load(f)))
+                    row = json.load(f)
+                gens.add(generation_of_row(row))
+                for key in row.get("replaces") or []:
+                    prefix = key.split("#", 1)[0]
+                    if "@" in prefix:
+                        gens.add(prefix.rsplit("@", 1)[1])
+    if not saw_rows:
+        consolidated = os.path.join(out_dir, "manifest.parquet")
+        if os.path.exists(consolidated):
+            import pyarrow.parquet as pq
+
+            # full read: legacy consolidated files may lack the
+            # generation column (generation_of_row falls back to the
+            # part_key parse) and the manifest is rows-of-partitions
+            # small either way. Tombstoned names block here too.
+            for r in pq.read_table(consolidated).to_pylist():
+                gens.add(generation_of_row(r))
+                for key in r.get("replaces") or []:
+                    prefix = key.split("#", 1)[0]
+                    if "@" in prefix:
+                        gens.add(prefix.rsplit("@", 1)[1])
     return gens
 
 

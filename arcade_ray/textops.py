@@ -314,14 +314,12 @@ def minhash_band_rows(batch: pa.Table, text_col: str = "text",
 
     lengths, data, _ = str_stream_from_arrow(batch[text_col])
     n = len(lengths)
-    rows_per_band = n_perm // bands
     sigs = batch_minhash_signatures(lengths, data, n_perm, shingle_k)
-    bh = (sigs.reshape(n, bands, rows_per_band)
-          * np.uint64(0x9E3779B97F4A7C15)).sum(axis=2)  # (n, bands)
-    bh += np.arange(bands, dtype=np.uint64)[None, :] * np.uint64(0xD1B54A32D192ED03)
+    bh = _band_keys(sigs, bands)  # (n, bands) — shared with the
+    # persisted index (build_minhash_index) so they cannot diverge
     ids = batch[id_col].to_numpy(zero_copy_only=False)
     return pa.table({
-        "bk": pa.array(bh.reshape(-1).view(np.int64)),
+        "bk": pa.array(bh.reshape(-1)),
         id_col: pa.array(np.repeat(ids, bands)),
     })
 
@@ -2366,18 +2364,6 @@ def build_minhash_index(ds, index_dir: str, text_col: str = "text",
                     "shingle_k": shingle_k, "n_shards": n_shards,
                     "id_col": id_col, "hash_version": HASH_VERSION}, f)
 
-    def band_rows(b: pa.Table) -> pa.Table:
-        lengths, data, _ = str_stream_from_arrow(b[text_col])
-        sigs = batch_minhash_signatures(lengths, data, n_perm, shingle_k)
-        bh = _band_keys(sigs, bands)
-        ids = b[id_col].to_numpy(zero_copy_only=False)
-        bk = bh.reshape(-1)
-        return pa.table({
-            "bk": pa.array(bk),
-            "id": pa.array(np.repeat(ids, bands).astype(np.int64)),
-            "shard": pa.array((bk % n_shards + n_shards) % n_shards),
-        })
-
     def sig_rows(b: pa.Table) -> pa.Table:
         lengths, data, _ = str_stream_from_arrow(b[text_col])
         sigs = np.ascontiguousarray(
@@ -2392,11 +2378,36 @@ def build_minhash_index(ds, index_dir: str, text_col: str = "text",
             "shard": pa.array((ids % n_shards + n_shards) % n_shards),
         })
 
-    ds.map_batches(band_rows, batch_format="pyarrow").write_parquet(
-        _os.path.join(index_dir, "bands"), partition_cols=["shard"])
+    # signatures (the expensive pass: shingle + n_perm permutations)
+    # compute ONCE; the band table then derives from the PERSISTED
+    # signatures — a cheap re-read instead of a second signature pass,
+    # and the row count comes from the sig table's parquet metadata
+    import ray.data as rd
+
     ds.map_batches(sig_rows, batch_format="pyarrow").write_parquet(
         _os.path.join(index_dir, "sigs"), partition_cols=["shard"])
-    return {"rows": int(ds.count()), "dir": index_dir}
+    sig_ds = rd.read_parquet(_os.path.join(index_dir, "sigs"),
+                             columns=["id", "sig"])
+
+    def band_rows(b: pa.Table) -> pa.Table:
+        sig_arr = b["sig"].combine_chunks()
+        m = len(sig_arr)
+        sigs = np.frombuffer(
+            sig_arr.buffers()[1], dtype=np.uint64,
+            count=(sig_arr.offset + m) * n_perm,
+        ).reshape(-1, n_perm)[sig_arr.offset:]
+        bh = _band_keys(sigs, bands)
+        ids = b["id"].to_numpy(zero_copy_only=False)
+        bk = bh.reshape(-1)
+        return pa.table({
+            "bk": pa.array(bk),
+            "id": pa.array(np.repeat(ids, bands).astype(np.int64)),
+            "shard": pa.array((bk % n_shards + n_shards) % n_shards),
+        })
+
+    sig_ds.map_batches(band_rows, batch_format="pyarrow").write_parquet(
+        _os.path.join(index_dir, "bands"), partition_cols=["shard"])
+    return {"rows": int(sig_ds.count()), "dir": index_dir}
 
 
 def query_minhash_index(new_ds, index_dir: str,

@@ -304,3 +304,53 @@ def test_update_rows_int_and_callable(ray_session, tmp_path):
     for did in dfi.index[~hit][:50]:
         assert m.loc[did, "n_tok"] == dfi.loc[did, "n_tok"]
         assert m.loc[did, "source"] == dfi.loc[did, "source"]
+
+
+def test_collapse_single_generation_group_keeps_gen_key(ray_session,
+                                                        tmp_path):
+    """A collapse-mode group containing ONLY one generation's
+    partitions must mint a generation-scoped '#c' key: a bare
+    '{source}#c..' key would later group with the base under a PLAIN
+    compact and silently fold the generation."""
+    import ray.data as rd
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.pipeline.compact import compact
+    from arcade_ray.pipeline.decode import decode_dataset
+    from arcade_ray.pipeline.encode import (encode_dataset,
+                                            load_manifest)
+
+    big = pa.table({
+        "doc_id": pa.array([f"d{i:05d}" for i in range(4000)]),
+        "source": pa.array(["s0"] * 4000),
+        "text": pa.array(["x" * 50] * 4000),
+    })
+    out = str(tmp_path / "enc")
+    encode_dataset(rd.from_arrow(big), out, key_col="source",
+                   id_col="doc_id", weight_col=None)
+    gen_rows = pa.table({
+        "doc_id": pa.array([f"g{i:03d}" for i in range(40)]),
+        "source": pa.array(["s0"] * 40),
+        "text": pa.array(["y" * 50] * 40),
+    })
+    # tiny weight cap -> the generation splits into several partitions
+    encode_dataset(rd.from_arrow(gen_rows), out, key_col="source",
+                   id_col="doc_id", weight_col=None, generation="g1",
+                   weight_cap=12)
+    man0 = load_manifest(out)
+    g1_keys0 = [k for k, g in zip(man0["part_key"].to_pylist(),
+                                  man0["generation"].to_pylist())
+                if g == "g1"]
+    assert len(g1_keys0) >= 2
+    compact(out, sort_by="doc_id", collapse_generations=True)
+    man = load_manifest(out)
+    g1 = [(k, g) for k, g in zip(man["part_key"].to_pylist(),
+                                 man["generation"].to_pylist())
+          if g == "g1"]
+    assert g1 and all(k.startswith("s0@g1#") for k, _ in g1), g1
+    t = collect_arrow(decode_dataset(out, generation="g1"))
+    assert t.num_rows == 40
+    # a later PLAIN compact must not fold g1 into the base
+    compact(out, sort_by="doc_id")
+    t2 = collect_arrow(decode_dataset(out, generation="g1"))
+    assert t2.num_rows == 40

@@ -2180,3 +2180,63 @@ def test_sql_vacuum_after_appends(ray_session, tmp_path):
                     "ORDER BY doc_id", tb)
     got = got if isinstance(got, pa.Table) else collect_arrow(got)
     assert got.to_pylist() == want.to_pylist()
+
+
+def test_generation_name_never_reused(ray_session, tmp_path):
+    """Crash-window regressions: (a) a surviving replaces tombstone
+    blocks its generation name even after the replaced rows are gone;
+    (b) a consolidated-only (relocated) dir still reports its
+    generations AND materializes row files before an append so the
+    base rows stay visible."""
+    import json
+
+    import pyarrow.parquet as _pq
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.pipeline.encode import (_manifest_row_path,
+                                            all_generations,
+                                            encode_parquet)
+    from arcade_ray.sql import sql_query
+
+    t = pa.table({"doc_id": pa.array(["a", "b"]),
+                  "source": pa.array(["s0", "s1"]),
+                  "n": pa.array([1, 2], type=pa.int64())})
+    p = str(tmp_path / "t.parquet")
+    _pq.write_table(t, p)
+    out = str(tmp_path / "enc")
+    encode_parquet(p, out, key_col="source", id_col="doc_id",
+                   weight_col=None)
+    tb = {"docs": out}
+    sql_query("INSERT INTO docs (doc_id, source, n) VALUES "
+              "('c', 's0', 3)", tb)
+    # simulate a crashed compaction: a live tombstone names an
+    # ins0000 part_key whose own row was already removed
+    rp = _manifest_row_path(out, "s0#0000")
+    row = json.load(open(rp))
+    row["replaces"] = ["s0@ins0000#deadbeef"]
+    json.dump(row, open(rp, "w"))
+    for f in list(__import__("os").listdir(f"{out}/manifest")):
+        if "ins0000" in f:
+            __import__("os").remove(f"{out}/manifest/{f}")
+    assert "ins0000" in all_generations(out)
+    r = sql_query("INSERT INTO docs (doc_id, source, n) VALUES "
+                  "('d', 's1', 4)", tb)
+    assert r.to_pylist()[0]["generation"] == "ins0001"
+
+    # consolidated-only relocation: row files deleted, manifest.parquet
+    # still lists base + ins0001
+    import shutil as _sh
+
+    from arcade_ray.pipeline.encode import load_manifest, \
+        _write_consolidated
+
+    _write_consolidated(out, load_manifest(out))
+    _sh.rmtree(f"{out}/manifest")
+    assert "ins0001" in all_generations(out)
+    r2 = sql_query("INSERT INTO docs (doc_id, source, n) VALUES "
+                   "('e', 's0', 5)", tb)
+    assert r2.to_pylist()[0]["generation"] not in ("ins0000", "ins0001")
+    got = sql_query("SELECT doc_id FROM docs ORDER BY doc_id", tb)
+    got = got if isinstance(got, pa.Table) else collect_arrow(got)
+    # base rows a/b survived the append into the consolidated-only dir
+    assert got["doc_id"].to_pylist() == ["a", "b", "d", "e"]
