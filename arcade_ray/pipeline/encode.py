@@ -545,10 +545,15 @@ def _read_split_inputs(refs_or_paths, columns=None) -> pa.Table:
         else:
             tables.append(ray.get(item) if isinstance(item, ray.ObjectRef) else item)
     # schema-less zero-row blocks (Ray union/map plumbing) would
-    # poison the concat; rows are what gets routed, so drop them
+    # poison the concat; rows are what gets routed, so drop them.
+    # An ALL-empty group keeps one block — preferring a TYPED one, so
+    # a schema-less empty never meets a typed empty in the concat
     nonempty = [t for t in tables if t.num_rows]
     if nonempty:
         tables = nonempty
+    elif len(tables) > 1:
+        typed = [t for t in tables if t.num_columns]
+        tables = typed[:1] if typed else tables[:1]
     return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
 
 
