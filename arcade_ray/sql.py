@@ -3863,6 +3863,68 @@ _DROP_RE = re.compile(
     re.IGNORECASE)
 _VACUUM_RE = re.compile(
     r"^\s*VACUUM\s+([A-Za-z_]\w*)\s*$", re.IGNORECASE)
+_DESCRIBE_RE = re.compile(
+    r"^\s*(?:DESCRIBE|DESC)\s+([A-Za-z_]\w*)\s*$", re.IGNORECASE)
+_SHOW_TABLES_RE = re.compile(
+    r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
+
+
+def _run_describe(tname: str, tables: dict) -> pa.Table:
+    """DESCRIBE t: (column_name, column_type, null) from the dir's
+    read-time union schema — encoded dirs answer from the manifest
+    union + typed-empty probe, memory tables from their own schema."""
+    if tname not in tables:
+        raise KeyError(f"unknown table {tname!r} "
+                       f"(have: {sorted(tables)})")
+    target = tables[tname]
+    if isinstance(target, pa.Table):
+        sch = target.schema
+    else:
+        from .pipeline.query import _sidecar_empty, scan
+
+        cols = _dataset_columns(target)
+        try:
+            sch = _sidecar_empty(target, cols).schema
+        except (FileNotFoundError, KeyError):
+            # pre-sidecar dir (or evolution-added columns the sidecar
+            # predates): one cheap schema probe off the stream
+            sch = scan(target, columns=cols).schema().base_schema
+    return pa.table({
+        "column_name": pa.array([f.name for f in sch], pa.string()),
+        "column_type": pa.array([str(f.type) for f in sch],
+                                pa.string()),
+        "null": pa.array(["YES"] * len(sch), pa.string()),
+    })
+
+
+def _run_show_tables(tables: dict) -> pa.Table:
+    """SHOW TABLES: the session catalog, with rows/partitions for
+    encoded dirs (from the manifest — no data read)."""
+    from .pipeline.encode import load_manifest
+
+    names, kinds, rows_c, parts_c = [], [], [], []
+    for name in sorted(tables):
+        target = tables[name]
+        names.append(name)
+        if isinstance(target, pa.Table):
+            kinds.append("memory")
+            rows_c.append(target.num_rows)
+            parts_c.append(None)
+        else:
+            kinds.append("encoded")
+            try:
+                man = load_manifest(str(target))
+                rows_c.append(sum(man["rows"].to_pylist()))
+                parts_c.append(man.num_rows)
+            except Exception:
+                rows_c.append(None)
+                parts_c.append(None)
+    return pa.table({
+        "name": pa.array(names, pa.string()),
+        "kind": pa.array(kinds, pa.string()),
+        "rows": pa.array(rows_c, pa.int64()),
+        "partitions": pa.array(parts_c, pa.int64()),
+    })
 
 
 def _run_vacuum(tname: str, tables: dict) -> pa.Table:
@@ -4012,6 +4074,11 @@ def sql_query(sql: str, tables: dict[str, str],
     m = _VACUUM_RE.match(stmt)
     if m:
         return _run_vacuum(m.group(1), tables)
+    m = _DESCRIBE_RE.match(stmt)
+    if m:
+        return _run_describe(m.group(1), tables)
+    if _SHOW_TABLES_RE.match(stmt):
+        return _run_show_tables(tables)
     return _execute_node(_parse(stmt), tables)
 
 

@@ -2240,3 +2240,35 @@ def test_generation_name_never_reused(ray_session, tmp_path):
     got = got if isinstance(got, pa.Table) else collect_arrow(got)
     # base rows a/b survived the append into the consolidated-only dir
     assert got["doc_id"].to_pylist() == ["a", "b", "d", "e"]
+
+
+def test_sql_describe_and_show_tables(ray_session, tmp_path):
+    import pyarrow.parquet as _pq
+
+    from arcade_ray.pipeline.encode import encode_parquet
+    from arcade_ray.sql import sql_query
+
+    t = pa.table({"doc_id": pa.array(["a", "b"]),
+                  "source": pa.array(["s0", "s1"]),
+                  "n": pa.array([1, 2], type=pa.int64()),
+                  "toks": pa.array([[1, 2], [3]],
+                                   type=pa.list_(pa.int32()))})
+    p = str(tmp_path / "t.parquet")
+    _pq.write_table(t, p)
+    out = str(tmp_path / "enc")
+    encode_parquet(p, out, key_col="source", id_col="doc_id",
+                   weight_col=None)
+    mem = pa.table({"k": pa.array([9], pa.int64())})
+    tb = {"docs": out, "m": mem}
+
+    d = sql_query("DESCRIBE docs", tb)
+    got = {r["column_name"]: r["column_type"] for r in d.to_pylist()}
+    assert got == {"doc_id": "string", "source": "string",
+                   "n": "int64", "toks": "list<element: int32>"}
+    s = sql_query("SHOW TABLES", tb)
+    rows = {r["name"]: r for r in s.to_pylist()}
+    assert rows["docs"]["kind"] == "encoded"
+    assert rows["docs"]["rows"] == 2
+    assert rows["docs"]["partitions"] >= 2
+    assert rows["m"] == {"name": "m", "kind": "memory", "rows": 1,
+                         "partitions": None}
