@@ -641,12 +641,37 @@ def cmd_sql(args) -> None:
     a preview or write parquet with --out."""
     from .sql import sql_query
 
+    if (args.query is None) == (args.file is None):
+        raise SystemExit("sql needs exactly one of: a query string, "
+                         "or --file script.sql")
     tables = {}
     for spec in args.table:
         name, _, d = spec.partition("=")
         if not d:
             raise SystemExit(f"--table needs name=dir, got {spec!r}")
         tables[name] = d
+    if args.file:
+        # script mode: statements share ONE session catalog, so CTAS
+        # registrations feed later statements; each result prints a
+        # compact summary (row streams show a preview, not a collect)
+        from .sql import run_script
+
+        with open(args.file) as f:
+            script = f.read()
+        t0 = time.perf_counter()
+        for stmt, res in run_script(script, tables,
+                                    workspace=args.workspace):
+            head = " ".join(stmt.split())[:72]
+            import pyarrow as pa
+
+            if isinstance(res, pa.Table):
+                print(f"-- {head}")
+                print(res.to_pandas().to_string(max_rows=args.show))
+            else:
+                n = res.count()
+                print(f"-- {head}\n[{n}-row stream]")
+        print(f"script done in {time.perf_counter() - t0:.2f} s")
+        return
     if args.explain:
         from .sql import explain_sql
 
@@ -941,7 +966,10 @@ def main(argv=None) -> None:
     sq = sub.add_parser("sql", help="run a SQL subset against encoded "
                         "dirs (parsed by DuckDB, executed by the "
                         "engine's zone-pruned operators)")
-    sq.add_argument("query")
+    sq.add_argument("query", nargs="?", default=None)
+    sq.add_argument("--file", help="run a multi-statement .sql script "
+                    "(shared session catalog; ';' separated, -- "
+                    "comments)")
     sq.add_argument("--table", action="append", required=True,
                     metavar="NAME=DIR",
                     help="bind a table name to an encoded dir "

@@ -5741,3 +5741,54 @@ def _run_agg_query(src, node: dict, select: list,
     table = pa.table(dict(zip(names, cols))) if names else pa.table({})
     # ORDER BY may reference aggregate atoms not in the select list
     return _apply_order_limit(table, node, env, atoms, select)
+
+
+def split_statements(script: str) -> list[str]:
+    """Split a SQL script into statements on ';', honoring
+    single-quoted strings (with '' escapes) and line comments
+    (``-- ...``). Empty statements drop."""
+    out, buf = [], []
+    i, n = 0, len(script)
+    while i < n:
+        ch = script[i]
+        if ch == "'":
+            buf.append(ch)
+            i += 1
+            while i < n:
+                buf.append(script[i])
+                if script[i] == "'":
+                    if i + 1 < n and script[i + 1] == "'":
+                        buf.append("'")
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                i += 1
+            continue
+        if ch == "-" and i + 1 < n and script[i + 1] == "-":
+            while i < n and script[i] != "\n":
+                i += 1
+            continue
+        if ch == ";":
+            s = "".join(buf).strip()
+            if s:
+                out.append(s)
+            buf = []
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    s = "".join(buf).strip()
+    if s:
+        out.append(s)
+    return out
+
+
+def run_script(script: str, tables: dict[str, str],
+               workspace: str | None = None):
+    """Execute a multi-statement SQL script against one shared session
+    catalog (``tables`` — CTAS registrations persist across
+    statements). Yields ``(statement, result)`` pairs; row streams
+    stay lazy."""
+    for stmt in split_statements(script):
+        yield stmt, sql_query(stmt, tables, workspace=workspace)

@@ -419,3 +419,46 @@ def test_cli_sql_ctas_roundtrip(tmp_path):
         "WHERE n_tok > 40 GROUP BY source ORDER BY source").fetchall()
     for src_name, n in exp:
         assert f"{src_name}" in out.stdout and str(n) in out.stdout
+
+
+def test_cli_sql_script_mode(ray_session, tmp_path, capsys):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from arcade_ray.cli import cmd_sql
+    from arcade_ray.pipeline.encode import encode_parquet
+
+    t = pa.table({"doc_id": pa.array([f"d{i}" for i in range(30)]),
+                  "source": pa.array([f"s{i % 3}" for i in range(30)]),
+                  "n": pa.array(list(range(30)), type=pa.int64())})
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(t, p)
+    out = str(tmp_path / "enc")
+    encode_parquet(p, out, key_col="source", id_col="doc_id",
+                   weight_col=None)
+    script = tmp_path / "s.sql"
+    script.write_text(
+        "-- pipeline\n"
+        "CREATE TABLE agg PARTITION BY (source) AS "
+        "SELECT source, COUNT(*) AS c FROM t GROUP BY source;\n"
+        "SELECT SUM(c) AS total FROM agg;\n"
+        "SHOW TABLES;\n"
+        "DROP TABLE agg\n")
+    binding = [f"t={out}"]
+
+    class A:
+        query = None
+        file = str(script)
+        table = binding
+        workspace = str(tmp_path / "ws")
+        show = 20
+        explain = False
+        encode_out = None
+        out = None
+
+    cmd_sql(A())
+    o = capsys.readouterr().out
+    assert "total" in o and "agg" in o and "script done" in o
+    import os as _os
+
+    assert not _os.path.exists(str(tmp_path / "ws" / "agg"))
