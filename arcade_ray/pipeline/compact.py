@@ -110,17 +110,40 @@ def compact(out_dir: str, weight_cap: int | None = None,
         threshold = small_fraction * (weight_cap if weight_cap else biggest)
         small = sorted((p for p in parts if p["raw_bytes"] < threshold),
                        key=lambda p: p["raw_bytes"])
+        bins: list[list[dict]] = []
         group: list[dict] = []
         size = 0
         for p in small:
             if group and size + p["raw_bytes"] > cap:
                 if len(group) >= 2:
-                    jobs.append((source, list(group)))
+                    bins.append(list(group))
                 group, size = [], 0
             group.append(p)
             size += p["raw_bytes"]
         if len(group) >= 2:
-            jobs.append((source, group))
+            bins.append(group)
+        if collapse_generations:
+            # VACUUM must be able to FOLD generation tails into the
+            # base even when the base partition itself is not small:
+            # seed one bin with the smallest base partition, else a
+            # lone generation append can never collapse (and a
+            # column-omitting append would keep its narrow schema
+            # forever instead of back-filling NULL via promote)
+            binned = {id(p) for b in bins for p in b}
+            loose = [p for p in small
+                     if generation_of_row(p) and id(p) not in binned]
+            has_base_bin = any(not generation_of_row(p)
+                               for b in bins for p in b)
+            base_parts = [p for p in parts if not generation_of_row(p)
+                          and id(p) not in binned]
+            if base_parts and (loose or (bins and not has_base_bin)):
+                seed = min(base_parts, key=lambda p: p["raw_bytes"])
+                if bins:
+                    bins[0].append(seed)
+                    bins[0].extend(loose)
+                else:
+                    bins.append(loose + [seed])
+        jobs.extend((source, b) for b in bins if len(b) >= 2)
 
     if not jobs:
         # still heal any stale tombstones a crashed earlier compaction
@@ -361,6 +384,15 @@ def update_rows(out_dir: str, preds, assignments: dict,
     pruned = 0
     for r in rows:
         stats = json.loads(r["col_stats"])
+        # validate BEFORE any task commits (the merge_rows rule): a
+        # generation appended without a SET column must refuse up
+        # front, not KeyError mid-update after siblings rewrote
+        missing = [c for c in assignments if c not in stats]
+        if missing:
+            raise KeyError(
+                f"partition {r['part_key']!r} (generation "
+                f"{generation_of_row(r)!r}) lacks column(s) {missing} "
+                "— UPDATE refuses rather than half-apply")
         if _zone_excluded(header0, stats, tree):
             pruned += 1
             continue

@@ -306,12 +306,14 @@ def test_update_rows_int_and_callable(ray_session, tmp_path):
         assert m.loc[did, "source"] == dfi.loc[did, "source"]
 
 
-def test_collapse_single_generation_group_keeps_gen_key(ray_session,
-                                                        tmp_path):
-    """A collapse-mode group containing ONLY one generation's
-    partitions must mint a generation-scoped '#c' key: a bare
-    '{source}#c..' key would later group with the base under a PLAIN
-    compact and silently fold the generation."""
+def test_collapse_folds_tails_into_base_and_keeps_gen_without_base(
+        ray_session, tmp_path):
+    """collapse_generations: generation tails FOLD into the base when
+    a base partition exists (seeded bin — even a lone append
+    collapses, schemas back-fill via promote); a source with NO base
+    partitions merges its tails as a single-generation group whose
+    '#c' key stays generation-scoped, so a later plain compact cannot
+    fold it into anything."""
     import ray.data as rd
 
     from arcade_ray.collect import collect_arrow
@@ -329,28 +331,28 @@ def test_collapse_single_generation_group_keeps_gen_key(ray_session,
     encode_dataset(rd.from_arrow(big), out, key_col="source",
                    id_col="doc_id", weight_col=None)
     gen_rows = pa.table({
-        "doc_id": pa.array([f"g{i:03d}" for i in range(40)]),
-        "source": pa.array(["s0"] * 40),
-        "text": pa.array(["y" * 50] * 40),
+        # s0 tails fold into the existing base; s9 has NO base
+        "doc_id": pa.array([f"g{i:03d}" for i in range(60)]),
+        "source": pa.array(["s0"] * 40 + ["s9"] * 20),
+        "text": pa.array(["y" * 50] * 60),
     })
-    # tiny weight cap -> the generation splits into several partitions
     encode_dataset(rd.from_arrow(gen_rows), out, key_col="source",
                    id_col="doc_id", weight_col=None, generation="g1",
                    weight_cap=12)
-    man0 = load_manifest(out)
-    g1_keys0 = [k for k, g in zip(man0["part_key"].to_pylist(),
-                                  man0["generation"].to_pylist())
-                if g == "g1"]
-    assert len(g1_keys0) >= 2
     compact(out, sort_by="doc_id", collapse_generations=True)
     man = load_manifest(out)
-    g1 = [(k, g) for k, g in zip(man["part_key"].to_pylist(),
-                                 man["generation"].to_pylist())
-          if g == "g1"]
-    assert g1 and all(k.startswith("s0@g1#") for k, _ in g1), g1
+    keys = man["part_key"].to_pylist()
+    gens = man["generation"].to_pylist()
+    # s0's g1 tails folded into the base generation
+    assert not any(k.startswith("s0@g1#") for k in keys), keys
+    assert collect_arrow(decode_dataset(out)).num_rows == 4060
+    # s9 (no base) merged as a single-generation group, key scoped
+    s9 = [(k, g) for k, g in zip(keys, gens) if k.startswith("s9")]
+    assert s9 and all(k.startswith("s9@g1#") and g == "g1"
+                      for k, g in s9), s9
     t = collect_arrow(decode_dataset(out, generation="g1"))
-    assert t.num_rows == 40
-    # a later PLAIN compact must not fold g1 into the base
+    assert t.num_rows == 20  # the unfolded s9 rows keep their scope
+    # a later PLAIN compact must not fold s9's generation
     compact(out, sort_by="doc_id")
     t2 = collect_arrow(decode_dataset(out, generation="g1"))
-    assert t2.num_rows == 40
+    assert t2.num_rows == 20

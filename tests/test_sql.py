@@ -2272,3 +2272,44 @@ def test_sql_describe_and_show_tables(ray_session, tmp_path):
     assert rows["docs"]["partitions"] >= 2
     assert rows["m"] == {"name": "m", "kind": "memory", "rows": 1,
                          "partitions": None}
+
+
+def test_narrow_generation_update_lifecycle(ray_session, tmp_path):
+    """A generation appended WITHOUT a column: UPDATE SET on that
+    column refuses up front (no half-apply); scans surface NULL; and
+    after VACUUM folds the generation (null back-fill via promote)
+    the same UPDATE works."""
+    import pyarrow.parquet as _pq
+    import pytest as _pt
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.pipeline.encode import encode_parquet
+    from arcade_ray.sql import sql_query
+
+    t = pa.table({"doc_id": pa.array(["a", "b"]),
+                  "source": pa.array(["s0", "s0"]),
+                  "tag": pa.array(["t1", "t2"]),
+                  "n": pa.array([1, 2], type=pa.int64())})
+    p = str(tmp_path / "t.parquet")
+    _pq.write_table(t, p)
+    out = str(tmp_path / "enc")
+    encode_parquet(p, out, key_col="source", id_col="doc_id",
+                   weight_col=None)
+    tb = {"docs": out}
+    sql_query("INSERT INTO docs (doc_id, source, n) VALUES "
+              "('c', 's0', 3)", tb)
+    got = sql_query("SELECT doc_id, tag FROM docs ORDER BY doc_id", tb)
+    got = got if isinstance(got, pa.Table) else collect_arrow(got)
+    assert got["tag"].to_pylist() == ["t1", "t2", None]
+    with _pt.raises(KeyError, match="lacks column"):
+        sql_query("UPDATE docs SET tag = 'x' WHERE n >= 1", tb)
+    # nothing half-applied
+    got2 = sql_query("SELECT tag FROM docs WHERE doc_id = 'a'", tb)
+    got2 = got2 if isinstance(got2, pa.Table) else collect_arrow(got2)
+    assert got2["tag"].to_pylist() == ["t1"]
+    sql_query("VACUUM docs", tb)
+    r = sql_query("UPDATE docs SET tag = 'x' WHERE n >= 3", tb)
+    assert r.to_pylist()[0]["rows_updated"] == 1
+    got3 = sql_query("SELECT doc_id, tag FROM docs ORDER BY doc_id", tb)
+    got3 = got3 if isinstance(got3, pa.Table) else collect_arrow(got3)
+    assert got3["tag"].to_pylist() == ["t1", "t2", "x"]
