@@ -776,6 +776,20 @@ def q_sql_ctas(sf_dir: str) -> pa.Table:
     return res if isinstance(res, pa.Table) else _collect(res)
 
 
+def q_token_novelty(sf_dir: str) -> pa.Table:
+    """Per-sequence corpus-frequency (novelty) signal over the
+    tokenized documents (tokenops.token_novelty_stats): integer-exact
+    (n_tokens, freq_sum) vs the UNNEST + count-join oracle — the
+    rare-token / boilerplate quality gate, computed with one
+    broadcast count lookup and zero shuffles."""
+    from .tokenops import token_novelty_stats
+
+    out = token_novelty_stats(_toks_ds(sf_dir))
+    return _collect(out.map_batches(
+        lambda b: b.select(["doc_id", "n_tokens", "freq_sum"]),
+        batch_format="pyarrow"))
+
+
 def q_token_minhash_pairs(sf_dir: str) -> pa.Table:
     """Near-dup pairs over PRE-TOKENIZED sequences
     (tokenops.token_minhash_pairs): MinHash-LSH on token trigram sets
@@ -2960,6 +2974,7 @@ QUERIES = {
     "sql_ctas": q_sql_ctas,
     "sql_merge_upsert": q_sql_merge_upsert,
     "token_minhash_pairs": q_token_minhash_pairs,
+    "token_novelty": q_token_novelty,
     "near_dedup_incremental": q_near_dedup_incremental,
     "ann_filtered_topk": q_ann_filtered_topk,
     "sql_vacuum_lifecycle": q_sql_vacuum_lifecycle,
@@ -3598,6 +3613,18 @@ ORACLE_SQL = {
         "WHERE t IN (SELECT t FROM ev)) "
         "SELECT doc_id FROM documents "
         "WHERE doc_id NOT IN (SELECT doc_id FROM bad)"
+    ),
+    "token_novelty": (
+        "WITH " + _TOKS_CTE + ", "
+        "tc AS (SELECT tok AS token, COUNT(*) AS n FROM "
+        "(SELECT unnest(tokens) AS tok FROM toks) GROUP BY tok), "
+        "te AS (SELECT doc_id, unnest(tokens) AS tok FROM toks), "
+        "tj AS (SELECT te.doc_id, COUNT(*) AS n_tokens, "
+        "SUM(tc.n) AS freq_sum FROM te JOIN tc ON te.tok = tc.token "
+        "GROUP BY te.doc_id) "
+        "SELECT t.doc_id, CAST(coalesce(tj.n_tokens, 0) AS BIGINT) "
+        "AS n_tokens, CAST(coalesce(tj.freq_sum, 0) AS BIGINT) "
+        "AS freq_sum FROM toks t LEFT JOIN tj USING (doc_id)"
     ),
     "remap_tokens": (
         "WITH " + _TOKS_CTE + " "

@@ -29,7 +29,7 @@ __all__ = [
     "token_contaminated_ids", "decontaminate_tokens",
     "token_repetition_stats", "remap_tokens",
     "batch_token_minhash_signatures", "token_minhash_band_rows",
-    "token_minhash_pairs",
+    "token_minhash_pairs", "token_novelty_stats",
 ]
 
 
@@ -473,3 +473,64 @@ def token_minhash_pairs(ds, tokens_col: str = "tokens",
     return lsh_pairs_verify(ds, sig_ds, id_col, [tokens_col], verify,
                             max_bucket=max_bucket, derive_fn=derive,
                             as_refs=as_refs)
+
+
+def token_novelty_stats(ds, tokens_col: str = "tokens",
+                        id_col: str = "doc_id",
+                        counts: pa.Table | None = None):
+    """Per-sequence corpus-frequency (novelty) signal — the
+    rare-token quality gate: sequences dominated by corpus-rare ids
+    are candidate noise, sequences of only ultra-common ids are
+    candidate boilerplate. Emits integer-exact
+    ``(id_col, n_tokens, freq_sum)`` — ``freq_sum`` = sum over the
+    sequence of each token's CORPUS occurrence count — plus
+    ``mean_logfreq`` (mean ln(count), the unigram-LM surprisal up to
+    a constant; float convenience, derived from the exact ints).
+
+    ``counts`` defaults to :func:`token_unigram_stats` over ``ds``
+    (one extra pass); pass a precomputed table to amortize. The count
+    table broadcasts once via ``ray.put`` as sorted arrays; each
+    batch is one flatten + searchsorted + reduceat — no shuffle."""
+    import ray
+
+    if counts is None:
+        counts = token_unigram_stats(ds, tokens_col=tokens_col)
+    toks = counts["token"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    ns = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(toks, kind="stable")
+    ref = ray.put((toks[order], ns[order]))
+
+    def run(b: pa.Table) -> pa.Table:
+        st, sn = ray.get(ref)
+        vals, doc_of, n_docs = flat_tokens(b[tokens_col])
+        n_tok = np.bincount(doc_of, minlength=n_docs).astype(np.int64)
+        if len(vals):
+            pos = np.searchsorted(st, vals)
+            pos[pos == len(st)] = 0
+            hit = st[pos] == vals
+            c = np.where(hit, sn[pos], 0).astype(np.int64)
+            bounds = np.zeros(n_docs + 1, dtype=np.int64)
+            np.cumsum(n_tok, out=bounds[1:])
+            freq = np.add.reduceat(
+                np.concatenate([c, [0]]), bounds[:-1])
+            freq[n_tok == 0] = 0
+            logs = np.zeros(len(c), dtype=np.float64)
+            nz = c > 0
+            logs[nz] = np.log(c[nz])
+            lsum = np.add.reduceat(
+                np.concatenate([logs, [0.0]]), bounds[:-1])
+            lsum[n_tok == 0] = 0.0
+            mean_log = np.where(n_tok > 0, lsum / np.maximum(n_tok, 1),
+                                0.0)
+        else:
+            freq = np.zeros(n_docs, dtype=np.int64)
+            mean_log = np.zeros(n_docs, dtype=np.float64)
+        return pa.table({
+            id_col: b[id_col],
+            "n_tokens": pa.array(n_tok),
+            "freq_sum": pa.array(freq),
+            "mean_logfreq": pa.array(mean_log),
+        })
+
+    return ds.map_batches(run, batch_format="pyarrow")

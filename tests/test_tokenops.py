@@ -127,3 +127,22 @@ def test_token_minhash_signature_consistency(ray_session):
     s2, idx2 = batch_token_minhash_signatures(col2, ngram=3)
     assert idx1.tolist() == [0] and idx2.tolist() == [0, 1]
     assert (s1[0] == s2[1]).all()
+
+
+def test_token_novelty_stats(ray_session):
+    from arcade_ray.tokenops import token_novelty_stats
+
+    # corpus counts: 1 -> 3, 2 -> 2, 7 -> 1
+    ds = _ds([[1, 1, 2], [2, 1], [], [7]])
+    t = collect_arrow(token_novelty_stats(ds)).sort_by("doc_id")
+    assert t["n_tokens"].to_pylist() == [3, 2, 0, 1]
+    # doc0: 3+3+2=8, doc1: 2+3=5, doc2: 0, doc3: 1
+    assert t["freq_sum"].to_pylist() == [8, 5, 0, 1]
+    assert t["mean_logfreq"].to_pylist()[2] == 0.0
+    assert t["mean_logfreq"].to_pylist()[3] == 0.0  # ln(1) = 0
+    # precomputed counts short-circuit the extra pass
+    pre = pa.table({"token": pa.array([1, 2, 7], pa.int32()),
+                    "n": pa.array([3, 2, 1], pa.int64())})
+    t2 = collect_arrow(token_novelty_stats(ds, counts=pre)) \
+        .sort_by("doc_id")
+    assert t2["freq_sum"].to_pylist() == [8, 5, 0, 1]
