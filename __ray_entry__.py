@@ -5,7 +5,7 @@ sf0.001 documents table through the adaptive columnar compression
 engine). ``queries()``/``oracle_sql()`` — per-operator surface checked
 against DuckDB at sf0.01 (see arcade_ray/entry_queries.py).
 
-Query inventory (151 entries, 136 DuckDB-oracled; the driver samples
+Query inventory (153 entries, 138 DuckDB-oracled; the driver samples
 the first 50, curated to cover every operator family). Families:
 
 - engine core: scans/roundtrips (all 10 testdata tables incl.

@@ -651,9 +651,16 @@ def cmd_sql(args) -> None:
             raise SystemExit(f"--table needs name=dir, got {spec!r}")
         tables[name] = d
     if args.file:
+        if args.explain or args.out or args.encode_out:
+            # --explain must never EXECUTE (scripts carry destructive
+            # DML), and --out/--encode-out are single-result flags
+            raise SystemExit(
+                "--file is incompatible with --explain/--out/"
+                "--encode-out; run those per-statement")
         # script mode: statements share ONE session catalog, so CTAS
         # registrations feed later statements; each result prints a
-        # compact summary (row streams show a preview, not a collect)
+        # compact summary (row streams show a bounded preview — a
+        # LIMIT-style early stop, never a full execution)
         from .sql import run_script
 
         with open(args.file) as f:
@@ -668,8 +675,13 @@ def cmd_sql(args) -> None:
                 print(f"-- {head}")
                 print(res.to_pandas().to_string(max_rows=args.show))
             else:
-                n = res.count()
-                print(f"-- {head}\n[{n}-row stream]")
+                rows = res.limit(args.show).take(args.show)
+                print(f"-- {head}\n[row stream; first {len(rows)}]")
+                if rows:
+                    import pandas as _pd
+
+                    print(_pd.DataFrame(rows).to_string(
+                        max_rows=args.show))
         print(f"script done in {time.perf_counter() - t0:.2f} s")
         return
     if args.explain:

@@ -108,41 +108,44 @@ def compact(out_dir: str, weight_cap: int | None = None,
         # smallness is relative to the explicit target size when given,
         # else to the largest sibling (tail-merge mode)
         threshold = small_fraction * (weight_cap if weight_cap else biggest)
-        small = sorted((p for p in parts if p["raw_bytes"] < threshold),
-                       key=lambda p: p["raw_bytes"])
         bins: list[list[dict]] = []
-        group: list[dict] = []
-        size = 0
-        for p in small:
-            if group and size + p["raw_bytes"] > cap:
-                if len(group) >= 2:
-                    bins.append(list(group))
-                group, size = [], 0
-            group.append(p)
-            size += p["raw_bytes"]
-        if len(group) >= 2:
-            bins.append(group)
         if collapse_generations:
-            # VACUUM must be able to FOLD generation tails into the
-            # base even when the base partition itself is not small:
-            # seed one bin with the smallest base partition, else a
-            # lone generation append can never collapse (and a
-            # column-omitting append would keep its narrow schema
-            # forever instead of back-filling NULL via promote)
-            binned = {id(p) for b in bins for p in b}
-            loose = [p for p in small
-                     if generation_of_row(p) and id(p) not in binned]
-            has_base_bin = any(not generation_of_row(p)
-                               for b in bins for p in b)
-            base_parts = [p for p in parts if not generation_of_row(p)
-                          and id(p) not in binned]
-            if base_parts and (loose or (bins and not has_base_bin)):
-                seed = min(base_parts, key=lambda p: p["raw_bytes"])
-                if bins:
-                    bins[0].append(seed)
-                    bins[0].extend(loose)
-                else:
-                    bins.append(loose + [seed])
+            # VACUUM folds EVERY generation partition (regardless of
+            # its own size — a >=threshold append must still collapse,
+            # or an UPDATE on a column it omitted can never succeed)
+            # plus the small base tails into ONE bin per source,
+            # seeded with the smallest base partition so schemas
+            # back-fill NULL via promote. The bin is bounded by the
+            # source's total bytes — VACUUM may rewrite up to the full
+            # source once, the lakehouse-OPTIMIZE trade.
+            gen_parts = [p for p in parts if generation_of_row(p)]
+            small_base = [p for p in parts
+                          if not generation_of_row(p)
+                          and p["raw_bytes"] < threshold]
+            base_rest = [p for p in parts
+                         if not generation_of_row(p)
+                         and p["raw_bytes"] >= threshold]
+            group = gen_parts + small_base
+            if group and base_rest:
+                group = group + [min(base_rest,
+                                     key=lambda p: p["raw_bytes"])]
+            if len(group) >= 2:
+                bins = [group]
+        else:
+            small = sorted(
+                (p for p in parts if p["raw_bytes"] < threshold),
+                key=lambda p: p["raw_bytes"])
+            group = []
+            size = 0
+            for p in small:
+                if group and size + p["raw_bytes"] > cap:
+                    if len(group) >= 2:
+                        bins.append(list(group))
+                    group, size = [], 0
+                group.append(p)
+                size += p["raw_bytes"]
+            if len(group) >= 2:
+                bins.append(group)
         jobs.extend((source, b) for b in bins if len(b) >= 2)
 
     if not jobs:
@@ -384,18 +387,20 @@ def update_rows(out_dir: str, preds, assignments: dict,
     pruned = 0
     for r in rows:
         stats = json.loads(r["col_stats"])
-        # validate BEFORE any task commits (the merge_rows rule): a
-        # generation appended without a SET column must refuse up
-        # front, not KeyError mid-update after siblings rewrote
+        if _zone_excluded(header0, stats, tree):
+            pruned += 1
+            continue
+        # validate every CANDIDATE before any task commits (the
+        # merge_rows rule): a generation appended without a SET
+        # column must refuse up front, not KeyError mid-update after
+        # siblings rewrote. Zone-pruned partitions are exempt — the
+        # prune proves no row of theirs can be touched.
         missing = [c for c in assignments if c not in stats]
         if missing:
             raise KeyError(
                 f"partition {r['part_key']!r} (generation "
                 f"{generation_of_row(r)!r}) lacks column(s) {missing} "
                 "— UPDATE refuses rather than half-apply")
-        if _zone_excluded(header0, stats, tree):
-            pruned += 1
-            continue
         candidates.append(r)
 
     def _update_one(row: dict):
@@ -519,19 +524,26 @@ def merge_rows(out_dir: str, key_col: str, src: pa.Table,
     candidates, pruned = [], 0
     for r in rows:
         stats = json.loads(r["col_stats"])
-        # validate BEFORE any task commits: a generation appended
-        # without a SET column would otherwise fail mid-merge after
-        # sibling partitions already rewrote (half-applied MERGE)
-        missing = [c for c in (set_cols + [key_col])
-                   if c not in stats]
+        # a partition lacking the MATCH KEY can't be zone-checked:
+        # refuse before anything commits
+        if key_col not in stats:
+            raise KeyError(
+                f"partition {r['part_key']!r} (generation "
+                f"{generation_of_row(r)!r}) lacks the match key "
+                f"{key_col!r} — MERGE refuses rather than guess")
+        if _zone_excluded(header0, stats, tree):
+            pruned += 1
+            continue
+        # validate every CANDIDATE before any task commits: a
+        # generation appended without a SET column would otherwise
+        # fail mid-merge after sibling partitions already rewrote
+        # (half-applied MERGE). Zone-pruned partitions are exempt.
+        missing = [c for c in set_cols if c not in stats]
         if missing:
             raise KeyError(
                 f"partition {r['part_key']!r} (generation "
                 f"{generation_of_row(r)!r}) lacks column(s) {missing} "
                 "— MERGE refuses rather than half-apply")
-        if _zone_excluded(header0, stats, tree):
-            pruned += 1
-            continue
         candidates.append(r)
 
     import ray

@@ -5744,21 +5744,23 @@ def _run_agg_query(src, node: dict, select: list,
 
 
 def split_statements(script: str) -> list[str]:
-    """Split a SQL script into statements on ';', honoring
-    single-quoted strings (with '' escapes) and line comments
-    (``-- ...``). Empty statements drop."""
+    """Split a SQL script into statements on ';', honoring single- and
+    double-quoted tokens (with doubled-quote escapes), line comments
+    (``-- ...``) and block comments (``/* ... */``). Empty statements
+    drop; comments do not survive into the statements."""
     out, buf = [], []
     i, n = 0, len(script)
     while i < n:
         ch = script[i]
-        if ch == "'":
+        if ch in ("'", '"'):
+            q = ch
             buf.append(ch)
             i += 1
             while i < n:
                 buf.append(script[i])
-                if script[i] == "'":
-                    if i + 1 < n and script[i + 1] == "'":
-                        buf.append("'")
+                if script[i] == q:
+                    if i + 1 < n and script[i + 1] == q:
+                        buf.append(q)
                         i += 2
                         continue
                     i += 1
@@ -5768,6 +5770,10 @@ def split_statements(script: str) -> list[str]:
         if ch == "-" and i + 1 < n and script[i + 1] == "-":
             while i < n and script[i] != "\n":
                 i += 1
+            continue
+        if ch == "/" and i + 1 < n and script[i + 1] == "*":
+            j = script.find("*/", i + 2)
+            i = n if j < 0 else j + 2
             continue
         if ch == ";":
             s = "".join(buf).strip()

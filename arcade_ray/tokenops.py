@@ -505,7 +505,7 @@ def token_novelty_stats(ds, tokens_col: str = "tokens",
         st, sn = ray.get(ref)
         vals, doc_of, n_docs = flat_tokens(b[tokens_col])
         n_tok = np.bincount(doc_of, minlength=n_docs).astype(np.int64)
-        if len(vals):
+        if len(vals) and len(st):
             pos = np.searchsorted(st, vals)
             pos[pos == len(st)] = 0
             hit = st[pos] == vals
