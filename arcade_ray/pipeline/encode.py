@@ -347,7 +347,8 @@ def encode_dataset(ds, out_dir: str, key_col: str = "source",
     _validate_columns(set(in_sch.names),
                       range_partition_col or key_col, id_col, weight_col)
     if isinstance(in_sch.base_schema, pa.Schema):
-        _write_schema_sidecar(out_dir, in_sch.base_schema.remove_metadata())
+        _write_schema_sidecar(out_dir, in_sch.base_schema.remove_metadata(),
+                              replace=not generation and not done)
     _write_encode_meta(out_dir, key_col, id_col, weight_col,
                        range_partition_col, zorder_cols)
     # pandas-backed datasets have a PandasBlockSchema (no pa.Schema to
@@ -807,7 +808,8 @@ def _write_consolidated(out_dir: str, manifest: pa.Table) -> None:
 SCHEMA_SIDECAR = "_schema.arrows"
 
 
-def _write_schema_sidecar(out_dir: str, schema: pa.Schema) -> None:
+def _write_schema_sidecar(out_dir: str, schema: pa.Schema,
+                          replace: bool = False) -> None:
     """Top-level input-schema record (schema-only Arrow IPC stream),
     written atomically. Lets a scan of a legitimately EMPTY encoded
     table (zero committed partitions — e.g. an empty input shard)
@@ -818,8 +820,12 @@ def _write_schema_sidecar(out_dir: str, schema: pa.Schema) -> None:
     replacing it: an INSERT carrying a column subset must not shrink
     the dir's visible schema, and schema evolution's added columns
     must widen it (first-seen field wins on a name collision — the
-    read-time manifest merge governs actual decoding)."""
-    existing = read_schema_sidecar(out_dir)
+    read-time manifest merge governs actual decoding). A FRESH base
+    encode passes ``replace=True`` and overwrites the sidecar outright
+    — otherwise a full re-encode with a renamed/retyped column would
+    keep phantom fields and stale types visible to DESCRIBE and
+    typed-empty scans forever."""
+    existing = None if replace else read_schema_sidecar(out_dir)
     if existing is not None:
         fields = list(existing)
         names = set(existing.names)
@@ -980,7 +986,8 @@ def encode_parquet(paths: list[str] | str, out_dir: str,
     schema_names = set(input_schema.names)
     _validate_columns(schema_names, range_partition_col or key_col,
                       id_col, weight_col)
-    _write_schema_sidecar(out_dir, input_schema.remove_metadata())
+    _write_schema_sidecar(out_dir, input_schema.remove_metadata(),
+                          replace=not generation and not done)
     _write_encode_meta(out_dir, key_col, id_col, weight_col,
                        range_partition_col, zorder_cols)
 

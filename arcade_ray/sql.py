@@ -3700,15 +3700,33 @@ def _parse_merge_source(rest: str, tables: dict):
     (src_table: pa.Table, src_alias: str, tail_after_source)."""
     rest = rest.lstrip()
     if rest.startswith("("):
-        depth = 0
-        for i, ch in enumerate(rest):
-            if ch == "(":
+        # paren depth must skip quoted spans (as split_statements does)
+        # — a string literal containing ')' inside the subquery would
+        # otherwise mis-split the statement
+        depth, i, n = 0, 0, len(rest)
+        while i < n:
+            ch = rest[i]
+            if ch in ("'", '"'):
+                q = ch
+                i += 1
+                while i < n:
+                    if rest[i] == q:
+                        if i + 1 < n and rest[i + 1] == q:
+                            i += 2
+                            continue
+                        break
+                    i += 1
+                if i >= n:
+                    raise SqlUnsupported(
+                        "unterminated quote in MERGE USING")
+            elif ch == "(":
                 depth += 1
             elif ch == ")":
                 depth -= 1
                 if depth == 0:
                     break
-        else:
+            i += 1
+        if depth != 0:
             raise SqlUnsupported("unbalanced parens in MERGE USING")
         inner, after = rest[1:i], rest[i + 1:]
         m = re.match(r"^\s*(?:AS\s+)?(?!ON\b)([A-Za-z_]\w*)\s+(.*)$",
@@ -3791,6 +3809,13 @@ def _run_merge(tname: str, rest: str, tables: dict) -> pa.Table:
     if skey not in src.column_names:
         raise KeyError(f"MERGE source has no column {skey!r}")
     if skey != tkey:
+        if tkey in src.column_names:
+            # renaming skey->tkey would mint a duplicate column and
+            # fail later with an opaque pyarrow error — refuse clearly
+            raise SqlUnsupported(
+                f"MERGE source already has a column {tkey!r}; cannot "
+                f"also rename join key {skey!r} to it — drop or alias "
+                f"the source's {tkey!r} column in the USING query")
         src = src.rename_columns(
             [tkey if c == skey else c for c in src.column_names])
     upd = re.search(
@@ -3977,6 +4002,20 @@ def _run_ctas(replace: bool, name: str, partcols: str | None,
         raise SqlUnsupported("PARTITION BY takes (key_col[, id_col])")
     key_col, id_col = cols[0], cols[-1]
     out = os.path.join(workspace, name)
+    # crash recovery on entry: a previous run that died between the
+    # two swap renames leaves out missing with an .old survivor —
+    # restore it; orphaned .building dirs are incomplete by definition
+    # and are removed so a failed plain CREATE never blocks retry
+    import glob as _glob
+
+    olds = sorted(p for p in _glob.glob(f"{out}.old.*")
+                  if os.path.isdir(p))
+    if olds and not os.path.isdir(out):
+        os.rename(olds.pop(), out)
+    for p in olds:
+        shutil.rmtree(p, ignore_errors=True)
+    for p in _glob.glob(f"{out}.building.*"):
+        shutil.rmtree(p, ignore_errors=True)
     replacing = name in tables or os.path.exists(out)
     if replacing and not replace:
         raise ValueError(
@@ -3987,21 +4026,22 @@ def _run_ctas(replace: bool, name: str, partcols: str | None,
         else f"SELECT * FROM ({body}) __v"), tables)
     if isinstance(res, pa.Table):
         res = rd.from_arrow(res)
-    # OR REPLACE never destroys the old table before the new one is
-    # fully encoded: the body may error, or SELECT from the table it
-    # replaces — so encode into a side dir and swap atomically
-    build = f"{out}.building.{os.getpid()}" if replacing else out
+    # ALWAYS encode into the .building side dir (replace or not): the
+    # body may error, or SELECT from the table it replaces — the final
+    # rename is the only commit point, so a crashed encode leaves no
+    # half-built table dir behind
+    build = f"{out}.building.{os.getpid()}"
     if os.path.isdir(build):
         shutil.rmtree(build)
     man = encode_dataset(res, build, key_col=key_col, id_col=id_col,
                          weight_col=None)
-    if replacing:
+    if os.path.isdir(out):
         old = f"{out}.old.{os.getpid()}"
-        if os.path.isdir(out):
-            os.rename(out, old)
+        os.rename(out, old)
         os.rename(build, out)
-        if os.path.isdir(old):
-            shutil.rmtree(old)
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        os.rename(build, out)
     tables[name] = out
     rows = sum(man["rows"].to_pylist()) if man.num_rows else 0
     return pa.table({"table": pa.array([name], pa.string()),

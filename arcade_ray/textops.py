@@ -2358,11 +2358,22 @@ def build_minhash_index(ds, index_dir: str, text_col: str = "text",
     from .hashing import HASH_VERSION
     from .streams import str_stream_from_arrow
 
+    # meta.json is the COMMIT MARKER: written atomically (tmp+rename)
+    # as the LAST step, so a crashed partial build has no meta.json and
+    # query_minhash_index refuses loudly (FileNotFoundError) instead of
+    # probing a half-written band table and silently reporting no
+    # duplicates. A stale marker from a previous build is removed first
+    # so a rebuild that crashes mid-way is equally detectable.
+    import shutil as _shutil
+
     _os.makedirs(index_dir, exist_ok=True)
-    with open(_os.path.join(index_dir, "meta.json"), "w") as f:
-        _json.dump({"n_perm": n_perm, "bands": bands,
-                    "shingle_k": shingle_k, "n_shards": n_shards,
-                    "id_col": id_col, "hash_version": HASH_VERSION}, f)
+    meta_path = _os.path.join(index_dir, "meta.json")
+    if _os.path.exists(meta_path):
+        _os.remove(meta_path)
+    for sub in ("sigs", "bands"):  # drop any partial-build leftovers
+        p = _os.path.join(index_dir, sub)
+        if _os.path.isdir(p):
+            _shutil.rmtree(p)
 
     def sig_rows(b: pa.Table) -> pa.Table:
         lengths, data, _ = str_stream_from_arrow(b[text_col])
@@ -2407,6 +2418,12 @@ def build_minhash_index(ds, index_dir: str, text_col: str = "text",
 
     sig_ds.map_batches(band_rows, batch_format="pyarrow").write_parquet(
         _os.path.join(index_dir, "bands"), partition_cols=["shard"])
+    tmp = meta_path + f".tmp.{_os.getpid()}"
+    with open(tmp, "w") as f:
+        _json.dump({"n_perm": n_perm, "bands": bands,
+                    "shingle_k": shingle_k, "n_shards": n_shards,
+                    "id_col": id_col, "hash_version": HASH_VERSION}, f)
+    _os.replace(tmp, meta_path)  # the build's single commit point
     return {"rows": int(sig_ds.count()), "dir": index_dir}
 
 
