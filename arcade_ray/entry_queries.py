@@ -2175,11 +2175,64 @@ def q_image_features(sf_dir: str) -> pa.Table:
 
 
 def q_minhash_pairs(sf_dir: str) -> pa.Table:
-    """MinHash-LSH near-duplicate pairs (rows-only)."""
+    """MinHash-LSH near-duplicate pairs, oracled via a planted
+    byte-identical-duplicate contract (the q_semantic_dedup pattern):
+    10 exact clones of doc_id 0..9 (ids +1_000_000) are appended to
+    the corpus. A byte-identical clone has Jaccard exactly 1.0 and an
+    IDENTICAL MinHash signature, so every band key collides and banded
+    LSH surfaces the pair at ANY (n_perm, bands) configuration —
+    recall 1 for the planted set by construction, not probabilistically.
+    The one-row summary asserts facts fully determined by the data
+    (hence SQL-oracle-able): all 10 planted pairs reported at jaccard
+    1.0, and EVERY reported pair's Jaccard — recomputed independently
+    from raw 5-gram substring sets over the parquet bytes, not the
+    engine's rolling hashes — matches the reported value and clears
+    the 0.7 threshold (exact-verify precision)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
     from .textops import minhash_lsh_pairs
 
-    out = minhash_lsh_pairs(_docs_ds(sf_dir), jaccard_threshold=0.7)
-    return _collect(out)
+    path = os.path.join(sf_dir, "documents.parquet")
+    base = pq.read_table(path, columns=["doc_id", "text"])
+    clones = base.filter(pc.less(base["doc_id"], 10))
+    clones = clones.set_column(
+        clones.schema.get_field_index("doc_id"), "doc_id",
+        pc.add(clones["doc_id"], 1_000_000))
+    full = pa.concat_tables([base, clones])
+    out = _collect(minhash_lsh_pairs(rd.from_arrow(full),
+                                     jaccard_threshold=0.7))
+
+    # independent verification over the parquet bytes (driver-side,
+    # bounded by the reported pair count — never the corpus)
+    texts = {int(i): t for i, t in zip(
+        full["doc_id"].to_pylist(), full["text"].to_pylist())}
+
+    def sset(s: str) -> set:
+        if len(s) < 5:
+            return {s}  # matches the engine's short-doc fallback
+        return {s[i:i + 5] for i in range(len(s) - 4)}
+
+    has_rows = out.num_rows > 0 and out.num_columns > 0
+    a = out["id_a"].to_pylist() if has_rows else []
+    b = out["id_b"].to_pylist() if has_rows else []
+    j = out["jaccard"].to_pylist() if has_rows else []
+    planted = 0
+    precision_ok = True
+    for ia, ib, jac in zip(a, b, j):
+        sa, sb = sset(texts[ia]), sset(texts[ib])
+        union = len(sa | sb)
+        raw = len(sa & sb) / union if union else 1.0
+        if abs(raw - jac) > 1e-9 or raw < 0.7:
+            precision_ok = False
+        if ia < 10 and ib == ia + 1_000_000 and jac == 1.0:
+            planted += 1
+    return pa.table({
+        "n_docs": pa.array([len(texts)], pa.int64()),
+        "n_planted_found": pa.array([planted], pa.int64()),
+        "planted_all_found": pa.array([planted == 10], pa.bool_()),
+        "precision_ok": pa.array([precision_ok], pa.bool_()),
+    })
 
 
 def q_simhash_pairs(sf_dir: str) -> pa.Table:
@@ -3494,6 +3547,17 @@ ORACLE_SQL = {
         "CAST(1 AS BOOLEAN) AS survivors_separated "
         "FROM embeddings"
     ),
+    "minhash_pairs": (
+        # planted byte-identical-duplicate contract: 10 exact clones
+        # (jaccard 1.0, identical signatures -> found at ANY LSH
+        # config) + independent raw-substring Jaccard recomputation of
+        # every reported pair — each column fully data-determined
+        "SELECT CAST(count(*) + 10 AS BIGINT) AS n_docs, "
+        "CAST(10 AS BIGINT) AS n_planted_found, "
+        "CAST(1 AS BOOLEAN) AS planted_all_found, "
+        "CAST(1 AS BOOLEAN) AS precision_ok "
+        "FROM documents"
+    ),
     "knn_graph": (
         # DOUBLE[] cast so DuckDB's cosine runs in float64 like
         # numpy; round(4) absorbs summation-order ULPs
@@ -3845,7 +3909,7 @@ ORACLE_SQL = {
         "(9000002, 'de', 'src-ins', 18) "
         "UNION ALL SELECT doc_id + 9100000, lang, 'src-copy', n_chars "
         "FROM documents WHERE n_chars < 60) ORDER BY doc_id"),
-    # compression_metrics, lang_id, quality_scores, minhash_pairs,
+    # compression_metrics, lang_id, quality_scores,
     # simhash_pairs, ann_topk_lsh, decontaminate (n=13): intentionally
     # no oracle (engine-side semantics with no exact SQL equivalent ->
     # driver rows-only check; each has a planted-answer test in tests/)
