@@ -236,11 +236,70 @@ def distributed_pair_verify(ds, cand_tab: pa.Table, id_col: str,
     import numpy as np
 
     bucket = (hash_ints(ids_a) % np.uint64(n_buckets)).astype(np.int64)
-    pairs_ref = ray.put(cand_tab.append_column("_vb", pa.array(bucket)))
     # (id, bucket) need-list, sorted by id: an id's payload may serve
     # several buckets; the route pass replicates it per needing bucket
     need_ids, need_bks = unique_rows2(
         np.concatenate([ids_a, ids_b]), np.concatenate([bucket, bucket]))
+    return _run_verify_exchange(
+        ds, cand_tab.append_column("_vb", pa.array(bucket)),
+        need_ids, need_bks, id_col, payload_cols, verify_fn,
+        n_buckets, derive_fn, as_refs, mode)
+
+
+def distributed_group_verify(ds, memb_tab: pa.Table, id_col: str,
+                             payload_cols: list[str], verify_fn,
+                             group_hash, n_buckets: int | None = None,
+                             derive_fn=None, as_refs: bool = False,
+                             mode: str | None = None):
+    """Exact-verify candidate GROUPS (e.g. exact-dedup hash runs)
+    without materializing candidate payloads on the driver — the
+    group-shaped sibling of :func:`distributed_pair_verify`.
+
+    ``memb_tab``: one row per candidate group MEMBER (group key
+    columns + ``id_col``); fixed-width, driver-held — never text.
+    ``group_hash``: int64/uint64 numpy array, one value per memb_tab
+    row, constant within a group — buckets are assigned on it so a
+    group never splits across verify buckets. Each id belongs to
+    exactly one group, so the need-list maps each id to ONE bucket.
+    ``verify_fn(membs, payload) -> Table`` runs once per bucket with
+    that bucket's member rows and their routed payloads."""
+    import ray
+
+    import numpy as np
+
+    if n_buckets is None:
+        avail = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        n_buckets = max(1, min(64, avail))
+    if mode is None:
+        try:
+            src_bytes = ds.size_bytes()
+        except Exception:
+            src_bytes = None
+        from .diskex import DISK_EXCHANGE_BYTES
+
+        mode = "disk" if src_bytes and src_bytes > DISK_EXCHANGE_BYTES \
+            else "objects"
+    bucket = (np.asarray(group_hash).astype(np.uint64)
+              % np.uint64(n_buckets)).astype(np.int64)
+    ids = memb_tab[id_col].to_numpy(zero_copy_only=False)
+    need_ids, need_bks = unique_rows2(ids, bucket)
+    return _run_verify_exchange(
+        ds, memb_tab.append_column("_vb", pa.array(bucket)),
+        need_ids, need_bks, id_col, payload_cols, verify_fn,
+        n_buckets, derive_fn, as_refs, mode)
+
+
+def _run_verify_exchange(ds, tagged_tab: pa.Table, need_ids, need_bks,
+                         id_col: str, payload_cols: list[str],
+                         verify_fn, n_buckets: int, derive_fn,
+                         as_refs: bool, mode: str):
+    """Shared exchange core of the two verify shapes: route candidate
+    payloads to their ``_vb`` buckets (objects or disk-staged), then
+    one verify task per bucket over (its tagged rows, its payloads)."""
+    import ray
+
+    pairs_ref = ray.put(tagged_tab)
     need_ref = ray.put((need_ids, need_bks))
     routed = ds.map_batches(
         _make_router(need_ref, id_col, payload_cols, derive_fn),

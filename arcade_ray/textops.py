@@ -78,7 +78,7 @@ def dedup_loser_ids(ds, text_col: str = "text", id_col: str = "doc_id",
     anything but the count aggregate."""
     import numpy as np
 
-    from .collect import fetch_by_ids, hot_bucket_rows
+    from .collect import distributed_group_verify, hot_bucket_rows
 
     sig_ds = ds.map_batches(lambda b: dedup_signatures(b, text_col, id_col),
                             batch_format="pyarrow").materialize()
@@ -108,38 +108,56 @@ def dedup_loser_ids(ds, text_col: str = "text", id_col: str = "doc_id",
     if len(cand_ids) == 0:
         return empty
     # verify on actual text: within a hash group, one survivor (min
-    # id) per DISTINCT text — colliding-but-different texts all survive
-    fetch_cols = [id_col, text_col] + (
-        [priority_col] if priority_col else [])
-    texts = fetch_by_ids(ds, id_col, cand_ids.tolist(), columns=fetch_cols)
-    key = pa.table({
+    # id) per DISTINCT text — colliding-but-different texts all survive.
+    # DISTRIBUTED (round-4 review item): candidate texts route to
+    # hash-bucket verify tasks (distributed_group_verify — a group
+    # never splits across buckets), each bucket resolves its groups
+    # and returns LOSER IDS ONLY, so driver residency is O(candidate
+    # ids), never O(duplicate-run text bytes) — at 100 TB with a
+    # template-heavy corpus the old fetch_by_ids->driver collect was
+    # tens of TB of driver-resident text.
+    memb = pa.table({
         "_h": pa.array(h1s[in_dup_run]),
         "_h2": pa.array(h2s[in_dup_run]),
-        id_col: pa.array(ids_s[in_dup_run], type=texts[id_col].type),
+        id_col: pa.array(ids_s[in_dup_run], type=id_type),
     })
-    t = key.join(texts, keys=id_col, join_type="inner")
-    sort_keys = [("_h", "ascending"), ("_h2", "ascending"),
-                 (text_col, "ascending")]
-    if priority_col:
-        sort_keys.append((priority_col, "descending"))
-    sort_keys.append((id_col, "ascending"))
-    idx = pc.sort_indices(t, sort_keys=sort_keys)
-    t = t.take(idx)
-    txt = t[text_col].combine_chunks()
-    n = t.num_rows
-    same_hash = np.empty(n, dtype=bool)
-    same_hash[0] = False
-    for c in ("_h", "_h2"):
-        a = t[c].to_numpy(zero_copy_only=False)
-        if c == "_h":
-            same_hash[1:] = a[1:] == a[:-1]
-        else:
-            same_hash[1:] &= a[1:] == a[:-1]
-    same_text = np.zeros(n, dtype=bool)
-    if n > 1:
-        same_text[1:] = pc.equal(txt.slice(1), txt.slice(0, n - 1)).to_numpy(
-            zero_copy_only=False)
-    losers = t[id_col].to_numpy(zero_copy_only=False)[same_hash & same_text]
+    payload_cols = [text_col] + ([priority_col] if priority_col else [])
+
+    def resolve_groups(membs: pa.Table, payload: pa.Table) -> pa.Table:
+        t = membs.join(payload, keys=id_col, join_type="inner")
+        n = t.num_rows
+        if n == 0:
+            return pa.table({id_col: pa.array([], id_type)})
+        sort_keys = [("_h", "ascending"), ("_h2", "ascending"),
+                     (text_col, "ascending")]
+        if priority_col:
+            sort_keys.append((priority_col, "descending"))
+        sort_keys.append((id_col, "ascending"))
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        txt = t[text_col].combine_chunks()
+        same_hash = np.empty(n, dtype=bool)
+        same_hash[0] = False
+        for c in ("_h", "_h2"):
+            a = t[c].to_numpy(zero_copy_only=False)
+            if c == "_h":
+                same_hash[1:] = a[1:] == a[:-1]
+            else:
+                same_hash[1:] &= a[1:] == a[:-1]
+        same_text = np.zeros(n, dtype=bool)
+        if n > 1:
+            same_text[1:] = pc.equal(
+                txt.slice(1), txt.slice(0, n - 1)).to_numpy(
+                    zero_copy_only=False)
+        losers = t[id_col].to_numpy(
+            zero_copy_only=False)[same_hash & same_text]
+        return pa.table({id_col: pa.array(losers, type=id_type)})
+
+    out = distributed_group_verify(
+        ds, memb, id_col, payload_cols, resolve_groups,
+        group_hash=h1s[in_dup_run].view(np.uint64))
+    if out.num_rows == 0 or out.num_columns == 0:
+        return empty
+    losers = out[id_col].to_numpy(zero_copy_only=False)
     return pa.table({id_col: pa.array(np.sort(losers), type=id_type)})
 
 

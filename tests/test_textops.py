@@ -376,6 +376,63 @@ def test_embedding_distributed_candidate_path(ray_session, monkeypatch):
     assert big.num_rows == small.num_rows > 0
 
 
+def test_exact_dedup_verify_is_distributed(ray_session, monkeypatch):
+    """exact_dedup's text-verify stage must NOT materialize candidate
+    texts on the driver (round-4 scale flag): a planted duplicate run
+    of 50 identical docs + 30 distinct docs goes through exact_dedup
+    with the driver-side fetch path poisoned — survivors must come
+    from the distributed group-verify alone."""
+    import ray.data as rd
+
+    import arcade_ray.collect as collect
+    from arcade_ray.textops import exact_dedup
+
+    texts = ["the same duplicated body " * 20] * 50
+    texts += [f"unique document {i} " + " ".join(
+        f"tok{i}_{j}" for j in range(15)) for i in range(30)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(80)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    }))
+
+    def poisoned(*a, **k):
+        raise AssertionError(
+            "fetch_by_ids called from the exact-dedup verify path — "
+            "candidate texts materialized on the driver")
+
+    monkeypatch.setattr(collect, "fetch_by_ids", poisoned)
+    out = exact_dedup(ds).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    # one survivor (min id 0) for the 50-run; all 30 distinct docs kept
+    assert out["doc_id"].tolist() == [0] + list(range(50, 80))
+
+
+def test_exact_dedup_distributed_string_ids_and_priority(ray_session,
+                                                         monkeypatch):
+    """The distributed group-verify preserves semantics for string ids
+    and keep-the-best priority (both flow through the routed payload
+    exchange), with the driver fetch poisoned."""
+    import ray.data as rd
+
+    import arcade_ray.collect as collect
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.textops import exact_dedup
+
+    monkeypatch.setattr(
+        collect, "fetch_by_ids",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("driver")))
+    t = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(7)]),
+        "text": pa.array(["aa", "aa", "aa", "bb", "bb", "cc", "dd"]),
+        "prio": pa.array([5, 9, 9, 1, 1, 0, 3], type=pa.int64()),
+    })
+    out = collect_arrow(exact_dedup(
+        rd.from_arrow(t), priority_col="prio")).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    # aa: max prio 9 at {d1,d2} -> min id d1; bb: tie -> d3
+    assert out["doc_id"].tolist() == ["d1", "d3", "d5", "d6"]
+
+
 def test_exact_dedup_priority_keeps_best(ray_session):
     """priority_col survivor: max priority wins, ties fall back to min
     id; losers are the rest of each duplicate group."""
