@@ -750,6 +750,48 @@ def q_sql_insert_lifecycle(sf_dir: str) -> pa.Table:
     return res if isinstance(res, pa.Table) else _collect(res)
 
 
+def q_sql_insert_clustered(sf_dir: str) -> pa.Table:
+    """SQL INSERT into a Z-ORDER-clustered dir (round-4 review gap,
+    now supported): events encodes Z-ordered on (user_id, ts); the
+    INSERT generation re-derives the Morton key from the persisted
+    plan so appended rows land in range partitions matching the base
+    layout, and the final 2-D box filter answers exactly across both
+    generations through clustered zone-map pruning. Oracle: the
+    UNION ALL equivalent."""
+    import hashlib as _h
+
+    from .sql import sql_query
+
+    tag = _h.md5(
+        f"{sf_dir}|events-zins|{_CACHE_SALT}".encode()).hexdigest()[:10]
+    out = os.path.join(CACHE_ROOT, f"events-zins-{tag}")
+    if not os.path.exists(out):
+        import shutil as _sh
+
+        from .pipeline.encode import encode_parquet
+
+        build = f"{out}.building"
+        _sh.rmtree(build, ignore_errors=True)
+        encode_parquet(os.path.join(sf_dir, "events.parquet"),
+                       build, key_col="event_type", id_col="event_id",
+                       weight_col=None, weight_cap=4000,
+                       zorder_cols=["user_id", "ts"])
+        sql_query("INSERT INTO events (event_id, ts, user_id, "
+                  "event_type, value, props) VALUES "
+                  "(9000001, TIMESTAMP '2024-01-10 00:00:00', 5, "
+                  "'planted', 1.5, '{}'), "
+                  "(9000002, TIMESTAMP '2024-02-15 12:00:00', 99, "
+                  "'planted', 2.5, '{}')", {"events": build})
+        os.rename(build, out)
+    res = sql_query(
+        "SELECT event_id, user_id, event_type FROM events "
+        "WHERE user_id BETWEEN 3 AND 9 AND ts BETWEEN "
+        "TIMESTAMP '2024-01-05 00:00:00' AND "
+        "TIMESTAMP '2024-01-20 00:00:00' ORDER BY event_id",
+        {"events": out})
+    return res if isinstance(res, pa.Table) else _collect(res)
+
+
 def q_sql_ctas(sf_dir: str) -> pa.Table:
     """CREATE TABLE ... AS end-to-end: a per-(source, lang) aggregate
     of documents encodes as a NEW table under a private workspace
@@ -2978,6 +3020,7 @@ QUERIES = {
     "clustered_range_filter": q_clustered_range_filter,
     "zorder_filter": q_zorder_filter,
     "sql_insert_lifecycle": q_sql_insert_lifecycle,
+    "sql_insert_clustered": q_sql_insert_clustered,
     "compound_filter": q_compound_filter,
     "heavy_hitters": q_heavy_hitters,
     "sql_filter_topk": q_sql_filter_topk,
@@ -3909,6 +3952,16 @@ ORACLE_SQL = {
         "(9000002, 'de', 'src-ins', 18) "
         "UNION ALL SELECT doc_id + 9100000, lang, 'src-copy', n_chars "
         "FROM documents WHERE n_chars < 60) ORDER BY doc_id"),
+    "sql_insert_clustered": (
+        "SELECT event_id, user_id, event_type FROM ("
+        "SELECT event_id, ts, user_id, event_type FROM events "
+        "UNION ALL SELECT * FROM (VALUES "
+        "(9000001, TIMESTAMP '2024-01-10 00:00:00', 5, 'planted'), "
+        "(9000002, TIMESTAMP '2024-02-15 12:00:00', 99, 'planted')"
+        ") v(event_id, ts, user_id, event_type)) "
+        "WHERE user_id BETWEEN 3 AND 9 AND ts BETWEEN "
+        "TIMESTAMP '2024-01-05 00:00:00' AND "
+        "TIMESTAMP '2024-01-20 00:00:00' ORDER BY event_id"),
     # compression_metrics, lang_id, quality_scores,
     # simhash_pairs, ann_topk_lsh, decontaminate (n=13): intentionally
     # no oracle (engine-side semantics with no exact SQL equivalent ->

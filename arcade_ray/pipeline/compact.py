@@ -521,6 +521,26 @@ def merge_rows(out_dir: str, key_col: str, src: pa.Table,
                 raise ValueError("MERGE cannot SET the match key")
     tree = _normalize_pred(("in", key_col, keys.to_pylist()))
 
+    # clustered-dir pre-validation: an insert into a range-/Z-order-
+    # clustered dir needs the clustering input columns in src to route
+    # rows; fail BEFORE any partition rewrites commit (half-applied
+    # MERGE otherwise)
+    if insert_unmatched:
+        from ..zorder import ZORDER_COL
+        from .encode import cluster_input_cols, read_encode_meta
+
+        meta0 = read_encode_meta(out_dir)
+        if meta0 is not None:
+            need = [c for c in cluster_input_cols(meta0)
+                    if c != ZORDER_COL]
+            missing_cl = [c for c in need
+                          if c not in src.column_names]
+            if missing_cl:
+                raise ValueError(
+                    f"MERGE insert into the clustered dir {out_dir} "
+                    f"needs clustering column(s) {missing_cl} in the "
+                    "source — refuse before any rewrite commits")
+
     candidates, pruned = [], 0
     for r in rows:
         stats = json.loads(r["col_stats"])
@@ -640,13 +660,19 @@ def merge_rows(out_dir: str, key_col: str, src: pa.Table,
         if unmatched.num_rows:
             import ray.data as rd
 
-            from .encode import encode_dataset, read_encode_meta
+            from ..zorder import ZORDER_COL
+            from .encode import (clustering_kwargs, encode_dataset,
+                                 read_encode_meta)
 
             meta = read_encode_meta(out_dir)
             if meta is None:
                 raise ValueError(
                     "MERGE insert needs the dir's _encode_meta.json "
                     "(re-encode with a current version)")
+            if meta.get("zorder_cols") \
+                    and ZORDER_COL in unmatched.column_names:
+                # the Morton key re-derives from the persisted plan
+                unmatched = unmatched.drop_columns([ZORDER_COL])
             from .encode import all_generations
 
             existing = all_generations(out_dir)
@@ -659,7 +685,7 @@ def merge_rows(out_dir: str, key_col: str, src: pa.Table,
                 rd.from_arrow(unmatched), out_dir,
                 key_col=meta["key_col"], id_col=meta["id_col"],
                 weight_col=wc if wc in unmatched.column_names else None,
-                generation=gen)
+                generation=gen, **clustering_kwargs(meta))
             rows_inserted = sum(
                 r["rows"] for r in man.to_pylist()
                 if generation_of_row(r) == gen)

@@ -209,6 +209,15 @@ def _range_plan_dataset(ds, out_dir: str, range_col: str,
     import numpy as np
 
     plan = _load_range_plan(out_dir, generation, range_col, resume)
+    if plan is None and generation is not None:
+        # generation APPEND into an existing range-clustered dir:
+        # reuse the BASE plan's cut points so new rows land in range
+        # partitions matching the base layout (readers prune all
+        # generations with one set of boundaries); copied under the
+        # generation's plan path for resume stability
+        plan = _load_range_plan(out_dir, None, range_col, resume)
+        if plan is not None:
+            _save_range_plan(out_dir, generation, plan)
     if plan is not None:
         return plan
     from ..planner import build_range_plan, range_sample
@@ -898,6 +907,35 @@ def read_encode_meta(out_dir: str) -> dict | None:
         return None
     with open(p) as f:
         return json.load(f)
+
+
+def clustering_kwargs(meta: dict) -> dict:
+    """encode_dataset clustering arguments re-derived from a recorded
+    _encode_meta.json, for generation APPENDS into clustered dirs (SQL
+    INSERT / MERGE insert): a Z-order dir passes ``zorder_cols`` only
+    (the Morton key re-derives per row from the persisted
+    zorder_plan.json — meta's range_partition_col is the derived
+    ZORDER_COL and must not be passed alongside), a range-clustered
+    dir passes ``range_partition_col`` (the generation reuses the BASE
+    range plan's cut points, see _range_plan_dataset)."""
+    zc = meta.get("zorder_cols")
+    if zc:
+        return {"zorder_cols": list(zc)}
+    rpc = meta.get("range_partition_col")
+    if rpc:
+        return {"range_partition_col": rpc}
+    return {}
+
+
+def cluster_input_cols(meta: dict) -> list[str]:
+    """The INPUT columns an append into this dir must supply so its
+    rows can be routed into the recorded clustered layout (Z-order
+    source columns, or the range partition column)."""
+    zc = meta.get("zorder_cols")
+    if zc:
+        return list(zc)
+    rpc = meta.get("range_partition_col")
+    return [rpc] if rpc else []
 
 
 DISK_EXCHANGE_BYTES = int(os.environ.get(

@@ -96,6 +96,37 @@ _TYPE_MAP = {
 
 
 def _const_value(node: dict):
+    if node.get("class") == "CAST":
+        # typed literals (TIMESTAMP '...', DATE '...', CAST(c AS t))
+        # in constant positions: evaluate into the engine's value
+        # domain — timestamps compare as epoch-µs int64 (the zone-map
+        # domain timestamp columns encode in), dates as epoch days
+        inner = _const_value(node["child"])
+        if inner is None:
+            return None
+        tid = node["cast_type"]["id"]
+        if tid == "TIMESTAMP":
+            import datetime as _dt
+
+            dt = _dt.datetime.fromisoformat(str(inner))
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=_dt.timezone.utc)
+            return int(dt.timestamp() * 1_000_000)
+        if tid == "DATE":
+            import datetime as _dt
+
+            return (_dt.date.fromisoformat(str(inner))
+                    - _dt.date(1970, 1, 1)).days
+        if tid in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                   "HUGEINT"):
+            return int(inner)
+        if tid in ("FLOAT", "DOUBLE"):
+            return float(inner)
+        if tid == "VARCHAR":
+            return str(inner)
+        if tid == "BOOLEAN":
+            return bool(inner)
+        raise SqlUnsupported(f"CAST to {tid!r} as a constant")
     v = node["value"]
     if v.get("is_null"):
         return None
@@ -3622,9 +3653,11 @@ def _run_insert(tname: str, collist: str | None, body: str,
     one-row summary (rows_inserted, generation)."""
     import ray.data as rd
 
-    from .pipeline.encode import (encode_dataset, generation_of_row,
+    from .pipeline.encode import (cluster_input_cols, clustering_kwargs,
+                                  encode_dataset, generation_of_row,
                                   load_manifest, read_encode_meta,
                                   read_schema_sidecar)
+    from .zorder import ZORDER_COL
 
     target = _dml_target(tname, tables)
     meta = read_encode_meta(target)
@@ -3633,18 +3666,29 @@ def _run_insert(tname: str, collist: str | None, body: str,
         raise SqlUnsupported(
             "INSERT needs the dir's _encode_meta.json/_schema.arrows "
             "(re-encode with a current version to record the layout)")
+    is_zorder = bool(meta.get("zorder_cols"))
     if collist:
         names = [c.strip().strip('"') for c in collist.split(",")]
         unknown = set(names) - set(sch.names)
         if unknown:
             raise KeyError(f"unknown INSERT column(s) {sorted(unknown)}")
+        if is_zorder and ZORDER_COL in names:
+            raise SqlUnsupported(
+                f"{ZORDER_COL!r} is derived from the dir's persisted "
+                f"Z-order plan — omit it from the INSERT column list")
     else:
-        names = list(sch.names)
-    for required in (meta["key_col"], meta["id_col"]):
+        # the Morton key re-derives from the persisted plan; the
+        # source must not (and need not) supply it
+        names = [n for n in sch.names
+                 if not (is_zorder and n == ZORDER_COL)]
+    required_cols = [meta["key_col"], meta["id_col"]] \
+        + [c for c in cluster_input_cols(meta) if c != ZORDER_COL]
+    for required in required_cols:
         if required not in names:
             raise SqlUnsupported(
-                f"INSERT must supply the dir's partition key and id "
-                f"columns ({meta['key_col']!r}, {meta['id_col']!r})")
+                f"INSERT must supply the dir's partition key, id and "
+                f"clustering columns ({required_cols}); missing "
+                f"{required!r}")
     res = _execute_node(_parse(
         body if not body.lstrip().upper().startswith("VALUES")
         else f"SELECT * FROM ({body}) __v"), tables)
@@ -3652,9 +3696,11 @@ def _run_insert(tname: str, collist: str | None, body: str,
         res = rd.from_arrow(res)
     got = res.schema()
     if got is None or len(got.names) != len(names):
+        hint = (f" (the {ZORDER_COL!r} column is derived — exclude it "
+                f"from the source)" if is_zorder else "")
         raise SqlUnsupported(
             f"INSERT source has {len(got.names) if got else 0} "
-            f"columns for {len(names)} target columns")
+            f"columns for {len(names)} target columns{hint}")
     types = {n: sch.field(n).type for n in names}
     src_names = list(got.names)
 
@@ -3681,7 +3727,7 @@ def _run_insert(tname: str, collist: str | None, body: str,
     man = encode_dataset(ds, target, key_col=meta["key_col"],
                          id_col=meta["id_col"],
                          weight_col=wc if wc in names else None,
-                         generation=gen)
+                         generation=gen, **clustering_kwargs(meta))
     ins = sum(r["rows"] for r in man.to_pylist()
               if generation_of_row(r) == gen)
     return pa.table({"rows_inserted": pa.array([ins], pa.int64()),

@@ -2028,12 +2028,16 @@ def test_insert_omitting_weight_col(ray_session, tmp_path):
         {"doc_id": "c", "w": None}]
 
 
-def test_insert_refuses_clustered_layout(ray_session, tmp_path):
+def test_insert_into_clustered_layout_appends(ray_session, tmp_path):
+    """INSERT into a range-clustered dir is SUPPORTED (round-4 review
+    gap closed): the append generation reuses the recorded clustering
+    and the row is visible through range filters afterwards. Omitting
+    the clustering column still refuses clearly."""
     import pyarrow.parquet as _pq
     import pytest as _pt
 
     from arcade_ray.pipeline.encode import encode_parquet
-    from arcade_ray.sql import sql_query
+    from arcade_ray.sql import SqlUnsupported, sql_query
 
     t = pa.table({"doc_id": pa.array([f"d{i}" for i in range(50)]),
                   "source": pa.array([f"s{i % 2}" for i in range(50)]),
@@ -2043,9 +2047,18 @@ def test_insert_refuses_clustered_layout(ray_session, tmp_path):
     out = str(tmp_path / "enc_rp")
     encode_parquet(p, out, key_col="source", id_col="doc_id",
                    weight_col=None, range_partition_col="v")
-    with _pt.raises(ValueError, match="layout mismatch"):
-        sql_query("INSERT INTO docs (doc_id, source, v) VALUES "
-                  "('x', 's0', 999)", {"docs": out})
+    tb = {"docs": out}
+    r = sql_query("INSERT INTO docs (doc_id, source, v) VALUES "
+                  "('x', 's0', 999)", tb)
+    assert r.to_pylist()[0]["rows_inserted"] == 1
+    got = sql_query("SELECT doc_id, v FROM docs WHERE v >= 900", tb)
+    from arcade_ray.collect import collect_arrow as _ca
+    got = got if isinstance(got, pa.Table) else _ca(got)
+    assert got.to_pylist() == [{"doc_id": "x", "v": 999}]
+    # the clustering column is required in the INSERT column list
+    with _pt.raises(SqlUnsupported, match="clustering"):
+        sql_query("INSERT INTO docs (doc_id, source) VALUES "
+                  "('y', 's1')", tb)
 
 
 def test_merge_generation_missing_set_col(ray_session, tmp_path):

@@ -252,3 +252,140 @@ def test_zorder_review_fixes(ray_session, tmp_path, events_tab):
         encode_parquet(src, str(tmp_path / "x2"), key_col="event_type",
                        id_col="event_id", weight_col=None,
                        zorder_cols=["event_type", "ts"])
+
+
+def test_sql_insert_into_zorder_dir(ray_session, tmp_path, events_tab):
+    """SQL INSERT into a Z-order-clustered dir (round-4 review gap):
+    the append generation re-derives the Morton key from the persisted
+    plan, rows land in range partitions matching the base layout, and
+    clustered filters keep pruning across both generations. VACUUM
+    then folds the generation into the base range partitions."""
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.pipeline.encode import encode_parquet
+    from arcade_ray.sql import SqlUnsupported, sql_query
+
+    src = str(tmp_path / "ev.parquet")
+    pq.write_table(events_tab, src)
+    out = str(tmp_path / "enc")
+    encode_parquet(src, out, key_col="event_type", id_col="event_id",
+                   weight_col=None, weight_cap=400,
+                   zorder_cols=["user_id", "ts"])
+    tb = {"ev": out}
+
+    r = sql_query(
+        "INSERT INTO ev (event_id, user_id, ts, event_type) "
+        "VALUES (900001, 55, 150000000, 'tx'), "
+        "(900002, 190, 999999999, 'ty')", tb)
+    assert r.to_pylist()[0]["rows_inserted"] == 2
+
+    got = sql_query("SELECT event_id, user_id FROM ev "
+                    "WHERE event_id >= 900001 ORDER BY event_id", tb)
+    got = got if isinstance(got, pa.Table) else collect_arrow(got)
+    assert got["event_id"].to_pylist() == [900001, 900002]
+
+    # clustered 2-D filter still answers exactly over both generations
+    res = sql_query("SELECT event_id FROM ev WHERE user_id BETWEEN 50 "
+                    "AND 80 AND ts BETWEEN 100000000 AND 300000000", tb)
+    res = res if isinstance(res, pa.Table) else collect_arrow(res)
+    df = events_tab.to_pandas()
+    want = sorted(df[(df.user_id.between(50, 80))
+                     & (df.ts.between(10**8, 3 * 10**8))]
+                  .event_id.tolist() + [900001])
+    assert sorted(res["event_id"].to_pylist()) == want
+
+    # a second INSERT without the zorder source columns refuses
+    with pytest.raises(SqlUnsupported, match="clustering"):
+        sql_query("INSERT INTO ev (event_id, event_type) "
+                  "VALUES (900003, 'tz')", tb)
+    # explicit zorder column in the collist refuses (derived)
+    with pytest.raises(SqlUnsupported, match="derived"):
+        sql_query("INSERT INTO ev (event_id, user_id, ts, event_type, "
+                  "zorder) VALUES (900004, 1, 1, 'tz', 0)", tb)
+
+    # VACUUM folds the generation; answers unchanged
+    sql_query("VACUUM ev", tb)
+    res2 = sql_query("SELECT count(*) AS n FROM ev", tb)
+    res2 = res2 if isinstance(res2, pa.Table) else collect_arrow(res2)
+    assert res2["n"][0].as_py() == events_tab.num_rows + 2
+
+
+def test_sql_insert_into_range_dir(ray_session, tmp_path, events_tab):
+    """SQL INSERT into a range-clustered dir reuses the BASE range
+    plan's cut points for the append generation (no re-sampling), and
+    range filters stay exact over both generations."""
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.pipeline.encode import encode_parquet
+    from arcade_ray.sql import sql_query
+
+    src = str(tmp_path / "ev.parquet")
+    pq.write_table(events_tab, src)
+    out = str(tmp_path / "enc")
+    encode_parquet(src, out, key_col="event_type", id_col="event_id",
+                   weight_col=None, weight_cap=400,
+                   range_partition_col="ts")
+    tb = {"ev": out}
+    r = sql_query(
+        "INSERT INTO ev (event_id, user_id, ts, event_type) "
+        "VALUES (900001, 55, 150000000, 'tx')", tb)
+    assert r.to_pylist()[0]["rows_inserted"] == 1
+    # the append generation reuses the base cut points
+    import glob as _glob
+    gen_plans = _glob.glob(os.path.join(out, "range_plan@ins0000.json"))
+    assert gen_plans, "generation range plan not persisted"
+    with open(gen_plans[0]) as f:
+        gplan = json.load(f)
+    with open(os.path.join(out, "range_plan.json")) as f:
+        bplan = json.load(f)
+    assert gplan["boundaries"] == bplan["boundaries"]
+
+    res = sql_query("SELECT event_id FROM ev WHERE ts BETWEEN "
+                    "100000000 AND 300000000", tb)
+    res = res if isinstance(res, pa.Table) else collect_arrow(res)
+    df = events_tab.to_pandas()
+    want = sorted(df[df.ts.between(10**8, 3 * 10**8)]
+                  .event_id.tolist() + [900001])
+    assert sorted(res["event_id"].to_pylist()) == want
+
+
+def test_sql_merge_into_zorder_dir(ray_session, tmp_path, events_tab):
+    """MERGE upsert into a Z-order dir: matched rows rewrite in place,
+    unmatched rows insert as a generation routed by the persisted
+    Morton plan; a source missing the clustering columns refuses
+    BEFORE any rewrite commits."""
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.pipeline.encode import encode_parquet
+    from arcade_ray.sql import sql_query
+
+    src = str(tmp_path / "ev.parquet")
+    pq.write_table(events_tab, src)
+    out = str(tmp_path / "enc")
+    encode_parquet(src, out, key_col="event_type", id_col="event_id",
+                   weight_col=None, weight_cap=400,
+                   zorder_cols=["user_id", "ts"])
+    upd = pa.table({
+        "event_id": pa.array([0, 900010], pa.int64()),
+        "user_id": pa.array([7, 120], pa.int64()),
+        "ts": pa.array([123, 456789], pa.int64()),
+        "event_type": pa.array(["tm", "tm"]),
+    })
+    tb = {"ev": out, "upd": upd}
+    r = sql_query("MERGE INTO ev USING upd ON ev.event_id = "
+                  "upd.event_id WHEN MATCHED THEN UPDATE SET "
+                  "event_type = upd.event_type "
+                  "WHEN NOT MATCHED THEN INSERT", tb)
+    row = r.to_pylist()[0]
+    assert row["rows_updated"] == 1 and row["rows_inserted"] == 1
+    got = sql_query("SELECT event_id, event_type FROM ev WHERE "
+                    "event_id IN (0, 900010) ORDER BY event_id", tb)
+    got = got if isinstance(got, pa.Table) else collect_arrow(got)
+    assert got["event_type"].to_pylist() == ["tm", "tm"]
+
+    # missing clustering columns in the source: refuse upfront
+    bad = pa.table({"event_id": pa.array([900020], pa.int64()),
+                    "event_type": pa.array(["tq"])})
+    tb["bad"] = bad
+    with pytest.raises(ValueError, match="clustering"):
+        sql_query("MERGE INTO ev USING bad ON ev.event_id = "
+                  "bad.event_id WHEN MATCHED THEN UPDATE SET "
+                  "event_type = bad.event_type "
+                  "WHEN NOT MATCHED THEN INSERT", tb)
