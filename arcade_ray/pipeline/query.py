@@ -1244,6 +1244,55 @@ def _compound_filter_partition(path: str, tree, project: list[str],
     return t.select(project)
 
 
+_GROUP_COMBINE_ROWS = 100_000  # partial rows before tree pre-merge
+_GROUP_COMBINE_BLOCKS = 32
+
+
+def _tree_combine_partials(partials, merge_fn):
+    """Coalesce tree-combine for decode-free group-by partials (the
+    tokenops.token_unigram_stats pattern): when the per-partition
+    partial rows exceed :data:`_GROUP_COMBINE_ROWS` — a
+    high-cardinality group key — repartition into
+    :data:`_GROUP_COMBINE_BLOCKS` blocks and pre-merge each with one
+    vectorized in-block group_by, so the driver fold is bounded by
+    ~blocks x distinct groups instead of partitions x groups.
+    Low-cardinality keys (the dict-encoded common case) skip the extra
+    stage entirely."""
+    mat = partials.materialize()
+    if mat.count() > _GROUP_COMBINE_ROWS:
+        mat = mat.repartition(_GROUP_COMBINE_BLOCKS).map_batches(
+            merge_fn, batch_format="pyarrow", batch_size=None)
+    return mat
+
+
+def _merge_count_partials(b: pa.Table, key_cols: list[str]) -> pa.Table:
+    """In-block merge of (keys..., n_rows) count partials."""
+    if b.num_rows == 0:
+        return b
+    g = b.group_by(key_cols).aggregate([("n_rows", "sum")])
+    cols = {kc: g[kc] for kc in key_cols}
+    cols["n_rows"] = g["n_rows_sum"].cast(pa.int64())
+    return pa.table(cols)
+
+
+def _merge_agg_partials(b: pa.Table, key_cols: list[str],
+                        agg_t: pa.DataType) -> pa.Table:
+    """In-block merge of (keys..., sum_v, min_v, max_v, n_rows)
+    aggregate partials — arrow group_by skips nulls, matching the
+    driver fold's all-null-group (sum_v None) semantics."""
+    if b.num_rows == 0:
+        return b
+    g = b.group_by(key_cols).aggregate(
+        [("sum_v", "sum"), ("min_v", "min"), ("max_v", "max"),
+         ("n_rows", "sum")])
+    cols = {kc: g[kc] for kc in key_cols}
+    cols["sum_v"] = g["sum_v_sum"].cast(agg_t)
+    cols["min_v"] = g["min_v_min"].cast(agg_t)
+    cols["max_v"] = g["max_v_max"].cast(agg_t)
+    cols["n_rows"] = g["n_rows_sum"].cast(pa.int64())
+    return pa.table(cols)
+
+
 def dict_value_counts(out_dir: str, col: str) -> pa.Table:
     """GROUP BY ``col`` -> COUNT(*) computed WITHOUT materializing the
     column's values for any row: per chunk, bit-unpacked dictionary
@@ -1266,7 +1315,9 @@ def dict_value_counts(out_dir: str, col: str) -> pa.Table:
             "n_rows": pa.array([totals[k] for k in keys], type=pa.int64()),
         })
 
-    partials = paths.map_batches(run, batch_format="pyarrow", batch_size=1)
+    partials = _tree_combine_partials(
+        paths.map_batches(run, batch_format="pyarrow", batch_size=1),
+        lambda b: _merge_count_partials(b, [col]))
     totals: dict = {}
     for row in partials.take_all():
         totals[row[col]] = totals.get(row[col], 0) + int(row["n_rows"])
@@ -1399,7 +1450,9 @@ def dict_group_aggregate(out_dir: str, key_col, value_col: str) -> pa.Table:
                                       sums, mins, maxs, counts, integral)
         return to_table(sums, mins, maxs, counts)
 
-    partials = paths.map_batches(run, batch_format="pyarrow", batch_size=1)
+    partials = _tree_combine_partials(
+        paths.map_batches(run, batch_format="pyarrow", batch_size=1),
+        lambda b: _merge_agg_partials(b, key_cols, agg_t))
     sums: dict = {}
     mins: dict = {}
     maxs: dict = {}

@@ -76,8 +76,21 @@ def group_stats(ds, key_col: str, val_col: str):
             [("_v", "count"), ("_v", "sum"), ("_v2", "sum")])
         return g.rename_columns([key_col, "n", "s1", "s2"])
 
+    def premerge(b: pa.Table) -> pa.Table:
+        # in-block partial merge (moment sums are associative)
+        if b.num_rows == 0:
+            return b
+        g = b.group_by(key_col).aggregate(
+            [("n", "sum"), ("s1", "sum"), ("s2", "sum")])
+        return pa.table({key_col: g[key_col],
+                         "n": g["n_sum"].cast(pa.int64()),
+                         "s1": g["s1_sum"], "s2": g["s2_sum"]})
+
+    from .pipeline.query import _tree_combine_partials
+
     merged: dict = {}
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = _tree_combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), premerge)
     for row in partials.take_all():
         k = row[key_col]
         n0, s10, s20 = merged.get(k, (0, 0.0, 0.0))
