@@ -918,6 +918,43 @@ def q_near_dedup_incremental(sf_dir: str) -> pa.Table:
     return query_minhash_index(inc, idx, jaccard_threshold=0.7)
 
 
+def q_simhash_incremental(sf_dir: str) -> pa.Table:
+    """Incremental HAMMING near-dup check against a PERSISTED SimHash
+    band index (textops.build_simhash_index / query_simhash_index):
+    the corpus 4/5 slice indexes once (hive-sharded band buckets
+    carrying the 64-bit signatures); the 1/5 increment probes only its
+    own bucket shards and XOR-popcount-verifies on the carried
+    signatures — corpus text never re-read. Rows-only (banded-SimHash
+    semantics have no SQL equivalent; planted-copy +
+    hash-version-refusal tests in tests/test_textops.py)."""
+    import hashlib as _h
+
+    from .hashing import HASH_VERSION
+    from .textops import build_simhash_index, query_simhash_index
+
+    def _mod5(col):
+        return pc.subtract(col, pc.multiply(pc.divide(col, 5), 5))
+
+    tag = _h.md5(
+        f"{sf_dir}|sh-index|{_CACHE_SALT}|hv{HASH_VERSION}"
+        .encode()).hexdigest()[:10]
+    idx = os.path.join(CACHE_ROOT, f"sh-index-{tag}")
+    if not os.path.exists(idx):
+        build = f"{idx}.building"
+        import shutil as _sh
+
+        _sh.rmtree(build, ignore_errors=True)
+        base = _docs_ds(sf_dir).map_batches(
+            lambda b: b.filter(pc.not_equal(_mod5(b["doc_id"]), 0)),
+            batch_format="pyarrow")
+        build_simhash_index(base, build)
+        os.rename(build, idx)
+    inc = _docs_ds(sf_dir).map_batches(
+        lambda b: b.filter(pc.equal(_mod5(b["doc_id"]), 0)),
+        batch_format="pyarrow")
+    return query_simhash_index(inc, idx, max_hamming=3)
+
+
 def q_sql_merge_upsert(sf_dir: str) -> pa.Table:
     """SQL MERGE INTO (upsert) end-to-end on a PRIVATE encoded copy:
     one statement updates every matched row from a derived source
@@ -3020,7 +3057,6 @@ QUERIES = {
     "clustered_range_filter": q_clustered_range_filter,
     "zorder_filter": q_zorder_filter,
     "sql_insert_lifecycle": q_sql_insert_lifecycle,
-    "sql_insert_clustered": q_sql_insert_clustered,
     "compound_filter": q_compound_filter,
     "heavy_hitters": q_heavy_hitters,
     "sql_filter_topk": q_sql_filter_topk,
@@ -3061,6 +3097,11 @@ QUERIES = {
     "decontaminate_tokens": q_decontaminate_tokens,
     "semantic_dedup": q_semantic_dedup,
     "ann_index_recall": q_ann_index_recall,
+    # --- end of the sampled 50 ---------------------------------------
+    # round-5 additions (oracled where oracle-able, below the fold so
+    # the curated sample above stays stable):
+    "sql_insert_clustered": q_sql_insert_clustered,
+    "simhash_incremental": q_simhash_incremental,
     "tokenize_vocab": q_tokenize_vocab,
     "ts_range_filter": q_ts_range_filter,
     "charngram_stats": q_charngram_stats,

@@ -2600,3 +2600,181 @@ def query_minhash_index(new_ds, index_dir: str,
     })
     return out.sort_by([("new_id", "ascending"),
                         ("index_id", "ascending")])
+
+
+def build_simhash_index(ds, index_dir: str, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        n_shards: int = 64) -> dict:
+    """PERSIST a SimHash band index: build once over the corpus, then
+    :func:`query_simhash_index` checks each INCREMENTAL batch for
+    Hamming-near duplicates against it without re-reading the corpus —
+    the Hamming-family analogue of :func:`build_minhash_index`.
+
+    Layout (hive-partitioned so queries prune at the READ):
+    - ``bands/shard=S/``: (bk int64, id int64, sh int64) rows, one per
+      (doc, band); the 4 x 16-bit band keys follow
+      :func:`simhash_band_rows` (any pair within Hamming<=3 shares at
+      least one band), S = bk mod ``n_shards``. The row CARRIES the
+      full 64-bit signature, so the verify needs no second signature
+      table — 8 extra bytes/row buys one fewer pruned read.
+    - ``meta.json``: parameters + hash version, written atomically as
+      the LAST step (commit marker — a crashed partial build refuses
+      to probe rather than silently missing duplicates).
+
+    ``id_col`` must be integer-typed. Returns {"rows", "dir"}."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from .hashing import HASH_VERSION
+
+    _os.makedirs(index_dir, exist_ok=True)
+    meta_path = _os.path.join(index_dir, "meta.json")
+    if _os.path.exists(meta_path):
+        _os.remove(meta_path)
+    p = _os.path.join(index_dir, "bands")
+    if _os.path.isdir(p):
+        _shutil.rmtree(p)
+
+    def band_rows(b: pa.Table) -> pa.Table:
+        t = simhash_band_rows(b, text_col, id_col)
+        t = t.rename_columns(["bk", "id", "sh"])
+        bk = t["bk"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "shard", pa.array((bk % n_shards + n_shards) % n_shards))
+
+    ds.map_batches(band_rows, batch_format="pyarrow").write_parquet(
+        _os.path.join(index_dir, "bands"), partition_cols=["shard"])
+    import pyarrow.parquet as _pq
+
+    n_band_rows = 0
+    for root, _, files in _os.walk(_os.path.join(index_dir, "bands")):
+        for f in files:
+            if f.endswith(".parquet"):
+                n_band_rows += _pq.read_metadata(
+                    _os.path.join(root, f)).num_rows
+    tmp = meta_path + f".tmp.{_os.getpid()}"
+    with open(tmp, "w") as f:
+        _json.dump({"bands": 4, "n_shards": n_shards, "id_col": id_col,
+                    "hash_version": HASH_VERSION}, f)
+    _os.replace(tmp, meta_path)  # the build's single commit point
+    return {"rows": n_band_rows // 4, "dir": index_dir}
+
+
+def query_simhash_index(new_ds, index_dir: str, max_hamming: int = 3,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> pa.Table:
+    """Hamming-near-duplicate check of an INCREMENTAL batch against a
+    persisted :func:`build_simhash_index`: returns
+    ``(new_id, index_id, hamming)`` for every new document within
+    ``max_hamming`` bits of some indexed document's SimHash (full
+    recall for Hamming<=3 by the 4-band pigeonhole; larger radii are
+    best-effort, as with any banded SimHash).
+
+    Scale shape mirrors query_minhash_index: the new batch is
+    driver-bounded by contract; its band keys select ONLY the matching
+    bucket shards (hive pruning), and the XOR-popcount verify runs on
+    the signatures the band rows already carry — the corpus text is
+    never re-read and the index never loads whole."""
+    import json as _json
+    import os as _os
+
+    import ray
+    import ray.data as rd
+
+    from .collect import collect_arrow
+    from .hashing import HASH_VERSION
+
+    with open(_os.path.join(index_dir, "meta.json")) as f:
+        meta = _json.load(f)
+    if meta.get("hash_version") != HASH_VERSION:
+        raise ValueError(
+            f"index at {index_dir} was built with hash version "
+            f"{meta.get('hash_version')}, current is {HASH_VERSION}: "
+            "rebuild the index (probing would silently miss "
+            "duplicates)")
+    n_shards = meta["n_shards"]
+
+    def new_rows(b: pa.Table) -> pa.Table:
+        h = simhash64(b[text_col])
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        shifts = (np.uint64(16) * np.arange(4, dtype=np.uint64))[:, None]
+        keys = ((h[None, :] >> shifts) & np.uint64(0xFFFF)).astype(np.int64)
+        bk = ((np.arange(4, dtype=np.int64)[:, None] << 16) | keys).T
+        return pa.table({
+            "id": pa.array(ids),
+            "sh": pa.array(h.view(np.int64)),
+            "bks": pa.array(bk.tolist(), type=pa.list_(pa.int64())),
+        })
+
+    new_tab = collect_arrow(new_ds.map_batches(new_rows,
+                                               batch_format="pyarrow"))
+    empty = pa.table({"new_id": pa.array([], pa.int64()),
+                      "index_id": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int64())})
+    if new_tab.num_rows == 0:
+        return empty
+    new_ids = new_tab["id"].to_numpy(zero_copy_only=False)
+    new_sh = new_tab["sh"].to_numpy(zero_copy_only=False).view(np.uint64)
+    bk_mat = np.asarray(new_tab["bks"].to_pylist(), dtype=np.int64)
+    flat_bk = bk_mat.reshape(-1)
+    order = np.argsort(flat_bk)
+    sorted_bk = flat_bk[order]
+    owner = np.repeat(np.arange(len(new_ids)), 4)[order]
+    shards = sorted({int(s) for s in
+                     (sorted_bk % n_shards + n_shards) % n_shards})
+    paths = []
+    for s in shards:
+        d = _os.path.join(index_dir, "bands", f"shard={s}")
+        if _os.path.isdir(d):
+            paths.extend(_os.path.join(d, f)
+                         for f in sorted(_os.listdir(d))
+                         if f.endswith(".parquet"))
+    if not paths:
+        return empty
+    ref = ray.put((sorted_bk, owner))
+
+    def probe(b: pa.Table) -> pa.Table:
+        sbk, own = ray.get(ref)
+        bk = b["bk"].to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(sbk, bk, side="left")
+        hi = np.searchsorted(sbk, bk, side="right")
+        hit = hi > lo
+        if not hit.any():
+            return pa.table({"index_id": pa.array([], pa.int64()),
+                             "index_sh": pa.array([], pa.int64()),
+                             "new_row": pa.array([], pa.int64())})
+        idx = np.flatnonzero(hit)
+        counts = (hi - lo)[idx]
+        iid = np.repeat(b["id"].to_numpy(zero_copy_only=False)[idx],
+                        counts)
+        ish = np.repeat(b["sh"].to_numpy(zero_copy_only=False)[idx],
+                        counts)
+        pos = np.concatenate([np.arange(a, z) for a, z in
+                              zip(lo[idx], hi[idx])])
+        return pa.table({"index_id": pa.array(iid.astype(np.int64)),
+                         "index_sh": pa.array(ish.astype(np.int64)),
+                         "new_row": pa.array(own[pos].astype(np.int64))})
+
+    cand = collect_arrow(
+        rd.read_parquet(paths).map_batches(probe,
+                                           batch_format="pyarrow"))
+    if cand.num_rows == 0 or "index_id" not in cand.column_names:
+        return empty
+    # dedup (index_id, new_row) across bands (signature rides along —
+    # identical for every band row of the same indexed doc)
+    pairs = cand.group_by(["index_id", "new_row"]).aggregate(
+        [("index_sh", "min")])
+    pi = pairs["index_id"].to_numpy(zero_copy_only=False)
+    pn = pairs["new_row"].to_numpy(zero_copy_only=False)
+    psh = pairs["index_sh_min"].to_numpy(
+        zero_copy_only=False).view(np.uint64)
+    dist = _popcount64(psh ^ new_sh[pn]).astype(np.int64)
+    keep = dist <= max_hamming
+    out = pa.table({
+        "new_id": pa.array(new_ids[pn[keep]].astype(np.int64)),
+        "index_id": pa.array(pi[keep].astype(np.int64)),
+        "hamming": pa.array(dist[keep]),
+    })
+    return out.sort_by([("new_id", "ascending"),
+                        ("index_id", "ascending")])

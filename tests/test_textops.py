@@ -1243,3 +1243,84 @@ def test_minhash_index_version_refusal(ray_session, tmp_path):
     json.dump(meta, open(f"{idx}/meta.json", "w"))
     with _pt.raises(ValueError, match="hash version"):
         query_minhash_index(rd.from_arrow(corpus), idx)
+
+
+def test_simhash_index_incremental(ray_session, tmp_path):
+    import ray.data as rd
+
+    from arcade_ray.textops import (build_simhash_index,
+                                    query_simhash_index)
+
+    words = [f"w{i:03d}" for i in range(300)]
+
+    def doc(seed, n=120):
+        r = np.random.default_rng(seed)
+        return " ".join(words[i] for i in r.integers(0, 300, n))
+
+    corpus = pa.table({
+        "doc_id": pa.array(list(range(10)), type=pa.int64()),
+        "text": pa.array([doc(s) for s in range(10)]),
+    })
+    idx = str(tmp_path / "sh_index")
+    r = build_simhash_index(rd.from_arrow(corpus), idx, n_shards=8)
+    assert r["rows"] == 10
+
+    near3 = doc(3) + " w000"        # near-copy of doc 3 (tiny edit)
+    new = pa.table({
+        "doc_id": pa.array([100, 101, 102], type=pa.int64()),
+        "text": pa.array([doc(7), near3, doc(999)]),
+    })
+    out = query_simhash_index(rd.from_arrow(new), idx, max_hamming=3)
+    got = {(r["new_id"], r["index_id"]): r["hamming"]
+           for r in out.to_pylist()}
+    assert got[(100, 7)] == 0            # exact copy: hamming 0
+    # independent check of the near-copy: recompute both signatures
+    # and the true Hamming distance; within the radius the 4-band
+    # pigeonhole GUARANTEES the index reports it at exactly that
+    # distance, outside it must be absent
+    from arcade_ray.textops import _popcount64, simhash64
+
+    h = simhash64([doc(3), near3])
+    d_true = int(_popcount64(np.array([h[0] ^ h[1]], dtype=np.uint64))[0])
+    if d_true <= 3:
+        assert got[(101, 3)] == d_true
+    else:
+        assert (101, 3) not in got
+    assert all(k[0] != 102 for k in got)  # novel doc is clean
+    # empty increment
+    out2 = query_simhash_index(rd.from_arrow(new.slice(0, 0)), idx)
+    assert out2.num_rows == 0
+
+
+def test_simhash_index_version_refusal_and_partial_build(ray_session,
+                                                         tmp_path):
+    import json
+    import os as _os
+
+    import pytest as _pt
+    import ray.data as rd
+
+    from arcade_ray.textops import (build_simhash_index,
+                                    query_simhash_index)
+
+    corpus = pa.table({
+        "doc_id": pa.array([1], type=pa.int64()),
+        "text": pa.array(["hello world one two three four five"]),
+    })
+    idx = str(tmp_path / "sh_v")
+    build_simhash_index(rd.from_arrow(corpus), idx)
+    meta = json.load(open(f"{idx}/meta.json"))
+    meta["hash_version"] = 1
+    json.dump(meta, open(f"{idx}/meta.json", "w"))
+    with _pt.raises(ValueError, match="hash version"):
+        query_simhash_index(rd.from_arrow(corpus), idx)
+
+    # partial build (no commit marker) refuses rather than silently
+    # reporting no duplicates; a rebuild recommits
+    _os.remove(f"{idx}/meta.json")
+    with _pt.raises(FileNotFoundError):
+        query_simhash_index(rd.from_arrow(corpus), idx)
+    build_simhash_index(rd.from_arrow(corpus), idx)
+    out = query_simhash_index(rd.from_arrow(corpus), idx)
+    assert out.to_pylist()[0] == {"new_id": 1, "index_id": 1,
+                                  "hamming": 0}
