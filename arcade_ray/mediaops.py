@@ -1,19 +1,24 @@
-"""Multimodal (image/audio/video) column operators — Ray plumbing real,
-decode kernels stubbed.
+"""Multimodal (image/audio/video) column operators.
 
 Media travels as opaque ``binary`` columns plus typed metadata columns
-(media_type, width/height or sample_rate, nbytes). The image/audio
-libraries are not in this container, so the decode kernel is either a
-clearly-marked NotImplementedError (``strict=True``) or a deterministic
-fake (parses our own fixture header) — the schema handling, actor-pool
-batching, small-batch sizing for large payloads, and output layout are
-real and tested (tests/test_mediaops.py).
+(media_type, width/height or sample_rate, nbytes). The IMAGE stages
+decode a REAL format end-to-end: PNG via the pure-stdlib codec in
+:mod:`arcade_ray.png` (8-bit gray/RGB/RGBA/palette, all five scanline
+filters) — no PIL/cv2 needed. The deterministic FAKE payload format
+remains as a fast fixture fallback, and ``strict=True`` still marks
+where a full codec suite (JPEG/WebP via PIL/cv2) would plug in. Audio
+and video decode remain fixture-format-only (soundfile/pyav are not in
+this container) with the same strict markers. The schema handling,
+actor-pool batching, small-batch sizing for large payloads, and output
+layout are real and tested (tests/test_mediaops.py).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+from .png import PNG_SIGNATURE, decode_png, encode_png, to_grayscale
 
 FAKE_MAGIC = b"FAKEIMG1"
 
@@ -34,6 +39,15 @@ def _decode_fake(payload: bytes) -> np.ndarray:
     return np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=12).reshape(h, w)
 
 
+def decode_image(payload: bytes) -> np.ndarray:
+    """Dispatch on magic bytes: real PNG (any supported color type,
+    collapsed to grayscale luma for the single-channel feature/resize
+    kernels) or the deterministic fixture format."""
+    if payload[:8] == PNG_SIGNATURE:
+        return to_grayscale(decode_png(payload))
+    return _decode_fake(payload)
+
+
 class ImageFeatureExtractor:
     """Actor-pool stage: decode -> resize(pool) -> feature vector.
 
@@ -45,11 +59,12 @@ class ImageFeatureExtractor:
     def __init__(self, out_size: int = 8, strict: bool = False):
         if strict:
             raise NotImplementedError(
-                "real image decode requires PIL/cv2 — not in this container; "
-                "swap _decode_fake for PIL.Image.open here"
-            )
+                "strict mode marks the full-codec integration point "
+                "(JPEG/WebP via PIL/cv2 — not in this container); PNG "
+                "and the fixture format decode natively via "
+                "decode_image")
         self.out_size = out_size
-        self.decode = _decode_fake
+        self.decode = decode_image
 
     def _pool(self, img: np.ndarray) -> np.ndarray:
         s = self.out_size
@@ -112,10 +127,12 @@ class ImageResizer:
                  strict: bool = False):
         if strict:
             raise NotImplementedError(
-                "real image decode/encode requires PIL/cv2 — not in "
-                "this container; swap _decode_fake/_encode here")
+                "strict mode marks the full-codec integration point "
+                "(JPEG/WebP via PIL/cv2 — not in this container); PNG "
+                "and the fixture format decode natively via "
+                "decode_image")
         self.w, self.h = width, height
-        self.decode = _decode_fake
+        self.decode = decode_image
 
     def _resize(self, img: np.ndarray) -> np.ndarray:
         h, w = img.shape
@@ -133,10 +150,15 @@ class ImageResizer:
         payloads, ok = [], []
         for payload in batch["image"]:
             try:
-                small = self._resize(self.decode(payload.as_py()))
-                payloads.append(
-                    FAKE_MAGIC + int(self.w).to_bytes(2, "little")
-                    + int(self.h).to_bytes(2, "little") + small.tobytes())
+                raw = payload.as_py()
+                small = self._resize(self.decode(raw))
+                if raw[:8] == PNG_SIGNATURE:  # format-preserving
+                    payloads.append(encode_png(small))
+                else:
+                    payloads.append(
+                        FAKE_MAGIC + int(self.w).to_bytes(2, "little")
+                        + int(self.h).to_bytes(2, "little")
+                        + small.tobytes())
                 ok.append(True)
             except Exception:
                 payloads.append(b"")
