@@ -288,6 +288,39 @@ def run_bench(num_cpus: int, sf_dir: str) -> dict:
         queries["semantic_dedup"] = _best_of(
             lambda: semantic_dedup(emb, threshold=0.95, k=8).count())
 
+        # the composed end-to-end LLM-data cleaning flagship
+        # (jobs/clean_job.py): PII scrub -> normalize -> quality gate
+        # -> repetition gate -> passage-dup gate -> exact dedup ->
+        # vocab build + tokenize -> pack -> write. Timed once (it IS
+        # the composition of already-best-of'd stages); clean_job's
+        # own report line goes to stderr so the bench contract (one
+        # JSON line on stdout) holds.
+        import contextlib
+        import importlib.util as _ilu
+        import tempfile
+
+        spec = _ilu.spec_from_file_location(
+            "clean_job", os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "jobs", "clean_job.py"))
+        clean_mod = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(clean_mod)
+        clean_out = os.path.join(
+            tempfile.mkdtemp(prefix="arcade_clean_"), "out")
+        argv_save = sys.argv
+        sys.argv = ["clean_job", "--input",
+                    os.path.join(sf_dir, "documents.parquet"),
+                    "--out", clean_out, "--max-len", "1024",
+                    "--max-passage-dup", "0.9",
+                    "--max-top-frac", "0.9"]
+        t0 = time.perf_counter()
+        try:
+            with contextlib.redirect_stdout(sys.stderr):
+                clean_mod.main()
+        finally:
+            sys.argv = argv_save
+        queries["clean_pipeline"] = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(os.path.dirname(clean_out), ignore_errors=True)
+
     return {
         "metric": "corpus encode wall-clock (tokens/s headline)",
         "value": round(t_encode, 3),
