@@ -434,6 +434,69 @@ def _corr_exists_tree(sub: dict, dec, tables: dict):
     return ("and", [("notnull", ocol), ("in", ocol, vals)])
 
 
+def _corr_scalar_map(x: dict, dec, tables: dict) -> dict:
+    """Lower a CORRELATED scalar subquery in the SELECT list to a
+    broadcast key->value lookup node: run the subquery ONCE without
+    the correlation conjunct, projecting (inner_key, value) — grouped
+    by the key when the value is an aggregate (the classic
+    decorrelation), else enforcing SQL's more-than-one-row error per
+    key — then evaluate per outer row as index_in + take (NULL where
+    no match, exactly a scalar subquery's empty-result semantics)."""
+    (ocol, icol), resid = dec
+    sub = x["subquery"]["node"]
+    if sub.get("group_expressions") or sub.get("having") \
+            or sub.get("modifiers") or sub.get("qualify"):
+        raise SqlUnsupported(
+            "correlated scalar subquery with GROUP BY/HAVING/LIMIT")
+    items = sub["select_list"]
+    if len(items) != 1:
+        raise SqlUnsupported("scalar subquery must select one column")
+    is_agg = _has_agg(items[0])
+    val_item = dict(items[0])
+    val_item["alias"] = "__corr_v"
+    key_item = {"class": "COLUMN_REF", "type": "COLUMN_REF",
+                "alias": "__corr_k", "column_names": [icol]}
+    sub2 = dict(sub)
+    sub2["select_list"] = [key_item, val_item]
+    sub2["where_clause"] = _rebuild_and(resid)
+    sub2["modifiers"] = []
+    if is_agg:
+        sub2["group_expressions"] = [dict(key_item, alias="")]
+        sub2["group_sets"] = []
+    res = _materialize_result(_execute_node(sub2, tables))
+    # a NULL inner key never equals anything: drop it from the map
+    res = res.filter(pc.is_valid(res["__corr_k"]))
+    keys = res["__corr_k"].combine_chunks()
+    vals = res["__corr_v"].combine_chunks()
+    if not is_agg and len(keys) != len(pc.unique(keys)):
+        raise ValueError(
+            "correlated scalar subquery returned more than one row "
+            "for some correlation key")
+    default = None
+    if is_agg:
+        # the COUNT bug of naive decorrelation: an unmatched key must
+        # see the aggregate over the EMPTY set (COUNT -> 0, SUM/MIN/
+        # MAX/AVG -> NULL), not a missing group. Evaluate it once by
+        # running the value aggregate with a FALSE conjunct.
+        false_node = {"class": "CONSTANT", "type": "VALUE_CONSTANT",
+                      "alias": "",
+                      "value": {"type": {"id": "BOOLEAN",
+                                         "type_info": None},
+                                "is_null": False, "value": False}}
+        sub3 = dict(sub)
+        sub3["select_list"] = [dict(val_item)]
+        sub3["where_clause"] = _rebuild_and(list(resid) + [false_node])
+        sub3["modifiers"] = []
+        d = _materialize_result(_execute_node(sub3, tables))
+        if d.num_rows == 1:
+            default = d.column(0)[0].as_py()
+    return {"class": "SCALAR_MAP", "type": "SCALAR_MAP",
+            "alias": x.get("alias") or "",
+            "outer_ref": {"class": "COLUMN_REF", "type": "COLUMN_REF",
+                          "alias": "", "column_names": [ocol]},
+            "_keys": keys, "_values": vals, "_default": default}
+
+
 def _compile_pred(node: dict, tables: dict, neg: bool = False,
                   any_col: str | None = None, outer=None):
     """``neg``: whether an enclosing NOT inverts this subtree — only
@@ -725,6 +788,8 @@ def _collect_aggs(node: dict, out: list):
             _collect_aggs(node["else_expr"], out)
         return
     if cls in ("COLUMN_REF", "CONSTANT"):
+        return
+    if cls == "SCALAR_MAP":  # lowered correlated scalar: no aggs inside
         return
     raise SqlUnsupported(f"expression {cls!r}")
 
@@ -1335,6 +1400,21 @@ def _eval_expr(node: dict, env: dict, n_rows: int):
                 acc = pa.scalar(None, then.type)
             acc = pc.if_else(pc.fill_null(cond, False), then, acc)
         return acc
+    if cls == "SCALAR_MAP":
+        # correlated scalar subquery lowered to a broadcast lookup
+        # (_corr_scalar_map): outer key -> index_in the precomputed
+        # key set -> take the value; an absent key yields the
+        # empty-set default (COUNT -> 0) when one exists, else NULL
+        key_arr = _eval_expr(node["outer_ref"], env, n_rows)
+        if isinstance(key_arr, pa.ChunkedArray):
+            key_arr = key_arr.combine_chunks()
+        pos = pc.index_in(key_arr, value_set=node["_keys"])
+        taken = pc.take(node["_values"], pos)
+        if node.get("_default") is not None:
+            taken = pc.if_else(
+                pc.is_null(pos), pa.scalar(node["_default"],
+                                           type=taken.type), taken)
+        return taken
     raise SqlUnsupported(f"expression {cls}/{typ}")
 
 
@@ -1358,6 +1438,8 @@ def _expr_columns(node: dict, out: set):
             _expr_columns(chk["then_expr"], out)
         if node.get("else_expr"):
             _expr_columns(node["else_expr"], out)
+    elif cls == "SCALAR_MAP":
+        _expr_columns(node["outer_ref"], out)
     else:
         for c in node.get("children", []) or []:
             if isinstance(c, dict):
@@ -4364,9 +4446,16 @@ def _execute_node(node: dict, tables: dict[str, str]):
     if node.get("sample"):
         raise SqlUnsupported("TABLESAMPLE")
     if any(_has_scalar_subquery(it) for it in node["select_list"]):
+        outer0 = None
+        ft0 = node["from_table"] or {}
+        if ft0.get("type") == "BASE_TABLE" \
+                and ft0.get("table_name") in tables:
+            outer0 = (ft0.get("alias") or ft0["table_name"],
+                      _dataset_columns(tables[ft0["table_name"]]))
         node = dict(node)
-        node["select_list"] = [_fold_scalar_subqueries(it, tables)
-                               for it in node["select_list"]]
+        node["select_list"] = [
+            _fold_scalar_subqueries(it, tables, outer0)
+            for it in node["select_list"]]
     ft = node["from_table"]
     if ft.get("type") == "BASE_TABLE":
         tname = ft["table_name"]
@@ -5442,18 +5531,24 @@ def _const_node(v, alias: str = ""):
                       "is_null": v is None, "value": v}}
 
 
-def _fold_scalar_subqueries(x, tables: dict):
-    """Uncorrelated scalar subqueries in the SELECT list fold to
-    constants at compile time (each runs once)."""
+def _fold_scalar_subqueries(x, tables: dict, outer=None):
+    """Scalar subqueries in the SELECT list: uncorrelated ones fold to
+    constants at compile time (each runs once); correlated ones (the
+    _decorrelate equality shape) lower to a broadcast key->value
+    lookup node (_corr_scalar_map) — one inner execution, no per-row
+    re-evaluation."""
     if isinstance(x, dict):
         if x.get("class") == "SUBQUERY" \
                 and x.get("subquery_type") == "SCALAR":
+            dec = _decorrelate(x["subquery"]["node"], tables, outer)
+            if dec is not None:
+                return _corr_scalar_map(x, dec, tables)
             return _const_node(_scalar_subquery(x, tables),
                                alias=x.get("alias") or "")
-        return {k: _fold_scalar_subqueries(v, tables)
+        return {k: _fold_scalar_subqueries(v, tables, outer)
                 for k, v in x.items()}
     if isinstance(x, list):
-        return [_fold_scalar_subqueries(v, tables) for v in x]
+        return [_fold_scalar_subqueries(v, tables, outer) for v in x]
     return x
 
 
