@@ -1072,7 +1072,8 @@ def encode_parquet(paths: list[str] | str, out_dir: str,
     # hash-partition) is the pipeline's other parallel phase — capping
     # it below the core count was the 8->32 scaling ceiling (the encode
     # bucket count already scales with _avail_cpus)
-    n_splits = max(16, _avail_cpus())
+    n_splits = int(os.environ.get("ARCADE_SPLIT_TASKS", 0)) \
+        or max(16, _avail_cpus())
     if len(files) < n_splits:
         # few big files: split by parquet row-group ranges so the read
         # still parallelizes (one split task per range)
