@@ -955,6 +955,44 @@ def q_simhash_incremental(sf_dir: str) -> pa.Table:
     return query_simhash_index(inc, idx, max_hamming=3)
 
 
+def q_edit_incremental(sf_dir: str) -> pa.Table:
+    """Incremental Levenshtein<=1 prefix near-dup check against a
+    PERSISTED FastSS deletion-neighborhood index
+    (textops.build_edit_index / query_edit_index): the corpus 4/5
+    slice indexes once (hive-sharded variant-hash buckets + prefix
+    shards); the 1/5 increment probes only its own bucket shards and
+    character-verifies against only the candidate prefixes. Rows-only
+    (the engine's prefix semantics is planted-pair tested in
+    tests/test_textops.py; full recall at distance <= 1 by the
+    deletion-variant property)."""
+    import hashlib as _h
+
+    from .hashing import HASH_VERSION
+    from .textops import build_edit_index, query_edit_index
+
+    def _mod5(col):
+        return pc.subtract(col, pc.multiply(pc.divide(col, 5), 5))
+
+    tag = _h.md5(
+        f"{sf_dir}|ed-index|{_CACHE_SALT}|hv{HASH_VERSION}"
+        .encode()).hexdigest()[:10]
+    idx = os.path.join(CACHE_ROOT, f"ed-index-{tag}")
+    if not os.path.exists(idx):
+        build = f"{idx}.building"
+        import shutil as _sh
+
+        _sh.rmtree(build, ignore_errors=True)
+        base = _docs_ds(sf_dir).map_batches(
+            lambda b: b.filter(pc.not_equal(_mod5(b["doc_id"]), 0)),
+            batch_format="pyarrow")
+        build_edit_index(base, build, prefix_len=24)
+        os.rename(build, idx)
+    inc = _docs_ds(sf_dir).map_batches(
+        lambda b: b.filter(pc.equal(_mod5(b["doc_id"]), 0)),
+        batch_format="pyarrow")
+    return query_edit_index(inc, idx)
+
+
 def q_sql_merge_upsert(sf_dir: str) -> pa.Table:
     """SQL MERGE INTO (upsert) end-to-end on a PRIVATE encoded copy:
     one statement updates every matched row from a derived source
@@ -3108,6 +3146,7 @@ QUERIES = {
     # the curated sample above stays stable):
     "sql_insert_clustered": q_sql_insert_clustered,
     "simhash_incremental": q_simhash_incremental,
+    "edit_incremental": q_edit_incremental,
     "tokenize_vocab": q_tokenize_vocab,
     "ts_range_filter": q_ts_range_filter,
     "charngram_stats": q_charngram_stats,

@@ -2778,3 +2778,215 @@ def query_simhash_index(new_ds, index_dir: str, max_hamming: int = 3,
     })
     return out.sort_by([("new_id", "ascending"),
                         ("index_id", "ascending")])
+
+
+def build_edit_index(ds, index_dir: str, text_col: str = "text",
+                     id_col: str = "doc_id", prefix_len: int = 32,
+                     n_shards: int = 64) -> dict:
+    """PERSIST a FastSS deletion-neighborhood index over document
+    prefixes: build once, then :func:`query_edit_index` checks each
+    INCREMENTAL batch for Levenshtein<=1 prefix near-duplicates
+    against it — the edit-distance analogue of
+    :func:`build_minhash_index` (full recall at distance <= 1 by the
+    deletion-variant property, see :func:`edit_pairs`).
+
+    Layout (hive-partitioned; queries prune at the READ):
+    - ``bands/shard=S/``: (bk int64, id int64) deletion-variant hash
+      rows, S = bk mod ``n_shards``;
+    - ``pfx/shard=S/``: (id, pfx string) the indexed prefixes,
+      S = id mod ``n_shards`` — read only for candidate-matched ids
+      to run the exact character verify;
+    - ``meta.json``: parameters + hash version, written atomically
+      LAST (commit marker).
+
+    ``id_col`` must be integer-typed. Returns {"rows", "dir"}."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    from .hashing import HASH_VERSION
+
+    _os.makedirs(index_dir, exist_ok=True)
+    meta_path = _os.path.join(index_dir, "meta.json")
+    if _os.path.exists(meta_path):
+        _os.remove(meta_path)
+    for sub in ("bands", "pfx"):
+        p = _os.path.join(index_dir, sub)
+        if _os.path.isdir(p):
+            _shutil.rmtree(p)
+
+    def band_rows(b: pa.Table) -> pa.Table:
+        t = _deletion_key_rows(b, text_col, id_col, prefix_len)
+        t = t.rename_columns(["bk", "id"])
+        bk = t["bk"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "shard", pa.array((bk % n_shards + n_shards) % n_shards))
+
+    def pfx_rows(b: pa.Table) -> pa.Table:
+        keep = pc.is_valid(b[text_col])
+        t = b.filter(keep)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "id": pa.array(ids),
+            "pfx": pc.utf8_slice_codeunits(
+                t[text_col].combine_chunks(), 0, prefix_len),
+            "shard": pa.array((ids % n_shards + n_shards) % n_shards),
+        })
+
+    ds.map_batches(band_rows, batch_format="pyarrow").write_parquet(
+        _os.path.join(index_dir, "bands"), partition_cols=["shard"])
+    ds.map_batches(pfx_rows, batch_format="pyarrow").write_parquet(
+        _os.path.join(index_dir, "pfx"), partition_cols=["shard"])
+    import pyarrow.parquet as _pq
+
+    n_rows = 0
+    for root, _, files in _os.walk(_os.path.join(index_dir, "pfx")):
+        for f in files:
+            if f.endswith(".parquet"):
+                n_rows += _pq.read_metadata(
+                    _os.path.join(root, f)).num_rows
+    tmp = meta_path + f".tmp.{_os.getpid()}"
+    with open(tmp, "w") as f:
+        _json.dump({"prefix_len": prefix_len, "n_shards": n_shards,
+                    "id_col": id_col, "hash_version": HASH_VERSION}, f)
+    _os.replace(tmp, meta_path)  # the build's single commit point
+    return {"rows": n_rows, "dir": index_dir}
+
+
+def query_edit_index(new_ds, index_dir: str, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     max_dist: int = 1) -> pa.Table:
+    """Levenshtein<=1 prefix near-duplicate check of an INCREMENTAL
+    batch against a persisted :func:`build_edit_index`: returns
+    ``(new_id, index_id, dist)`` with dist in {0, 1} — full recall at
+    distance <= 1 by the deletion-variant property.
+
+    Scale shape mirrors query_minhash_index: the new batch is
+    driver-bounded by contract; its deletion-variant keys select ONLY
+    matching band shards (hive pruning), candidate ids then select
+    only their prefix shards for the exact character verify — the
+    corpus never re-reads and the index never loads whole."""
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as _pq
+    import ray
+    import ray.data as rd
+
+    from .collect import collect_arrow
+    from .hashing import HASH_VERSION
+
+    if not 0 <= max_dist <= 1:
+        raise ValueError("deletion neighborhoods guarantee recall "
+                         "only for max_dist <= 1")
+    with open(_os.path.join(index_dir, "meta.json")) as f:
+        meta = _json.load(f)
+    if meta.get("hash_version") != HASH_VERSION:
+        raise ValueError(
+            f"index at {index_dir} was built with hash version "
+            f"{meta.get('hash_version')}, current is {HASH_VERSION}: "
+            "rebuild the index (probing would silently miss "
+            "duplicates)")
+    n_shards, prefix_len = meta["n_shards"], meta["prefix_len"]
+
+    def new_rows(b: pa.Table) -> pa.Table:
+        t = _deletion_key_rows(b, text_col, id_col, prefix_len)
+        return t.rename_columns(["bk", "id"])
+
+    new_tab = collect_arrow(new_ds.map_batches(new_rows,
+                                               batch_format="pyarrow"))
+    empty = pa.table({"new_id": pa.array([], pa.int64()),
+                      "index_id": pa.array([], pa.int64()),
+                      "dist": pa.array([], pa.int64())})
+    if new_tab.num_rows == 0:
+        return empty
+    nbk = new_tab["bk"].to_numpy(zero_copy_only=False)
+    nid = new_tab["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(nbk)
+    sorted_bk, owner_ids = nbk[order], nid[order]
+    shards = sorted({int(s) for s in
+                     (sorted_bk % n_shards + n_shards) % n_shards})
+    paths = []
+    for s in shards:
+        d = _os.path.join(index_dir, "bands", f"shard={s}")
+        if _os.path.isdir(d):
+            paths.extend(_os.path.join(d, f)
+                         for f in sorted(_os.listdir(d))
+                         if f.endswith(".parquet"))
+    if not paths:
+        return empty
+    ref = ray.put((sorted_bk, owner_ids))
+
+    def probe(b: pa.Table) -> pa.Table:
+        sbk, own = ray.get(ref)
+        bk = b["bk"].to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(sbk, bk, side="left")
+        hi = np.searchsorted(sbk, bk, side="right")
+        hit = hi > lo
+        if not hit.any():
+            return pa.table({"index_id": pa.array([], pa.int64()),
+                             "new_id": pa.array([], pa.int64())})
+        idx = np.flatnonzero(hit)
+        counts = (hi - lo)[idx]
+        iid = np.repeat(b["id"].to_numpy(zero_copy_only=False)[idx],
+                        counts)
+        pos = np.concatenate([np.arange(a, z) for a, z in
+                              zip(lo[idx], hi[idx])])
+        return pa.table({"index_id": pa.array(iid.astype(np.int64)),
+                         "new_id": pa.array(own[pos].astype(np.int64))})
+
+    cand = collect_arrow(
+        rd.read_parquet(paths).map_batches(probe,
+                                           batch_format="pyarrow"))
+    if cand.num_rows == 0 or "index_id" not in cand.column_names:
+        return empty
+    pairs = cand.group_by(["index_id", "new_id"]).aggregate([])
+    need_ids = np.unique(pairs["index_id"].to_numpy(
+        zero_copy_only=False))
+    pfx_shards = sorted({int(s) for s in
+                         (need_ids % n_shards + n_shards) % n_shards})
+    pfx_paths = []
+    for s in pfx_shards:
+        d = _os.path.join(index_dir, "pfx", f"shard={s}")
+        if _os.path.isdir(d):
+            pfx_paths.extend(_os.path.join(d, f)
+                             for f in sorted(_os.listdir(d))
+                             if f.endswith(".parquet"))
+    need_set = pa.array(need_ids)
+    parts = []
+    for p in pfx_paths:
+        t = _pq.read_table(p, columns=["id", "pfx"])
+        parts.append(t.filter(pc.is_in(t["id"], value_set=need_set)))
+    ptab = pa.concat_tables(parts) if parts else None
+    if ptab is None or ptab.num_rows == 0:
+        return empty
+    ipfx = dict(zip(ptab["id"].to_pylist(), ptab["pfx"].to_pylist()))
+    # new-side prefixes from the increment itself (driver-bounded)
+    def new_pfx(b: pa.Table) -> pa.Table:
+        keep = pc.is_valid(b[text_col])
+        t = b.filter(keep)
+        return pa.table({
+            "id": t[id_col],
+            "pfx": pc.utf8_slice_codeunits(
+                t[text_col].combine_chunks(), 0, prefix_len)})
+
+    nptab = collect_arrow(new_ds.map_batches(new_pfx,
+                                             batch_format="pyarrow"))
+    npfx = dict(zip(nptab["id"].to_pylist(), nptab["pfx"].to_pylist()))
+    pi = pairs["index_id"].to_numpy(zero_copy_only=False)
+    pn = pairs["new_id"].to_numpy(zero_copy_only=False)
+    ok = np.array([int(i) in ipfx and int(j) in npfx
+                   for i, j in zip(pi, pn)], dtype=bool)
+    pi, pn = pi[ok], pn[ok]
+    if len(pi) == 0:
+        return empty
+    dist = _verify_lev_le1([npfx[int(j)] for j in pn],
+                           [ipfx[int(i)] for i in pi])
+    keep = dist <= max_dist
+    out = pa.table({
+        "new_id": pa.array(pn[keep].astype(np.int64)),
+        "index_id": pa.array(pi[keep].astype(np.int64)),
+        "dist": pa.array(dist[keep].astype(np.int64)),
+    })
+    return out.sort_by([("new_id", "ascending"),
+                        ("index_id", "ascending")])

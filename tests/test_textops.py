@@ -1324,3 +1324,47 @@ def test_simhash_index_version_refusal_and_partial_build(ray_session,
     out = query_simhash_index(rd.from_arrow(corpus), idx)
     assert out.to_pylist()[0] == {"new_id": 1, "index_id": 1,
                                   "hamming": 0}
+
+
+def test_edit_index_incremental(ray_session, tmp_path):
+    import ray.data as rd
+
+    from arcade_ray.textops import build_edit_index, query_edit_index
+
+    corpus = pa.table({
+        "doc_id": pa.array(list(range(5)), type=pa.int64()),
+        "text": pa.array(["alpha document one", "beta document two",
+                          "gamma document three", "delta text four",
+                          "epsilon text five"]),
+    })
+    idx = str(tmp_path / "ed_index")
+    # prefix_len longer than every text: whole-string distances (a
+    # mid-prefix insert on a truncated prefix shifts the tail and can
+    # read as distance 2 — the documented prefix-dedup semantics)
+    r = build_edit_index(rd.from_arrow(corpus), idx, prefix_len=32,
+                         n_shards=4)
+    assert r["rows"] == 5
+
+    new = pa.table({
+        "doc_id": pa.array([100, 101, 102], type=pa.int64()),
+        "text": pa.array([
+            "alpha document one",      # exact prefix copy -> dist 0
+            "beta documeent two",      # one insert in prefix -> dist 1
+            "completely different",    # clean
+        ]),
+    })
+    out = query_edit_index(rd.from_arrow(new), idx)
+    got = {(r["new_id"], r["index_id"]): r["dist"]
+           for r in out.to_pylist()}
+    assert got[(100, 0)] == 0
+    assert got[(101, 1)] == 1
+    assert all(k[0] != 102 for k in got)
+    # empty increment + partial-build refusal
+    assert query_edit_index(rd.from_arrow(new.slice(0, 0)),
+                            idx).num_rows == 0
+    import os as _os
+
+    import pytest as _pt
+    _os.remove(f"{idx}/meta.json")
+    with _pt.raises(FileNotFoundError):
+        query_edit_index(rd.from_arrow(new), idx)
