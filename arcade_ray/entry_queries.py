@@ -2359,11 +2359,52 @@ def q_minhash_pairs(sf_dir: str) -> pa.Table:
 
 
 def q_simhash_pairs(sf_dir: str) -> pa.Table:
-    """SimHash near-duplicate pairs (rows-only)."""
-    from .textops import simhash_pairs
+    """SimHash near-duplicate pairs, oracled via the planted
+    byte-identical-duplicate contract (the q_minhash_pairs pattern):
+    10 exact clones of doc_id 0..9 (ids +1_000_000) are appended —
+    identical text means identical SimHash, so every band key
+    collides and the pair reports at Hamming 0 with recall 1 by
+    construction. The one-row summary asserts data-determined facts:
+    all 10 planted pairs at hamming 0, and every reported pair's
+    Hamming distance independently recomputed from simhash64 over the
+    parquet text bytes matches the reported value and clears the
+    radius (band precision)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
 
-    out = simhash_pairs(_docs_ds(sf_dir), max_hamming=3)
-    return _collect(out)
+    from .textops import _popcount64, simhash64, simhash_pairs
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    base = pq.read_table(path, columns=["doc_id", "text"])
+    clones = base.filter(pc.less(base["doc_id"], 10))
+    clones = clones.set_column(
+        clones.schema.get_field_index("doc_id"), "doc_id",
+        pc.add(clones["doc_id"], 1_000_000))
+    full = pa.concat_tables([base, clones])
+    out = _collect(simhash_pairs(rd.from_arrow(full), max_hamming=3))
+
+    texts = {int(i): t for i, t in zip(
+        full["doc_id"].to_pylist(), full["text"].to_pylist())}
+    has_rows = out.num_rows > 0 and out.num_columns > 0
+    a = out["id_a"].to_pylist() if has_rows else []
+    b = out["id_b"].to_pylist() if has_rows else []
+    h = out["hamming"].to_pylist() if has_rows else []
+    planted = 0
+    precision_ok = True
+    for ia, ib, hd in zip(a, b, h):
+        sig = simhash64([texts[ia], texts[ib]])
+        true_d = int(_popcount64(
+            np.array([sig[0] ^ sig[1]], dtype=np.uint64))[0])
+        if true_d != hd or true_d > 3:
+            precision_ok = False
+        if ia < 10 and ib == ia + 1_000_000 and hd == 0:
+            planted += 1
+    return pa.table({
+        "n_docs": pa.array([len(texts)], pa.int64()),
+        "n_planted_found": pa.array([planted], pa.int64()),
+        "planted_all_found": pa.array([planted == 10], pa.bool_()),
+        "precision_ok": pa.array([precision_ok], pa.bool_()),
+    })
 
 
 def q_charngram_stats(sf_dir: str) -> pa.Table:
@@ -3687,6 +3728,16 @@ ORACLE_SQL = {
         "CAST(1 AS BOOLEAN) AS precision_ok "
         "FROM documents"
     ),
+    "simhash_pairs": (
+        # same planted contract: identical text -> identical SimHash
+        # -> hamming-0 pair at any banding; every reported distance
+        # independently recomputed from the parquet bytes
+        "SELECT CAST(count(*) + 10 AS BIGINT) AS n_docs, "
+        "CAST(10 AS BIGINT) AS n_planted_found, "
+        "CAST(1 AS BOOLEAN) AS planted_all_found, "
+        "CAST(1 AS BOOLEAN) AS precision_ok "
+        "FROM documents"
+    ),
     "knn_graph": (
         # DOUBLE[] cast so DuckDB's cosine runs in float64 like
         # numpy; round(4) absorbs summation-order ULPs
@@ -4049,7 +4100,7 @@ ORACLE_SQL = {
         "TIMESTAMP '2024-01-05 00:00:00' AND "
         "TIMESTAMP '2024-01-20 00:00:00' ORDER BY event_id"),
     # compression_metrics, lang_id, quality_scores,
-    # simhash_pairs, ann_topk_lsh, decontaminate (n=13): intentionally
+    # ann_topk_lsh, decontaminate (n=13): intentionally
     # no oracle (engine-side semantics with no exact SQL equivalent ->
     # driver rows-only check; each has a planted-answer test in tests/)
 }
