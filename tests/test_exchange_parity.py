@@ -83,3 +83,52 @@ def test_parquet_disk_exchange_parity(ray_session, tmp_path):
     a = dict(zip(m1["part_key"].to_pylist(), m1["crc32"].to_pylist()))
     b = dict(zip(m2["part_key"].to_pylist(), m2["crc32"].to_pylist()))
     assert a == b
+
+
+def test_group_verify_disk_objects_parity(ray_session):
+    """distributed_group_verify (exact-dedup's routed-text resolve)
+    yields the identical loser set in objects mode and disk-staged
+    mode, and both match the driver-computed reference."""
+    import ray.data as rd
+
+    from arcade_ray.textops import dedup_loser_ids
+
+    n = 400
+    texts = []
+    for i in range(n):
+        if i % 10 < 3:
+            texts.append(f"duplicate body {i % 10} " * 8)  # 3-runs
+        else:
+            texts.append(f"unique body {i} with words {i * 7}")
+    t = pa.table({"doc_id": pa.array(list(range(n)), type=pa.int64()),
+                  "text": pa.array(texts)})
+
+    import arcade_ray.collect as collect
+
+    orig = collect.distributed_group_verify
+
+    def force(mode):
+        def wrapped(*a, **k):
+            k["mode"] = mode
+            return orig(*a, **k)
+        return wrapped
+
+    ref = None
+    for mode in ("objects", "disk"):
+        collect.distributed_group_verify = force(mode)
+        try:
+            losers = dedup_loser_ids(rd.from_arrow(t))
+        finally:
+            collect.distributed_group_verify = orig
+        got = losers["doc_id"].to_pylist()
+        if ref is None:
+            ref = got
+        assert got == ref, mode
+    # independent reference: per distinct text, everything but min id
+    import collections as _c
+
+    groups = _c.defaultdict(list)
+    for i, s in enumerate(texts):
+        groups[s].append(i)
+    want = sorted(i for g in groups.values() for i in g[1:])
+    assert ref == want
