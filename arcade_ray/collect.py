@@ -314,6 +314,11 @@ def _run_verify_exchange(ds, tagged_tab: pa.Table, need_ids, need_bks,
         @ray.remote
         def vsplit_disk(block_refs, si: int) -> int:
             tabs = [ray.get(r) for r in block_refs]
+            # drop schemaless zero-row pass-through blocks (see split)
+            tabs = [t for t in tabs
+                    if t.num_rows and "_vb" in t.column_names]
+            if not tabs:
+                return 0
             t = pa.concat_tables(tabs).combine_chunks()
             vb = t["_vb"].to_numpy(zero_copy_only=False)
             return write_bucket_frags(t.drop_columns(["_vb"]), vb,
@@ -353,6 +358,11 @@ def _run_verify_exchange(ds, tagged_tab: pa.Table, need_ids, need_bks,
 
     @ray.remote
     def split(tbl: pa.Table):
+        # Ray's union/map plumbing emits SCHEMALESS zero-row blocks
+        # that pass through map_batches without calling the router —
+        # they carry no rows and no _vb column
+        if tbl.num_rows == 0 or "_vb" not in tbl.column_names:
+            return [None] * n_buckets
         return split_by_bucket(
             tbl, tbl["_vb"].to_numpy(zero_copy_only=False), n_buckets)
 

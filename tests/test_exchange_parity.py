@@ -132,3 +132,28 @@ def test_group_verify_disk_objects_parity(ray_session):
         groups[s].append(i)
     want = sorted(i for g in groups.values() for i in g[1:])
     assert ref == want
+
+
+def test_group_verify_survives_union_schemaless_blocks(ray_session):
+    """Ray's union emits schemaless zero-row blocks that pass through
+    map_batches without calling the router; the verify exchange must
+    skip them (found by the round-5 dress rehearsal on
+    exact_dedup_best)."""
+    import ray.data as rd
+
+    from arcade_ray.textops import exact_dedup
+
+    base = pa.table({
+        "doc_id": pa.array(list(range(60)), type=pa.int64()),
+        "text": pa.array((["dup body one " * 5] * 30)
+                         + [f"unique {i}" for i in range(30)]),
+    })
+    extra = pa.table({
+        "doc_id": pa.array([1000, 1001], type=pa.int64()),
+        "text": pa.array(["dup body one " * 5, "another unique"]),
+    })
+    ds = rd.from_arrow(base).union(rd.from_arrow(extra))
+    out = exact_dedup(ds).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    # one survivor (id 0) for the 31-strong duplicate run
+    assert out["doc_id"].tolist() == [0] + list(range(30, 60)) + [1001]
