@@ -2297,6 +2297,45 @@ def q_image_features(sf_dir: str) -> pa.Table:
         .sort_by([("media_id", "ascending")])
 
 
+def q_audio_features(sf_dir: str) -> pa.Table:
+    """Audio pipeline through the driver surface (rows-only): a
+    REAL-format audio binary column — deterministic RIFF/WAVE int16
+    PCM synthesized per document (media_id = doc_id, length from
+    n_chars), decoded by the stdlib wave parser inside the actor-pool
+    feature extractor (per-frame energy / zero-crossings / FFT band
+    energies are real numpy kernels over the decoded samples)."""
+    import ray.data as rd
+
+    from .mediaops import encode_wav, extract_audio_features
+
+    ds = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "n_chars"])
+
+    def to_audio(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        sizes = batch["n_chars"].to_pylist()
+        clips = []
+        for i, s in zip(ids, sizes):
+            rng = np.random.default_rng(i)
+            n = 800 + (s % 800)
+            clips.append(encode_wav(
+                rng.integers(-32768, 32767, n, dtype=np.int16),
+                16000))
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "audio": pa.array(clips, type=pa.binary()),
+        })
+
+    out = extract_audio_features(
+        ds.map_batches(to_audio, batch_format="pyarrow"),
+        batch_size=64)
+    t = _collect(out)
+    n_feat = pc.list_value_length(t["feature"].combine_chunks())
+    t = t.append_column("n_feat", n_feat)
+    return t.select(["media_id", "n_feat", "sample_rate", "decoded"]) \
+        .sort_by([("media_id", "ascending")])
+
+
 def q_minhash_pairs(sf_dir: str) -> pa.Table:
     """MinHash-LSH near-duplicate pairs, oracled via a planted
     byte-identical-duplicate contract (the q_semantic_dedup pattern):
@@ -3188,6 +3227,7 @@ QUERIES = {
     "sql_insert_clustered": q_sql_insert_clustered,
     "simhash_incremental": q_simhash_incremental,
     "edit_incremental": q_edit_incremental,
+    "audio_features": q_audio_features,
     "tokenize_vocab": q_tokenize_vocab,
     "ts_range_filter": q_ts_range_filter,
     "charngram_stats": q_charngram_stats,
@@ -3737,6 +3777,15 @@ ORACLE_SQL = {
         "CAST(1 AS BOOLEAN) AS planted_all_found, "
         "CAST(1 AS BOOLEAN) AS precision_ok "
         "FROM documents"
+    ),
+    "audio_features": (
+        # every column is determined by the synthesis parameters: one
+        # WAV per doc at 16 kHz, 16 frames x 2 stats + 8 band
+        # energies = 40 features, all decodable by construction
+        "SELECT doc_id AS media_id, CAST(40 AS INTEGER) AS n_feat, "
+        "CAST(16000 AS INTEGER) AS sample_rate, "
+        "CAST(1 AS BOOLEAN) AS decoded "
+        "FROM documents ORDER BY doc_id"
     ),
     "knn_graph": (
         # DOUBLE[] cast so DuckDB's cosine runs in float64 like

@@ -216,6 +216,55 @@ def _decode_fake_audio(payload: bytes) -> tuple[np.ndarray, int]:
     return pcm.astype(np.float32) / 32768.0, rate
 
 
+def encode_wav(pcm: np.ndarray, sample_rate: int) -> bytes:
+    """int16 mono PCM -> RIFF/WAVE bytes (stdlib wave module)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.ascontiguousarray(
+            pcm, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL-format decode: RIFF/WAVE PCM via the stdlib wave module
+    (8/16/32-bit int PCM; multi-channel averages to mono)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch, width, rate = (w.getnchannels(), w.getsampwidth(),
+                            w.getframerate())
+        frames = w.readframes(w.getnframes())
+    if width == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float32) \
+            / 32768.0
+    elif width == 1:  # WAV 8-bit is unsigned
+        x = (np.frombuffer(frames, dtype=np.uint8)
+             .astype(np.float32) - 128.0) / 128.0
+    elif width == 4:
+        x = np.frombuffer(frames, dtype="<i4").astype(np.float32) \
+            / 2147483648.0
+    else:
+        raise ValueError(f"WAV sample width {width} unsupported")
+    if nch > 1:
+        x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Dispatch on magic bytes: real RIFF/WAVE PCM (stdlib wave) or
+    the deterministic fixture format."""
+    if payload[:4] == b"RIFF":
+        return _decode_wav(payload)
+    return _decode_fake_audio(payload)
+
+
 class AudioFeatureExtractor:
     """Actor-pool stage: decode -> frame -> per-frame energy + zero
     crossings + spectral-band energies (numpy FFT — a real kernel over
@@ -226,12 +275,13 @@ class AudioFeatureExtractor:
                  strict: bool = False):
         if strict:
             raise NotImplementedError(
-                "real audio decode requires soundfile/librosa — not in "
-                "this container; swap _decode_fake_audio here"
-            )
+                "strict mode marks the full-codec integration point "
+                "(MP3/FLAC/OGG via soundfile/librosa — not in this "
+                "container); RIFF/WAVE PCM and the fixture format "
+                "decode natively via decode_audio")
         self.n_frames = n_frames
         self.n_bands = n_bands
-        self.decode = _decode_fake_audio
+        self.decode = decode_audio
 
     def _features(self, pcm: np.ndarray) -> np.ndarray:
         f = self.n_frames

@@ -281,3 +281,54 @@ def test_image_pipeline_on_real_pngs(ray_session):
     assert len(ok) == n - 1
     small = decode_png(ok["image"].iloc[0])
     assert small.shape == (8, 8)
+
+
+# --- real WAV audio (stdlib wave module) ------------------------------------
+
+
+def test_wav_roundtrip_and_pipeline(ray_session):
+    """RIFF/WAVE PCM decodes for real: encode_wav -> decode_audio is
+    sample-exact for int16 mono; 8-bit and stereo paths normalize;
+    the actor-pool feature extractor runs on real WAV payloads."""
+    import io
+    import wave
+
+    import ray.data as rd
+
+    from arcade_ray.mediaops import (decode_audio, encode_wav,
+                                     extract_audio_features)
+
+    rng = np.random.default_rng(11)
+    pcm = rng.integers(-32768, 32767, 4000, dtype=np.int16)
+    payload = encode_wav(pcm, 16000)
+    x, rate = decode_audio(payload)
+    assert rate == 16000 and len(x) == 4000
+    assert np.allclose(x, pcm.astype(np.float32) / 32768.0)
+
+    # stereo averages to mono
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        inter = np.empty(200, dtype="<i2")
+        inter[0::2] = 100
+        inter[1::2] = 300
+        w.writeframes(inter.tobytes())
+    x2, rate2 = decode_audio(buf.getvalue())
+    assert rate2 == 8000 and len(x2) == 100
+    assert np.allclose(x2, 200.0 / 32768.0)
+
+    n = 12
+    payloads = [encode_wav(
+        rng.integers(-32768, 32767, 1000 + 100 * i, dtype=np.int16),
+        16000) for i in range(n)]
+    payloads[3] = b"RIFFgarbage"
+    t = pa.table({
+        "media_id": pa.array(np.arange(n), type=pa.int64()),
+        "audio": pa.array(payloads, type=pa.binary()),
+    })
+    out = extract_audio_features(rd.from_arrow(t), concurrency=2,
+                                 batch_size=4).to_pandas()
+    assert len(out) == n and out["decoded"].sum() == n - 1
+    assert (out[out["decoded"]]["sample_rate"] == 16000).all()
