@@ -2814,8 +2814,11 @@ def _decontaminate_ids(sf_dir: str, n: int) -> pa.Table:
 def q_decontaminate(sf_dir: str) -> pa.Table:
     """Benchmark decontamination at the GPT-3/PaLM convention (13-word
     gram overlap): drop every training doc sharing a 13-gram with the
-    eval slice (rows-only: no SQL equivalent; planted-answer test in
-    tests/test_textops.py)."""
+    eval slice. Oracle: the decontaminate_tri list-comprehension
+    machinery generalized to 13-word joins (the engine's 64-bit
+    rolling-hash identity is value-identical to the literal join at
+    ~2^-64 collision odds); planted-answer test in
+    tests/test_textops.py."""
     return _decontaminate_ids(sf_dir, 13)
 
 
@@ -3809,6 +3812,25 @@ ORACLE_SQL = {
         "WHERE a.vec_id < b.vec_id "
         "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9"
     ),
+    "decontaminate": (
+        # the GPT-3/PaLM 13-gram convention, mirrored exactly with the
+        # decontaminate_tri list-comprehension machinery at n=13 (the
+        # engine's 64-bit rolling-hash identity collides at ~2^-64 —
+        # value-identical to the literal word join in practice)
+        "WITH w AS (SELECT doc_id, list_filter("
+        "string_split_regex(lower(text), '\\s+'), x -> x <> '') AS l "
+        "FROM documents), "
+        "g AS (SELECT doc_id, unnest(["
+        + " || ' ' || ".join(f"l[i+{j}]" if j else "l[i]"
+                             for j in range(13)) +
+        " for i in generate_series(1, greatest(length(l)-12, 0))]"
+        ") AS t FROM w), "
+        "ev AS (SELECT DISTINCT t FROM g WHERE doc_id % 97 = 0), "
+        "bad AS (SELECT DISTINCT doc_id FROM g "
+        "WHERE t IN (SELECT t FROM ev)) "
+        "SELECT doc_id FROM documents "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM bad)"
+    ),
     "decontaminate_tri": (
         # word trigrams via list comprehension; empty-word guard keeps
         # split semantics aligned with pc.utf8_split_whitespace
@@ -4149,7 +4171,7 @@ ORACLE_SQL = {
         "TIMESTAMP '2024-01-05 00:00:00' AND "
         "TIMESTAMP '2024-01-20 00:00:00' ORDER BY event_id"),
     # compression_metrics, lang_id, quality_scores,
-    # ann_topk_lsh, decontaminate (n=13): intentionally
+    # ann_topk_lsh: intentionally
     # no oracle (engine-side semantics with no exact SQL equivalent ->
     # driver rows-only check; each has a planted-answer test in tests/)
 }
