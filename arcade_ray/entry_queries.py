@@ -2230,7 +2230,11 @@ def q_lang_id(sf_dir: str) -> pa.Table:
 
 
 def q_quality_scores(sf_dir: str) -> pa.Table:
-    """Quality signals (rows-only)."""
+    """Quality signals. Oracle: the exact SQL mirror of the
+    vectorized TextAnalyzer metrics (ASCII word regex, ASCII punct
+    class, fixed stopword set) — every ratio is one correctly-rounded
+    int/int double division in both engines, hash-matching
+    bit-for-bit."""
     return _analyzed(sf_dir).select(
         ["doc_id", "punct_ratio", "stopword_ratio", "mean_word_len"])
 
@@ -3812,6 +3816,28 @@ ORACLE_SQL = {
         "WHERE a.vec_id < b.vec_id "
         "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9"
     ),
+    "quality_scores": (
+        # exact SQL mirror of TextAnalyzer's vectorized metrics: the
+        # ASCII word regex, the ASCII punct class, the fixed stopword
+        # set; every ratio is one correctly-rounded int/int double
+        # division in both engines, so values hash-match bit-for-bit
+        "WITH w AS (SELECT doc_id, text, "
+        "regexp_extract_all(text, '[A-Za-z0-9]+') AS ws "
+        "FROM documents) "
+        "SELECT doc_id, "
+        "CAST(length(regexp_extract_all(text, '[!-/:-@\\[-`{-~]')) "
+        "AS DOUBLE) / greatest(length(text), 1) AS punct_ratio, "
+        "CAST(length(list_filter(ws, x -> lower(x) IN ("
+        "'the','and','of','a','to','in','is','it','that','for','on',"
+        "'as','with','was','at','by','an','be','this','have','from',"
+        "'or','had','not','are','but','what','all','were','when',"
+        "'we','there','can'))) AS DOUBLE) "
+        "/ greatest(length(ws), 1) AS stopword_ratio, "
+        "CASE WHEN length(ws) > 0 THEN "
+        "CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)"
+        " / length(ws) ELSE 0.0 END AS mean_word_len "
+        "FROM w ORDER BY doc_id"
+    ),
     "decontaminate": (
         # the GPT-3/PaLM 13-gram convention, mirrored exactly with the
         # decontaminate_tri list-comprehension machinery at n=13 (the
@@ -4170,7 +4196,7 @@ ORACLE_SQL = {
         "WHERE user_id BETWEEN 3 AND 9 AND ts BETWEEN "
         "TIMESTAMP '2024-01-05 00:00:00' AND "
         "TIMESTAMP '2024-01-20 00:00:00' ORDER BY event_id"),
-    # compression_metrics, lang_id, quality_scores,
+    # compression_metrics, lang_id,
     # ann_topk_lsh: intentionally
     # no oracle (engine-side semantics with no exact SQL equivalent ->
     # driver rows-only check; each has a planted-answer test in tests/)
