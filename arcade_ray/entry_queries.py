@@ -2225,7 +2225,10 @@ def q_fingerprint(sf_dir: str) -> pa.Table:
 
 
 def q_lang_id(sf_dir: str) -> pa.Table:
-    """n-gram-heuristic language id (rows-only: no SQL equivalent)."""
+    """n-gram-heuristic language id. Oracle: a SQL mirror GENERATED
+    from the same profile table (weighted contains() votes over the
+    padded 400-char lowered prefix, first-lang-wins ties) — see
+    _lang_id_oracle()."""
     return _analyzed(sf_dir).select(["doc_id", "pred_lang"])
 
 
@@ -3342,6 +3345,40 @@ QUERIES = {
 
 _IDS_SQL = ", ".join(str(i) for i in LOOKUP_IDS)
 
+
+def _lang_id_oracle() -> str:
+    """SQL mirror of TextAnalyzer._pred_langs, generated from the SAME
+    profile table (arcade_ray.textops._LANG_PROFILES): weighted
+    contains() votes over the space-padded 400-char lowered prefix,
+    first-lang-wins ties, 'unk' when every score is zero."""
+    from .textops import _LANG_PROFILES
+
+    langs = list(_LANG_PROFILES)
+    score_cols = []
+    for lang, grams in _LANG_PROFILES.items():
+        terms = " + ".join(
+            f"CASE WHEN contains(t, '{g.replace(chr(39), chr(39)*2)}')"
+            f" THEN {len(grams) - i} ELSE 0 END"
+            for i, g in enumerate(grams))
+        score_cols.append(f"({terms}) AS s_{lang}")
+    zero = " AND ".join(f"s_{lg} = 0" for lg in langs)
+    # first-lang-wins: lang i wins when >= every LATER lang (earlier
+    # langs already failed their branch, i.e. some later lang beat
+    # them strictly)
+    branches = []
+    for i, lg in enumerate(langs[:-1]):
+        cond = " AND ".join(f"s_{lg} >= s_{other}"
+                            for other in langs[i + 1:])
+        branches.append(f"WHEN {cond} THEN '{lg}'")
+    return (
+        "WITH p AS (SELECT doc_id, ' ' || substr(lower(text), 1, 400)"
+        " || ' ' AS t FROM documents), "
+        "s AS (SELECT doc_id, " + ", ".join(score_cols) + " FROM p) "
+        "SELECT doc_id, CASE WHEN " + zero + " THEN 'unk' "
+        + " ".join(branches) + f" ELSE '{langs[-1]}' END AS pred_lang "
+        "FROM s ORDER BY doc_id")
+
+
 ORACLE_SQL = {
     "scan_project": "SELECT lang, source FROM documents",
     "equi_filter": "SELECT l_returnflag, l_orderkey FROM lineitem WHERE l_returnflag = 'R'",
@@ -3816,6 +3853,7 @@ ORACLE_SQL = {
         "WHERE a.vec_id < b.vec_id "
         "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.9"
     ),
+    "lang_id": _lang_id_oracle(),
     "quality_scores": (
         # exact SQL mirror of TextAnalyzer's vectorized metrics: the
         # ASCII word regex, the ASCII punct class, the fixed stopword
@@ -4196,7 +4234,7 @@ ORACLE_SQL = {
         "WHERE user_id BETWEEN 3 AND 9 AND ts BETWEEN "
         "TIMESTAMP '2024-01-05 00:00:00' AND "
         "TIMESTAMP '2024-01-20 00:00:00' ORDER BY event_id"),
-    # compression_metrics, lang_id,
+    # compression_metrics,
     # ann_topk_lsh: intentionally
     # no oracle (engine-side semantics with no exact SQL equivalent ->
     # driver rows-only check; each has a planted-answer test in tests/)
