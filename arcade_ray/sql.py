@@ -4968,7 +4968,24 @@ def _run_window_query(src, node: dict, select: list):
             "QUALIFY without a window function — use WHERE")
     pkeys, orders = spec
     if not orders:
-        raise SqlUnsupported("window functions need ORDER BY in OVER")
+        # PARTITION-ONLY aggregates (SUM(x) OVER (PARTITION BY k)):
+        # synthesize ORDER BY the first partition key — every row in
+        # the partition is then an order-key PEER, and the default
+        # RANGE frame's peer-shared end makes each running aggregate
+        # equal the FULL-partition aggregate, which is exactly SQL's
+        # whole-partition-frame semantics for an ORDER-BY-less OVER.
+        # Rank/offset functions stay refused (their result would be
+        # nondeterministic without an order).
+        deterministic = all(w["type"] == "WINDOW_AGGREGATE"
+                            and _frame_of(w) == ("range",)
+                            for _, w, _ in wins)
+        if pkeys and deterministic:
+            orders = ((pkeys[0], False),)
+        else:
+            raise SqlUnsupported(
+                "window functions need ORDER BY in OVER (only "
+                "partition-only sum/count/avg/min/max aggregates with "
+                "the default frame may omit it)")
 
     need = list(dict.fromkeys(
         passthru + list(pkeys) + [c for c, _ in orders]

@@ -2326,3 +2326,44 @@ def test_narrow_generation_update_lifecycle(ray_session, tmp_path):
     got3 = sql_query("SELECT doc_id, tag FROM docs ORDER BY doc_id", tb)
     got3 = got3 if isinstance(got3, pa.Table) else collect_arrow(got3)
     assert got3["tag"].to_pylist() == ["t1", "t2", "x"]
+
+
+def test_partition_only_window_aggregates(ray_session):
+    """SUM/COUNT/AVG/MIN/MAX OVER (PARTITION BY k) without ORDER BY:
+    the synthesized peer-order lowering makes each value the
+    full-partition aggregate (SQL's whole-partition frame), parity
+    vs DuckDB; rank/offset functions still refuse (nondeterministic
+    without an order)."""
+    import duckdb
+    import pytest as _pt
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.sql import SqlUnsupported, sql_query
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(60)), type=pa.int64()),
+        "s": pa.array([f"s{i % 5}" for i in range(60)]),
+        "n": pa.array([(i * 7) % 23 for i in range(60)],
+                      type=pa.int64()),
+    })
+    tb = {"fz": t}
+    con = duckdb.connect()
+    con.register("fz", t)
+    for q in (
+        "SELECT doc_id, SUM(n) OVER (PARTITION BY s) AS tot "
+        "FROM fz ORDER BY doc_id",
+        "SELECT doc_id, COUNT(*) OVER (PARTITION BY s) AS c, "
+        "AVG(n) OVER (PARTITION BY s) AS m FROM fz ORDER BY doc_id",
+        "SELECT doc_id, MIN(n) OVER (PARTITION BY s) AS lo, "
+        "MAX(n) OVER (PARTITION BY s) AS hi FROM fz "
+        "WHERE n > 3 ORDER BY doc_id",
+    ):
+        r = sql_query(q, tb)
+        r = r if isinstance(r, pa.Table) else collect_arrow(r)
+        assert r.to_pylist() == \
+            con.execute(q).fetch_arrow_table().to_pylist(), q
+    with _pt.raises(SqlUnsupported):
+        sql_query("SELECT ROW_NUMBER() OVER (PARTITION BY s) AS rk "
+                  "FROM fz", tb)
+    with _pt.raises(SqlUnsupported):  # OVER () still refuses
+        sql_query("SELECT SUM(n) OVER () AS tot FROM fz", tb)
