@@ -3443,17 +3443,19 @@ def _asof_cond(cond: dict, lb, rb):
             eqs.append((s1[1], s2[1]) if s1[0] == "l"
                        else (s2[1], s1[1]))
             continue
-        if typ not in ("COMPARE_GREATERTHANOREQUALTO",
-                       "COMPARE_LESSTHANOREQUALTO"):
-            raise SqlUnsupported(
-                f"ASOF inequality {typ!r} (non-strict >= / <= only)")
-        ge = typ == "COMPARE_GREATERTHANOREQUALTO"
+        strict_map = {"COMPARE_GREATERTHANOREQUALTO": False,
+                      "COMPARE_LESSTHANOREQUALTO": False,
+                      "COMPARE_GREATERTHAN": True,
+                      "COMPARE_LESSTHAN": True}
+        if typ not in strict_map:
+            raise SqlUnsupported(f"ASOF inequality {typ!r}")
+        ge = typ in ("COMPARE_GREATERTHANOREQUALTO",
+                     "COMPARE_GREATERTHAN")
         backward = ge if s1[0] == "l" else not ge
-        if not backward:
-            raise SqlUnsupported(
-                "forward ASOF (left.ts <= right.ts): backward only")
         lref, rref = (s1, s2) if s1[0] == "l" else (s2, s1)
-        ineqs.append((lref[1], rref[1]))
+        ineqs.append((lref[1], rref[1],
+                      "backward" if backward else "forward",
+                      strict_map[typ]))
     if len(eqs) != 1 or len(ineqs) != 1:
         raise SqlUnsupported("ASOF ON must be exactly one equality "
                              "AND one inequality")
@@ -3463,8 +3465,10 @@ def _asof_cond(cond: dict, lb, rb):
 class _AsofSource:
     """ASOF JOIN (DuckDB ref_type ASOF): lowers onto
     windows.asof_join — ONE co-partitioned union shuffle plus a
-    vectorized segment-reset running-max merge per bucket. Backward
-    non-strict only. INNER drops unmatched left rows (matched right
+    vectorized segment-reset running-max merge per bucket. All four
+    directions compile: backward/forward x strict/non-strict (forward
+    negates the order key; strict flips the tie order — see
+    windows.asof_join). INNER drops unmatched left rows (matched right
     ts is non-null), LEFT keeps them null-extended. Right columns
     colliding with left names surface with the ``_r`` suffix;
     qualified references resolve through that rename, and a bare
@@ -3486,8 +3490,8 @@ class _AsofSource:
         cond = ft.get("condition")
         if not cond:
             raise SqlUnsupported("ASOF JOIN needs an ON condition")
-        self.lkey, self.rkey, self.lon, self.ron = \
-            _asof_cond(cond, lb, rb)
+        (self.lkey, self.rkey, self.lon, self.ron,
+         self.direction, self.strict) = _asof_cond(cond, lb, rb)
         if self.ron == self.rkey:
             raise SqlUnsupported("ASOF ordering column = join key")
         self.lb, self.rb = lb, rb
@@ -3587,7 +3591,8 @@ class _AsofSource:
         res = asof_join(lds, rds, on=self.lon, by=self.lkey,
                         left_cols=lcols,
                         right_cols=[self.rmap[o] for o in rvals],
-                        right_on=self.ron_out)
+                        right_on=self.ron_out,
+                        direction=self.direction, strict=self.strict)
         wn, want, inner, ron_out = \
             self.where_node, list(cols), self.inner, self.ron_out
 

@@ -160,10 +160,20 @@ def asof_join(left_ds, right_ds, on: str = "ts", by: str = "user_id",
               left_cols: list[str] | None = None,
               right_cols: list[str] | None = None,
               suffix: str = "_r", n_buckets: int | None = None,
-              right_on: str | None = None):
-    """AS-OF join (backward): attach to each left row the LATEST right
-    row with ``right.on <= left.on`` within the same ``by`` key; left
-    rows with no earlier right row keep nulls (ASOF LEFT JOIN).
+              right_on: str | None = None,
+              direction: str = "backward", strict: bool = False):
+    """AS-OF join: attach to each left row the NEAREST right row
+    within the same ``by`` key — ``direction="backward"`` (default)
+    takes the latest right with ``right.on <= left.on``,
+    ``direction="forward"`` the earliest right with ``right.on >=
+    left.on``; ``strict=True`` excludes equal timestamps (< / >).
+    Left rows with no match keep nulls (ASOF LEFT JOIN).
+
+    Forward lowers onto the SAME vectorized merge by negating the
+    int64 order key (nearest-following in real time = nearest-
+    preceding in negated time); strict flips the tie order so an
+    equal-timestamp right row sorts AFTER the left row and its carry
+    is not yet visible — no second code path, no epsilon arithmetic.
 
     Scale shape — ONE shuffle, both sides co-located: rows are tagged
     with a side flag, unified to one schema, and hash-bucketed by key
@@ -184,6 +194,8 @@ def asof_join(left_ds, right_ds, on: str = "ts", by: str = "user_id",
 
     from .hashing import hash_column
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof direction {direction!r}")
     unified, left_cols, right_cols, r_out, out_cols, out_empty = \
         _tagged_union(left_ds, right_ds, on, by, left_cols, right_cols,
                       suffix, n_buckets, right_on)
@@ -200,9 +212,16 @@ def asof_join(left_ds, right_ds, on: str = "ts", by: str = "user_id",
         key_codes = kc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         ts = t[on].combine_chunks()
         ts_i = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if direction == "forward":
+            ts_i = -ts_i  # nearest-following = nearest-preceding
+            # in negated time (int64 min never appears in real data)
         side = t["_side"].to_numpy(zero_copy_only=False)
         n = len(ts_i)
-        order = np.lexsort((side, ts_i, key_codes))  # right (0) first at ties
+        # non-strict: right (0) first at equal ts (its carry is
+        # visible to the tied left row); strict: left first, so the
+        # equal-ts right row is NOT yet carried
+        tie = (1 - side) if strict else side
+        order = np.lexsort((tie, ts_i, key_codes))
         s_key = key_codes[order]
         s_side = side[order]
         # running index of the latest right row, reset per key segment

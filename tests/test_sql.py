@@ -1464,17 +1464,17 @@ def test_asof_join_nested_in_chain(asofenv):
 
 
 def test_asof_join_refusals(asofenv):
+    """Strict and forward ASOF are SUPPORTED since round 5 (see
+    test_asof_all_directions); only genuinely unsupported shapes
+    refuse."""
     tables, _ = asofenv
     for q in (
-        # strict inequality
-        "SELECT e.ts FROM ev e ASOF JOIN qt q ON e.user_id = "
-        "q.user_id AND e.ts > q.qts",
-        # forward direction
-        "SELECT e.ts FROM ev e ASOF JOIN qt q ON e.user_id = "
-        "q.user_id AND e.ts <= q.qts",
         # right join key is coalesced away
         "SELECT q.user_id FROM ev e ASOF JOIN qt q ON e.user_id = "
         "q.user_id AND e.ts >= q.qts",
+        # not-equal is no ASOF inequality
+        "SELECT e.ts FROM ev e ASOF JOIN qt q ON e.user_id = "
+        "q.user_id AND e.ts <> q.qts",
     ):
         with pytest.raises(SqlUnsupported):
             sql_query(q, tables)
@@ -2367,3 +2367,39 @@ def test_partition_only_window_aggregates(ray_session):
                   "FROM fz", tb)
     with _pt.raises(SqlUnsupported):  # OVER () still refuses
         sql_query("SELECT SUM(n) OVER () AS tot FROM fz", tb)
+
+
+def test_asof_all_directions(ray_session):
+    """ASOF JOIN in all four shapes (backward/forward x strict/
+    non-strict), with planted timestamp TIES so the tie-order
+    lowering is actually exercised — parity vs DuckDB."""
+    import duckdb
+    import numpy as np
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.sql import sql_query
+
+    rng = np.random.default_rng(5)
+    n, m = 300, 80
+    left = pa.table({
+        "uid": pa.array(rng.integers(0, 8, n).tolist()),
+        "lts": pa.array([int(v) - int(v) % 10 for v in
+                         rng.integers(0, 1000, n)]),
+        "lv": pa.array(list(range(n)))})
+    right = pa.table({
+        "uid": pa.array(rng.integers(0, 8, m).tolist()),
+        "rts": pa.array([int(v) - int(v) % 10 for v in
+                         rng.integers(0, 1000, m)]),
+        "rv": pa.array(list(range(m)))})
+    tb = {"l": left, "r": right}
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    for op in (">=", ">", "<=", "<"):
+        for jt in ("ASOF LEFT JOIN", "ASOF JOIN"):
+            q = (f"SELECT l.lv, r.rv FROM l {jt} r ON "
+                 f"l.uid = r.uid AND l.lts {op} r.rts ORDER BY l.lv")
+            a = sql_query(q, tb)
+            a = a if isinstance(a, pa.Table) else collect_arrow(a)
+            o = con.execute(q).fetch_arrow_table()
+            assert a.to_pylist() == o.to_pylist(), (op, jt)
