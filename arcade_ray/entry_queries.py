@@ -1406,6 +1406,35 @@ def q_asof_join_events(sf_dir: str) -> pa.Table:
     return out
 
 
+def q_asof_forward_strict(sf_dir: str) -> pa.Table:
+    """FORWARD STRICT AS-OF join (round-5: all four direction/strict
+    shapes compile): each click picks up the value of the EARLIEST
+    view strictly after it — the same vectorized merge with a negated
+    order key and a flipped tie order. Oracle: DuckDB ASOF LEFT JOIN
+    with ``l.ts < r.ts``."""
+    from .windows import asof_join
+
+    path = os.path.join(sf_dir, "events.parquet")
+
+    def only(kind):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch["event_type"], kind))
+        return f
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    clicks = read_parquet_clean(path, columns=cols).map_batches(
+        only("click"), batch_format="pyarrow")
+    views = read_parquet_clean(path, columns=cols).map_batches(
+        only("view"), batch_format="pyarrow")
+    out = _collect(asof_join(clicks, views, on="ts", by="user_id",
+                             left_cols=["event_id"],
+                             right_cols=["value"],
+                             direction="forward", strict=True))
+    v = pc.round(out["value"], 3)
+    out = out.set_column(out.schema.get_field_index("value"), "value", v)
+    return out
+
+
 def q_range_join_sessions(sf_dir: str) -> pa.Table:
     """Range (interval-containment) join: every event joined to its
     gap-session interval per user — session_windows output as the
@@ -3238,6 +3267,7 @@ QUERIES = {
     "simhash_incremental": q_simhash_incremental,
     "edit_incremental": q_edit_incremental,
     "audio_features": q_audio_features,
+    "asof_forward_strict": q_asof_forward_strict,
     "tokenize_vocab": q_tokenize_vocab,
     "ts_range_filter": q_ts_range_filter,
     "charngram_stats": q_charngram_stats,
@@ -3449,6 +3479,12 @@ ORACLE_SQL = {
         "FROM (SELECT * FROM events WHERE event_type='click') l "
         "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') r "
         "ON l.user_id = r.user_id AND l.ts >= r.ts"
+    ),
+    "asof_forward_strict": (
+        "SELECT l.event_id, l.user_id, l.ts, round(r.value, 3) AS value "
+        "FROM (SELECT * FROM events WHERE event_type='click') l "
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') r "
+        "ON l.user_id = r.user_id AND l.ts < r.ts"
     ),
     "range_join_sessions": (
         "WITH g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
