@@ -774,3 +774,63 @@ def test_sql_fuzz_parity_v5(fuzzenv2):
         assert mine.num_rows == oracle.num_rows, \
             (seed, q, mine.num_rows, oracle.num_rows)
         assert _norm(mine) == _norm(oracle), (seed, q)
+
+
+# ---- grammar v6: ASOF shapes / partition-only windows / typed literals -----
+
+def _v6_query(r: random.Random) -> str:
+    shape = r.choice(["asof", "part_only_window", "ts_literal",
+                      "ts_literal_corr"])
+    if shape == "asof":
+        op = r.choice([">=", ">", "<=", "<"])
+        jt = r.choice(["ASOF JOIN", "ASOF LEFT JOIN"])
+        cut = r.randint(1000, 9000)
+        return (f"SELECT l.doc_id, r.n_chars AS rn FROM "
+                f"(SELECT doc_id, source, ts FROM fz WHERE "
+                f"n_chars >= {cut}) l {jt} "
+                f"(SELECT source, ts, n_chars FROM fz WHERE "
+                f"n_chars < {cut}) r "
+                f"ON l.source = r.source AND l.ts {op} r.ts "
+                "ORDER BY l.doc_id")
+    if shape == "part_only_window":
+        agg = r.choice(["SUM(n_chars)", "COUNT(*)", "MIN(rank_i)",
+                        "MAX(rank_i)", "AVG(n_chars)"])
+        return (f"SELECT doc_id, {agg} OVER (PARTITION BY source) "
+                f"AS w FROM fz WHERE n_chars > {r.randint(0, 9000)} "
+                "ORDER BY doc_id")
+    if shape == "ts_literal":
+        day = r.randint(2, 25)
+        return ("SELECT doc_id FROM fz WHERE ts BETWEEN "
+                f"TIMESTAMP '2024-01-{day:02d} 00:00:00' AND "
+                f"TIMESTAMP '2024-06-{day:02d} 12:00:00' "
+                f"AND rank_i > {r.randint(-40, 40)} ORDER BY doc_id")
+    return ("SELECT d.doc_id, (SELECT CAST(COUNT(*) AS BIGINT) FROM "
+            "fz f2 WHERE f2.source = d.source AND f2.ts >= "
+            f"TIMESTAMP '2024-0{r.randint(1, 9)}-01 00:00:00') AS c "
+            f"FROM fz d WHERE d.n_chars > {r.randint(8000, 9800)} "
+            "ORDER BY d.doc_id")
+
+
+def _gen6(seed: int) -> str:
+    return _v6_query(random.Random(60_000 + seed))
+
+
+def test_sql_fuzz_parity_v6(fuzzenv2):
+    """Grammar v6: the round-5 SQL surface (all four ASOF shapes,
+    partition-only window aggregates, typed TIMESTAMP literals,
+    correlated scalars over timestamp residuals) — zero refusals
+    tolerated, zero mismatches."""
+    tables, con = fuzzenv2
+    for seed in range(N_QUERIES):
+        q = _gen6(seed)
+        mine = sql_query(q, tables)
+        if not isinstance(mine, pa.Table):
+            from arcade_ray.collect import collect_arrow
+
+            mine = collect_arrow(mine)
+        oracle = con.execute(q).arrow()
+        assert sorted(mine.column_names) == \
+            sorted(oracle.column_names), (seed, q)
+        assert mine.num_rows == oracle.num_rows, \
+            (seed, q, mine.num_rows, oracle.num_rows)
+        assert _norm(mine) == _norm(oracle), (seed, q)
