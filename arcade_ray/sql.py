@@ -4972,6 +4972,7 @@ def _run_window_query(src, node: dict, select: list):
         raise SqlUnsupported(
             "QUALIFY without a window function — use WHERE")
     pkeys, orders = spec
+    inject_onepart = False
     if not orders:
         # PARTITION-ONLY aggregates (SUM(x) OVER (PARTITION BY k)):
         # synthesize ORDER BY the first partition key — every row in
@@ -4986,6 +4987,12 @@ def _run_window_query(src, node: dict, select: list):
                             for _, w, _ in wins)
         if pkeys and deterministic:
             orders = ((pkeys[0], False),)
+        elif deterministic:
+            # OVER (): ONE global partition — inject a hidden constant
+            # column downstream and order by it (all rows peers, so
+            # the peer-shared RANGE frame is the whole table)
+            inject_onepart = True
+            orders = (("__w1", False),)
         else:
             raise SqlUnsupported(
                 "window functions need ORDER BY in OVER (only "
@@ -4993,11 +5000,19 @@ def _run_window_query(src, node: dict, select: list):
                 "the default frame may omit it)")
 
     need = list(dict.fromkeys(
+        c for c in
         passthru + list(pkeys) + [c for c, _ in orders]
         + [_colref(w["children"][0]) for _, w, _ in wins
            if w.get("children")
-           and w["children"][0]["class"] == "COLUMN_REF"] + qplain))
+           and w["children"][0]["class"] == "COLUMN_REF"] + qplain
+        if c != "__w1"))
     ds = src.stream(need)
+    if inject_onepart:
+        def _addone(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "__w1", pa.array(np.zeros(b.num_rows, dtype=np.int64)))
+
+        ds = ds.map_batches(_addone, batch_format="pyarrow")
 
     from .hashing import hash_column
 
@@ -5378,6 +5393,8 @@ def _run_window_query(src, node: dict, select: list):
         et = src.empty(need)
         dummy = pa.table({f.name: _fill_zero(pa.nulls(1, f.type))
                           for f in et.schema})
+        if inject_onepart:
+            dummy = _addone(dummy)
         out = _with_typed_empty(out, wpass(assign(dummy)).slice(0, 0))
     except Exception:
         pass  # exotic column types: the schema rides the blocks

@@ -2365,8 +2365,16 @@ def test_partition_only_window_aggregates(ray_session):
     with _pt.raises(SqlUnsupported):
         sql_query("SELECT ROW_NUMBER() OVER (PARTITION BY s) AS rk "
                   "FROM fz", tb)
-    with _pt.raises(SqlUnsupported):  # OVER () still refuses
-        sql_query("SELECT SUM(n) OVER () AS tot FROM fz", tb)
+    # OVER () — one global partition via a hidden constant key
+    for q in (
+        "SELECT doc_id, SUM(n) OVER () AS tot FROM fz ORDER BY doc_id",
+        "SELECT doc_id, CAST(n AS DOUBLE) / SUM(n) OVER () AS share "
+        "FROM fz WHERE n > 2 ORDER BY doc_id",
+    ):
+        r = sql_query(q, tb)
+        r = r if isinstance(r, pa.Table) else collect_arrow(r)
+        assert r.to_pylist() == \
+            con.execute(q).fetch_arrow_table().to_pylist(), q
 
 
 def test_asof_all_directions(ray_session):
