@@ -80,3 +80,101 @@ def test_kill9_then_resume(tmp_path):
     for name in want.schema.names:
         assert a[name].combine_chunks().equals(
             b[name].combine_chunks().cast(a[name].type)), name
+
+
+ZAPPEND_SCRIPT = """
+import ray, sys, logging
+ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+logging.getLogger("ray.data").setLevel(logging.ERROR)
+import pyarrow as pa
+import ray.data as rd
+import pyarrow.parquet as pq
+from arcade_ray.pipeline.encode import encode_dataset
+t = pq.read_table(sys.argv[1])
+encode_dataset(rd.from_arrow(t), sys.argv[2], key_col="event_type",
+               id_col="event_id", weight_col=None,
+               zorder_cols=["user_id", "ts"], generation="g1")
+print("DONE")
+"""
+
+
+def test_clustered_append_kill_resume(tmp_path):
+    """Round-5 clustered appends are resumable like any encode: a
+    Z-order generation append killed mid-flight resumes without
+    re-encoding committed partitions, reuses the SAME persisted
+    Morton plan, and the final table matches an uninterrupted base +
+    append union."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from arcade_ray.pipeline.encode import encode_dataset
+
+    rng = np.random.default_rng(3)
+    n = 30_000
+    base_tab = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(rng.integers(0, 500, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 10**9, n), pa.int64()),
+        "event_type": pa.array([f"t{i % 4}" for i in range(n)]),
+    })
+    app_tab = pa.table({
+        "event_id": pa.array(np.arange(n, n + 8000), pa.int64()),
+        "user_id": pa.array(rng.integers(0, 500, 8000), pa.int64()),
+        "ts": pa.array(rng.integers(0, 10**9, 8000), pa.int64()),
+        "event_type": pa.array([f"t{i % 4}" for i in range(8000)]),
+    })
+    out_dir = str(tmp_path / "enc")
+    encode_dataset(rd.from_arrow(base_tab), out_dir,
+                   key_col="event_type", id_col="event_id",
+                   weight_col=None, weight_cap=2000,
+                   zorder_cols=["user_id", "ts"])
+    with open(os.path.join(out_dir, "zorder_plan.json")) as f:
+        plan_before = f.read()
+
+    app_path = str(tmp_path / "app.parquet")
+    pq.write_table(app_tab, app_path)
+    mdir = os.path.join(out_dir, "manifest")
+    n_base = len(glob.glob(os.path.join(mdir, "*.json")))
+
+    proc = subprocess.Popen(
+        [sys.executable, "-c", ZAPPEND_SCRIPT, app_path, out_dir],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            break
+        if len(glob.glob(os.path.join(mdir, "*.json"))) >= n_base + 1:
+            proc.kill()
+            break
+        time.sleep(0.02)
+    proc.wait()
+
+    # resume in-process (the session fixture Ray is fine here)
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4,
+                 include_dashboard=False, logging_level="ERROR")
+    encode_dataset(rd.from_arrow(app_tab), out_dir,
+                   key_col="event_type", id_col="event_id",
+                   weight_col=None, zorder_cols=["user_id", "ts"],
+                   generation="g1")
+    with open(os.path.join(out_dir, "zorder_plan.json")) as f:
+        assert f.read() == plan_before  # plan stable across the kill
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.pipeline.decode import decode_dataset
+
+    got = collect_arrow(decode_dataset(
+        out_dir, columns=["event_id", "user_id"]))
+    want = pa.concat_tables([
+        base_tab.select(["event_id", "user_id"]),
+        app_tab.select(["event_id", "user_id"])])
+    a = sorted(got["event_id"].to_pylist())
+    b = sorted(want["event_id"].to_pylist())
+    assert a == b
+    assert got.num_rows == want.num_rows
