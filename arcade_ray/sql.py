@@ -497,6 +497,41 @@ def _corr_scalar_map(x: dict, dec, tables: dict) -> dict:
             "_keys": keys, "_values": vals, "_default": default}
 
 
+_NOFOLD = object()
+
+
+def _fold_const_expr(nd: dict):
+    """Evaluate a COLUMN-FREE expression in a predicate position to a
+    plain constant (typed literals via _const_value; arithmetic /
+    string functions over literals via a one-row _eval_expr).
+    Returns :data:`_NOFOLD` when the expression references columns or
+    yields a type outside the predicate value domain."""
+    try:
+        return _const_value(nd)
+    except (SqlUnsupported, KeyError, TypeError, ValueError):
+        pass
+    cols: set = set()
+    try:
+        _expr_columns(nd, cols)
+    except SqlUnsupported:
+        return _NOFOLD
+    if cols:
+        return _NOFOLD
+    try:
+        v = _eval_expr(nd, {}, 1)
+    except Exception:
+        return _NOFOLD
+    if isinstance(v, (pa.Array, pa.ChunkedArray)):
+        if len(v) != 1:
+            return _NOFOLD
+        v = v[0]
+    if isinstance(v, pa.Scalar):
+        v = v.as_py()
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    return _NOFOLD
+
+
 def _compile_pred(node: dict, tables: dict, neg: bool = False,
                   any_col: str | None = None, outer=None):
     """``neg``: whether an enclosing NOT inverts this subtree — only
@@ -541,6 +576,22 @@ def _compile_pred(node: dict, tables: dict, neg: bool = False,
             if v is None:
                 return _null_literal_tree(col, neg)
             return _cmp_tree(_FLIP[typ], col, v)
+        # column vs a COLUMN-FREE expression (typed literals,
+        # arithmetic on literals, string concat): fold to a constant
+        if left["class"] == "COLUMN_REF":
+            v = _fold_const_expr(right)
+            if v is not _NOFOLD:
+                col = _colref(left)
+                if v is None:
+                    return _null_literal_tree(col, neg)
+                return _cmp_tree(typ, col, v)
+        if right["class"] == "COLUMN_REF":
+            v = _fold_const_expr(left)
+            if v is not _NOFOLD:
+                col = _colref(right)
+                if v is None:
+                    return _null_literal_tree(col, neg)
+                return _cmp_tree(_FLIP[typ], col, v)
         raise SqlUnsupported("comparison must be column vs constant")
     if cls == "BETWEEN":
         col = _colref(node["input"])
