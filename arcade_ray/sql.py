@@ -497,6 +497,36 @@ def _corr_scalar_map(x: dict, dec, tables: dict) -> dict:
             "_keys": keys, "_values": vals, "_default": default}
 
 
+def _rmq_minmax(vm, lo, hi, is_max: bool):
+    """Variable-width [lo, hi] min/max queries via an O(n log n)
+    sparse table (two overlapping power-of-two windows per query) —
+    the ROWS-frame sliding-window trick can't serve value frames
+    whose width varies per row."""
+    import numpy as np
+
+    n = len(vm)
+    op = np.maximum if is_max else np.minimum
+    sp = [vm]
+    k = 1
+    while (1 << k) <= n:
+        prev = sp[-1]
+        half = 1 << (k - 1)
+        m = n - (1 << k) + 1
+        sp.append(op(prev[:m], prev[half:half + m]))
+        k += 1
+    w = hi - lo + 1
+    kk = np.zeros(n, dtype=np.int64)
+    nz = w > 0
+    kk[nz] = np.floor(np.log2(w[nz])).astype(np.int64)
+    res = np.empty(n, dtype=vm.dtype)
+    for ki in range(len(sp)):
+        m = kk == ki
+        if m.any():
+            res[m] = op(sp[ki][lo[m]],
+                        sp[ki][hi[m] - (1 << ki) + 1])
+    return res
+
+
 _NOFOLD = object()
 
 
@@ -4897,6 +4927,25 @@ def _frame_of(w: dict):
     s, e = w.get("start"), w.get("end")
     if s == "UNBOUNDED_PRECEDING" and e == "CURRENT_ROW_RANGE":
         return ("range",)
+    # VALUE-range frames (RANGE BETWEEN <const> PRECEDING/FOLLOWING):
+    # frame = rows whose order-key VALUE lies in [key-p, key+f]
+    if e in ("CURRENT_ROW_RANGE", "EXPR_FOLLOWING_RANGE") \
+            or s in ("EXPR_PRECEDING_RANGE", "CURRENT_ROW_RANGE"):
+        if e == "CURRENT_ROW_RANGE":
+            vf = 0
+        elif e == "EXPR_FOLLOWING_RANGE":
+            vf = int(_const_value(w["end_expr"]))
+        else:
+            raise SqlUnsupported(f"window frame end {e!r}")
+        if s == "EXPR_PRECEDING_RANGE":
+            vp = int(_const_value(w["start_expr"]))
+        elif s == "CURRENT_ROW_RANGE":
+            vp = 0
+        elif s == "UNBOUNDED_PRECEDING":
+            vp = None
+        else:
+            raise SqlUnsupported(f"window frame start {s!r}")
+        return ("vrange", vp, vf)
     if e == "CURRENT_ROW_ROWS":
         f = 0
     elif e == "EXPR_FOLLOWING_ROWS":
@@ -4998,6 +5047,11 @@ def _run_window_query(src, node: dict, select: list):
             raise SqlUnsupported("window FILTER / IGNORE NULLS")
         if wnode["type"] in _FRAMED_WINDOWS:
             fr = _frame_of(wnode)  # raises on unsupported frames
+            if fr[0] == "vrange" \
+                    and wnode["type"] != "WINDOW_AGGREGATE":
+                raise SqlUnsupported(
+                    "RANGE value frames support only "
+                    "sum/count/avg/min/max")
         if wnode["type"] == "WINDOW_AGGREGATE":
             if wnode["function_name"] not in ("sum", "count", "avg",
                                               "min", "max"):
@@ -5169,6 +5223,57 @@ def _run_window_query(src, node: dict, select: list):
         peer_end = np.repeat(peer_starts + peer_lens - 1, peer_lens)
         idx = np.arange(n, dtype=np.int64)
 
+        vr_cache: dict = {}
+
+        def vr_bounds(p, f):
+            """Index bounds of the VALUE-range frame [key-p, key+f]
+            per row: partitions' keys shift into disjoint numeric
+            ranges (margin > p+f) so ONE global searchsorted answers
+            every row without crossing a partition edge."""
+            ck = (p, f)
+            if ck in vr_cache:
+                return vr_cache[ck]
+            if len(orders) != 1 or orders[0][1]:
+                raise SqlUnsupported(
+                    "RANGE value frame needs exactly one ASCENDING "
+                    "ORDER BY column")
+            a = t[orders[0][0]].combine_chunks()
+            if a.null_count:
+                raise SqlUnsupported(
+                    "RANGE value frame over a null-bearing order key")
+            if pa.types.is_timestamp(a.type) or pa.types.is_date(a.type):
+                a = a.cast(pa.int64())
+            k = a.to_numpy(zero_copy_only=False)
+            if k.dtype.kind not in "iuf":
+                raise SqlUnsupported(
+                    "RANGE value frame needs a numeric/timestamp "
+                    "order key")
+            seg_id = np.cumsum(new_part) - 1
+            kmin = k.min()
+            pad = (0 if p is None else p) + f + 1
+            if k.dtype.kind in "iu":
+                k64 = k.astype(np.int64)
+                m_step = int(k64.max() - int(kmin)) + int(pad)
+                if int(seg_id[-1]) and m_step > (2 ** 62) // int(
+                        seg_id[-1] + 1):
+                    raise SqlUnsupported(
+                        "RANGE frame: order-key span too large to "
+                        "shift-partition")
+                shifted = (k64 - np.int64(kmin)) \
+                    + seg_id * np.int64(m_step)
+                qlo = shifted - np.int64(0 if p is None else p)
+                qhi = shifted + np.int64(f)
+            else:
+                m_step = float(k.max() - kmin) + float(pad)
+                shifted = (k - kmin) + seg_id.astype(np.float64) * m_step
+                qlo = shifted - float(0 if p is None else p)
+                qhi = shifted + float(f)
+            lo = part_start if p is None \
+                else np.searchsorted(shifted, qlo, side="left")
+            hi = np.searchsorted(shifted, qhi, side="right") - 1
+            vr_cache[ck] = (lo, hi)
+            return lo, hi
+
         cols = {c: t[c] for c in t.column_names}
         for nm, wtype, fn, arg, off, dflt, cast, frame in win_specs:
             if wtype == "WINDOW_ROW_NUMBER":
@@ -5266,7 +5371,13 @@ def _run_window_query(src, node: dict, select: list):
                     sent = -np.inf if fn == "max" else np.inf
                 vm = np.where(valid, v, sent)
                 seg_id = np.cumsum(new_part) - 1
-                if frame[0] == "rows" and frame[1] is not None:
+                if frame is not None and frame[0] == "vrange":
+                    lo, hi = vr_bounds(frame[1], frame[2])
+                    r = _rmq_minmax(vm, lo, hi, fn == "max")
+                    cv0 = np.concatenate(
+                        ([0], np.cumsum(valid.astype(np.int64))))
+                    runc = cv0[hi + 1] - cv0[lo]
+                elif frame[0] == "rows" and frame[1] is not None:
                     # bounded ROWS frame: each partition's values sit
                     # in an expanded array with p sentinels before and
                     # f after, so one vectorized sliding-window
@@ -5335,8 +5446,22 @@ def _run_window_query(src, node: dict, select: list):
                             zero_copy_only=False).astype(np.int64)
                     vals = np.where(valid, vals, 0)
                 isfloat = vals.dtype.kind == "f"
-                if frame[0] == "rows" and not (frame[1] is None
-                                               and frame[2] == 0):
+                if frame[0] == "vrange":
+                    # VALUE-range frame: [key-p, key+f] index bounds
+                    # from the shifted searchsorted (see vr_bounds);
+                    # exact prefix diffs for ints, float64 prefix
+                    # diffs for floats (summation-order ULPs absorbed
+                    # by the caller's rounding, as with any RANGE
+                    # engine difference)
+                    lo, hi = vr_bounds(frame[1], frame[2])
+                    cv0 = np.concatenate(
+                        ([0], np.cumsum(valid.astype(np.int64))))
+                    runc = cv0[hi + 1] - cv0[lo]
+                    cs0 = np.concatenate(
+                        ([vals.dtype.type(0)], np.cumsum(vals)))
+                    run = cs0[hi + 1] - cs0[lo]
+                elif frame[0] == "rows" and not (frame[1] is None
+                                                 and frame[2] == 0):
                     # constant-bound ROWS frame, clamped at partition
                     # edges: exact prefix-sum differences for ints;
                     # floats re-add the window left-to-right (shifted

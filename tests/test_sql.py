@@ -2411,3 +2411,71 @@ def test_asof_all_directions(ray_session):
             a = a if isinstance(a, pa.Table) else collect_arrow(a)
             o = con.execute(q).fetch_arrow_table()
             assert a.to_pylist() == o.to_pylist(), (op, jt)
+
+
+def test_range_value_frames(ray_session):
+    """RANGE BETWEEN <const> PRECEDING/FOLLOWING value frames over a
+    numeric order key: integer sum/count/min/max/avg are EXACT vs
+    DuckDB (prefix diffs / sparse-table RMQ over shift-partitioned
+    searchsorted bounds); float sums agree to 1e-9 (summation order —
+    DuckDB's segment trees impose their own)."""
+    import duckdb
+    import numpy as np
+    import pytest as _pt
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.sql import SqlUnsupported, sql_query
+
+    rng = np.random.default_rng(9)
+    n = 800
+    t = pa.table({
+        "doc_id": pa.array(list(range(n)), type=pa.int64()),
+        "s": pa.array([f"s{i % 5}" for i in range(n)]),
+        "ts": pa.array(sorted(rng.integers(0, 3000, n).tolist()),
+                       type=pa.int64()),
+        "n": pa.array(rng.integers(0, 100, n).tolist(),
+                      type=pa.int64()),
+        "x": pa.array(rng.standard_normal(n).round(3).tolist()),
+    })
+    tb = {"fz": t}
+    con = duckdb.connect()
+    con.register("fz", t)
+    for q in (
+        "SELECT doc_id, SUM(n) OVER (PARTITION BY s ORDER BY ts "
+        "RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS v "
+        "FROM fz ORDER BY doc_id",
+        "SELECT doc_id, COUNT(*) OVER (PARTITION BY s ORDER BY ts "
+        "RANGE BETWEEN 50 PRECEDING AND 50 FOLLOWING) AS v "
+        "FROM fz ORDER BY doc_id",
+        "SELECT doc_id, MIN(n) OVER (PARTITION BY s ORDER BY ts "
+        "RANGE BETWEEN 200 PRECEDING AND CURRENT ROW) AS v "
+        "FROM fz ORDER BY doc_id",
+        "SELECT doc_id, MAX(n) OVER (PARTITION BY s ORDER BY ts "
+        "RANGE BETWEEN CURRENT ROW AND 150 FOLLOWING) AS v "
+        "FROM fz ORDER BY doc_id",
+        "SELECT doc_id, AVG(n) OVER (PARTITION BY s ORDER BY ts "
+        "RANGE BETWEEN 75 PRECEDING AND 25 FOLLOWING) AS v "
+        "FROM fz ORDER BY doc_id",
+        "SELECT doc_id, CAST(SUM(n) OVER (ORDER BY ts RANGE BETWEEN "
+        "UNBOUNDED PRECEDING AND 30 FOLLOWING) AS BIGINT) AS v "
+        "FROM fz ORDER BY doc_id",
+    ):
+        r = sql_query(q, tb)
+        r = r if isinstance(r, pa.Table) else collect_arrow(r)
+        assert r.to_pylist() == \
+            con.execute(q).fetch_arrow_table().to_pylist(), q
+
+    qf = ("SELECT doc_id, SUM(x) OVER (PARTITION BY s ORDER BY ts "
+          "RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING) AS v "
+          "FROM fz ORDER BY doc_id")
+    r = sql_query(qf, tb)
+    r = r if isinstance(r, pa.Table) else collect_arrow(r)
+    o = con.execute(qf).fetch_arrow_table()
+    assert np.allclose(r["v"].to_numpy(zero_copy_only=False),
+                       o["v"].to_numpy(zero_copy_only=False),
+                       atol=1e-9)
+    # value frames outside aggregates refuse
+    with _pt.raises(SqlUnsupported):
+        sql_query("SELECT FIRST_VALUE(n) OVER (PARTITION BY s ORDER "
+                  "BY ts RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) "
+                  "AS v FROM fz", tb)
