@@ -1435,6 +1435,30 @@ def q_asof_forward_strict(sf_dir: str) -> pa.Table:
     return out
 
 
+def q_range_frame_agg(sf_dir: str) -> pa.Table:
+    """VALUE-range window frames (round-5): per user, the event count
+    and min/max event id within a sliding +/-1-hour RANGE of each
+    event's timestamp — searchsorted index bounds over
+    shift-partitioned keys + sparse-table RMQ (sql.py wpass). Integer
+    results, exact vs the DuckDB oracle over the same epoch-µs key."""
+    import pyarrow.parquet as pq
+
+    from .sql import sql_query
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                      columns=["event_id", "user_id", "ts"])
+    t = t.set_column(t.schema.get_field_index("ts"), "tsu",
+                     t["ts"].cast(pa.int64()))
+    out = sql_query(
+        "SELECT event_id, COUNT(*) OVER w AS n_win, "
+        "CAST(MIN(event_id) OVER w AS BIGINT) AS lo_id, "
+        "CAST(MAX(event_id) OVER w AS BIGINT) AS hi_id "
+        "FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsu "
+        "RANGE BETWEEN 3600000000 PRECEDING AND 3600000000 FOLLOWING)"
+        " ORDER BY event_id", {"ev": t})
+    return out if isinstance(out, pa.Table) else _collect(out)
+
+
 def q_range_join_sessions(sf_dir: str) -> pa.Table:
     """Range (interval-containment) join: every event joined to its
     gap-session interval per user — session_windows output as the
@@ -3268,6 +3292,7 @@ QUERIES = {
     "edit_incremental": q_edit_incremental,
     "audio_features": q_audio_features,
     "asof_forward_strict": q_asof_forward_strict,
+    "range_frame_agg": q_range_frame_agg,
     "tokenize_vocab": q_tokenize_vocab,
     "ts_range_filter": q_ts_range_filter,
     "charngram_stats": q_charngram_stats,
@@ -3485,6 +3510,16 @@ ORACLE_SQL = {
         "FROM (SELECT * FROM events WHERE event_type='click') l "
         "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') r "
         "ON l.user_id = r.user_id AND l.ts < r.ts"
+    ),
+    "range_frame_agg": (
+        "SELECT event_id, COUNT(*) OVER w AS n_win, "
+        "CAST(MIN(event_id) OVER w AS BIGINT) AS lo_id, "
+        "CAST(MAX(event_id) OVER w AS BIGINT) AS hi_id "
+        "FROM (SELECT event_id, user_id, "
+        "CAST(epoch_us(ts) AS BIGINT) AS tsu FROM events) "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY tsu "
+        "RANGE BETWEEN 3600000000 PRECEDING AND 3600000000 FOLLOWING)"
+        " ORDER BY event_id"
     ),
     "range_join_sessions": (
         "WITH g AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
