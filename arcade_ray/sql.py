@@ -530,6 +530,38 @@ def _rmq_minmax(vm, lo, hi, is_max: bool):
 _NOFOLD = object()
 
 
+_IVL_US = {"to_microseconds": 1, "to_milliseconds": 1000,
+           "to_seconds": 10 ** 6, "to_minutes": 60 * 10 ** 6,
+           "to_hours": 3600 * 10 ** 6, "to_days": 86400 * 10 ** 6,
+           "to_weeks": 7 * 86400 * 10 ** 6}
+
+
+def _interval_micros(nd: dict):
+    """INTERVAL n <unit> parses as a to_<unit>() constructor call —
+    fold fixed-length units to microseconds (months/years need
+    calendar arithmetic and return None -> refusal)."""
+    if nd.get("class") != "FUNCTION" \
+            or nd.get("function_name") not in _IVL_US:
+        return None
+    ch = nd.get("children") or []
+    if len(ch) != 1:
+        return None
+    v = _fold_const_expr(ch[0])
+    if v is _NOFOLD or not isinstance(v, (int, float)):
+        return None
+    return int(v) * _IVL_US[nd["function_name"]]
+
+
+def _is_ts_literal_expr(nd: dict) -> bool:
+    if nd.get("class") == "CAST":
+        return nd.get("cast_type", {}).get("id") == "TIMESTAMP"
+    if nd.get("class") == "FUNCTION" \
+            and nd.get("function_name") in ("+", "-") \
+            and len(nd.get("children") or []) == 2:
+        return _is_ts_literal_expr(nd["children"][0])
+    return False
+
+
 def _fold_const_expr(nd: dict):
     """Evaluate a COLUMN-FREE expression in a predicate position to a
     plain constant (typed literals via _const_value; arithmetic /
@@ -540,6 +572,18 @@ def _fold_const_expr(nd: dict):
         return _const_value(nd)
     except (SqlUnsupported, KeyError, TypeError, ValueError):
         pass
+    # TIMESTAMP literal +/- INTERVAL: both sides fold to epoch-µs
+    # ints, so the arithmetic stays in the engine's zone-map domain
+    if nd.get("class") == "FUNCTION" \
+            and nd.get("function_name") in ("+", "-") \
+            and len(nd.get("children") or []) == 2 \
+            and _is_ts_literal_expr(nd):
+        lv = _fold_const_expr(nd["children"][0])
+        rv = _interval_micros(nd["children"][1])
+        if lv is not _NOFOLD and isinstance(lv, int) \
+                and rv is not None:
+            return lv + rv if nd["function_name"] == "+" else lv - rv
+        return _NOFOLD
     cols: set = set()
     try:
         _expr_columns(nd, cols)
@@ -625,7 +669,10 @@ def _compile_pred(node: dict, tables: dict, neg: bool = False,
         raise SqlUnsupported("comparison must be column vs constant")
     if cls == "BETWEEN":
         col = _colref(node["input"])
-        lo, hi = _const_value(node["lower"]), _const_value(node["upper"])
+        lo = _fold_const_expr(node["lower"])
+        hi = _fold_const_expr(node["upper"])
+        if lo is _NOFOLD or hi is _NOFOLD:
+            raise SqlUnsupported("BETWEEN bounds must be constants")
         if lo is None or hi is None:  # NULL bound -> UNKNOWN everywhere
             return _null_literal_tree(col, neg)
         return ("between", col, lo, hi)
@@ -913,6 +960,7 @@ _SCALAR_FNS = {
     "abs": pc.abs, "sqrt": pc.sqrt, "exp": pc.exp, "ln": pc.ln,
     "log": pc.log10, "log10": pc.log10, "log2": pc.log2,
     "floor": pc.floor, "ceil": pc.ceil, "ceiling": pc.ceil,
+    "trunc": pc.trunc,
     "sign": pc.sign, "pow": pc.power, "power": pc.power,
     "starts_with": pc.starts_with, "prefix": pc.starts_with,
     "ends_with": pc.ends_with, "suffix": pc.ends_with,
@@ -1361,6 +1409,13 @@ def _eval_expr(node: dict, env: dict, n_rows: int):
                 offsets, values.take(pa.array(perm, type=pa.int64())))
         if fn in _SCALAR_FNS:
             return _SCALAR_FNS[fn](*args)
+        if fn in _IVL_US:
+            # INTERVAL n <fixed-length unit> constructor: an arrow
+            # duration scalar — timestamp +/- duration composes
+            # through the generic arithmetic kernels
+            return pa.scalar(
+                int(_as_py_scalar(args[0])) * _IVL_US[fn],
+                pa.duration("us"))
         if fn == "split_part":
             return _split_part(args[0], str(_as_py_scalar(args[1])),
                                int(_as_py_scalar(args[2])))

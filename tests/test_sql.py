@@ -2479,3 +2479,40 @@ def test_range_value_frames(ray_session):
         sql_query("SELECT FIRST_VALUE(n) OVER (PARTITION BY s ORDER "
                   "BY ts RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) "
                   "AS v FROM fz", tb)
+
+
+def test_interval_literal_arithmetic(ray_session, tmp_path):
+    """TIMESTAMP +/- INTERVAL (fixed-length units) folds to the
+    epoch-µs domain over BOTH source kinds — the in-memory expression
+    path (arrow duration arithmetic) and the encoded predicate-tree
+    path (constant folding drives zone-map pruning)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.pipeline.encode import encode_parquet
+    from arcade_ray.sql import sql_query
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    t = pq.read_table(src)
+    enc = str(tmp_path / "enc")
+    encode_parquet(src, enc, key_col="event_type", id_col="event_id",
+                   weight_col=None)
+    con = duckdb.connect()
+    con.register("events", t)
+    qs = (
+        "SELECT event_id FROM events WHERE ts >= TIMESTAMP "
+        "'2024-01-20 00:00:00' - INTERVAL 3 DAY ORDER BY event_id",
+        "SELECT event_id FROM events WHERE ts BETWEEN TIMESTAMP "
+        "'2024-01-10 00:00:00' AND TIMESTAMP '2024-01-10 00:00:00' "
+        "+ INTERVAL 36 HOUR ORDER BY event_id",
+        "SELECT event_id FROM events WHERE ts < TIMESTAMP "
+        "'2024-01-05 06:00:00' - INTERVAL 90 MINUTE "
+        "ORDER BY event_id",
+    )
+    for tabs in ({"events": t}, {"events": enc}):
+        for q in qs:
+            r = sql_query(q, tabs)
+            r = r if isinstance(r, pa.Table) else collect_arrow(r)
+            assert r.to_pylist() == \
+                con.execute(q).fetch_arrow_table().to_pylist(), q
