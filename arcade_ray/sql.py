@@ -552,6 +552,22 @@ def _interval_micros(nd: dict):
     return int(v) * _IVL_US[nd["function_name"]]
 
 
+def _interval_months(nd: dict):
+    """INTERVAL n MONTH/YEAR constructor -> months count, or None."""
+    mul = {"to_months": 1, "to_years": 12,
+           "to_decades": 120, "to_centuries": 1200}
+    if nd.get("class") != "FUNCTION" \
+            or nd.get("function_name") not in mul:
+        return None
+    ch = nd.get("children") or []
+    if len(ch) != 1:
+        return None
+    v = _fold_const_expr(ch[0])
+    if v is _NOFOLD or not isinstance(v, (int, float)):
+        return None
+    return int(v) * mul[nd["function_name"]]
+
+
 def _is_ts_literal_expr(nd: dict) -> bool:
     if nd.get("class") == "CAST":
         return nd.get("cast_type", {}).get("id") == "TIMESTAMP"
@@ -579,10 +595,28 @@ def _fold_const_expr(nd: dict):
             and len(nd.get("children") or []) == 2 \
             and _is_ts_literal_expr(nd):
         lv = _fold_const_expr(nd["children"][0])
+        if lv is _NOFOLD or not isinstance(lv, int):
+            return _NOFOLD
         rv = _interval_micros(nd["children"][1])
-        if lv is not _NOFOLD and isinstance(lv, int) \
-                and rv is not None:
+        if rv is not None:
             return lv + rv if nd["function_name"] == "+" else lv - rv
+        months = _interval_months(nd["children"][1])
+        if months is not None:
+            # calendar arithmetic with SQL's day clamping
+            # (2024-03-31 - 1 MONTH = 2024-02-29)
+            import calendar as _cal
+            import datetime as _dt
+
+            sign = 1 if nd["function_name"] == "+" else -1
+            dt = _dt.datetime.fromtimestamp(lv / 1_000_000,
+                                            _dt.timezone.utc)
+            total = dt.year * 12 + (dt.month - 1) + sign * months
+            y, m = divmod(total, 12)
+            d = min(dt.day, _cal.monthrange(y, m + 1)[1])
+            nd2 = dt.replace(year=y, month=m + 1, day=d)
+            # exact epoch-µs: integer seconds + the (unchanged) µs
+            return int(nd2.replace(microsecond=0).timestamp()) \
+                * 1_000_000 + nd2.microsecond
         return _NOFOLD
     cols: set = set()
     try:

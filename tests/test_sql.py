@@ -2516,3 +2516,32 @@ def test_interval_literal_arithmetic(ray_session, tmp_path):
             r = r if isinstance(r, pa.Table) else collect_arrow(r)
             assert r.to_pylist() == \
                 con.execute(q).fetch_arrow_table().to_pylist(), q
+
+
+def test_interval_month_year_folding(ray_session, tmp_path):
+    """Calendar-unit INTERVALs (MONTH/YEAR) fold with SQL's day
+    clamping (2024-03-31 - 1 MONTH = 2024-02-29) on the encoded
+    predicate-tree path."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.pipeline.encode import encode_parquet
+    from arcade_ray.sql import sql_query
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    enc = str(tmp_path / "enc")
+    encode_parquet(src, enc, key_col="event_type", id_col="event_id",
+                   weight_col=None)
+    con = duckdb.connect()
+    con.register("events", pq.read_table(src))
+    for q in (
+        "SELECT event_id FROM events WHERE ts >= TIMESTAMP "
+        "'2024-03-31 10:00:00' - INTERVAL 3 MONTH ORDER BY event_id",
+        "SELECT event_id FROM events WHERE ts < TIMESTAMP "
+        "'2025-01-15 00:00:00' - INTERVAL 1 YEAR ORDER BY event_id",
+    ):
+        r = sql_query(q, {"events": enc})
+        r = r if isinstance(r, pa.Table) else collect_arrow(r)
+        assert r.to_pylist() == \
+            con.execute(q).fetch_arrow_table().to_pylist(), q
