@@ -3260,6 +3260,36 @@ def _flatten_join(ft: dict, tables: dict, seen: set):
     return bases, steps
 
 
+def _split_on_residuals(cond: dict):
+    """Partition an ON condition into (AND-of-equalities node,
+    residual conjunct list). Returns None when there is no residual
+    (the plain equi-join path needs no rewrite)."""
+    eqs, resid = [], []
+
+    def walk(c):
+        if c.get("class") == "COMPARISON" \
+                and c.get("type") == "COMPARE_EQUAL":
+            eqs.append(c)
+        elif c.get("class") == "CONJUNCTION" \
+                and c.get("type") == "CONJUNCTION_AND":
+            for ch in c["children"]:
+                walk(ch)
+        else:
+            resid.append(c)
+
+    walk(cond)
+    if not resid:
+        return None
+    if not eqs:
+        raise SqlUnsupported(
+            "join needs at least one equality in ON (pure-inequality "
+            "joins: use ASOF / range joins)")
+    eq_cond = eqs[0] if len(eqs) == 1 else \
+        {"class": "CONJUNCTION", "type": "CONJUNCTION_AND",
+         "children": eqs}
+    return eq_cond, resid
+
+
 def _conj_equalities(cond: dict) -> list:
     """An ON condition as a list of (left_ref, right_ref) equality
     pairs: a single COMPARE_EQUAL or an AND of them."""
@@ -3303,11 +3333,32 @@ class _JoinSource:
         # the null-extended side's key is unrecoverable downstream)
         self.lost: set = set()
         self.steps = []
+        extra_resid: list = []
         for i, (jt, cond, using) in enumerate(raw_steps):
+            if cond is not None and not using:
+                split = _split_on_residuals(cond)
+                if split is not None:
+                    # INNER joins: non-equality ON conjuncts move to
+                    # the post-join 3VL filter (equivalent — inner
+                    # joins only shrink). Outer/semi/anti ON residuals
+                    # change null-extension/gating semantics: refuse.
+                    eq_cond, resid = split
+                    if jt != "inner":
+                        raise SqlUnsupported(
+                            "non-equality ON conditions are supported "
+                            "for INNER joins only (move the predicate "
+                            "to WHERE, or use ASOF/range joins)")
+                    extra_resid.extend(resid)
+                    cond = eq_cond
             lkeys, rkeys = self._attribute_keys(cond, using, i, jt)
             self.steps.append((jt, lkeys, rkeys))
             if jt in ("semi", "anti"):
                 self.hidden.add(i + 1)
+        if extra_resid:
+            conj = list(extra_resid)
+            if self.where_node is not None:
+                conj.append(self.where_node)
+            self.where_node = _rebuild_and(conj)
 
     # --- name attribution -------------------------------------------
 

@@ -2545,3 +2545,44 @@ def test_interval_month_year_folding(ray_session, tmp_path):
         r = r if isinstance(r, pa.Table) else collect_arrow(r)
         assert r.to_pylist() == \
             con.execute(q).fetch_arrow_table().to_pylist(), q
+
+
+def test_inner_join_on_residuals(ray_session):
+    """Non-equality ON conjuncts on INNER joins move to the post-join
+    3VL filter (equivalent — inner joins only shrink); outer joins
+    refuse (ON residuals change null-extension semantics)."""
+    import duckdb
+    import numpy as np
+    import pytest as _pt
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.sql import SqlUnsupported, sql_query
+
+    rng = np.random.default_rng(4)
+    t = pa.table({"k": pa.array(rng.integers(0, 20, 200).tolist()),
+                  "x": pa.array(rng.integers(0, 100, 200).tolist()),
+                  "tid": pa.array(list(range(200)))})
+    u = pa.table({"k": pa.array(rng.integers(0, 20, 80).tolist()),
+                  "y": pa.array(rng.integers(0, 100, 80).tolist()),
+                  "uid": pa.array(list(range(80)))})
+    tb = {"t": t, "u": u}
+    con = duckdb.connect()
+    con.register("t", t)
+    con.register("u", u)
+    for q in (
+        "SELECT t.tid, u.uid FROM t JOIN u ON t.k = u.k AND "
+        "t.x < u.y ORDER BY t.tid, u.uid",
+        "SELECT t.tid, u.uid FROM t JOIN u ON t.k = u.k AND "
+        "t.x + u.y > 100 ORDER BY t.tid, u.uid",
+        "SELECT count(*) AS n FROM t JOIN u ON t.k = u.k AND "
+        "t.x <> u.y",
+    ):
+        r = sql_query(q, tb)
+        r = r if isinstance(r, pa.Table) else collect_arrow(r)
+        assert r.to_pylist() == \
+            con.execute(q).fetch_arrow_table().to_pylist(), q
+    with _pt.raises(SqlUnsupported, match="INNER"):
+        sql_query("SELECT t.tid FROM t LEFT JOIN u ON t.k = u.k "
+                  "AND t.x < u.y", tb)
+    with _pt.raises(SqlUnsupported, match="equality"):
+        sql_query("SELECT t.tid FROM t JOIN u ON t.x < u.y", tb)
