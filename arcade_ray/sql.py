@@ -4671,7 +4671,7 @@ def _execute_node(node: dict, tables: dict[str, str]):
         return _run_set_operation(node, tables)
     if node.get("sample"):
         raise SqlUnsupported("TABLESAMPLE")
-    if any(_has_scalar_subquery(it) for it in node["select_list"]):
+    if any(_has_subquery(it) for it in node["select_list"]):
         outer0 = None
         ft0 = node["from_table"] or {}
         if ft0.get("type") == "BASE_TABLE" \
@@ -4680,7 +4680,9 @@ def _execute_node(node: dict, tables: dict[str, str]):
                       _dataset_columns(tables[ft0["table_name"]]))
         node = dict(node)
         node["select_list"] = [
-            _fold_scalar_subqueries(it, tables, outer0)
+            _fold_any_exists(
+                _fold_scalar_subqueries(it, tables, outer0),
+                tables, outer0)
             for it in node["select_list"]]
     ft = node["from_table"]
     if ft.get("type") == "BASE_TABLE":
@@ -4690,7 +4692,16 @@ def _execute_node(node: dict, tables: dict[str, str]):
                            f"(have: {sorted(tables)})")
         target = tables[tname]
         if isinstance(target, pa.Table):
-            src = _MemSource(target, node.get("where_clause"))
+            wn = node.get("where_clause")
+            if wn is not None and _has_subquery(wn):
+                # mem sources evaluate WHERE through _eval_expr,
+                # which has no subquery machinery — pre-fold IN-
+                # (subquery)/EXISTS into evaluable nodes
+                wn = _fold_any_exists(
+                    wn, tables,
+                    (ft.get("alias") or tname,
+                     list(target.column_names)))
+            src = _MemSource(target, wn)
         else:
             where_tree = residual = None
             if node.get("where_clause"):
@@ -5857,6 +5868,16 @@ def _run_window_over_groups(node: dict, tables: dict):
     return res
 
 
+def _has_subquery(x) -> bool:
+    if isinstance(x, dict):
+        if x.get("class") == "SUBQUERY":
+            return True
+        return any(_has_subquery(v) for v in x.values())
+    if isinstance(x, list):
+        return any(_has_subquery(v) for v in x)
+    return False
+
+
 def _has_scalar_subquery(x) -> bool:
     if isinstance(x, dict):
         if x.get("class") == "SUBQUERY" \
@@ -5884,6 +5905,70 @@ def _const_node(v, alias: str = ""):
             "alias": alias,
             "value": {"type": {"id": tid, "type_info": None},
                       "is_null": v is None, "value": v}}
+
+
+def _fold_any_exists(x, tables: dict, outer=None):
+    """Rewrite IN-(subquery) / EXISTS subqueries into expression-
+    evaluable nodes for the paths that run through _eval_expr (mem
+    sources, SELECT-list booleans): an uncorrelated ANY-equality
+    becomes a constant COMPARE_IN (skipped when the set has NULLs —
+    the predicate-tree path owns those 3VL cases), EXISTS becomes a
+    constant or a coalesce(outer-key IN keys, FALSE) via the standard
+    decorrelation."""
+    if isinstance(x, dict):
+        if x.get("class") == "SUBQUERY":
+            st = x.get("subquery_type")
+            sub = x["subquery"]["node"]
+            if st == "ANY" \
+                    and x.get("comparison_type") == "COMPARE_EQUAL" \
+                    and _decorrelate(sub, tables, outer) is None:
+                res = _materialize_result(_execute_node(sub, tables))
+                if res.num_columns == 1:
+                    vals = res.column(0).to_pylist()
+                    if not any(v is None for v in vals):
+                        return {"class": "OPERATOR",
+                                "type": "COMPARE_IN",
+                                "alias": x.get("alias") or "",
+                                "children": [x["child"]] + [
+                                    _const_node(v) for v in
+                                    dict.fromkeys(vals)]}
+                return x
+            if st == "EXISTS":
+                dec = _decorrelate(sub, tables, outer)
+                if dec is None:
+                    res = _materialize_result(
+                        _execute_node(sub, tables))
+                    return _const_node(res.num_rows > 0,
+                                       alias=x.get("alias") or "")
+                (ocol, icol), resid = dec
+                sub2 = dict(sub)
+                sub2["select_list"] = [
+                    {"class": "COLUMN_REF", "type": "COLUMN_REF",
+                     "alias": "", "column_names": [icol]}]
+                sub2["where_clause"] = _rebuild_and(resid)
+                sub2["modifiers"] = []
+                res = _materialize_result(_execute_node(sub2, tables))
+                keys = [v for v in
+                        dict.fromkeys(res.column(0).to_pylist())
+                        if v is not None]
+                in_node = {"class": "OPERATOR", "type": "COMPARE_IN",
+                           "alias": "",
+                           "children": [
+                               {"class": "COLUMN_REF",
+                                "type": "COLUMN_REF", "alias": "",
+                                "column_names": [ocol]}] + [
+                               _const_node(v) for v in keys]} \
+                    if keys else _const_node(False)
+                return {"class": "OPERATOR",
+                        "type": "OPERATOR_COALESCE",
+                        "alias": x.get("alias") or "",
+                        "children": [in_node, _const_node(False)]}
+            return x
+        return {k: _fold_any_exists(v, tables, outer)
+                for k, v in x.items()}
+    if isinstance(x, list):
+        return [_fold_any_exists(v, tables, outer) for v in x]
+    return x
 
 
 def _fold_scalar_subqueries(x, tables: dict, outer=None):

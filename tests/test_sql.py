@@ -2586,3 +2586,41 @@ def test_inner_join_on_residuals(ray_session):
                   "AND t.x < u.y", tb)
     with _pt.raises(SqlUnsupported, match="equality"):
         sql_query("SELECT t.tid FROM t JOIN u ON t.x < u.y", tb)
+
+
+def test_subqueries_on_mem_sources_and_select_list(ray_session):
+    """IN-(subquery) and EXISTS now work on in-memory sources (whose
+    WHERE runs through the expression evaluator, not the predicate
+    tree) and as SELECT-list booleans — folded to COMPARE_IN /
+    coalesce nodes via the standard decorrelation."""
+    import duckdb
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.sql import sql_query
+
+    t = pa.table({"k": pa.array([1, 2, 3, 4]),
+                  "s": pa.array(["a", "b", "c", "d"])})
+    u = pa.table({"k": pa.array([2, 3, 3]),
+                  "y": pa.array([9, 8, 7])})
+    tb = {"t": t, "u": u}
+    con = duckdb.connect()
+    con.register("t", t)
+    con.register("u", u)
+    for q in (
+        "SELECT k FROM t WHERE k IN (SELECT u.k FROM u WHERE "
+        "u.y > 7) ORDER BY k",
+        "SELECT k FROM t WHERE k NOT IN (SELECT u.k FROM u) "
+        "ORDER BY k",
+        "SELECT k, EXISTS(SELECT 1 FROM u WHERE u.k = t.k) AS e "
+        "FROM t ORDER BY k",
+        "SELECT k, NOT EXISTS(SELECT 1 FROM u WHERE u.k = t.k) AS e "
+        "FROM t ORDER BY k",
+        "SELECT k FROM t WHERE EXISTS(SELECT 1 FROM u WHERE "
+        "u.k = t.k AND u.y > 7) ORDER BY k",
+        "SELECT k, EXISTS(SELECT 1 FROM u WHERE u.y > 100) AS e "
+        "FROM t ORDER BY k",
+    ):
+        r = sql_query(q, tb)
+        r = r if isinstance(r, pa.Table) else collect_arrow(r)
+        assert r.to_pylist() == \
+            con.execute(q).fetch_arrow_table().to_pylist(), q
