@@ -186,6 +186,30 @@ def _like_tree(col: str, pattern: str):
     return ("regex", col, f"^{rx}$")
 
 
+def _like_escape_regex(pattern: str, escape: str) -> str:
+    """LIKE ... ESCAPE 'e' -> anchored RE2: the escape char protects
+    the following char (incl. % and _) as a literal; unescaped % / _
+    keep their wildcard meaning."""
+    if len(escape) != 1:
+        raise SqlUnsupported("ESCAPE must be a single character")
+    out = []
+    i, n = 0, len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == escape and i + 1 < n:
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+        i += 1
+    return "^" + "".join(out) + "$"
+
+
 def _cmp_tree(ctype: str, col: str, lit):
     """One comparison leaf. Strict bounds on integers rewrite to
     closed bounds (zone-prunable); other types use the 3VL-exact
@@ -798,6 +822,15 @@ def _compile_pred(node: dict, tables: dict, neg: bool = False,
         pattern = _const_value(node["children"][1])
         tree = _like_tree(col, pattern)
         return ("not", tree) if node["function_name"] == "!~~" else tree
+    if cls == "FUNCTION" \
+            and node.get("function_name") in ("like_escape",
+                                              "not_like_escape"):
+        col = _colref(node["children"][0])
+        rx = _like_escape_regex(_const_value(node["children"][1]),
+                                _const_value(node["children"][2]))
+        tree = ("regex", col, rx)
+        return ("not", tree) \
+            if node["function_name"] == "not_like_escape" else tree
     raise SqlUnsupported(f"WHERE construct {cls}/{typ}")
 
 
@@ -1392,6 +1425,13 @@ def _eval_expr(node: dict, env: dict, n_rows: int):
             arr = _eval_expr(node["children"][0], env, n_rows)
             m = pc.match_like(arr, pattern=_const_value(node["children"][1]))
             return pc.invert(m) if fn == "!~~" else m
+        if fn in ("like_escape", "not_like_escape"):
+            arr = _eval_expr(node["children"][0], env, n_rows)
+            rx = _like_escape_regex(
+                _const_value(node["children"][1]),
+                _const_value(node["children"][2]))
+            m = pc.match_substring_regex(arr, pattern=rx)
+            return pc.invert(m) if fn == "not_like_escape" else m
         if fn == "round":
             arr = _eval_expr(node["children"][0], env, n_rows)
             nd = _const_value(node["children"][1]) \
@@ -2739,6 +2779,45 @@ class _MemSource:
         return self.table.select(cols).slice(0, 0)
 
     unfiltered_dir = None
+
+
+_CROSS_CAP_ROWS = 5_000_000
+
+
+def _cross_source(ft: dict, tables: dict, where_node):
+    """CROSS JOIN: both sides materialize (driver-bounded by contract
+    — a cartesian product is only meaningful over small relations) and
+    the product builds vectorized via repeat/tile index takes; the row
+    cap refuses pathological crosses loudly instead of exploding."""
+    import numpy as np
+
+    def side_table(ref):
+        node = {"type": "SELECT_NODE",
+                "select_list": [dict(_STAR_NODE)],
+                "from_table": ref, "where_clause": None,
+                "modifiers": [], "cte_map": {"map": []},
+                "group_expressions": [], "group_sets": [],
+                "aggregate_handling": "STANDARD_HANDLING",
+                "having": None, "sample": None, "qualify": None}
+        return _materialize_result(_execute_node(node, tables))
+
+    lt, rt = side_table(ft["left"]), side_table(ft["right"])
+    if lt.num_rows * rt.num_rows > _CROSS_CAP_ROWS:
+        raise SqlUnsupported(
+            f"CROSS JOIN would produce {lt.num_rows * rt.num_rows} "
+            f"rows (cap {_CROSS_CAP_ROWS}) — add a join condition")
+    dup = set(lt.column_names) & set(rt.column_names)
+    if dup:
+        raise SqlUnsupported(
+            f"CROSS JOIN duplicate column name(s) {sorted(dup)}: "
+            "alias them apart in subqueries")
+    li = np.repeat(np.arange(lt.num_rows, dtype=np.int64), rt.num_rows)
+    ri = np.tile(np.arange(rt.num_rows, dtype=np.int64), lt.num_rows)
+    cols = {c: lt[c].combine_chunks().take(pa.array(li))
+            for c in lt.column_names}
+    cols.update({c: rt[c].combine_chunks().take(pa.array(ri))
+                 for c in rt.column_names})
+    return _MemSource(pa.table(cols), where_node)
 
 
 def _find_unnests(x, inside_agg=False, found=None):
@@ -4718,6 +4797,8 @@ def _execute_node(node: dict, tables: dict[str, str]):
                            {c: et[c] for c in et.column_names}, 0)
     elif ft.get("type") == "JOIN" and ft.get("ref_type") == "ASOF":
         src, node = _asof_source(ft, tables, node)
+    elif ft.get("type") == "JOIN" and ft.get("ref_type") == "CROSS":
+        src = _cross_source(ft, tables, node.get("where_clause"))
     elif ft.get("type") == "JOIN":
         src = _JoinSource(ft, tables, node.get("where_clause"))
     elif ft.get("type") == "SUBQUERY":

@@ -2624,3 +2624,63 @@ def test_subqueries_on_mem_sources_and_select_list(ray_session):
         r = r if isinstance(r, pa.Table) else collect_arrow(r)
         assert r.to_pylist() == \
             con.execute(q).fetch_arrow_table().to_pylist(), q
+
+
+def test_cross_join_and_like_escape(ray_session, tmp_path):
+    """CROSS JOIN (driver-bounded cartesian with a loud row cap) and
+    LIKE ... ESCAPE on both the expression path and the encoded
+    predicate-tree path."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    import pytest as _pt
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.pipeline.encode import encode_parquet
+    from arcade_ray.sql import SqlUnsupported, sql_query
+
+    t = pa.table({"k": pa.array([1, 2, 3]), "x": pa.array([5, 6, 7])})
+    u = pa.table({"j": pa.array([10, 20]), "y": pa.array(["a", "b"])})
+    tb = {"t": t, "u": u}
+    con = duckdb.connect()
+    con.register("t", t)
+    con.register("u", u)
+    for q in (
+        "SELECT t.k, u.j, u.y FROM t CROSS JOIN u ORDER BY t.k, u.j",
+        "SELECT k, j FROM t CROSS JOIN u WHERE x + j > 15 "
+        "ORDER BY k, j",
+    ):
+        r = sql_query(q, tb)
+        r = r if isinstance(r, pa.Table) else collect_arrow(r)
+        assert r.to_pylist() == \
+            con.execute(q).fetch_arrow_table().to_pylist(), q
+    import arcade_ray.sql as sqlmod
+    old = sqlmod._CROSS_CAP_ROWS
+    try:
+        sqlmod._CROSS_CAP_ROWS = 4
+        with _pt.raises(SqlUnsupported, match="cap"):
+            sql_query("SELECT * FROM t CROSS JOIN u", tb)
+    finally:
+        sqlmod._CROSS_CAP_ROWS = old
+
+    lk = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                   "source": pa.array(["s0"] * 4),
+                   "s": pa.array(["ab", "a_b", "a%b", "axb"])})
+    p = str(tmp_path / "lk.parquet")
+    pq.write_table(lk, p)
+    enc = str(tmp_path / "enc")
+    encode_parquet(p, enc, key_col="source", id_col="doc_id",
+                   weight_col=None)
+    con2 = duckdb.connect()
+    con2.register("t", lk)
+    for tabs in ({"t": lk}, {"t": enc}):
+        for q in (
+            "SELECT doc_id FROM t WHERE s LIKE 'a!_b' ESCAPE '!' "
+            "ORDER BY doc_id",
+            "SELECT doc_id FROM t WHERE s NOT LIKE 'a!%b' ESCAPE '!' "
+            "ORDER BY doc_id",
+        ):
+            r = sql_query(q, tabs)
+            r = r if isinstance(r, pa.Table) else collect_arrow(r)
+            assert r.to_pylist() == \
+                con2.execute(q).fetch_arrow_table().to_pylist(), q
