@@ -834,3 +834,53 @@ def test_sql_fuzz_parity_v6(fuzzenv2):
         assert mine.num_rows == oracle.num_rows, \
             (seed, q, mine.num_rows, oracle.num_rows)
         assert _norm(mine) == _norm(oracle), (seed, q)
+
+
+# ---- grammar v7: ON residuals / LIKE ESCAPE / const-expr folding -----------
+
+def _v7_query(r: random.Random) -> str:
+    shape = r.choice(["on_residual", "like_escape", "const_fold",
+                      "interval"])
+    if shape == "on_residual":
+        op = r.choice(["<", ">", "<=", ">=", "<>"])
+        return ("SELECT f.doc_id, d.weight FROM fz f JOIN dim d ON "
+                f"f.source = d.source AND f.rank_i {op} d.weight - "
+                f"{r.randint(0, 60)} ORDER BY f.doc_id, d.weight")
+    if shape == "like_escape":
+        pat = r.choice(["d00!_%", "%0!_1%", "d!_%"])
+        return ("SELECT doc_id FROM fz WHERE doc_id LIKE "
+                f"'{pat}' ESCAPE '!' ORDER BY doc_id")
+    if shape == "const_fold":
+        return ("SELECT doc_id FROM fz WHERE n_chars > "
+                f"{r.randint(1, 80)} * 100 + {r.randint(0, 99)} "
+                "ORDER BY doc_id")
+    day = r.randint(2, 20)
+    unit = r.choice(["DAY", "HOUR"])
+    k = r.randint(1, 48)
+    return ("SELECT doc_id FROM fz WHERE ts < TIMESTAMP "
+            f"'2024-02-{day:02d} 00:00:00' - INTERVAL {k} {unit} "
+            f"AND rank_i > {r.randint(-40, 40)} ORDER BY doc_id")
+
+
+def _gen7(seed: int) -> str:
+    return _v7_query(random.Random(70_000 + seed))
+
+
+def test_sql_fuzz_parity_v7(fuzzenv2):
+    """Grammar v7: inner-join ON residuals, LIKE ESCAPE,
+    constant-expression folding and INTERVAL arithmetic — zero
+    refusals tolerated, zero mismatches."""
+    tables, con = fuzzenv2
+    for seed in range(N_QUERIES):
+        q = _gen7(seed)
+        mine = sql_query(q, tables)
+        if not isinstance(mine, pa.Table):
+            from arcade_ray.collect import collect_arrow
+
+            mine = collect_arrow(mine)
+        oracle = con.execute(q).arrow()
+        assert sorted(mine.column_names) == \
+            sorted(oracle.column_names), (seed, q)
+        assert mine.num_rows == oracle.num_rows, \
+            (seed, q, mine.num_rows, oracle.num_rows)
+        assert _norm(mine) == _norm(oracle), (seed, q)
