@@ -6124,13 +6124,34 @@ def _run_set_operation(node: dict, tables: dict[str, str]):
     driver-side tables (per-batch distinct first keeps driver state
     at O(distinct))."""
     setop = node.get("setop_type")
-    if setop not in ("UNION", "INTERSECT", "EXCEPT"):
+    if setop not in ("UNION", "INTERSECT", "EXCEPT",
+                     "UNION_BY_NAME"):
         raise SqlUnsupported(f"set operation {setop!r}")
     sel = node.get("left") or {}
     while sel.get("type") == "SET_OPERATION_NODE":
         sel = sel.get("left") or {}
     setop_select = sel.get("select_list")
     sides = [_execute_node(node[s], tables) for s in ("left", "right")]
+    if setop == "UNION_BY_NAME":
+        # align columns BY NAME (first-seen order across both sides);
+        # a side missing a column contributes typed NULLs for it
+        side_names = [list(r.column_names) if isinstance(r, pa.Table)
+                      else list(r.schema().names) for r in sides]
+        all_names = list(dict.fromkeys(side_names[0] + side_names[1]))
+        mats = [_materialize_result(r) for r in sides]
+        types = {}
+        for m in mats:
+            for f in m.schema:
+                types.setdefault(f.name, f.type)
+        aligned = []
+        for m in mats:
+            cols = {}
+            for c in all_names:
+                cols[c] = m[c] if c in m.column_names \
+                    else pa.nulls(m.num_rows, types[c])
+            aligned.append(pa.table(cols))
+        sides = aligned
+        setop = "UNION"
     names = None
     for i, r in enumerate(sides):
         cols = r.column_names if isinstance(r, pa.Table) else r.schema().names

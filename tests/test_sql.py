@@ -2684,3 +2684,29 @@ def test_cross_join_and_like_escape(ray_session, tmp_path):
             r = r if isinstance(r, pa.Table) else collect_arrow(r)
             assert r.to_pylist() == \
                 con2.execute(q).fetch_arrow_table().to_pylist(), q
+
+
+def test_union_by_name(ray_session):
+    """UNION [ALL] BY NAME aligns columns by name (first-seen order);
+    a side missing a column contributes typed NULLs."""
+    import duckdb
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.sql import sql_query
+
+    t = pa.table({"k": pa.array([1, 2]), "s": pa.array(["a", "b"])})
+    tb = {"t": t}
+    con = duckdb.connect()
+    con.register("t", t)
+    for q in (
+        "SELECT k, s FROM t UNION ALL BY NAME SELECT s, k FROM t "
+        "ORDER BY k",
+        "SELECT k, s FROM t UNION BY NAME SELECT s, k FROM t "
+        "ORDER BY k",
+        "SELECT k FROM t UNION ALL BY NAME SELECT s, k FROM t "
+        "ORDER BY k, s",
+    ):
+        r = sql_query(q, tb)
+        r = r if isinstance(r, pa.Table) else collect_arrow(r)
+        assert r.to_pylist() == \
+            con.execute(q).fetch_arrow_table().to_pylist(), q
