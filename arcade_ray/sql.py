@@ -863,7 +863,8 @@ def _is_special_agg(fn: str) -> bool:
                   "sum_distinct", "avg_distinct") \
         or fn.startswith(("quantile_cont@", "quantile_disc@",
                           "arg_max@", "arg_min@", "string_agg@",
-                          "array_agg@"))
+                          "array_agg@", "string_agg_distinct@",
+                          "array_agg_distinct@"))
 _ARITH = {"+": pc.add, "-": pc.subtract, "*": pc.multiply}
 
 
@@ -898,9 +899,13 @@ def _agg_atom_name(node: dict) -> str:
                 raise SqlUnsupported(
                     "string_agg separator must be a constant")
             sep = str(_const_value(ch[1]))
-        return "string_agg@" + json.dumps([sep, _agg_order_spec(node)])
+        base = "string_agg_distinct@" if node.get("distinct") \
+            else "string_agg@"
+        return base + json.dumps([sep, _agg_order_spec(node)])
     if fn == "array_agg":
-        return "array_agg@" + json.dumps(_agg_order_spec(node))
+        base = "array_agg_distinct@" if node.get("distinct") \
+            else "array_agg@"
+        return base + json.dumps(_agg_order_spec(node))
     return fn
 
 
@@ -932,6 +937,15 @@ def _collect_aggs(node: dict, out: list):
                     "aggregate FILTER clause — rewrite the predicate "
                     "into WHERE or a separate aggregate query")
             if node.get("distinct"):
+                base = _AGG_ALIASES.get(fn, fn)
+                if base in ("string_agg", "array_agg") \
+                        and node["children"]:
+                    ch = node["children"][0]
+                    if ch["class"] != "COLUMN_REF":
+                        raise SqlUnsupported(
+                            f"{fn}(DISTINCT ...) needs a plain column")
+                    out.append((_agg_atom_name(node), _colref(ch)))
+                    return
                 if fn not in ("count", "sum", "avg", "min", "max") \
                         or not node["children"]:
                     raise SqlUnsupported(f"DISTINCT {fn} aggregate")
@@ -1413,8 +1427,15 @@ def _eval_expr(node: dict, env: dict, n_rows: int):
         fn = node["function_name"]
         if fn in _AGG_FNS:
             if node.get("distinct"):
-                dfn = fn if fn in ("min", "max") else f"{fn}_distinct"
-                key = ("agg", dfn, _colref(node["children"][0]))
+                base = _AGG_ALIASES.get(fn, fn)
+                if base in ("string_agg", "array_agg"):
+                    key = ("agg", _agg_atom_name(node),
+                           _colref(node["children"][0]))
+                else:
+                    dfn = fn if fn in ("min", "max") \
+                        else f"{fn}_distinct"
+                    key = ("agg", dfn,
+                           _colref(node["children"][0]))
             elif fn == "count_star" or not node["children"]:
                 key = ("agg", "count_star", None)
             else:
@@ -2182,7 +2203,8 @@ def _arg_extreme_values(src, keys: list[str], col: str,
 
 def _collected_agg_values(src, keys: list[str], col: str,
                           merged: pa.Table | None, n: int,
-                          spec: list, sep: str | None) -> pa.Array:
+                          spec: list, sep: str | None,
+                          distinct: bool = False) -> pa.Array:
     """STRING_AGG (sep given) / ARRAY_AGG (sep None) [per group] with
     an in-aggregate ORDER BY: each batch ships only (keys, order
     columns, value) rows — the VALUES ARE THE RESULT, so the gather
@@ -2211,12 +2233,22 @@ def _collected_agg_values(src, keys: list[str], col: str,
 
         def mk(b: int, e: int):
             vs = [v for v in pl[b:e] if v is not None]
+            if distinct:  # first occurrence in sort order survives
+                vs = list(dict.fromkeys(vs))
             return sep.join(vs) if vs else None
     else:
         pl = vals.to_pylist()
 
         def mk(b: int, e: int):
-            return pl[b:e]
+            out = pl[b:e]
+            if distinct:
+                try:
+                    return list(dict.fromkeys(out))
+                except TypeError:
+                    raise SqlUnsupported(
+                        "array_agg(DISTINCT) over unhashable "
+                        "(nested) values")
+            return out
 
     if not keys:
         v = mk(0, t.num_rows)
@@ -6429,14 +6461,16 @@ def _run_agg_query(src, node: dict, select: list,
             env[("agg", fn, col)] = _arg_extreme_values(
                 src, keys, col, merged, n, by=fn.split("@", 1)[1],
                 biggest=fn.startswith("arg_max@"))
-        elif fn.startswith("string_agg@"):
+        elif fn.startswith(("string_agg@", "string_agg_distinct@")):
             sep, spec = json.loads(fn.split("@", 1)[1])
             env[("agg", fn, col)] = _collected_agg_values(
-                src, keys, col, merged, n, spec, sep=sep)
-        elif fn.startswith("array_agg@"):
+                src, keys, col, merged, n, spec, sep=sep,
+                distinct=fn.startswith("string_agg_distinct@"))
+        elif fn.startswith(("array_agg@", "array_agg_distinct@")):
             spec = json.loads(fn.split("@", 1)[1])
             env[("agg", fn, col)] = _collected_agg_values(
-                src, keys, col, merged, n, spec, sep=None)
+                src, keys, col, merged, n, spec, sep=None,
+                distinct=fn.startswith("array_agg_distinct@"))
         else:  # sum_distinct / avg_distinct
             env[("agg", fn, col)] = _distinct_agg_values(
                 src, keys, col, merged, n, fn.split("_")[0])

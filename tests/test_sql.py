@@ -2710,3 +2710,31 @@ def test_union_by_name(ray_session):
         r = r if isinstance(r, pa.Table) else collect_arrow(r)
         assert r.to_pylist() == \
             con.execute(q).fetch_arrow_table().to_pylist(), q
+
+
+def test_string_array_agg_distinct(ray_session):
+    """STRING_AGG(DISTINCT ... ORDER BY) / ARRAY_AGG(DISTINCT ...):
+    first occurrence in sort order survives — parity vs DuckDB."""
+    import duckdb
+
+    from arcade_ray.collect import collect_arrow
+    from arcade_ray.sql import sql_query
+
+    t = pa.table({"g": pa.array(["a", "a", "a", "b", "b"]),
+                  "s": pa.array(["x", "y", "x", "z", "z"]),
+                  "v": pa.array([3, 1, 3, 2, 2])})
+    tb = {"t": t}
+    con = duckdb.connect()
+    con.register("t", t)
+    for q in (
+        "SELECT g, string_agg(DISTINCT s, ',' ORDER BY s) AS a "
+        "FROM t GROUP BY g ORDER BY g",
+        "SELECT string_agg(DISTINCT s, '|' ORDER BY s DESC) AS a "
+        "FROM t",
+        "SELECT g, array_agg(DISTINCT v ORDER BY v) AS a FROM t "
+        "GROUP BY g ORDER BY g",
+    ):
+        r = sql_query(q, tb)
+        r = r if isinstance(r, pa.Table) else collect_arrow(r)
+        assert r.to_pylist() == \
+            con.execute(q).fetch_arrow_table().to_pylist(), q
